@@ -1,0 +1,162 @@
+"""Image codecs for the ``bytes`` column: raw / png / qraw.
+
+The input table carries encoded pixels as an opaque Arrow ``binary``
+column plus (w, h, fmt).  Three deterministic codecs (the container has
+no PIL/cv2/GDAL — reference raster drivers live in frmts/, e.g. PNG
+frmts/png/; we implement the subset needed by the north star):
+
+- ``raw``  : C-order uint8 RGB buffer (lossless).
+- ``png``  : minimal PNG (8-bit RGB, filter 0, fixed zlib level 6) —
+             lossless, deterministic bytes.
+- ``qraw`` : uniform 3-bit-truncation quantizer (lossy stand-in for
+             JPEG until a JPEG codec is available; reconstruction at
+             bucket midpoint gives PSNR ~40.7 dB on uniform data,
+             exercising the PSNR>=40dB parity path of BASELINE.md).
+
+All functions are per-image (one chip = one row); batch stages loop
+over rows of a batch but each call is O(w*h) vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 -> PNG bytes (color type 2, filter 0)."""
+    h, w = img.shape[:2]
+    img = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * 3)
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 per scanline
+    raw[:, 1:] = img
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit RGB PNG (filters 0-4 supported) -> (h, w, 3) uint8."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = []
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", payload)
+            if depth != 8 or ctype != 2:
+                raise ValueError(f"unsupported PNG depth={depth} ctype={ctype}")
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = 1 + w * 3
+    raw = raw.reshape(h, stride)
+    filters = raw[:, 0]
+    out = np.empty((h, w * 3), dtype=np.uint8)
+    if not filters.any():  # common fast path: all filter 0
+        out[:] = raw[:, 1:]
+        return out.reshape(h, w, 3)
+    bpp = 3
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        line = raw[y, 1:].astype(np.int32)
+        f = filters[y]
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need a left-scan
+            rec = np.empty(w * 3, dtype=np.int32)
+            pv = prev.astype(np.int32)
+            for i in range(w * 3):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = pv[i]
+                if f == 1:
+                    rec[i] = (line[i] + a) & 0xFF
+                elif f == 3:
+                    rec[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = pv[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    return out.reshape(h, w, 3)
+
+
+def encode_qraw(img: np.ndarray) -> bytes:
+    """Lossy: keep top 5 bits of each channel (values 0..31, one byte each)."""
+    q = (np.ascontiguousarray(img, dtype=np.uint8) >> 3).astype(np.uint8)
+    return q.tobytes()
+
+
+def decode_qraw(data: bytes, w: int, h: int) -> np.ndarray:
+    q = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).astype(np.uint16)
+    return np.minimum(q * 8 + 4, 255).astype(np.uint8)
+
+
+def encode_raw(img: np.ndarray) -> bytes:
+    return np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """Decode one chip to (h, w, 3) uint8."""
+    if fmt == "raw":
+        return decode_raw(data, w, h)
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "qraw":
+        return decode_qraw(data, w, h)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def encode(img: np.ndarray, fmt: str) -> bytes:
+    """Encode (h, w, 3) uint8 to one chip's bytes."""
+    if fmt == "raw":
+        return encode_raw(img)
+    if fmt == "png":
+        return encode_png(img)
+    if fmt == "qraw":
+        return encode_qraw(img)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def is_lossless(fmt: str) -> bool:
+    return fmt in ("raw", "png")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)

@@ -1,0 +1,296 @@
+"""Geometry kernel: WKB parse/emit, envelopes, exact predicates, clipping.
+
+From-scratch numpy implementation of the subset of the reference's
+geometry model the engine needs (reference semantics:
+- WKB (de)serialization: ogr/ogrgeometryfactory.cpp:89 createFromWkb
+- ray-casting point-in-ring incl. crossing rule:
+  ogr/ogrlinearring.cpp:462-530 isPointInRing
+- boundary rule: ogr/ogrlinearring.cpp:543+ isPointOnRingBoundary
+- envelope pre-filter: ogr/ogrsf_frmts/generic/ogrlayer.cpp:2253
+  FilterGeometry).
+
+WKB is the at-rest form for geometry columns (GeoParquet convention);
+geometries are parsed per group/batch into ring arrays and predicates
+run vectorized over many probe points at once.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+WKB_POINT = 1
+WKB_LINESTRING = 2
+WKB_POLYGON = 3
+WKB_MULTIPOLYGON = 6
+
+# ---------------------------------------------------------------- WKB emit
+
+
+def wkb_point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, WKB_POINT, x, y)
+
+
+def _pack_ring(ring: np.ndarray) -> bytes:
+    ring = np.asarray(ring, dtype=np.float64)
+    return struct.pack("<I", len(ring)) + ring.astype("<f8").tobytes()
+
+
+def wkb_polygon(rings: list[np.ndarray]) -> bytes:
+    """rings[0] = exterior, rest = holes; each (N, 2), closed or not
+    (auto-closed)."""
+    out = [struct.pack("<BII", 1, WKB_POLYGON, len(rings))]
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(ring[0], ring[-1]):
+            ring = np.vstack([ring, ring[:1]])
+        out.append(_pack_ring(ring))
+    return b"".join(out)
+
+
+def wkb_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
+    out = [struct.pack("<BII", 1, WKB_MULTIPOLYGON, len(polys))]
+    for rings in polys:
+        out.append(wkb_polygon(rings))
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------- WKB parse
+
+
+def _read_ring(buf: memoryview, pos: int) -> tuple[np.ndarray, int]:
+    (n,) = struct.unpack_from("<I", buf, pos)
+    pos += 4
+    ring = np.frombuffer(buf, dtype="<f8", count=2 * n, offset=pos).reshape(n, 2)
+    return ring, pos + 16 * n
+
+
+def parse_wkb(data: bytes):
+    """Parse WKB -> ("point", (x, y)) | ("polygon", [rings]) |
+    ("multipolygon", [[rings], ...]).  Little- and big-endian accepted."""
+    buf = memoryview(data)
+    geom, _ = _parse_geom(buf, 0)
+    return geom
+
+
+def _parse_geom(buf: memoryview, pos: int):
+    byte_order = buf[pos]
+    endian = "<" if byte_order == 1 else ">"
+    (gtype,) = struct.unpack_from(endian + "I", buf, pos + 1)
+    gtype = gtype & 0xFF  # strip 2.5D / SRID flags
+    pos += 5
+    if endian == ">":
+        raise NotImplementedError("big-endian WKB not supported")
+    if gtype == WKB_POINT:
+        x, y = struct.unpack_from("<dd", buf, pos)
+        return ("point", (x, y)), pos + 16
+    if gtype in (WKB_LINESTRING,):
+        ring, pos = _read_ring(buf, pos)
+        return ("linestring", ring), pos
+    if gtype == WKB_POLYGON:
+        (nrings,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        rings = []
+        for _ in range(nrings):
+            ring, pos = _read_ring(buf, pos)
+            rings.append(ring)
+        return ("polygon", rings), pos
+    if gtype == WKB_MULTIPOLYGON:
+        (npolys,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        polys = []
+        for _ in range(npolys):
+            (g, pos) = _parse_geom(buf, pos)
+            assert g[0] == "polygon"
+            polys.append(g[1])
+        return ("multipolygon", polys), pos
+    raise NotImplementedError(f"WKB geometry type {gtype}")
+
+
+def polygon_rings(geom) -> list[list[np.ndarray]]:
+    """Normalize a parsed polygon/multipolygon to a list of
+    [exterior, holes...] ring lists."""
+    kind, val = geom
+    if kind == "polygon":
+        return [val]
+    if kind == "multipolygon":
+        return val
+    raise ValueError(f"not a polygon: {kind}")
+
+
+def envelope_wkb(data: bytes) -> tuple[float, float, float, float]:
+    """(minx, miny, maxx, maxy) of any supported WKB geometry."""
+    kind, val = parse_wkb(data)
+    if kind == "point":
+        x, y = val
+        return x, y, x, y
+    if kind == "linestring":
+        return (
+            float(val[:, 0].min()),
+            float(val[:, 1].min()),
+            float(val[:, 0].max()),
+            float(val[:, 1].max()),
+        )
+    pts = np.vstack([r for rings in polygon_rings((kind, val)) for r in rings])
+    return (
+        float(pts[:, 0].min()),
+        float(pts[:, 1].min()),
+        float(pts[:, 0].max()),
+        float(pts[:, 1].max()),
+    )
+
+
+# ------------------------------------------------------- exact predicates
+
+
+def points_in_ring(xs: np.ndarray, ys: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized ray-casting crossing test for many points vs one ring.
+
+    Exactly the reference's crossing rule (ogrlinearring.cpp:462-530):
+    segment (i-1, i) is counted when y-signs straddle ((y1>0 && y2<=0) ||
+    (y2>0 && y1<=0)) and the x-intersection (x1*y2 - x2*y1)/(y2-y1) > 0.
+    """
+    xs = np.asarray(xs, dtype=np.float64)[:, None]  # (P, 1)
+    ys = np.asarray(ys, dtype=np.float64)[:, None]
+    vx = ring[:, 0][None, :]  # (1, N)
+    vy = ring[:, 1][None, :]
+    x1 = vx[:, 1:] - xs  # current point i
+    y1 = vy[:, 1:] - ys
+    x2 = vx[:, :-1] - xs  # previous point i-1
+    y2 = vy[:, :-1] - ys
+    straddle = ((y1 > 0) & (y2 <= 0)) | ((y2 > 0) & (y1 <= 0))
+    denom = y2 - y1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inter = (x1 * y2 - x2 * y1) / denom
+    crossings = (straddle & (inter > 0.0)).sum(axis=1)
+    return (crossings % 2).astype(bool)
+
+
+def points_on_ring_boundary(xs, ys, ring) -> np.ndarray:
+    """Vectorized exact on-segment test (isPointOnRingBoundary semantics:
+    collinear with a segment and within its extent)."""
+    xs = np.asarray(xs, dtype=np.float64)[:, None]
+    ys = np.asarray(ys, dtype=np.float64)[:, None]
+    ax = ring[:-1, 0][None, :]
+    ay = ring[:-1, 1][None, :]
+    bx = ring[1:, 0][None, :]
+    by = ring[1:, 1][None, :]
+    cross = (bx - ax) * (ys - ay) - (by - ay) * (xs - ax)
+    dot = (xs - ax) * (xs - bx) + (ys - ay) * (ys - by)
+    on = (cross == 0.0) & (dot <= 0.0)
+    return on.any(axis=1)
+
+
+def points_intersect_polygon(xs, ys, rings: list[np.ndarray]) -> np.ndarray:
+    """OGR Intersects(point, polygon): true when inside the exterior and
+    not strictly inside a hole, or anywhere on a ring boundary."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    inside = points_in_ring(xs, ys, rings[0])
+    boundary = points_on_ring_boundary(xs, ys, rings[0])
+    for hole in rings[1:]:
+        hb = points_on_ring_boundary(xs, ys, hole)
+        boundary |= hb
+        inside &= ~(points_in_ring(xs, ys, hole) & ~hb)
+    return inside | boundary
+
+
+def points_intersect_geom(xs, ys, geom) -> np.ndarray:
+    """Points vs parsed polygon/multipolygon."""
+    out = np.zeros(len(np.atleast_1d(xs)), dtype=bool)
+    for rings in polygon_rings(geom):
+        out |= points_intersect_polygon(xs, ys, rings)
+    return out
+
+
+def _segments_cross(a: np.ndarray, b: np.ndarray) -> bool:
+    """Any proper or touching crossing between segment sets a (N,2 closed
+    ring) and b (M,2 closed ring), vectorized O(N*M)."""
+    p = a[:-1][:, None, :]  # (N,1,2)
+    r = (a[1:] - a[:-1])[:, None, :]
+    q = b[:-1][None, :, :]  # (1,M,2)
+    s = (b[1:] - b[:-1])[None, :, :]
+    qp = q - p
+    rxs = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    qpxr = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
+    qpxs = qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = qpxs / rxs
+        u = qpxr / rxs
+    nonpar = rxs != 0
+    hit = nonpar & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    if hit.any():
+        return True
+    # collinear overlap: qpxr == 0 and projections overlap
+    col = (~nonpar) & (qpxr == 0)
+    if col.any():
+        rr = (r * r).sum(-1)
+        t0 = (qp * r).sum(-1) / np.where(rr == 0, 1, rr)
+        t1 = t0 + (s * r).sum(-1) / np.where(rr == 0, 1, rr)
+        lo = np.minimum(t0, t1)
+        hi = np.maximum(t0, t1)
+        if (col & (hi >= 0) & (lo <= 1)).any():
+            return True
+    return False
+
+
+def polygons_intersect(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> bool:
+    """Exact Intersects for two simple polygons (with holes):
+    vertex-containment either way, or any boundary crossing."""
+    ea, eb = rings_a[0], rings_b[0]
+    if points_intersect_polygon(eb[:-1, 0], eb[:-1, 1], rings_a).any():
+        return True
+    if points_intersect_polygon(ea[:-1, 0], ea[:-1, 1], rings_b).any():
+        return True
+    for ra in rings_a:
+        for rb in rings_b:
+            if _segments_cross(ra, rb):
+                return True
+    return False
+
+
+# --------------------------------------------------------------- clipping
+
+
+def clip_ring_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray | None:
+    """Sutherland-Hodgman clip of one ring to an axis-aligned rect.
+    Returns a closed ring or None when empty."""
+    pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    for axis, bound, keep_ge in (
+        (0, minx, True),
+        (0, maxx, False),
+        (1, miny, True),
+        (1, maxy, False),
+    ):
+        if len(pts) == 0:
+            return None
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur = pts[i]
+            prv = pts[i - 1]
+            cin = cur[axis] >= bound if keep_ge else cur[axis] <= bound
+            pin = prv[axis] >= bound if keep_ge else prv[axis] <= bound
+            if cin != pin:
+                t = (bound - prv[axis]) / (cur[axis] - prv[axis])
+                out.append(prv + t * (cur - prv))
+            if cin:
+                out.append(cur)
+        pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+    if len(pts) < 3:
+        return None
+    return np.vstack([pts, pts[:1]])
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area (CCW positive)."""
+    x = ring[:, 0]
+    y = ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def representative_point(rings: list[np.ndarray]) -> tuple[float, float]:
+    """Deterministic interior-ish representative: the exterior ring's
+    first vertex (matches are canonicalized on this point's cell)."""
+    return float(rings[0][0, 0]), float(rings[0][0, 1])

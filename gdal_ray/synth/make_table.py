@@ -1,0 +1,323 @@
+"""Deterministic (seed-42) fixture tables: images (T1), polygons (T2), points (T3).
+
+Every value is a pure function of the row index, so any scale
+reproduces exactly (FIXTURES.md).  Modeled on the reference's canonical
+tiny fixtures (autotest/gcore/data/byte.tif 20x20, autotest/ogr/data/
+poly.shp) but synthesized — no external data.
+
+The images table is the BASELINE.json ``input_hint`` schema
+(image_id, bytes, w, h, fmt, caption, phash) + derived georef columns
+(minx..maxy EPSG:3857, srs).  Placement is a Halton scatter over a
+~2500 km box with a Zipf-hot cluster (~20% of rows in one z8 cell) to
+exercise skew salting.  Content includes exact duplicates (every 97th
+row repeats row i-97) and near-duplicates (every 89th row = row i-89
+plus faint noise) to exercise the dedup stages.
+
+Generation is itself a Ray Data pipeline at large n (ray.data.range ->
+map_batches -> write_parquet); small scales generate driver-side.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import codecs, mercator, phash
+from ..functions.geom import wkb_polygon
+
+SEED = 42
+FIXTURE_ROOT = "/tmp/gdal_ray_fixtures/v1"
+
+# Scatter box (EPSG:3857 meters): ~2500 km square in the NE quadrant.
+BBOX = (0.0, 0.0, 2_500_000.0, 2_500_000.0)
+Z_BASE = 12  # chip native zoom: ground resolution w * res(12) (~38 m/px)
+Z_HOT = 8  # hot-cluster cell zoom
+Z_JOIN = 10  # join partition zoom
+HOT_FRACTION_MOD = 5  # i % 5 == 0 -> in hot cell (20% of rows)
+
+SIZES_FULL = (16, 20, 64, 256)
+SIZES_BENCH = (16, 20, 64)
+FMTS = ("raw", "png", "qraw")
+
+_WORDS = (
+    "harbor granite tundra mosaic raster vector tile cell zoom pixel "
+    "meadow basalt delta ridge summit valley lagoon mesa dune fjord"
+).split()
+
+SCALES = {
+    # name: (n_images, n_polygons, n_points, sizes)
+    "smoke": (1_000, 100, 500, SIZES_FULL),
+    "small": (20_000, 2_000, 5_000, SIZES_FULL),
+    "bench": (200_000, 20_000, 50_000, SIZES_BENCH),
+}
+
+
+def scale_for_sf_dir(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": "smoke", "sf0.01": "small", "sf0.1": "bench"}.get(base, "smoke")
+
+
+# ------------------------------------------------------------- primitives
+
+
+def halton(i, base: int) -> np.ndarray:
+    """Low-discrepancy Halton sequence values in [0, 1)."""
+    i = np.asarray(i, dtype=np.int64).copy()
+    out = np.zeros(i.shape, dtype=np.float64)
+    denom = 1.0
+    while np.any(i > 0):
+        denom *= base
+        out += (i % base) / denom
+        i //= base
+    return out
+
+
+def hash_u64(x) -> np.ndarray:
+    """SplitMix64-style avalanche hash (vectorized, wraps mod 2^64)."""
+    x = np.asarray(x, dtype=np.uint64)
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _hot_cell_bounds():
+    """Bounds of the hot z8 cell (the one containing (100 km, 100 km))."""
+    tx, ty = mercator.meters_to_tile(100_000.0, 100_000.0, Z_HOT)
+    return mercator.tile_bounds(int(tx), int(ty), Z_HOT)
+
+
+def chip_centers(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic scatter: Halton over BBOX, 20% into the hot cell."""
+    u = halton(ids + 1, 2)
+    v = halton(ids + 1, 3)
+    cx = BBOX[0] + u * (BBOX[2] - BBOX[0])
+    cy = BBOX[1] + v * (BBOX[3] - BBOX[1])
+    hot = (ids % HOT_FRACTION_MOD) == 0
+    hminx, hminy, hmaxx, hmaxy = _hot_cell_bounds()
+    cx = np.where(hot, hminx + u * (hmaxx - hminx), cx)
+    cy = np.where(hot, hminy + v * (hmaxy - hminy), cy)
+    return cx, cy
+
+
+def dup_src(i: int) -> tuple[int, bool]:
+    """Duplicate structure: every 97th row repeats row i-97 exactly
+    (same pixels/shape/fmt), every 89th is a near-duplicate of i-89.
+    Returns (source row, is_near)."""
+    if i >= 97 and i % 97 == 0:
+        return i - 97, False
+    if i >= 89 and i % 89 == 0:
+        return i - 89, True
+    return i, False
+
+
+def chip_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic chip content: gradient + rectangles + hash noise."""
+    src, near = dup_src(i)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.empty((h, w, 3), dtype=np.uint16)
+    for c in range(3):
+        base[:, :, c] = (xx * 3 + yy * 5 + src * 7 + c * 11) % 256
+    # two deterministic rectangles
+    hs = hash_u64(np.asarray([src * 4 + 1, src * 4 + 2, src * 4 + 3], dtype=np.uint64))
+    rx, ry = int(hs[0] % max(1, w // 2)), int(hs[0] >> np.uint64(32)) % max(1, h // 2)
+    rw, rh = 1 + int(hs[1] % max(1, w // 3)), 1 + int(hs[1] >> np.uint64(32)) % max(
+        1, h // 3
+    )
+    base[ry : ry + rh, rx : rx + rw, :] = int(hs[2] % 256)
+    # hash noise (low amplitude)
+    noise = (
+        (xx.astype(np.uint32) * np.uint32(2654435761))
+        ^ (yy.astype(np.uint32) * np.uint32(40503))
+        ^ np.uint32(src * 97)
+    ) * np.uint32(2246822519)
+    base = (base + ((noise >> np.uint32(24)) % 16)[:, :, None]).astype(np.uint16)
+    if near:
+        base = base + ((yy + xx) % 2)[:, :, None]  # faint perturbation -> near-dup
+    return np.minimum(base, 255).astype(np.uint8)
+
+
+def caption_of(i: int) -> str:
+    hs = hash_u64(np.asarray([i * 3 + 7], dtype=np.uint64))[0]
+    w1 = _WORDS[int(hs % 20)]
+    w2 = _WORDS[int((hs >> np.uint64(8)) % 20)]
+    w3 = _WORDS[int((hs >> np.uint64(16)) % 20)]
+    return f"caption {i}: {w1} {w2} {w3}"
+
+
+# ----------------------------------------------------------- images (T1)
+
+
+def gen_images_batch(batch: dict, sizes=SIZES_FULL) -> pa.Table:
+    """Batch generator: {'id': int64 array} -> input_hint-schema table."""
+    ids = np.asarray(batch["id"], dtype=np.int64)
+    n = len(ids)
+    cx, cy = chip_centers(ids)
+    res = float(mercator.resolution(Z_BASE))
+    # shape and fmt follow the duplicate SOURCE so dup rows are exact dups
+    srcs = np.asarray([dup_src(int(i))[0] for i in ids], dtype=np.int64)
+    ws = np.asarray([sizes[int(s) % len(sizes)] for s in srcs], dtype=np.int32)
+    hs = np.asarray([sizes[int(s + 1) % len(sizes)] for s in srcs], dtype=np.int32)
+    enc_bytes, fmts, phashes, captions = [], [], [], []
+    for k in range(n):
+        i = int(ids[k])
+        img = chip_pixels(i, int(ws[k]), int(hs[k]))
+        fmt = FMTS[int(srcs[k]) % len(FMTS)]
+        enc_bytes.append(codecs.encode(img, fmt))
+        fmts.append(fmt)
+        phashes.append(phash.phash64(img))
+        captions.append(caption_of(i))
+    half_w = ws.astype(np.float64) * res / 2.0
+    half_h = hs.astype(np.float64) * res / 2.0
+    return pa.table(
+        {
+            "image_id": pa.array([f"img{int(i):08d}" for i in ids], pa.string()),
+            "bytes": pa.array(enc_bytes, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+            "minx": pa.array(cx - half_w, pa.float64()),
+            "miny": pa.array(cy - half_h, pa.float64()),
+            "maxx": pa.array(cx + half_w, pa.float64()),
+            "maxy": pa.array(cy + half_h, pa.float64()),
+            "srs": pa.array(["EPSG:3857"] * n, pa.string()),
+        }
+    )
+
+
+# --------------------------------------------------------- polygons (T2)
+
+_CATEGORIES = ("parcel", "zone", "mask")
+N_BOUNDARY_POLYS = 8  # fids 0..7: rects exactly on z10 cell boundaries
+
+
+def polygon_rings_of(fid: int) -> list[np.ndarray]:
+    """Deterministic polygon for a fid (pure function)."""
+    if fid < N_BOUNDARY_POLYS:
+        # axis-aligned rect whose edges are EXACTLY z10 cell boundaries
+        tx0, ty0 = mercator.meters_to_tile(200_000.0, 200_000.0, Z_JOIN)
+        tx = int(tx0) + (fid % 4) * 2
+        ty = int(ty0) + (fid // 4) * 2
+        minx, miny, maxx, maxy = mercator.tile_bounds(tx, ty, Z_JOIN)
+        ring = np.array(
+            [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]]
+        )
+        return [ring]
+    u = halton(np.asarray([fid + 1]), 2)[0]
+    v = halton(np.asarray([fid + 1]), 3)[0]
+    cx = BBOX[0] + u * (BBOX[2] - BBOX[0])
+    cy = BBOX[1] + v * (BBOX[3] - BBOX[1])
+    hs = hash_u64(np.asarray([fid * 2 + 1], dtype=np.uint64))[0]
+    nv = 3 + fid % 6
+    radius = 5_000.0 + float(hs % np.uint64(45_000))
+    if fid % 20 == 5:  # ~5%: giant polygon spanning many cells
+        radius = 200_000.0 + float(hs % np.uint64(200_000))
+    rot = float((hs >> np.uint64(32)) % np.uint64(628)) / 100.0
+    ang = rot + 2.0 * np.pi * np.arange(nv) / nv
+    rr = np.full(nv, radius)
+    if fid % 7 == 3 and nv >= 6:  # concave star
+        rr[1::2] *= 0.45
+    ring = np.stack([cx + rr * np.cos(ang), cy + rr * np.sin(ang)], axis=1)
+    ring = np.vstack([ring, ring[:1]])
+    rings = [ring]
+    if fid % 10 == 7:  # interior hole
+        hole = np.stack(
+            [cx + 0.4 * rr * np.cos(ang[::-1]), cy + 0.4 * rr * np.sin(ang[::-1])],
+            axis=1,
+        )
+        rings.append(np.vstack([hole, hole[:1]]))
+    return rings
+
+
+def gen_polygons_batch(batch: dict) -> pa.Table:
+    fids = np.asarray(batch["id"], dtype=np.int64)
+    wkbs, envs = [], np.empty((len(fids), 4), dtype=np.float64)
+    for k, fid in enumerate(fids):
+        rings = polygon_rings_of(int(fid))
+        wkbs.append(wkb_polygon(rings))
+        ext = rings[0]
+        envs[k] = (ext[:, 0].min(), ext[:, 1].min(), ext[:, 0].max(), ext[:, 1].max())
+    weight = (hash_u64(fids.astype(np.uint64) * np.uint64(13) + np.uint64(5)) % np.uint64(10**9)).astype(np.float64) / 1e9
+    return pa.table(
+        {
+            "fid": pa.array(fids, pa.int64()),
+            "wkb": pa.array(wkbs, pa.binary()),
+            "minx": pa.array(envs[:, 0], pa.float64()),
+            "miny": pa.array(envs[:, 1], pa.float64()),
+            "maxx": pa.array(envs[:, 2], pa.float64()),
+            "maxy": pa.array(envs[:, 3], pa.float64()),
+            "category": pa.array([_CATEGORIES[int(f) % 3] for f in fids], pa.string()),
+            "weight": pa.array(weight, pa.float64()),
+        }
+    )
+
+
+# ----------------------------------------------------------- points (T3)
+
+
+def gen_points_batch(batch: dict, n_polys: int = 100) -> pa.Table:
+    pids = np.asarray(batch["id"], dtype=np.int64)
+    x = BBOX[0] + halton(pids + 11, 2) * (BBOX[2] - BBOX[0])
+    y = BBOX[1] + halton(pids + 11, 3) * (BBOX[3] - BBOX[1])
+    for k, pid in enumerate(pids):
+        i = int(pid)
+        if i % 10 == 0 and n_polys > 0:  # exactly on a polygon vertex
+            rings = polygon_rings_of(i // 10 % n_polys)
+            vtx = rings[0][(i // 10) % (len(rings[0]) - 1)]
+            x[k], y[k] = vtx[0], vtx[1]
+        elif i % 13 == 6:  # exactly on a z10 cell boundary
+            tx, ty = mercator.meters_to_tile(x[k], y[k], Z_JOIN)
+            bminx, bminy, _, _ = mercator.tile_bounds(int(tx), int(ty), Z_JOIN)
+            x[k] = bminx
+    return pa.table(
+        {
+            "pid": pa.array(pids, pa.int64()),
+            "x": pa.array(x, pa.float64()),
+            "y": pa.array(y, pa.float64()),
+            "k": pa.array(np.full(len(pids), 5, dtype=np.int32), pa.int32()),
+        }
+    )
+
+
+# ------------------------------------------------------------ driver API
+
+
+def _gen_parquet(path: str, n: int, gen, use_ray_threshold: int = 50_000) -> None:
+    tmp = path + ".tmp"
+    if n >= use_ray_threshold:
+        import ray.data as rd
+
+        (
+            rd.range(n, override_num_blocks=max(32, n // 4096))
+            .map_batches(gen, batch_format="numpy", batch_size=2048)
+            .write_parquet(tmp)
+        )
+        os.rename(tmp, path)
+    else:
+        table = gen({"id": np.arange(n, dtype=np.int64)})
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(table, os.path.join(tmp, "part-0.parquet"))
+        os.rename(tmp, path)
+
+
+def ensure_fixtures(scale: str = "smoke", root: str = FIXTURE_ROOT) -> dict[str, str]:
+    """Generate (once, cached under /tmp) the three tables for a scale.
+    Returns {'images': dir, 'polygons': dir, 'points': dir}."""
+    n_img, n_poly, n_pt, sizes = SCALES[scale]
+    base = os.path.join(root, scale)
+    os.makedirs(base, exist_ok=True)
+    paths = {name: os.path.join(base, name) for name in ("images", "polygons", "points")}
+    if not os.path.exists(paths["images"]):
+        _gen_parquet(paths["images"], n_img, lambda b: gen_images_batch(b, sizes))
+    if not os.path.exists(paths["polygons"]):
+        _gen_parquet(paths["polygons"], n_poly, gen_polygons_batch)
+    if not os.path.exists(paths["points"]):
+        _gen_parquet(
+            paths["points"], n_pt, lambda b: gen_points_batch(b, n_polys=n_poly)
+        )
+    return paths
