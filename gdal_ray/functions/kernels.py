@@ -149,11 +149,12 @@ def downsample2x_masked_average(img: np.ndarray, mask: np.ndarray):
         + (a * mw)[1::2, 1::2]
     )
     cnt = m[0::2, 0::2] + m[0::2, 1::2] + m[1::2, 0::2] + m[1::2, 1::2]
-    cntb = cnt[:, :, None] if a.ndim == 3 else cnt
-    out = np.zeros_like(s, dtype=np.uint8)
-    nz = cntb > 0
-    out[nz] = ((s[nz] + cntb[nz] // 2) // cntb[nz]).astype(np.uint8)
-    return out, cnt > 0
+    safe = np.maximum(cnt, 1)
+    safe_b = safe[:, :, None] if a.ndim == 3 else safe
+    out = ((s + safe_b // 2) // safe_b).astype(np.uint8)
+    valid = cnt > 0
+    out *= valid[:, :, None] if a.ndim == 3 else valid
+    return out, valid
 
 
 def mode_reduce(values: np.ndarray, axis: int = -1) -> np.ndarray:

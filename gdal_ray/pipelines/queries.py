@@ -1,0 +1,897 @@
+"""The engine's query surface — one entry per operator (SURVEY.md §2).
+
+Two families:
+
+- SQL-oracle-checked (driver runs the DuckDB SQL in ``ORACLE_SQL`` on
+  the same parquet tables and compares row count + schema + value
+  hash): relational ops over the TPC-H-ish testdata tables, plus
+  spatial ops over geometry DERIVED from those tables with integer
+  math mirrored verbatim in the SQL (so float results are
+  bit-deterministic in both engines — sums are computed over exact
+  integer cents, divisions of exact integers only).
+
+- rows-only (non-SQL-expressible: raster compose, codecs, sketches):
+  run over the deterministic synthetic geospatial fixtures
+  (gdal_ray.synth) and golden-tested in pytest instead.
+
+Every callable takes ``sf_dir`` and returns a Dataset / DataFrame /
+pyarrow Table.  Column names match the oracle SQL exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import mercator
+from ..synth.make_table import ensure_fixtures, scale_for_sf_dir
+from . import relational as R
+
+# --------------------------------------------------------------- helpers
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col):
+    """round(x*100) as int64 — exact money arithmetic (mirrored in SQL
+    as CAST(ROUND(x*100, 0) AS BIGINT))."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+# Derived deterministic geometry (mirrored verbatim in the oracle SQL)
+
+def _derive_points(sf_dir: str):
+    """Points from events: exact integer-derived EPSG:3857 coords."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        x = ((eid * 37) % 100000).astype(np.float64) * 25.0
+        y = ((uid * 53 + eid) % 100000).astype(np.float64) * 25.0
+        return pa.table(
+            {
+                "pid": pa.array(eid, pa.int64()),
+                "x": pa.array(x, pa.float64()),
+                "y": pa.array(y, pa.float64()),
+            }
+        )
+
+    return ev.map_batches(fn, batch_format="pyarrow")
+
+
+_PTS_SQL = (
+    "SELECT event_id AS pid, ((event_id * 37) % 100000) * 25.0 AS x, "
+    "((user_id * 53 + event_id) % 100000) * 25.0 AS y FROM events"
+)
+
+
+def _derive_rects(sf_dir: str, as_wkb: bool):
+    """Rectangles from part (exact integer-derived envelopes); with
+    ``as_wkb`` the engine also materializes real WKB polygons so the
+    full join machinery (WKB parse + ray-casting) runs."""
+    from ..functions.geom import wkb_polygon
+
+    pt = _read(sf_dir, "part", columns=["p_partkey"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        cx = ((k * 91) % 2000).astype(np.float64) * 1250.0
+        cy = ((k * 57) % 2000).astype(np.float64) * 1250.0
+        hw = (50 + (k % 200)).astype(np.float64) * 100.0
+        cols = {
+            "fid": pa.array(k, pa.int64()),
+            "minx": pa.array(cx - hw, pa.float64()),
+            "miny": pa.array(cy - hw, pa.float64()),
+            "maxx": pa.array(cx + hw, pa.float64()),
+            "maxy": pa.array(cy + hw, pa.float64()),
+        }
+        if as_wkb:
+            wkbs = [
+                wkb_polygon(
+                    [
+                        np.array(
+                            [
+                                [cx[i] - hw[i], cy[i] - hw[i]],
+                                [cx[i] + hw[i], cy[i] - hw[i]],
+                                [cx[i] + hw[i], cy[i] + hw[i]],
+                                [cx[i] - hw[i], cy[i] + hw[i]],
+                                [cx[i] - hw[i], cy[i] - hw[i]],
+                            ]
+                        )
+                    ]
+                )
+                for i in range(len(k))
+            ]
+            cols["wkb"] = pa.array(wkbs, pa.binary())
+        return pa.table(cols)
+
+    return pt.map_batches(fn, batch_format="pyarrow")
+
+
+_RECTS_SQL = (
+    "SELECT p_partkey AS fid, "
+    "((p_partkey * 91) % 2000) * 1250.0 - (50 + (p_partkey % 200)) * 100.0 AS minx, "
+    "((p_partkey * 57) % 2000) * 1250.0 - (50 + (p_partkey % 200)) * 100.0 AS miny, "
+    "((p_partkey * 91) % 2000) * 1250.0 + (50 + (p_partkey % 200)) * 100.0 AS maxx, "
+    "((p_partkey * 57) % 2000) * 1250.0 + (50 + (p_partkey % 200)) * 100.0 AS maxy "
+    "FROM part"
+)
+
+
+def _derive_sites(sf_dir: str):
+    cu = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        x = ((k * 79) % 100000).astype(np.float64) * 25.0
+        y = ((k * 31 + 7) % 100000).astype(np.float64) * 25.0
+        return pa.table(
+            {
+                "sid": pa.array(k, pa.int64()),
+                "x": pa.array(x, pa.float64()),
+                "y": pa.array(y, pa.float64()),
+            }
+        )
+
+    return cu.map_batches(fn, batch_format="pyarrow")
+
+
+_SITES_SQL = (
+    "SELECT c_custkey AS sid, ((c_custkey * 79) % 100000) * 25.0 AS x, "
+    "((c_custkey * 31 + 7) % 100000) * 25.0 AS y FROM customer"
+)
+
+
+# ----------------------------------------------------- relational queries
+
+
+def q01_lineitem_agg(sf_dir: str):
+    """TPC-H Q1 shape: filter + GROUP BY + sum/avg/count (integer-cents
+    arithmetic for bit-stable sums; §2.5 aggregates)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.less_equal(t.column("l_shipdate"), pa.scalar(np.datetime64("1998-09-02", "us")))
+        )
+        ep = _cents(t.column("l_extendedprice"))
+        dc = _cents(t.column("l_discount"))
+        rev = pc.multiply(ep, pc.subtract(pa.scalar(100, pa.int64()), dc))
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                "ep_cents": ep,
+                "rev_c4": rev,
+            }
+        )
+
+    agg = R.grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("qty", "sum", "sum_qty"),
+            ("ep_cents", "sum", "sum_base_cents"),
+            ("rev_c4", "sum", "sum_rev_c4"),
+            ("qty", "count", "count_order"),
+        ],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        avg_qty = pc.divide(
+            pc.cast(t.column("sum_qty"), pa.float64()),
+            pc.cast(t.column("count_order"), pa.float64()),
+        )
+        sum_rev = pc.divide(pc.cast(t.column("sum_rev_c4"), pa.float64()), pa.scalar(10000.0))
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": t.column("sum_qty"),
+                "sum_base_cents": t.column("sum_base_cents"),
+                "sum_revenue": sum_rev,
+                "avg_qty": avg_qty,
+                "count_order": t.column("count_order"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS sum_revenue,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_project(sf_dir: str):
+    """Attribute filter + field map + computed column (ogr2ogr
+    SetFrom/field-map analog, apps/ogr2ogr_lib.cpp:6687)."""
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("o_totalprice"), pa.scalar(150000.0)))
+        cents = _cents(t.column("o_totalprice"))
+        return pa.table(
+            {
+                "okey": t.column("o_orderkey"),
+                "status": t.column("o_orderstatus"),
+                "price_cents": cents,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort("okey")
+
+
+_Q02_SQL = """
+SELECT o_orderkey AS okey, o_orderstatus AS status,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+FROM orders WHERE o_totalprice > 150000.0 ORDER BY o_orderkey
+"""
+
+
+def q03_sort_topk(sf_dir: str):
+    """ORDER BY + LIMIT top-k (ogr_gensql.cpp:2201 CreateOrderByIndex +
+    LIMIT; distributed sort with per-batch top-k pruning)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": pc.cast(t.column("l_linenumber"), pa.int64()),
+                "price_cents": _cents(t.column("l_extendedprice")),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return R.order_by_limit(
+        ds, ["price_cents", "l_orderkey", "l_linenumber"], descending=[True, False, False], limit=10
+    )
+
+
+_Q03_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+FROM lineitem ORDER BY price_cents DESC, l_orderkey, l_linenumber LIMIT 10
+"""
+
+
+def q04_distinct(sf_dir: str):
+    """SELECT DISTINCT (SWQM_DISTINCT_LIST analog)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    return R.distinct(ds, ["l_returnflag", "l_linestatus"]).sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+_Q04_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q05_union_concat(sf_dir: str):
+    """UNION ALL of two filtered layers + grouped count (OGRUnionLayer /
+    gdalalg_vector_concat analog)."""
+    o = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+    lo = R.filter_expr(o, pc.field("o_totalprice") < 50000.0)
+    hi = R.filter_expr(o, pc.field("o_totalprice") > 250000.0)
+    u = lo.union(hi)
+    return R.grouped_aggregate(
+        u, ["o_orderstatus"], [("o_totalprice", "count", "n")]
+    ).sort("o_orderstatus")
+
+
+_Q05_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n FROM (
+  SELECT * FROM orders WHERE o_totalprice < 50000.0
+  UNION ALL
+  SELECT * FROM orders WHERE o_totalprice > 250000.0
+) GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q06_broadcast_join(sf_dir: str):
+    """Dimension-table broadcast join (ray.put once) + grouped agg."""
+    from ..stages.knn import dataset_to_table
+
+    cust = dataset_to_table(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "price_cents": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    joined = R.broadcast_hash_join(
+        orders.map_batches(prep, batch_format="pyarrow"), cust, on="c_custkey"
+    )
+    return R.grouped_aggregate(
+        joined,
+        ["c_mktsegment"],
+        [("price_cents", "sum", "sum_cents"), ("price_cents", "count", "n")],
+    ).sort("c_mktsegment")
+
+
+_Q06_SQL = """
+SELECT c_mktsegment,
+       SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_cents,
+       COUNT(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q07_hash_join(sf_dir: str):
+    """Both-sides-large hash-partitioned equi-join (Dataset.join) +
+    grouped agg (the GROUP-BY superset of the OGR SQL JOIN,
+    ogr_gensql.cpp:1319)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+            }
+        )
+
+    joined = R.hash_join(
+        li.map_batches(prep, batch_format="pyarrow"), orders, on="o_orderkey",
+        num_partitions=16,
+    )
+    return R.grouped_aggregate(
+        joined,
+        ["o_orderpriority"],
+        [("qty", "sum", "sum_qty"), ("qty", "count", "n_items")],
+    ).sort("o_orderpriority")
+
+
+_Q07_SQL = """
+SELECT o_orderpriority, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q08_extent_count(sf_dir: str):
+    """GetFeatureCount + GetExtent analog (ogrlayer.cpp:158,224):
+    count + envelope min/max over the derived point layer."""
+    pts = _derive_points(sf_dir)
+    return R.global_aggregate(
+        pts,
+        [
+            ("pid", "count", "n"),
+            ("x", "min", "minx"),
+            ("y", "min", "miny"),
+            ("x", "max", "maxx"),
+            ("y", "max", "maxy"),
+        ],
+    )
+
+
+_Q08_SQL = f"""
+SELECT COUNT(*) AS n, MIN(x) AS minx, MIN(y) AS miny, MAX(x) AS maxx, MAX(y) AS maxy
+FROM ({_PTS_SQL})
+"""
+
+
+def q09_cell_assign(sf_dir: str):
+    """WebMercator cell assignment at z=12 (GlobalMercator.MetersToTile,
+    gdal2tiles.py:473) + per-cell counts, top 20 cells."""
+    from ..stages.cells import assign_point_cells
+
+    pts = _derive_points(sf_dir).map_batches(
+        assign_point_cells(12), batch_format="pyarrow"
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        z, x, y = mercator.unpack_cell(t.column("cell").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"tx": pa.array(x, pa.int64()), "ty": pa.array(y, pa.int64())}
+        )
+
+    cells = pts.map_batches(unpack, batch_format="pyarrow")
+    agg = R.grouped_aggregate(cells, ["tx", "ty"], [("tx", "count", "n")])
+    return R.order_by_limit(agg, ["n", "tx", "ty"], descending=[True, False, False], limit=20)
+
+
+_Q09_SQL = f"""
+SELECT tx, ty, COUNT(*) AS n FROM (
+  SELECT GREATEST(CAST(ceil(((x + 20037508.342789244) / (156543.03392804097 / 4096.0)) / 256.0) AS BIGINT) - 1, 0) AS tx,
+         GREATEST(CAST(ceil(((y + 20037508.342789244) / (156543.03392804097 / 4096.0)) / 256.0) AS BIGINT) - 1, 0) AS ty
+  FROM ({_PTS_SQL})
+) GROUP BY tx, ty ORDER BY n DESC, tx, ty LIMIT 20
+"""
+
+
+def q10_spatial_join(sf_dir: str):
+    """The north-star spatial join on derived data: points x rectangle
+    polygons through the FULL machinery (cell co-partition at z=10, WKB
+    parse, envelope prefilter, exact ray-casting PIP) — oracle is a
+    plain SQL range join."""
+    from ..stages.join import join_points_in_polygons
+
+    pts = _derive_points(sf_dir)
+    rects = _derive_rects(sf_dir, as_wkb=True)
+    out = join_points_in_polygons(
+        pts, rects, zoom=10, num_partitions=16, point_cols=["pid"], poly_cols=["fid"]
+    )
+    return out.sort(["pid", "fid"])
+
+
+_Q10_SQL = f"""
+SELECT p.pid, r.fid FROM ({_PTS_SQL}) p, ({_RECTS_SQL}) r
+WHERE p.x BETWEEN r.minx AND r.maxx AND p.y BETWEEN r.miny AND r.maxy
+ORDER BY p.pid, r.fid
+"""
+
+
+def q11_knn(sf_dir: str):
+    """kNN k=3: derived points -> derived sites, exact broadcast
+    baseline (ties by sid; oracle = SQL window rank)."""
+    from ..stages.knn import dataset_to_table, knn_broadcast
+
+    pts = _derive_points(sf_dir)
+    sites = dataset_to_table(_derive_sites(sf_dir))
+    out = knn_broadcast(pts, sites, k=3)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pid": t.column("pid"),
+                "sid": t.column("sid"),
+                "rank": pc.cast(t.column("rank"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow").sort(["pid", "rank"])
+
+
+_Q11_SQL = f"""
+SELECT pid, sid, rank FROM (
+  SELECT p.pid, s.sid,
+         ROW_NUMBER() OVER (PARTITION BY p.pid
+             ORDER BY (p.x - s.x) * (p.x - s.x) + (p.y - s.y) * (p.y - s.y), s.sid) AS rank
+  FROM ({_PTS_SQL}) p CROSS JOIN ({_SITES_SQL}) s
+) WHERE rank <= 3 ORDER BY pid, rank
+"""
+
+
+def q12_window_tumbling(sf_dir: str):
+    """Tumbling 1-hour window per event_type (streaming-shaped batch
+    windowing, ray_guide; value summed as exact milli-units)."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        hour = pc.divide(us, pa.scalar(3600000000, pa.int64()))
+        milli = pc.cast(pc.round(pc.multiply(t.column("value"), pa.scalar(1000.0))), pa.int64())
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": hour,
+                "v_milli": milli,
+            }
+        )
+
+    agg = R.grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        [("v_milli", "sum", "sum_milli"), ("v_milli", "count", "n")],
+    )
+    return agg.sort(["event_type", "hour"])
+
+
+_Q12_SQL = """
+SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+       SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS sum_milli, COUNT(*) AS n
+FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+"""
+
+
+def q13_exact_dedup(sf_dir: str):
+    """Exact dedup of documents by content (hash-partition + min-id per
+    group), reported as per-source distinct/total counts."""
+    from ..stages.dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    deduped = exact_dedup(docs, content_col="text", id_col="doc_id")
+    return R.grouped_aggregate(
+        deduped, ["source"], [("doc_id", "count", "n_unique")]
+    ).sort("source")
+
+
+_Q13_SQL = """
+SELECT d.source, COUNT(*) AS n_unique
+FROM (SELECT MIN(doc_id) AS keeper FROM documents GROUP BY text) k
+JOIN documents d ON d.doc_id = k.keeper
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+def q14_token_count(sf_dir: str):
+    """Whitespace token counting per doc, aggregated per lang."""
+    from ..stages.text import token_count_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    toks = docs.map_batches(token_count_batch, batch_format="pyarrow")
+    joined = R.hash_join(
+        toks, docs.select_columns(["doc_id", "lang"]), on="doc_id", num_partitions=8
+    )
+    return R.grouped_aggregate(
+        joined, ["lang"], [("n_tokens", "sum", "sum_tokens"), ("n_tokens", "count", "n_docs")]
+    ).sort("lang")
+
+
+_Q14_SQL = """
+SELECT lang,
+       SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS sum_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q15_text_quality(sf_dir: str):
+    """Quality scoring: per-lang alpha/space character ratios from
+    exact integer character counts."""
+    from ..stages.text import QualityScorer
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    scored = docs.map_batches(QualityScorer, batch_format="pyarrow", concurrency=2)
+    joined = R.hash_join(
+        scored, docs.select_columns(["doc_id", "lang"]), on="doc_id", num_partitions=8
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        n = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        alpha = np.round(
+            t.column("alpha_ratio").to_numpy(zero_copy_only=False) * np.maximum(n, 1)
+        ).astype(np.int64)
+        space = np.round(
+            t.column("space_ratio").to_numpy(zero_copy_only=False) * np.maximum(n, 1)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_chars": t.column("n_chars"),
+                "alpha": pa.array(alpha, pa.int64()),
+                "space": pa.array(space, pa.int64()),
+            }
+        )
+
+    agg = R.grouped_aggregate(
+        joined.map_batches(prep, batch_format="pyarrow"),
+        ["lang"],
+        [
+            ("n_chars", "sum", "sum_chars"),
+            ("alpha", "sum", "sum_alpha"),
+            ("space", "sum", "sum_space"),
+        ],
+    )
+    return agg.sort("lang")
+
+
+_Q15_SQL = """
+SELECT lang, SUM(length(text)) AS sum_chars,
+       SUM(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS sum_alpha,
+       SUM(length(text) - length(regexp_replace(text, '\\s', '', 'g'))) AS sum_space
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q16_ann_cosine(sf_dir: str):
+    """Exact brute-force cosine top-5 for 8 fixed query vectors (vec_id
+    0..7) against all embeddings (scores dropped: only int columns are
+    compared; ties by vec_id)."""
+    import duckdb  # only to read the query vectors deterministically
+
+    from ..stages.ann import ann_cosine_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = (
+        duckdb.connect()
+        .execute(
+            f"SELECT vec_id, embedding FROM parquet_scan('{sf_dir}/embeddings.parquet') "
+            "WHERE vec_id < 8 ORDER BY vec_id"
+        )
+        .fetch_arrow_table()
+    )
+    queries = np.stack([np.asarray(v, np.float64) for v in qt.column("embedding").to_pylist()])
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False)
+    out = ann_cosine_topk(emb, queries, qids, k=5)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": t.column("qid"),
+                "vec_id": t.column("vec_id"),
+                "rank": pc.cast(t.column("rank"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow").sort(["qid", "rank"])
+
+
+_Q16_SQL = """
+SELECT qid, vec_id, rank FROM (
+  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank
+  FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < 8
+) WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
+# ------------------------------------------------ rows-only (non-SQL) ops
+
+
+def q17_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs over documents."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(docs, threshold=0.5).sort(["doc_a", "doc_b"])
+
+
+def q18_simhash_pairs(sf_dir: str):
+    from ..stages.dedup import simhash_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_pairs(docs, max_hamming=3).sort(["doc_a", "doc_b"])
+
+
+def q19_langid(sf_dir: str):
+    from ..stages.text import LangId
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=2).sort("doc_id")
+
+
+def q20_fingerprint(sf_dir: str):
+    from ..stages.text import Fingerprinter
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=2).sort(
+        "doc_id"
+    )
+
+
+def q21_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate ANN (scale path of q16)."""
+    import duckdb
+
+    from ..stages.ann import ann_lsh_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = (
+        duckdb.connect()
+        .execute(
+            f"SELECT vec_id, embedding FROM parquet_scan('{sf_dir}/embeddings.parquet') "
+            "WHERE vec_id < 8 ORDER BY vec_id"
+        )
+        .fetch_arrow_table()
+    )
+    queries = np.stack([np.asarray(v, np.float64) for v in qt.column("embedding").to_pylist()])
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False)
+    return ann_lsh_topk(emb, queries, qids, k=5).select_columns(
+        ["qid", "vec_id", "rank"]
+    ).sort(["qid", "rank"])
+
+
+def q22_images_cells(sf_dir: str):
+    """Cell assignment of the image fixture table at the join zoom —
+    per-cell chip counts (skew visible: the hot cell dominates)."""
+    import ray.data as rd
+
+    from ..stages.cells import cover_envelope_cells
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(paths["images"], columns=["image_id", "minx", "miny", "maxx", "maxy"])
+    covered = imgs.map_batches(cover_envelope_cells(10), batch_format="pyarrow")
+    return R.grouped_aggregate(covered, ["cell"], [("cell", "count", "n")]).sort(
+        ["cell"]
+    )
+
+
+def q23_spatial_join_images(sf_dir: str):
+    """Flagship: image chips x polygon layer intersects join (fixtures),
+    exactly-once, with caption carry-through."""
+    import ray.data as rd
+
+    from ..stages.join import join_chips_with_polygons
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(
+        paths["images"], columns=["image_id", "caption", "minx", "miny", "maxx", "maxy"]
+    )
+    pol = rd.read_parquet(paths["polygons"])
+    return join_chips_with_polygons(
+        imgs, pol, zoom=10, num_partitions=16,
+        chip_cols=["image_id", "caption"], poly_cols=["fid", "category"],
+    ).sort(["image_id", "fid"])
+
+
+def q24_tile_pyramid(sf_dir: str):
+    """Tile pyramid z10..z8 over the image fixtures; returns per-tile
+    checksums (the gdal2tiles golden pattern)."""
+    import ray.data as rd
+
+    from ..stages.tiles import build_pyramid, tiles_checksum
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(paths["images"])
+    levels = build_pyramid(imgs, z_max=10, z_min=8, resampling="near")
+    out = None
+    for z in sorted(levels):
+        cs = tiles_checksum(levels[z])
+        out = cs if out is None else out.union(cs)
+    return out.sort(["z", "x", "y"])
+
+
+def q25_warp(sf_dir: str):
+    """Warp all fixture chips 3857->4326 (bilinear, approx transformer)
+    and checksum the outputs."""
+    import ray.data as rd
+
+    from ..functions import checksum, codecs
+    from ..stages.warp import warp_images
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(paths["images"])
+    warped = warp_images(imgs, resampling="bilinear", concurrency=4)
+
+    def cs(t: pa.Table) -> pa.Table:
+        b = t.column("bytes").to_pylist()
+        w = t.column("w").to_pylist()
+        h = t.column("h").to_pylist()
+        f = t.column("fmt").to_pylist()
+        out = np.empty((len(b), 3), dtype=np.int64)
+        for i in range(len(b)):
+            out[i] = checksum.checksum_image(codecs.decode(b[i], w[i], h[i], f[i]))
+        return pa.table(
+            {
+                "image_id": t.column("image_id"),
+                "cs_r": pa.array(out[:, 0]),
+                "cs_g": pa.array(out[:, 1]),
+                "cs_b": pa.array(out[:, 2]),
+            }
+        )
+
+    return warped.map_batches(cs, batch_format="pyarrow").sort("image_id")
+
+
+def q26_phash_neardup(sf_dir: str):
+    """Image near-dup pairs via phash bands + Hamming."""
+    import ray.data as rd
+
+    from ..stages.dedup import phash_neardup_pairs
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(paths["images"], columns=["image_id", "phash"])
+    return phash_neardup_pairs(imgs, max_hamming=6).sort(["id_a", "id_b"])
+
+
+def q27_knn_cell_ring(sf_dir: str):
+    """Scale-path kNN (cell-ring expansion) — same result as q11."""
+    from ..stages.knn import knn_cell_ring
+
+    pts = _derive_points(sf_dir)
+    sites = _derive_sites(sf_dir)
+    out = knn_cell_ring(pts, sites, k=3, zoom=7, num_partitions=16)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pid": t.column("pid"),
+                "sid": t.column("sid"),
+                "rank": pc.cast(t.column("rank"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow").sort(["pid", "rank"])
+
+
+def q28_embedding_neardup(sf_dir: str):
+    from ..stages.ann import embedding_neardup_pairs
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_neardup_pairs(emb, threshold=0.35, n_planes=6).select_columns(
+        ["id_a", "id_b"]
+    ).sort(["id_a", "id_b"])
+
+
+# ------------------------------------------------------------- registry
+
+QUERIES = {
+    "q01_lineitem_agg": q01_lineitem_agg,
+    "q02_filter_project": q02_filter_project,
+    "q03_sort_topk": q03_sort_topk,
+    "q04_distinct": q04_distinct,
+    "q05_union_concat": q05_union_concat,
+    "q06_broadcast_join": q06_broadcast_join,
+    "q07_hash_join": q07_hash_join,
+    "q08_extent_count": q08_extent_count,
+    "q09_cell_assign": q09_cell_assign,
+    "q10_spatial_join": q10_spatial_join,
+    "q11_knn": q11_knn,
+    "q12_window_tumbling": q12_window_tumbling,
+    "q13_exact_dedup": q13_exact_dedup,
+    "q14_token_count": q14_token_count,
+    "q15_text_quality": q15_text_quality,
+    "q16_ann_cosine": q16_ann_cosine,
+    "q17_minhash_pairs": q17_minhash_pairs,
+    "q18_simhash_pairs": q18_simhash_pairs,
+    "q19_langid": q19_langid,
+    "q20_fingerprint": q20_fingerprint,
+    "q21_ann_lsh": q21_ann_lsh,
+    "q22_images_cells": q22_images_cells,
+    "q23_spatial_join_images": q23_spatial_join_images,
+    "q24_tile_pyramid": q24_tile_pyramid,
+    "q25_warp": q25_warp,
+    "q26_phash_neardup": q26_phash_neardup,
+    "q27_knn_cell_ring": q27_knn_cell_ring,
+    "q28_embedding_neardup": q28_embedding_neardup,
+}
+
+ORACLE_SQL = {
+    "q01_lineitem_agg": _Q01_SQL,
+    "q02_filter_project": _Q02_SQL,
+    "q03_sort_topk": _Q03_SQL,
+    "q04_distinct": _Q04_SQL,
+    "q05_union_concat": _Q05_SQL,
+    "q06_broadcast_join": _Q06_SQL,
+    "q07_hash_join": _Q07_SQL,
+    "q08_extent_count": _Q08_SQL,
+    "q09_cell_assign": _Q09_SQL,
+    "q10_spatial_join": _Q10_SQL,
+    "q11_knn": _Q11_SQL,
+    "q12_window_tumbling": _Q12_SQL,
+    "q13_exact_dedup": _Q13_SQL,
+    "q14_token_count": _Q14_SQL,
+    "q15_text_quality": _Q15_SQL,
+    "q16_ann_cosine": _Q16_SQL,
+}

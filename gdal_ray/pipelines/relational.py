@@ -1,0 +1,180 @@
+"""Relational operator layer — the OGR SQL dialect analog on Ray Data.
+
+Reference semantics: attribute filters / expression engine (ogr/swq.cpp,
+ogr/swq_op_registrar.cpp:28-62), summary aggregates COUNT/MIN/MAX/AVG/
+SUM (ogr/ogrsf_frmts/generic/ogr_gensql.cpp:849 PrepareSummary), ORDER
+BY index (ogr_gensql.cpp:2201), DISTINCT (ogr/ogr_swq.h:382), UNION
+layer (ogrunionlayer.h), attribute equi-join (ogr_gensql.cpp:1319).
+The engine is a strict superset: keyed GROUP BY (the generic OGR
+dialect has none — SURVEY.md §2.5) and distributed execution.
+
+Key scale pattern: ``grouped_aggregate`` pre-aggregates inside
+map_batches (pyarrow group_by per batch -> one partial row per key per
+batch) before the wide groupby, so the shuffle moves partials, not
+rows (ray_guide 'Aggregation at scale').
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Max, Min, Sum
+
+_PARTIAL_OPS = {"sum", "count", "min", "max", "mean"}
+
+
+def grouped_aggregate(ds, keys: list[str], specs: list[tuple[str, str, str]]):
+    """GROUP BY ``keys`` with aggregates ``(col, op, alias)``.
+
+    op in {sum, count, min, max, mean}; ``count`` counts all rows of the
+    group (COUNT(*)).  Partial aggregation per batch, tiny final shuffle.
+    Output columns: keys + aliases (mean emitted as float64).
+    """
+    for _, op, _ in specs:
+        if op not in _PARTIAL_OPS:
+            raise ValueError(f"unsupported op {op}")
+
+    # per-batch partial: pyarrow hash aggregation
+    pa_aggs = [("__one", "sum")]
+    for col, op, alias in specs:
+        if op == "count":
+            continue
+        if op == "mean":
+            pa_aggs.append((col, "sum"))
+        else:
+            pa_aggs.append((col, op))
+    pa_aggs = list(dict.fromkeys(pa_aggs))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("__one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+        return t.group_by(keys).aggregate(pa_aggs)
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    # final merge over partials
+    ray_aggs = [Sum("__one_sum", alias_name="__n")]
+    seen = set()
+    for col, op, alias in specs:
+        if op == "count":
+            continue
+        src = f"{col}_sum" if op in ("sum", "mean") else f"{col}_{op}"
+        if src in seen:
+            continue
+        seen.add(src)
+        if op in ("sum", "mean"):
+            ray_aggs.append(Sum(src, alias_name=src))
+        elif op == "min":
+            ray_aggs.append(Min(src, alias_name=src))
+        elif op == "max":
+            ray_aggs.append(Max(src, alias_name=src))
+    merged = part.groupby(keys).aggregate(*ray_aggs)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cols = {k: t.column(k) for k in keys}
+        for col, op, alias in specs:
+            if op == "count":
+                cols[alias] = t.column("__n")
+            elif op == "sum":
+                cols[alias] = t.column(f"{col}_sum")
+            elif op == "mean":
+                cols[alias] = pc.divide(
+                    pc.cast(t.column(f"{col}_sum"), pa.float64()),
+                    pc.cast(t.column("__n"), pa.float64()),
+                )
+            else:
+                cols[alias] = t.column(f"{col}_{op}")
+        return pa.table(cols)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def global_aggregate(ds, specs: list[tuple[str, str, str]]):
+    """Ungrouped summary record (the SWQM_SUMMARY_RECORD analog)."""
+    tagged = ds.map_batches(
+        lambda t: t.append_column("__g", pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    out = grouped_aggregate(tagged, ["__g"], specs)
+    return out.drop_columns(["__g"])
+
+
+def filter_expr(ds, expression):
+    """Vectorized attribute filter: pyarrow.compute expression applied
+    per batch (WHERE clause analog; the generic OGR dialect's operator
+    set maps onto pc kernels, swq_op_registrar.cpp:28-62)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(expression)
+
+    fn.__name__ = "filter_expr"
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def distinct(ds, cols: list[str]):
+    """SELECT DISTINCT cols (SWQM_DISTINCT_LIST analog) — groupby keys
+    with no aggregates, via one partial dedup before the shuffle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.select(cols).group_by(cols).aggregate([])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(cols)
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+
+def order_by_limit(ds, keys, descending=False, limit: int | None = None):
+    """ORDER BY + LIMIT (top-k when limit given): per-batch local top-k
+    prune before the distributed sort, then sort + limit."""
+    if limit is not None:
+
+        def local_topk(t: pa.Table) -> pa.Table:
+            if t.num_rows <= limit:
+                return t
+            sort_keys = [
+                (k, "descending" if d else "ascending")
+                for k, d in zip(keys, _desc_list(keys, descending))
+            ]
+            idx = pc.sort_indices(t, sort_keys=sort_keys)[:limit]
+            return t.take(idx)
+
+        ds = ds.map_batches(local_topk, batch_format="pyarrow")
+    out = ds.sort(keys, descending=descending)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def _desc_list(keys, descending):
+    if isinstance(descending, bool):
+        return [descending] * len(keys)
+    return list(descending)
+
+
+def broadcast_hash_join(left, right_table: pa.Table, on: str, how: str = "inner"):
+    """Small-side broadcast equi-join: ray.put the build table once,
+    per-batch pandas merge (no shuffle; ogr_gensql.cpp:1319 secondary-
+    table fetch analog)."""
+    import ray
+
+    ref = ray.put(right_table.to_pandas())
+
+    def fn(df):
+        import pandas as pd  # noqa: F401
+
+        r = ray.get(ref)
+        return df.merge(r, on=on, how=how)
+
+    fn.__name__ = f"broadcast_join_{on}"
+    return left.map_batches(fn, batch_format="pandas")
+
+
+def hash_join(left, right, on: str, num_partitions: int = 32, how: str = "inner"):
+    """Both-sides-large equi-join: Ray Data native hash-partitioned join."""
+    return left.join(
+        right, join_type=how, num_partitions=num_partitions, on=(on,),
+        right_suffix="_r",
+    )

@@ -1,0 +1,177 @@
+"""kNN lookup — concentric cell-ring expansion (+ broadcast baseline).
+
+Reference analog: quadtree-accelerated nearest-neighbor searches
+feeding interpolators (alg/gdalgrid.cpp:853 GDALGridNearestNeighbor,
+quadtree search :260-276) and point queries
+(alg/gdal_interpolateatpoint.cpp:415).  SURVEY.md §2.4 maps these to
+cell-ring expansion: candidates come from the probe's cell plus the
+ring of neighbors; a probe is *resolved* when it has >= k candidates
+and the kth distance is no farther than the nearest unexplored cell
+(the ring lower bound); unresolved probes (tiny fraction) fall back to
+an exact broadcast pass.
+
+Ties broken by site id ascending (deterministic, FIXTURES.md rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import mercator
+from .cells import assign_point_cells
+
+
+def _topk_per_point(d2: np.ndarray, sids: np.ndarray, k: int):
+    """Smallest-k by (d2, sid)."""
+    order = np.lexsort((sids, d2))[:k]
+    return order
+
+
+def knn_broadcast(points, sites_table: pa.Table, k: int = 5, site_chunk: int = 65536):
+    """Exact kNN baseline: broadcast the sites once (ray.put), probe per
+    batch with chunked numpy distance matrices.  Output: pid, sid, rank
+    (1-based), d2."""
+    import ray
+
+    sx = sites_table.column("x").to_numpy(zero_copy_only=False).astype(np.float64)
+    sy = sites_table.column("y").to_numpy(zero_copy_only=False).astype(np.float64)
+    sid = sites_table.column("sid").to_numpy(zero_copy_only=False).astype(np.int64)
+    ref = ray.put((sx, sy, sid))
+
+    def fn(t: pa.Table) -> pa.Table:
+        sx, sy, sid = ray.get(ref)
+        px = t.column("x").to_numpy(zero_copy_only=False)
+        py = t.column("y").to_numpy(zero_copy_only=False)
+        pid = t.column("pid").to_numpy(zero_copy_only=False)
+        n = len(px)
+        # distance matrix in site chunks with running top-k
+        best_d2 = np.full((n, k), np.inf)
+        best_sid = np.full((n, k), np.iinfo(np.int64).max, dtype=np.int64)
+        for c0 in range(0, len(sx), site_chunk):
+            cx = sx[c0 : c0 + site_chunk]
+            cy = sy[c0 : c0 + site_chunk]
+            cid = sid[c0 : c0 + site_chunk]
+            d2 = (px[:, None] - cx[None, :]) ** 2 + (py[:, None] - cy[None, :]) ** 2
+            # merge chunk top-k with running top-k
+            m = min(k, d2.shape[1])
+            part = np.argpartition(d2, m - 1, axis=1)[:, :m]
+            cand_d2 = np.concatenate([best_d2, np.take_along_axis(d2, part, 1)], axis=1)
+            cand_sid = np.concatenate([best_sid, cid[part]], axis=1)
+            order = np.lexsort((cand_sid, cand_d2), axis=1)[:, :k]
+            best_d2 = np.take_along_axis(cand_d2, order, 1)
+            best_sid = np.take_along_axis(cand_sid, order, 1)
+        valid = np.isfinite(best_d2)
+        ranks = np.broadcast_to(np.arange(1, k + 1), best_d2.shape)
+        pids = np.broadcast_to(pid[:, None], best_d2.shape)
+        return pa.table(
+            {
+                "pid": pa.array(pids[valid].astype(np.int64), pa.int64()),
+                "sid": pa.array(best_sid[valid], pa.int64()),
+                "rank": pa.array(ranks[valid].astype(np.int32), pa.int32()),
+                "d2": pa.array(best_d2[valid], pa.float64()),
+            }
+        )
+
+    fn.__name__ = f"knn_broadcast_k{k}"
+    return points.map_batches(fn, batch_format="pyarrow")
+
+
+def knn_cell_ring(
+    points,
+    sites,
+    k: int = 5,
+    zoom: int = 8,
+    num_partitions: int = 32,
+):
+    """Scale-path exact kNN: sites replicate to their cell's 3x3
+    neighborhood; probes join on their own cell; per-probe top-k with a
+    ring-lower-bound resolution check; unresolved probes fall back to
+    the exact broadcast pass.  Returns (pid, sid, rank, d2)."""
+    import ray
+    import ray.data as rd
+
+    def replicate_sites(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        tx, ty = mercator.meters_to_tile(x, y, zoom)
+        n = 1 << zoom
+        rows, cells = [], []
+        offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+        for dx, dy in offs:
+            nx = tx + dx
+            ny = ty + dy
+            ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+            idx = np.flatnonzero(ok)
+            rows.append(idx)
+            cells.append(mercator.pack_cell(np.full(len(idx), zoom), nx[idx], ny[idx]))
+        rows = np.concatenate(rows)
+        cells = np.concatenate(cells)
+        out = t.take(pa.array(rows, pa.int64()))
+        return out.append_column("cell", pa.array(cells, pa.int64()))
+
+    st = sites.map_batches(replicate_sites, batch_format="pyarrow")
+    pt = points.map_batches(assign_point_cells(zoom), batch_format="pyarrow")
+    pairs = pt.join(
+        st, join_type="inner", num_partitions=num_partitions, on=("cell",),
+        right_suffix="_s",
+    )
+
+    cell_size = 2.0 * mercator.ORIGIN_SHIFT / (1 << zoom)
+
+    def topk_group(g: pa.Table) -> pa.Table:
+        px = g.column("x").to_numpy(zero_copy_only=False)
+        py = g.column("y").to_numpy(zero_copy_only=False)
+        sx = g.column("x_s").to_numpy(zero_copy_only=False)
+        sy = g.column("y_s").to_numpy(zero_copy_only=False)
+        sid = g.column("sid").to_numpy(zero_copy_only=False)
+        pid = int(g.column("pid")[0].as_py())
+        d2 = (px - sx) ** 2 + (py - sy) ** 2
+        order = np.lexsort((sid, d2))[:k]
+        # ring lower bound: distance from probe to edge of its 3x3 block
+        tx, ty = mercator.meters_to_tile(px[:1], py[:1], zoom)
+        bminx = float(tx[0] - 1) * cell_size - mercator.ORIGIN_SHIFT
+        bminy = float(ty[0] - 1) * cell_size - mercator.ORIGIN_SHIFT
+        bmaxx = bminx + 3 * cell_size
+        bmaxy = bminy + 3 * cell_size
+        edge = min(px[0] - bminx, bmaxx - px[0], py[0] - bminy, bmaxy - py[0])
+        resolved = len(order) >= k and d2[order[-1]] <= edge * edge
+        return pa.table(
+            {
+                "pid": pa.array([pid] * len(order), pa.int64()),
+                "sid": pa.array(sid[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+                "d2": pa.array(d2[order], pa.float64()),
+                "resolved": pa.array([resolved] * len(order), pa.bool_()),
+            }
+        )
+
+    ring_res = pairs.groupby("pid").map_groups(topk_group, batch_format="pyarrow")
+    ring_res = ring_res.materialize()
+    resolved = ring_res.filter(expr="resolved == True").drop_columns(["resolved"])
+
+    # unresolved probes (incl. probes whose cell had NO candidate rows at
+    # all — they vanish from the inner join) -> exact broadcast pass
+    got = set(
+        ring_res.filter(expr="resolved == True").select_columns(["pid"]).unique("pid")
+    )
+    got_ref = ray.put(got)
+
+    def unresolved_points(t: pa.Table) -> pa.Table:
+        s = ray.get(got_ref)
+        pids = t.column("pid").to_numpy(zero_copy_only=False)
+        keep = np.fromiter((p not in s for p in pids), bool, len(pids))
+        return t.filter(pa.array(keep))
+
+    leftover = points.map_batches(unresolved_points, batch_format="pyarrow")
+    sites_tbl = dataset_to_table(sites.select_columns(["sid", "x", "y"]))
+    fallback = knn_broadcast(leftover, sites_tbl, k=k)
+    return resolved.union(fallback)
+
+
+def dataset_to_table(ds) -> pa.Table:
+    """Materialize a (small) Dataset to one pyarrow Table on the driver."""
+    batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables(batches)

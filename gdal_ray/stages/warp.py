@@ -1,0 +1,217 @@
+"""Warp / reprojection — the gdalwarp core as an actor-pool stage.
+
+Reference semantics: per-destination-pixel inverse transform + kernel
+sampling (alg/gdalwarpkernel.cpp GWKRun :447 and the weight functions
+:3383-3560), output grid from the transformed source bbox
+(GDALSuggestedWarpOutput2, alg/gdaltransformer.cpp:342), and the
+approximate transformer contract — linearized transform with max error
+0.125 px (alg/gdaltransformer.cpp:2571, default threshold
+apps/gdalwarp_lib.cpp:1576).
+
+Both supported CRS (EPSG:3857 <-> EPSG:4326) are axis-separable
+(lon = f(x), lat = g(y), gdal2tiles.py:422-441 formulas), so each chip
+warps as a separable resample: x is linear, y uses the exact (or
+0.125-px approximated) inverse mapping per destination row.
+
+The stage is a callable CLASS for ``map_batches(WarpChips, ...)``:
+transformer state built once per actor (__init__), per-batch work in
+__call__ (the per-thread transformer clone pattern of
+alg/gdalwarpkernel.cpp GWKThreadsCreate :307-317).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import codecs, kernels, mercator
+
+
+class Transform3857To4326:
+    """y-inverse mapping for 3857->4326 output grids."""
+
+    name = "EPSG:3857->EPSG:4326"
+    dst_srs = "EPSG:4326"
+
+    def src_bbox_to_dst(self, minx, miny, maxx, maxy):
+        lat0, lon0 = mercator.meters_to_lat_lon(minx, miny)
+        lat1, lon1 = mercator.meters_to_lat_lon(maxx, maxy)
+        return float(lon0), float(lat0), float(lon1), float(lat1)
+
+    def dst_y_to_src_y(self, lats):
+        _, my = mercator.lat_lon_to_meters(lats, np.zeros_like(lats))
+        return my
+
+    def dst_x_to_src_x(self, lons):
+        mx, _ = mercator.lat_lon_to_meters(np.zeros_like(lons), lons)
+        return mx
+
+
+class Transform4326To3857:
+    name = "EPSG:4326->EPSG:3857"
+    dst_srs = "EPSG:3857"
+
+    def src_bbox_to_dst(self, minx, miny, maxx, maxy):
+        # src is lon/lat; dst meters
+        mx0, my0 = mercator.lat_lon_to_meters(miny, minx)
+        mx1, my1 = mercator.lat_lon_to_meters(maxy, maxx)
+        return float(mx0), float(my0), float(mx1), float(my1)
+
+    def dst_y_to_src_y(self, ys):
+        lat, _ = mercator.meters_to_lat_lon(np.zeros_like(ys), ys)
+        return lat
+
+    def dst_x_to_src_x(self, xs):
+        _, lon = mercator.meters_to_lat_lon(xs, np.zeros_like(xs))
+        return lon
+
+
+_TRANSFORMS = {
+    ("EPSG:3857", "EPSG:4326"): Transform3857To4326,
+    ("EPSG:4326", "EPSG:3857"): Transform4326To3857,
+}
+
+
+def approx_1d(exact_fn, coords: np.ndarray, threshold_px: float, px_size: float):
+    """GDAL approx-transformer contract in 1-D: evaluate endpoints +
+    midpoint; if linear interpolation is within ``threshold_px`` of the
+    exact midpoint everywhere, interpolate; else subdivide (recursive,
+    alg/gdaltransformer.cpp:2571 semantics).  ``coords`` must be sorted."""
+    n = len(coords)
+    out = np.empty(n, dtype=np.float64)
+
+    def rec(lo: int, hi: int, flo: float, fhi: float):
+        if hi - lo <= 1:
+            out[lo] = flo
+            out[hi] = fhi
+            return
+        mid = (lo + hi) // 2
+        fmid = float(exact_fn(np.array([coords[mid]]))[0])
+        # probe midpoint AND quarter point: a midpoint-only check wrongly
+        # accepts odd functions over symmetric spans (flin(mid) == f(mid))
+        quarter = (lo + mid) // 2
+        span = coords[hi] - coords[lo]
+        tol = 0.8 * threshold_px * px_size  # probe margin: non-probe points
+        t_m = (coords[mid] - coords[lo]) / span  # may exceed probe error a bit
+        ok = abs(flo + t_m * (fhi - flo) - fmid) <= tol
+        if ok and quarter not in (lo, mid):
+            fq = float(exact_fn(np.array([coords[quarter]]))[0])
+            t_q = (coords[quarter] - coords[lo]) / span
+            ok = abs(flo + t_q * (fhi - flo) - fq) <= tol
+        if ok:
+            # linear segment is accurate enough: interpolate the span
+            seg = np.interp(coords[lo : hi + 1], [coords[lo], coords[hi]], [flo, fhi])
+            out[lo : hi + 1] = seg
+            out[mid] = fmid
+        else:
+            rec(lo, mid, flo, fmid)
+            rec(mid, hi, fmid, fhi)
+
+    if n == 1:
+        out[0] = float(exact_fn(coords[:1])[0])
+        return out
+    rec(0, n - 1, float(exact_fn(coords[:1])[0]), float(exact_fn(coords[-1:])[0]))
+    return out
+
+
+class WarpChips:
+    """Actor-pool stage: reproject every chip in a batch.
+
+    Output rows keep the input schema; bytes re-encoded in the same
+    fmt, envelope columns + srs updated to the destination CRS.  Dst
+    grid keeps the source pixel count (w x h) over the transformed
+    bbox (square-ish pixels, the SuggestedWarpOutput analog for
+    axis-aligned chips).
+    """
+
+    def __init__(
+        self,
+        src_srs: str = "EPSG:3857",
+        dst_srs: str = "EPSG:4326",
+        resampling: str = "bilinear",
+        error_threshold_px: float = 0.125,
+        use_approx: bool = True,
+    ):
+        self.tr = _TRANSFORMS[(src_srs, dst_srs)]()
+        self.resampling = resampling
+        self.err = error_threshold_px
+        self.use_approx = use_approx
+        self.src_srs = src_srs
+        self.dst_srs = dst_srs
+
+    def _warp_one(self, img: np.ndarray, minx, miny, maxx, maxy):
+        h, w = img.shape[:2]
+        dminx, dminy, dmaxx, dmaxy = self.tr.src_bbox_to_dst(minx, miny, maxx, maxy)
+        res_x = (maxx - minx) / w
+        res_y = (maxy - miny) / h
+        dres_x = (dmaxx - dminx) / w
+        dres_y = (dmaxy - dminy) / h
+        xs = dminx + (np.arange(w) + 0.5) * dres_x
+        ys = dmaxy - (np.arange(h) + 0.5) * dres_y
+        sx_m = self.tr.dst_x_to_src_x(xs)
+        if self.use_approx:
+            # ys is descending; approx_1d wants sorted input
+            sy_m = approx_1d(
+                lambda a: self.tr.dst_y_to_src_y(a), ys[::-1], self.err, res_y
+            )[::-1]
+        else:
+            sy_m = self.tr.dst_y_to_src_y(ys)
+        src_x = (sx_m - minx) / res_x - 0.5
+        src_y = (maxy - sy_m) / res_y - 0.5
+        out = kernels.resample_separable(img, src_x, src_y, self.resampling)
+        return out, (dminx, dminy, dmaxx, dmaxy)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {
+            c: batch.column(c).to_pylist()
+            for c in ("bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy")
+        }
+        n = batch.num_rows
+        new_bytes = []
+        env = np.empty((n, 4), dtype=np.float64)
+        for i in range(n):
+            img = codecs.decode(
+                cols["bytes"][i], cols["w"][i], cols["h"][i], cols["fmt"][i]
+            )
+            out, dst_env = self._warp_one(
+                img, cols["minx"][i], cols["miny"][i], cols["maxx"][i], cols["maxy"][i]
+            )
+            new_bytes.append(codecs.encode(out, cols["fmt"][i]))
+            env[i] = dst_env
+        out_t = batch
+        for name, arr in (
+            ("bytes", pa.array(new_bytes, pa.binary())),
+            ("minx", pa.array(env[:, 0])),
+            ("miny", pa.array(env[:, 1])),
+            ("maxx", pa.array(env[:, 2])),
+            ("maxy", pa.array(env[:, 3])),
+        ):
+            out_t = out_t.set_column(out_t.schema.get_field_index(name), name, arr)
+        if "srs" in out_t.schema.names:
+            out_t = out_t.set_column(
+                out_t.schema.get_field_index("srs"),
+                "srs",
+                pa.array([self.dst_srs] * n, pa.string()),
+            )
+        return out_t
+
+
+def warp_images(
+    images,
+    src_srs: str = "EPSG:3857",
+    dst_srs: str = "EPSG:4326",
+    resampling: str = "bilinear",
+    concurrency: int = 4,
+    batch_size: int = 64,
+):
+    """Reproject an images Dataset (actor pool; transformer built once
+    per actor)."""
+    return images.map_batches(
+        WarpChips,
+        fn_constructor_kwargs=dict(
+            src_srs=src_srs, dst_srs=dst_srs, resampling=resampling
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

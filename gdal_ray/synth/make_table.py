@@ -29,7 +29,7 @@ from ..functions import codecs, mercator, phash
 from ..functions.geom import wkb_polygon
 
 SEED = 42
-FIXTURE_ROOT = "/tmp/gdal_ray_fixtures/v1"
+FIXTURE_ROOT = "/tmp/gdal_ray_fixtures/v2"
 
 # Scatter box (EPSG:3857 meters): ~2500 km square in the NE quadrant.
 BBOX = (0.0, 0.0, 2_500_000.0, 2_500_000.0)
@@ -104,14 +104,20 @@ def chip_centers(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def dup_src(i: int) -> tuple[int, bool]:
-    """Duplicate structure: every 97th row repeats row i-97 exactly
-    (same pixels/shape/fmt), every 89th is a near-duplicate of i-89.
-    Returns (source row, is_near)."""
-    if i >= 97 and i % 97 == 0:
-        return i - 97, False
-    if i >= 89 and i % 89 == 0:
-        return i - 89, True
-    return i, False
+    """Duplicate structure: rows at multiples of 97 repeat the chain's
+    clean root exactly (same pixels/shape/fmt); rows at multiples of 89
+    are near-duplicates (faint perturbation) of the root.  Chains
+    resolve recursively so e.g. rows 97 and 194 are exact dups of row 0.
+    Returns (clean source row, is_near)."""
+    near = False
+    while True:
+        if i >= 97 and i % 97 == 0:
+            i -= 97
+        elif i >= 89 and i % 89 == 0:
+            near = True
+            i -= 89
+        else:
+            return i, near
 
 
 def chip_pixels(i: int, w: int, h: int) -> np.ndarray:

@@ -1,0 +1,90 @@
+import numpy as np
+import pytest
+
+from gdal_ray.functions import checksum, codecs
+from gdal_ray.synth.make_table import chip_pixels
+
+
+@pytest.fixture
+def img():
+    return chip_pixels(7, 33, 21)
+
+
+def test_raw_roundtrip(img):
+    assert np.array_equal(codecs.decode(codecs.encode(img, "raw"), 33, 21, "raw"), img)
+
+
+def test_png_roundtrip(img):
+    data = codecs.encode(img, "png")
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert np.array_equal(codecs.decode(data, 33, 21, "png"), img)
+
+
+def test_png_deterministic(img):
+    assert codecs.encode(img, "png") == codecs.encode(img, "png")
+
+
+def test_qraw_psnr_over_40(img):
+    out = codecs.decode(codecs.encode(img, "qraw"), 33, 21, "qraw")
+    assert codecs.psnr(img, out) >= 40.0
+
+
+def test_png_filter_decoding():
+    # exercise Sub/Up/Average/Paeth reconstruction paths
+    import struct
+    import zlib
+
+    h, w = 4, 3
+    img = chip_pixels(3, w, h)
+    raw = bytearray()
+    prev = np.zeros(w * 3, np.int32)
+    flat = img.reshape(h, w * 3).astype(np.int32)
+    for y, f in zip(range(h), (1, 2, 3, 4)):
+        line = flat[y]
+        enc = np.zeros(w * 3, np.int32)
+        for i in range(w * 3):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+            enc[i] = (line[i] - pred) % 256
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + codecs._chunk(b"IHDR", ihdr)
+        + codecs._chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + codecs._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(data), img)
+
+
+def test_checksum_matches_direct_formula():
+    primes = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
+    img = chip_pixels(1, 20, 20)
+    band = img[:, :, 0]
+    want = 0
+    for p, v in enumerate(band.reshape(-1)):
+        want += int(v) % primes[p % 11]
+        want &= 0xFFFF
+    assert checksum.checksum_band(band) == want
+
+
+def test_checksum_float_path():
+    # IntFromDouble: add 0.5 then floor -> 1.4->1, 1.5->2, -2.6->-3
+    # truncating C % : 1%7=1, 2%11=2, -3%13=-3 -> sum 0 -> & 0xffff = 0
+    a = np.array([[1.4, 1.5, -2.6]])
+    assert checksum.checksum_float_band(a) == 0
+    b = np.array([[np.inf, np.nan, 0.0]])
+    assert checksum.checksum_float_band(b) == checksum.checksum_float_band(b)

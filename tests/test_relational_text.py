@@ -1,0 +1,168 @@
+"""Relational layer vs pandas; text/dedup stages on tiny fixtures."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from gdal_ray.pipelines import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+
+def test_grouped_aggregate_matches_pandas(lineitem):
+    got = (
+        R.grouped_aggregate(
+            lineitem,
+            ["l_returnflag", "l_linestatus"],
+            [
+                ("l_quantity", "sum", "s"),
+                ("l_quantity", "count", "n"),
+                ("l_quantity", "min", "mn"),
+                ("l_quantity", "max", "mx"),
+                ("l_quantity", "mean", "avg"),
+            ],
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    df = pd.read_parquet(f"{SF}/lineitem.parquet")
+    want = (
+        df.groupby(["l_returnflag", "l_linestatus"])["l_quantity"]
+        .agg(s="sum", n="count", mn="min", mx="max", avg="mean")
+        .reset_index()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    assert (got["s"] == want["s"]).all()
+    assert (got["n"] == want["n"]).all()
+    assert (got["mn"] == want["mn"]).all()
+    assert (got["mx"] == want["mx"]).all()
+    assert np.allclose(got["avg"], want["avg"])
+
+
+def test_global_aggregate(lineitem):
+    got = R.global_aggregate(
+        lineitem, [("l_quantity", "count", "n"), ("l_quantity", "max", "mx")]
+    ).to_pandas()
+    df = pd.read_parquet(f"{SF}/lineitem.parquet")
+    assert got["n"][0] == len(df) and got["mx"][0] == df.l_quantity.max()
+
+
+def test_distinct_and_topk(lineitem):
+    d = R.distinct(lineitem, ["l_returnflag"]).to_pandas()
+    df = pd.read_parquet(f"{SF}/lineitem.parquet")
+    assert set(d.l_returnflag) == set(df.l_returnflag)
+    top = R.order_by_limit(
+        lineitem, ["l_quantity", "l_orderkey"], descending=[True, False], limit=5
+    ).to_pandas()
+    want = df.sort_values(
+        ["l_quantity", "l_orderkey"], ascending=[False, True]
+    ).head(5)
+    assert top.l_orderkey.tolist() == want.l_orderkey.tolist()
+
+
+def test_exact_dedup_finds_duplicates(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import exact_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": ["a", "b", "a", "c", "b"],
+        }
+    )
+    out = exact_dedup(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert out.doc_id.tolist() == [0, 1, 3]
+
+
+def test_minhash_identical_docs_pair(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import MinHasher, minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [base, base, "completely different text about ray data engines"],
+        }
+    )
+    pairs = minhash_lsh_pairs(rd.from_arrow(t), threshold=0.9).to_pandas()
+    assert [(0, 1)] == list(zip(pairs.doc_a, pairs.doc_b))
+    # signature determinism across actors
+    m1, m2 = MinHasher(), MinHasher()
+    assert np.array_equal(m1.signature(base), m2.signature(base))
+
+
+def test_simhash_near_and_far(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import simhash_pairs
+
+    a = "ray data engine spatial join tiles pyramid " * 4
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [a, a + " extra", "unrelated words entirely here now"],
+        }
+    )
+    pairs = simhash_pairs(rd.from_arrow(t), max_hamming=3).to_pandas()
+    assert (0, 1) in set(zip(pairs.doc_a, pairs.doc_b))
+    assert (0, 2) not in set(zip(pairs.doc_a, pairs.doc_b))
+
+
+def test_langid_and_quality(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.stages.text import LangId, QualityScorer
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": [
+                "the cat and the dog in a house of it",
+                "der Hund und die Katze ist nicht da",
+            ],
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(LangId, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out.pred_lang.tolist() == ["en", "de"]
+    q = (
+        rd.from_arrow(t)
+        .map_batches(QualityScorer, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    assert (q.alpha_ratio > 0.5).all() and (q.n_chars > 0).all()
+
+
+def test_phash_neardup_finds_synth_dups(ray_session, smoke_fixtures):
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import phash_neardup_pairs
+
+    imgs = rd.read_parquet(smoke_fixtures["images"], columns=["image_id", "phash"])
+    pairs = phash_neardup_pairs(imgs, max_hamming=6).to_pandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    # constructed near-dups: every 89th row duplicates row i-89 (+faint noise)
+    for i in range(89, 1000, 89):
+        a, b = f"img{i-89:08d}", f"img{i:08d}"
+        assert (a, b) in got or (b, a) in got, (a, b)

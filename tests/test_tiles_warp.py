@@ -1,0 +1,142 @@
+"""Tile pyramid + warp: invariants, golden checksums, resume
+(golden cases 2/3/7/8, FIXTURES.md)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gdal_ray.functions import checksum, codecs
+from gdal_ray.stages.warp import Transform3857To4326, WarpChips, approx_1d
+from gdal_ray.synth.make_table import chip_pixels
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.fixture(scope="module")
+def pyramid(ray_session, smoke_fixtures):
+    import ray.data as rd
+
+    from gdal_ray.stages.tiles import build_pyramid
+
+    imgs = rd.read_parquet(smoke_fixtures["images"])
+    return build_pyramid(imgs, z_max=10, z_min=8, resampling="near")
+
+
+def test_tile_counts_and_golden_checksums(pyramid):
+    from gdal_ray.stages.tiles import tiles_checksum
+
+    cs = (
+        tiles_checksum(pyramid[10])
+        .to_pandas()
+        .sort_values(["z", "x", "y"])
+        .reset_index(drop=True)
+    )
+    got = {
+        f"{r.z}/{r.x}/{r.y}": [int(r.cs_r), int(r.cs_g), int(r.cs_b)]
+        for r in cs.head(25).itertuples()
+    }
+    path = os.path.join(GOLDEN, "tiles_z10.json")
+    want = json.load(open(path))
+    assert got == want["tiles"]
+    assert len(cs) == want["count_z10"]
+
+
+def test_parent_equals_masked_average_of_children(pyramid):
+    from gdal_ray.functions import kernels
+    from gdal_ray.stages.tiles import _unpack_mask
+
+    kids = pyramid[10].to_pandas()
+    parents = pyramid[9].to_pandas()
+    p = parents.iloc[0]
+    sel = kids[(kids.x // 2 == p.x) & (kids.y // 2 == p.y)]
+    assert 1 <= len(sel) <= 4
+    canvas = np.zeros((512, 512, 3), np.uint8)
+    mask = np.zeros((512, 512), bool)
+    for r in sel.itertuples():
+        dx, dy = r.x - 2 * p.x, r.y - 2 * p.y
+        row0, col0 = (1 - dy) * 256, dx * 256
+        canvas[row0 : row0 + 256, col0 : col0 + 256] = codecs.decode_png(r.tile_bytes)
+        mask[row0 : row0 + 256, col0 : col0 + 256] = _unpack_mask(r.mask_bytes)
+    want, wmask = kernels.downsample2x_masked_average(canvas, mask)
+    assert np.array_equal(codecs.decode_png(p.tile_bytes), want)
+    assert _unpack_mask(p.mask_bytes).sum() == wmask.sum() == p.n_valid
+
+
+def test_pyramid_resume_skips_done_levels(ray_session, smoke_fixtures, tmp_path):
+    import ray.data as rd
+
+    from gdal_ray.stages.tiles import build_pyramid
+
+    imgs = rd.read_parquet(smoke_fixtures["images"])
+    ck = str(tmp_path / "ck")
+    lv1 = build_pyramid(imgs, z_max=9, z_min=8, resampling="near", checkpoint_dir=ck)
+    c1 = {z: ds.count() for z, ds in lv1.items()}
+    mtimes = {
+        z: os.path.getmtime(os.path.join(ck, f"z={z}", "_SUCCESS")) for z in (9, 8)
+    }
+    # rerun: completed levels must be read back, not rebuilt
+    lv2 = build_pyramid(imgs, z_max=9, z_min=8, resampling="near", checkpoint_dir=ck)
+    c2 = {z: ds.count() for z, ds in lv2.items()}
+    assert c1 == c2
+    for z in (9, 8):
+        assert os.path.getmtime(os.path.join(ck, f"z={z}", "_SUCCESS")) == mtimes[z]
+
+
+def test_warp_golden_checksums():
+    img = chip_pixels(0, 20, 20)  # the byte.tif-analog 20x20 chip
+    env = (1_000_000.0, 2_000_000.0, 1_000_000.0 + 20 * 38.0, 2_000_000.0 + 20 * 38.0)
+    want = json.load(open(os.path.join(GOLDEN, "warp_20x20.json")))
+    for method, cs_want in want.items():
+        w = WarpChips(resampling=method)
+        out, _ = w._warp_one(img, *env)
+        assert checksum.checksum_image(out) == cs_want, method
+
+
+def test_approx_transformer_contract():
+    tr = Transform3857To4326()
+    ys = np.linspace(-80, 80, 777)
+    exact = tr.dst_y_to_src_y(ys)
+    for thr in (0.125, 0.5):
+        ap = approx_1d(lambda a: tr.dst_y_to_src_y(a), ys, thr, 38.0)
+        assert np.abs(ap - exact).max() / 38.0 <= thr
+
+
+def test_warp_roundtrip_identity():
+    img = chip_pixels(5, 32, 32)
+    env = (500_000.0, 700_000.0, 500_000.0 + 32 * 10.0, 700_000.0 + 32 * 10.0)
+    fwd = WarpChips("EPSG:3857", "EPSG:4326", resampling="near", use_approx=False)
+    bwd = WarpChips("EPSG:4326", "EPSG:3857", resampling="near", use_approx=False)
+    mid, denv = fwd._warp_one(img, *env)
+    back, env2 = bwd._warp_one(mid, *denv)
+    assert np.allclose(env2, env)
+    assert (back == img).mean() > 0.99
+
+
+def test_caption_carrythrough_and_lossless(ray_session, smoke_fixtures):
+    """Captions byte-identical + decoded pixels exact (lossless) /
+    PSNR>=40dB (qraw) after the warp pipeline (golden case 7)."""
+    import ray.data as rd
+
+    from gdal_ray.stages.warp import warp_images
+    from gdal_ray.synth.make_table import caption_of, chip_pixels, dup_src
+
+    # NOTE: chaining two actor pools of concurrency 2 on a 4-CPU session
+    # starves the read stage (pool reserves every CPU) — size pools so
+    # read/write still get CPUs (ray_guide 'Stateful stages').
+    imgs = rd.read_parquet(smoke_fixtures["images"]).limit(60)
+    fwd = warp_images(imgs, "EPSG:3857", "EPSG:4326", "near", concurrency=1)
+    out = warp_images(
+        fwd.materialize(), "EPSG:4326", "EPSG:3857", "near", concurrency=1
+    ).to_pandas()
+    for r in out.itertuples():
+        i = int(r.image_id[3:])
+        assert r.caption == caption_of(i)
+        src, _ = dup_src(i)
+        orig = chip_pixels(i, r.w, r.h)
+        dec = codecs.decode(r.bytes, r.w, r.h, r.fmt)
+        if r.fmt in ("raw", "png"):
+            assert (dec == orig).mean() > 0.98
+        else:
+            assert codecs.psnr(orig, dec) >= 38.0
