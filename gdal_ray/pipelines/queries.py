@@ -844,6 +844,120 @@ def q28_embedding_neardup(sf_dir: str):
     ).sort(["id_a", "id_b"])
 
 
+def q29_band_stats(sf_dir: str):
+    """Band statistics min/max/mean/stddev via blockwise partials
+    (gdalrasterband.cpp:5325 ComputeStatistics semantics)."""
+    import ray.data as rd
+
+    from ..stages.stats import band_statistics
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    return band_statistics(rd.read_parquet(paths["images"]))
+
+
+def q30_band_histogram(sf_dir: str):
+    """256-bucket per-band histogram (bincount partials + merge)."""
+    import ray.data as rd
+
+    from ..stages.stats import band_histogram
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    return band_histogram(rd.read_parquet(paths["images"]))
+
+
+def q31_translate(sf_dir: str):
+    """gdal_translate analog: srcwin crop + 2x resize + band reorder +
+    linear scale; returns per-chip output checksums."""
+    import ray.data as rd
+
+    from ..stages.stats import image_checksums
+    from ..stages.translate import translate_images
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(paths["images"])
+    out = translate_images(
+        imgs,
+        concurrency=4,
+        srcwin=(2, 2, 12, 12),
+        out_size=(24, 24),
+        resampling="bilinear",
+        bands=[2, 1, 0],
+        scale=(0, 255, 30, 220),
+    )
+    return image_checksums(out).sort("image_id")
+
+
+def q32_hillshade(sf_dir: str):
+    """gdaldem hillshade over band 0 of every chip (Horn 3x3 kernel);
+    returns per-chip result checksums."""
+    import ray.data as rd
+
+    from ..functions import checksum
+    from ..stages.dem import dem_derivative
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(paths["images"])
+    out = dem_derivative(imgs, op="hillshade", concurrency=4)
+
+    def cs(t: pa.Table) -> pa.Table:
+        data = t.column("data").to_pylist()
+        w = t.column("w").to_pylist()
+        h = t.column("h").to_pylist()
+        vals = [
+            checksum.checksum_band(
+                np.frombuffer(data[i], dtype=np.uint8).reshape(h[i], w[i])
+            )
+            for i in range(len(data))
+        ]
+        return pa.table(
+            {"image_id": t.column("image_id"), "cs": pa.array(vals, pa.int64())}
+        )
+
+    return out.map_batches(cs, batch_format="pyarrow").sort("image_id")
+
+
+def q33_rasterize_polygonize(sf_dir: str):
+    """Rasterize the polygon layer at z10 then polygonize with seam
+    merge; returns merged components (value, pixel_count, n_cells)."""
+    import ray.data as rd
+
+    from ..stages.polygonize import polygonize
+    from ..stages.rasterize import rasterize_polygons
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    pol = rd.read_parquet(paths["polygons"]).map_batches(
+        lambda t: t.append_column(
+            "burn",
+            pa.array(
+                (t.column("fid").to_numpy(zero_copy_only=False) % 254 + 1).astype(
+                    np.int64
+                )
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    cells = rasterize_polygons(pol, zoom=10, value_col="burn")
+    return polygonize(cells).sort(["comp_id"])
+
+
+def q34_checkpointed_tiles(sf_dir: str):
+    """Tile build + resumable partitioned sink with lineage manifest;
+    returns per-partition counters."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages.tiles import build_base_tiles
+    from ..state.checkpoint import write_partitioned
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    out_dir = f"/tmp/gdal_ray_out/tiles_{scale_for_sf_dir(sf_dir)}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    imgs = rd.read_parquet(paths["images"])
+    tiles = build_base_tiles(imgs, zoom=9, resampling="near")
+    return write_partitioned(tiles, out_dir, key_col="cell", shift=6).sort("pid")
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -875,6 +989,12 @@ QUERIES = {
     "q26_phash_neardup": q26_phash_neardup,
     "q27_knn_cell_ring": q27_knn_cell_ring,
     "q28_embedding_neardup": q28_embedding_neardup,
+    "q29_band_stats": q29_band_stats,
+    "q30_band_histogram": q30_band_histogram,
+    "q31_translate": q31_translate,
+    "q32_hillshade": q32_hillshade,
+    "q33_rasterize_polygonize": q33_rasterize_polygonize,
+    "q34_checkpointed_tiles": q34_checkpointed_tiles,
 }
 
 ORACLE_SQL = {

@@ -78,21 +78,56 @@ def _exact_rect_poly_batch(batch: pa.Table) -> pa.Table:
         by_geom.setdefault(wkb[i], []).append(int(i))
     keep2 = np.zeros(n, dtype=bool)
     for g, idxs in by_geom.items():
+        idxs = np.asarray(idxs, dtype=np.int64)
         rings_list = geom.polygon_rings(geom.parse_wkb(g))
-        for i in idxs:
-            rect = np.array(
-                [
-                    [aminx[i], aminy[i]],
-                    [amaxx[i], aminy[i]],
-                    [amaxx[i], amaxy[i]],
-                    [aminx[i], amaxy[i]],
-                    [aminx[i], aminy[i]],
-                ]
-            )
-            keep2[i] = any(
-                geom.polygons_intersect([rect], rings) for rings in rings_list
-            )
+        keep2[idxs] = _rects_intersect_polygons(
+            aminx[idxs], aminy[idxs], amaxx[idxs], amaxy[idxs], rings_list
+        )
     return batch.filter(pa.array(keep2))
+
+
+def _rects_intersect_polygons(rminx, rminy, rmaxx, rmaxy, rings_list) -> np.ndarray:
+    """Vectorized exact rect-x-polygon intersects for many rects vs ONE
+    (multi)polygon.  Fast paths cover almost every pair:
+      1. any rect corner intersects the polygon (vectorized PIP), or
+      2. any polygon vertex falls inside the rect (vectorized bbox), or
+      3. (rare leftovers) edge-crossing check per pair.
+    """
+    m = len(rminx)
+    out = np.zeros(m, dtype=bool)
+    # 1: rect corners in polygon (4m probe points per polygon part)
+    cx = np.concatenate([rminx, rmaxx, rmaxx, rminx])
+    cy = np.concatenate([rminy, rminy, rmaxy, rmaxy])
+    for rings in rings_list:
+        hit = geom.points_intersect_polygon(cx, cy, rings)
+        out |= hit[:m] | hit[m : 2 * m] | hit[2 * m : 3 * m] | hit[3 * m :]
+    # 2: polygon vertices inside rect
+    todo = np.flatnonzero(~out)
+    if len(todo):
+        verts = np.vstack([r[:-1] for rings in rings_list for r in rings])
+        vx, vy = verts[:, 0], verts[:, 1]
+        for i in todo:
+            if (
+                (vx >= rminx[i])
+                & (vx <= rmaxx[i])
+                & (vy >= rminy[i])
+                & (vy <= rmaxy[i])
+            ).any():
+                out[i] = True
+    # 3: leftovers -> exact edge-cross test
+    todo = np.flatnonzero(~out)
+    for i in todo:
+        rect = np.array(
+            [
+                [rminx[i], rminy[i]],
+                [rmaxx[i], rminy[i]],
+                [rmaxx[i], rmaxy[i]],
+                [rminx[i], rmaxy[i]],
+                [rminx[i], rminy[i]],
+            ]
+        )
+        out[i] = any(geom.polygons_intersect([rect], rings) for rings in rings_list)
+    return out
 
 
 def join_points_in_polygons(
@@ -157,10 +192,23 @@ def join_chips_with_polygons(
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     chip_cols: list[str] | None = None,
     poly_cols: list[str] | None = None,
+    strategy: str = "groupby",
 ):
     """Inner spatial join: chip footprints (axis-aligned rects from
     minx..maxy) intersecting polygons — both sides envelope-replicated
-    to covering cells, exactly-once via the canonical-cell rule."""
+    to covering cells, exactly-once via the canonical-cell rule.
+
+    strategy="groupby" (default): union + groupby(cell) + per-group
+    STRtree probe — candidate pairs are generated AND filtered inside
+    the group task, so the shuffle moves only the replicated inputs
+    (~0.5M rows at bench scale), never the raw candidate pairs (~15M).
+    strategy="hashjoin": Dataset.join pair materialization (slower at
+    high pair fan-out; kept for comparison and low-fan-out workloads).
+    """
+    if strategy == "groupby":
+        return _join_chips_groupby(
+            chips, polygons, zoom, chip_cols or ["image_id"], poly_cols or ["fid"]
+        )
     ch = chips.map_batches(cover_envelope_cells(zoom), batch_format="pyarrow")
     pol = polygons.map_batches(cover_envelope_cells(zoom), batch_format="pyarrow")
     pairs = ch.join(
@@ -191,6 +239,90 @@ def join_chips_with_polygons(
     if chip_cols or poly_cols:
         exact = exact.select_columns(list(chip_cols or []) + list(poly_cols or []))
     return exact
+
+
+def _join_chips_groupby(chips, polygons, zoom, chip_cols, poly_cols):
+    """Co-partitioned group join: one shuffle of the replicated inputs,
+    per-cell STRtree build + probe + exact test in map_groups (the
+    per-partition index pattern of SURVEY.md §2.3)."""
+    from ..state.strtree import STRtree
+
+    ch = chips.select_columns(
+        list(dict.fromkeys(chip_cols + ["minx", "miny", "maxx", "maxy"]))
+    ).map_batches(cover_envelope_cells(zoom), batch_format="pyarrow")
+    pol = polygons.select_columns(
+        list(dict.fromkeys(poly_cols + ["wkb", "minx", "miny", "maxx", "maxy"]))
+    ).map_batches(cover_envelope_cells(zoom), batch_format="pyarrow")
+
+    def tag_chip(t: pa.Table) -> pa.Table:
+        return t.append_column("side", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    def tag_poly(t: pa.Table) -> pa.Table:
+        # rename envelope cols so the union schema carries both sides
+        names = {"minx": "minx_r", "miny": "miny_r", "maxx": "maxx_r", "maxy": "maxy_r"}
+        t = t.rename_columns([names.get(c, c) for c in t.schema.names])
+        return t.append_column("side", pa.array(np.ones(t.num_rows, np.int8)))
+
+    left = ch.map_batches(tag_chip, batch_format="pyarrow")
+    right = pol.map_batches(tag_poly, batch_format="pyarrow")
+    both = left.union(right)
+
+    out_schema_cols = chip_cols + poly_cols
+
+    def probe_group(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        chips_t = g.filter(pa.array(side == 0))
+        polys_t = g.filter(pa.array(side == 1))
+        n_c, n_p = chips_t.num_rows, polys_t.num_rows
+        empty = pa.table(
+            {c: g.column(c).slice(0, 0) for c in out_schema_cols}
+        )
+        if n_c == 0 or n_p == 0:
+            return empty
+        cell = int(g.column("cell")[0].as_py())
+        aminx = chips_t.column("minx").to_numpy(zero_copy_only=False)
+        aminy = chips_t.column("miny").to_numpy(zero_copy_only=False)
+        amaxx = chips_t.column("maxx").to_numpy(zero_copy_only=False)
+        amaxy = chips_t.column("maxy").to_numpy(zero_copy_only=False)
+        bminx = polys_t.column("minx_r").to_numpy(zero_copy_only=False)
+        bminy = polys_t.column("miny_r").to_numpy(zero_copy_only=False)
+        bmaxx = polys_t.column("maxx_r").to_numpy(zero_copy_only=False)
+        bmaxy = polys_t.column("maxy_r").to_numpy(zero_copy_only=False)
+        wkbs = polys_t.column("wkb").to_pylist()
+        tree = STRtree(aminx, aminy, amaxx, amaxy)
+        out_ci, out_pi = [], []
+        for p in range(n_p):
+            cand = tree.query(bminx[p], bminy[p], bmaxx[p], bmaxy[p])
+            if len(cand) == 0:
+                continue
+            # canonical-cell rule: pair owned by the cell containing the
+            # lower-left corner of the envelope intersection
+            ix = np.maximum(aminx[cand], bminx[p])
+            iy = np.maximum(aminy[cand], bminy[p])
+            canon = mercator.cell_of_points(ix, iy, zoom)
+            cand = cand[canon == cell]
+            if len(cand) == 0:
+                continue
+            rings_list = geom.polygon_rings(geom.parse_wkb(wkbs[p]))
+            hit = _rects_intersect_polygons(
+                aminx[cand], aminy[cand], amaxx[cand], amaxy[cand], rings_list
+            )
+            sel = cand[hit]
+            if len(sel):
+                out_ci.append(sel)
+                out_pi.append(np.full(len(sel), p, dtype=np.int64))
+        if not out_ci:
+            return empty
+        ci = pa.array(np.concatenate(out_ci), pa.int64())
+        pi = pa.array(np.concatenate(out_pi), pa.int64())
+        cols = {}
+        for c in chip_cols:
+            cols[c] = chips_t.column(c).take(ci)
+        for c in poly_cols:
+            cols[c] = polys_t.column(c).take(pi)
+        return pa.table(cols)
+
+    return both.groupby("cell").map_groups(probe_group, batch_format="pyarrow")
 
 
 def semi_join_points(points, matched_pids, point_id_col: str = "pid", anti: bool = False):

@@ -1,0 +1,159 @@
+"""Raster statistics & histogram — blockwise partial -> merged final.
+
+Reference semantics: band min/max/mean/stddev computed blockwise and
+merged partial->final (gcore/gdalrasterband.cpp:5205,5325
+ComputeStatistics[Internal]), bucketed histogram
+(gcore/gdalrasterband.cpp:4133), ComputeRasterMinMax, and the
+approx/decimated variants (:4151-4157 — here: a row-sample fraction).
+
+Ray-Data shape: one partial row per batch (sum, sumsq, count, min,
+max, bincount) from a vectorized map_batches, merged with a tiny
+global aggregate — the mergeable-partial pattern.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import codecs
+
+
+def band_statistics(images, sample_frac: float | None = None, seed: int = 42):
+    """Per-band (R, G, B) statistics over every decoded chip pixel.
+
+    Returns a 3-row Dataset: band, n, min, max, mean, stddev (population
+    stddev, the ComputeStatistics default).  ``sample_frac`` decimates
+    ROWS (chips) like the reference's approx-ok path."""
+    import ray.data as rd
+
+    ds = images.select_columns(["bytes", "w", "h", "fmt"])
+    if sample_frac is not None:
+        ds = ds.random_sample(sample_frac, seed=seed)
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = np.zeros(3)
+        ss = np.zeros(3)
+        n = np.zeros(3, dtype=np.int64)
+        mn = np.full(3, 255, dtype=np.int64)
+        mx = np.zeros(3, dtype=np.int64)
+        b = t.column("bytes").to_pylist()
+        w = t.column("w").to_pylist()
+        h = t.column("h").to_pylist()
+        f = t.column("fmt").to_pylist()
+        for i in range(len(b)):
+            img = codecs.decode(b[i], w[i], h[i], f[i]).astype(np.float64)
+            flat = img.reshape(-1, 3)
+            s += flat.sum(axis=0)
+            ss += (flat * flat).sum(axis=0)
+            n += flat.shape[0]
+            mn = np.minimum(mn, flat.min(axis=0).astype(np.int64))
+            mx = np.maximum(mx, flat.max(axis=0).astype(np.int64))
+        return pa.table(
+            {
+                "band": pa.array(np.arange(3, dtype=np.int32)),
+                "s": pa.array(s),
+                "ss": pa.array(ss),
+                "n": pa.array(n),
+                "mn": pa.array(mn),
+                "mx": pa.array(mx),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+            Sum("n", alias_name="n"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        ss = t.column("ss").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = s / n
+        var = ss / n - mean * mean
+        return pa.table(
+            {
+                "band": t.column("band"),
+                "n": t.column("n"),
+                "min": t.column("mn"),
+                "max": t.column("mx"),
+                "mean": pa.array(mean),
+                "stddev": pa.array(np.sqrt(np.maximum(var, 0.0))),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow").sort("band")
+
+
+def band_histogram(images, n_buckets: int = 256):
+    """256-bucket histogram per band (np.bincount partials + sum merge,
+    gdalrasterband.cpp:4133 semantics for Byte data)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = np.zeros((3, n_buckets), dtype=np.int64)
+        b = t.column("bytes").to_pylist()
+        w = t.column("w").to_pylist()
+        h = t.column("h").to_pylist()
+        f = t.column("fmt").to_pylist()
+        for i in range(len(b)):
+            img = codecs.decode(b[i], w[i], h[i], f[i])
+            for band in range(3):
+                counts[band] += np.bincount(
+                    img[:, :, band].reshape(-1), minlength=n_buckets
+                )[:n_buckets]
+        bands = np.repeat(np.arange(3, dtype=np.int32), n_buckets)
+        buckets = np.tile(np.arange(n_buckets, dtype=np.int32), 3)
+        flat = counts.reshape(-1)
+        nz = flat > 0  # sparse partials: only non-empty buckets travel
+        return pa.table(
+            {
+                "band": pa.array(bands[nz]),
+                "bucket": pa.array(buckets[nz]),
+                "count": pa.array(flat[nz]),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        images.select_columns(["bytes", "w", "h", "fmt"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["band", "bucket"])
+        .aggregate(Sum("count", alias_name="count"))
+        .sort(["band", "bucket"])
+    )
+
+
+def image_checksums(images):
+    """Per-chip GDAL checksum Dataset (the golden-compare aggregate)."""
+    from ..functions import checksum
+
+    def fn(t: pa.Table) -> pa.Table:
+        b = t.column("bytes").to_pylist()
+        w = t.column("w").to_pylist()
+        h = t.column("h").to_pylist()
+        f = t.column("fmt").to_pylist()
+        cs = np.empty((len(b), 3), dtype=np.int64)
+        for i in range(len(b)):
+            cs[i] = checksum.checksum_image(codecs.decode(b[i], w[i], h[i], f[i]))
+        return pa.table(
+            {
+                "image_id": t.column("image_id"),
+                "cs_r": pa.array(cs[:, 0]),
+                "cs_g": pa.array(cs[:, 1]),
+                "cs_b": pa.array(cs[:, 2]),
+            }
+        )
+
+    return images.select_columns(["image_id", "bytes", "w", "h", "fmt"]).map_batches(
+        fn, batch_format="pyarrow"
+    )

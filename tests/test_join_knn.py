@@ -85,6 +85,56 @@ def test_semi_and_anti_join(ray_session, smoke_fixtures, oracle_pip):
     assert len(semi) + len(anti) == pts.count()
 
 
+@pytest.fixture(scope="module")
+def oracle_chips(smoke_fixtures):
+    ti = _read_all(
+        smoke_fixtures["images"], columns=["image_id", "minx", "miny", "maxx", "maxy"]
+    ).to_pydict()
+    tl = _read_all(smoke_fixtures["polygons"]).to_pydict()
+    want = set()
+    for k in range(len(tl["fid"])):
+        rings_list = geom.polygon_rings(geom.parse_wkb(tl["wkb"][k]))
+        for j in range(len(ti["image_id"])):
+            if (
+                ti["maxx"][j] < tl["minx"][k]
+                or ti["minx"][j] > tl["maxx"][k]
+                or ti["maxy"][j] < tl["miny"][k]
+                or ti["miny"][j] > tl["maxy"][k]
+            ):
+                continue
+            rect = np.array(
+                [
+                    [ti["minx"][j], ti["miny"][j]],
+                    [ti["maxx"][j], ti["miny"][j]],
+                    [ti["maxx"][j], ti["maxy"][j]],
+                    [ti["minx"][j], ti["maxy"][j]],
+                    [ti["minx"][j], ti["miny"][j]],
+                ]
+            )
+            if any(geom.polygons_intersect([rect], rings) for rings in rings_list):
+                want.add((ti["image_id"][j], int(tl["fid"][k])))
+    return want
+
+
+@pytest.mark.parametrize("strategy", ["groupby", "hashjoin"])
+def test_chips_join_matches_oracle(ray_session, smoke_fixtures, oracle_chips, strategy):
+    import ray.data as rd
+
+    from gdal_ray.stages.join import join_chips_with_polygons
+
+    chips = rd.read_parquet(
+        smoke_fixtures["images"], columns=["image_id", "minx", "miny", "maxx", "maxy"]
+    )
+    pol = rd.read_parquet(smoke_fixtures["polygons"])
+    res = join_chips_with_polygons(
+        chips, pol, zoom=Z_JOIN, num_partitions=8,
+        chip_cols=["image_id"], poly_cols=["fid"], strategy=strategy,
+    ).to_pandas()
+    got = set(zip(res.image_id, res.fid))
+    assert got == oracle_chips
+    assert len(res) == len(got)  # exactly-once across cells
+
+
 def test_knn_cell_ring_matches_bruteforce(ray_session):
     import ray.data as rd
 
