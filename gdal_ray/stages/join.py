@@ -254,17 +254,42 @@ def _join_chips_groupby(chips, polygons, zoom, chip_cols, poly_cols):
         list(dict.fromkeys(poly_cols + ["wkb", "minx", "miny", "maxx", "maxy"]))
     ).map_batches(cover_envelope_cells(zoom), batch_format="pyarrow")
 
-    def tag_chip(t: pa.Table) -> pa.Table:
-        return t.append_column("side", pa.array(np.zeros(t.num_rows, np.int8)))
+    # build the unified schema explicitly — Dataset.union does NOT align
+    # block schemas, so every block must carry every column (typed nulls
+    # for the other side's fields)
+    chip_schema = dict(zip(ch.schema().names, ch.schema().types))
+    poly_schema = dict(zip(pol.schema().names, pol.schema().types))
+    full: dict[str, pa.DataType] = {}
+    for c, ty in chip_schema.items():
+        if c != "cell":
+            full[c] = ty
+    for c, ty in poly_schema.items():
+        if c == "cell":
+            continue
+        name = c + "_r" if c in ("minx", "miny", "maxx", "maxy") else c
+        full.setdefault(name, ty)
+    full["cell"] = pa.int64()
+    full["side"] = pa.int8()
 
-    def tag_poly(t: pa.Table) -> pa.Table:
-        # rename envelope cols so the union schema carries both sides
-        names = {"minx": "minx_r", "miny": "miny_r", "maxx": "maxx_r", "maxy": "maxy_r"}
-        t = t.rename_columns([names.get(c, c) for c in t.schema.names])
-        return t.append_column("side", pa.array(np.ones(t.num_rows, np.int8)))
+    def _aligned(t: pa.Table, rename: dict[str, str], side: int) -> pa.Table:
+        cols = {}
+        present = {rename.get(c, c): c for c in t.schema.names}
+        for name, ty in full.items():
+            if name == "side":
+                cols[name] = pa.array(np.full(t.num_rows, side, np.int8))
+            elif name in present:
+                cols[name] = t.column(present[name]).cast(ty)
+            else:
+                cols[name] = pa.nulls(t.num_rows, ty)
+        return pa.table(cols)
 
-    left = ch.map_batches(tag_chip, batch_format="pyarrow")
-    right = pol.map_batches(tag_poly, batch_format="pyarrow")
+    rename_poly = {"minx": "minx_r", "miny": "miny_r", "maxx": "maxx_r", "maxy": "maxy_r"}
+    left = ch.map_batches(
+        lambda t: _aligned(t, {}, 0), batch_format="pyarrow"
+    )
+    right = pol.map_batches(
+        lambda t: _aligned(t, rename_poly, 1), batch_format="pyarrow"
+    )
     both = left.union(right)
 
     out_schema_cols = chip_cols + poly_cols
