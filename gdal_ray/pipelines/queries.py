@@ -958,6 +958,104 @@ def q34_checkpointed_tiles(sf_dir: str):
     return write_partitioned(tiles, out_dir, key_col="cell", shift=6).sort("pid")
 
 
+def q35_grid_invdist(sf_dir: str):
+    """gdal_grid analog: T3 points (weight = pid-derived) -> per-cell
+    inverse-distance rasters with 1-ring halo; returns per-cell grid
+    checksums."""
+    import ray.data as rd
+
+    from ..functions import checksum
+    from ..stages.grid import grid_points
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    pts = rd.read_parquet(paths["points"]).map_batches(
+        lambda t: t.append_column(
+            "v",
+            pa.array(
+                ((t.column("pid").to_numpy(zero_copy_only=False) * 37) % 251).astype(
+                    np.float64
+                )
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    grids = grid_points(pts, zoom=8, algorithm="invdist", grid_size=64)
+
+    def cs(t: pa.Table) -> pa.Table:
+        vals = [
+            checksum.checksum_float_band(
+                np.frombuffer(g, dtype=np.float64).reshape(64, 64)
+            )
+            for g in t.column("grid").to_pylist()
+        ]
+        return pa.table(
+            {
+                "z": t.column("z"),
+                "x": t.column("x"),
+                "y": t.column("y"),
+                "n_points": t.column("n_points"),
+                "cs": pa.array(vals, pa.int64()),
+            }
+        )
+
+    return grids.map_batches(cs, batch_format="pyarrow").sort(["z", "x", "y"])
+
+
+def q36_proximity_sieve(sf_dir: str):
+    """Proximity + sieve over rasterized polygons; per-cell summary
+    (mean distance, pixels surviving the sieve)."""
+    import ray.data as rd
+
+    from ..stages.grid import proximity_cells, sieve_cells
+    from ..stages.rasterize import rasterize_polygons
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    pol = rd.read_parquet(paths["polygons"])
+    cells = rasterize_polygons(pol, zoom=8, burn_value=1).materialize()
+    prox = proximity_cells(cells, max_dist=64.0)
+    sieved = sieve_cells(cells, threshold=20)
+
+    def summarize_prox(t: pa.Table) -> pa.Table:
+        means = [
+            float(np.frombuffer(d, dtype=np.float32).mean())
+            for d in t.column("data").to_pylist()
+        ]
+        return pa.table(
+            {
+                "cell": t.column("cell"),
+                "mean_dist": pa.array(np.round(means, 3), pa.float64()),
+            }
+        )
+
+    def summarize_sieve(t: pa.Table) -> pa.Table:
+        n = [
+            int((np.frombuffer(d, dtype=np.uint8) > 0).sum())
+            for d in t.column("data").to_pylist()
+        ]
+        return pa.table(
+            {"cell": t.column("cell"), "n_after_sieve": pa.array(n, pa.int64())}
+        )
+
+    a = prox.map_batches(summarize_prox, batch_format="pyarrow")
+    b = sieved.map_batches(summarize_sieve, batch_format="pyarrow")
+    return a.join(b, join_type="inner", num_partitions=8, on=("cell",)).sort("cell")
+
+
+def q37_point_query(sf_dir: str):
+    """gdallocationinfo analog: bilinear-sample every chip containing
+    each T3 probe point (cell co-partitioned)."""
+    import ray.data as rd
+
+    from ..stages.grid import query_points_in_chips
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(paths["images"])
+    probes = rd.read_parquet(paths["points"], columns=["pid", "x", "y"])
+    return query_points_in_chips(imgs, probes, zoom=10, num_partitions=8).sort(
+        ["pid", "image_id"]
+    )
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -995,6 +1093,9 @@ QUERIES = {
     "q32_hillshade": q32_hillshade,
     "q33_rasterize_polygonize": q33_rasterize_polygonize,
     "q34_checkpointed_tiles": q34_checkpointed_tiles,
+    "q35_grid_invdist": q35_grid_invdist,
+    "q36_proximity_sieve": q36_proximity_sieve,
+    "q37_point_query": q37_point_query,
 }
 
 ORACLE_SQL = {
