@@ -38,9 +38,13 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _cents(col):
-    """round(x*100) as int64 — exact money arithmetic (mirrored in SQL
-    as CAST(ROUND(x*100, 0) AS BIGINT))."""
-    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+    """floor(x*100 + 0.5) as int64 — exact money arithmetic, mirrored in
+    SQL as CAST(FLOOR(x*100 + 0.5) AS BIGINT) (half-away rounding on
+    both sides; DuckDB ROUND and pyarrow round disagree on ties)."""
+    return pc.cast(
+        pc.floor(pc.add(pc.multiply(col, pa.scalar(100.0)), pa.scalar(0.5))),
+        pa.int64(),
+    )
 
 
 # Derived deterministic geometry (mirrored verbatim in the oracle SQL)
@@ -221,9 +225,9 @@ def q01_lineitem_agg(sf_dir: str):
 _Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
        SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-           * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS sum_revenue,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) / 10000.0 AS sum_revenue,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem
@@ -256,7 +260,7 @@ def q02_filter_project(sf_dir: str):
 
 _Q02_SQL = """
 SELECT o_orderkey AS okey, o_orderstatus AS status,
-       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
 FROM orders WHERE o_totalprice > 150000.0 ORDER BY o_orderkey
 """
 
@@ -287,7 +291,7 @@ def q03_sort_topk(sf_dir: str):
 
 _Q03_SQL = """
 SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-       CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
 FROM lineitem ORDER BY price_cents DESC, l_orderkey, l_linenumber LIMIT 10
 """
 
@@ -356,7 +360,7 @@ def q06_broadcast_join(sf_dir: str):
 
 _Q06_SQL = """
 SELECT c_mktsegment,
-       SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_cents,
+       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_cents,
        COUNT(*) AS n
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
@@ -508,7 +512,12 @@ def q12_window_tumbling(sf_dir: str):
     def prep(t: pa.Table) -> pa.Table:
         us = pc.cast(t.column("ts"), pa.int64())
         hour = pc.divide(us, pa.scalar(3600000000, pa.int64()))
-        milli = pc.cast(pc.round(pc.multiply(t.column("value"), pa.scalar(1000.0))), pa.int64())
+        milli = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(t.column("value"), pa.scalar(1000.0)), pa.scalar(0.5))
+            ),
+            pa.int64(),
+        )
         return pa.table(
             {
                 "event_type": t.column("event_type"),
@@ -527,7 +536,7 @@ def q12_window_tumbling(sf_dir: str):
 
 _Q12_SQL = """
 SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
-       SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS sum_milli, COUNT(*) AS n
+       SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS sum_milli, COUNT(*) AS n
 FROM events GROUP BY event_type, hour ORDER BY event_type, hour
 """
 
@@ -663,6 +672,114 @@ SELECT qid, vec_id, rank FROM (
              ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank
   FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < 8
 ) WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
+def q41_scalar_functions(sf_dir: str):
+    """OGR SQL scalar-operator parity (swq_op_registrar.cpp:28-62):
+    LIKE, IN, BETWEEN, CONCAT, SUBSTR, CAST, arithmetic %, CASE-ish
+    boolean — all as pyarrow.compute kernels."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_type", "p_size", "p_retailprice"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        name = t.column("p_name")
+        like_hit = pc.match_like(name, "%steel%")
+        in_hit = pc.is_in(
+            t.column("p_size"), value_set=pa.array([5, 10, 15, 20], pa.int32())
+        )
+        between = pc.and_(
+            pc.greater_equal(t.column("p_retailprice"), pa.scalar(500.0)),
+            pc.less_equal(t.column("p_retailprice"), pa.scalar(1500.0)),
+        )
+        keep = pc.or_(pc.and_(like_hit, between), in_hit)
+        t = t.filter(keep)
+        concat = pc.binary_join_element_wise(
+            pc.cast(t.column("p_partkey"), pa.string()), t.column("p_type"), ":"
+        )
+        substr = pc.utf8_slice_codeunits(t.column("p_name"), 0, 8)
+        modkey = pc.cast(
+            pc.subtract(
+                t.column("p_partkey"),
+                pc.multiply(pc.divide(t.column("p_partkey"), pa.scalar(7, pa.int64())), pa.scalar(7, pa.int64())),
+            ),
+            pa.int64(),
+        )
+        # DuckDB ROUND is half-away-from-zero; mirror with floor(x+0.5)
+        # (values are positive prices with exact .5 cases)
+        price_int = pc.cast(
+            pc.floor(pc.add(t.column("p_retailprice"), pa.scalar(0.5))), pa.int64()
+        )
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "tagged": concat,
+                "name8": substr,
+                "key_mod7": modkey,
+                "price_int": price_int,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort("p_partkey")
+
+
+_Q41_SQL = """
+SELECT p_partkey,
+       CONCAT(CAST(p_partkey AS VARCHAR), ':', p_type) AS tagged,
+       SUBSTR(p_name, 1, 8) AS name8,
+       p_partkey % 7 AS key_mod7,
+       CAST(FLOOR(p_retailprice + 0.5) AS BIGINT) AS price_int
+FROM part
+WHERE (p_name LIKE '%steel%' AND p_retailprice BETWEEN 500.0 AND 1500.0)
+   OR p_size IN (5, 10, 15, 20)
+ORDER BY p_partkey
+"""
+
+
+def q42_left_outer_join(sf_dir: str):
+    """LEFT JOIN with null padding (the OGR SQL JOIN null-fill
+    behavior, ogr_gensql.cpp:1319-1510): customers with their order
+    counts including customers with no orders."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+            }
+        )
+
+    joined = cust.join(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        join_type="left_outer",
+        num_partitions=8,
+        on=("c_custkey",),
+    )
+
+    def count_fn(t: pa.Table) -> pa.Table:
+        has = pc.is_valid(t.column("o_orderkey")).cast(pa.int64())
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "has_order": has,
+            }
+        )
+
+    agg = R.grouped_aggregate(
+        joined.map_batches(count_fn, batch_format="pyarrow"),
+        ["c_custkey", "c_mktsegment"],
+        [("has_order", "sum", "n_orders")],
+    )
+    return agg.sort("c_custkey")
+
+
+_Q42_SQL = """
+SELECT c_custkey, c_mktsegment,
+       SUM(CASE WHEN o_orderkey IS NULL THEN 0 ELSE 1 END) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey
 """
 
 
@@ -1056,6 +1173,99 @@ def q37_point_query(sf_dir: str):
     )
 
 
+def q38_contour(sf_dir: str):
+    """Contour (marching squares) over band 0 of every chip at fixed
+    intervals; returns per-chip (level, n_segments, total_length)."""
+    import ray.data as rd
+
+    from ..functions import codecs
+    from ..functions.contour_ms import contour_levels, marching_squares
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(paths["images"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, levels, nseg, length = [], [], [], []
+        cols = {c: t.column(c).to_pylist() for c in ("image_id", "bytes", "w", "h", "fmt")}
+        for i in range(t.num_rows):
+            img = codecs.decode(cols["bytes"][i], cols["w"][i], cols["h"][i], cols["fmt"][i])
+            g = img[:, :, 0].astype(np.float64)
+            for level in contour_levels(g, 64.0):
+                segs = marching_squares(g, level)
+                ids.append(cols["image_id"][i])
+                levels.append(level)
+                nseg.append(len(segs))
+                length.append(
+                    float(np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1]).sum())
+                    if len(segs)
+                    else 0.0
+                )
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "level": pa.array(levels, pa.float64()),
+                "n_segments": pa.array(nseg, pa.int64()),
+                "total_length": pa.array(np.round(length, 3), pa.float64()),
+            }
+        )
+
+    return imgs.map_batches(fn, batch_format="pyarrow", batch_size=128).sort(
+        ["image_id", "level"]
+    )
+
+
+def q39_color_quantize(sf_dir: str):
+    """Median-cut palette + Floyd-Steinberg dither per chip
+    (gdalmediancut/gdaldither analogs); returns checksum of the
+    palettized indices."""
+    import ray.data as rd
+
+    from ..functions import checksum, codecs, colors
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(paths["images"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c).to_pylist() for c in ("image_id", "bytes", "w", "h", "fmt")}
+        cs_q, cs_d = [], []
+        for i in range(t.num_rows):
+            img = codecs.decode(cols["bytes"][i], cols["w"][i], cols["h"][i], cols["fmt"][i])
+            pal = colors.median_cut_palette(img, 16)
+            cs_q.append(checksum.checksum_band(colors.quantize(img, pal)))
+            small = img[:16, :16]  # dither is O(h*w) python: bound it
+            cs_d.append(checksum.checksum_band(colors.dither_floyd_steinberg(small, pal)))
+        return pa.table(
+            {
+                "image_id": pa.array(cols["image_id"], pa.string()),
+                "cs_quant": pa.array(cs_q, pa.int64()),
+                "cs_dither": pa.array(cs_d, pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(fn, batch_format="pyarrow", batch_size=64).sort("image_id")
+
+
+def q40_tile_tree(sf_dir: str):
+    """gdal2tiles-layout z/x/y.png file-tree sink with resume; returns
+    written/skipped counters."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..sources.sinks import write_tile_tree
+    from ..stages.tiles import build_base_tiles
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    out_dir = f"/tmp/gdal_ray_out/tree_{scale_for_sf_dir(sf_dir)}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    imgs = rd.read_parquet(paths["images"])
+    tiles = build_base_tiles(imgs, zoom=8, resampling="near")
+    out = write_tile_tree(tiles, out_dir, xyz=True)
+    return R.global_aggregate(
+        out, [("written", "sum", "written"), ("skipped", "sum", "skipped")]
+    )
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1096,6 +1306,11 @@ QUERIES = {
     "q35_grid_invdist": q35_grid_invdist,
     "q36_proximity_sieve": q36_proximity_sieve,
     "q37_point_query": q37_point_query,
+    "q38_contour": q38_contour,
+    "q39_color_quantize": q39_color_quantize,
+    "q40_tile_tree": q40_tile_tree,
+    "q41_scalar_functions": q41_scalar_functions,
+    "q42_left_outer_join": q42_left_outer_join,
 }
 
 ORACLE_SQL = {
@@ -1115,4 +1330,6 @@ ORACLE_SQL = {
     "q14_token_count": _Q14_SQL,
     "q15_text_quality": _Q15_SQL,
     "q16_ann_cosine": _Q16_SQL,
+    "q41_scalar_functions": _Q41_SQL,
+    "q42_left_outer_join": _Q42_SQL,
 }
