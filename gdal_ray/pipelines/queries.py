@@ -1266,6 +1266,50 @@ def q40_tile_tree(sf_dir: str):
     )
 
 
+def q43_mvt_tiles(sf_dir: str):
+    """MVT vector-tile writer: polygon layer -> protobuf tiles at z8
+    (OGRMVTWriterDataset analog); per-tile feature counts + byte sizes."""
+    import ray.data as rd
+
+    from ..stages.mvt import write_mvt_tiles
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    pol = rd.read_parquet(paths["polygons"])
+    tiles = write_mvt_tiles(pol, zoom=8, layer_name="polys")
+
+    def shape(t: pa.Table) -> pa.Table:
+        sizes = [len(b) for b in t.column("mvt_bytes").to_pylist()]
+        return pa.table(
+            {
+                "z": t.column("z"),
+                "x": t.column("x"),
+                "y": t.column("y"),
+                "n_features": t.column("n_features"),
+                "n_bytes": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    return tiles.map_batches(shape, batch_format="pyarrow").sort(["z", "x", "y"])
+
+
+def q44_pansharpen_nearblack(sf_dir: str):
+    """Pansharpen (weighted Brovey) + nearblack collar removal; per-chip
+    output checksums + collar pixel counts."""
+    import ray.data as rd
+
+    from ..stages.pansharpen import PansharpenStage, nearblack_stage
+    from ..stages.stats import image_checksums
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(paths["images"]).limit(2000)
+    sharp = imgs.map_batches(
+        PansharpenStage, batch_format="pyarrow", batch_size=64, concurrency=4
+    )
+    nb = nearblack_stage(sharp)
+    cs = image_checksums(nb.drop_columns(["n_collar"]))
+    return cs.sort("image_id")
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1311,6 +1355,8 @@ QUERIES = {
     "q40_tile_tree": q40_tile_tree,
     "q41_scalar_functions": q41_scalar_functions,
     "q42_left_outer_join": q42_left_outer_join,
+    "q43_mvt_tiles": q43_mvt_tiles,
+    "q44_pansharpen_nearblack": q44_pansharpen_nearblack,
 }
 
 ORACLE_SQL = {

@@ -1,0 +1,73 @@
+"""MVT round-trip via our decoder; pansharpen/nearblack semantics."""
+
+import numpy as np
+import pyarrow as pa
+
+from gdal_ray.functions import mvt
+from gdal_ray.stages.pansharpen import brovey_pansharpen, nearblack_mask
+
+
+def test_mvt_roundtrip_polygon():
+    ring = np.array([[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]], dtype=np.int64)
+    feats = [
+        {
+            "id": 7,
+            "type": mvt.GEOM_POLYGON,
+            "parts": [ring],
+            "tags": {"fid": 7, "category": "parcel", "weight": 0.5},
+        }
+    ]
+    data = mvt.encode_tile("test", feats)
+    layers = mvt.decode_tile(data)
+    assert "test" in layers
+    lay = layers["test"]
+    assert lay["extent"] == 4096
+    f = lay["features"][0]
+    assert f["id"] == 7 and f["type"] == mvt.GEOM_POLYGON
+    assert np.array_equal(f["parts"][0], ring)  # ClosePath restores closure
+    assert f["tags"] == {"fid": 7, "category": "parcel", "weight": 0.5}
+
+
+def test_mvt_value_dedup_and_multi_features():
+    ring = np.array([[0, 0], [10, 0], [10, 10], [0, 0]], dtype=np.int64)
+    feats = [
+        {"id": i, "type": mvt.GEOM_POLYGON, "parts": [ring + i], "tags": {"cat": "x"}}
+        for i in range(3)
+    ]
+    layers = mvt.decode_tile(mvt.encode_tile("l", feats))
+    assert len(layers["l"]["features"]) == 3
+    assert all(f["tags"] == {"cat": "x"} for f in layers["l"]["features"])
+
+
+def test_mvt_writer_stage(ray_session, smoke_fixtures):
+    import ray.data as rd
+
+    from gdal_ray.stages.mvt import write_mvt_tiles
+
+    pol = rd.read_parquet(smoke_fixtures["polygons"])
+    tiles = write_mvt_tiles(pol, zoom=8, layer_name="polys").to_pandas()
+    assert len(tiles) > 0
+    assert tiles.n_features.sum() >= pol.count()  # replicated per tile
+    # every tile decodes and carries fid tags
+    row = tiles.iloc[0]
+    lay = mvt.decode_tile(row.mvt_bytes)["polys"]
+    assert all("fid" in f["tags"] for f in lay["features"])
+
+
+def test_brovey_identity_when_pan_matches():
+    ms = np.full((4, 4, 3), 90, dtype=np.uint8)
+    pan = np.full((8, 8), 90, dtype=np.uint8)
+    out = brovey_pansharpen(ms, pan)
+    assert (out == 90).all()
+    # doubling pan doubles the output
+    out2 = brovey_pansharpen(ms, (pan * 2).astype(np.uint8))
+    assert (out2 == 180).all()
+
+
+def test_nearblack_only_border_connected():
+    img = np.full((10, 10, 3), 200, dtype=np.uint8)
+    img[0:3, 0:3] = 0  # border-connected dark collar
+    img[5:7, 5:7] = 0  # interior dark patch (must survive)
+    m = nearblack_mask(img, near=15)
+    assert m[0, 0] and m[2, 2]
+    assert not m[5, 5] and not m[6, 6]
