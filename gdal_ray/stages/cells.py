@@ -113,7 +113,17 @@ def add_salt(n_salt_for_cell: dict[int, int], id_col: str, cell_col: str = "cell
 
     def fn(batch: pa.Table) -> pa.Table:
         cells = batch.column(cell_col).to_numpy(zero_copy_only=False)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        col = batch.column(id_col)
+        if pa.types.is_string(col.type) or pa.types.is_binary(col.type):
+            import zlib
+
+            ids = np.fromiter(
+                (zlib.crc32(str(v).encode()) for v in col.to_pylist()),
+                dtype=np.int64,
+                count=len(col),
+            )
+        else:
+            ids = col.to_numpy(zero_copy_only=False).astype(np.int64)
         salt = np.zeros(len(cells), dtype=np.int64)
         for cell, ns in n_salt_for_cell.items():
             m = cells == cell

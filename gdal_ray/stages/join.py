@@ -193,6 +193,7 @@ def join_chips_with_polygons(
     chip_cols: list[str] | None = None,
     poly_cols: list[str] | None = None,
     strategy: str = "groupby",
+    hot_cells: dict[int, int] | None = None,
 ):
     """Inner spatial join: chip footprints (axis-aligned rects from
     minx..maxy) intersecting polygons — both sides envelope-replicated
@@ -207,7 +208,8 @@ def join_chips_with_polygons(
     """
     if strategy == "groupby":
         return _join_chips_groupby(
-            chips, polygons, zoom, chip_cols or ["image_id"], poly_cols or ["fid"]
+            chips, polygons, zoom, chip_cols or ["image_id"], poly_cols or ["fid"],
+            hot_cells=hot_cells,
         )
     ch = chips.map_batches(cover_envelope_cells(zoom), batch_format="pyarrow")
     pol = polygons.map_batches(cover_envelope_cells(zoom), batch_format="pyarrow")
@@ -241,10 +243,13 @@ def join_chips_with_polygons(
     return exact
 
 
-def _join_chips_groupby(chips, polygons, zoom, chip_cols, poly_cols):
+def _join_chips_groupby(chips, polygons, zoom, chip_cols, poly_cols, hot_cells=None):
     """Co-partitioned group join: one shuffle of the replicated inputs,
     per-cell STRtree build + probe + exact test in map_groups (the
-    per-partition index pattern of SURVEY.md §2.3)."""
+    per-partition index pattern of SURVEY.md §2.3).  ``hot_cells``
+    ({cell: salt_fanout}, e.g. from detect_hot_cells) splits skewed
+    cells into sub-groups: chips salted by id hash, polygons replicated
+    per salt — straggler groups become salt_fanout parallel tasks."""
     from ..state.strtree import STRtree
 
     ch = chips.select_columns(
@@ -253,6 +258,11 @@ def _join_chips_groupby(chips, polygons, zoom, chip_cols, poly_cols):
     pol = polygons.select_columns(
         list(dict.fromkeys(poly_cols + ["wkb", "minx", "miny", "maxx", "maxy"]))
     ).map_batches(cover_envelope_cells(zoom), batch_format="pyarrow")
+    key = "cell"
+    if hot_cells:
+        ch = ch.map_batches(add_salt(hot_cells, chip_cols[0]), batch_format="pyarrow")
+        pol = pol.map_batches(replicate_salt(hot_cells), batch_format="pyarrow")
+        key = "cellsalt"
 
     # build the unified schema explicitly — Dataset.union does NOT align
     # block schemas, so every block must carry every column (typed nulls
@@ -261,14 +271,17 @@ def _join_chips_groupby(chips, polygons, zoom, chip_cols, poly_cols):
     poly_schema = dict(zip(pol.schema().names, pol.schema().types))
     full: dict[str, pa.DataType] = {}
     for c, ty in chip_schema.items():
-        if c != "cell":
+        if c not in ("cell", "cellsalt"):
             full[c] = ty
     for c, ty in poly_schema.items():
-        if c == "cell":
+        if c in ("cell", "cellsalt"):
             continue
         name = c + "_r" if c in ("minx", "miny", "maxx", "maxy") else c
         full.setdefault(name, ty)
-    full["cell"] = pa.int64()
+    full.pop("cellsalt", None)
+    full["cell"] = pa.int64()  # true cell always carried (the salted
+    if key != "cell":          # cellsalt key wraps int64 and cannot be
+        full[key] = pa.int64() # inverted back to the cell)
     full["side"] = pa.int8()
 
     def _aligned(t: pa.Table, rename: dict[str, str], side: int) -> pa.Table:
@@ -347,7 +360,12 @@ def _join_chips_groupby(chips, polygons, zoom, chip_cols, poly_cols):
             cols[c] = polys_t.column(c).take(pi)
         return pa.table(cols)
 
-    return both.groupby("cell").map_groups(probe_group, batch_format="pyarrow")
+    from .tiles import _add_scatter
+
+    scattered = both.map_batches(lambda t: _add_scatter(t, key), batch_format="pyarrow")
+    return scattered.groupby(["__scatter", key]).map_groups(
+        probe_group, batch_format="pyarrow"
+    )
 
 
 def semi_join_points(points, matched_pids, point_id_col: str = "pid", anti: bool = False):

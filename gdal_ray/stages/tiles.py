@@ -119,14 +119,123 @@ def _empty_tile_table() -> pa.Table:
     )
 
 
+def _add_scatter(t: pa.Table, key: str = "cell") -> pa.Table:
+    """Hash scatter key: groupby sorts by range, so spatially contiguous
+    hot groups (e.g. a hot cluster's tiles, which have adjacent cell
+    ids) land in ONE sorted block and are processed serially by one
+    map_groups task.  Prefixing the sort key with a hash scatters heavy
+    groups uniformly across range partitions; grouping on
+    (scatter, key) still groups exactly by key."""
+    c = t.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = (c ^ (c >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    c = (c ^ (c >> np.uint64(33))).astype(np.int64)
+    return t.append_column("__scatter", pa.array(c, pa.int64()))
+
+
+def make_patches(zoom: int, resampling: str):
+    """Pre-aggregation stage: resample each (chip, tile) replica to its
+    destination window BEFORE the shuffle — the shuffle then moves only
+    the already-resampled patch (3-6x smaller than the encoded chip at
+    overview-ish zooms) and the per-tile group task is a cheap ordered
+    paste.  Identical output to composing from raw chips (the same
+    separable sampling at the same dst pixel centers)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = {
+            name: t.column(name).to_pylist()
+            for name in ("image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy", "cell")
+        }
+        res_cache: dict[int, tuple] = {}
+        out = {k: [] for k in ("cell", "image_id", "i0", "j0", "pw", "ph", "patch")}
+        for k in range(t.num_rows):
+            cell = cols["cell"][k]
+            if cell not in res_cache:
+                z, tx, ty = (int(v) for v in mercator.unpack_cell(np.array([cell])))
+                res_cache[cell] = (mercator.tile_bounds(tx, ty, z), float(mercator.resolution(z)))
+            (tb_minx, tb_miny, tb_maxx, tb_maxy), res = res_cache[cell]
+            w, h = cols["w"][k], cols["h"][k]
+            cminx, cminy = cols["minx"][k], cols["miny"][k]
+            cmaxx, cmaxy = cols["maxx"][k], cols["maxy"][k]
+            i0 = max(0, int(np.ceil((cminx - tb_minx) / res - 0.5)))
+            i1 = min(TILE_SIZE - 1, int(np.floor((cmaxx - tb_minx) / res - 0.5)))
+            j0 = max(0, int(np.ceil((tb_maxy - cmaxy) / res - 0.5)))
+            j1 = min(TILE_SIZE - 1, int(np.floor((tb_maxy - cminy) / res - 0.5)))
+            if i1 < i0 or j1 < j0:
+                continue
+            img = codecs.decode(cols["bytes"][k], w, h, cols["fmt"][k])
+            xs_m = tb_minx + (np.arange(i0, i1 + 1) + 0.5) * res
+            ys_m = tb_maxy - (np.arange(j0, j1 + 1) + 0.5) * res
+            src_x = (xs_m - cminx) / ((cmaxx - cminx) / w) - 0.5
+            src_y = (cmaxy - ys_m) / ((cmaxy - cminy) / h) - 0.5
+            patch = kernels.resample_separable(img, src_x, src_y, resampling)
+            out["cell"].append(cell)
+            out["image_id"].append(cols["image_id"][k])
+            out["i0"].append(i0)
+            out["j0"].append(j0)
+            out["ph"].append(patch.shape[0])
+            out["pw"].append(patch.shape[1])
+            out["patch"].append(patch.tobytes())
+        return pa.table(
+            {
+                "cell": pa.array(out["cell"], pa.int64()),
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "i0": pa.array(out["i0"], pa.int32()),
+                "j0": pa.array(out["j0"], pa.int32()),
+                "pw": pa.array(out["pw"], pa.int32()),
+                "ph": pa.array(out["ph"], pa.int32()),
+                "patch": pa.array(out["patch"], pa.binary()),
+            }
+        )
+
+    fn.__name__ = f"make_patches_z{zoom}"
+    return fn
+
+
+def paste_tile_group(group: pa.Table) -> pa.Table:
+    """Paste pre-resampled patches in image_id order (last-wins) ->
+    one tile row."""
+    cell = group.column("cell")[0].as_py()
+    z, tx, ty = (int(v) for v in mercator.unpack_cell(np.array([cell])))
+    canvas = np.zeros((TILE_SIZE, TILE_SIZE, 3), dtype=np.uint8)
+    mask = np.zeros((TILE_SIZE, TILE_SIZE), dtype=bool)
+    ids = group.column("image_id").to_pylist()
+    order = sorted(range(len(ids)), key=lambda k: ids[k])
+    i0 = group.column("i0").to_pylist()
+    j0 = group.column("j0").to_pylist()
+    pw = group.column("pw").to_pylist()
+    ph = group.column("ph").to_pylist()
+    patches = group.column("patch").to_pylist()
+    for k in order:
+        p = np.frombuffer(patches[k], dtype=np.uint8).reshape(ph[k], pw[k], 3)
+        canvas[j0[k] : j0[k] + ph[k], i0[k] : i0[k] + pw[k]] = p
+        mask[j0[k] : j0[k] + ph[k], i0[k] : i0[k] + pw[k]] = True
+    n_valid = int(mask.sum())
+    if n_valid == 0:
+        return _empty_tile_table()
+    return pa.table(
+        {
+            "cell": pa.array([cell], pa.int64()),
+            "z": pa.array([z], pa.int32()),
+            "x": pa.array([tx], pa.int32()),
+            "y": pa.array([ty], pa.int32()),
+            "tile_bytes": pa.array([codecs.encode_png(canvas)], pa.binary()),
+            "mask_bytes": pa.array([_pack_mask(mask)], pa.binary()),
+            "n_valid": pa.array([n_valid], pa.int32()),
+        }
+    )
+
+
 def build_base_tiles(images, zoom: int, resampling: str = "near", num_partitions: int | None = None):
     """Chips -> base tiles at ``zoom`` (one Dataset row per non-empty tile)."""
     needed = ["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"]
-    ds = images.select_columns(needed).map_batches(
-        cover_envelope_cells(zoom), batch_format="pyarrow"
+    ds = (
+        images.select_columns(needed)
+        .map_batches(cover_envelope_cells(zoom), batch_format="pyarrow")
+        .map_batches(make_patches(zoom, resampling), batch_format="pyarrow")
+        .map_batches(_add_scatter, batch_format="pyarrow")
     )
-    return ds.groupby("cell").map_groups(
-        lambda g: compose_tile_group(g, resampling), batch_format="pyarrow"
+    return ds.groupby(["__scatter", "cell"]).map_groups(
+        paste_tile_group, batch_format="pyarrow"
     )
 
 
@@ -177,7 +286,8 @@ def build_overview_level(tiles):
 
     return (
         tiles.map_batches(add_parent, batch_format="pyarrow")
-        .groupby("pcell")
+        .map_batches(lambda t: _add_scatter(t, "pcell"), batch_format="pyarrow")
+        .groupby(["__scatter", "pcell"])
         .map_groups(compose_parent_group, batch_format="pyarrow")
     )
 

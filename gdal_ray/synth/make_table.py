@@ -52,6 +52,10 @@ SCALES = {
     "smoke": (1_000, 100, 500, SIZES_FULL),
     "small": (20_000, 2_000, 5_000, SIZES_FULL),
     "bench": (200_000, 20_000, 50_000, SIZES_BENCH),
+    # scaling-evidence fixture: 3x bench so fixed costs (per-zoom
+    # barriers, actor ramp-up, shuffle setup) amortize as they would at
+    # the 100 TB regime the engine targets
+    "xbench": (600_000, 40_000, 100_000, SIZES_BENCH),
 }
 
 

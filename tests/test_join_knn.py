@@ -135,6 +135,27 @@ def test_chips_join_matches_oracle(ray_session, smoke_fixtures, oracle_chips, st
     assert len(res) == len(got)  # exactly-once across cells
 
 
+def test_chips_join_salted_equals_unsalted(ray_session, smoke_fixtures, oracle_chips):
+    import ray.data as rd
+
+    from gdal_ray.functions import mercator
+    from gdal_ray.stages.join import join_chips_with_polygons
+
+    hot_tx, hot_ty = mercator.meters_to_tile(100_000.0, 100_000.0, Z_JOIN)
+    hot = {int(mercator.pack_cell(Z_JOIN, int(hot_tx), int(hot_ty))): 4}
+    chips = rd.read_parquet(
+        smoke_fixtures["images"], columns=["image_id", "minx", "miny", "maxx", "maxy"]
+    )
+    pol = rd.read_parquet(smoke_fixtures["polygons"])
+    res = join_chips_with_polygons(
+        chips, pol, zoom=Z_JOIN, chip_cols=["image_id"], poly_cols=["fid"],
+        hot_cells=hot,
+    ).to_pandas()
+    got = set(zip(res.image_id, res.fid))
+    assert got == oracle_chips
+    assert len(res) == len(got)
+
+
 def test_detect_hot_cells_finds_constructed_skew(ray_session, smoke_fixtures):
     """The synth images put ~20% of chips in one z8 cell; the sampler
     must flag exactly that cell's z10 children."""
