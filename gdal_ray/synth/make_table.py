@@ -225,8 +225,8 @@ def polygon_rings_of(fid: int) -> list[np.ndarray]:
     hs = hash_u64(np.asarray([fid * 2 + 1], dtype=np.uint64))[0]
     nv = 3 + fid % 6
     radius = 5_000.0 + float(hs % np.uint64(45_000))
-    if fid % 20 == 5:  # ~5%: giant polygon spanning many cells
-        radius = 200_000.0 + float(hs % np.uint64(200_000))
+    if fid % 20 == 5:  # ~5%: giant polygon spanning many (>=4) z10 cells
+        radius = 60_000.0 + float(hs % np.uint64(90_000))
     rot = float((hs >> np.uint64(32)) % np.uint64(628)) / 100.0
     ang = rot + 2.0 * np.pi * np.arange(nv) / nv
     rr = np.full(nv, radius)
