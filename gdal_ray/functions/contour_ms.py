@@ -22,9 +22,25 @@ def _interp(p, q, vp, vq, level):
     return p + t * (q - p)
 
 
+_EDGE_PAIRS = {
+    # case -> list of (edge_a, edge_b); edges: 0=top 1=bottom 2=left 3=right
+    1: [(2, 1)], 14: [(2, 1)],
+    2: [(1, 3)], 13: [(1, 3)],
+    3: [(2, 3)], 12: [(2, 3)],
+    4: [(0, 3)], 11: [(0, 3)],
+    6: [(0, 1)], 9: [(0, 1)],
+    7: [(2, 0)], 8: [(2, 0)],
+}
+
+
 def marching_squares(grid: np.ndarray, level: float) -> np.ndarray:
     """Segments of the iso-line ``level`` over grid (H, W) float values
-    at integer pixel-center coordinates.  Returns (N, 4) float64."""
+    at integer pixel-center coordinates.  Returns (N, 4) float64.
+
+    Fully vectorized: the four edge-crossing coordinate fields are
+    computed once for every square, then each of the 16 cases gathers
+    its segment endpoints with fancy indexing (saddles split by the
+    center-average rule)."""
     g = grid.astype(np.float64)
     h, w = g.shape
     tl = g[:-1, :-1]
@@ -38,42 +54,62 @@ def marching_squares(grid: np.ndarray, level: float) -> np.ndarray:
         + (bl >= level).astype(np.int8)
     )
     ys, xs = np.nonzero((case > 0) & (case < 15))
+    if len(ys) == 0:
+        return np.empty((0, 4), dtype=np.float64)
+    c = case[ys, xs]
+    v_tl, v_tr, v_bl, v_br = tl[ys, xs], tr[ys, xs], bl[ys, xs], br[ys, xs]
+    xf = xs.astype(np.float64)
+    yf = ys.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # edge crossing (x, y) per square for: top, bottom, left, right
+        ex = np.stack(
+            [
+                xf + (level - v_tl) / (v_tr - v_tl),
+                xf + (level - v_bl) / (v_br - v_bl),
+                xf,
+                xf + 1.0,
+            ]
+        )
+        ey = np.stack(
+            [
+                yf,
+                yf + 1.0,
+                yf + (level - v_tl) / (v_bl - v_tl),
+                yf + (level - v_tr) / (v_br - v_tr),
+            ]
+        )
     segs = []
-    for y, x in zip(ys, xs):
-        c = case[y, x]
-        v_tl, v_tr, v_bl, v_br = g[y, x], g[y, x + 1], g[y + 1, x], g[y + 1, x + 1]
-        # edge crossing points (in x,y pixel coords; y increases downward)
-        top = (_interp(x, x + 1, v_tl, v_tr, level), float(y)) if (v_tl >= level) != (v_tr >= level) else None
-        bottom = (_interp(x, x + 1, v_bl, v_br, level), float(y + 1)) if (v_bl >= level) != (v_br >= level) else None
-        left = (float(x), _interp(y, y + 1, v_tl, v_bl, level)) if (v_tl >= level) != (v_bl >= level) else None
-        right = (float(x + 1), _interp(y, y + 1, v_tr, v_br, level)) if (v_tr >= level) != (v_br >= level) else None
-        if c in (1, 14):
-            pairs = [(left, bottom)]
-        elif c in (2, 13):
-            pairs = [(bottom, right)]
-        elif c in (3, 12):
-            pairs = [(left, right)]
-        elif c in (4, 11):
-            pairs = [(top, right)]
-        elif c in (6, 9):
-            pairs = [(top, bottom)]
-        elif c in (7, 8):
-            pairs = [(left, top)]
-        elif c in (5, 10):
-            # saddle: disambiguate with the center average (reference rule)
-            center_hi = (v_tl + v_tr + v_bl + v_br) / 4.0 >= level
-            if (c == 5) == center_hi:
-                pairs = [(left, bottom), (top, right)]
-            else:
-                pairs = [(left, top), (bottom, right)]
-        else:
-            pairs = []
-        for a, b in pairs:
-            if a is not None and b is not None:
-                segs.append((a[0], a[1], b[0], b[1]))
+    idx_all = np.arange(len(c))
+    for cv, pairs in _EDGE_PAIRS.items():
+        m = idx_all[c == cv]
+        if len(m) == 0:
+            continue
+        for ea, eb in pairs:
+            segs.append(
+                np.stack([ex[ea, m], ey[ea, m], ex[eb, m], ey[eb, m]], axis=1)
+            )
+    # saddles (5, 10): center-average disambiguation (reference rule)
+    for cv in (5, 10):
+        m = idx_all[c == cv]
+        if len(m) == 0:
+            continue
+        center_hi = (v_tl[m] + v_tr[m] + v_bl[m] + v_br[m]) / 4.0 >= level
+        first = (cv == 5) == center_hi  # (left,bottom)+(top,right) branch
+        for sel, pairs in (
+            (m[first], [(2, 1), (0, 3)]),
+            (m[~first], [(2, 0), (1, 3)]),
+        ):
+            if len(sel) == 0:
+                continue
+            for ea, eb in pairs:
+                segs.append(
+                    np.stack(
+                        [ex[ea, sel], ey[ea, sel], ex[eb, sel], ey[eb, sel]], axis=1
+                    )
+                )
     if not segs:
         return np.empty((0, 4), dtype=np.float64)
-    return np.asarray(segs, dtype=np.float64)
+    return np.concatenate(segs, axis=0)
 
 
 def contour_levels(grid: np.ndarray, interval: float, base: float = 0.0):
