@@ -1310,6 +1310,20 @@ def q44_pansharpen_nearblack(sf_dir: str):
     return cs.sort("image_id")
 
 
+def q45_viewshed(sf_dir: str):
+    """Viewshed from each chip's center over band-0 elevation
+    (alg/viewshed analog, radial method); per-chip visible fraction."""
+    import ray.data as rd
+
+    from ..stages.viewshed import viewshed_stage
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(paths["images"]).limit(5000)
+    return viewshed_stage(imgs).select_columns(
+        ["image_id", "n_visible", "frac_visible"]
+    ).sort("image_id")
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1357,6 +1371,7 @@ QUERIES = {
     "q42_left_outer_join": q42_left_outer_join,
     "q43_mvt_tiles": q43_mvt_tiles,
     "q44_pansharpen_nearblack": q44_pansharpen_nearblack,
+    "q45_viewshed": q45_viewshed,
 }
 
 ORACLE_SQL = {

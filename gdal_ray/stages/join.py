@@ -139,6 +139,7 @@ def join_points_in_polygons(
     poly_cols: list[str] | None = None,
     hot_cells: dict[int, int] | None = None,
     point_id_col: str = "pid",
+    strategy: str = "groupby",
 ):
     """Inner spatial join: points intersecting polygons (exactly-once).
 
@@ -146,7 +147,22 @@ def join_points_in_polygons(
     columns.  Points own exactly one cell, so no cross-cell dedup is
     needed.  ``hot_cells`` maps cell id -> salt fan-out for skewed
     cells (points salted by id, polygons replicated per salt).
+
+    strategy="groupby" (default, the scale path): one shuffle of the
+    inputs, candidates generated and PIP-filtered inside the per-cell
+    group task.  strategy="hashjoin": Dataset.join candidate-pair
+    materialization (kept for low-fan-out workloads / comparison).
     """
+    if strategy == "groupby":
+        return _join_points_groupby(
+            points,
+            polygons,
+            zoom,
+            point_cols or [point_id_col],
+            poly_cols or ["fid"],
+            hot_cells=hot_cells,
+            point_id_col=point_id_col,
+        )
     key = "cell"
     pts = points.map_batches(assign_point_cells(zoom), batch_format="pyarrow")
     pol = polygons.map_batches(cover_envelope_cells(zoom), batch_format="pyarrow")
@@ -183,6 +199,102 @@ def join_points_in_polygons(
     if point_cols or poly_cols:
         exact = exact.select_columns(list(point_cols or []) + list(poly_cols or []))
     return exact
+
+
+def _join_points_groupby(
+    points, polygons, zoom, point_cols, poly_cols, hot_cells=None, point_id_col="pid"
+):
+    """Co-partitioned group join for points: union + groupby(cell) +
+    per-cell STRtree over points, probed by each polygon's envelope,
+    exact ray-casting PIP on the candidates (no cross-cell dedup — a
+    point owns exactly one cell)."""
+    from ..state.strtree import STRtree
+    from .tiles import _add_scatter
+
+    pts = points.select_columns(
+        list(dict.fromkeys(point_cols + ["x", "y"]))
+    ).map_batches(assign_point_cells(zoom), batch_format="pyarrow")
+    pol = polygons.select_columns(
+        list(dict.fromkeys(poly_cols + ["wkb", "minx", "miny", "maxx", "maxy"]))
+    ).map_batches(cover_envelope_cells(zoom), batch_format="pyarrow")
+    key = "cell"
+    if hot_cells:
+        pts = pts.map_batches(add_salt(hot_cells, point_id_col), batch_format="pyarrow")
+        pol = pol.map_batches(replicate_salt(hot_cells), batch_format="pyarrow")
+        key = "cellsalt"
+
+    pt_schema = dict(zip(pts.schema().names, pts.schema().types))
+    pol_schema = dict(zip(pol.schema().names, pol.schema().types))
+    full: dict[str, pa.DataType] = {}
+    for c, ty in pt_schema.items():
+        if c not in ("cell", "cellsalt"):
+            full[c] = ty
+    for c, ty in pol_schema.items():
+        if c in ("cell", "cellsalt"):
+            continue
+        full.setdefault(c, ty)
+    full["cell"] = pa.int64()
+    if key != "cell":
+        full[key] = pa.int64()
+    full["side"] = pa.int8()
+
+    def _aligned(t: pa.Table, side: int) -> pa.Table:
+        cols = {}
+        for name, ty in full.items():
+            if name == "side":
+                cols[name] = pa.array(np.full(t.num_rows, side, np.int8))
+            elif name in t.schema.names:
+                cols[name] = t.column(name).cast(ty)
+            else:
+                cols[name] = pa.nulls(t.num_rows, ty)
+        return pa.table(cols)
+
+    both = pts.map_batches(lambda t: _aligned(t, 0), batch_format="pyarrow").union(
+        pol.map_batches(lambda t: _aligned(t, 1), batch_format="pyarrow")
+    )
+    out_schema_cols = point_cols + poly_cols
+
+    def probe_group(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        pts_t = g.filter(pa.array(side == 0))
+        pol_t = g.filter(pa.array(side == 1))
+        empty = pa.table({c: g.column(c).slice(0, 0) for c in out_schema_cols})
+        if pts_t.num_rows == 0 or pol_t.num_rows == 0:
+            return empty
+        px = pts_t.column("x").to_numpy(zero_copy_only=False)
+        py = pts_t.column("y").to_numpy(zero_copy_only=False)
+        tree = STRtree(px, py, px, py)
+        bminx = pol_t.column("minx").to_numpy(zero_copy_only=False)
+        bminy = pol_t.column("miny").to_numpy(zero_copy_only=False)
+        bmaxx = pol_t.column("maxx").to_numpy(zero_copy_only=False)
+        bmaxy = pol_t.column("maxy").to_numpy(zero_copy_only=False)
+        wkbs = pol_t.column("wkb").to_pylist()
+        out_pi, out_gi = [], []
+        for p in range(pol_t.num_rows):
+            cand = tree.query(bminx[p], bminy[p], bmaxx[p], bmaxy[p])
+            if len(cand) == 0:
+                continue
+            parsed = geom.parse_wkb(wkbs[p])
+            hit = geom.points_intersect_geom(px[cand], py[cand], parsed)
+            sel = cand[hit]
+            if len(sel):
+                out_pi.append(sel)
+                out_gi.append(np.full(len(sel), p, dtype=np.int64))
+        if not out_pi:
+            return empty
+        pi = pa.array(np.concatenate(out_pi), pa.int64())
+        gi = pa.array(np.concatenate(out_gi), pa.int64())
+        cols = {}
+        for c in point_cols:
+            cols[c] = pts_t.column(c).take(pi)
+        for c in poly_cols:
+            cols[c] = pol_t.column(c).take(gi)
+        return pa.table(cols)
+
+    scattered = both.map_batches(lambda t: _add_scatter(t, key), batch_format="pyarrow")
+    return scattered.groupby(["__scatter", key]).map_groups(
+        probe_group, batch_format="pyarrow"
+    )
 
 
 def join_chips_with_polygons(

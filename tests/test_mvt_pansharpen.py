@@ -71,3 +71,25 @@ def test_nearblack_only_border_connected():
     m = nearblack_mask(img, near=15)
     assert m[0, 0] and m[2, 2]
     assert not m[5, 5] and not m[6, 6]
+
+
+def test_viewshed_flat_all_visible():
+    import numpy as np
+
+    from gdal_ray.stages.viewshed import viewshed_mask
+
+    flat = np.zeros((21, 21))
+    assert viewshed_mask(flat).all()
+
+
+def test_viewshed_wall_occludes():
+    import numpy as np
+
+    from gdal_ray.stages.viewshed import viewshed_mask
+
+    elev = np.zeros((21, 21))
+    elev[:, 14] = 100.0  # wall east of center (col 14, center col 10)
+    m = viewshed_mask(elev, obs_height=2.0)
+    assert m[10, 14]  # the wall top is visible
+    assert not m[10, 18] and not m[10, 20]  # behind the wall: hidden
+    assert m[10, 5]  # open west side visible
