@@ -783,6 +783,113 @@ GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey
 """
 
 
+def q46_sliding_window(sf_dir: str):
+    """Sliding window (2h size, 1h slide) per event_type: each event
+    lands in two windows (flat replication inside map_batches — the
+    batch expression of a sliding window, ray_guide 'Streaming-shaped
+    workloads')."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3600000000
+        milli = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0 + 0.5
+        ).astype(np.int64)
+        et = t.column("event_type")
+        n = len(hour)
+        # window starts: hour and hour-1 (2h windows sliding by 1h)
+        ws = np.concatenate([hour, hour - 1])
+        idx = np.concatenate([np.arange(n), np.arange(n)])
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(idx, pa.int64())),
+                "ws": pa.array(ws, pa.int64()),
+                "v_milli": pa.array(milli[idx], pa.int64()),
+            }
+        )
+
+    agg = R.grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "ws"],
+        [("v_milli", "sum", "sum_milli"), ("v_milli", "count", "n")],
+    )
+    return agg.sort(["event_type", "ws"])
+
+
+_Q46_SQL = """
+SELECT event_type, ws, SUM(v_milli) AS sum_milli, COUNT(*) AS n
+FROM (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 - k.k AS ws,
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_milli
+  FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+)
+GROUP BY event_type, ws ORDER BY event_type, ws
+"""
+
+
+def q47_session_window(sf_dir: str):
+    """Session windows per user (30-min inactivity gap): groupby(user)
+    -> per-group sorted gap-split (the keyed stateful-window pattern);
+    per user: n_sessions, n_events, total span seconds."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id", "event_id"])
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        # robust to pandas 2 unit-preserving dtypes (datetime64[us] vs [ns])
+        us = pd.Series(g["ts"].values.astype("datetime64[us]").astype(np.int64),
+                       index=g.index)
+        new_sess = (us.diff().fillna(GAP_US + 1) > GAP_US).astype(np.int64)
+        sess_id = new_sess.cumsum()
+        spans = us.groupby(sess_id.values).agg(["min", "max"])
+        total_span = int((spans["max"] - spans["min"]).sum() // 1_000_000)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [int(sess_id.iloc[-1])],
+                "n_events": [len(g)],
+                "span_s": [total_span],
+            }
+        )
+
+    return (
+        ev.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+_Q47_SQL = """
+SELECT user_id, MAX(sess_id) AS n_sessions, SUM(n_in_sess) AS n_events,
+       SUM(span_end - span_start) // 1000000 AS span_s
+FROM (
+  SELECT user_id, sess_id, COUNT(*) AS n_in_sess,
+         MIN(epoch_us(ts)) AS span_start, MAX(epoch_us(ts)) AS span_end
+  FROM (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000
+                  OR LAG(epoch_us(ts))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    )
+  )
+  GROUP BY user_id, sess_id
+)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ------------------------------------------------ rows-only (non-SQL) ops
 
 
@@ -1372,6 +1479,8 @@ QUERIES = {
     "q43_mvt_tiles": q43_mvt_tiles,
     "q44_pansharpen_nearblack": q44_pansharpen_nearblack,
     "q45_viewshed": q45_viewshed,
+    "q46_sliding_window": q46_sliding_window,
+    "q47_session_window": q47_session_window,
 }
 
 ORACLE_SQL = {
@@ -1393,4 +1502,6 @@ ORACLE_SQL = {
     "q16_ann_cosine": _Q16_SQL,
     "q41_scalar_functions": _Q41_SQL,
     "q42_left_outer_join": _Q42_SQL,
+    "q46_sliding_window": _Q46_SQL,
+    "q47_session_window": _Q47_SQL,
 }
