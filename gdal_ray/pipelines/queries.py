@@ -224,8 +224,8 @@ def q01_lineitem_agg(sf_dir: str):
 
 _Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
        SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
            * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) / 10000.0 AS sum_revenue,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
@@ -360,7 +360,7 @@ def q06_broadcast_join(sf_dir: str):
 
 _Q06_SQL = """
 SELECT c_mktsegment,
-       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_cents,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
        COUNT(*) AS n
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
@@ -394,7 +394,7 @@ def q07_hash_join(sf_dir: str):
 
 
 _Q07_SQL = """
-SELECT o_orderpriority, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS n_items
+SELECT o_orderpriority, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, COUNT(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
@@ -536,7 +536,7 @@ def q12_window_tumbling(sf_dir: str):
 
 _Q12_SQL = """
 SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
-       SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS sum_milli, COUNT(*) AS n
+       CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_milli, COUNT(*) AS n
 FROM events GROUP BY event_type, hour ORDER BY event_type, hour
 """
 
@@ -577,8 +577,8 @@ def q14_token_count(sf_dir: str):
 
 _Q14_SQL = """
 SELECT lang,
-       SUM(CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS sum_tokens,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens,
        COUNT(*) AS n_docs
 FROM documents GROUP BY lang ORDER BY lang
 """
@@ -625,9 +625,9 @@ def q15_text_quality(sf_dir: str):
 
 
 _Q15_SQL = """
-SELECT lang, SUM(length(text)) AS sum_chars,
-       SUM(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS sum_alpha,
-       SUM(length(text) - length(regexp_replace(text, '\\s', '', 'g'))) AS sum_space
+SELECT lang, CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS BIGINT) AS sum_alpha,
+       CAST(SUM(length(text) - length(regexp_replace(text, '\\s', '', 'g'))) AS BIGINT) AS sum_space
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -777,7 +777,7 @@ def q42_left_outer_join(sf_dir: str):
 
 _Q42_SQL = """
 SELECT c_custkey, c_mktsegment,
-       SUM(CASE WHEN o_orderkey IS NULL THEN 0 ELSE 1 END) AS n_orders
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_orders
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey
 """
@@ -818,7 +818,7 @@ def q46_sliding_window(sf_dir: str):
 
 
 _Q46_SQL = """
-SELECT event_type, ws, SUM(v_milli) AS sum_milli, COUNT(*) AS n
+SELECT event_type, ws, CAST(SUM(v_milli) AS BIGINT) AS sum_milli, COUNT(*) AS n
 FROM (
   SELECT event_type,
          epoch_us(ts) // 3600000000 - k.k AS ws,
@@ -864,8 +864,9 @@ def q47_session_window(sf_dir: str):
 
 
 _Q47_SQL = """
-SELECT user_id, MAX(sess_id) AS n_sessions, SUM(n_in_sess) AS n_events,
-       SUM(span_end - span_start) // 1000000 AS span_s
+SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_in_sess) AS BIGINT) AS n_events,
+       CAST(SUM(span_end - span_start) // 1000000 AS BIGINT) AS span_s
 FROM (
   SELECT user_id, sess_id, COUNT(*) AS n_in_sess,
          MIN(epoch_us(ts)) AS span_start, MAX(epoch_us(ts)) AS span_end

@@ -39,6 +39,9 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
         return False, f"rows {len(a)} vs {len(b)}"
     a, b = canon(a), canon(b)
     for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if (ka in "iu") != (kb in "iu"):
+            return False, f"col {c} dtype kind differs: {a[c].dtype} vs {b[c].dtype}"
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             if not np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=0):
