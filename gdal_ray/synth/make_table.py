@@ -307,12 +307,25 @@ def _gen_parquet(path: str, n: int, gen, use_ray_threshold: int = 50_000) -> Non
             .map_batches(gen, batch_format="numpy", batch_size=2048)
             .write_parquet(tmp)
         )
-        os.rename(tmp, path)
+        _rename_or_lose(tmp, path)
     else:
         table = gen({"id": np.arange(n, dtype=np.int64)})
         os.makedirs(tmp, exist_ok=True)
         pq.write_table(table, os.path.join(tmp, "part-0.parquet"))
+        _rename_or_lose(tmp, path)
+
+
+def _rename_or_lose(tmp: str, path: str) -> None:
+    """Atomic publish; a concurrent generator winning the race is fine
+    (content is deterministic) — drop our copy."""
+    try:
         os.rename(tmp, path)
+    except OSError:
+        if not os.path.exists(path):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def ensure_fixtures(scale: str = "smoke", root: str = FIXTURE_ROOT) -> dict[str, str]:
