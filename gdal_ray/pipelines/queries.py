@@ -1501,6 +1501,9 @@ ORACLE_SQL = {
     "q14_token_count": _Q14_SQL,
     "q15_text_quality": _Q15_SQL,
     "q16_ann_cosine": _Q16_SQL,
+    # q27 computes the same result as q11 through the cell-ring scale
+    # path — the exact-kNN SQL is its oracle too
+    "q27_knn_cell_ring": _Q11_SQL,
     "q41_scalar_functions": _Q41_SQL,
     "q42_left_outer_join": _Q42_SQL,
     "q46_sliding_window": _Q46_SQL,

@@ -113,6 +113,7 @@ def add_salt(n_salt_for_cell: dict[int, int], id_col: str, cell_col: str = "cell
 
     def fn(batch: pa.Table) -> pa.Table:
         cells = batch.column(cell_col).to_numpy(zero_copy_only=False)
+        cells = _zoom_masked(cells)
         col = batch.column(id_col)
         if pa.types.is_string(col.type) or pa.types.is_binary(col.type):
             import zlib
@@ -125,8 +126,9 @@ def add_salt(n_salt_for_cell: dict[int, int], id_col: str, cell_col: str = "cell
         else:
             ids = col.to_numpy(zero_copy_only=False).astype(np.int64)
         salt = np.zeros(len(cells), dtype=np.int64)
+        mask = (np.int64(1) << np.int64(58)) - np.int64(1)
         for cell, ns in n_salt_for_cell.items():
-            m = cells == cell
+            m = cells == (np.int64(cell) & mask)
             if m.any():
                 salt[m] = (ids[m] * 2654435761) % ns
         key = cells * MAX_SALT + salt
@@ -136,15 +138,29 @@ def add_salt(n_salt_for_cell: dict[int, int], id_col: str, cell_col: str = "cell
     return fn
 
 
+def _zoom_masked(cells: np.ndarray) -> np.ndarray:
+    """Salted keys multiply the cell by MAX_SALT, which would shift the
+    zoom bits (cell = z<<58 | x<<29 | y) off the top of int64.  All
+    salted joins run at a single zoom, so drop the zoom bits — and
+    assert that invariant rather than silently wrapping."""
+    if len(cells):
+        z = cells >> 58
+        if z.min() != z.max():
+            raise ValueError("salted join requires a single zoom level")
+    return cells & ((np.int64(1) << np.int64(58)) - np.int64(1))
+
+
 def replicate_salt(n_salt_for_cell: dict[int, int], cell_col: str = "cell"):
     """Other side of salting: replicate hot-cell rows across all salts."""
     MAX_SALT = 64
 
     def fn(batch: pa.Table) -> pa.Table:
         cells = batch.column(cell_col).to_numpy(zero_copy_only=False)
+        cells = _zoom_masked(cells)
         reps = np.ones(len(cells), dtype=np.int64)
+        mask = (np.int64(1) << np.int64(58)) - np.int64(1)
         for cell, ns in n_salt_for_cell.items():
-            reps[cells == cell] = ns
+            reps[cells == (np.int64(cell) & mask)] = ns
         row_idx = np.repeat(np.arange(len(cells), dtype=np.int64), reps)
         starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
         salt = np.arange(len(row_idx), dtype=np.int64) - np.repeat(starts, reps)

@@ -135,7 +135,10 @@ def knn_cell_ring(
         bmaxx = bminx + 3 * cell_size
         bmaxy = bminy + 3 * cell_size
         edge = min(px[0] - bminx, bmaxx - px[0], py[0] - bminy, bmaxy - py[0])
-        resolved = len(order) >= k and d2[order[-1]] <= edge * edge
+        # strict <: a site just outside the 3x3 block at exactly the kth
+        # distance could win the (d2, sid) tie-break — fall back to the
+        # exact pass on boundary ties
+        resolved = len(order) >= k and d2[order[-1]] < edge * edge
         return pa.table(
             {
                 "pid": pa.array([pid] * len(order), pa.int64()),

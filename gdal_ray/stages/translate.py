@@ -40,6 +40,10 @@ class TranslateChips:
         self.srcwin = srcwin
         self.out_size = out_size
         self.resampling = resampling
+        if bands is not None and len(bands) not in (1, 3):
+            # chips are stored 3-channel; a 2-band selection would
+            # silently mis-round-trip through the codecs
+            raise ValueError("bands must select 1 or 3 channels")
         self.bands = bands
         self.scale = scale
 

@@ -84,6 +84,22 @@ def write_partitioned(
     counter rows (pid, rows, skipped)."""
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest(out_dir)
+    # store-level layout manifest: a rerun with a different shift or key
+    # column must fail loudly, not silently mix two partition layouts
+    layout = {"key_col": key_col, "shift": shift}
+    layout_path = os.path.join(out_dir, "_store.json")
+    if os.path.exists(layout_path):
+        prev = json.load(open(layout_path))
+        if prev != layout:
+            raise ValueError(
+                f"checkpoint store {out_dir} was written with layout {prev}; "
+                f"rerun requested {layout} — use a fresh out_dir"
+            )
+    else:
+        tmp = layout_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(layout, f)
+        os.replace(tmp, layout_path)
 
     def add_pid(t: pa.Table) -> pa.Table:
         keys = t.column(key_col).to_numpy(zero_copy_only=False)

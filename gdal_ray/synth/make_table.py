@@ -298,7 +298,10 @@ def gen_points_batch(batch: dict, n_polys: int = 100) -> pa.Table:
 
 
 def _gen_parquet(path: str, n: int, gen, use_ray_threshold: int = 50_000) -> None:
-    tmp = path + ".tmp"
+    # unique tmp dir per generator: concurrent generators must never
+    # write into each other's tmp (content is deterministic, but a
+    # reader could observe a truncated parquet mid-write otherwise)
+    tmp = f"{path}.tmp.{os.getpid()}"
     if n >= use_ray_threshold:
         import ray.data as rd
 
