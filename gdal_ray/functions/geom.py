@@ -290,6 +290,34 @@ def ring_area(ring: np.ndarray) -> float:
     return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
 
+def clip_polygon_rect(polys: list[list[np.ndarray]], minx, miny, maxx, maxy):
+    """Intersection GEOMETRY of a (multi)polygon with an axis-aligned
+    rect (reference semantics: OGR layer-algebra Intersection,
+    ogrlayer.cpp:3345, for the rect clip window case).  Sutherland-
+    Hodgman per ring; hole areas subtract.  Returns (wkb | None, area);
+    boundary-touch intersections come back as (None, 0.0)."""
+    out_polys: list[list[np.ndarray]] = []
+    area = 0.0
+    for rings in polys:
+        ext = clip_ring_rect(rings[0], minx, miny, maxx, maxy)
+        if ext is None:
+            continue
+        clipped = [ext]
+        a = abs(ring_area(ext))
+        for hole in rings[1:]:
+            ch = clip_ring_rect(hole, minx, miny, maxx, maxy)
+            if ch is not None:
+                clipped.append(ch)
+                a -= abs(ring_area(ch))
+        out_polys.append(clipped)
+        area += a
+    if not out_polys:
+        return None, 0.0
+    if len(out_polys) == 1:
+        return wkb_polygon(out_polys[0]), area
+    return wkb_multipolygon(out_polys), area
+
+
 def representative_point(rings: list[np.ndarray]) -> tuple[float, float]:
     """Deterministic interior-ish representative: the exterior ring's
     first vertex (matches are canonicalized on this point's cell)."""

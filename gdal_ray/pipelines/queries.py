@@ -1432,6 +1432,140 @@ def q45_viewshed(sf_dir: str):
     ).sort("image_id")
 
 
+def q48_clip_points(sf_dir: str):
+    """Clip (semi join): points kept when inside >= 1 polygon, via the
+    co-partitioned one-shuffle semi join (ogrlayer.cpp:5497 semantics;
+    no driver-side match set)."""
+    from ..stages.join import clip_erase_points
+
+    pts = _derive_points(sf_dir)
+    rects = _derive_rects(sf_dir, as_wkb=True)
+    return clip_erase_points(pts, rects, zoom=10, anti=False).sort("pid")
+
+
+_Q48_SQL = f"""
+SELECT p.pid, p.x, p.y FROM ({_PTS_SQL}) p
+WHERE EXISTS (SELECT 1 FROM ({_RECTS_SQL}) r
+              WHERE p.x BETWEEN r.minx AND r.maxx AND p.y BETWEEN r.miny AND r.maxy)
+ORDER BY p.pid
+"""
+
+
+def q49_erase_points(sf_dir: str):
+    """Erase (anti join): points kept when inside NO polygon
+    (ogrlayer.cpp:5806 semantics), same co-partitioned machinery."""
+    from ..stages.join import clip_erase_points
+
+    pts = _derive_points(sf_dir)
+    rects = _derive_rects(sf_dir, as_wkb=True)
+    return clip_erase_points(pts, rects, zoom=10, anti=True).sort("pid")
+
+
+_Q49_SQL = f"""
+SELECT p.pid, p.x, p.y FROM ({_PTS_SQL}) p
+WHERE NOT EXISTS (SELECT 1 FROM ({_RECTS_SQL}) r
+                  WHERE p.x BETWEEN r.minx AND r.maxx AND p.y BETWEEN r.miny AND r.maxy)
+ORDER BY p.pid
+"""
+
+
+def _derive_rects_b(sf_dir: str):
+    """Second rect layer (from supplier) for the overlay oracle — WKB
+    polygons + envelopes, integer-derived coords mirrored in SQL."""
+    from ..functions.geom import wkb_polygon
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t.column("s_suppkey").to_numpy(zero_copy_only=False)
+        cx = ((k * 83) % 2000).astype(np.float64) * 1250.0
+        cy = ((k * 47) % 2000).astype(np.float64) * 1250.0
+        hw = (100 + (k % 150)).astype(np.float64) * 100.0
+        wkbs = [
+            wkb_polygon(
+                [
+                    np.array(
+                        [
+                            [cx[i] - hw[i], cy[i] - hw[i]],
+                            [cx[i] + hw[i], cy[i] - hw[i]],
+                            [cx[i] + hw[i], cy[i] + hw[i]],
+                            [cx[i] - hw[i], cy[i] + hw[i]],
+                            [cx[i] - hw[i], cy[i] - hw[i]],
+                        ]
+                    )
+                ]
+            )
+            for i in range(len(k))
+        ]
+        return pa.table(
+            {
+                "fid_b": pa.array(k, pa.int64()),
+                "wkb": pa.array(wkbs, pa.binary()),
+                "minx": pa.array(cx - hw, pa.float64()),
+                "miny": pa.array(cy - hw, pa.float64()),
+                "maxx": pa.array(cx + hw, pa.float64()),
+                "maxy": pa.array(cy + hw, pa.float64()),
+            }
+        )
+
+    return sup.map_batches(fn, batch_format="pyarrow")
+
+
+_RECTS_B_SQL = (
+    "SELECT s_suppkey AS fid_b, "
+    "((s_suppkey * 83) % 2000) * 1250.0 - (100 + (s_suppkey % 150)) * 100.0 AS minx, "
+    "((s_suppkey * 47) % 2000) * 1250.0 - (100 + (s_suppkey % 150)) * 100.0 AS miny, "
+    "((s_suppkey * 83) % 2000) * 1250.0 + (100 + (s_suppkey % 150)) * 100.0 AS maxx, "
+    "((s_suppkey * 47) % 2000) * 1250.0 + (100 + (s_suppkey % 150)) * 100.0 AS maxy "
+    "FROM supplier"
+)
+
+
+def q51_intersection_overlay(sf_dir: str):
+    """Geometry-producing overlay (ogrlayer.cpp:3345 Intersection):
+    rect layer A x rect layer B through the full join machinery with
+    emit_geometry — output is the clipped intersection geometry's area
+    (exact integer m^2; the WKB itself is round-trip-tested in pytest)."""
+    from ..stages.join import join_chips_with_polygons
+
+    a = _derive_rects(sf_dir, as_wkb=False).map_batches(
+        lambda t: t.rename_columns(
+            ["fid_a" if c == "fid" else c for c in t.schema.names]
+        ),
+        batch_format="pyarrow",
+    )
+    b = _derive_rects_b(sf_dir)
+    out = join_chips_with_polygons(
+        a, b, zoom=10, chip_cols=["fid_a"], poly_cols=["fid_b"], emit_geometry=True
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        area = pc.cast(
+            pc.floor(pc.add(t.column("inter_area"), pa.scalar(0.5))), pa.int64()
+        )
+        return pa.table(
+            {
+                "fid_a": t.column("fid_a"),
+                "fid_b": t.column("fid_b"),
+                "area_m2": area,
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow").sort(["fid_a", "fid_b"])
+
+
+_Q51_SQL = f"""
+SELECT a.fid_a, b.fid_b,
+       CAST(FLOOR((LEAST(a.maxx, b.maxx) - GREATEST(a.minx, b.minx))
+                  * (LEAST(a.maxy, b.maxy) - GREATEST(a.miny, b.miny)) + 0.5) AS BIGINT) AS area_m2
+FROM (SELECT fid AS fid_a, minx, miny, maxx, maxy FROM ({_RECTS_SQL})) a,
+     ({_RECTS_B_SQL}) b
+WHERE LEAST(a.maxx, b.maxx) >= GREATEST(a.minx, b.minx)
+  AND LEAST(a.maxy, b.maxy) >= GREATEST(a.miny, b.miny)
+ORDER BY a.fid_a, b.fid_b
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1482,6 +1616,9 @@ QUERIES = {
     "q45_viewshed": q45_viewshed,
     "q46_sliding_window": q46_sliding_window,
     "q47_session_window": q47_session_window,
+    "q48_clip_points": q48_clip_points,
+    "q49_erase_points": q49_erase_points,
+    "q51_intersection_overlay": q51_intersection_overlay,
 }
 
 ORACLE_SQL = {
@@ -1508,4 +1645,7 @@ ORACLE_SQL = {
     "q42_left_outer_join": _Q42_SQL,
     "q46_sliding_window": _Q46_SQL,
     "q47_session_window": _Q47_SQL,
+    "q48_clip_points": _Q48_SQL,
+    "q49_erase_points": _Q49_SQL,
+    "q51_intersection_overlay": _Q51_SQL,
 }

@@ -306,10 +306,14 @@ def join_chips_with_polygons(
     poly_cols: list[str] | None = None,
     strategy: str = "groupby",
     hot_cells: dict[int, int] | None = None,
+    emit_geometry: bool = False,
 ):
     """Inner spatial join: chip footprints (axis-aligned rects from
     minx..maxy) intersecting polygons — both sides envelope-replicated
     to covering cells, exactly-once via the canonical-cell rule.
+    ``emit_geometry`` additionally outputs the intersection geometry
+    (inter_wkb, inter_area) per pair — the geometry-producing overlay
+    of ogrlayer.cpp:3345 Intersection.
 
     strategy="groupby" (default): union + groupby(cell) + per-group
     STRtree probe — candidate pairs are generated AND filtered inside
@@ -321,8 +325,10 @@ def join_chips_with_polygons(
     if strategy == "groupby":
         return _join_chips_groupby(
             chips, polygons, zoom, chip_cols or ["image_id"], poly_cols or ["fid"],
-            hot_cells=hot_cells,
+            hot_cells=hot_cells, emit_geometry=emit_geometry,
         )
+    if emit_geometry:
+        raise ValueError("emit_geometry requires strategy='groupby'")
     ch = chips.map_batches(cover_envelope_cells(zoom), batch_format="pyarrow")
     pol = polygons.map_batches(cover_envelope_cells(zoom), batch_format="pyarrow")
     pairs = ch.join(
@@ -355,7 +361,8 @@ def join_chips_with_polygons(
     return exact
 
 
-def _join_chips_groupby(chips, polygons, zoom, chip_cols, poly_cols, hot_cells=None):
+def _join_chips_groupby(chips, polygons, zoom, chip_cols, poly_cols, hot_cells=None,
+                        emit_geometry=False):
     """Co-partitioned group join: one shuffle of the replicated inputs,
     per-cell STRtree build + probe + exact test in map_groups (the
     per-partition index pattern of SURVEY.md §2.3).  ``hot_cells``
@@ -424,9 +431,11 @@ def _join_chips_groupby(chips, polygons, zoom, chip_cols, poly_cols, hot_cells=N
         chips_t = g.filter(pa.array(side == 0))
         polys_t = g.filter(pa.array(side == 1))
         n_c, n_p = chips_t.num_rows, polys_t.num_rows
-        empty = pa.table(
-            {c: g.column(c).slice(0, 0) for c in out_schema_cols}
-        )
+        empty_cols = {c: g.column(c).slice(0, 0) for c in out_schema_cols}
+        if emit_geometry:
+            empty_cols["inter_wkb"] = pa.array([], pa.binary())
+            empty_cols["inter_area"] = pa.array([], pa.float64())
+        empty = pa.table(empty_cols)
         if n_c == 0 or n_p == 0:
             return empty
         cell = int(g.column("cell")[0].as_py())
@@ -441,6 +450,7 @@ def _join_chips_groupby(chips, polygons, zoom, chip_cols, poly_cols, hot_cells=N
         wkbs = polys_t.column("wkb").to_pylist()
         tree = STRtree(aminx, aminy, amaxx, amaxy)
         out_ci, out_pi = [], []
+        out_wkb, out_area = [], []
         for p in range(n_p):
             cand = tree.query(bminx[p], bminy[p], bmaxx[p], bmaxy[p])
             if len(cand) == 0:
@@ -461,6 +471,13 @@ def _join_chips_groupby(chips, polygons, zoom, chip_cols, poly_cols, hot_cells=N
             if len(sel):
                 out_ci.append(sel)
                 out_pi.append(np.full(len(sel), p, dtype=np.int64))
+                if emit_geometry:
+                    for c in sel:
+                        wkb_i, area = geom.clip_polygon_rect(
+                            rings_list, aminx[c], aminy[c], amaxx[c], amaxy[c]
+                        )
+                        out_wkb.append(wkb_i or b"")
+                        out_area.append(area)
         if not out_ci:
             return empty
         ci = pa.array(np.concatenate(out_ci), pa.int64())
@@ -470,6 +487,9 @@ def _join_chips_groupby(chips, polygons, zoom, chip_cols, poly_cols, hot_cells=N
             cols[c] = chips_t.column(c).take(ci)
         for c in poly_cols:
             cols[c] = polys_t.column(c).take(pi)
+        if emit_geometry:
+            cols["inter_wkb"] = pa.array(out_wkb, pa.binary())
+            cols["inter_area"] = pa.array(out_area, pa.float64())
         return pa.table(cols)
 
     from .tiles import _add_scatter
@@ -480,21 +500,119 @@ def _join_chips_groupby(chips, polygons, zoom, chip_cols, poly_cols, hot_cells=N
     )
 
 
-def semi_join_points(points, matched_pids, point_id_col: str = "pid", anti: bool = False):
-    """Clip (semi) / Erase (anti) over a computed match set
-    (ogrlayer.cpp:5497 Clip, :5806 Erase): broadcast the matched-id set
-    (ray.put once) and filter points inside map_batches."""
-    import ray
+def clip_erase_points(
+    points,
+    polygons,
+    zoom: int = 10,
+    anti: bool = False,
+    point_cols: list[str] | None = None,
+    hot_cells: dict[int, int] | None = None,
+    point_id_col: str = "pid",
+):
+    """Clip (semi) / Erase (anti) join, fully co-partitioned
+    (ogrlayer.cpp:5497 Clip, :5806 Erase semantics for point inputs):
+    points and covering-cell-replicated polygons meet in ONE
+    groupby(cell) shuffle; the group task emits each point exactly once
+    (a point owns exactly one cell) with its matched flag, so neither
+    the match set nor the candidate pairs ever reach the driver.
 
-    ref = ray.put(set(matched_pids))
+    Scale note: identical partitioning/salting contract as
+    :func:`join_points_in_polygons`; output is the filtered point rows.
+    """
+    from ..state.strtree import STRtree
+    from .tiles import _add_scatter
+
+    point_cols = point_cols or [point_id_col, "x", "y"]
+    pts = points.select_columns(
+        list(dict.fromkeys(point_cols + ["x", "y"]))
+    ).map_batches(assign_point_cells(zoom), batch_format="pyarrow")
+    pol = polygons.select_columns(
+        ["wkb", "minx", "miny", "maxx", "maxy"]
+    ).map_batches(cover_envelope_cells(zoom), batch_format="pyarrow")
+    key = "cell"
+    if hot_cells:
+        pts = pts.map_batches(add_salt(hot_cells, point_id_col), batch_format="pyarrow")
+        pol = pol.map_batches(replicate_salt(hot_cells), batch_format="pyarrow")
+        key = "cellsalt"
+
+    pt_schema = dict(zip(pts.schema().names, pts.schema().types))
+    pol_schema = dict(zip(pol.schema().names, pol.schema().types))
+    full: dict[str, pa.DataType] = {}
+    for c, ty in pt_schema.items():
+        if c not in ("cell", "cellsalt"):
+            full[c] = ty
+    for c, ty in pol_schema.items():
+        if c not in ("cell", "cellsalt"):
+            full.setdefault(c, ty)
+    full["cell"] = pa.int64()
+    if key != "cell":
+        full[key] = pa.int64()
+    full["side"] = pa.int8()
+
+    def _aligned(t: pa.Table, side: int) -> pa.Table:
+        cols = {}
+        for name, ty in full.items():
+            if name == "side":
+                cols[name] = pa.array(np.full(t.num_rows, side, np.int8))
+            elif name in t.schema.names:
+                cols[name] = t.column(name).cast(ty)
+            else:
+                cols[name] = pa.nulls(t.num_rows, ty)
+        return pa.table(cols)
+
+    both = pts.map_batches(lambda t: _aligned(t, 0), batch_format="pyarrow").union(
+        pol.map_batches(lambda t: _aligned(t, 1), batch_format="pyarrow")
+    )
+
+    def flag_group(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        pts_t = g.filter(pa.array(side == 0))
+        if pts_t.num_rows == 0:
+            return pa.table({c: g.column(c).slice(0, 0) for c in point_cols})
+        pol_t = g.filter(pa.array(side == 1))
+        matched = np.zeros(pts_t.num_rows, dtype=bool)
+        if pol_t.num_rows:
+            px = pts_t.column("x").to_numpy(zero_copy_only=False)
+            py = pts_t.column("y").to_numpy(zero_copy_only=False)
+            tree = STRtree(px, py, px, py)
+            bminx = pol_t.column("minx").to_numpy(zero_copy_only=False)
+            bminy = pol_t.column("miny").to_numpy(zero_copy_only=False)
+            bmaxx = pol_t.column("maxx").to_numpy(zero_copy_only=False)
+            bmaxy = pol_t.column("maxy").to_numpy(zero_copy_only=False)
+            wkbs = pol_t.column("wkb").to_pylist()
+            for p in range(pol_t.num_rows):
+                cand = tree.query(bminx[p], bminy[p], bmaxx[p], bmaxy[p])
+                cand = cand[~matched[cand]]  # only probe still-unmatched points
+                if len(cand) == 0:
+                    continue
+                parsed = geom.parse_wkb(wkbs[p])
+                hit = geom.points_intersect_geom(px[cand], py[cand], parsed)
+                matched[cand[hit]] = True
+        keep = ~matched if anti else matched
+        return pa.table({c: pts_t.column(c).filter(pa.array(keep)) for c in point_cols})
+
+    scattered = both.map_batches(lambda t: _add_scatter(t, key), batch_format="pyarrow")
+    return scattered.groupby(["__scatter", key]).map_groups(
+        flag_group, batch_format="pyarrow"
+    )
+
+
+def semi_join_points(points, matched_pids, point_id_col: str = "pid", anti: bool = False):
+    """Semi/anti filter over an id set already small enough to broadcast
+    (ray.put once, vectorized ``pc.is_in`` per batch).  For the full
+    Clip/Erase operator use :func:`clip_erase_points`, which never
+    materializes the match set."""
+    import ray
+    import pyarrow.compute as pc
+
+    ref = ray.put(pa.array(sorted(set(int(i) for i in matched_pids)), pa.int64()))
 
     def fn(t: pa.Table) -> pa.Table:
-        ids = t.column(point_id_col).to_numpy(zero_copy_only=False)
-        s = ray.get(ref)
-        keep = np.fromiter((i in s for i in ids), dtype=bool, count=len(ids))
+        ids = t.column(point_id_col)
+        keep = pc.is_in(ids, value_set=ray.get(ref))
         if anti:
-            keep = ~keep
-        return t.filter(pa.array(keep))
+            keep = pc.invert(keep)
+        return t.filter(keep)
 
     fn.__name__ = "anti_join" if anti else "semi_join"
     return points.map_batches(fn, batch_format="pyarrow")
