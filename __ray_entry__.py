@@ -33,6 +33,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    """SQL-expressible oracles (static strings over the testdata views)
+    plus golden-backed oracles: independent single-process reference
+    implementations (gdal_ray.oracle_ref) rendered as self-contained
+    inline-VALUES SELECTs at the driver's correctness scale (sf0.01;
+    override with GDAL_RAY_ORACLE_SF for local checks)."""
+    import os
+
+    from gdal_ray.oracle_ref import golden_oracle_sql
     from gdal_ray.pipelines.queries import ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    sf_dir = os.environ.get("GDAL_RAY_ORACLE_SF", "/root/testdata/sf0.01")
+    out = dict(ORACLE_SQL)
+    out.update(golden_oracle_sql(sf_dir))
+    return out

@@ -1,0 +1,127 @@
+"""Independent reference implementations -> inline DuckDB oracles.
+
+Many operators (sketches, rasters, tiles) are not expressible in plain
+SQL over the input tables.  For those, the oracle is a GOLDEN result
+computed by an INDEPENDENT single-process reference implementation
+(separately-coded algorithms in this package — never the engine's
+stages), rendered as a self-contained ``SELECT * FROM (VALUES ...)``
+statement that DuckDB evaluates with no filesystem access.  This is
+the checksum-golden discipline of the reference's
+autotest/pyscripts/test_gdal2tiles.py:85-121, made visible to the
+correctness driver.
+
+Goldens are cached as parquet under /tmp/gdal_ray_oracle/<ver>/<scale>
+keyed by the fixture scale, so repeated ``oracle_sql()`` calls render
+instantly.
+
+This package must NOT import from gdal_ray.stages / gdal_ray.pipelines
+(independence); sharing pure *format* helpers (codecs to read the
+input bytes, the checksum definition that IS the output format) is
+allowed and noted per-use.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+CACHE_ROOT = "/tmp/gdal_ray_oracle/v1"
+
+
+def _scale_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "unknown"
+
+
+def _sql_lit(v, dtype) -> str:
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "NULL"
+    if np.issubdtype(dtype, np.floating):
+        return repr(float(v))  # shortest repr round-trips to the same double
+    if np.issubdtype(dtype, np.integer):
+        return str(int(v))
+    if np.issubdtype(dtype, np.bool_):
+        return "TRUE" if v else "FALSE"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def _sql_type(dtype) -> str:
+    if np.issubdtype(dtype, np.floating):
+        return "DOUBLE"
+    if np.issubdtype(dtype, np.integer):
+        return "BIGINT"
+    if np.issubdtype(dtype, np.bool_):
+        return "BOOLEAN"
+    return "VARCHAR"
+
+
+def values_sql(df: pd.DataFrame, order_by: list[str]) -> str:
+    """Render a DataFrame as a typed inline-VALUES SELECT."""
+    cols = list(df.columns)
+    if len(df) == 0:
+        sel = ", ".join(
+            f"CAST(NULL AS {_sql_type(df[c].dtype)}) AS {c}" for c in cols
+        )
+        return f"SELECT {sel} WHERE FALSE"
+    dtypes = {c: df[c].dtype for c in cols}
+    rows = []
+    first = True
+    for tup in df.itertuples(index=False, name=None):
+        if first:
+            vals = ", ".join(
+                f"CAST({_sql_lit(v, dtypes[c])} AS {_sql_type(dtypes[c])})"
+                for v, c in zip(tup, cols)
+            )
+            first = False
+        else:
+            vals = ", ".join(_sql_lit(v, dtypes[c]) for v, c in zip(tup, cols))
+        rows.append(f"({vals})")
+    body = ",\n".join(rows)
+    ob = ", ".join(order_by)
+    return f"SELECT * FROM (VALUES\n{body}\n) AS t({', '.join(cols)}) ORDER BY {ob}"
+
+
+def _registry():
+    # name -> (builder(sf_dir) -> pd.DataFrame, order_by columns)
+    from . import annref, rasterref, textref, tileref
+
+    reg = {}
+    reg.update(textref.GOLDENS)
+    reg.update(annref.GOLDENS)
+    reg.update(rasterref.GOLDENS)
+    reg.update(tileref.GOLDENS)
+    return reg
+
+
+def golden_df(name: str, sf_dir: str) -> pd.DataFrame:
+    """Compute (or load cached) golden for one query at a scale."""
+    reg = _registry()
+    builder, _ = reg[name]
+    cache = os.path.join(CACHE_ROOT, _scale_tag(sf_dir), f"{name}.parquet")
+    if os.path.exists(cache):
+        return pq.read_table(cache).to_pandas()
+    df = builder(sf_dir)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    tmp = cache + f".tmp.{os.getpid()}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    os.replace(tmp, cache)
+    return df
+
+
+def golden_sql(name: str, sf_dir: str) -> str:
+    reg = _registry()
+    _, order_by = reg[name]
+    return values_sql(golden_df(name, sf_dir), order_by)
+
+
+def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """All golden-backed oracle SQL statements for a scale."""
+    return {name: golden_sql(name, sf_dir) for name in _registry()}
+
+
+def golden_names() -> list[str]:
+    return list(_registry())

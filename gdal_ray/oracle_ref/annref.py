@@ -1,0 +1,160 @@
+"""Reference implementations for the similarity-search / image near-dup
+queries (q21/q26/q28) — single-process numpy, separately coded from the
+engine's bucketed map_batches/groupby stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+try:
+    _popcount = np.bitwise_count  # numpy >= 2.0
+except AttributeError:  # pragma: no cover
+    _TABLE = np.array([bin(i).count("1") for i in range(65536)], dtype=np.int64)
+
+    def _popcount(x):
+        x = np.asarray(x, np.uint64)
+        return (
+            _TABLE[x & np.uint64(0xFFFF)]
+            + _TABLE[(x >> np.uint64(16)) & np.uint64(0xFFFF)]
+            + _TABLE[(x >> np.uint64(32)) & np.uint64(0xFFFF)]
+            + _TABLE[(x >> np.uint64(48)) & np.uint64(0xFFFF)]
+        )
+
+
+def _embeddings(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    emb = np.stack([np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()])
+    order = np.argsort(ids, kind="mergesort")
+    return ids[order], emb[order]
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+# ----------------------------------------------------------- q21 ann lsh
+
+
+def q21_ann_lsh(sf_dir: str, k: int = 5, n_planes: int = 12) -> pd.DataFrame:
+    ids, emb = _embeddings(sf_dir)
+    dim = emb.shape[1]
+    planes = np.random.RandomState(42).standard_normal((dim, n_planes))
+    pows = (1 << np.arange(n_planes)).astype(np.int64)
+    buckets = (((emb @ planes) > 0) * pows[None, :]).sum(axis=1)
+    qsel = ids < 8
+    qids, qemb = ids[qsel], _unit(emb[qsel])
+    qbuckets = (((qemb @ planes) > 0) * pows[None, :]).sum(axis=1)
+    en = _unit(emb)
+    out_q, out_v, out_r = [], [], []
+    for qi in range(len(qids)):
+        rows = np.flatnonzero(buckets == qbuckets[qi])
+        if len(rows) == 0:
+            continue
+        scores = en[rows] @ qemb[qi]
+        # top-k by (score desc, vec_id asc), stable
+        order = np.lexsort((ids[rows], -scores))[:k]
+        for r, idx in enumerate(order, start=1):
+            out_q.append(int(qids[qi]))
+            out_v.append(int(ids[rows][idx]))
+            out_r.append(r)
+    return pd.DataFrame(
+        {
+            "qid": np.asarray(out_q, np.int64),
+            "vec_id": np.asarray(out_v, np.int64),
+            "rank": np.asarray(out_r, np.int64),
+        }
+    )
+
+
+# ------------------------------------------------------ q26 phash near-dup
+
+
+def q26_phash(sf_dir: str, max_hamming: int = 6, bands: int = 4) -> pd.DataFrame:
+    # fixture input provisioning only: the images table IS the query input
+    from ..synth.make_table import ensure_fixtures, scale_for_sf_dir
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    t = pq.read_table(paths["images"], columns=["image_id", "phash"])
+    ids = np.asarray(t.column("image_id").to_pylist())
+    ph = t.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="mergesort")
+    ids, ph = ids[order], ph[order]
+    u = ph.astype(np.uint64)
+    width = np.uint64(64 // bands)
+    mask = (np.uint64(1) << width) - np.uint64(1)
+    band_vals = np.stack(
+        [((u >> (width * np.uint64(b))) & mask).astype(np.int64) for b in range(bands)],
+        axis=1,
+    )
+    seen: set[tuple[int, int]] = set()
+    out_a, out_b, out_h = [], [], []
+    for b in range(bands):
+        vals = band_vals[:, b]
+        sort_idx = np.argsort(vals, kind="mergesort")
+        sv = vals[sort_idx]
+        starts = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1]])
+        ends = np.r_[starts[1:], len(sv)]
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            grp = np.sort(sort_idx[s:e])
+            gu = u[grp]
+            for x in range(len(grp)):
+                hd = _popcount(gu[x] ^ gu[x + 1 :]).astype(np.int64)
+                for off in np.flatnonzero(hd <= max_hamming):
+                    i, j = int(grp[x]), int(grp[x + 1 + off])
+                    key = (i, j)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_h.append(int(hd[off]))
+    df = pd.DataFrame(
+        {
+            "id_a": out_a,
+            "id_b": out_b,
+            "hamming": np.asarray(out_h, np.int64),
+        }
+    )
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------- q28 embedding near-dup
+
+
+def q28_embedding_neardup(sf_dir: str, threshold: float = 0.35,
+                          n_planes: int = 6) -> pd.DataFrame:
+    ids, emb = _embeddings(sf_dir)
+    dim = emb.shape[1]
+    planes = np.random.RandomState(42).standard_normal((dim, n_planes))
+    pows = (1 << np.arange(n_planes)).astype(np.int64)
+    buckets = (((emb @ planes) > 0) * pows[None, :]).sum(axis=1)
+    en = _unit(emb)
+    out_a, out_b = [], []
+    for bv in np.unique(buckets):
+        grp = np.flatnonzero(buckets == bv)
+        if len(grp) < 2:
+            continue
+        s = en[grp] @ en[grp].T
+        iu, ju = np.triu_indices(len(grp), 1)
+        hits = np.flatnonzero(s[iu, ju] >= threshold)
+        out_a.extend(int(ids[grp[iu[h]]]) for h in hits)
+        out_b.extend(int(ids[grp[ju[h]]]) for h in hits)
+    df = pd.DataFrame(
+        {"id_a": np.asarray(out_a, np.int64), "id_b": np.asarray(out_b, np.int64)}
+    )
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+GOLDENS = {
+    "q21_ann_lsh": (q21_ann_lsh, ["qid", "rank"]),
+    "q26_phash_neardup": (q26_phash, ["id_a", "id_b"]),
+    "q28_embedding_neardup": (q28_embedding_neardup, ["id_a", "id_b"]),
+}

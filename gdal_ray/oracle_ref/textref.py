@@ -1,0 +1,179 @@
+"""Reference implementations for the text-sketch queries (q17/q18/q20).
+
+Single-process, separately-coded implementations of the operator
+SPECS (datasketch-style MinHash+banded-LSH, Charikar SimHash, FNV
+rolling-window fingerprint).  Algorithm PARAMETERS (seeds, perm
+counts, band layout) are part of each operator's definition and are
+shared with the engine; the code computing them is not.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+M64 = (1 << 64) - 1
+MERSENNE = (1 << 61) - 1
+
+
+def _docs(sf_dir: str) -> pd.DataFrame:
+    return (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _norm(text: str) -> str:
+    return " ".join((text or "").lower().split())
+
+
+# ------------------------------------------------------------- q17 minhash
+
+
+def _shingle_set(text: str, k: int = 5) -> np.ndarray:
+    t = _norm(text)
+    if len(t) < k:
+        t = t.ljust(k, "_")
+    buf = t.encode("utf-8", "replace")
+    assert len(buf) == len(t), "reference fixture text must be ascii"
+    seen = set()
+    for i in range(len(t) - k + 1):
+        h = 0
+        for ch in buf[i : i + k]:
+            h = (h * 257 + ch) & M64
+        seen.add(h)
+    return np.fromiter(seen, dtype=np.uint64, count=len(seen))
+
+
+def q17_minhash(sf_dir: str, num_perm: int = 64, bands: int = 8,
+                threshold: float = 0.5) -> pd.DataFrame:
+    docs = _docs(sf_dir)
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    n = len(docs)
+    sigs = np.empty((n, num_perm), dtype=np.uint64)
+    for i, txt in enumerate(docs["text"]):
+        sh = _shingle_set(txt)
+        for p in range(num_perm):
+            vals = (a[p] * sh + b[p]) % np.uint64(MERSENNE)
+            sigs[i, p] = vals.min()
+    rows = num_perm // bands
+    seg = sigs.reshape(n, bands, rows)
+    ids = docs["doc_id"].to_numpy()
+    out_a, out_b, out_j = [], [], []
+    order = np.argsort(ids, kind="mergesort")
+    for ii in range(n):
+        i = order[ii]
+        for jj in range(ii + 1, n):
+            j = order[jj]
+            band_eq = (seg[i] == seg[j]).all(axis=1)
+            if not band_eq.any():
+                continue
+            est = float((sigs[i] == sigs[j]).mean())
+            if est >= threshold:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[j]))
+                out_j.append(est)
+    return pd.DataFrame(
+        {
+            "doc_a": np.asarray(out_a, np.int64),
+            "doc_b": np.asarray(out_b, np.int64),
+            "est_jaccard": np.asarray(out_j, np.float64),
+        }
+    )
+
+
+# ------------------------------------------------------------- q18 simhash
+
+
+def _simhash(text: str) -> int:
+    toks = (text or "").lower().split()
+    if not toks:
+        return 0
+    counts = np.zeros(64, dtype=np.int64)
+    for w in toks:
+        h = int(hashlib.blake2b(w.encode(), digest_size=8).hexdigest(), 16)
+        for bit in range(64):
+            counts[bit] += (h >> bit) & 1
+    val = 0
+    for bit in range(64):
+        if counts[bit] * 2 >= len(toks):
+            val |= 1 << bit
+    return int(np.uint64(val).astype(np.int64))
+
+
+def _popcount64(x: int) -> int:
+    return bin(x & M64).count("1")
+
+
+def q18_simhash(sf_dir: str, max_hamming: int = 3, bands: int = 4) -> pd.DataFrame:
+    docs = _docs(sf_dir)
+    ids = docs["doc_id"].to_numpy()
+    sh = np.asarray([_simhash(t) for t in docs["text"]], dtype=np.int64)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    out_a, out_b, out_h = [], [], []
+    n = len(ids)
+    order = np.argsort(ids, kind="mergesort")
+    for ii in range(n):
+        i = order[ii]
+        hi = int(np.uint64(sh[i]))
+        for jj in range(ii + 1, n):
+            j = order[jj]
+            hj = int(np.uint64(sh[j]))
+            hd = _popcount64(hi ^ hj)
+            if hd > max_hamming:
+                continue
+            shares = any(
+                ((hi >> (width * bb)) & mask) == ((hj >> (width * bb)) & mask)
+                for bb in range(bands)
+            )
+            if shares:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[j]))
+                out_h.append(hd)
+    return pd.DataFrame(
+        {
+            "doc_a": np.asarray(out_a, np.int64),
+            "doc_b": np.asarray(out_b, np.int64),
+            "hamming": np.asarray(out_h, np.int64),
+        }
+    )
+
+
+# --------------------------------------------------------- q20 fingerprint
+
+
+def q20_fingerprint(sf_dir: str, k: int = 16) -> pd.DataFrame:
+    FNV = 1099511628211
+    docs = _docs(sf_dir)
+    out = np.empty(len(docs), dtype=np.int64)
+    for i, txt in enumerate(docs["text"]):
+        norm = _norm(txt)
+        if len(norm) < k:
+            norm = norm.ljust(k, "_")
+        buf = norm.encode("utf-8", "replace")
+        best = None
+        for s in range(len(buf) - k + 1):
+            h = 0
+            for ch in buf[s : s + k]:
+                h = (h * FNV + ch) & M64
+            if best is None or h < best:
+                best = h
+        out[i] = int(np.uint64(best).astype(np.int64))
+    return pd.DataFrame(
+        {"doc_id": docs["doc_id"].to_numpy(np.int64), "fingerprint": out}
+    )
+
+
+GOLDENS = {
+    "q17_minhash_pairs": (q17_minhash, ["doc_a", "doc_b"]),
+    "q18_simhash_pairs": (q18_simhash, ["doc_a", "doc_b"]),
+    "q20_fingerprint": (q20_fingerprint, ["doc_id"]),
+}

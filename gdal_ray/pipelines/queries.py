@@ -916,6 +916,28 @@ def q19_langid(sf_dir: str):
     return docs.map_batches(LangId, batch_format="pyarrow", concurrency=2).sort("doc_id")
 
 
+# the engine's first-max-wins vote (LangId iterates en,de,fr,es and only
+# updates on strictly-greater counts) mirrored as a CASE cascade: branch
+# k passes iff count_k > 0 and >= every LATER count — if an earlier
+# count were strictly greater, that earlier branch would have passed
+_Q19_SQL = """
+SELECT doc_id, CASE
+    WHEN n_en > 0 AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+    WHEN n_de > 0 AND n_de >= n_fr AND n_de >= n_es THEN 'de'
+    WHEN n_fr > 0 AND n_fr >= n_es THEN 'fr'
+    WHEN n_es > 0 THEN 'es'
+    ELSE 'und' END AS pred_lang
+FROM (
+  SELECT doc_id,
+    len(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_en,
+    len(list_filter(toks, w -> w IN ('der','die','das','und','ist','nicht','ein','mit','auf','für'))) AS n_de,
+    len(list_filter(toks, w -> w IN ('le','la','les','et','est','un','une','des','dans','pour'))) AS n_fr,
+    len(list_filter(toks, w -> w IN ('el','la','los','las','y','es','un','una','en','por'))) AS n_es
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents)
+) ORDER BY doc_id
+"""
+
+
 def q20_fingerprint(sf_dir: str):
     from ..stages.text import Fingerprinter
 
@@ -942,9 +964,18 @@ def q21_ann_lsh(sf_dir: str):
     )
     queries = np.stack([np.asarray(v, np.float64) for v in qt.column("embedding").to_pylist()])
     qids = qt.column("vec_id").to_numpy(zero_copy_only=False)
-    return ann_lsh_topk(emb, queries, qids, k=5).select_columns(
-        ["qid", "vec_id", "rank"]
-    ).sort(["qid", "rank"])
+    out = ann_lsh_topk(emb, queries, qids, k=5)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": t.column("qid"),
+                "vec_id": t.column("vec_id"),
+                "rank": pc.cast(t.column("rank"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow").sort(["qid", "rank"])
 
 
 def q22_images_cells(sf_dir: str):
@@ -1638,6 +1669,7 @@ ORACLE_SQL = {
     "q14_token_count": _Q14_SQL,
     "q15_text_quality": _Q15_SQL,
     "q16_ann_cosine": _Q16_SQL,
+    "q19_langid": _Q19_SQL,
     # q27 computes the same result as q11 through the cell-ring scale
     # path — the exact-kNN SQL is its oracle too
     "q27_knn_cell_ring": _Q11_SQL,

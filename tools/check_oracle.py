@@ -64,6 +64,9 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> dict:
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import os
+
+    os.environ["GDAL_RAY_ORACLE_SF"] = sf_dir
     import ray
 
     if not ray.is_initialized():
