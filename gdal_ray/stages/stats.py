@@ -32,8 +32,10 @@ def band_statistics(images, sample_frac: float | None = None, seed: int = 42):
         ds = ds.random_sample(sample_frac, seed=seed)
 
     def partial(t: pa.Table) -> pa.Table:
-        s = np.zeros(3)
-        ss = np.zeros(3)
+        # exact int64 partials: float partial sums would make the final
+        # mean/stddev depend on the (nondeterministic) merge order
+        s = np.zeros(3, dtype=np.int64)
+        ss = np.zeros(3, dtype=np.int64)
         n = np.zeros(3, dtype=np.int64)
         mn = np.full(3, 255, dtype=np.int64)
         mx = np.zeros(3, dtype=np.int64)
@@ -42,16 +44,16 @@ def band_statistics(images, sample_frac: float | None = None, seed: int = 42):
         h = t.column("h").to_pylist()
         f = t.column("fmt").to_pylist()
         for i in range(len(b)):
-            img = codecs.decode(b[i], w[i], h[i], f[i]).astype(np.float64)
+            img = codecs.decode(b[i], w[i], h[i], f[i]).astype(np.int64)
             flat = img.reshape(-1, 3)
             s += flat.sum(axis=0)
             ss += (flat * flat).sum(axis=0)
             n += flat.shape[0]
-            mn = np.minimum(mn, flat.min(axis=0).astype(np.int64))
-            mx = np.maximum(mx, flat.max(axis=0).astype(np.int64))
+            mn = np.minimum(mn, flat.min(axis=0))
+            mx = np.maximum(mx, flat.max(axis=0))
         return pa.table(
             {
-                "band": pa.array(np.arange(3, dtype=np.int32)),
+                "band": pa.array(np.arange(3, dtype=np.int64)),
                 "s": pa.array(s),
                 "ss": pa.array(ss),
                 "n": pa.array(n),
@@ -75,8 +77,8 @@ def band_statistics(images, sample_frac: float | None = None, seed: int = 42):
     )
 
     def finalize(t: pa.Table) -> pa.Table:
-        s = t.column("s").to_numpy(zero_copy_only=False)
-        ss = t.column("ss").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+        ss = t.column("ss").to_numpy(zero_copy_only=False).astype(np.float64)
         n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
         mean = s / n
         var = ss / n - mean * mean
@@ -110,8 +112,8 @@ def band_histogram(images, n_buckets: int = 256):
                 counts[band] += np.bincount(
                     img[:, :, band].reshape(-1), minlength=n_buckets
                 )[:n_buckets]
-        bands = np.repeat(np.arange(3, dtype=np.int32), n_buckets)
-        buckets = np.tile(np.arange(n_buckets, dtype=np.int32), 3)
+        bands = np.repeat(np.arange(3, dtype=np.int64), n_buckets)
+        buckets = np.tile(np.arange(n_buckets, dtype=np.int64), 3)
         flat = counts.reshape(-1)
         nz = flat > 0  # sparse partials: only non-empty buckets travel
         return pa.table(
