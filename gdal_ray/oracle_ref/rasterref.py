@@ -107,21 +107,41 @@ def q30_band_histogram(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
 # ------------------------------------------------ separable resampling
 
 
-def _axis_bilinear(coords: np.ndarray, n: int):
+def _w_bilinear_ref(x):
+    return np.maximum(0.0, 1.0 - np.abs(x))
+
+
+def _w_cubic_ref(x):
+    # Catmull-Rom (GWKCubic, alg/gdalwarpkernel.cpp:3467 formula)
+    ax = np.abs(x)
+    r = np.zeros_like(ax)
+    m1 = ax < 1
+    m2 = (ax >= 1) & (ax < 2)
+    r[m1] = ((1.5 * ax[m1] - 2.5) * ax[m1]) * ax[m1] + 1.0
+    r[m2] = ((-0.5 * ax[m2] + 2.5) * ax[m2] - 4.0) * ax[m2] + 2.0
+    return r
+
+
+_REF_KERNELS = {"bilinear": (_w_bilinear_ref, 1), "cubic": (_w_cubic_ref, 2)}
+
+
+def _axis_ref(coords: np.ndarray, n: int, method: str):
+    wfn, r = _REF_KERNELS[method]
     base = np.floor(coords).astype(np.int64)
-    idx = np.stack([base, base + 1], axis=1)
+    offs = np.arange(-r + 1, r + 1, dtype=np.int64)
+    idx = base[:, None] + offs[None, :]
     d = coords[:, None] - idx
-    w = np.maximum(0.0, 1.0 - np.abs(d))
+    w = wfn(d)
     s = w.sum(axis=1, keepdims=True)
     s[s == 0] = 1.0
     w = w / s
     return np.clip(idx, 0, n - 1), w
 
 
-def _sample_bilinear(img: np.ndarray, src_x: np.ndarray, src_y: np.ndarray):
+def _sample_ref(img: np.ndarray, src_x, src_y, method: str = "bilinear"):
     h, w = img.shape[:2]
-    xi, xw = _axis_bilinear(np.asarray(src_x, np.float64), w)
-    yi, yw = _axis_bilinear(np.asarray(src_y, np.float64), h)
+    xi, xw = _axis_ref(np.asarray(src_x, np.float64), w, method)
+    yi, yw = _axis_ref(np.asarray(src_y, np.float64), h, method)
     data = img.astype(np.float64)
     gx = data[:, xi, :]
     tmp = np.einsum("hwkc,wk->hwc", gx, xw)
@@ -130,11 +150,19 @@ def _sample_bilinear(img: np.ndarray, src_x: np.ndarray, src_y: np.ndarray):
     return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 
 
-def _resize_bilinear(img: np.ndarray, out_w: int, out_h: int):
+def _sample_bilinear(img: np.ndarray, src_x, src_y):
+    return _sample_ref(img, src_x, src_y, "bilinear")
+
+
+def _resize_ref(img: np.ndarray, out_w: int, out_h: int, method: str = "bilinear"):
     h, w = img.shape[:2]
     sx = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
     sy = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
-    return _sample_bilinear(img, sx, sy)
+    return _sample_ref(img, sx, sy, method)
+
+
+def _resize_bilinear(img: np.ndarray, out_w: int, out_h: int):
+    return _resize_ref(img, out_w, out_h, "bilinear")
 
 
 # --------------------------------------------------------- q31 translate
@@ -209,9 +237,400 @@ def q32_hillshade(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"image_id": ids, "cs": np.asarray(css, np.int64)})
 
 
+ORIGIN_SHIFT = 20037508.342789244
+INITIAL_RES = 156543.03392804097
+
+
+def _cs_float(a: np.ndarray) -> int:
+    """GDAL checksum, float path (gdalchecksum.cpp GDALCopyWords
+    rounding restated)."""
+    v = np.asarray(a, np.float64).reshape(-1) + 0.5
+    n = np.clip(np.floor(v), -2147483647.0, 2147483647.0).astype(np.int64)
+    n[~np.isfinite(v)] = np.iinfo(np.int32).min
+    rem = np.fmod(n, _PRIMES[np.arange(n.size) % 11])
+    return int(rem.sum() & 0xFFFF)
+
+
+def _tile_of(m: np.ndarray, zoom: int) -> np.ndarray:
+    px = (np.asarray(m, np.float64) + ORIGIN_SHIFT) / (INITIAL_RES / (1 << zoom))
+    return np.maximum(np.ceil(px / 256.0) - 1, 0).astype(np.int64)
+
+
+# ------------------------------------------------------- q35 grid invdist
+
+
+def q35_grid_invdist(sf_dir: str, zoom: int = 8, grid_size: int = 64) -> pd.DataFrame:
+    from ..synth.make_table import ensure_fixtures, scale_for_sf_dir
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    t = pq.read_table(paths["points"], columns=["pid", "x", "y"])
+    pid = t.column("pid").to_numpy(zero_copy_only=False)
+    px = t.column("x").to_numpy(zero_copy_only=False)
+    py = t.column("y").to_numpy(zero_copy_only=False)
+    pv = ((pid * 37) % 251).astype(np.float64)
+    tx, ty = _tile_of(px, zoom), _tile_of(py, zoom)
+    res = INITIAL_RES / (1 << zoom)
+    owned = sorted({(int(a), int(b)) for a, b in zip(tx, ty)})
+    rows = []
+    for cx, cy in owned:
+        member = (np.abs(tx - cx) <= 1) & (np.abs(ty - cy) <= 1)
+        mx, my, mv = px[member], py[member], pv[member]
+        order = np.lexsort((mv, my, mx))
+        mx, my, mv = mx[order], my[order], mv[order]
+        minx = cx * 256 * res - ORIGIN_SHIFT
+        maxy = (cy + 1) * 256 * res - ORIGIN_SHIFT
+        cres = (256 * res) / grid_size
+        xs = minx + (np.arange(grid_size) + 0.5) * cres
+        ys = maxy - (np.arange(grid_size) + 0.5) * cres
+        gx, gy = np.meshgrid(xs, ys)
+        d2 = (gx[:, :, None] - mx[None, None, :]) ** 2 + (
+            gy[:, :, None] - my[None, None, :]
+        ) ** 2
+        exact = d2 <= 1e-20
+        wts = 1.0 / np.maximum(d2, 1e-20) ** 1.0
+        wsum = wts.sum(axis=2)
+        vsum = (wts * mv[None, None, :]).sum(axis=2)
+        out = np.zeros((grid_size, grid_size))
+        got = wsum > 0
+        out[got] = vsum[got] / wsum[got]
+        hit = exact.any(axis=2)
+        if hit.any():
+            first = exact.argmax(axis=2)
+            out[hit] = mv[first[hit]]
+        n_owned = int(((tx == cx) & (ty == cy)).sum())
+        rows.append((zoom, cx, cy, n_owned, _cs_float(out)))
+    return pd.DataFrame(
+        rows, columns=["z", "x", "y", "n_points", "cs"]
+    ).astype(np.int64)
+
+
+# ------------------------------------------------------ q37 point query
+
+
+def q37_point_query(sf_dir: str) -> pd.DataFrame:
+    from ..synth.make_table import ensure_fixtures, scale_for_sf_dir
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    pts = pq.read_table(paths["points"], columns=["pid", "x", "y"])
+    imgs = _fixture_images(
+        sf_dir, ["image_id", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"]
+    )
+    pid = pts.column("pid").to_numpy(zero_copy_only=False)
+    qx = pts.column("x").to_numpy(zero_copy_only=False)
+    qy = pts.column("y").to_numpy(zero_copy_only=False)
+    rows = []
+    for row in imgs.itertuples(index=False):
+        inside = (
+            (qx >= row.minx) & (qx <= row.maxx) & (qy >= row.miny) & (qy <= row.maxy)
+        )
+        hits = np.flatnonzero(inside)
+        if len(hits) == 0:
+            continue
+        i = int(row.image_id[3:])
+        img = ref_decoded(i, int(row.w), int(row.h), row.fmt)
+        res_x = (row.maxx - row.minx) / int(row.w)
+        res_y = (row.maxy - row.miny) / int(row.h)
+        for k in hits:
+            sx = (qx[k] - row.minx) / res_x - 0.5
+            sy = (row.maxy - qy[k]) / res_y - 0.5
+            val = _sample_bilinear(img, np.array([sx]), np.array([sy]))[0, 0]
+            rows.append(
+                (int(pid[k]), row.image_id, float(val[0]), float(val[1]), float(val[2]))
+            )
+    return pd.DataFrame(rows, columns=["pid", "image_id", "r", "g", "b"])
+
+
+# ---------------------------------------------------- q39 color quantize
+
+
+def _median_cut(pixels: np.ndarray, n_colors: int = 16) -> np.ndarray:
+    """Median-cut (gdalmediancut.cpp semantics restated): split the box
+    with the largest width*count on its widest axis at the median;
+    stable ties toward lower index; palette = floor(box mean + 0.5)."""
+    boxes = [pixels.astype(np.int32)]
+    while len(boxes) < n_colors:
+        widths = [
+            (b.max(axis=0) - b.min(axis=0)).max() if len(b) else -1 for b in boxes
+        ]
+        scores = [-w * len(b) for w, b in zip(widths, boxes)]
+        i = int(np.argsort(scores, kind="stable")[0])
+        b = boxes[i]
+        if len(b) <= 1 or widths[i] <= 0:
+            break
+        axis = int((b.max(axis=0) - b.min(axis=0)).argmax())
+        srt = b[np.argsort(b[:, axis], kind="stable")]
+        mid = len(srt) // 2
+        boxes[i] = srt[:mid]
+        boxes.append(srt[mid:])
+    pal = np.array(
+        [np.floor(b.mean(axis=0) + 0.5) if len(b) else np.zeros(3) for b in boxes],
+        dtype=np.int32,
+    )
+    return np.clip(pal, 0, 255).astype(np.uint8)
+
+
+def _dither_naive(img: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """Scalar Floyd-Steinberg (gdaldither.cpp kernel), the independent
+    check on the engine's wavefront vectorization."""
+    h, w = img.shape[:2]
+    work = img.astype(np.float64).copy()
+    out = np.zeros((h, w), dtype=np.uint8)
+    palf = palette.astype(np.float64)
+    for y in range(h):
+        for x in range(w):
+            old = work[y, x]
+            i = int(((palf - old) ** 2).sum(axis=1).argmin())
+            out[y, x] = i
+            err = old - palf[i]
+            if x + 1 < w:
+                work[y, x + 1] += err * (7 / 16)
+            if y + 1 < h:
+                if x > 0:
+                    work[y + 1, x - 1] += err * (3 / 16)
+                work[y + 1, x] += err * (5 / 16)
+                if x + 1 < w:
+                    work[y + 1, x + 1] += err * (1 / 16)
+    return out
+
+
+def q39_color_quantize(sf_dir: str) -> pd.DataFrame:
+    df = _fixture_images(sf_dir)
+    ids, cs_q, cs_d = [], [], []
+    for row, px in _iter_chips(df):
+        pal = _median_cut(px.reshape(-1, 3))
+        palf = pal.astype(np.int32)
+        flat = px.reshape(-1, 3).astype(np.int32)
+        d = ((flat[:, None, :] - palf[None, :, :]) ** 2).sum(axis=2)
+        qidx = d.argmin(axis=1).reshape(px.shape[:2]).astype(np.uint8)
+        ids.append(row.image_id)
+        cs_q.append(_cs_band(qidx))
+        cs_d.append(_cs_band(_dither_naive(px[:16, :16], pal)))
+    return pd.DataFrame(
+        {
+            "image_id": ids,
+            "cs_quant": np.asarray(cs_q, np.int64),
+            "cs_dither": np.asarray(cs_d, np.int64),
+        }
+    )
+
+
+# --------------------------------------------------- q25 warp 3857->4326
+
+
+def q25_warp(sf_dir: str) -> pd.DataFrame:
+    """Exact per-chip 3857->4326 warp (gdal2tiles.py:422-441 closed
+    forms restated; bilinear; dst grid keeps the source pixel count)."""
+    df = _fixture_images(
+        sf_dir, ["image_id", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"]
+    )
+    ids, csr, csg, csb = [], [], [], []
+
+    def to_lat(my):
+        lat = (np.asarray(my, np.float64) / ORIGIN_SHIFT) * 180.0
+        return 180.0 / np.pi * (
+            2.0 * np.arctan(np.exp(lat * np.pi / 180.0)) - np.pi / 2.0
+        )
+
+    def to_my(lat):
+        my = np.log(np.tan((90.0 + np.asarray(lat, np.float64)) * np.pi / 360.0)) / (
+            np.pi / 180.0
+        )
+        return my * ORIGIN_SHIFT / 180.0
+
+    for row, px in _iter_chips(df):
+        w, h = int(row.w), int(row.h)
+        dminx = (row.minx / ORIGIN_SHIFT) * 180.0
+        dmaxx = (row.maxx / ORIGIN_SHIFT) * 180.0
+        dminy = float(to_lat(row.miny))
+        dmaxy = float(to_lat(row.maxy))
+        res_x = (row.maxx - row.minx) / w
+        res_y = (row.maxy - row.miny) / h
+        dres_x = (dmaxx - dminx) / w
+        dres_y = (dmaxy - dminy) / h
+        xs = dminx + (np.arange(w) + 0.5) * dres_x
+        ys = dmaxy - (np.arange(h) + 0.5) * dres_y
+        sx_m = xs * ORIGIN_SHIFT / 180.0
+        sy_m = to_my(ys)
+        src_x = (sx_m - row.minx) / res_x - 0.5
+        src_y = (row.maxy - sy_m) / res_y - 0.5
+        out = _sample_bilinear(px, src_x, src_y)
+        if row.fmt == "qraw":
+            out = _qraw_model(out)
+        ids.append(row.image_id)
+        csr.append(_cs_band(out[:, :, 0]))
+        csg.append(_cs_band(out[:, :, 1]))
+        csb.append(_cs_band(out[:, :, 2]))
+    return pd.DataFrame(
+        {
+            "image_id": ids,
+            "cs_r": np.asarray(csr, np.int64),
+            "cs_g": np.asarray(csg, np.int64),
+            "cs_b": np.asarray(csb, np.int64),
+        }
+    )
+
+
+# ------------------------------------------- q44 pansharpen + nearblack
+
+
+def _nearblack_ref(img: np.ndarray, near: int = 15) -> np.ndarray:
+    """Border-connected near-black collar via BFS (independent of the
+    engine's iterative-dilation flood fill)."""
+    from collections import deque
+
+    nearv = (img.astype(np.int32) <= near).all(axis=2)
+    h, w = nearv.shape
+    mask = np.zeros((h, w), dtype=bool)
+    dq = deque()
+    for x in range(w):
+        for y in (0, h - 1):
+            if nearv[y, x] and not mask[y, x]:
+                mask[y, x] = True
+                dq.append((y, x))
+    for y in range(h):
+        for x in (0, w - 1):
+            if nearv[y, x] and not mask[y, x]:
+                mask[y, x] = True
+                dq.append((y, x))
+    while dq:
+        y, x = dq.popleft()
+        for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+            if 0 <= ny < h and 0 <= nx < w and nearv[ny, nx] and not mask[ny, nx]:
+                mask[ny, nx] = True
+                dq.append((ny, nx))
+    return mask
+
+
+def q44_pansharpen_nearblack(sf_dir: str) -> pd.DataFrame:
+    """Weighted Brovey (alg/gdalpansharpen.cpp) + nearblack
+    (apps/nearblack_lib.cpp flood-fill semantics), restated: gray pan
+    synthesized at 2x via cubic, ms upsampled bilinear, codecs modeled
+    per fmt, GDAL checksums of the re-decoded result."""
+    df = _fixture_images(sf_dir)
+    ids, csr, csg, csb = [], [], [], []
+    for row, px in _iter_chips(df):
+        gray = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        pan = _resize_ref(
+            gray[:, :, None].astype(np.uint8), px.shape[1] * 2, px.shape[0] * 2, "cubic"
+        )[:, :, 0]
+        up = _resize_ref(px, pan.shape[1], pan.shape[0], "bilinear").astype(np.float64)
+        pseudo = (1 / 3) * up[:, :, 0] + (1 / 3) * up[:, :, 1] + (1 / 3) * up[:, :, 2]
+        pseudo = np.maximum(pseudo, 1e-9)
+        ratio = pan.astype(np.float64) / pseudo
+        sharp = np.clip(np.floor(up * ratio[:, :, None] + 0.5), 0, 255).astype(np.uint8)
+        if row.fmt == "qraw":
+            sharp = _qraw_model(sharp)
+        m = _nearblack_ref(sharp)
+        out = sharp.copy()
+        out[m] = 0
+        if row.fmt == "qraw":
+            out = _qraw_model(out)
+        ids.append(row.image_id)
+        csr.append(_cs_band(out[:, :, 0]))
+        csg.append(_cs_band(out[:, :, 1]))
+        csb.append(_cs_band(out[:, :, 2]))
+    return pd.DataFrame(
+        {
+            "image_id": ids,
+            "cs_r": np.asarray(csr, np.int64),
+            "cs_g": np.asarray(csg, np.int64),
+            "cs_b": np.asarray(csb, np.int64),
+        }
+    )
+
+
+# --------------------------------------------------------- q45 viewshed
+
+
+def _viewshed_ref(elev: np.ndarray, obs_height: float = 2.0) -> np.ndarray:
+    """Per-pixel scalar evaluation of the Wang reference-plane
+    recurrence (memoized recursion — independent of the engine's
+    ring-vectorized propagation)."""
+    h, w = elev.shape
+    oy, ox = (h - 1) // 2, (w - 1) // 2
+    oz = float(elev[oy, ox]) + obs_height
+    aux = {}
+    vis = np.zeros((h, w), dtype=bool)
+    vis[oy, ox] = True
+
+    def slope_of(y, x):
+        d = np.hypot(x - ox, y - oy)
+        if d == 0:
+            return -np.inf
+        return (float(elev[y, x]) - oz) / d
+
+    def get_aux(y, x):
+        if (y, x) == (oy, ox):
+            return -np.inf
+        if (y, x) in aux:
+            return aux[(y, x)]
+        dx, dy = x - ox, y - oy
+        if abs(dx) >= abs(dy):
+            px = x - int(np.sign(dx))
+            fy = oy + (px - ox) * dy / (dx if dx != 0 else 1)
+            n0y, n0x = int(np.floor(fy)), px
+            frac = fy - np.floor(fy)
+            n1y, n1x = min(n0y + 1, h - 1), px
+        else:
+            py = y - int(np.sign(dy))
+            fx = ox + (py - oy) * dx / (dy if dy != 0 else 1)
+            n0y, n0x = py, int(np.floor(fx))
+            frac = fx - np.floor(fx)
+            n1y, n1x = py, min(n0x + 1, w - 1)
+        n0y = min(max(n0y, 0), h - 1)
+        n0x = min(max(n0x, 0), w - 1)
+        a0 = get_aux(n0y, n0x)
+        if frac == 0.0:
+            # n1 may sit on the SAME ring for exact-diagonal crossings;
+            # it is never read, so don't recurse into it
+            interp = a0
+        else:
+            a1 = get_aux(n1y, n1x)
+            if np.isneginf(a0) and np.isneginf(a1):
+                interp = -np.inf
+            else:
+                interp = a0 * (1.0 - frac) + a1 * frac
+        s = slope_of(y, x)
+        vis[y, x] = s >= interp
+        aux[(y, x)] = max(s, interp)
+        return aux[(y, x)]
+
+    # evaluate in ring order (recursion depth stays bounded)
+    for r in range(1, max(h, w) + 1):
+        for y in range(max(0, oy - r), min(h, oy + r + 1)):
+            for x in range(max(0, ox - r), min(w, ox + r + 1)):
+                if max(abs(x - ox), abs(y - oy)) == r:
+                    get_aux(y, x)
+    return vis
+
+
+def q45_viewshed(sf_dir: str) -> pd.DataFrame:
+    df = _fixture_images(sf_dir)
+    df = df[(df["w"] <= 64) & (df["h"] <= 64)].reset_index(drop=True)
+    ids, nv, fr = [], [], []
+    for row, px in _iter_chips(df):
+        m = _viewshed_ref(px[:, :, 0].astype(np.float64))
+        ids.append(row.image_id)
+        nv.append(int(m.sum()))
+        fr.append(float(np.round(float(m.mean()), 6)))
+    return pd.DataFrame(
+        {
+            "image_id": ids,
+            "n_visible": np.asarray(nv, np.int64),
+            "frac_visible": np.asarray(fr, np.float64),
+        }
+    )
+
+
 GOLDENS = {
     "q29_band_stats": (q29_band_stats, ["band"]),
     "q30_band_histogram": (q30_band_histogram, ["band", "bucket"]),
     "q31_translate": (q31_translate, ["image_id"]),
     "q32_hillshade": (q32_hillshade, ["image_id"]),
+    "q35_grid_invdist": (q35_grid_invdist, ["z", "x", "y"]),
+    "q37_point_query": (q37_point_query, ["pid", "image_id"]),
+    "q39_color_quantize": (q39_color_quantize, ["image_id"]),
+    "q44_pansharpen_nearblack": (q44_pansharpen_nearblack, ["image_id"]),
+    "q45_viewshed": (q45_viewshed, ["image_id"]),
+    "q25_warp": (q25_warp, ["image_id"]),
 }

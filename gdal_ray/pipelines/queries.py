@@ -1019,7 +1019,7 @@ def q24_tile_pyramid(sf_dir: str):
     from ..stages.tiles import build_pyramid, tiles_checksum
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
-    imgs = rd.read_parquet(paths["images"])
+    imgs = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"])
     levels = build_pyramid(imgs, z_max=10, z_min=8, resampling="near")
     out = None
     for z in sorted(levels):
@@ -1029,16 +1029,19 @@ def q24_tile_pyramid(sf_dir: str):
 
 
 def q25_warp(sf_dir: str):
-    """Warp all fixture chips 3857->4326 (bilinear, approx transformer)
-    and checksum the outputs."""
+    """Warp all fixture chips 3857->4326 (bilinear, EXACT transformer —
+    the -et 0 gdalwarp path, so the independent oracle can restate the
+    closed-form inverse; the 0.125-px approx transformer is covered by
+    its error-bound pytest and the bench pipeline) and checksum the
+    outputs."""
     import ray.data as rd
 
     from ..functions import checksum, codecs
     from ..stages.warp import warp_images
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
-    imgs = rd.read_parquet(paths["images"])
-    warped = warp_images(imgs, resampling="bilinear", concurrency=4)
+    imgs = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"] + ["srs"])
+    warped = warp_images(imgs, resampling="bilinear", concurrency=4, use_approx=False)
 
     def cs(t: pa.Table) -> pa.Table:
         b = t.column("bytes").to_pylist()
@@ -1108,7 +1111,9 @@ def q29_band_stats(sf_dir: str):
     from ..stages.stats import band_statistics
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
-    return band_statistics(rd.read_parquet(paths["images"]))
+    return band_statistics(
+        rd.read_parquet(paths["images"], columns=["bytes", "w", "h", "fmt"])
+    )
 
 
 def q30_band_histogram(sf_dir: str):
@@ -1118,7 +1123,9 @@ def q30_band_histogram(sf_dir: str):
     from ..stages.stats import band_histogram
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
-    return band_histogram(rd.read_parquet(paths["images"]))
+    return band_histogram(
+        rd.read_parquet(paths["images"], columns=["bytes", "w", "h", "fmt"])
+    )
 
 
 def q31_translate(sf_dir: str):
@@ -1130,7 +1137,7 @@ def q31_translate(sf_dir: str):
     from ..stages.translate import translate_images
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
-    imgs = rd.read_parquet(paths["images"])
+    imgs = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"])
     out = translate_images(
         imgs,
         concurrency=4,
@@ -1152,7 +1159,7 @@ def q32_hillshade(sf_dir: str):
     from ..stages.dem import dem_derivative
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
-    imgs = rd.read_parquet(paths["images"])
+    imgs = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"])
     out = dem_derivative(imgs, op="hillshade", concurrency=4)
 
     def cs(t: pa.Table) -> pa.Table:
@@ -1209,7 +1216,7 @@ def q34_checkpointed_tiles(sf_dir: str):
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
     out_dir = f"/tmp/gdal_ray_out/tiles_{scale_for_sf_dir(sf_dir)}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    imgs = rd.read_parquet(paths["images"])
+    imgs = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"])
     tiles = build_base_tiles(imgs, zoom=9, resampling="near")
     return write_partitioned(tiles, out_dir, key_col="cell", shift=6).sort("pid")
 
@@ -1246,10 +1253,10 @@ def q35_grid_invdist(sf_dir: str):
         ]
         return pa.table(
             {
-                "z": t.column("z"),
-                "x": t.column("x"),
-                "y": t.column("y"),
-                "n_points": t.column("n_points"),
+                "z": pc.cast(t.column("z"), pa.int64()),
+                "x": pc.cast(t.column("x"), pa.int64()),
+                "y": pc.cast(t.column("y"), pa.int64()),
+                "n_points": pc.cast(t.column("n_points"), pa.int64()),
                 "cs": pa.array(vals, pa.int64()),
             }
         )
@@ -1321,7 +1328,7 @@ def q38_contour(sf_dir: str):
     from ..functions.contour_ms import contour_levels, marching_squares
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
-    imgs = rd.read_parquet(paths["images"])
+    imgs = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "w", "h", "fmt"])
 
     def fn(t: pa.Table) -> pa.Table:
         ids, levels, nseg, length = [], [], [], []
@@ -1362,17 +1369,24 @@ def q39_color_quantize(sf_dir: str):
     from ..functions import checksum, codecs, colors
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
-    imgs = rd.read_parquet(paths["images"])
+    imgs = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "w", "h", "fmt"])
 
     def fn(t: pa.Table) -> pa.Table:
         cols = {c: t.column(c).to_pylist() for c in ("image_id", "bytes", "w", "h", "fmt")}
-        cs_q, cs_d = [], []
-        for i in range(t.num_rows):
+        n = t.num_rows
+        cs_q = []
+        pals = np.empty((n, 16, 3), dtype=np.uint8)
+        crops = np.empty((n, 16, 16, 3), dtype=np.uint8)
+        for i in range(n):
             img = codecs.decode(cols["bytes"][i], cols["w"][i], cols["h"][i], cols["fmt"][i])
-            pal = colors.median_cut_palette(img, 16)
-            cs_q.append(checksum.checksum_band(colors.quantize(img, pal)))
-            small = img[:16, :16]  # dither is O(h*w) python: bound it
-            cs_d.append(checksum.checksum_band(colors.dither_floyd_steinberg(small, pal)))
+            pals[i] = colors.median_cut_palette(img, 16)
+            cs_q.append(checksum.checksum_band(colors.quantize(img, pals[i])))
+            crops[i] = img[:16, :16]  # all fixture chips are >= 16x16
+        # 16x16 window keeps the oracle's independent NAIVE dither
+        # tractable; the engine path is the batched wavefront
+        # (bit-identical per chip — tests/test_colors_contour_sinks)
+        dithered = colors.dither_floyd_steinberg_batch(crops, pals)
+        cs_d = [checksum.checksum_band(dithered[i]) for i in range(n)]
         return pa.table(
             {
                 "image_id": pa.array(cols["image_id"], pa.string()),
@@ -1397,7 +1411,7 @@ def q40_tile_tree(sf_dir: str):
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
     out_dir = f"/tmp/gdal_ray_out/tree_{scale_for_sf_dir(sf_dir)}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    imgs = rd.read_parquet(paths["images"])
+    imgs = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"])
     tiles = build_base_tiles(imgs, zoom=8, resampling="near")
     out = write_tile_tree(tiles, out_dir, xyz=True)
     return R.global_aggregate(
@@ -1440,7 +1454,7 @@ def q44_pansharpen_nearblack(sf_dir: str):
     from ..stages.stats import image_checksums
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
-    imgs = rd.read_parquet(paths["images"]).limit(2000)
+    imgs = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"])
     sharp = imgs.map_batches(
         PansharpenStage, batch_format="pyarrow", batch_size=64, concurrency=4
     )
@@ -1450,15 +1464,29 @@ def q44_pansharpen_nearblack(sf_dir: str):
 
 
 def q45_viewshed(sf_dir: str):
-    """Viewshed from each chip's center over band-0 elevation
-    (alg/viewshed analog, radial method); per-chip visible fraction."""
+    """Viewshed from each chip's center over band-0 elevation — the
+    Wang et al. reference-plane sweep (alg/viewshed/viewshed.cpp
+    semantics); per-chip visible count + fraction.  Runs on the chips
+    with w,h <= 64 (an explicit predicate: the independent per-pixel
+    oracle recursion is O(px) per chip)."""
     import ray.data as rd
 
     from ..stages.viewshed import viewshed_stage
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
-    imgs = rd.read_parquet(paths["images"]).limit(5000)
-    return viewshed_stage(imgs).select_columns(
+    imgs = rd.read_parquet(
+        paths["images"], columns=["image_id", "bytes", "w", "h", "fmt"]
+    )
+
+    def small(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(
+                pc.less_equal(t.column("w"), pa.scalar(64, pa.int32())),
+                pc.less_equal(t.column("h"), pa.scalar(64, pa.int32())),
+            )
+        )
+
+    return viewshed_stage(imgs.map_batches(small, batch_format="pyarrow")).select_columns(
         ["image_id", "n_visible", "frac_visible"]
     ).sort("image_id")
 

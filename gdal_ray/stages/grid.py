@@ -72,6 +72,10 @@ def grid_points(
         px = g.column("x").to_numpy(zero_copy_only=False)
         py = g.column("y").to_numpy(zero_copy_only=False)
         pv = g.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        # canonical point order: float weight sums must not depend on
+        # the (shuffle-dependent) group arrival order
+        order = np.lexsort((pv, py, px))
+        px, py, pv = px[order], py[order], pv[order]
         grid = algo(px, py, pv, xs, ys, **algo_kwargs)
         return pa.table(
             {

@@ -1,14 +1,16 @@
-"""Viewshed — per-chip DEM visibility from an observer (radial method).
+"""Viewshed — per-chip DEM visibility from an observer.
 
-Reference analog: alg/viewshed/ (Wang et al. sweep; executor +
-combiner pools, cumulative.cpp:72-88).  This implementation uses the
-radial-sampling method: rays from the observer to every boundary
-pixel, a point is visible when its elevation angle reaches the running
-maximum along its ray (vectorized (rays x steps) numpy).  Band 0 of
-each chip is the DEM; observer at the chip center at ``obs_height``
-above ground.  Rays are an approximation of the exact sweep (standard
-for radial viewsheds); visibility on flat terrain and behind walls is
-exact and golden-tested.
+Default algorithm is the Wang et al. reference-plane sweep that the
+reference implements (alg/viewshed/viewshed.cpp, cumulative.cpp:72-88):
+pixels are processed in Chebyshev rings outward from the observer; the
+line of sight to a pixel crosses the previous ring between two already-
+computed pixels, whose auxiliary max-slope values are linearly
+interpolated.  A pixel is visible when its own slope reaches the
+interpolated maximum; the auxiliary grid propagates
+``aux = max(slope, interp)``.  Fully vectorized per ring.
+
+The radial-sampling approximation from round 1 is kept as
+``algorithm="radial"`` for comparison.
 """
 
 from __future__ import annotations
@@ -19,12 +21,68 @@ import pyarrow as pa
 from ..functions import codecs
 
 
-def viewshed_mask(elev: np.ndarray, obs_height: float = 2.0) -> np.ndarray:
-    """(h, w) elevation -> bool visibility mask from the center pixel."""
+def viewshed_mask_wang(elev: np.ndarray, obs_height: float = 2.0) -> np.ndarray:
+    """(h, w) elevation -> bool visibility mask from the center pixel
+    (Wang et al. sweep; slope = (z - oz) / chebyshev-line distance)."""
+    h, w = elev.shape
+    oy, ox = (h - 1) // 2, (w - 1) // 2
+    oz = float(elev[oy, ox]) + obs_height
+    yy, xx = np.mgrid[0:h, 0:w]
+    dy = yy - oy
+    dx = xx - ox
+    dist = np.hypot(dx, dy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = np.where(dist > 0, (elev.astype(np.float64) - oz) / dist, -np.inf)
+    aux = np.full((h, w), -np.inf)
+    vis = np.zeros((h, w), dtype=bool)
+    vis[oy, ox] = True
+    aux[oy, ox] = -np.inf
+    ring = np.maximum(np.abs(dx), np.abs(dy))
+    rmax = int(ring.max())
+    for r in range(1, rmax + 1):
+        ys, xs = np.nonzero(ring == r)
+        rdx = xs - ox
+        rdy = ys - oy
+        adx = np.abs(rdx)
+        ady = np.abs(rdy)
+        col_dom = adx >= ady
+        # crossing of the previous ring along the LOS
+        sx = np.sign(rdx)
+        sy = np.sign(rdy)
+        # column-dominant: previous column x - sx, fractional row
+        px = np.where(col_dom, xs - sx, 0)
+        fy = np.where(col_dom, oy + (px - ox) * rdy / np.where(adx == 0, 1, rdx), 0.0)
+        # row-dominant: previous row y - sy, fractional col
+        py = np.where(~col_dom, ys - sy, 0)
+        fx = np.where(~col_dom, ox + (py - oy) * rdx / np.where(ady == 0, 1, rdy), 0.0)
+        # gather the two bracketing cells + interpolation weight
+        n0y = np.where(col_dom, np.floor(fy).astype(np.int64), py).astype(np.int64)
+        n0x = np.where(col_dom, px, np.floor(fx).astype(np.int64)).astype(np.int64)
+        frac = np.where(col_dom, fy - np.floor(fy), fx - np.floor(fx))
+        n1y = np.where(col_dom, np.minimum(n0y + 1, h - 1), n0y)
+        n1x = np.where(col_dom, n0x, np.minimum(n0x + 1, w - 1))
+        n0y = np.clip(n0y, 0, h - 1)
+        n0x = np.clip(n0x, 0, w - 1)
+        a0 = aux[n0y, n0x]
+        a1 = aux[n1y, n1x]
+        interp = a0 * (1.0 - frac) + a1 * frac
+        # exact-on-cell crossings (frac==0) read only a0; -inf * 0 would
+        # poison the lerp, so guard
+        interp = np.where(frac == 0.0, a0, interp)
+        interp = np.where(np.isneginf(a0) & np.isneginf(a1), -np.inf, interp)
+        s = slope[ys, xs]
+        vis[ys, xs] = s >= interp
+        aux[ys, xs] = np.maximum(s, interp)
+    return vis
+
+
+def viewshed_mask_radial(elev: np.ndarray, obs_height: float = 2.0) -> np.ndarray:
+    """Radial-sampling approximation (round-1 method, kept for
+    comparison): rays to every boundary pixel, nearest-neighbor
+    sampling, running-max slope."""
     h, w = elev.shape
     oy, ox = (h - 1) / 2.0, (w - 1) / 2.0
     oz = float(elev[int(round(oy)), int(round(ox))]) + obs_height
-    # boundary targets (one ray each)
     tx = np.concatenate(
         [np.arange(w), np.full(h, w - 1), np.arange(w)[::-1], np.zeros(h)]
     )
@@ -33,7 +91,7 @@ def viewshed_mask(elev: np.ndarray, obs_height: float = 2.0) -> np.ndarray:
     )
     steps = max(h, w) * 2
     t = np.linspace(0.0, 1.0, steps)[None, :]
-    rx = ox + (tx[:, None] - ox) * t  # (R, T)
+    rx = ox + (tx[:, None] - ox) * t
     ry = oy + (ty[:, None] - oy) * t
     ix = np.clip(np.round(rx).astype(np.int64), 0, w - 1)
     iy = np.clip(np.round(ry).astype(np.int64), 0, h - 1)
@@ -49,16 +107,25 @@ def viewshed_mask(elev: np.ndarray, obs_height: float = 2.0) -> np.ndarray:
     return mask
 
 
-def viewshed_stage(images, obs_height: float = 2.0, concurrency: int = 4):
+# back-compat alias (round-1 name)
+viewshed_mask = viewshed_mask_radial
+
+_ALGOS = {"wang": viewshed_mask_wang, "radial": viewshed_mask_radial}
+
+
+def viewshed_stage(
+    images, obs_height: float = 2.0, concurrency: int = 4, algorithm: str = "wang"
+):
     """map_batches stage: per-chip viewshed from the center; output
     rows (image_id, n_visible, frac_visible, mask_bytes packbits)."""
+    algo = _ALGOS[algorithm]
 
     def fn(t: pa.Table) -> pa.Table:
         cols = {c: t.column(c).to_pylist() for c in ("image_id", "bytes", "w", "h", "fmt")}
         n_vis, frac, masks = [], [], []
         for i in range(t.num_rows):
             img = codecs.decode(cols["bytes"][i], cols["w"][i], cols["h"][i], cols["fmt"][i])
-            m = viewshed_mask(img[:, :, 0].astype(np.float64), obs_height)
+            m = algo(img[:, :, 0].astype(np.float64), obs_height)
             n_vis.append(int(m.sum()))
             frac.append(float(m.mean()))
             masks.append(np.packbits(m).tobytes())

@@ -203,13 +203,16 @@ def warp_images(
     resampling: str = "bilinear",
     concurrency: int = 4,
     batch_size: int = 64,
+    use_approx: bool = True,
 ):
     """Reproject an images Dataset (actor pool; transformer built once
-    per actor)."""
+    per actor).  ``use_approx=False`` evaluates the exact inverse
+    transform per row (the -et 0 gdalwarp path)."""
     return images.map_batches(
         WarpChips,
         fn_constructor_kwargs=dict(
-            src_srs=src_srs, dst_srs=dst_srs, resampling=resampling
+            src_srs=src_srs, dst_srs=dst_srs, resampling=resampling,
+            use_approx=use_approx,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

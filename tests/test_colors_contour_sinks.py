@@ -81,3 +81,31 @@ def test_tile_tree_sink_roundtrip(ray_session, smoke_fixtures, tmp_path):
     a = {(r.z, r.x, r.y): r.tile_bytes for r in orig.itertuples()}
     b = {(r.z, r.x, r.y): r.tile_bytes for r in back.itertuples()}
     assert a == b
+
+
+def test_dither_wavefront_bitwise_equal():
+    import numpy as np
+
+    from gdal_ray.functions import colors
+
+    rng = np.random.RandomState(3)
+    for h, w in [(1, 1), (2, 5), (16, 16), (13, 29), (40, 7)]:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        pal = colors.median_cut_palette(img, 16)
+        a = colors.dither_floyd_steinberg(img, pal)
+        b = colors.dither_floyd_steinberg_wavefront(img, pal)
+        assert np.array_equal(a, b), (h, w)
+
+
+def test_dither_batch_bitwise_equal():
+    import numpy as np
+
+    from gdal_ray.functions import colors
+
+    rng = np.random.RandomState(4)
+    B = 7
+    imgs = rng.randint(0, 256, (B, 16, 16, 3)).astype(np.uint8)
+    pals = np.stack([colors.median_cut_palette(imgs[i], 16) for i in range(B)])
+    batch = colors.dither_floyd_steinberg_batch(imgs, pals)
+    for i in range(B):
+        assert np.array_equal(batch[i], colors.dither_floyd_steinberg(imgs[i], pals[i]))

@@ -93,3 +93,38 @@ def test_viewshed_wall_occludes():
     assert m[10, 14]  # the wall top is visible
     assert not m[10, 18] and not m[10, 20]  # behind the wall: hidden
     assert m[10, 5]  # open west side visible
+
+
+def test_viewshed_wang_flat_all_visible():
+    import numpy as np
+
+    from gdal_ray.stages.viewshed import viewshed_mask_wang
+
+    flat = np.full((21, 21), 100.0)
+    assert viewshed_mask_wang(flat).all()
+
+
+def test_viewshed_wang_wall_occludes():
+    import numpy as np
+
+    from gdal_ray.stages.viewshed import viewshed_mask_wang
+
+    elev = np.zeros((31, 31))
+    elev[:, 20] = 50.0  # tall wall right of center
+    m = viewshed_mask_wang(elev, obs_height=2.0)
+    assert m[15, 15]
+    assert m[:, 20].any()       # the wall face is visible
+    assert not m[15, 25]        # ground behind the wall is not
+    assert m[:, :15].all()      # open side fully visible
+
+
+def test_viewshed_wang_single_peak_shadow():
+    import numpy as np
+
+    from gdal_ray.stages.viewshed import viewshed_mask_wang
+
+    elev = np.zeros((41, 41))
+    elev[20, 30] = 80.0
+    m = viewshed_mask_wang(elev, obs_height=2.0)
+    assert m[20, 30]            # the peak itself
+    assert not m[20, 35]        # directly behind the peak on the ray
