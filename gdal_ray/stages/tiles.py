@@ -350,9 +350,9 @@ def tiles_checksum(tiles):
             cs[i] = checksum.checksum_image(img)
         return pa.table(
             {
-                "z": t.column("z"),
-                "x": t.column("x"),
-                "y": t.column("y"),
+                "z": t.column("z").cast(pa.int64()),
+                "x": t.column("x").cast(pa.int64()),
+                "y": t.column("y").cast(pa.int64()),
                 "cs_r": pa.array(cs[:, 0], pa.int64()),
                 "cs_g": pa.array(cs[:, 1], pa.int64()),
                 "cs_b": pa.array(cs[:, 2], pa.int64()),
