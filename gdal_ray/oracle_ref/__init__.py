@@ -40,7 +40,16 @@ def _sql_lit(v, dtype) -> str:
     if v is None or (isinstance(v, float) and np.isnan(v)):
         return "NULL"
     if np.issubdtype(dtype, np.floating):
-        return repr(float(v))  # shortest repr round-trips to the same double
+        # DuckDB's decimal parse can be 1 ulp off; a dyadic rational
+        # m / 2^k evaluates exactly (both operands and the quotient are
+        # representable), so the golden double round-trips bit-exactly
+        f = float(v)
+        if f == 0.0 or not np.isfinite(f) or abs(f) >= 2.0**53:
+            return repr(f)
+        m, n = f.as_integer_ratio()
+        if n > 2**60:  # denominator itself must parse exactly
+            return repr(f)
+        return f"({m} / {n}.0)" if n > 1 else f"{m}.0"
     if np.issubdtype(dtype, np.integer):
         return str(int(v))
     if np.issubdtype(dtype, np.bool_):
@@ -87,13 +96,14 @@ def values_sql(df: pd.DataFrame, order_by: list[str]) -> str:
 
 def _registry():
     # name -> (builder(sf_dir) -> pd.DataFrame, order_by columns)
-    from . import annref, rasterref, textref, tileref
+    from . import annref, geomref, rasterref, textref, tileref
 
     reg = {}
     reg.update(textref.GOLDENS)
     reg.update(annref.GOLDENS)
     reg.update(rasterref.GOLDENS)
     reg.update(tileref.GOLDENS)
+    reg.update(geomref.GOLDENS)
     return reg
 
 

@@ -1,0 +1,330 @@
+"""Reference implementations for rasterize/polygonize/proximity/sieve
+(q33, q36) — single-process, separately coded from the engine stages.
+
+The scanline parity-fill crossing math (llrasterize.cpp semantics) is
+restated expression-for-expression: bitwise parity of the burned grids
+is the contract.  Connected components use BFS flood fill (vs the
+engine's run-based two-pass labeling + distributed seam merge);
+proximity uses the Felzenszwalb-Huttenlocher 1-D parabola EDT (vs the
+engine's row-scan + column-min formulation) — different algorithms,
+identical exact results.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+import pandas as pd
+
+ORIGIN_SHIFT = 20037508.342789244
+INITIAL_RES = 156543.03392804097
+GRID = 256
+
+
+def _tile_of(m, zoom: int):
+    px = (np.asarray(m, np.float64) + ORIGIN_SHIFT) / (INITIAL_RES / (1 << zoom))
+    return np.maximum(np.ceil(px / 256.0) - 1, 0).astype(np.int64)
+
+
+def _fill_parity_ref(rings, x0, y0, res, grid, value):
+    ys = y0 - (np.arange(GRID) + 0.5) * res
+    a = np.vstack([r[:-1] for r in rings])
+    b = np.vstack([r[1:] for r in rings])
+    y1, y2 = a[:, 1], b[:, 1]
+    x1, x2 = a[:, 0], b[:, 0]
+    for row in range(GRID):
+        y = ys[row]
+        cond = ((y1 <= y) & (y2 > y)) | ((y2 <= y) & (y1 > y))
+        if not cond.any():
+            continue
+        t = (y - y1[cond]) / (y2[cond] - y1[cond])
+        xs = x1[cond] + t * (x2[cond] - x1[cond])
+        xs.sort()
+        for i in range(0, len(xs) - 1, 2):
+            c0 = max(int(np.ceil((xs[i] - x0) / res - 0.5)), 0)
+            c1 = min(int(np.ceil((xs[i + 1] - x0) / res - 0.5)), GRID)
+            if c1 > c0:
+                grid[row, c0:c1] = value
+
+
+def ref_rasterize(sf_dir: str, zoom: int, value_fn=None):
+    """Burn the fixture polygon layer at ``zoom``.  Returns
+    {(tx, ty): grid uint8} for non-empty cells.  value_fn(fid) -> burn
+    value (default 1).  Burn order: ascending fid per cell."""
+    import pyarrow.parquet as pq
+
+    from ..synth.make_table import ensure_fixtures, polygon_rings_of, scale_for_sf_dir
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    t = pq.read_table(paths["polygons"], columns=["fid", "minx", "miny", "maxx", "maxy"])
+    fids = t.column("fid").to_numpy(zero_copy_only=False)
+    env = {
+        c: t.column(c).to_numpy() for c in ("minx", "miny", "maxx", "maxy")
+    }
+    n1 = (1 << zoom) - 1
+    by_cell: dict[tuple[int, int], list[int]] = {}
+    for k in range(len(fids)):
+        tx0 = int(_tile_of(env["minx"][k], zoom))
+        ty0 = int(_tile_of(env["miny"][k], zoom))
+        tx1 = min(int(_tile_of(env["maxx"][k], zoom)), n1)
+        ty1 = min(int(_tile_of(env["maxy"][k], zoom)), n1)
+        for tx in range(tx0, tx1 + 1):
+            for ty in range(ty0, ty1 + 1):
+                by_cell.setdefault((tx, ty), []).append(int(fids[k]))
+    res = INITIAL_RES / (1 << zoom)
+    out = {}
+    for (tx, ty), cell_fids in by_cell.items():
+        minx = tx * 256 * res - ORIGIN_SHIFT
+        maxy = (ty + 1) * 256 * res - ORIGIN_SHIFT
+        grid = np.zeros((GRID, GRID), dtype=np.uint16)
+        for fid in sorted(cell_fids):
+            rings = polygon_rings_of(fid)
+            v = value_fn(fid) if value_fn else 1
+            _fill_parity_ref(rings, minx, maxy, res, grid, v)
+        g8 = np.minimum(grid, 255).astype(np.uint8)
+        if (g8 > 0).any():
+            out[(tx, ty)] = g8
+    return out
+
+
+# ------------------------------------------------------- q33 polygonize
+
+
+def _row_spread(labr: np.ndarray, gr: np.ndarray) -> np.ndarray:
+    """Spread the min label across each run of equal values in a row."""
+    change = np.flatnonzero(np.diff(gr.astype(np.int64))) + 1
+    starts = np.r_[0, change]
+    mins = np.minimum.reduceat(labr, starts)
+    reps = np.diff(np.r_[starts, len(gr)])
+    return np.repeat(mins, reps)
+
+
+def _cc_relax(g: np.ndarray, max_sweeps: int = 200) -> np.ndarray:
+    """4-connected equal-value components by min-label relaxation
+    (forward+backward raster sweeps with per-run segment minima).
+    Label of a component = flat index of its first pixel in row-major
+    scan order (the canonical pixel)."""
+    h, w = g.shape
+    lab = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    for _ in range(max_sweeps):
+        before = lab.copy()
+        for rows in (range(h), range(h - 1, -1, -1)):
+            prev = None
+            for y in rows:
+                r = lab[y]
+                if prev is not None:
+                    eq = g[y] == g[prev]
+                    r = np.minimum(r, np.where(eq, lab[prev], r))
+                lab[y] = _row_spread(r, g[y])
+                prev = y
+        if np.array_equal(lab, before):
+            return lab
+    from collections import deque as _dq  # pragma: no cover - fallback
+
+    raise RuntimeError("relaxation did not converge")  # pragma: no cover
+
+
+def q33_rasterize_polygonize(sf_dir: str, zoom: int = 10) -> pd.DataFrame:
+    cells = ref_rasterize(sf_dir, zoom, value_fn=lambda fid: fid % 254 + 1)
+    res = INITIAL_RES / (1 << zoom)
+    nt = 1 << zoom
+    world = nt * GRID
+    # local components per cell, keyed by canonical pixel
+    members = {}  # canon -> dict(value, count, env, cell)
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    local_label = {}  # (tx, ty) -> label grid of canon ids
+    for (tx, ty), g in cells.items():
+        rl = _cc_relax(g)
+        lab = np.full(g.shape, -1, dtype=np.int64)
+        bminx = tx * 256 * res - ORIGIN_SHIFT
+        bmaxy = (ty + 1) * 256 * res - ORIGIN_SHIFT
+        nz = g > 0
+        for l in np.unique(rl[nz]):
+            mask = nz & (rl == l)
+            ys, xs = np.nonzero(mask)
+            y0, x0 = int(l) // GRID, int(l) % GRID  # first scan pixel
+            gr = (nt - 1 - ty) * GRID + y0
+            gc = tx * GRID + x0
+            canon = gr * world + gc
+            lab[mask] = canon
+            parent[canon] = canon
+            members[canon] = dict(
+                value=int(g[y0, x0]),
+                count=len(ys),
+                minx=bminx + xs.min() * res,
+                maxx=bminx + (xs.max() + 1) * res,
+                maxy=bmaxy - ys.min() * res,
+                miny=bmaxy - (ys.max() + 1) * res,
+            )
+        local_label[(tx, ty)] = lab
+    # merge across shared borders (equal value, adjacent pixels)
+    for (tx, ty), g in cells.items():
+        lab = local_label[(tx, ty)]
+        if (tx + 1, ty) in cells:  # east neighbor: col 255 <-> col 0
+            gb = cells[(tx + 1, ty)]
+            lb = local_label[(tx + 1, ty)]
+            m = (g[:, GRID - 1] > 0) & (g[:, GRID - 1] == gb[:, 0])
+            for r in np.flatnonzero(m):
+                union(int(lab[r, GRID - 1]), int(lb[r, 0]))
+        if (tx, ty + 1) in cells:  # north neighbor (TMS y+1): row 0 <-> row 255
+            gb = cells[(tx, ty + 1)]
+            lb = local_label[(tx, ty + 1)]
+            m = (g[0, :] > 0) & (g[0, :] == gb[GRID - 1, :])
+            for c in np.flatnonzero(m):
+                union(int(lab[0, c]), int(lb[GRID - 1, c]))
+    agg = {}
+    for canon, rec in members.items():
+        root = find(canon)
+        a = agg.setdefault(
+            root,
+            dict(value=rec["value"], pixel_count=0, n_cells=0,
+                 minx=np.inf, miny=np.inf, maxx=-np.inf, maxy=-np.inf),
+        )
+        a["pixel_count"] += rec["count"]
+        a["n_cells"] += 1
+        a["minx"] = min(a["minx"], rec["minx"])
+        a["miny"] = min(a["miny"], rec["miny"])
+        a["maxx"] = max(a["maxx"], rec["maxx"])
+        a["maxy"] = max(a["maxy"], rec["maxy"])
+    rows = [
+        (root, a["value"], a["pixel_count"], a["minx"], a["miny"], a["maxx"],
+         a["maxy"], a["n_cells"])
+        for root, a in agg.items()
+    ]
+    df = pd.DataFrame(
+        rows,
+        columns=["comp_id", "value", "pixel_count", "minx", "miny", "maxx", "maxy", "n_cells"],
+    )
+    for c in ("comp_id", "value", "pixel_count", "n_cells"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("comp_id").reset_index(drop=True)
+
+
+# -------------------------------------------------- q36 proximity/sieve
+
+
+def _edt_1d(f: np.ndarray) -> np.ndarray:
+    """Felzenszwalb-Huttenlocher 1-D squared EDT of sampled function f."""
+    n = len(f)
+    d = np.empty(n)
+    v = np.zeros(n, dtype=np.int64)
+    z = np.empty(n + 1)
+    k = 0
+    z[0], z[1] = -np.inf, np.inf
+    for q in range(1, n):
+        if not np.isfinite(f[q]) and not np.isfinite(f[v[k]]):
+            continue
+        s = ((f[q] + q * q) - (f[v[k]] + v[k] * v[k])) / (2 * q - 2 * v[k])
+        while s <= z[k]:
+            k -= 1
+            s = ((f[q] + q * q) - (f[v[k]] + v[k] * v[k])) / (2 * q - 2 * v[k])
+        k += 1
+        v[k] = q
+        z[k] = s
+        z[k + 1] = np.inf
+    k = 0
+    for q in range(n):
+        while z[k + 1] < q:
+            k += 1
+        d[q] = (q - v[k]) ** 2 + f[v[k]]
+    return d
+
+
+def _proximity_ref(target: np.ndarray, max_dist: float) -> np.ndarray:
+    h, w = target.shape
+    INF = 1e18
+    f = np.where(target, 0.0, INF)
+    tmp = np.empty_like(f)
+    for x in range(w):
+        tmp[:, x] = _edt_1d(f[:, x])
+    out2 = np.empty_like(f)
+    for y in range(h):
+        out2[y, :] = _edt_1d(tmp[y, :])
+    d = np.sqrt(np.minimum(out2, INF))
+    return np.minimum(d, max_dist)
+
+
+def _label4_ref(g: np.ndarray):
+    """Labeling of ALL equal-valued 4-connected components (including
+    value 0), labels 1..n in scan order (relaxation labels are the
+    component's first-pixel flat index, so rank order == scan order)."""
+    rl = _cc_relax(g)
+    uniq, inv = np.unique(rl, return_inverse=True)
+    labels = (inv + 1).astype(np.int32).reshape(g.shape)
+    return labels, len(uniq)
+
+
+def _sieve_ref(g: np.ndarray, threshold: int) -> np.ndarray:
+    """gdalsievefilter semantics restated: repeatedly merge every
+    undersized component into its largest neighbor (ties -> lowest
+    scan-order label), labels/sizes snapshotted per sweep, merged value
+    read from the neighbor's first pixel at merge time."""
+    out = g.copy()
+    w = out.shape[1]
+    while True:
+        rl = _cc_relax(out)
+        uniq, inv = np.unique(rl, return_inverse=True)
+        labels = (inv + 1).astype(np.int64).reshape(out.shape)
+        n = len(uniq)
+        sizes = np.bincount(labels.reshape(-1), minlength=n + 1)
+        small = (np.flatnonzero(sizes[1:] < threshold) + 1).tolist()
+        if not small:
+            return out
+        # adjacency label pairs, vectorized over the 4-neighborhood
+        nbmap: dict[int, set] = {}
+        for a, b in (
+            (labels[:-1, :].ravel(), labels[1:, :].ravel()),
+            (labels[:, :-1].ravel(), labels[:, 1:].ravel()),
+        ):
+            diff = a != b
+            ps = np.unique(np.stack([a[diff], b[diff]], axis=1), axis=0)
+            for x, y in ps:
+                nbmap.setdefault(int(x), set()).add(int(y))
+                nbmap.setdefault(int(y), set()).add(int(x))
+        changed = False
+        for l in small:
+            nb = nbmap.get(int(l))
+            if not nb:
+                continue
+            big = max(nb, key=lambda ll: (sizes[ll], -ll))
+            fy, fx = divmod(int(uniq[big - 1]), w)
+            out[labels == l] = out[fy, fx]
+            changed = True
+        if not changed:
+            return out
+
+
+def q36_proximity_sieve(sf_dir: str, zoom: int = 8) -> pd.DataFrame:
+    cells = ref_rasterize(sf_dir, zoom, value_fn=lambda fid: 1)
+    rows = []
+    for (tx, ty), g in sorted(cells.items()):
+        cell = (zoom << 58) | (tx << 29) | ty
+        prox = _proximity_ref(g > 0, 64.0).astype(np.float32)
+        mean = float(prox.mean())
+        sieved = _sieve_ref(g, 20)
+        rows.append(
+            (cell, float(np.round(mean, 3)), int((sieved > 0).sum()))
+        )
+    df = pd.DataFrame(rows, columns=["cell", "mean_dist", "n_after_sieve"])
+    df["cell"] = df["cell"].astype(np.int64)
+    df["n_after_sieve"] = df["n_after_sieve"].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
+GOLDENS = {
+    "q33_rasterize_polygonize": (q33_rasterize_polygonize, ["comp_id"]),
+    "q36_proximity_sieve": (q36_proximity_sieve, ["cell"]),
+}

@@ -4,14 +4,22 @@ Reference semantics: alg/polygonize.cpp:73 GDALPolygonizeT — scanline-
 pairwise connected-component tracing (4-connectivity, equal pixel
 value), zero treated as nodata/background.  The distributed twist
 (SURVEY.md §2.9): components are labeled per cell, then components
-touching a shared cell border are merged by a groupby on the border's
-edge key + a union-find reduce over the (small) cross-border adjacency
-graph, exactly the 'per-cell trace + seam merge' plan.
+touching a shared cell border are merged — the cross-border pair graph
+is reduced by ITERATED MIN-LABEL PROPAGATION (Ray Data joins +
+groupby-min per round, monotone so convergence is detected from the
+label-sum aggregate), never collected to the driver.
+
+Component identity is the CANONICAL PIXEL id: each per-cell component
+is named by its first burned pixel in global scan order
+(canon = global_row * world_width + global_col), and a merged
+component's id is the minimum canon over its members — a pure function
+of the raster, independent of labeling internals (which makes the
+independent oracle able to reproduce it).
 
 Input rows: the rasterize output (cell, z, x, y, grid_bytes 256x256
-uint8).  Output rows: one per merged component — comp_id (stable
-string), value, pixel_count, minx, miny, maxx, maxy (georeferenced
-envelope), n_cells (how many cells it spans).
+uint8).  Output rows: one per merged component — comp_id (int64
+canonical pixel), value, pixel_count, minx, miny, maxx, maxy
+(georeferenced envelope), n_cells (how many cells it spans).
 """
 
 from __future__ import annotations
@@ -27,7 +35,8 @@ GRID = 256
 def _label_components(g: np.ndarray):
     """Two-pass run-based 4-connected labeling of equal-valued nonzero
     pixels (the scanline-pair strategy of polygonize.cpp).  Returns
-    (labels int32 array, n_labels); labels are 1..n."""
+    (labels int32 array, n_labels); labels are 1..n in first-encounter
+    scan order."""
     labels = np.zeros_like(g, dtype=np.int32)
     parent: list[int] = [0]
 
@@ -47,7 +56,6 @@ def _label_components(g: np.ndarray):
     for row in range(GRID):
         line = g[row]
         runs = []
-        # extract runs of equal nonzero values
         change = np.flatnonzero(np.diff(line)) + 1
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [GRID]))
@@ -69,7 +77,6 @@ def _label_components(g: np.ndarray):
             labels[row, s:e] = lbl
             runs.append((int(s), int(e), v, lbl))
         prev_runs = runs
-    # flatten labels
     remap = np.zeros(nxt, dtype=np.int32)
     out_n = 0
     for l in range(1, nxt):
@@ -82,10 +89,10 @@ def _label_components(g: np.ndarray):
 
 
 def _per_cell(t: pa.Table) -> pa.Table:
-    """Per-cell labeling: emits one row per (cell, local component) with
-    stats + the four border label/value stripes for seam matching."""
+    """Per-cell labeling: one row per (cell, local component) with
+    stats, the canonical-pixel id, and the four border label stripes."""
     out = {
-        "cell": [], "z": [], "x": [], "y": [], "local_id": [], "value": [],
+        "cell": [], "z": [], "x": [], "y": [], "canon": [], "value": [],
         "pixel_count": [], "minx": [], "miny": [], "maxx": [], "maxy": [],
         "border_n": [], "border_s": [], "border_w": [], "border_e": [],
     }
@@ -102,23 +109,27 @@ def _per_cell(t: pa.Table) -> pa.Table:
             continue
         bminx, bminy, bmaxx, bmaxy = mercator.tile_bounds(tx, ty, z)
         res = float(mercator.resolution(z))
+        nt = 1 << z
+        world = nt * GRID
         for lbl in range(1, n + 1):
             mask = labels == lbl
             ys, xs = np.nonzero(mask)
             v = int(g[ys[0], xs[0]])
+            # canonical pixel: first in global top-down scan order
+            # (grid row 0 is the tile's TOP; TMS ty grows northward)
+            gr = (nt - 1 - ty) * GRID + int(ys[0])
+            gc = tx * GRID + int(xs[0])
             out["cell"].append(cell)
             out["z"].append(z)
             out["x"].append(tx)
             out["y"].append(ty)
-            out["local_id"].append(lbl)
+            out["canon"].append(gr * world + gc)
             out["value"].append(v)
             out["pixel_count"].append(int(mask.sum()))
             out["minx"].append(bminx + xs.min() * res)
             out["maxx"].append(bminx + (xs.max() + 1) * res)
             out["maxy"].append(bmaxy - ys.min() * res)
             out["miny"].append(bmaxy - (ys.max() + 1) * res)
-        # border stripes: this component's pixels on each cell border
-        for lbl in range(1, n + 1):
             out["border_n"].append((labels[0, :] == lbl).tobytes())
             out["border_s"].append((labels[GRID - 1, :] == lbl).tobytes())
             out["border_w"].append((labels[:, 0] == lbl).tobytes())
@@ -129,7 +140,7 @@ def _per_cell(t: pa.Table) -> pa.Table:
             "z": pa.array(out["z"], pa.int32()),
             "x": pa.array(out["x"], pa.int32()),
             "y": pa.array(out["y"], pa.int32()),
-            "local_id": pa.array(out["local_id"], pa.int32()),
+            "canon": pa.array(out["canon"], pa.int64()),
             "value": pa.array(out["value"], pa.int32()),
             "pixel_count": pa.array(out["pixel_count"], pa.int64()),
             "minx": pa.array(out["minx"], pa.float64()),
@@ -144,128 +155,224 @@ def _per_cell(t: pa.Table) -> pa.Table:
     )
 
 
-def polygonize(raster_cells, num_partitions: int = 16):
-    """Raster cells -> merged components Dataset.
+def _edges(t: pa.Table) -> pa.Table:
+    """One row per (component, touched cell border): edge key + stripe."""
+    rows = {"edge": [], "node": [], "value": [], "stripe": [], "side": []}
+    for r in range(t.num_rows):
+        z = int(t.column("z")[r].as_py())
+        x = int(t.column("x")[r].as_py())
+        y = int(t.column("y")[r].as_py())
+        node = int(t.column("canon")[r].as_py())
+        v = int(t.column("value")[r].as_py())
+        n = 1 << z
+        for side, dx, dy in (("e", 1, 0), ("w", -1, 0), ("n", 0, 1), ("s", 0, -1)):
+            stripe = np.frombuffer(
+                t.column(f"border_{side}")[r].as_py(), dtype=np.uint8
+            )
+            if not stripe.any():
+                continue
+            nx, ny = x + dx, y + dy
+            if nx < 0 or ny < 0 or nx >= n or ny >= n:
+                continue
+            a, b = (x, y), (nx, ny)
+            lo, hi = (a, b) if a <= b else (b, a)
+            rows["edge"].append(f"{z}/{lo[0]}/{lo[1]}|{hi[0]}/{hi[1]}")
+            rows["node"].append(node)
+            rows["value"].append(v)
+            rows["stripe"].append(stripe.tobytes())
+            rows["side"].append(side)
+    return pa.table(
+        {
+            "edge": pa.array(rows["edge"], pa.string()),
+            "node": pa.array(rows["node"], pa.int64()),
+            "value": pa.array(rows["value"], pa.int32()),
+            "stripe": pa.array(rows["stripe"], pa.binary()),
+            "side": pa.array(rows["side"], pa.string()),
+        }
+    )
 
-    Seam merge: each component emits one row per cell border it
-    touches, keyed by the undirected edge id; groupby(edge) finds
-    cross-cell pairs (same value, overlapping border pixels); the pair
-    graph (small: border-crossing comps only) is reduced by union-find
-    and broadcast back to relabel (the 'GB on shared-edge key' plan of
-    SURVEY.md §2.9)."""
-    import ray
+
+def _pairs_in_edge(g: pa.Table) -> pa.Table:
+    """Cross-border component pairs within one shared edge — vectorized
+    stripe intersection (bool matmul), no per-pair python loop."""
+    side = np.asarray(g.column("side").to_pylist())
+    vals = g.column("value").to_numpy(zero_copy_only=False)
+    nodes = g.column("node").to_numpy(zero_copy_only=False)
+    stripes = g.column("stripe").to_pylist()
+    out_a, out_b = [], []
+    for sa, sb in (("e", "w"), ("n", "s")):
+        ia = np.flatnonzero(side == sa)
+        ib = np.flatnonzero(side == sb)
+        if len(ia) == 0 or len(ib) == 0:
+            continue
+        A = np.stack([np.frombuffer(stripes[i], dtype=np.uint8) for i in ia])
+        B = np.stack([np.frombuffer(stripes[i], dtype=np.uint8) for i in ib])
+        overlap = (A.astype(np.int64) @ B.astype(np.int64).T) > 0
+        same_val = vals[ia][:, None] == vals[ib][None, :]
+        pi, pj = np.nonzero(overlap & same_val)
+        out_a.extend(nodes[ia[pi]].tolist())
+        out_b.extend(nodes[ib[pj]].tolist())
+    return pa.table(
+        {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
+    )
+
+
+def min_label_components(edges, max_iters: int = 32):
+    """Distributed connected components by iterated min-label
+    propagation: labels start as the node id; each round every node
+    takes the min label over itself and its neighbors (two hash joins +
+    one groupby-min).  Labels only decrease, so the label-sum aggregate
+    detects convergence without a row-wise diff.  Returns a Dataset
+    (node, label=root) — only nodes that appear in the edge list.
+    """
     import ray.data as rd
+    from ray.data.aggregate import Min, Sum
 
-    comps = raster_cells.map_batches(_per_cell, batch_format="pyarrow").materialize()
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return None
 
-    def edges(t: pa.Table) -> pa.Table:
-        rows = {"edge": [], "guid": [], "value": [], "stripe": [], "side": []}
-        for r in range(t.num_rows):
-            z = int(t.column("z")[r].as_py())
-            x = int(t.column("x")[r].as_py())
-            y = int(t.column("y")[r].as_py())
-            guid = f"{z}/{x}/{y}/{int(t.column('local_id')[r].as_py())}"
-            v = int(t.column("value")[r].as_py())
-            n = 1 << z
-            for side, dx, dy in (("e", 1, 0), ("w", -1, 0), ("n", 0, 1), ("s", 0, -1)):
-                stripe = np.frombuffer(
-                    t.column(f"border_{side}")[r].as_py(), dtype=np.uint8
-                )
-                if not stripe.any():
-                    continue
-                nx, ny = x + dx, y + dy
-                if nx < 0 or ny < 0 or nx >= n or ny >= n:
-                    continue
-                # undirected edge id between (x,y) and neighbor
-                a = (z, x, y)
-                b = (z, nx, ny)
-                lo, hi = (a, b) if a <= b else (b, a)
-                rows["edge"].append(f"{lo[0]}/{lo[1]}/{lo[2]}|{hi[1]}/{hi[2]}")
-                rows["guid"].append(guid)
-                rows["value"].append(v)
-                rows["stripe"].append(stripe.tobytes())
-                rows["side"].append(side)
+    def endpoints(t: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                t.column("a").to_numpy(zero_copy_only=False),
+                t.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        return pa.table({"node": pa.array(both, pa.int64())})
+
+    labels = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("node", alias_name="label"))
+        .materialize()
+    )
+    # each round: cogroup (labels ∪ both-direction edge rows) on node,
+    # forward the node's current label to every neighbor, then
+    # groupby-min.  Cogroup (union + map_groups) rather than
+    # Dataset.join — equivalent plan, no join-operator edge cases with
+    # empty hash partitions.
+    def edge_msgs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "edge": pa.array(rows["edge"], pa.string()),
-                "guid": pa.array(rows["guid"], pa.string()),
-                "value": pa.array(rows["value"], pa.int32()),
-                "stripe": pa.array(rows["stripe"], pa.binary()),
-                "side": pa.array(rows["side"], pa.string()),
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "other": pa.array(np.concatenate([b, a]), pa.int64()),
+                "label": pa.nulls(2 * len(a), pa.int64()),
             }
         )
 
-    import pandas as pd
-
-    def pairs_in_edge(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        # opposite sides touch: e<->w and n<->s
-        for sa, sb in (("e", "w"), ("n", "s")):
-            ga = g[g.side == sa]
-            gb = g[g.side == sb]
-            for _, ra in ga.iterrows():
-                st_a = np.frombuffer(ra.stripe, dtype=np.uint8).astype(bool)
-                for _, rb in gb.iterrows():
-                    if ra.value != rb.value:
-                        continue
-                    st_b = np.frombuffer(rb.stripe, dtype=np.uint8).astype(bool)
-                    if (st_a & st_b).any():
-                        out_a.append(ra.guid)
-                        out_b.append(rb.guid)
-        return pd.DataFrame({"a": pd.Series(out_a, dtype=object),
-                             "b": pd.Series(out_b, dtype=object)})
-
-    adj = (
-        comps.map_batches(edges, batch_format="pyarrow")
-        .groupby("edge")
-        .map_groups(pairs_in_edge, batch_format="pandas")
-        .to_pandas()
-    )
-    # union-find over the (small) cross-border adjacency graph
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(adj.get("a", []), adj.get("b", [])):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    mapping = {k: find(k) for k in list(parent)}
-    map_ref = ray.put(mapping)
-
-    def relabel(t: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
-        guids = [
-            f"{z}/{x}/{y}/{l}"
-            for z, x, y, l in zip(
-                t.column("z").to_pylist(),
-                t.column("x").to_pylist(),
-                t.column("y").to_pylist(),
-                t.column("local_id").to_pylist(),
-            )
-        ]
-        comp = [m.get(g_, g_) for g_ in guids]
+    def lab_rows(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "comp_id": pa.array(comp, pa.string()),
-                "value": t.column("value"),
-                "pixel_count": t.column("pixel_count"),
-                "minx": t.column("minx"),
-                "miny": t.column("miny"),
-                "maxx": t.column("maxx"),
-                "maxy": t.column("maxy"),
+                "node": t.column("node"),
+                "other": pa.nulls(t.num_rows, pa.int64()),
+                "label": t.column("label"),
             }
+        )
+
+    def forward(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lbls = g.column("label").drop_null()
+        lbl = pc.min(lbls).as_py() if len(lbls) else g.column("node")[0].as_py()
+        others = g.column("other").drop_null()
+        node = g.column("node")[0].as_py()
+        out_nodes = others.to_pylist() + [node]
+        return pa.table(
+            {
+                "node": pa.array(out_nodes, pa.int64()),
+                "label": pa.array([lbl] * len(out_nodes), pa.int64()),
+            }
+        )
+
+    msgs_e = edges.map_batches(edge_msgs, batch_format="pyarrow").materialize()
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    for _ in range(max_iters):
+        merged = (
+            msgs_e.union(labels.map_batches(lab_rows, batch_format="pyarrow"))
+            .groupby("node")
+            .map_groups(forward, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        new_sum = merged.aggregate(Sum("label", alias_name="s"))["s"]
+        labels = merged
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def polygonize(raster_cells, num_partitions: int = 16):
+    """Raster cells -> merged components Dataset.
+
+    Seam merge: components emit rows per touched cell border keyed by
+    the undirected edge id; groupby(edge) matches stripes into a pair
+    graph; min-label propagation reduces the graph; a hash join maps
+    每 local component to its root — no driver-side collection at any
+    step."""
+    comps = raster_cells.map_batches(_per_cell, batch_format="pyarrow").materialize()
+
+    pair_edges = (
+        comps.map_batches(_edges, batch_format="pyarrow")
+        .groupby("edge")
+        .map_groups(_pairs_in_edge, batch_format="pyarrow")
+    )
+    labels = min_label_components(pair_edges)
+
+    slim_cols = ["canon", "value", "pixel_count", "minx", "miny", "maxx", "maxy"]
+    slim = comps.select_columns(slim_cols)
+    if labels is None:
+        relabeled = slim.map_batches(
+            lambda t: t.append_column("comp_id", t.column("canon")),
+            batch_format="pyarrow",
+        )
+    else:
+        # cogroup relabel: union (typed-null padded) + groupby(canon)
+        def pad_comp(t: pa.Table) -> pa.Table:
+            return t.append_column("label", pa.nulls(t.num_rows, pa.int64()))
+
+        def pad_label(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "canon": t.column("node"),
+                    "value": pa.nulls(t.num_rows, pa.int32()),
+                    "pixel_count": pa.nulls(t.num_rows, pa.int64()),
+                    "minx": pa.nulls(t.num_rows, pa.float64()),
+                    "miny": pa.nulls(t.num_rows, pa.float64()),
+                    "maxx": pa.nulls(t.num_rows, pa.float64()),
+                    "maxy": pa.nulls(t.num_rows, pa.float64()),
+                    "label": t.column("label"),
+                }
+            )
+
+        def pick(g: pa.Table) -> pa.Table:
+            lbls = g.column("label").drop_null()
+            root = (
+                int(lbls[0].as_py()) if len(lbls) else int(g.column("canon")[0].as_py())
+            )
+            data = g.filter(g.column("label").is_null())
+            out = data.select(slim_cols)
+            return out.append_column(
+                "comp_id", pa.array([root] * out.num_rows, pa.int64())
+            )
+
+        relabeled = (
+            slim.map_batches(pad_comp, batch_format="pyarrow")
+            .union(labels.map_batches(pad_label, batch_format="pyarrow"))
+            .groupby("canon")
+            .map_groups(pick, batch_format="pyarrow")
         )
 
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    return (
-        comps.map_batches(relabel, batch_format="pyarrow")
+    agg = (
+        relabeled.select_columns(
+            ["comp_id", "value", "pixel_count", "minx", "miny", "maxx", "maxy"]
+        )
         .groupby(["comp_id", "value"])
         .aggregate(
             Sum("pixel_count", alias_name="pixel_count"),
@@ -276,3 +383,21 @@ def polygonize(raster_cells, num_partitions: int = 16):
             Count(alias_name="n_cells"),
         )
     )
+
+    def shape(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "comp_id": t.column("comp_id"),
+                "value": pc.cast(t.column("value"), pa.int64()),
+                "pixel_count": t.column("pixel_count"),
+                "minx": t.column("minx"),
+                "miny": t.column("miny"),
+                "maxx": t.column("maxx"),
+                "maxy": t.column("maxy"),
+                "n_cells": pc.cast(t.column("n_cells"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(shape, batch_format="pyarrow")

@@ -127,3 +127,44 @@ def test_all_touched_superset(ray_session, poly_table):
         )
 
     assert count(touched) > count(plain)
+
+
+def test_polygonize_many_cross_border_components(ray_session):
+    """A stack of horizontal stripes crossing a vertical cell border:
+    every stripe is one merged component (the seam-merge pair graph has
+    hundreds of edges; the min-label propagation must converge with no
+    driver-side adjacency)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.functions import mercator
+    from gdal_ray.stages.polygonize import polygonize
+
+    z = 10
+    tx, ty = 500, 500
+    n_stripes = 120
+    ga = np.zeros((256, 256), dtype=np.uint8)
+    gb = np.zeros((256, 256), dtype=np.uint8)
+    for k in range(n_stripes):
+        row = 2 * k
+        ga[row, 128:] = 1 + (k % 3)
+        gb[row, :128] = 1 + (k % 3)
+    cells = rd.from_arrow(
+        pa.table(
+            {
+                "cell": pa.array(
+                    [int(mercator.pack_cell(z, tx, ty)), int(mercator.pack_cell(z, tx + 1, ty))],
+                    pa.int64(),
+                ),
+                "z": pa.array([z, z], pa.int32()),
+                "x": pa.array([tx, tx + 1], pa.int32()),
+                "y": pa.array([ty, ty], pa.int32()),
+                "grid_bytes": pa.array([ga.tobytes(), gb.tobytes()], pa.binary()),
+            }
+        )
+    )
+    comps = polygonize(cells).to_pandas()
+    assert len(comps) == n_stripes            # each stripe merged across the border
+    assert (comps.n_cells == 2).all()
+    assert (comps.pixel_count == 256).all()   # 128 px per side
