@@ -112,6 +112,91 @@ def marching_squares(grid: np.ndarray, level: float) -> np.ndarray:
     return np.concatenate(segs, axis=0)
 
 
+def marching_squares_desc(grid: np.ndarray, level: float):
+    """Marching squares with DECOMPOSED endpoints, for cross-cell
+    stitching: every crossing is (orientation, iy, ix, t) where
+    orientation 0 = horizontal pixel edge (r, c)->(r, c+1) crossed at
+    (x = c + t, y = r) and orientation 1 = vertical edge
+    (r, c)->(r + 1, c) crossed at (x = c, y = r + t).
+
+    The same physical edge shared by two squares (or, with integer
+    offsets, two CELLS) yields the bitwise-identical (o, iy, ix, t)
+    tuple, so fragments can be matched exactly across任 partition.
+    NaN pixels mark missing data: squares touching one emit nothing.
+
+    Returns (N, 8) float64 rows (o0, iy0, ix0, t0, o1, iy1, ix1, t1)
+    — integer fields are exact in float64.
+    """
+    g = grid.astype(np.float64)
+    tl = g[:-1, :-1]
+    tr = g[:-1, 1:]
+    bl = g[1:, :-1]
+    br = g[1:, 1:]
+    finite = np.isfinite(tl) & np.isfinite(tr) & np.isfinite(bl) & np.isfinite(br)
+    case = (
+        (tl >= level).astype(np.int8) * 8
+        + (tr >= level).astype(np.int8) * 4
+        + (br >= level).astype(np.int8) * 2
+        + (bl >= level).astype(np.int8)
+    )
+    ys, xs = np.nonzero(finite & (case > 0) & (case < 15))
+    if len(ys) == 0:
+        return np.empty((0, 8), dtype=np.float64)
+    c = case[ys, xs]
+    v_tl, v_tr, v_bl, v_br = tl[ys, xs], tr[ys, xs], bl[ys, xs], br[ys, xs]
+    xf = xs.astype(np.float64)
+    yf = ys.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # per-square edge descriptors [edge 0=top 1=bottom 2=left 3=right]
+        # -> (o, iy, ix, t); t always measured from the top/left pixel
+        eo = np.stack([np.zeros_like(xf), np.zeros_like(xf),
+                       np.ones_like(xf), np.ones_like(xf)])
+        eiy = np.stack([yf, yf + 1.0, yf, yf])
+        eix = np.stack([xf, xf, xf, xf + 1.0])
+        et = np.stack(
+            [
+                (level - v_tl) / (v_tr - v_tl),
+                (level - v_bl) / (v_br - v_bl),
+                (level - v_tl) / (v_bl - v_tl),
+                (level - v_tr) / (v_br - v_tr),
+            ]
+        )
+    segs = []
+    idx_all = np.arange(len(c))
+
+    def emit(sel, ea, eb):
+        segs.append(
+            np.stack(
+                [
+                    eo[ea, sel], eiy[ea, sel], eix[ea, sel], et[ea, sel],
+                    eo[eb, sel], eiy[eb, sel], eix[eb, sel], et[eb, sel],
+                ],
+                axis=1,
+            )
+        )
+
+    for cv, pairs in _EDGE_PAIRS.items():
+        m = idx_all[c == cv]
+        if len(m) == 0:
+            continue
+        for ea, eb in pairs:
+            emit(m, ea, eb)
+    for cv in (5, 10):
+        m = idx_all[c == cv]
+        if len(m) == 0:
+            continue
+        center_hi = (v_tl[m] + v_tr[m] + v_bl[m] + v_br[m]) / 4.0 >= level
+        first = (cv == 5) == center_hi
+        for sel, pairs in ((m[first], [(2, 1), (0, 3)]), (m[~first], [(2, 0), (1, 3)])):
+            if len(sel) == 0:
+                continue
+            for ea, eb in pairs:
+                emit(sel, ea, eb)
+    if not segs:
+        return np.empty((0, 8), dtype=np.float64)
+    return np.concatenate(segs, axis=0)
+
+
 def contour_levels(grid: np.ndarray, interval: float, base: float = 0.0):
     """Fixed-interval level list covering the grid's range (the
     -i/-off contour options)."""

@@ -324,7 +324,192 @@ def q36_proximity_sieve(sf_dir: str, zoom: int = 8) -> pd.DataFrame:
     return df.sort_values("cell").reset_index(drop=True)
 
 
+# ----------------------------------------------------- q38 contour
+
+
+def _field_ref(mx, my):
+    return (
+        128.0
+        + 90.0 * np.sin(np.asarray(mx, np.float64) / 9000.0)
+        * np.cos(np.asarray(my, np.float64) / 11000.0)
+        + 30.0
+        * np.sin((2.0 * np.asarray(mx, np.float64) + np.asarray(my, np.float64)) / 23000.0)
+    )
+
+
+_MS_CASES = {
+    1: [(2, 1)], 14: [(2, 1)], 2: [(1, 3)], 13: [(1, 3)],
+    3: [(2, 3)], 12: [(2, 3)], 4: [(0, 3)], 11: [(0, 3)],
+    6: [(0, 1)], 9: [(0, 1)], 7: [(2, 0)], 8: [(2, 0)],
+}
+
+
+def _ms_desc_ref(ext: np.ndarray, level: float, gr0: int, gc0: int):
+    """Restated marching squares with decomposed endpoints in GLOBAL
+    edge coordinates; yields ((o,iy,ix,tbits) endpoint tuples, len_px
+    canonical dx/dy)."""
+    tl = ext[:-1, :-1]; tr = ext[:-1, 1:]; bl = ext[1:, :-1]; br = ext[1:, 1:]
+    finite = np.isfinite(tl) & np.isfinite(tr) & np.isfinite(bl) & np.isfinite(br)
+    case = (
+        (tl >= level).astype(np.int8) * 8
+        + (tr >= level).astype(np.int8) * 4
+        + (br >= level).astype(np.int8) * 2
+        + (bl >= level).astype(np.int8)
+    )
+    ys, xs = np.nonzero(finite & (case > 0) & (case < 15))
+    segs = []
+    for y, x in zip(ys, xs):
+        vtl, vtr, vbl, vbr = tl[y, x], tr[y, x], bl[y, x], br[y, x]
+        cv = int(case[y, x])
+        # edge -> (o, iy, ix, t) in global coords
+        edges = {
+            0: (0, gr0 + y, gc0 + x, (level - vtl) / (vtr - vtl)),
+            1: (0, gr0 + y + 1, gc0 + x, (level - vbl) / (vbr - vbl)),
+            2: (1, gr0 + y, gc0 + x, (level - vtl) / (vbl - vtl)),
+            3: (1, gr0 + y, gc0 + x + 1, (level - vtr) / (vbr - vtr)),
+        }
+        if cv in _MS_CASES:
+            pairs = _MS_CASES[cv]
+        else:  # saddle
+            center_hi = (vtl + vtr + vbl + vbr) / 4.0 >= level
+            if (cv == 5) == center_hi:
+                pairs = [(2, 1), (0, 3)]
+            else:
+                pairs = [(2, 0), (1, 3)]
+        for ea, eb in pairs:
+            segs.append((edges[ea], edges[eb]))
+    return segs
+
+
+def _pack_ep(level: int, ep) -> bytes:
+    import struct
+
+    o, iy, ix, t = ep
+    return struct.pack("<qqqqq", level, o, iy, ix, np.float64(t).view(np.int64))
+
+
+def _ep_hash(ep) -> int:
+    import hashlib
+    import struct
+
+    o, iy, ix, t = ep
+    key = struct.pack("<qqqq", o, iy, ix, np.float64(t).view(np.int64))
+    return int.from_bytes(hashlib.blake2b(key, digest_size=8).digest(), "big") >> 1
+
+
+def _seg_len_mm(a, b, res_px: float) -> int:
+    ox0, iy0, ix0, t0 = a
+    ox1, iy1, ix1, t1 = b
+    xf0 = t0 if ox0 == 0 else 0.0
+    yf0 = t0 if ox0 == 1 else 0.0
+    xf1 = t1 if ox1 == 0 else 0.0
+    yf1 = t1 if ox1 == 1 else 0.0
+    dx = (np.float64(ix1) - np.float64(ix0)) + (xf1 - xf0)
+    dy = (np.float64(iy1) - np.float64(iy0)) + (yf1 - yf0)
+    return int(np.floor(np.hypot(dx, dy) * res_px * 1000.0 + 0.5))
+
+
+def q38_contour(sf_dir: str, zoom: int = 8, grid: int = 64) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from ..synth.make_table import ensure_fixtures, scale_for_sf_dir
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    t = pq.read_table(paths["images"], columns=["minx", "miny", "maxx", "maxy"])
+    n1 = (1 << zoom) - 1
+    cells = set()
+    tx0 = _tile_of(t.column("minx").to_numpy(), zoom)
+    ty0 = _tile_of(t.column("miny").to_numpy(), zoom)
+    tx1 = np.minimum(_tile_of(t.column("maxx").to_numpy(), zoom), n1)
+    ty1 = np.minimum(_tile_of(t.column("maxy").to_numpy(), zoom), n1)
+    for a, b, c, d in zip(tx0, tx1, ty0, ty1):
+        for x in range(a, b + 1):
+            for y in range(c, d + 1):
+                cells.add((int(x), int(y)))
+    res = INITIAL_RES / (1 << zoom)
+    res_px = res * 256.0 / grid
+    nt = 1 << zoom
+
+    def cell_grid(tx, ty):
+        # pixel pitch as (maxx - minx) / grid — the engine's expression;
+        # any other float formulation shifts centers by ~1e-9 m and
+        # flips interpolation-t bits
+        minx = tx * 256 * res - ORIGIN_SHIFT
+        maxx = (tx + 1) * 256 * res - ORIGIN_SHIFT
+        maxy = (ty + 1) * 256 * res - ORIGIN_SHIFT
+        gres = (maxx - minx) / grid
+        xs = minx + (np.arange(grid) + 0.5) * gres
+        ys = maxy - (np.arange(grid) + 0.5) * gres
+        return _field_ref(xs[None, :], ys[:, None])
+
+    grids = {c: cell_grid(*c) for c in cells}
+    all_segs: dict[int, list] = {}
+    for (tx, ty), g in grids.items():
+        ext = np.full((grid + 1, grid + 1), np.nan)
+        ext[:grid, :grid] = g
+        if (tx, ty - 1) in grids:  # south neighbor's top row
+            ext[grid, :grid] = grids[(tx, ty - 1)][0, :]
+        if (tx + 1, ty) in grids:  # east neighbor's first column
+            ext[:grid, grid] = grids[(tx + 1, ty)][:, 0]
+        if (tx + 1, ty - 1) in grids:
+            ext[grid, grid] = grids[(tx + 1, ty - 1)][0, 0]
+        gr0 = (nt - 1 - ty) * grid
+        gc0 = tx * grid
+        for level in (64.0, 128.0, 192.0):
+            all_segs.setdefault(int(level), []).extend(
+                _ms_desc_ref(ext, level, gr0, gc0)
+            )
+    rows = []
+    for level, segs in all_segs.items():
+        adj: dict[bytes, list] = {}
+        for i, (a, b) in enumerate(segs):
+            adj.setdefault(_pack_ep(level, a), []).append((i, 0))
+            adj.setdefault(_pack_ep(level, b), []).append((i, 1))
+        visited = np.zeros(len(segs), dtype=bool)
+
+        def walk(start_key):
+            total = 0
+            count = 0
+            canon = None
+            open_ends = 0
+            key = start_key
+            while True:
+                nxt = [e for e in adj[key] if not visited[e[0]]]
+                if not nxt:
+                    open_ends += 1 if len(adj[key]) == 1 else 0
+                    break
+                i, side = nxt[0]
+                visited[i] = True
+                a, b = segs[i]
+                total += _seg_len_mm(a, b, res_px)
+                count += 1
+                for ep in (a, b):
+                    h = _ep_hash(ep)
+                    if canon is None or h < canon:
+                        canon = h
+                key = _pack_ep(level, b if side == 0 else a)
+            return total, count, canon
+
+        for key, ents in list(adj.items()):
+            if len(ents) != 1 or visited[ents[0][0]]:
+                continue
+            total, count, canon = walk(key)
+            rows.append((level, canon, count, total, False))
+        for i in range(len(segs)):
+            if visited[i]:
+                continue
+            total, count, canon = walk(_pack_ep(level, segs[i][0]))
+            rows.append((level, canon, count, total, True))
+    df = pd.DataFrame(
+        rows, columns=["level", "comp_id", "n_segments", "length_mm", "closed"]
+    )
+    for c in ("level", "comp_id", "n_segments", "length_mm"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["level", "comp_id"]).reset_index(drop=True)
+
+
 GOLDENS = {
     "q33_rasterize_polygonize": (q33_rasterize_polygonize, ["comp_id"]),
     "q36_proximity_sieve": (q36_proximity_sieve, ["cell"]),
+    "q38_contour": (q38_contour, ["level", "comp_id"]),
 }

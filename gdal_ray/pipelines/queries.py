@@ -1320,44 +1320,20 @@ def q37_point_query(sf_dir: str):
 
 
 def q38_contour(sf_dir: str):
-    """Contour (marching squares) over band 0 of every chip at fixed
-    intervals; returns per-chip (level, n_segments, total_length)."""
+    """Contour with CROSS-CELL polyline stitching (alg/contour.cpp:568
+    semantics, distributed): a smooth analytic field is gridded per
+    z8 cell over the image-covered region, marching-squares fragments
+    are stitched across cell borders by exact endpoint matching +
+    min-label propagation, and whole polylines are emitted (closed flag
+    included)."""
     import ray.data as rd
 
-    from ..functions import codecs
-    from ..functions.contour_ms import contour_levels, marching_squares
+    from ..stages.contour import contour_cells, field_cells
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
-    imgs = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "w", "h", "fmt"])
-
-    def fn(t: pa.Table) -> pa.Table:
-        ids, levels, nseg, length = [], [], [], []
-        cols = {c: t.column(c).to_pylist() for c in ("image_id", "bytes", "w", "h", "fmt")}
-        for i in range(t.num_rows):
-            img = codecs.decode(cols["bytes"][i], cols["w"][i], cols["h"][i], cols["fmt"][i])
-            g = img[:, :, 0].astype(np.float64)
-            for level in contour_levels(g, 64.0):
-                segs = marching_squares(g, level)
-                ids.append(cols["image_id"][i])
-                levels.append(level)
-                nseg.append(len(segs))
-                length.append(
-                    float(np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1]).sum())
-                    if len(segs)
-                    else 0.0
-                )
-        return pa.table(
-            {
-                "image_id": pa.array(ids, pa.string()),
-                "level": pa.array(levels, pa.float64()),
-                "n_segments": pa.array(nseg, pa.int64()),
-                "total_length": pa.array(np.round(length, 3), pa.float64()),
-            }
-        )
-
-    return imgs.map_batches(fn, batch_format="pyarrow", batch_size=128).sort(
-        ["image_id", "level"]
-    )
+    imgs = rd.read_parquet(paths["images"], columns=["minx", "miny", "maxx", "maxy"])
+    cells = field_cells(imgs, zoom=8, grid=64)
+    return contour_cells(cells).sort(["level", "comp_id"])
 
 
 def q39_color_quantize(sf_dir: str):

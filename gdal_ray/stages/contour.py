@@ -1,0 +1,482 @@
+"""Contour over a cell mosaic with CROSS-CELL polyline stitching.
+
+Reference semantics: alg/contour.cpp:568 GDALContourGenerateEx +
+alg/marching_squares/ (segment generation), with the distributed twist
+of SURVEY.md §2.9: per-cell marching squares needs a one-pixel halo
+(south row / east column / corner) exchanged through the same
+groupby(cell) shuffle that carries the grids, and polylines crossing a
+cell border are merged by matching their DECOMPOSED endpoint
+descriptors (orientation, global edge, interpolation-t bits — bitwise
+identical on both sides of a border) with the same min-label
+propagation used by the polygonize seam merge.
+
+Chain identity is the minimum endpoint hash over the polyline — a pure
+function of the field, reproducible by the independent oracle.
+
+Output rows: level:int64, comp_id:int64, n_segments:int64,
+length_mm:int64 (per-segment rounded milli-meter lengths, so sums are
+order-independent), closed:bool.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import mercator
+from ..functions.contour_ms import marching_squares_desc
+from .cells import cover_envelope_cells
+
+LEVELS = (64.0, 128.0, 192.0)
+
+
+def field_value(mx, my):
+    """Deterministic analytic test field over EPSG:3857 meters (the
+    fixture 'DEM'; smooth so iso-lines are long and cross cells)."""
+    return (
+        128.0
+        + 90.0 * np.sin(np.asarray(mx, np.float64) / 9000.0)
+        * np.cos(np.asarray(my, np.float64) / 11000.0)
+        + 30.0 * np.sin((2.0 * np.asarray(mx, np.float64) + np.asarray(my, np.float64)) / 23000.0)
+    )
+
+
+def field_cells(envelopes, zoom: int = 8, grid: int = 64):
+    """Envelope rows -> one field grid per covered cell (cell, z, x, y,
+    grid_bytes float64 grid x grid)."""
+    cover = envelopes.map_batches(cover_envelope_cells(zoom), batch_format="pyarrow")
+
+    import pandas as pd
+
+    def one_cell(g: pd.DataFrame) -> pd.DataFrame:
+        cell = int(g["cell"].iloc[0])
+        z, tx, ty = (int(v) for v in mercator.unpack_cell(np.array([cell])))
+        minx, miny, maxx, maxy = mercator.tile_bounds(tx, ty, z)
+        res = (maxx - minx) / grid
+        xs = minx + (np.arange(grid) + 0.5) * res
+        ys = maxy - (np.arange(grid) + 0.5) * res
+        vals = field_value(xs[None, :], ys[:, None])
+        return pd.DataFrame(
+            {
+                "cell": [cell],
+                "z": [z],
+                "x": [tx],
+                "y": [ty],
+                "grid_bytes": [vals.astype(np.float64).tobytes()],
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    distinct = cover.select_columns(["cell"]).groupby("cell").aggregate(
+        Count(alias_name="n")
+    )
+
+    def grids_batch(t: pa.Table) -> pa.Table:
+        cells_arr = t.column("cell").to_numpy(zero_copy_only=False)
+        zs, txs, tys = mercator.unpack_cell(cells_arr)
+        out_bytes = []
+        for k in range(len(cells_arr)):
+            z, tx, ty = int(zs[k]), int(txs[k]), int(tys[k])
+            minx, miny, maxx, maxy = mercator.tile_bounds(tx, ty, z)
+            res = (maxx - minx) / grid
+            xs = minx + (np.arange(grid) + 0.5) * res
+            ys = maxy - (np.arange(grid) + 0.5) * res
+            out_bytes.append(field_value(xs[None, :], ys[:, None]).astype(np.float64).tobytes())
+        return pa.table(
+            {
+                "cell": pa.array(cells_arr, pa.int64()),
+                "z": pa.array(zs.astype(np.int64), pa.int64()),
+                "x": pa.array(txs.astype(np.int64), pa.int64()),
+                "y": pa.array(tys.astype(np.int64), pa.int64()),
+                "grid_bytes": pa.array(out_bytes, pa.binary()),
+            }
+        )
+
+    return distinct.map_batches(grids_batch, batch_format="pyarrow", batch_size=64)
+
+
+def _node_hash(key: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(key, digest_size=8).digest(), "big") >> 1
+
+
+def _endpoint_keys(segs: np.ndarray) -> tuple[list[bytes], list[bytes]]:
+    """Exact endpoint keys: (level-independent) packed (o, iy, ix,
+    t-bits).  Caller scopes by level."""
+    out = []
+    for side in (0, 4):
+        o = segs[:, side].astype(np.int64)
+        iy = segs[:, side + 1].astype(np.int64)
+        ix = segs[:, side + 2].astype(np.int64)
+        tb = segs[:, side + 3].copy().view(np.int64)
+        out.append(
+            [struct.pack("<qqqq", o[i], iy[i], ix[i], tb[i]) for i in range(len(o))]
+        )
+    return out[0], out[1]
+
+
+def _seg_lengths_mm(segs: np.ndarray, res_px: float) -> np.ndarray:
+    """Canonical per-segment integer milli-meter lengths from the
+    decomposed endpoints (frame-independent)."""
+    o0, iy0, ix0, t0 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    o1, iy1, ix1, t1 = segs[:, 4], segs[:, 5], segs[:, 6], segs[:, 7]
+    xf0 = np.where(o0 == 0, t0, 0.0)
+    yf0 = np.where(o0 == 1, t0, 0.0)
+    xf1 = np.where(o1 == 0, t1, 0.0)
+    yf1 = np.where(o1 == 1, t1, 0.0)
+    dx = (ix1 - ix0) + (xf1 - xf0)
+    dy = (iy1 - iy0) + (yf1 - yf0)
+    return np.floor(np.hypot(dx, dy) * res_px * 1000.0 + 0.5).astype(np.int64)
+
+
+def chain_segments(segs: np.ndarray, res_px: float):
+    """Chain segments into polylines by exact endpoint matching.
+    Returns (chains, open_endpoints): chains = list of dicts
+    (n_seg, len_mm, canon, open_keys [0 or 2 packed keys])."""
+    n = len(segs)
+    k0, k1 = _endpoint_keys(segs)
+    lens = _seg_lengths_mm(segs, res_px)
+    adj: dict[bytes, list[tuple[int, int]]] = {}
+    for i in range(n):
+        adj.setdefault(k0[i], []).append((i, 0))
+        adj.setdefault(k1[i], []).append((i, 1))
+    visited = np.zeros(n, dtype=bool)
+    chains = []
+
+    def walk(start_key: bytes):
+        """Follow the chain from an endpoint key; returns stats."""
+        total = 0
+        count = 0
+        canon = None
+        key = start_key
+        last = start_key
+        while True:
+            nxt = [e for e in adj[key] if not visited[e[0]]]
+            if not nxt:
+                break
+            i, side = nxt[0]
+            visited[i] = True
+            total += int(lens[i])
+            count += 1
+            for kk in (k0[i], k1[i]):
+                hsh = _node_hash(kk)
+                if canon is None or hsh < canon:
+                    canon = hsh
+            key = k1[i] if side == 0 else k0[i]
+            last = key
+        return total, count, canon, last
+
+    # open chains first (endpoints of degree 1)
+    for key, ents in adj.items():
+        if len(ents) != 1:
+            continue
+        i, _ = ents[0]
+        if visited[i]:
+            continue
+        total, count, canon, last = walk(key)
+        chains.append(
+            dict(n_seg=count, len_mm=total, canon=canon, open_keys=[key, last])
+        )
+    # remaining are closed rings
+    for i in range(n):
+        if visited[i]:
+            continue
+        total, count, canon, _ = walk(k0[i])
+        chains.append(dict(n_seg=count, len_mm=total, canon=canon, open_keys=[]))
+    return chains
+
+
+def contour_cells(cells, levels=LEVELS, grid: int = 64):
+    """Cell grid rows -> stitched contour polylines Dataset."""
+    from .polygonize import min_label_components
+    from .tiles import _add_scatter
+
+    levels = tuple(float(l) for l in levels)
+
+    def emit_with_halo(t: pa.Table) -> pa.Table:
+        rows = {"cell": [], "kind": [], "payload": [], "z": [], "x": [], "y": []}
+        for r in range(t.num_rows):
+            z = int(t.column("z")[r].as_py())
+            tx = int(t.column("x")[r].as_py())
+            ty = int(t.column("y")[r].as_py())
+            gb = t.column("grid_bytes")[r].as_py()
+            g = np.frombuffer(gb, dtype=np.float64).reshape(grid, grid)
+            n = 1 << z
+            rows["cell"].append(int(mercator.pack_cell(z, tx, ty)))
+            rows["kind"].append("own")
+            rows["payload"].append(gb)
+            rows["z"].append(z)
+            rows["x"].append(tx)
+            rows["y"].append(ty)
+            # top row -> north neighbor (its south halo); first col ->
+            # west neighbor (its east halo); corner -> northwest
+            for kind, dx, dy, payload in (
+                ("row", 0, 1, g[0, :].tobytes()),
+                ("col", -1, 0, g[:, 0].tobytes()),
+                ("cor", -1, 1, g[0, 0].tobytes()),
+            ):
+                nx, ny = tx + dx, ty + dy
+                if 0 <= nx < n and 0 <= ny < n:
+                    rows["cell"].append(int(mercator.pack_cell(z, nx, ny)))
+                    rows["kind"].append(kind)
+                    rows["payload"].append(payload)
+                    rows["z"].append(z)
+                    rows["x"].append(nx)
+                    rows["y"].append(ny)
+        return pa.table(
+            {
+                "cell": pa.array(rows["cell"], pa.int64()),
+                "kind": pa.array(rows["kind"], pa.string()),
+                "payload": pa.array(rows["payload"], pa.binary()),
+                "z": pa.array(rows["z"], pa.int32()),
+                "x": pa.array(rows["x"], pa.int32()),
+                "y": pa.array(rows["y"], pa.int32()),
+            }
+        )
+
+    def fragments_group(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        if "own" not in kinds:
+            return _empty_frag_table()
+        z = int(g.column("z")[0].as_py())
+        tx = int(g.column("x")[0].as_py())
+        ty = int(g.column("y")[0].as_py())
+        nt = 1 << z
+        res_px = float(mercator.resolution(z)) * 256.0 / grid
+        ext = np.full((grid + 1, grid + 1), np.nan)
+        for r, kind in enumerate(kinds):
+            pl = g.column("payload")[r].as_py()
+            if kind == "own":
+                ext[:grid, :grid] = np.frombuffer(pl, dtype=np.float64).reshape(
+                    grid, grid
+                )
+            elif kind == "row":  # south neighbor's top row
+                ext[grid, :grid] = np.frombuffer(pl, dtype=np.float64)
+            elif kind == "col":  # east neighbor's first column
+                ext[:grid, grid] = np.frombuffer(pl, dtype=np.float64)
+            else:  # corner
+                ext[grid, grid] = np.frombuffer(pl, dtype=np.float64)[0]
+        gr0 = (nt - 1 - ty) * grid
+        gc0 = tx * grid
+        out = {
+            "level": [], "node": [], "n_seg": [], "len_mm": [],
+            "closed": [], "ep1": [], "ep2": [],
+        }
+        for level in levels:
+            segs = marching_squares_desc(ext, level)
+            if len(segs) == 0:
+                continue
+            segs[:, 1] += gr0
+            segs[:, 2] += gc0
+            segs[:, 5] += gr0
+            segs[:, 6] += gc0
+            for ch in chain_segments(segs, res_px):
+                out["level"].append(int(level))
+                out["node"].append(ch["canon"])
+                out["n_seg"].append(ch["n_seg"])
+                out["len_mm"].append(ch["len_mm"])
+                out["closed"].append(len(ch["open_keys"]) == 0)
+                out["ep1"].append(ch["open_keys"][0] if ch["open_keys"] else b"")
+                out["ep2"].append(ch["open_keys"][1] if ch["open_keys"] else b"")
+        return pa.table(
+            {
+                "level": pa.array(out["level"], pa.int64()),
+                "node": pa.array(out["node"], pa.int64()),
+                "n_seg": pa.array(out["n_seg"], pa.int64()),
+                "len_mm": pa.array(out["len_mm"], pa.int64()),
+                "closed": pa.array(out["closed"], pa.bool_()),
+                "ep1": pa.array(out["ep1"], pa.binary()),
+                "ep2": pa.array(out["ep2"], pa.binary()),
+            }
+        )
+
+    def _empty_frag_table() -> pa.Table:
+        return pa.table(
+            {
+                "level": pa.array([], pa.int64()),
+                "node": pa.array([], pa.int64()),
+                "n_seg": pa.array([], pa.int64()),
+                "len_mm": pa.array([], pa.int64()),
+                "closed": pa.array([], pa.bool_()),
+                "ep1": pa.array([], pa.binary()),
+                "ep2": pa.array([], pa.binary()),
+            }
+        )
+
+    scattered = cells.map_batches(emit_with_halo, batch_format="pyarrow").map_batches(
+        _add_scatter, batch_format="pyarrow"
+    )
+    from .polygonize import _materialize_detached
+
+    frags = _materialize_detached(
+        scattered.groupby(["__scatter", "cell"]).map_groups(
+            fragments_group, batch_format="pyarrow"
+        )
+    )
+
+    def _only(closed_val: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t.column("closed"), pa.scalar(closed_val)))
+
+        fn.__name__ = f"closed_{closed_val}"
+        return fn
+
+    closed_rings = frags.map_batches(_only(True), batch_format="pyarrow").select_columns(
+        ["level", "node", "n_seg", "len_mm"]
+    )
+    open_frags = frags.map_batches(_only(False), batch_format="pyarrow")
+
+    # endpoint table: one row per open endpoint, keyed (level, key)
+    def endpoints(t: pa.Table) -> pa.Table:
+        lvs = t.column("level").to_pylist()
+        nodes = t.column("node").to_pylist()
+        e1 = t.column("ep1").to_pylist()
+        e2 = t.column("ep2").to_pylist()
+        key, node = [], []
+        for r in range(t.num_rows):
+            pfx = struct.pack("<q", lvs[r])
+            key.append(pfx + e1[r])
+            key.append(pfx + e2[r])
+            node.append(nodes[r])
+            node.append(nodes[r])
+        return pa.table(
+            {
+                "key": pa.array(key, pa.binary()),
+                "node": pa.array(node, pa.int64()),
+            }
+        )
+
+    eps = open_frags.map_batches(endpoints, batch_format="pyarrow")
+
+    # vectorized endpoint matching: per endpoint-key count + min/max
+    # node (hash aggregate); count==2 -> pair, count==1 -> unmatched
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ep_stats = (
+        eps.groupby("key")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("node", alias_name="mn"),
+            Max("node", alias_name="mx"),
+        )
+    )
+    ep_stats = _materialize_detached(ep_stats)
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        two = t.filter(pa.array(n >= 2))
+        return pa.table({"a": two.column("mn"), "b": two.column("mx")})
+
+    def to_unmatched(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        one = t.filter(pa.array(n == 1))
+        return pa.table({"node": one.column("mn")})
+
+    from .polygonize import _materialize_detached as _mat
+
+    pairs = ep_stats.map_batches(to_pairs, batch_format="pyarrow")
+    unmatched = _mat(ep_stats.map_batches(to_unmatched, batch_format="pyarrow"))
+    labels = min_label_components(pairs)
+    open_count = open_frags.count()
+    unm_count = unmatched.count()
+
+    # vectorized relabel: left-join the root-label table onto fragment
+    # rows and unmatched-endpoint rows; null label -> the node itself
+    def _with_root(ds, node_col="node"):
+        if labels is None:
+            def self_root(t: pa.Table) -> pa.Table:
+                return t.append_column("root", t.column(node_col))
+
+            return ds.map_batches(self_root, batch_format="pyarrow")
+        n_lab = labels.count()
+        parts_n = max(1, n_lab // 50_000)
+        renamed = labels.map_batches(
+            lambda t: pa.table({node_col: t.column("node"), "label": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        joined = ds.join(
+            renamed, join_type="left_outer", num_partitions=parts_n, on=(node_col,)
+        )
+
+        def pick(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            root = pc.coalesce(t.column("label"), t.column(node_col))
+            return t.drop_columns(["label"]).append_column("root", root)
+
+        return joined.map_batches(pick, batch_format="pyarrow")
+
+    frag_stats = _with_root(
+        open_frags.select_columns(["level", "node", "n_seg", "len_mm"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "root": t.column("root"),
+                "level": t.column("level"),
+                "n_seg": t.column("n_seg"),
+                "len_mm": t.column("len_mm"),
+                "unm": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    unm_stats = _with_root(unmatched).map_batches(
+        lambda t: pa.table(
+            {
+                "root": t.column("root"),
+                "level": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+                "n_seg": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "len_mm": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "unm": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    stats_in = frag_stats.union(unm_stats) if unm_count else frag_stats
+    merged = (
+        stats_in
+        .groupby("root")
+        .aggregate(
+            Max("level", alias_name="level"),  # every root has >=1 real fragment
+            Sum("n_seg", alias_name="n_segments"),
+            Sum("len_mm", alias_name="length_mm"),
+            Sum("unm", alias_name="unm"),
+        )
+    )
+
+    def shape_merged(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "level": t.column("level"),
+                "comp_id": t.column("root"),
+                "n_segments": t.column("n_segments"),
+                "length_mm": t.column("length_mm"),
+                "closed": pc.equal(t.column("unm"), pa.scalar(0, pa.int64())),
+            }
+        )
+
+    def shape_closed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "level": t.column("level"),
+                "comp_id": t.column("node"),
+                "n_segments": t.column("n_seg"),
+                "length_mm": t.column("len_mm"),
+                "closed": pa.array([True] * t.num_rows),
+            }
+        )
+
+    closed_ds = closed_rings.map_batches(shape_closed, batch_format="pyarrow")
+    if open_count == 0:
+        return closed_ds
+    return merged.map_batches(shape_merged, batch_format="pyarrow").union(closed_ds)

@@ -217,7 +217,51 @@ def _pairs_in_edge(g: pa.Table) -> pa.Table:
     )
 
 
-def min_label_components(edges, max_iters: int = 32):
+def _materialize_detached(ds):
+    """materialize() + cut the DatasetStats parent chain: iterative
+    algorithms otherwise accumulate an ever-deeper stats lineage that
+    Ray's stats update thread re-summarizes recursively (quadratic
+    driver stalls between rounds)."""
+    mds = ds.materialize()
+    try:
+        mds._plan.stats().parents = []
+    except Exception:  # noqa: BLE001 - stats internals are best-effort
+        pass
+    return mds
+
+
+def _cc_one_task(t: pa.Table) -> pa.Table:
+    """Union-find over the whole (small) pair graph in ONE WORKER task
+    (the input was repartitioned to a single block) — never on the
+    driver.  Root = min node id, matching the propagation's fixpoint."""
+    a = t.column("a").to_numpy(zero_copy_only=False)
+    b = t.column("b").to_numpy(zero_copy_only=False)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a, b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    nodes = sorted(set(int(v) for v in a) | set(int(v) for v in b))
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "label": pa.array([find(n) for n in nodes], pa.int64()),
+        }
+    )
+
+
+def min_label_components(edges, max_iters: int = 32,
+                         one_task_threshold: int = 2_000_000):
     """Distributed connected components by iterated min-label
     propagation: labels start as the node id; each round every node
     takes the min label over itself and its neighbors (two hash joins +
@@ -228,9 +272,19 @@ def min_label_components(edges, max_iters: int = 32):
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
-    edges = edges.materialize()
-    if edges.count() == 0:
+    edges = _materialize_detached(edges)
+    n_edges = edges.count()
+    if n_edges == 0:
         return None
+    if n_edges <= one_task_threshold:
+        # small graph: one worker-side union-find task beats dozens of
+        # tiny shuffle rounds (each with actor-pool startup); the
+        # iterated propagation below is the >2M-edge scale path
+        return _materialize_detached(
+            edges.repartition(1).map_batches(
+                _cc_one_task, batch_format="pyarrow", batch_size=None
+            )
+        )
 
     def endpoints(t: pa.Table) -> pa.Table:
         both = np.concatenate(
@@ -241,17 +295,15 @@ def min_label_components(edges, max_iters: int = 32):
         )
         return pa.table({"node": pa.array(both, pa.int64())})
 
-    labels = (
+    labels = _materialize_detached(
         edges.map_batches(endpoints, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Min("node", alias_name="label"))
-        .materialize()
     )
-    # each round: cogroup (labels ∪ both-direction edge rows) on node,
-    # forward the node's current label to every neighbor, then
-    # groupby-min.  Cogroup (union + map_groups) rather than
-    # Dataset.join — equivalent plan, no join-operator edge cases with
-    # empty hash partitions.
+    # vectorized rounds: hash-join the label table onto the message
+    # list, redirect to the receiver, hash-aggregate the min.  The
+    # partition count is sized so hash partitions are never empty
+    # (Ray's join operator mishandles schema-less empty partitions).
     def edge_msgs(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
         b = t.column("b").to_numpy(zero_copy_only=False)
@@ -259,50 +311,42 @@ def min_label_components(edges, max_iters: int = 32):
             {
                 "node": pa.array(np.concatenate([a, b]), pa.int64()),
                 "other": pa.array(np.concatenate([b, a]), pa.int64()),
-                "label": pa.nulls(2 * len(a), pa.int64()),
             }
         )
 
-    def lab_rows(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": t.column("node"),
-                "other": pa.nulls(t.num_rows, pa.int64()),
-                "label": t.column("label"),
-            }
-        )
+    def to_receiver(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("other"), "label": t.column("label")})
 
-    def forward(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def jump_requests(t: pa.Table) -> pa.Table:
+        # ask each node's LABEL node for ITS label (pointer jumping —
+        # halves the remaining path length, so O(log diameter) rounds)
+        return pa.table({"node": t.column("label"), "other": t.column("node")})
 
-        lbls = g.column("label").drop_null()
-        lbl = pc.min(lbls).as_py() if len(lbls) else g.column("node")[0].as_py()
-        others = g.column("other").drop_null()
-        node = g.column("node")[0].as_py()
-        out_nodes = others.to_pylist() + [node]
-        return pa.table(
-            {
-                "node": pa.array(out_nodes, pa.int64()),
-                "label": pa.array([lbl] * len(out_nodes), pa.int64()),
-            }
-        )
+    msgs_e = _materialize_detached(edges.map_batches(edge_msgs, batch_format="pyarrow"))
+    n_nodes = labels.count()
+    parts = max(1, n_nodes // 50_000)
 
-    msgs_e = edges.map_batches(edge_msgs, batch_format="pyarrow").materialize()
-    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
-    for _ in range(max_iters):
-        merged = (
-            msgs_e.union(labels.map_batches(lab_rows, batch_format="pyarrow"))
-            .groupby("node")
-            .map_groups(forward, batch_format="pyarrow")
+    def _minimize(msgs, lbls):
+        contrib = msgs.join(lbls, join_type="inner", num_partitions=parts,
+                            on=("node",)).map_batches(to_receiver,
+                                                      batch_format="pyarrow")
+        return _materialize_detached(
+            lbls.union(contrib)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
-            .materialize()
         )
-        new_sum = merged.aggregate(Sum("label", alias_name="s"))["s"]
-        labels = merged
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    for it in range(max_iters):
+        labels = _minimize(msgs_e, labels)  # neighbor min
+        for _ in range(2):  # double pointer jump: ~4x reach per round
+            jump = labels.map_batches(jump_requests, batch_format="pyarrow")
+            labels = _minimize(jump, labels)
+        if it % 2 == 1 or it == max_iters - 1:
+            new_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
     return labels
 
 

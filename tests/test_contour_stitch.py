@@ -1,0 +1,99 @@
+"""Cross-cell contour stitching (round-2 op)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _cells_ds(grids, z=8):
+    import ray.data as rd
+
+    from gdal_ray.functions import mercator
+
+    rows = {"cell": [], "z": [], "x": [], "y": [], "grid_bytes": []}
+    for (tx, ty), g in grids.items():
+        rows["cell"].append(int(mercator.pack_cell(z, tx, ty)))
+        rows["z"].append(z)
+        rows["x"].append(tx)
+        rows["y"].append(ty)
+        rows["grid_bytes"].append(np.asarray(g, np.float64).tobytes())
+    return rd.from_arrow(pa.table({k: pa.array(v) for k, v in rows.items()}))
+
+
+def test_circle_spanning_four_cells_is_one_closed_ring(ray_session):
+    """A radial cone centered on the shared corner of a 2x2 cell block:
+    the iso-circle crosses all four cells and must stitch into exactly
+    ONE closed polyline."""
+    from gdal_ray.functions import mercator
+    from gdal_ray.stages.contour import contour_cells
+
+    z, gx, gy, grid = 8, 200, 200, 64
+    # shared corner (center of the 2x2 block) in meters
+    minx, miny, maxx, maxy = mercator.tile_bounds(gx + 1, gy + 1, z)
+    cx, cy = float(minx), float(miny)
+    grids = {}
+    for tx in (gx, gx + 1):
+        for ty in (gy, gy + 1):
+            tminx, tminy, tmaxx, tmaxy = mercator.tile_bounds(tx, ty, z)
+            res = (tmaxx - tminx) / grid
+            xs = tminx + (np.arange(grid) + 0.5) * res
+            ys = tmaxy - (np.arange(grid) + 0.5) * res
+            d = np.hypot(xs[None, :] - cx, ys[:, None] - cy)
+            grids[(tx, ty)] = 200.0 - d / 1000.0  # cone, peak 200 at corner
+    out = contour_cells(_cells_ds(grids), levels=(128.0,)).to_pandas()
+    # level 128 -> circle of radius 72 km, well inside the 2x2 block
+    assert len(out) == 1
+    assert bool(out.closed.iloc[0])
+    assert int(out.n_segments.iloc[0]) > 40
+    # circumference ~ 2*pi*72km; marching-squares polyline is shorter
+    # than the circle but within ~10%
+    assert out.length_mm.iloc[0] / 1e6 == pytest.approx(2 * np.pi * 72.0, rel=0.1)
+
+
+def test_open_chain_at_data_boundary(ray_session):
+    """A linear ramp across a single cell: iso-lines end at the cell
+    boundary (no neighbors) -> open polylines."""
+    from gdal_ray.functions import mercator
+    from gdal_ray.stages.contour import contour_cells
+
+    z, tx, ty, grid = 8, 300, 300, 64
+    tminx, tminy, tmaxx, tmaxy = mercator.tile_bounds(tx, ty, z)
+    res = (tmaxx - tminx) / grid
+    xs = tminx + (np.arange(grid) + 0.5) * res
+    g = np.repeat(((xs - tminx) / (tmaxx - tminx) * 255.0)[None, :], grid, axis=0)
+    out = contour_cells(_cells_ds({(tx, ty): g}), levels=(128.0,)).to_pandas()
+    assert len(out) == 1
+    assert not bool(out.closed.iloc[0])
+
+
+def test_distributed_propagation_matches_one_task(ray_session):
+    """The >threshold distributed min-label path and the one-task
+    union-find produce identical components."""
+    import ray.data as rd
+
+    from gdal_ray.stages.polygonize import min_label_components
+
+    rng = np.random.RandomState(5)
+    # chains + a few merges
+    edges = []
+    base = 0
+    for chain in range(30):
+        ln = rng.randint(2, 40)
+        ids = base + np.arange(ln)
+        edges.extend(zip(ids[:-1], ids[1:]))
+        base += ln + 10
+    t = pa.table(
+        {
+            "a": pa.array([int(a) for a, b in edges], pa.int64()),
+            "b": pa.array([int(b) for a, b in edges], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    small = min_label_components(ds).to_pandas().sort_values("node").reset_index(drop=True)
+    big = (
+        min_label_components(rd.from_arrow(t), one_task_threshold=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert small.equals(big)
