@@ -318,8 +318,119 @@ def q23_spatial_join_images(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["image_id", "fid"]).reset_index(drop=True)
 
 
+# --------------------------------------------------- q43 MVT layers
+
+
+def _clip_ring_ref(ring: np.ndarray, minx, miny, maxx, maxy):
+    """Sutherland-Hodgman restated (same boundary order/expressions as
+    the engine — bitwise parity pins the formula)."""
+    pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    for axis, bound, keep_ge in (
+        (0, minx, True), (0, maxx, False), (1, miny, True), (1, maxy, False)
+    ):
+        if len(pts) == 0:
+            return None
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur = pts[i]
+            prv = pts[i - 1]
+            cin = cur[axis] >= bound if keep_ge else cur[axis] <= bound
+            pin = prv[axis] >= bound if keep_ge else prv[axis] <= bound
+            if cin != pin:
+                t = (bound - prv[axis]) / (cur[axis] - prv[axis])
+                out.append(prv + t * (cur - prv))
+            if cin:
+                out.append(cur)
+        pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+    if len(pts) < 3:
+        return None
+    return np.vstack([pts, pts[:1]])
+
+
+def q43_mvt_tiles(sf_dir: str, zoom: int = 8, buffer_px: int = 64,
+                  extent: int = 4096) -> pd.DataFrame:
+    import pyarrow.parquet as pq_
+
+    from ..synth.make_table import polygon_rings_of
+
+    paths = _fixture_paths(sf_dir)
+    pol = pq_.read_table(paths["polygons"], columns=["fid"])
+    pts = pq_.read_table(paths["points"], columns=["pid", "x", "y"])
+    fids = pol.column("fid").to_numpy(zero_copy_only=False)
+    px = pts.column("x").to_numpy()
+    py = pts.column("y").to_numpy()
+    res = INITIAL_RES / (1 << zoom)
+    buf_m = buffer_px / extent * (256.0 * res)
+    n1 = (1 << zoom) - 1
+    counts: dict[tuple[int, int], list] = {}
+
+    def tile_geo(tx, ty):
+        minx = tx * 256 * res - ORIGIN_SHIFT
+        maxx = (tx + 1) * 256 * res - ORIGIN_SHIFT
+        miny = ty * 256 * res - ORIGIN_SHIFT
+        maxy = (ty + 1) * 256 * res - ORIGIN_SHIFT
+        size = maxx - minx
+        return minx, miny, maxx, maxy, size, buffer_px / extent * size
+
+    def quant(coords, minx, maxy, size):
+        ix = np.floor((coords[:, 0] - minx) / size * extent + 0.5)
+        iy = np.floor((maxy - coords[:, 1]) / size * extent + 0.5)
+        q = np.stack([ix, iy], axis=1).astype(np.int64)
+        keep = np.ones(len(q), dtype=bool)
+        keep[1:] = (q[1:] != q[:-1]).any(axis=1)
+        return q[keep]
+
+    for fid in fids:
+        rings = polygon_rings_of(int(fid))
+        ext = rings[0]
+        e0, e1 = ext[:, 0].min(), ext[:, 0].max()
+        f0, f1 = ext[:, 1].min(), ext[:, 1].max()
+        tx0 = int(_tile_of(np.array([e0 - buf_m]), zoom)[0])
+        ty0 = int(_tile_of(np.array([f0 - buf_m]), zoom)[0])
+        tx1 = min(int(_tile_of(np.array([e1 + buf_m]), zoom)[0]), n1)
+        ty1 = min(int(_tile_of(np.array([f1 + buf_m]), zoom)[0]), n1)
+        for tx in range(tx0, tx1 + 1):
+            for ty in range(ty0, ty1 + 1):
+                minx, miny, maxx, maxy, size, buf = tile_geo(tx, ty)
+                parts = 0
+                for ring in rings:
+                    c = _clip_ring_ref(ring, minx - buf, miny - buf,
+                                       maxx + buf, maxy + buf)
+                    if c is not None and len(quant(c, minx, maxy, size)) >= 4:
+                        parts += 1
+                rec = counts.setdefault((tx, ty), [0, 0, 0])
+                if parts:
+                    rec[0] += 1
+                if (e0 <= maxx + buf and e1 >= minx - buf
+                        and f0 <= maxy + buf and f1 >= miny - buf):
+                    if len(quant(ext, minx, maxy, size)) >= 2:
+                        rec[1] += 1
+    tx0s = _tile_of(px - buf_m, zoom)
+    ty0s = _tile_of(py - buf_m, zoom)
+    tx1s = np.minimum(_tile_of(px + buf_m, zoom), n1)
+    ty1s = np.minimum(_tile_of(py + buf_m, zoom), n1)
+    for k in range(len(px)):
+        for tx in range(int(tx0s[k]), int(tx1s[k]) + 1):
+            for ty in range(int(ty0s[k]), int(ty1s[k]) + 1):
+                minx, miny, maxx, maxy, size, buf = tile_geo(tx, ty)
+                if (minx - buf <= px[k] <= maxx + buf
+                        and miny - buf <= py[k] <= maxy + buf):
+                    counts.setdefault((tx, ty), [0, 0, 0])[2] += 1
+    rows = [
+        (zoom, tx, ty, a, b, c)
+        for (tx, ty), (a, b, c) in sorted(counts.items())
+        if a or b or c
+    ]
+    df = pd.DataFrame(
+        rows, columns=["z", "x", "y", "n_polys", "n_lines", "n_points"]
+    ).astype(np.int64)
+    return df.sort_values(["z", "x", "y"]).reset_index(drop=True)
+
+
 GOLDENS: dict = {
     "q22_images_cells": (q22_images_cells, ["cell"]),
+    "q43_mvt_tiles": (q43_mvt_tiles, ["z", "x", "y"]),
     "q23_spatial_join_images": (q23_spatial_join_images, ["image_id", "fid"]),
     "q24_tile_pyramid": (q24_tile_pyramid, ["z", "x", "y"]),
     "q34_checkpointed_tiles": (q34_checkpointed_tiles, ["pid"]),

@@ -1396,29 +1396,23 @@ def q40_tile_tree(sf_dir: str):
 
 
 def q43_mvt_tiles(sf_dir: str):
-    """MVT vector-tile writer: polygon layer -> protobuf tiles at z8
-    (OGRMVTWriterDataset analog); per-tile feature counts + byte sizes."""
+    """MVT vector-tile writer, all three geometry classes
+    (OGRMVTWriterDataset analog, ogrmvtdataset.cpp:3323): polygon,
+    boundary-line and point layers at z8; per-tile per-layer feature
+    counts (the encoded protobuf is round-trip-decoded in pytest)."""
     import ray.data as rd
 
-    from ..stages.mvt import write_mvt_tiles
+    from ..stages.mvt import write_mvt_layers
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
-    pol = rd.read_parquet(paths["polygons"])
-    tiles = write_mvt_tiles(pol, zoom=8, layer_name="polys")
-
-    def shape(t: pa.Table) -> pa.Table:
-        sizes = [len(b) for b in t.column("mvt_bytes").to_pylist()]
-        return pa.table(
-            {
-                "z": t.column("z"),
-                "x": t.column("x"),
-                "y": t.column("y"),
-                "n_features": t.column("n_features"),
-                "n_bytes": pa.array(sizes, pa.int64()),
-            }
-        )
-
-    return tiles.map_batches(shape, batch_format="pyarrow").sort(["z", "x", "y"])
+    pol = rd.read_parquet(
+        paths["polygons"], columns=["fid", "wkb", "minx", "miny", "maxx", "maxy"]
+    )
+    pts = rd.read_parquet(paths["points"], columns=["pid", "x", "y"])
+    tiles = write_mvt_layers(pol, pts, zoom=8)
+    return tiles.select_columns(
+        ["z", "x", "y", "n_polys", "n_lines", "n_points"]
+    ).sort(["z", "x", "y"])
 
 
 def q44_pansharpen_nearblack(sf_dir: str):

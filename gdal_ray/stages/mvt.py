@@ -84,3 +84,186 @@ def write_mvt_tiles(polygons, zoom: int, layer_name: str = "layer", buffer_px: i
         )
 
     return ds.groupby("cell").map_groups(encode_group, batch_format="pyarrow")
+
+
+def write_mvt_layers(
+    polygons, points, zoom: int, buffer_px: int = 64
+):
+    """All three MVT geometry classes in one tile set
+    (ogrmvtdataset.cpp:3323 handles every geometry type):
+
+    - ``polys``  : polygon features, rings clipped to tile+buffer and
+      quantized (a feature survives with >= 1 ring of >= 4 points);
+    - ``lines``  : each polygon's exterior ring as a LINESTRING
+      ("boundary" layer), kept loose (un-clipped, renderer-clip style)
+      when its envelope touches the buffered tile and >= 2 distinct
+      quantized points remain;
+    - ``points`` : point features inside the buffered tile.
+
+    Both sides replicate to every tile whose BUFFERED square they
+    touch.  Output rows: z, x, y (TMS), mvt_bytes (3 layers),
+    n_polys, n_lines, n_points.
+    """
+    res = float(mercator.resolution(zoom))
+    buf_m = buffer_px / EXTENT * (256.0 * res)
+
+    def cover_buffered_polys(t: pa.Table) -> pa.Table:
+        grown = pa.table(
+            {
+                **{c: t.column(c) for c in t.schema.names if c not in
+                   ("minx", "miny", "maxx", "maxy")},
+                "minx": pa.array(
+                    t.column("minx").to_numpy() - buf_m, pa.float64()),
+                "miny": pa.array(
+                    t.column("miny").to_numpy() - buf_m, pa.float64()),
+                "maxx": pa.array(
+                    t.column("maxx").to_numpy() + buf_m, pa.float64()),
+                "maxy": pa.array(
+                    t.column("maxy").to_numpy() + buf_m, pa.float64()),
+            }
+        )
+        out = cover_envelope_cells(zoom)(grown)
+        # (the grown envelope columns are only used for covering; the
+        # encode step reads geometry from the WKB directly)
+        return out.append_column("side", pa.array([0] * out.num_rows, pa.int8()))
+
+    def cover_buffered_points(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        row_idx, cells = mercator.cover_cells_batch(
+            x - buf_m, y - buf_m, x + buf_m, y + buf_m, zoom
+        )
+        out = t.take(pa.array(row_idx, pa.int64()))
+        out = out.append_column("cell", pa.array(cells, pa.int64()))
+        return out.append_column("side", pa.array([1] * out.num_rows, pa.int8()))
+
+    pol = polygons.select_columns(["fid", "wkb", "minx", "miny", "maxx", "maxy"]).map_batches(
+        cover_buffered_polys, batch_format="pyarrow"
+    )
+    pts = points.select_columns(["pid", "x", "y"]).map_batches(
+        cover_buffered_points, batch_format="pyarrow"
+    )
+
+    # union with aligned schemas (typed nulls)
+    full = {
+        "cell": pa.int64(), "side": pa.int8(), "fid": pa.int64(),
+        "wkb": pa.binary(), "minx": pa.float64(), "miny": pa.float64(),
+        "maxx": pa.float64(), "maxy": pa.float64(), "pid": pa.int64(),
+        "x": pa.float64(), "y": pa.float64(),
+    }
+
+    def aligned(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name, ty in full.items():
+            if name in t.schema.names:
+                cols[name] = t.column(name).cast(ty)
+            else:
+                cols[name] = pa.nulls(t.num_rows, ty)
+        return pa.table(cols)
+
+    both = pol.map_batches(aligned, batch_format="pyarrow").union(
+        pts.map_batches(aligned, batch_format="pyarrow")
+    )
+
+    def encode_group(g: pa.Table) -> pa.Table:
+        cell = int(g.column("cell")[0].as_py())
+        z, tx, ty = (int(v) for v in mercator.unpack_cell(np.array([cell])))
+        minx, miny, maxx, maxy = mercator.tile_bounds(tx, ty, z)
+        size = maxx - minx
+        buf = buffer_px / EXTENT * size
+
+        def qxy(coords: np.ndarray) -> np.ndarray:
+            ix = np.floor((coords[:, 0] - minx) / size * EXTENT + 0.5)
+            iy = np.floor((maxy - coords[:, 1]) / size * EXTENT + 0.5)
+            pts2 = np.stack([ix, iy], axis=1).astype(np.int64)
+            keep = np.ones(len(pts2), dtype=bool)
+            keep[1:] = (pts2[1:] != pts2[:-1]).any(axis=1)
+            return pts2[keep]
+
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        poly_rows = np.flatnonzero(side == 0)
+        pt_rows = np.flatnonzero(side == 1)
+        poly_feats, line_feats, point_feats = [], [], []
+        for r in poly_rows:
+            fid = int(g.column("fid")[r].as_py())
+            parsed = geom.parse_wkb(g.column("wkb")[r].as_py())
+            parts = []
+            ext_ring = None
+            for rings in geom.polygon_rings(parsed):
+                if ext_ring is None:
+                    ext_ring = rings[0]
+                for ring in rings:
+                    clipped = geom.clip_ring_rect(
+                        ring, minx - buf, miny - buf, maxx + buf, maxy + buf
+                    )
+                    if clipped is None:
+                        continue
+                    pts2 = qxy(clipped)
+                    if len(pts2) >= 4:
+                        parts.append(pts2)
+            if parts:
+                poly_feats.append(
+                    {"id": fid, "type": mvt.GEOM_POLYGON, "parts": parts,
+                     "tags": {"fid": fid}}
+                )
+            # loose boundary line from the exterior ring
+            if ext_ring is not None:
+                e = ext_ring
+                if (
+                    e[:, 0].min() <= maxx + buf and e[:, 0].max() >= minx - buf
+                    and e[:, 1].min() <= maxy + buf and e[:, 1].max() >= miny - buf
+                ):
+                    lp = qxy(e)
+                    if len(lp) >= 2:
+                        line_feats.append(
+                            {"id": fid, "type": mvt.GEOM_LINESTRING,
+                             "parts": [lp], "tags": {"fid": fid}}
+                        )
+        if len(pt_rows):
+            px = g.column("x").to_numpy(zero_copy_only=False)[pt_rows]
+            py = g.column("y").to_numpy(zero_copy_only=False)[pt_rows]
+            pids = g.column("pid").to_numpy(zero_copy_only=False)[pt_rows]
+            inside = (
+                (px >= minx - buf) & (px <= maxx + buf)
+                & (py >= miny - buf) & (py <= maxy + buf)
+            )
+            for k in np.flatnonzero(inside):
+                ix = int(np.floor((px[k] - minx) / size * EXTENT + 0.5))
+                iy = int(np.floor((maxy - py[k]) / size * EXTENT + 0.5))
+                point_feats.append(
+                    {"id": int(pids[k]), "type": mvt.GEOM_POINT,
+                     "parts": [np.array([[ix, iy]], dtype=np.int64)],
+                     "tags": {"pid": int(pids[k])}}
+                )
+        if not (poly_feats or line_feats or point_feats):
+            return pa.table(
+                {
+                    "z": pa.array([], pa.int64()),
+                    "x": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64()),
+                    "mvt_bytes": pa.array([], pa.binary()),
+                    "n_polys": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "n_points": pa.array([], pa.int64()),
+                }
+            )
+        payload = b"".join(
+            mvt.encode_tile(name, feats, extent=EXTENT)
+            for name, feats in (
+                ("polys", poly_feats), ("lines", line_feats), ("points", point_feats)
+            )
+            if feats
+        )
+        return pa.table(
+            {
+                "z": pa.array([z], pa.int64()),
+                "x": pa.array([tx], pa.int64()),
+                "y": pa.array([ty], pa.int64()),
+                "mvt_bytes": pa.array([payload], pa.binary()),
+                "n_polys": pa.array([len(poly_feats)], pa.int64()),
+                "n_lines": pa.array([len(line_feats)], pa.int64()),
+                "n_points": pa.array([len(point_feats)], pa.int64()),
+            }
+        )
+
+    return both.groupby("cell").map_groups(encode_group, batch_format="pyarrow")

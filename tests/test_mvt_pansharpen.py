@@ -128,3 +128,41 @@ def test_viewshed_wang_single_peak_shadow():
     m = viewshed_mask_wang(elev, obs_height=2.0)
     assert m[20, 30]            # the peak itself
     assert not m[20, 35]        # directly behind the peak on the ray
+
+
+def test_mvt_roundtrip_line_and_point():
+    line = np.array([[10, 10], [500, 40], [900, 900]], dtype=np.int64)
+    pts = np.array([[5, 7]], dtype=np.int64)
+    feats = [
+        {"id": 1, "type": mvt.GEOM_LINESTRING, "parts": [line], "tags": {"fid": 1}},
+        {"id": 2, "type": mvt.GEOM_POINT, "parts": [pts], "tags": {"pid": 2}},
+    ]
+    data = mvt.encode_tile("mixed", feats)
+    lay = mvt.decode_tile(data)["mixed"]
+    by_id = {f["id"]: f for f in lay["features"]}
+    assert np.array_equal(by_id[1]["parts"][0], line)
+    assert by_id[1]["type"] == mvt.GEOM_LINESTRING
+    assert np.array_equal(by_id[2]["parts"][0], pts)
+    assert by_id[2]["type"] == mvt.GEOM_POINT
+
+
+def test_mvt_multilayer_stage(ray_session, smoke_fixtures):
+    import ray.data as rd
+
+    from gdal_ray.stages.mvt import write_mvt_layers
+
+    pol = rd.read_parquet(smoke_fixtures["polygons"])
+    pts = rd.read_parquet(smoke_fixtures["points"])
+    tiles = write_mvt_layers(pol, pts, zoom=8).to_pandas()
+    assert len(tiles) > 0
+    assert tiles.n_points.sum() >= pts.count()  # buffered replication
+    # pick a tile with all three layers and decode each
+    rich = tiles[(tiles.n_polys > 0) & (tiles.n_lines > 0) & (tiles.n_points > 0)]
+    assert len(rich) > 0
+    row = rich.iloc[0]
+    layers = mvt.decode_tile(row.mvt_bytes)
+    assert len(layers["polys"]["features"]) == row.n_polys
+    assert len(layers["lines"]["features"]) == row.n_lines
+    assert len(layers["points"]["features"]) == row.n_points
+    assert all(f["type"] == mvt.GEOM_LINESTRING for f in layers["lines"]["features"])
+    assert all(f["type"] == mvt.GEOM_POINT for f in layers["points"]["features"])
