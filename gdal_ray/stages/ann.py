@@ -163,9 +163,14 @@ def ann_lsh_topk(
     )
 
 
-def embedding_neardup_pairs(embeddings, threshold: float = 0.95, n_planes: int = 10):
+def embedding_neardup_pairs(embeddings, threshold: float = 0.95, n_planes: int = 10,
+                            max_bucket: int = 4096):
     """Embedding-cosine near-duplicate pairs via LSH buckets + exact
-    within-bucket verification.  Returns (id_a, id_b, score)."""
+    within-bucket verification.  Returns (id_a, id_b, score).
+    Buckets beyond ``max_bucket`` vectors are truncated to the smallest
+    vec_ids (bounded O(cap^2) similarity work per degenerate bucket);
+    the pair matrix is evaluated in row chunks, never materializing an
+    O(n^2) triangle index."""
 
     def first_dim(t: pa.Table) -> int:
         return len(t.column("embedding")[0].as_py())
@@ -193,18 +198,28 @@ def embedding_neardup_pairs(embeddings, threshold: float = 0.95, n_planes: int =
         if len(g) < 2:
             return empty
         g = g.sort_values("vec_id")
+        if len(g) > max_bucket:
+            g = g.head(max_bucket)
         m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
         ids = g["vec_id"].to_numpy()
-        s = m @ m.T
-        iu = np.triu_indices(len(ids), 1)
-        hits = np.flatnonzero(s[iu] >= threshold)
-        if len(hits) == 0:
+        n = len(ids)
+        out_a, out_b, out_s = [], [], []
+        chunk = max(1, 20_000_000 // max(n, 1))  # ~160MB of scores max
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            s = m[lo:hi] @ m.T  # (hi-lo, n)
+            ri, ci = np.nonzero(s >= threshold)
+            keep = (ri + lo) < ci  # upper triangle only
+            out_a.append(ids[ri[keep] + lo])
+            out_b.append(ids[ci[keep]])
+            out_s.append(s[ri[keep], ci[keep]])
+        if not out_a or not len(np.concatenate(out_a)):
             return empty
         return pd.DataFrame(
             {
-                "id_a": ids[iu[0][hits]].astype(np.int64),
-                "id_b": ids[iu[1][hits]].astype(np.int64),
-                "score": s[iu][hits].astype(np.float64),
+                "id_a": np.concatenate(out_a).astype(np.int64),
+                "id_b": np.concatenate(out_b).astype(np.int64),
+                "score": np.concatenate(out_s).astype(np.float64),
             }
         )
 

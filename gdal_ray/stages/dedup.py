@@ -108,25 +108,39 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.7,
     concurrency: int = 4,
+    max_bucket: int = 4096,
 ):
-    """Near-dup candidate pairs via banded LSH, verified with the
-    signature-estimated Jaccard (shingle→minhash→band→bucket groupby →
-    within-bucket pairs).  Returns (doc_a, doc_b, est_jaccard), doc_a <
-    doc_b, deduped across buckets (a pair is emitted only by its first
-    matching band)."""
+    """Near-dup pairs via banded LSH, verified with the signature-
+    estimated Jaccard.  Returns (doc_a, doc_b, est_jaccard), doc_a <
+    doc_b, each pair once.
+
+    Scale shape (round-2 rework): the band explosion ships ONLY
+    (doc_id, band, band-hash) through the shuffle — never the full
+    signature (8x less volume than round 1); candidate pairs from the
+    bucket groupby are DISTINCT-ed, then the two signatures are
+    attached back with hash joins for the vectorized verify step.
+    Buckets larger than ``max_bucket`` (degenerate content — e.g.
+    millions of empty or boilerplate docs landing in one band hash) are
+    truncated to the ``max_bucket`` smallest doc_ids, bounding every
+    bucket at O(max_bucket^2) pair work instead of O(n^2).
+    """
+    from .polygonize import _materialize_detached
+
     rows = num_perm // bands
-    sigs = docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        batch_size=1024,
+    sigs = _materialize_detached(
+        docs.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=dict(num_perm=num_perm),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            batch_size=1024,
+        )
     )
 
     def explode_bands(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         sig = np.stack(t.column("sig").to_pylist()).astype(np.uint64)
-        out_id, out_band, out_bh, out_sig = [], [], [], []
+        out_id, out_band, out_bh = [], [], []
         for b in range(bands):
             seg = sig[:, b * rows : (b + 1) * rows]
             bh = seg[:, 0].copy()
@@ -135,49 +149,101 @@ def minhash_lsh_pairs(
             out_id.append(ids)
             out_band.append(np.full(len(ids), b, dtype=np.int32))
             out_bh.append(bh.astype(np.int64))
-        n = len(ids)
-        rep_sig = [s for _ in range(bands) for s in sig]
         return pa.table(
             {
                 "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
                 "band": pa.array(np.concatenate(out_band), pa.int32()),
                 "bh": pa.array(np.concatenate(out_bh), pa.int64()),
-                "sig": pa.array([list(s) for s in rep_sig], pa.list_(pa.uint64())),
             }
         )
 
-    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
-
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sig = np.stack(g["sig"].to_numpy()).astype(np.uint64)
-        band = int(g["band"].iloc[0])
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            eq = (sig[i + 1 :] == sig[i]).mean(axis=1)
-            for jj, j_est in enumerate(eq):
-                if j_est >= threshold:
-                    a, b = int(ids[i]), int(ids[i + 1 + jj])
-                    # emit only from the FIRST band where the pair collides
-                    seg_eq = np.array(
-                        [
-                            (sig[i, bb * rows : (bb + 1) * rows]
-                             == sig[i + 1 + jj, bb * rows : (bb + 1) * rows]).all()
-                            for bb in range(bands)
-                        ]
-                    )
-                    if seg_eq.argmax() == band:
-                        out_a.append(a)
-                        out_b.append(b)
-                        out_j.append(float(j_est))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_j})
-
-    return exploded.groupby(["band", "bh"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
+    exploded = sigs.select_columns(["doc_id", "sig"]).map_batches(
+        explode_bands, batch_format="pyarrow"
     )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
+        if len(ids) > max_bucket:
+            ids = ids[:max_bucket]
+        iu, ju = np.triu_indices(len(ids), 1)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[iu], pa.int64()),
+                "doc_b": pa.array(ids[ju], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    cand = (
+        exploded.groupby(["band", "bh"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+    cand = _materialize_detached(cand)
+    n_cand = cand.count()
+    if n_cand == 0:
+        return cand.map_batches(
+            lambda t: t.append_column("est_jaccard", pa.array([], pa.float64())),
+            batch_format="pyarrow",
+        )
+    parts = max(1, n_cand // 50_000)
+
+    def _sig_as(key: str):
+        # acero joins reject list-typed payload columns: carry the
+        # signature as fixed-width binary instead
+        def fn(t: pa.Table) -> pa.Table:
+            sig = np.stack(t.column("sig").to_pylist()).astype(np.uint64)
+            return pa.table(
+                {
+                    key: t.column("doc_id"),
+                    f"sig_{key[-1]}": pa.array(
+                        [s.tobytes() for s in sig], pa.binary()
+                    ),
+                }
+            )
+
+        fn.__name__ = f"sig_{key}"
+        return fn
+
+    witha = cand.join(
+        sigs.map_batches(_sig_as("doc_a"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=parts, on=("doc_a",),
+    )
+    withb = witha.join(
+        sigs.map_batches(_sig_as("doc_b"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=parts, on=("doc_b",),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        sa = np.frombuffer(b"".join(t.column("sig_a").to_pylist()), dtype=np.uint64).reshape(t.num_rows, -1)
+        sb = np.frombuffer(b"".join(t.column("sig_b").to_pylist()), dtype=np.uint64).reshape(t.num_rows, -1)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a").filter(pa.array(keep)),
+                "doc_b": t.column("doc_b").filter(pa.array(keep)),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
+            }
+        )
+
+    return withb.map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- SimHash
@@ -202,102 +268,126 @@ def simhash_batch(t: pa.Table) -> pa.Table:
     return t.append_column("simhash", pa.array(out, pa.int64()))
 
 
-def simhash_pairs(docs, max_hamming: int = 3, bands: int = 4):
-    """Near-dup pairs with Hamming(simhash) <= max_hamming, via 16-bit
-    band bucketing (a pair within distance 3 shares >= one of 4 bands)."""
-    hashed = docs.map_batches(simhash_batch, batch_format="pyarrow")
+try:
+    _popcount64_vec = np.bitwise_count  # numpy >= 2.0
+except AttributeError:  # pragma: no cover
+    _PCTABLE = np.array([bin(i).count("1") for i in range(65536)], dtype=np.int64)
+
+    def _popcount64_vec(x):
+        x = np.asarray(x, np.uint64)
+        return (
+            _PCTABLE[x & np.uint64(0xFFFF)]
+            + _PCTABLE[(x >> np.uint64(16)) & np.uint64(0xFFFF)]
+            + _PCTABLE[(x >> np.uint64(32)) & np.uint64(0xFFFF)]
+            + _PCTABLE[(x >> np.uint64(48)) & np.uint64(0xFFFF)]
+        )
+
+
+def _banded_hash_pairs(
+    ds, id_col: str, hash_col: str, out_a: str, out_b: str,
+    max_hamming: int, bands: int, max_bucket: int, id_is_string: bool,
+):
+    """Shared scale path for 64-bit-hash near-dup (simhash / phash):
+    explode to (id, hash, band, band-hash) -> groupby bucket ->
+    VECTORIZED all-pairs Hamming within the bucket (matrix xor +
+    popcount, no python pair loop), first-shared-band dedup, buckets
+    capped at ``max_bucket`` smallest ids (bounded degenerate-content
+    work)."""
+    id_ty = pa.string() if id_is_string else pa.int64()
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        sh = t.column("simhash").to_numpy(zero_copy_only=False)
-        bnd = phash_bands(sh, n_bands=bands)
+        ids = t.column(id_col)
+        ph = t.column(hash_col).to_numpy(zero_copy_only=False)
+        bnd = phash_bands(ph, n_bands=bands)
+        rep = pa.concat_arrays([ids.combine_chunks()] * bands)
         return pa.table(
             {
-                "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
-                "simhash": pa.array(np.tile(sh, bands), pa.int64()),
-                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), len(ids))),
+                "id": rep.cast(id_ty),
+                "hash": pa.array(np.tile(ph, bands), pa.int64()),
+                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), len(ph))),
                 "bh": pa.array(
                     np.concatenate([bnd[:, b] for b in range(bands)]), pa.int64()
                 ),
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sh = g["simhash"].to_numpy()
-        band = int(g["band"].iloc[0])
-        bnds_all = phash_bands(sh, n_bands=bands)
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            hd = hamming64(np.full(len(ids) - i - 1, sh[i]), sh[i + 1 :])
-            for jj in np.flatnonzero(hd <= max_hamming):
-                j = i + 1 + jj
-                if ids[i] == ids[j]:
-                    continue
-                shared = np.flatnonzero(bnds_all[i] == bnds_all[j])
-                if len(shared) and shared[0] == band:  # first-shared-band dedup
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_h.append(int(hd[jj]))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+    def pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                out_a: pa.array([], id_ty),
+                out_b: pa.array([], id_ty),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows < 2:
+            return empty
+        ids = np.asarray(g.column("id").to_pylist(), dtype=object)
+        hs = g.column("hash").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="mergesort")
+        ids, hs = ids[order], hs[order]
+        if len(ids) > max_bucket:
+            ids, hs = ids[:max_bucket], hs[:max_bucket]
+        band = int(g.column("band")[0].as_py())
+        u = hs.astype(np.int64).astype(np.uint64)
+        hd = _popcount64_vec(u[:, None] ^ u[None, :]).astype(np.int64)
+        iu, ju = np.triu_indices(len(ids), 1)
+        hit = hd[iu, ju] <= max_hamming
+        iu, ju = iu[hit], ju[hit]
+        if len(iu) == 0:
+            return empty
+        same_id = ids[iu] == ids[ju]
+        iu, ju = iu[~same_id], ju[~same_id]
+        if len(iu) == 0:
+            return empty
+        # first-shared-band dedup, vectorized over the surviving pairs
+        bnds_all = phash_bands(hs, n_bands=bands)
+        eq = bnds_all[iu] == bnds_all[ju]  # (P, bands)
+        has = eq.any(axis=1)
+        first = eq.argmax(axis=1)
+        keep = has & (first == band)
+        iu, ju = iu[keep], ju[keep]
+        if len(iu) == 0:
+            return empty
+        return pa.table(
+            {
+                out_a: pa.array(list(ids[iu]), id_ty),
+                out_b: pa.array(list(ids[ju]), id_ty),
+                "hamming": pa.array(
+                    hd[iu, ju].astype(np.int64), pa.int64()
+                ),
+            }
+        )
 
     return (
-        hashed.map_batches(explode, batch_format="pyarrow")
+        ds.map_batches(explode, batch_format="pyarrow")
         .groupby(["band", "bh"])
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+
+
+def simhash_pairs(docs, max_hamming: int = 3, bands: int = 4,
+                  max_bucket: int = 4096):
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, via 16-bit
+    band bucketing (a pair within distance 3 shares >= one of 4
+    bands); vectorized bucket pair check with a degenerate-bucket cap."""
+    hashed = docs.map_batches(simhash_batch, batch_format="pyarrow")
+    return _banded_hash_pairs(
+        hashed.select_columns(["doc_id", "simhash"]),
+        "doc_id", "simhash", "doc_a", "doc_b",
+        max_hamming, bands, max_bucket, id_is_string=False,
     )
 
 
 # ---------------------------------------------------- image phash near-dup
 
 
-def phash_neardup_pairs(images, max_hamming: int = 6, bands: int = 4):
-    """Image near-duplicates: groupby 16-bit phash band, within-group
-    Hamming check (engine addition, SURVEY.md §2.6 'Near dedup')."""
-
-    def explode(t: pa.Table) -> pa.Table:
-        ids = t.column("image_id").to_pylist()
-        ph = t.column("phash").to_numpy(zero_copy_only=False)
-        bnd = phash_bands(ph, n_bands=bands)
-        return pa.table(
-            {
-                "image_id": pa.array(ids * bands, pa.string()),
-                "phash": pa.array(np.tile(ph, bands), pa.int64()),
-                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), len(ids))),
-                "bh": pa.array(
-                    np.concatenate([bnd[:, b] for b in range(bands)]), pa.int64()
-                ),
-            }
-        )
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.sort_values("image_id")
-        ids = g["image_id"].to_numpy()
-        ph = g["phash"].to_numpy()
-        band = int(g["band"].iloc[0])
-        bnds_all = phash_bands(ph, n_bands=bands)
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            hd = hamming64(np.full(len(ids) - i - 1, ph[i]), ph[i + 1 :])
-            for jj in np.flatnonzero(hd <= max_hamming):
-                j = i + 1 + jj
-                if ids[i] == ids[j]:
-                    continue
-                shared = np.flatnonzero(bnds_all[i] == bnds_all[j])
-                if len(shared) and shared[0] == band:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_h.append(int(hd[jj]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
-
-    return (
-        images.select_columns(["image_id", "phash"])
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "bh"])
-        .map_groups(pairs, batch_format="pandas")
+def phash_neardup_pairs(images, max_hamming: int = 6, bands: int = 4,
+                        max_bucket: int = 4096):
+    """Image near-duplicates: groupby 16-bit phash band, vectorized
+    within-group Hamming check, capped buckets (engine addition,
+    SURVEY.md §2.6 'Near dedup')."""
+    return _banded_hash_pairs(
+        images.select_columns(["image_id", "phash"]),
+        "image_id", "phash", "id_a", "id_b",
+        max_hamming, bands, max_bucket, id_is_string=True,
     )

@@ -1,0 +1,70 @@
+"""Degenerate-bucket bounds for the dedup/ANN family (round-2 fix)."""
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_phash_degenerate_bucket_bounded(ray_session):
+    """A bucket of 100k IDENTICAL hashes (worst case: O(n^2) without a
+    cap) completes in bounded time with the cap and emits only
+    cap-bounded pairs."""
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import phash_neardup_pairs
+
+    n = 100_000
+    ids = [f"img{i:08d}" for i in range(n)]
+    t = pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "phash": pa.array(np.full(n, 12345, np.int64), pa.int64()),
+        }
+    )
+    t0 = time.time()
+    cap = 100
+    out = phash_neardup_pairs(rd.from_arrow(t), max_bucket=cap)
+    n_pairs = out.count()
+    wall = time.time() - t0
+    assert n_pairs == cap * (cap - 1) // 2  # pairs among the cap smallest ids
+    assert wall < 120  # uncapped would be ~5e9 pair checks
+
+def test_simhash_cap_does_not_change_small_results(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import simhash_pairs
+
+    texts = ["the quick brown fox jumps"] * 3 + ["completely different words here"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    a = simhash_pairs(rd.from_arrow(t)).to_pandas().sort_values(["doc_a", "doc_b"])
+    b = simhash_pairs(rd.from_arrow(t), max_bucket=2048).to_pandas().sort_values(
+        ["doc_a", "doc_b"]
+    )
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert len(a) == 3  # the 3 identical docs pair up
+
+
+def test_embedding_neardup_cap(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.stages.ann import embedding_neardup_pairs
+
+    n, d = 3000, 16
+    emb = np.tile(np.ones(d), (n, 1)) + 0.0  # all identical -> one bucket
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([list(map(float, e)) for e in emb],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    cap = 50
+    out = embedding_neardup_pairs(rd.from_arrow(t), threshold=0.9, n_planes=4,
+                                  max_bucket=cap)
+    assert out.count() == cap * (cap - 1) // 2
