@@ -1550,6 +1550,32 @@ _RECTS_B_SQL = (
 )
 
 
+_Q50_TEXT = """
+SELECT o_orderkey AS okey,
+       CONCAT(CAST(o_orderkey AS VARCHAR), ':', o_orderstatus) AS tag,
+       SUBSTR(o_orderpriority, 1, 4) AS prio4,
+       o_orderkey % 13 AS k13
+FROM orders
+WHERE (o_totalprice BETWEEN 100000 AND 200000 AND o_orderpriority LIKE '1%')
+   OR o_orderkey IN (1, 7, 42)
+ORDER BY okey LIMIT 500
+"""
+
+
+def q50_sql_frontend(sf_dir: str):
+    """SQL string front-end (the OGR SQL dialect, swq_parser.y /
+    swq_op_registrar.cpp:28-62 surface): the SAME SQL string is parsed
+    and compiled to pyarrow kernels by the engine and handed verbatim
+    to DuckDB as its oracle."""
+    from .sql import sql_query
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+    return sql_query(_Q50_TEXT, {"orders": orders})
+
+
 def q51_intersection_overlay(sf_dir: str):
     """Geometry-producing overlay (ogrlayer.cpp:3345 Intersection):
     rect layer A x rect layer B through the full join machinery with
@@ -1647,6 +1673,7 @@ QUERIES = {
     "q47_session_window": q47_session_window,
     "q48_clip_points": q48_clip_points,
     "q49_erase_points": q49_erase_points,
+    "q50_sql_frontend": q50_sql_frontend,
     "q51_intersection_overlay": q51_intersection_overlay,
 }
 
@@ -1677,5 +1704,7 @@ ORACLE_SQL = {
     "q47_session_window": _Q47_SQL,
     "q48_clip_points": _Q48_SQL,
     "q49_erase_points": _Q49_SQL,
+    # the engine parses and executes the SAME string DuckDB runs
+    "q50_sql_frontend": _Q50_TEXT,
     "q51_intersection_overlay": _Q51_SQL,
 }
