@@ -127,6 +127,9 @@ def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
 
 
+JPEG_QUALITY = 97  # keeps PSNR >= 40 dB on the noisy fixture content
+
+
 def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Decode one chip to (h, w, 3) uint8."""
     if fmt == "raw":
@@ -135,6 +138,10 @@ def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return decode_png(data)
     if fmt == "qraw":
         return decode_qraw(data, w, h)
+    if fmt == "jpeg":
+        from . import jpegc
+
+        return jpegc.decode_jpeg(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -146,6 +153,10 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
         return encode_png(img)
     if fmt == "qraw":
         return encode_qraw(img)
+    if fmt == "jpeg":
+        from . import jpegc
+
+        return jpegc.encode_jpeg(img, JPEG_QUALITY)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -1,0 +1,459 @@
+"""Baseline JPEG (JFIF) codec — pure numpy/python, no external libs.
+
+Reference analog: frmts/jpeg/ (the reference wraps libjpeg;
+gtiffdataset_read.cpp:988 streams JPEG-in-TIFF tiles through it).  The
+container has no image libraries, so this implements the public
+ITU-T T.81 baseline sequential process directly: 4:4:4 (no chroma
+subsampling), standard Annex-K Huffman tables, IJG-style
+quality-scaled quantization tables.  The DCT/quantization path is
+vectorized over all 8x8 blocks; only the entropy coding walks symbols.
+
+Design contract for the oracle: Huffman coding is lossless, so the
+decoded pixels equal ``jpeg_model(img, quality)`` — forward transform,
+quantize, dequantize, inverse transform — which an independent
+reference can compute without touching the bitstream.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+_QL = np.array([  # Annex K luminance
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+
+_QC = np.array([  # Annex K chrominance
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+_ZIG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K Huffman tables: (bits[1..16], values)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+         list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+         list(range(12)))
+_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _huff_codes(bits, values):
+    """(bits, values) -> {symbol: (code, length)} (T.81 C.2)."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8, dtype=np.float64)
+    mat = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 16.0)
+    mat[0] *= np.sqrt(1.0 / 8.0)
+    mat[1:] *= np.sqrt(2.0 / 8.0)
+    return mat
+
+
+_C = _dct_matrix()
+
+
+def quant_tables(quality: int = 90):
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((_QL * scale + 50) // 100, 1, 255).astype(np.int32)
+    qc = np.clip((_QC * scale + 50) // 100, 1, 255).astype(np.int32)
+    return ql, qc
+
+
+def _to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=2)
+
+
+def _from_ycbcr(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[:, :, 0]
+    cb = ycc[:, :, 1] - 128.0
+    cr = ycc[:, :, 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _blocks(chan: np.ndarray):
+    """(H8, W8) channel -> (n, 8, 8) blocks in raster MCU order."""
+    h, w = chan.shape
+    return (
+        chan.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _unblocks(blocks: np.ndarray, h: int, w: int):
+    return (
+        blocks.reshape(h // 8, w // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+    )
+
+
+def _fwd_quant(chan: np.ndarray, q: np.ndarray) -> np.ndarray:
+    b = _blocks(chan) - 128.0
+    f = np.einsum("ij,njk,lk->nil", _C, b, _C)
+    return np.round(f / q[None, :, :]).astype(np.int32)
+
+
+def _dequant_inv(coef: np.ndarray, q: np.ndarray, h: int, w: int) -> np.ndarray:
+    f = coef.astype(np.float64) * q[None, :, :]
+    b = np.einsum("ji,njk,kl->nil", _C, f, _C) + 128.0
+    return _unblocks(b, h, w)
+
+
+def jpeg_model(img: np.ndarray, quality: int = 90) -> np.ndarray:
+    """Expected decoded pixels WITHOUT entropy coding (the oracle
+    contract: Huffman is lossless)."""
+    h, w = img.shape[:2]
+    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    pad = np.pad(img, ((0, H - h), (0, W - w), (0, 0)), mode="edge")
+    ycc = _to_ycbcr(pad)
+    ql, qc = quant_tables(quality)
+    out = np.empty((H, W, 3))
+    for c, q in ((0, ql), (1, qc), (2, qc)):
+        out[:, :, c] = _dequant_inv(_fwd_quant(ycc[:, :, c], q), q, H, W)
+    return _from_ycbcr(out)[:h, :w]
+
+
+# --------------------------------------------------------- bit plumbing
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+
+    def flush(self):
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1s
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        while self.n <= 24 and self.pos < len(self.data):
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    byte = 0  # marker: feed zeros (we stop at EOB anyway)
+                    self.pos -= 1
+                    self.acc = (self.acc << 8)
+                    self.n += 8
+                    continue
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill()
+        if self.n < k:
+            self.acc <<= (k - self.n)
+            self.n = k
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
+
+
+def _mag_bits(v: int, cat: int) -> int:
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    if bits < (1 << (cat - 1)):
+        return bits - (1 << cat) + 1
+    return bits
+
+
+def _encode_channel(bw: _BitWriter, coefs: np.ndarray, dc_tab, ac_tab, pred: int):
+    zz = coefs.reshape(-1, 64)[:, _ZIG]
+    for blk in zz:
+        dc = int(blk[0])
+        diff = dc - pred
+        pred = dc
+        cat = _category(diff)
+        code, ln = dc_tab[cat]
+        bw.put(code, ln)
+        if cat:
+            bw.put(_mag_bits(diff, cat), cat)
+        run = 0
+        nz = np.flatnonzero(blk[1:])
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tab[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            cat = _category(v)
+            code, ln = ac_tab[(run << 4) | cat]
+            bw.put(code, ln)
+            bw.put(_mag_bits(v, cat), cat)
+            run = 0
+        if last < 63:
+            code, ln = ac_tab[0x00]
+            bw.put(code, ln)
+    return pred
+
+
+def _decode_tables(tabs):
+    """{symbol: (code, len)} -> decode dict {(code, len): symbol}."""
+    return {(c, l): s for s, (c, l) in tabs.items()}
+
+
+def _read_symbol(br: _BitReader, dec) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bits(1)
+        s = dec.get((code, ln))
+        if s is not None:
+            return s
+    raise ValueError("bad huffman code")
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 -> baseline JFIF bytes (4:4:4)."""
+    h, w = img.shape[:2]
+    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    pad = np.pad(img, ((0, H - h), (0, W - w), (0, 0)), mode="edge")
+    ycc = _to_ycbcr(pad)
+    ql, qc = quant_tables(quality)
+    coefs = [
+        _fwd_quant(ycc[:, :, 0], ql),
+        _fwd_quant(ycc[:, :, 1], qc),
+        _fwd_quant(ycc[:, :, 2], qc),
+    ]
+    dc_l, dc_c = _huff_codes(*_DC_L), _huff_codes(*_DC_C)
+    ac_l, ac_c = _huff_codes(*_AC_L), _huff_codes(*_AC_C)
+    bw = _BitWriter()
+    # interleaved 4:4:4 MCU = one block per component
+    preds = [0, 0, 0]
+    n_mcu = (H // 8) * (W // 8)
+    zzs = [c.reshape(-1, 64)[:, _ZIG] for c in coefs]
+    for m in range(n_mcu):
+        for ci, (dc_tab, ac_tab) in enumerate(
+            ((dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c))
+        ):
+            blk = zzs[ci][m]
+            dc = int(blk[0])
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            cat = _category(diff)
+            code, ln = dc_tab[cat]
+            bw.put(code, ln)
+            if cat:
+                bw.put(_mag_bits(diff, cat), cat)
+            run = 0
+            nz = np.flatnonzero(blk[1:])
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                cat = _category(v)
+                code, ln = ac_tab[(run << 4) | cat]
+                bw.put(code, ln)
+                bw.put(_mag_bits(v, cat), cat)
+                run = 0
+            if last < 63:
+                code, ln = ac_tab[0x00]
+                bw.put(code, ln)
+    scan = bw.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(idx, q):
+        return seg(0xFFDB, bytes([idx]) + bytes(int(v) for v in q.reshape(-1)[_ZIG]))
+
+    def dht(cls, idx, bits, values):
+        return seg(
+            0xFFC4,
+            bytes([(cls << 4) | idx]) + bytes(bits) + bytes(values),
+        )
+
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt(0, ql) + dqt(1, qc)
+        + dht(0, 0, *_DC_L) + dht(1, 0, *_AC_L)
+        + dht(0, 1, *_DC_C) + dht(1, 1, *_AC_C)
+        + sof + sos + scan + b"\xff\xd9"
+    )
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline 4:4:4 JFIF bytes (as produced here) -> (h, w, 3) uint8."""
+    pos = 2  # skip SOI
+    qts = {}
+    hts = {}
+    h = w = None
+    scan = None
+    while pos < len(data):
+        marker, ln = struct.unpack_from(">HH", data, pos)
+        payload = data[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xFFDB:
+            idx = payload[0]
+            tbl = np.zeros(64, dtype=np.int32)
+            tbl[_ZIG] = np.frombuffer(payload[1:65], dtype=np.uint8)
+            qts[idx] = tbl.reshape(8, 8)
+        elif marker == 0xFFC4:
+            p = 0
+            while p < len(payload):
+                cls_idx = payload[p]
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                values = list(payload[p + 17 : p + 17 + n])
+                hts[(cls_idx >> 4, cls_idx & 0xF)] = _decode_tables(
+                    _huff_codes(bits, values)
+                )
+                p += 17 + n
+        elif marker == 0xFFC0:
+            _, h, w, _ = struct.unpack_from(">BHHB", payload, 0)
+        elif marker == 0xFFDA:
+            scan = data[pos : len(data) - 2]  # up to EOI
+            break
+    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    n_mcu = (H // 8) * (W // 8)
+    br = _BitReader(scan)
+    coefs = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in range(3)]
+    preds = [0, 0, 0]
+    comp_tabs = [(hts[(0, 0)], hts[(1, 0)]), (hts[(0, 1)], hts[(1, 1)]),
+                 (hts[(0, 1)], hts[(1, 1)])]
+    for m in range(n_mcu):
+        for ci, (dct, act) in enumerate(comp_tabs):
+            blk = coefs[ci][m]
+            cat = _read_symbol(br, dct)
+            diff = _extend(br.bits(cat), cat)
+            preds[ci] += diff
+            blk[0] = preds[ci]
+            k = 1
+            while k < 64:
+                s = _read_symbol(br, act)
+                if s == 0x00:
+                    break
+                run, cat = s >> 4, s & 0xF
+                if s == 0xF0:
+                    k += 16
+                    continue
+                k += run
+                blk[k] = _extend(br.bits(cat), cat)
+                k += 1
+    out = np.empty((H, W, 3))
+    qmap = [qts[0], qts[1], qts[1]]
+    for ci in range(3):
+        dez = np.zeros((n_mcu, 64), dtype=np.int32)
+        dez[:, _ZIG] = coefs[ci]
+        out[:, :, ci] = _dequant_inv(dez.reshape(-1, 8, 8), qmap[ci], H, W)
+    return _from_ycbcr(out)[:h, :w]

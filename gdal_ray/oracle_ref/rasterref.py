@@ -622,8 +622,91 @@ def q45_viewshed(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# --------------------------------------------------- q52 jpeg roundtrip
+
+_JQL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+_JQC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+
+def _jpeg_ref_decode(img: np.ndarray, quality: int = 97) -> np.ndarray:
+    """ITU-T T.81 baseline DCT-quantization model restated (Huffman is
+    lossless, so this IS the expected decode)."""
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_JQL * scale + 50) // 100, 1, 255)
+    qc = np.clip((_JQC * scale + 50) // 100, 1, 255)
+    h, w = img.shape[:2]
+    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    pad = np.pad(img, ((0, H - h), (0, W - w), (0, 0)), mode="edge")
+    r = pad[:, :, 0].astype(np.float64)
+    g = pad[:, :, 1].astype(np.float64)
+    b = pad[:, :, 2].astype(np.float64)
+    ycc = np.stack(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ],
+        axis=2,
+    )
+    k = np.arange(8, dtype=np.float64)
+    C = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 16.0)
+    C[0] *= np.sqrt(1.0 / 8.0)
+    C[1:] *= np.sqrt(2.0 / 8.0)
+    out = np.empty((H, W, 3))
+    for c, q in ((0, ql), (1, qc), (2, qc)):
+        ch = ycc[:, :, c]
+        blocks = ch.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        f = np.einsum("ij,njk,lk->nil", C, blocks - 128.0, C)
+        coef = np.round(f / q[None, :, :]).astype(np.int32)
+        back = np.einsum("ji,njk,kl->nil", C, coef.astype(np.float64) * q[None, :, :], C) + 128.0
+        out[:, :, c] = back.reshape(H // 8, W // 8, 8, 8).transpose(0, 2, 1, 3).reshape(H, W)
+    y = out[:, :, 0]
+    cb = out[:, :, 1] - 128.0
+    cr = out[:, :, 2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def q52_jpeg_roundtrip(sf_dir: str, quality: int = 97) -> pd.DataFrame:
+    df = _fixture_images(sf_dir)
+    df = df[(df["w"] <= 64) & (df["h"] <= 64)].reset_index(drop=True)
+    ids, csr, csg, csb, pmilli = [], [], [], [], []
+    for row, px in _iter_chips(df):
+        dec = _jpeg_ref_decode(px, quality)
+        ids.append(row.image_id)
+        csr.append(_cs_band(dec[:, :, 0]))
+        csg.append(_cs_band(dec[:, :, 1]))
+        csb.append(_cs_band(dec[:, :, 2]))
+        diff = px.astype(np.float64) - dec.astype(np.float64)
+        mse = float(np.mean(diff * diff))
+        p = float("inf") if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+        pmilli.append(999999 if np.isinf(p) else int(np.floor(p * 1000.0 + 0.5)))
+    return pd.DataFrame(
+        {
+            "image_id": ids,
+            "cs_r": np.asarray(csr, np.int64),
+            "cs_g": np.asarray(csg, np.int64),
+            "cs_b": np.asarray(csb, np.int64),
+            "psnr_milli": np.asarray(pmilli, np.int64),
+        }
+    )
+
+
 GOLDENS = {
     "q29_band_stats": (q29_band_stats, ["band"]),
+    "q52_jpeg_roundtrip": (q52_jpeg_roundtrip, ["image_id"]),
     "q30_band_histogram": (q30_band_histogram, ["band", "bucket"]),
     "q31_translate": (q31_translate, ["image_id"]),
     "q32_hillshade": (q32_hillshade, ["image_id"]),

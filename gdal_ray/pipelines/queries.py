@@ -1550,6 +1550,58 @@ _RECTS_B_SQL = (
 )
 
 
+def q52_jpeg_roundtrip(sf_dir: str):
+    """JPEG codec (baseline JFIF, frmts/jpeg/ analog — the production
+    counterpart of the input_hint's ``fmt``): re-encode every chip with
+    w,h <= 64 as JPEG (quality 97), decode, emit per-chip checksums of
+    the decoded pixels + PSNR vs the original in milli-dB.  The oracle
+    recomputes the decode through the DCT-quantization model only —
+    matching it proves the entropy-coded bitstream round-trips."""
+    import ray.data as rd
+
+    from ..functions import checksum, codecs
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(
+        paths["images"], columns=["image_id", "bytes", "w", "h", "fmt"]
+    )
+
+    def small(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(
+                pc.less_equal(t.column("w"), pa.scalar(64, pa.int32())),
+                pc.less_equal(t.column("h"), pa.scalar(64, pa.int32())),
+            )
+        )
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c).to_pylist() for c in ("image_id", "bytes", "w", "h", "fmt")}
+        ids, csr, csg, csb, pmilli = [], [], [], [], []
+        for i in range(t.num_rows):
+            img = codecs.decode(cols["bytes"][i], cols["w"][i], cols["h"][i], cols["fmt"][i])
+            dec = codecs.decode(codecs.encode(img, "jpeg"), cols["w"][i], cols["h"][i], "jpeg")
+            cs = checksum.checksum_image(dec)
+            p = codecs.psnr(img, dec)
+            ids.append(cols["image_id"][i])
+            csr.append(cs[0]); csg.append(cs[1]); csb.append(cs[2])
+            pmilli.append(999999 if np.isinf(p) else int(np.floor(p * 1000.0 + 0.5)))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "cs_r": pa.array(csr, pa.int64()),
+                "cs_g": pa.array(csg, pa.int64()),
+                "cs_b": pa.array(csb, pa.int64()),
+                "psnr_milli": pa.array(pmilli, pa.int64()),
+            }
+        )
+
+    return (
+        imgs.map_batches(small, batch_format="pyarrow")
+        .map_batches(fn, batch_format="pyarrow", batch_size=64)
+        .sort("image_id")
+    )
+
+
 _Q50_TEXT = """
 SELECT o_orderkey AS okey,
        CONCAT(CAST(o_orderkey AS VARCHAR), ':', o_orderstatus) AS tag,
@@ -1675,6 +1727,7 @@ QUERIES = {
     "q49_erase_points": q49_erase_points,
     "q50_sql_frontend": q50_sql_frontend,
     "q51_intersection_overlay": q51_intersection_overlay,
+    "q52_jpeg_roundtrip": q52_jpeg_roundtrip,
 }
 
 ORACLE_SQL = {

@@ -88,3 +88,30 @@ def test_checksum_float_path():
     assert checksum.checksum_float_band(a) == 0
     b = np.array([[np.inf, np.nan, 0.0]])
     assert checksum.checksum_float_band(b) == checksum.checksum_float_band(b)
+
+
+def test_jpeg_roundtrip_psnr_and_model():
+    import numpy as np
+
+    from gdal_ray.functions import codecs, jpegc
+    from gdal_ray.synth.make_table import chip_pixels
+
+    for i, (w, h) in enumerate([(16, 20), (20, 64), (64, 64)]):
+        img = chip_pixels(i * 31 + 5, w, h)
+        data = codecs.encode(img, "jpeg")
+        dec = codecs.decode(data, w, h, "jpeg")
+        # Huffman is lossless: decode equals the DCT-quantization model
+        assert np.array_equal(dec, jpegc.jpeg_model(img, codecs.JPEG_QUALITY))
+        assert codecs.psnr(img, dec) >= 40.0  # BASELINE.md lossy-parity gate
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+
+
+def test_jpeg_odd_sizes_and_flat():
+    import numpy as np
+
+    from gdal_ray.functions import jpegc
+
+    flat = np.full((10, 13, 3), 77, np.uint8)
+    dec = jpegc.decode_jpeg(jpegc.encode_jpeg(flat, 90))
+    assert dec.shape == flat.shape
+    assert np.abs(dec.astype(int) - 77).max() <= 2
