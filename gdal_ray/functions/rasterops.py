@@ -201,6 +201,34 @@ def fillnodata(g: np.ndarray, valid: np.ndarray, max_search: int = 100,
 # -------------------------------------------------- grid interpolation
 
 
+def grid_metric(px, py, pv, xs, ys, metric: str = "count", radius: float = 0.0,
+                nodata: float = 0.0) -> np.ndarray:
+    """Data-metrics gridding (gdalgrid.cpp GDALGridDataMetric* family):
+    per node, count / minimum / maximum / range of point VALUES within
+    the circular search radius."""
+    gx, gy = np.meshgrid(xs, ys)
+    d2 = (gx[:, :, None] - px[None, None, :]) ** 2 + (
+        gy[:, :, None] - py[None, None, :]
+    ) ** 2
+    inside = d2 <= radius * radius
+    cnt = inside.sum(axis=2)
+    if metric == "count":
+        return cnt.astype(np.float64)
+    vals = np.where(inside, pv[None, None, :], np.nan)
+    out = np.full(gx.shape, nodata, dtype=np.float64)
+    got = cnt > 0
+    with np.errstate(all="ignore"):
+        if metric == "minimum":
+            out[got] = np.nanmin(vals, axis=2)[got]
+        elif metric == "maximum":
+            out[got] = np.nanmax(vals, axis=2)[got]
+        elif metric == "range":
+            out[got] = (np.nanmax(vals, axis=2) - np.nanmin(vals, axis=2))[got]
+        else:
+            raise ValueError(f"unknown metric {metric}")
+    return out
+
+
 def grid_invdist(px, py, pv, xs, ys, power: float = 2.0, smoothing: float = 0.0,
                  radius: float | None = None, nodata: float = 0.0) -> np.ndarray:
     """Inverse-distance-to-a-power over scattered points, evaluated on

@@ -127,6 +127,20 @@ def _cc_relax(g: np.ndarray, max_sweeps: int = 200) -> np.ndarray:
 
 def q33_rasterize_polygonize(sf_dir: str, zoom: int = 10) -> pd.DataFrame:
     cells = ref_rasterize(sf_dir, zoom, value_fn=lambda fid: fid % 254 + 1)
+    return _polygonize_cells_ref(cells, zoom)
+
+
+def q56_footprint(sf_dir: str, zoom: int = 8) -> pd.DataFrame:
+    """Footprint = polygonize of the mosaic's valid-data mask
+    (apps/gdal_footprint_lib.cpp:1281 semantics)."""
+    from .tileref import _ref_base_tiles
+
+    tiles = _ref_base_tiles(sf_dir, zoom)
+    cells = {k: m.astype(np.uint8) for k, (_, m) in tiles.items()}
+    return _polygonize_cells_ref(cells, zoom)
+
+
+def _polygonize_cells_ref(cells: dict, zoom: int) -> pd.DataFrame:
     res = INITIAL_RES / (1 << zoom)
     nt = 1 << zoom
     world = nt * GRID
@@ -510,6 +524,7 @@ def q38_contour(sf_dir: str, zoom: int = 8, grid: int = 64) -> pd.DataFrame:
 
 GOLDENS = {
     "q33_rasterize_polygonize": (q33_rasterize_polygonize, ["comp_id"]),
+    "q56_footprint": (q56_footprint, ["comp_id"]),
     "q36_proximity_sieve": (q36_proximity_sieve, ["cell"]),
     "q38_contour": (q38_contour, ["level", "comp_id"]),
 }

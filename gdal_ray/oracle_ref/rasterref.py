@@ -704,9 +704,77 @@ def q52_jpeg_roundtrip(sf_dir: str, quality: int = 97) -> pd.DataFrame:
     )
 
 
+# -------------------------------------------------- q54 grid metrics
+
+
+def q54_grid_metrics(sf_dir: str, zoom: int = 8, grid_size: int = 64,
+                     radius: float = 40000.0) -> pd.DataFrame:
+    from ..synth.make_table import ensure_fixtures, scale_for_sf_dir
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    t = pq.read_table(paths["points"], columns=["pid", "x", "y"])
+    px = t.column("x").to_numpy()
+    py = t.column("y").to_numpy()
+    tx, ty = _tile_of(px, zoom), _tile_of(py, zoom)
+    res = INITIAL_RES / (1 << zoom)
+    owned = sorted({(int(a), int(b)) for a, b in zip(tx, ty)})
+    rows = []
+    for cx, cy in owned:
+        member = (np.abs(tx - cx) <= 1) & (np.abs(ty - cy) <= 1)
+        mx, my = px[member], py[member]
+        minx = cx * 256 * res - ORIGIN_SHIFT
+        maxy = (cy + 1) * 256 * res - ORIGIN_SHIFT
+        cres = (256 * res) / grid_size
+        xs = minx + (np.arange(grid_size) + 0.5) * cres
+        ys = maxy - (np.arange(grid_size) + 0.5) * cres
+        gx, gy = np.meshgrid(xs, ys)
+        d2 = (gx[:, :, None] - mx[None, None, :]) ** 2 + (
+            gy[:, :, None] - my[None, None, :]
+        ) ** 2
+        cnt = (d2 <= radius * radius).sum(axis=2).astype(np.float64)
+        n_owned = int(((tx == cx) & (ty == cy)).sum())
+        rows.append((zoom, cx, cy, n_owned, _cs_float(cnt)))
+    return pd.DataFrame(
+        rows, columns=["z", "x", "y", "n_points", "cs"]
+    ).astype(np.int64)
+
+
+# -------------------------------------------------- q55 color relief
+
+_RAMP_X = np.array([0.0, 64.0, 128.0, 192.0, 255.0])
+_RAMP_RGB = np.array(
+    [[0, 0, 139], [0, 128, 255], [34, 139, 34], [205, 133, 63], [255, 255, 255]],
+    dtype=np.float64,
+)
+
+
+def q55_color_relief(sf_dir: str) -> pd.DataFrame:
+    df = _fixture_images(sf_dir)
+    ids, csr, csg, csb = [], [], [], []
+    for row, px in _iter_chips(df):
+        e = px[:, :, 0].astype(np.float64)
+        cs = []
+        for c in range(3):
+            v = np.interp(e, _RAMP_X, _RAMP_RGB[:, c])
+            band = np.clip(np.floor(v + 0.5), 0, 255).astype(np.uint8)
+            cs.append(_cs_band(band))
+        ids.append(row.image_id)
+        csr.append(cs[0]); csg.append(cs[1]); csb.append(cs[2])
+    return pd.DataFrame(
+        {
+            "image_id": ids,
+            "cs_r": np.asarray(csr, np.int64),
+            "cs_g": np.asarray(csg, np.int64),
+            "cs_b": np.asarray(csb, np.int64),
+        }
+    )
+
+
 GOLDENS = {
     "q29_band_stats": (q29_band_stats, ["band"]),
     "q52_jpeg_roundtrip": (q52_jpeg_roundtrip, ["image_id"]),
+    "q54_grid_metrics": (q54_grid_metrics, ["z", "x", "y"]),
+    "q55_color_relief": (q55_color_relief, ["image_id"]),
     "q30_band_histogram": (q30_band_histogram, ["band", "bucket"]),
     "q31_translate": (q31_translate, ["image_id"]),
     "q32_hillshade": (q32_hillshade, ["image_id"]),

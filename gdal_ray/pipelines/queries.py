@@ -1602,6 +1602,122 @@ def q52_jpeg_roundtrip(sf_dir: str):
     )
 
 
+def q53_sampling(sf_dir: str):
+    """Deterministic Bernoulli sampling by multiplicative key hash
+    (approx-ok decimation analog, gdalrasterband.cpp:4151): ~10% of
+    orders, reproducible and SQL-mirrorable."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = R.sample_hash(ds, "o_orderkey", 0.1)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": t.column("o_orderkey"),
+                "price_cents": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow").sort("okey")
+
+
+_Q53_SQL = """
+SELECT o_orderkey AS okey,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+FROM orders
+WHERE (o_orderkey * 2654435761) % 4294967296 < 429496729
+ORDER BY o_orderkey
+"""
+
+
+def q54_grid_metrics(sf_dir: str):
+    """gdal_grid data metrics (gdalgrid.cpp GDALGridDataMetric*):
+    per-cell COUNT-in-radius grids over the T3 points; per-cell grid
+    checksums (counts are integral -> exact)."""
+    import ray.data as rd
+
+    from ..functions import checksum
+    from ..stages.grid import grid_points
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    pts = rd.read_parquet(paths["points"]).map_batches(
+        lambda t: t.append_column(
+            "v",
+            pa.array(np.zeros(t.num_rows, np.float64)),
+        ),
+        batch_format="pyarrow",
+    )
+    grids = grid_points(pts, zoom=8, algorithm="count", grid_size=64, radius=40000.0)
+
+    def cs(t: pa.Table) -> pa.Table:
+        vals = [
+            checksum.checksum_float_band(
+                np.frombuffer(g, dtype=np.float64).reshape(64, 64)
+            )
+            for g in t.column("grid").to_pylist()
+        ]
+        return pa.table(
+            {
+                "z": pc.cast(t.column("z"), pa.int64()),
+                "x": pc.cast(t.column("x"), pa.int64()),
+                "y": pc.cast(t.column("y"), pa.int64()),
+                "n_points": pc.cast(t.column("n_points"), pa.int64()),
+                "cs": pa.array(vals, pa.int64()),
+            }
+        )
+
+    return grids.map_batches(cs, batch_format="pyarrow").sort(["z", "x", "y"])
+
+
+def q55_color_relief(sf_dir: str):
+    """gdaldem color-relief (apps/gdaldem_lib.cpp:1497): band-0 ramp
+    lookup per chip; per-chip RGB checksums."""
+    import ray.data as rd
+
+    from ..functions import checksum
+    from ..stages.dem import color_relief_stage
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(
+        paths["images"], columns=["image_id", "bytes", "w", "h", "fmt"]
+    )
+    out = color_relief_stage(imgs)
+
+    def cs(t: pa.Table) -> pa.Table:
+        data = t.column("data").to_pylist()
+        w = t.column("w").to_pylist()
+        h = t.column("h").to_pylist()
+        vals = np.empty((t.num_rows, 3), dtype=np.int64)
+        for i in range(t.num_rows):
+            img = np.frombuffer(data[i], dtype=np.uint8).reshape(h[i], w[i], 3)
+            vals[i] = checksum.checksum_image(img)
+        return pa.table(
+            {
+                "image_id": t.column("image_id"),
+                "cs_r": pa.array(vals[:, 0]),
+                "cs_g": pa.array(vals[:, 1]),
+                "cs_b": pa.array(vals[:, 2]),
+            }
+        )
+
+    return out.map_batches(cs, batch_format="pyarrow").sort("image_id")
+
+
+def q56_footprint(sf_dir: str):
+    """gdal_footprint analog (apps/gdal_footprint_lib.cpp:1281): the
+    valid-data footprint of the z8 image mosaic — the mask is built by
+    the tiler, polygonized with the cross-cell seam merge."""
+    import ray.data as rd
+
+    from ..stages.polygonize import footprint
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(
+        paths["images"],
+        columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"],
+    )
+    return footprint(imgs, zoom=8).sort("comp_id")
+
+
 _Q50_TEXT = """
 SELECT o_orderkey AS okey,
        CONCAT(CAST(o_orderkey AS VARCHAR), ':', o_orderstatus) AS tag,
@@ -1728,6 +1844,10 @@ QUERIES = {
     "q50_sql_frontend": q50_sql_frontend,
     "q51_intersection_overlay": q51_intersection_overlay,
     "q52_jpeg_roundtrip": q52_jpeg_roundtrip,
+    "q53_sampling": q53_sampling,
+    "q54_grid_metrics": q54_grid_metrics,
+    "q55_color_relief": q55_color_relief,
+    "q56_footprint": q56_footprint,
 }
 
 ORACLE_SQL = {
@@ -1760,4 +1880,5 @@ ORACLE_SQL = {
     # the engine parses and executes the SAME string DuckDB runs
     "q50_sql_frontend": _Q50_TEXT,
     "q51_intersection_overlay": _Q51_SQL,
+    "q53_sampling": _Q53_SQL,
 }

@@ -178,3 +178,41 @@ def hash_join(left, right, on: str, num_partitions: int = 32, how: str = "inner"
         right, join_type=how, num_partitions=num_partitions, on=(on,),
         right_suffix="_r",
     )
+
+
+def sample_hash(ds, key_col: str, frac: float):
+    """Deterministic Bernoulli sampling by multiplicative key hash
+    (the decimated/approx-ok sampling analog of
+    gdalrasterband.cpp:4151; reproducible across runs AND expressible
+    in the SQL oracle: keep rows with (key * 2654435761) % 2^32 <
+    frac * 2^32)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cut = int(frac * 4294967296)
+
+    def fn(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = pc.cast(t.column(key_col), pa.int64()).to_numpy(zero_copy_only=False)
+        h = (k * 2654435761) % 4294967296
+        return t.filter(pa.array(h < cut))
+
+    fn.__name__ = f"sample_{key_col}"
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def decimate(ds, key_col: str, n: int, keep: int = 0):
+    """Keep every n-th row by key (key % n == keep) — the stride
+    decimation of approx statistics / overview sampling."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = pc.cast(t.column(key_col), pa.int64()).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((k % n) == keep))
+
+    fn.__name__ = f"decimate_{key_col}"
+    return ds.map_batches(fn, batch_format="pyarrow")

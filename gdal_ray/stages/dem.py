@@ -110,6 +110,50 @@ def roughness(e: np.ndarray) -> np.ndarray:
     return mx - mn
 
 
+DEFAULT_RAMP = (
+    (0.0, (0, 0, 139)),
+    (64.0, (0, 128, 255)),
+    (128.0, (34, 139, 34)),
+    (192.0, (205, 133, 63)),
+    (255.0, (255, 255, 255)),
+)
+
+
+def color_relief(e: np.ndarray, ramp=DEFAULT_RAMP) -> np.ndarray:
+    """gdaldem color-relief (apps/gdaldem_lib.cpp:1497): elevation ->
+    RGB via linear interpolation between ramp entries."""
+    xs = np.asarray([r[0] for r in ramp], np.float64)
+    ef = e.astype(np.float64)
+    out = np.empty((*e.shape, 3), dtype=np.uint8)
+    for c in range(3):
+        ys = np.asarray([r[1][c] for r in ramp], np.float64)
+        v = np.interp(ef, xs, ys)
+        out[:, :, c] = np.clip(np.floor(v + 0.5), 0, 255).astype(np.uint8)
+    return out
+
+
+def color_relief_stage(images, ramp=DEFAULT_RAMP, concurrency: int = 4):
+    """Per-chip color-relief of band 0; output rows (image_id, w, h,
+    data RGB bytes)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c).to_pylist() for c in ("image_id", "bytes", "w", "h", "fmt")}
+        out = []
+        for i in range(t.num_rows):
+            img = codecs.decode(cols["bytes"][i], cols["w"][i], cols["h"][i], cols["fmt"][i])
+            out.append(color_relief(img[:, :, 0], ramp).tobytes())
+        return pa.table(
+            {
+                "image_id": pa.array(cols["image_id"], pa.string()),
+                "w": t.column("w"),
+                "h": t.column("h"),
+                "data": pa.array(out, pa.binary()),
+            }
+        )
+
+    return images.map_batches(fn, batch_format="pyarrow", batch_size=128)
+
+
 _OPS = {
     "hillshade": lambda e, xr, yr: hillshade(e, xr, yr),
     "slope": slope_degrees,

@@ -53,11 +53,18 @@ def grid_points(
         out = out.append_column("cell", pa.array(np.concatenate(cells), pa.int64()))
         return out.append_column("owner", pa.array(np.concatenate(owner)))
 
-    algo = {
-        "invdist": rasterops.grid_invdist,
-        "nearest": rasterops.grid_nearest,
-        "average": rasterops.grid_average,
-    }[algorithm]
+    if algorithm in ("count", "minimum", "maximum", "range"):
+        metric = algorithm
+
+        def algo(px, py, pv, xs, ys, **kw):
+            return rasterops.grid_metric(px, py, pv, xs, ys, metric=metric, **kw)
+
+    else:
+        algo = {
+            "invdist": rasterops.grid_invdist,
+            "nearest": rasterops.grid_nearest,
+            "average": rasterops.grid_average,
+        }[algorithm]
 
     def interpolate_group(g: pa.Table) -> pa.Table:
         cell = int(g.column("cell")[0].as_py())

@@ -350,6 +350,33 @@ def min_label_components(edges, max_iters: int = 32,
     return labels
 
 
+def footprint(images, zoom: int = 8, resampling: str = "near"):
+    """gdal_footprint analog (apps/gdal_footprint_lib.cpp:1281): the
+    valid-data mask of the image mosaic at ``zoom``, polygonized with
+    the cross-cell seam merge — one row per connected data region
+    (comp_id, value=1, pixel_count, envelope, n_cells)."""
+    from .tiles import _unpack_mask, build_base_tiles
+
+    tiles = build_base_tiles(images, zoom, resampling)
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        masks = [
+            _unpack_mask(mb).astype(np.uint8).tobytes()
+            for mb in t.column("mask_bytes").to_pylist()
+        ]
+        return pa.table(
+            {
+                "cell": t.column("cell"),
+                "z": t.column("z"),
+                "x": t.column("x"),
+                "y": t.column("y"),
+                "grid_bytes": pa.array(masks, pa.binary()),
+            }
+        )
+
+    return polygonize(tiles.map_batches(to_cells, batch_format="pyarrow"))
+
+
 def polygonize(raster_cells, num_partitions: int = 16):
     """Raster cells -> merged components Dataset.
 
