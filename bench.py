@@ -105,7 +105,7 @@ def phase_tiles() -> dict:
 
     num_cpus, _, _, paths, _ = _setup()
     t0 = time.time()
-    imgs = rd.read_parquet(paths["images"])
+    imgs = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"])
     levels = build_pyramid(imgs, z_max=11, z_min=9, resampling="near")
     n_tiles = sum(ds.count() for ds in levels.values())
     dt = time.time() - t0
@@ -123,7 +123,7 @@ def phase_warp() -> dict:
 
     num_cpus, _, _, paths, n_images = _setup()
     t0 = time.time()
-    imgs = rd.read_parquet(paths["images"])
+    imgs = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"])
     warp_images(
         imgs, resampling="bilinear",
         concurrency=max(2, num_cpus * 3 // 4), batch_size=128,
