@@ -41,9 +41,10 @@ def oracle_sql() -> dict[str, str]:
     import os
 
     from gdal_ray.oracle_ref import golden_oracle_sql
-    from gdal_ray.pipelines.queries import ORACLE_SQL
+    from gdal_ray.pipelines.queries import COMBINED_ORACLES, ORACLE_SQL
 
     sf_dir = os.environ.get("GDAL_RAY_ORACLE_SF", "/root/testdata/sf0.01")
     out = dict(ORACLE_SQL)
     out.update(golden_oracle_sql(sf_dir))
+    out.update({name: fn(sf_dir) for name, fn in COMBINED_ORACLES.items()})
     return out

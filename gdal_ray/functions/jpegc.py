@@ -262,38 +262,37 @@ def _extend(bits: int, cat: int) -> int:
     return bits
 
 
-def _encode_channel(bw: _BitWriter, coefs: np.ndarray, dc_tab, ac_tab, pred: int):
-    zz = coefs.reshape(-1, 64)[:, _ZIG]
-    for blk in zz:
-        dc = int(blk[0])
-        diff = dc - pred
-        pred = dc
-        cat = _category(diff)
-        code, ln = dc_tab[cat]
+def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int, dc_tab, ac_tab) -> int:
+    """Entropy-code one zigzagged 64-coef block; returns the new DC
+    predictor (the single shared copy of the T.81 F.1.2 loop)."""
+    dc = int(blk[0])
+    diff = dc - pred
+    cat = _category(diff)
+    code, ln = dc_tab[cat]
+    bw.put(code, ln)
+    if cat:
+        bw.put(_mag_bits(diff, cat), cat)
+    run = 0
+    nz = np.flatnonzero(blk[1:])
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_tab[(run << 4) | cat]
         bw.put(code, ln)
-        if cat:
-            bw.put(_mag_bits(diff, cat), cat)
+        bw.put(_mag_bits(v, cat), cat)
         run = 0
-        nz = np.flatnonzero(blk[1:])
-        last = nz[-1] + 1 if len(nz) else 0
-        for k in range(1, last + 1):
-            v = int(blk[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_tab[0xF0]
-                bw.put(code, ln)
-                run -= 16
-            cat = _category(v)
-            code, ln = ac_tab[(run << 4) | cat]
-            bw.put(code, ln)
-            bw.put(_mag_bits(v, cat), cat)
-            run = 0
-        if last < 63:
-            code, ln = ac_tab[0x00]
-            bw.put(code, ln)
-    return pred
+    if last < 63:
+        code, ln = ac_tab[0x00]
+        bw.put(code, ln)
+    return dc
 
 
 def _decode_tables(tabs):
@@ -334,35 +333,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         for ci, (dc_tab, ac_tab) in enumerate(
             ((dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c))
         ):
-            blk = zzs[ci][m]
-            dc = int(blk[0])
-            diff = dc - preds[ci]
-            preds[ci] = dc
-            cat = _category(diff)
-            code, ln = dc_tab[cat]
-            bw.put(code, ln)
-            if cat:
-                bw.put(_mag_bits(diff, cat), cat)
-            run = 0
-            nz = np.flatnonzero(blk[1:])
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_tab[0xF0]
-                    bw.put(code, ln)
-                    run -= 16
-                cat = _category(v)
-                code, ln = ac_tab[(run << 4) | cat]
-                bw.put(code, ln)
-                bw.put(_mag_bits(v, cat), cat)
-                run = 0
-            if last < 63:
-                code, ln = ac_tab[0x00]
-                bw.put(code, ln)
+            preds[ci] = _encode_block(bw, zzs[ci][m], preds[ci], dc_tab, ac_tab)
     scan = bw.flush()
 
     def seg(marker, payload):

@@ -129,8 +129,13 @@ def golden_sql(name: str, sf_dir: str) -> str:
 
 
 def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
-    """All golden-backed oracle SQL statements for a scale."""
-    return {name: golden_sql(name, sf_dir) for name in _registry()}
+    """All driver-facing golden oracle SQL statements for a scale
+    ('part_*' goldens are composition inputs only, not queries)."""
+    return {
+        name: golden_sql(name, sf_dir)
+        for name in _registry()
+        if name.startswith("q")
+    }
 
 
 def golden_names() -> list[str]:

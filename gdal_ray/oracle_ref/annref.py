@@ -154,7 +154,8 @@ def q28_embedding_neardup(sf_dir: str, threshold: float = 0.35,
 
 
 GOLDENS = {
-    "q21_ann_lsh": (q21_ann_lsh, ["qid", "rank"]),
+    # composed into q16_ann_topk by pipelines.queries.COMBINED_ORACLES
+    "part_ann_lsh": (q21_ann_lsh, ["qid", "rank"]),
     "q26_phash_neardup": (q26_phash, ["id_a", "id_b"]),
     "q28_embedding_neardup": (q28_embedding_neardup, ["id_a", "id_b"]),
 }

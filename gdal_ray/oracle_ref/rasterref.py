@@ -770,12 +770,52 @@ def q55_color_relief(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q29_band_stats_hist(sf_dir: str) -> pd.DataFrame:
+    """Long-format union of band statistics (kind='stat_*', k=0,
+    v=statistic) and the 256-bucket histogram (kind='hist', k=bucket,
+    v=count) — the oracle of the one registered q29 query."""
+    s = q29_band_stats(sf_dir)
+    h = q30_band_histogram(sf_dir)
+    rows = []
+    for stat, col in (
+        ("stat_n", "n"),
+        ("stat_min", "min"),
+        ("stat_max", "max"),
+        ("stat_mean", "mean"),
+        ("stat_std", "stddev"),
+    ):
+        rows.append(
+            pd.DataFrame(
+                {
+                    "kind": stat,
+                    "band": s["band"].astype(np.int64),
+                    "k": np.int64(0),
+                    "v": s[col].astype(np.float64),
+                }
+            )
+        )
+    rows.append(
+        pd.DataFrame(
+            {
+                "kind": "hist",
+                "band": h["band"].astype(np.int64),
+                "k": h["bucket"].astype(np.int64),
+                "v": h["count"].astype(np.float64),
+            }
+        )
+    )
+    return (
+        pd.concat(rows, ignore_index=True)
+        .sort_values(["kind", "band", "k"])
+        .reset_index(drop=True)
+    )
+
+
 GOLDENS = {
-    "q29_band_stats": (q29_band_stats, ["band"]),
+    "q29_band_stats_hist": (q29_band_stats_hist, ["kind", "band", "k"]),
     "q52_jpeg_roundtrip": (q52_jpeg_roundtrip, ["image_id"]),
     "q54_grid_metrics": (q54_grid_metrics, ["z", "x", "y"]),
     "q55_color_relief": (q55_color_relief, ["image_id"]),
-    "q30_band_histogram": (q30_band_histogram, ["band", "bucket"]),
     "q31_translate": (q31_translate, ["image_id"]),
     "q32_hillshade": (q32_hillshade, ["image_id"]),
     "q35_grid_invdist": (q35_grid_invdist, ["z", "x", "y"]),

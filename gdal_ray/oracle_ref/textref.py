@@ -172,8 +172,38 @@ def q20_fingerprint(sf_dir: str, k: int = 16) -> pd.DataFrame:
     )
 
 
+def q17_neardup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Combined near-dup pair suite: minhash pairs (score = estimated
+    Jaccard) + simhash pairs (score = Hamming distance), tagged by
+    ``method`` — the oracle of the one registered q17 query."""
+    mh = q17_minhash(sf_dir)
+    sh = q18_simhash(sf_dir)
+    a = pd.DataFrame(
+        {
+            "method": "minhash",
+            "doc_a": mh["doc_a"],
+            "doc_b": mh["doc_b"],
+            "score": mh["est_jaccard"].astype(np.float64),
+        }
+    )
+    b = pd.DataFrame(
+        {
+            "method": "simhash",
+            "doc_a": sh["doc_a"],
+            "doc_b": sh["doc_b"],
+            "score": sh["hamming"].astype(np.float64),
+        }
+    )
+    return (
+        pd.concat([a, b], ignore_index=True)
+        .sort_values(["method", "doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
 GOLDENS = {
-    "q17_minhash_pairs": (q17_minhash, ["doc_a", "doc_b"]),
-    "q18_simhash_pairs": (q18_simhash, ["doc_a", "doc_b"]),
-    "q20_fingerprint": (q20_fingerprint, ["doc_id"]),
+    "q17_neardup_pairs": (q17_neardup_pairs, ["method", "doc_a", "doc_b"]),
+    # 'part_' goldens are not driver-facing oracles themselves; they are
+    # composed into combined oracles by pipelines.queries.COMBINED_ORACLES
+    "part_fingerprint": (q20_fingerprint, ["doc_id"]),
 }

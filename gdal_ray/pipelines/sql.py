@@ -256,16 +256,31 @@ def _eval(node, t: pa.Table):
         return pc.divide(pc.cast(a, pa.float64()), pc.cast(b, pa.float64()))
     if op == "mod":
         a, b = _eval(node[1], t), _eval(node[2], t)
-        return pc.subtract(
-            a, pc.multiply(pc.divide(a, b), b)
-        )  # truncating integer modulo
+        for v in (a, b):
+            ty = v.type
+            if pa.types.is_floating(ty):
+                raise ValueError(
+                    "modulo requires integer operands (pc.divide on floats "
+                    "is true division, which would make a %% b always 0)"
+                )
+        # pyarrow divide on integers truncates, so this is truncated
+        # integer modulo (matches DuckDB % on BIGINT)
+        return pc.subtract(a, pc.multiply(pc.divide(a, b), b))
     if op == "neg":
         return pc.negate(_eval(node[1], t))
     if op == "like":
         return pc.match_like(_eval(node[1], t), _eval(node[2], t).as_py())
     if op == "in":
-        vals = [v[1] for v in node[2]]
         col = _eval(node[1], t)
+        vals = []
+        for v in node[2]:
+            s = _eval(v, t)
+            if not isinstance(s, pa.Scalar):
+                raise ValueError(
+                    "IN list elements must be scalar literals, got "
+                    f"expression {v[0]!r}"
+                )
+            vals.append(s.as_py())
         return pc.is_in(col, value_set=pa.array(vals).cast(col.type))
     if op == "between":
         e = _eval(node[1], t)
@@ -378,7 +393,10 @@ def sql_query(sql: str, tables: dict):
         for idx, (e, alias) in enumerate(items):
             v = _eval(e, t)
             if isinstance(v, pa.Scalar):
-                v = pa.array([v.as_py()] * t.num_rows)
+                # explicit type so zero-row batches (WHERE filtered all
+                # rows) don't produce null-typed arrays that break
+                # cross-batch schema unification
+                v = pa.array([v.as_py()] * t.num_rows, type=v.type)
             cols[_out_name(e, alias, idx)] = v
         for c in extra_keys:
             cols[f"__ob_{c}"] = t.column(c)

@@ -368,9 +368,17 @@ def contour_cells(cells, levels=LEVELS, grid: int = 64):
     ep_stats = _materialize_detached(ep_stats)
 
     def to_pairs(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         n = t.column("n").to_numpy(zero_copy_only=False)
+        if (n > 2).any():
+            # each decomposed endpoint descriptor (orientation, cell,
+            # t-bits) identifies ONE crossing shared by at most the two
+            # fragments on either side; 3+ would mean the marching-
+            # squares decomposition emitted a duplicate crossing and
+            # pairing min/max would silently drop the middle node
+            bad = int((n > 2).sum())
+            raise ValueError(
+                f"contour stitch: {bad} endpoint keys carry >2 fragments"
+            )
         two = t.filter(pa.array(n >= 2))
         return pa.table({"a": two.column("mn"), "b": two.column("mx")})
 

@@ -83,13 +83,14 @@ def knn_cell_ring(
     k: int = 5,
     zoom: int = 8,
     num_partitions: int = 32,
+    broadcast_max_sites: int = 100_000,
 ):
     """Scale-path exact kNN: sites replicate to their cell's 3x3
     neighborhood; probes join on their own cell; per-probe top-k with a
-    ring-lower-bound resolution check; unresolved probes fall back to
-    the exact broadcast pass.  Returns (pid, sid, rank, d2)."""
-    import ray
-    import ray.data as rd
+    ring-lower-bound resolution check.  Unresolved probes (distributed
+    anti-join, no driver-side sets) go to the iterative ring-expansion
+    pass; the exact broadcast pass is used only when the site table is
+    under ``broadcast_max_sites`` rows.  Returns (pid, sid, rank, d2)."""
 
     def replicate_sites(t: pa.Table) -> pa.Table:
         x = t.column("x").to_numpy(zero_copy_only=False)
@@ -154,22 +155,182 @@ def knn_cell_ring(
     resolved = ring_res.filter(expr="resolved == True").drop_columns(["resolved"])
 
     # unresolved probes (incl. probes whose cell had NO candidate rows at
-    # all — they vanish from the inner join) -> exact broadcast pass
-    got = set(
-        ring_res.filter(expr="resolved == True").select_columns(["pid"]).unique("pid")
+    # all — they vanish from the inner join): distributed anti-join of
+    # the probe table against the resolved pid set (no driver-side set)
+    res_pids = (
+        ring_res.filter(expr="resolved == True")
+        .select_columns(["pid"])
+        .groupby("pid")
+        .count()
     )
-    got_ref = ray.put(got)
+    leftover = _anti_join_pids(points, res_pids, num_partitions)
 
-    def unresolved_points(t: pa.Table) -> pa.Table:
-        s = ray.get(got_ref)
-        pids = t.column("pid").to_numpy(zero_copy_only=False)
-        keep = np.fromiter((p not in s for p in pids), bool, len(pids))
-        return t.filter(pa.array(keep))
+    n_sites = sites.count()
+    if n_sites <= broadcast_max_sites:
+        # small-side gate: sites fit comfortably in one broadcast object
+        sites_tbl = dataset_to_table(sites.select_columns(["sid", "x", "y"]))
+        fallback = knn_broadcast(leftover, sites_tbl, k=k)
+        return resolved.union(fallback)
 
-    leftover = points.map_batches(unresolved_points, batch_format="pyarrow")
-    sites_tbl = dataset_to_table(sites.select_columns(["sid", "x", "y"]))
-    fallback = knn_broadcast(leftover, sites_tbl, k=k)
+    # scale path: iterative ring expansion — replicate the (shrinking)
+    # unresolved probe set to all cells within Chebyshev radius r and
+    # join against sites keyed by their OWN cell; doubles r until every
+    # probe resolves (or its block covers the world grid)
+    fallback = _knn_ring_expand(leftover, sites, k=k, zoom=zoom,
+                                num_partitions=num_partitions)
     return resolved.union(fallback)
+
+
+def _anti_join_pids(probes, pid_ds, num_partitions: int):
+    """probes minus pids present in pid_ds (left-outer join + null
+    filter — the distributed anti-join; empty right side guarded)."""
+    import pyarrow.compute as pc
+
+    if pid_ds.count() == 0:
+        return probes
+
+    def mark(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pid": t.column("pid"),
+                "__res": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    j = probes.join(
+        pid_ds.map_batches(mark, batch_format="pyarrow"),
+        join_type="left_outer",
+        num_partitions=max(1, num_partitions),
+        on=("pid",),
+    )
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column("__res"))).drop_columns(["__res"])
+
+    return j.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
+def _knn_ring_expand(probes, sites, k: int, zoom: int, num_partitions: int):
+    """Iterative exact-kNN resolution for the unresolved tail: each
+    round replicates probes to the cells of their (2r+1)^2 block,
+    joins on the sites' own cell, takes per-probe top-k and keeps it
+    when the kth distance beats the block-edge lower bound (sides at
+    the world edge are safe).  r doubles; a block covering the whole
+    grid is exact by construction.  Probes with zero sites anywhere
+    emit nothing (kNN of an empty site set)."""
+    from .polygonize import _materialize_detached
+
+    n_grid = 1 << zoom
+    cell_size = 2.0 * mercator.ORIGIN_SHIFT / n_grid
+    st = sites.map_batches(assign_point_cells(zoom), batch_format="pyarrow")
+    outs = []
+    U = _materialize_detached(probes)
+    r = 2
+    while True:
+        n_u = U.count()
+        if n_u == 0:
+            break
+        full = r >= n_grid
+
+        def replicate_probes(t: pa.Table, r=r) -> pa.Table:
+            px = t.column("x").to_numpy(zero_copy_only=False)
+            py = t.column("y").to_numpy(zero_copy_only=False)
+            tx, ty = mercator.meters_to_tile(px, py, zoom)
+            rows, cells = [], []
+            for dx in range(-r, r + 1):
+                nx = tx + dx
+                okx = (nx >= 0) & (nx < n_grid)
+                for dy in range(-r, r + 1):
+                    ny = ty + dy
+                    ok = okx & (ny >= 0) & (ny < n_grid)
+                    idx = np.flatnonzero(ok)
+                    if len(idx) == 0:
+                        continue
+                    rows.append(idx)
+                    cells.append(
+                        mercator.pack_cell(
+                            np.full(len(idx), zoom), nx[idx], ny[idx]
+                        )
+                    )
+            rows = np.concatenate(rows) if rows else np.array([], np.int64)
+            cells = np.concatenate(cells) if cells else np.array([], np.int64)
+            out = t.take(pa.array(rows, pa.int64()))
+            return out.append_column("cell", pa.array(cells, pa.int64()))
+
+        parts = max(1, min(num_partitions, (n_u * (2 * r + 1) ** 2) // 50_000 + 1))
+        pairs = U.map_batches(replicate_probes, batch_format="pyarrow").join(
+            st, join_type="inner", num_partitions=parts, on=("cell",),
+            right_suffix="_s",
+        )
+
+        def topk_group(g: pa.Table, r=r, full=full) -> pa.Table:
+            px = g.column("x").to_numpy(zero_copy_only=False)
+            py = g.column("y").to_numpy(zero_copy_only=False)
+            sx = g.column("x_s").to_numpy(zero_copy_only=False)
+            sy = g.column("y_s").to_numpy(zero_copy_only=False)
+            sid = g.column("sid").to_numpy(zero_copy_only=False)
+            pid = int(g.column("pid")[0].as_py())
+            d2 = (px - sx) ** 2 + (py - sy) ** 2
+            order = np.lexsort((sid, d2))[:k]
+            tx, ty = mercator.meters_to_tile(px[:1], py[:1], zoom)
+            bminx = float(tx[0] - r) * cell_size - mercator.ORIGIN_SHIFT
+            bminy = float(ty[0] - r) * cell_size - mercator.ORIGIN_SHIFT
+            bmaxx = bminx + (2 * r + 1) * cell_size
+            bmaxy = bminy + (2 * r + 1) * cell_size
+            # world-edge sides have no cells beyond them: safe (inf)
+            sides = [
+                px[0] - bminx if tx[0] - r > 0 else np.inf,
+                bmaxx - px[0] if tx[0] + r < n_grid - 1 else np.inf,
+                py[0] - bminy if ty[0] - r > 0 else np.inf,
+                bmaxy - py[0] if ty[0] + r < n_grid - 1 else np.inf,
+            ]
+            edge = min(sides)
+            resolved = full or (
+                len(order) >= k and d2[order[-1]] < edge * edge
+            )
+            return pa.table(
+                {
+                    "pid": pa.array([pid] * len(order), pa.int64()),
+                    "sid": pa.array(sid[order], pa.int64()),
+                    "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+                    "d2": pa.array(d2[order], pa.float64()),
+                    "resolved": pa.array([resolved] * len(order), pa.bool_()),
+                }
+            )
+
+        round_res = _materialize_detached(
+            pairs.groupby("pid").map_groups(topk_group, batch_format="pyarrow")
+        )
+        outs.append(
+            round_res.filter(expr="resolved == True").drop_columns(["resolved"])
+        )
+        if full:
+            break
+        done_pids = (
+            round_res.filter(expr="resolved == True")
+            .select_columns(["pid"])
+            .groupby("pid")
+            .count()
+        )
+        U = _materialize_detached(_anti_join_pids(U, done_pids, parts))
+        r *= 2
+
+    if not outs:
+        return probes.limit(0).map_batches(
+            lambda t: pa.table(
+                {
+                    "pid": pa.array([], pa.int64()),
+                    "sid": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int32()),
+                    "d2": pa.array([], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
 
 
 def dataset_to_table(ds) -> pa.Table:

@@ -52,59 +52,76 @@ class BpeishTokenCounter:
         )
 
 
+def _token_regex(words) -> re.Pattern:
+    """Regex matching a whole whitespace-delimited token equal to one of
+    ``words`` (the vectorized form of ``tok in words`` over split()):
+    lookarounds assert no adjacent non-space character."""
+    alt = "|".join(sorted(words, key=len, reverse=True))
+    return re.compile(rf"(?<![^\s])(?:{alt})(?![^\s])")
+
+
 class QualityScorer:
     """Quality signals per doc: n_chars, alpha/digit/punct/space ratios,
-    stopword ratio, mean word length (all vectorized pandas)."""
+    stopword ratio, mean word length — fully vectorized (compiled
+    stopword alternation regex, no per-row lambdas)."""
 
     def __init__(self):
-        self.stop = _STOPWORDS["en"]
+        self.stop_pat = _token_regex(_STOPWORDS["en"])
 
     def __call__(self, t: pa.Table) -> pa.Table:
         s = pd.Series(t.column("text").to_pylist(), dtype=object).fillna("")
-        n = s.str.len().clip(lower=1)
-        alpha = s.str.count(r"[A-Za-z]")
-        digit = s.str.count(r"[0-9]")
-        punct = s.str.count(r"[^\w\s]")
-        space = s.str.count(r"\s")
-        words = s.str.split()
-        n_words = words.str.len().clip(lower=1)
-        stop = self.stop
-        stop_cnt = words.map(lambda ws: sum(1 for w in ws if w.lower() in stop))
-        mean_wl = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        L = s.str.len().to_numpy(np.int64)
+        n = np.maximum(L, 1).astype(np.float64)
+        alpha = s.str.count(r"[A-Za-z]").to_numpy(np.int64)
+        digit = s.str.count(r"[0-9]").to_numpy(np.int64)
+        punct = s.str.count(r"[^\w\s]").to_numpy(np.int64)
+        space = s.str.count(r"\s").to_numpy(np.int64)
+        n_words = s.str.split().str.len().to_numpy(np.int64)
+        stop_cnt = s.str.lower().str.count(self.stop_pat).to_numpy(np.int64)
+        # sum of split-token lengths == total non-whitespace chars
+        mean_wl = np.where(
+            n_words > 0, (L - space) / np.maximum(n_words, 1), 0.0
+        )
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "n_chars": pa.array(s.str.len().to_numpy(np.int64), pa.int64()),
-                "alpha_ratio": pa.array((alpha / n).to_numpy(np.float64)),
-                "digit_ratio": pa.array((digit / n).to_numpy(np.float64)),
-                "punct_ratio": pa.array((punct / n).to_numpy(np.float64)),
-                "space_ratio": pa.array((space / n).to_numpy(np.float64)),
-                "stopword_ratio": pa.array((stop_cnt / n_words).to_numpy(np.float64)),
-                "mean_word_len": pa.array(mean_wl.to_numpy(np.float64)),
+                "n_chars": pa.array(L, pa.int64()),
+                "alpha_ratio": pa.array(alpha / n),
+                "digit_ratio": pa.array(digit / n),
+                "punct_ratio": pa.array(punct / n),
+                "space_ratio": pa.array(space / n),
+                "stopword_ratio": pa.array(
+                    stop_cnt / np.maximum(n_words, 1).astype(np.float64)
+                ),
+                "mean_word_len": pa.array(mean_wl, pa.float64()),
             }
         )
 
 
 class LangId:
     """Heuristic language ID: stopword vote across 4 languages, 'und'
-    when no evidence (word lists compiled once per actor)."""
+    when no evidence.  Vectorized: one compiled token-alternation regex
+    per language, per-doc counts via pandas str.count, first-max-wins
+    vote in en->de->fr->es order (strictly-greater update, matching the
+    oracle's CASE cascade)."""
 
     def __init__(self):
-        self.tables = {lang: ws for lang, ws in _STOPWORDS.items()}
+        self.pats = [
+            (lang, _token_regex(ws)) for lang, ws in _STOPWORDS.items()
+        ]
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        out = []
-        for x in texts:
-            toks = [w.lower() for w in (x or "").split()]
-            best, best_n = "und", 0
-            for lang, ws in self.tables.items():
-                n = sum(1 for w in toks if w in ws)
-                if n > best_n:
-                    best, best_n = lang, n
-            out.append(best)
+        s = pd.Series(t.column("text").to_pylist(), dtype=object).fillna("").str.lower()
+        n_rows = len(s)
+        best = np.full(n_rows, "und", dtype=object)
+        best_n = np.zeros(n_rows, dtype=np.int64)
+        for lang, pat in self.pats:
+            cnt = s.str.count(pat).to_numpy(np.int64)
+            upd = cnt > best_n
+            best[upd] = lang
+            best_n[upd] = cnt[upd]
         return pa.table(
-            {"doc_id": t.column("doc_id"), "pred_lang": pa.array(out, pa.string())}
+            {"doc_id": t.column("doc_id"), "pred_lang": pa.array(best, pa.string())}
         )
 
 
