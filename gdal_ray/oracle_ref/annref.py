@@ -130,23 +130,44 @@ def q26_phash(sf_dir: str, max_hamming: int = 6, bands: int = 4) -> pd.DataFrame
 
 
 def q28_embedding_neardup(sf_dir: str, threshold: float = 0.35,
-                          n_planes: int = 6) -> pd.DataFrame:
+                          bands: int = 16, planes_per_band: int = 12,
+                          max_bucket: int = 4096) -> pd.DataFrame:
+    """Banded multi-table LSH candidate rule (operator SPEC shared with
+    the engine: seed-42 planes of shape (dim, bands*planes_per_band),
+    band b uses plane columns [b*p, (b+1)*p)): a pair is a candidate in
+    its FIRST shared band, restricted to the ``max_bucket`` smallest
+    ids per (band, bucket); candidates verified with exact cosine."""
     ids, emb = _embeddings(sf_dir)
     dim = emb.shape[1]
-    planes = np.random.RandomState(42).standard_normal((dim, n_planes))
-    pows = (1 << np.arange(n_planes)).astype(np.int64)
-    buckets = (((emb @ planes) > 0) * pows[None, :]).sum(axis=1)
+    p = planes_per_band
+    planes = np.random.RandomState(42).standard_normal((dim, bands * p))
+    pows = (1 << np.arange(p)).astype(np.int64)
+    bits = (emb @ planes) > 0
+    bk = (bits.reshape(len(ids), bands, p) * pows[None, None, :]).sum(axis=2)
     en = _unit(emb)
     out_a, out_b = [], []
-    for bv in np.unique(buckets):
-        grp = np.flatnonzero(buckets == bv)
-        if len(grp) < 2:
-            continue
-        s = en[grp] @ en[grp].T
-        iu, ju = np.triu_indices(len(grp), 1)
-        hits = np.flatnonzero(s[iu, ju] >= threshold)
-        out_a.extend(int(ids[grp[iu[h]]]) for h in hits)
-        out_b.extend(int(ids[grp[ju[h]]]) for h in hits)
+    for b in range(bands):
+        for bv in np.unique(bk[:, b]):
+            grp = np.flatnonzero(bk[:, b] == bv)
+            if len(grp) < 2:
+                continue
+            grp = grp[np.argsort(ids[grp], kind="mergesort")][:max_bucket]
+            iu, ju = np.triu_indices(len(grp), 1)
+            gi, gj = grp[iu], grp[ju]
+            if b > 0:
+                # first-shared-band: skip pairs already bucketed
+                # together in ANY earlier band (cap-independent rule)
+                shared = (bk[gi, :b] == bk[gj, :b]).any(axis=1)
+                gi, gj = gi[~shared], gj[~shared]
+            if not len(gi):
+                continue
+            s = np.einsum("ij,ij->i", en[gi], en[gj])
+            hit = s >= threshold
+            aa, bb = ids[gi[hit]], ids[gj[hit]]
+            lo = np.minimum(aa, bb)
+            hi = np.maximum(aa, bb)
+            out_a.extend(int(v) for v in lo)
+            out_b.extend(int(v) for v in hi)
     df = pd.DataFrame(
         {"id_a": np.asarray(out_a, np.int64), "id_b": np.asarray(out_b, np.int64)}
     )

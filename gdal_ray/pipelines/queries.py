@@ -1102,9 +1102,11 @@ def q28_embedding_neardup(sf_dir: str):
     from ..stages.ann import embedding_neardup_pairs
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_neardup_pairs(emb, threshold=0.35, n_planes=6).select_columns(
-        ["id_a", "id_b"]
-    ).sort(["id_a", "id_b"])
+    # bands x 2^planes = 16 x 4096 = 65,536 effective buckets — the
+    # 100-TB granularity (vs the r2 single 1,024-bucket table)
+    return embedding_neardup_pairs(
+        emb, threshold=0.35, bands=16, planes_per_band=12
+    ).select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
 
 
 def q29_band_stats(sf_dir: str):

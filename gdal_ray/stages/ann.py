@@ -163,64 +163,219 @@ def ann_lsh_topk(
     )
 
 
-def embedding_neardup_pairs(embeddings, threshold: float = 0.95, n_planes: int = 10,
-                            max_bucket: int = 4096):
-    """Embedding-cosine near-duplicate pairs via LSH buckets + exact
-    within-bucket verification.  Returns (id_a, id_b, score).
-    Buckets beyond ``max_bucket`` vectors are truncated to the smallest
-    vec_ids (bounded O(cap^2) similarity work per degenerate bucket);
-    the pair matrix is evaluated in row chunks, never materializing an
-    O(n^2) triangle index."""
+class BandedLSHBucketer:
+    """Actor-pool stage: banded multi-table random-hyperplane LSH.
 
-    def first_dim(t: pa.Table) -> int:
-        return len(t.column("embedding")[0].as_py())
+    ``bands`` independent hash tables of ``planes_per_band`` sign bits
+    each (seeded planes built once per actor).  Each vector explodes to
+    one (vec_id, band, bucket, sig) row per band — NO embedding payload
+    crosses the shuffle; ``sig`` packs all per-band bucket ids so the
+    group task can apply the first-shared-band dedup locally."""
 
-    import ray.data as rd  # noqa: F401
+    def __init__(self, dim: int, bands: int = 16, planes_per_band: int = 12,
+                 seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.bands = bands
+        self.p = planes_per_band
+        self.planes = rng.standard_normal((dim, bands * planes_per_band))
+        self.pows = (1 << np.arange(planes_per_band)).astype(np.int64)
 
-    # peek dim from the first batch lazily inside the bucketer factory
+    def band_buckets(self, m: np.ndarray) -> np.ndarray:
+        """(n, dim) -> (n, bands) int32 bucket ids."""
+        bits = (m @ self.planes) > 0  # (n, bands*p)
+        bits = bits.reshape(len(m), self.bands, self.p)
+        return (bits * self.pows[None, None, :]).sum(axis=2).astype(np.int32)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        bk = self.band_buckets(m)  # (n, B)
+        n, B = bk.shape
+        sig = bk.astype("<i4").tobytes()
+        sigs = [sig[i * 4 * B : (i + 1) * 4 * B] for i in range(n)]
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.tile(vid, B), pa.int64()),
+                "band": pa.array(
+                    np.repeat(np.arange(B, dtype=np.int32), n), pa.int32()
+                ),
+                "bucket": pa.array(
+                    np.concatenate([bk[:, b] for b in range(B)]).astype(np.int64),
+                    pa.int64(),
+                ),
+                "sig": pa.array(sigs * B, pa.binary()),
+            }
+        )
+
+
+def embedding_neardup_pairs(
+    embeddings,
+    threshold: float = 0.95,
+    bands: int = 16,
+    planes_per_band: int = 12,
+    max_bucket: int = 4096,
+    return_stats: bool = False,
+):
+    """Embedding-cosine near-duplicate pairs via banded multi-table LSH
+    (bands x 2^planes_per_band effective buckets) + join-back exact
+    verification.  Returns (id_a, id_b, score); with ``return_stats``
+    also a per-(band, bucket) truncation Dataset (n_in_bucket,
+    n_dropped) so capped work is visible, never silent.
+
+    Scale shape: the shuffle carries only (vec_id, band, bucket, sig)
+    — the embedding payload stays in the base table and is re-attached
+    to the candidate pairs by two hash joins for the vectorized cosine
+    verify (same join-back discipline as stages/dedup.minhash).
+    Candidate pairs are emitted in their FIRST shared band only;
+    degenerate buckets are truncated to the ``max_bucket`` smallest
+    ids (bounded O(cap^2) candidate work)."""
     sample = embeddings.take(1)[0]
     dim = len(sample["embedding"])
-    bucketed = embeddings.map_batches(
-        LSHBucketer,
-        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes),
+    B = bands
+    exploded = embeddings.map_batches(
+        BandedLSHBucketer,
+        fn_constructor_kwargs=dict(dim=dim, bands=bands,
+                                   planes_per_band=planes_per_band),
         batch_format="pyarrow",
         concurrency=2,
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def cand_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "id_a": pd.Series([], dtype=np.int64),
                 "id_b": pd.Series([], dtype=np.int64),
-                "score": pd.Series([], dtype=np.float64),
             }
         )
         if len(g) < 2:
             return empty
+        band = int(g["band"].iloc[0])
         g = g.sort_values("vec_id")
         if len(g) > max_bucket:
             g = g.head(max_bucket)
-        m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
-        ids = g["vec_id"].to_numpy()
+        ids = g["vec_id"].to_numpy(np.int64)
+        sig = np.frombuffer(b"".join(g["sig"]), dtype="<i4").reshape(len(g), B)
         n = len(ids)
-        out_a, out_b, out_s = [], [], []
-        chunk = max(1, 20_000_000 // max(n, 1))  # ~160MB of scores max
+        out_a, out_b = [], []
+        chunk = max(1, 4_000_000 // max(n, 1))
         for lo in range(0, n, chunk):
             hi = min(n, lo + chunk)
-            s = m[lo:hi] @ m.T  # (hi-lo, n)
-            ri, ci = np.nonzero(s >= threshold)
-            keep = (ri + lo) < ci  # upper triangle only
+            # first-shared-band dedup: keep (i, j) only when no earlier
+            # band already bucketed them together
+            if band > 0:
+                earlier = (
+                    sig[lo:hi, None, :band] == sig[None, :, :band]
+                ).any(axis=2)
+            else:
+                earlier = np.zeros((hi - lo, n), dtype=bool)
+            ri, ci = np.nonzero(~earlier)
+            keep = (ri + lo) < ci
             out_a.append(ids[ri[keep] + lo])
             out_b.append(ids[ci[keep]])
-            out_s.append(s[ri[keep], ci[keep]])
-        if not out_a or not len(np.concatenate(out_a)):
+        a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        if not len(a):
             return empty
         return pd.DataFrame(
+            {"id_a": a.astype(np.int64),
+             "id_b": np.concatenate(out_b).astype(np.int64)}
+        )
+
+    cands = exploded.groupby(["band", "bucket"]).map_groups(
+        cand_pairs, batch_format="pandas"
+    )
+
+    n_cand = cands.count()
+    if n_cand == 0:
+        import ray.data as rd
+
+        pairs = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+    else:
+        parts = max(1, min(32, n_cand // 50_000 + 1))
+
+        def emb_as(name):
+            # Arrow hash join rejects list<float> payload columns —
+            # pack each embedding as little-endian float32 bytes
+            def fn(t: pa.Table) -> pa.Table:
+                m = _emb_matrix(t).astype("<f4")
+                d = m.shape[1] if m.size else dim
+                raw = m.tobytes()
+                packed = [raw[i * 4 * d : (i + 1) * 4 * d] for i in range(len(t))]
+                return pa.table(
+                    {
+                        name: t.column("vec_id"),
+                        f"emb_{name}": pa.array(packed, pa.binary()),
+                    }
+                )
+
+            return fn
+
+        j = cands.join(
+            embeddings.map_batches(emb_as("id_a"), batch_format="pyarrow"),
+            join_type="inner", num_partitions=parts, on=("id_a",),
+        ).join(
+            embeddings.map_batches(emb_as("id_b"), batch_format="pyarrow"),
+            join_type="inner", num_partitions=parts, on=("id_b",),
+        )
+
+        def verify(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            def unpack(col):
+                raw = b"".join(col.to_pylist())
+                return (
+                    np.frombuffer(raw, dtype="<f4")
+                    .reshape(t.num_rows, -1)
+                    .astype(np.float64)
+                )
+
+            ma = _normalize(unpack(t.column("emb_id_a")))
+            mb = _normalize(unpack(t.column("emb_id_b")))
+            s = np.einsum("ij,ij->i", ma, mb)
+            keep = s >= threshold
+            return pa.table(
+                {
+                    "id_a": t.column("id_a").filter(pa.array(keep)),
+                    "id_b": t.column("id_b").filter(pa.array(keep)),
+                    "score": pa.array(s[keep], pa.float64()),
+                }
+            )
+
+        pairs = j.map_batches(verify, batch_format="pyarrow")
+
+    if not return_stats:
+        return pairs
+
+    from ray.data.aggregate import Count
+
+    def overflow(t: pa.Table) -> pa.Table:
+        n = t.column("count()").to_numpy(zero_copy_only=False)
+        dropped = np.maximum(n - max_bucket, 0)
+        return pa.table(
             {
-                "id_a": np.concatenate(out_a).astype(np.int64),
-                "id_b": np.concatenate(out_b).astype(np.int64),
-                "score": np.concatenate(out_s).astype(np.float64),
+                "band": t.column("band"),
+                "bucket": t.column("bucket"),
+                "n_in_bucket": pa.array(n.astype(np.int64), pa.int64()),
+                "n_dropped": pa.array(dropped.astype(np.int64), pa.int64()),
             }
         )
 
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    stats = (
+        exploded.groupby(["band", "bucket"])
+        .aggregate(Count())
+        .map_batches(overflow, batch_format="pyarrow")
+    )
+    return pairs, stats

@@ -65,6 +65,15 @@ def test_embedding_neardup_cap(ray_session):
         }
     )
     cap = 50
-    out = embedding_neardup_pairs(rd.from_arrow(t), threshold=0.9, n_planes=4,
-                                  max_bucket=cap)
+    out, stats = embedding_neardup_pairs(
+        rd.from_arrow(t), threshold=0.9, bands=2, planes_per_band=4,
+        max_bucket=cap, return_stats=True,
+    )
+    # identical vectors share every band's bucket: pairs are emitted in
+    # band 0 only (first-shared-band), capped to the smallest 50 ids
     assert out.count() == cap * (cap - 1) // 2
+    sdf = stats.to_pandas()
+    # truncation is reported, never silent: both bands overflow
+    assert (sdf["n_in_bucket"] == 3000).all()
+    assert (sdf["n_dropped"] == 3000 - cap).all()
+    assert len(sdf) == 2
