@@ -522,9 +522,192 @@ def q38_contour(sf_dir: str, zoom: int = 8, grid: int = 64) -> pd.DataFrame:
     return df.sort_values(["level", "comp_id"]).reset_index(drop=True)
 
 
+# --------------------------------------------- q57 geometry scalar ops
+
+
+def _ngon(kk: int):
+    """Fixture spec shared with the engine: lattice n-gon of part key."""
+    n = 5 + kk % 6
+    cx = float((kk * 91) % 2000) * 1250.0
+    cy = float((kk * 57) % 2000) * 1250.0
+    i = np.arange(n)
+    r = (50 + ((kk * 13 + i * 7) % 100)).astype(np.float64) * 100.0
+    th = 2.0 * np.pi * i / n
+    vx = cx + np.floor(r * np.cos(th) + 0.5)
+    vy = cy + np.floor(r * np.sin(th) + 0.5)
+    return cx, cy, vx, vy
+
+
+def _centroid_milli_ref(vx, vy):
+    """Exact big-int area-weighted centroid (scalar loop — independent
+    of the engine's reduceat formulation)."""
+    n = len(vx)
+    x0, y0 = int(vx[0]), int(vy[0])
+    xl = [int(v) - x0 for v in vx]
+    yl = [int(v) - y0 for v in vy]
+    a2 = 0
+    sx = 0
+    sy = 0
+    for i in range(n):
+        j = (i + 1) % n
+        cr = xl[i] * yl[j] - xl[j] * yl[i]
+        a2 += cr
+        sx += (xl[i] + xl[j]) * cr
+        sy += (yl[i] + yl[j]) * cr
+    if a2 == 0:
+        return x0 * 1000, y0 * 1000
+    q = 3 * a2
+    px, py = 1000 * sx, 1000 * sy
+    if q < 0:
+        px, py, q = -px, -py, -q
+    return x0 * 1000 + (2 * px + q) // (2 * q), y0 * 1000 + (2 * py + q) // (2 * q)
+
+
+def _dp_ref(vx, vy, tol: float):
+    """Douglas-Peucker vertex count on the closed ring (anchor 0 and
+    farthest vertex, exact int comparisons; scalar recursion)."""
+    n = len(vx)
+    if n <= 3:
+        return n
+    pts = [(int(vx[i]), int(vy[i])) for i in range(n)]
+    d2 = [(p[0] - pts[0][0]) ** 2 + (p[1] - pts[0][1]) ** 2 for p in pts]
+    far = d2.index(max(d2))  # first max — matches np.argmax
+    if far == 0:
+        return 3
+    tol2 = int(round(tol * tol))
+    ring = pts + [pts[0]]
+    kept = {0, far, n}
+
+    def rec(lo, hi):
+        if hi - lo < 2:
+            return
+        ax, ay = ring[lo]
+        bx, by = ring[hi]
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        best, bj = -1, -1
+        for k in range(lo + 1, hi):
+            cr = (ring[k][0] - ax) * dy - (ring[k][1] - ay) * dx
+            v = cr * cr
+            if v > best:
+                best, bj = v, k
+        if best > tol2 * seg2:
+            kept.add(bj)
+            rec(lo, bj)
+            rec(bj, hi)
+
+    rec(0, far)
+    rec(far, n)
+    return len(kept) - 1  # index n aliases vertex 0
+
+
+def _clip_rect_ref(vx, vy, minx, miny, maxx, maxy):
+    """Sutherland-Hodgman with the canonical t = d1/(d1-d2) vertex
+    formula (scalar loops; same IEEE expression sequence per element)."""
+    pts = [(float(vx[i]), float(vy[i])) for i in range(len(vx))]
+    for side in range(4):
+        if not pts:
+            break
+        if side == 0:
+            d = [p[0] - minx for p in pts]
+        elif side == 1:
+            d = [maxx - p[0] for p in pts]
+        elif side == 2:
+            d = [p[1] - miny for p in pts]
+        else:
+            d = [maxy - p[1] for p in pts]
+        res = []
+        n = len(pts)
+        for i in range(n):
+            j = (i + 1) % n
+            di, dj = d[i], d[j]
+            if di >= 0.0:
+                res.append(pts[i])
+                if dj < 0.0:
+                    tt = di / (di - dj)
+                    res.append(
+                        (
+                            pts[i][0] + tt * (pts[j][0] - pts[i][0]),
+                            pts[i][1] + tt * (pts[j][1] - pts[i][1]),
+                        )
+                    )
+            elif dj >= 0.0:
+                tt = di / (di - dj)
+                res.append(
+                    (
+                        pts[i][0] + tt * (pts[j][0] - pts[i][0]),
+                        pts[i][1] + tt * (pts[j][1] - pts[i][1]),
+                    )
+                )
+        pts = res
+    return pts
+
+
+def q57_geometry_ops(sf_dir: str) -> pd.DataFrame:
+    import math
+
+    import pyarrow.parquet as pq
+
+    keys = (
+        pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .column("p_partkey")
+        .to_numpy(zero_copy_only=False)
+    )
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    eid = ev.column("event_id").to_numpy(zero_copy_only=False)
+    uid = ev.column("user_id").to_numpy(zero_copy_only=False)
+
+    rows = []
+    for kk in keys:
+        kk = int(kk)
+        cx, cy, vx, vy = _ngon(kk)
+        cxm, cym = _centroid_milli_ref(vx, vy)
+        rows.append(("centroid", kk, cxm, cym, 0.0))
+        rows.append(("simplify", kk, len(vx), _dp_ref(vx, vy, 500.0), 0.0))
+        pts = _clip_rect_ref(
+            vx, vy, cx + 2000.0 - 6000.0, cy - 6000.0, cx + 2000.0 + 6000.0,
+            cy + 6000.0
+        )
+        if len(pts) < 3:
+            area = 0.0
+        else:
+            terms = []
+            for i in range(len(pts)):
+                j = (i + 1) % len(pts)
+                terms.append(pts[i][0] * pts[j][1] - pts[j][0] * pts[i][1])
+            area = abs(math.fsum(terms)) * 0.5
+        rows.append(("clip", kk, len(pts), 0, area))
+
+    # point buffers (pid % 10 == 0), 32-gon on the lattice
+    ang = 2.0 * np.pi * np.arange(32) / 32
+    dx = np.floor(2500.0 * np.cos(ang) + 0.5).astype(np.int64)
+    dy = np.floor(2500.0 * np.sin(ang) + 0.5).astype(np.int64)
+    px = ((eid * 37) % 100000).astype(np.float64) * 25.0
+    py = ((uid * 53 + eid) % 100000).astype(np.float64) * 25.0
+    for i in range(len(eid)):
+        pid = int(eid[i])
+        if pid % 10 != 0:
+            continue
+        wx = int(px[i]) + dx
+        wy = int(py[i]) + dy
+        a2 = 0
+        for s in range(32):
+            t2 = (s + 1) % 32
+            a2 += int(wx[s]) * int(wy[t2]) - int(wx[t2]) * int(wy[s])
+        rows.append(("buffer", pid, a2, 32, 0.0))
+
+    df = pd.DataFrame(rows, columns=["kind", "fid", "a", "b", "v"])
+    df["fid"] = df["fid"].astype(np.int64)
+    df["a"] = df["a"].astype(np.int64)
+    df["b"] = df["b"].astype(np.int64)
+    df["v"] = df["v"].astype(np.float64)
+    return df.sort_values(["kind", "fid"]).reset_index(drop=True)
+
+
 GOLDENS = {
     "q33_rasterize_polygonize": (q33_rasterize_polygonize, ["comp_id"]),
     "q56_footprint": (q56_footprint, ["comp_id"]),
     "q36_proximity_sieve": (q36_proximity_sieve, ["cell"]),
     "q38_contour": (q38_contour, ["level", "comp_id"]),
+    "q57_geometry_ops": (q57_geometry_ops, ["kind", "fid"]),
 }

@@ -2149,6 +2149,122 @@ ORDER BY a.doc_id
 """
 
 
+def _derive_ngons(sf_dir: str):
+    """Irregular lattice n-gons from part keys: 5..10 vertices, radii
+    5,000..14,900 m rounded to INTEGER coords (exact-arithmetic
+    geometry fixture; formula mirrored by the geomref oracle)."""
+    pt = _read(sf_dir, "part", columns=["p_partkey"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        fids, xs, ys, cxs, cys = [], [], [], [], []
+        for kk in k:
+            kk = int(kk)
+            n = 5 + kk % 6
+            cx = float((kk * 91) % 2000) * 1250.0
+            cy = float((kk * 57) % 2000) * 1250.0
+            i = np.arange(n)
+            r = (50 + ((kk * 13 + i * 7) % 100)).astype(np.float64) * 100.0
+            th = 2.0 * np.pi * i / n
+            fids.append(kk)
+            xs.append(cx + np.floor(r * np.cos(th) + 0.5))
+            ys.append(cy + np.floor(r * np.sin(th) + 0.5))
+            cxs.append(cx)
+            cys.append(cy)
+        return pa.table(
+            {
+                "fid": pa.array(fids, pa.int64()),
+                "xs": pa.array([list(v) for v in xs], pa.list_(pa.float64())),
+                "ys": pa.array([list(v) for v in ys], pa.list_(pa.float64())),
+                "cx": pa.array(cxs, pa.float64()),
+                "cy": pa.array(cys, pa.float64()),
+            }
+        )
+
+    return pt.map_batches(fn, batch_format="pyarrow")
+
+
+def q57_geometry_ops(sf_dir: str):
+    """Geometry scalar-op suite (GEOS-parity subset, golden oracle):
+    'centroid' (exact int64/big-int area-weighted centroid),
+    'simplify' (Douglas-Peucker, exact integer distance tests),
+    'buffer' (point buffer 32-gon, exact doubled shoelace area),
+    'clip' (Sutherland-Hodgman rect window, fsum shoelace area) —
+    long format (kind, fid, a, b, v)."""
+    from ..stages.geomops import (
+        buffer_points_batch,
+        centroid_batch,
+        clip_rect_batch,
+        simplify_batch,
+    )
+
+    ngons = _derive_ngons(sf_dir)
+
+    def tag_centroid(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["centroid"] * t.num_rows, pa.string()),
+                "fid": t.column("fid"),
+                "a": t.column("cx_milli"),
+                "b": t.column("cy_milli"),
+                "v": pa.array(np.zeros(t.num_rows), pa.float64()),
+            }
+        )
+
+    def tag_simplify(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["simplify"] * t.num_rows, pa.string()),
+                "fid": t.column("fid"),
+                "a": t.column("n_in"),
+                "b": t.column("n_out"),
+                "v": pa.array(np.zeros(t.num_rows), pa.float64()),
+            }
+        )
+
+    def tag_buffer(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["buffer"] * t.num_rows, pa.string()),
+                "fid": t.column("pid"),
+                "a": t.column("area2"),
+                "b": t.column("n_verts"),
+                "v": pa.array(np.zeros(t.num_rows), pa.float64()),
+            }
+        )
+
+    def tag_clip(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["clip"] * t.num_rows, pa.string()),
+                "fid": t.column("fid"),
+                "a": t.column("n_clip"),
+                "b": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "v": t.column("clip_area"),
+            }
+        )
+
+    cen = ngons.map_batches(centroid_batch, batch_format="pyarrow").map_batches(
+        tag_centroid, batch_format="pyarrow"
+    )
+    simp = ngons.map_batches(simplify_batch(500.0), batch_format="pyarrow").map_batches(
+        tag_simplify, batch_format="pyarrow"
+    )
+    # buffer every 10th derived point (keeps the golden compact)
+    def every_10th(t: pa.Table) -> pa.Table:
+        pid = t.column("pid").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(pid % 10 == 0))
+
+    pts = _derive_points(sf_dir).map_batches(every_10th, batch_format="pyarrow")
+    buf = pts.map_batches(
+        buffer_points_batch(radius=2500.0), batch_format="pyarrow"
+    ).map_batches(tag_buffer, batch_format="pyarrow")
+    clip = ngons.map_batches(
+        clip_rect_batch(dx=2000.0, half=6000.0), batch_format="pyarrow"
+    ).map_batches(tag_clip, batch_format="pyarrow")
+    return cen.union(simp).union(buf).union(clip).sort(["kind", "fid"])
+
+
 # Oracles that are assembled per-scale from a static-SQL part and a
 # golden part (rendered by oracle_ref at the driver's scale).
 COMBINED_ORACLES = {
@@ -2206,6 +2322,7 @@ QUERIES = {
     "q54_grid_metrics": q54_grid_metrics,
     "q55_color_relief": q55_color_relief,
     "q56_footprint": q56_footprint,
+    "q57_geometry_ops": q57_geometry_ops,
 }
 
 ORACLE_SQL = {
