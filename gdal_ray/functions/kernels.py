@@ -167,3 +167,51 @@ def mode_reduce(values: np.ndarray, axis: int = -1) -> np.ndarray:
         vals, cnts = np.unique(row, return_counts=True)
         out[i] = vals[np.argmax(cnts)]  # np.unique sorts -> first max = lowest
     return out.reshape(v.shape[:-1])
+
+
+def resample_grid(
+    img: np.ndarray,
+    src_x: np.ndarray,
+    src_y: np.ndarray,
+    method: str = "near",
+    nodata: int = 0,
+) -> np.ndarray:
+    """Sample (h, w, c) uint8 at a full 2-D grid of fractional source
+    coords (non-separable mappings: GCP/affine warps with rotation or
+    shear).  src_x/src_y: (H, W) source coords of each dst pixel
+    center.  Out-of-source pixels get ``nodata``; in-range gathers
+    replicate edges.  Formula spec (mirrored by rasterref):
+    bilinear out = (1-fy)*((1-fx)*p00 + fx*p01) + fy*((1-fx)*p10 +
+    fx*p11), rounded floor(v + 0.5)."""
+    h, w = img.shape[:2]
+    sx = np.asarray(src_x, np.float64)
+    sy = np.asarray(src_y, np.float64)
+    valid = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
+    data = img.astype(np.float64)
+    if method == "near":
+        ix = np.clip(np.floor(sx + 0.5).astype(np.int64), 0, w - 1)
+        iy = np.clip(np.floor(sy + 0.5).astype(np.int64), 0, h - 1)
+        out = data[iy, ix, :]
+    elif method == "bilinear":
+        fx0 = np.floor(sx)
+        fy0 = np.floor(sy)
+        fx = sx - fx0
+        fy = sy - fy0
+        x0 = np.clip(fx0.astype(np.int64), 0, w - 1)
+        x1 = np.clip(fx0.astype(np.int64) + 1, 0, w - 1)
+        y0 = np.clip(fy0.astype(np.int64), 0, h - 1)
+        y1 = np.clip(fy0.astype(np.int64) + 1, 0, h - 1)
+        p00 = data[y0, x0, :]
+        p01 = data[y0, x1, :]
+        p10 = data[y1, x0, :]
+        p11 = data[y1, x1, :]
+        fxc = fx[..., None]
+        fyc = fy[..., None]
+        out = (1.0 - fyc) * ((1.0 - fxc) * p00 + fxc * p01) + fyc * (
+            (1.0 - fxc) * p10 + fxc * p11
+        )
+    else:
+        raise ValueError(f"resample_grid: unsupported method {method}")
+    res = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    res[~valid] = nodata
+    return res

@@ -811,8 +811,216 @@ def q29_band_stats_hist(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# ------------------------------------------------------ q58 GCP warp
+
+
+def _poly_terms_ref(u, v, order):
+    terms = [np.ones_like(u), u, v]
+    if order >= 2:
+        terms += [u * u, u * v, v * v]
+    if order >= 3:
+        terms += [u * u * u, u * u * v, u * v * v, v * v * v]
+    return terms[: {1: 3, 2: 6, 3: 10}[order]]
+
+
+def _fit_poly_ref(sx, sy, dx, dy, order):
+    """Normal-equations least squares (vs the engine's lstsq — the
+    2^-16 quantization of the SPEC makes both produce the identical
+    transform), min/max-midpoint normalized."""
+
+    def norm(a):
+        lo, hi = float(np.min(a)), float(np.max(a))
+        mid, half = (lo + hi) * 0.5, (hi - lo) * 0.5
+        return mid, (half if half != 0.0 else 1.0)
+
+    sxm, sxh = norm(sx)
+    sym, syh = norm(sy)
+    dxm, dxh = norm(dx)
+    dym, dyh = norm(dy)
+    u = (sx - sxm) / sxh
+    v = (sy - sym) / syh
+    B = np.column_stack(_poly_terms_ref(u, v, order))
+    G = B.T @ B
+    cx = np.linalg.solve(G, B.T @ ((dx - dxm) / dxh))
+    cy = np.linalg.solve(G, B.T @ ((dy - dym) / dyh))
+    cx = np.floor(cx * 65536.0 + 0.5) / 65536.0
+    cy = np.floor(cy * 65536.0 + 0.5) / 65536.0
+
+    def ev(x, y):
+        uu = (np.asarray(x, np.float64) - sxm) / sxh
+        vv = (np.asarray(y, np.float64) - sym) / syh
+        terms = _poly_terms_ref(uu, vv, order)
+        ax = np.full_like(uu, cx[0])
+        ay = np.full_like(uu, cy[0])
+        for k in range(1, len(terms)):
+            ax = ax + cx[k] * terms[k]
+            ay = ay + cy[k] * terms[k]
+        return ax * dxh + dxm, ay * dyh + dym
+
+    return ev
+
+
+def _bilinear_grid_ref(img, sx, sy):
+    """2-D bilinear gather, nodata-0 outside (resample_grid spec)."""
+    h, w = img.shape[:2]
+    valid = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
+    data = img.astype(np.float64)
+    fx0 = np.floor(sx)
+    fy0 = np.floor(sy)
+    fx = (sx - fx0)[..., None]
+    fy = (sy - fy0)[..., None]
+    x0 = np.clip(fx0.astype(np.int64), 0, w - 1)
+    x1 = np.clip(fx0.astype(np.int64) + 1, 0, w - 1)
+    y0 = np.clip(fy0.astype(np.int64), 0, h - 1)
+    y1 = np.clip(fy0.astype(np.int64) + 1, 0, h - 1)
+    out = (1.0 - fy) * ((1.0 - fx) * data[y0, x0, :] + fx * data[y0, x1, :]) + fy * (
+        (1.0 - fx) * data[y1, x0, :] + fx * data[y1, x1, :]
+    )
+    res = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    res[~valid] = 0
+    return res
+
+
+def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
+    """Order-1 GCP warp golden: the dyadic affine GCP spec of the q58
+    query, fitted by normal equations, dst grid from forward-mapped
+    pixel-space corners, inverse-mapped bilinear sampling."""
+    df = _fixture_images(
+        sf_dir, ["image_id", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"]
+    )
+    ids, csr, csg, csb = [], [], [], []
+    for row, px in _iter_chips(df):
+        i = int(row.image_id[3:])
+        w, h = int(row.w), int(row.h)
+        a = 0.75 + (i % 8) / 32.0
+        b = ((i % 5) - 2) / 16.0
+        d = ((i % 7) - 3) / 16.0
+        e = 0.8125 + (i % 6) / 32.0
+        gsd = (row.maxx - row.minx) / w
+        pp = np.array([0.0, w / 2.0, float(w)] * 3)
+        ll = np.repeat([0.0, h / 2.0, float(h)], 3)
+        gx = row.minx + (a * pp + b * ll) * gsd
+        gy = row.miny + (d * pp + e * ll) * gsd
+        fwd = _fit_poly_ref(pp, ll, gx, gy, 1)
+        inv = _fit_poly_ref(gx, gy, pp, ll, 1)
+        cx, cy = fwd(
+            np.array([0.0, float(w), float(w), 0.0]),
+            np.array([0.0, 0.0, float(h), float(h)]),
+        )
+        minx, maxx = float(np.min(cx)), float(np.max(cx))
+        miny, maxy = float(np.min(cy)), float(np.max(cy))
+        X = minx + (np.arange(w) + 0.5) * ((maxx - minx) / w)
+        Y = maxy - (np.arange(h) + 0.5) * ((maxy - miny) / h)
+        XX, YY = np.meshgrid(X, Y)
+        sp, sl = inv(XX, YY)
+        out = _bilinear_grid_ref(px, sp - 0.5, sl - 0.5)
+        if row.fmt == "qraw":
+            out = _qraw_model(out)
+        ids.append(row.image_id)
+        csr.append(_cs_band(out[:, :, 0]))
+        csg.append(_cs_band(out[:, :, 1]))
+        csb.append(_cs_band(out[:, :, 2]))
+    return pd.DataFrame(
+        {
+            "image_id": ids,
+            "cs_r": np.asarray(csr, np.int64),
+            "cs_g": np.asarray(csg, np.int64),
+            "cs_b": np.asarray(csb, np.int64),
+        }
+    )
+
+
+# ---------------------------------------------------- q59 cutline warp
+
+
+def _cutline_mask_ref(poly_x, poly_y, X, Y):
+    """Even-odd parity mask at pixel centers (cutline spec restated)."""
+    h, w = len(Y), len(X)
+    inside = np.zeros((h, w), dtype=bool)
+    n = len(poly_x)
+    for k in range(n):
+        x1, y1 = poly_x[k], poly_y[k]
+        x2, y2 = poly_x[(k + 1) % n], poly_y[(k + 1) % n]
+        crosses = (y1 <= Y) != (y2 <= Y)
+        if not crosses.any():
+            continue
+        xint = x1 + (Y - y1) * (x2 - x1) / (y2 - y1)
+        inside ^= crosses[:, None] & (X[None, :] < xint[:, None])
+    return inside
+
+
+def q59_cutline_warp(sf_dir: str) -> pd.DataFrame:
+    """q25's exact 3857->4326 bilinear warp + the hexagon cutline spec
+    of the q59 query (parity mask at dst pixel centers).  qraw chips
+    take the lossy model twice: once for the warped store, once for the
+    masked re-store (masked zeros become the model's 4)."""
+    df = _fixture_images(
+        sf_dir, ["image_id", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"]
+    )
+    ids, csr, csg, csb = [], [], [], []
+
+    def to_lat(my):
+        lat = (np.asarray(my, np.float64) / ORIGIN_SHIFT) * 180.0
+        return 180.0 / np.pi * (
+            2.0 * np.arctan(np.exp(lat * np.pi / 180.0)) - np.pi / 2.0
+        )
+
+    def to_my(lat):
+        my = np.log(np.tan((90.0 + np.asarray(lat, np.float64)) * np.pi / 360.0)) / (
+            np.pi / 180.0
+        )
+        return my * ORIGIN_SHIFT / 180.0
+
+    ang = 2.0 * np.pi * np.arange(6) / 6
+    ca, sa = np.cos(ang), np.sin(ang)
+    for row, px in _iter_chips(df):
+        i = int(row.image_id[3:])
+        w, h = int(row.w), int(row.h)
+        dminx = (row.minx / ORIGIN_SHIFT) * 180.0
+        dmaxx = (row.maxx / ORIGIN_SHIFT) * 180.0
+        dminy = float(to_lat(row.miny))
+        dmaxy = float(to_lat(row.maxy))
+        res_x = (row.maxx - row.minx) / w
+        res_y = (row.maxy - row.miny) / h
+        dres_x = (dmaxx - dminx) / w
+        dres_y = (dmaxy - dminy) / h
+        xs = dminx + (np.arange(w) + 0.5) * dres_x
+        ys = dmaxy - (np.arange(h) + 0.5) * dres_y
+        sx_m = xs * ORIGIN_SHIFT / 180.0
+        sy_m = to_my(ys)
+        src_x = (sx_m - row.minx) / res_x - 0.5
+        src_y = (row.maxy - sy_m) / res_y - 0.5
+        out = _sample_bilinear(px, src_x, src_y)
+        if row.fmt == "qraw":
+            out = _qraw_model(out)
+        cx = (dminx + dmaxx) * 0.5
+        cy = (dminy + dmaxy) * 0.5
+        rx = (0.35 + (i % 4) / 32.0) * (dmaxx - dminx)
+        ry = (0.35 + (i % 3) / 32.0) * (dmaxy - dminy)
+        X = dminx + (np.arange(w) + 0.5) * ((dmaxx - dminx) / w)
+        Y = dmaxy - (np.arange(h) + 0.5) * ((dmaxy - dminy) / h)
+        m = _cutline_mask_ref(cx + rx * ca, cy + ry * sa, X, Y)
+        out = out * m[:, :, None].astype(np.uint8)
+        if row.fmt == "qraw":
+            out = _qraw_model(out)
+        ids.append(row.image_id)
+        csr.append(_cs_band(out[:, :, 0]))
+        csg.append(_cs_band(out[:, :, 1]))
+        csb.append(_cs_band(out[:, :, 2]))
+    return pd.DataFrame(
+        {
+            "image_id": ids,
+            "cs_r": np.asarray(csr, np.int64),
+            "cs_g": np.asarray(csg, np.int64),
+            "cs_b": np.asarray(csb, np.int64),
+        }
+    )
+
+
 GOLDENS = {
     "q29_band_stats_hist": (q29_band_stats_hist, ["kind", "band", "k"]),
+    "q58_gcp_warp": (q58_gcp_warp, ["image_id"]),
+    "q59_cutline_warp": (q59_cutline_warp, ["image_id"]),
     "q52_jpeg_roundtrip": (q52_jpeg_roundtrip, ["image_id"]),
     "q54_grid_metrics": (q54_grid_metrics, ["z", "x", "y"]),
     "q55_color_relief": (q55_color_relief, ["image_id"]),

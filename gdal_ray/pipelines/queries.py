@@ -2265,6 +2265,146 @@ def q57_geometry_ops(sf_dir: str):
     return cen.union(simp).union(buf).union(clip).sort(["kind", "fid"])
 
 
+def _attach_affine_gcps(t: pa.Table) -> pa.Table:
+    """Deterministic per-chip GCPs: a 3x3 pixel grid mapped through a
+    dyadic-coefficient affine derived from the image index (exactly
+    recoverable by the quantized order-1 fit; mirrored by rasterref)."""
+    ids = t.column("image_id").to_pylist()
+    ws = t.column("w").to_pylist()
+    hs = t.column("h").to_pylist()
+    mnx = t.column("minx").to_pylist()
+    mny = t.column("miny").to_pylist()
+    mxx = t.column("maxx").to_pylist()
+    gp, gl, gx, gy = [], [], [], []
+    for r in range(t.num_rows):
+        i = int(ids[r][3:])
+        w, h = int(ws[r]), int(hs[r])
+        a = 0.75 + (i % 8) / 32.0
+        b = ((i % 5) - 2) / 16.0
+        d = ((i % 7) - 3) / 16.0
+        e = 0.8125 + (i % 6) / 32.0
+        gsd = (mxx[r] - mnx[r]) / w
+        pp = np.array([0.0, w / 2.0, float(w)] * 3)
+        ll = np.repeat([0.0, h / 2.0, float(h)], 3)
+        gp.append(pp.tolist())
+        gl.append(ll.tolist())
+        gx.append((mnx[r] + (a * pp + b * ll) * gsd).tolist())
+        gy.append((mny[r] + (d * pp + e * ll) * gsd).tolist())
+    for name, vals in (("gcp_p", gp), ("gcp_l", gl), ("gcp_x", gx), ("gcp_y", gy)):
+        t = t.append_column(name, pa.array(vals, pa.list_(pa.float64())))
+    return t
+
+
+def q58_gcp_warp(sf_dir: str):
+    """gdalwarp -order 1 analog: per-chip GCP polynomial fit (sheared
+    UTM-like affine georeferencing), quantized-coefficient transformer,
+    full 2-D inverse-mapped bilinear warp; per-chip output checksums
+    (golden oracle recomputes through an independent normal-equations
+    fit — the 2^-16 quantization makes the transforms identical)."""
+    import ray.data as rd
+
+    from ..functions import checksum, codecs
+    from ..stages.warp import warp_images_gcp
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(
+        paths["images"],
+        columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"],
+    )
+    warped = warp_images_gcp(
+        imgs.map_batches(_attach_affine_gcps, batch_format="pyarrow"),
+        order=1, resampling="bilinear", concurrency=4,
+    )
+
+    def cs(t: pa.Table) -> pa.Table:
+        b = t.column("bytes").to_pylist()
+        w = t.column("w").to_pylist()
+        h = t.column("h").to_pylist()
+        f = t.column("fmt").to_pylist()
+        out = np.empty((t.num_rows, 3), dtype=np.int64)
+        for i in range(t.num_rows):
+            out[i] = checksum.checksum_image(codecs.decode(b[i], w[i], h[i], f[i]))
+        return pa.table(
+            {
+                "image_id": t.column("image_id"),
+                "cs_r": pa.array(out[:, 0]),
+                "cs_g": pa.array(out[:, 1]),
+                "cs_b": pa.array(out[:, 2]),
+            }
+        )
+
+    return warped.map_batches(cs, batch_format="pyarrow").sort("image_id")
+
+
+def _attach_cutlines(t: pa.Table) -> pa.Table:
+    """Deterministic per-chip cutline hexagon in the DST CRS (4326),
+    sized from the chip's transformed envelope (mirrored by the
+    rasterref oracle)."""
+    ids = t.column("image_id").to_pylist()
+    mnx = t.column("minx").to_pylist()
+    mny = t.column("miny").to_pylist()
+    mxx = t.column("maxx").to_pylist()
+    mxy = t.column("maxy").to_pylist()
+    ang = 2.0 * np.pi * np.arange(6) / 6
+    ca, sa = np.cos(ang), np.sin(ang)
+    cut_x, cut_y = [], []
+    for r in range(t.num_rows):
+        i = int(ids[r][3:])
+        dminx = (mnx[r] / mercator.ORIGIN_SHIFT) * 180.0
+        dmaxx = (mxx[r] / mercator.ORIGIN_SHIFT) * 180.0
+        dminy = float(mercator.meters_to_lat_lon(0.0, mny[r])[0])
+        dmaxy = float(mercator.meters_to_lat_lon(0.0, mxy[r])[0])
+        cx = (dminx + dmaxx) * 0.5
+        cy = (dminy + dmaxy) * 0.5
+        rx = (0.35 + (i % 4) / 32.0) * (dmaxx - dminx)
+        ry = (0.35 + (i % 3) / 32.0) * (dmaxy - dminy)
+        cut_x.append((cx + rx * ca).tolist())
+        cut_y.append((cy + ry * sa).tolist())
+    t = t.append_column("cut_x", pa.array(cut_x, pa.list_(pa.float64())))
+    t = t.append_column("cut_y", pa.array(cut_y, pa.list_(pa.float64())))
+    return t
+
+
+def q59_cutline_warp(sf_dir: str):
+    """gdalwarp -cutline analog: exact 3857->4326 bilinear warp with a
+    per-chip cutline polygon rasterized to a parity mask at dst pixel
+    centers (alg/gdalcutline.cpp semantics, binary -cblend 0); per-chip
+    checksums of the masked output (golden oracle)."""
+    import ray.data as rd
+
+    from ..functions import checksum, codecs
+    from ..stages.warp import warp_images_cutline
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(
+        paths["images"],
+        columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"],
+    )
+    warped = warp_images_cutline(
+        imgs.map_batches(_attach_cutlines, batch_format="pyarrow"),
+        resampling="bilinear", concurrency=4, use_approx=False,
+    )
+
+    def cs(t: pa.Table) -> pa.Table:
+        b = t.column("bytes").to_pylist()
+        w = t.column("w").to_pylist()
+        h = t.column("h").to_pylist()
+        f = t.column("fmt").to_pylist()
+        out = np.empty((t.num_rows, 3), dtype=np.int64)
+        for i in range(t.num_rows):
+            out[i] = checksum.checksum_image(codecs.decode(b[i], w[i], h[i], f[i]))
+        return pa.table(
+            {
+                "image_id": t.column("image_id"),
+                "cs_r": pa.array(out[:, 0]),
+                "cs_g": pa.array(out[:, 1]),
+                "cs_b": pa.array(out[:, 2]),
+            }
+        )
+
+    return warped.map_batches(cs, batch_format="pyarrow").sort("image_id")
+
+
 # Oracles that are assembled per-scale from a static-SQL part and a
 # golden part (rendered by oracle_ref at the driver's scale).
 COMBINED_ORACLES = {
@@ -2323,6 +2463,8 @@ QUERIES = {
     "q55_color_relief": q55_color_relief,
     "q56_footprint": q56_footprint,
     "q57_geometry_ops": q57_geometry_ops,
+    "q58_gcp_warp": q58_gcp_warp,
+    "q59_cutline_warp": q59_cutline_warp,
 }
 
 ORACLE_SQL = {

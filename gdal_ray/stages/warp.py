@@ -218,3 +218,169 @@ def warp_images(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class WarpChipsGCP:
+    """Actor-pool stage: warp each chip by its OWN ground-control-point
+    set (per-row list columns gcp_p / gcp_l / gcp_x / gcp_y), the
+    ``gdalwarp -order n`` path for arbitrary affine/polynomial
+    georeferencing (UTM-like grids, sheared scans).
+
+    Grid spec (mirrored by the rasterref oracle): dst bbox is the
+    envelope of the forward-transformed pixel-space corners (0,0),
+    (w,0), (w,h), (0,h); dst keeps w x h pixels; each dst pixel center
+    maps through the fitted inverse polynomial to source pixel space
+    (GDAL pixel-corner convention: center of pixel i is i+0.5) and
+    samples with functions.kernels.resample_grid (nodata 0 outside)."""
+
+    def __init__(self, order: int = 1, resampling: str = "bilinear"):
+        self.order = order
+        self.resampling = resampling
+
+    def _warp_one(self, img, gp, gl, gx, gy):
+        from ..functions.gcp import GCPTransformer
+
+        h, w = img.shape[:2]
+        tr = GCPTransformer(
+            list(zip(gp, gl)), list(zip(gx, gy)), order=self.order
+        )
+        cpx = np.array([0.0, float(w), float(w), 0.0])
+        cpl = np.array([0.0, 0.0, float(h), float(h)])
+        cx, cy = tr.fwd(cpx, cpl)
+        minx, maxx = float(np.min(cx)), float(np.max(cx))
+        miny, maxy = float(np.min(cy)), float(np.max(cy))
+        X = minx + (np.arange(w) + 0.5) * ((maxx - minx) / w)
+        Y = maxy - (np.arange(h) + 0.5) * ((maxy - miny) / h)
+        XX, YY = np.meshgrid(X, Y)
+        sp, sl = tr.inv(XX, YY)
+        out = kernels.resample_grid(
+            img, sp - 0.5, sl - 0.5, self.resampling, nodata=0
+        )
+        return out, (minx, miny, maxx, maxy)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {
+            c: batch.column(c).to_pylist()
+            for c in ("bytes", "w", "h", "fmt", "gcp_p", "gcp_l", "gcp_x", "gcp_y")
+        }
+        n = batch.num_rows
+        new_bytes = []
+        env = np.empty((n, 4), dtype=np.float64)
+        for i in range(n):
+            img = codecs.decode(
+                cols["bytes"][i], cols["w"][i], cols["h"][i], cols["fmt"][i]
+            )
+            out, dst_env = self._warp_one(
+                img, cols["gcp_p"][i], cols["gcp_l"][i],
+                cols["gcp_x"][i], cols["gcp_y"][i],
+            )
+            new_bytes.append(codecs.encode(out, cols["fmt"][i]))
+            env[i] = dst_env
+        keep = [c for c in batch.schema.names
+                if not c.startswith("gcp_")]
+        out_t = batch.select(keep)
+        for name, arr in (
+            ("bytes", pa.array(new_bytes, pa.binary())),
+            ("minx", pa.array(env[:, 0])),
+            ("miny", pa.array(env[:, 1])),
+            ("maxx", pa.array(env[:, 2])),
+            ("maxy", pa.array(env[:, 3])),
+        ):
+            if name in out_t.schema.names:
+                out_t = out_t.set_column(
+                    out_t.schema.get_field_index(name), name, arr
+                )
+            else:
+                out_t = out_t.append_column(name, arr)
+        return out_t
+
+
+def warp_images_gcp(images, order: int = 1, resampling: str = "bilinear",
+                    concurrency: int = 4, batch_size: int = 64):
+    """GCP-polynomial warp over an images Dataset carrying per-row GCP
+    list columns (actor pool, fit + quantize per chip)."""
+    return images.map_batches(
+        WarpChipsGCP,
+        fn_constructor_kwargs=dict(order=order, resampling=resampling),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def cutline_mask(poly_x: np.ndarray, poly_y: np.ndarray, X: np.ndarray,
+                 Y: np.ndarray) -> np.ndarray:
+    """Even-odd (parity) inside mask of a polygon evaluated at the dst
+    pixel-center grid — the warp cutline density mask
+    (alg/gdalcutline.cpp + alg/gdalwarpoperation.cpp density path,
+    binary -cblend 0 case).  X: (w,) column centers, Y: (h,) row
+    centers.  Vectorized per edge: a row crosses when (y1 <= y) !=
+    (y2 <= y); the column is inside-toggled when its center x is less
+    than the edge's x-intercept."""
+    h, w = len(Y), len(X)
+    inside = np.zeros((h, w), dtype=bool)
+    n = len(poly_x)
+    for k in range(n):
+        x1, y1 = poly_x[k], poly_y[k]
+        x2, y2 = poly_x[(k + 1) % n], poly_y[(k + 1) % n]
+        crosses = (y1 <= Y) != (y2 <= Y)  # (h,)
+        if not crosses.any():
+            continue
+        xint = x1 + (Y - y1) * (x2 - x1) / (y2 - y1)  # (h,)
+        inside ^= crosses[:, None] & (X[None, :] < xint[:, None])
+    return inside
+
+
+class WarpChipsCutline(WarpChips):
+    """WarpChips + per-chip cutline: after the reprojection, dst pixels
+    whose centers fall outside the chip's cutline polygon (list columns
+    cut_x / cut_y, dst CRS) are zeroed (nodata)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cut_x = batch.column("cut_x").to_pylist()
+        cut_y = batch.column("cut_y").to_pylist()
+        base = batch.drop_columns(["cut_x", "cut_y"])
+        warped = super().__call__(base)
+        cols = {
+            c: warped.column(c).to_pylist()
+            for c in ("bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy")
+        }
+        out_bytes = []
+        for i in range(warped.num_rows):
+            img = codecs.decode(
+                cols["bytes"][i], cols["w"][i], cols["h"][i], cols["fmt"][i]
+            )
+            w, h = int(cols["w"][i]), int(cols["h"][i])
+            X = cols["minx"][i] + (np.arange(w) + 0.5) * (
+                (cols["maxx"][i] - cols["minx"][i]) / w
+            )
+            Y = cols["maxy"][i] - (np.arange(h) + 0.5) * (
+                (cols["maxy"][i] - cols["miny"][i]) / h
+            )
+            m = cutline_mask(
+                np.asarray(cut_x[i], np.float64),
+                np.asarray(cut_y[i], np.float64), X, Y,
+            )
+            img = img * m[:, :, None].astype(np.uint8)
+            out_bytes.append(codecs.encode(img, cols["fmt"][i]))
+        return warped.set_column(
+            warped.schema.get_field_index("bytes"), "bytes",
+            pa.array(out_bytes, pa.binary()),
+        )
+
+
+def warp_images_cutline(images, src_srs="EPSG:3857", dst_srs="EPSG:4326",
+                        resampling="bilinear", concurrency=4, batch_size=64,
+                        use_approx=True):
+    """Cutline-masked reprojection (cut_x/cut_y list columns carry each
+    chip's polygon in the destination CRS)."""
+    return images.map_batches(
+        WarpChipsCutline,
+        fn_constructor_kwargs=dict(
+            src_srs=src_srs, dst_srs=dst_srs, resampling=resampling,
+            use_approx=use_approx,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
