@@ -256,6 +256,256 @@ def _tile_of(m: np.ndarray, zoom: int) -> np.ndarray:
     return np.maximum(np.ceil(px / 256.0) - 1, 0).astype(np.int64)
 
 
+# ----------------- linear (Delaunay) gridding reference: Lawson flips
+#
+# Independent of the engine's Bowyer-Watson (functions/delaunay.py):
+# incremental insertion into the containing triangle with recursive
+# edge flips.  The DECISION CONTRACT is shared by definition, not by
+# code: every in-circumcircle / orientation test is an exact float64
+# sign (static filter + Fraction fallback — any exact implementation
+# agrees), the point set is augmented with the same three published
+# frame vertices, and interpolation uses the same canonical
+# index-sorted barycentric formula, so the unique augmented-set
+# Delaunay triangulation and its piecewise-linear surface reproduce
+# bit-for-bit.
+
+_RF_FRAME = ((-4096.0, -4096.0), (4096.0, -4096.0), (0.0, 8192.0))
+
+
+def _rf_orient(ax, ay, bx, by, cx, cy) -> int:
+    t1 = (bx - ax) * (cy - ay)
+    t2 = (cx - ax) * (by - ay)
+    det = t1 - t2
+    if abs(det) > 1e-14 * (abs(t1) + abs(t2)):
+        return 1 if det > 0 else -1
+    from fractions import Fraction as F
+
+    d = (F(bx) - F(ax)) * (F(cy) - F(ay)) - (F(cx) - F(ax)) * (F(by) - F(ay))
+    return (d > 0) - (d < 0)
+
+
+def _rf_incircle(ax, ay, bx, by, cx, cy, dx, dy) -> int:
+    adx, ady = ax - dx, ay - dy
+    bdx, bdy = bx - dx, by - dy
+    cdx, cdy = cx - dx, cy - dy
+    al = adx * adx + ady * ady
+    bl = bdx * bdx + bdy * bdy
+    cl = cdx * cdx + cdy * cdy
+    ab = bdx * cdy - cdx * bdy
+    bc = cdx * ady - adx * cdy
+    ca = adx * bdy - bdx * ady
+    det = al * ab + bl * bc + cl * ca
+    mag = (
+        al * (abs(bdx * cdy) + abs(cdx * bdy))
+        + bl * (abs(cdx * ady) + abs(adx * cdy))
+        + cl * (abs(adx * bdy) + abs(bdx * ady))
+    )
+    if abs(det) > 1e-13 * mag:
+        return 1 if det > 0 else -1
+    from fractions import Fraction as F
+
+    adx, ady = F(ax) - F(dx), F(ay) - F(dy)
+    bdx, bdy = F(bx) - F(dx), F(by) - F(dy)
+    cdx, cdy = F(cx) - F(dx), F(cy) - F(dy)
+    d = (
+        (adx * adx + ady * ady) * (bdx * cdy - cdx * bdy)
+        + (bdx * bdx + bdy * bdy) * (cdx * ady - adx * cdy)
+        + (cdx * cdx + cdy * cdy) * (adx * bdy - bdx * ady)
+    )
+    return (d > 0) - (d < 0)
+
+
+class _RfTriangulation:
+    """Lawson incremental Delaunay over normalized points + frame."""
+
+    def __init__(self, X, Y, n):
+        self.X, self.Y, self.n = X, Y, n
+        self.tris: dict[int, tuple[int, int, int]] = {0: (n, n + 1, n + 2)}
+        self.edge: dict[tuple[int, int], set[int]] = {}
+        self.next_tid = 1
+        for e in ((n, n + 1), (n + 1, n + 2), (n, n + 2)):
+            self.edge[e] = {0}
+
+    def _ekey(self, u, v):
+        return (u, v) if u < v else (v, u)
+
+    def _add(self, a, b, c) -> int:
+        tid = self.next_tid
+        self.next_tid += 1
+        self.tris[tid] = (a, b, c)
+        for u, v in ((a, b), (b, c), (c, a)):
+            self.edge.setdefault(self._ekey(u, v), set()).add(tid)
+        return tid
+
+    def _rm(self, tid):
+        a, b, c = self.tris.pop(tid)
+        for u, v in ((a, b), (b, c), (c, a)):
+            k = self._ekey(u, v)
+            self.edge[k].discard(tid)
+            if not self.edge[k]:
+                del self.edge[k]
+
+    def _signs(self, tid, p):
+        X, Y = self.X, self.Y
+        a, b, c = self.tris[tid]
+        return (
+            _rf_orient(X[a], Y[a], X[b], Y[b], X[p], Y[p]),
+            _rf_orient(X[b], Y[b], X[c], Y[c], X[p], Y[p]),
+            _rf_orient(X[c], Y[c], X[a], Y[a], X[p], Y[p]),
+        )
+
+    def _locate(self, p):
+        """Containing triangle (all signs >= 0) by scan; returns
+        (tid, signs)."""
+        for tid in self.tris:
+            s = self._signs(tid, p)
+            if s[0] >= 0 and s[1] >= 0 and s[2] >= 0:
+                return tid, s
+        raise AssertionError("point outside frame")
+
+    def _legalize(self, p, u, v):
+        """Edge (u, v) opposite freshly-inserted p: flip if the far
+        apex is strictly inside circumcircle of (triangle with p)."""
+        k = self._ekey(u, v)
+        tids = self.edge.get(k, set())
+        t_far = None
+        for tid in tids:
+            if p not in self.tris[tid]:
+                t_far = tid
+        if t_far is None:
+            return
+        tri = self.tris[t_far]
+        d = next(w for w in tri if w not in (u, v))
+        X, Y = self.X, self.Y
+        t_near = next(tid for tid in tids if p in self.tris[tid])
+        a, b, c = self.tris[t_near]  # CCW, contains p
+        if _rf_incircle(X[a], Y[a], X[b], Y[b], X[c], Y[c], X[d], Y[d]) > 0:
+            self._rm(t_near)
+            self._rm(t_far)
+            # flip: replace edge (u,v) with (p,d); orient CCW
+            for w in (u, v):
+                if _rf_orient(X[p], Y[p], X[d], Y[d], X[w], Y[w]) > 0:
+                    self._add(p, d, w)
+                else:
+                    self._add(p, w, d)
+            self._legalize(p, u, d)
+            self._legalize(p, d, v)
+
+    def insert(self, p):
+        tid, s = self._locate(p)
+        a, b, c = self.tris[tid]
+        zero = [i for i, si in enumerate(s) if si == 0]
+        if len(zero) >= 2:
+            return  # coincides with a vertex (pre-deduped upstream)
+        if not zero:
+            self._rm(tid)
+            self._add(a, b, p)
+            self._add(b, c, p)
+            self._add(c, a, p)
+            self._legalize(p, a, b)
+            self._legalize(p, b, c)
+            self._legalize(p, c, a)
+            return
+        # on edge: split the two adjacent triangles 2 -> 4
+        u, v = ((a, b), (b, c), (c, a))[zero[0]]
+        k = self._ekey(u, v)
+        others = [t for t in self.edge.get(k, set()) if t != tid]
+        w1 = next(w for w in (a, b, c) if w not in (u, v))
+        self._rm(tid)
+        pend = [(u, p, w1), (p, v, w1)]
+        leg = [(u, w1), (w1, v)]
+        if others:
+            t2 = others[0]
+            d = next(w for w in self.tris[t2] if w not in (u, v))
+            self._rm(t2)
+            pend += [(p, u, d), (v, p, d)]
+            leg += [(u, d), (d, v)]
+        X, Y = self.X, self.Y
+        for (x1, x2, x3) in pend:
+            if _rf_orient(X[x1], Y[x1], X[x2], Y[x2], X[x3], Y[x3]) > 0:
+                self._add(x1, x2, x3)
+            else:
+                self._add(x1, x3, x2)
+        for u2, v2 in leg:
+            self._legalize(p, u2, v2)
+
+
+def _rf_grid_linear(px, py, pv, xs, ys, nodata: float = 0.0) -> np.ndarray:
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    pv = np.asarray(pv, np.float64)
+    _, first = np.unique(np.stack([px, py], axis=1), axis=0, return_index=True)
+    keep = np.sort(first)
+    px, py, pv = px[keep], py[keep], pv[keep]
+    H, W = len(ys), len(xs)
+    if len(px) < 3:
+        return np.full((H, W), nodata, np.float64)
+    n = len(px)
+    minx, maxx = float(px.min()), float(px.max())
+    miny, maxy = float(py.min()), float(py.max())
+    span = max(maxx - minx, maxy - miny, 1e-300)
+    nx = (px - minx) / span
+    ny = (py - miny) / span
+    X = np.concatenate([nx, [f[0] for f in _RF_FRAME]])
+    Y = np.concatenate([ny, [f[1] for f in _RF_FRAME]])
+    tri = _RfTriangulation(X, Y, n)
+    for p in range(n):
+        tri.insert(p)
+    finite = sorted(
+        tuple(sorted(t)) for t in tri.tris.values() if max(t) < n
+    )
+    # node assignment: first containing triangle in canonical order
+    gx, gy = np.meshgrid(xs, ys)
+    qx = (gx.reshape(-1) - minx) / span
+    qy = (gy.reshape(-1) - miny) / span
+    out = np.full(qx.shape, nodata, np.float64)
+    done = np.zeros(qx.shape, bool)
+    for (i1, i2, i3) in finite:
+        if done.all():
+            break
+        x1, y1, v1 = X[i1], Y[i1], pv[i1]
+        x2, y2, v2 = X[i2], Y[i2], pv[i2]
+        x3, y3, v3 = X[i3], Y[i3], pv[i3]
+        bminx, bmaxx = min(x1, x2, x3), max(x1, x2, x3)
+        bminy, bmaxy = min(y1, y2, y3), max(y1, y2, y3)
+        cand = np.flatnonzero(
+            ~done
+            & (qx >= bminx) & (qx <= bmaxx)
+            & (qy >= bminy) & (qy <= bmaxy)
+        )
+        if len(cand) == 0:
+            continue
+        o = _rf_orient(x1, y1, x2, y2, x3, y3)
+        if o == 0:
+            continue
+        if o > 0:
+            e = ((x1, y1, x2, y2), (x2, y2, x3, y3), (x3, y3, x1, y1))
+        else:
+            e = ((x1, y1, x3, y3), (x3, y3, x2, y2), (x2, y2, x1, y1))
+        inside = np.ones(len(cand), bool)
+        for (ex1, ey1, ex2, ey2) in e:
+            t1 = (ex2 - ex1) * (qy[cand] - ey1)
+            t2 = (qx[cand] - ex1) * (ey2 - ey1)
+            det = t1 - t2
+            sgn = np.sign(det)
+            unsure = np.abs(det) <= 1e-14 * (np.abs(t1) + np.abs(t2))
+            for j in np.flatnonzero(unsure):
+                sgn[j] = _rf_orient(
+                    ex1, ey1, ex2, ey2, qx[cand[j]], qy[cand[j]]
+                )
+            inside &= sgn >= 0
+        hit = cand[inside]
+        if len(hit) == 0:
+            continue
+        # canonical barycentric formula (index-sorted vertices)
+        det = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)
+        l2 = ((qx[hit] - x1) * (y3 - y1) - (x3 - x1) * (qy[hit] - y1)) / det
+        l3 = ((x2 - x1) * (qy[hit] - y1) - (qx[hit] - x1) * (y2 - y1)) / det
+        out[hit] = v1 + l2 * (v2 - v1) + l3 * (v3 - v1)
+        done[hit] = True
+    return out.reshape(H, W)
+
+
 # ------------------------------------------------------- q35 grid invdist
 
 
@@ -298,10 +548,15 @@ def q35_grid_invdist(sf_dir: str, zoom: int = 8, grid_size: int = 64) -> pd.Data
             first = exact.argmax(axis=2)
             out[hit] = mv[first[hit]]
         n_owned = int(((tx == cx) & (ty == cy)).sum())
-        rows.append((zoom, cx, cy, n_owned, _cs_float(out)))
-    return pd.DataFrame(
-        rows, columns=["z", "x", "y", "n_points", "cs"]
-    ).astype(np.int64)
+        rows.append(("invdist", zoom, cx, cy, n_owned, _cs_float(out)))
+        lin = _rf_grid_linear(mx, my, mv, xs, ys, nodata=0.0)
+        rows.append(("linear", zoom, cx, cy, n_owned, _cs_float(lin)))
+    df = pd.DataFrame(
+        rows, columns=["algorithm", "z", "x", "y", "n_points", "cs"]
+    )
+    for c in ("z", "x", "y", "n_points", "cs"):
+        df[c] = df[c].astype(np.int64)
+    return df
 
 
 # ------------------------------------------------------ q37 point query
@@ -1026,7 +1281,7 @@ GOLDENS = {
     "q55_color_relief": (q55_color_relief, ["image_id"]),
     "q31_translate": (q31_translate, ["image_id"]),
     "q32_hillshade": (q32_hillshade, ["image_id"]),
-    "q35_grid_invdist": (q35_grid_invdist, ["z", "x", "y"]),
+    "q35_grid_invdist": (q35_grid_invdist, ["algorithm", "z", "x", "y"]),
     "q37_point_query": (q37_point_query, ["pid", "image_id"]),
     "q39_color_quantize": (q39_color_quantize, ["image_id"]),
     "q44_pansharpen_nearblack": (q44_pansharpen_nearblack, ["image_id"]),

@@ -1229,8 +1229,9 @@ def q34_checkpointed_tiles(sf_dir: str):
 
 def q35_grid_invdist(sf_dir: str):
     """gdal_grid analog: T3 points (weight = pid-derived) -> per-cell
-    inverse-distance rasters with 1-ring halo; returns per-cell grid
-    checksums."""
+    rasters with 1-ring halo, one branch per interpolation algorithm
+    (inverse-distance and Delaunay piecewise-linear); returns per-cell
+    grid checksums tagged by algorithm."""
     import ray.data as rd
 
     from ..functions import checksum
@@ -1248,26 +1249,35 @@ def q35_grid_invdist(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    grids = grid_points(pts, zoom=8, algorithm="invdist", grid_size=64)
 
-    def cs(t: pa.Table) -> pa.Table:
-        vals = [
-            checksum.checksum_float_band(
-                np.frombuffer(g, dtype=np.float64).reshape(64, 64)
+    def cs(algorithm: str):
+        def fn(t: pa.Table) -> pa.Table:
+            vals = [
+                checksum.checksum_float_band(
+                    np.frombuffer(g, dtype=np.float64).reshape(64, 64)
+                )
+                for g in t.column("grid").to_pylist()
+            ]
+            return pa.table(
+                {
+                    "algorithm": pa.array([algorithm] * t.num_rows, pa.string()),
+                    "z": pc.cast(t.column("z"), pa.int64()),
+                    "x": pc.cast(t.column("x"), pa.int64()),
+                    "y": pc.cast(t.column("y"), pa.int64()),
+                    "n_points": pc.cast(t.column("n_points"), pa.int64()),
+                    "cs": pa.array(vals, pa.int64()),
+                }
             )
-            for g in t.column("grid").to_pylist()
-        ]
-        return pa.table(
-            {
-                "z": pc.cast(t.column("z"), pa.int64()),
-                "x": pc.cast(t.column("x"), pa.int64()),
-                "y": pc.cast(t.column("y"), pa.int64()),
-                "n_points": pc.cast(t.column("n_points"), pa.int64()),
-                "cs": pa.array(vals, pa.int64()),
-            }
-        )
 
-    return grids.map_batches(cs, batch_format="pyarrow").sort(["z", "x", "y"])
+        return fn
+
+    branches = [
+        grid_points(pts, zoom=8, algorithm=alg, grid_size=64).map_batches(
+            cs(alg), batch_format="pyarrow"
+        )
+        for alg in ("invdist", "linear")
+    ]
+    return branches[0].union(branches[1]).sort(["algorithm", "z", "x", "y"])
 
 
 def q36_proximity_sieve(sf_dir: str):

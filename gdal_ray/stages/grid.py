@@ -60,10 +60,15 @@ def grid_points(
             return rasterops.grid_metric(px, py, pv, xs, ys, metric=metric, **kw)
 
     else:
+        from ..functions import delaunay
+
         algo = {
             "invdist": rasterops.grid_invdist,
             "nearest": rasterops.grid_nearest,
             "average": rasterops.grid_average,
+            # gdal_grid -a linear (alg/gdalgrid.cpp GDALGridLinear via
+            # alg/delaunay.c): Delaunay + barycentric, nodata outside hull
+            "linear": delaunay.grid_linear,
         }[algorithm]
 
     def interpolate_group(g: pa.Table) -> pa.Table:
