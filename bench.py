@@ -29,6 +29,57 @@ import sys
 import time
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — co-tenancy sentinel."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(v) for v in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+class _EnvSentinel:
+    """Captures host load + steal over a timed window so BENCH artifacts
+    self-document co-tenant contention (round-2 lesson: a loaded box
+    inflated wall times 1.6x with no in-artifact evidence)."""
+
+    def __enter__(self):
+        self.load0 = _loadavg()
+        self.steal0, self.total0 = _cpu_ticks()
+        return self
+
+    def __exit__(self, *exc):
+        self.load1 = _loadavg()
+        steal1, total1 = _cpu_ticks()
+        dt = max(1, total1 - self.total0)
+        self.report = {
+            "loadavg_start": self.load0,
+            "loadavg_end": self.load1,
+            "steal_pct": round(100.0 * (steal1 - self.steal0) / dt, 3),
+        }
+
+
+def _dump_stats(phase: str, datasets) -> None:
+    """Write ds.stats() for executed datasets to BENCH/stats_<phase>.txt
+    (SURVEY §9.7: stage-level attribution without a bisect)."""
+    try:
+        out = []
+        for label, ds in datasets:
+            out.append(f"===== {label}\n{ds.stats()}\n")
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", f"stats_{phase}.txt")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write("".join(out)[:200_000])
+    except Exception:  # stats are advisory; never fail the bench
+        pass
+
+
 def _session(num_cpus: int):
     import ray
 
@@ -66,6 +117,7 @@ def phase_join() -> dict:
     from gdal_ray.stages.join import join_chips_with_polygons
 
     num_cpus, _, _, paths, n_images = _setup()
+    sentinel = _EnvSentinel().__enter__()
     t0 = time.time()
     imgs = rd.read_parquet(
         paths["images"], columns=["image_id", "minx", "miny", "maxx", "maxy"]
@@ -87,14 +139,22 @@ def phase_join() -> dict:
         batch_format="pyarrow",
     )
     hot = detect_hot_cells(centers, 10, sample_frac=0.05, max_salt=16)
-    n_pairs = join_chips_with_polygons(
+    joined = join_chips_with_polygons(
         imgs, pol, zoom=10, chip_cols=["image_id"], poly_cols=["fid"], hot_cells=hot
-    ).count()
+    )
+    # metadata-only consume (rows stay in the object store) so
+    # ds.stats() survives for the BENCH/ dump; same work as .count()
+    n_pairs = sum(
+        b.num_rows() or 0 for b in joined.iter_internal_ref_bundles()
+    )
     dt = time.time() - t0
+    sentinel.__exit__()
+    _dump_stats("join", [("join", joined)])
     return {
         "sec": round(dt, 3),
         "join_rows_per_s": round(n_images / dt, 2),
         "n_join_pairs": n_pairs,
+        "env": sentinel.report,
     }
 
 
@@ -104,15 +164,19 @@ def phase_tiles() -> dict:
     from gdal_ray.stages.tiles import build_pyramid
 
     num_cpus, _, _, paths, _ = _setup()
+    sentinel = _EnvSentinel().__enter__()
     t0 = time.time()
     imgs = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"])
     levels = build_pyramid(imgs, z_max=11, z_min=9, resampling="near")
     n_tiles = sum(ds.count() for ds in levels.values())
     dt = time.time() - t0
+    sentinel.__exit__()
+    _dump_stats("tiles", [(f"z{z}", ds) for z, ds in levels.items()])
     return {
         "sec": round(dt, 3),
         "tile_tiles_per_s": round(n_tiles / dt, 2),
         "n_tiles": n_tiles,
+        "env": sentinel.report,
     }
 
 
@@ -122,14 +186,23 @@ def phase_warp() -> dict:
     from gdal_ray.stages.warp import warp_images
 
     num_cpus, _, _, paths, n_images = _setup()
+    sentinel = _EnvSentinel().__enter__()
     t0 = time.time()
     imgs = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"])
-    warp_images(
+    warped = warp_images(
         imgs, resampling="bilinear",
         concurrency=max(2, num_cpus * 3 // 4), batch_size=128,
-    ).map_batches(lambda t: t.select(["image_id"]), batch_format="pyarrow").count()
+    ).map_batches(lambda t: t.select(["image_id"]), batch_format="pyarrow")
+    for _ in warped.iter_internal_ref_bundles():
+        pass
     dt = time.time() - t0
-    return {"sec": round(dt, 3), "warp_rows_per_s": round(n_images / dt, 2)}
+    sentinel.__exit__()
+    _dump_stats("warp", [("warp", warped)])
+    return {
+        "sec": round(dt, 3),
+        "warp_rows_per_s": round(n_images / dt, 2),
+        "env": sentinel.report,
+    }
 
 
 PHASES = {"join": phase_join, "tiles": phase_tiles, "warp": phase_warp}
@@ -162,12 +235,14 @@ def run_bench() -> dict:
     results = {name: _spawn_phase(name) for name in ("join", "tiles", "warp")}
     timings = {name: r["sec"] for name, r in results.items()}
     throughput: dict = {}
+    env = {name: r.pop("env", {}) for name, r in results.items()}
     for r in results.values():
         for k, v in r.items():
             if k != "sec":
                 throughput[k] = v
     headline = timings["join"] + timings["tiles"]
     return {
+        "env": env,
         "metric": "spatial_join+tile_pyramid wall time",
         "value": round(headline, 3),
         "unit": "sec",
