@@ -1760,6 +1760,44 @@ def q50_sql_frontend(sf_dir: str):
     return sql_query(_Q50_TEXT, {"orders": orders})
 
 
+_Q60_TEXT = """
+SELECT r.r_name AS region_name,
+       COUNT(*) AS n_cust,
+       CAST(SUM(c.c_custkey) AS BIGINT) AS key_sum,
+       MIN(c.c_acctbal) AS lo_bal,
+       MAX(c.c_acctbal) AS hi_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_acctbal > 0 AND r.r_name <> 'ASIA'
+GROUP BY r.r_name
+ORDER BY region_name ASC
+"""
+
+
+def q60_sql_join_agg(sf_dir: str):
+    """SQL front-end JOIN + GROUP BY surface (the OGR generic-SQL
+    secondary-table join, ogr/ogrsf_frmts/generic/ogr_gensql.cpp:1319
+    -1510, and summary aggregation :849 PrepareSummary — extended with
+    keyed GROUP BY): a two-hop equi-join chain with single-table WHERE
+    pushdown below the shuffle, lowered onto copartition_equi_join +
+    grouped_aggregate (partial agg before the keyed shuffle).  The SAME
+    string runs verbatim in DuckDB as the oracle; aggregates are
+    integer-exact (COUNT / int SUM / MIN / MAX) so the value hash is
+    order-independent."""
+    from .sql import sql_query
+
+    customer = _read(
+        sf_dir, "customer",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = _read(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    return sql_query(
+        _Q60_TEXT, {"customer": customer, "nation": nation, "region": region}
+    )
+
+
 def q51_intersection_overlay(sf_dir: str):
     """Geometry-producing overlay (ogrlayer.cpp:3345 Intersection):
     rect layer A x rect layer B through the full join machinery with
@@ -2475,6 +2513,7 @@ QUERIES = {
     "q57_geometry_ops": q57_geometry_ops,
     "q58_gcp_warp": q58_gcp_warp,
     "q59_cutline_warp": q59_cutline_warp,
+    "q60_sql_join_agg": q60_sql_join_agg,
 }
 
 ORACLE_SQL = {
@@ -2500,4 +2539,6 @@ ORACLE_SQL = {
     "q50_sql_frontend": _Q50_TEXT,
     "q51_intersection_overlay": _Q51_SQL,
     "q53_sampling": _Q53_SQL,
+    # JOIN + GROUP BY through the SQL front-end: same string in DuckDB
+    "q60_sql_join_agg": _Q60_TEXT,
 }

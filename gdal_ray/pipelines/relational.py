@@ -180,6 +180,99 @@ def hash_join(left, right, on: str, num_partitions: int = 32, how: str = "inner"
     )
 
 
+def copartition_equi_join(
+    left,
+    right,
+    lkey: str,
+    rkey: str,
+    how: str = "inner",
+    num_partitions: int = 16,
+    right_suffix: str = "_r",
+    left_schema: list[tuple] | None = None,
+    right_schema: list[tuple] | None = None,
+):
+    """Equi-join via explicit co-partitioning: tag sides, union, ONE
+    groupby(hash(key) % P) shuffle, then a local Arrow (acero) hash
+    join inside each partition group.
+
+    Same plan shape as ``Dataset.join``'s hash shuffle, but robust to
+    sparse key domains: the native join's finalizer loses the schema of
+    empty hash partitions (``ArrowInvalid: No match ... for key field``
+    when a filtered side covers few hash residues), while groups here
+    only exist where rows exist and every emitted block carries the
+    full joined schema.  Matches Dataset.join naming semantics: right
+    key column dropped, colliding right columns suffixed.
+    """
+    import numpy as np
+
+    # schemas: explicit beats inferred (a lazy upstream whose sampled
+    # block is empty reports schema None)
+    # copy: callers may mutate their schema lists after this (lazy) call
+    lsch = list(left_schema) if left_schema else list(
+        zip(left.schema().names, left.schema().types))
+    rsch = list(right_schema) if right_schema else list(
+        zip(right.schema().names, right.schema().types))
+    lcols = [c for c, _ in lsch]
+    rcols = [c for c, _ in rsch]
+
+    def _part_of(col) -> np.ndarray:
+        ty = col.type
+        if pa.types.is_integer(ty):
+            c = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+            c = c.astype(np.uint64)
+            c = (c ^ (c >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            c = c ^ (c >> np.uint64(33))
+            return (c % np.uint64(num_partitions)).astype(np.int64)
+        import zlib
+
+        vals = pc.cast(col, pa.string()).to_pylist()
+        return np.array(
+            [zlib.crc32(v.encode()) % num_partitions if v is not None else 0
+             for v in vals],
+            np.int64,
+        )
+
+    def _tag(keycol: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {
+                "__side": pa.array(np.full(t.num_rows, side, np.int8)),
+                "__jpart": pa.array(_part_of(t.column(keycol)), pa.int64()),
+            }
+            for c, ty in lsch:
+                cols[c] = (
+                    t.column(c) if side == 0 else pa.nulls(t.num_rows, ty)
+                )
+            for c, ty in rsch:
+                cols[f"__r_{c}"] = (
+                    t.column(c) if side == 1 else pa.nulls(t.num_rows, ty)
+                )
+            return pa.table(cols)
+
+        return fn
+
+    both = left.map_batches(_tag(lkey, 0), batch_format="pyarrow").union(
+        right.map_batches(_tag(rkey, 1), batch_format="pyarrow")
+    )
+    jt = {"inner": "inner", "left_outer": "left outer"}[how]
+
+    def part_join(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0)).select(lcols)
+        rt = g.filter(pa.array(side == 1)).select(
+            [f"__r_{c}" for c in rcols]
+        ).rename_columns(rcols)
+        return lt.join(
+            rt,
+            keys=[lkey],
+            right_keys=[rkey],
+            join_type=jt,
+            left_suffix="",
+            right_suffix=right_suffix,
+        )
+
+    return both.groupby("__jpart").map_groups(part_join, batch_format="pyarrow")
+
+
 def sample_hash(ds, key_col: str, frac: float):
     """Deterministic Bernoulli sampling by multiplicative key hash
     (the decimated/approx-ok sampling analog of

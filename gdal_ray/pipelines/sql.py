@@ -1,17 +1,28 @@
-"""Minimal SQL string front-end — the OGR SQL dialect subset.
+"""SQL string front-end — the OGR SQL dialect subset.
 
 Reference semantics: the reference compiles attribute-query / SELECT
 strings with the SWQ engine (ogr/ogrfeaturequery.cpp:68 Compile,
 grammar ogr/swq_parser.y, operator registry
-ogr/swq_op_registrar.cpp:28-62).  This module parses the same surface
-(SELECT list with aliases and scalar expressions, FROM one layer,
-WHERE with AND/OR/NOT, comparison ops, LIKE, IN, BETWEEN, arithmetic
-incl %, CONCAT, SUBSTR, CAST) and compiles it to vectorized
-pyarrow.compute kernels applied through ``Dataset.map_batches`` —
-ORDER BY / LIMIT lower onto the engine's distributed top-k.
+ogr/swq_op_registrar.cpp:28-62; JOIN / GROUP-BY execution in
+ogr/ogrsf_frmts/generic/ogr_gensql.cpp:1319-1510).  This module parses
+the same surface (SELECT list with aliases and scalar expressions,
+aggregates COUNT/SUM/AVG/MIN/MAX — usable inside expressions, e.g.
+``CAST(SUM(x) AS BIGINT)`` — FROM with [LEFT] JOIN ... ON equi-join
+chains, qualified ``table.column`` refs, WHERE with AND/OR/NOT,
+comparison ops, LIKE, IN, BETWEEN, arithmetic incl %, CONCAT, SUBSTR,
+CAST, GROUP BY) and compiles it to vectorized pyarrow.compute kernels
+through ``Dataset.map_batches``:
 
-Not covered (documented): joins, GROUP BY aggregates, subqueries —
-those are composed with the pipelines.relational operators directly.
+- single-table WHERE conjuncts push down BELOW the join (per-table
+  filter before the shuffle);
+- joins lower onto ``Dataset.join`` (hash shuffle; the small-side
+  broadcast variant stays available via pipelines.relational);
+- GROUP BY lowers onto relational.grouped_aggregate (per-batch pyarrow
+  partial aggregation, then one tiny keyed shuffle);
+- ORDER BY / LIMIT lower onto the distributed top-k.
+
+Not covered (documented): subqueries, HAVING, COUNT(DISTINCT),
+non-equi join conditions.
 """
 
 from __future__ import annotations
@@ -24,14 +35,18 @@ import pyarrow.compute as pc
 
 _TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+\.\d*|\.\d+|\d+)|(?P<str>'(?:[^']|'')*')"
-    r"|(?P<op><=|>=|<>|!=|[=<>(),*%+\-/])|(?P<ident>[A-Za-z_][A-Za-z_0-9]*))"
+    r"|(?P<op><=|>=|<>|!=|[=<>(),*%+\-/.])|(?P<ident>[A-Za-z_][A-Za-z_0-9]*))"
 )
 
 _KEYWORDS = {
     "select", "from", "where", "order", "by", "asc", "desc", "limit", "as",
     "and", "or", "not", "like", "in", "between", "cast", "concat", "substr",
     "is", "null", "true", "false",
+    "join", "on", "left", "inner", "outer", "group",
+    "count", "sum", "avg", "min", "max", "distinct",
 }
+
+_AGG_FNS = ("count", "sum", "avg", "min", "max")
 
 
 def _tokenize(sql: str):
@@ -210,11 +225,22 @@ class _Parser:
                 ln = self.expr()
             self.expect("op", ")")
             return ("substr", e, start, ln)
+        if k == "kw" and v in _AGG_FNS:
+            self.expect("op", "(")
+            if v == "count" and self.accept("op", "*"):
+                self.expect("op", ")")
+                return ("agg", "count", None, False)
+            distinct = self.accept("kw", "distinct")
+            arg = self.expr()
+            self.expect("op", ")")
+            return ("agg", v, arg, distinct)
         if k == "op" and v == "(":
             e = self.expr()
             self.expect("op", ")")
             return e
         if k == "ident":
+            if self.accept("op", "."):
+                return ("qcol", v, self.expect("ident"))
             return ("col", v)
         raise ValueError(f"unexpected token {k} {v}")
 
@@ -232,6 +258,8 @@ def _eval(node, t: pa.Table):
         return pa.scalar(node[1])
     if op == "col":
         return t.column(node[1])
+    if op == "qcol":  # single-table path: alias-qualified ref
+        return t.column(node[2])
     if op in ("and", "or"):
         a, b = _eval(node[1], t), _eval(node[2], t)
         return (pc.and_kleene if op == "and" else pc.or_kleene)(a, b)
@@ -326,9 +354,52 @@ def parse_select(sql: str) -> dict:
                 break
     p.expect("kw", "from")
     table = p.expect("ident")
+    table_alias = table
+    if p.accept("kw", "as"):
+        table_alias = p.expect("ident")
+    elif p.peek()[0] == "ident":
+        table_alias = p.expect("ident")
+    joins = []
+    while True:
+        k, v = p.peek()
+        if k == "kw" and v == "left":
+            p.next()
+            p.accept("kw", "outer")
+            p.expect("kw", "join")
+            how = "left_outer"
+        elif k == "kw" and v == "inner":
+            p.next()
+            p.expect("kw", "join")
+            how = "inner"
+        elif k == "kw" and v == "join":
+            p.next()
+            how = "inner"
+        else:
+            break
+        jt = p.expect("ident")
+        ja = jt
+        if p.accept("kw", "as"):
+            ja = p.expect("ident")
+        elif p.peek()[0] == "ident" and p.toks[p.i][1].lower() != "on":
+            ja = p.expect("ident")
+        p.expect("kw", "on")
+        cond = p.expr()
+        if cond[0] != "eq":
+            raise ValueError("JOIN ON supports a single equality condition")
+        joins.append({"table": jt, "alias": ja, "how": how, "on": cond})
     where = None
     if p.accept("kw", "where"):
         where = p.expr()
+    group = []
+    if p.accept("kw", "group"):
+        p.expect("kw", "by")
+        while True:
+            g = p.expr()
+            if g[0] not in ("col", "qcol"):
+                raise ValueError("GROUP BY supports column references")
+            group.append(g)
+            if not p.accept("op", ","):
+                break
     order = []
     if p.accept("kw", "order"):
         p.expect("kw", "by")
@@ -347,8 +418,73 @@ def parse_select(sql: str) -> dict:
         limit = int(p.next()[1])
     if p.peek()[0] != "end":
         raise ValueError(f"trailing tokens at {p.peek()}")
-    return {"items": items, "table": table, "where": where, "order": order,
+    return {"items": items, "table": table, "table_alias": table_alias,
+            "joins": joins, "where": where, "group": group, "order": order,
             "limit": limit}
+
+
+# ------------------------------------------------ AST utilities
+
+
+def _transform(node, fn):
+    """Bottom-up rewrite: apply fn to each node after recursing."""
+    op = node[0]
+    if op in ("lit", "col", "qcol"):
+        return fn(node)
+    if op == "in":
+        return fn(("in", _transform(node[1], fn),
+                   [_transform(v, fn) for v in node[2]]))
+    if op == "concat":
+        return fn(("concat", [_transform(a, fn) for a in node[1]]))
+    if op == "substr":
+        return fn(("substr", _transform(node[1], fn),
+                   _transform(node[2], fn),
+                   None if node[3] is None else _transform(node[3], fn)))
+    if op == "cast":
+        return fn(("cast", _transform(node[1], fn), node[2]))
+    if op == "agg":
+        return fn(("agg", node[1],
+                   None if node[2] is None else _transform(node[2], fn),
+                   node[3]))
+    return fn((op, *(_transform(c, fn) for c in node[1:])))
+
+
+def _walk(node):
+    yield node
+    op = node[0]
+    if op in ("lit", "col", "qcol"):
+        return
+    if op == "in":
+        yield from _walk(node[1])
+        for v in node[2]:
+            yield from _walk(v)
+    elif op == "concat":
+        for a in node[1]:
+            yield from _walk(a)
+    elif op == "substr":
+        yield from _walk(node[1])
+        yield from _walk(node[2])
+        if node[3] is not None:
+            yield from _walk(node[3])
+    elif op == "cast":
+        yield from _walk(node[1])
+    elif op == "agg":
+        if node[2] is not None:
+            yield from _walk(node[2])
+    else:
+        for c in node[1:]:
+            if isinstance(c, tuple):
+                yield from _walk(c)
+
+
+def _has_agg(node) -> bool:
+    return any(n[0] == "agg" for n in _walk(node))
+
+
+def _split_conjuncts(node):
+    if node[0] == "and":
+        return _split_conjuncts(node[1]) + _split_conjuncts(node[2])
+    return [node]
 
 
 def _out_name(e, alias, idx) -> str:
@@ -356,20 +492,366 @@ def _out_name(e, alias, idx) -> str:
         return alias
     if e[0] == "col":
         return e[1]
+    if e[0] == "qcol":
+        return e[2]
     return f"expr_{idx}"
 
 
-def sql_query(sql: str, tables: dict):
+def _run_join_agg(plan, tables, num_partitions: int):
+    """JOIN chain + GROUP-BY/aggregate lowering (ogr_gensql.cpp
+    analog).  Single-table WHERE conjuncts push below the join (never
+    below the null-filling side of a LEFT JOIN); aggregation lowers
+    onto relational.grouped_aggregate's partial-then-shuffle plan."""
+    from . import relational as R
+
+    items = plan["items"]
+    aliases = [(plan["table_alias"], plan["table"])] + [
+        (j["alias"], j["table"]) for j in plan["joins"]
+    ]
+    if len({a for a, _ in aliases}) != len(aliases):
+        raise ValueError("duplicate table alias in FROM")
+    for _, tbl in aliases:
+        if tbl not in tables:
+            raise ValueError(f"unknown table {tbl}")
+    schemas = {a: list(tables[t].schema().names) for a, t in aliases}
+    stypes = {
+        a: dict(zip(tables[t].schema().names, tables[t].schema().types))
+        for a, t in aliases
+    }
+    no_push = {
+        j["alias"] for j in plan["joins"] if j["how"] == "left_outer"
+    }
+
+    # ---- WHERE pushdown: single-table conjuncts filter pre-shuffle
+    conjuncts = _split_conjuncts(plan["where"]) if plan["where"] else []
+    pushed: dict[str, list] = {a: [] for a, _ in aliases}
+    post_where = []
+    for c in conjuncts:
+        if _has_agg(c):
+            raise ValueError("aggregates are not allowed in WHERE")
+        try:
+            refs = _refs(c, schemas, aliases)
+        except ValueError:
+            refs = None
+        if refs is not None and len(refs) == 1 and not (refs & no_push):
+            pushed[next(iter(refs))].append(c)
+        else:
+            post_where.append(c)
+
+    def _to_source(node):
+        # resolve refs to source-table column names (pre-join)
+        def fn(n):
+            if n[0] == "qcol":
+                return ("col", n[2])
+            return n
+
+        return _transform(node, fn)
+
+    def _prefilter(ds, preds):
+        if not preds:
+            return ds
+        exprs = [_to_source(p) for p in preds]
+
+        def f(t: pa.Table) -> pa.Table:
+            for e in exprs:
+                t = t.filter(pc.cast(_eval(e, t), pa.bool_()))
+            return t
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    src = {a: _prefilter(tables[t], pushed[a]) for a, t in aliases}
+
+    # ---- join chain; outname maps (alias, col) -> joined column name
+    base = plan["table_alias"]
+    outname = {(base, c): c for c in schemas[base]}
+    cur = set(schemas[base])
+    cur_schema = [(c, stypes[base][c]) for c in schemas[base]]
+    display: list[tuple[str, str]] = [(c, c) for c in schemas[base]]
+
+    def _side(node):
+        if node[0] == "qcol":
+            return node[1], node[2]
+        if node[0] == "col":
+            return _owner_of(node[1], schemas, aliases), node[1]
+        raise ValueError("JOIN ON sides must be column references")
+
+    ds = src[base]
+    for i, j in enumerate(plan["joins"]):
+        ja, suf = j["alias"], f"_j{i}"
+        s1, s2 = _side(j["on"][1]), _side(j["on"][2])
+        if s1[0] == ja and s2[0] != ja:
+            (la, lc), rk = s2, s1[1]
+        elif s2[0] == ja and s1[0] != ja:
+            (la, lc), rk = s1, s2[1]
+        else:
+            raise ValueError(
+                f"JOIN ON must relate {ja} to an earlier table"
+            )
+        if (la, lc) not in outname:
+            raise ValueError(f"unknown join key {la}.{lc}")
+        rk_dup = f"__rk{i}"
+
+        def dup(t: pa.Table, _rk=rk, _nm=rk_dup) -> pa.Table:
+            return t.append_column(_nm, t.column(_rk))  # zero-copy
+
+        right = src[ja].map_batches(dup, batch_format="pyarrow")
+        right_schema = [(c, stypes[ja][c]) for c in schemas[ja]] + [
+            (rk_dup, stypes[ja][rk])
+        ]
+        ds = R.copartition_equi_join(
+            ds,
+            right,
+            lkey=outname[(la, lc)],
+            rkey=rk,
+            how=j["how"],
+            num_partitions=num_partitions,
+            right_suffix=suf,
+            left_schema=cur_schema,
+            right_schema=right_schema,
+        )
+        for c in schemas[ja]:
+            if c == rk:
+                outname[(ja, c)] = rk_dup
+                cur.add(rk_dup)
+                cur_schema.append((rk_dup, stypes[ja][c]))
+                display.append((rk_dup, c if c not in {d for _, d in display} else c + suf))
+            else:
+                nm = c if c not in cur else c + suf
+                outname[(ja, c)] = nm
+                cur.add(nm)
+                cur_schema.append((nm, stypes[ja][c]))
+                display.append((nm, nm))
+
+    def _resolve(node):
+        def fn(n):
+            if n[0] == "qcol":
+                if (n[1], n[2]) not in outname:
+                    raise ValueError(f"unknown column {n[1]}.{n[2]}")
+                return ("col", outname[(n[1], n[2])])
+            if n[0] == "col":
+                owner = _owner_of(n[1], schemas, aliases)
+                return ("col", outname[(owner, n[1])])
+            return n
+
+        return _transform(node, fn)
+
+    if post_where:
+        exprs = [_resolve(p) for p in post_where]
+
+        def post_f(t: pa.Table) -> pa.Table:
+            for e in exprs:
+                t = t.filter(pc.cast(_eval(e, t), pa.bool_()))
+            return t
+
+        ds = ds.map_batches(post_f, batch_format="pyarrow")
+
+    # ---- aggregation
+    has_agg = plan["group"] or (
+        items is not None and any(_has_agg(e) for e, _ in items)
+    )
+    if has_agg:
+        if items is None:
+            raise ValueError("SELECT * is not valid with GROUP BY")
+        keys = []
+        for g in plan["group"]:
+            r = _resolve(g)
+            keys.append(r[1])
+        # collect distinct aggregate nodes from all select items
+        agg_nodes: list = []
+        for e, _ in items:
+            for n in _walk(e):
+                if n[0] == "agg" and n not in agg_nodes:
+                    agg_nodes.append(n)
+        specs, pre_cols = [], {}
+        for ai, n in enumerate(agg_nodes):
+            _, fn, arg, distinct = n
+            if distinct:
+                raise ValueError("COUNT/agg DISTINCT is not supported")
+            out_c = f"__agg{ai}"
+            if fn == "count" and arg is None:
+                specs.append(("*", "count", out_c))
+            elif fn == "count":
+                pre_cols[f"__in{ai}"] = (
+                    "cast_valid", _resolve(arg)
+                )
+                specs.append((f"__in{ai}", "sum", out_c))
+            else:
+                pre_cols[f"__in{ai}"] = ("expr", _resolve(arg))
+                specs.append(
+                    (f"__in{ai}", {"avg": "mean"}.get(fn, fn), out_c)
+                )
+
+        def pre(t: pa.Table) -> pa.Table:
+            cols = {k: t.column(k) for k in keys}
+            for name, (kind, e) in pre_cols.items():
+                v = _eval(e, t)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * t.num_rows, type=v.type)
+                if kind == "cast_valid":
+                    v = pc.cast(pc.is_valid(v), pa.int64())
+                cols[name] = v
+            return pa.table(cols)
+
+        pre_ds = ds.map_batches(pre, batch_format="pyarrow")
+        agg_ds = (
+            R.grouped_aggregate(pre_ds, keys, specs)
+            if keys
+            else R.global_aggregate(pre_ds, specs)
+        )
+
+        # post-projection over the aggregated table
+        rewritten = []
+        for idx, (e, alias) in enumerate(items):
+            def sub(n, _nodes=agg_nodes):
+                if n[0] == "agg":
+                    return ("col", f"__agg{_nodes.index(n)}")
+                return n
+
+            re_e = _transform(_resolve_skip_aggs(e, _resolve), sub)
+            rewritten.append((re_e, _out_name(e, alias, idx)))
+
+        def post(t: pa.Table) -> pa.Table:
+            cols = {}
+            for e, name in rewritten:
+                v = _eval(e, t)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * t.num_rows, type=v.type)
+                cols[name] = v
+            return pa.table(cols)
+
+        out = agg_ds.map_batches(post, batch_format="pyarrow")
+        out_names = [name for _, name in rewritten]
+    else:
+        if items is None:
+            sel = [(a, d) for a, d in display]
+
+            def star(t: pa.Table) -> pa.Table:
+                return pa.table({d: t.column(a) for a, d in sel})
+
+            out = ds.map_batches(star, batch_format="pyarrow")
+            out_names = [d for _, d in sel]
+        else:
+            rewritten = [
+                (_resolve(e), _out_name(e, alias, idx))
+                for idx, (e, alias) in enumerate(items)
+            ]
+
+            def proj(t: pa.Table) -> pa.Table:
+                cols = {}
+                for e, name in rewritten:
+                    v = _eval(e, t)
+                    if isinstance(v, pa.Scalar):
+                        v = pa.array([v.as_py()] * t.num_rows, type=v.type)
+                    cols[name] = v
+                return pa.table(cols)
+
+            out = ds.map_batches(proj, batch_format="pyarrow")
+            out_names = [name for _, name in rewritten]
+
+    if plan["order"]:
+        for c, _ in plan["order"]:
+            if c not in out_names:
+                raise ValueError(
+                    f"ORDER BY {c} must reference an output column here"
+                )
+        keys_o = [c for c, _ in plan["order"]]
+        desc = [d for _, d in plan["order"]]
+        if plan["limit"] is not None:
+            return R.order_by_limit(out, keys_o, descending=desc,
+                                    limit=plan["limit"])
+        return out.sort(keys_o, descending=desc)
+    if plan["limit"] is not None:
+        return out.limit(plan["limit"])
+    return out
+
+
+def _resolve_skip_aggs(node, resolve):
+    """Resolve col refs OUTSIDE agg nodes only (agg args were resolved
+    into the pre-projection; the agg node itself becomes a column)."""
+    if node[0] == "agg":
+        return node
+    if node[0] in ("lit", "col", "qcol"):
+        return resolve(node)
+    if node[0] == "in":
+        return ("in", _resolve_skip_aggs(node[1], resolve),
+                [_resolve_skip_aggs(v, resolve) for v in node[2]])
+    if node[0] == "concat":
+        return ("concat", [_resolve_skip_aggs(a, resolve) for a in node[1]])
+    if node[0] == "substr":
+        return ("substr", _resolve_skip_aggs(node[1], resolve),
+                _resolve_skip_aggs(node[2], resolve),
+                None if node[3] is None
+                else _resolve_skip_aggs(node[3], resolve))
+    if node[0] == "cast":
+        return ("cast", _resolve_skip_aggs(node[1], resolve), node[2])
+    return (node[0], *(_resolve_skip_aggs(c, resolve) for c in node[1:]))
+
+
+def _build_scope(plan, tables):
+    """Name resolution across the FROM/JOIN chain: returns
+    (aliases, schemas, outname) where outname maps (alias, col) to the
+    column name in the joined output (Dataset.join drops the right key
+    and suffixes collisions)."""
+    aliases = [(plan["table_alias"], plan["table"])] + [
+        (j["alias"], j["table"]) for j in plan["joins"]
+    ]
+    for alias, tbl in aliases:
+        if tbl not in tables:
+            raise ValueError(f"unknown table {tbl}")
+    schemas = {a: list(tables[t].schema().names) for a, t in aliases}
+    outname: dict[tuple[str, str], str] = {}
+    cur: set[str] = set()
+    base = plan["table_alias"]
+    for c in schemas[base]:
+        outname[(base, c)] = c
+        cur.add(c)
+    for i, j in enumerate(plan["joins"]):
+        suf = f"_j{i}"
+        for c in schemas[j["alias"]]:
+            nm = c if c not in cur else c + suf
+            outname[(j["alias"], c)] = nm
+            cur.add(nm)
+    return aliases, schemas, outname
+
+
+def _owner_of(col, schemas, aliases):
+    owners = [a for a, _ in aliases if col in schemas[a]]
+    if not owners:
+        raise ValueError(f"unknown column {col}")
+    if len(owners) > 1:
+        raise ValueError(f"ambiguous column {col} (in {owners})")
+    return owners[0]
+
+
+def _refs(node, schemas, aliases):
+    """Aliases referenced by an expression (bare cols resolved by
+    unique ownership)."""
+    out = set()
+    for n in _walk(node):
+        if n[0] == "qcol":
+            out.add(n[1])
+        elif n[0] == "col":
+            out.add(_owner_of(n[1], schemas, aliases))
+    return out
+
+
+def sql_query(sql: str, tables: dict, num_partitions: int = 16):
     """Execute a SELECT string against named Datasets.  Returns a
-    Dataset; lazy/streaming except for the distributed ORDER BY/LIMIT
-    tail."""
+    Dataset; lazy/streaming except for the join / GROUP BY shuffles and
+    the distributed ORDER BY/LIMIT tail."""
     from . import relational as R
 
     plan = parse_select(sql)
+    where, items = plan["where"], plan["items"]
+
+    if plan["joins"] or plan["group"] or (
+        items is not None and any(_has_agg(e) for e, _ in items)
+    ):
+        return _run_join_agg(plan, tables, num_partitions)
+
     if plan["table"] not in tables:
         raise ValueError(f"unknown table {plan['table']}")
     ds = tables[plan["table"]]
-    where, items = plan["where"], plan["items"]
 
     out_names = (
         None

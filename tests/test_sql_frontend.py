@@ -58,3 +58,111 @@ def test_scalar_functions(ray_session):
 def test_select_star_order(ray_session):
     df = _run("SELECT * FROM t ORDER BY a DESC LIMIT 1")
     assert df.iloc[0]["name"] == "eps"
+
+
+# ---------------------------------------------- JOIN / GROUP BY
+# (ogr_gensql.cpp:1319-1510 secondary-table join; PrepareSummary
+# aggregates :849 — here generalised to keyed GROUP BY)
+
+
+def _two_tables():
+    left = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "k": pa.array([10, 20, 10, 30, 20, 99], pa.int64()),
+            "v": pa.array([1.5, 2.5, 3.5, 4.5, 5.5, 6.5], pa.float64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([10, 20, 30], pa.int64()),
+            "tag": pa.array(["x", "y", "z"], pa.string()),
+        }
+    )
+    return left, right
+
+
+def _run2(sql):
+    import ray.data as rd
+
+    from gdal_ray.pipelines.sql import sql_query
+
+    left, right = _two_tables()
+    return sql_query(
+        sql, {"l": rd.from_arrow(left), "r": rd.from_arrow(right)}
+    ).to_pandas()
+
+
+def _duck2(sql):
+    import duckdb
+
+    left, right = _two_tables()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    return con.execute(sql).df()
+
+
+def _assert_matches_duck(sql):
+    import pandas as pd
+
+    a = _run2(sql).reset_index(drop=True)
+    b = _duck2(sql).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
+    )
+
+
+def test_inner_join(ray_session):
+    _assert_matches_duck(
+        "SELECT l.id, r.tag FROM l JOIN r ON l.k = r.k ORDER BY id ASC"
+    )
+
+
+def test_left_join_null_fill(ray_session):
+    _assert_matches_duck(
+        "SELECT l.id, r.tag FROM l LEFT JOIN r ON l.k = r.k ORDER BY id ASC"
+    )
+
+
+def test_join_where_pushdown(ray_session):
+    _assert_matches_duck(
+        "SELECT l.id, l.v, r.tag FROM l JOIN r ON l.k = r.k "
+        "WHERE l.v > 2 AND r.tag <> 'z' ORDER BY id ASC"
+    )
+
+
+def test_group_by_aggregates(ray_session):
+    _assert_matches_duck(
+        "SELECT k, COUNT(*) AS n, SUM(v) AS sv, MIN(v) AS lo, "
+        "MAX(v) AS hi, AVG(v) AS av FROM l GROUP BY k ORDER BY k ASC"
+    )
+
+
+def test_join_group_by(ray_session):
+    _assert_matches_duck(
+        "SELECT r.tag, COUNT(*) AS n, CAST(SUM(l.v * 2) AS BIGINT) AS s2 "
+        "FROM l JOIN r ON l.k = r.k GROUP BY r.tag ORDER BY tag ASC"
+    )
+
+
+def test_global_aggregate_no_group(ray_session):
+    _assert_matches_duck("SELECT COUNT(*) AS n, SUM(v) AS sv FROM l")
+
+
+def test_count_col_counts_non_null(ray_session):
+    # left join leaves tag NULL for k=99: COUNT(col) skips it
+    _assert_matches_duck(
+        "SELECT COUNT(r.tag) AS nn, COUNT(*) AS nall "
+        "FROM l LEFT JOIN r ON l.k = r.k"
+    )
+
+
+def test_join_rejects_non_equi(ray_session):
+    with pytest.raises(ValueError):
+        parse_select("SELECT l.id FROM l JOIN r ON l.k > r.k")
+
+
+def test_agg_in_where_rejected(ray_session):
+    with pytest.raises(ValueError):
+        _run2("SELECT k FROM l WHERE SUM(v) > 3 GROUP BY k")
