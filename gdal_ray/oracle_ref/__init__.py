@@ -29,7 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-CACHE_ROOT = "/tmp/gdal_ray_oracle/v2"
+CACHE_ROOT = "/tmp/gdal_ray_oracle/v3"
 
 
 def _scale_tag(sf_dir: str) -> str:

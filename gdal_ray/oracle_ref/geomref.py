@@ -643,6 +643,39 @@ def _clip_rect_ref(vx, vy, minx, miny, maxx, maxy):
     return pts
 
 
+def _segmentize_ref(vx, vy, max_len: float):
+    """OGRSimpleCurve::segmentize contract (ogr/ogrlinestring.cpp:2661)
+    over the closed ring: per-edge densify with the reference's
+    relative epsilons (1e-5 square-length slack, 1e-2 rounding guard)
+    and exact double expression p_i + j * (d / (k+1)).  Returns
+    (n_points_out, fsum of every output coordinate) — fsum is the
+    correctly-rounded sum, so accumulation order cannot differ."""
+    import math
+
+    xs = [float(v) for v in vx] + [float(vx[0])]
+    ys = [float(v) for v in vy] + [float(vy[0])]
+    sq_max = max_len * max_len
+    ox, oy = [], []
+    n = len(xs)
+    for i in range(n):
+        ox.append(xs[i])
+        oy.append(ys[i])
+        if i == n - 1:
+            break
+        dx = xs[i + 1] - xs[i]
+        dy = ys[i + 1] - ys[i]
+        sq = dx * dx + dy * dy
+        if sq - sq_max > 1e-5 * sq_max:
+            k = int(math.floor(math.sqrt(sq / sq_max) - 1e-2))
+            rx = dx / (k + 1.0)
+            ry = dy / (k + 1.0)
+            for j in range(1, k + 1):
+                ox.append(xs[i] + j * rx)
+                oy.append(ys[i] + j * ry)
+    return len(ox), math.fsum(ox + oy)
+
+
+
 def q57_geometry_ops(sf_dir: str) -> pd.DataFrame:
     import math
 
@@ -664,6 +697,12 @@ def q57_geometry_ops(sf_dir: str) -> pd.DataFrame:
         cxm, cym = _centroid_milli_ref(vx, vy)
         rows.append(("centroid", kk, cxm, cym, 0.0))
         rows.append(("simplify", kk, len(vx), _dp_ref(vx, vy, 500.0), 0.0))
+        n_seg, seg_sum = _segmentize_ref(vx, vy, 3000.0)
+        rows.append(("segmentize", kk, len(vx) + 1, n_seg, seg_sum))
+        sxm, sym = _centroid_milli_ref(vy, vx)  # swapped axes
+        rows.append(("swapxy", kk, sxm, sym, 0.0))
+        rows.append(("explode", kk, 0, len(vx), 0.0))
+        rows.append(("explode", kk, 1, len(vx), 0.0))
         pts = _clip_rect_ref(
             vx, vy, cx + 2000.0 - 6000.0, cy - 6000.0, cx + 2000.0 + 6000.0,
             cy + 6000.0

@@ -172,33 +172,116 @@ def _qraw_model(px: np.ndarray) -> np.ndarray:
     return np.minimum((px >> 3).astype(np.uint16) * 8 + 4, 255).astype(np.uint8)
 
 
-def q31_translate(sf_dir: str) -> pd.DataFrame:
-    """gdal_translate recipe of q31: srcwin (2,2,12,12) -> resize 24x24
+def _translate_cs(row, px: np.ndarray) -> list[int]:
+    """gdal_translate recipe: srcwin (2,2,12,12) -> resize 24x24
     bilinear -> bands [2,1,0] -> scale (0,255)->(30,220), re-encoded in
     the chip's own fmt, then GDAL checksums of the re-decoded output."""
-    df = _fixture_images(sf_dir)
-    ids, csr, csg, csb = [], [], [], []
     f = (220.0 - 30.0) / max(255.0 - 0.0, 1e-12)
+    img = px[2 : 2 + 12, 2 : 2 + 12]
+    img = _resize_bilinear(img, 24, 24)
+    img = img[:, :, [2, 1, 0]]
+    out = (img.astype(np.float64) - 0.0) * f + 30.0
+    img = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    if row.fmt == "qraw":  # re-encode model (encode->decode round trip)
+        img = _qraw_model(img)
+    return [_cs_band(img[:, :, b]) for b in range(3)]
+
+
+def _reclassify_cs(px: np.ndarray) -> int:
+    """Interval mapping '[0,63]=10;(63,127]=20;[128,191)=30;255=77;
+    DEFAULT=40' applied to band 0 — expressed as an np.select over
+    explicit integer-range conditions (the parse/nextafter machinery of
+    vrtreclassifier.cpp collapses to these ranges on uint8 input)."""
+    v = px[:, :, 0].astype(np.float64)
+    out = np.select(
+        [v <= 63, v <= 127, (v >= 128) & (v <= 190), v == 255],
+        [10.0, 20.0, 30.0, 77.0],
+        default=40.0,
+    )
+    return _cs_float(out.astype(np.float32))
+
+
+def _unscale_cs(px: np.ndarray) -> int:
+    """out = v * 0.5 + 10 per band, float32."""
+    out = px.astype(np.float32) * np.float32(0.5) + np.float32(10.0)
+    return sum(_cs_float(out[:, :, b]) for b in range(out.shape[2]))
+
+
+def _n2a_cs(px: np.ndarray) -> int:
+    """Alpha from NODATA_VALUES (0,0,0): 0 where all bands zero."""
+    allnd = (px == 0).all(axis=2)
+    return _cs_band(np.where(allnd, 0, 255).astype(np.uint8))
+
+
+def _color_merge_cs(px: np.ndarray) -> int:
+    """HSV merge with the chip's own band 0 as the value channel
+    (gdalalg_raster_color_merge.cpp:134-230 float32 contract, mask-
+    assignment structure rather than nested np.where)."""
+    r = px[:, :, 0].astype(np.int32)
+    g = px[:, :, 1].astype(np.int32)
+    b = px[:, :, 2].astype(np.int32)
+    minc = np.min(px.astype(np.int32), axis=2)
+    maxc = np.max(px.astype(np.int32), axis=2)
+    d = maxc - minc
+    s = d.astype(np.float32) / np.maximum(1, maxc).astype(np.float32)
+    d6 = np.where(d == 0, np.float32(1.0), np.float32(6.0) * d.astype(np.float32))
+    h = np.empty(r.shape, np.float32)
+    m_b = maxc == b
+    m_g = (maxc == g) & ~m_b
+    m_r = ~m_b & ~m_g
+    h[m_b] = (np.float32(4.0) / np.float32(6.0) + (r - g).astype(np.float32) / d6)[m_b]
+    h[m_g] = (np.float32(2.0) / np.float32(6.0) + (b - r).astype(np.float32) / d6)[m_g]
+    tmp = (g - b).astype(np.float32) / d6
+    h[m_r] = np.where(tmp < 0, tmp + np.float32(1.0), tmp)[m_r]
+
+    v = px[:, :, 0]  # gray = band 0
+    vf = v.astype(np.float32)
+    i = (np.float32(6.0) * h).astype(np.int32)
+    f = np.float32(6.0) * h - i.astype(np.float32)
+    p = (vf * (np.float32(1.0) - s) + np.float32(0.5)).astype(np.uint8)
+    q = (vf * (np.float32(1.0) - s * f) + np.float32(0.5)).astype(np.uint8)
+    t = (vf * (np.float32(1.0) - s * (np.float32(1.0) - f)) + np.float32(0.5)).astype(np.uint8)
+    vv = v.astype(np.uint8)
+    # choose_among tables (index >5 falls to the last entry)
+    ic = np.minimum(np.maximum(i, 0), 5)
+    sel_r = [vv, q, p, p, t, vv]
+    sel_g = [t, vv, vv, q, p, p]
+    sel_b = [p, p, t, vv, vv, q]
+    out = np.empty(px.shape, np.uint8)
+    for k in range(6):
+        m = ic == k
+        out[:, :, 0][m] = sel_r[k][m]
+        out[:, :, 1][m] = sel_g[k][m]
+        out[:, :, 2][m] = sel_b[k][m]
+    return sum(_cs_band(out[:, :, bb]) for bb in range(3))
+
+
+def q31_raster_steps(sf_dir: str) -> pd.DataFrame:
+    """Raster pipeline step suite: translate / reclassify / unscale /
+    nodata-to-alpha / HSV color-merge / self band-stack, one op-tagged
+    checksum row per chip."""
+    df = _fixture_images(sf_dir)
+    ids, ops, css = [], [], []
+
+    def add(iid, op, cs):
+        ids.append(iid)
+        ops.append(op)
+        css.append(int(cs))
+
     for row, px in _iter_chips(df):
-        img = px[2 : 2 + 12, 2 : 2 + 12]
-        img = _resize_bilinear(img, 24, 24)
-        img = img[:, :, [2, 1, 0]]
-        out = (img.astype(np.float64) - 0.0) * f + 30.0
-        img = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
-        if row.fmt == "qraw":  # re-encode model (encode->decode round trip)
-            img = _qraw_model(img)
-        cs = [_cs_band(img[:, :, b]) for b in range(3)]
-        ids.append(row.image_id)
-        csr.append(cs[0])
-        csg.append(cs[1])
-        csb.append(cs[2])
+        tcs = _translate_cs(row, px)
+        add(row.image_id, "translate_r", tcs[0])
+        add(row.image_id, "translate_g", tcs[1])
+        add(row.image_id, "translate_b", tcs[2])
+        add(row.image_id, "reclassify", _reclassify_cs(px))
+        add(row.image_id, "unscale", _unscale_cs(px))
+        add(row.image_id, "nodata_to_alpha", _n2a_cs(px))
+        add(row.image_id, "color_merge", _color_merge_cs(px))
+        # self-stack: 6 identical-pair bands => twice the per-band sum
+        add(row.image_id, "stack",
+            2 * sum(_cs_band(px[:, :, b]) for b in range(3)))
     return pd.DataFrame(
-        {
-            "image_id": ids,
-            "cs_r": np.asarray(csr, np.int64),
-            "cs_g": np.asarray(csg, np.int64),
-            "cs_b": np.asarray(csb, np.int64),
-        }
+        {"image_id": ids, "op": ops, "cs": np.asarray(css, np.int64)}
     )
 
 
@@ -1279,7 +1362,7 @@ GOLDENS = {
     "q52_jpeg_roundtrip": (q52_jpeg_roundtrip, ["image_id"]),
     "q54_grid_metrics": (q54_grid_metrics, ["z", "x", "y"]),
     "q55_color_relief": (q55_color_relief, ["image_id"]),
-    "q31_translate": (q31_translate, ["image_id"]),
+    "q31_raster_steps": (q31_raster_steps, ["image_id", "op"]),
     "q32_hillshade": (q32_hillshade, ["image_id"]),
     "q35_grid_invdist": (q35_grid_invdist, ["algorithm", "z", "x", "y"]),
     "q37_point_query": (q37_point_query, ["pid", "image_id"]),

@@ -1134,26 +1134,110 @@ def q30_band_histogram(sf_dir: str):
     )
 
 
-def q31_translate(sf_dir: str):
-    """gdal_translate analog: srcwin crop + 2x resize + band reorder +
-    linear scale; returns per-chip output checksums."""
+def q31_raster_steps(sf_dir: str):
+    """Raster pipeline step suite (`gdal raster ...` step algebra,
+    apps/gdalalg_raster_*.cpp): translate (srcwin crop + resize + band
+    reorder + scale), reclassify (vrtreclassifier.cpp interval
+    mapping), unscale, nodata-to-alpha (NODATA_VALUES tuple), HSV
+    color-merge (gdalalg_raster_color_merge.cpp), and band stack —
+    each as one op-tagged checksum row per chip.  The two-input ops
+    (color-merge, stack) pair their sides by image_id through ONE
+    co-partition shuffle."""
     import ray.data as rd
 
+    from ..functions import checksum
+    from ..stages import pixelops
     from ..stages.stats import image_checksums
     from ..stages.translate import translate_images
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
-    imgs = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"])
-    out = translate_images(
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+    imgs = rd.read_parquet(paths["images"], columns=cols + ["minx", "miny", "maxx", "maxy"])
+
+    tr = translate_images(
         imgs,
-        concurrency=4,
+        # autoscaling pool: fixed pools in a 6-way unioned plan can
+        # reserve every CPU and starve the task operators (deadlock)
+        concurrency=(1, 4),
         srcwin=(2, 2, 12, 12),
         out_size=(24, 24),
         resampling="bilinear",
         bands=[2, 1, 0],
         scale=(0, 255, 30, 220),
     )
-    return image_checksums(out).sort("image_id")
+
+    def translate_rows(t: pa.Table) -> pa.Table:
+        ids, ops, vals = [], [], []
+        for i in range(t.num_rows):
+            iid = t.column("image_id")[i].as_py()
+            for op, col in (
+                ("translate_r", "cs_r"),
+                ("translate_g", "cs_g"),
+                ("translate_b", "cs_b"),
+            ):
+                ids.append(iid)
+                ops.append(op)
+                vals.append(t.column(col)[i].as_py())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "op": pa.array(ops, pa.string()),
+                "cs": pa.array(vals, pa.int64()),
+            }
+        )
+
+    chips = rd.read_parquet(paths["images"], columns=cols)
+    suite = [
+        image_checksums(tr).map_batches(translate_rows, batch_format="pyarrow"),
+        pixelops.reclassify_images(
+            chips,
+            "[0,63]=10;(63,127]=20;[128,191)=30;255=77;DEFAULT=40",
+        ),
+        pixelops.unscale_images(chips, scale=0.5, offset=10.0),
+        pixelops.nodata_to_alpha_images(chips, nodata=(0.0, 0.0, 0.0)),
+        pixelops.color_merge_images(chips, chips),
+        pixelops.stack_images(chips, chips),
+    ]
+
+    def cs_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        ops = t.column("op").to_pylist()
+        ws = t.column("w").to_pylist()
+        hs = t.column("h").to_pylist()
+        dts = t.column("dtype").to_pylist()
+        data = t.column("data").to_pylist()
+        vals = []
+        for i in range(t.num_rows):
+            w, h = ws[i], hs[i]
+            if dts[i] == "uint8":
+                a = np.frombuffer(data[i], np.uint8)
+                nb = a.size // (w * h)
+                a = a.reshape(h, w, nb)
+                vals.append(
+                    sum(int(checksum.checksum_band(a[:, :, b])) for b in range(nb))
+                )
+            else:
+                a = np.frombuffer(data[i], np.float32)
+                nb = a.size // (w * h)
+                a = a.reshape(h, w, nb)
+                vals.append(
+                    sum(
+                        int(checksum.checksum_float_band(a[:, :, b]))
+                        for b in range(nb)
+                    )
+                )
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "op": pa.array(ops, pa.string()),
+                "cs": pa.array(vals, pa.int64()),
+            }
+        )
+
+    out = suite[0]
+    for ds in suite[1:]:
+        out = out.union(ds.map_batches(cs_rows, batch_format="pyarrow"))
+    return out.sort(["image_id", "op"])
 
 
 def q32_hillshade(sf_dir: str):
@@ -2237,13 +2321,18 @@ def q57_geometry_ops(sf_dir: str):
     'centroid' (exact int64/big-int area-weighted centroid),
     'simplify' (Douglas-Peucker, exact integer distance tests),
     'buffer' (point buffer 32-gon, exact doubled shoelace area),
-    'clip' (Sutherland-Hodgman rect window, fsum shoelace area) —
-    long format (kind, fid, a, b, v)."""
+    'clip' (Sutherland-Hodgman rect window, fsum shoelace area),
+    'segmentize' (ogrlinestring.cpp:2661 densify, fsum coord sum),
+    'swapxy' (swap then re-centroid), 'explode' (collection ->
+    one row per part) — long format (kind, fid, a, b, v)."""
     from ..stages.geomops import (
         buffer_points_batch,
         centroid_batch,
         clip_rect_batch,
+        explode_two_part_batch,
+        segmentize_batch,
         simplify_batch,
+        swap_xy_batch,
     )
 
     ngons = _derive_ngons(sf_dir)
@@ -2310,7 +2399,53 @@ def q57_geometry_ops(sf_dir: str):
     clip = ngons.map_batches(
         clip_rect_batch(dx=2000.0, half=6000.0), batch_format="pyarrow"
     ).map_batches(tag_clip, batch_format="pyarrow")
-    return cen.union(simp).union(buf).union(clip).sort(["kind", "fid"])
+
+    def tag_segmentize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["segmentize"] * t.num_rows, pa.string()),
+                "fid": t.column("fid"),
+                "a": t.column("n_in"),
+                "b": t.column("n_out"),
+                "v": t.column("coord_fsum"),
+            }
+        )
+
+    def tag_swapxy(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["swapxy"] * t.num_rows, pa.string()),
+                "fid": t.column("fid"),
+                "a": t.column("cx_milli"),
+                "b": t.column("cy_milli"),
+                "v": pa.array(np.zeros(t.num_rows), pa.float64()),
+            }
+        )
+
+    def tag_explode(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["explode"] * t.num_rows, pa.string()),
+                "fid": t.column("fid"),
+                "a": t.column("part"),
+                "b": t.column("n_pts"),
+                "v": pa.array(np.zeros(t.num_rows), pa.float64()),
+            }
+        )
+
+    seg = ngons.map_batches(
+        segmentize_batch(3000.0), batch_format="pyarrow"
+    ).map_batches(tag_segmentize, batch_format="pyarrow")
+    swp = (
+        ngons.map_batches(swap_xy_batch, batch_format="pyarrow")
+        .map_batches(centroid_batch, batch_format="pyarrow")
+        .map_batches(tag_swapxy, batch_format="pyarrow")
+    )
+    exp = ngons.map_batches(
+        explode_two_part_batch(offset_x=1.0e6), batch_format="pyarrow"
+    ).map_batches(tag_explode, batch_format="pyarrow")
+    out = cen.union(simp).union(buf).union(clip).union(seg).union(swp)
+    return out.union(exp).sort(["kind", "fid"])
 
 
 def _attach_affine_gcps(t: pa.Table) -> pa.Table:
@@ -2487,7 +2622,7 @@ QUERIES = {
     "q27_knn_cell_ring": q27_knn_cell_ring,
     "q28_embedding_neardup": q28_embedding_neardup,
     "q29_band_stats_hist": q29_band_stats_hist,
-    "q31_translate": q31_translate,
+    "q31_raster_steps": q31_raster_steps,
     "q32_hillshade": q32_hillshade,
     "q33_rasterize_polygonize": q33_rasterize_polygonize,
     "q34_checkpointed_tiles": q34_checkpointed_tiles,

@@ -276,3 +276,116 @@ def clip_rect_batch(dx: float, half: float):
 
     fn.__name__ = f"clip_rect_dx{dx}"
     return fn
+
+
+# ---------------------------------------------------------- segmentize
+
+
+def segmentize_points(pts: np.ndarray, max_len: float) -> np.ndarray:
+    """OGRSimpleCurve::segmentize (ogr/ogrlinestring.cpp:2661-2825):
+    densify so no segment exceeds ``max_len``.  Exact reference
+    semantics: direction-canonicalisation (reverse when first < last
+    by (x, y), segmentize, reverse back), the relative epsilons
+    1e-5 (length-square test) and 1e-2 (rounding guard), intermediate
+    points at p_i + j * (d / (n+1)) in doubles."""
+    n = len(pts)
+    if max_len <= 0:
+        raise ValueError("max_len must be strictly positive")
+    if n < 2:
+        return pts
+    if pts[0, 0] < pts[-1, 0] or (
+        pts[0, 0] == pts[-1, 0] and pts[0, 1] < pts[-1, 1]
+    ):
+        return segmentize_points(pts[::-1], max_len)[::-1]
+    sq_max = max_len * max_len
+    out_x: list[float] = []
+    out_y: list[float] = []
+    for i in range(n):
+        out_x.append(pts[i, 0])
+        out_y.append(pts[i, 1])
+        if i == n - 1:
+            break
+        dx = pts[i + 1, 0] - pts[i, 0]
+        dy = pts[i + 1, 1] - pts[i, 1]
+        sq = dx * dx + dy * dy
+        if sq - sq_max > 1e-5 * sq_max:
+            n_int = int(math.floor(math.sqrt(sq / sq_max) - 1e-2))
+            rx = dx / (n_int + 1.0)
+            ry = dy / (n_int + 1.0)
+            j = np.arange(1, n_int + 1, dtype=np.float64)
+            out_x.extend(pts[i, 0] + j * rx)
+            out_y.extend(pts[i, 1] + j * ry)
+    return np.column_stack([np.asarray(out_x), np.asarray(out_y)])
+
+
+def segmentize_batch(max_len: float):
+    """Per-ring segmentize over the CLOSED ring (first vertex appended
+    to the tail, matching the polygon-boundary linestring); emits
+    (fid, n_in, n_out, coord_fsum) where coord_fsum is the correctly-
+    rounded sum of every output coordinate (order-independent)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        fid, rings = _rings_from_table(t)
+        n_in = np.empty(len(rings), np.int64)
+        n_out = np.empty(len(rings), np.int64)
+        csum = np.empty(len(rings), np.float64)
+        for i, r in enumerate(rings):
+            closed = np.vstack([r, r[:1]])
+            seg = segmentize_points(closed, max_len)
+            n_in[i] = len(closed)
+            n_out[i] = len(seg)
+            csum[i] = math.fsum(seg.ravel().tolist())
+        return pa.table(
+            {
+                "fid": pa.array(fid, pa.int64()),
+                "n_in": pa.array(n_in, pa.int64()),
+                "n_out": pa.array(n_out, pa.int64()),
+                "coord_fsum": pa.array(csum, pa.float64()),
+            }
+        )
+
+    fn.__name__ = f"segmentize_{max_len}"
+    return fn
+
+
+# ------------------------------------------------------------- swap_xy
+
+
+def swap_xy_batch(t: pa.Table) -> pa.Table:
+    """gdal vector swap-xy (apps/gdalalg_vector_swap_xy.cpp,
+    OGRSimpleCurve::swapXY ogr/ogrlinestring.cpp:2841): exchange x/y
+    in the ring columns (zero-copy column swap)."""
+    cols = {c: t.column(c) for c in t.column_names}
+    cols["xs"], cols["ys"] = t.column("ys"), t.column("xs")
+    if "cx" in cols and "cy" in cols:
+        cols["cx"], cols["cy"] = t.column("cy"), t.column("cx")
+    return pa.table(cols)
+
+
+# -------------------------------------------------- explode collections
+
+
+def explode_two_part_batch(offset_x: float):
+    """gdal vector explode-collections
+    (apps/gdalalg_vector_explode_collections.cpp): one output feature
+    per geometry part.  Fixture collections are (ring, ring shifted by
+    offset_x); emits one row per part (fid, part, n_pts)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        fid, rings = _rings_from_table(t)
+        out_f, out_p, out_n = [], [], []
+        for i, r in enumerate(rings):
+            for part, ring in enumerate((r, r + np.array([offset_x, 0.0]))):
+                out_f.append(int(fid[i]))
+                out_p.append(part)
+                out_n.append(len(ring))
+        return pa.table(
+            {
+                "fid": pa.array(out_f, pa.int64()),
+                "part": pa.array(out_p, pa.int64()),
+                "n_pts": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    fn.__name__ = "explode_two_part"
+    return fn

@@ -63,3 +63,72 @@ def test_clip_nonconvex_subject_area():
     )
     out = clip_ring_rect(L, 0.0, 0.0, 50.0, 200.0)
     assert abs(ring_area_fsum(out) - 50.0 * 200.0) < 1e-9
+
+
+# ------------------------------------------- segmentize / swap / explode
+
+
+def test_segmentize_short_segments_untouched():
+    from gdal_ray.stages.geomops import segmentize_points
+
+    pts = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])
+    out = segmentize_points(pts[::-1], 10.0)  # direction-canonicalised
+    assert np.array_equal(out, pts[::-1])
+
+
+def test_segmentize_inserts_uniform_points():
+    from gdal_ray.stages.geomops import segmentize_points
+
+    pts = np.array([[10.0, 0.0], [0.0, 0.0]])  # first > last: no reverse
+    out = segmentize_points(pts, 3.0)
+    # d=10, L=3: n_int = floor(10/3 - 0.01) = 3 -> 5 points total
+    assert len(out) == 5
+    assert np.allclose(np.diff(out[:, 0]), -2.5)
+
+
+def test_segmentize_direction_independent():
+    from gdal_ray.stages.geomops import segmentize_points
+
+    a = np.array([[0.0, 0.0], [7.0, 3.0], [20.0, 5.0]])
+    fwd = segmentize_points(a, 2.0)
+    rev = segmentize_points(a[::-1], 2.0)
+    assert np.array_equal(fwd, rev[::-1])
+
+
+def test_segmentize_epsilon_guard():
+    from gdal_ray.stages.geomops import segmentize_points
+
+    # exactly max_len: within the 1e-5 relative slack -> untouched
+    pts = np.array([[3.0, 0.0], [0.0, 0.0]])
+    assert len(segmentize_points(pts, 3.0)) == 2
+
+
+def test_swap_xy_batch_swaps_columns():
+    from gdal_ray.stages.geomops import swap_xy_batch
+
+    t = pa.table(
+        {
+            "fid": pa.array([1], pa.int64()),
+            "xs": pa.array([[1.0, 2.0]], pa.list_(pa.float64())),
+            "ys": pa.array([[3.0, 4.0]], pa.list_(pa.float64())),
+        }
+    )
+    out = swap_xy_batch(t)
+    assert out.column("xs").to_pylist() == [[3.0, 4.0]]
+    assert out.column("ys").to_pylist() == [[1.0, 2.0]]
+
+
+def test_explode_two_part_counts():
+    from gdal_ray.stages.geomops import explode_two_part_batch
+
+    t = pa.table(
+        {
+            "fid": pa.array([7], pa.int64()),
+            "xs": pa.array([[0.0, 1.0, 0.5]], pa.list_(pa.float64())),
+            "ys": pa.array([[0.0, 0.0, 1.0]], pa.list_(pa.float64())),
+        }
+    )
+    out = explode_two_part_batch(100.0)(t)
+    assert out.column("fid").to_pylist() == [7, 7]
+    assert out.column("part").to_pylist() == [0, 1]
+    assert out.column("n_pts").to_pylist() == [3, 3]

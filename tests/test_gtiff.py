@@ -1,0 +1,117 @@
+"""GTiff/COG tiled writer + reader (sources/gtiff.py)."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.sources.gtiff import (
+    _downsample2x,
+    read_cog,
+    validate_cog_layout,
+    write_cog,
+)
+
+
+def _img(h=300, w=500, nb=3, seed=3):
+    rng = np.random.default_rng(seed)
+    if nb == 1:
+        return rng.integers(0, 256, (h, w), np.uint8)
+    return rng.integers(0, 256, (h, w, nb), np.uint8)
+
+
+def test_roundtrip_rgb_deflate(tmp_path):
+    img = _img()
+    p = str(tmp_path / "a.tif")
+    st = write_cog(p, img, envelope=(0.0, 0.0, 500.0, 300.0))
+    r = read_cog(p)
+    assert np.array_equal(r["img"], img)
+    assert r["envelope"] == (0.0, 0.0, 500.0, 300.0)
+    assert r["cog_layout"]
+    assert st["levels"] == r["levels"] >= 2
+
+
+def test_roundtrip_gray_uncompressed(tmp_path):
+    img = _img(nb=1)
+    p = str(tmp_path / "g.tif")
+    write_cog(p, img, compress="none")
+    r = read_cog(p)
+    assert np.array_equal(r["img"], img)
+
+
+def test_roundtrip_float32(tmp_path):
+    img = (np.arange(200 * 130, dtype=np.float32) / 7.0).reshape(130, 200)
+    p = str(tmp_path / "f.tif")
+    write_cog(p, img)
+    r = read_cog(p)
+    assert r["img"].dtype == np.float32
+    assert np.array_equal(r["img"], img)
+
+
+def test_overview_levels_and_content(tmp_path):
+    img = _img(512, 512)
+    p = str(tmp_path / "o.tif")
+    st = write_cog(p, img, overview_min=128)
+    # 512 -> 256 -> 128: 3 levels
+    assert st["levels"] == 3
+    lvl1 = read_cog(p, level=1)["img"]
+    assert lvl1.shape[:2] == (256, 256)
+    assert np.array_equal(lvl1, _downsample2x(img))
+
+
+def test_cog_layout_contract(tmp_path):
+    img = _img(600, 700)
+    p = str(tmp_path / "c.tif")
+    write_cog(p, img)
+    v = validate_cog_layout(p)
+    assert v["valid"], v
+
+
+def test_ghost_area_markers(tmp_path):
+    p = str(tmp_path / "gh.tif")
+    write_cog(p, _img(64, 64))
+    head = open(p, "rb").read(4096)
+    assert b"GDAL_STRUCTURAL_METADATA_SIZE=" in head
+    assert b"LAYOUT=IFDS_BEFORE_DATA" in head
+    assert b"BLOCK_TRAILER=LAST_4_BYTES_REPEATED" in head
+    assert b"KNOWN_INCOMPATIBLE_EDITION=NO\n " in head
+
+
+def test_rejects_bad_input(tmp_path):
+    with pytest.raises(ValueError):
+        write_cog(str(tmp_path / "x.tif"), np.zeros((4, 4, 2), np.uint8))
+    with pytest.raises(ValueError):
+        write_cog(str(tmp_path / "x.tif"), np.zeros((4, 4), np.int32))
+
+
+def test_sink_resume(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.functions import codecs
+    from gdal_ray.sources.gtiff import write_cog_sink
+
+    imgs = [_img(40, 40, seed=i) for i in range(4)]
+    t = pa.table(
+        {
+            "image_id": pa.array([f"im{i}" for i in range(4)], pa.string()),
+            "bytes": pa.array([codecs.encode(im, "raw") for im in imgs], pa.binary()),
+            "w": pa.array([40] * 4, pa.int32()),
+            "h": pa.array([40] * 4, pa.int32()),
+            "fmt": pa.array(["raw"] * 4, pa.string()),
+            "minx": pa.array([0.0] * 4),
+            "miny": pa.array([0.0] * 4),
+            "maxx": pa.array([40.0] * 4),
+            "maxy": pa.array([40.0] * 4),
+        }
+    )
+    out = str(tmp_path / "cogs")
+    m1 = write_cog_sink(rd.from_arrow(t), out).to_pandas()
+    assert len(m1) == 4 and (m1.levels == 1).all()
+    r = read_cog(m1.path.iloc[0])
+    assert r["envelope"] == (0.0, 0.0, 40.0, 40.0)
+    # second run: everything skipped via resume
+    m2 = write_cog_sink(rd.from_arrow(t), out).to_pandas()
+    assert (m2.levels == -1).all()
+    # pixel equality across the sink boundary
+    for i in range(4):
+        got = read_cog(str(tmp_path / "cogs" / f"im{i}.tif"))["img"]
+        assert np.array_equal(got, imgs[i])
