@@ -1140,103 +1140,34 @@ def q31_raster_steps(sf_dir: str):
     reorder + scale), reclassify (vrtreclassifier.cpp interval
     mapping), unscale, nodata-to-alpha (NODATA_VALUES tuple), HSV
     color-merge (gdalalg_raster_color_merge.cpp), and band stack —
-    each as one op-tagged checksum row per chip.  The two-input ops
-    (color-merge, stack) pair their sides by image_id through ONE
-    co-partition shuffle."""
+    each as one op-tagged checksum row per chip.  Runs through the
+    FUSED one-decode-per-chip actor stage (stages/pixelops.py
+    RasterStepSuite) — the general distributed two-input operators
+    (color_merge_images / stack_images, bucket-hash co-partition) are
+    the public API and are exercised in tests/test_pixelops.py."""
     import ray.data as rd
 
-    from ..functions import checksum
-    from ..stages import pixelops
-    from ..stages.stats import image_checksums
-    from ..stages.translate import translate_images
+    from ..stages.pixelops import raster_step_suite
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
-    cols = ["image_id", "bytes", "w", "h", "fmt"]
-    imgs = rd.read_parquet(paths["images"], columns=cols + ["minx", "miny", "maxx", "maxy"])
-
-    tr = translate_images(
-        imgs,
-        # autoscaling pool: fixed pools in a 6-way unioned plan can
-        # reserve every CPU and starve the task operators (deadlock)
-        concurrency=(1, 4),
-        srcwin=(2, 2, 12, 12),
-        out_size=(24, 24),
-        resampling="bilinear",
-        bands=[2, 1, 0],
-        scale=(0, 255, 30, 220),
+    imgs = rd.read_parquet(
+        paths["images"],
+        columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"],
     )
-
-    def translate_rows(t: pa.Table) -> pa.Table:
-        ids, ops, vals = [], [], []
-        for i in range(t.num_rows):
-            iid = t.column("image_id")[i].as_py()
-            for op, col in (
-                ("translate_r", "cs_r"),
-                ("translate_g", "cs_g"),
-                ("translate_b", "cs_b"),
-            ):
-                ids.append(iid)
-                ops.append(op)
-                vals.append(t.column(col)[i].as_py())
-        return pa.table(
-            {
-                "image_id": pa.array(ids, pa.string()),
-                "op": pa.array(ops, pa.string()),
-                "cs": pa.array(vals, pa.int64()),
-            }
-        )
-
-    chips = rd.read_parquet(paths["images"], columns=cols)
-    suite = [
-        image_checksums(tr).map_batches(translate_rows, batch_format="pyarrow"),
-        pixelops.reclassify_images(
-            chips,
-            "[0,63]=10;(63,127]=20;[128,191)=30;255=77;DEFAULT=40",
+    out = raster_step_suite(
+        imgs,
+        mapping="[0,63]=10;(63,127]=20;[128,191)=30;255=77;DEFAULT=40",
+        translate_kwargs=dict(
+            srcwin=(2, 2, 12, 12),
+            out_size=(24, 24),
+            resampling="bilinear",
+            bands=[2, 1, 0],
+            scale=(0, 255, 30, 220),
         ),
-        pixelops.unscale_images(chips, scale=0.5, offset=10.0),
-        pixelops.nodata_to_alpha_images(chips, nodata=(0.0, 0.0, 0.0)),
-        pixelops.color_merge_images(chips, chips),
-        pixelops.stack_images(chips, chips),
-    ]
-
-    def cs_rows(t: pa.Table) -> pa.Table:
-        ids = t.column("image_id").to_pylist()
-        ops = t.column("op").to_pylist()
-        ws = t.column("w").to_pylist()
-        hs = t.column("h").to_pylist()
-        dts = t.column("dtype").to_pylist()
-        data = t.column("data").to_pylist()
-        vals = []
-        for i in range(t.num_rows):
-            w, h = ws[i], hs[i]
-            if dts[i] == "uint8":
-                a = np.frombuffer(data[i], np.uint8)
-                nb = a.size // (w * h)
-                a = a.reshape(h, w, nb)
-                vals.append(
-                    sum(int(checksum.checksum_band(a[:, :, b])) for b in range(nb))
-                )
-            else:
-                a = np.frombuffer(data[i], np.float32)
-                nb = a.size // (w * h)
-                a = a.reshape(h, w, nb)
-                vals.append(
-                    sum(
-                        int(checksum.checksum_float_band(a[:, :, b]))
-                        for b in range(nb)
-                    )
-                )
-        return pa.table(
-            {
-                "image_id": pa.array(ids, pa.string()),
-                "op": pa.array(ops, pa.string()),
-                "cs": pa.array(vals, pa.int64()),
-            }
-        )
-
-    out = suite[0]
-    for ds in suite[1:]:
-        out = out.union(ds.map_batches(cs_rows, batch_format="pyarrow"))
+        unscale_scale=0.5,
+        unscale_offset=10.0,
+        n2a_nodata=(0.0, 0.0, 0.0),
+    )
     return out.sort(["image_id", "op"])
 
 

@@ -348,12 +348,20 @@ def _merge_one(color: np.ndarray, gray: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=2)
 
 
-def _join_chips(a, b, num_partitions: int = 16):
-    """Co-partition two chip datasets by image_id: ONE shuffle, then
-    per-group pairing (both sides of one image land in one group)."""
+def _join_chips(a, b, num_buckets: int = 64):
+    """Co-partition two chip datasets by hash(image_id) BUCKET: one
+    shuffle into ``num_buckets`` groups (NOT one group per image — a
+    per-image group pays a Python map_groups round per chip, which at
+    20k+ chips dominates wall time), then vectorized id-matched
+    pairing inside each bucket group."""
+    import zlib as _zlib
 
     def tag(side):
         def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("image_id").to_pylist()
+            bk = np.array(
+                [_zlib.crc32(s.encode()) % num_buckets for s in ids], np.int64
+            )
             return pa.table(
                 {
                     "image_id": t.column("image_id"),
@@ -361,9 +369,8 @@ def _join_chips(a, b, num_partitions: int = 16):
                     "w": t.column("w"),
                     "h": t.column("h"),
                     "fmt": t.column("fmt"),
-                    "__side": pa.array(
-                        np.full(t.num_rows, side, np.int8)
-                    ),
+                    "__side": pa.array(np.full(t.num_rows, side, np.int8)),
+                    "__bucket": pa.array(bk),
                 }
             )
 
@@ -372,46 +379,169 @@ def _join_chips(a, b, num_partitions: int = 16):
     both = a.map_batches(tag(0), batch_format="pyarrow").union(
         b.map_batches(tag(1), batch_format="pyarrow")
     )
-    return both.groupby("image_id")
+    return both.groupby("__bucket")
 
 
-def color_merge_images(color, gray_band, concurrency: int = 4):
-    """HSV merge: hue+saturation from `color`, value from band 0 of
-    `gray_band`, paired by image_id (one co-partition shuffle)."""
+def _paired_merge(op: str, merge_fn):
+    """Group fn: match side-0/side-1 rows by image_id inside a bucket
+    and apply merge_fn(img_a, img_b) per matched pair."""
 
-    def merge(g: pa.Table) -> pa.Table:
+    def fn(g: pa.Table) -> pa.Table:
         side = g.column("__side").to_numpy(zero_copy_only=False)
-        ca = g.filter(pa.array(side == 0))
-        gb = g.filter(pa.array(side == 1))
-        if ca.num_rows != 1 or gb.num_rows != 1:
-            return _emit([], "color_merge")
-        (iid, cimg), (_, gimg) = next(_decode_batch(ca)), next(_decode_batch(gb))
-        out = _merge_one(cimg, gimg[:, :, 0])
-        return _emit(
-            [(iid, out.shape[1], out.shape[0], "uint8", out.tobytes())],
-            "color_merge",
-        )
+        ids = g.column("image_id").to_pylist()
+        pos_a = {ids[i]: i for i in np.flatnonzero(side == 0)}
+        rows = []
+        data = g.column("bytes").to_pylist()
+        ws = g.column("w").to_pylist()
+        hs = g.column("h").to_pylist()
+        fmts = g.column("fmt").to_pylist()
 
-    return _join_chips(color, gray_band).map_groups(
-        merge, batch_format="pyarrow"
+        def dec(i):
+            return codecs.decode(data[i], ws[i], hs[i], fmts[i])
+
+        for j in np.flatnonzero(side == 1):
+            i = pos_a.get(ids[j])
+            if i is None:
+                continue
+            out = merge_fn(dec(i), dec(j))
+            rows.append(
+                (ids[j], out.shape[1], out.shape[0], "uint8", out.tobytes())
+            )
+        return _emit(rows, op)
+
+    return fn
+
+
+def color_merge_images(color, gray_band, num_buckets: int = 64):
+    """HSV merge: hue+saturation from `color`, value from band 0 of
+    `gray_band`, paired by image_id (one bucketed co-partition
+    shuffle)."""
+    return _join_chips(color, gray_band, num_buckets).map_groups(
+        _paired_merge("color_merge", lambda a, b: _merge_one(a, b[:, :, 0])),
+        batch_format="pyarrow",
     )
 
 
-def stack_images(a, b, concurrency: int = 4):
+def stack_images(a, b, num_buckets: int = 64):
     """Band stack: channels of `a` then channels of `b` (aligned by
     image_id; gdalalg_raster_stack.cpp band concat)."""
+    return _join_chips(a, b, num_buckets).map_groups(
+        _paired_merge("stack", lambda x, y: np.concatenate([x, y], axis=2)),
+        batch_format="pyarrow",
+    )
 
-    def merge(g: pa.Table) -> pa.Table:
-        side = g.column("__side").to_numpy(zero_copy_only=False)
-        ta = g.filter(pa.array(side == 0))
-        tb = g.filter(pa.array(side == 1))
-        if ta.num_rows != 1 or tb.num_rows != 1:
-            return _emit([], "stack")
-        (iid, ia), (_, ib) = next(_decode_batch(ta)), next(_decode_batch(tb))
-        out = np.concatenate([ia, ib], axis=2)
-        return _emit(
-            [(iid, out.shape[1], out.shape[0], "uint8", out.tobytes())],
-            "stack",
+
+# ----------------------------------------------------- fused step suite
+
+
+class RasterStepSuite:
+    """One-decode-per-chip fused evaluation of the whole step suite
+    (translate + reclassify + unscale + nodata-to-alpha + color-merge
+    + self-stack), emitting (image_id, op, cs) rows directly.
+
+    The driver-facing q31 query uses this fused actor stage so every
+    chip is decoded ONCE (the naive composition decodes 8x and pays a
+    per-image map_groups round for the two-input ops); the general
+    distributed operators above remain the public API for heterogenous
+    inputs and are covered by tests/test_pixelops.py.
+    """
+
+    def __init__(self, mapping: str, translate_kwargs: dict,
+                 unscale_scale: float, unscale_offset: float,
+                 n2a_nodata: tuple):
+        from ..functions import checksum
+        from .translate import TranslateChips
+
+        self.spec = parse_mapping(mapping)
+        self.translate = TranslateChips(**translate_kwargs)
+        self.us = np.float32(unscale_scale)
+        self.uo = np.float32(unscale_offset)
+        self.nd = np.asarray(n2a_nodata, np.float64)
+        self.cs_band = checksum.checksum_band
+        self.cs_float = checksum.checksum_float_band
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        data = t.column("bytes").to_pylist()
+        ws = t.column("w").to_pylist()
+        hs = t.column("h").to_pylist()
+        fmts = t.column("fmt").to_pylist()
+        envs = None
+        if "minx" in t.column_names:
+            envs = [
+                (
+                    t.column("minx")[i].as_py(),
+                    t.column("miny")[i].as_py(),
+                    t.column("maxx")[i].as_py(),
+                    t.column("maxy")[i].as_py(),
+                )
+                for i in range(t.num_rows)
+            ]
+        out_i, out_o, out_c = [], [], []
+
+        def add(iid, op, cs):
+            out_i.append(iid)
+            out_o.append(op)
+            out_c.append(int(cs))
+
+        for i in range(t.num_rows):
+            img = codecs.decode(data[i], ws[i], hs[i], fmts[i])
+            iid = ids[i]
+            # translate (physical codec round-trip in the chip's fmt)
+            tr, _ = self.translate._one(
+                img, envs[i] if envs else (0.0, 0.0, float(ws[i]), float(hs[i]))
+            )
+            if tr is not None:
+                dec = codecs.decode(
+                    codecs.encode(tr, fmts[i]), tr.shape[1], tr.shape[0], fmts[i]
+                )
+                add(iid, "translate_r", self.cs_band(dec[:, :, 0]))
+                add(iid, "translate_g", self.cs_band(dec[:, :, 1]))
+                add(iid, "translate_b", self.cs_band(dec[:, :, 2]))
+            # reclassify band 0 -> float32
+            rec = reclassify_array(img[:, :, 0], self.spec).astype(np.float32)
+            add(iid, "reclassify", self.cs_float(rec))
+            # unscale all bands -> float32
+            un = img.astype(np.float32) * self.us + self.uo
+            add(iid, "unscale", sum(
+                self.cs_float(un[:, :, b]) for b in range(un.shape[2])
+            ))
+            # nodata-to-alpha
+            eq = (img.astype(np.float64) == self.nd[None, None, : img.shape[2]]).all(axis=2)
+            add(iid, "nodata_to_alpha", self.cs_band(
+                np.where(eq, 0, 255).astype(np.uint8)
+            ))
+            # color-merge with own band 0 as value channel
+            cm = _merge_one(img, img[:, :, 0])
+            add(iid, "color_merge", sum(
+                self.cs_band(cm[:, :, b]) for b in range(3)
+            ))
+            # self-stack: 6 identical-pair bands
+            add(iid, "stack", 2 * sum(
+                self.cs_band(img[:, :, b]) for b in range(3)
+            ))
+        return pa.table(
+            {
+                "image_id": pa.array(out_i, pa.string()),
+                "op": pa.array(out_o, pa.string()),
+                "cs": pa.array(out_c, pa.int64()),
+            }
         )
 
-    return _join_chips(a, b).map_groups(merge, batch_format="pyarrow")
+
+def raster_step_suite(images, mapping: str, translate_kwargs: dict,
+                      unscale_scale: float, unscale_offset: float,
+                      n2a_nodata: tuple, concurrency=(1, 12)):
+    return images.map_batches(
+        RasterStepSuite,
+        fn_constructor_kwargs=dict(
+            mapping=mapping,
+            translate_kwargs=translate_kwargs,
+            unscale_scale=unscale_scale,
+            unscale_offset=unscale_offset,
+            n2a_nodata=n2a_nodata,
+        ),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
