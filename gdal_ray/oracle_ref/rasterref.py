@@ -1219,14 +1219,100 @@ def _bilinear_grid_ref(img, sx, sy):
     return res
 
 
+def _gauss_solve_ref(A: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Hand-rolled Gaussian elimination with partial pivoting (the
+    independent solver for the TPS golden — structurally different
+    from the engine's LAPACK solve; the 2^-16 coefficient quantization
+    absorbs the arithmetic difference)."""
+    A = A.astype(np.float64).copy()
+    b = b.astype(np.float64).copy()
+    n = len(b)
+    for col in range(n):
+        p = col + int(np.argmax(np.abs(A[col:, col])))
+        if p != col:
+            A[[col, p]] = A[[p, col]]
+            b[[col, p]] = b[[p, col]]
+        piv = A[col, col]
+        for r in range(col + 1, n):
+            f = A[r, col] / piv
+            if f != 0.0:
+                A[r, col:] -= f * A[col, col:]
+                b[r] -= f * b[col]
+    x = np.zeros(n)
+    for r in range(n - 1, -1, -1):
+        x[r] = (b[r] - A[r, r + 1 :] @ x[r + 1 :]) / A[r, r]
+    return x
+
+
+def _phi_ref(d2: np.ndarray) -> np.ndarray:
+    """TPS radial basis (thinplatespline.cpp:179 restated):
+    phi(d2) = d2 * log(d2), phi(0) = 0."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(d2 > 0.0, d2 * np.log(np.maximum(d2, 1e-300)), 0.0)
+
+
+class _TpsRef:
+    """One TPS direction, golden side: same normalization/quantization
+    contract as the engine, independent Gaussian-elimination solve."""
+
+    def __init__(self, sx, sy, dx, dy):
+        def norm(a):
+            lo, hi = float(np.min(a)), float(np.max(a))
+            mid = (lo + hi) * 0.5
+            half = (hi - lo) * 0.5
+            return mid, (half if half != 0.0 else 1.0)
+
+        self.sxm, self.sxh = norm(sx)
+        self.sym, self.syh = norm(sy)
+        self.dxm, self.dxh = norm(dx)
+        self.dym, self.dyh = norm(dy)
+        self.u = (sx - self.sxm) / self.sxh
+        self.v = (sy - self.sym) / self.syh
+        tu = (dx - self.dxm) / self.dxh
+        tv = (dy - self.dym) / self.dyh
+        n = len(sx)
+        A = np.zeros((n + 3, n + 3))
+        d2 = (self.u[:, None] - self.u[None, :]) ** 2 + (
+            self.v[:, None] - self.v[None, :]
+        ) ** 2
+        A[:n, :n] = _phi_ref(d2)
+        A[:n, n] = 1.0
+        A[:n, n + 1] = self.u
+        A[:n, n + 2] = self.v
+        A[n, :n] = 1.0
+        A[n + 1, :n] = self.u
+        A[n + 2, :n] = self.v
+        q = lambda c: np.floor(c * 65536.0 + 0.5) / 65536.0  # noqa: E731
+        self.cx = q(_gauss_solve_ref(A, np.concatenate([tu, np.zeros(3)])))
+        self.cy = q(_gauss_solve_ref(A, np.concatenate([tv, np.zeros(3)])))
+
+    def _eval(self, coef, u, v):
+        n = len(self.u)
+        acc = coef[n] + coef[n + 1] * u + coef[n + 2] * v
+        for i in range(n):
+            d2 = (u - self.u[i]) ** 2 + (v - self.v[i]) ** 2
+            acc = acc + coef[i] * _phi_ref(d2)
+        return acc
+
+    def __call__(self, x, y):
+        u = (np.asarray(x, np.float64) - self.sxm) / self.sxh
+        v = (np.asarray(y, np.float64) - self.sym) / self.syh
+        return (
+            self._eval(self.cx, u, v) * self.dxh + self.dxm,
+            self._eval(self.cy, u, v) * self.dyh + self.dym,
+        )
+
+
 def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
-    """Order-1 GCP warp golden: the dyadic affine GCP spec of the q58
-    query, fitted by normal equations, dst grid from forward-mapped
-    pixel-space corners, inverse-mapped bilinear sampling."""
+    """GCP warp suite golden: 'poly1' = order-1 fit by normal
+    equations over the dyadic affine GCP spec; 'tps' = thin-plate
+    spline (Gaussian-elimination solve) over the same GCPs with the
+    dyadic non-affine bump; dst grid from forward-mapped pixel-space
+    corners, inverse-mapped bilinear sampling."""
     df = _fixture_images(
         sf_dir, ["image_id", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"]
     )
-    ids, csr, csg, csb = [], [], [], []
+    ids, tags, csr, csg, csb = [], [], [], [], []
     for row, px in _iter_chips(df):
         i = int(row.image_id[3:])
         w, h = int(row.w), int(row.h)
@@ -1239,28 +1325,41 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
         ll = np.repeat([0.0, h / 2.0, float(h)], 3)
         gx = row.minx + (a * pp + b * ll) * gsd
         gy = row.miny + (d * pp + e * ll) * gsd
-        fwd = _fit_poly_ref(pp, ll, gx, gy, 1)
-        inv = _fit_poly_ref(gx, gy, pp, ll, 1)
-        cx, cy = fwd(
-            np.array([0.0, float(w), float(w), 0.0]),
-            np.array([0.0, 0.0, float(h), float(h)]),
-        )
-        minx, maxx = float(np.min(cx)), float(np.max(cx))
-        miny, maxy = float(np.min(cy)), float(np.max(cy))
-        X = minx + (np.arange(w) + 0.5) * ((maxx - minx) / w)
-        Y = maxy - (np.arange(h) + 0.5) * ((maxy - miny) / h)
-        XX, YY = np.meshgrid(X, Y)
-        sp, sl = inv(XX, YY)
-        out = _bilinear_grid_ref(px, sp - 0.5, sl - 0.5)
-        if row.fmt == "qraw":
-            out = _qraw_model(out)
-        ids.append(row.image_id)
-        csr.append(_cs_band(out[:, :, 0]))
-        csg.append(_cs_band(out[:, :, 1]))
-        csb.append(_cs_band(out[:, :, 2]))
+        # TPS gets the bumped GCPs (q58 query _bump_gcps spec)
+        k = np.arange(9)
+        p_idx, l_idx = k % 3, k // 3
+        bgx = gx + gsd * (((3 * p_idx + 5 * l_idx + i) % 7) - 3) / 8.0
+        bgy = gy + gsd * (((2 * p_idx + 7 * l_idx + i) % 5) - 2) / 8.0
+
+        for tag in ("poly1", "tps"):
+            if tag == "poly1":
+                fwd = _fit_poly_ref(pp, ll, gx, gy, 1)
+                inv = _fit_poly_ref(gx, gy, pp, ll, 1)
+            else:
+                fwd = _TpsRef(pp, ll, bgx, bgy)
+                inv = _TpsRef(bgx, bgy, pp, ll)
+            cx, cy = fwd(
+                np.array([0.0, float(w), float(w), 0.0]),
+                np.array([0.0, 0.0, float(h), float(h)]),
+            )
+            minx, maxx = float(np.min(cx)), float(np.max(cx))
+            miny, maxy = float(np.min(cy)), float(np.max(cy))
+            X = minx + (np.arange(w) + 0.5) * ((maxx - minx) / w)
+            Y = maxy - (np.arange(h) + 0.5) * ((maxy - miny) / h)
+            XX, YY = np.meshgrid(X, Y)
+            sp, sl = inv(XX, YY)
+            out = _bilinear_grid_ref(px, sp - 0.5, sl - 0.5)
+            if row.fmt == "qraw":
+                out = _qraw_model(out)
+            ids.append(row.image_id)
+            tags.append(tag)
+            csr.append(_cs_band(out[:, :, 0]))
+            csg.append(_cs_band(out[:, :, 1]))
+            csb.append(_cs_band(out[:, :, 2]))
     return pd.DataFrame(
         {
             "image_id": ids,
+            "transformer": tags,
             "cs_r": np.asarray(csr, np.int64),
             "cs_g": np.asarray(csg, np.int64),
             "cs_b": np.asarray(csb, np.int64),
@@ -1357,7 +1456,7 @@ def q59_cutline_warp(sf_dir: str) -> pd.DataFrame:
 
 GOLDENS = {
     "q29_band_stats_hist": (q29_band_stats_hist, ["kind", "band", "k"]),
-    "q58_gcp_warp": (q58_gcp_warp, ["image_id"]),
+    "q58_gcp_warp": (q58_gcp_warp, ["image_id", "transformer"]),
     "q59_cutline_warp": (q59_cutline_warp, ["image_id"]),
     "q52_jpeg_roundtrip": (q52_jpeg_roundtrip, ["image_id"]),
     "q54_grid_metrics": (q54_grid_metrics, ["z", "x", "y"]),

@@ -2410,44 +2410,96 @@ def _attach_affine_gcps(t: pa.Table) -> pa.Table:
 
 
 def q58_gcp_warp(sf_dir: str):
-    """gdalwarp -order 1 analog: per-chip GCP polynomial fit (sheared
-    UTM-like affine georeferencing), quantized-coefficient transformer,
-    full 2-D inverse-mapped bilinear warp; per-chip output checksums
-    (golden oracle recomputes through an independent normal-equations
-    fit — the 2^-16 quantization makes the transforms identical)."""
+    """gdalwarp GCP transformer suite: 'poly1' = -order 1 polynomial
+    fit over the sheared-affine GCP spec; 'tps' = thin-plate-spline
+    transformer (alg/gdal_tps.cpp analog) over the same GCPs with a
+    deterministic dyadic non-affine bump (so the spline actually
+    bends).  Quantized-coefficient transformers, full 2-D
+    inverse-mapped bilinear warp; one checksum row per (chip,
+    transformer) — the golden recomputes both through independent
+    solvers (normal equations / Gaussian elimination); the 2^-16
+    quantization makes the transforms identical."""
     import ray.data as rd
 
     from ..functions import checksum, codecs
-    from ..stages.warp import warp_images_gcp
+    from ..stages.warp import warp_images_gcp, warp_images_tps
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
     imgs = rd.read_parquet(
         paths["images"],
         columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"],
     )
-    warped = warp_images_gcp(
+    poly = warp_images_gcp(
         imgs.map_batches(_attach_affine_gcps, batch_format="pyarrow"),
-        order=1, resampling="bilinear", concurrency=4,
+        order=1, resampling="bilinear", concurrency=(1, 8),
+    )
+    tps = warp_images_tps(
+        imgs.map_batches(_attach_affine_gcps, batch_format="pyarrow")
+        .map_batches(_bump_gcps, batch_format="pyarrow"),
+        resampling="bilinear", concurrency=(1, 8),
     )
 
-    def cs(t: pa.Table) -> pa.Table:
-        b = t.column("bytes").to_pylist()
-        w = t.column("w").to_pylist()
-        h = t.column("h").to_pylist()
-        f = t.column("fmt").to_pylist()
-        out = np.empty((t.num_rows, 3), dtype=np.int64)
-        for i in range(t.num_rows):
-            out[i] = checksum.checksum_image(codecs.decode(b[i], w[i], h[i], f[i]))
-        return pa.table(
-            {
-                "image_id": t.column("image_id"),
-                "cs_r": pa.array(out[:, 0]),
-                "cs_g": pa.array(out[:, 1]),
-                "cs_b": pa.array(out[:, 2]),
-            }
-        )
+    def cs(tag):
+        def fn(t: pa.Table) -> pa.Table:
+            b = t.column("bytes").to_pylist()
+            w = t.column("w").to_pylist()
+            h = t.column("h").to_pylist()
+            f = t.column("fmt").to_pylist()
+            out = np.empty((t.num_rows, 3), dtype=np.int64)
+            for i in range(t.num_rows):
+                out[i] = checksum.checksum_image(
+                    codecs.decode(b[i], w[i], h[i], f[i])
+                )
+            return pa.table(
+                {
+                    "image_id": t.column("image_id"),
+                    "transformer": pa.array([tag] * t.num_rows, pa.string()),
+                    "cs_r": pa.array(out[:, 0]),
+                    "cs_g": pa.array(out[:, 1]),
+                    "cs_b": pa.array(out[:, 2]),
+                }
+            )
 
-    return warped.map_batches(cs, batch_format="pyarrow").sort("image_id")
+        return fn
+
+    return (
+        poly.map_batches(cs("poly1"), batch_format="pyarrow")
+        .union(tps.map_batches(cs("tps"), batch_format="pyarrow"))
+        .sort(["image_id", "transformer"])
+    )
+
+
+def _bump_gcps(t: pa.Table) -> pa.Table:
+    """Add a deterministic dyadic NON-affine offset to the geo side of
+    each GCP (grid point (p_idx, l_idx) of chip i gets
+    gsd * (((3p+5l+i) % 7) - 3) / 8 in x and
+    gsd * (((2p+7l+i) % 5) - 2) / 8 in y) so a TPS fit genuinely
+    bends; mirrored by the rasterref oracle."""
+    ids = t.column("image_id").to_pylist()
+    ws = t.column("w").to_pylist()
+    mnx = t.column("minx").to_pylist()
+    mxx = t.column("maxx").to_pylist()
+    gx = t.column("gcp_x").to_pylist()
+    gy = t.column("gcp_y").to_pylist()
+    new_x, new_y = [], []
+    for r in range(t.num_rows):
+        i = int(ids[r][3:])
+        gsd = (mxx[r] - mnx[r]) / int(ws[r])
+        bx, by = [], []
+        for k in range(9):
+            p_idx, l_idx = k % 3, k // 3
+            bx.append(gx[r][k] + gsd * (((3 * p_idx + 5 * l_idx + i) % 7) - 3) / 8.0)
+            by.append(gy[r][k] + gsd * (((2 * p_idx + 7 * l_idx + i) % 5) - 2) / 8.0)
+        new_x.append(bx)
+        new_y.append(by)
+    t = t.set_column(
+        t.schema.get_field_index("gcp_x"), "gcp_x",
+        pa.array(new_x, pa.list_(pa.float64())),
+    )
+    return t.set_column(
+        t.schema.get_field_index("gcp_y"), "gcp_y",
+        pa.array(new_y, pa.list_(pa.float64())),
+    )
 
 
 def _attach_cutlines(t: pa.Table) -> pa.Table:

@@ -384,3 +384,42 @@ def warp_images_cutline(images, src_srs="EPSG:3857", dst_srs="EPSG:4326",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class WarpChipsTPS(WarpChipsGCP):
+    """WarpChipsGCP with a thin-plate-spline transformer
+    (alg/gdal_tps.cpp / thinplatespline.cpp analog, ``gdalwarp -tps``):
+    same dst-grid spec, the fitted transform is TPS instead of the
+    polynomial."""
+
+    def _warp_one(self, img, gp, gl, gx, gy):
+        from ..functions.tps import TPSTransformer
+
+        h, w = img.shape[:2]
+        tr = TPSTransformer(list(zip(gp, gl)), list(zip(gx, gy)))
+        cpx = np.array([0.0, float(w), float(w), 0.0])
+        cpl = np.array([0.0, 0.0, float(h), float(h)])
+        cx, cy = tr.fwd(cpx, cpl)
+        minx, maxx = float(np.min(cx)), float(np.max(cx))
+        miny, maxy = float(np.min(cy)), float(np.max(cy))
+        X = minx + (np.arange(w) + 0.5) * ((maxx - minx) / w)
+        Y = maxy - (np.arange(h) + 0.5) * ((maxy - miny) / h)
+        XX, YY = np.meshgrid(X, Y)
+        sp, sl = tr.inv(XX, YY)
+        out = kernels.resample_grid(
+            img, sp - 0.5, sl - 0.5, self.resampling, nodata=0
+        )
+        return out, (minx, miny, maxx, maxy)
+
+
+def warp_images_tps(images, resampling: str = "bilinear",
+                    concurrency=4, batch_size: int = 64):
+    """TPS warp over an images Dataset carrying per-row GCP list
+    columns (actor pool, spline fit + quantize per chip)."""
+    return images.map_batches(
+        WarpChipsTPS,
+        fn_constructor_kwargs=dict(resampling=resampling),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

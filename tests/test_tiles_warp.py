@@ -140,3 +140,54 @@ def test_caption_carrythrough_and_lossless(ray_session, smoke_fixtures):
             assert (dec == orig).mean() > 0.98
         else:
             assert codecs.psnr(orig, dec) >= 38.0
+
+
+# ----------------------------------------------------------------- TPS
+
+
+def test_tps_interpolates_gcps_exactly():
+    """TPS is an interpolator: it reproduces its GCPs (up to the 2^-16
+    coefficient quantization)."""
+    import numpy as np
+
+    from gdal_ray.functions.tps import TPSTransformer
+
+    rng = np.random.default_rng(5)
+    px = np.array([0.0, 32.0, 64.0] * 3)
+    pl = np.repeat([0.0, 32.0, 64.0], 3)
+    gx = 1000.0 + 3.0 * px + 0.5 * pl + rng.uniform(-4, 4, 9).round(3)
+    gy = 2000.0 - 0.25 * px + 2.0 * pl + rng.uniform(-4, 4, 9).round(3)
+    tr = TPSTransformer(list(zip(px, pl)), list(zip(gx, gy)))
+    X, Y = tr.fwd(px, pl)
+    # accuracy bound: 2^-16 coefficient quantization x dst half-range
+    assert np.allclose(X, gx, atol=5e-2)
+    assert np.allclose(Y, gy, atol=5e-2)
+    # inverse spline round-trips the GCPs too
+    bx, by = tr.inv(gx, gy)
+    assert np.allclose(bx, px, atol=5e-2)
+    assert np.allclose(by, pl, atol=5e-2)
+
+
+def test_tps_bends_nonaffinely():
+    import numpy as np
+
+    from gdal_ray.functions.tps import TPS2D
+
+    px = np.array([0.0, 32.0, 64.0] * 3)
+    pl = np.repeat([0.0, 32.0, 64.0], 3)
+    gx = px.copy()
+    gx[4] += 10.0  # center control point pulled sideways
+    tps = TPS2D(list(zip(px, pl)), list(zip(gx, pl)))
+    # midway between GCPs the bump decays but is nonzero (not affine)
+    X, _ = tps(np.array([32.0]), np.array([16.0]))
+    assert 0.5 < float(X[0]) - 32.0 < 10.0
+
+
+def test_tps_rejects_too_few_points():
+    import numpy as np
+    import pytest
+
+    from gdal_ray.functions.tps import TPS2D
+
+    with pytest.raises(ValueError):
+        TPS2D([(0.0, 0.0), (1.0, 1.0)], [(0.0, 0.0), (1.0, 1.0)])
