@@ -119,10 +119,129 @@ def resample_separable(
 
 def resize(img: np.ndarray, out_w: int, out_h: int, method: str = "near") -> np.ndarray:
     """Resize with dst pixel centers mapped uniformly into src index space."""
+    if method in AREA_METHODS:
+        return resample_area(img, out_w, out_h, method)
     h, w = img.shape[:2]
     src_x = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
     src_y = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
     return resample_separable(img, src_x, src_y, method)
+
+
+# ------------------------------------------------- area-aggregating kernels
+#
+# GDAL's "area" resamplers (gdalwarp/translate -r average/rms/sum/min/
+# max/med/q1/q3/mode): each dst pixel aggregates every source pixel in
+# its back-projected footprint box.  Contract restated from
+# GWKAverageOrModeThread (alg/gdalwarpkernel.cpp:6508):
+#  - box: [floor(min+EPS), ceil(max-EPS)) per axis (EPS=1e-10), grown
+#    by one when empty (:6820-6840);
+#  - fractional edge pixels carry weight 1-(frac) via the separable
+#    COMPUTE_WEIGHT / COMPUTE_WEIGHT_Y product (:6845-6860), single-
+#    column/row boxes weight 1;
+#  - average = weighted mean, sum = weighted sum, rms = sqrt(weighted
+#    mean of squares);
+#  - med/q1/q3: UNWEIGHTED sorted box values, index ceil(q*n - 1)
+#    (:7605-7607);
+#  - mode for Byte data: value-histogram scan 0..255, strict '>' so the
+#    LOWEST value wins ties (:7420 family / overview.cpp:2109);
+#  - uint8 output rounds floor(v + 0.5), clipped.
+
+AREA_METHODS = ("average", "rms", "sum", "min", "max", "med", "q1", "q3", "mode")
+
+_AREA_EPS = 1e-10
+
+
+def _area_axis(n_src: int, n_dst: int):
+    """Per-dst-index source boxes along one axis for a uniform resize
+    (dst pixel j spans src [j*r, (j+1)*r), r = n_src/n_dst).
+
+    Returns (idx (D, K) int64, w (D, K) float64, valid (D, K) bool):
+    padded gather indices, GDAL edge weights (0 on padding lanes)."""
+    r = n_src / n_dst
+    j = np.arange(n_dst, dtype=np.float64)
+    xmin = j * r
+    xmax = (j + 1.0) * r
+    i0 = np.maximum(np.floor(xmin + _AREA_EPS), 0.0).astype(np.int64)
+    i1 = np.minimum(np.ceil(xmax - _AREA_EPS), float(n_src)).astype(np.int64)
+    grow = (i0 == i1) & (i1 < n_src)
+    i1 = i1 + grow
+    cnt = i1 - i0
+    K = int(cnt.max())
+    idx = i0[:, None] + np.arange(K, dtype=np.int64)[None, :]
+    valid = idx < i1[:, None]
+    w = np.ones((n_dst, K), np.float64)
+    multi = cnt > 1
+    w[:, 0] = np.where(multi, 1.0 - (xmin - i0), 1.0)
+    rows = np.arange(n_dst)
+    last = cnt - 1
+    w[rows, last] = np.where(multi, 1.0 - (i1 - xmax), w[rows, last])
+    w[~valid] = 0.0
+    idx = np.clip(idx, 0, n_src - 1)
+    return idx, w, valid
+
+
+def resample_area(img: np.ndarray, out_w: int, out_h: int, method: str) -> np.ndarray:
+    """Area-aggregating resize (see module contract above).  img:
+    (h, w) or (h, w, c); uint8 in -> uint8 out except 'sum' (float64,
+    unclamped — GDAL's sum is a float-typed op)."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    h, w = img.shape[:2]
+    xi, xw, xv = _area_axis(w, out_w)
+    yi, yw, yv = _area_axis(h, out_h)
+    data = img.astype(np.float64)
+
+    if method in ("average", "sum", "rms"):
+        d = data * data if method == "rms" else data
+        # x pass: weighted sums (h, W, c), then y pass
+        sx = np.einsum("hwkc,wk->hwc", d[:, xi, :], xw)
+        s = np.einsum("hkwc,hk->hwc", sx[yi, :, :], yw)
+        if method == "sum":
+            out = s
+            return out[:, :, 0] if squeeze else out
+        wsum = (yw.sum(axis=1)[:, None] * xw.sum(axis=1)[None, :])[:, :, None]
+        out = s / wsum
+        if method == "rms":
+            out = np.sqrt(out)
+    elif method in ("min", "max"):
+        fill = np.inf if method == "min" else -np.inf
+        gx = np.where(xv[None, :, :, None], data[:, xi, :], fill)
+        red = np.min if method == "min" else np.max
+        tx = red(gx, axis=2)  # (h, W, c)
+        gy = np.where(yv[:, :, None, None], tx[yi, :, :], fill)
+        out = red(gy, axis=1)  # (H, W, c)
+    else:  # med / q1 / q3 / mode: full 2-D windows, unweighted
+        # windows: (H, Ky, W, Kx, c) -> (H, W, Ky*Kx, c)
+        win = data[yi[:, :, None, None], xi[None, None, :, :], :]
+        win = win.transpose(0, 2, 1, 3, 4)
+        H, W = win.shape[0], win.shape[1]
+        K2 = win.shape[2] * win.shape[3]
+        win = win.reshape(H, W, K2, -1)
+        vmask = (yv[:, :, None, None] & xv[None, None, :, :]).transpose(0, 2, 1, 3)
+        vmask = vmask.reshape(H, W, K2)
+        n = vmask.sum(axis=2)  # valid count per window
+        if method == "mode":
+            s = np.where(vmask[:, :, :, None], win, np.inf)
+            s = np.sort(s, axis=2)
+            eq = s[:, :, :, None, :] == s[:, :, None, :, :]
+            counts = eq.sum(axis=3)  # (H, W, K2, c)
+            counts[~np.isfinite(s)] = 0
+            pick = np.argmax(counts, axis=2)  # first max -> lowest value
+            out = np.take_along_axis(s, pick[:, :, None, :], axis=2)[:, :, 0, :]
+        else:
+            q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[method]
+            s = np.where(vmask[:, :, :, None], win, np.inf)
+            s = np.sort(s, axis=2)
+            qi = np.ceil(q * n - 1.0).astype(np.int64)
+            qi = np.clip(qi, 0, K2 - 1)
+            out = np.take_along_axis(
+                s, qi[:, :, None, None].repeat(s.shape[3], axis=3), axis=2
+            )[:, :, 0, :]
+    if img.dtype == np.uint8:
+        out = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    out = out[:, :, 0] if squeeze else out
+    return out
 
 
 def downsample2x_average(img: np.ndarray) -> np.ndarray:

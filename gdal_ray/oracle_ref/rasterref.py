@@ -256,10 +256,51 @@ def _color_merge_cs(px: np.ndarray) -> int:
     return sum(_cs_band(out[:, :, bb]) for bb in range(3))
 
 
+def _area_cs(px: np.ndarray) -> dict:
+    """Golden for the 9 area-aggregating resamplers at the exact-2x
+    downscale the q31 suite pins (alg/gdalwarpkernel.cpp:6508
+    GWKAverageOrModeThread semantics; quantile index ceil(q*n-1)
+    :7605; Byte mode = 0..255 histogram scan, strict '>', lowest value
+    wins ties).  Structurally independent of the engine: reshape
+    windows (engine: padded-gather einsum/sort); mode via per-value
+    scatter-add histogram (engine: sorted pairwise-equality counts).
+    All aggregates are integer-exact at integral boxes, so bit parity
+    does not depend on float accumulation order."""
+    h2, w2 = px.shape[0] // 2, px.shape[1] // 2
+    a = px[: h2 * 2, : w2 * 2].astype(np.float64)
+    win = a.reshape(h2, 2, w2, 2, 3).transpose(0, 2, 1, 3, 4).reshape(h2, w2, 4, 3)
+    res = {}
+    s = win.sum(axis=2)
+    res["average"] = np.floor(s / 4.0 + 0.5)
+    res["rms"] = np.floor(np.sqrt((win * win).sum(axis=2) / 4.0) + 0.5)
+    res["sum"] = None  # handled as float below
+    res["min"] = win.min(axis=2)
+    res["max"] = win.max(axis=2)
+    srt = np.sort(win, axis=2)
+    res["q1"] = srt[:, :, 0]   # ceil(.25*4 - 1) = 0
+    res["med"] = srt[:, :, 1]  # ceil(.5*4 - 1) = 1
+    res["q3"] = srt[:, :, 2]   # ceil(.75*4 - 1) = 2
+    cnts = np.zeros((h2, w2, 3, 256), np.int32)
+    I, J, C = np.indices((h2, w2, 3))
+    for k in range(4):
+        np.add.at(cnts, (I, J, C, win[:, :, k, :].astype(np.int64)), 1)
+    res["mode"] = np.argmax(cnts, axis=3).astype(np.float64)
+    out = {}
+    for m, v in res.items():
+        if m == "sum":
+            out[m] = sum(
+                _cs_float(s[:, :, b].astype(np.float32)) for b in range(3)
+            )
+        else:
+            u = np.clip(v, 0, 255).astype(np.uint8)
+            out[m] = sum(_cs_band(u[:, :, b]) for b in range(3))
+    return out
+
+
 def q31_raster_steps(sf_dir: str) -> pd.DataFrame:
     """Raster pipeline step suite: translate / reclassify / unscale /
-    nodata-to-alpha / HSV color-merge / self band-stack, one op-tagged
-    checksum row per chip."""
+    nodata-to-alpha / HSV color-merge / self band-stack / 9 area
+    resamplers, one op-tagged checksum row per chip."""
     df = _fixture_images(sf_dir)
     ids, ops, css = [], [], []
 
@@ -280,6 +321,8 @@ def q31_raster_steps(sf_dir: str) -> pd.DataFrame:
         # self-stack: 6 identical-pair bands => twice the per-band sum
         add(row.image_id, "stack",
             2 * sum(_cs_band(px[:, :, b]) for b in range(3)))
+        for m, cs in _area_cs(px).items():
+            add(row.image_id, f"area_{m}", cs)
     return pd.DataFrame(
         {"image_id": ids, "op": ops, "cs": np.asarray(css, np.int64)}
     )

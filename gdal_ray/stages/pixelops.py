@@ -39,7 +39,7 @@ import math
 import numpy as np
 import pyarrow as pa
 
-from ..functions import codecs
+from ..functions import codecs, kernels
 
 # --------------------------------------------------------------- reclassify
 
@@ -520,6 +520,24 @@ class RasterStepSuite:
             add(iid, "stack", 2 * sum(
                 self.cs_band(img[:, :, b]) for b in range(3)
             ))
+            # area-aggregating resamplers (-r average/rms/sum/min/max/
+            # med/q1/q3/mode, GWKAverageOrModeThread): exact 2x
+            # downscale over the even-cropped chip — integral boxes,
+            # so every aggregate is integer-exact and the checksum is
+            # solver-order independent
+            h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+            ac = img[: h2 * 2, : w2 * 2]
+            for m in kernels.AREA_METHODS:
+                out = kernels.resample_area(ac, w2, h2, m)
+                if m == "sum":  # float-typed op: no byte rounding
+                    add(iid, f"area_{m}", sum(
+                        self.cs_float(out[:, :, b].astype(np.float32))
+                        for b in range(out.shape[2])
+                    ))
+                else:
+                    add(iid, f"area_{m}", sum(
+                        self.cs_band(out[:, :, b]) for b in range(out.shape[2])
+                    ))
         return pa.table(
             {
                 "image_id": pa.array(out_i, pa.string()),

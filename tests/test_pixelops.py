@@ -156,3 +156,89 @@ def test_color_merge_and_stack_pair_by_id(ray_session):
     stacked = pixelops.stack_images(ds, ds).take_all()
     a = np.frombuffer(stacked[0]["data"], np.uint8)
     assert a.size == 8 * 8 * 6  # six bands
+
+
+# ------------------------------------------------- area resample kernels
+
+
+def _brute_area(img, out_w, out_h, method):
+    """Per-pixel restatement of GWKAverageOrModeThread (independent of
+    the vectorized engine path)."""
+    EPS = 1e-10
+    h, w = img.shape[:2]
+    rx, ry = w / out_w, h / out_h
+    out = np.zeros((out_h, out_w, img.shape[2]))
+    for i in range(out_h):
+        for j in range(out_w):
+            xmin, xmax = j * rx, (j + 1) * rx
+            ymin, ymax = i * ry, (i + 1) * ry
+            x0 = int(max(np.floor(xmin + EPS), 0))
+            x1 = int(min(np.ceil(xmax - EPS), w))
+            if x0 == x1 and x1 < w:
+                x1 += 1
+            y0 = int(max(np.floor(ymin + EPS), 0))
+            y1 = int(min(np.ceil(ymax - EPS), h))
+            if y0 == y1 and y1 < h:
+                y1 += 1
+            vals, wts = [], []
+            for yy in range(y0, y1):
+                wy = (1.0 if y1 - y0 == 1 else
+                      1 - (ymin - y0) if yy == y0 else
+                      1 - (y1 - ymax) if yy == y1 - 1 else 1.0)
+                for xx in range(x0, x1):
+                    wx = (1.0 if x1 - x0 == 1 else
+                          1 - (xmin - x0) if xx == x0 else
+                          1 - (x1 - xmax) if xx == x1 - 1 else 1.0)
+                    vals.append(img[yy, xx].astype(np.float64))
+                    wts.append(wy * wx)
+            vals, wts = np.array(vals), np.array(wts)
+            if method == "average":
+                out[i, j] = (vals * wts[:, None]).sum(0) / wts.sum()
+            elif method == "sum":
+                out[i, j] = (vals * wts[:, None]).sum(0)
+            elif method == "rms":
+                out[i, j] = np.sqrt((vals ** 2 * wts[:, None]).sum(0) / wts.sum())
+            elif method == "min":
+                out[i, j] = vals.min(0)
+            elif method == "max":
+                out[i, j] = vals.max(0)
+            elif method in ("med", "q1", "q3"):
+                q = {"med": .5, "q1": .25, "q3": .75}[method]
+                s = np.sort(vals, axis=0)
+                out[i, j] = s[max(int(np.ceil(q * len(vals) - 1)), 0)]
+            elif method == "mode":
+                for c in range(vals.shape[1]):
+                    u, cn = np.unique(vals[:, c], return_counts=True)
+                    out[i, j, c] = u[np.argmax(cn)]
+    return out
+
+
+def test_resample_area_matches_reference_formula():
+    from gdal_ray.functions.kernels import AREA_METHODS, resample_area
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (10, 14, 3), dtype=np.uint8)
+    for method in AREA_METHODS:
+        for ow, oh in ((7, 5), (5, 4), (4, 3), (14, 10)):
+            got = resample_area(img, ow, oh, method)
+            want = _brute_area(img, ow, oh, method)
+            if method == "sum":
+                assert np.allclose(got, want, rtol=1e-12), method
+            else:
+                wantu = np.clip(np.floor(want + 0.5), 0, 255).astype(np.uint8)
+                integral = (14 % ow == 0) and (10 % oh == 0)
+                if integral or method in ("min", "max", "med", "q1", "q3", "mode"):
+                    # integer-exact aggregates: bit parity guaranteed
+                    assert np.array_equal(got, wantu), (method, ow, oh)
+                else:
+                    # fractional weights: summation-order ulp can flip
+                    # a value sitting exactly on the .5 boundary
+                    assert np.abs(got.astype(int) - wantu.astype(int)).max() <= 1
+
+
+def test_resize_dispatches_area_methods():
+    from gdal_ray.functions.kernels import resize
+
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    out = resize(img, 4, 4, "average")
+    assert out.shape == (4, 4, 3)
