@@ -676,6 +676,39 @@ def _segmentize_ref(vx, vy, max_len: float):
 
 
 
+def _makevalid_bowtie_ref(kk: int):
+    """Golden for MakeValid on the bowtie fixture: the single crossing
+    X of edge P0->P1 and edge P2->P3 solved in CLOSED FORM
+    (t = (a+c)/(2a+c+d), exact Fraction — the engine runs its general
+    noding + stack-split machinery instead), then exact shoelace areas
+    of the two triangles [X,P1,P2] and [P0,X,P3], sorted ascending.
+    Returns [(part_idx, n_pts, area_float), ...]."""
+    from fractions import Fraction as F
+
+    x0 = ((kk * 91) % 2000) * 1250
+    y0 = ((kk * 57) % 2000) * 1250
+    a = 1000 + (kk * 13) % 4000
+    b = 1000 + (kk * 7) % 4000
+    c = 500 + (kk * 29) % 3000
+    d = 500 + (kk * 41) % 3500
+    t = F(a + c, 2 * a + c + d)
+    X = (F(x0) + t * a, F(y0) + t * b)
+    P0 = (F(x0), F(y0))
+    P1 = (F(x0 + a), F(y0 + b))
+    P2 = (F(x0 + a + c), F(y0))
+    P3 = (F(x0 - d), F(y0 + b))
+
+    def area(r):
+        s = F(0)
+        for i in range(len(r)):
+            j = (i + 1) % len(r)
+            s += r[i][0] * r[j][1] - r[j][0] * r[i][1]
+        return abs(s) / 2
+
+    parts = sorted([area([X, P1, P2]), area([P0, X, P3])])
+    return [(i, 3, float(v)) for i, v in enumerate(parts)]
+
+
 def q57_geometry_ops(sf_dir: str) -> pd.DataFrame:
     import math
 
@@ -716,6 +749,8 @@ def q57_geometry_ops(sf_dir: str) -> pd.DataFrame:
                 terms.append(pts[i][0] * pts[j][1] - pts[j][0] * pts[i][1])
             area = abs(math.fsum(terms)) * 0.5
         rows.append(("clip", kk, len(pts), 0, area))
+        for part_idx, n_pts, av in _makevalid_bowtie_ref(kk):
+            rows.append(("makevalid", kk, part_idx, n_pts, av))
 
     # point buffers (pid % 10 == 0), 32-gon on the lattice
     ang = 2.0 * np.pi * np.arange(32) / 32

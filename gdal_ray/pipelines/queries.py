@@ -2375,8 +2375,60 @@ def q57_geometry_ops(sf_dir: str):
     exp = ngons.map_batches(
         explode_two_part_batch(offset_x=1.0e6), batch_format="pyarrow"
     ).map_batches(tag_explode, batch_format="pyarrow")
+
+    def tag_makevalid(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["makevalid"] * t.num_rows, pa.string()),
+                "fid": t.column("fid"),
+                "a": t.column("part"),
+                "b": t.column("n_pts"),
+                "v": t.column("area"),
+            }
+        )
+
+    from ..stages.geomops import make_valid_batch
+
+    mkv = (
+        _derive_bowties(sf_dir)
+        .map_batches(make_valid_batch, batch_format="pyarrow")
+        .map_batches(tag_makevalid, batch_format="pyarrow")
+    )
     out = cen.union(simp).union(buf).union(clip).union(seg).union(swp)
-    return out.union(exp).sort(["kind", "fid"])
+    return out.union(exp).union(mkv).sort(["kind", "fid"])
+
+
+def _derive_bowties(sf_dir: str):
+    """Deterministic self-intersecting quads (bowties) from part keys:
+    ring (x0,y0) -> (x0+a,y0+b) -> (x0+a+c,y0) -> (x0-d,y0+b) has
+    exactly one proper crossing (edge 0 x edge 2) for positive
+    a,b,c,d; integer lattice coords so MakeValid's noding is exact.
+    Formula mirrored by the geomref golden."""
+    pt = _read(sf_dir, "part", columns=["p_partkey"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        fids, xs, ys = [], [], []
+        for kk in k:
+            kk = int(kk)
+            x0 = float((kk * 91) % 2000) * 1250.0
+            y0 = float((kk * 57) % 2000) * 1250.0
+            a = 1000.0 + (kk * 13) % 4000
+            b = 1000.0 + (kk * 7) % 4000
+            c = 500.0 + (kk * 29) % 3000
+            d = 500.0 + (kk * 41) % 3500
+            fids.append(kk)
+            xs.append([x0, x0 + a, x0 + a + c, x0 - d])
+            ys.append([y0, y0 + b, y0, y0 + b])
+        return pa.table(
+            {
+                "fid": pa.array(fids, pa.int64()),
+                "xs": pa.array(xs, pa.list_(pa.float64())),
+                "ys": pa.array(ys, pa.list_(pa.float64())),
+            }
+        )
+
+    return pt.map_batches(fn, batch_format="pyarrow")
 
 
 def _attach_affine_gcps(t: pa.Table) -> pa.Table:

@@ -389,3 +389,30 @@ def explode_two_part_batch(offset_x: float):
 
     fn.__name__ = "explode_two_part"
     return fn
+
+
+# -------------------------------------------------------- make-valid
+
+
+def make_valid_batch(t: pa.Table) -> pa.Table:
+    """gdal vector make-valid (apps/gdalalg_vector_make_valid.cpp /
+    OGRGeometry::MakeValid ogr/ogrgeometry.cpp:3924, GEOS LINEWORK
+    method): node boundary self-intersections exactly, stack-split
+    into simple rings, drop zero-area parts.  Emits one row per output
+    part (fid, part [area-ascending], n_pts, area) — for a
+    single-crossing bowtie this is exactly the GEOS 2-triangle result
+    (autotest/ogr/ogr_geom.py makevalid case)."""
+    from ..functions.makevalid import make_valid_batch_arrays
+
+    fid = t.column("fid").to_numpy(zero_copy_only=False)
+    xs = t.column("xs").to_pylist()
+    ys = t.column("ys").to_pylist()
+    f, p, n, a = make_valid_batch_arrays(xs, ys, fid)
+    return pa.table(
+        {
+            "fid": pa.array(f),
+            "part": pa.array(p),
+            "n_pts": pa.array(n),
+            "area": pa.array(a),
+        }
+    )

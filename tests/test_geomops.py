@@ -132,3 +132,43 @@ def test_explode_two_part_counts():
     assert out.column("fid").to_pylist() == [7, 7]
     assert out.column("part").to_pylist() == [0, 1]
     assert out.column("n_pts").to_pylist() == [3, 3]
+
+
+# ------------------------------------------------------------ make-valid
+
+
+def test_makevalid_canonical_bowtie():
+    """The GDAL autotest bowtie POLYGON ((0 0,10 10,0 10,10 0,0 0))
+    -> 2-part MULTIPOLYGON, two triangles of area 25 each
+    (autotest/ogr/ogr_geom.py makevalid case)."""
+    from gdal_ray.functions.makevalid import make_valid_ring
+
+    parts, n_cross = make_valid_ring([0, 10, 0, 10], [0, 10, 10, 0])
+    assert n_cross == 1
+    assert [p["area"] for p in parts] == [25.0, 25.0]
+    assert all(p["n_pts"] == 3 for p in parts)
+
+
+def test_makevalid_identity_on_valid_ring():
+    from gdal_ray.functions.makevalid import make_valid_ring
+
+    parts, n_cross = make_valid_ring([0, 10, 10, 0], [0, 0, 10, 10])
+    assert n_cross == 0
+    assert len(parts) == 1 and parts[0]["area"] == 100.0
+
+
+def test_makevalid_star_total_area_deterministic():
+    """Higher-order star: decomposition is the engine's documented
+    stack-split; parts are simple, nonzero area, deterministic."""
+    import numpy as np
+
+    from gdal_ray.functions.makevalid import make_valid_ring
+
+    th = 2 * np.pi * np.arange(5) / 5
+    vx = np.floor(1000 * np.cos(th * 2) + 0.5)
+    vy = np.floor(1000 * np.sin(th * 2) + 0.5)
+    p1, n1 = make_valid_ring(vx, vy)
+    p2, n2 = make_valid_ring(vx, vy)
+    assert n1 == n2 == 5
+    assert [p["area"] for p in p1] == [p["area"] for p in p2]
+    assert all(p["area"] > 0 for p in p1)
