@@ -1346,6 +1346,104 @@ class _TpsRef:
         )
 
 
+class _RpcRef:
+    """RPC golden (alg/gdal_rpc.cpp no-DEM contract): fixture
+    coefficients restated from functions.rpc.synth_rpc; forward =
+    sequential 20-term rational polynomial (RPCComputeTerms order);
+    inverse = scalar per-point fixed-point iteration with the
+    1e-4-difference affine seed (structurally independent of the
+    engine's masked vectorized iteration — bitwise agreement comes
+    from the shared elementwise expression sequence)."""
+
+    def __init__(self, i: int, w: int, h: int):
+        lon0 = ((i * 5) % 64 - 32) / 256.0
+        lat0 = ((i * 11) % 64 - 32) / 256.0
+        a = ((i * 7) % 16) / 1024.0
+        b = ((i * 13) % 16) / 2048.0
+        c = ((i * 3) % 8) / 4096.0
+        d = ((i * 17) % 8) / 8192.0
+        sn = [0.0] * 20
+        sn[1], sn[4], sn[8], sn[11] = 1.0, a, b, c
+        sd = [0.0] * 20
+        sd[0], sd[2] = 1.0, d
+        ln = [0.0] * 20
+        ln[2], ln[4], ln[7], ln[15] = 1.0, -a, b, c
+        ld = [0.0] * 20
+        ld[0], ld[1] = 1.0, d
+        self.sn, self.sd, self.ln, self.ld = sn, sd, ln, ld
+        self.lon0, self.lat0 = lon0, lat0
+        self.lsc = 1.0 / 16.0
+        self.soff, self.ssc = w / 2.0, w / 2.0
+        self.loff, self.lsc2 = h / 2.0, h / 2.0
+        # affine seed from forward differences, then 2x3 inversion
+        rp, rl = self._fwd1(lon0, lat0)
+        dd = 0.0001
+        p1, l1 = self._fwd1(lon0 + dd, lat0)
+        p2, l2 = self._fwd1(lon0, lat0 + dd)
+        gt = [0.0] * 6
+        gt[1] = (p1 - rp) / dd
+        gt[4] = (l1 - rl) / dd
+        gt[2] = (p2 - rp) / dd
+        gt[5] = (l2 - rl) / dd
+        gt[0] = rp - gt[1] * lon0 - gt[2] * lat0
+        gt[3] = rl - gt[4] * lon0 - gt[5] * lat0
+        det = gt[1] * gt[5] - gt[2] * gt[4]
+        iv = 1.0 / det
+        self.gt = [
+            (gt[2] * gt[3] - gt[0] * gt[5]) * iv, gt[5] * iv, -gt[2] * iv,
+            (-gt[1] * gt[3] + gt[0] * gt[4]) * iv, -gt[4] * iv, gt[1] * iv,
+        ]
+
+    @staticmethod
+    def _terms(L, P, H):
+        one = L * 0.0 + 1.0 if isinstance(L, np.ndarray) else 1.0
+        return [
+            one, L, P, H,
+            L * P, L * H, P * H, L * L, P * P, H * H,
+            L * P * H, L * L * L, L * P * P, L * H * H, L * L * P,
+            P * P * P, P * H * H, L * L * H, P * P * H, H * H * H,
+        ]
+
+    def _eval(self, lonlat_pair):
+        lon, lat = lonlat_pair
+        L = (lon - self.lon0) / self.lsc
+        P = (lat - self.lat0) / self.lsc
+        H = L * 0.0
+        t = self._terms(L, P, H)
+
+        def poly(c):
+            acc = c[0] * t[0]
+            for k in range(1, 20):
+                acc = acc + c[k] * t[k]
+            return acc
+
+        px = (poly(self.sn) / poly(self.sd)) * self.ssc + self.soff
+        ln = (poly(self.ln) / poly(self.ld)) * self.lsc2 + self.loff
+        return px, ln
+
+    def _fwd1(self, lon: float, lat: float):
+        return self._eval((lon, lat))
+
+    def fwd_grid(self, XX, YY):
+        return self._eval((XX, YY))
+
+    def inv_points(self, pxs, lns):
+        out_x, out_y = [], []
+        for px, ln in zip(pxs, lns):
+            X = self.gt[0] + self.gt[1] * px + self.gt[2] * ln
+            Y = self.gt[3] + self.gt[4] * px + self.gt[5] * ln
+            for _ in range(10):
+                bp, bl = self._fwd1(X, Y)
+                dx, dy = bp - px, bl - ln
+                if max(abs(dx), abs(dy)) < 0.1:
+                    break
+                X = X - (dx * self.gt[1]) - (dy * self.gt[2])
+                Y = Y - (dx * self.gt[4]) - (dy * self.gt[5])
+            out_x.append(X)
+            out_y.append(Y)
+        return np.asarray(out_x), np.asarray(out_y)
+
+
 def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
     """GCP warp suite golden: 'poly1' = order-1 fit by normal
     equations over the dyadic affine GCP spec; 'tps' = thin-plate
@@ -1374,13 +1472,17 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
         bgx = gx + gsd * (((3 * p_idx + 5 * l_idx + i) % 7) - 3) / 8.0
         bgy = gy + gsd * (((2 * p_idx + 7 * l_idx + i) % 5) - 2) / 8.0
 
-        for tag in ("poly1", "tps"):
+        for tag in ("poly1", "tps", "rpc"):
             if tag == "poly1":
                 fwd = _fit_poly_ref(pp, ll, gx, gy, 1)
                 inv = _fit_poly_ref(gx, gy, pp, ll, 1)
-            else:
+            elif tag == "tps":
                 fwd = _TpsRef(pp, ll, bgx, bgy)
                 inv = _TpsRef(bgx, bgy, pp, ll)
+            else:  # rpc: corners via iterative INVERSE, grid via FORWARD
+                ref = _RpcRef(i, w, h)
+                fwd = ref.inv_points
+                inv = ref.fwd_grid
             cx, cy = fwd(
                 np.array([0.0, float(w), float(w), 0.0]),
                 np.array([0.0, 0.0, float(h), float(h)]),

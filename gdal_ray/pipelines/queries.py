@@ -2462,11 +2462,13 @@ def _attach_affine_gcps(t: pa.Table) -> pa.Table:
 
 
 def q58_gcp_warp(sf_dir: str):
-    """gdalwarp GCP transformer suite: 'poly1' = -order 1 polynomial
+    """gdalwarp transformer suite: 'poly1' = -order 1 polynomial
     fit over the sheared-affine GCP spec; 'tps' = thin-plate-spline
     transformer (alg/gdal_tps.cpp analog) over the same GCPs with a
     deterministic dyadic non-affine bump (so the spline actually
-    bends).  Quantized-coefficient transformers, full 2-D
+    bends); 'rpc' = rational-polynomial transformer (alg/gdal_rpc.cpp
+    analog, no-DEM, iterative inverse) from a deterministic dyadic
+    coefficient fixture.  Quantized-coefficient transformers, full 2-D
     inverse-mapped bilinear warp; one checksum row per (chip,
     transformer) — the golden recomputes both through independent
     solvers (normal equations / Gaussian elimination); the 2^-16
@@ -2474,7 +2476,7 @@ def q58_gcp_warp(sf_dir: str):
     import ray.data as rd
 
     from ..functions import checksum, codecs
-    from ..stages.warp import warp_images_gcp, warp_images_tps
+    from ..stages.warp import warp_images_gcp, warp_images_rpc, warp_images_tps
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
     imgs = rd.read_parquet(
@@ -2490,6 +2492,7 @@ def q58_gcp_warp(sf_dir: str):
         .map_batches(_bump_gcps, batch_format="pyarrow"),
         resampling="bilinear", concurrency=(1, 8),
     )
+    rpc = warp_images_rpc(imgs, resampling="bilinear", concurrency=(1, 8))
 
     def cs(tag):
         def fn(t: pa.Table) -> pa.Table:
@@ -2517,6 +2520,7 @@ def q58_gcp_warp(sf_dir: str):
     return (
         poly.map_batches(cs("poly1"), batch_format="pyarrow")
         .union(tps.map_batches(cs("tps"), batch_format="pyarrow"))
+        .union(rpc.map_batches(cs("rpc"), batch_format="pyarrow"))
         .sort(["image_id", "transformer"])
     )
 
