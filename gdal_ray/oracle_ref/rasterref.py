@@ -297,10 +297,54 @@ def _area_cs(px: np.ndarray) -> dict:
     return out
 
 
+def _mdim_rows_ref():
+    """Golden for the q31 multidim suite: the WHOLE 48x64x64 array is
+    materialized in one numpy buffer and every op applied globally
+    (the engine streams 64 chunk rows through map_batches/groupby
+    instead); per-chunk checksums by direct slicing."""
+    A0 = np.arange(48, dtype=np.int64)[:, None, None]
+    A1 = np.arange(64, dtype=np.int64)[None, :, None]
+    A2 = np.arange(64, dtype=np.int64)[None, None, :]
+    A = (A0 * 97 + A1 * 89 + A2 * 83) % 1000 + (A0 * A1) % 57
+
+    def chunks_cs(arr, chunks, tag, is_float=False):
+        grid = [-(-s // c) for s, c in zip(arr.shape, chunks)]
+        rows = []
+        for idx in np.ndindex(*grid):
+            sel = tuple(
+                slice(i * c, min((i + 1) * c, s))
+                for i, c, s in zip(idx, chunks, arr.shape)
+            )
+            sub = np.ascontiguousarray(arr[sel]).reshape(1, -1)
+            cs = (_cs_float(sub) if is_float
+                  else int((sub.reshape(-1) % _PRIMES[
+                      np.arange(sub.size) % 11]).sum() & 0xFFFF))
+            rows.append((
+                "chunk_" + "_".join(str(v) for v in idx), tag, int(cs)
+            ))
+        return rows
+
+    out = []
+    out += chunks_cs(A, (16, 16, 16), "mdim_base")
+    out += chunks_cs(np.ascontiguousarray(A.transpose(2, 0, 1)),
+                     (16, 16, 16), "mdim_transpose")
+    out += chunks_cs(A[8:40, 16:48, 4:60], (16, 16, 16), "mdim_slice")
+    out += chunks_cs(A * 3 + 1, (16, 16, 16), "mdim_calc")
+    out += chunks_cs(A.sum(axis=0), (16, 16), "mdim_sum0")
+    out += chunks_cs(A.sum(axis=2) / 64.0, (16, 16), "mdim_mean2",
+                     is_float=True)
+    # 2x area resample on axes (1, 2): strided-pair sums, round half up
+    v = (A[:, 0::2, 0::2] + A[:, 0::2, 1::2]
+         + A[:, 1::2, 0::2] + A[:, 1::2, 1::2])
+    out += chunks_cs((v + 2) // 4, (16, 8, 8), "mdim_resample")
+    return out
+
+
 def q31_raster_steps(sf_dir: str) -> pd.DataFrame:
     """Raster pipeline step suite: translate / reclassify / unscale /
     nodata-to-alpha / HSV color-merge / self band-stack / 9 area
-    resamplers, one op-tagged checksum row per chip."""
+    resamplers / multidim chunk suite, one op-tagged checksum row per
+    chip (or chunk)."""
     df = _fixture_images(sf_dir)
     ids, ops, css = [], [], []
 
@@ -323,6 +367,8 @@ def q31_raster_steps(sf_dir: str) -> pd.DataFrame:
             2 * sum(_cs_band(px[:, :, b]) for b in range(3)))
         for m, cs in _area_cs(px).items():
             add(row.image_id, f"area_{m}", cs)
+    for iid, op, cs in _mdim_rows_ref():
+        add(iid, op, cs)
     return pd.DataFrame(
         {"image_id": ids, "op": ops, "cs": np.asarray(css, np.int64)}
     )

@@ -1168,7 +1168,44 @@ def q31_raster_steps(sf_dir: str):
         unscale_offset=10.0,
         n2a_nodata=(0.0, 0.0, 0.0),
     )
-    return out.sort(["image_id", "op"])
+    return out.union(_mdim_suite()).sort(["image_id", "op"])
+
+
+def _mdim_fill(i, j, k):
+    """Deterministic non-negative int64 fill for the mdim fixture array
+    (mirrored by the rasterref golden)."""
+    return (i * 97 + j * 89 + k * 83) % 1000 + (i * j) % 57
+
+
+def _mdim_suite():
+    """Multidim N-D array op suite (gcore/gdalmultidim.cpp analog —
+    see stages/mdim.py): a 48x64x64 int64 array on a 16^3 chunk grid,
+    exercised through transpose (zero-shuffle), an UNALIGNED slice
+    (local re-chunk + one merge shuffle), elementwise calc, sum/mean
+    reductions (partial -> one groupby), and a 2x area resample; one
+    checksum row per output chunk, schema-compatible with the q31
+    step rows."""
+    from ..stages import mdim as M
+
+    spec = M.MDSpec((48, 64, 64), (16, 16, 16), "int64")
+    base = M.mdim_create(spec, _mdim_fill, parallelism=16)
+    parts = [M.mdim_chunk_checksums(base, spec, "mdim_base")]
+    tr, tr_spec = M.mdim_transpose(base, spec, (2, 0, 1))
+    parts.append(M.mdim_chunk_checksums(tr, tr_spec, "mdim_transpose"))
+    sl, sl_spec = M.mdim_slice(base, spec, [(8, 40), (16, 48), (4, 60)])
+    parts.append(M.mdim_chunk_checksums(sl, sl_spec, "mdim_slice"))
+    ca, ca_spec = M.mdim_calc(base, spec, lambda a: a * 3 + 1)
+    parts.append(M.mdim_chunk_checksums(ca, ca_spec, "mdim_calc"))
+    s0, s0_spec = M.mdim_reduce(base, spec, "sum", 0)
+    parts.append(M.mdim_chunk_checksums(s0, s0_spec, "mdim_sum0"))
+    m2, m2_spec = M.mdim_reduce(base, spec, "mean", 2)
+    parts.append(M.mdim_chunk_checksums(m2, m2_spec, "mdim_mean2"))
+    rs, rs_spec = M.mdim_resample2x(base, spec, (1, 2))
+    parts.append(M.mdim_chunk_checksums(rs, rs_spec, "mdim_resample"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def q32_hillshade(sf_dir: str):
