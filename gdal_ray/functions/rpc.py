@@ -137,8 +137,9 @@ class RPCModel:
         """(pixel, line) -> (long, lat): masked fixed-point iteration
         mirroring RPCInverseTransformPoint's no-DEM path per element.
         Returns (lon, lat, ok)."""
-        pixel = np.asarray(pixel, np.float64)
-        line = np.asarray(line, np.float64)
+        shape = np.asarray(pixel).shape
+        pixel = np.asarray(pixel, np.float64).reshape(-1)
+        line = np.asarray(line, np.float64).reshape(-1)
         gt = self.pl_to_ll
         X = gt[0] + gt[1] * pixel + gt[2] * line
         Y = gt[3] + gt[4] * pixel + gt[5] * line
@@ -160,7 +161,7 @@ class RPCModel:
             upd = idx[~conv]
             X[upd] = X[upd] - (dx[~conv] * gt[1]) - (dy[~conv] * gt[2])
             Y[upd] = Y[upd] - (dx[~conv] * gt[4]) - (dy[~conv] * gt[5])
-        return X, Y, ok
+        return X.reshape(shape), Y.reshape(shape), ok.reshape(shape)
 
 
 # ------------------------------------------------------- fixture synthesis

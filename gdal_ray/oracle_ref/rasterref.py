@@ -1490,6 +1490,105 @@ class _RpcRef:
         return np.asarray(out_x), np.asarray(out_y)
 
 
+class _GeolocRef:
+    """Geoloc golden: fixture arrays restated from synth_geoloc;
+    forward = the PixelLineToXY nested bilinear; inverse = the
+    documented masked-Newton contract (same elementwise expression
+    sequence as the engine => identical doubles; independent code)."""
+
+    def __init__(self, i: int, w: int, h: int, minx, miny, maxx, maxy):
+        gsd = (maxx - minx) / w
+        gsdy = (maxy - miny) / h
+        nc, nr = w // 4 + 1, h // 4 + 1
+        ax = ((i * 3) % 8) / 32.0
+        bx = ((i * 5) % 8) / 64.0
+        ay = ((i * 7) % 8) / 32.0
+        by = ((i * 11) % 8) / 64.0
+        c = np.arange(nc, dtype=np.float64)[None, :]
+        r = np.arange(nr, dtype=np.float64)[:, None]
+        bc = c * (nc - 1 - c) / 64.0
+        br = r * (nr - 1 - r) / 64.0
+        self.glx = np.broadcast_to(
+            minx + gsd * (4.0 * c + ax * bc + bx * br), (nr, nc)).copy()
+        self.gly = np.broadcast_to(
+            maxy - gsdy * (4.0 * r + ay * br + by * bc), (nr, nc)).copy()
+        self.nr, self.nc = nr, nc
+        x00, y00 = self.glx[0, 0], self.gly[0, 0]
+        gt = [x00, (self.glx[0, nc - 1] - x00) / (nc - 1),
+              (self.glx[nr - 1, 0] - x00) / (nr - 1),
+              y00, (self.gly[0, nc - 1] - y00) / (nc - 1),
+              (self.gly[nr - 1, 0] - y00) / (nr - 1)]
+        det = gt[1] * gt[5] - gt[2] * gt[4]
+        iv = 1.0 / det
+        self.inv_gt = [
+            (gt[2] * gt[3] - gt[0] * gt[5]) * iv, gt[5] * iv, -gt[2] * iv,
+            (-gt[1] * gt[3] + gt[0] * gt[4]) * iv, -gt[4] * iv, gt[1] * iv,
+        ]
+
+    def _corners(self, gp, gl):
+        gp = np.minimum(np.maximum(0.0, gp), float(self.nc - 1))
+        gl = np.minimum(np.maximum(0.0, gl), float(self.nr - 1))
+        iX = np.minimum(gp.astype(np.int64), self.nc - 2)
+        iY = np.minimum(gl.astype(np.int64), self.nr - 2)
+        return iX, iY, gp, gl
+
+    def _bil(self, iX, iY, fx, fy):
+        glx, gly = self.glx, self.gly
+        X = (1 - fy) * (glx[iY, iX] + fx * (glx[iY, iX + 1] - glx[iY, iX])
+             ) + fy * (glx[iY + 1, iX] + fx * (
+                 glx[iY + 1, iX + 1] - glx[iY + 1, iX]))
+        Y = (1 - fy) * (gly[iY, iX] + fx * (gly[iY, iX + 1] - gly[iY, iX])
+             ) + fy * (gly[iY + 1, iX] + fx * (
+                 gly[iY + 1, iX + 1] - gly[iY + 1, iX]))
+        return X, Y
+
+    def forward(self, pixel, line):
+        iX, iY, gp, gl = self._corners(
+            np.asarray(pixel, np.float64) / 4.0,
+            np.asarray(line, np.float64) / 4.0)
+        return self._bil(iX, iY, gp - iX, gl - iY)
+
+    def inverse(self, x, y):
+        shape = np.asarray(x).shape
+        x = np.asarray(x, np.float64).reshape(-1)
+        y = np.asarray(y, np.float64).reshape(-1)
+        g = self.inv_gt
+        U = g[0] + g[1] * x + g[2] * y
+        V = g[3] + g[4] * x + g[5] * y
+        active = np.ones(U.shape, bool)
+        glx, gly = self.glx, self.gly
+        for _ in range(12):
+            if not active.any():
+                break
+            iX, iY, gp, gl = self._corners(U[active], V[active])
+            fx, fy = gp - iX, gl - iY
+            FX, FY = self._bil(iX, iY, fx, fy)
+            FX = FX - x[active]
+            FY = FY - y[active]
+            err = np.maximum(np.abs(FX), np.abs(FY))
+            conv = err < 2.0 ** -16
+            idx = np.flatnonzero(active)
+            active[idx[conv]] = False
+            live = ~conv
+            ju_x = (1 - fy) * (glx[iY, iX + 1] - glx[iY, iX]) + fy * (
+                glx[iY + 1, iX + 1] - glx[iY + 1, iX])
+            jv_x = (glx[iY + 1, iX] + fx * (glx[iY + 1, iX + 1]
+                    - glx[iY + 1, iX])) - (glx[iY, iX] + fx * (
+                        glx[iY, iX + 1] - glx[iY, iX]))
+            ju_y = (1 - fy) * (gly[iY, iX + 1] - gly[iY, iX]) + fy * (
+                gly[iY + 1, iX + 1] - gly[iY + 1, iX])
+            jv_y = (gly[iY + 1, iX] + fx * (gly[iY + 1, iX + 1]
+                    - gly[iY + 1, iX])) - (gly[iY, iX] + fx * (
+                        gly[iY, iX + 1] - gly[iY, iX]))
+            det = ju_x * jv_y - jv_x * ju_y
+            du = (FX * jv_y - FY * jv_x) / det
+            dv = (FY * ju_x - FX * ju_y) / det
+            upd = idx[live]
+            U[upd] = U[upd] - du[live]
+            V[upd] = V[upd] - dv[live]
+        return (U * 4.0).reshape(shape), (V * 4.0).reshape(shape)
+
+
 def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
     """GCP warp suite golden: 'poly1' = order-1 fit by normal
     equations over the dyadic affine GCP spec; 'tps' = thin-plate
@@ -1518,17 +1617,22 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
         bgx = gx + gsd * (((3 * p_idx + 5 * l_idx + i) % 7) - 3) / 8.0
         bgy = gy + gsd * (((2 * p_idx + 7 * l_idx + i) % 5) - 2) / 8.0
 
-        for tag in ("poly1", "tps", "rpc"):
+        for tag in ("poly1", "tps", "rpc", "geoloc"):
             if tag == "poly1":
                 fwd = _fit_poly_ref(pp, ll, gx, gy, 1)
                 inv = _fit_poly_ref(gx, gy, pp, ll, 1)
             elif tag == "tps":
                 fwd = _TpsRef(pp, ll, bgx, bgy)
                 inv = _TpsRef(bgx, bgy, pp, ll)
-            else:  # rpc: corners via iterative INVERSE, grid via FORWARD
+            elif tag == "rpc":  # corners via iterative INVERSE, grid FORWARD
                 ref = _RpcRef(i, w, h)
                 fwd = ref.inv_points
                 inv = ref.fwd_grid
+            else:  # geoloc arrays: forward corners, Newton-inverse grid
+                ref = _GeolocRef(i, w, h, row.minx, row.miny,
+                                 row.maxx, row.maxy)
+                fwd = ref.forward
+                inv = ref.inverse
             cx, cy = fwd(
                 np.array([0.0, float(w), float(w), 0.0]),
                 np.array([0.0, 0.0, float(h), float(h)]),

@@ -2513,7 +2513,12 @@ def q58_gcp_warp(sf_dir: str):
     import ray.data as rd
 
     from ..functions import checksum, codecs
-    from ..stages.warp import warp_images_gcp, warp_images_rpc, warp_images_tps
+    from ..stages.warp import (
+        warp_images_gcp,
+        warp_images_geoloc,
+        warp_images_rpc,
+        warp_images_tps,
+    )
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
     imgs = rd.read_parquet(
@@ -2530,6 +2535,7 @@ def q58_gcp_warp(sf_dir: str):
         resampling="bilinear", concurrency=(1, 8),
     )
     rpc = warp_images_rpc(imgs, resampling="bilinear", concurrency=(1, 8))
+    glc = warp_images_geoloc(imgs, resampling="bilinear", concurrency=(1, 8))
 
     def cs(tag):
         def fn(t: pa.Table) -> pa.Table:
@@ -2558,6 +2564,7 @@ def q58_gcp_warp(sf_dir: str):
         poly.map_batches(cs("poly1"), batch_format="pyarrow")
         .union(tps.map_batches(cs("tps"), batch_format="pyarrow"))
         .union(rpc.map_batches(cs("rpc"), batch_format="pyarrow"))
+        .union(glc.map_batches(cs("geoloc"), batch_format="pyarrow"))
         .sort(["image_id", "transformer"])
     )
 

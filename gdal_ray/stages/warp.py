@@ -503,3 +503,84 @@ def warp_images_rpc(images, resampling: str = "bilinear",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class WarpChipsGeoloc:
+    """Actor-pool stage: warp each chip by a geolocation-array
+    transformer (alg/gdalgeoloc.cpp analog, GEOLOCATION metadata
+    path).  Per-chip subsampled geoloc arrays come from the
+    deterministic fixture spec functions.geoloc.synth_geoloc
+    (mirrored by the rasterref golden).
+
+    Grid spec: dst bbox = envelope of the geoloc-FORWARD-mapped pixel
+    corners; dst keeps w x h pixels; each dst pixel center maps back
+    through the masked-Newton INVERSE to source pixel space and
+    samples with resample_grid (nodata 0 outside)."""
+
+    def __init__(self, resampling: str = "bilinear"):
+        self.resampling = resampling
+
+    def _warp_one(self, img, iid: str, env):
+        from ..functions.geoloc import GeolocTransformer, synth_geoloc
+
+        h, w = img.shape[:2]
+        glx, gly = synth_geoloc(int(iid[3:]), w, h, *env)
+        tr = GeolocTransformer(glx, gly)
+        cpx = np.array([0.0, float(w), float(w), 0.0])
+        cpl = np.array([0.0, 0.0, float(h), float(h)])
+        cx, cy = tr.forward(cpx, cpl)
+        minx, maxx = float(np.min(cx)), float(np.max(cx))
+        miny, maxy = float(np.min(cy)), float(np.max(cy))
+        X = minx + (np.arange(w) + 0.5) * ((maxx - minx) / w)
+        Y = maxy - (np.arange(h) + 0.5) * ((maxy - miny) / h)
+        XX, YY = np.meshgrid(X, Y)
+        sp, sl = tr.inverse(XX, YY)
+        out = kernels.resample_grid(
+            img, sp - 0.5, sl - 0.5, self.resampling, nodata=0
+        )
+        return out, (minx, miny, maxx, maxy)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {
+            c: batch.column(c).to_pylist()
+            for c in ("image_id", "bytes", "w", "h", "fmt",
+                      "minx", "miny", "maxx", "maxy")
+        }
+        n = batch.num_rows
+        new_bytes = []
+        env = np.empty((n, 4), dtype=np.float64)
+        for i in range(n):
+            img = codecs.decode(
+                cols["bytes"][i], cols["w"][i], cols["h"][i], cols["fmt"][i]
+            )
+            out, dst_env = self._warp_one(
+                img, cols["image_id"][i],
+                (cols["minx"][i], cols["miny"][i],
+                 cols["maxx"][i], cols["maxy"][i]),
+            )
+            new_bytes.append(codecs.encode(out, cols["fmt"][i]))
+            env[i] = dst_env
+        out_t = batch
+        for name, arr in (
+            ("bytes", pa.array(new_bytes, pa.binary())),
+            ("minx", pa.array(env[:, 0])),
+            ("miny", pa.array(env[:, 1])),
+            ("maxx", pa.array(env[:, 2])),
+            ("maxy", pa.array(env[:, 3])),
+        ):
+            out_t = out_t.set_column(
+                out_t.schema.get_field_index(name), name, arr
+            )
+        return out_t
+
+
+def warp_images_geoloc(images, resampling: str = "bilinear",
+                       concurrency=4, batch_size: int = 64):
+    """Geolocation-array warp over an images Dataset (actor pool)."""
+    return images.map_batches(
+        WarpChipsGeoloc,
+        fn_constructor_kwargs=dict(resampling=resampling),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

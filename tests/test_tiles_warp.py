@@ -240,3 +240,52 @@ def test_rpc_vectorized_matches_scalar_bitwise():
             sp = (poly(m.samp_num) / poly(m.samp_den)) * m.samp_scale + m.samp_off
             sl = (poly(m.line_num) / poly(m.line_den)) * m.line_scale + m.line_off
             assert sp == P[a, b] and sl == L[a, b]
+
+
+# -------------------------------------------------------------- geoloc
+
+
+def test_geoloc_forward_inverse_roundtrip():
+    """Geoloc Newton inverse round-trips the forward bilinear mapping
+    to well under the 0.125-px approx contract."""
+    import numpy as np
+
+    from gdal_ray.functions.geoloc import GeolocTransformer, synth_geoloc
+
+    for i in (0, 5, 123, 999):
+        glx, gly = synth_geoloc(i, 20, 20, 0.0, 0.0, 2000.0, 2000.0)
+        tr = GeolocTransformer(glx, gly)
+        px = np.array([0.0, 20.0, 20.0, 0.0])
+        ln = np.array([0.0, 0.0, 20.0, 20.0])
+        X, Y = tr.forward(px, ln)
+        bp, bl = tr.inverse(X, Y)
+        assert max(np.abs(bp - px).max(), np.abs(bl - ln).max()) < 1e-6
+        gx = np.linspace(X.min() + 1, X.max() - 1, 9)
+        gy = np.linspace(Y.min() + 1, Y.max() - 1, 9)
+        XX, YY = np.meshgrid(gx, gy)
+        sp, sl = tr.inverse(XX, YY)
+        fx, fy = tr.forward(sp, sl)
+        # residual in pixel units (gsd = 100 geo units / px)
+        res = max(np.abs(fx - XX).max(), np.abs(fy - YY).max()) / 100.0
+        assert res < 0.01
+
+
+def test_geoloc_forward_matches_reference_bilinear():
+    """Forward is the exact PixelLineToXY nested bilinear (spot check
+    against direct per-point evaluation)."""
+    import numpy as np
+
+    from gdal_ray.functions.geoloc import GeolocTransformer, synth_geoloc
+
+    glx, gly = synth_geoloc(3, 16, 16, 0.0, 0.0, 1600.0, 1600.0)
+    tr = GeolocTransformer(glx, gly)
+    for p, l in ((0.0, 0.0), (7.3, 2.9), (16.0, 16.0), (15.9, 0.1)):
+        gp, gl = p / 4.0, l / 4.0
+        iX = min(int(min(max(0.0, gp), glx.shape[1] - 1)), glx.shape[1] - 2)
+        iY = min(int(min(max(0.0, gl), glx.shape[0] - 1)), glx.shape[0] - 2)
+        fx, fy = gp - iX, gl - iY
+        wx = (1 - fy) * (glx[iY, iX] + fx * (glx[iY, iX + 1] - glx[iY, iX])
+             ) + fy * (glx[iY + 1, iX] + fx * (
+                 glx[iY + 1, iX + 1] - glx[iY + 1, iX]))
+        X, Y = tr.forward(np.array([p]), np.array([l]))
+        assert X[0] == wx
