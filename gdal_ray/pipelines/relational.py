@@ -208,10 +208,27 @@ def copartition_equi_join(
     # schemas: explicit beats inferred (a lazy upstream whose sampled
     # block is empty reports schema None)
     # copy: callers may mutate their schema lists after this (lazy) call
-    lsch = list(left_schema) if left_schema else list(
-        zip(left.schema().names, left.schema().types))
-    rsch = list(right_schema) if right_schema else list(
-        zip(right.schema().names, right.schema().types))
+    def _pa_type(ty):
+        """Datasets over pandas blocks report numpy dtypes / python
+        classes; normalize everything to pyarrow DataTypes."""
+        if isinstance(ty, pa.DataType):
+            return ty
+        try:
+            import numpy as _np
+
+            dt = _np.dtype(ty)
+            if dt == object:
+                return pa.string()
+            return pa.from_numpy_dtype(dt)
+        except (TypeError, ValueError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    lsch = [(c, _pa_type(t)) for c, t in (
+        left_schema if left_schema else
+        zip(left.schema().names, left.schema().types))]
+    rsch = [(c, _pa_type(t)) for c, t in (
+        right_schema if right_schema else
+        zip(right.schema().names, right.schema().types))]
     lcols = [c for c, _ in lsch]
     rcols = [c for c, _ in rsch]
 
@@ -309,3 +326,38 @@ def decimate(ds, key_col: str, n: int, keep: int = 0):
 
     fn.__name__ = f"decimate_{key_col}"
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def join_auto(left, right, lkey: str, rkey: str | None = None,
+              how: str = "inner", broadcast_max_rows: int = 200_000,
+              num_partitions: int = 32):
+    """Equi-join strategy auto-selection (SURVEY §9.6; the
+    ogr_gensql.cpp:1319 secondary-table fetch picks an attribute-index
+    path the same way): if the build (right) side is small, broadcast
+    it once via ``ray.put`` and merge per batch — NO shuffle; else run
+    the one-shuffle co-partitioned join.
+
+    ``right.count()`` is metadata-cheap for as-read parquet datasets
+    (row counts come from file footers); apply the gate before heavy
+    transforms, or pass an explicit strategy via the underlying
+    functions when the estimate would force an execution."""
+    rkey = rkey or lkey
+    n = right.count()
+    if n <= broadcast_max_rows:
+        tbl = _dataset_to_table(right)
+        if rkey != lkey:
+            idx = tbl.schema.get_field_index(rkey)
+            tbl = tbl.set_column(idx, lkey, tbl.column(rkey))
+        return broadcast_hash_join(left, tbl, on=lkey, how=how)
+    return copartition_equi_join(
+        left, right, lkey=lkey, rkey=rkey, how=how,
+        num_partitions=num_partitions,
+    )
+
+
+def _dataset_to_table(ds) -> pa.Table:
+    """Materialize a (small, gated) Dataset to one Table."""
+    batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables(batches)

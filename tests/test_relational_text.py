@@ -166,3 +166,24 @@ def test_phash_neardup_finds_synth_dups(ray_session, smoke_fixtures):
     for i in range(89, 1000, 89):
         a, b = f"img{i-89:08d}", f"img{i:08d}"
         assert (a, b) in got or (b, a) in got, (a, b)
+
+
+def test_join_auto_strategies_agree(ray_session):
+    """join_auto's broadcast and copartition paths produce the same
+    result set; the gate picks by build-side count."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.pipelines.relational import join_auto
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3, 4, 2, 1], "a": list("abcdef")}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 5], "b": ["x", "y", "z"]}))
+    small = join_auto(left, right, "k", broadcast_max_rows=10).to_pandas()
+    big = join_auto(left, right, "k", broadcast_max_rows=0,
+                    num_partitions=4).to_pandas()
+    canon = lambda d: d[sorted(d.columns)].sort_values(  # noqa: E731
+        sorted(d.columns)).reset_index(drop=True)
+    assert canon(small).equals(canon(big))
+    assert len(small) == 4
