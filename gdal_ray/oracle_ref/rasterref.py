@@ -365,6 +365,17 @@ def q31_raster_steps(sf_dir: str) -> pd.DataFrame:
         # self-stack: 6 identical-pair bands => twice the per-band sum
         add(row.image_id, "stack",
             2 * sum(_cs_band(px[:, :, b]) for b in range(3)))
+        # gdal raster calc golden: the fixed q31 expression
+        # clip((A + 2*B + C)/4 + sqrt(A) - B % 7, 0, 255) restated as
+        # direct numpy in the same evaluation-tree order (the engine
+        # runs its compiled-expression interpreter instead)
+        A = px[:, :, 0].astype(np.float64)
+        B = px[:, :, 1].astype(np.float64)
+        C = px[:, :, 2].astype(np.float64)
+        calc = np.minimum(np.maximum(
+            (A + 2.0 * B + C) / 4.0 + np.sqrt(A) - np.fmod(B, 7.0),
+            0.0), 255.0)
+        add(row.image_id, "calc", _cs_float(calc))
         for m, cs in _area_cs(px).items():
             add(row.image_id, f"area_{m}", cs)
     for iid, op, cs in _mdim_rows_ref():

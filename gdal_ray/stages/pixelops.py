@@ -448,11 +448,15 @@ class RasterStepSuite:
 
     def __init__(self, mapping: str, translate_kwargs: dict,
                  unscale_scale: float, unscale_offset: float,
-                 n2a_nodata: tuple):
+                 n2a_nodata: tuple,
+                 calc_expr: str = "clip((A + 2*B + C) / 4 + sqrt(A)"
+                                  " - B % 7, 0, 255)"):
         from ..functions import checksum
+        from ..functions.exprcalc import CalcExpr
         from .translate import TranslateChips
 
         self.spec = parse_mapping(mapping)
+        self.calc = CalcExpr(calc_expr)  # compiled once per actor
         self.translate = TranslateChips(**translate_kwargs)
         self.us = np.float32(unscale_scale)
         self.uo = np.float32(unscale_offset)
@@ -519,6 +523,11 @@ class RasterStepSuite:
             # self-stack: 6 identical-pair bands
             add(iid, "stack", 2 * sum(
                 self.cs_band(img[:, :, b]) for b in range(3)
+            ))
+            # gdal raster calc: compiled band-math expression over the
+            # chip's bands (A=band0, B=band1, C=band2), float64 result
+            add(iid, "calc", self.cs_float(
+                self.calc(img[:, :, 0], img[:, :, 1], img[:, :, 2])
             ))
             # area-aggregating resamplers (-r average/rms/sum/min/max/
             # med/q1/q3/mode, GWKAverageOrModeThread): exact 2x

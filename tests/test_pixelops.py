@@ -242,3 +242,26 @@ def test_resize_dispatches_area_methods():
     img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
     out = resize(img, 4, 4, "average")
     assert out.shape == (4, 4, 3)
+
+
+def test_calc_expression_compiler():
+    from gdal_ray.functions.exprcalc import CalcExpr, CalcParseError
+
+    a = np.arange(12.0).reshape(3, 4)
+    b = a[::-1].copy()
+    c = a * 2
+    assert np.allclose(CalcExpr("(A + 2*B + C) / 4")(a, b, c),
+                       (a + 2 * b + c) / 4)
+    assert np.allclose(
+        CalcExpr("clip(sqrt(A)*10 - B % 3, 0, 255)")(a, b),
+        np.clip(np.sqrt(a) * 10 - np.fmod(b, 3), 0, 255))
+    assert np.allclose(CalcExpr("-A ** 2 + max(A, B)")(a, b),
+                       -(a ** 2) + np.maximum(a, b))
+    assert CalcExpr("2 ** 3 ** 2")() == 512.0  # right-assoc
+    assert CalcExpr("2 ** -2")() == 0.25
+    for bad in ("A +", "foo(A)", "min(A)", "A B"):
+        try:
+            CalcExpr(bad)
+            raise AssertionError(bad)
+        except CalcParseError:
+            pass
