@@ -751,6 +751,18 @@ def q57_geometry_ops(sf_dir: str) -> pd.DataFrame:
         rows.append(("clip", kk, len(pts), 0, area))
         for part_idx, n_pts, av in _makevalid_bowtie_ref(kk):
             rows.append(("makevalid", kk, part_idx, n_pts, av))
+        # vector reproject golden: MetersToLatLon
+        # (gdal2tiles.py:431-441) restated with numpy elementwise ops
+        # — numpy's SIMD exp/atan differ from scalar libm in the last
+        # ulp ~25% of the time, so the shared contract is the numpy
+        # expression; fsum per axis is order-independent, one final add
+        OS = 20037508.342789244
+        lon_a = (np.asarray(vx, np.float64) / OS) * 180.0
+        lat_a = (np.asarray(vy, np.float64) / OS) * 180.0
+        lat_a = 180.0 / np.pi * (
+            2.0 * np.arctan(np.exp(lat_a * np.pi / 180.0)) - np.pi / 2.0)
+        rows.append(("reproject", kk, len(vx), 0,
+                     math.fsum(lon_a) + math.fsum(lat_a)))
 
     # point buffers (pid % 10 == 0), 32-gon on the lattice
     ang = 2.0 * np.pi * np.arange(32) / 32

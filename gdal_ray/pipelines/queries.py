@@ -2424,15 +2424,30 @@ def q57_geometry_ops(sf_dir: str):
             }
         )
 
-    from ..stages.geomops import make_valid_batch
+    from ..stages.geomops import make_valid_batch, reproject_batch
 
     mkv = (
         _derive_bowties(sf_dir)
         .map_batches(make_valid_batch, batch_format="pyarrow")
         .map_batches(tag_makevalid, batch_format="pyarrow")
     )
+
+    def tag_reproject(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["reproject"] * t.num_rows, pa.string()),
+                "fid": t.column("fid"),
+                "a": t.column("n_pts"),
+                "b": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "v": pc.add(t.column("lon_fsum"), t.column("lat_fsum")),
+            }
+        )
+
+    rpj = ngons.map_batches(
+        reproject_batch, batch_format="pyarrow"
+    ).map_batches(tag_reproject, batch_format="pyarrow")
     out = cen.union(simp).union(buf).union(clip).union(seg).union(swp)
-    return out.union(exp).union(mkv).sort(["kind", "fid"])
+    return out.union(exp).union(mkv).union(rpj).sort(["kind", "fid"])
 
 
 def _derive_bowties(sf_dir: str):

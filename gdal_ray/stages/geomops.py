@@ -416,3 +416,33 @@ def make_valid_batch(t: pa.Table) -> pa.Table:
             "area": pa.array(a),
         }
     )
+
+
+# ---------------------------------------------------- vector reproject
+
+
+def reproject_batch(t: pa.Table) -> pa.Table:
+    """gdal vector reproject (apps/gdalalg_vector_reproject.cpp) for
+    the supported closed-form CRS pair: ring coordinates treated as
+    EPSG:3857 meters -> EPSG:4326 degrees (gdal2tiles GlobalMercator
+    MetersToLatLon formulas via functions.mercator).  Emits (fid,
+    n_pts, lon_fsum, lat_fsum) — math.fsum is correctly rounded, so
+    the sums are accumulation-order independent and bit-mirrorable."""
+    from ..functions import mercator as MERC
+
+    fid, rings = _rings_from_table(t)
+    out_f, out_n, out_lon, out_lat = [], [], [], []
+    for i, r in enumerate(rings):
+        lat, lon = MERC.meters_to_lat_lon(r[:, 0], r[:, 1])
+        out_f.append(int(fid[i]))
+        out_n.append(len(r))
+        out_lon.append(math.fsum(lon))
+        out_lat.append(math.fsum(lat))
+    return pa.table(
+        {
+            "fid": pa.array(out_f, pa.int64()),
+            "n_pts": pa.array(out_n, pa.int64()),
+            "lon_fsum": pa.array(out_lon, pa.float64()),
+            "lat_fsum": pa.array(out_lat, pa.float64()),
+        }
+    )
