@@ -72,6 +72,52 @@ def q21_ann_lsh(sf_dir: str, k: int = 5, n_planes: int = 12) -> pd.DataFrame:
     )
 
 
+# ----------------------------------------------------------- q16 ann ivf
+
+
+def q_ann_ivf(sf_dir: str, k: int = 5, k_lists: int = 16, nprobe: int = 2,
+              n_train: int = 256, iters: int = 10) -> pd.DataFrame:
+    """IVF golden: the same deterministic Lloyd contract (init = first
+    k_lists rows of the id-sorted sample, cosine argmax assignment,
+    member-mean renormalized update, emptied cluster keeps its
+    centroid), coded independently as a single-process pass."""
+    ids, emb = _embeddings(sf_dir)
+    en = _unit(emb)
+    train = en[ids < n_train]
+    C = train[:k_lists].copy()
+    for _ in range(iters):
+        assign = np.argmax(train @ C.T, axis=1)
+        for c in range(k_lists):
+            rows = np.flatnonzero(assign == c)
+            if len(rows):
+                s = train[rows].sum(axis=0) / float(len(rows))
+                n = np.linalg.norm(s)
+                if n > 0:
+                    C[c] = s / n
+    assign = np.argmax(en @ C.T, axis=1)
+    qsel = ids < 8
+    qids, qemb = ids[qsel], en[qsel]
+    qlists = np.argsort(-(qemb @ C.T), axis=1, kind="stable")[:, :nprobe]
+    out_q, out_v, out_r = [], [], []
+    for qi in range(len(qids)):
+        rows = np.flatnonzero(np.isin(assign, qlists[qi]))
+        if len(rows) == 0:
+            continue
+        scores = en[rows] @ qemb[qi]
+        order = np.lexsort((ids[rows], -scores))[:k]
+        for r, idx in enumerate(order, start=1):
+            out_q.append(int(qids[qi]))
+            out_v.append(int(ids[rows][idx]))
+            out_r.append(r)
+    return pd.DataFrame(
+        {
+            "qid": np.asarray(out_q, np.int64),
+            "vec_id": np.asarray(out_v, np.int64),
+            "rank": np.asarray(out_r, np.int64),
+        }
+    )
+
+
 # ------------------------------------------------------ q26 phash near-dup
 
 
@@ -177,6 +223,7 @@ def q28_embedding_neardup(sf_dir: str, threshold: float = 0.35,
 GOLDENS = {
     # composed into q16_ann_topk by pipelines.queries.COMBINED_ORACLES
     "part_ann_lsh": (q21_ann_lsh, ["qid", "rank"]),
+    "part_ann_ivf": (q_ann_ivf, ["qid", "rank"]),
     "q26_phash_neardup": (q26_phash, ["id_a", "id_b"]),
     "q28_embedding_neardup": (q28_embedding_neardup, ["id_a", "id_b"]),
 }

@@ -2082,10 +2082,12 @@ ORDER BY a.lang
 
 
 def q16_ann_topk(sf_dir: str):
-    """ANN suite: exact brute-force cosine top-5 AND the LSH-bucketed
-    approximate path, tagged by ``method``."""
+    """ANN suite: exact brute-force cosine top-5, the LSH-bucketed
+    approximate path, AND the IVF inverted-list path (k-means coarse
+    quantizer, nprobe lists), tagged by ``method``."""
     ex = q16_ann_cosine(sf_dir)
     ls = q21_ann_lsh(sf_dir)
+    iv = q_ann_ivf(sf_dir)
 
     def tag(name):
         def fn(t: pa.Table) -> pa.Table:
@@ -2098,8 +2100,50 @@ def q16_ann_topk(sf_dir: str):
     return (
         ex.map_batches(tag("exact"), batch_format="pyarrow")
         .union(ls.map_batches(tag("lsh"), batch_format="pyarrow"))
+        .union(iv.map_batches(tag("ivf"), batch_format="pyarrow"))
         .sort(["method", "qid", "rank"])
     )
+
+
+def q_ann_ivf(sf_dir: str, k_lists: int = 16, nprobe: int = 2,
+              n_train: int = 256):
+    """IVF approximate ANN: deterministic k-means coarse quantizer
+    trained on the id-sorted ``vec_id < n_train`` sample, inverted-
+    list probe of the ``nprobe`` nearest lists per query."""
+    import duckdb
+
+    from ..stages.ann import ann_ivf_topk, kmeans_centroids
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    con = duckdb.connect()
+    tt = con.execute(
+        f"SELECT vec_id, embedding FROM parquet_scan('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id < {n_train} ORDER BY vec_id"
+    ).fetch_arrow_table()
+    train = np.stack(
+        [np.asarray(v, np.float64) for v in tt.column("embedding").to_pylist()]
+    )
+    qt = con.execute(
+        f"SELECT vec_id, embedding FROM parquet_scan('{sf_dir}/embeddings.parquet') "
+        "WHERE vec_id < 8 ORDER BY vec_id"
+    ).fetch_arrow_table()
+    queries = np.stack(
+        [np.asarray(v, np.float64) for v in qt.column("embedding").to_pylist()]
+    )
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False)
+    C = kmeans_centroids(train, k=k_lists, iters=10)
+    out = ann_ivf_topk(emb, queries, qids, C, k=5, nprobe=nprobe)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": t.column("qid"),
+                "vec_id": t.column("vec_id"),
+                "rank": pc.cast(t.column("rank"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow").sort(["qid", "rank"])
 
 
 def q17_neardup_pairs(sf_dir: str):
@@ -2234,6 +2278,9 @@ SELECT * FROM (
   UNION ALL
   SELECT 'lsh' AS method, qid, vec_id, rank
   FROM ({golden_sql("part_ann_lsh", sf_dir)})
+  UNION ALL
+  SELECT 'ivf' AS method, qid, vec_id, rank
+  FROM ({golden_sql("part_ann_ivf", sf_dir)})
 ) ORDER BY method, qid, rank
 """
 

@@ -379,3 +379,97 @@ def embedding_neardup_pairs(
         .map_batches(overflow, batch_format="pyarrow")
     )
     return pairs, stats
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+
+def kmeans_centroids(m: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd k-means on UNIT vectors with cosine
+    assignment (the IVF coarse quantizer; Sivic & Zisserman-style
+    inverted lists): init = the first k rows of the id-sorted sample,
+    assign by argmax dot (numpy argmax tie -> lowest index), update =
+    member mean re-normalized; an emptied cluster keeps its previous
+    centroid.  Fixed iteration count, shared-expression contract."""
+    m = _normalize(np.asarray(m, np.float64))
+    C = m[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ C.T, axis=1)
+        for c in range(k):
+            rows = np.flatnonzero(assign == c)
+            if len(rows):
+                s = m[rows].sum(axis=0) / float(len(rows))
+                n = np.linalg.norm(s)
+                if n > 0:
+                    C[c] = s / n
+    return C
+
+
+def ann_ivf_topk(
+    embeddings,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    concurrency: int = 4,
+):
+    """IVF approximate cosine top-k (the k-means sibling of the LSH
+    scale path): vectors live in inverted lists keyed by their nearest
+    coarse centroid; each query scores only its ``nprobe`` nearest
+    lists.  Centroids are broadcast once (ray.put); list assignment is
+    a vectorized map; per-batch partial scores merge through ONE
+    groupby(qid).  Returns (qid, vec_id, rank, score)."""
+    import ray
+
+    C = np.asarray(centroids, np.float64)
+    qn = _normalize(np.asarray(queries, np.float64))
+    qlists = np.argsort(-(qn @ C.T), axis=1, kind="stable")[:, :nprobe]
+    by_list: dict[int, list[int]] = {}
+    for qi in range(len(qn)):
+        for li in qlists[qi]:
+            by_list.setdefault(int(li), []).append(qi)
+    ref = ray.put((C, qn, np.asarray(query_ids, np.int64), by_list))
+
+    def probe(t: pa.Table) -> pa.Table:
+        C, qn, qids, by_list = ray.get(ref)
+        m = _normalize(_emb_matrix(t))
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        assign = np.argmax(m @ C.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for li, qis in by_list.items():
+            rows = np.flatnonzero(assign == li)
+            if len(rows) == 0:
+                continue
+            scores = m[rows] @ qn[qis].T
+            for c, qi in enumerate(qis):
+                out_q.append(np.full(len(rows), qids[qi], dtype=np.int64))
+                out_v.append(vid[rows])
+                out_s.append(scores[:, c])
+        if not out_q:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g
+
+    return (
+        embeddings.map_batches(probe, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -77,3 +77,33 @@ def test_embedding_neardup_cap(ray_session):
     assert (sdf["n_in_bucket"] == 3000).all()
     assert (sdf["n_dropped"] == 3000 - cap).all()
     assert len(sdf) == 2
+
+
+def test_ivf_recall_against_exact(ray_session):
+    """IVF with nprobe=4 of 8 lists recalls most exact top-5 neighbors
+    on a random corpus (sanity: the inverted-list path works)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.stages.ann import (
+        ann_cosine_topk,
+        ann_ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    emb = rng.standard_normal((400, 16))
+    ids = np.arange(400)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": ids, "embedding": [list(v) for v in emb]}))
+    queries, qids = emb[:4], ids[:4]
+    C = kmeans_centroids(emb[:128], k=8, iters=10)
+    ivf = ann_ivf_topk(ds, queries, qids, C, k=5, nprobe=4).to_pandas()
+    exact = ann_cosine_topk(ds, queries, qids, k=5).to_pandas()
+    hits = 0
+    for q in qids:
+        got = set(ivf[ivf.qid == q].vec_id)
+        want = set(exact[exact.qid == q].vec_id)
+        hits += len(got & want)
+    assert hits >= 12  # >=60% recall across the 20 exact pairs
