@@ -204,3 +204,136 @@ def synth_rpc(i: int, w: int, h: int) -> dict:
         samp_off=w / 2.0, samp_scale=w / 2.0,
         line_off=h / 2.0, line_scale=h / 2.0,
     )
+
+
+# ------------------------------------------------------------- DEM-backed
+
+
+class DEMGrid:
+    """Elevation grid for the DEM-backed RPC path (the psTransform->poDS
+    lookup of alg/gdal_rpc.cpp): values on a regular (lat, lon) grid,
+    bilinear interpolation (the default RPC_DEMINTERPOLATION), edge
+    clamp."""
+
+    def __init__(self, values: np.ndarray, lon0: float, lat0: float,
+                 step: float):
+        self.v = np.asarray(values, np.float64)  # (nr, nc), row = lat idx
+        self.lon0 = float(lon0)
+        self.lat0 = float(lat0)
+        self.step = float(step)
+
+    def lookup(self, lon, lat):
+        gx = (np.asarray(lon, np.float64) - self.lon0) / self.step
+        gy = (np.asarray(lat, np.float64) - self.lat0) / self.step
+        nr, nc = self.v.shape
+        gx = np.minimum(np.maximum(0.0, gx), float(nc - 1))
+        gy = np.minimum(np.maximum(0.0, gy), float(nr - 1))
+        ix = np.minimum(gx.astype(np.int64), nc - 2)
+        iy = np.minimum(gy.astype(np.int64), nr - 2)
+        fx = gx - ix
+        fy = gy - iy
+        v = self.v
+        return (1 - fy) * (v[iy, ix] + fx * (v[iy, ix + 1] - v[iy, ix])) \
+            + fy * (v[iy + 1, ix] + fx * (v[iy + 1, ix + 1] - v[iy + 1, ix]))
+
+
+def rpc_forward_dem(model: RPCModel, dem: DEMGrid, lon, lat, user_h=0.0):
+    """Forward with per-point DEM height (GDALRPCTransform forward
+    path: height = user height + DEM at the input long/lat)."""
+    h = user_h + dem.lookup(lon, lat)
+    return model.forward(lon, lat, h)
+
+
+def rpc_inverse_dem(model: RPCModel, dem: DEMGrid, pixel, line,
+                    user_h=0.0, max_iterations: int = 20):
+    """DEM-backed iterative inverse: the FULL RPCInverseTransformPoint
+    state machine (alg/gdal_rpc.cpp:1128-1360) vectorized with
+    per-lane state — DEM height refreshed at each guess, oscillation
+    damping (mean of the two previous guesses when BOTH pixel deltas
+    change sign), boost factor 10 after 5 consecutive sub-2-px errors,
+    max 20 iterations.  Per-element expression order mirrors the
+    scalar reference loop exactly."""
+    shape = np.asarray(pixel).shape
+    pixel = np.asarray(pixel, np.float64).reshape(-1)
+    line = np.asarray(line, np.float64).reshape(-1)
+    gt = model.pl_to_ll
+    X = gt[0] + gt[1] * pixel + gt[2] * line
+    Y = gt[3] + gt[4] * pixel + gt[5] * line
+    n = X.size
+    ok = np.zeros(n, bool)
+    active = np.ones(n, bool)
+    last_dx = np.zeros(n)
+    last_dy = np.zeros(n)
+    last_X = np.zeros(n)
+    last_Y = np.zeros(n)
+    last_valid = np.zeros(n, bool)
+    cnt_below2 = np.zeros(n, np.int64)
+    for _ in range(max_iterations):
+        if not active.any():
+            break
+        idx = np.flatnonzero(active)
+        demh = dem.lookup(X[idx], Y[idx])
+        bp, bl = model.forward(X[idx], Y[idx], user_h + demh)
+        dx = bp - pixel[idx]
+        dy = bl - line[idx]
+        err = np.maximum(np.abs(dx), np.abs(dy))
+        conv = err < model.thresh
+        ok[idx[conv]] = True
+        active[idx[conv]] = False
+        live = ~conv
+        li = idx[live]
+        dxl, dyl, errl = dx[live], dy[live], err[live]
+        # oscillation: both deltas changed sign vs the previous iter
+        osc = (last_valid[li]
+               & (dxl * last_dx[li] < 0) & (dyl * last_dy[li] < 0))
+        oi = li[osc]
+        if oi.size:
+            adx, aldx = np.abs(dxl[osc]), np.abs(last_dx[oi])
+            ady, aldy = np.abs(dyl[osc]), np.abs(last_dy[oi])
+            X[oi] = (adx * last_X[oi] + aldx * X[oi]) / (adx + aldx)
+            Y[oi] = (ady * last_Y[oi] + aldy * Y[oi]) / (ady + aldy)
+            last_valid[oi] = False
+            cnt_below2[oi] = 0
+        reg = li[~osc]
+        if reg.size:
+            dxr, dyr, errr = dxl[~osc], dyl[~osc], errl[~osc]
+            boost = np.where((cnt_below2[reg] >= 5) & (errr < 2), 10.0, 1.0)
+            cnt_below2[reg] = np.where(errr < 2, cnt_below2[reg] + 1, 0)
+            newX = X[reg] - (dxr * gt[1] * boost) - (dyr * gt[2] * boost)
+            newY = Y[reg] - (dxr * gt[4] * boost) - (dyr * gt[5] * boost)
+            last_X[reg] = X[reg]
+            last_Y[reg] = Y[reg]
+            X[reg] = newX
+            Y[reg] = newY
+            last_dx[reg] = dxr
+            last_dy[reg] = dyr
+            last_valid[reg] = True
+    return X.reshape(shape), Y.reshape(shape), ok.reshape(shape)
+
+
+def synth_dem(i: int) -> DEMGrid:
+    """Deterministic dyadic DEM over the synth_rpc footprint
+    (FIXTURE — mirrored by the golden): a smooth parabola bump,
+    17x17 grid at step 1/128 covering [lon0-1/16, lon0+1/16]^2."""
+    lon0 = ((i * 5) % 64 - 32) / 256.0
+    lat0 = ((i * 11) % 64 - 32) / 256.0
+    amp = float(i % 8)
+    r = np.arange(17, dtype=np.float64)[:, None]
+    c = np.arange(17, dtype=np.float64)[None, :]
+    v = amp * (r * (16.0 - r) + c * (16.0 - c)) / 8.0
+    return DEMGrid(np.broadcast_to(v, (17, 17)).copy(),
+                   lon0 - 1.0 / 16.0, lat0 - 1.0 / 16.0, 1.0 / 128.0)
+
+
+def synth_rpc_dem(i: int, w: int, h: int) -> dict:
+    """synth_rpc variant with height sensitivity (small dyadic H
+    terms, height scale 128) for the DEM-backed q58 tag."""
+    spec = synth_rpc(i, w, h)
+    e = ((i * 9) % 8) / 512.0
+    spec["samp_num"] = spec["samp_num"].copy()
+    spec["line_num"] = spec["line_num"].copy()
+    spec["samp_num"][3] = e       # + e*H
+    spec["line_num"][3] = -e      # - e*H
+    spec["height_off"] = 0.0
+    spec["height_scale"] = 128.0
+    return spec

@@ -1501,6 +1501,129 @@ class _RpcRef:
         return np.asarray(out_x), np.asarray(out_y)
 
 
+class _RpcDemRef(_RpcRef):
+    """DEM-backed RPC golden: the synth_rpc_dem H-term/scale variant
+    plus the dyadic DEM; inverse is a SCALAR per-point loop running
+    the full RPCInverseTransformPoint state machine (oscillation mean,
+    boost 10 after 5 consecutive sub-2-px errors, 20 iterations) —
+    structurally independent of the engine's per-lane vectorization."""
+
+    def __init__(self, i: int, w: int, h: int):
+        self.hsc = 1.0  # placeholder: super().__init__ dispatches to
+        # the subclass _eval while deriving its (discarded) seed
+        super().__init__(i, w, h)
+        e = ((i * 9) % 8) / 512.0
+        self.sn = list(self.sn)
+        self.ln = list(self.ln)
+        self.sn[3] = e
+        self.ln[3] = -e
+        self.hsc = 128.0
+        amp = float(i % 8)
+        r = np.arange(17, dtype=np.float64)[:, None]
+        c = np.arange(17, dtype=np.float64)[None, :]
+        self.dem = np.broadcast_to(
+            amp * (r * (16.0 - r) + c * (16.0 - c)) / 8.0, (17, 17)).copy()
+        self.dlon0 = self.lon0 - 1.0 / 16.0
+        self.dlat0 = self.lat0 - 1.0 / 16.0
+        self.dstep = 1.0 / 128.0
+        # re-derive the affine seed with the H-term model (h=0 at ref)
+        rp, rl = self._fwd1(self.lon0, self.lat0)
+        dd = 0.0001
+        p1, l1 = self._fwd1(self.lon0 + dd, self.lat0)
+        p2, l2 = self._fwd1(self.lon0, self.lat0 + dd)
+        gt = [0.0] * 6
+        gt[1] = (p1 - rp) / dd
+        gt[4] = (l1 - rl) / dd
+        gt[2] = (p2 - rp) / dd
+        gt[5] = (l2 - rl) / dd
+        gt[0] = rp - gt[1] * self.lon0 - gt[2] * self.lat0
+        gt[3] = rl - gt[4] * self.lon0 - gt[5] * self.lat0
+        det = gt[1] * gt[5] - gt[2] * gt[4]
+        iv = 1.0 / det
+        self.gt = [
+            (gt[2] * gt[3] - gt[0] * gt[5]) * iv, gt[5] * iv, -gt[2] * iv,
+            (-gt[1] * gt[3] + gt[0] * gt[4]) * iv, -gt[4] * iv, gt[1] * iv,
+        ]
+
+    def _eval(self, lonlat_pair, h=0.0):
+        lon, lat = lonlat_pair
+        L = (lon - self.lon0) / self.lsc
+        P = (lat - self.lat0) / self.lsc
+        H = (h - 0.0) / self.hsc
+        one = L * 0.0 + 1.0 if isinstance(L, np.ndarray) else 1.0
+        t = [
+            one, L, P, H,
+            L * P, L * H, P * H, L * L, P * P, H * H,
+            L * P * H, L * L * L, L * P * P, L * H * H, L * L * P,
+            P * P * P, P * H * H, L * L * H, P * P * H, H * H * H,
+        ]
+
+        def poly(c):
+            acc = c[0] * t[0]
+            for k in range(1, 20):
+                acc = acc + c[k] * t[k]
+            return acc
+
+        px = (poly(self.sn) / poly(self.sd)) * self.ssc + self.soff
+        ln = (poly(self.ln) / poly(self.ld)) * self.lsc2 + self.loff
+        return px, ln
+
+    def _fwd1(self, lon: float, lat: float, h: float = 0.0):
+        return self._eval((lon, lat), h)
+
+    def _dem_at(self, lon, lat):
+        gx = (np.asarray(lon, np.float64) - self.dlon0) / self.dstep
+        gy = (np.asarray(lat, np.float64) - self.dlat0) / self.dstep
+        gx = np.minimum(np.maximum(0.0, gx), 16.0)
+        gy = np.minimum(np.maximum(0.0, gy), 16.0)
+        ix = np.minimum(gx.astype(np.int64), 15)
+        iy = np.minimum(gy.astype(np.int64), 15)
+        fx = gx - ix
+        fy = gy - iy
+        v = self.dem
+        return (1 - fy) * (v[iy, ix] + fx * (v[iy, ix + 1] - v[iy, ix])) \
+            + fy * (v[iy + 1, ix] + fx * (v[iy + 1, ix + 1]
+                                          - v[iy + 1, ix]))
+
+    def fwd_grid(self, XX, YY):
+        return self._eval((XX, YY), self._dem_at(XX, YY))
+
+    def inv_points(self, pxs, lns):
+        out_x, out_y = [], []
+        for px, ln in zip(pxs, lns):
+            X = self.gt[0] + self.gt[1] * px + self.gt[2] * ln
+            Y = self.gt[3] + self.gt[4] * px + self.gt[5] * ln
+            last_dx = last_dy = last_X = last_Y = 0.0
+            last_valid = False
+            cnt = 0
+            for _ in range(20):
+                demh = float(self._dem_at(np.float64(X), np.float64(Y)))
+                bp, bl = self._fwd1(X, Y, demh)
+                dx, dy = bp - px, bl - ln
+                err = max(abs(dx), abs(dy))
+                if err < 0.1:
+                    break
+                if last_valid and dx * last_dx < 0 and dy * last_dy < 0:
+                    adx, aldx = abs(dx), abs(last_dx)
+                    ady, aldy = abs(dy), abs(last_dy)
+                    X = (adx * last_X + aldx * X) / (adx + aldx)
+                    Y = (ady * last_Y + aldy * Y) / (ady + aldy)
+                    last_valid = False
+                    cnt = 0
+                    continue
+                boost = 10.0 if (cnt >= 5 and err < 2) else 1.0
+                cnt = cnt + 1 if err < 2 else 0
+                newX = X - (dx * self.gt[1] * boost) - (dy * self.gt[2] * boost)
+                newY = Y - (dx * self.gt[4] * boost) - (dy * self.gt[5] * boost)
+                last_X, last_Y = X, Y
+                X, Y = newX, newY
+                last_dx, last_dy = dx, dy
+                last_valid = True
+            out_x.append(X)
+            out_y.append(Y)
+        return np.asarray(out_x), np.asarray(out_y)
+
+
 class _GeolocRef:
     """Geoloc golden: fixture arrays restated from synth_geoloc;
     forward = the PixelLineToXY nested bilinear; inverse = the
@@ -1628,15 +1751,17 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
         bgx = gx + gsd * (((3 * p_idx + 5 * l_idx + i) % 7) - 3) / 8.0
         bgy = gy + gsd * (((2 * p_idx + 7 * l_idx + i) % 5) - 2) / 8.0
 
-        for tag in ("poly1", "tps", "rpc", "geoloc"):
+        for tag in ("poly1", "tps", "rpc", "rpc_dem", "geoloc"):
             if tag == "poly1":
                 fwd = _fit_poly_ref(pp, ll, gx, gy, 1)
                 inv = _fit_poly_ref(gx, gy, pp, ll, 1)
             elif tag == "tps":
                 fwd = _TpsRef(pp, ll, bgx, bgy)
                 inv = _TpsRef(bgx, bgy, pp, ll)
-            elif tag == "rpc":  # corners via iterative INVERSE, grid FORWARD
-                ref = _RpcRef(i, w, h)
+            elif tag in ("rpc", "rpc_dem"):  # corners via iterative
+                # INVERSE, grid via FORWARD (DEM-backed for rpc_dem)
+                ref = _RpcRef(i, w, h) if tag == "rpc" else \
+                    _RpcDemRef(i, w, h)
                 fwd = ref.inv_points
                 inv = ref.fwd_grid
             else:  # geoloc arrays: forward corners, Newton-inverse grid

@@ -2579,6 +2579,7 @@ def q58_gcp_warp(sf_dir: str):
         warp_images_gcp,
         warp_images_geoloc,
         warp_images_rpc,
+        warp_images_rpc_dem,
         warp_images_tps,
     )
 
@@ -2598,6 +2599,7 @@ def q58_gcp_warp(sf_dir: str):
     )
     rpc = warp_images_rpc(imgs, resampling="bilinear", concurrency=(1, 8))
     glc = warp_images_geoloc(imgs, resampling="bilinear", concurrency=(1, 8))
+    rpd = warp_images_rpc_dem(imgs, resampling="bilinear", concurrency=(1, 8))
 
     def cs(tag):
         def fn(t: pa.Table) -> pa.Table:
@@ -2627,6 +2629,7 @@ def q58_gcp_warp(sf_dir: str):
         .union(tps.map_batches(cs("tps"), batch_format="pyarrow"))
         .union(rpc.map_batches(cs("rpc"), batch_format="pyarrow"))
         .union(glc.map_batches(cs("geoloc"), batch_format="pyarrow"))
+        .union(rpd.map_batches(cs("rpc_dem"), batch_format="pyarrow"))
         .sort(["image_id", "transformer"])
     )
 

@@ -584,3 +584,50 @@ def warp_images_geoloc(images, resampling: str = "bilinear",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class WarpChipsRPCDEM(WarpChipsRPC):
+    """WarpChipsRPC with the DEM-backed transformer: per-chip dyadic
+    DEM (functions.rpc.synth_dem) refreshed inside every inverse
+    iteration, oscillation damping + boost branches active, per-pixel
+    DEM height in the forward sampling (the poDS configuration of
+    alg/gdal_rpc.cpp)."""
+
+    def _warp_one(self, img, iid: str):
+        from ..functions.rpc import (
+            RPCModel,
+            rpc_forward_dem,
+            rpc_inverse_dem,
+            synth_dem,
+            synth_rpc_dem,
+        )
+
+        h, w = img.shape[:2]
+        i = int(iid[3:])
+        m = RPCModel(**synth_rpc_dem(i, w, h))
+        dem = synth_dem(i)
+        cpx = np.array([0.0, float(w), float(w), 0.0])
+        cpl = np.array([0.0, 0.0, float(h), float(h)])
+        cx, cy, ok = rpc_inverse_dem(m, dem, cpx, cpl)
+        minx, maxx = float(np.min(cx)), float(np.max(cx))
+        miny, maxy = float(np.min(cy)), float(np.max(cy))
+        X = minx + (np.arange(w) + 0.5) * ((maxx - minx) / w)
+        Y = maxy - (np.arange(h) + 0.5) * ((maxy - miny) / h)
+        XX, YY = np.meshgrid(X, Y)
+        sp, sl = rpc_forward_dem(m, dem, XX, YY)
+        out = kernels.resample_grid(
+            img, sp - 0.5, sl - 0.5, self.resampling, nodata=0
+        )
+        return out, (minx, miny, maxx, maxy)
+
+
+def warp_images_rpc_dem(images, resampling: str = "bilinear",
+                        concurrency=4, batch_size: int = 64):
+    """DEM-backed RPC warp over an images Dataset (actor pool)."""
+    return images.map_batches(
+        WarpChipsRPCDEM,
+        fn_constructor_kwargs=dict(resampling=resampling),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

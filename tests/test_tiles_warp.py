@@ -289,3 +289,27 @@ def test_geoloc_forward_matches_reference_bilinear():
                  glx[iY + 1, iX + 1] - glx[iY + 1, iX]))
         X, Y = tr.forward(np.array([p]), np.array([l]))
         assert X[0] == wx
+
+
+def test_rpc_dem_inverse_roundtrip():
+    """DEM-backed RPC inverse (full state machine: oscillation mean,
+    boost, 20 iters) round-trips through the DEM-aware forward."""
+    import numpy as np
+
+    from gdal_ray.functions.rpc import (
+        RPCModel,
+        rpc_forward_dem,
+        rpc_inverse_dem,
+        synth_dem,
+        synth_rpc_dem,
+    )
+
+    for i in (0, 7, 123, 999):
+        m = RPCModel(**synth_rpc_dem(i, 20, 20))
+        dem = synth_dem(i)
+        px = np.array([0.0, 20.0, 20.0, 0.0])
+        ln = np.array([0.0, 0.0, 20.0, 20.0])
+        lon, lat, ok = rpc_inverse_dem(m, dem, px, ln)
+        assert ok.all()
+        bp, bl = rpc_forward_dem(m, dem, lon, lat)
+        assert max(np.abs(bp - px).max(), np.abs(bl - ln).max()) < 0.1
