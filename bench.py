@@ -43,6 +43,37 @@ def _loadavg() -> float:
         return float(f.read().split()[0])
 
 
+def _steal_sample(window: float = 3.0) -> float:
+    """Instantaneous steal%% over a short window."""
+    s0, t0 = _cpu_ticks()
+    time.sleep(window)
+    s1, t1 = _cpu_ticks()
+    return 100.0 * (s1 - s0) / max(1, t1 - t0)
+
+
+def wait_quiet(max_wait: float | None = None, threshold: float = 5.0) -> dict:
+    """Pre-flight: poll hypervisor steal%% and start the measurement
+    only once it drops under ``threshold`` (or ``max_wait`` elapses).
+    Round-3 lesson: the box sees 20-40%% co-tenant steal in bursts —
+    waiting ~minutes is cheaper than a 2-4x inflated artifact.
+    Controlled by GRAFT_WAIT_QUIET (seconds, default 180; 0 disables).
+    Returns a probe report for the artifact."""
+    if max_wait is None:
+        max_wait = float(os.environ.get("GRAFT_WAIT_QUIET", "180"))
+    t0 = time.time()
+    probes = []
+    while True:
+        s = _steal_sample()
+        probes.append(round(s, 2))
+        if s < threshold or (time.time() - t0) >= max_wait:
+            return {
+                "steal_probes": probes[-8:],
+                "waited_s": round(time.time() - t0, 1),
+                "started_at_steal_pct": round(s, 2),
+            }
+        time.sleep(10.0)
+
+
 class _EnvSentinel:
     """Captures host load + steal over a timed window so BENCH artifacts
     self-document co-tenant contention (round-2 lesson: a loaded box
@@ -231,6 +262,7 @@ def run_bench() -> dict:
     import ray
 
     ray.shutdown()
+    quiet = wait_quiet()
 
     results = {name: _spawn_phase(name) for name in ("join", "tiles", "warp")}
     timings = {name: r["sec"] for name, r in results.items()}
@@ -242,7 +274,7 @@ def run_bench() -> dict:
                 throughput[k] = v
     headline = timings["join"] + timings["tiles"]
     return {
-        "env": env,
+        "env": {"quiet_probe": quiet, **env},
         "metric": "spatial_join+tile_pyramid wall time",
         "value": round(headline, 3),
         "unit": "sec",
