@@ -132,3 +132,80 @@ def test_compare_chips_lossless_and_lossy():
     assert not compare_chips(row, bad)["ok"]
     px = compare_image_pixels(img, img)
     assert px["n_diff"] == 0 and px["psnr_db"] == float("inf")
+
+
+# ---------------------------------------------------- round-3 operators
+
+
+@given(
+    st.integers(min_value=2, max_value=40),
+    st.integers(min_value=2, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_area_average_2x_matches_overview_reducer(w2, h2, seed):
+    """resample_area('average') at exact 2x equals the overview 4->1
+    box reducer (independent implementations)."""
+    import numpy as np
+
+    from gdal_ray.functions.kernels import downsample2x_average, resample_area
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h2 * 2, w2 * 2, 3), dtype=np.uint8)
+    a = resample_area(img, w2, h2, "average")
+    b = downsample2x_average(img)
+    assert np.array_equal(a, b)
+
+
+@given(
+    st.integers(min_value=1, max_value=4000),
+    st.integers(min_value=1, max_value=4000),
+    st.integers(min_value=1, max_value=3000),
+    st.integers(min_value=1, max_value=3500),
+)
+@settings(max_examples=50, deadline=None)
+def test_makevalid_bowtie_two_parts(a, b, c, d):
+    """Any bowtie of the fixture family splits into exactly two
+    nonzero triangles whose areas sum to the even-odd area."""
+    from fractions import Fraction as F
+
+    from gdal_ray.functions.makevalid import make_valid_ring
+
+    xs = [0.0, float(a), float(a + c), float(-d)]
+    ys = [0.0, float(b), 0.0, float(b)]
+    parts, n_cross = make_valid_ring(xs, ys)
+    assert n_cross == 1
+    assert len(parts) == 2
+    # closed form: crossing at t=(a+c)/(2a+c+d) along edge P0->P1
+    t = F(a + c, 2 * a + c + d)
+    X = (t * a, t * b)
+    P0, P1 = (F(0), F(0)), (F(a), F(b))
+    P2, P3 = (F(a + c), F(0)), (F(-d), F(b))
+
+    def area(r):
+        s = F(0)
+        for i in range(len(r)):
+            j = (i + 1) % len(r)
+            s += r[i][0] * r[j][1] - r[j][0] * r[i][1]
+        return abs(s) / 2
+
+    want = sorted([float(area([X, P1, P2])), float(area([P0, X, P3]))])
+    got = sorted(p["area"] for p in parts)
+    assert got == want
+
+
+@given(st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=20, deadline=None)
+def test_rpc_inverse_hits_threshold(i):
+    """Every fixture RPC model's inverse converges on the corners."""
+    import numpy as np
+
+    from gdal_ray.functions.rpc import RPCModel, synth_rpc
+
+    m = RPCModel(**synth_rpc(i, 24, 24))
+    px = np.array([0.0, 24.0, 24.0, 0.0])
+    ln = np.array([0.0, 0.0, 24.0, 24.0])
+    lon, lat, ok = m.inverse(px, ln)
+    assert ok.all()
+    bp, bl = m.forward(lon, lat)
+    assert max(np.abs(bp - px).max(), np.abs(bl - ln).max()) < 0.1
