@@ -1723,6 +1723,111 @@ class _GeolocRef:
         return (U * 4.0).reshape(shape), (V * 4.0).reshape(shape)
 
 
+class _UtmRef:
+    """UTM golden: the Karney 2011 Krueger series (third flattening,
+    order n^6) restated with the engine's documented elementwise
+    expression sequence (identical doubles; independent code), over
+    the synth_utm dyadic chip georeferencing."""
+
+    _A = 6378137.0
+    _F = 1.0 / 298.257223563
+
+    def __init__(self, i: int, w: int, h: int):
+        f = self._F
+        self.e2 = f * (2.0 - f)
+        self.e1 = np.sqrt(self.e2)
+        n = f / (2.0 - f)
+        self.a1 = self._A / (1.0 + n) * (
+            1.0 + n ** 2 / 4.0 + n ** 4 / 64.0 + n ** 6 / 256.0)
+        self.alpha = (
+            n / 2 - 2 * n ** 2 / 3 + 5 * n ** 3 / 16 + 41 * n ** 4 / 180
+            - 127 * n ** 5 / 288 + 7891 * n ** 6 / 37800,
+            13 * n ** 2 / 48 - 3 * n ** 3 / 5 + 557 * n ** 4 / 1440
+            + 281 * n ** 5 / 630 - 1983433 * n ** 6 / 1935360,
+            61 * n ** 3 / 240 - 103 * n ** 4 / 140 + 15061 * n ** 5 / 26880
+            + 167603 * n ** 6 / 181440,
+            49561 * n ** 4 / 161280 - 179 * n ** 5 / 168
+            + 6601661 * n ** 6 / 7257600,
+            34729 * n ** 5 / 80640 - 3418889 * n ** 6 / 1995840,
+            212378941 * n ** 6 / 319334400,
+        )
+        self.beta = (
+            n / 2 - 2 * n ** 2 / 3 + 37 * n ** 3 / 96 - n ** 4 / 360
+            - 81 * n ** 5 / 512 + 96199 * n ** 6 / 604800,
+            n ** 2 / 48 + n ** 3 / 15 - 437 * n ** 4 / 1440
+            + 46 * n ** 5 / 105 - 1118711 * n ** 6 / 3870720,
+            17 * n ** 3 / 480 - 37 * n ** 4 / 840 - 209 * n ** 5 / 4480
+            + 5569 * n ** 6 / 90720,
+            4397 * n ** 4 / 161280 - 11 * n ** 5 / 504
+            - 830251 * n ** 6 / 7257600,
+            4583 * n ** 5 / 161280 - 108847 * n ** 6 / 3991680,
+            20648693 * n ** 6 / 638668800,
+        )
+        zone = 11 + (i % 3)
+        self.lon0 = 6.0 * zone - 183.0
+        self.e0 = 320000.0 + ((i * 7) % 64) * 4096.0
+        self.n0 = 3600000.0 + ((i * 11) % 64) * 4096.0
+        self.gsd = 16.0
+        self.w, self.h = w, h
+
+    def _taup(self, tau):
+        sig = np.sinh(self.e1 * np.arctanh(
+            self.e1 * tau / np.hypot(1.0, tau)))
+        return tau * np.hypot(1.0, sig) - sig * np.hypot(1.0, tau)
+
+    def fwd_corners(self, pixel, line):
+        """pixel-space corners -> (lon, lat) via the TM inverse."""
+        E = self.e0 + self.gsd * np.asarray(pixel, np.float64)
+        N = self.n0 + self.gsd * self.h - self.gsd * np.asarray(
+            line, np.float64)
+        xi = N / (0.9996 * self.a1)
+        eta = (E - 500000.0) / (0.9996 * self.a1)
+        xi_p, eta_p = xi, eta
+        for j in range(6):
+            a2j = 2.0 * (j + 1)
+            xi_p = xi_p - self.beta[j] * np.sin(a2j * xi) * np.cosh(
+                a2j * eta)
+            eta_p = eta_p - self.beta[j] * np.cos(a2j * xi) * np.sinh(
+                a2j * eta)
+        sinh_eta = np.sinh(eta_p)
+        cos_xi = np.cos(xi_p)
+        taup = np.sin(xi_p) / np.hypot(sinh_eta, cos_xi)
+        e2m = 1.0 - self.e2
+        tau = taup / e2m
+        for _ in range(5):
+            taupa = self._taup(tau)
+            dtau = ((taup - taupa) * (1.0 + e2m * tau * tau)
+                    / (e2m * np.hypot(1.0, tau) * np.hypot(1.0, taupa)))
+            tau = tau + dtau
+            if np.all(np.abs(dtau) < 1e-14 * np.maximum(
+                    1.0, np.abs(tau))):
+                break
+        lat = np.degrees(np.arctan(tau))
+        lon = self.lon0 + np.degrees(np.arctan2(sinh_eta, cos_xi))
+        return lon, lat
+
+    def inv_grid(self, lon, lat):
+        """(lon, lat) grid -> source pixel coords via the TM forward."""
+        latr = np.radians(np.asarray(lat, np.float64))
+        lonr = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        taup = self._taup(np.tan(latr))
+        coslon = np.cos(lonr)
+        xi_p = np.arctan2(taup, coslon)
+        eta_p = np.arcsinh(np.sin(lonr) / np.hypot(taup, coslon))
+        xi, eta = xi_p, eta_p
+        for j in range(6):
+            a2j = 2.0 * (j + 1)
+            xi = xi + self.alpha[j] * np.sin(a2j * xi_p) * np.cosh(
+                a2j * eta_p)
+            eta = eta + self.alpha[j] * np.cos(a2j * xi_p) * np.sinh(
+                a2j * eta_p)
+        E = 500000.0 + 0.9996 * self.a1 * eta
+        N = 0.0 + 0.9996 * self.a1 * xi
+        sp = (E - self.e0) / self.gsd
+        sl = (self.n0 + self.gsd * self.h - N) / self.gsd
+        return sp, sl
+
+
 def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
     """GCP warp suite golden: 'poly1' = order-1 fit by normal
     equations over the dyadic affine GCP spec; 'tps' = thin-plate
@@ -1751,7 +1856,7 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
         bgx = gx + gsd * (((3 * p_idx + 5 * l_idx + i) % 7) - 3) / 8.0
         bgy = gy + gsd * (((2 * p_idx + 7 * l_idx + i) % 5) - 2) / 8.0
 
-        for tag in ("poly1", "tps", "rpc", "rpc_dem", "geoloc"):
+        for tag in ("poly1", "tps", "rpc", "rpc_dem", "geoloc", "utm"):
             if tag == "poly1":
                 fwd = _fit_poly_ref(pp, ll, gx, gy, 1)
                 inv = _fit_poly_ref(gx, gy, pp, ll, 1)
@@ -1764,6 +1869,10 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
                     _RpcDemRef(i, w, h)
                 fwd = ref.inv_points
                 inv = ref.fwd_grid
+            elif tag == "utm":  # TM-inverse corners, TM-forward grid
+                ref = _UtmRef(i, w, h)
+                fwd = ref.fwd_corners
+                inv = ref.inv_grid
             else:  # geoloc arrays: forward corners, Newton-inverse grid
                 ref = _GeolocRef(i, w, h, row.minx, row.miny,
                                  row.maxx, row.maxy)

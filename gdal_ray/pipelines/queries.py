@@ -2567,7 +2567,10 @@ def q58_gcp_warp(sf_dir: str):
     deterministic dyadic non-affine bump (so the spline actually
     bends); 'rpc' = rational-polynomial transformer (alg/gdal_rpc.cpp
     analog, no-DEM, iterative inverse) from a deterministic dyadic
-    coefficient fixture.  Quantized-coefficient transformers, full 2-D
+    coefficient fixture; 'utm' = ellipsoidal Transverse Mercator
+    (Karney/Krueger series — the gdalwarp UTM->4326 canonical case,
+    autotest/benchmark/test_gdalwarp.py:24) over the synth_utm dyadic
+    zone/origin fixture.  Quantized-coefficient transformers, full 2-D
     inverse-mapped bilinear warp; one checksum row per (chip,
     transformer) — the golden recomputes both through independent
     solvers (normal equations / Gaussian elimination); the 2^-16
@@ -2581,6 +2584,7 @@ def q58_gcp_warp(sf_dir: str):
         warp_images_rpc,
         warp_images_rpc_dem,
         warp_images_tps,
+        warp_images_utm,
     )
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
@@ -2600,6 +2604,7 @@ def q58_gcp_warp(sf_dir: str):
     rpc = warp_images_rpc(imgs, resampling="bilinear", concurrency=(1, 8))
     glc = warp_images_geoloc(imgs, resampling="bilinear", concurrency=(1, 8))
     rpd = warp_images_rpc_dem(imgs, resampling="bilinear", concurrency=(1, 8))
+    utm = warp_images_utm(imgs, resampling="bilinear", concurrency=(1, 8))
 
     def cs(tag):
         def fn(t: pa.Table) -> pa.Table:
@@ -2630,6 +2635,7 @@ def q58_gcp_warp(sf_dir: str):
         .union(rpc.map_batches(cs("rpc"), batch_format="pyarrow"))
         .union(glc.map_batches(cs("geoloc"), batch_format="pyarrow"))
         .union(rpd.map_batches(cs("rpc_dem"), batch_format="pyarrow"))
+        .union(utm.map_batches(cs("utm"), batch_format="pyarrow"))
         .sort(["image_id", "transformer"])
     )
 

@@ -631,3 +631,62 @@ def warp_images_rpc_dem(images, resampling: str = "bilinear",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class WarpChipsUTM(WarpChipsRPC):
+    """Actor-pool stage: warp each chip from its UTM zone to
+    EPSG:4326 — the reference's canonical gdalwarp benchmark
+    (autotest/benchmark/test_gdalwarp.py:24, byte.tif is UTM zone 11).
+
+    UTM <-> geographic is NOT axis-separable (lat depends on both E
+    and N away from the central meridian), so unlike WarpChips this
+    runs the full 2-D inverse-mapped grid: dst bbox = envelope of the
+    TM-INVERSE-mapped chip corners; dst keeps w x h pixels; each dst
+    pixel center (lon, lat) maps through the TM FORWARD to (E, N) and
+    on to source pixel space, sampling with resample_grid (nodata 0
+    outside).  Per-chip UTM georeferencing comes from the
+    deterministic fixture spec functions.proj.synth_utm(i) (mirrored
+    by the rasterref golden).  Projections are cached per zone in the
+    actor (three zones in the fixture family)."""
+
+    def __init__(self, resampling: str = "bilinear"):
+        super().__init__(resampling)
+        self._projs = {}
+
+    def _warp_one(self, img, iid: str):
+        from ..functions.proj import UTMProjection, synth_utm
+
+        h, w = img.shape[:2]
+        i = int(iid[3:])
+        epsg, e0, n0, gsd = synth_utm(i)
+        prj = self._projs.get(epsg)
+        if prj is None:
+            prj = self._projs[epsg] = UTMProjection(epsg)
+        cE = np.array([e0, e0 + gsd * w, e0 + gsd * w, e0])
+        cN = np.array([n0 + gsd * h, n0 + gsd * h, n0, n0])
+        clon, clat = prj.inv(cE, cN)
+        minx, maxx = float(np.min(clon)), float(np.max(clon))
+        miny, maxy = float(np.min(clat)), float(np.max(clat))
+        X = minx + (np.arange(w) + 0.5) * ((maxx - minx) / w)
+        Y = maxy - (np.arange(h) + 0.5) * ((maxy - miny) / h)
+        XX, YY = np.meshgrid(X, Y)
+        E, N = prj.fwd(XX, YY)
+        sp = (E - e0) / gsd
+        sl = (n0 + gsd * h - N) / gsd
+        out = kernels.resample_grid(
+            img, sp - 0.5, sl - 0.5, self.resampling, nodata=0
+        )
+        return out, (minx, miny, maxx, maxy)
+
+
+def warp_images_utm(images, resampling: str = "bilinear",
+                    concurrency=4, batch_size: int = 64):
+    """UTM -> EPSG:4326 warp over an images Dataset (actor pool;
+    per-zone Transverse Mercator transformers cached per actor)."""
+    return images.map_batches(
+        WarpChipsUTM,
+        fn_constructor_kwargs=dict(resampling=resampling),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
