@@ -797,3 +797,116 @@ GOLDENS = {
     "q38_contour": (q38_contour, ["level", "comp_id"]),
     "q57_geometry_ops": (q57_geometry_ops, ["kind", "fid"]),
 }
+
+
+# ------------------------------------------------------ q51 layer algebra
+
+
+def _union_area_sweep(x0, y0, x1, y1) -> float:
+    """Area of the union of axis-aligned rects by x-strip sweep with
+    y-interval merging — deliberately a DIFFERENT algorithm from the
+    engine's coordinate-grid matmul decomposition (both exact on the
+    integer-derived fixture coordinates)."""
+    if len(x0) == 0:
+        return 0.0
+    xs = np.unique(np.concatenate([x0, x1]))
+    area = 0.0
+    for i in range(len(xs) - 1):
+        xa, xb = xs[i], xs[i + 1]
+        if xb <= xa:
+            continue
+        act = (x0 <= xa) & (x1 >= xb)
+        if not act.any():
+            continue
+        ys0, ys1 = y0[act], y1[act]
+        order = np.argsort(ys0, kind="mergesort")
+        tot = 0.0
+        cur0 = cur1 = None
+        for s, e in zip(ys0[order], ys1[order]):
+            if e <= s:
+                continue
+            if cur1 is None:
+                cur0, cur1 = s, e
+            elif s <= cur1:
+                cur1 = max(cur1, e)
+            else:
+                tot += cur1 - cur0
+                cur0, cur1 = s, e
+        if cur1 is not None:
+            tot += cur1 - cur0
+        area += (xb - xa) * tot
+    return area
+
+
+def q51_overlay(sf_dir: str) -> pd.DataFrame:
+    """Layer-algebra overlay golden: rect layers restated from the
+    q51 fixture spec (part -> A, supplier -> B); pairwise intersection
+    areas by closed form, per-feature remainders/coverage by the
+    strip-sweep union-of-rects (independent of the engine's grid
+    decomposition)."""
+    import pyarrow.parquet as pq
+
+    pk = (pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+          .column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64))
+    sk = (pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+          .column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64))
+
+    acx = ((pk * 91) % 2000).astype(np.float64) * 1250.0
+    acy = ((pk * 57) % 2000).astype(np.float64) * 1250.0
+    ahw = (50 + (pk % 200)).astype(np.float64) * 100.0
+    ax0, ay0, ax1, ay1 = acx - ahw, acy - ahw, acx + ahw, acy + ahw
+    bcx = ((sk * 83) % 2000).astype(np.float64) * 1250.0
+    bcy = ((sk * 47) % 2000).astype(np.float64) * 1250.0
+    bhw = (100 + (sk % 150)).astype(np.float64) * 100.0
+    bx0, by0, bx1, by1 = bcx - bhw, bcy - bhw, bcx + bhw, bcy + bhw
+
+    ops, fa, fb, ar = [], [], [], []
+    # pairwise intersections + per-A remainder/coverage
+    for i in range(len(pk)):
+        ix0 = np.maximum(ax0[i], bx0)
+        iy0 = np.maximum(ay0[i], by0)
+        ix1 = np.minimum(ax1[i], bx1)
+        iy1 = np.minimum(ay1[i], by1)
+        m = (ix1 >= ix0) & (iy1 >= iy0)  # boundary-inclusive match
+        idx = np.flatnonzero(m)
+        for j in idx:
+            ops.append("inter")
+            fa.append(int(pk[i]))
+            fb.append(int(sk[j]))
+            ar.append(int(np.floor((ix1[j] - ix0[j]) * (iy1[j] - iy0[j]) + 0.5)))
+        area_a = (ax1[i] - ax0[i]) * (ay1[i] - ay0[i])
+        cov = _union_area_sweep(ix0[m], iy0[m], ix1[m], iy1[m])
+        rem = area_a - cov
+        if rem > 0:
+            ops.append("erase_a")
+            fa.append(int(pk[i]))
+            fb.append(-1)
+            ar.append(int(np.floor(rem + 0.5)))
+        if cov > 0:
+            ops.append("clip_a")
+            fa.append(int(pk[i]))
+            fb.append(-1)
+            ar.append(int(np.floor(cov + 0.5)))
+    # per-B remainder
+    for j in range(len(sk)):
+        ix0 = np.maximum(bx0[j], ax0)
+        iy0 = np.maximum(by0[j], ay0)
+        ix1 = np.minimum(bx1[j], ax1)
+        iy1 = np.minimum(by1[j], ay1)
+        m = (ix1 >= ix0) & (iy1 >= iy0)
+        area_b = (bx1[j] - bx0[j]) * (by1[j] - by0[j])
+        rem = area_b - _union_area_sweep(ix0[m], iy0[m], ix1[m], iy1[m])
+        if rem > 0:
+            ops.append("erase_b")
+            fa.append(-1)
+            fb.append(int(sk[j]))
+            ar.append(int(np.floor(rem + 0.5)))
+    return pd.DataFrame({
+        "op": ops,
+        "fid_a": np.asarray(fa, np.int64),
+        "fid_b": np.asarray(fb, np.int64),
+        "area_m2": np.asarray(ar, np.int64),
+    })
+
+
+GOLDENS["q51_intersection_overlay"] = (q51_overlay, ["op", "fid_a", "fid_b"])

@@ -1828,6 +1828,61 @@ class _UtmRef:
         return sp, sl
 
 
+def _sum_preserve_ref(px: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
+    """Sum-preserving 3857->4326 warp golden: the engine's documented
+    banded-scatter contract restated (deterministic np.add.at, no
+    BLAS), mercator closed forms from gdal2tiles.py:422-441."""
+    h, w = px.shape[:2]
+    lon0 = (minx / ORIGIN_SHIFT) * 180.0
+    lon1 = (maxx / ORIGIN_SHIFT) * 180.0
+
+    def to_lat(my):
+        lat = (np.asarray(my, np.float64) / ORIGIN_SHIFT) * 180.0
+        return 180.0 / np.pi * (
+            2.0 * np.arctan(np.exp(lat * np.pi / 180.0)) - np.pi / 2.0)
+
+    lat0 = float(to_lat(miny))
+    lat1 = float(to_lat(maxy))
+    res_x = (maxx - minx) / w
+    res_y = (maxy - miny) / h
+    dres_x = (lon1 - lon0) / w
+    dres_y = (lat1 - lat0) / h
+    ex_m = minx + np.arange(w + 1) * res_x
+    ey_m = maxy - np.arange(h + 1) * res_y
+    ex = (ex_m / ORIGIN_SHIFT) * 180.0
+    ey = to_lat(ey_m)
+    ex_px = (np.asarray(ex, np.float64) - lon0) / dres_x
+    ey_px = (lat1 - np.asarray(ey, np.float64)) / dres_y
+
+    def band_w(edges, m):
+        e0, e1 = edges[:-1], edges[1:]
+        base = np.floor(e0).astype(np.int64)
+        width = e1 - e0
+        wts, idxs = [], []
+        for k in range(3):
+            j = base + k
+            ov = np.minimum(e1, j + 1.0) - np.maximum(e0, j)
+            wt = np.maximum(ov, 0.0) / width
+            wt[(j < 0) | (j >= m)] = 0.0
+            wts.append(wt)
+            idxs.append(np.clip(j, 0, m - 1))
+        return idxs, wts
+
+    xi, xw = band_w(ex_px, w)
+    yi, yw = band_w(ey_px, h)
+    src = px.astype(np.float64)
+    out = np.zeros((h, w, px.shape[2]), np.float64)
+    for ky in range(3):
+        if not np.any(yw[ky] > 0):
+            continue
+        for kx in range(3):
+            if not np.any(xw[kx] > 0):
+                continue
+            contrib = src * (yw[ky][:, None, None] * xw[kx][None, :, None])
+            np.add.at(out, (yi[ky][:, None], xi[kx][None, :]), contrib)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
 def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
     """GCP warp suite golden: 'poly1' = order-1 fit by normal
     equations over the dyadic affine GCP spec; 'tps' = thin-plate
@@ -1856,7 +1911,22 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
         bgx = gx + gsd * (((3 * p_idx + 5 * l_idx + i) % 7) - 3) / 8.0
         bgy = gy + gsd * (((2 * p_idx + 7 * l_idx + i) % 5) - 2) / 8.0
 
-        for tag in ("poly1", "tps", "rpc", "rpc_dem", "geoloc", "utm"):
+        for tag in ("poly1", "tps", "rpc", "rpc_dem", "geoloc", "utm",
+                    "sumpres"):
+            if tag == "sumpres":
+                # sum-preserving 3857->4326 warp: banded fractional-
+                # overlap scatter of source pixels (GWKSumPreserving
+                # separable collapse), mercator closed forms restated
+                out = _sum_preserve_ref(
+                    px, row.minx, row.miny, row.maxx, row.maxy)
+                if row.fmt == "qraw":
+                    out = _qraw_model(out)
+                ids.append(row.image_id)
+                tags.append(tag)
+                csr.append(_cs_band(out[:, :, 0]))
+                csg.append(_cs_band(out[:, :, 1]))
+                csb.append(_cs_band(out[:, :, 2]))
+                continue
             if tag == "poly1":
                 fwd = _fit_poly_ref(pp, ll, gx, gy, 1)
                 inv = _fit_poly_ref(gx, gy, pp, ll, 1)

@@ -1851,36 +1851,99 @@ def q60_sql_join_agg(sf_dir: str):
 
 
 def q51_intersection_overlay(sf_dir: str):
-    """Geometry-producing overlay (ogrlayer.cpp:3345 Intersection):
-    rect layer A x rect layer B through the full join machinery with
-    emit_geometry — output is the clipped intersection geometry's area
-    (exact integer m^2; the WKB itself is round-trip-tested in pytest)."""
-    from ..stages.join import join_chips_with_polygons
+    """Layer-algebra overlay suite (ogrlayer.cpp Intersection :3345,
+    Union :3763, SymDifference :4300, Identity :4730, Update :5148,
+    Clip :5497, Erase :5806): rect layer A x rect layer B.  Row tags
+    (``op``) cover every distinct overlay COMPONENT — the 7 methods
+    are unions of these:
 
-    a = _derive_rects(sf_dir, as_wkb=False).map_batches(
-        lambda t: t.rename_columns(
+    - 'inter'   per-pair intersection geometry area (Intersection;
+      pair parts of Union/Identity),
+    - 'erase_a' per-A remainder A - union(matching B) (Erase; the
+      A-side parts of Union/SymDifference/Identity/Update),
+    - 'erase_b' per-B remainder B - union(matching A) (B-side parts
+      of Union/SymDifference),
+    - 'clip_a'  per-A coverage A ^ union(matching B) (Clip).
+
+    Areas exact integer m^2 (the remainder comes from the distributed
+    pair->groupby(fid) grid decomposition of stages.join); the golden
+    recomputes remainders with an independent strip-sweep
+    union-of-rects algorithm."""
+    from ..stages.join import join_chips_with_polygons, overlay_remainders
+
+    def _rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
             ["fid_a" if c == "fid" else c for c in t.schema.names]
-        ),
-        batch_format="pyarrow",
+        )
+
+    a_env = _derive_rects(sf_dir, as_wkb=False).map_batches(
+        _rn, batch_format="pyarrow"
+    )
+    a_wkb = _derive_rects(sf_dir, as_wkb=True).map_batches(
+        _rn, batch_format="pyarrow"
     )
     b = _derive_rects_b(sf_dir)
-    out = join_chips_with_polygons(
-        a, b, zoom=10, chip_cols=["fid_a"], poly_cols=["fid_b"], emit_geometry=True
+    pairs = join_chips_with_polygons(
+        a_env, b, zoom=10, chip_cols=["fid_a"], poly_cols=["fid_b"],
+        emit_geometry=True,
     )
 
-    def shape(t: pa.Table) -> pa.Table:
+    def shape_inter(t: pa.Table) -> pa.Table:
         area = pc.cast(
             pc.floor(pc.add(t.column("inter_area"), pa.scalar(0.5))), pa.int64()
         )
+        n = t.num_rows
         return pa.table(
             {
-                "fid_a": t.column("fid_a"),
-                "fid_b": t.column("fid_b"),
+                "op": pa.array(["inter"] * n, pa.string()),
+                "fid_a": t.column("fid_a").cast(pa.int64()),
+                "fid_b": t.column("fid_b").cast(pa.int64()),
                 "area_m2": area,
             }
         )
 
-    return out.map_batches(shape, batch_format="pyarrow").sort(["fid_a", "fid_b"])
+    def shape_rem(fid_col: str, other_col: str, erase_tag: str,
+                  with_clip: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            fid = t.column(fid_col).to_numpy(zero_copy_only=False)
+            rem = t.column("rem_area").to_numpy(zero_copy_only=False)
+            cov = t.column("cov_area").to_numpy(zero_copy_only=False)
+            ops, fa, fb, ar = [], [], [], []
+            rm = rem > 0
+            ops += [erase_tag] * int(rm.sum())
+            fa += list(fid[rm] if fid_col == "fid_a" else np.full(rm.sum(), -1))
+            fb += list(np.full(rm.sum(), -1) if fid_col == "fid_a" else fid[rm])
+            ar += list(np.floor(rem[rm] + 0.5).astype(np.int64))
+            if with_clip:
+                cm = cov > 0
+                ops += ["clip_a"] * int(cm.sum())
+                fa += list(fid[cm])
+                fb += list(np.full(cm.sum(), -1))
+                ar += list(np.floor(cov[cm] + 0.5).astype(np.int64))
+            return pa.table({
+                "op": pa.array(ops, pa.string()),
+                "fid_a": pa.array(np.asarray(fa, np.int64)),
+                "fid_b": pa.array(np.asarray(fb, np.int64)),
+                "area_m2": pa.array(np.asarray(ar, np.int64)),
+            })
+        return fn
+
+    rem_a = overlay_remainders(a_env, b, zoom=10).map_batches(
+        shape_rem("fid_a", "fid_b", "erase_a", with_clip=True),
+        batch_format="pyarrow",
+    )
+    rem_b = overlay_remainders(
+        b, a_wkb, zoom=10, fid_a="fid_b", fid_b="fid_a"
+    ).map_batches(
+        shape_rem("fid_b", "fid_a", "erase_b", with_clip=False),
+        batch_format="pyarrow",
+    )
+    return (
+        pairs.map_batches(shape_inter, batch_format="pyarrow")
+        .union(rem_a)
+        .union(rem_b)
+        .sort(["op", "fid_a", "fid_b"])
+    )
 
 
 _Q51_SQL = f"""
@@ -2570,7 +2633,10 @@ def q58_gcp_warp(sf_dir: str):
     coefficient fixture; 'utm' = ellipsoidal Transverse Mercator
     (Karney/Krueger series — the gdalwarp UTM->4326 canonical case,
     autotest/benchmark/test_gdalwarp.py:24) over the synth_utm dyadic
-    zone/origin fixture.  Quantized-coefficient transformers, full 2-D
+    zone/origin fixture; 'sumpres' = sum-preserving warp
+    (GWKSumPreserving, alg/gdalwarpkernel.cpp:7969 — fractional
+    footprint-overlap scatter, global sum conserved in the float
+    path).  Quantized-coefficient transformers, full 2-D
     inverse-mapped bilinear warp; one checksum row per (chip,
     transformer) — the golden recomputes both through independent
     solvers (normal equations / Gaussian elimination); the 2^-16
@@ -2583,6 +2649,7 @@ def q58_gcp_warp(sf_dir: str):
         warp_images_geoloc,
         warp_images_rpc,
         warp_images_rpc_dem,
+        warp_images_sum,
         warp_images_tps,
         warp_images_utm,
     )
@@ -2605,6 +2672,7 @@ def q58_gcp_warp(sf_dir: str):
     glc = warp_images_geoloc(imgs, resampling="bilinear", concurrency=(1, 8))
     rpd = warp_images_rpc_dem(imgs, resampling="bilinear", concurrency=(1, 8))
     utm = warp_images_utm(imgs, resampling="bilinear", concurrency=(1, 8))
+    smp = warp_images_sum(imgs, concurrency=(1, 8))
 
     def cs(tag):
         def fn(t: pa.Table) -> pa.Table:
@@ -2636,6 +2704,7 @@ def q58_gcp_warp(sf_dir: str):
         .union(glc.map_batches(cs("geoloc"), batch_format="pyarrow"))
         .union(rpd.map_batches(cs("rpc_dem"), batch_format="pyarrow"))
         .union(utm.map_batches(cs("utm"), batch_format="pyarrow"))
+        .union(smp.map_batches(cs("sumpres"), batch_format="pyarrow"))
         .sort(["image_id", "transformer"])
     )
 
@@ -2826,7 +2895,6 @@ ORACLE_SQL = {
     "q48_clip_erase": _Q48CE_SQL,
     # the engine parses and executes the SAME string DuckDB runs
     "q50_sql_frontend": _Q50_TEXT,
-    "q51_intersection_overlay": _Q51_SQL,
     "q53_sampling": _Q53_SQL,
     # JOIN + GROUP BY through the SQL front-end: same string in DuckDB
     "q60_sql_join_agg": _Q60_TEXT,

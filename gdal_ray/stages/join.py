@@ -616,3 +616,223 @@ def semi_join_points(points, matched_pids, point_id_col: str = "pid", anti: bool
 
     fn.__name__ = "anti_join" if anti else "semi_join"
     return points.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- layer algebra
+#
+# The reference's remaining overlay modes (ogrlayer.cpp: Union :3763,
+# SymDifference :4300, Identity :4730, Update :5148, Clip :5497,
+# Erase :5806) all reduce — for rect layers — to two primitives:
+# the pairwise intersection geometry (join_chips_with_polygons with
+# emit_geometry, ogrlayer.cpp:3345) and the per-feature REMAINDER
+# A - union(intersecting B), which the reference computes as a
+# progressive GEOS Difference over the spatial-filter matches.
+#
+# Distributed shape: the pair stream (one cell-copartition shuffle,
+# exactly-once) is unioned with one bare row per A feature and grouped
+# by the A fid — every group then holds the feature's envelope plus
+# ALL of its intersecting B envelopes regardless of which cells the
+# matches came from.  The remainder is computed by coordinate-grid
+# decomposition (B edge coordinates clipped to A split A into a grid;
+# a cell is covered iff some B spans it), which is exact for the
+# integer-derived fixtures and emits the uncovered cells as a
+# MultiPolygon.  No driver-side state; group size = matches per
+# feature.
+
+
+def _cover_grid(aminx, aminy, amaxx, amaxy, bx0, by0, bx1, by1):
+    """Coordinate-grid coverage of rect A by the union of B rects
+    (already clipped to A).  Returns (covered, xs, ys): covered[i, j]
+    is True iff grid cell x in [xs[i], xs[i+1]] x y in [ys[j], ys[j+1]]
+    lies inside some B — grid edges include every B edge, so a cell is
+    never partially overlapped."""
+    xs = np.unique(np.concatenate([[aminx, amaxx], bx0, bx1]))
+    ys = np.unique(np.concatenate([[aminy, amaxy], by0, by1]))
+    xs = xs[(xs >= aminx) & (xs <= amaxx)]
+    ys = ys[(ys >= aminy) & (ys <= amaxy)]
+    cx = (bx0[:, None] <= xs[None, :-1]) & (bx1[:, None] >= xs[None, 1:])
+    cy = (by0[:, None] <= ys[None, :-1]) & (by1[:, None] >= ys[None, 1:])
+    covered = (cx.astype(np.uint8).T @ cy.astype(np.uint8)) > 0  # (nx, ny)
+    return covered, xs, ys
+
+
+def _grid_pieces(mask: np.ndarray, xs: np.ndarray, ys: np.ndarray):
+    """(area, run-merged rect pieces) of the True cells of ``mask``."""
+    dx = np.diff(xs)
+    dy = np.diff(ys)
+    area = float(np.sum(mask * dx[:, None] * dy[None, :]))
+    pieces = []
+    for j in range(len(dy)):
+        col = mask[:, j]
+        i = 0
+        while i < len(col):
+            if col[i]:
+                k = i
+                while k + 1 < len(col) and col[k + 1]:
+                    k += 1
+                pieces.append((xs[i], ys[j], xs[k + 1], ys[j + 1]))
+                i = k + 1
+            else:
+                i += 1
+    return area, pieces
+
+
+def overlay_remainders(a, b, zoom: int = 10, fid_a: str = "fid_a",
+                       fid_b: str = "fid_b", hot_cells=None):
+    """Per-A-feature remainder/coverage against the union of its
+    intersecting B features (both rect layers; B must carry wkb +
+    envelope columns).  Returns one row per A feature:
+    (fid_a, rem_area, cov_area, n_matches, rem_wkb MultiPolygon)."""
+    b2 = b.map_batches(
+        lambda t: (t.append_column("bminx", t.column("minx"))
+                    .append_column("bminy", t.column("miny"))
+                    .append_column("bmaxx", t.column("maxx"))
+                    .append_column("bmaxy", t.column("maxy"))),
+        batch_format="pyarrow",
+    )
+    pairs = join_chips_with_polygons(
+        a, b2, zoom=zoom,
+        chip_cols=[fid_a, "minx", "miny", "maxx", "maxy"],
+        poly_cols=[fid_b, "bminx", "bminy", "bmaxx", "bmaxy"],
+        hot_cells=hot_cells,
+    )
+
+    def bare(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            fid_a: t.column(fid_a).cast(pa.int64()),
+            "minx": t.column("minx"), "miny": t.column("miny"),
+            "maxx": t.column("maxx"), "maxy": t.column("maxy"),
+            fid_b: pa.array(np.full(n, -1, np.int64)),
+            "bminx": pa.nulls(n, pa.float64()),
+            "bminy": pa.nulls(n, pa.float64()),
+            "bmaxx": pa.nulls(n, pa.float64()),
+            "bmaxy": pa.nulls(n, pa.float64()),
+        })
+
+    cols = [fid_a, "minx", "miny", "maxx", "maxy",
+            fid_b, "bminx", "bminy", "bmaxx", "bmaxy"]
+    u = pairs.select_columns(cols).union(
+        a.map_batches(bare, batch_format="pyarrow").select_columns(cols)
+    )
+
+    def rem_group(g: pa.Table) -> pa.Table:
+        fid = int(g.column(fid_a)[0].as_py())
+        ax0 = float(g.column("minx")[0].as_py())
+        ay0 = float(g.column("miny")[0].as_py())
+        ax1 = float(g.column("maxx")[0].as_py())
+        ay1 = float(g.column("maxy")[0].as_py())
+        fb = g.column(fid_b).to_numpy(zero_copy_only=False)
+        m = fb >= 0
+        area_a = (ax1 - ax0) * (ay1 - ay0)
+        if not m.any():
+            rem_pieces = [(ax0, ay0, ax1, ay1)]
+            rem_area, cov_area, cov_pieces, n_match = area_a, 0.0, [], 0
+        else:
+            bx0 = np.maximum(g.column("bminx").to_numpy(zero_copy_only=False)[m], ax0)
+            by0 = np.maximum(g.column("bminy").to_numpy(zero_copy_only=False)[m], ay0)
+            bx1 = np.minimum(g.column("bmaxx").to_numpy(zero_copy_only=False)[m], ax1)
+            by1 = np.minimum(g.column("bmaxy").to_numpy(zero_copy_only=False)[m], ay1)
+            covered, xs, ys = _cover_grid(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1)
+            rem_area, rem_pieces = _grid_pieces(~covered, xs, ys)
+            cov_area, cov_pieces = _grid_pieces(covered, xs, ys)
+            n_match = int(m.sum())
+
+        def mp(pieces):
+            return geom.wkb_multipolygon([
+                [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]
+                for (x0, y0, x1, y1) in pieces
+            ]) if pieces else b""
+
+        return pa.table({
+            fid_a: pa.array([fid], pa.int64()),
+            "rem_area": pa.array([rem_area], pa.float64()),
+            "cov_area": pa.array([cov_area], pa.float64()),
+            "n_matches": pa.array([n_match], pa.int64()),
+            "rem_wkb": pa.array([mp(rem_pieces)], pa.binary()),
+            "cov_wkb": pa.array([mp(cov_pieces)], pa.binary()),
+        })
+
+    return u.groupby(fid_a).map_groups(rem_group, batch_format="pyarrow")
+
+
+def overlay_layers(a, b, op: str, zoom: int = 10):
+    """Full layer-algebra overlay for rect layers — the 7-method
+    surface of ogrlayer.cpp (Intersection :3345, Union :3763,
+    SymDifference :4300, Identity :4730, Update :5148, Clip :5497,
+    Erase :5806).  ``a`` carries (fid_a, minx..maxy [, wkb]); ``b``
+    carries (fid_b, wkb, minx..maxy).  Output rows are tagged by
+    ``part``: 'pair' rows carry the pairwise intersection geometry
+    (fid_a, fid_b, wkb, area); 'a_rem' / 'b_rem' rows carry the
+    per-feature remainder MultiPolygon; 'b_full' rows (Update) pass B
+    through unchanged.  Empty geometries are dropped (the reference
+    skips them)."""
+    import pyarrow.compute as pc
+
+    def pairs_part():
+        out = join_chips_with_polygons(
+            a, b, zoom=zoom, chip_cols=["fid_a"], poly_cols=["fid_b"],
+            emit_geometry=True,
+        )
+        return out.map_batches(lambda t: pa.table({
+            "part": pa.array(["pair"] * t.num_rows, pa.string()),
+            "fid_a": t.column("fid_a").cast(pa.int64()),
+            "fid_b": t.column("fid_b").cast(pa.int64()),
+            "wkb": t.column("inter_wkb"),
+            "area": t.column("inter_area"),
+        }), batch_format="pyarrow").filter(expr="area > 0.0")
+
+    def rem_part(x, y, tag, fx, fy):
+        rem = overlay_remainders(x, y, zoom=zoom, fid_a=fx, fid_b=fy)
+        return rem.map_batches(lambda t: pa.table({
+            "part": pa.array([tag] * t.num_rows, pa.string()),
+            "fid_a": (t.column(fx) if tag == "a_rem"
+                      else pa.nulls(t.num_rows, pa.int64())).cast(pa.int64()),
+            "fid_b": (t.column(fx) if tag == "b_rem"
+                      else pa.nulls(t.num_rows, pa.int64())).cast(pa.int64()),
+            "wkb": t.column("rem_wkb"),
+            "area": t.column("rem_area"),
+        }), batch_format="pyarrow").filter(expr="area > 0.0")
+
+    def b_full():
+        def fn(t: pa.Table) -> pa.Table:
+            area = pc.multiply(
+                pc.subtract(t.column("maxx"), t.column("minx")),
+                pc.subtract(t.column("maxy"), t.column("miny")),
+            )
+            return pa.table({
+                "part": pa.array(["b_full"] * t.num_rows, pa.string()),
+                "fid_a": pa.nulls(t.num_rows, pa.int64()),
+                "fid_b": t.column("fid_b").cast(pa.int64()),
+                "wkb": t.column("wkb"),
+                "area": pc.cast(area, pa.float64()),
+            })
+        return b.map_batches(fn, batch_format="pyarrow")
+
+    def clip_part():
+        rem = overlay_remainders(a, b, zoom=zoom)
+        return rem.map_batches(lambda t: pa.table({
+            "part": pa.array(["a_clip"] * t.num_rows, pa.string()),
+            "fid_a": t.column("fid_a").cast(pa.int64()),
+            "fid_b": pa.nulls(t.num_rows, pa.int64()),
+            "wkb": t.column("cov_wkb"),
+            "area": t.column("cov_area"),
+        }), batch_format="pyarrow").filter(expr="area > 0.0")
+
+    a_rem = lambda: rem_part(a, b, "a_rem", "fid_a", "fid_b")  # noqa: E731
+    b_rem = lambda: rem_part(b, a, "b_rem", "fid_b", "fid_a")  # noqa: E731
+    if op == "intersection":
+        return pairs_part()
+    if op == "erase":
+        return a_rem()
+    if op == "clip":
+        return clip_part()  # per-A geometry clipped to union(B)
+    if op == "union":
+        return pairs_part().union(a_rem()).union(b_rem())
+    if op == "symdifference":
+        return a_rem().union(b_rem())
+    if op == "identity":
+        return pairs_part().union(a_rem())
+    if op == "update":
+        return a_rem().union(b_full())
+    raise ValueError(f"unknown overlay op: {op}")

@@ -46,6 +46,14 @@ class Transform3857To4326:
         mx, _ = mercator.lat_lon_to_meters(np.zeros_like(lons), lons)
         return mx
 
+    def src_x_to_dst_x(self, xs):
+        _, lon = mercator.meters_to_lat_lon(xs, np.zeros_like(xs))
+        return lon
+
+    def src_y_to_dst_y(self, ys):
+        lat, _ = mercator.meters_to_lat_lon(np.zeros_like(ys), ys)
+        return lat
+
 
 class Transform4326To3857:
     name = "EPSG:4326->EPSG:3857"
@@ -64,6 +72,14 @@ class Transform4326To3857:
     def dst_x_to_src_x(self, xs):
         _, lon = mercator.meters_to_lat_lon(xs, np.zeros_like(xs))
         return lon
+
+    def src_x_to_dst_x(self, lons):
+        mx, _ = mercator.lat_lon_to_meters(np.zeros_like(lons), lons)
+        return mx
+
+    def src_y_to_dst_y(self, lats):
+        _, my = mercator.lat_lon_to_meters(lats, np.zeros_like(lats))
+        return my
 
 
 _TRANSFORMS = {
@@ -686,6 +702,99 @@ def warp_images_utm(images, resampling: str = "bilinear",
     return images.map_batches(
         WarpChipsUTM,
         fn_constructor_kwargs=dict(resampling=resampling),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def overlap_weights(edges: np.ndarray, m: int) -> np.ndarray:
+    """1-D fractional-overlap scatter matrix for sum-preserving
+    resampling: ``edges`` are the n+1 monotone source-pixel edge
+    positions in destination pixel coordinates; returns A (m, n) with
+    A[j, i] = |[edges[i], edges[i+1]] ^ [j, j+1]| / (edges[i+1] -
+    edges[i]), so each source pixel's unit weight splits across the
+    destination pixels its footprint covers (row sums of A^T = 1 for
+    footprints inside the grid)."""
+    e0 = edges[:-1][None, :]
+    e1 = edges[1:][None, :]
+    j = np.arange(m, dtype=np.float64)[:, None]
+    ov = np.minimum(e1, j + 1.0) - np.maximum(e0, j)
+    return np.maximum(ov, 0.0) / (e1 - e0)
+
+
+class WarpChipsSum(WarpChips):
+    """Sum-preserving warp (alg/gdalwarpkernel.cpp:7969
+    GWKSumPreserving, ``gdalwarp -r sum``): each SOURCE pixel's value
+    is distributed to destination pixels in proportion to the
+    fractional overlap of its transformed footprint with each dst
+    pixel (weight = area(src_quad ^ dst_pixel) / area(src_quad)), so
+    the global sum is conserved.  For the engine's axis-separable CRS
+    pairs every source footprint is an axis-aligned rect in dst pixel
+    space, so the scatter factorizes exactly into two 1-D overlap
+    matrices: dst = Ay @ src @ Ax^T (the general-quad clipping path of
+    the reference collapses to this for affine-per-axis transforms).
+    Byte output is rounded half-up and clamped (the float path is the
+    conserved one — see tests/test_warp_sum.py)."""
+
+    @staticmethod
+    def _band_weights(edges: np.ndarray, m: int):
+        """Banded form of overlap_weights: source pixel i overlaps dst
+        cells base[i] + {0, 1, 2} with fractions wt[k][i] (the
+        footprint spans < 2 dst pixels for the engine's near-identity
+        grids, so 3 cells always suffice; out-of-grid cells get weight
+        0).  Deterministic elementwise ops only — no BLAS — so the
+        golden mirror reproduces identical doubles."""
+        e0, e1 = edges[:-1], edges[1:]
+        base = np.floor(e0).astype(np.int64)
+        width = e1 - e0
+        wts, idxs = [], []
+        for k in range(3):
+            j = base + k
+            ov = np.minimum(e1, j + 1.0) - np.maximum(e0, j)
+            wt = np.maximum(ov, 0.0) / width
+            wt[(j < 0) | (j >= m)] = 0.0
+            wts.append(wt)
+            idxs.append(np.clip(j, 0, m - 1))
+        return idxs, wts
+
+    def _warp_sum_float(self, img: np.ndarray, minx, miny, maxx, maxy):
+        h, w = img.shape[:2]
+        dminx, dminy, dmaxx, dmaxy = self.tr.src_bbox_to_dst(
+            minx, miny, maxx, maxy)
+        res_x = (maxx - minx) / w
+        res_y = (maxy - miny) / h
+        dres_x = (dmaxx - dminx) / w
+        dres_y = (dmaxy - dminy) / h
+        # source pixel EDGES (not centers) mapped to dst pixel coords
+        ex = self.tr.src_x_to_dst_x(minx + np.arange(w + 1) * res_x)
+        ey = self.tr.src_y_to_dst_y(maxy - np.arange(h + 1) * res_y)
+        ex_px = (np.asarray(ex, np.float64) - dminx) / dres_x
+        ey_px = (dmaxy - np.asarray(ey, np.float64)) / dres_y
+        xi, xw = self._band_weights(ex_px, w)
+        yi, yw = self._band_weights(ey_px, h)
+        src = img.astype(np.float64)
+        out = np.zeros((h, w, img.shape[2]), np.float64)
+        for ky in range(3):
+            if not np.any(yw[ky] > 0):
+                continue
+            for kx in range(3):
+                if not np.any(xw[kx] > 0):
+                    continue
+                contrib = src * (yw[ky][:, None, None] * xw[kx][None, :, None])
+                np.add.at(out, (yi[ky][:, None], xi[kx][None, :]), contrib)
+        return out, (dminx, dminy, dmaxx, dmaxy)
+
+    def _warp_one(self, img, minx, miny, maxx, maxy):
+        out, env = self._warp_sum_float(img, minx, miny, maxx, maxy)
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8), env
+
+
+def warp_images_sum(images, concurrency=4, batch_size: int = 64):
+    """Sum-preserving reprojection over an images Dataset."""
+    return images.map_batches(
+        WarpChipsSum,
+        fn_constructor_kwargs=dict(),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
