@@ -763,6 +763,14 @@ def q57_geometry_ops(sf_dir: str) -> pd.DataFrame:
             2.0 * np.arctan(np.exp(lat_a * np.pi / 180.0)) - np.pi / 2.0)
         rows.append(("reproject", kk, len(vx), 0,
                      math.fsum(lon_a) + math.fsum(lat_a)))
+        # set-geom-type golden: Polygon (WKB code 3) -> MultiPolygon
+        # (code 6), closed-ring vertex count, fsum of the interleaved
+        # coordinate stream in WKB emit order (x0,y0,x1,y1,...)
+        closed_x = np.append(vx, vx[0])
+        closed_y = np.append(vy, vy[0])
+        inter = np.column_stack([closed_x, closed_y]).ravel()
+        rows.append(("setgeomtype", kk, 3 * 100 + 6, len(closed_x),
+                     math.fsum(inter)))
 
     # point buffers (pid % 10 == 0), 32-gon on the lattice
     ang = 2.0 * np.pi * np.arange(32) / 32

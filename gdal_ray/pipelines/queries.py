@@ -2556,8 +2556,28 @@ def q57_geometry_ops(sf_dir: str):
     rpj = ngons.map_batches(
         reproject_batch, batch_format="pyarrow"
     ).map_batches(tag_reproject, batch_format="pyarrow")
+
+    def tag_setgt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["setgeomtype"] * t.num_rows, pa.string()),
+                "fid": t.column("fid"),
+                "a": pc.add(
+                    pc.multiply(t.column("type_in"), pa.scalar(100, pa.int64())),
+                    t.column("type_out"),
+                ),
+                "b": t.column("n_verts"),
+                "v": t.column("coord_fsum"),
+            }
+        )
+
+    from ..stages.geomops import set_geom_type_batch
+
+    sgt = ngons.map_batches(
+        set_geom_type_batch, batch_format="pyarrow"
+    ).map_batches(tag_setgt, batch_format="pyarrow")
     out = cen.union(simp).union(buf).union(clip).union(seg).union(swp)
-    return out.union(exp).union(mkv).union(rpj).sort(["kind", "fid"])
+    return out.union(exp).union(mkv).union(rpj).union(sgt).sort(["kind", "fid"])
 
 
 def _derive_bowties(sf_dir: str):

@@ -446,3 +446,38 @@ def reproject_batch(t: pa.Table) -> pa.Table:
             "lat_fsum": pa.array(out_lat, pa.float64()),
         }
     )
+
+
+# ------------------------------------------------------- set-geom-type
+
+
+def set_geom_type_batch(t: pa.Table) -> pa.Table:
+    """``gdal vector set-geom-type`` promote-to-multi path
+    (apps/gdalalg_vector_set_geom_type.cpp via
+    OGRGeometryFactory::forceToMultiPolygon): each single Polygon is
+    wrapped into a one-part MultiPolygon.  Emits the WKB geometry type
+    codes before/after (3 -> 6), the part count, and the fsum of the
+    emitted coordinate stream (proves the content survived the
+    coercion byte-exactly)."""
+    import math
+    import struct
+
+    from ..functions.geom import wkb_multipolygon, wkb_polygon
+
+    fid, rings = _rings_from_table(t)
+    t_in, t_out, fsums, nv = [], [], [], []
+    for pts in rings:
+        closed = np.vstack([pts, pts[:1]])
+        single = wkb_polygon([closed])
+        multi = wkb_multipolygon([[closed]])
+        t_in.append(struct.unpack("<I", single[1:5])[0])
+        t_out.append(struct.unpack("<I", multi[1:5])[0])
+        fsums.append(math.fsum(closed.ravel()))
+        nv.append(len(closed))
+    return pa.table({
+        "fid": pa.array(fid, pa.int64()),
+        "type_in": pa.array(t_in, pa.int64()),
+        "type_out": pa.array(t_out, pa.int64()),
+        "n_verts": pa.array(nv, pa.int64()),
+        "coord_fsum": pa.array(fsums, pa.float64()),
+    })
