@@ -258,6 +258,64 @@ def grid_invdist(px, py, pv, xs, ys, power: float = 2.0, smoothing: float = 0.0,
     return out
 
 
+def grid_invdistnn(px, py, pv, xs, ys, power: float = 2.0,
+                   smoothing: float = 0.0, radius: float = 1.0,
+                   max_points: int = 12, min_points: int = 0,
+                   nodata: float = 0.0) -> np.ndarray:
+    """Inverse distance to a power restricted to the max_points nearest
+    neighbours inside a mandatory search radius
+    (alg/gdalgrid.cpp GDALGridInverseDistanceToAPowerNearestNeighbor,
+    gdal_grid -a invdistnn / apps/gdalalg_vector_grid_invdistnn.cpp).
+
+    Reference contract preserved:
+    - the radius test uses the RAW distance, the weights and the
+      nearest-n ranking use the SMOOTHED distance r2 + smoothing^2;
+    - an exact hit is "smoothed r2 < 1e-13 -> point value" and is NOT
+      gated by the radius;
+    - candidates are ranked by smoothed distance ascending (ties by
+      the canonical point order the caller established) and only the
+      first max_points carry weight 1/r2^(power/2);
+    - fewer than min_points in-radius neighbours -> nodata.
+
+    Float-summation order is the vectorized-numpy contract shared with
+    the golden (np.sum over the masked weight cube), not the
+    reference's ascending-order scalar accumulation — same values to
+    the last ulp only, as for the other grid kernels."""
+    H, W = len(ys), len(xs)
+    n_pts = len(px)
+    out = np.full((H, W), nodata, dtype=np.float64)
+    if n_pts == 0:
+        return out
+    gx, gy = np.meshgrid(xs, ys)
+    d2raw = (gx[:, :, None] - px[None, None, :]) ** 2 + (
+        gy[:, :, None] - py[None, None, :]
+    ) ** 2
+    d2 = d2raw + smoothing * smoothing
+    within = d2raw <= radius * radius
+    # rank candidates by smoothed distance; out-of-radius -> +inf so
+    # they rank last.  stable argsort keeps the canonical point order
+    # for equal distances (the reference's multimap insertion order).
+    key = np.where(within, d2, np.inf)
+    order = np.argsort(key, axis=2, kind="stable")
+    ranks = np.empty_like(order)
+    np.put_along_axis(
+        ranks, order, np.broadcast_to(np.arange(n_pts), key.shape), axis=2
+    )
+    keep = within & (ranks < max_points)
+    wts = np.where(keep, 1.0 / np.maximum(d2, 1e-20) ** (power / 2.0), 0.0)
+    nsel = keep.sum(axis=2)
+    wsum = wts.sum(axis=2)
+    vsum = (wts * pv[None, None, :]).sum(axis=2)
+    got = (nsel >= max(int(min_points), 1)) & (wsum > 0)
+    out[got] = vsum[got] / wsum[got]
+    exact = d2 < 1e-13
+    hit = exact.any(axis=2)
+    if hit.any():
+        first = exact.argmax(axis=2)
+        out[hit] = pv[first[hit]]
+    return out
+
+
 def grid_nearest(px, py, pv, xs, ys, radius: float | None = None,
                  nodata: float = 0.0) -> np.ndarray:
     """Nearest-neighbor gridding (gdalgrid.cpp:853); ties by point order."""

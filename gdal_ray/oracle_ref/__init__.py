@@ -29,7 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-CACHE_ROOT = "/tmp/gdal_ray_oracle/v4"
+CACHE_ROOT = "/tmp/gdal_ray_oracle/v5"
 
 
 def _scale_tag(sf_dir: str) -> str:

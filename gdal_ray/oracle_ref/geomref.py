@@ -709,6 +709,150 @@ def _makevalid_bowtie_ref(kk: int):
     return [(i, 3, float(v)) for i, v in enumerate(parts)]
 
 
+# ---------------------- coverage-simplify golden (single-process ref)
+#
+# Independent implementation of the simplify-coverage contract
+# (stages/coverage.py documents it): exact-tuple dict segment map (no
+# hashing), per-ring arc split at neighbour-signature changes,
+# Visvalingam-Whyatt with doubled-area threshold 2*tol^2, lowest-index
+# tie-break, canonical (lexicographically-smaller-endpoint-first) arc
+# orientation.  The FIXTURE formulas (jittered lattice + densified
+# edges) are mirrored from the engine's derivation — shared input, as
+# for the bowtie fixture above.
+
+
+def _cov_mix(*ks: int) -> int:
+    import hashlib
+    import struct
+
+    h = hashlib.blake2b(
+        struct.pack(f"<{len(ks)}q", *ks), digest_size=8
+    ).digest()
+    return int.from_bytes(h, "little")
+
+
+def _cov_quad(i: int, j: int, grid: int, S: int = 100000, m: int = 3):
+    def node(a, b):
+        if 0 < a < grid and 0 < b < grid:
+            return (
+                a * S + _cov_mix(a, b, 1) % (S // 4) - S // 8,
+                b * S + _cov_mix(a, b, 2) % (S // 4) - S // 8,
+            )
+        return a * S, b * S
+
+    corners = [(i, j), (i + 1, j), (i + 1, j + 1), (i, j + 1)]
+    ring = []
+    for c in range(4):
+        ka, kb = corners[c], corners[(c + 1) % 4]
+        rev = kb < ka
+        c0, c1 = (kb, ka) if rev else (ka, kb)
+        (ax, ay), (bx, by) = node(*c0), node(*c1)
+        dx, dy = bx - ax, by - ay
+        L = float(np.hypot(dx, dy))
+        pts = []
+        for t in range(1, m + 1):
+            f = t / (m + 1)
+            d = _cov_mix(c0[0], c0[1], c1[0], c1[1], t) % 4001 - 2000
+            pts.append(
+                (
+                    int(round(ax + f * dx + (-dy) * d / L)),
+                    int(round(ay + f * dy + dx * d / L)),
+                )
+            )
+        if rev:
+            pts.reverse()
+        ring.append(node(*ka))
+        ring.extend(pts)
+    return ring
+
+
+def _cov_vw(chain, thresh: int, closed: bool):
+    """VW keep-set over a list of (x, y) int tuples.  Open chains keep
+    both endpoints; closed rings keep >= 3 vertices."""
+    alive = list(range(len(chain)))
+
+    def a2(p, v, n):
+        (xp, yp), (xv, yv), (xn, yn) = chain[p], chain[v], chain[n]
+        return abs((xv - xp) * (yn - yp) - (xn - xp) * (yv - yp))
+
+    while True:
+        m = len(alive)
+        if m <= (3 if closed else 2):
+            break
+        cand = range(m) if closed else range(1, m - 1)
+        best = None
+        for j in cand:
+            area = a2(alive[j - 1], alive[j], alive[(j + 1) % m])
+            if best is None or area < best[0]:
+                best = (area, j)
+        if best is None or best[0] >= thresh:
+            break
+        del alive[best[1]]
+    return set(alive)
+
+
+def _cov_simplify_ref(grid: int, tolerance: float, preserve: bool):
+    """-> {fid: (n_in, n_out, area2_out)} for the grid x grid fixture."""
+    thresh = int(2 * tolerance * tolerance)
+    quads = {
+        j * grid + i: _cov_quad(i, j, grid)
+        for j in range(grid)
+        for i in range(grid)
+    }
+    use: dict = {}
+    for f, ring in quads.items():
+        n = len(ring)
+        for s in range(n):
+            a, b = ring[s], ring[(s + 1) % n]
+            use.setdefault((min(a, b), max(a, b)), []).append(f)
+    out = {}
+    for f, ring in quads.items():
+        n = len(ring)
+        nbr = []
+        for s in range(n):
+            a, b = ring[s], ring[(s + 1) % n]
+            users = use[(min(a, b), max(a, b))]
+            nbr.append(users[0] + users[1] - f if len(users) == 2 else -1)
+        if all(v == nbr[0] for v in nbr):
+            if preserve and nbr[0] < 0:
+                kept = list(range(n))
+            else:
+                start = min(range(n), key=lambda s: ring[s])
+                rot = [(start + s) % n for s in range(n)]
+                ks = _cov_vw([ring[s] for s in rot], thresh, closed=True)
+                kept = [rot[s] for s in sorted(ks)]
+        else:
+            start = next(
+                s for s in range(n) if nbr[s] != nbr[(s - 1) % n]
+            )
+            rot = [(start + s) % n for s in range(n)]
+            rnbr = [nbr[s] for s in rot]
+            cuts = [s for s in range(n) if rnbr[s] != rnbr[s - 1]] + [n]
+            keep = set()
+            for b0, b1 in zip(cuts[:-1], cuts[1:]):
+                idxs = [rot[s % n] for s in range(b0, b1 + 1)]
+                keep.add(idxs[0])
+                keep.add(idxs[-1])
+                if preserve and rnbr[b0] < 0:
+                    keep.update(idxs)
+                    continue
+                chain = [ring[s] for s in idxs]
+                if chain[-1] < chain[0]:
+                    ks = _cov_vw(chain[::-1], thresh, closed=False)
+                    ks = {len(chain) - 1 - s for s in ks}
+                else:
+                    ks = _cov_vw(chain, thresh, closed=False)
+                keep.update(idxs[s] for s in ks)
+            kept = sorted(keep)
+        pts = [ring[s] for s in kept]
+        terms = 0
+        for s in range(len(pts)):
+            t = (s + 1) % len(pts)
+            terms += pts[s][0] * pts[t][1] - pts[t][0] * pts[s][1]
+        out[f] = (n, len(kept), abs(terms))
+    return out
+
+
 def q57_geometry_ops(sf_dir: str) -> pd.DataFrame:
     import math
 
@@ -789,6 +933,12 @@ def q57_geometry_ops(sf_dir: str) -> pd.DataFrame:
             t2 = (s + 1) % 32
             a2 += int(wx[s]) * int(wy[t2]) - int(wx[t2]) * int(wy[s])
         rows.append(("buffer", pid, a2, 32, 0.0))
+
+    for kind, preserve in (("simplifycov", False), ("simplifycovpb", True)):
+        for f, (n_in, n_out, area2) in _cov_simplify_ref(
+            20, 3000.0, preserve
+        ).items():
+            rows.append((kind, f, n_in, n_out, float(area2)))
 
     df = pd.DataFrame(rows, columns=["kind", "fid", "a", "b", "v"])
     df["fid"] = df["fid"].astype(np.int64)

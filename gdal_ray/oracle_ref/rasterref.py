@@ -734,6 +734,35 @@ def q35_grid_invdist(sf_dir: str, zoom: int = 8, grid_size: int = 64) -> pd.Data
         rows.append(("invdist", zoom, cx, cy, n_owned, _cs_float(out)))
         lin = _rf_grid_linear(mx, my, mv, xs, ys, nodata=0.0)
         rows.append(("linear", zoom, cx, cy, n_owned, _cs_float(lin)))
+        # invdistnn golden: row-at-a-time (W, N) slices (the engine is
+        # one (H, W, N) cube).  The weight vectors stay full-length
+        # with zeros in the masked slots and are reduced along the
+        # point axis, so numpy's pairwise reduction tree matches the
+        # engine's axis-2 sum bit-for-bit.
+        radius, max_pts, min_pts, smoothing = 40000.0, 8, 2, 5000.0
+        nn = np.zeros((grid_size, grid_size))
+        pt_idx = np.arange(len(mx))
+        for r in range(grid_size):
+            d2raw = (xs[:, None] - mx[None, :]) ** 2 + (
+                ys[r] - my[None, :]
+            ) ** 2
+            d2 = d2raw + smoothing * smoothing
+            within = d2raw <= radius * radius
+            key = np.where(within, d2, np.inf)
+            rank = np.empty_like(key, dtype=np.int64)
+            np.put_along_axis(
+                rank,
+                np.argsort(key, axis=1, kind="stable"),
+                np.broadcast_to(pt_idx, key.shape),
+                axis=1,
+            )
+            keep = within & (rank < max_pts)
+            w = np.where(keep, 1.0 / np.maximum(d2, 1e-20), 0.0)
+            ws = w.sum(axis=1)
+            vs = (w * mv[None, :]).sum(axis=1)
+            got = (keep.sum(axis=1) >= max(min_pts, 1)) & (ws > 0)
+            nn[r, got] = vs[got] / ws[got]
+        rows.append(("invdistnn", zoom, cx, cy, n_owned, _cs_float(nn)))
     df = pd.DataFrame(
         rows, columns=["algorithm", "z", "x", "y", "n_points", "cs"]
     )

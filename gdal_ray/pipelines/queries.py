@@ -1282,8 +1282,9 @@ def q34_checkpointed_tiles(sf_dir: str):
 def q35_grid_invdist(sf_dir: str):
     """gdal_grid analog: T3 points (weight = pid-derived) -> per-cell
     rasters with 1-ring halo, one branch per interpolation algorithm
-    (inverse-distance and Delaunay piecewise-linear); returns per-cell
-    grid checksums tagged by algorithm."""
+    (inverse-distance, Delaunay piecewise-linear, and radius-gated
+    nearest-n invdistnn); returns per-cell grid checksums tagged by
+    algorithm."""
     import ray.data as rd
 
     from ..functions import checksum
@@ -1324,12 +1325,22 @@ def q35_grid_invdist(sf_dir: str):
         return fn
 
     branches = [
-        grid_points(pts, zoom=8, algorithm=alg, grid_size=64).map_batches(
+        grid_points(pts, zoom=8, algorithm=alg, grid_size=64, **kw).map_batches(
             cs(alg), batch_format="pyarrow"
         )
-        for alg in ("invdist", "linear")
+        for alg, kw in (
+            ("invdist", {}),
+            ("linear", {}),
+            # gdal_grid -a invdistnn: 40 km radius, 8 nearest, >=2
+            # neighbours required, 5 km smoothing
+            (
+                "invdistnn",
+                dict(radius=40000.0, max_points=8, min_points=2,
+                     smoothing=5000.0),
+            ),
+        )
     ]
-    return branches[0].union(branches[1]).sort(["algorithm", "z", "x", "y"])
+    return branches[0].union(*branches[1:]).sort(["algorithm", "z", "x", "y"])
 
 
 def q36_proximity_sieve(sf_dir: str):
@@ -2576,8 +2587,69 @@ def q57_geometry_ops(sf_dir: str):
     sgt = ngons.map_batches(
         set_geom_type_batch, batch_format="pyarrow"
     ).map_batches(tag_setgt, batch_format="pyarrow")
+
+    # simplify-coverage (gdal vector simplify-coverage / GEOS
+    # CoverageSimplifyVW): jittered-lattice quad coverage, shared arcs
+    # simplified identically on both sides; one branch per
+    # preserve-boundary flag.  v carries the exact doubled output area.
+    from ..stages.coverage import simplify_coverage
+
+    cov = _derive_coverage()
+
+    def tag_cov(kind: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "kind": pa.array([kind] * t.num_rows, pa.string()),
+                    "fid": t.column("fid"),
+                    "a": t.column("n_in"),
+                    "b": t.column("n_out"),
+                    "v": pc.cast(t.column("area2_out"), pa.float64()),
+                }
+            )
+
+        return fn
+
+    scv = simplify_coverage(cov, tolerance=3000.0).map_batches(
+        tag_cov("simplifycov"), batch_format="pyarrow"
+    )
+    scvpb = simplify_coverage(
+        _derive_coverage(), tolerance=3000.0, preserve_boundary=True
+    ).map_batches(tag_cov("simplifycovpb"), batch_format="pyarrow")
+
     out = cen.union(simp).union(buf).union(clip).union(seg).union(swp)
-    return out.union(exp).union(mkv).union(rpj).union(sgt).sort(["kind", "fid"])
+    out = out.union(exp).union(mkv).union(rpj).union(sgt)
+    return out.union(scv).union(scvpb).sort(["kind", "fid"])
+
+
+def _derive_coverage(grid: int = 20):
+    """Deterministic jittered-lattice quad coverage (grid^2 features,
+    int coords); formulas mirrored by the geomref golden."""
+    import ray.data as rd
+
+    from ..stages.coverage import coverage_fixture_quad
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        fids, xs, ys = [], [], []
+        for k in ids:
+            k = int(k)
+            i, j = k % grid, k // grid
+            ring = coverage_fixture_quad(i, j, grid)
+            fids.append(k)
+            xs.append([float(p[0]) for p in ring])
+            ys.append([float(p[1]) for p in ring])
+        return pa.table(
+            {
+                "fid": pa.array(fids, pa.int64()),
+                "xs": pa.array(xs, pa.list_(pa.float64())),
+                "ys": pa.array(ys, pa.list_(pa.float64())),
+            }
+        )
+
+    return rd.range(grid * grid, override_num_blocks=8).map_batches(
+        build, batch_format="pyarrow"
+    )
 
 
 def _derive_bowties(sf_dir: str):

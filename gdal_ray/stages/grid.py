@@ -64,6 +64,9 @@ def grid_points(
 
         algo = {
             "invdist": rasterops.grid_invdist,
+            # gdal_grid -a invdistnn (GDALGridInverseDistanceToAPower
+            # NearestNeighbor): radius-gated nearest-max_points IDW
+            "invdistnn": rasterops.grid_invdistnn,
             "nearest": rasterops.grid_nearest,
             "average": rasterops.grid_average,
             # gdal_grid -a linear (alg/gdalgrid.cpp GDALGridLinear via

@@ -122,3 +122,54 @@ def test_query_points_in_chips(ray_session, smoke_fixtures):
     # center sample should be close to the center pixel value
     hc, wc = img.shape[0] // 2, img.shape[1] // 2
     assert abs(row.r - float(img[hc, wc, 0])) <= 16
+
+
+def test_grid_invdistnn_semantics():
+    """invdistnn vs a from-first-principles scalar loop (sorted-ascending
+    accumulation like the reference's multimap walk), plus the nodata /
+    radius / exact-hit branches."""
+    import math
+
+    from gdal_ray.functions.rasterops import grid_invdist, grid_invdistnn
+
+    rng = np.random.default_rng(7)
+    px = rng.uniform(0, 100, 40)
+    py = rng.uniform(0, 100, 40)
+    pv = rng.uniform(0, 255, 40)
+    xs = np.linspace(5, 95, 12)
+    ys = np.linspace(95, 5, 12)
+    radius, max_pts, min_pts, smoothing = 30.0, 5, 2, 2.0
+    out = grid_invdistnn(px, py, pv, xs, ys, radius=radius,
+                         max_points=max_pts, min_points=min_pts,
+                         smoothing=smoothing, nodata=-1.0)
+    for r in (0, 5, 11):
+        for c in (0, 6, 11):
+            d2raw = (xs[c] - px) ** 2 + (ys[r] - py) ** 2
+            d2 = d2raw + smoothing * smoothing
+            cand = sorted(
+                (float(d2[i]), float(pv[i]))
+                for i in np.flatnonzero(d2raw <= radius * radius)
+            )[:max_pts]
+            if len(cand) < min_pts:
+                assert out[r, c] == -1.0
+                continue
+            num = den = 0.0
+            for dd, vv in cand:
+                w = 1.0 / dd  # power=2 -> w = 1/r^2
+                num += w * vv
+                den += w
+            assert math.isclose(out[r, c], num / den, rel_tol=1e-12)
+
+    # max_points larger than N and huge radius, no smoothing ->
+    # identical to plain invdist
+    a = grid_invdistnn(px, py, pv, xs, ys, radius=1e6, max_points=1000)
+    b = grid_invdist(px, py, pv, xs, ys)
+    assert np.allclose(a, b, rtol=1e-12)
+
+    # exact hit: grid node exactly on a point -> point value even with
+    # a radius that excludes everything else
+    xs2 = np.array([px[0]])
+    ys2 = np.array([py[0]])
+    hit = grid_invdistnn(px, py, pv, xs2, ys2, radius=1e-6, max_points=3,
+                         min_points=1, nodata=-1.0)
+    assert hit[0, 0] == pv[0]
