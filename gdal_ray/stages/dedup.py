@@ -20,13 +20,82 @@ from ..functions.phash import hamming64, phash_bands
 # ------------------------------------------------------------ exact dedup
 
 
+_HP = 1099511628211  # FNV-1a 64-bit prime (odd -> invertible mod 2^64)
+_HPINV = pow(_HP, -1, 1 << 64)
+_MASK64 = (1 << 64) - 1
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _content_hash_array(arr: pa.Array) -> np.ndarray:
+    """64-bit content hash per row of a string/binary Array — the
+    polars vectorized hash kernel (Rust, ~GB/s) when available, else a
+    pure-numpy buffer-level path.  Stability contract: hashes are an
+    ENGINE-INTERNAL groupby key (exact dedup), equal-content-equal-hash
+    within one run is all that is required; they are not persisted.
+
+    Numpy fallback: rolling polynomial h = sum (byte_i + 1) * P^i over
+    the row's bytes (P odd, mod 2^64), extracted per row from global
+    prefix sums via the modular inverse P^-1, then
+    splitmix64-avalanched with the row length.  No Python per-row loop
+    (the original version ran hashlib.sha1 row by row)."""
+    try:
+        import polars as pl
+
+        s = pl.from_arrow(arr)
+        return s.hash(seed=42).to_numpy().astype(np.uint64)
+    except ImportError:
+        pass
+    n_rows = len(arr)
+    if n_rows == 0:
+        return np.empty(0, np.uint64)
+    big = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+    odt = np.int64 if big else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=odt)[
+        arr.offset : arr.offset + n_rows + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lo, hi = int(off[0]), int(off[-1])
+    b = data[lo:hi].astype(np.uint64) + np.uint64(1)
+    n = hi - lo
+    starts = off[:-1] - lo
+    ends = off[1:] - lo
+    with np.errstate(over="ignore"):
+        w = np.empty(n, np.uint64)  # w[i] = P^(i+1) mod 2^64
+        if n:
+            np.multiply.accumulate(np.full(n, np.uint64(_HP)), out=w)
+        pinv_all = np.empty(n + 1, np.uint64)  # pinv_all[i] = P^-i
+        pinv_all[0] = 1
+        if n:
+            np.multiply.accumulate(
+                np.full(n, np.uint64(_HPINV & _MASK64)), out=pinv_all[1:]
+            )
+        s = np.zeros(n + 1, np.uint64)  # prefix sums of (b+1)*P^(i+1)
+        if n:
+            np.cumsum(b * w, out=s[1:])
+        # start-normalized row hash: sum_j (b_j+1) * P^(j+1)
+        raw = (s[ends] - s[starts]) * pinv_all[starts]
+        lens = (off[1:] - off[:-1]).astype(np.uint64)
+    return _splitmix64(raw ^ _splitmix64(lens))
+
+
 def add_content_hash(text_col: str = "text", out_col: str = "chash"):
-    """Vectorized sha1 content hash (hex, first 16 chars)."""
+    """Vectorized 64-bit content hash (buffer-level polynomial +
+    splitmix64 finalizer; see _content_hash_array)."""
 
     def fn(t: pa.Table) -> pa.Table:
-        vals = t.column(text_col).to_pylist()
-        hs = [hashlib.sha1(v.encode() if isinstance(v, str) else v).hexdigest()[:16] for v in vals]
-        return t.append_column(out_col, pa.array(hs, pa.string()))
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        parts = [_content_hash_array(c) for c in t.column(text_col).chunks]
+        hs = np.concatenate(parts).view(np.int64)
+        return t.append_column(out_col, pa.array(hs, pa.int64()))
 
     fn.__name__ = "add_content_hash"
     return fn
