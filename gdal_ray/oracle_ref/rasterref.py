@@ -376,6 +376,19 @@ def q31_raster_steps(sf_dir: str) -> pd.DataFrame:
             (A + 2.0 * B + C) / 4.0 + np.sqrt(A) - np.fmod(B, 7.0),
             0.0), 255.0)
         add(row.image_id, "calc", _cs_float(calc))
+        # create + update: canvas (h+8, w+8) of 7s, chip at (4, 4)
+        H, W = px.shape[0], px.shape[1]
+        canvas = np.full((H + 8, W + 8, px.shape[2]), 7, np.uint8)
+        canvas[4 : 4 + H, 4 : 4 + W] = px
+        add(row.image_id, "create_update",
+            sum(_cs_band(canvas[:, :, b]) for b in range(canvas.shape[2])))
+        # pixel-info: packed RGB at 5 deterministic positions
+        pix = 0
+        for k in range(1, 6):
+            yy, xx = (H * k) // 7 % H, (W * k) // 5 % W
+            pix += (int(px[yy, xx, 0]) * 65536 + int(px[yy, xx, 1]) * 256
+                    + int(px[yy, xx, 2]))
+        add(row.image_id, "pixel_info", pix)
         for m, cs in _area_cs(px).items():
             add(row.image_id, f"area_{m}", cs)
     for iid, op, cs in _mdim_rows_ref():

@@ -529,6 +529,27 @@ class RasterStepSuite:
             add(iid, "calc", self.cs_float(
                 self.calc(img[:, :, 0], img[:, :, 1], img[:, :, 2])
             ))
+            # gdal raster create + update (apps/gdalalg_raster_create
+            # .cpp / _update.cpp): blank canvas (h+8, w+8) initialized
+            # to burn value 7, the chip composited at offset (4, 4) —
+            # the create-then-update-window workflow as one fused op
+            H, W = img.shape[0], img.shape[1]
+            canvas = np.full((H + 8, W + 8, img.shape[2]), 7, np.uint8)
+            canvas[4 : 4 + H, 4 : 4 + W] = img
+            add(iid, "create_update", sum(
+                self.cs_band(canvas[:, :, b]) for b in range(canvas.shape[2])
+            ))
+            # gdal raster pixel-info: packed RGB at 5 deterministic
+            # pixel positions (k=1..5), summed
+            pix = 0
+            for k in range(1, 6):
+                yy, xx = (H * k) // 7 % H, (W * k) // 5 % W
+                pix += (
+                    int(img[yy, xx, 0]) * 65536
+                    + int(img[yy, xx, 1]) * 256
+                    + int(img[yy, xx, 2])
+                )
+            add(iid, "pixel_info", pix)
             # area-aggregating resamplers (-r average/rms/sum/min/max/
             # med/q1/q3/mode, GWKAverageOrModeThread): exact 2x
             # downscale over the even-cropped chip — integral boxes,
