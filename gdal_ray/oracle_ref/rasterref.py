@@ -1159,29 +1159,76 @@ def _jpeg_ref_decode(img: np.ndarray, quality: int = 97) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
 
 
-def q52_jpeg_roundtrip(sf_dir: str, quality: int = 97) -> pd.DataFrame:
+def q52_multimodal_codecs(sf_dir: str, quality: int = 97) -> pd.DataFrame:
+    """Multimodal codec golden: jpeg roundtrip rows (DCT-quantization
+    model), plus audio-feature and video-frame-sample rows over the
+    deterministic event-key clips (synthesis formulas mirrored from
+    stages/media.py — shared input; the FEATURE math below is an
+    independent scalar/numpy restatement)."""
     df = _fixture_images(sf_dir)
     df = df[(df["w"] <= 64) & (df["h"] <= 64)].reset_index(drop=True)
-    ids, csr, csg, csb, pmilli = [], [], [], [], []
+    rows = []
     for row, px in _iter_chips(df):
         dec = _jpeg_ref_decode(px, quality)
-        ids.append(row.image_id)
-        csr.append(_cs_band(dec[:, :, 0]))
-        csg.append(_cs_band(dec[:, :, 1]))
-        csb.append(_cs_band(dec[:, :, 2]))
         diff = px.astype(np.float64) - dec.astype(np.float64)
         mse = float(np.mean(diff * diff))
         p = float("inf") if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
-        pmilli.append(999999 if np.isinf(p) else int(np.floor(p * 1000.0 + 0.5)))
-    return pd.DataFrame(
-        {
-            "image_id": ids,
-            "cs_r": np.asarray(csr, np.int64),
-            "cs_g": np.asarray(csg, np.int64),
-            "cs_b": np.asarray(csb, np.int64),
-            "psnr_milli": np.asarray(pmilli, np.int64),
-        }
+        pm = 999999 if np.isinf(p) else int(np.floor(p * 1000.0 + 0.5))
+        rows.append(("jpeg_cs", row.image_id, _cs_band(dec[:, :, 0]),
+                     _cs_band(dec[:, :, 1]), _cs_band(dec[:, :, 2])))
+        rows.append(("jpeg_psnr", row.image_id, pm, 0, 0))
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+    keys = sorted(
+        int(k)
+        for k in ev.column("event_id").to_numpy(zero_copy_only=False)
+        if k % 97 == 0
     )
+    win, hop = 512, 256
+    for k in keys:
+        # ---- audio clip (mirrored synthesis) -> features
+        if k % 17 == 0:
+            rows.append(("audio_unsupported", f"a{k}", 0, 0, 0))
+        else:
+            n = 8000 + (k * 37) % 8000
+            f1 = 3 + (k * 7) % 40
+            f2 = 50 + (k * 13) % 200
+            i = np.arange(n, dtype=np.float64)
+            s = (9000.0 * np.sin(2.0 * np.pi * f1 * i / 16000.0)
+                 + 4000.0 * np.sin(2.0 * np.pi * f2 * i / 16000.0))
+            saw = ((i * (1 + k % 5)) % 4096) - 2048.0
+            samples = np.floor(s + saw + 0.5).astype(np.int16)
+            nf = 1 + (n - win) // hop
+            energy = 0
+            zcr = 0
+            for fi in range(nf):
+                fr = samples[fi * hop : fi * hop + win].astype(np.int64)
+                energy += int((fr * fr).sum())
+                sg = fr >= 0
+                zcr += int((sg[1:] != sg[:-1]).sum())
+            rows.append(("audio_feat", f"a{k}", nf, zcr, energy))
+        # ---- video clip (mirrored synthesis) -> every-4th frame cs
+        if k % 19 == 0:
+            rows.append(("video_unsupported", f"v{k}", -1, 0, 0))
+        else:
+            w, h = 32, 24
+            n = 8 + (k * 11) % 25
+            for fi in range(0, n, 4):
+                yy = np.arange(h, dtype=np.int64)[:, None]
+                xx = np.arange(w, dtype=np.int64)[None, :]
+                r = ((xx * 8 + fi * 5 + k) % 256) + 0 * yy
+                g = ((yy * 11 + fi * 3 + k * 7) % 256) + 0 * xx
+                b = (xx + yy + fi * 9) % 256
+                cs = sum(
+                    _cs_band(ch.astype(np.uint8))
+                    for ch in (r, g, b)
+                )
+                rows.append(("video_frame", f"v{k}", fi, n, cs))
+
+    out = pd.DataFrame(rows, columns=["kind", "media_id", "a", "b", "v"])
+    for c in ("a", "b", "v"):
+        out[c] = out[c].astype(np.int64)
+    return out
 
 
 # -------------------------------------------------- q54 grid metrics
@@ -2110,7 +2157,7 @@ GOLDENS = {
     "q29_band_stats_hist": (q29_band_stats_hist, ["kind", "band", "k"]),
     "q58_gcp_warp": (q58_gcp_warp, ["image_id", "transformer"]),
     "q59_cutline_warp": (q59_cutline_warp, ["image_id"]),
-    "q52_jpeg_roundtrip": (q52_jpeg_roundtrip, ["image_id"]),
+    "q52_multimodal_codecs": (q52_multimodal_codecs, ["kind", "media_id", "a"]),
     "q54_grid_metrics": (q54_grid_metrics, ["z", "x", "y"]),
     "q55_color_relief": (q55_color_relief, ["image_id"]),
     "q31_raster_steps": (q31_raster_steps, ["image_id", "op"]),

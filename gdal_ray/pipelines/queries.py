@@ -1629,16 +1629,27 @@ _RECTS_B_SQL = (
 )
 
 
-def q52_jpeg_roundtrip(sf_dir: str):
-    """JPEG codec (baseline JFIF, frmts/jpeg/ analog — the production
-    counterpart of the input_hint's ``fmt``): re-encode every chip with
-    w,h <= 64 as JPEG (quality 97), decode, emit per-chip checksums of
-    the decoded pixels + PSNR vs the original in milli-dB.  The oracle
-    recomputes the decode through the DCT-quantization model only —
-    matching it proves the entropy-coded bitstream round-trips."""
+def q52_multimodal_codecs(sf_dir: str):
+    """Multimodal codec suite (long format: kind, media_id, a, b, v):
+
+    - 'jpeg_cs' / 'jpeg_psnr': baseline-JFIF roundtrip per small chip
+      (frmts/jpeg analog) — decoded-pixel band checksums and PSNR in
+      milli-dB; the oracle recomputes the decode through the
+      DCT-quantization model only, so matching proves the
+      entropy-coded bitstream round-trips.
+    - 'audio_feat': frame energy / zero-crossing features over
+      synthetic pcm16 clips (stages/media.py actor pool; clips derived
+      deterministically from event keys).
+    - 'video_frame': every-4th-frame sampling of raw-frame video clips
+      (one row per sampled frame, band-checksum payload).
+    - 'audio_unsupported' / 'video_unsupported': clips whose codec
+      (opus / h264) has no decoder in this container — routed to
+      explicit counter rows by the stage, never silently dropped.
+    """
     import ray.data as rd
 
     from ..functions import checksum, codecs
+    from ..stages import media as M
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
     imgs = rd.read_parquet(
@@ -1653,32 +1664,108 @@ def q52_jpeg_roundtrip(sf_dir: str):
             )
         )
 
-    def fn(t: pa.Table) -> pa.Table:
+    def jfn(t: pa.Table) -> pa.Table:
         cols = {c: t.column(c).to_pylist() for c in ("image_id", "bytes", "w", "h", "fmt")}
-        ids, csr, csg, csb, pmilli = [], [], [], [], []
+        kinds, ids, a_o, b_o, v_o = [], [], [], [], []
         for i in range(t.num_rows):
             img = codecs.decode(cols["bytes"][i], cols["w"][i], cols["h"][i], cols["fmt"][i])
             dec = codecs.decode(codecs.encode(img, "jpeg"), cols["w"][i], cols["h"][i], "jpeg")
             cs = checksum.checksum_image(dec)
             p = codecs.psnr(img, dec)
-            ids.append(cols["image_id"][i])
-            csr.append(cs[0]); csg.append(cs[1]); csb.append(cs[2])
-            pmilli.append(999999 if np.isinf(p) else int(np.floor(p * 1000.0 + 0.5)))
+            pm = 999999 if np.isinf(p) else int(np.floor(p * 1000.0 + 0.5))
+            kinds += ["jpeg_cs", "jpeg_psnr"]
+            ids += [cols["image_id"][i]] * 2
+            a_o += [int(cs[0]), pm]
+            b_o += [int(cs[1]), 0]
+            v_o += [int(cs[2]), 0]
         return pa.table(
             {
-                "image_id": pa.array(ids, pa.string()),
-                "cs_r": pa.array(csr, pa.int64()),
-                "cs_g": pa.array(csg, pa.int64()),
-                "cs_b": pa.array(csb, pa.int64()),
-                "psnr_milli": pa.array(pmilli, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "media_id": pa.array(ids, pa.string()),
+                "a": pa.array(a_o, pa.int64()),
+                "b": pa.array(b_o, pa.int64()),
+                "v": pa.array(v_o, pa.int64()),
             }
         )
 
-    return (
-        imgs.map_batches(small, batch_format="pyarrow")
-        .map_batches(fn, batch_format="pyarrow", batch_size=64)
-        .sort("image_id")
+    jpeg = imgs.map_batches(small, batch_format="pyarrow").map_batches(
+        jfn, batch_format="pyarrow", batch_size=64
     )
+
+    keys = _read(sf_dir, "events", columns=["event_id"]).filter(
+        lambda r: r["event_id"] % 97 == 0
+    )
+
+    def synth_a(t: pa.Table) -> pa.Table:
+        ks = t.column("event_id").to_numpy(zero_copy_only=False)
+        blobs, codecs_, ids = [], [], []
+        for k in ks:
+            blob, codec = M.synth_audio_clip(int(k))
+            blobs.append(blob)
+            codecs_.append(codec)
+            ids.append(f"a{int(k)}")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "codec": pa.array(codecs_, pa.string()),
+            }
+        )
+
+    def synth_v(t: pa.Table) -> pa.Table:
+        ks = t.column("event_id").to_numpy(zero_copy_only=False)
+        blobs, codecs_, ids = [], [], []
+        for k in ks:
+            blob, codec = M.synth_video_clip(int(k))
+            blobs.append(blob)
+            codecs_.append(codec)
+            ids.append(f"v{int(k)}")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "codec": pa.array(codecs_, pa.string()),
+            }
+        )
+
+    def tag_audio(t: pa.Table) -> pa.Table:
+        ok = pc.equal(t.column("status"), pa.scalar("ok"))
+        kind = pc.if_else(
+            ok, pa.scalar("audio_feat"), pa.scalar("audio_unsupported")
+        )
+        return pa.table(
+            {
+                "kind": kind,
+                "media_id": t.column("media_id"),
+                "a": t.column("n_frames"),
+                "b": t.column("zcr"),
+                "v": t.column("energy"),
+            }
+        )
+
+    def tag_video(t: pa.Table) -> pa.Table:
+        ok = pc.equal(t.column("status"), pa.scalar("ok"))
+        kind = pc.if_else(
+            ok, pa.scalar("video_frame"), pa.scalar("video_unsupported")
+        )
+        return pa.table(
+            {
+                "kind": kind,
+                "media_id": t.column("media_id"),
+                "a": t.column("frame_idx"),
+                "b": t.column("n_frames"),
+                "v": t.column("cs"),
+            }
+        )
+
+    aud = M.audio_features(
+        keys.map_batches(synth_a, batch_format="pyarrow")
+    ).map_batches(tag_audio, batch_format="pyarrow")
+    vid = M.video_frame_sample(
+        keys.map_batches(synth_v, batch_format="pyarrow")
+    ).map_batches(tag_video, batch_format="pyarrow")
+
+    return jpeg.union(aud).union(vid).sort(["kind", "media_id", "a"])
 
 
 def q53_sampling(sf_dir: str):
@@ -2955,7 +3042,7 @@ QUERIES = {
     "q48_clip_erase": q48_clip_erase,
     "q50_sql_frontend": q50_sql_frontend,
     "q51_intersection_overlay": q51_intersection_overlay,
-    "q52_jpeg_roundtrip": q52_jpeg_roundtrip,
+    "q52_multimodal_codecs": q52_multimodal_codecs,
     "q53_sampling": q53_sampling,
     "q54_grid_metrics": q54_grid_metrics,
     "q55_color_relief": q55_color_relief,

@@ -1,0 +1,252 @@
+"""Multimodal (audio / video) columns: opaque binary payloads with
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+Engine addition beyond the reference (SURVEY.md §2.1 note: GDAL's
+format zoo covers imagery; a 100-TB training-data pipeline also
+carries audio/video).  The data model mirrors the image convention
+used everywhere else in this repo: one row per clip, an opaque
+``bytes`` column, small typed metadata columns (codec, rates, counts),
+and vectorized per-batch kernels.
+
+Codec support is explicit and gated:
+
+- ``pcm16`` audio (self-describing AUD0 header + int16 LE samples) and
+  ``rawv`` video (VID0 header + concatenated raw RGB frames) decode
+  for real, in numpy.
+- Compressed codecs (opus/mp3/h264/...) are NOT implemented in this
+  container (no decoder libs): ``decode_audio``/``decode_video`` raise
+  ``NotImplementedError`` with the codec name, and the pipeline-level
+  stages ROUTE those rows to an explicit ``unsupported`` counter
+  instead of crashing — the no-silent-drops rule: a 100-TB run sees
+  exactly how many clips were skipped and why.  Swapping in a native
+  codec behind the same registry keeps every downstream stage intact.
+
+All feature math is integer-exact (int16 samples -> int64 energies,
+sign-change counts), so engine<->golden comparisons are exact.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+AUDIO_MAGIC = b"AUD0"
+VIDEO_MAGIC = b"VID0"
+
+
+# ------------------------------------------------------------- payloads
+
+
+def encode_audio_pcm16(samples: np.ndarray, sr: int = 16000) -> bytes:
+    """AUD0 | u16 channels | u16 reserved | u32 sr | u32 n | int16 LE."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    return (
+        AUDIO_MAGIC
+        + struct.pack("<HHII", 1, 0, sr, len(s))
+        + s.tobytes()
+    )
+
+
+def decode_audio(payload: bytes, codec: str = "pcm16"):
+    """-> (samples int16[n], sr).  Only pcm16 is implemented here."""
+    if codec != "pcm16":
+        raise NotImplementedError(
+            f"audio codec {codec!r}: no decoder in this environment "
+            "(plug a native decoder into decode_audio behind the same "
+            "signature)"
+        )
+    if payload[:4] != AUDIO_MAGIC:
+        raise ValueError("bad audio magic")
+    _ch, _r, sr, n = struct.unpack_from("<HHII", payload, 4)
+    samples = np.frombuffer(payload, dtype="<i2", count=n, offset=16)
+    return samples, sr
+
+
+def encode_video_rawv(frames: np.ndarray) -> bytes:
+    """VID0 | u16 w | u16 h | u16 n_frames | u16 reserved | raw RGB."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, _ = f.shape
+    return VIDEO_MAGIC + struct.pack("<HHHH", w, h, n, 0) + f.tobytes()
+
+
+def decode_video(payload: bytes, codec: str = "rawv") -> np.ndarray:
+    """-> frames uint8[n, h, w, 3].  Only rawv is implemented here."""
+    if codec != "rawv":
+        raise NotImplementedError(
+            f"video codec {codec!r}: no decoder in this environment"
+        )
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError("bad video magic")
+    w, h, n, _ = struct.unpack_from("<HHHH", payload, 4)
+    return np.frombuffer(payload, dtype=np.uint8, offset=12).reshape(
+        n, h, w, 3
+    )
+
+
+# ------------------------------------------------------- feature stages
+
+
+class AudioFeatures:
+    """Actor-pool stage: per-clip frame-level features over hop
+    windows — frame ENERGY (sum of squares, exact int64) and
+    ZERO-CROSSING count.  Window plan built once per actor.
+
+    Output rows: (media_id, n_frames, zcr_total, energy_total) plus an
+    `unsupported` count column folded upstream by the caller."""
+
+    def __init__(self, win: int = 512, hop: int = 256):
+        self.win = win
+        self.hop = hop
+
+    def _features(self, samples: np.ndarray):
+        n = len(samples)
+        if n < self.win:
+            return 0, 0, 0
+        n_frames = 1 + (n - self.win) // self.hop
+        idx = (
+            np.arange(self.win)[None, :]
+            + np.arange(n_frames)[:, None] * self.hop
+        )
+        frames = samples.astype(np.int64)[idx]
+        energy = int((frames * frames).sum())
+        sign = frames >= 0
+        zcr = int((sign[:, 1:] != sign[:, :-1]).sum())
+        return n_frames, zcr, energy
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_pylist()
+        blobs = t.column("bytes").to_pylist()
+        codecs_ = t.column("codec").to_pylist()
+        out = {"media_id": [], "n_frames": [], "zcr": [], "energy": [],
+               "status": []}
+        for mid, blob, codec in zip(ids, blobs, codecs_):
+            try:
+                samples, _sr = decode_audio(blob, codec)
+            except NotImplementedError:
+                out["media_id"].append(mid)
+                out["n_frames"].append(0)
+                out["zcr"].append(0)
+                out["energy"].append(0)
+                out["status"].append("unsupported")
+                continue
+            nf, zcr, en = self._features(samples)
+            out["media_id"].append(mid)
+            out["n_frames"].append(nf)
+            out["zcr"].append(zcr)
+            out["energy"].append(en)
+            out["status"].append("ok")
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "n_frames": pa.array(out["n_frames"], pa.int64()),
+                "zcr": pa.array(out["zcr"], pa.int64()),
+                "energy": pa.array(out["energy"], pa.int64()),
+                "status": pa.array(out["status"], pa.string()),
+            }
+        )
+
+
+class VideoFrameSample:
+    """Actor-pool stage: sample every k-th frame of each clip and emit
+    one IMAGE-convention row per sampled frame (band checksum column
+    here; swap the checksum for raw bytes to feed the image pipeline)."""
+
+    def __init__(self, every: int = 4):
+        from ..functions import checksum
+
+        self.every = every
+        self.cs_band = checksum.checksum_band
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_pylist()
+        blobs = t.column("bytes").to_pylist()
+        codecs_ = t.column("codec").to_pylist()
+        mid_o, fi_o, nf_o, cs_o, st_o = [], [], [], [], []
+        for mid, blob, codec in zip(ids, blobs, codecs_):
+            try:
+                frames = decode_video(blob, codec)
+            except NotImplementedError:
+                mid_o.append(mid)
+                fi_o.append(-1)
+                nf_o.append(0)
+                cs_o.append(0)
+                st_o.append("unsupported")
+                continue
+            n = frames.shape[0]
+            for fi in range(0, n, self.every):
+                mid_o.append(mid)
+                fi_o.append(fi)
+                nf_o.append(n)
+                cs_o.append(
+                    int(sum(self.cs_band(frames[fi, :, :, b])
+                            for b in range(3)))
+                )
+                st_o.append("ok")
+        return pa.table(
+            {
+                "media_id": pa.array(mid_o, pa.string()),
+                "frame_idx": pa.array(fi_o, pa.int64()),
+                "n_frames": pa.array(nf_o, pa.int64()),
+                "cs": pa.array(cs_o, pa.int64()),
+                "status": pa.array(st_o, pa.string()),
+            }
+        )
+
+
+def audio_features(clips, win: int = 512, hop: int = 256,
+                   concurrency=(1, 8)):
+    return clips.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs=dict(win=win, hop=hop),
+        batch_format="pyarrow",
+        batch_size=32,  # binary payloads: small batches
+        concurrency=concurrency,
+    )
+
+
+def video_frame_sample(clips, every: int = 4, concurrency=(1, 8)):
+    return clips.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs=dict(every=every),
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=concurrency,
+    )
+
+
+# -------------------------------------------- deterministic clip synth
+#
+# Clip payloads are pure functions of an integer key (formulas mirrored
+# by the rasterref golden): audio = two quantized sinusoids + a
+# sawtooth at key-derived frequencies; video = moving gradient frames.
+
+
+def synth_audio_clip(key: int) -> tuple[bytes, str]:
+    n = 8000 + (key * 37) % 8000
+    f1 = 3 + (key * 7) % 40
+    f2 = 50 + (key * 13) % 200
+    i = np.arange(n, dtype=np.float64)
+    s = (
+        9000.0 * np.sin(2.0 * np.pi * f1 * i / 16000.0)
+        + 4000.0 * np.sin(2.0 * np.pi * f2 * i / 16000.0)
+    )
+    saw = ((i * (1 + key % 5)) % 4096) - 2048.0
+    samples = np.floor(s + saw + 0.5).astype(np.int16)
+    codec = "opus" if key % 17 == 0 else "pcm16"
+    return encode_audio_pcm16(samples), codec
+
+
+def synth_video_clip(key: int) -> tuple[bytes, str]:
+    w, h = 32, 24
+    n = 8 + (key * 11) % 25
+    fr = np.arange(n, dtype=np.int64)[:, None, None]
+    yy = np.arange(h, dtype=np.int64)[None, :, None]
+    xx = np.arange(w, dtype=np.int64)[None, None, :]
+    r = np.broadcast_to((xx * 8 + fr * 5 + key) % 256, (n, h, w))
+    g = np.broadcast_to((yy * 11 + fr * 3 + key * 7) % 256, (n, h, w))
+    b = np.broadcast_to((xx + yy + fr * 9) % 256, (n, h, w))
+    frames = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    codec = "h264" if key % 19 == 0 else "rawv"
+    return encode_video_rawv(frames), codec

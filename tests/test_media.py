@@ -1,0 +1,81 @@
+"""Multimodal audio/video stages: payload codecs, feature math, stub
+routing, and the actor-pool plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gdal_ray.stages import media as M
+
+
+def test_audio_payload_roundtrip():
+    s = (np.sin(np.arange(5000) / 10.0) * 12000).astype(np.int16)
+    blob = M.encode_audio_pcm16(s, sr=16000)
+    out, sr = M.decode_audio(blob, "pcm16")
+    assert sr == 16000 and (out == s).all()
+
+
+def test_video_payload_roundtrip():
+    frames = (np.arange(5 * 6 * 4 * 3) % 256).astype(np.uint8).reshape(
+        5, 6, 4, 3
+    )
+    blob = M.encode_video_rawv(frames)
+    out = M.decode_video(blob, "rawv")
+    assert out.shape == (5, 6, 4, 3) and (out == frames).all()
+
+
+def test_unsupported_codecs_raise():
+    blob = M.encode_audio_pcm16(np.zeros(100, np.int16))
+    with pytest.raises(NotImplementedError, match="opus"):
+        M.decode_audio(blob, "opus")
+    vb = M.encode_video_rawv(np.zeros((2, 4, 4, 3), np.uint8))
+    with pytest.raises(NotImplementedError, match="h264"):
+        M.decode_video(vb, "h264")
+
+
+def test_audio_features_math():
+    # alternating +/- block signal: exact energy and zcr by hand
+    s = np.tile(np.array([1000, -1000], np.int16), 512)  # 1024 samples
+    st = M.AudioFeatures(win=512, hop=256)
+    nf, zcr, energy = st._features(s)
+    assert nf == 3
+    assert energy == 3 * 512 * 1000 * 1000
+    assert zcr == 3 * 511  # every adjacent pair flips sign
+
+
+def test_stage_plumbing_routes_unsupported(ray_session):
+    import ray.data as rd
+
+    clips = []
+    for k in (0, 1, 2, 17, 34):  # 0, 17, 34 -> opus (k % 17 == 0)
+        blob, codec = M.synth_audio_clip(k)
+        clips.append({"media_id": f"a{k}", "bytes": blob, "codec": codec})
+    ds = rd.from_items(clips).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+    out = M.audio_features(ds).to_pandas()
+    assert len(out) == 5
+    bad = out[out.status == "unsupported"]
+    ok = out[out.status == "ok"]
+    assert set(bad.media_id) == {"a0", "a17", "a34"}
+    assert (ok.n_frames > 0).all() and (ok.energy > 0).all()
+
+
+def test_video_frame_sample_stage(ray_session):
+    import ray.data as rd
+
+    blob, codec = M.synth_video_clip(1)
+    assert codec == "rawv"
+    ds = rd.from_items(
+        [{"media_id": "v1", "bytes": blob, "codec": codec}]
+    )
+    out = M.video_frame_sample(ds, every=4).to_pandas()
+    n = 8 + (1 * 11) % 25
+    assert len(out) == len(range(0, n, 4))
+    assert (out.n_frames == n).all() and (out.status == "ok").all()
+    # first sampled frame checksum matches a direct decode
+    frames = M.decode_video(blob, "rawv")
+    from gdal_ray.functions import checksum
+
+    cs0 = int(sum(checksum.checksum_band(frames[0, :, :, b]) for b in range(3)))
+    assert int(out[out.frame_idx == 0].cs.iloc[0]) == cs0
