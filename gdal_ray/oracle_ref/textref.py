@@ -172,12 +172,58 @@ def q20_fingerprint(sf_dir: str, k: int = 16) -> pd.DataFrame:
     )
 
 
+def q17_jaccard(sf_dir: str, num_perm: int = 64, bands: int = 8,
+                threshold: float = 0.5) -> pd.DataFrame:
+    """Exact n-gram Jaccard near-dup golden: the SAME banded-LSH
+    candidate rule as q17_minhash, but the verify is the exact
+    shingle-set Jaccard |A n B| / |A u B| (python set ops — the engine
+    uses sorted-array intersection; one float division on identical
+    integer operands, so bit-equal)."""
+    docs = _docs(sf_dir)
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    n = len(docs)
+    shs = [set(_shingle_set(txt).tolist()) for txt in docs["text"]]
+    sigs = np.empty((n, num_perm), dtype=np.uint64)
+    for i in range(n):
+        sh = np.fromiter(shs[i], dtype=np.uint64, count=len(shs[i]))
+        for p in range(num_perm):
+            sigs[i, p] = ((a[p] * sh + b[p]) % np.uint64(MERSENNE)).min()
+    rows = num_perm // bands
+    seg = sigs.reshape(n, bands, rows)
+    ids = docs["doc_id"].to_numpy()
+    order = np.argsort(ids, kind="mergesort")
+    out_a, out_b, out_j = [], [], []
+    for ii in range(n):
+        i = order[ii]
+        for jj in range(ii + 1, n):
+            j = order[jj]
+            if not (seg[i] == seg[j]).all(axis=1).any():
+                continue
+            ni = len(shs[i] & shs[j])
+            jac = ni / (len(shs[i]) + len(shs[j]) - ni)
+            if jac >= threshold:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[j]))
+                out_j.append(jac)
+    return pd.DataFrame(
+        {
+            "doc_a": np.asarray(out_a, np.int64),
+            "doc_b": np.asarray(out_b, np.int64),
+            "jaccard": np.asarray(out_j, np.float64),
+        }
+    )
+
+
 def q17_neardup_pairs(sf_dir: str) -> pd.DataFrame:
     """Combined near-dup pair suite: minhash pairs (score = estimated
-    Jaccard) + simhash pairs (score = Hamming distance), tagged by
-    ``method`` — the oracle of the one registered q17 query."""
+    Jaccard) + simhash pairs (score = Hamming distance) + exact n-gram
+    Jaccard pairs, tagged by ``method`` — the oracle of the one
+    registered q17 query."""
     mh = q17_minhash(sf_dir)
     sh = q18_simhash(sf_dir)
+    ja = q17_jaccard(sf_dir)
     a = pd.DataFrame(
         {
             "method": "minhash",
@@ -194,8 +240,16 @@ def q17_neardup_pairs(sf_dir: str) -> pd.DataFrame:
             "score": sh["hamming"].astype(np.float64),
         }
     )
+    c = pd.DataFrame(
+        {
+            "method": "jaccard",
+            "doc_a": ja["doc_a"],
+            "doc_b": ja["doc_b"],
+            "score": ja["jaccard"].astype(np.float64),
+        }
+    )
     return (
-        pd.concat([a, b], ignore_index=True)
+        pd.concat([a, b, c], ignore_index=True)
         .sort_values(["method", "doc_a", "doc_b"])
         .reset_index(drop=True)
     )

@@ -2309,10 +2309,26 @@ def q_ann_ivf(sf_dir: str, k_lists: int = 16, nprobe: int = 2,
 
 def q17_neardup_pairs(sf_dir: str):
     """Near-dup pair suite: MinHash+banded-LSH pairs (score =
-    estimated Jaccard) and SimHash band pairs (score = Hamming
-    distance), tagged by ``method``."""
+    estimated Jaccard), SimHash band pairs (score = Hamming distance),
+    and exact n-gram Jaccard pairs (same LSH candidates, exact
+    shingle-set intersection verify), tagged by ``method``."""
+    from ..stages.dedup import minhash_lsh_pairs
+
     mh = q17_minhash_pairs(sf_dir)
     sh = q18_simhash_pairs(sf_dir)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ja = minhash_lsh_pairs(docs, threshold=0.5, exact_shingles=True)
+
+    def tag_ja(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "method": pa.array(["jaccard"] * n, pa.string()),
+                "doc_a": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "score": pc.cast(t.column("jaccard"), pa.float64()),
+            }
+        )
 
     def tag_mh(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -2339,6 +2355,7 @@ def q17_neardup_pairs(sf_dir: str):
     return (
         mh.map_batches(tag_mh, batch_format="pyarrow")
         .union(sh.map_batches(tag_sh, batch_format="pyarrow"))
+        .union(ja.map_batches(tag_ja, batch_format="pyarrow"))
         .sort(["method", "doc_a", "doc_b"])
     )
 

@@ -128,7 +128,8 @@ class MinHasher:
 
     MERSENNE = (1 << 61) - 1
 
-    def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 42,
+                 emit_shingles: bool = False):
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, self.MERSENNE, size=num_perm, dtype=np.int64).astype(
             np.uint64
@@ -138,6 +139,7 @@ class MinHasher:
         )
         self.num_perm = num_perm
         self.k = shingle_k
+        self.emit_shingles = emit_shingles
 
     def _shingle_hashes(self, text: str) -> np.ndarray:
         t = " ".join(text.lower().split())
@@ -155,13 +157,25 @@ class MinHasher:
         return np.unique(out)
 
     def signature(self, text: str) -> np.ndarray:
-        sh = self._shingle_hashes(text)
         # (P, S) permuted mins mod mersenne prime
-        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(self.MERSENNE)
-        return v.min(axis=1)
+        return self._sig_of(self._shingle_hashes(text))
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
+        if self.emit_shingles:
+            sh_sets = [self._shingle_hashes(x or "") for x in texts]
+            sigs = np.stack([self._sig_of(sh) for sh in sh_sets])
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "sig": pa.array(
+                        list(sigs.astype(np.uint64)), pa.list_(pa.uint64())
+                    ),
+                    # sorted unique shingle hashes, fixed-width binary
+                    # (acero joins reject list payloads)
+                    "sh": pa.array([s.tobytes() for s in sh_sets], pa.binary()),
+                }
+            )
         sigs = np.stack([self.signature(x or "") for x in texts])
         return pa.table(
             {
@@ -169,6 +183,12 @@ class MinHasher:
                 "sig": pa.array(list(sigs.astype(np.uint64)), pa.list_(pa.uint64())),
             }
         )
+
+    def _sig_of(self, sh: np.ndarray) -> np.ndarray:
+        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(
+            self.MERSENNE
+        )
+        return v.min(axis=1)
 
 
 def minhash_lsh_pairs(
@@ -178,10 +198,18 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     concurrency: int = 4,
     max_bucket: int = 4096,
+    exact_shingles: bool = False,
 ):
     """Near-dup pairs via banded LSH, verified with the signature-
     estimated Jaccard.  Returns (doc_a, doc_b, est_jaccard), doc_a <
     doc_b, each pair once.
+
+    ``exact_shingles=True`` is the n-gram-Jaccard variant: the SAME
+    banded candidate generation, but the verify step joins back each
+    side's full sorted-unique shingle-hash set and computes the EXACT
+    Jaccard |A n B| / |A u B| (sorted-array intersection), returning
+    (doc_a, doc_b, jaccard).  Only candidate-pair docs ever ship their
+    shingle sets, and only through the two hash joins.
 
     Scale shape (round-2 rework): the band explosion ships ONLY
     (doc_id, band, band-hash) through the shuffle — never the full
@@ -199,12 +227,15 @@ def minhash_lsh_pairs(
     sigs = _materialize_detached(
         docs.map_batches(
             MinHasher,
-            fn_constructor_kwargs=dict(num_perm=num_perm),
+            fn_constructor_kwargs=dict(
+                num_perm=num_perm, emit_shingles=exact_shingles
+            ),
             batch_format="pyarrow",
             concurrency=concurrency,
             batch_size=1024,
         )
     )
+    score_col = "jaccard" if exact_shingles else "est_jaccard"
 
     def explode_bands(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -260,26 +291,30 @@ def minhash_lsh_pairs(
     n_cand = cand.count()
     if n_cand == 0:
         return cand.map_batches(
-            lambda t: t.append_column("est_jaccard", pa.array([], pa.float64())),
+            lambda t: t.append_column(score_col, pa.array([], pa.float64())),
             batch_format="pyarrow",
         )
     parts = max(1, n_cand // 50_000)
 
     def _sig_as(key: str):
         # acero joins reject list-typed payload columns: carry the
-        # signature as fixed-width binary instead
+        # signature (or exact shingle set) as binary instead
+        src = "sh" if exact_shingles else "sig"
+
         def fn(t: pa.Table) -> pa.Table:
-            sig = np.stack(t.column("sig").to_pylist()).astype(np.uint64)
+            if exact_shingles:
+                payload = t.column("sh")
+            else:
+                sig = np.stack(t.column("sig").to_pylist()).astype(np.uint64)
+                payload = pa.array([s.tobytes() for s in sig], pa.binary())
             return pa.table(
                 {
                     key: t.column("doc_id"),
-                    f"sig_{key[-1]}": pa.array(
-                        [s.tobytes() for s in sig], pa.binary()
-                    ),
+                    f"sig_{key[-1]}": payload,
                 }
             )
 
-        fn.__name__ = f"sig_{key}"
+        fn.__name__ = f"{src}_{key}"
         return fn
 
     witha = cand.join(
@@ -297,18 +332,28 @@ def minhash_lsh_pairs(
                 {
                     "doc_a": pa.array([], pa.int64()),
                     "doc_b": pa.array([], pa.int64()),
-                    "est_jaccard": pa.array([], pa.float64()),
+                    score_col: pa.array([], pa.float64()),
                 }
             )
-        sa = np.frombuffer(b"".join(t.column("sig_a").to_pylist()), dtype=np.uint64).reshape(t.num_rows, -1)
-        sb = np.frombuffer(b"".join(t.column("sig_b").to_pylist()), dtype=np.uint64).reshape(t.num_rows, -1)
-        est = (sa == sb).mean(axis=1)
+        if exact_shingles:
+            blobs_a = t.column("sig_a").to_pylist()
+            blobs_b = t.column("sig_b").to_pylist()
+            est = np.empty(t.num_rows, np.float64)
+            for i, (ba, bb) in enumerate(zip(blobs_a, blobs_b)):
+                A = np.frombuffer(ba, dtype=np.uint64)
+                B = np.frombuffer(bb, dtype=np.uint64)
+                ni = len(np.intersect1d(A, B, assume_unique=True))
+                est[i] = ni / (len(A) + len(B) - ni)
+        else:
+            sa = np.frombuffer(b"".join(t.column("sig_a").to_pylist()), dtype=np.uint64).reshape(t.num_rows, -1)
+            sb = np.frombuffer(b"".join(t.column("sig_b").to_pylist()), dtype=np.uint64).reshape(t.num_rows, -1)
+            est = (sa == sb).mean(axis=1)
         keep = est >= threshold
         return pa.table(
             {
                 "doc_a": t.column("doc_a").filter(pa.array(keep)),
                 "doc_b": t.column("doc_b").filter(pa.array(keep)),
-                "est_jaccard": pa.array(est[keep], pa.float64()),
+                score_col: pa.array(est[keep], pa.float64()),
             }
         )
 
