@@ -29,7 +29,23 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-CACHE_ROOT = "/tmp/gdal_ray_oracle/v5"
+def _src_fingerprint() -> str:
+    """Content hash of every oracle_ref source file: the golden cache
+    self-invalidates whenever ANY reference implementation changes, so
+    a stale cached golden can never be served against newer semantics
+    (the manual version-bump discipline proved error-prone)."""
+    import hashlib
+
+    pkg = os.path.dirname(__file__)
+    h = hashlib.blake2b(digest_size=6)
+    for f in sorted(os.listdir(pkg)):
+        if f.endswith(".py"):
+            with open(os.path.join(pkg, f), "rb") as fh:
+                h.update(fh.read())
+    return h.hexdigest()
+
+
+CACHE_ROOT = f"/tmp/gdal_ray_oracle/v5-{_src_fingerprint()}"
 
 
 def _scale_tag(sf_dir: str) -> str:
