@@ -907,6 +907,63 @@ def q57_geometry_ops(sf_dir: str) -> pd.DataFrame:
             2.0 * np.arctan(np.exp(lat_a * np.pi / 180.0)) - np.pi / 2.0)
         rows.append(("reproject", kk, len(vx), 0,
                      math.fsum(lon_a) + math.fsum(lat_a)))
+        # convex hull golden: Jarvis march (gift wrapping) — an
+        # algorithm INDEPENDENT of the engine's monotone chain; exact
+        # integer predicates and the same strict-turn convention
+        # (boundary-collinear points dropped: among collinear
+        # candidates the farthest wins), so vertex set, count and
+        # doubled area agree exactly
+        P = sorted({(int(a), int(b)) for a, b in zip(vx, vy)})
+        if len(P) <= 2:
+            hull = list(P)
+        else:
+            hull = []
+            start = P[0]
+            cur = start
+            while True:
+                hull.append(cur)
+                cand = P[0] if P[0] != cur else P[1]
+                for p in P:
+                    if p == cur:
+                        continue
+                    cr = (cand[0] - cur[0]) * (p[1] - cur[1]) - (
+                        cand[1] - cur[1]
+                    ) * (p[0] - cur[0])
+                    if cr < 0:
+                        cand = p
+                    elif cr == 0:
+                        d_c = (cand[0] - cur[0]) ** 2 + (cand[1] - cur[1]) ** 2
+                        d_p = (p[0] - cur[0]) ** 2 + (p[1] - cur[1]) ** 2
+                        if d_p > d_c:
+                            cand = p
+                cur = cand
+                if cur == start:
+                    break
+        ha2 = 0
+        for i in range(len(hull)):
+            j = (i + 1) % len(hull)
+            ha2 += hull[i][0] * hull[j][1] - hull[j][0] * hull[i][1]
+        rows.append(("convexhull", kk, len(hull), abs(ha2), 0.0))
+        # distance golden: scalar per-segment point-to-segment with the
+        # engine's exact float expression sequence
+        qx = float(max(vx)) + 30000.0
+        qy = float(min(vy)) - 20000.0
+        best = None
+        npts = len(vx)
+        for i in range(npts):
+            j = (i + 1) % npts
+            x0, y0 = float(vx[i]), float(vy[i])
+            dxs, dys = float(vx[j]) - x0, float(vy[j]) - y0
+            len2 = dxs * dxs + dys * dys
+            dot = (qx - x0) * dxs + (qy - y0) * dys
+            tt = dot / (len2 if len2 > 1.0 else 1.0)
+            tt = 0.0 if tt < 0.0 else (1.0 if tt > 1.0 else tt)
+            ccx = x0 + tt * dxs
+            ccy = y0 + tt * dys
+            d2 = (qx - ccx) * (qx - ccx) + (qy - ccy) * (qy - ccy)
+            if best is None or d2 < best:
+                best = d2
+        rows.append(("distance", kk, npts, 0, math.sqrt(best)))
         # set-geom-type golden: Polygon (WKB code 3) -> MultiPolygon
         # (code 6), closed-ring vertex count, fsum of the interleaved
         # coordinate stream in WKB emit order (x0,y0,x1,y1,...)

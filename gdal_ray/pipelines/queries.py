@@ -2692,6 +2692,37 @@ def q57_geometry_ops(sf_dir: str):
         set_geom_type_batch, batch_format="pyarrow"
     ).map_batches(tag_setgt, batch_format="pyarrow")
 
+    from ..stages.geomops import convex_hull_batch, distance_point_batch
+
+    def tag_hull(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["convexhull"] * t.num_rows, pa.string()),
+                "fid": t.column("fid"),
+                "a": t.column("n_hull"),
+                "b": t.column("hull_area2"),
+                "v": pa.array(np.zeros(t.num_rows), pa.float64()),
+            }
+        )
+
+    def tag_dist(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["distance"] * t.num_rows, pa.string()),
+                "fid": t.column("fid"),
+                "a": t.column("n_pts"),
+                "b": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "v": t.column("dist"),
+            }
+        )
+
+    hul = ngons.map_batches(convex_hull_batch, batch_format="pyarrow").map_batches(
+        tag_hull, batch_format="pyarrow"
+    )
+    dst = ngons.map_batches(
+        distance_point_batch, batch_format="pyarrow"
+    ).map_batches(tag_dist, batch_format="pyarrow")
+
     # simplify-coverage (gdal vector simplify-coverage / GEOS
     # CoverageSimplifyVW): jittered-lattice quad coverage, shared arcs
     # simplified identically on both sides; one branch per
@@ -2723,6 +2754,7 @@ def q57_geometry_ops(sf_dir: str):
 
     out = cen.union(simp).union(buf).union(clip).union(seg).union(swp)
     out = out.union(exp).union(mkv).union(rpj).union(sgt)
+    out = out.union(hul).union(dst)
     return out.union(scv).union(scvpb).sort(["kind", "fid"])
 
 

@@ -481,3 +481,89 @@ def set_geom_type_batch(t: pa.Table) -> pa.Table:
         "n_verts": pa.array(nv, pa.int64()),
         "coord_fsum": pa.array(fsums, pa.float64()),
     })
+
+
+# ----------------------------------------------------------- convex hull
+
+
+def convex_hull_pts(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain over int lattice points — exact integer
+    cross products (OGRGeometry::ConvexHull analog, GEOS delegate in
+    ogr/ogrgeometry.cpp).  Returns hull vertices CCW, no repeated
+    endpoint; collinear boundary points are dropped (strict turns)."""
+    P = sorted({(int(x), int(y)) for x, y in pts})
+    if len(P) <= 2:
+        return np.array(P, dtype=np.int64).reshape(-1, 2)
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lo: list = []
+    for p in P:
+        while len(lo) >= 2 and cross(lo[-2], lo[-1], p) <= 0:
+            lo.pop()
+        lo.append(p)
+    hi: list = []
+    for p in reversed(P):
+        while len(hi) >= 2 and cross(hi[-2], hi[-1], p) <= 0:
+            hi.pop()
+        hi.append(p)
+    return np.array(lo[:-1] + hi[:-1], dtype=np.int64)
+
+
+def convex_hull_batch(t: pa.Table) -> pa.Table:
+    """(fid, n_hull, hull doubled shoelace area — exact int)."""
+    fid, rings = _rings_from_table(t)
+    n_o, a_o = [], []
+    for pts in rings:
+        hull = convex_hull_pts(pts)
+        n_o.append(len(hull))
+        x = hull[:, 0].astype(object)
+        y = hull[:, 1].astype(object)
+        a2 = 0
+        for i in range(len(hull)):
+            j = (i + 1) % len(hull)
+            a2 += x[i] * y[j] - x[j] * y[i]
+        a_o.append(abs(int(a2)))
+    return pa.table({
+        "fid": pa.array(fid, pa.int64()),
+        "n_hull": pa.array(n_o, pa.int64()),
+        "hull_area2": pa.array(a_o, pa.int64()),
+    })
+
+
+# -------------------------------------------------------------- distance
+
+
+def distance_point_batch(t: pa.Table) -> pa.Table:
+    """OGRGeometry::Distance analog for a polygon boundary vs an
+    external probe point derived from the feature itself
+    (max(x)+30000, min(y)-20000): min over boundary segments of the
+    point-to-segment distance.  Float contract: the per-segment
+    squared-distance expression below (dot/len2 clamp form) is shared
+    verbatim with the golden — identical IEEE doubles, one final
+    sqrt."""
+    fid, rings = _rings_from_table(t)
+    d_o, n_o = [], []
+    for pts in rings:
+        qx = float(pts[:, 0].max()) + 30000.0
+        qy = float(pts[:, 1].min()) - 20000.0
+        x0 = pts[:, 0]
+        y0 = pts[:, 1]
+        x1 = np.roll(x0, -1)
+        y1 = np.roll(y0, -1)
+        dx = x1 - x0
+        dy = y1 - y0
+        len2 = dx * dx + dy * dy
+        dot = (qx - x0) * dx + (qy - y0) * dy
+        tt = np.clip(dot / np.maximum(len2, 1.0), 0.0, 1.0)
+        cx = x0 + tt * dx
+        cy = y0 + tt * dy
+        d2 = (qx - cx) * (qx - cx) + (qy - cy) * (qy - cy)
+        d_o.append(math.sqrt(float(d2.min())))
+        n_o.append(len(pts))
+    return pa.table({
+        "fid": pa.array(fid, pa.int64()),
+        "n_pts": pa.array(n_o, pa.int64()),
+        "dist": pa.array(d_o, pa.float64()),
+    })

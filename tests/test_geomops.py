@@ -172,3 +172,40 @@ def test_makevalid_star_total_area_deterministic():
     assert n1 == n2 == 5
     assert [p["area"] for p in p1] == [p["area"] for p in p2]
     assert all(p["area"] > 0 for p in p1)
+
+
+def test_convex_hull_exact():
+    import numpy as np
+
+    from gdal_ray.stages.geomops import convex_hull_pts
+
+    # star: hull drops the concave vertices; collinear midpoint dropped
+    pts = np.array(
+        [[0, 0], [4, 1], [8, 0], [7, 4], [8, 8], [4, 7], [0, 8], [1, 4],
+         [4, 0]],  # (4,0) collinear between (0,0)-(8,0)
+        np.int64,
+    )
+    h = convex_hull_pts(pts)
+    hs = {tuple(p) for p in h}
+    assert hs == {(0, 0), (8, 0), (8, 8), (0, 8)}
+
+
+def test_distance_point_semantics():
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.stages.geomops import distance_point_batch
+
+    # unit square scaled: probe at (max+30000, min-20000) ->
+    # closest point is the corner (1000, 0); exact hypot
+    t = pa.table(
+        {
+            "fid": pa.array([1], pa.int64()),
+            "xs": pa.array([[0.0, 1000.0, 1000.0, 0.0]], pa.list_(pa.float64())),
+            "ys": pa.array([[0.0, 0.0, 1000.0, 1000.0]], pa.list_(pa.float64())),
+        }
+    )
+    out = distance_point_batch(t)
+    import math
+
+    assert out.column("dist")[0].as_py() == math.sqrt(30000.0**2 + 20000.0**2)
