@@ -29,23 +29,39 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-def _src_fingerprint() -> str:
-    """Content hash of every oracle_ref source file: the golden cache
-    self-invalidates whenever ANY reference implementation changes, so
-    a stale cached golden can never be served against newer semantics
-    (the manual version-bump discipline proved error-prone)."""
+CACHE_ROOT = "/tmp/gdal_ray_oracle/v5"
+
+# Self-invalidating cache: each golden's cache file name embeds a
+# content hash of the reference-impl module that builds it (plus its
+# oracle_ref dependency closure and this file), so editing a reference
+# implementation automatically orphans exactly ITS stale goldens — no
+# manual version bump, and an edit to one module does not force the
+# expensive re-render of every other module's goldens.
+_MODULE_DEPS = {
+    "rasterref": ("rasterref",),
+    "tileref": ("tileref", "rasterref"),  # tileref imports rasterref
+    "geomref": ("geomref", "tileref", "rasterref"),  # geomref -> tileref
+    "textref": ("textref",),
+    "annref": ("annref",),
+}
+_FP_CACHE: dict[str, str] = {}
+
+
+def _module_fingerprint(modname: str) -> str:
+    """Hash of the golden module's source + its oracle_ref deps +
+    __init__.py."""
+    short = modname.rsplit(".", 1)[-1]
+    if short in _FP_CACHE:
+        return _FP_CACHE[short]
     import hashlib
 
     pkg = os.path.dirname(__file__)
     h = hashlib.blake2b(digest_size=6)
-    for f in sorted(os.listdir(pkg)):
-        if f.endswith(".py"):
-            with open(os.path.join(pkg, f), "rb") as fh:
-                h.update(fh.read())
-    return h.hexdigest()
-
-
-CACHE_ROOT = f"/tmp/gdal_ray_oracle/v5-{_src_fingerprint()}"
+    for f in _MODULE_DEPS.get(short, (short,)) + ("__init__",):
+        with open(os.path.join(pkg, f + ".py"), "rb") as fh:
+            h.update(fh.read())
+    _FP_CACHE[short] = h.hexdigest()
+    return _FP_CACHE[short]
 
 
 def _scale_tag(sf_dir: str) -> str:
@@ -123,11 +139,16 @@ def _registry():
     return reg
 
 
+def _cache_path(name: str, sf_dir: str) -> str:
+    builder, _ = _registry()[name]
+    fp = _module_fingerprint(builder.__module__)
+    return os.path.join(CACHE_ROOT, _scale_tag(sf_dir), f"{name}.{fp}.parquet")
+
+
 def golden_df(name: str, sf_dir: str) -> pd.DataFrame:
     """Compute (or load cached) golden for one query at a scale."""
-    reg = _registry()
-    builder, _ = reg[name]
-    cache = os.path.join(CACHE_ROOT, _scale_tag(sf_dir), f"{name}.parquet")
+    builder, _ = _registry()[name]
+    cache = _cache_path(name, sf_dir)
     if os.path.exists(cache):
         return pq.read_table(cache).to_pandas()
     df = builder(sf_dir)
@@ -138,20 +159,42 @@ def golden_df(name: str, sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _render_one(args: tuple) -> str:
+    name, sf_dir = args
+    golden_df(name, sf_dir)
+    return name
+
+
 def golden_sql(name: str, sf_dir: str) -> str:
     reg = _registry()
     _, order_by = reg[name]
     return values_sql(golden_df(name, sf_dir), order_by)
 
 
+def render_missing(names: list[str], sf_dir: str) -> None:
+    """Render any un-cached goldens with a process pool (builders are
+    pure sf_dir -> DataFrame functions; the expensive single-process
+    reference impls — contour, footprint, viewshed — otherwise
+    serialize a full-suite render into an hour at sf0.01)."""
+    missing = [n for n in names if not os.path.exists(_cache_path(n, sf_dir))]
+    if len(missing) <= 1:
+        return
+    try:
+        import concurrent.futures as cf
+
+        workers = min(8, len(missing), os.cpu_count() or 4)
+        with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(_render_one, [(n, sf_dir) for n in missing]))
+    except Exception:
+        pass  # sequential fallback happens naturally in golden_df
+
+
 def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     """All driver-facing golden oracle SQL statements for a scale
     ('part_*' goldens are composition inputs only, not queries)."""
-    return {
-        name: golden_sql(name, sf_dir)
-        for name in _registry()
-        if name.startswith("q")
-    }
+    names = [n for n in _registry() if n.startswith("q")]
+    render_missing(names, sf_dir)
+    return {name: golden_sql(name, sf_dir) for name in names}
 
 
 def golden_names() -> list[str]:
