@@ -172,16 +172,27 @@ class BandedLSHBucketer:
     crosses the shuffle; ``sig`` packs all per-band bucket ids so the
     group task can apply the first-shared-band dedup locally."""
 
-    def __init__(self, dim: int, bands: int = 16, planes_per_band: int = 12,
-                 seed: int = 42):
-        rng = np.random.RandomState(seed)
+    def __init__(self, dim: int | None = None, bands: int = 16,
+                 planes_per_band: int = 12, seed: int = 42):
         self.bands = bands
         self.p = planes_per_band
-        self.planes = rng.standard_normal((dim, bands * planes_per_band))
+        self.seed = seed
+        self.planes = None
+        if dim is not None:
+            self._build(dim)
         self.pows = (1 << np.arange(planes_per_band)).astype(np.int64)
+
+    def _build(self, dim: int) -> None:
+        # dim may be discovered lazily from the first batch (avoids a
+        # driver-side take(1) round-trip); the seed makes every actor
+        # build the identical plane matrix
+        rng = np.random.RandomState(self.seed)
+        self.planes = rng.standard_normal((dim, self.bands * self.p))
 
     def band_buckets(self, m: np.ndarray) -> np.ndarray:
         """(n, dim) -> (n, bands) int32 bucket ids."""
+        if self.planes is None:
+            self._build(m.shape[1])
         bits = (m @ self.planes) > 0  # (n, bands*p)
         bits = bits.reshape(len(m), self.bands, self.p)
         return (bits * self.pows[None, None, :]).sum(axis=2).astype(np.int32)
@@ -229,12 +240,10 @@ def embedding_neardup_pairs(
     Candidate pairs are emitted in their FIRST shared band only;
     degenerate buckets are truncated to the ``max_bucket`` smallest
     ids (bounded O(cap^2) candidate work)."""
-    sample = embeddings.take(1)[0]
-    dim = len(sample["embedding"])
     B = bands
     exploded = embeddings.map_batches(
         BandedLSHBucketer,
-        fn_constructor_kwargs=dict(dim=dim, bands=bands,
+        fn_constructor_kwargs=dict(bands=bands,
                                    planes_per_band=planes_per_band),
         batch_format="pyarrow",
         concurrency=2,
