@@ -1913,6 +1913,7 @@ def q50_sql_frontend(sf_dir: str):
 _Q60_TEXT = """
 SELECT r.r_name AS region_name,
        COUNT(*) AS n_cust,
+       COUNT(DISTINCT c.c_nationkey) AS n_nat,
        CAST(SUM(c.c_custkey) AS BIGINT) AS key_sum,
        MIN(c.c_acctbal) AS lo_bal,
        MAX(c.c_acctbal) AS hi_bal
@@ -1921,6 +1922,16 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE c.c_acctbal > 0 AND r.r_name <> 'ASIA'
 GROUP BY r.r_name
+HAVING COUNT(*) > 1
+UNION ALL
+SELECT 'ALL' AS region_name,
+       COUNT(*) AS n_cust,
+       COUNT(DISTINCT c_nationkey) AS n_nat,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       MIN(c_acctbal) AS lo_bal,
+       MAX(c_acctbal) AS hi_bal
+FROM customer
+WHERE c_acctbal > 0
 ORDER BY region_name ASC
 """
 
@@ -1931,10 +1942,13 @@ def q60_sql_join_agg(sf_dir: str):
     -1510, and summary aggregation :849 PrepareSummary — extended with
     keyed GROUP BY): a two-hop equi-join chain with single-table WHERE
     pushdown below the shuffle, lowered onto copartition_equi_join +
-    grouped_aggregate (partial agg before the keyed shuffle).  The SAME
-    string runs verbatim in DuckDB as the oracle; aggregates are
-    integer-exact (COUNT / int SUM / MIN / MAX) so the value hash is
-    order-independent."""
+    grouped_aggregate (partial agg before the keyed shuffle), plus the
+    r3 dialect tail: HAVING over the summary table, COUNT(DISTINCT)
+    (distinct-of-keys+arg -> per-key count -> copartitioned left-outer
+    attach), and a UNION ALL branch with the trailing ORDER BY applied
+    to the whole union.  The SAME string runs verbatim in DuckDB as
+    the oracle; aggregates are integer-exact (COUNT / int SUM / MIN /
+    MAX) so the value hash is order-independent."""
     from .sql import sql_query
 
     customer = _read(

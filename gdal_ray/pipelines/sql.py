@@ -18,11 +18,17 @@ through ``Dataset.map_batches``:
 - joins lower onto ``Dataset.join`` (hash shuffle; the small-side
   broadcast variant stays available via pipelines.relational);
 - GROUP BY lowers onto relational.grouped_aggregate (per-batch pyarrow
-  partial aggregation, then one tiny keyed shuffle);
+  partial aggregation, then one tiny keyed shuffle); HAVING filters
+  the summary table (its aggregates join the same pass);
+- COUNT(DISTINCT x) lowers to distinct-of-(keys, x) -> per-key row
+  count -> left-outer join back onto the summary (NULL-only groups
+  report 0);
+- UNION ALL chains branches with Dataset.union (trailing ORDER BY /
+  LIMIT apply to the whole union);
 - ORDER BY / LIMIT lower onto the distributed top-k.
 
-Not covered (documented): subqueries, HAVING, COUNT(DISTINCT),
-non-equi join conditions.
+Not covered (documented): subqueries, bare UNION (dedup), DISTINCT
+aggregates other than COUNT, non-equi join conditions.
 """
 
 from __future__ import annotations
@@ -42,7 +48,8 @@ _KEYWORDS = {
     "select", "from", "where", "order", "by", "asc", "desc", "limit", "as",
     "and", "or", "not", "like", "in", "between", "cast", "concat", "substr",
     "is", "null", "true", "false",
-    "join", "on", "left", "inner", "outer", "group",
+    "join", "on", "left", "inner", "outer", "group", "having",
+    "union", "all",
     "count", "sum", "avg", "min", "max", "distinct",
 }
 
@@ -335,8 +342,27 @@ def _eval(node, t: pa.Table):
 
 
 def parse_select(sql: str) -> dict:
-    """Parse a SELECT statement into a plan dict."""
+    """Parse a SELECT statement (optionally a UNION ALL chain) into a
+    plan dict.  For a chain, returns {"union_all": [branch plans...]};
+    ORDER BY / LIMIT written after the LAST branch apply to the whole
+    union (hoisted by the executor); earlier branches may not carry
+    them."""
     p = _Parser(_tokenize(sql))
+    branches = [_parse_one(p)]
+    while branches[-1].pop("union_next"):
+        branches.append(_parse_one(p))
+    branches[-1].pop("union_next", None)
+    if len(branches) == 1:
+        return branches[0]
+    for b in branches[:-1]:
+        if b["order"] or b["limit"] is not None:
+            raise ValueError(
+                "ORDER BY/LIMIT inside a non-final UNION ALL branch"
+            )
+    return {"union_all": branches}
+
+
+def _parse_one(p: "_Parser") -> dict:
     p.expect("kw", "select")
     items = []
     if p.accept("op", "*"):
@@ -400,6 +426,9 @@ def parse_select(sql: str) -> dict:
             group.append(g)
             if not p.accept("op", ","):
                 break
+    having = None
+    if p.accept("kw", "having"):
+        having = p.expr()
     order = []
     if p.accept("kw", "order"):
         p.expect("kw", "by")
@@ -416,11 +445,16 @@ def parse_select(sql: str) -> dict:
     limit = None
     if p.accept("kw", "limit"):
         limit = int(p.next()[1])
-    if p.peek()[0] != "end":
+    union_next = False
+    if p.accept("kw", "union"):
+        p.expect("kw", "all")  # bare UNION (dedup) not supported
+        union_next = True
+    elif p.peek()[0] != "end":
         raise ValueError(f"trailing tokens at {p.peek()}")
     return {"items": items, "table": table, "table_alias": table_alias,
-            "joins": joins, "where": where, "group": group, "order": order,
-            "limit": limit}
+            "joins": joins, "where": where, "group": group,
+            "having": having, "order": order, "limit": limit,
+            "union_next": union_next}
 
 
 # ------------------------------------------------ AST utilities
@@ -646,7 +680,8 @@ def _run_join_agg(plan, tables, num_partitions: int):
         ds = ds.map_batches(post_f, batch_format="pyarrow")
 
     # ---- aggregation
-    has_agg = plan["group"] or (
+    having = plan.get("having")
+    has_agg = plan["group"] or having is not None or (
         items is not None and any(_has_agg(e) for e, _ in items)
     )
     if has_agg:
@@ -656,19 +691,32 @@ def _run_join_agg(plan, tables, num_partitions: int):
         for g in plan["group"]:
             r = _resolve(g)
             keys.append(r[1])
-        # collect distinct aggregate nodes from all select items
+        # collect distinct aggregate nodes from the select items AND
+        # the HAVING predicate (ogr_gensql.cpp evaluates HAVING over
+        # the summary table, so its aggregates share the same pass)
         agg_nodes: list = []
-        for e, _ in items:
+        agg_sources = [e for e, _ in items]
+        if having is not None:
+            agg_sources.append(having)
+        for e in agg_sources:
             for n in _walk(e):
                 if n[0] == "agg" and n not in agg_nodes:
                     agg_nodes.append(n)
         specs, pre_cols = [], {}
+        distinct_ais: list[int] = []
         for ai, n in enumerate(agg_nodes):
             _, fn, arg, distinct = n
-            if distinct:
-                raise ValueError("COUNT/agg DISTINCT is not supported")
             out_c = f"__agg{ai}"
-            if fn == "count" and arg is None:
+            if distinct:
+                if fn != "count":
+                    raise ValueError(
+                        "only COUNT(DISTINCT ...) is supported"
+                    )
+                # lowered separately: distinct of (keys, arg), then a
+                # per-key row count, joined back onto the summary
+                pre_cols[f"__in{ai}"] = ("expr", _resolve(arg))
+                distinct_ais.append(ai)
+            elif fn == "count" and arg is None:
                 specs.append(("*", "count", out_c))
             elif fn == "count":
                 pre_cols[f"__in{ai}"] = (
@@ -681,8 +729,17 @@ def _run_join_agg(plan, tables, num_partitions: int):
                     (f"__in{ai}", {"avg": "mean"}.get(fn, fn), out_c)
                 )
 
+        # keyless COUNT(DISTINCT) still needs a join key: inject a
+        # constant group and let the post-projection drop it
+        use_keys = keys or (["__g"] if distinct_ais else [])
+        inject_g = bool(distinct_ais) and not keys
+
         def pre(t: pa.Table) -> pa.Table:
             cols = {k: t.column(k) for k in keys}
+            if inject_g:
+                cols["__g"] = pa.array(
+                    np.zeros(t.num_rows, np.int64), pa.int64()
+                )
             for name, (kind, e) in pre_cols.items():
                 v = _eval(e, t)
                 if isinstance(v, pa.Scalar):
@@ -693,20 +750,88 @@ def _run_join_agg(plan, tables, num_partitions: int):
             return pa.table(cols)
 
         pre_ds = ds.map_batches(pre, batch_format="pyarrow")
-        agg_ds = (
-            R.grouped_aggregate(pre_ds, keys, specs)
-            if keys
-            else R.global_aggregate(pre_ds, specs)
-        )
+        if specs:
+            agg_ds = (
+                R.grouped_aggregate(pre_ds, use_keys, specs)
+                if use_keys
+                else R.global_aggregate(pre_ds, specs)
+            )
+        else:
+            # only COUNT(DISTINCT) aggregates: the summary rows are
+            # just the distinct keys
+            agg_ds = R.distinct(pre_ds, use_keys)
+
+        def _with_jk(t: pa.Table) -> pa.Table:
+            # injective composite join key over the group columns
+            # (length-prefixed string encoding); Dataset.join's native
+            # hash shuffle loses empty-partition schemas, so the attach
+            # below rides the sparse-domain-robust copartition join
+            parts = []
+            for k in use_keys:
+                s = pc.fill_null(pc.cast(t.column(k), pa.string()), "\x00")
+                parts.append(
+                    pc.binary_join_element_wise(
+                        pc.cast(pc.utf8_length(s), pa.string()), s, ":"
+                    )
+                )
+            jk = parts[0]
+            for p in parts[1:]:
+                jk = pc.binary_join_element_wise(jk, p, ";")
+            return t.append_column("__jk", jk)
+
+        for ai in distinct_ais:
+            in_c = f"__in{ai}"
+
+            def dpart(t: pa.Table, _c=in_c) -> pa.Table:
+                t = t.filter(pc.is_valid(t.column(_c)))
+                return _with_jk(t).select(["__jk", _c])
+
+            dd = R.distinct(
+                pre_ds.map_batches(dpart, batch_format="pyarrow"),
+                ["__jk", in_c],
+            )
+            dcnt = R.grouped_aggregate(
+                dd, ["__jk"], [("*", "count", f"__agg{ai}")]
+            )
+            agg_ds = R.copartition_equi_join(
+                agg_ds.map_batches(_with_jk, batch_format="pyarrow"),
+                dcnt,
+                "__jk", "__jk", how="left_outer",
+                num_partitions=max(2, num_partitions // 4),
+                right_schema=[("__jk", pa.string()),
+                              (f"__agg{ai}", pa.int64())],
+            ).drop_columns(["__jk"])
+
+        if distinct_ais:
+            fill_cols = [f"__agg{ai}" for ai in distinct_ais]
+
+            def fill0(t: pa.Table) -> pa.Table:
+                # an all-NULL group has no distinct rows but reports 0
+                for c in fill_cols:
+                    t = t.set_column(
+                        t.column_names.index(c), c,
+                        pc.fill_null(pc.cast(t.column(c), pa.int64()), 0),
+                    )
+                return t
+
+            agg_ds = agg_ds.map_batches(fill0, batch_format="pyarrow")
+
+        def sub(n, _nodes=agg_nodes):
+            if n[0] == "agg":
+                return ("col", f"__agg{_nodes.index(n)}")
+            return n
+
+        if having is not None:
+            hav = _transform(_resolve_skip_aggs(having, _resolve), sub)
+
+            def hfilter(t: pa.Table) -> pa.Table:
+                return t.filter(pc.cast(_eval(hav, t), pa.bool_()))
+
+            agg_ds = agg_ds.map_batches(hfilter, batch_format="pyarrow")
 
         # post-projection over the aggregated table
         rewritten = []
         for idx, (e, alias) in enumerate(items):
-            def sub(n, _nodes=agg_nodes):
-                if n[0] == "agg":
-                    return ("col", f"__agg{_nodes.index(n)}")
-                return n
-
             re_e = _transform(_resolve_skip_aggs(e, _resolve), sub)
             rewritten.append((re_e, _out_name(e, alias, idx)))
 
@@ -842,9 +967,35 @@ def sql_query(sql: str, tables: dict, num_partitions: int = 16):
     from . import relational as R
 
     plan = parse_select(sql)
+    if "union_all" in plan:
+        branches = plan["union_all"]
+        last = branches[-1]
+        order, limit = last["order"], last["limit"]
+        last = dict(last, order=[], limit=None)
+        parts = [
+            _exec_plan(b, tables, num_partitions)
+            for b in branches[:-1] + [last]
+        ]
+        out = parts[0].union(*parts[1:])
+        if order:
+            keys = [c for c, _ in order]
+            desc = [d for _, d in order]
+            if limit is not None:
+                return R.order_by_limit(out, keys, descending=desc,
+                                        limit=limit)
+            return out.sort(keys, descending=desc)
+        if limit is not None:
+            return out.limit(limit)
+        return out
+    return _exec_plan(plan, tables, num_partitions)
+
+
+def _exec_plan(plan: dict, tables: dict, num_partitions: int = 16):
+    from . import relational as R
+
     where, items = plan["where"], plan["items"]
 
-    if plan["joins"] or plan["group"] or (
+    if plan["joins"] or plan["group"] or plan["having"] is not None or (
         items is not None and any(_has_agg(e) for e, _ in items)
     ):
         return _run_join_agg(plan, tables, num_partitions)

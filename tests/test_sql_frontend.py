@@ -166,3 +166,60 @@ def test_join_rejects_non_equi(ray_session):
 def test_agg_in_where_rejected(ray_session):
     with pytest.raises(ValueError):
         _run2("SELECT k FROM l WHERE SUM(v) > 3 GROUP BY k")
+
+
+def _dup_table():
+    return pa.table(
+        {
+            "g": pa.array(["x", "x", "x", "y", "y", "z"], pa.string()),
+            "u": pa.array([1, 1, 2, 3, 3, None], pa.int64()),
+            "v": pa.array([5.0, 6.0, 7.0, 8.0, 9.0, 1.0], pa.float64()),
+        }
+    )
+
+
+def test_having(ray_session):
+    df = _run(
+        "SELECT g, COUNT(*) AS n FROM t GROUP BY g HAVING COUNT(*) > 1 "
+        "ORDER BY g",
+        _dup_table(),
+    ).reset_index(drop=True)
+    assert list(df.g) == ["x", "y"]
+    assert list(df.n) == [3, 2]
+
+
+def test_count_distinct_grouped(ray_session):
+    df = _run(
+        "SELECT g, COUNT(DISTINCT u) AS nu, COUNT(*) AS n FROM t "
+        "GROUP BY g ORDER BY g",
+        _dup_table(),
+    ).reset_index(drop=True)
+    # z's only u is NULL -> COUNT(DISTINCT) = 0
+    assert list(df.g) == ["x", "y", "z"]
+    assert list(df.nu) == [2, 1, 0]
+    assert list(df.n) == [3, 2, 1]
+
+
+def test_count_distinct_keyless(ray_session):
+    df = _run("SELECT COUNT(DISTINCT u) AS nu FROM t", _dup_table())
+    assert list(df.nu) == [3]
+
+
+def test_union_all_with_trailing_order(ray_session):
+    df = _run(
+        "SELECT a AS k FROM t WHERE a <= 2 UNION ALL "
+        "SELECT a AS k FROM t WHERE a >= 4 ORDER BY k DESC LIMIT 3"
+    )
+    assert list(df.k) == [5, 4, 2]
+
+
+def test_union_all_rejects_inner_order(ray_session):
+    with pytest.raises(ValueError):
+        parse_select(
+            "SELECT a FROM t ORDER BY a UNION ALL SELECT a FROM t"
+        )
+
+
+def test_distinct_agg_non_count_rejected(ray_session):
+    with pytest.raises(ValueError):
+        _run("SELECT SUM(DISTINCT a) AS s FROM t")
