@@ -150,14 +150,19 @@ class AudioFeatures:
 
 class VideoFrameSample:
     """Actor-pool stage: sample every k-th frame of each clip and emit
-    one IMAGE-convention row per sampled frame (band checksum column
-    here; swap the checksum for raw bytes to feed the image pipeline)."""
+    one IMAGE-convention row per sampled frame.  ``emit="cs"`` carries
+    a band checksum; ``emit="phash"`` carries the frame's perceptual
+    hash in the ``cs`` column, making the output directly consumable by
+    stages.dedup.phash_neardup_pairs (frame-level dedup ACROSS clips —
+    media_id/frame_idx become the image_id)."""
 
-    def __init__(self, every: int = 4):
-        from ..functions import checksum
+    def __init__(self, every: int = 4, emit: str = "cs"):
+        from ..functions import checksum, phash
 
         self.every = every
+        self.emit = emit
         self.cs_band = checksum.checksum_band
+        self.phash64 = phash.phash64
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t.column("media_id").to_pylist()
@@ -179,10 +184,14 @@ class VideoFrameSample:
                 mid_o.append(mid)
                 fi_o.append(fi)
                 nf_o.append(n)
-                cs_o.append(
-                    int(sum(self.cs_band(frames[fi, :, :, b])
-                            for b in range(3)))
-                )
+                if self.emit == "phash":
+                    h = int(self.phash64(frames[fi]))
+                    cs_o.append(h - (1 << 64) if h >= (1 << 63) else h)
+                else:
+                    cs_o.append(
+                        int(sum(self.cs_band(frames[fi, :, :, b])
+                                for b in range(3)))
+                    )
                 st_o.append("ok")
         return pa.table(
             {
@@ -206,13 +215,39 @@ def audio_features(clips, win: int = 512, hop: int = 256,
     )
 
 
-def video_frame_sample(clips, every: int = 4, concurrency=(1, 8)):
+def video_frame_sample(clips, every: int = 4, emit: str = "cs",
+                       concurrency=(1, 8)):
     return clips.map_batches(
         VideoFrameSample,
-        fn_constructor_kwargs=dict(every=every),
+        fn_constructor_kwargs=dict(every=every, emit=emit),
         batch_format="pyarrow",
         batch_size=16,
         concurrency=concurrency,
+    )
+
+
+def video_frame_neardup_pairs(clips, every: int = 4, max_hamming: int = 6):
+    """End-to-end frame-level near-dup across video clips: sample
+    frames -> per-frame phash -> the banded phash near-dup shuffle.
+    Returns (id_a, id_b, hamming) over 'media_id/f<idx>' frame ids."""
+    import pyarrow.compute as pc
+
+    from .dedup import phash_neardup_pairs
+
+    frames = video_frame_sample(clips, every=every, emit="phash")
+
+    def as_images(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("status"), pa.scalar("ok")))
+        fid = pc.binary_join_element_wise(
+            t.column("media_id"),
+            pc.cast(t.column("frame_idx"), pa.string()),
+            "/f",
+        )
+        return pa.table({"image_id": fid, "phash": t.column("cs")})
+
+    return phash_neardup_pairs(
+        frames.map_batches(as_images, batch_format="pyarrow"),
+        max_hamming=max_hamming,
     )
 
 

@@ -79,3 +79,31 @@ def test_video_frame_sample_stage(ray_session):
 
     cs0 = int(sum(checksum.checksum_band(frames[0, :, :, b]) for b in range(3)))
     assert int(out[out.frame_idx == 0].cs.iloc[0]) == cs0
+
+
+def test_video_frame_neardup_across_clips(ray_session):
+    """Round-4 integration: sampled frames feed the phash near-dup
+    shuffle; two clips sharing identical frame content produce
+    cross-clip pairs at hamming 0."""
+    import ray.data as rd
+
+    blob, _ = M.synth_video_clip(1)
+    # clip v2 = the same payload under a different media_id
+    ds = rd.from_items(
+        [
+            {"media_id": "vA", "bytes": blob, "codec": "rawv"},
+            {"media_id": "vB", "bytes": blob, "codec": "rawv"},
+        ]
+    )
+    pairs = M.video_frame_neardup_pairs(ds, every=4, max_hamming=0).to_pandas()
+    # every sampled frame of vA matches the same frame of vB
+    n = 8 + (1 * 11) % 25
+    n_sampled = len(range(0, n, 4))
+    cross = pairs[
+        pairs.id_a.str.startswith("vA") != pairs.id_b.str.startswith("vA")
+    ]
+    same_frame = cross[
+        cross.id_a.str.split("/f").str[1] == cross.id_b.str.split("/f").str[1]
+    ]
+    assert len(same_frame) == n_sampled
+    assert (pairs.hamming == 0).all()
