@@ -2082,9 +2082,58 @@ ORDER BY a.fid_a, b.fid_b
 def q04_distinct_union(sf_dir: str):
     """DISTINCT + UNION-ALL-of-layers in one suite (tag column
     ``kind``): 'distinct' rows from the SELECT DISTINCT operator,
-    'union_agg' rows from the two-layer union + grouped count."""
+    'union_agg' rows from the two-layer union + grouped count, and
+    'concat_*' rows from the schema-UNIFYING layer concat
+    (gdalalg_vector_concat field-union mode: two layers with different
+    field sets, missing fields null-filled; per-status row and
+    non-null counts prove the alignment)."""
     d = q04_distinct(sf_dir)
     u = q05_union_concat(sf_dir)
+
+    o = _read(
+        sf_dir, "orders",
+        columns=["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+    lo = R.filter_expr(
+        o, pc.field("o_totalprice") < 50000.0
+    ).drop_columns(["o_orderpriority"])
+    hi = R.filter_expr(
+        o, pc.field("o_totalprice") > 250000.0
+    ).drop_columns(["o_totalprice"])
+    cat = R.concat_layers([lo, hi])
+
+    def valid_ints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "vp": pc.cast(pc.is_valid(t.column("o_totalprice")),
+                              pa.int64()),
+                "vr": pc.cast(pc.is_valid(t.column("o_orderpriority")),
+                              pa.int64()),
+            }
+        )
+
+    cagg = R.grouped_aggregate(
+        cat.map_batches(valid_ints, batch_format="pyarrow"),
+        ["o_orderstatus"],
+        [("*", "count", "n_all"), ("vp", "sum", "n_price"),
+         ("vr", "sum", "n_prio")],
+    )
+
+    def tag_c(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        parts = []
+        for kind, col in (("concat_n", "n_all"), ("concat_price", "n_price"),
+                          ("concat_prio", "n_prio")):
+            parts.append(pa.table(
+                {
+                    "kind": pa.array([kind] * n, pa.string()),
+                    "a": t.column("o_orderstatus"),
+                    "b": pa.array([""] * n, pa.string()),
+                    "n": pc.cast(t.column(col), pa.int64()),
+                }
+            ))
+        return pa.concat_tables(parts)
 
     def tag_d(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -2111,11 +2160,21 @@ def q04_distinct_union(sf_dir: str):
     return (
         d.map_batches(tag_d, batch_format="pyarrow")
         .union(u.map_batches(tag_u, batch_format="pyarrow"))
+        .union(cagg.map_batches(tag_c, batch_format="pyarrow"))
         .sort(["kind", "a", "b"])
     )
 
 
 _Q04U_SQL = f"""
+WITH concat_sub AS (
+  SELECT o_orderstatus, o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM orders WHERE o_totalprice < 50000.0
+  UNION ALL
+  SELECT o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_totalprice > 250000.0
+)
 SELECT * FROM (
   SELECT 'distinct' AS kind, l_returnflag AS a, l_linestatus AS b,
          CAST(-1 AS BIGINT) AS n
@@ -2123,6 +2182,15 @@ SELECT * FROM (
   UNION ALL
   SELECT 'union_agg' AS kind, o_orderstatus AS a, '' AS b, n
   FROM ({_Q05_SQL.strip()})
+  UNION ALL
+  SELECT 'concat_n' AS kind, o_orderstatus AS a, '' AS b,
+         COUNT(*) AS n FROM concat_sub GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 'concat_price' AS kind, o_orderstatus AS a, '' AS b,
+         COUNT(o_totalprice) AS n FROM concat_sub GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 'concat_prio' AS kind, o_orderstatus AS a, '' AS b,
+         COUNT(o_orderpriority) AS n FROM concat_sub GROUP BY o_orderstatus
 ) ORDER BY kind, a, b
 """
 

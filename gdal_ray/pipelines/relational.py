@@ -361,3 +361,39 @@ def _dataset_to_table(ds) -> pa.Table:
     if not batches:
         return pa.table({})
     return pa.concat_tables(batches)
+
+
+def concat_layers(dss):
+    """Schema-unifying layer concat (apps/gdalalg_vector_concat.cpp
+    field-unioning mode / OGRUnionLayer): the output schema is the
+    ordered union of input columns; a layer's missing columns are
+    null-filled with the owning layer's declared type.  Pure
+    batch-level map + union — no shuffle."""
+    schemas = [list(zip(d.schema().names, d.schema().types)) for d in dss]
+    out_cols: list[tuple] = []
+    seen: set = set()
+    for sch in schemas:
+        for c, ty in sch:
+            if c not in seen:
+                seen.add(c)
+                out_cols.append((c, ty))
+
+    def align(present: frozenset):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    c: (t.column(c) if c in present
+                        else pa.nulls(t.num_rows, ty))
+                    for c, ty in out_cols
+                }
+            )
+
+        fn.__name__ = "concat_align"
+        return fn
+
+    parts = [
+        d.map_batches(align(frozenset(c for c, _ in sch)),
+                      batch_format="pyarrow")
+        for d, sch in zip(dss, schemas)
+    ]
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
