@@ -209,3 +209,55 @@ def test_rpc_inverse_hits_threshold(i):
     assert ok.all()
     bp, bl = m.forward(lon, lat)
     assert max(np.abs(bp - px).max(), np.abs(bl - ln).max()) < 0.1
+
+
+def test_coverage_vw_properties():
+    """simplify-coverage invariants across tolerances: (1) with the
+    boundary preserved, the summed part area is EXACTLY conserved at
+    every tolerance (shared arcs simplify identically on both sides);
+    (2) vertex counts are monotonically non-increasing in tolerance."""
+    import numpy as np
+
+    from gdal_ray.stages.coverage import (
+        _ring_area2,
+        coverage_fixture_quad,
+        simplify_ring_in_coverage,
+    )
+
+    G = 5
+    quads = {}
+    for k in range(G * G):
+        i, j = k % G, k // G
+        quads[k] = np.array(coverage_fixture_quad(i, j, G), dtype=np.int64)
+    use: dict = {}
+    for f, q in quads.items():
+        n = len(q)
+        for s in range(n):
+            a, b = tuple(q[s]), tuple(q[(s + 1) % n])
+            use.setdefault((min(a, b), max(a, b)), []).append(f)
+    nbrs = {}
+    for f, q in quads.items():
+        n = len(q)
+        arr = np.full(n, -1, np.int64)
+        for s in range(n):
+            a, b = tuple(q[s]), tuple(q[(s + 1) % n])
+            us = use[(min(a, b), max(a, b))]
+            if len(us) == 2:
+                arr[s] = us[0] + us[1] - f
+        nbrs[f] = arr
+
+    base_total = sum(int(_ring_area2(q)) for q in quads.values())
+    prev_verts = None
+    for tol in (0.0, 500.0, 1500.0, 3000.0, 8000.0, 50000.0):
+        total = 0
+        verts = 0
+        for f, q in quads.items():
+            keep = simplify_ring_in_coverage(
+                q, nbrs[f], tol, preserve_boundary=True
+            )
+            total += int(_ring_area2(q[keep]))
+            verts += int(keep.sum())
+        assert total == base_total, tol
+        if prev_verts is not None:
+            assert verts <= prev_verts, tol
+        prev_verts = verts
