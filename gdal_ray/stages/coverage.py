@@ -52,6 +52,7 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _seg_key(x0: int, y0: int, x1: int, y1: int) -> int:
@@ -64,6 +65,16 @@ def _seg_key(x0: int, y0: int, x1: int, y1: int) -> int:
     return int.from_bytes(h, "little") >> 1
 
 
+def _exact_xy(pts: np.ndarray):
+    """Coordinate columns for exact cross products: translated int64
+    when the chain's span keeps every product-sum far from 2^63
+    (span < 2^20 -> |cross| < 2^41), else Python big-int objects."""
+    span = int(pts.max()) - int(pts.min()) if len(pts) else 0
+    if span < (1 << 20):
+        return (pts[:, 0] - pts[0, 0], pts[:, 1] - pts[0, 1])
+    return (pts[:, 0].astype(object), pts[:, 1].astype(object))
+
+
 def vw_open(pts: np.ndarray, area2_thresh: int) -> np.ndarray:
     """Visvalingam-Whyatt on an open chain; endpoints fixed.
 
@@ -73,8 +84,7 @@ def vw_open(pts: np.ndarray, area2_thresh: int) -> np.ndarray:
     keep = np.ones(k, dtype=bool)
     if k <= 2:
         return keep
-    x = pts[:, 0].astype(object)  # big-int safe cross products
-    y = pts[:, 1].astype(object)
+    x, y = _exact_xy(pts)
     alive = list(range(k))
     while len(alive) > 2:
         best_i = -1
@@ -97,8 +107,7 @@ def vw_closed(pts: np.ndarray, area2_thresh: int) -> np.ndarray:
     """VW on a closed ring (no fixed endpoints), >= 3 vertices kept."""
     k = len(pts)
     keep = np.ones(k, dtype=bool)
-    x = pts[:, 0].astype(object)
-    y = pts[:, 1].astype(object)
+    x, y = _exact_xy(pts)
     alive = list(range(k))
     while len(alive) > 3:
         best_i = -1
@@ -119,9 +128,11 @@ def vw_closed(pts: np.ndarray, area2_thresh: int) -> np.ndarray:
 
 
 def _ring_area2(pts: np.ndarray) -> int:
-    """Exact doubled shoelace area (int64 lattice, big-int safe)."""
-    x = pts[:, 0].astype(object)
-    y = pts[:, 1].astype(object)
+    """Exact doubled shoelace area (int64 lattice; translated-int64
+    fast path under the _exact_xy span guard, big-int otherwise)."""
+    if len(pts) == 0:
+        return 0
+    x, y = _exact_xy(pts)
     xn = np.roll(x, -1)
     yn = np.roll(y, -1)
     return abs(int(np.sum(x * yn - xn * y)))
@@ -208,29 +219,93 @@ def simplify_coverage(
             }
         )
 
-    def signature_group(g: pa.Table) -> pa.Table:
-        fids = g.column("fid").to_numpy(zero_copy_only=False)
-        idxs = g.column("idx").to_numpy(zero_copy_only=False)
-        nbrs = np.full(len(fids), -1, dtype=np.int64)
-        if len(fids) == 2:
-            nbrs[0], nbrs[1] = fids[1], fids[0]
-        elif len(fids) > 2:
-            raise ValueError(
-                f"segment shared by {len(fids)} rings: not a valid coverage"
-            )
+    # Neighbour signatures WITHOUT per-segment map_groups (hundreds of
+    # thousands of 1-2-row groups = one Python call each; measured 10x
+    # slower than this shape at the 14k-feature scale).  For a valid
+    # coverage every segment is used by 1 or 2 rings, so the neighbour
+    # of a segment copy is sum(fids at skey) - own_fid when the count
+    # is 2: one VECTORIZED hash-aggregate shuffle (Count + Sum per
+    # skey), then a partition-local searchsorted join back onto the
+    # segment stream (union + one groupby over num_partitions hash
+    # parts — a handful of vectorized group calls, not one per key).
+    from ray.data.aggregate import Count, Sum
+
+    num_partitions = 32
+    seg = features.map_batches(emit_segments, batch_format="pyarrow")
+    aggs = seg.groupby("skey").aggregate(
+        Count(alias_name="__c"), Sum("fid", alias_name="__s")
+    )
+
+    def _part(sk: np.ndarray) -> np.ndarray:
+        c = sk.astype(np.uint64)
+        c = (c ^ (c >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        c = c ^ (c >> np.uint64(33))
+        return (c % np.uint64(num_partitions)).astype(np.int64)
+
+    def tag_seg(t: pa.Table) -> pa.Table:
+        sk = t.column("skey").to_numpy(zero_copy_only=False)
+        n = t.num_rows
         return pa.table(
             {
-                "fid": pa.array(fids, pa.int64()),
-                "idx": pa.array(idxs, pa.int64()),
-                "nbr": pa.array(nbrs, pa.int64()),
+                "part": pa.array(_part(sk), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "skey": t.column("skey"),
+                "fid": t.column("fid"),
+                "idx": t.column("idx"),
+                "__c": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "__s": pa.array(np.zeros(n, np.int64), pa.int64()),
             }
         )
 
-    sig = (
-        features.map_batches(emit_segments, batch_format="pyarrow")
-        .groupby("skey")
-        .map_groups(signature_group, batch_format="pyarrow")
+    def tag_agg(t: pa.Table) -> pa.Table:
+        sk = t.column("skey").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        return pa.table(
+            {
+                "part": pa.array(_part(sk), pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "skey": t.column("skey"),
+                "fid": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "idx": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "__c": pc.cast(t.column("__c"), pa.int64()),
+                "__s": pc.cast(t.column("__s"), pa.int64()),
+            }
+        )
+
+    both = seg.map_batches(tag_seg, batch_format="pyarrow").union(
+        aggs.map_batches(tag_agg, batch_format="pyarrow")
     )
+
+    def part_join(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        sk = g.column("skey").to_numpy(zero_copy_only=False)
+        am = side == 1
+        keys = sk[am]
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        cc = g.column("__c").to_numpy(zero_copy_only=False)[am][order]
+        ss = g.column("__s").to_numpy(zero_copy_only=False)[am][order]
+        if (cc > 2).any():
+            bad = int(cc.max())
+            raise ValueError(
+                f"segment shared by {bad} rings: not a valid coverage"
+            )
+        sm = ~am
+        pos = np.searchsorted(keys, sk[sm])
+        fid = g.column("fid").to_numpy(zero_copy_only=False)[sm]
+        nbr = np.where(cc[pos] == 2, ss[pos] - fid, -1)
+        return pa.table(
+            {
+                "fid": pa.array(fid, pa.int64()),
+                "idx": pa.array(
+                    g.column("idx").to_numpy(zero_copy_only=False)[sm],
+                    pa.int64(),
+                ),
+                "nbr": pa.array(nbr, pa.int64()),
+            }
+        )
+
+    sig = both.groupby("part").map_groups(part_join, batch_format="pyarrow")
 
     # bare-row union with the feature rows, one groupby(fid) to join
     def feature_rows(t: pa.Table) -> pa.Table:
@@ -258,49 +333,76 @@ def simplify_coverage(
             }
         )
 
-    unioned = features.map_batches(feature_rows, batch_format="pyarrow").union(
-        sig.map_batches(sig_rows, batch_format="pyarrow")
-    )
-
-    def simplify_group(g: pa.Table) -> pa.Table:
-        idx = g.column("idx").to_numpy(zero_copy_only=False)
-        feat = np.flatnonzero(idx == -1)
-        if len(feat) == 0:  # signature rows only (shouldn't happen)
-            return pa.table(
-                {
-                    "fid": pa.array([], pa.int64()),
-                    "n_in": pa.array([], pa.int64()),
-                    "n_out": pa.array([], pa.int64()),
-                    "area2_in": pa.array([], pa.int64()),
-                    "area2_out": pa.array([], pa.int64()),
-                }
-            )
-        f = int(g.column("fid")[0].as_py())
-        frow = int(feat[0])
-        xr = np.asarray(g.column("xs")[frow].as_py(), np.int64)
-        yr = np.asarray(g.column("ys")[frow].as_py(), np.int64)
-        pts = np.column_stack([xr, yr])
-        n = len(pts)
-        nbr = np.full(n, -1, dtype=np.int64)
-        srow = np.flatnonzero(idx >= 0)
-        si = idx[srow]
-        nbr[si] = g.column("nbr").to_numpy(zero_copy_only=False)[srow]
-        keep = simplify_ring_in_coverage(
-            pts, nbr, tolerance, preserve_boundary
+    # The reassembly groups by a HASH PART of fid, not fid itself —
+    # one vectorized group call per partition instead of one Python
+    # call per feature (same per-key-overhead argument as the
+    # signature join above).
+    def feature_rows_p(t: pa.Table) -> pa.Table:
+        t = feature_rows(t)
+        return t.append_column(
+            "fpart",
+            pa.array(_part(t.column("fid").to_numpy(zero_copy_only=False)),
+                     pa.int64()),
         )
-        out = pts[keep]
+
+    def sig_rows_p(t: pa.Table) -> pa.Table:
+        t = sig_rows(t)
+        return t.append_column(
+            "fpart",
+            pa.array(_part(t.column("fid").to_numpy(zero_copy_only=False)),
+                     pa.int64()),
+        )
+
+    unioned = features.map_batches(
+        feature_rows_p, batch_format="pyarrow"
+    ).union(sig.map_batches(sig_rows_p, batch_format="pyarrow"))
+
+    def simplify_part(g: pa.Table) -> pa.Table:
+        fid_a = g.column("fid").to_numpy(zero_copy_only=False)
+        idx_a = g.column("idx").to_numpy(zero_copy_only=False)
+        nbr_a = g.column("nbr").to_numpy(zero_copy_only=False)
+        order = np.lexsort((idx_a, fid_a))
+        fid_s, idx_s, nbr_s = fid_a[order], idx_a[order], nbr_a[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], fid_s[1:] != fid_s[:-1]])
+        )
+        bounds = list(starts) + [len(fid_s)]
+        xs_col, ys_col = g.column("xs"), g.column("ys")
+        o_f, o_ni, o_no, o_ai, o_ao = [], [], [], [], []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            rows = order[b0:b1]
+            # idx == -1 sorts first within the fid run
+            if idx_s[b0] != -1:
+                continue  # signature rows without a feature row
+            frow = int(rows[0])
+            xr = np.asarray(xs_col[frow].as_py(), np.int64)
+            yr = np.asarray(ys_col[frow].as_py(), np.int64)
+            pts = np.column_stack([xr, yr])
+            n = len(pts)
+            nbr = np.full(n, -1, dtype=np.int64)
+            si = idx_s[b0 + 1 : b1]
+            nbr[si] = nbr_s[b0 + 1 : b1]
+            keep = simplify_ring_in_coverage(
+                pts, nbr, tolerance, preserve_boundary
+            )
+            out = pts[keep]
+            o_f.append(int(fid_s[b0]))
+            o_ni.append(n)
+            o_no.append(int(keep.sum()))
+            o_ai.append(_ring_area2(pts))
+            o_ao.append(_ring_area2(out))
         return pa.table(
             {
-                "fid": pa.array([f], pa.int64()),
-                "n_in": pa.array([n], pa.int64()),
-                "n_out": pa.array([len(out)], pa.int64()),
-                "area2_in": pa.array([_ring_area2(pts)], pa.int64()),
-                "area2_out": pa.array([_ring_area2(out)], pa.int64()),
+                "fid": pa.array(o_f, pa.int64()),
+                "n_in": pa.array(o_ni, pa.int64()),
+                "n_out": pa.array(o_no, pa.int64()),
+                "area2_in": pa.array(o_ai, pa.int64()),
+                "area2_out": pa.array(o_ao, pa.int64()),
             }
         )
 
-    return unioned.groupby("fid").map_groups(
-        simplify_group, batch_format="pyarrow"
+    return unioned.groupby("fpart").map_groups(
+        simplify_part, batch_format="pyarrow"
     )
 
 
