@@ -837,28 +837,55 @@ def q47_session_window(sf_dir: str):
 
     ev = _read(sf_dir, "events", columns=["ts", "user_id", "event_id"])
     GAP_US = 30 * 60 * 1_000_000
+    P = 32
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        u = u ^ (u >> np.uint64(33))
+        return t.append_column(
+            "__spart", pa.array((u % np.uint64(P)).astype(np.int64), pa.int64())
+        )
+
+    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized call per hash partition (NOT one per user):
+        # sort by (user, ts, event_id), split sessions at user changes
+        # or >30-min gaps, then per-user reductions via reduceat
+        g = g.sort_values(["user_id", "ts", "event_id"])
         # robust to pandas 2 unit-preserving dtypes (datetime64[us] vs [ns])
-        us = pd.Series(g["ts"].values.astype("datetime64[us]").astype(np.int64),
-                       index=g.index)
-        new_sess = (us.diff().fillna(GAP_US + 1) > GAP_US).astype(np.int64)
-        sess_id = new_sess.cumsum()
-        spans = us.groupby(sess_id.values).agg(["min", "max"])
-        total_span = int((spans["max"] - spans["min"]).sum() // 1_000_000)
+        us = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].values.astype(np.int64)
+        n = len(uid)
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate([[GAP_US + 1], np.diff(us)])
+        new_sess = new_user | (gap > GAP_US)
+        s_start = np.flatnonzero(new_sess)
+        s_end = np.append(s_start[1:], n)
+        span_us = us[s_end - 1] - us[s_start]
+        s_user = uid[s_start]  # non-decreasing
+        u_start = np.flatnonzero(new_user)
+        users = uid[u_start]
+        n_events = np.diff(np.append(u_start, n))
+        first_sess = np.searchsorted(s_user, users)
+        n_sessions = np.diff(np.append(first_sess, len(s_user)))
+        span_s = (
+            np.add.reduceat(span_us, first_sess) // 1_000_000
+            if len(s_user)
+            else np.array([], np.int64)
+        )
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": [int(sess_id.iloc[-1])],
-                "n_events": [len(g)],
-                "span_s": [total_span],
+                "user_id": users,
+                "n_sessions": n_sessions.astype(np.int64),
+                "n_events": n_events.astype(np.int64),
+                "span_s": span_s.astype(np.int64),
             }
         )
 
     return (
-        ev.groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        ev.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__spart")
+        .map_groups(sessions_part, batch_format="pandas")
         .sort("user_id")
     )
 

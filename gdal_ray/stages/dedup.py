@@ -101,18 +101,39 @@ def add_content_hash(text_col: str = "text", out_col: str = "chash"):
     return fn
 
 
-def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id"):
-    """Keep the min-id row per identical content (hash-partition + per-
-    group first; ray_guide 'Exact dedup' pattern)."""
+def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int = 64):
+    """Keep the min-id row per identical content.
+
+    Scale shape: groupby a HASH PART of the content hash (one
+    vectorized group call per partition), then a lexsort first-per-key
+    inside the partition — NOT groupby(chash).map_groups, which costs
+    one Python+pandas call per distinct document (at corpus scale that
+    is one call per surviving row)."""
     hashed = ds.map_batches(add_content_hash(content_col), batch_format="pyarrow")
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def add_part(t: pa.Table) -> pa.Table:
+        ch = t.column("chash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ch = (ch ^ (ch >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        ch = ch ^ (ch >> np.uint64(33))
+        return t.append_column(
+            "__dpart",
+            pa.array((ch % np.uint64(num_partitions)).astype(np.int64),
+                     pa.int64()),
+        )
+
+    def part_first(g: pa.Table) -> pa.Table:
+        ch = g.column("chash").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ch))  # by content hash, then id
+        first = np.concatenate([[True], ch[order][1:] != ch[order][:-1]])
+        return g.take(pa.array(order[first], pa.int64()))
 
     return (
-        hashed.groupby("chash")
-        .map_groups(first_per_group, batch_format="pandas")
-        .drop_columns(["chash"])
+        hashed.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__dpart")
+        .map_groups(part_first, batch_format="pyarrow")
+        .drop_columns(["chash", "__dpart"])
     )
 
 
