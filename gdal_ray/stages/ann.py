@@ -249,48 +249,68 @@ def embedding_neardup_pairs(
         concurrency=2,
     )
 
-    def cand_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series([], dtype=np.int64),
-                "id_b": pd.Series([], dtype=np.int64),
-            }
+    # candidate pairs grouped by a hash PART of (band, bucket) — one
+    # vectorized group call per partition instead of one Python call
+    # per (mostly tiny) bucket
+    n_cand_parts = 64
+
+    def add_bpart(t: pa.Table) -> pa.Table:
+        bk = t.column("bucket").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bd = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = bk * np.uint64(1000003) + bd
+        key = (key ^ (key >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        part = ((key ^ (key >> np.uint64(33)))
+                % np.uint64(n_cand_parts)).astype(np.int64)
+        return t.append_column("__bpart", pa.array(part, pa.int64()))
+
+    def cand_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        band_a = g["band"].to_numpy(np.int64)
+        bk_a = g["bucket"].to_numpy(np.int64)
+        vid_a = g["vec_id"].to_numpy(np.int64)
+        order = np.lexsort((vid_a, bk_a, band_a))
+        bs, ks = band_a[order], bk_a[order]
+        new = np.concatenate(
+            [[True], (bs[1:] != bs[:-1]) | (ks[1:] != ks[:-1])]
         )
-        if len(g) < 2:
-            return empty
-        band = int(g["band"].iloc[0])
-        g = g.sort_values("vec_id")
-        if len(g) > max_bucket:
-            g = g.head(max_bucket)
-        ids = g["vec_id"].to_numpy(np.int64)
-        sig = np.frombuffer(b"".join(g["sig"]), dtype="<i4").reshape(len(g), B)
-        n = len(ids)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(order))
+        sig_all = g["sig"].to_numpy()
         out_a, out_b = [], []
-        chunk = max(1, 4_000_000 // max(n, 1))
-        for lo in range(0, n, chunk):
-            hi = min(n, lo + chunk)
-            # first-shared-band dedup: keep (i, j) only when no earlier
-            # band already bucketed them together
-            if band > 0:
-                earlier = (
-                    sig[lo:hi, None, :band] == sig[None, :, :band]
-                ).any(axis=2)
-            else:
-                earlier = np.zeros((hi - lo, n), dtype=bool)
-            ri, ci = np.nonzero(~earlier)
-            keep = (ri + lo) < ci
-            out_a.append(ids[ri[keep] + lo])
-            out_b.append(ids[ci[keep]])
+        for b0, b1 in zip(starts, ends):
+            if b1 - b0 < 2:
+                continue
+            rows = order[b0:b1][: max_bucket]  # vec_id-sorted in run
+            band = int(bs[b0])
+            ids = vid_a[rows]
+            sig = np.frombuffer(
+                b"".join(sig_all[rows]), dtype="<i4"
+            ).reshape(len(rows), B)
+            n = len(ids)
+            chunk = max(1, 4_000_000 // max(n, 1))
+            for lo in range(0, n, chunk):
+                hi = min(n, lo + chunk)
+                # first-shared-band dedup: keep (i, j) only when no
+                # earlier band already bucketed them together
+                if band > 0:
+                    earlier = (
+                        sig[lo:hi, None, :band] == sig[None, :, :band]
+                    ).any(axis=2)
+                else:
+                    earlier = np.zeros((hi - lo, n), dtype=bool)
+                ri, ci = np.nonzero(~earlier)
+                keep = (ri + lo) < ci
+                out_a.append(ids[ri[keep] + lo])
+                out_b.append(ids[ci[keep]])
         a = np.concatenate(out_a) if out_a else np.array([], np.int64)
-        if not len(a):
-            return empty
+        b = np.concatenate(out_b) if out_b else np.array([], np.int64)
         return pd.DataFrame(
-            {"id_a": a.astype(np.int64),
-             "id_b": np.concatenate(out_b).astype(np.int64)}
+            {"id_a": a.astype(np.int64), "id_b": b.astype(np.int64)}
         )
 
-    cands = exploded.groupby(["band", "bucket"]).map_groups(
-        cand_pairs, batch_format="pandas"
+    cands = (
+        exploded.map_batches(add_bpart, batch_format="pyarrow")
+        .groupby("__bpart")
+        .map_groups(cand_pairs_part, batch_format="pandas")
     )
 
     n_cand = cands.count()

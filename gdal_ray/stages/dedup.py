@@ -282,28 +282,60 @@ def minhash_lsh_pairs(
         explode_bands, batch_format="pyarrow"
     )
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        n = g.num_rows
-        if n < 2:
+    # candidate pairs per bucket, grouped by a hash PART of the bucket
+    # key (buckets are mostly singletons; one Python call per bucket
+    # would dominate at corpus scale — same lesson as _banded_hash_pairs)
+    n_cand_parts = 64
+
+    def add_bpart(t: pa.Table) -> pa.Table:
+        bh = t.column("bh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bd = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = bh * np.uint64(1000003) + bd
+        key = (key ^ (key >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        part = ((key ^ (key >> np.uint64(33)))
+                % np.uint64(n_cand_parts)).astype(np.int64)
+        return t.append_column("__bpart", pa.array(part, pa.int64()))
+
+    def bucket_pairs_part(g: pa.Table) -> pa.Table:
+        band_a = g.column("band").to_numpy(zero_copy_only=False)
+        bh_a = g.column("bh").to_numpy(zero_copy_only=False)
+        ids_a = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids_a, bh_a, band_a))
+        bs, ks, ids_s = band_a[order], bh_a[order], ids_a[order]
+        new = np.concatenate(
+            [[True], (bs[1:] != bs[:-1]) | (ks[1:] != ks[:-1])]
+        )
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(order))
+        acc_a: list = []
+        acc_b: list = []
+        for b0, b1 in zip(starts, ends):
+            if b1 - b0 < 2:
+                continue
+            ids = ids_s[b0:b1]  # already id-sorted within the bucket
+            if len(ids) > max_bucket:
+                ids = ids[:max_bucket]
+            iu, ju = np.triu_indices(len(ids), 1)
+            acc_a.append(ids[iu])
+            acc_b.append(ids[ju])
+        if not acc_a:
             return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64())}
             )
-        ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
-        if len(ids) > max_bucket:
-            ids = ids[:max_bucket]
-        iu, ju = np.triu_indices(len(ids), 1)
         return pa.table(
             {
-                "doc_a": pa.array(ids[iu], pa.int64()),
-                "doc_b": pa.array(ids[ju], pa.int64()),
+                "doc_a": pa.array(np.concatenate(acc_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(acc_b), pa.int64()),
             }
         )
 
     from ray.data.aggregate import Count
 
     cand = (
-        exploded.groupby(["band", "bh"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        exploded.map_batches(add_bpart, batch_format="pyarrow")
+        .groupby("__bpart")
+        .map_groups(bucket_pairs_part, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="__n"))
         .drop_columns(["__n"])
@@ -423,80 +455,98 @@ def _banded_hash_pairs(
     max_hamming: int, bands: int, max_bucket: int, id_is_string: bool,
 ):
     """Shared scale path for 64-bit-hash near-dup (simhash / phash):
-    explode to (id, hash, band, band-hash) -> groupby bucket ->
-    VECTORIZED all-pairs Hamming within the bucket (matrix xor +
-    popcount, no python pair loop), first-shared-band dedup, buckets
+    explode to (id, hash, band, band-hash) -> ONE groupby on a hash
+    PART of the bucket key (buckets are mostly singletons, so grouping
+    by the bucket itself would cost one Python call per bucket) ->
+    per-partition bucket runs, each verified with VECTORIZED all-pairs
+    Hamming (matrix xor + popcount), first-shared-band dedup, buckets
     capped at ``max_bucket`` smallest ids (bounded degenerate-content
     work)."""
     id_ty = pa.string() if id_is_string else pa.int64()
+    num_partitions = 64
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column(id_col)
         ph = t.column(hash_col).to_numpy(zero_copy_only=False)
         bnd = phash_bands(ph, n_bands=bands)
         rep = pa.concat_arrays([ids.combine_chunks()] * bands)
+        bh = np.concatenate([bnd[:, b] for b in range(bands)])
+        band_a = np.repeat(np.arange(bands, dtype=np.int32), len(ph))
+        key = bh.astype(np.uint64) * np.uint64(1000003) + band_a.astype(
+            np.uint64
+        )
+        key = (key ^ (key >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        part = ((key ^ (key >> np.uint64(33)))
+                % np.uint64(num_partitions)).astype(np.int64)
         return pa.table(
             {
                 "id": rep.cast(id_ty),
                 "hash": pa.array(np.tile(ph, bands), pa.int64()),
-                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), len(ph))),
-                "bh": pa.array(
-                    np.concatenate([bnd[:, b] for b in range(bands)]), pa.int64()
-                ),
+                "band": pa.array(band_a),
+                "bh": pa.array(bh, pa.int64()),
+                "__bpart": pa.array(part, pa.int64()),
             }
         )
 
-    def pairs(g: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                out_a: pa.array([], id_ty),
-                out_b: pa.array([], id_ty),
-                "hamming": pa.array([], pa.int64()),
-            }
+    def pairs_part(g: pa.Table) -> pa.Table:
+        band_a = g.column("band").to_numpy(zero_copy_only=False)
+        bh_a = g.column("bh").to_numpy(zero_copy_only=False)
+        order = np.lexsort((bh_a, band_a))
+        bs, hs_k = band_a[order], bh_a[order]
+        new = np.concatenate(
+            [[True], (bs[1:] != bs[:-1]) | (hs_k[1:] != hs_k[:-1])]
         )
-        if g.num_rows < 2:
-            return empty
-        ids = np.asarray(g.column("id").to_pylist(), dtype=object)
-        hs = g.column("hash").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="mergesort")
-        ids, hs = ids[order], hs[order]
-        if len(ids) > max_bucket:
-            ids, hs = ids[:max_bucket], hs[:max_bucket]
-        band = int(g.column("band")[0].as_py())
-        u = hs.astype(np.int64).astype(np.uint64)
-        hd = _popcount64_vec(u[:, None] ^ u[None, :]).astype(np.int64)
-        iu, ju = np.triu_indices(len(ids), 1)
-        hit = hd[iu, ju] <= max_hamming
-        iu, ju = iu[hit], ju[hit]
-        if len(iu) == 0:
-            return empty
-        same_id = ids[iu] == ids[ju]
-        iu, ju = iu[~same_id], ju[~same_id]
-        if len(iu) == 0:
-            return empty
-        # first-shared-band dedup, vectorized over the surviving pairs
-        bnds_all = phash_bands(hs, n_bands=bands)
-        eq = bnds_all[iu] == bnds_all[ju]  # (P, bands)
-        has = eq.any(axis=1)
-        first = eq.argmax(axis=1)
-        keep = has & (first == band)
-        iu, ju = iu[keep], ju[keep]
-        if len(iu) == 0:
-            return empty
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(order))
+        ids_all = np.asarray(g.column("id").to_pylist(), dtype=object)
+        hs_all = g.column("hash").to_numpy(zero_copy_only=False)
+        acc_a: list = []
+        acc_b: list = []
+        acc_h: list = []
+        for b0, b1 in zip(starts, ends):
+            if b1 - b0 < 2:
+                continue
+            rows = order[b0:b1]
+            ids = ids_all[rows]
+            hs = hs_all[rows]
+            o = np.argsort(ids, kind="mergesort")
+            ids, hs = ids[o], hs[o]
+            if len(ids) > max_bucket:
+                ids, hs = ids[:max_bucket], hs[:max_bucket]
+            band = int(bs[b0])
+            u = hs.astype(np.int64).astype(np.uint64)
+            hd = _popcount64_vec(u[:, None] ^ u[None, :]).astype(np.int64)
+            iu, ju = np.triu_indices(len(ids), 1)
+            hit = hd[iu, ju] <= max_hamming
+            iu, ju = iu[hit], ju[hit]
+            if len(iu) == 0:
+                continue
+            same_id = ids[iu] == ids[ju]
+            iu, ju = iu[~same_id], ju[~same_id]
+            if len(iu) == 0:
+                continue
+            # first-shared-band dedup, vectorized over surviving pairs
+            bnds_all = phash_bands(hs, n_bands=bands)
+            eq = bnds_all[iu] == bnds_all[ju]  # (P, bands)
+            keep = eq.any(axis=1) & (eq.argmax(axis=1) == band)
+            iu, ju = iu[keep], ju[keep]
+            if len(iu) == 0:
+                continue
+            acc_a.extend(ids[iu])
+            acc_b.extend(ids[ju])
+            acc_h.extend(hd[iu, ju].tolist())
         return pa.table(
             {
-                out_a: pa.array(list(ids[iu]), id_ty),
-                out_b: pa.array(list(ids[ju]), id_ty),
-                "hamming": pa.array(
-                    hd[iu, ju].astype(np.int64), pa.int64()
-                ),
+                out_a: pa.array(acc_a, id_ty),
+                out_b: pa.array(acc_b, id_ty),
+                "hamming": pa.array(acc_h, pa.int64()),
             }
         )
 
     return (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "bh"])
-        .map_groups(pairs, batch_format="pyarrow")
+        .groupby("__bpart")
+        .map_groups(pairs_part, batch_format="pyarrow")
     )
 
 
