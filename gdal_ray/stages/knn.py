@@ -77,6 +77,86 @@ def knn_broadcast(points, sites_table: pa.Table, k: int = 5, site_chunk: int = 6
     return points.map_batches(fn, batch_format="pyarrow")
 
 
+def _topk_by_pid(pairs, k: int, zoom: int, cell_size: float, r: int,
+                 world_edges: bool, full: bool, num_partitions: int):
+    """Per-probe (d2, sid)-ordered top-k with the ring-lower-bound
+    resolution flag, grouped by a hash PART of pid — one vectorized
+    group call per partition instead of one Python call per probe.
+
+    Resolution semantics preserved exactly: resolved iff the run has
+    >= k candidates and the kth distance is STRICTLY inside the
+    (2r+1)x(2r+1) block edge distance; with ``world_edges`` a block
+    side at the world boundary contributes +inf (no cells beyond it);
+    ``full`` short-circuits every run to resolved."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        p = t.column("pid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (p ^ (p >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        p = p ^ (p >> np.uint64(33))
+        return t.append_column(
+            "__ppart",
+            pa.array((p % np.uint64(num_partitions)).astype(np.int64),
+                     pa.int64()),
+        )
+
+    n_grid = 1 << zoom
+
+    def topk_part(g: pa.Table) -> pa.Table:
+        px = g.column("x").to_numpy(zero_copy_only=False)
+        py = g.column("y").to_numpy(zero_copy_only=False)
+        sx = g.column("x_s").to_numpy(zero_copy_only=False)
+        sy = g.column("y_s").to_numpy(zero_copy_only=False)
+        sid = g.column("sid").to_numpy(zero_copy_only=False)
+        pid = g.column("pid").to_numpy(zero_copy_only=False)
+        d2 = (px - sx) ** 2 + (py - sy) ** 2
+        order = np.lexsort((sid, d2, pid))
+        pid_s, d2_s, sid_s = pid[order], d2[order], sid[order]
+        n = len(order)
+        new = np.concatenate([[True], pid_s[1:] != pid_s[:-1]])
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, n))
+        rank = np.arange(n) - np.repeat(starts, run_len)
+        keep = rank < k
+        # per-run ring lower bound from the probe coordinates
+        px0 = px[order][starts]
+        py0 = py[order][starts]
+        tx, ty = mercator.meters_to_tile(px0, py0, zoom)
+        bminx = (tx - r).astype(np.float64) * cell_size - mercator.ORIGIN_SHIFT
+        bminy = (ty - r).astype(np.float64) * cell_size - mercator.ORIGIN_SHIFT
+        bmaxx = bminx + (2 * r + 1) * cell_size
+        bmaxy = bminy + (2 * r + 1) * cell_size
+        s1, s2 = px0 - bminx, bmaxx - px0
+        s3, s4 = py0 - bminy, bmaxy - py0
+        if world_edges:
+            s1 = np.where(tx - r > 0, s1, np.inf)
+            s2 = np.where(tx + r < n_grid - 1, s2, np.inf)
+            s3 = np.where(ty - r > 0, s3, np.inf)
+            s4 = np.where(ty + r < n_grid - 1, s4, np.inf)
+        edge = np.minimum(np.minimum(s1, s2), np.minimum(s3, s4))
+        kth = starts + np.minimum(run_len, k) - 1
+        # strict <: a site just outside the block at exactly the kth
+        # distance could win the (d2, sid) tie-break
+        res_run = (run_len >= k) & (d2_s[kth] < edge * edge)
+        if full:
+            res_run = np.ones(len(starts), dtype=bool)
+        resolved = np.repeat(res_run, run_len)[keep]
+        return pa.table(
+            {
+                "pid": pa.array(pid_s[keep], pa.int64()),
+                "sid": pa.array(sid_s[keep], pa.int64()),
+                "rank": pa.array((rank[keep] + 1).astype(np.int32)),
+                "d2": pa.array(d2_s[keep], pa.float64()),
+                "resolved": pa.array(resolved, pa.bool_()),
+            }
+        )
+
+    return (
+        pairs.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__ppart")
+        .map_groups(topk_part, batch_format="pyarrow")
+    )
+
+
 def knn_cell_ring(
     points,
     sites,
@@ -120,37 +200,10 @@ def knn_cell_ring(
 
     cell_size = 2.0 * mercator.ORIGIN_SHIFT / (1 << zoom)
 
-    def topk_group(g: pa.Table) -> pa.Table:
-        px = g.column("x").to_numpy(zero_copy_only=False)
-        py = g.column("y").to_numpy(zero_copy_only=False)
-        sx = g.column("x_s").to_numpy(zero_copy_only=False)
-        sy = g.column("y_s").to_numpy(zero_copy_only=False)
-        sid = g.column("sid").to_numpy(zero_copy_only=False)
-        pid = int(g.column("pid")[0].as_py())
-        d2 = (px - sx) ** 2 + (py - sy) ** 2
-        order = np.lexsort((sid, d2))[:k]
-        # ring lower bound: distance from probe to edge of its 3x3 block
-        tx, ty = mercator.meters_to_tile(px[:1], py[:1], zoom)
-        bminx = float(tx[0] - 1) * cell_size - mercator.ORIGIN_SHIFT
-        bminy = float(ty[0] - 1) * cell_size - mercator.ORIGIN_SHIFT
-        bmaxx = bminx + 3 * cell_size
-        bmaxy = bminy + 3 * cell_size
-        edge = min(px[0] - bminx, bmaxx - px[0], py[0] - bminy, bmaxy - py[0])
-        # strict <: a site just outside the 3x3 block at exactly the kth
-        # distance could win the (d2, sid) tie-break — fall back to the
-        # exact pass on boundary ties
-        resolved = len(order) >= k and d2[order[-1]] < edge * edge
-        return pa.table(
-            {
-                "pid": pa.array([pid] * len(order), pa.int64()),
-                "sid": pa.array(sid[order], pa.int64()),
-                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
-                "d2": pa.array(d2[order], pa.float64()),
-                "resolved": pa.array([resolved] * len(order), pa.bool_()),
-            }
-        )
-
-    ring_res = pairs.groupby("pid").map_groups(topk_group, batch_format="pyarrow")
+    ring_res = _topk_by_pid(
+        pairs, k=k, zoom=zoom, cell_size=cell_size, r=1,
+        world_edges=False, full=False, num_partitions=num_partitions,
+    )
     ring_res = ring_res.materialize()
     resolved = ring_res.filter(expr="resolved == True").drop_columns(["resolved"])
 
@@ -263,43 +316,11 @@ def _knn_ring_expand(probes, sites, k: int, zoom: int, num_partitions: int):
             right_suffix="_s",
         )
 
-        def topk_group(g: pa.Table, r=r, full=full) -> pa.Table:
-            px = g.column("x").to_numpy(zero_copy_only=False)
-            py = g.column("y").to_numpy(zero_copy_only=False)
-            sx = g.column("x_s").to_numpy(zero_copy_only=False)
-            sy = g.column("y_s").to_numpy(zero_copy_only=False)
-            sid = g.column("sid").to_numpy(zero_copy_only=False)
-            pid = int(g.column("pid")[0].as_py())
-            d2 = (px - sx) ** 2 + (py - sy) ** 2
-            order = np.lexsort((sid, d2))[:k]
-            tx, ty = mercator.meters_to_tile(px[:1], py[:1], zoom)
-            bminx = float(tx[0] - r) * cell_size - mercator.ORIGIN_SHIFT
-            bminy = float(ty[0] - r) * cell_size - mercator.ORIGIN_SHIFT
-            bmaxx = bminx + (2 * r + 1) * cell_size
-            bmaxy = bminy + (2 * r + 1) * cell_size
-            # world-edge sides have no cells beyond them: safe (inf)
-            sides = [
-                px[0] - bminx if tx[0] - r > 0 else np.inf,
-                bmaxx - px[0] if tx[0] + r < n_grid - 1 else np.inf,
-                py[0] - bminy if ty[0] - r > 0 else np.inf,
-                bmaxy - py[0] if ty[0] + r < n_grid - 1 else np.inf,
-            ]
-            edge = min(sides)
-            resolved = full or (
-                len(order) >= k and d2[order[-1]] < edge * edge
-            )
-            return pa.table(
-                {
-                    "pid": pa.array([pid] * len(order), pa.int64()),
-                    "sid": pa.array(sid[order], pa.int64()),
-                    "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
-                    "d2": pa.array(d2[order], pa.float64()),
-                    "resolved": pa.array([resolved] * len(order), pa.bool_()),
-                }
-            )
-
         round_res = _materialize_detached(
-            pairs.groupby("pid").map_groups(topk_group, batch_format="pyarrow")
+            _topk_by_pid(
+                pairs, k=k, zoom=zoom, cell_size=cell_size, r=r,
+                world_edges=True, full=full, num_partitions=parts,
+            )
         )
         outs.append(
             round_res.filter(expr="resolved == True").drop_columns(["resolved"])
