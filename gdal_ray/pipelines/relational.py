@@ -112,17 +112,46 @@ def filter_expr(ds, expression):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def distinct(ds, cols: list[str]):
-    """SELECT DISTINCT cols (SWQM_DISTINCT_LIST analog) — groupby keys
-    with no aggregates, via one partial dedup before the shuffle."""
+def distinct(ds, cols: list[str], num_partitions: int = 32):
+    """SELECT DISTINCT cols (SWQM_DISTINCT_LIST analog): one partial
+    dedup before the shuffle, then groupby a HASH PART of the key
+    columns with a vectorized Arrow group_by dedup inside each
+    partition — NOT groupby(cols).map_groups(first), which costs one
+    Python call per distinct value."""
 
     def partial(t: pa.Table) -> pa.Table:
-        return t.select(cols).group_by(cols).aggregate([])
+        t = t.select(cols).group_by(cols).aggregate([])
+        h = np.zeros(t.num_rows, np.uint64)
+        for c in cols:
+            col = t.column(c)
+            if pa.types.is_integer(col.type):
+                v = pc.cast(col, pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.uint64)
+            else:
+                import zlib
+
+                v = np.array(
+                    [zlib.crc32(s.encode()) if s is not None else 0
+                     for s in pc.cast(col, pa.string()).to_pylist()],
+                    np.uint64,
+                )
+            h = h * np.uint64(1000003) + v
+        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(33))
+        return t.append_column(
+            "__dpart",
+            pa.array((h % np.uint64(num_partitions)).astype(np.int64),
+                     pa.int64()),
+        )
+
+    def part_distinct(g: pa.Table) -> pa.Table:
+        return g.select(cols).group_by(cols).aggregate([])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(cols)
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .groupby("__dpart")
+        .map_groups(part_distinct, batch_format="pyarrow")
     )
 
 
