@@ -29,6 +29,51 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+
+def _topk_merge_by_qid(partials, k: int, num_partitions: int = 16):
+    """Final per-query top-k merge over (qid, vec_id, score) partials,
+    grouped by a hash PART of qid — one vectorized call per partition
+    (lexsort + run ranks) instead of one pandas call per query.
+    Ordering: score desc, vec_id asc; rank is 1-based."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        q = t.column("qid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        q = (q ^ (q >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        q = q ^ (q >> np.uint64(33))
+        return t.append_column(
+            "__qpart",
+            pa.array((q % np.uint64(num_partitions)).astype(np.int64),
+                     pa.int64()),
+        )
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        qid = g.column("qid").to_numpy(zero_copy_only=False)
+        vid = g.column("vec_id").to_numpy(zero_copy_only=False)
+        score = g.column("score").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -score, qid))
+        qid_s = qid[order]
+        n = len(order)
+        new = np.concatenate([[True], qid_s[1:] != qid_s[:-1]])
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, n))
+        rank = np.arange(n) - np.repeat(starts, run_len)
+        keep = rank < k
+        return pa.table(
+            {
+                "qid": pa.array(qid_s[keep], pa.int64()),
+                "vec_id": pa.array(vid[order][keep], pa.int64()),
+                "score": pa.array(score[order][keep], pa.float64()),
+                "rank": pa.array((rank[keep] + 1).astype(np.int32)),
+            }
+        )
+
+    return (
+        partials.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__qpart")
+        .map_groups(merge_part, batch_format="pyarrow")
+    )
+
+
 def ann_cosine_topk(embeddings, queries: np.ndarray, query_ids: np.ndarray, k: int = 5):
     """Exact top-k cosine neighbors for each query row.
 
@@ -61,16 +106,8 @@ def ann_cosine_topk(embeddings, queries: np.ndarray, query_ids: np.ndarray, k: i
             }
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g
-
-    return (
-        embeddings.map_batches(partial, batch_format="pyarrow")
-        .groupby("qid")
-        .map_groups(final, batch_format="pandas")
+    return _topk_merge_by_qid(
+        embeddings.map_batches(partial, batch_format="pyarrow"), k
     )
 
 
@@ -150,16 +187,8 @@ def ann_lsh_topk(
             }
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g
-
-    return (
-        bucketed.map_batches(probe, batch_format="pyarrow")
-        .groupby("qid")
-        .map_groups(final, batch_format="pandas")
+    return _topk_merge_by_qid(
+        bucketed.map_batches(probe, batch_format="pyarrow"), k
     )
 
 
@@ -491,14 +520,6 @@ def ann_ivf_topk(
             }
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g
-
-    return (
-        embeddings.map_batches(probe, batch_format="pyarrow")
-        .groupby("qid")
-        .map_groups(final, batch_format="pandas")
+    return _topk_merge_by_qid(
+        embeddings.map_batches(probe, batch_format="pyarrow"), k
     )
