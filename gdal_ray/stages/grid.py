@@ -74,6 +74,15 @@ def grid_points(
             "linear": delaunay.grid_linear,
         }[algorithm]
 
+    # hot-cell guard for the exact-arithmetic Delaunay path: the
+    # Bowyer-Watson insert is superlinear per point (exact predicates
+    # with Fraction fallback; ~66 s at 1,000 halo points in one cell),
+    # so a degenerate dense cell would stall its whole partition.  Cap
+    # the halo set at the ``linear_cap`` points nearest the cell
+    # center (deterministic: distance, then canonical order) and
+    # REPORT the drop in the output row — no silent caps.
+    linear_cap = int(algo_kwargs.pop("linear_cap", 512))
+
     def interpolate_group(g: pa.Table) -> pa.Table:
         cell = int(g.column("cell")[0].as_py())
         owner = g.column("owner").to_numpy(zero_copy_only=False)
@@ -91,6 +100,16 @@ def grid_points(
         # the (shuffle-dependent) group arrival order
         order = np.lexsort((pv, py, px))
         px, py, pv = px[order], py[order], pv[order]
+        n_dropped = 0
+        if algorithm == "linear" and len(px) > linear_cap:
+            cx_c = (minx + maxx) / 2.0
+            cy_c = (miny + maxy) / 2.0
+            d2c = (px - cx_c) ** 2 + (py - cy_c) ** 2
+            keep = np.sort(
+                np.argsort(d2c, kind="stable")[:linear_cap]
+            )  # nearest cap, back in canonical order
+            n_dropped = len(px) - linear_cap
+            px, py, pv = px[keep], py[keep], pv[keep]
         grid = algo(px, py, pv, xs, ys, **algo_kwargs)
         return pa.table(
             {
@@ -100,6 +119,7 @@ def grid_points(
                 "y": pa.array([ty], pa.int32()),
                 "grid": pa.array([grid.astype(np.float64).tobytes()], pa.binary()),
                 "n_points": pa.array([int(owner.sum())], pa.int32()),
+                "n_dropped": pa.array([n_dropped], pa.int32()),
             }
         )
 
@@ -119,6 +139,7 @@ def _empty_grid_table() -> pa.Table:
             "y": pa.array([], pa.int32()),
             "grid": pa.array([], pa.binary()),
             "n_points": pa.array([], pa.int32()),
+            "n_dropped": pa.array([], pa.int32()),
         }
     )
 

@@ -173,3 +173,47 @@ def test_grid_invdistnn_semantics():
     hit = grid_invdistnn(px, py, pv, xs2, ys2, radius=1e-6, max_points=3,
                          min_points=1, nodata=-1.0)
     assert hit[0, 0] == pv[0]
+
+
+def test_grid_linear_hot_cell_cap(ray_session):
+    """Delaunay hot-cell guard: a dense cell is capped at linear_cap
+    nearest-to-center points, deterministically, and the drop is
+    REPORTED (n_dropped column), never silent."""
+    import ray.data as rd
+
+    from gdal_ray.functions import mercator
+    from gdal_ray.functions.delaunay import grid_linear
+    from gdal_ray.stages.grid import grid_points
+
+    Z = 6
+    tx, ty = 31, 30
+    minx, miny, maxx, maxy = mercator.tile_bounds(tx, ty, Z)
+    rng = np.random.default_rng(11)
+    n = 300
+    px = rng.uniform(minx, maxx, n)
+    py = rng.uniform(miny, maxy, n)
+    pv = rng.uniform(0, 255, n)
+    pts = pa.table(
+        {"pid": pa.array(np.arange(n), pa.int64()), "x": px, "y": py, "v": pv}
+    )
+    out = grid_points(
+        rd.from_arrow(pts), zoom=Z, algorithm="linear", grid_size=16,
+        linear_cap=100,
+    ).to_pandas()
+    own = out[(out.x == tx) & (out.y == ty)].iloc[0]
+    # points landed in this cell AND its halo; the owner's group is
+    # capped at 100 with the rest reported
+    assert own.n_dropped > 0
+    # capped result == direct call on the same deterministically
+    # selected subset (canonical order, then nearest-100 to center)
+    order = np.lexsort((pv, py, px))
+    sx, sy, sv = px[order], py[order], pv[order]
+    cx_c, cy_c = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+    d2c = (sx - cx_c) ** 2 + (sy - cy_c) ** 2
+    keep = np.sort(np.argsort(d2c, kind="stable")[:100])
+    res = (maxx - minx) / 16
+    xs = minx + (np.arange(16) + 0.5) * res
+    ys = maxy - (np.arange(16) + 0.5) * res
+    ref = grid_linear(sx[keep], sy[keep], sv[keep], xs, ys)
+    got = np.frombuffer(own.grid, dtype=np.float64).reshape(16, 16)
+    assert (got == ref).all()
