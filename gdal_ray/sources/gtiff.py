@@ -43,8 +43,12 @@ _T_LENGTH = 257
 _T_BITSPERSAMPLE = 258
 _T_COMPRESSION = 259
 _T_PHOTOMETRIC = 262
+_T_STRIPOFFSETS = 273
 _T_SAMPLESPERPIXEL = 277
+_T_ROWSPERSTRIP = 278
+_T_STRIPBYTECOUNTS = 279
 _T_PLANARCONFIG = 284
+_T_PREDICTOR = 317
 _T_TILEWIDTH = 322
 _T_TILELENGTH = 323
 _T_TILEOFFSETS = 324
@@ -57,6 +61,11 @@ _T_GEOKEYS = 34735
 _TYPE_SHORT = 3
 _TYPE_LONG = 4
 _TYPE_DOUBLE = 12
+_TYPE_LONG8 = 16  # BigTIFF 64-bit unsigned
+
+_TYPE_SIZE = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8, _TYPE_LONG8: 8}
+_TYPE_FMT = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d",
+             _TYPE_LONG8: "Q"}
 
 _GHOST_BODY = (
     b"LAYOUT=IFDS_BEFORE_DATA\n"
@@ -340,82 +349,299 @@ def write_cog(
 # ----------------------------------------------------------------- reader
 
 
-def read_cog(path: str, level: int = 0) -> dict:
-    """Read one IFD level of a COG written by write_cog (or any
-    compatible tiled little-endian TIFF).  Returns dict(img, envelope,
-    levels, cog_layout: bool)."""
-    with open(path, "rb") as f:
-        buf = f.read()
-    if buf[:4] != b"II\x2a\x00":
-        raise ValueError("not a little-endian classic TIFF")
-    (first_ifd,) = struct.unpack_from("<I", buf, 4)
-    ghost = buf[8:first_ifd]
-    cog_layout = b"LAYOUT=IFDS_BEFORE_DATA" in ghost
+def _parse_header(buf: bytes) -> tuple[bool, int]:
+    """Return (bigtiff, first_ifd_offset).  Little-endian only (the
+    engine never emits MM; reference readers accept both,
+    gtiffdataset_read.cpp bSwab — documented restriction)."""
+    if buf[:2] != b"II":
+        raise ValueError("only little-endian TIFF supported")
+    (magic,) = struct.unpack_from("<H", buf, 2)
+    if magic == 42:
+        (first,) = struct.unpack_from("<I", buf, 4)
+        return False, first
+    if magic == 43:
+        offsize, zero = struct.unpack_from("<HH", buf, 4)
+        if offsize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        (first,) = struct.unpack_from("<Q", buf, 8)
+        return True, first
+    raise ValueError(f"not a TIFF (magic {magic})")
 
-    ifds = []
-    pos = first_ifd
+
+def _parse_ifds(buf: bytes) -> tuple[list[dict], bool, int]:
+    """Parse the IFD chain of a classic (magic 42, 12-byte entries,
+    4-byte offsets) or BigTIFF (magic 43, 20-byte entries, 8-byte
+    offsets) file.  Each IFD is {tag: (type, count, raw_value_bytes)};
+    raw_value_bytes is the inline value field (4 or 8 bytes) which is
+    either the value(s) or the out-of-line offset."""
+    big, first = _parse_header(buf)
+    entry_sz, cnt_fmt = (20, "<Q") if big else (12, "<I")
+    ifds: list[dict] = []
+    pos = first
     while pos:
-        (n,) = struct.unpack_from("<H", buf, pos)
+        if big:
+            (n,) = struct.unpack_from("<Q", buf, pos)
+            base = pos + 8
+        else:
+            (n,) = struct.unpack_from("<H", buf, pos)
+            base = pos + 2
         tags = {}
         for k in range(n):
-            tag, typ, count, val = struct.unpack_from(
-                "<HHII", buf, pos + 2 + k * 12
-            )
-            if typ == _TYPE_SHORT and count == 1:
-                val = struct.unpack_from("<H", buf, pos + 2 + k * 12 + 8)[0]
-            tags[tag] = (typ, count, val)
-        (pos,) = struct.unpack_from("<I", buf, pos + 2 + n * 12)
+            e = base + k * entry_sz
+            tag, typ = struct.unpack_from("<HH", buf, e)
+            (count,) = struct.unpack_from(cnt_fmt, buf, e + 4)
+            raw = buf[e + entry_sz - (8 if big else 4) : e + entry_sz]
+            tags[tag] = (typ, count, raw)
+        (pos,) = struct.unpack_from(cnt_fmt, buf, base + n * entry_sz)
         ifds.append(tags)
+    return ifds, big, first
 
-    def arr(tags, tag, fmt_char):
-        typ, count, val = tags[tag]
-        size = {"H": 2, "I": 4, "d": 8}[fmt_char]
-        if count * size <= 4:
-            return [val]
-        return list(struct.unpack_from(f"<{count}{fmt_char}", buf, val))
+
+def _tag_values(buf: bytes, tags: dict, tag: int, big: bool) -> list:
+    """Decode a tag's value list, inline or out-of-line."""
+    typ, count, raw = tags[tag]
+    size, fmt = _TYPE_SIZE[typ], _TYPE_FMT[typ]
+    if count * size <= (8 if big else 4):
+        return list(struct.unpack_from(f"<{count}{fmt}", raw))
+    (off,) = struct.unpack_from("<Q" if big else "<I", raw)
+    return list(struct.unpack_from(f"<{count}{fmt}", buf, off))
+
+
+def _undo_predictor2(a: np.ndarray) -> np.ndarray:
+    """Undo TIFF predictor=2 horizontal differencing: cumulative sum
+    along x per sample, wrapping in the storage dtype (mod 256 for
+    uint8) exactly as the spec's byte differencing requires."""
+    return np.cumsum(a, axis=1, dtype=a.dtype)
+
+
+def read_cog(path: str, level: int = 0) -> dict:
+    """Read one IFD level of a little-endian TIFF: tiled (the engine's
+    COG layout) or stripped, classic or BigTIFF, uncompressed or
+    deflate, predictor 1/2 (gtiffdataset_read.cpp strip/tile dual path
+    + predictor undo).  Returns dict(img, envelope, levels,
+    cog_layout: bool)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    ifds, big, first_ifd = _parse_ifds(buf)
+    ghost = buf[(16 if big else 8) : first_ifd]
+    cog_layout = b"LAYOUT=IFDS_BEFORE_DATA" in ghost
 
     tags = ifds[level]
-    w = tags[_T_WIDTH][2]
-    h = tags[_T_LENGTH][2]
-    ts = tags[_T_TILEWIDTH][2]
-    nb = tags[_T_SAMPLESPERPIXEL][2]
-    comp = tags[_T_COMPRESSION][2]
-    sfmt = arr(tags, _T_SAMPLEFORMAT, "H")[0] if _T_SAMPLEFORMAT in tags else 1
-    bps = arr(tags, _T_BITSPERSAMPLE, "H")[0]
-    dtype = np.uint8 if (sfmt == 1 and bps == 8) else np.float32
-    offsets = arr(tags, _T_TILEOFFSETS, "I")
-    counts = arr(tags, _T_TILEBYTECOUNTS, "I")
 
+    def gv(tag, default=None):
+        return _tag_values(buf, tags, tag, big)[0] if tag in tags else default
+
+    w, h = gv(_T_WIDTH), gv(_T_LENGTH)
+    nb = gv(_T_SAMPLESPERPIXEL, 1)
+    comp = gv(_T_COMPRESSION, 1)
+    pred = gv(_T_PREDICTOR, 1)
+    sfmt = gv(_T_SAMPLEFORMAT, 1)
+    bps = gv(_T_BITSPERSAMPLE, 8)
+    if comp not in (1, 8):
+        raise ValueError(f"unsupported compression {comp}")
+    if pred not in (1, 2):
+        raise ValueError(f"unsupported predictor {pred}")
+    dtype = np.uint8 if (sfmt == 1 and bps == 8) else np.float32
+    if pred == 2 and dtype != np.uint8:
+        raise ValueError("predictor=2 only supported for uint8 samples")
     img = np.zeros((h, w, nb) if nb > 1 else (h, w), dtype)
-    ntx = math.ceil(w / ts)
-    for ti, (o, c) in enumerate(zip(offsets, counts)):
-        enc = buf[o : o + c]
-        raw = zlib.decompress(enc) if comp == 8 else enc
-        tile = np.frombuffer(raw, dtype).reshape(
-            (ts, ts, nb) if nb > 1 else (ts, ts)
-        )
-        ty, tx = divmod(ti, ntx)
-        y0, x0 = ty * ts, tx * ts
-        hh = min(ts, h - y0)
-        ww = min(ts, w - x0)
-        if nb > 1:
-            img[y0 : y0 + hh, x0 : x0 + ww, :] = tile[:hh, :ww, :]
-        else:
-            img[y0 : y0 + hh, x0 : x0 + ww] = tile[:hh, :ww]
+
+    if _T_TILEOFFSETS in tags:
+        ts = gv(_T_TILEWIDTH)
+        offsets = _tag_values(buf, tags, _T_TILEOFFSETS, big)
+        counts = _tag_values(buf, tags, _T_TILEBYTECOUNTS, big)
+        ntx = math.ceil(w / ts)
+        for ti, (o, c) in enumerate(zip(offsets, counts)):
+            enc = buf[o : o + c]
+            raw = zlib.decompress(enc) if comp == 8 else enc
+            tile = np.frombuffer(raw, dtype).reshape(
+                (ts, ts, nb) if nb > 1 else (ts, ts)
+            )
+            if pred == 2:
+                tile = _undo_predictor2(tile)
+            ty, tx = divmod(ti, ntx)
+            y0, x0 = ty * ts, tx * ts
+            hh = min(ts, h - y0)
+            ww = min(ts, w - x0)
+            if nb > 1:
+                img[y0 : y0 + hh, x0 : x0 + ww, :] = tile[:hh, :ww, :]
+            else:
+                img[y0 : y0 + hh, x0 : x0 + ww] = tile[:hh, :ww]
+    elif _T_STRIPOFFSETS in tags:
+        offsets = _tag_values(buf, tags, _T_STRIPOFFSETS, big)
+        counts = _tag_values(buf, tags, _T_STRIPBYTECOUNTS, big)
+        rps = gv(_T_ROWSPERSTRIP, h)
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            y0 = si * rps
+            rows = min(rps, h - y0)
+            enc = buf[o : o + c]
+            raw = zlib.decompress(enc) if comp == 8 else enc
+            a = np.frombuffer(raw, dtype).reshape(
+                (rows, w, nb) if nb > 1 else (rows, w)
+            )
+            if pred == 2:
+                a = _undo_predictor2(a)
+            img[y0 : y0 + rows] = a
+    else:
+        raise ValueError("IFD has neither tile nor strip offsets")
 
     envelope = None
     main = ifds[0]
     if _T_PIXELSCALE in main and _T_TIEPOINT in main:
-        sx, sy, _ = arr(main, _T_PIXELSCALE, "d")
-        tp = arr(main, _T_TIEPOINT, "d")
+        sx, sy, _ = _tag_values(buf, main, _T_PIXELSCALE, big)
+        tp = _tag_values(buf, main, _T_TIEPOINT, big)
         minx, maxy = tp[3], tp[4]
-        w0, h0 = main[_T_WIDTH][2], main[_T_LENGTH][2]
+        w0 = _tag_values(buf, main, _T_WIDTH, big)[0]
+        h0 = _tag_values(buf, main, _T_LENGTH, big)[0]
         envelope = (minx, maxy - sy * h0, minx + sx * w0, maxy)
     return {
         "img": img,
         "envelope": envelope,
         "levels": len(ifds),
         "cog_layout": cog_layout,
+    }
+
+
+# --------------------------------------------- strip writer (plain TIFF)
+
+
+def _render_ifd(entries, table_pos: int, big: bool, next_ifd: int = 0) -> bytes:
+    """Render one IFD (table + out-of-line payload immediately after).
+    entries: list of (tag, type, [values])."""
+    n = len(entries)
+    table_sz = (8 + n * 20 + 8) if big else (2 + n * 12 + 4)
+    payload_pos = table_pos + table_sz
+    cap = 8 if big else 4
+    cfmt = "<Q" if big else "<I"
+    payload = bytearray()
+    ents = []
+    for tag, typ, vals in sorted(entries):
+        data = struct.pack(f"<{len(vals)}{_TYPE_FMT[typ]}", *vals)
+        if len(data) <= cap:
+            raw = data.ljust(cap, b"\0")
+        else:
+            raw = struct.pack(cfmt, payload_pos + len(payload))
+            payload += data
+        ents.append(
+            struct.pack("<HH", tag, typ)
+            + struct.pack(cfmt, len(vals))
+            + raw
+        )
+    out = bytearray()
+    out += struct.pack("<Q" if big else "<H", n)
+    for e in ents:
+        out += e
+    out += struct.pack(cfmt, next_ifd)
+    out += payload
+    return bytes(out)
+
+
+def write_tiff(
+    path: str,
+    img: np.ndarray,
+    envelope: tuple[float, float, float, float] | None = None,
+    rows_per_strip: int = 64,
+    compress: str = "deflate",
+    predictor: int = 1,
+    bigtiff: bool = False,
+) -> dict:
+    """Plain strip-layout TIFF writer: classic or BigTIFF offsets,
+    optional predictor=2 horizontal differencing (uint8) under deflate
+    — the non-COG interop shapes the reference's GTiff driver reads
+    and writes by default (gtiffdataset_write.cpp strip path,
+    TIFFPredictor).  Single IFD, no overviews; georef tags as
+    write_cog.  Returns {path, strips, size, bigtiff}."""
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]
+    if img.ndim == 2:
+        nb = 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        nb = 3
+    else:
+        raise ValueError("img must be (h,w) or (h,w,{1,3})")
+    if img.dtype == np.uint8:
+        bps, sfmt = 8, 1
+    elif img.dtype == np.float32:
+        bps, sfmt = 32, 3
+    else:
+        raise ValueError("dtype must be uint8 or float32")
+    if compress not in ("deflate", "none"):
+        raise ValueError("compress must be deflate|none")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1|2")
+    if predictor == 2 and img.dtype != np.uint8:
+        raise ValueError("predictor=2 requires uint8 samples")
+
+    h, w = img.shape[:2]
+    strips: list[bytes] = []
+    for y0 in range(0, h, rows_per_strip):
+        sub = img[y0 : y0 + rows_per_strip]
+        if predictor == 2:
+            d = sub.copy()
+            d[:, 1:] = sub[:, 1:] - sub[:, :-1]  # uint8 wraps mod 256
+            sub = d
+        raw = np.ascontiguousarray(sub).tobytes()
+        strips.append(zlib.compress(raw, 6) if compress == "deflate" else raw)
+
+    n_strips = len(strips)
+    off_typ = _TYPE_LONG8 if bigtiff else _TYPE_LONG
+    entries = [
+        (_T_WIDTH, _TYPE_LONG, [w]),
+        (_T_LENGTH, _TYPE_LONG, [h]),
+        (_T_BITSPERSAMPLE, _TYPE_SHORT, [bps] * nb),
+        (_T_COMPRESSION, _TYPE_SHORT, [8 if compress == "deflate" else 1]),
+        (_T_PHOTOMETRIC, _TYPE_SHORT, [2 if nb == 3 else 1]),
+        (_T_SAMPLESPERPIXEL, _TYPE_SHORT, [nb]),
+        (_T_ROWSPERSTRIP, _TYPE_LONG, [rows_per_strip]),
+        (_T_STRIPBYTECOUNTS, _TYPE_LONG, [len(s) for s in strips]),
+        (_T_PLANARCONFIG, _TYPE_SHORT, [1]),
+        (_T_SAMPLEFORMAT, _TYPE_SHORT, [sfmt] * nb),
+    ]
+    if predictor == 2:
+        entries.append((_T_PREDICTOR, _TYPE_SHORT, [2]))
+    if envelope is not None:
+        minx, miny, maxx, maxy = envelope
+        entries.append(
+            (_T_PIXELSCALE, _TYPE_DOUBLE,
+             [(maxx - minx) / w, (maxy - miny) / h, 0.0])
+        )
+        entries.append(
+            (_T_TIEPOINT, _TYPE_DOUBLE, [0.0, 0.0, 0.0, minx, maxy, 0.0])
+        )
+        entries.append(
+            (_T_GEOKEYS, _TYPE_SHORT,
+             [1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, 3857])
+        )
+
+    if bigtiff:
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+        table_pos = 16
+    else:
+        header = struct.pack("<2sHI", b"II", 42, 8)
+        table_pos = 8
+
+    # pass 1 with dummy strip offsets to measure the data start
+    probe = entries + [(_T_STRIPOFFSETS, off_typ, [0] * n_strips)]
+    data_start = table_pos + len(_render_ifd(probe, table_pos, bigtiff))
+    offsets, pos = [], data_start
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    final = entries + [(_T_STRIPOFFSETS, off_typ, offsets)]
+    ifd = _render_ifd(final, table_pos, bigtiff)
+    assert table_pos + len(ifd) == data_start
+
+    out = header + ifd + b"".join(strips)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "wb") as f:
+        f.write(out)
+    os.replace(tmp, path)
+    return {
+        "path": path,
+        "strips": n_strips,
+        "size": len(out),
+        "bigtiff": bigtiff,
     }
 
 
@@ -473,6 +699,57 @@ def validate_cog_layout(path: str) -> dict:
         "block_trailer": ok_trailer,
         "valid": ok_before_data and ok_order and ok_leader and ok_trailer,
     }
+
+
+# --------------------------------------------------------------- Ray source
+
+
+def read_tiff_source(paths, level: int = 0, batch_size: int = 16):
+    """Read a list of .tif paths (COG or strip layout, classic or
+    BigTIFF) into the engine's chip schema: image_id (file stem),
+    bytes (fmt='raw'), w, h, fmt, minx..maxy (NaN when ungeoreferenced).
+    The path list is distributed as a Dataset and each file decoded
+    inside map_batches — no driver-side I/O."""
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(paths, str):
+        paths = sorted(
+            os.path.join(paths, p)
+            for p in os.listdir(paths)
+            if p.endswith(".tif")
+        )
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def fn(t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt",
+                                "minx", "miny", "maxx", "maxy")}
+        for p in t.column("path").to_pylist():
+            r = read_cog(p, level=level)
+            img = r["img"]
+            env = r["envelope"] or (float("nan"),) * 4
+            rows["image_id"].append(os.path.splitext(os.path.basename(p))[0])
+            rows["bytes"].append(np.ascontiguousarray(img).tobytes())
+            rows["h"].append(img.shape[0])
+            rows["w"].append(img.shape[1])
+            rows["fmt"].append("raw")
+            for k, v in zip(("minx", "miny", "maxx", "maxy"), env):
+                rows[k].append(float(v))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "bytes": pa.array(rows["bytes"], pa.binary()),
+                "w": pa.array(rows["w"], pa.int32()),
+                "h": pa.array(rows["h"], pa.int32()),
+                "fmt": pa.array(rows["fmt"], pa.string()),
+                "minx": pa.array(rows["minx"], pa.float64()),
+                "miny": pa.array(rows["miny"], pa.float64()),
+                "maxx": pa.array(rows["maxx"], pa.float64()),
+                "maxy": pa.array(rows["maxy"], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 # --------------------------------------------------------------- Ray sink

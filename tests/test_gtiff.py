@@ -115,3 +115,92 @@ def test_sink_resume(ray_session, tmp_path):
     for i in range(4):
         got = read_cog(str(tmp_path / "cogs" / f"im{i}.tif"))["img"]
         assert np.array_equal(got, imgs[i])
+
+
+# ---------------------------------------- strip / BigTIFF / predictor=2
+
+
+def test_strip_roundtrip_classic_deflate(tmp_path):
+    from gdal_ray.sources.gtiff import write_tiff
+
+    img = _img(h=130, w=97)
+    p = str(tmp_path / "s.tif")
+    st = write_tiff(p, img, envelope=(0.0, 0.0, 97.0, 130.0),
+                    rows_per_strip=48)
+    assert st["strips"] == 3 and not st["bigtiff"]
+    r = read_cog(p)
+    assert np.array_equal(r["img"], img)
+    assert r["envelope"] == (0.0, 0.0, 97.0, 130.0)
+    assert not r["cog_layout"]
+
+
+def test_strip_predictor2_smaller_and_exact(tmp_path):
+    from gdal_ray.sources.gtiff import write_tiff
+
+    # smooth gradient: horizontal differencing should shrink deflate
+    y, x = np.mgrid[0:200, 0:300]
+    img = ((x + y) % 256).astype(np.uint8)
+    p1 = str(tmp_path / "p1.tif")
+    p2 = str(tmp_path / "p2.tif")
+    s1 = write_tiff(p1, img, predictor=1)
+    s2 = write_tiff(p2, img, predictor=2)
+    assert np.array_equal(read_cog(p2)["img"], img)
+    assert s2["size"] < s1["size"]
+
+
+def test_strip_predictor2_rgb_wraparound(tmp_path):
+    from gdal_ray.sources.gtiff import write_tiff
+
+    img = _img(h=64, w=64, nb=3, seed=9)  # random: differences wrap mod 256
+    p = str(tmp_path / "w.tif")
+    write_tiff(p, img, predictor=2, rows_per_strip=17)
+    assert np.array_equal(read_cog(p)["img"], img)
+
+
+def test_bigtiff_roundtrip(tmp_path):
+    from gdal_ray.sources.gtiff import write_tiff
+
+    img = _img(h=150, w=200)
+    p = str(tmp_path / "b.tif")
+    st = write_tiff(p, img, envelope=(1.0, 2.0, 201.0, 152.0),
+                    bigtiff=True, predictor=2)
+    assert st["bigtiff"]
+    with open(p, "rb") as f:
+        assert f.read(4) == b"II\x2b\x00"  # magic 43
+    r = read_cog(p)
+    assert np.array_equal(r["img"], img)
+    assert r["envelope"] == (1.0, 2.0, 201.0, 152.0)
+
+
+def test_strip_float32_roundtrip(tmp_path):
+    from gdal_ray.sources.gtiff import write_tiff
+
+    img = np.linspace(0, 1, 80 * 60, dtype=np.float32).reshape(80, 60)
+    p = str(tmp_path / "f.tif")
+    write_tiff(p, img, rows_per_strip=33)
+    assert np.array_equal(read_cog(p)["img"], img)
+
+
+def test_write_tiff_rejects_bad_combo(tmp_path):
+    from gdal_ray.sources.gtiff import write_tiff
+
+    img = np.zeros((8, 8), np.float32)
+    with pytest.raises(ValueError):
+        write_tiff(str(tmp_path / "x.tif"), img, predictor=2)
+
+
+def test_read_tiff_source_roundtrip(ray_session, tmp_path):
+    from gdal_ray.sources.gtiff import read_tiff_source, write_tiff
+
+    imgs = {f"chip{i}": _img(h=40, w=50, seed=i) for i in range(4)}
+    for name, img in imgs.items():
+        write_tiff(str(tmp_path / f"{name}.tif"), img,
+                    envelope=(0.0, 0.0, 50.0, 40.0),
+                    bigtiff=(hash(name) % 2 == 0), predictor=2)
+    out = read_tiff_source(str(tmp_path)).take_all()
+    assert len(out) == 4
+    for row in out:
+        img = imgs[row["image_id"]]
+        got = np.frombuffer(row["bytes"], np.uint8).reshape(40, 50, 3)
+        assert np.array_equal(got, img)
+        assert row["minx"] == 0.0 and row["maxy"] == 40.0
