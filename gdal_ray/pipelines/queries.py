@@ -1959,6 +1959,16 @@ SELECT 'ALL' AS region_name,
        MAX(c_acctbal) AS hi_bal
 FROM customer
 WHERE c_acctbal > 0
+UNION ALL
+SELECT 'SUBQ' AS region_name,
+       COUNT(*) AS n_cust,
+       COUNT(DISTINCT c_nationkey) AS n_nat,
+       CAST(SUM(DISTINCT c_custkey) AS BIGINT) AS key_sum,
+       MIN(c_acctbal) AS lo_bal,
+       MAX(c_acctbal) AS hi_bal
+FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+  AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
 ORDER BY region_name ASC
 """
 
@@ -1972,10 +1982,13 @@ def q60_sql_join_agg(sf_dir: str):
     grouped_aggregate (partial agg before the keyed shuffle), plus the
     r3 dialect tail: HAVING over the summary table, COUNT(DISTINCT)
     (distinct-of-keys+arg -> per-key count -> copartitioned left-outer
-    attach), and a UNION ALL branch with the trailing ORDER BY applied
-    to the whole union.  The SAME string runs verbatim in DuckDB as
-    the oracle; aggregates are integer-exact (COUNT / int SUM / MIN /
-    MAX) so the value hash is order-independent."""
+    attach), UNION ALL branches with the trailing ORDER BY applied
+    to the whole union, SUM(DISTINCT) over the per-group distinct set,
+    an IN (SELECT ...) WHERE conjunct lowered to a co-partitioned semi
+    join, and a scalar subquery substituted as a literal.  The SAME
+    string runs verbatim in DuckDB as the oracle; aggregates are
+    integer-exact (COUNT / int SUM / MIN / MAX) so the value hash is
+    order-independent."""
     from .sql import sql_query
 
     customer = _read(
@@ -2354,7 +2367,13 @@ ORDER BY a.lang
 def q16_ann_topk(sf_dir: str):
     """ANN suite: exact brute-force cosine top-5, the LSH-bucketed
     approximate path, AND the IVF inverted-list path (k-means coarse
-    quantizer, nprobe lists), tagged by ``method``."""
+    quantizer, nprobe lists), tagged by ``method`` — plus per-query
+    recall quantification rows ('lsh_recall' / 'ivf_recall':
+    vec_id = |approx top-k ∩ exact top-k| per qid, rank = k) so the
+    approximate variants report their recall as an oracle-checked
+    metric column rather than an unquantified claim."""
+    from .relational import copartition_equi_join, grouped_aggregate
+
     ex = q16_ann_cosine(sf_dir)
     ls = q21_ann_lsh(sf_dir)
     iv = q_ann_ivf(sf_dir)
@@ -2367,10 +2386,45 @@ def q16_ann_topk(sf_dir: str):
 
         return fn
 
+    def _keyed(t: pa.Table) -> pa.Table:
+        k = pc.add(
+            pc.multiply(pc.cast(t.column("qid"), pa.int64()),
+                        pa.scalar(1 << 32, pa.int64())),
+            pc.cast(t.column("vec_id"), pa.int64()),
+        )
+        return pa.table({"qid": pc.cast(t.column("qid"), pa.int64()),
+                         "__k": k})
+
+    def recall(approx, name):
+        # approx rows whose (qid, vec_id) is in the exact top-k ->
+        # per-qid hit count (distributed semi join, no driver sets)
+        hits = copartition_equi_join(
+            approx.map_batches(_keyed, batch_format="pyarrow"),
+            ex.map_batches(_keyed, batch_format="pyarrow")
+            .drop_columns(["qid"]),
+            "__k", "__k", how="semi", num_partitions=4,
+        )
+        cnt = grouped_aggregate(hits, ["qid"], [("*", "count", "n_hit")])
+
+        def shape(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "method": pa.array([name] * n, pa.string()),
+                    "qid": t.column("qid"),
+                    "vec_id": pc.cast(t.column("n_hit"), pa.int64()),
+                    "rank": pa.array([5] * n, pa.int64()),
+                }
+            )
+
+        return cnt.map_batches(shape, batch_format="pyarrow")
+
     return (
         ex.map_batches(tag("exact"), batch_format="pyarrow")
         .union(ls.map_batches(tag("lsh"), batch_format="pyarrow"))
         .union(iv.map_batches(tag("ivf"), batch_format="pyarrow"))
+        .union(recall(ls, "lsh_recall"))
+        .union(recall(iv, "ivf_recall"))
         .sort(["method", "qid", "rank"])
     )
 
@@ -2560,14 +2614,25 @@ def _oracle_q16_ann_topk(sf_dir: str) -> str:
     from ..oracle_ref import golden_sql
 
     return f"""
+WITH ex AS ({_Q16_SQL.strip()}),
+     lsh AS ({golden_sql("part_ann_lsh", sf_dir)}),
+     ivf AS ({golden_sql("part_ann_ivf", sf_dir)})
 SELECT * FROM (
-  SELECT 'exact' AS method, qid, vec_id, rank FROM ({_Q16_SQL.strip()})
+  SELECT 'exact' AS method, qid, vec_id, rank FROM ex
   UNION ALL
-  SELECT 'lsh' AS method, qid, vec_id, rank
-  FROM ({golden_sql("part_ann_lsh", sf_dir)})
+  SELECT 'lsh' AS method, qid, vec_id, rank FROM lsh
   UNION ALL
-  SELECT 'ivf' AS method, qid, vec_id, rank
-  FROM ({golden_sql("part_ann_ivf", sf_dir)})
+  SELECT 'ivf' AS method, qid, vec_id, rank FROM ivf
+  UNION ALL
+  SELECT 'lsh_recall' AS method, l.qid,
+         CAST(COUNT(*) AS BIGINT) AS vec_id, CAST(5 AS BIGINT) AS rank
+  FROM lsh l JOIN ex e ON l.qid = e.qid AND l.vec_id = e.vec_id
+  GROUP BY l.qid
+  UNION ALL
+  SELECT 'ivf_recall' AS method, i.qid,
+         CAST(COUNT(*) AS BIGINT) AS vec_id, CAST(5 AS BIGINT) AS rank
+  FROM ivf i JOIN ex e ON i.qid = e.qid AND i.vec_id = e.vec_id
+  GROUP BY i.qid
 ) ORDER BY method, qid, rank
 """
 

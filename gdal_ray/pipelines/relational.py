@@ -299,7 +299,8 @@ def copartition_equi_join(
     both = left.map_batches(_tag(lkey, 0), batch_format="pyarrow").union(
         right.map_batches(_tag(rkey, 1), batch_format="pyarrow")
     )
-    jt = {"inner": "inner", "left_outer": "left outer"}[how]
+    jt = {"inner": "inner", "left_outer": "left outer",
+          "semi": "left semi", "anti": "left anti"}[how]
 
     def part_join(g: pa.Table) -> pa.Table:
         side = g.column("__side").to_numpy(zero_copy_only=False)

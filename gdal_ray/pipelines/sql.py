@@ -20,15 +20,21 @@ through ``Dataset.map_batches``:
 - GROUP BY lowers onto relational.grouped_aggregate (per-batch pyarrow
   partial aggregation, then one tiny keyed shuffle); HAVING filters
   the summary table (its aggregates join the same pass);
-- COUNT(DISTINCT x) lowers to distinct-of-(keys, x) -> per-key row
-  count -> left-outer join back onto the summary (NULL-only groups
-  report 0);
+- COUNT/SUM/AVG(DISTINCT x) lower to distinct-of-(keys, x) -> per-key
+  aggregate over the distinct set -> left-outer join back onto the
+  summary (NULL-only groups report COUNT 0 / SUM,AVG NULL; SUM/AVG
+  results are double, matching the swq summary accumulators);
+  MIN/MAX(DISTINCT) collapse to plain MIN/MAX;
+- scalar subqueries ``(SELECT agg FROM ...)`` in SELECT/WHERE/HAVING
+  execute once and substitute as literals; ``[NOT] IN (SELECT ...)``
+  as a top-level WHERE conjunct lowers onto a co-partitioned
+  semi/anti join (three-valued NOT IN NULL semantics preserved);
 - UNION ALL chains branches with Dataset.union (trailing ORDER BY /
   LIMIT apply to the whole union);
 - ORDER BY / LIMIT lower onto the distributed top-k.
 
-Not covered (documented): subqueries, bare UNION (dedup), DISTINCT
-aggregates other than COUNT, non-equi join conditions.
+Not covered (documented): bare UNION (dedup), non-equi join
+conditions, correlated subqueries, IN-subqueries combined with JOIN.
 """
 
 from __future__ import annotations
@@ -158,6 +164,11 @@ class _Parser:
         if k == "kw" and v == "in":
             self.next()
             self.expect("op", "(")
+            if self.peek() == ("kw", "select"):
+                sub = _parse_one(self, sub=True)
+                self.expect("op", ")")
+                e = ("in_subq", e, sub)
+                return ("not", e) if neg else e
             vals = [self.expr()]
             while self.accept("op", ","):
                 vals.append(self.expr())
@@ -242,6 +253,10 @@ class _Parser:
             self.expect("op", ")")
             return ("agg", v, arg, distinct)
         if k == "op" and v == "(":
+            if self.peek() == ("kw", "select"):
+                sub = _parse_one(self, sub=True)
+                self.expect("op", ")")
+                return ("subq", sub)
             e = self.expr()
             self.expect("op", ")")
             return e
@@ -362,7 +377,7 @@ def parse_select(sql: str) -> dict:
     return {"union_all": branches}
 
 
-def _parse_one(p: "_Parser") -> dict:
+def _parse_one(p: "_Parser", sub: bool = False) -> dict:
     p.expect("kw", "select")
     items = []
     if p.accept("op", "*"):
@@ -446,10 +461,10 @@ def _parse_one(p: "_Parser") -> dict:
     if p.accept("kw", "limit"):
         limit = int(p.next()[1])
     union_next = False
-    if p.accept("kw", "union"):
+    if not sub and p.accept("kw", "union"):
         p.expect("kw", "all")  # bare UNION (dedup) not supported
         union_next = True
-    elif p.peek()[0] != "end":
+    elif not sub and p.peek()[0] != "end":
         raise ValueError(f"trailing tokens at {p.peek()}")
     return {"items": items, "table": table, "table_alias": table_alias,
             "joins": joins, "where": where, "group": group,
@@ -463,8 +478,10 @@ def _parse_one(p: "_Parser") -> dict:
 def _transform(node, fn):
     """Bottom-up rewrite: apply fn to each node after recursing."""
     op = node[0]
-    if op in ("lit", "col", "qcol"):
+    if op in ("lit", "col", "qcol", "subq"):
         return fn(node)
+    if op == "in_subq":  # node[2] is a plan dict, opaque to rewrites
+        return fn(("in_subq", _transform(node[1], fn), node[2]))
     if op == "in":
         return fn(("in", _transform(node[1], fn),
                    [_transform(v, fn) for v in node[2]]))
@@ -486,7 +503,10 @@ def _transform(node, fn):
 def _walk(node):
     yield node
     op = node[0]
-    if op in ("lit", "col", "qcol"):
+    if op in ("lit", "col", "qcol", "subq"):
+        return
+    if op == "in_subq":
+        yield from _walk(node[1])
         return
     if op == "in":
         yield from _walk(node[1])
@@ -703,19 +723,20 @@ def _run_join_agg(plan, tables, num_partitions: int):
                 if n[0] == "agg" and n not in agg_nodes:
                     agg_nodes.append(n)
         specs, pre_cols = [], {}
-        distinct_ais: list[int] = []
+        distinct_ais: list[tuple[int, str]] = []
         for ai, n in enumerate(agg_nodes):
             _, fn, arg, distinct = n
             out_c = f"__agg{ai}"
+            if distinct and fn in ("min", "max"):
+                distinct = False  # MIN/MAX(DISTINCT x) == MIN/MAX(x)
             if distinct:
-                if fn != "count":
-                    raise ValueError(
-                        "only COUNT(DISTINCT ...) is supported"
-                    )
-                # lowered separately: distinct of (keys, arg), then a
-                # per-key row count, joined back onto the summary
+                # COUNT/SUM/AVG(DISTINCT): lowered separately —
+                # distinct of (keys, arg), then a per-key aggregate
+                # over the distinct set, joined back onto the summary
+                # (SUM/AVG results are double, matching the swq
+                # summary's double accumulators, ogr/ogr_swq.h)
                 pre_cols[f"__in{ai}"] = ("expr", _resolve(arg))
-                distinct_ais.append(ai)
+                distinct_ais.append((ai, fn))
             elif fn == "count" and arg is None:
                 specs.append(("*", "count", out_c))
             elif fn == "count":
@@ -779,7 +800,7 @@ def _run_join_agg(plan, tables, num_partitions: int):
                 jk = pc.binary_join_element_wise(jk, p, ";")
             return t.append_column("__jk", jk)
 
-        for ai in distinct_ais:
+        for ai, dfn in distinct_ais:
             in_c = f"__in{ai}"
 
             def dpart(t: pa.Table, _c=in_c) -> pa.Table:
@@ -790,20 +811,35 @@ def _run_join_agg(plan, tables, num_partitions: int):
                 pre_ds.map_batches(dpart, batch_format="pyarrow"),
                 ["__jk", in_c],
             )
-            dcnt = R.grouped_aggregate(
-                dd, ["__jk"], [("*", "count", f"__agg{ai}")]
-            )
+            if dfn == "count":
+                spec = ("*", "count", f"__agg{ai}")
+                out_ty = pa.int64()
+            else:
+                # cast AFTER distinct so the distinct set is taken over
+                # the original values, not their float images
+                def dcast(t: pa.Table, _c=in_c) -> pa.Table:
+                    return t.set_column(
+                        t.column_names.index(_c), _c,
+                        pc.cast(t.column(_c), pa.float64()),
+                    )
+
+                dd = dd.map_batches(dcast, batch_format="pyarrow")
+                spec = (in_c, "sum" if dfn == "sum" else "mean",
+                        f"__agg{ai}")
+                out_ty = pa.float64()
+            dcnt = R.grouped_aggregate(dd, ["__jk"], [spec])
             agg_ds = R.copartition_equi_join(
                 agg_ds.map_batches(_with_jk, batch_format="pyarrow"),
                 dcnt,
                 "__jk", "__jk", how="left_outer",
                 num_partitions=max(2, num_partitions // 4),
                 right_schema=[("__jk", pa.string()),
-                              (f"__agg{ai}", pa.int64())],
+                              (f"__agg{ai}", out_ty)],
             ).drop_columns(["__jk"])
 
-        if distinct_ais:
-            fill_cols = [f"__agg{ai}" for ai in distinct_ais]
+        count_ais = [ai for ai, f in distinct_ais if f == "count"]
+        if count_ais:
+            fill_cols = [f"__agg{ai}" for ai in count_ais]
 
             def fill0(t: pa.Table) -> pa.Table:
                 # an all-NULL group has no distinct rows but reports 0
@@ -893,10 +929,12 @@ def _run_join_agg(plan, tables, num_partitions: int):
 def _resolve_skip_aggs(node, resolve):
     """Resolve col refs OUTSIDE agg nodes only (agg args were resolved
     into the pre-projection; the agg node itself becomes a column)."""
-    if node[0] == "agg":
+    if node[0] in ("agg", "subq"):
         return node
     if node[0] in ("lit", "col", "qcol"):
         return resolve(node)
+    if node[0] == "in_subq":
+        return ("in_subq", _resolve_skip_aggs(node[1], resolve), node[2])
     if node[0] == "in":
         return ("in", _resolve_skip_aggs(node[1], resolve),
                 [_resolve_skip_aggs(v, resolve) for v in node[2]])
@@ -960,6 +998,132 @@ def _refs(node, schemas, aliases):
     return out
 
 
+# ------------------------------------------------ subquery lowering
+
+
+def _scalar_of(subplan: dict, tables: dict, num_partitions: int):
+    """Execute a scalar subquery; must yield exactly one row and one
+    column.  The single value is substituted as a literal — a tiny,
+    fully-aggregated result, so the driver-side take is bounded."""
+    out = _exec_plan(subplan, tables, num_partitions)
+    rows = out.take(2)
+    if len(rows) != 1 or len(rows[0]) != 1:
+        raise ValueError(
+            "scalar subquery must return exactly one row and one column"
+        )
+    return next(iter(rows[0].values()))
+
+
+def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
+    """Rewrite subqueries out of a plan before execution (an engine
+    extension — the reference swq dialect has no subqueries):
+
+    - scalar ``(SELECT agg FROM ...)`` anywhere in SELECT items, WHERE
+      or HAVING becomes a literal (executed once, one value);
+    - ``[NOT] IN (SELECT col FROM ...)`` as a top-level WHERE conjunct
+      of a single-table plan lowers onto a co-partitioned semi/anti
+      join (never a driver-side value list — the subquery result may
+      be arbitrarily large); elsewhere it raises.
+
+    Returns (plan, tables) — the table map gains a ``__subq_base``
+    binding when an IN-subquery join replaced the base table."""
+    from . import relational as R
+
+    def scal(n):
+        if n[0] == "subq":
+            return ("lit", _scalar_of(n[1], tables, num_partitions))
+        return n
+
+    items = plan["items"]
+    if items is not None:
+        items = [(_transform(e, scal), a) for e, a in items]
+    where = plan["where"]
+    if where is not None:
+        where = _transform(where, scal)
+    having = plan.get("having")
+    if having is not None:
+        having = _transform(having, scal)
+    plan = dict(plan, items=items, where=where, having=having)
+
+    if where is None or not any(
+        n[0] == "in_subq" for n in _walk(where)
+    ):
+        return plan, tables
+
+    if plan["joins"]:
+        raise ValueError(
+            "IN (SELECT ...) is not supported together with JOIN"
+        )
+    conjs = _split_conjuncts(where)
+    rest = []
+    ds = tables[plan["table"]]
+    si = 0
+    for c in conjs:
+        anti = c[0] == "not" and c[1][0] == "in_subq"
+        node = c[1] if anti else c
+        if node[0] != "in_subq":
+            if any(n[0] == "in_subq" for n in _walk(c)):
+                raise ValueError(
+                    "IN (SELECT ...) only supported as a top-level "
+                    "WHERE conjunct"
+                )
+            rest.append(c)
+            continue
+        expr, subplan = node[1], node[2]
+        sub_ds = _exec_plan(subplan, tables, num_partitions)
+        sub_names = sub_ds.schema().names
+        if len(sub_names) != 1:
+            raise ValueError("IN subquery must select exactly one column")
+        vcol = sub_names[0]
+
+        def prep(t: pa.Table, _v=vcol) -> pa.Table:
+            col = t.column(_v)
+            return pa.table({"__sqv": col.filter(pc.is_valid(col))})
+
+        sub_vals = sub_ds.map_batches(prep, batch_format="pyarrow")
+        if anti:
+            # SQL three-valued logic: if the subquery result contains
+            # any NULL, `x NOT IN (...)` is never TRUE -> empty result
+            def nulls(t: pa.Table, _v=vcol) -> pa.Table:
+                return pa.table(
+                    {"n": pa.array([t.column(_v).null_count], pa.int64())}
+                )
+
+            if sub_ds.map_batches(nulls, batch_format="pyarrow").sum("n"):
+                ds = ds.limit(0)
+                continue
+
+        key = f"__sq{si}"
+        si += 1
+
+        def add_key(t: pa.Table, _e=expr, _k=key) -> pa.Table:
+            v = _eval(_e, t)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * t.num_rows, type=v.type)
+            return t.append_column(_k, v)
+
+        keyed = ds.map_batches(add_key, batch_format="pyarrow")
+        if anti:
+            # NULL probe values never satisfy NOT IN (NULL, not TRUE)
+            def drop_null_key(t: pa.Table, _k=key) -> pa.Table:
+                return t.filter(pc.is_valid(t.column(_k)))
+
+            keyed = keyed.map_batches(drop_null_key, batch_format="pyarrow")
+        ds = R.copartition_equi_join(
+            keyed, sub_vals, key, "__sqv",
+            how="anti" if anti else "semi",
+            num_partitions=num_partitions,
+        ).drop_columns([key])
+
+    residual = None
+    for c in rest:
+        residual = c if residual is None else ("and", residual, c)
+    tables = dict(tables)
+    tables["__subq_base"] = ds
+    plan = dict(plan, table="__subq_base", where=residual)
+    return plan, tables
+
+
 def sql_query(sql: str, tables: dict, num_partitions: int = 16):
     """Execute a SELECT string against named Datasets.  Returns a
     Dataset; lazy/streaming except for the join / GROUP BY shuffles and
@@ -993,6 +1157,7 @@ def sql_query(sql: str, tables: dict, num_partitions: int = 16):
 def _exec_plan(plan: dict, tables: dict, num_partitions: int = 16):
     from . import relational as R
 
+    plan, tables = _lower_subqueries(plan, tables, num_partitions)
     where, items = plan["where"], plan["items"]
 
     if plan["joins"] or plan["group"] or plan["having"] is not None or (

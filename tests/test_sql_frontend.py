@@ -220,6 +220,95 @@ def test_union_all_rejects_inner_order(ray_session):
         )
 
 
-def test_distinct_agg_non_count_rejected(ray_session):
+def test_sum_avg_distinct_grouped(ray_session):
+    df = _run(
+        "SELECT g, SUM(DISTINCT u) AS su, AVG(DISTINCT u) AS au, "
+        "MAX(DISTINCT u) AS mu FROM t GROUP BY g ORDER BY g",
+        _dup_table(),
+    ).reset_index(drop=True)
+    # x: distinct u = {1,2}; y: {3}; z: {} (all NULL) -> SUM/AVG NULL
+    assert list(df.g) == ["x", "y", "z"]
+    assert list(df.su)[:2] == [3.0, 3.0] and np.isnan(df.su[2])
+    assert list(df.au)[:2] == [1.5, 3.0] and np.isnan(df.au[2])
+    assert list(df.mu)[:2] == [2, 3]
+
+
+def test_sum_distinct_keyless(ray_session):
+    df = _run("SELECT SUM(DISTINCT u) AS su, COUNT(DISTINCT u) AS cu FROM t",
+              _dup_table())
+    assert list(df.su) == [6.0] and list(df.cu) == [3]
+
+
+def test_scalar_subquery_where_and_select(ray_session):
+    df = _run(
+        "SELECT a, b - (SELECT AVG(b) FROM t) AS delta FROM t "
+        "WHERE b > (SELECT AVG(b) FROM t) ORDER BY a"
+    )
+    assert list(df.a) == [4, 5]
+    assert list(df.delta) == [10.0, 20.0]
+
+
+def test_scalar_subquery_must_be_1x1(ray_session):
     with pytest.raises(ValueError):
-        _run("SELECT SUM(DISTINCT a) AS s FROM t")
+        _run("SELECT a FROM t WHERE b > (SELECT b FROM t)")
+
+
+def test_in_subquery_semi(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.pipelines.sql import sql_query
+
+    tables = {"t": rd.from_arrow(_table()), "d": rd.from_arrow(_dup_table())}
+    df = sql_query(
+        "SELECT a FROM t WHERE a IN (SELECT u FROM d) ORDER BY a", tables
+    ).to_pandas()
+    assert list(df.a) == [1, 2, 3]
+
+
+def test_not_in_subquery_null_semantics(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.pipelines.sql import sql_query
+
+    tables = {"t": rd.from_arrow(_table()), "d": rd.from_arrow(_dup_table())}
+    # subquery result contains NULL -> NOT IN never TRUE -> empty
+    df = sql_query(
+        "SELECT a FROM t WHERE a NOT IN (SELECT u FROM d)", tables
+    ).to_pandas()
+    assert len(df) == 0
+    # NULL-free subquery -> plain anti join
+    df = sql_query(
+        "SELECT a FROM t WHERE a NOT IN (SELECT u FROM d WHERE u IS NOT NULL)"
+        " ORDER BY a",
+        tables,
+    ).to_pandas()
+    assert list(df.a) == [4, 5]
+
+
+def test_in_subquery_with_groupby(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.pipelines.sql import sql_query
+
+    tables = {"t": rd.from_arrow(_dup_table())}
+    df = sql_query(
+        "SELECT g, COUNT(*) AS n FROM t WHERE u IN (SELECT u FROM t "
+        "WHERE v >= 6.0) GROUP BY g ORDER BY g",
+        tables,
+    ).to_pandas()
+    assert list(df.g) == ["x", "y"]
+    assert list(df.n) == [3, 2]
+
+
+def test_in_subquery_rejected_with_join(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.pipelines.sql import sql_query
+
+    tables = {"t": rd.from_arrow(_table()), "d": rd.from_arrow(_dup_table())}
+    with pytest.raises(ValueError):
+        sql_query(
+            "SELECT t.a FROM t JOIN d ON t.a = d.u "
+            "WHERE t.a IN (SELECT u FROM d)",
+            tables,
+        )
