@@ -195,56 +195,105 @@ def delaunay_triangles(px, py) -> np.ndarray:
 def locate_and_interp(px, py, pv, tris, qx, qy, nodata=0.0):
     """For each query node (qx, qy flat arrays), find its containing
     triangle (exact orientation signs; ties -> canonically smallest
-    triangle, which is the first in the sorted `tris`) and evaluate the
-    canonical barycentric formula.  Outside all triangles -> nodata."""
+    triangle, i.e. the first in the sorted `tris`) and evaluate the
+    canonical barycentric formula.  Outside all triangles -> nodata.
+
+    Point location is a uniform grid over the query extent (~sqrt(T)
+    cells per axis): each triangle is bucketed into the cells its bbox
+    overlaps, each node tests only its own cell's candidates.  The
+    bucket mapping is monotone in each coordinate, so a node's cell
+    always contains every triangle whose bbox covers the node — the
+    candidate set is exact, and taking the smallest-index hit inside
+    the cell equals the global canonical choice.  Replaces the former
+    all-pairs Q x T sign matrices (the 100x hot-cell cost the
+    linear_cap guard worked around)."""
+    qx = np.asarray(qx, np.float64)
+    qy = np.asarray(qy, np.float64)
     out = np.full(len(qx), nodata, np.float64)
-    if len(tris) == 0:
+    T = len(tris)
+    if T == 0 or len(qx) == 0:
         return out
     px = np.asarray(px, np.float64)
     py = np.asarray(py, np.float64)
     pv = np.asarray(pv, np.float64)
-    unassigned = np.arange(len(qx))
-    # chunk over triangles to bound memory: Q x T_chunk sign matrices
-    CH = max(1, 8_000_000 // max(1, len(qx)))
-    for t0 in range(0, len(tris), CH):
-        if len(unassigned) == 0:
-            break
-        sub = tris[t0 : t0 + CH]
-        a, b, c = sub[:, 0], sub[:, 1], sub[:, 2]
-        ax, ay = px[a], py[a]
-        bx, by = px[b], py[b]
-        cx, cy = px[c], py[c]
-        # vertices are index-sorted; orient CCW for the containment test
-        ccw = orient_sign(ax, ay, bx, by, cx, cy)
-        swap = ccw < 0
-        bx2 = np.where(swap, cx, bx)
-        by2 = np.where(swap, cy, by)
-        cx2 = np.where(swap, bx, cx)
-        cy2 = np.where(swap, by, cy)
-        ux, uy = qx[unassigned], qy[unassigned]
+
+    a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+    ax, ay = px[a], py[a]
+    bx, by = px[b], py[b]
+    cx, cy = px[c], py[c]
+    # vertices are index-sorted; orient CCW for the containment test
+    ccw = orient_sign(ax, ay, bx, by, cx, cy)
+    swap = ccw < 0
+    bx2 = np.where(swap, cx, bx)
+    by2 = np.where(swap, cy, by)
+    cx2 = np.where(swap, bx, cx)
+    cy2 = np.where(swap, by, cy)
+
+    qx0, qx1 = float(qx.min()), float(qx.max())
+    qy0, qy1 = float(qy.min()), float(qy.max())
+    G = int(min(256, max(1, np.ceil(np.sqrt(T)))))
+    sx = (qx1 - qx0) or 1.0
+    sy = (qy1 - qy0) or 1.0
+
+    def _cx(v):
+        return np.clip(((v - qx0) / sx * G).astype(np.int64), 0, G - 1)
+
+    def _cy(v):
+        return np.clip(((v - qy0) / sy * G).astype(np.int64), 0, G - 1)
+
+    ix0 = _cx(np.minimum(np.minimum(ax, bx), cx))
+    ix1 = _cx(np.maximum(np.maximum(ax, bx), cx))
+    iy0 = _cy(np.minimum(np.minimum(ay, by), cy))
+    iy1 = _cy(np.maximum(np.maximum(ay, by), cy))
+    nxc = ix1 - ix0 + 1
+    nyc = iy1 - iy0 + 1
+    cnt = nxc * nyc
+    total = int(cnt.sum())
+    tri_rep = np.repeat(np.arange(T, dtype=np.int64), cnt)
+    off = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    r = np.arange(total, dtype=np.int64) - np.repeat(off, cnt)
+    rx = r % np.repeat(nxc, cnt)
+    ry = r // np.repeat(nxc, cnt)
+    cellid = (np.repeat(iy0, cnt) + ry) * G + (np.repeat(ix0, cnt) + rx)
+    rep_order = np.lexsort((tri_rep, cellid))
+    cellid = cellid[rep_order]
+    tri_rep = tri_rep[rep_order]
+
+    qcell = _cy(qy) * G + _cx(qx)
+    q_order = np.argsort(qcell, kind="stable")
+    qcell_s = qcell[q_order]
+    q_starts = np.searchsorted(qcell_s, np.arange(G * G + 1))
+    t_starts = np.searchsorted(cellid, np.arange(G * G + 1))
+
+    for cell in np.unique(qcell_s):
+        qs, qe = q_starts[cell], q_starts[cell + 1]
+        ts_, te = t_starts[cell], t_starts[cell + 1]
+        if ts_ == te:
+            continue
+        cand = tri_rep[ts_:te]  # ascending tri index (lexsort order)
+        rows = q_order[qs:qe]
+        ux, uy = qx[rows], qy[rows]
         s1 = orient_sign(
-            ax[None, :], ay[None, :], bx2[None, :], by2[None, :],
+            ax[cand][None, :], ay[cand][None, :],
+            bx2[cand][None, :], by2[cand][None, :],
             ux[:, None], uy[:, None],
         )
         s2 = orient_sign(
-            bx2[None, :], by2[None, :], cx2[None, :], cy2[None, :],
+            bx2[cand][None, :], by2[cand][None, :],
+            cx2[cand][None, :], cy2[cand][None, :],
             ux[:, None], uy[:, None],
         )
         s3 = orient_sign(
-            cx2[None, :], cy2[None, :], ax[None, :], ay[None, :],
+            cx2[cand][None, :], cy2[cand][None, :],
+            ax[cand][None, :], ay[cand][None, :],
             ux[:, None], uy[:, None],
         )
-        inside = (s1 >= 0) & (s2 >= 0) & (s3 >= 0) & (ccw != 0)[None, :]
+        inside = (s1 >= 0) & (s2 >= 0) & (s3 >= 0) & (ccw[cand] != 0)[None, :]
         hit = inside.any(axis=1)
         if not hit.any():
             continue
-        tri_idx = inside.argmax(axis=1)  # first (canonical) containing tri
-        rows = unassigned[hit]
-        ti = tri_idx[hit]
-        out[rows] = _bary_eval(
-            px, py, pv, sub[ti], qx[rows], qy[rows]
-        )
-        unassigned = unassigned[~hit]
+        ti = cand[inside.argmax(axis=1)[hit]]  # first = smallest index
+        out[rows[hit]] = _bary_eval(px, py, pv, tris[ti], ux[hit], uy[hit])
     return out
 
 

