@@ -368,9 +368,14 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 
 def q07_hash_join(sf_dir: str):
-    """Both-sides-large hash-partitioned equi-join (Dataset.join) +
-    grouped agg (the GROUP-BY superset of the OGR SQL JOIN,
-    ogr_gensql.cpp:1319)."""
+    """Join suite: both-sides-large hash-partitioned equi-join
+    (Dataset.join) + grouped agg (the GROUP-BY superset of the OGR SQL
+    JOIN, ogr_gensql.cpp:1319), PLUS rows tagged ``asof_<event_type>``
+    from the distributed backward as-of join (relational.asof_join —
+    an engine addition, SURVEY §2.4: not present in the reference):
+    each event aligned to the latest order of the same user at or
+    before its timestamp, aggregated integer-exactly over the matched
+    order keys.  Oracle: DuckDB ASOF JOIN of the same shape."""
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
@@ -386,17 +391,64 @@ def q07_hash_join(sf_dir: str):
         li.map_batches(prep, batch_format="pyarrow"), orders, on="o_orderkey",
         num_partitions=16,
     )
-    return R.grouped_aggregate(
+    eq = R.grouped_aggregate(
         joined,
         ["o_orderpriority"],
         [("qty", "sum", "sum_qty"), ("qty", "count", "n_items")],
-    ).sort("o_orderpriority")
+    )
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+    od2 = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate",
+                                           "o_orderkey"])
+
+    def snap(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("o_custkey"),
+                "ts": t.column("o_orderdate"),
+                "o_orderkey": t.column("o_orderkey"),
+            }
+        )
+
+    matched = R.asof_join(
+        ev,
+        od2.map_batches(snap, batch_format="pyarrow"),
+        on="ts", by="user_id", how="inner",
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": pc.binary_join_element_wise(
+                    pa.array(["asof"] * t.num_rows, pa.string()),
+                    t.column("event_type"), "_",
+                ),
+                "qty": pc.cast(t.column("o_orderkey"), pa.int64()),
+            }
+        )
+
+    asof = R.grouped_aggregate(
+        matched.map_batches(shape, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [("qty", "sum", "sum_qty"), ("qty", "count", "n_items")],
+    )
+    return eq.union(asof).sort("o_orderpriority")
 
 
 _Q07_SQL = """
-SELECT o_orderpriority, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, COUNT(*) AS n_items
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY o_orderpriority ORDER BY o_orderpriority
+SELECT * FROM (
+  SELECT o_orderpriority, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, COUNT(*) AS n_items
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderpriority
+  UNION ALL
+  SELECT 'asof_' || ev.event_type AS o_orderpriority,
+         CAST(SUM(sn.o_orderkey) AS BIGINT) AS sum_qty,
+         COUNT(*) AS n_items
+  FROM events ev
+  ASOF JOIN (SELECT o_custkey AS user_id, o_orderdate AS ts, o_orderkey FROM orders) sn
+    ON ev.user_id = sn.user_id AND ev.ts >= sn.ts
+  GROUP BY ev.event_type
+) ORDER BY o_orderpriority
 """
 
 
@@ -2254,11 +2306,16 @@ def q06_join_strategies(sf_dir: str):
         )
 
     def tag_h(t: pa.Table) -> pa.Table:
-        n = t.num_rows
+        key = t.column("o_orderpriority")
+        is_asof = pc.starts_with(key, "asof_")
         return pa.table(
             {
-                "strategy": pa.array(["hash"] * n, pa.string()),
-                "key": t.column("o_orderpriority"),
+                "strategy": pc.if_else(
+                    is_asof,
+                    pa.scalar("asof", pa.string()),
+                    pa.scalar("hash", pa.string()),
+                ),
+                "key": key,
                 "sum_v": pc.cast(t.column("sum_qty"), pa.int64()),
                 "n": pc.cast(t.column("n_items"), pa.int64()),
             }
@@ -2276,8 +2333,9 @@ SELECT * FROM (
   SELECT 'broadcast' AS strategy, c_mktsegment AS key, sum_cents AS sum_v, n
   FROM ({_Q06_SQL.strip()})
   UNION ALL
-  SELECT 'hash' AS strategy, o_orderpriority AS key, sum_qty AS sum_v,
-         n_items AS n
+  SELECT CASE WHEN o_orderpriority LIKE 'asof_%' THEN 'asof' ELSE 'hash' END
+           AS strategy,
+         o_orderpriority AS key, sum_qty AS sum_v, n_items AS n
   FROM ({_Q07_SQL.strip()})
 ) ORDER BY strategy, key
 """
@@ -2374,9 +2432,13 @@ def q16_ann_topk(sf_dir: str):
     metric column rather than an unquantified claim."""
     from .relational import copartition_equi_join, grouped_aggregate
 
-    ex = q16_ann_cosine(sf_dir)
-    ls = q21_ann_lsh(sf_dir)
-    iv = q_ann_ivf(sf_dir)
+    # each result is tiny (n_queries x k rows); materialize once so the
+    # tag branch and the recall branches don't re-execute the whole
+    # embedding pipeline per consumer (small-result materialize is the
+    # sanctioned exception to streaming)
+    ex = q16_ann_cosine(sf_dir).materialize()
+    ls = q21_ann_lsh(sf_dir).materialize()
+    iv = q_ann_ivf(sf_dir).materialize()
 
     def tag(name):
         def fn(t: pa.Table) -> pa.Table:

@@ -320,6 +320,165 @@ def copartition_equi_join(
     return both.groupby("__jpart").map_groups(part_join, batch_format="pyarrow")
 
 
+def asof_join(
+    left,
+    right,
+    on: str,
+    by: str,
+    how: str = "inner",
+    tolerance=None,
+    right_suffix: str = "_r",
+    num_partitions: int = 16,
+    left_schema: list[tuple] | None = None,
+    right_schema: list[tuple] | None = None,
+):
+    """Distributed backward as-of join: each left row matches the right
+    row with the same ``by`` key and the greatest ``on`` value <= the
+    left's (inclusive; DuckDB ``ASOF JOIN ... ON l.by = r.by AND
+    l.on >= r.on`` semantics), optionally within ``tolerance``.
+
+    Not present in the reference (SURVEY §2.4 "as-of / range joins") —
+    an engine addition for event/feature alignment at scale.  Plan: tag
+    both sides, union, ONE groupby(hash(by) % P) shuffle, then a fully
+    vectorized per-partition merge: right rows lexsorted by (by, on),
+    both sides' on-values rank-encoded against their union so a single
+    ``searchsorted`` over the composite (key_run, on_rank) locates
+    every left row's predecessor at once — no per-key Python loop.
+
+    Output: left columns + right columns except ``by``/``on``
+    (collisions suffixed); ``how='inner'`` drops unmatched left rows,
+    ``'left_outer'`` null-fills them.  NULL keys / NULL on-values never
+    match (SQL comparison semantics)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError("asof_join how must be inner|left_outer")
+
+    def _schema(ds, given):
+        if given:
+            return list(given)
+        return list(zip(ds.schema().names, ds.schema().types))
+
+    lsch = _schema(left, left_schema)
+    rsch = _schema(right, right_schema)
+    lcols = [c for c, _ in lsch]
+    rcols = [c for c, _ in rsch]
+    if by not in lcols or by not in rcols or on not in lcols or on not in rcols:
+        raise ValueError(f"asof_join: {by!r}/{on!r} must exist on both sides")
+    r_out = [c for c in rcols if c not in (by, on)]
+    out_names = {c: (c + right_suffix if c in lcols else c) for c in r_out}
+
+    def _key_part(col) -> np.ndarray:
+        c = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        c = c.astype(np.uint64)
+        c = (c ^ (c >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        c = c ^ (c >> np.uint64(33))
+        return (c % np.uint64(num_partitions)).astype(np.int64)
+
+    def _tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            valid = pc.and_(
+                pc.is_valid(t.column(by)), pc.is_valid(t.column(on))
+            )
+            if side == 1 or how == "inner":
+                # NULL keys/on never match; for left_outer keep them on
+                # the left so they can null-fill
+                if side == 1:
+                    t = t.filter(valid)
+            cols = {
+                "__side": pa.array(np.full(t.num_rows, side, np.int8)),
+                "__jpart": pa.array(_key_part(t.column(by)), pa.int64()),
+            }
+            for c, ty in lsch:
+                cols[c] = t.column(c) if side == 0 else pa.nulls(t.num_rows, ty)
+            for c, ty in rsch:
+                cols[f"__r_{c}"] = (
+                    t.column(c) if side == 1 else pa.nulls(t.num_rows, ty)
+                )
+            return pa.table(cols)
+
+        return fn
+
+    both = left.map_batches(_tag(0), batch_format="pyarrow").union(
+        right.map_batches(_tag(1), batch_format="pyarrow")
+    )
+
+    def part_asof(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0)).select(lcols)
+        rt = g.filter(pa.array(side == 1)).select(
+            [f"__r_{c}" for c in rcols]
+        ).rename_columns(rcols)
+        lk = lt.column(by).to_numpy(zero_copy_only=False)
+        lo = lt.column(on).to_numpy(zero_copy_only=False)
+        rk = rt.column(by).to_numpy(zero_copy_only=False)
+        ro = rt.column(on).to_numpy(zero_copy_only=False)
+        lvalid = (
+            pc.and_(pc.is_valid(lt.column(by)), pc.is_valid(lt.column(on)))
+            .to_numpy(zero_copy_only=False)
+        )
+        n_l, n_r = len(lk), len(rk)
+        if n_l == 0:
+            pos = np.empty(0, np.int64)
+            matched = np.empty(0, bool)
+            order = np.empty(0, np.int64)
+        elif n_r == 0:
+            pos = np.full(n_l, -1, np.int64)
+            matched = np.zeros(n_l, bool)
+            order = np.empty(0, np.int64)
+        else:
+            order = np.lexsort((ro, rk))
+            rk_s, ro_s = rk[order], ro[order]
+            uk = np.unique(rk_s)
+            # rank-encode on-values over the union of both sides so the
+            # composite (key_slot, rank) is a single sortable int64
+            lk_f = np.where(lvalid, lk, rk_s[0])
+            lo_f = np.where(lvalid, lo, ro_s[0])
+            all_t = np.unique(np.concatenate([ro_s, lo_f]))
+            M = len(all_t) + 1
+            comp_r = (
+                np.searchsorted(uk, rk_s) * M + np.searchsorted(all_t, ro_s)
+            )
+            ki = np.searchsorted(uk, lk_f)
+            has = (ki < len(uk))
+            ki_c = np.minimum(ki, len(uk) - 1)
+            has &= uk[ki_c] == lk_f
+            comp_l = ki_c * M + np.searchsorted(all_t, lo_f)
+            pos = np.searchsorted(comp_r, comp_l, side="right") - 1
+            matched = has & lvalid & (pos >= 0)
+            pos_c = np.maximum(pos, 0)
+            matched &= rk_s[pos_c] == lk_f
+            if tolerance is not None:
+                def _num(a):
+                    # datetime64 -> int64 ticks (tolerance in the same
+                    # unit, e.g. microseconds for timestamp[us])
+                    return a.view("i8") if a.dtype.kind in "mM" else a
+
+                delta = _num(lo_f) - _num(ro_s[pos_c])
+                matched &= delta <= tolerance
+        if how == "inner":
+            lt = lt.filter(pa.array(matched))
+            take_idx = pa.array(
+                order[pos[matched]] if len(order) else
+                np.empty(0, np.int64),
+                pa.int64(),
+            )
+        else:
+            if len(order):
+                idx = np.where(matched, order[np.maximum(pos, 0)], -1)
+            else:  # no right rows in this partition: all null-fill
+                idx = np.full(len(matched), -1, np.int64)
+            take_idx = pa.array(
+                np.ma.masked_array(idx, mask=idx < 0), pa.int64()
+            )
+        cols = {c: lt.column(c) for c in lcols}
+        for c in r_out:
+            cols[out_names[c]] = rt.column(c).take(take_idx)
+        return pa.table(cols)
+
+    return both.groupby("__jpart").map_groups(
+        part_asof, batch_format="pyarrow"
+    )
+
+
 def sample_hash(ds, key_col: str, frac: float):
     """Deterministic Bernoulli sampling by multiplicative key hash
     (the decimated/approx-ok sampling analog of

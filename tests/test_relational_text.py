@@ -187,3 +187,133 @@ def test_join_auto_strategies_agree(ray_session):
         sorted(d.columns)).reset_index(drop=True)
     assert canon(small).equals(canon(big))
     assert len(small) == 4
+
+
+# ------------------------------------------------------- as-of join
+
+
+def _asof_fixtures():
+    import numpy as np
+    import pyarrow as pa
+
+    lt = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3, None], pa.int64()),
+            "t": pa.array([10, 4, 7, 1, 5], pa.int64()),
+            "lv": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        }
+    )
+    rt = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2, 4], pa.int64()),
+            "t": pa.array([5, 8, 7, 9, 1], pa.int64()),
+            "rv": pa.array([10.0, 20.0, 30.0, 40.0, 50.0]),
+        }
+    )
+    return lt, rt
+
+
+def test_asof_join_inner(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.pipelines.relational import asof_join
+
+    lt, rt = _asof_fixtures()
+    df = (
+        asof_join(rd.from_arrow(lt), rd.from_arrow(rt), on="t", by="k")
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    # (1,10)->(1,8); (1,4) no earlier; (2,7)->(2,7) inclusive; (3,1)
+    # no key 3; NULL key never matches
+    assert list(df.k) == [1, 2]
+    assert list(df.t) == [10, 7]
+    assert list(df.rv) == [20.0, 30.0]
+
+
+def test_asof_join_left_outer_and_tolerance(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.pipelines.relational import asof_join
+
+    lt, rt = _asof_fixtures()
+    df = (
+        asof_join(rd.from_arrow(lt), rd.from_arrow(rt), on="t", by="k",
+                  how="left_outer")
+        .to_pandas().sort_values(["k", "t"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(df) == 5
+    m = df.dropna(subset=["rv"])
+    assert list(m.rv) == [20.0, 30.0]
+    # tolerance 1: (1,10)->(1,8) delta 2 excluded; (2,7)->(2,7) kept
+    df = (
+        asof_join(rd.from_arrow(lt), rd.from_arrow(rt), on="t", by="k",
+                  tolerance=1)
+        .to_pandas()
+    )
+    assert list(df.k) == [2] and list(df.rv) == [30.0]
+
+
+def test_asof_join_timestamps_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.pipelines.relational import asof_join
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 400, 300
+    lt = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 20, n_l), pa.int64()),
+            "t": pa.array(
+                np.datetime64("2024-01-01", "us")
+                + rng.integers(0, 10**9, n_l).astype("timedelta64[us]")
+            ),
+            "lv": pa.array(np.arange(n_l, dtype=np.int64)),
+        }
+    )
+    rt = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 20, n_r), pa.int64()),
+            "t": pa.array(
+                np.datetime64("2024-01-01", "us")
+                + rng.integers(0, 10**9, n_r).astype("timedelta64[us]")
+            ),
+            "rv": pa.array(np.arange(n_r, dtype=np.int64)),
+        }
+    )
+    got = (
+        asof_join(rd.from_arrow(lt), rd.from_arrow(rt), on="t", by="k")
+        .to_pandas().sort_values("lv").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", lt.to_pandas())
+    con.register("r", rt.to_pandas())
+    exp = con.execute(
+        "SELECT l.k, l.t, l.lv, r.rv FROM l ASOF JOIN r "
+        "ON l.k = r.k AND l.t >= r.t ORDER BY l.lv"
+    ).fetchdf()
+    assert len(got) == len(exp)
+    assert list(got.lv) == list(exp.lv)
+    assert list(got.rv) == list(exp.rv)
+
+
+def test_asof_join_column_collision_suffix(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.pipelines.relational import asof_join
+
+    lt = pa.table({"k": pa.array([1], pa.int64()),
+                   "t": pa.array([5], pa.int64()),
+                   "v": pa.array([1.0])})
+    rt = pa.table({"k": pa.array([1], pa.int64()),
+                   "t": pa.array([3], pa.int64()),
+                   "v": pa.array([9.0])})
+    df = asof_join(rd.from_arrow(lt), rd.from_arrow(rt), on="t",
+                   by="k").to_pandas()
+    assert list(df.columns) == ["k", "t", "v", "v_r"]
+    assert df.v[0] == 1.0 and df.v_r[0] == 9.0
