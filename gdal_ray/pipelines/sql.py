@@ -29,12 +29,15 @@ through ``Dataset.map_batches``:
   execute once and substitute as literals; ``[NOT] IN (SELECT ...)``
   as a top-level WHERE conjunct lowers onto a co-partitioned
   semi/anti join (three-valued NOT IN NULL semantics preserved);
-- UNION ALL chains branches with Dataset.union (trailing ORDER BY /
-  LIMIT apply to the whole union);
+- UNION ALL chains branches with Dataset.union; bare UNION dedups
+  (left-associative with mixed modes) via the distributed DISTINCT;
+  trailing ORDER BY / LIMIT apply to the whole union;
+- SELECT DISTINCT (the swq SWQM_DISTINCT_LIST mode, multi-column)
+  lowers onto relational.distinct after the projection;
 - ORDER BY / LIMIT lower onto the distributed top-k.
 
-Not covered (documented): bare UNION (dedup), non-equi join
-conditions, correlated subqueries, IN-subqueries combined with JOIN.
+Not covered (documented): non-equi join conditions, correlated
+subqueries, IN-subqueries combined with JOIN.
 """
 
 from __future__ import annotations
@@ -364,7 +367,12 @@ def parse_select(sql: str) -> dict:
     them."""
     p = _Parser(_tokenize(sql))
     branches = [_parse_one(p)]
-    while branches[-1].pop("union_next"):
+    modes = []  # mode joining branch i and i+1: "all" | "distinct"
+    while True:
+        m = branches[-1].pop("union_next")
+        if not m:
+            break
+        modes.append(m)
         branches.append(_parse_one(p))
     branches[-1].pop("union_next", None)
     if len(branches) == 1:
@@ -374,11 +382,14 @@ def parse_select(sql: str) -> dict:
             raise ValueError(
                 "ORDER BY/LIMIT inside a non-final UNION ALL branch"
             )
-    return {"union_all": branches}
+    return {"union_all": branches, "union_modes": modes}
 
 
 def _parse_one(p: "_Parser", sub: bool = False) -> dict:
     p.expect("kw", "select")
+    # SELECT DISTINCT (the swq SWQM_DISTINCT_LIST mode generalized to
+    # multi-column: ogr/ogr_swq.h:382 oSetDistinctValues)
+    select_distinct = p.accept("kw", "distinct")
     items = []
     if p.accept("op", "*"):
         items = None
@@ -460,16 +471,15 @@ def _parse_one(p: "_Parser", sub: bool = False) -> dict:
     limit = None
     if p.accept("kw", "limit"):
         limit = int(p.next()[1])
-    union_next = False
+    union_next = False  # False | "all" | "distinct"
     if not sub and p.accept("kw", "union"):
-        p.expect("kw", "all")  # bare UNION (dedup) not supported
-        union_next = True
+        union_next = "all" if p.accept("kw", "all") else "distinct"
     elif not sub and p.peek()[0] != "end":
         raise ValueError(f"trailing tokens at {p.peek()}")
     return {"items": items, "table": table, "table_alias": table_alias,
             "joins": joins, "where": where, "group": group,
             "having": having, "order": order, "limit": limit,
-            "union_next": union_next}
+            "distinct": select_distinct, "union_next": union_next}
 
 
 # ------------------------------------------------ AST utilities
@@ -909,6 +919,8 @@ def _run_join_agg(plan, tables, num_partitions: int):
             out = ds.map_batches(proj, batch_format="pyarrow")
             out_names = [name for _, name in rewritten]
 
+    if plan.get("distinct"):
+        out = R.distinct(out, list(out_names))
     if plan["order"]:
         for c, _ in plan["order"]:
             if c not in out_names:
@@ -1140,7 +1152,19 @@ def sql_query(sql: str, tables: dict, num_partitions: int = 16):
             _exec_plan(b, tables, num_partitions)
             for b in branches[:-1] + [last]
         ]
-        out = parts[0].union(*parts[1:])
+        modes = plan["union_modes"]
+        if all(m == "all" for m in modes):
+            out = parts[0].union(*parts[1:])
+        else:
+            # bare UNION dedups; left-associative with mixed modes
+            out = parts[0]
+            names = None
+            for m, p_ in zip(modes, parts[1:]):
+                out = out.union(p_)
+                if m == "distinct":
+                    if names is None:
+                        names = out.schema().names
+                    out = R.distinct(out, list(names))
         if order:
             keys = [c for c, _ in order]
             desc = [d for _, d in order]
@@ -1201,6 +1225,15 @@ def _exec_plan(plan: dict, tables: dict, num_partitions: int = 16):
         return pa.table(cols)
 
     out = ds.map_batches(run, batch_format="pyarrow")
+    if plan.get("distinct"):
+        if extra_keys:
+            raise ValueError(
+                "SELECT DISTINCT with ORDER BY on a non-output column"
+            )
+        names = (
+            out_names if items is not None else list(ds.schema().names)
+        )
+        out = R.distinct(out, list(names))
     if plan["order"]:
         keys = [
             c if (items is None or c in out_names) else f"__ob_{c}"

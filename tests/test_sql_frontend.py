@@ -312,3 +312,33 @@ def test_in_subquery_rejected_with_join(ray_session):
             "WHERE t.a IN (SELECT u FROM d)",
             tables,
         )
+
+
+def test_select_distinct(ray_session):
+    df = _run(
+        "SELECT DISTINCT g FROM t ORDER BY g", _dup_table()
+    ).reset_index(drop=True)
+    assert list(df.g) == ["x", "y", "z"]
+    df = _run(
+        "SELECT DISTINCT g, u FROM t WHERE u IS NOT NULL ORDER BY g, u",
+        _dup_table(),
+    ).reset_index(drop=True)
+    assert list(zip(df.g, df.u)) == [("x", 1), ("x", 2), ("y", 3)]
+
+
+def test_bare_union_dedup(ray_session):
+    df = _run(
+        "SELECT a AS k FROM t WHERE a <= 3 UNION "
+        "SELECT a AS k FROM t WHERE a >= 2 ORDER BY k"
+    ).reset_index(drop=True)
+    assert list(df.k) == [1, 2, 3, 4, 5]
+
+
+def test_mixed_union_modes_left_associative(ray_session):
+    # (b1 UNION b2) dedups, then UNION ALL b3 re-introduces duplicates
+    df = _run(
+        "SELECT a AS k FROM t WHERE a = 1 UNION "
+        "SELECT a AS k FROM t WHERE a = 1 UNION ALL "
+        "SELECT a AS k FROM t WHERE a = 1 ORDER BY k"
+    )
+    assert list(df.k) == [1, 1]
