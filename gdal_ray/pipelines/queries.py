@@ -432,7 +432,46 @@ def q07_hash_join(sf_dir: str):
         ["o_orderpriority"],
         [("qty", "sum", "sum_qty"), ("qty", "count", "n_items")],
     )
-    return eq.union(asof).sort("o_orderpriority")
+
+    # range/window rows: events within 2 h AFTER the same user's latest
+    # 'purchase' event (validity-window lookup = as-of + tolerance)
+    ev2 = _read(sf_dir, "events",
+                columns=["event_id", "ts", "user_id", "event_type"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "anchor_id": t.column("event_id"),
+            }
+        )
+
+    in_window = R.asof_join(
+        ev2,
+        ev2.map_batches(purchases, batch_format="pyarrow"),
+        on="ts", by="user_id", how="inner",
+        tolerance=2 * 3600 * 1_000_000,  # 2 h in microseconds
+    )
+
+    def shape_r(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": pc.binary_join_element_wise(
+                    pa.array(["range"] * t.num_rows, pa.string()),
+                    t.column("event_type"), "_",
+                ),
+                "qty": pc.cast(t.column("anchor_id"), pa.int64()),
+            }
+        )
+
+    rng = R.grouped_aggregate(
+        in_window.map_batches(shape_r, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [("qty", "sum", "sum_qty"), ("qty", "count", "n_items")],
+    )
+    return eq.union(asof).union(rng).sort("o_orderpriority")
 
 
 _Q07_SQL = """
@@ -447,6 +486,16 @@ SELECT * FROM (
   FROM events ev
   ASOF JOIN (SELECT o_custkey AS user_id, o_orderdate AS ts, o_orderkey FROM orders) sn
     ON ev.user_id = sn.user_id AND ev.ts >= sn.ts
+  GROUP BY ev.event_type
+  UNION ALL
+  SELECT 'range_' || ev.event_type AS o_orderpriority,
+         CAST(SUM(px.anchor_id) AS BIGINT) AS sum_qty,
+         COUNT(*) AS n_items
+  FROM events ev
+  ASOF JOIN (SELECT user_id, ts, event_id AS anchor_id FROM events
+             WHERE event_type = 'purchase') px
+    ON ev.user_id = px.user_id AND ev.ts >= px.ts
+  WHERE epoch_us(ev.ts) - epoch_us(px.ts) <= 7200000000
   GROUP BY ev.event_type
 ) ORDER BY o_orderpriority
 """
@@ -2307,14 +2356,18 @@ def q06_join_strategies(sf_dir: str):
 
     def tag_h(t: pa.Table) -> pa.Table:
         key = t.column("o_orderpriority")
-        is_asof = pc.starts_with(key, "asof_")
+        strat = pc.if_else(
+            pc.starts_with(key, "asof_"),
+            pa.scalar("asof", pa.string()),
+            pc.if_else(
+                pc.starts_with(key, "range_"),
+                pa.scalar("range", pa.string()),
+                pa.scalar("hash", pa.string()),
+            ),
+        )
         return pa.table(
             {
-                "strategy": pc.if_else(
-                    is_asof,
-                    pa.scalar("asof", pa.string()),
-                    pa.scalar("hash", pa.string()),
-                ),
+                "strategy": strat,
                 "key": key,
                 "sum_v": pc.cast(t.column("sum_qty"), pa.int64()),
                 "n": pc.cast(t.column("n_items"), pa.int64()),
@@ -2333,8 +2386,9 @@ SELECT * FROM (
   SELECT 'broadcast' AS strategy, c_mktsegment AS key, sum_cents AS sum_v, n
   FROM ({_Q06_SQL.strip()})
   UNION ALL
-  SELECT CASE WHEN o_orderpriority LIKE 'asof_%' THEN 'asof' ELSE 'hash' END
-           AS strategy,
+  SELECT CASE WHEN o_orderpriority LIKE 'asof_%' THEN 'asof'
+              WHEN o_orderpriority LIKE 'range_%' THEN 'range'
+              ELSE 'hash' END AS strategy,
          o_orderpriority AS key, sum_qty AS sum_v, n_items AS n
   FROM ({_Q07_SQL.strip()})
 ) ORDER BY strategy, key

@@ -479,6 +479,73 @@ def asof_join(
     )
 
 
+def range_lookup_join(
+    left,
+    right,
+    on: str,
+    by: str,
+    lo: str,
+    hi: str,
+    how: str = "inner",
+    right_suffix: str = "_r",
+    num_partitions: int = 16,
+):
+    """Validity-window (interval) lookup join: match each left row to
+    the LATEST right interval of the same ``by`` key whose ``lo`` <=
+    left ``on``, and keep the match only if ``on`` <= ``hi``.  Equal to
+    the general interval join (``l.on BETWEEN r.lo AND r.hi``) whenever
+    the intervals are non-overlapping per key — the validity-window /
+    SCD-2 shape; with overlapping intervals only the latest-starting
+    candidate is considered (the as-of contract, documented).  Lowers
+    onto asof_join(on=lo) + a vectorized hi filter (inner) or null-out
+    (left_outer) — one shuffle, no pair fan-out.  Engine addition
+    (SURVEY §2.4: as-of / range joins absent from the reference)."""
+    rnames = right.schema().names
+    rtypes = right.schema().types
+    if lo == on:
+        r2, lo2 = right, lo
+    else:
+        if on in rnames:
+            raise ValueError(
+                f"right already has a column named {on!r}; rename it"
+            )
+
+        def ren(t: pa.Table, _lo=lo, _on=on) -> pa.Table:
+            return t.rename_columns(
+                [_on if c == _lo else c for c in t.column_names]
+            )
+
+        r2 = right.map_batches(ren, batch_format="pyarrow")
+        lo2 = on
+    rsch = [(on if c == lo else c, ty) for c, ty in zip(rnames, rtypes)]
+    m = asof_join(
+        left, r2, on=on, by=by, how=how, right_suffix=right_suffix,
+        num_partitions=num_partitions, right_schema=rsch,
+    )
+    lnames = set(left.schema().names)
+    hi_out = hi + right_suffix if hi in lnames else hi
+    null_cols = [
+        (c + right_suffix if c in lnames else c)
+        for c in rnames
+        if c not in (by, lo)
+    ]
+
+    def post(t: pa.Table) -> pa.Table:
+        ok = pc.less_equal(t.column(on), t.column(hi_out))
+        if how == "inner":
+            return t.filter(pc.fill_null(ok, False))
+        keep = pc.fill_null(ok, True)  # unmatched rows stay null-filled
+        for c in null_cols:
+            col = t.column(c)
+            t = t.set_column(
+                t.column_names.index(c), c,
+                pc.if_else(keep, col, pa.nulls(t.num_rows, col.type)),
+            )
+        return t
+
+    return m.map_batches(post, batch_format="pyarrow")
+
+
 def sample_hash(ds, key_col: str, frac: float):
     """Deterministic Bernoulli sampling by multiplicative key hash
     (the decimated/approx-ok sampling analog of

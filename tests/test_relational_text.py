@@ -317,3 +317,83 @@ def test_asof_join_column_collision_suffix(ray_session):
                    by="k").to_pandas()
     assert list(df.columns) == ["k", "t", "v", "v_r"]
     assert df.v[0] == 1.0 and df.v_r[0] == 9.0
+
+
+def test_range_lookup_join(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.pipelines.relational import range_lookup_join
+
+    # non-overlapping validity windows per key (SCD-2 shape)
+    lt = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "t": pa.array([2, 12, 25, 5], pa.int64()),
+            "lv": pa.array([1.0, 2.0, 3.0, 4.0]),
+        }
+    )
+    rt = pa.table(
+        {
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "lo": pa.array([0, 10, 0], pa.int64()),
+            "hi": pa.array([9, 19, 3], pa.int64()),
+            "rv": pa.array([100.0, 200.0, 300.0]),
+        }
+    )
+    df = (
+        range_lookup_join(rd.from_arrow(lt), rd.from_arrow(rt), on="t",
+                          by="k", lo="lo", hi="hi")
+        .to_pandas().sort_values("t").reset_index(drop=True)
+    )
+    # t=2 -> [0,9]; t=12 -> [10,19]; t=25 beyond hi; (2,5) beyond hi=3
+    assert list(df.t) == [2, 12]
+    assert list(df.rv) == [100.0, 200.0]
+
+    df = (
+        range_lookup_join(rd.from_arrow(lt), rd.from_arrow(rt), on="t",
+                          by="k", lo="lo", hi="hi", how="left_outer")
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    assert len(df) == 4
+    # matched windows carry rv; beyond-hi rows null out the right side
+    got = {(int(r.k), int(r.t)): (None if r.rv != r.rv else r.rv)
+           for r in df.itertuples()}
+    assert got == {(1, 2): 100.0, (1, 12): 200.0, (1, 25): None,
+                   (2, 5): None}
+
+
+def test_range_lookup_join_vs_duckdb_between(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.pipelines.relational import range_lookup_join
+
+    rng = np.random.default_rng(23)
+    # non-overlapping windows per key: starts on a 10-grid, width <= 9
+    ks, los = np.meshgrid(np.arange(8), np.arange(0, 200, 10))
+    ks, los = ks.ravel(), los.ravel()
+    his = los + rng.integers(0, 10, len(los))
+    rt = pa.table({"k": pa.array(ks, pa.int64()),
+                   "lo": pa.array(los, pa.int64()),
+                   "hi": pa.array(his, pa.int64()),
+                   "rv": pa.array(np.arange(len(ks), dtype=np.int64))})
+    lt = pa.table({"k": pa.array(rng.integers(0, 8, 500), pa.int64()),
+                   "t": pa.array(rng.integers(0, 210, 500), pa.int64()),
+                   "lv": pa.array(np.arange(500, dtype=np.int64))})
+    got = (
+        range_lookup_join(rd.from_arrow(lt), rd.from_arrow(rt), on="t",
+                          by="k", lo="lo", hi="hi")
+        .to_pandas().sort_values("lv").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", lt.to_pandas())
+    con.register("r", rt.to_pandas())
+    exp = con.execute(
+        "SELECT l.lv, r.rv FROM l JOIN r ON l.k = r.k "
+        "AND l.t BETWEEN r.lo AND r.hi ORDER BY l.lv"
+    ).fetchdf()
+    assert list(got.lv) == list(exp.lv)
+    assert list(got.rv) == list(exp.rv)
