@@ -435,53 +435,70 @@ def read_cog(path: str, level: int = 0) -> dict:
     nb = gv(_T_SAMPLESPERPIXEL, 1)
     comp = gv(_T_COMPRESSION, 1)
     pred = gv(_T_PREDICTOR, 1)
+    planar = gv(_T_PLANARCONFIG, 1)
     sfmt = gv(_T_SAMPLEFORMAT, 1)
     bps = gv(_T_BITSPERSAMPLE, 8)
     if comp not in (1, 8):
         raise ValueError(f"unsupported compression {comp}")
     if pred not in (1, 2):
         raise ValueError(f"unsupported predictor {pred}")
-    dtype = np.uint8 if (sfmt == 1 and bps == 8) else np.float32
-    if pred == 2 and dtype != np.uint8:
-        raise ValueError("predictor=2 only supported for uint8 samples")
+    if planar not in (1, 2):
+        raise ValueError(f"unsupported planar config {planar}")
+    if sfmt == 1 and bps == 8:
+        dtype = np.uint8
+    elif sfmt == 1 and bps == 16:
+        dtype = np.uint16
+    elif sfmt == 3 and bps == 32:
+        dtype = np.float32
+    else:
+        raise ValueError(f"unsupported sample format {sfmt}/{bps}")
+    if pred == 2 and dtype == np.float32:
+        raise ValueError("predictor=2 requires integer samples")
     img = np.zeros((h, w, nb) if nb > 1 else (h, w), dtype)
+    sep = planar == 2 and nb > 1  # band-sequential chunk layout
+
+    def _paste(a: np.ndarray, y0: int, x0: int, band: int | None):
+        hh = min(a.shape[0], h - y0)
+        ww = min(a.shape[1], w - x0)
+        if band is not None:
+            img[y0 : y0 + hh, x0 : x0 + ww, band] = a[:hh, :ww]
+        elif nb > 1:
+            img[y0 : y0 + hh, x0 : x0 + ww, :] = a[:hh, :ww, :]
+        else:
+            img[y0 : y0 + hh, x0 : x0 + ww] = a[:hh, :ww]
 
     if _T_TILEOFFSETS in tags:
         ts = gv(_T_TILEWIDTH)
         offsets = _tag_values(buf, tags, _T_TILEOFFSETS, big)
         counts = _tag_values(buf, tags, _T_TILEBYTECOUNTS, big)
         ntx = math.ceil(w / ts)
+        per_band = math.ceil(h / ts) * ntx  # tiles per plane when sep
         for ti, (o, c) in enumerate(zip(offsets, counts)):
             enc = buf[o : o + c]
             raw = zlib.decompress(enc) if comp == 8 else enc
-            tile = np.frombuffer(raw, dtype).reshape(
-                (ts, ts, nb) if nb > 1 else (ts, ts)
-            )
+            band = ti // per_band if sep else None
+            shape = (ts, ts) if (sep or nb == 1) else (ts, ts, nb)
+            tile = np.frombuffer(raw, dtype).reshape(shape)
             if pred == 2:
                 tile = _undo_predictor2(tile)
-            ty, tx = divmod(ti, ntx)
-            y0, x0 = ty * ts, tx * ts
-            hh = min(ts, h - y0)
-            ww = min(ts, w - x0)
-            if nb > 1:
-                img[y0 : y0 + hh, x0 : x0 + ww, :] = tile[:hh, :ww, :]
-            else:
-                img[y0 : y0 + hh, x0 : x0 + ww] = tile[:hh, :ww]
+            ty, tx = divmod(ti % per_band if sep else ti, ntx)
+            _paste(tile, ty * ts, tx * ts, band)
     elif _T_STRIPOFFSETS in tags:
         offsets = _tag_values(buf, tags, _T_STRIPOFFSETS, big)
         counts = _tag_values(buf, tags, _T_STRIPBYTECOUNTS, big)
         rps = gv(_T_ROWSPERSTRIP, h)
+        per_band = math.ceil(h / rps)  # strips per plane when sep
         for si, (o, c) in enumerate(zip(offsets, counts)):
-            y0 = si * rps
+            band = si // per_band if sep else None
+            y0 = (si % per_band if sep else si) * rps
             rows = min(rps, h - y0)
             enc = buf[o : o + c]
             raw = zlib.decompress(enc) if comp == 8 else enc
-            a = np.frombuffer(raw, dtype).reshape(
-                (rows, w, nb) if nb > 1 else (rows, w)
-            )
+            shape = (rows, w) if (sep or nb == 1) else (rows, w, nb)
+            a = np.frombuffer(raw, dtype).reshape(shape)
             if pred == 2:
                 a = _undo_predictor2(a)
-            img[y0 : y0 + rows] = a
+            _paste(a, y0, 0, band)
     else:
         raise ValueError("IFD has neither tile nor strip offsets")
 
@@ -544,13 +561,16 @@ def write_tiff(
     compress: str = "deflate",
     predictor: int = 1,
     bigtiff: bool = False,
+    planar: int = 1,
 ) -> dict:
     """Plain strip-layout TIFF writer: classic or BigTIFF offsets,
-    optional predictor=2 horizontal differencing (uint8) under deflate
-    — the non-COG interop shapes the reference's GTiff driver reads
-    and writes by default (gtiffdataset_write.cpp strip path,
-    TIFFPredictor).  Single IFD, no overviews; georef tags as
-    write_cog.  Returns {path, strips, size, bigtiff}."""
+    optional predictor=2 horizontal differencing (integer samples,
+    per-sample mod-2^bits) under deflate, pixel- (1) or band-
+    sequential (2) planar config — the non-COG interop shapes the
+    reference's GTiff driver reads and writes by default
+    (gtiffdataset_write.cpp strip path, TIFFPredictor).  Single IFD,
+    no overviews; georef tags as write_cog.  Returns {path, strips,
+    size, bigtiff}."""
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[:, :, 0]
     if img.ndim == 2:
@@ -561,27 +581,39 @@ def write_tiff(
         raise ValueError("img must be (h,w) or (h,w,{1,3})")
     if img.dtype == np.uint8:
         bps, sfmt = 8, 1
+    elif img.dtype == np.uint16:
+        bps, sfmt = 16, 1
     elif img.dtype == np.float32:
         bps, sfmt = 32, 3
     else:
-        raise ValueError("dtype must be uint8 or float32")
+        raise ValueError("dtype must be uint8, uint16 or float32")
     if compress not in ("deflate", "none"):
         raise ValueError("compress must be deflate|none")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1|2")
-    if predictor == 2 and img.dtype != np.uint8:
-        raise ValueError("predictor=2 requires uint8 samples")
+    if predictor == 2 and img.dtype == np.float32:
+        raise ValueError("predictor=2 requires integer samples")
+    if planar not in (1, 2):
+        raise ValueError("planar must be 1|2")
 
     h, w = img.shape[:2]
+    planes = (
+        [img[:, :, b] for b in range(nb)]
+        if planar == 2 and nb > 1
+        else [img]
+    )
     strips: list[bytes] = []
-    for y0 in range(0, h, rows_per_strip):
-        sub = img[y0 : y0 + rows_per_strip]
-        if predictor == 2:
-            d = sub.copy()
-            d[:, 1:] = sub[:, 1:] - sub[:, :-1]  # uint8 wraps mod 256
-            sub = d
-        raw = np.ascontiguousarray(sub).tobytes()
-        strips.append(zlib.compress(raw, 6) if compress == "deflate" else raw)
+    for plane in planes:
+        for y0 in range(0, h, rows_per_strip):
+            sub = plane[y0 : y0 + rows_per_strip]
+            if predictor == 2:
+                d = sub.copy()
+                d[:, 1:] = sub[:, 1:] - sub[:, :-1]  # wraps mod 2^bits
+                sub = d
+            raw = np.ascontiguousarray(sub).tobytes()
+            strips.append(
+                zlib.compress(raw, 6) if compress == "deflate" else raw
+            )
 
     n_strips = len(strips)
     off_typ = _TYPE_LONG8 if bigtiff else _TYPE_LONG
@@ -594,7 +626,7 @@ def write_tiff(
         (_T_SAMPLESPERPIXEL, _TYPE_SHORT, [nb]),
         (_T_ROWSPERSTRIP, _TYPE_LONG, [rows_per_strip]),
         (_T_STRIPBYTECOUNTS, _TYPE_LONG, [len(s) for s in strips]),
-        (_T_PLANARCONFIG, _TYPE_SHORT, [1]),
+        (_T_PLANARCONFIG, _TYPE_SHORT, [planar if nb > 1 else 1]),
         (_T_SAMPLEFORMAT, _TYPE_SHORT, [sfmt] * nb),
     ]
     if predictor == 2:

@@ -204,3 +204,38 @@ def test_read_tiff_source_roundtrip(ray_session, tmp_path):
         got = np.frombuffer(row["bytes"], np.uint8).reshape(40, 50, 3)
         assert np.array_equal(got, img)
         assert row["minx"] == 0.0 and row["maxy"] == 40.0
+
+
+def test_uint16_strip_roundtrip_predictor2(tmp_path):
+    from gdal_ray.sources.gtiff import write_tiff
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 65536, (90, 70), np.uint16)
+    p = str(tmp_path / "u16.tif")
+    write_tiff(p, img, predictor=2, rows_per_strip=37)
+    r = read_cog(p)
+    assert r["img"].dtype == np.uint16
+    assert np.array_equal(r["img"], img)
+
+
+def test_planar2_band_sequential_roundtrip(tmp_path):
+    from gdal_ray.sources.gtiff import write_tiff
+
+    img = _img(h=75, w=101, nb=3, seed=12)
+    p = str(tmp_path / "pl2.tif")
+    st = write_tiff(p, img, planar=2, rows_per_strip=32, predictor=2)
+    assert st["strips"] == 3 * 3  # ceil(75/32)=3 strips x 3 planes
+    assert np.array_equal(read_cog(p)["img"], img)
+
+
+def test_planar2_uint16_bigtiff(tmp_path):
+    from gdal_ray.sources.gtiff import write_tiff
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 65536, (40, 55, 3), np.uint16)
+    p = str(tmp_path / "pl2b.tif")
+    write_tiff(p, img, planar=2, bigtiff=True, predictor=2,
+               envelope=(0.0, 0.0, 55.0, 40.0))
+    r = read_cog(p)
+    assert np.array_equal(r["img"], img)
+    assert r["envelope"] == (0.0, 0.0, 55.0, 40.0)
