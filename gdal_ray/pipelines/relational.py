@@ -546,6 +546,180 @@ def range_lookup_join(
     return m.map_batches(post, batch_format="pyarrow")
 
 
+def interval_join(
+    left,
+    right,
+    on: str,
+    by: str,
+    lo: str,
+    hi: str,
+    band: float,
+    right_suffix: str = "_r",
+    num_partitions: int = 32,
+    max_bands: int = 1024,
+):
+    """General overlapping-interval join: emit EVERY (left, right) pair
+    with equal ``by`` key and ``lo`` <= left ``on`` <= ``hi`` (the SQL
+    ``l.on BETWEEN r.lo AND r.hi`` inner join; intervals may overlap
+    arbitrarily, unlike range_lookup_join's latest-only contract).
+
+    Partitioning: time is cut into fixed ``band``-width bands (the 1-D
+    analog of the engine's spatial cells); each right interval is
+    replicated into every band it touches, each left row lands in
+    exactly ONE band, and the shuffle groups on hash(by, band) — so
+    every qualifying pair co-locates exactly once (no dedup pass).
+    Inside a partition the match is vectorized: replicas lexsorted by
+    (by, band, lo), per-left candidate runs located with searchsorted,
+    pairs expanded with repeat/arange, then the hi bound filtered.
+    An interval spanning more than ``max_bands`` bands raises (pick a
+    larger ``band``) — the replication factor is the scale knob, and a
+    silent clamp would drop pairs.  ``band`` is in ``on``-units
+    (microsecond ticks for timestamp columns)."""
+    if band <= 0:
+        raise ValueError("band must be positive")
+
+    lsch = list(zip(left.schema().names, left.schema().types))
+    rsch = list(zip(right.schema().names, right.schema().types))
+    lcols = [c for c, _ in lsch]
+    rcols = [c for c, _ in rsch]
+    r_out = [c for c in rcols if c != by]
+    out_names = {c: (c + right_suffix if c in lcols else c) for c in r_out}
+
+    def _ticks(col) -> np.ndarray:
+        a = col.to_numpy(zero_copy_only=False)
+        return a.view("i8") if a.dtype.kind in "mM" else a
+
+    def _mix(k: np.ndarray, b: np.ndarray) -> np.ndarray:
+        h = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.astype(
+            np.uint64
+        )
+        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(33))
+        return (h % np.uint64(num_partitions)).astype(np.int64)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.is_valid(t.column(by)), pc.is_valid(t.column(on)))
+        t = t.filter(valid)
+        k = pc.cast(t.column(by), pa.int64()).to_numpy(zero_copy_only=False)
+        b = np.floor_divide(_ticks(t.column(on)), np.int64(band))
+        cols = {
+            "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+            "__band": pa.array(b, pa.int64()),
+            "__jpart": pa.array(_mix(k, b), pa.int64()),
+        }
+        for c, ty in lsch:
+            cols[c] = t.column(c)
+        for c, ty in rsch:
+            cols[f"__r_{c}"] = pa.nulls(t.num_rows, ty)
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        valid = pc.and_(
+            pc.is_valid(t.column(by)),
+            pc.and_(pc.is_valid(t.column(lo)), pc.is_valid(t.column(hi))),
+        )
+        t = t.filter(valid)
+        k = pc.cast(t.column(by), pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = np.floor_divide(_ticks(t.column(lo)), np.int64(band))
+        b1 = np.floor_divide(_ticks(t.column(hi)), np.int64(band))
+        cnt = (b1 - b0 + 1).astype(np.int64)
+        if (cnt > max_bands).any():
+            worst = int(cnt.max())
+            raise ValueError(
+                f"interval spans {worst} bands (> max_bands={max_bands}); "
+                f"increase band"
+            )
+        cnt = np.maximum(cnt, 0)
+        rep = np.repeat(np.arange(t.num_rows), cnt)
+        off = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        bands = (
+            np.arange(int(cnt.sum()), dtype=np.int64)
+            - np.repeat(off, cnt)
+            + np.repeat(b0, cnt)
+        )
+        idx = pa.array(rep, pa.int64())
+        cols = {
+            "__side": pa.array(np.ones(len(rep), np.int8)),
+            "__band": pa.array(bands, pa.int64()),
+            "__jpart": pa.array(_mix(k[rep], bands), pa.int64()),
+        }
+        for c, ty in lsch:
+            cols[c] = pa.nulls(len(rep), ty)
+        for c, ty in rsch:
+            cols[f"__r_{c}"] = t.column(c).take(idx)
+        return pa.table(cols)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def part_pairs(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0))
+        rt = g.filter(pa.array(side == 1))
+        empty = {c: pa.array([], lt.column(c).type) for c in lcols}
+        empty.update(
+            {out_names[c]: pa.array([], g.column(f"__r_{c}").type)
+             for c in r_out}
+        )
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table(empty)
+        lk = pc.cast(lt.column(by), pa.int64()).to_numpy(zero_copy_only=False)
+        lb = lt.column("__band").to_numpy(zero_copy_only=False)
+        lt_on = _ticks(lt.column(on))
+        rk = pc.cast(rt.column(f"__r_{by}"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        rb = rt.column("__band").to_numpy(zero_copy_only=False)
+        r_lo = _ticks(rt.column(f"__r_{lo}"))
+        r_hi = _ticks(rt.column(f"__r_{hi}"))
+        order = np.lexsort((r_lo, rb, rk))
+        rk_s, rb_s, rlo_s, rhi_s = (
+            rk[order], rb[order], r_lo[order], r_hi[order]
+        )
+        # composite rank encoding: (key, band) runs, lo position inside
+        all_lo = np.unique(np.concatenate([rlo_s, lt_on]))
+        M = np.int64(len(all_lo) + 1)
+        kb = np.stack([rk_s, rb_s], axis=1)
+        ukb, run_id = np.unique(kb, axis=0, return_inverse=True)
+        run_starts = np.searchsorted(run_id, np.arange(len(ukb)))
+        comp_r = run_id.astype(np.int64) * M + np.searchsorted(all_lo, rlo_s)
+        lkb = np.stack([lk, lb], axis=1)
+        # locate each left row's (key, band) run
+        li = np.searchsorted(
+            ukb.view([("k", np.int64), ("b", np.int64)]).ravel(),
+            lkb.view([("k", np.int64), ("b", np.int64)]).ravel(),
+        )
+        has = li < len(ukb)
+        li_c = np.minimum(li, len(ukb) - 1)
+        has &= (ukb[li_c] == lkb).all(axis=1)
+        comp_l = li_c.astype(np.int64) * M + np.searchsorted(all_lo, lt_on)
+        endpos = np.searchsorted(comp_r, comp_l, side="right")
+        startpos = run_starts[li_c]
+        n_cand = np.where(has, endpos - startpos, 0)
+        total = int(n_cand.sum())
+        if total == 0:
+            return pa.table(empty)
+        l_rep = np.repeat(np.arange(lt.num_rows), n_cand)
+        off = np.concatenate([[0], np.cumsum(n_cand)[:-1]])
+        cand = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(off, n_cand)
+            + np.repeat(startpos, n_cand)
+        )
+        keep = rhi_s[cand] >= lt_on[l_rep]
+        l_idx = pa.array(l_rep[keep], pa.int64())
+        r_idx = pa.array(order[cand[keep]], pa.int64())
+        cols = {c: lt.column(c).take(l_idx) for c in lcols}
+        for c in r_out:
+            cols[out_names[c]] = rt.column(f"__r_{c}").take(r_idx)
+        return pa.table(cols)
+
+    return both.groupby("__jpart").map_groups(
+        part_pairs, batch_format="pyarrow"
+    )
+
+
 def sample_hash(ds, key_col: str, frac: float):
     """Deterministic Bernoulli sampling by multiplicative key hash
     (the decimated/approx-ok sampling analog of

@@ -397,3 +397,63 @@ def test_range_lookup_join_vs_duckdb_between(ray_session):
     ).fetchdf()
     assert list(got.lv) == list(exp.lv)
     assert list(got.rv) == list(exp.rv)
+
+
+def test_interval_join_all_pairs_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.pipelines.relational import interval_join
+
+    rng = np.random.default_rng(31)
+    n_l, n_r = 400, 150
+    lt = pa.table({"k": pa.array(rng.integers(0, 6, n_l), pa.int64()),
+                   "t": pa.array(rng.integers(0, 500, n_l), pa.int64()),
+                   "lv": pa.array(np.arange(n_l, dtype=np.int64))})
+    los = rng.integers(0, 460, n_r)
+    rt = pa.table({"k": pa.array(rng.integers(0, 6, n_r), pa.int64()),
+                   "lo": pa.array(los, pa.int64()),
+                   "hi": pa.array(los + rng.integers(0, 80, n_r), pa.int64()),
+                   "rv": pa.array(np.arange(n_r, dtype=np.int64))})
+    got = (
+        interval_join(rd.from_arrow(lt), rd.from_arrow(rt), on="t", by="k",
+                      lo="lo", hi="hi", band=40)
+        .to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", lt.to_pandas())
+    con.register("r", rt.to_pandas())
+    exp = con.execute(
+        "SELECT l.lv, r.rv FROM l JOIN r ON l.k = r.k AND "
+        "l.t BETWEEN r.lo AND r.hi ORDER BY lv, rv"
+    ).fetchdf()
+    assert list(got.lv) == list(exp.lv) and list(got.rv) == list(exp.rv)
+
+
+def test_interval_join_timestamps_and_band_guard(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pt
+    import ray.data as rd
+
+    from gdal_ray.pipelines.relational import interval_join
+
+    base = np.datetime64("2024-01-01", "us")
+    lt = pa.table({"k": pa.array([1, 1], pa.int64()),
+                   "t": pa.array(base + np.array([10, 400], "timedelta64[us]")),
+                   "lv": pa.array([0, 1], pa.int64())})
+    rt = pa.table({"k": pa.array([1], pa.int64()),
+                   "lo": pa.array(base + np.array([0], "timedelta64[us]")),
+                   "hi": pa.array(base + np.array([100], "timedelta64[us]")),
+                   "rv": pa.array([7], pa.int64())})
+    df = interval_join(rd.from_arrow(lt), rd.from_arrow(rt), on="t",
+                       by="k", lo="lo", hi="hi", band=50).to_pandas()
+    assert list(df.lv) == [0] and list(df.rv) == [7]
+    # an interval spanning > max_bands raises instead of silently
+    # clamping (no-silent-caps)
+    with _pt.raises(Exception):
+        interval_join(rd.from_arrow(lt), rd.from_arrow(rt), on="t",
+                      by="k", lo="lo", hi="hi", band=50,
+                      max_bands=1).to_pandas()
