@@ -3170,7 +3170,12 @@ def q58_gcp_warp(sf_dir: str):
         _WarpSuiteChips,
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=(1, 8),
+        # CPU-bound fused stage: let the pool scale to the box (r3 stats
+        # showed 654 s of CPU squeezed through an 8-actor cap -> only
+        # ~4.7x effective parallelism on 32 CPUs).  Min stays 1: a high
+        # actor floor can starve the upstream read tasks of CPUs on
+        # small budgets (the 4-CPU scaling leg hung with min=8).
+        concurrency=(1, 32),
     ).sort(["image_id", "transformer"])
 
 
