@@ -124,20 +124,129 @@ def _normalize(px, py):
     return nx, ny, (minx, miny, span)
 
 
-def delaunay_triangles(px, py) -> np.ndarray:
-    """Bowyer-Watson over the normalized points + frame vertices.
-    Returns (T, 3) int64 array of point indices (frame triangles
-    dropped), each row sorted ascending, rows lexicographically sorted
-    — the canonical form the oracle reproduces."""
-    px = np.asarray(px, np.float64)
-    py = np.asarray(py, np.float64)
-    n = len(px)
-    if n < 3:
-        return np.empty((0, 3), np.int64)
-    nx, ny, _ = _normalize(px, py)
-    # frame vertices occupy indices n..n+2
-    X = np.concatenate([nx, [FRAME[0][0], FRAME[1][0], FRAME[2][0]]])
-    Y = np.concatenate([ny, [FRAME[0][1], FRAME[1][1], FRAME[2][1]]])
+def _orient_s(ax, ay, bx, by, cx, cy) -> int:
+    """Scalar exact orient2d sign (CCW > 0): float static filter,
+    Fraction fallback.  Pure-Python floats — no numpy call overhead on
+    the incremental construction's hot path."""
+    t1 = (bx - ax) * (cy - ay)
+    t2 = (cx - ax) * (by - ay)
+    det = t1 - t2
+    if abs(det) > _ORIENT_BOUND * (abs(t1) + abs(t2)):
+        return 1 if det > 0.0 else -1
+    return _orient_exact(ax, ay, bx, by, cx, cy)
+
+
+def _incircle_s(ax, ay, bx, by, cx, cy, dx, dy) -> int:
+    """Scalar exact incircle sign for CCW (a,b,c): same filter/fallback
+    contract as the vectorized ``incircle_sign``."""
+    adx, ady = ax - dx, ay - dy
+    bdx, bdy = bx - dx, by - dy
+    cdx, cdy = cx - dx, cy - dy
+    alift = adx * adx + ady * ady
+    blift = bdx * bdx + bdy * bdy
+    clift = cdx * cdx + cdy * cdy
+    ab = bdx * cdy - cdx * bdy
+    bc = cdx * ady - adx * cdy
+    ca = adx * bdy - bdx * ady
+    det = alift * ab + blift * bc + clift * ca
+    mag = (
+        alift * (abs(bdx * cdy) + abs(cdx * bdy))
+        + blift * (abs(cdx * ady) + abs(adx * cdy))
+        + clift * (abs(adx * bdy) + abs(bdx * ady))
+    )
+    if abs(det) > _INCIRCLE_BOUND * mag:
+        return 1 if det > 0.0 else -1
+    return _incircle_exact(ax, ay, bx, by, cx, cy, dx, dy)
+
+
+def _delaunay_incremental(X, Y, n) -> np.ndarray:
+    """Incremental Bowyer-Watson: visibility-walk point location from
+    the last created triangle + cavity BFS over strictly-bad neighbours
+    (the classic conflict-walk insert, replacing the former
+    every-triangle incircle scan — O(n·T) → ~O(n√n) predicate calls).
+
+    Geometric decisions are the SAME strict-incircle / containment
+    contract as the vectorized scan: the global bad set of Bowyer-Watson
+    is exactly the edge-connected set of strictly-conflicting triangles
+    around the containing triangle, so the cavity BFS evicts the
+    identical set and the output triangulation is bit-identical
+    (property-tested against the quadratic path)."""
+    X = [float(v) for v in X]
+    Y = [float(v) for v in Y]
+    # triangle store: list of (a, b, c) CCW tuples; None = dead
+    tris = [(n, n + 1, n + 2)]
+    # directed half-edge -> owning triangle index (each alive directed
+    # edge belongs to exactly one alive triangle)
+    edge = {(n, n + 1): 0, (n + 1, n + 2): 0, (n + 2, n): 0}
+    seen = {(X[n], Y[n]), (X[n + 1], Y[n + 1]), (X[n + 2], Y[n + 2])}
+    last = 0
+    orient = _orient_s
+    incircle = _incircle_s
+    for p in range(n):
+        xp, yp = X[p], Y[p]
+        if (xp, yp) in seen:
+            continue  # coincident vertex: first-wins, same as the scan
+        seen.add((xp, yp))
+        # --- visibility walk from `last` to the triangle containing p
+        t = last
+        guard = 4 * len(tris) + 16
+        while True:
+            a, b, c = tris[t]
+            if orient(X[a], Y[a], X[b], Y[b], xp, yp) < 0:
+                t = edge[(b, a)]
+            elif orient(X[b], Y[b], X[c], Y[c], xp, yp) < 0:
+                t = edge[(c, b)]
+            elif orient(X[c], Y[c], X[a], Y[a], xp, yp) < 0:
+                t = edge[(a, c)]
+            else:
+                break  # p inside (or on boundary of) triangle t
+            guard -= 1
+            if guard <= 0:  # pragma: no cover - safety net
+                raise RuntimeError("delaunay walk did not terminate")
+        # --- cavity BFS: strictly-conflicting triangles around t
+        bad = {t}
+        stack = [t]
+        while stack:
+            ti = stack.pop()
+            a, b, c = tris[ti]
+            for u, v in ((a, b), (b, c), (c, a)):
+                nb = edge.get((v, u))
+                if nb is None or nb in bad:
+                    continue
+                na, nbv, nc = tris[nb]
+                if incircle(X[na], Y[na], X[nbv], Y[nbv],
+                            X[nc], Y[nc], xp, yp) > 0:
+                    bad.add(nb)
+                    stack.append(nb)
+        # --- boundary = directed edges whose opposite tri is not bad
+        boundary = []
+        for ti in bad:
+            a, b, c = tris[ti]
+            for u, v in ((a, b), (b, c), (c, a)):
+                nb = edge.get((v, u))
+                if nb is None or nb not in bad:
+                    boundary.append((u, v))
+        for ti in bad:
+            a, b, c = tris[ti]
+            del edge[(a, b)], edge[(b, c)], edge[(c, a)]
+            tris[ti] = None
+        for u, v in boundary:
+            if orient(X[u], Y[u], X[v], Y[v], xp, yp) < 0:
+                u, v = v, u  # keep CCW (mirrors the scan's flip step)
+            ti = len(tris)
+            tris.append((u, v, p))
+            edge[(u, v)] = ti
+            edge[(v, p)] = ti
+            edge[(p, u)] = ti
+            last = ti
+    alive = [tr for tr in tris if tr is not None]
+    return np.asarray(alive, np.int64).reshape(-1, 3)
+
+
+def _delaunay_scan(X, Y, n) -> np.ndarray:
+    """Vectorized every-triangle-scan Bowyer-Watson (the original
+    quadratic path).  Kept as the independent parity check for the
+    incremental construction (see tests/test_delaunay_fast.py)."""
 
     # triangle soup as (3,) index arrays, CCW-oriented
     tris = np.array([[n, n + 1, n + 2]], np.int64)
@@ -186,6 +295,31 @@ def delaunay_triangles(px, py) -> np.ndarray:
         flip = s < 0
         new[flip] = new[flip][:, [0, 2, 1]]
         tris = np.concatenate([tris, new])
+    return tris
+
+
+def delaunay_triangles(px, py, method: str = "auto") -> np.ndarray:
+    """Bowyer-Watson over the normalized points + frame vertices.
+    Returns (T, 3) int64 array of point indices (frame triangles
+    dropped), each row sorted ascending, rows lexicographically sorted
+    — the canonical form the oracle reproduces.
+
+    ``method``: "auto" (incremental walk above a small-n cutoff),
+    "incremental", or "scan" (the original vectorized quadratic scan,
+    kept as the parity reference)."""
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    n = len(px)
+    if n < 3:
+        return np.empty((0, 3), np.int64)
+    nx, ny, _ = _normalize(px, py)
+    # frame vertices occupy indices n..n+2
+    X = np.concatenate([nx, [FRAME[0][0], FRAME[1][0], FRAME[2][0]]])
+    Y = np.concatenate([ny, [FRAME[0][1], FRAME[1][1], FRAME[2][1]]])
+    if method == "scan" or (method == "auto" and n <= 48):
+        tris = _delaunay_scan(X, Y, n)
+    else:
+        tris = _delaunay_incremental(X, Y, n)
     finite = (tris < n).all(axis=1)
     out = np.sort(tris[finite], axis=1)
     order = np.lexsort((out[:, 2], out[:, 1], out[:, 0]))

@@ -74,16 +74,16 @@ def grid_points(
             "linear": delaunay.grid_linear,
         }[algorithm]
 
-    # hot-cell guard for the exact-arithmetic Delaunay path: the
-    # Bowyer-Watson insert is superlinear per point (exact predicates
-    # with Fraction fallback), so a degenerate dense cell would stall
-    # its whole partition.  Cap the halo set at the ``linear_cap``
-    # points nearest the cell center (deterministic: distance, then
-    # canonical order) and REPORT the drop in the output row — no
-    # silent caps.  (The cap was 512 when node location was all-pairs
-    # Q x T — ~66 s/1,000-point cell; the bucketed point location cut
-    # that ~17x, so 2,048 points now cost ~1 s.)
-    linear_cap = int(algo_kwargs.pop("linear_cap", 2048))
+    # hot-cell guard for the exact-arithmetic Delaunay path: a
+    # degenerate dense cell would stall its whole partition, so cap the
+    # halo set at the ``linear_cap`` points nearest the cell center
+    # (deterministic: distance, then canonical order) and REPORT the
+    # drop in the output row — no silent caps.  (History: 512 when node
+    # location was all-pairs Q x T, 2,048 after the bucketed point
+    # location; now that construction itself is the incremental
+    # walk-and-cavity insert — near-linear, 16k points ≈ 2.4 s — the
+    # cap binds only on truly pathological cells.)
+    linear_cap = int(algo_kwargs.pop("linear_cap", 16384))
 
     def interpolate_group(g: pa.Table) -> pa.Table:
         cell = int(g.column("cell")[0].as_py())
