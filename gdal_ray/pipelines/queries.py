@@ -2016,26 +2016,49 @@ _Q50_TEXT = """
 SELECT o_orderkey AS okey,
        CONCAT(CAST(o_orderkey AS VARCHAR), ':', o_orderstatus) AS tag,
        SUBSTR(o_orderpriority, 1, 4) AS prio4,
-       o_orderkey % 13 AS k13
-FROM orders
-WHERE (o_totalprice BETWEEN 100000 AND 200000 AND o_orderpriority LIKE '1%')
-   OR o_orderkey IN (1, 7, 42)
+       o_orderkey % 13 AS k13,
+       ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+           AS rn,
+       RANK() OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_orderpriority DESC, o_orderkey) AS rk,
+       DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_orderpriority) AS dr,
+       CAST(SUM(o_orderkey % 13) OVER (PARTITION BY o_orderstatus)
+            AS DOUBLE) AS k13_tot,
+       COUNT(*) OVER (PARTITION BY o_orderstatus) AS n_status,
+       MIN(o_totalprice) OVER (PARTITION BY o_orderstatus) AS lo_price,
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey)
+           AS n_items
+FROM orders o
+WHERE ((o_totalprice BETWEEN 100000 AND 200000
+        AND o_orderpriority LIKE '1%')
+   OR o_orderkey IN (1, 7, 42))
+  AND EXISTS (SELECT l_orderkey FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 10)
 ORDER BY okey LIMIT 500
 """
 
 
 def q50_sql_frontend(sf_dir: str):
     """SQL string front-end (the OGR SQL dialect, swq_parser.y /
-    swq_op_registrar.cpp:28-62 surface): the SAME SQL string is parsed
-    and compiled to pyarrow kernels by the engine and handed verbatim
-    to DuckDB as its oracle."""
+    swq_op_registrar.cpp:28-62 surface, plus the engine extensions:
+    window functions ROW_NUMBER/RANK/DENSE_RANK/SUM/COUNT/MIN OVER
+    (PARTITION BY ... ) lowered onto one hash shuffle + vectorized
+    per-partition rank/reduceat, a correlated scalar subquery
+    decorrelated to a grouped aggregate + co-partitioned left-outer
+    join, and a correlated EXISTS lowered to a co-partitioned semi
+    join): the SAME SQL string is parsed and compiled to pyarrow
+    kernels by the engine and handed verbatim to DuckDB as its oracle.
+    The window SUM aggregates an integer expression so float64 sums
+    are exact and order-independent across both engines."""
     from .sql import sql_query
 
     orders = _read(
         sf_dir, "orders",
         columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
     )
-    return sql_query(_Q50_TEXT, {"orders": orders})
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    return sql_query(_Q50_TEXT, {"orders": orders, "lineitem": lineitem})
 
 
 _Q60_TEXT = """

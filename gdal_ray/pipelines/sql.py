@@ -34,10 +34,22 @@ through ``Dataset.map_batches``:
   trailing ORDER BY / LIMIT apply to the whole union;
 - SELECT DISTINCT (the swq SWQM_DISTINCT_LIST mode, multi-column)
   lowers onto relational.distinct after the projection;
-- ORDER BY / LIMIT lower onto the distributed top-k.
+- ORDER BY / LIMIT lower onto the distributed top-k;
+- CORRELATED scalar subqueries ``(SELECT agg(x) FROM t2 WHERE
+  t2.k = outer.k)`` decorrelate to a grouped aggregate + one
+  co-partitioned left-outer join (bare COUNT null-fills to 0);
+  ``[NOT] EXISTS (SELECT ... WHERE inner = outer)`` lowers to a
+  co-partitioned semi/anti join (uncorrelated EXISTS is a single
+  boolean gate);
+- window functions ROW_NUMBER/RANK/DENSE_RANK () OVER (PARTITION BY k
+  ORDER BY s [DESC]) and COUNT/SUM/AVG/MIN/MAX(x) OVER (PARTITION BY
+  k): one hash shuffle on the partition key, vectorized dense-rank +
+  lexsort + reduceat per task (PARTITION BY is required — a global
+  window would serialize through one task).
 
-Not covered (documented): non-equi join conditions, correlated
-subqueries, IN-subqueries combined with JOIN.
+Not covered (documented): non-equi join conditions, multiple
+correlated equalities, IN-subqueries combined with JOIN, running
+(ORDER BY) aggregate window frames, windows over GROUP BY results.
 """
 
 from __future__ import annotations
@@ -60,6 +72,7 @@ _KEYWORDS = {
     "join", "on", "left", "inner", "outer", "group", "having",
     "union", "all",
     "count", "sum", "avg", "min", "max", "distinct",
+    "exists", "over", "partition",
 }
 
 _AGG_FNS = ("count", "sum", "avg", "min", "max")
@@ -250,11 +263,22 @@ class _Parser:
             self.expect("op", "(")
             if v == "count" and self.accept("op", "*"):
                 self.expect("op", ")")
-                return ("agg", "count", None, False)
-            distinct = self.accept("kw", "distinct")
-            arg = self.expr()
+                node = ("agg", "count", None, False)
+            else:
+                distinct = self.accept("kw", "distinct")
+                arg = self.expr()
+                self.expect("op", ")")
+                node = ("agg", v, arg, distinct)
+            if self.peek() == ("kw", "over"):
+                if node[3]:
+                    raise ValueError("DISTINCT aggregate windows unsupported")
+                return self._over_clause(node[1], node[2])
+            return node
+        if k == "kw" and v == "exists":
+            self.expect("op", "(")
+            sub = _parse_one(self, sub=True)
             self.expect("op", ")")
-            return ("agg", v, arg, distinct)
+            return ("exists", sub)
         if k == "op" and v == "(":
             if self.peek() == ("kw", "select"):
                 sub = _parse_one(self, sub=True)
@@ -264,10 +288,56 @@ class _Parser:
             self.expect("op", ")")
             return e
         if k == "ident":
+            if (v.lower() in ("row_number", "rank", "dense_rank")
+                    and self.peek() == ("op", "(")):
+                self.next()
+                self.expect("op", ")")
+                return self._over_clause(v.lower(), None)
             if self.accept("op", "."):
                 return ("qcol", v, self.expect("ident"))
             return ("col", v)
         raise ValueError(f"unexpected token {k} {v}")
+
+    def _over_clause(self, fn, arg):
+        """fn(...) OVER (PARTITION BY e, ... [ORDER BY e [DESC], ...])
+        -> ("win", fn, arg, parts, orders).  Engine extension (the swq
+        dialect has no window functions); PARTITION BY is REQUIRED — a
+        global window would funnel every row through one task."""
+        self.expect("kw", "over")
+        self.expect("op", "(")
+        parts, orders = [], []
+        if self.accept("kw", "partition"):
+            self.expect("kw", "by")
+            parts.append(self.expr())
+            while self.accept("op", ","):
+                parts.append(self.expr())
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            while True:
+                e = self.expr()
+                desc = False
+                if self.accept("kw", "desc"):
+                    desc = True
+                else:
+                    self.accept("kw", "asc")
+                orders.append((e, desc))
+                if not self.accept("op", ","):
+                    break
+        self.expect("op", ")")
+        ranking = fn in ("row_number", "rank", "dense_rank")
+        if ranking and not orders:
+            raise ValueError(f"{fn}() OVER requires ORDER BY")
+        if not ranking and orders:
+            raise ValueError(
+                "aggregate windows support the unbounded PARTITION frame "
+                "only (no ORDER BY running frames)"
+            )
+        if not parts:
+            raise ValueError(
+                "OVER requires PARTITION BY (a global window would "
+                "serialize the whole dataset through one task)"
+            )
+        return ("win", fn, arg, tuple(parts), tuple(orders))
 
 
 _TYPES = {
@@ -507,6 +577,13 @@ def _transform(node, fn):
         return fn(("agg", node[1],
                    None if node[2] is None else _transform(node[2], fn),
                    node[3]))
+    if op == "exists":  # node[1] is a plan dict, opaque to rewrites
+        return fn(node)
+    if op == "win":
+        return fn(("win", node[1],
+                   None if node[2] is None else _transform(node[2], fn),
+                   tuple(_transform(p, fn) for p in node[3]),
+                   tuple((_transform(e, fn), d) for e, d in node[4])))
     return fn((op, *(_transform(c, fn) for c in node[1:])))
 
 
@@ -535,6 +612,15 @@ def _walk(node):
     elif op == "agg":
         if node[2] is not None:
             yield from _walk(node[2])
+    elif op == "exists":
+        return
+    elif op == "win":
+        if node[2] is not None:
+            yield from _walk(node[2])
+        for p2 in node[3]:
+            yield from _walk(p2)
+        for e2, _ in node[4]:
+            yield from _walk(e2)
     else:
         for c in node[1:]:
             if isinstance(c, tuple):
@@ -941,7 +1027,7 @@ def _run_join_agg(plan, tables, num_partitions: int):
 def _resolve_skip_aggs(node, resolve):
     """Resolve col refs OUTSIDE agg nodes only (agg args were resolved
     into the pre-projection; the agg node itself becomes a column)."""
-    if node[0] in ("agg", "subq"):
+    if node[0] in ("agg", "subq", "exists", "win"):
         return node
     if node[0] in ("lit", "col", "qcol"):
         return resolve(node)
@@ -1026,23 +1112,183 @@ def _scalar_of(subplan: dict, tables: dict, num_partitions: int):
     return next(iter(rows[0].values()))
 
 
+def _empty_like(ds):
+    """A one-block zero-row Dataset with ``ds``'s schema.  Used by the
+    boolean gates (uncorrelated EXISTS, NOT IN with NULLs): plain
+    ``limit(0)`` / per-batch zero-slices leave downstream schema
+    inference with nothing to sample, so the result would report a
+    None schema."""
+    import ray.data as rd
+
+    sch = ds.schema()
+    fields = [
+        (n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
+        for n, t in zip(sch.names, sch.types)
+    ]
+    return rd.from_arrow(pa.schema(fields).empty_table())
+
+
+def _corr_split(subplan: dict, tables: dict, outer_alias: str,
+                outer_cols: set):
+    """Detect correlation of a subquery plan against ONE outer table.
+    Returns None when the subquery is self-contained, else
+    ``(inner_key_node, outer_key_node, rest_where)`` where the
+    correlation is the single WHERE conjunct ``inner = outer`` and
+    ``rest_where`` is the AND-fold of the remaining (inner-only)
+    conjuncts.  Anything fancier (multiple correlated equalities,
+    non-equality correlation) raises."""
+    sub_aliases = {subplan["table_alias"]} | {
+        j["alias"] for j in subplan["joins"]
+    }
+    sub_cols: set = set()
+    for tbl in [subplan["table"]] + [j["table"] for j in subplan["joins"]]:
+        if tbl in tables:
+            sub_cols.update(tables[tbl].schema().names)
+
+    def side(n):
+        if n[0] == "qcol":
+            if n[1] in sub_aliases:
+                return "sub"
+            if n[1] == outer_alias:
+                return "outer"
+            raise ValueError(f"unknown table alias {n[1]!r} in subquery")
+        if n[0] == "col":
+            # inner scope shadows outer (standard SQL name resolution)
+            if n[1] in sub_cols:
+                return "sub"
+            if n[1] in outer_cols:
+                return "outer"
+            raise ValueError(f"unknown column {n[1]!r} in subquery")
+        return None
+
+    where = subplan.get("where")
+    if where is None:
+        return None
+    corr = None
+    rest = []
+    for c in _split_conjuncts(where):
+        refs_outer = any(
+            side(n) == "outer"
+            for n in _walk(c)
+            if n[0] in ("col", "qcol")
+        )
+        if not refs_outer:
+            rest.append(c)
+            continue
+        if c[0] != "eq":
+            raise ValueError(
+                "correlated subquery predicates must be a single "
+                "inner_col = outer_col equality"
+            )
+        sa, sb = side(c[1]), side(c[2])
+        if {sa, sb} != {"sub", "outer"}:
+            raise ValueError(
+                "correlated equality must compare an inner column with "
+                "an outer column"
+            )
+        if corr is not None:
+            raise ValueError("only one correlated equality is supported")
+        corr = (c[1], c[2]) if sa == "sub" else (c[2], c[1])
+    if corr is None:
+        return None
+    rest_where = None
+    for c in rest:
+        rest_where = c if rest_where is None else ("and", rest_where, c)
+    return corr[0], corr[1], rest_where
+
+
 def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
     """Rewrite subqueries out of a plan before execution (an engine
     extension — the reference swq dialect has no subqueries):
 
     - scalar ``(SELECT agg FROM ...)`` anywhere in SELECT items, WHERE
       or HAVING becomes a literal (executed once, one value);
-    - ``[NOT] IN (SELECT col FROM ...)`` as a top-level WHERE conjunct
-      of a single-table plan lowers onto a co-partitioned semi/anti
-      join (never a driver-side value list — the subquery result may
-      be arbitrarily large); elsewhere it raises.
+    - CORRELATED scalar ``(SELECT agg(x) FROM t2 WHERE t2.k = outer.k
+      [AND inner-only predicates])`` decorrelates to a distributed
+      grouped aggregate over t2 plus ONE co-partitioned left-outer
+      join back onto the outer table (a bare COUNT fills its no-match
+      NULLs with 0, per SQL semantics; other aggregates stay NULL);
+    - ``[NOT] IN (SELECT col FROM ...)`` and ``[NOT] EXISTS (SELECT
+      ... WHERE inner = outer)`` as top-level WHERE conjuncts of a
+      single-table plan lower onto co-partitioned semi/anti joins
+      (never a driver-side value list — the subquery result may be
+      arbitrarily large); elsewhere they raise.  NOT IN keeps the
+      three-valued NULL semantics; [NOT] EXISTS is plain equality
+      matching (NULL keys never match), exactly SQL's.
 
     Returns (plan, tables) — the table map gains a ``__subq_base``
-    binding when an IN-subquery join replaced the base table."""
+    binding when a lowering replaced the base table."""
     from . import relational as R
+
+    outer_alias = plan["table_alias"]
+    outer_cols = (
+        set(tables[plan["table"]].schema().names)
+        if plan["table"] in tables
+        else set()
+    )
+    corr_base = [None]  # boxed: the attach-rewritten base dataset
+    attach_i = [0]
+
+    def _attach_corr(sub: dict, corr) -> tuple:
+        """Decorrelate one scalar subquery: grouped aggregate keyed by
+        the inner column + left-outer join onto the (single-table)
+        outer; returns the replacement column-ref node."""
+        if plan["joins"]:
+            raise ValueError(
+                "correlated subquery on a JOIN outer query is not "
+                "supported"
+            )
+        inner_key, outer_key, rest_where = corr
+        s_items = sub["items"]
+        if (s_items is None or len(s_items) != 1
+                or not _has_agg(s_items[0][0])):
+            raise ValueError(
+                "correlated scalar subquery must select exactly one "
+                "aggregate expression"
+            )
+        if (sub["group"] or sub["order"] or sub["limit"] is not None
+                or sub.get("distinct") or sub.get("having") is not None):
+            raise ValueError(
+                "correlated scalar subquery supports a plain aggregate "
+                "over WHERE only"
+            )
+        i = attach_i[0]
+        attach_i[0] += 1
+        ckey, cval, okey = f"__ck{i}", f"__cv{i}", f"__ok{i}"
+        agg_expr = s_items[0][0]
+        subplan2 = dict(
+            sub, items=[(inner_key, ckey), (agg_expr, cval)],
+            where=rest_where, group=[inner_key], having=None,
+            order=[], limit=None, distinct=False, union_next=False,
+        )
+        sub_ds = _exec_plan(subplan2, tables, num_partitions)
+        base = corr_base[0] if corr_base[0] is not None else tables[plan["table"]]
+
+        def add_key(t: pa.Table, _e=outer_key, _k=okey) -> pa.Table:
+            return t.append_column(_k, _eval(_e, t))
+
+        joined = R.copartition_equi_join(
+            base.map_batches(add_key, batch_format="pyarrow"),
+            sub_ds, okey, ckey, how="left_outer",
+            num_partitions=num_partitions,
+        ).drop_columns([okey])
+        if agg_expr[0] == "agg" and agg_expr[1] == "count":
+            # COUNT over an empty correlated set is 0, not NULL
+            def fill0(t: pa.Table, _c=cval) -> pa.Table:
+                idx = t.schema.get_field_index(_c)
+                return t.set_column(
+                    idx, _c, pc.fill_null(t.column(_c), 0)
+                )
+
+            joined = joined.map_batches(fill0, batch_format="pyarrow")
+        corr_base[0] = joined
+        return ("col", cval)
 
     def scal(n):
         if n[0] == "subq":
+            corr = _corr_split(n[1], tables, outer_alias, outer_cols)
+            if corr is not None:
+                return _attach_corr(n[1], corr)
             return ("lit", _scalar_of(n[1], tables, num_partitions))
         return n
 
@@ -1056,28 +1302,71 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
     if having is not None:
         having = _transform(having, scal)
     plan = dict(plan, items=items, where=where, having=having)
+    if corr_base[0] is not None:
+        tables = dict(tables)
+        tables["__corr_base"] = corr_base[0]
+        plan = dict(plan, table="__corr_base", table_alias=outer_alias)
 
     if where is None or not any(
-        n[0] == "in_subq" for n in _walk(where)
+        n[0] in ("in_subq", "exists") for n in _walk(where)
     ):
         return plan, tables
 
     if plan["joins"]:
         raise ValueError(
-            "IN (SELECT ...) is not supported together with JOIN"
+            "IN/EXISTS (SELECT ...) is not supported together with JOIN"
         )
     conjs = _split_conjuncts(where)
     rest = []
     ds = tables[plan["table"]]
     si = 0
+    gate_empty = False
     for c in conjs:
-        anti = c[0] == "not" and c[1][0] == "in_subq"
+        anti = c[0] == "not" and c[1][0] in ("in_subq", "exists")
         node = c[1] if anti else c
+        if node[0] == "exists":
+            sub = node[1]
+            corr = _corr_split(sub, tables, outer_alias, outer_cols)
+            if corr is None:
+                # uncorrelated EXISTS: one boolean gate for every row
+                nonempty = (
+                    _exec_plan(
+                        dict(sub, order=[], limit=1),
+                        tables, num_partitions,
+                    ).limit(1).count() > 0
+                )
+                if nonempty == anti:
+                    ds = _empty_like(ds)
+                    gate_empty = True
+                continue
+            inner_key, outer_key, rest_where = corr
+            if sub["group"] or sub.get("having") is not None:
+                raise ValueError("EXISTS subquery with GROUP BY unsupported")
+            i = si
+            si += 1
+            ekey, okey = f"__ek{i}", f"__eo{i}"
+            subplan2 = dict(
+                sub, items=[(inner_key, ekey)], where=rest_where,
+                group=[], having=None, order=[], limit=None,
+                distinct=False, union_next=False,
+            )
+            sub_ds = _exec_plan(subplan2, tables, num_partitions)
+
+            def add_ekey(t: pa.Table, _e=outer_key, _k=okey) -> pa.Table:
+                return t.append_column(_k, _eval(_e, t))
+
+            ds = R.copartition_equi_join(
+                ds.map_batches(add_ekey, batch_format="pyarrow"),
+                sub_ds, okey, ekey,
+                how="anti" if anti else "semi",
+                num_partitions=num_partitions,
+            ).drop_columns([okey])
+            continue
         if node[0] != "in_subq":
-            if any(n[0] == "in_subq" for n in _walk(c)):
+            if any(n[0] in ("in_subq", "exists") for n in _walk(c)):
                 raise ValueError(
-                    "IN (SELECT ...) only supported as a top-level "
-                    "WHERE conjunct"
+                    "IN/EXISTS (SELECT ...) only supported as a "
+                    "top-level WHERE conjunct"
                 )
             rest.append(c)
             continue
@@ -1102,7 +1391,8 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
                 )
 
             if sub_ds.map_batches(nulls, batch_format="pyarrow").sum("n"):
-                ds = ds.limit(0)
+                ds = _empty_like(ds)
+                gate_empty = True
                 continue
 
         key = f"__sq{si}"
@@ -1132,7 +1422,8 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
         residual = c if residual is None else ("and", residual, c)
     tables = dict(tables)
     tables["__subq_base"] = ds
-    plan = dict(plan, table="__subq_base", where=residual)
+    plan = dict(plan, table="__subq_base", where=residual,
+                gate_empty=gate_empty)
     return plan, tables
 
 
@@ -1178,11 +1469,233 @@ def sql_query(sql: str, tables: dict, num_partitions: int = 16):
     return _exec_plan(plan, tables, num_partitions)
 
 
+def _col_hash(col) -> "np.ndarray":
+    """Per-row uint64 hash of an Arrow column (splitmix finalizer for
+    numerics, crc32 for everything else).  Used only to SCATTER window
+    partitions across tasks — group identity inside a task is decided
+    by exact dense ranks, so hash collisions merely co-locate groups."""
+    import zlib
+
+    ty = col.type
+    if pa.types.is_integer(ty) or pa.types.is_boolean(ty):
+        c = pc.cast(pc.fill_null(col, 0), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.uint64)
+    elif pa.types.is_floating(ty):
+        c = pc.cast(pc.fill_null(col, 0.0), pa.float64()).to_numpy(
+            zero_copy_only=False
+        ).view(np.uint64).copy()
+    else:
+        vals = pc.cast(col, pa.string()).to_pylist()
+        return np.array(
+            [zlib.crc32(v.encode()) if v is not None else 0 for v in vals],
+            np.uint64,
+        )
+    c = (c ^ (c >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    return c ^ (c >> np.uint64(33))
+
+
+def _run_window(plan: dict, tables: dict, num_partitions: int):
+    """Distributed window functions (engine extension; the swq dialect
+    has none): ROW_NUMBER / RANK / DENSE_RANK () OVER (PARTITION BY k
+    ORDER BY s [DESC]) and COUNT/SUM/AVG/MIN/MAX(x) OVER (PARTITION BY
+    k) with the unbounded partition frame.
+
+    Lowering: ONE hash shuffle on the shared PARTITION BY key
+    (groupby on hash(key) % P so each task holds whole key groups,
+    many groups per task), then fully vectorized per-partition
+    compute: order-preserving dense ranks per column (pc.rank), one
+    lexsort, run boundaries, reduceat for the aggregates — never one
+    Python call per key group.  Numeric results: ranks/counts int64,
+    SUM/AVG/MIN/MAX float64 (NULL where the partition has no valid
+    input, per SQL)."""
+    items, where = plan["items"], plan["where"]
+    if plan["joins"] or plan["group"] or plan.get("having") is not None:
+        raise ValueError(
+            "window functions are supported on single-table SELECTs "
+            "without GROUP BY (nest the grouped query if needed)"
+        )
+    if where is not None and any(n[0] == "win" for n in _walk(where)):
+        raise ValueError("window functions are not allowed in WHERE")
+    if plan["table"] not in tables:
+        raise ValueError(f"unknown table {plan['table']}")
+    ds = tables[plan["table"]]
+
+    wins: list = []
+    for e, _ in items:
+        for n in _walk(e):
+            if n[0] == "win" and n not in wins:
+                wins.append(n)
+    parts0 = wins[0][3]
+    for wn in wins[1:]:
+        if wn[3] != parts0:
+            raise ValueError(
+                "all window functions in one SELECT must share the same "
+                "PARTITION BY (one shuffle per window set)"
+            )
+
+    key_cols = [f"__wk{j}" for j in range(len(parts0))]
+    helper: dict = {}
+    win_specs = []  # (fn, arg_col|None, [(order_col, desc)...], out_col)
+    for i, wn in enumerate(wins):
+        _, fn, arg, _parts, orders = wn
+        argc = None
+        if arg is not None:
+            argc = f"__wa{i}"
+            helper[argc] = arg
+        ocs = []
+        for j, (oe, od) in enumerate(orders):
+            oc = f"__wo{i}_{j}"
+            helper[oc] = oe
+            ocs.append((oc, od))
+        win_specs.append((fn, argc, ocs, f"__win{i}"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        if where is not None:
+            t = t.filter(pc.cast(_eval(where, t), pa.bool_()))
+        cols = {c: t.column(c) for c in t.schema.names}
+        for name, e in list(zip(key_cols, parts0)) + list(helper.items()):
+            v = _eval(e, t)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * t.num_rows, type=v.type)
+            cols[name] = v
+        out = pa.table(cols)
+        h = np.zeros(out.num_rows, np.uint64)
+        for kc in key_cols:
+            h = h * np.uint64(1099511628211) ^ _col_hash(out.column(kc))
+        return out.append_column(
+            "__wpart",
+            pa.array((h % np.uint64(num_partitions)).astype(np.int64)),
+        )
+
+    def win_group(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        gcodes = [
+            pc.rank(g.column(kc), sort_keys="ascending",
+                    null_placement="at_end", tiebreaker="dense")
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+            for kc in key_cols
+        ]
+        outs = {}
+        for fn, argc, ocs, outc in win_specs:
+            keys = list(gcodes)
+            for oc, od in ocs:
+                keys.append(
+                    pc.rank(g.column(oc),
+                            sort_keys="descending" if od else "ascending",
+                            null_placement="at_end", tiebreaker="dense")
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+            order = np.lexsort(tuple(reversed(keys)))
+            pk = np.stack([k[order] for k in gcodes], axis=1)
+            newpart = np.ones(n, bool)
+            if n > 1:
+                newpart[1:] = (pk[1:] != pk[:-1]).any(axis=1)
+            idx = np.arange(n, dtype=np.int64)
+            part_start = np.maximum.accumulate(np.where(newpart, idx, 0))
+            if fn == "row_number":
+                out_sorted = idx - part_start + 1
+                arr_of = lambda r: pa.array(r, type=pa.int64())  # noqa: E731
+            elif fn in ("rank", "dense_rank"):
+                ok = np.stack(
+                    [k[order] for k in keys[len(gcodes):]], axis=1
+                )
+                newval = newpart.copy()
+                if n > 1:
+                    newval[1:] |= (ok[1:] != ok[:-1]).any(axis=1)
+                if fn == "rank":
+                    val_start = np.maximum.accumulate(
+                        np.where(newval, idx, 0)
+                    )
+                    out_sorted = val_start - part_start + 1
+                else:
+                    inc = newval & ~newpart
+                    cum = np.cumsum(inc)
+                    out_sorted = cum - cum[part_start] + 1
+                arr_of = lambda r: pa.array(r, type=pa.int64())  # noqa: E731
+            else:  # whole-partition aggregate
+                starts = np.flatnonzero(newpart)
+                pid = np.cumsum(newpart) - 1
+                if argc is None:  # COUNT(*) OVER
+                    cnt = np.add.reduceat(np.ones(n, np.int64), starts)
+                    out_sorted = cnt[pid]
+                    arr_of = lambda r: pa.array(r, type=pa.int64())  # noqa: E731
+                else:
+                    a = g.column(argc)
+                    av = pc.cast(a, pa.float64()).to_numpy(
+                        zero_copy_only=False
+                    )[order]
+                    valid = pc.is_valid(a).to_numpy(
+                        zero_copy_only=False
+                    )[order]
+                    cnt = np.add.reduceat(valid.astype(np.int64), starts)
+                    if fn == "count":
+                        out_sorted = cnt[pid]
+                        arr_of = lambda r: pa.array(r, type=pa.int64())  # noqa: E731
+                    else:
+                        if fn in ("sum", "avg"):
+                            x = np.where(valid, av, 0.0)
+                            s = np.add.reduceat(x, starts)
+                            vals = (
+                                s if fn == "sum"
+                                else s / np.maximum(cnt, 1)
+                            )
+                        else:
+                            x = np.where(valid, av, np.nan)
+                            red = np.fmin if fn == "min" else np.fmax
+                            vals = red.reduceat(x, starts)
+                        out_sorted = np.where(
+                            cnt[pid] > 0, vals[pid], np.nan
+                        )
+
+                        def arr_of(r):
+                            arr = pa.array(r, type=pa.float64())
+                            return pc.if_else(
+                                pc.is_nan(arr),
+                                pa.scalar(None, pa.float64()), arr,
+                            )
+
+            res = np.empty(n, out_sorted.dtype)
+            res[order] = out_sorted
+            outs[outc] = arr_of(res)
+        cols = {
+            c: g.column(c)
+            for c in g.schema.names
+            if not c.startswith("__w")
+        }
+        cols.update(outs)
+        return pa.table(cols)
+
+    wds = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__wpart")
+        .map_groups(win_group, batch_format="pyarrow")
+    )
+
+    repl = {wn: ("col", spec[3]) for wn, spec in zip(wins, win_specs)}
+
+    def sub_win(n):
+        return repl.get(n, n) if n[0] == "win" else n
+
+    items2 = [(_transform(e, sub_win), a) for e, a in items]
+    tables2 = dict(tables)
+    tables2["__win_base"] = wds
+    return _exec_plan(
+        dict(plan, table="__win_base", where=None, items=items2),
+        tables2, num_partitions,
+    )
+
+
 def _exec_plan(plan: dict, tables: dict, num_partitions: int = 16):
     from . import relational as R
 
     plan, tables = _lower_subqueries(plan, tables, num_partitions)
     where, items = plan["where"], plan["items"]
+
+    if items is not None and any(
+        n[0] == "win" for e, _ in items for n in _walk(e)
+    ):
+        return _run_window(plan, tables, num_partitions)
 
     if plan["joins"] or plan["group"] or plan["having"] is not None or (
         items is not None and any(_has_agg(e) for e, _ in items)
@@ -1223,6 +1736,23 @@ def _exec_plan(plan: dict, tables: dict, num_partitions: int = 16):
         for c in extra_keys:
             cols[f"__ob_{c}"] = t.column(c)
         return pa.table(cols)
+
+    if plan.get("gate_empty"):
+        # a WHERE gate (uncorrelated EXISTS / NOT IN with NULLs) proved
+        # the result empty: materialize the zero-row projection locally
+        # so the schema survives (Ray cannot infer schema through map
+        # stages whose every block is empty)
+        import ray.data as rd
+
+        sch = ds.schema()
+        fields = [
+            (n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
+            for n, t in zip(sch.names, sch.types)
+        ]
+        res = run(pa.schema(fields).empty_table())
+        if items is not None:
+            res = res.select(out_names)
+        return rd.from_arrow(res)
 
     out = ds.map_batches(run, batch_format="pyarrow")
     if plan.get("distinct"):

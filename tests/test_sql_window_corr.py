@@ -1,0 +1,157 @@
+"""Window functions + correlated subqueries / EXISTS in the SQL
+front-end, cross-checked by running the SAME statement verbatim in
+DuckDB on the same tables."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from gdal_ray.pipelines.sql import sql_query
+
+
+def _orders():
+    rng = np.random.default_rng(42)
+    n = 400
+    return pa.table(
+        {
+            "okey": pa.array(np.arange(n, dtype=np.int64)),
+            "cust": pa.array(rng.integers(0, 23, n)),
+            "price": pa.array(np.round(rng.uniform(10, 5000, n), 2)),
+            "prio": pa.array(
+                [f"P{int(v)}" for v in rng.integers(1, 6, n)], pa.string()
+            ),
+        }
+    )
+
+
+def _items():
+    rng = np.random.default_rng(7)
+    n = 900
+    return pa.table(
+        {
+            "okey": pa.array(rng.integers(0, 450, n)),
+            "qty": pa.array(rng.integers(1, 50, n)),
+            "tax": pa.array(np.round(rng.uniform(0, 0.1, n), 4)),
+        }
+    )
+
+
+def _both(sql, tables):
+    import ray.data as rd
+
+    ds = sql_query(sql, {k: rd.from_arrow(v) for k, v in tables.items()})
+    sch = ds.schema()
+    eng = ds.to_pandas()
+    if len(eng) == 0 and len(eng.columns) == 0:
+        # Ray's to_pandas drops columns when every block is empty; the
+        # Dataset schema still carries them
+        eng = pd.DataFrame({c: [] for c in sch.names})
+    con = duckdb.connect()
+    for k, v in tables.items():
+        con.register(k, v)
+    ora = con.execute(sql).fetchdf()
+    assert sorted(eng.columns) == sorted(ora.columns)
+
+    def norm(d):
+        d = d[sorted(d.columns)].copy()
+        for c in d.columns:
+            if d[c].dtype == object:
+                d[c] = d[c].astype(str)
+            else:
+                d[c] = pd.to_numeric(d[c], errors="ignore")
+        return (
+            d.sort_values(list(d.columns))
+            .reset_index(drop=True)
+            .astype({c: "float64" for c in d.columns if d[c].dtype.kind in "if"})
+        )
+
+    a, b = norm(eng), norm(ora)
+    assert len(a) == len(b), f"rows {len(a)} vs {len(b)}"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9)
+    return eng
+
+
+def test_row_number_rank_dense(ray_session):
+    _both(
+        "SELECT okey, cust, "
+        "ROW_NUMBER() OVER (PARTITION BY cust ORDER BY okey) AS rn, "
+        "RANK() OVER (PARTITION BY cust ORDER BY prio DESC, okey) AS rk, "
+        "DENSE_RANK() OVER (PARTITION BY cust ORDER BY prio) AS dr "
+        "FROM orders",
+        {"orders": _orders()},
+    )
+
+
+def test_aggregate_windows(ray_session):
+    _both(
+        "SELECT okey, cust, "
+        "COUNT(*) OVER (PARTITION BY cust) AS n_in_part, "
+        "CAST(SUM(price) OVER (PARTITION BY cust) AS DOUBLE) AS tot, "
+        "AVG(price) OVER (PARTITION BY cust) AS avg_p, "
+        "MIN(price) OVER (PARTITION BY cust) AS lo, "
+        "MAX(price) OVER (PARTITION BY cust) AS hi "
+        "FROM orders WHERE price > 100",
+        {"orders": _orders()},
+    )
+
+
+def test_window_then_order_limit(ray_session):
+    _both(
+        "SELECT okey, RANK() OVER (PARTITION BY prio ORDER BY price DESC, okey) "
+        "AS rk FROM orders WHERE cust < 10 ORDER BY okey LIMIT 50",
+        {"orders": _orders()},
+    )
+
+
+def test_window_requires_partition(ray_session):
+    with pytest.raises(ValueError):
+        sql_query("SELECT RANK() OVER (ORDER BY okey) AS r FROM orders", {})
+
+
+def test_correlated_scalar_count_and_sum(ray_session):
+    # COUNT fills no-match with 0; SUM stays NULL
+    _both(
+        "SELECT okey, price, "
+        "(SELECT COUNT(*) FROM items i WHERE i.okey = o.okey) AS n_items, "
+        "(SELECT SUM(qty) FROM items i WHERE i.okey = o.okey AND qty > 25) "
+        "AS big_qty "
+        "FROM orders o WHERE okey < 120",
+        {"orders": _orders(), "items": _items()},
+    )
+
+
+def test_correlated_in_where(ray_session):
+    _both(
+        "SELECT okey FROM orders o WHERE "
+        "(SELECT COUNT(*) FROM items i WHERE i.okey = o.okey) > 3 "
+        "ORDER BY okey",
+        {"orders": _orders(), "items": _items()},
+    )
+
+
+def test_exists_and_not_exists(ray_session):
+    _both(
+        "SELECT okey, cust FROM orders o WHERE EXISTS "
+        "(SELECT qty FROM items i WHERE i.okey = o.okey AND qty > 40)",
+        {"orders": _orders(), "items": _items()},
+    )
+    _both(
+        "SELECT okey FROM orders o WHERE NOT EXISTS "
+        "(SELECT qty FROM items i WHERE i.okey = o.okey)",
+        {"orders": _orders(), "items": _items()},
+    )
+
+
+def test_uncorrelated_exists_gate(ray_session):
+    _both(
+        "SELECT okey FROM orders WHERE EXISTS "
+        "(SELECT okey FROM items WHERE qty > 49) AND okey < 5",
+        {"orders": _orders(), "items": _items()},
+    )
+    _both(
+        "SELECT okey FROM orders WHERE NOT EXISTS "
+        "(SELECT okey FROM items WHERE qty > 999) AND okey < 5",
+        {"orders": _orders(), "items": _items()},
+    )
