@@ -216,14 +216,51 @@ def q17_jaccard(sf_dir: str, num_perm: int = 64, bands: int = 8,
     )
 
 
+def q17_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup clustering golden: single-process union-find (path
+    halving, min-id root) over the exact-Jaccard pairs, one row per
+    document (doc_id, rep, csize); singletons map to themselves.
+    Independent of the engine's distributed min-label-propagation /
+    one-task-CC implementation."""
+    ja = q17_jaccard(sf_dir)
+    docs = _docs(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in zip(ja["doc_a"], ja["doc_b"]):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    ids = [int(v) for v in docs["doc_id"]]
+    reps = [find(i) for i in ids]
+    from collections import Counter
+
+    sizes = Counter(reps)
+    return pd.DataFrame(
+        {
+            "doc_id": np.asarray(ids, np.int64),
+            "rep": np.asarray(reps, np.int64),
+            "csize": np.asarray([sizes[r] for r in reps], np.int64),
+        }
+    )
+
+
 def q17_neardup_pairs(sf_dir: str) -> pd.DataFrame:
     """Combined near-dup pair suite: minhash pairs (score = estimated
     Jaccard) + simhash pairs (score = Hamming distance) + exact n-gram
-    Jaccard pairs, tagged by ``method`` — the oracle of the one
-    registered q17 query."""
+    Jaccard pairs + per-document 'cluster' rows (doc_b = canonical
+    representative, score = component size), tagged by ``method`` —
+    the oracle of the one registered q17 query."""
     mh = q17_minhash(sf_dir)
     sh = q18_simhash(sf_dir)
     ja = q17_jaccard(sf_dir)
+    cl = q17_clusters(sf_dir)
     a = pd.DataFrame(
         {
             "method": "minhash",
@@ -248,8 +285,16 @@ def q17_neardup_pairs(sf_dir: str) -> pd.DataFrame:
             "score": ja["jaccard"].astype(np.float64),
         }
     )
+    d = pd.DataFrame(
+        {
+            "method": "cluster",
+            "doc_a": cl["doc_id"],
+            "doc_b": cl["rep"],
+            "score": cl["csize"].astype(np.float64),
+        }
+    )
     return (
-        pd.concat([a, b, c], ignore_index=True)
+        pd.concat([a, b, c, d], ignore_index=True)
         .sort_values(["method", "doc_a", "doc_b"])
         .reset_index(drop=True)
     )

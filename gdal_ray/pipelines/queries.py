@@ -2612,14 +2612,31 @@ def q_ann_ivf(sf_dir: str, k_lists: int = 16, nprobe: int = 2,
 def q17_neardup_pairs(sf_dir: str):
     """Near-dup pair suite: MinHash+banded-LSH pairs (score =
     estimated Jaccard), SimHash band pairs (score = Hamming distance),
-    and exact n-gram Jaccard pairs (same LSH candidates, exact
-    shingle-set intersection verify), tagged by ``method``."""
-    from ..stages.dedup import minhash_lsh_pairs
+    exact n-gram Jaccard pairs (same LSH candidates, exact shingle-set
+    intersection verify), and 'cluster' rows — the dedup DECISION:
+    connected components over the exact-Jaccard pairs (distributed CC
+    + left-outer label attach, stages.dedup.neardup_clusters), one row
+    per document with doc_b = the canonical representative (min doc_id
+    of its component; keep doc_a == doc_b to dedup) and score = the
+    component size — all tagged by ``method``."""
+    from ..stages.dedup import minhash_lsh_pairs, neardup_clusters
 
     mh = q17_minhash_pairs(sf_dir)
     sh = q18_simhash_pairs(sf_dir)
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ja = minhash_lsh_pairs(docs, threshold=0.5, exact_shingles=True)
+    cl = neardup_clusters(ja, _read(sf_dir, "documents", columns=["doc_id"]))
+
+    def tag_cl(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "method": pa.array(["cluster"] * n, pa.string()),
+                "doc_a": t.column("doc_id"),
+                "doc_b": t.column("rep"),
+                "score": pc.cast(t.column("csize"), pa.float64()),
+            }
+        )
 
     def tag_ja(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -2658,6 +2675,7 @@ def q17_neardup_pairs(sf_dir: str):
         mh.map_batches(tag_mh, batch_format="pyarrow")
         .union(sh.map_batches(tag_sh, batch_format="pyarrow"))
         .union(ja.map_batches(tag_ja, batch_format="pyarrow"))
+        .union(cl.map_batches(tag_cl, batch_format="pyarrow"))
         .sort(["method", "doc_a", "doc_b"])
     )
 

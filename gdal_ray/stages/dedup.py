@@ -576,3 +576,77 @@ def phash_neardup_pairs(images, max_hamming: int = 6, bands: int = 4,
         "image_id", "phash", "id_a", "id_b",
         max_hamming, bands, max_bucket, id_is_string=True,
     )
+
+
+# ------------------------------------------------- near-dup clustering
+
+
+def neardup_clusters(pairs, doc_ids, num_partitions: int = 16):
+    """Dedup clustering — the 'which rows survive' step of a training-
+    data dedup pipeline (engine addition; the reference has no dedup,
+    SURVEY.md §2.6): connected components over verified near-dup pairs,
+    then a canonical representative for EVERY document.
+
+    ``pairs``: Dataset with ``doc_a``/``doc_b`` (any verified pair
+    stream, e.g. ``minhash_lsh_pairs``).  ``doc_ids``: Dataset with
+    ``doc_id``.  Returns ``(doc_id, rep, csize)``: ``rep`` is the min
+    doc_id of the document's component (singletons map to themselves),
+    ``csize`` the component size.  Keep ``doc_id == rep`` to dedup.
+
+    Distributed shape: one connected-components pass (the size-gated
+    one-task union-find / pointer-jumped min-label infra shared with
+    polygonize), one co-partitioned left-outer join to attach labels,
+    one count groupby + join-back for sizes — no driver-side graph.
+    """
+    import pyarrow.compute as pc
+
+    from ..pipelines import relational as R
+    from .polygonize import min_label_components
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pc.cast(t.column("doc_a"), pa.int64()),
+                "b": pc.cast(t.column("doc_b"), pa.int64()),
+            }
+        )
+
+    def only_ids(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64())})
+
+    ids = doc_ids.map_batches(only_ids, batch_format="pyarrow")
+    labels = min_label_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow")
+    )
+    if labels is None:  # no pairs at all: every document is a singleton
+        def selfrep(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "rep": t.column("doc_id"),
+                    "csize": pa.array(np.ones(n, np.int64)),
+                }
+            )
+
+        return ids.map_batches(selfrep, batch_format="pyarrow")
+
+    joined = R.copartition_equi_join(
+        ids, labels, "doc_id", "node", how="left_outer",
+        num_partitions=num_partitions,
+    )
+
+    def fill_rep(t: pa.Table) -> pa.Table:
+        rep = pc.coalesce(t.column("label"), t.column("doc_id"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "rep": pc.cast(rep, pa.int64()),
+            }
+        )
+
+    base = joined.map_batches(fill_rep, batch_format="pyarrow")
+    sizes = R.grouped_aggregate(base, ["rep"], [("rep", "count", "csize")])
+    return R.copartition_equi_join(
+        base, sizes, "rep", "rep", num_partitions=num_partitions
+    )
