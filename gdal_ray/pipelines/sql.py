@@ -47,9 +47,14 @@ through ``Dataset.map_batches``:
   lexsort + reduceat per task (PARTITION BY is required — a global
   window would serialize through one task).
 
+- [NOT] IN / EXISTS conjuncts on JOIN outer queries route the
+  semi/anti join to the ONE table owning the probe expression, below
+  the main join (raises for probes on the null-filled side of a LEFT
+  JOIN, where the filter would not commute).
+
 Not covered (documented): non-equi join conditions, multiple
-correlated equalities, IN-subqueries combined with JOIN, running
-(ORDER BY) aggregate window frames, windows over GROUP BY results.
+correlated equalities, running (ORDER BY) aggregate window frames,
+windows over GROUP BY results.
 """
 
 from __future__ import annotations
@@ -1128,7 +1133,7 @@ def _empty_like(ds):
     return rd.from_arrow(pa.schema(fields).empty_table())
 
 
-def _corr_split(subplan: dict, tables: dict, outer_alias: str,
+def _corr_split(subplan: dict, tables: dict, outer_aliases: set,
                 outer_cols: set):
     """Detect correlation of a subquery plan against ONE outer table.
     Returns None when the subquery is self-contained, else
@@ -1149,7 +1154,7 @@ def _corr_split(subplan: dict, tables: dict, outer_alias: str,
         if n[0] == "qcol":
             if n[1] in sub_aliases:
                 return "sub"
-            if n[1] == outer_alias:
+            if n[1] in outer_aliases:
                 return "outer"
             raise ValueError(f"unknown table alias {n[1]!r} in subquery")
         if n[0] == "col":
@@ -1221,11 +1226,11 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
     from . import relational as R
 
     outer_alias = plan["table_alias"]
-    outer_cols = (
-        set(tables[plan["table"]].schema().names)
-        if plan["table"] in tables
-        else set()
-    )
+    outer_aliases = {outer_alias} | {j["alias"] for j in plan["joins"]}
+    outer_cols: set = set()
+    for tbl in [plan["table"]] + [j["table"] for j in plan["joins"]]:
+        if tbl in tables:
+            outer_cols.update(tables[tbl].schema().names)
     corr_base = [None]  # boxed: the attach-rewritten base dataset
     attach_i = [0]
 
@@ -1286,7 +1291,7 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
 
     def scal(n):
         if n[0] == "subq":
-            corr = _corr_split(n[1], tables, outer_alias, outer_cols)
+            corr = _corr_split(n[1], tables, outer_aliases, outer_cols)
             if corr is not None:
                 return _attach_corr(n[1], corr)
             return ("lit", _scalar_of(n[1], tables, num_partitions))
@@ -1312,13 +1317,41 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
     ):
         return plan, tables
 
-    if plan["joins"]:
-        raise ValueError(
-            "IN/EXISTS (SELECT ...) is not supported together with JOIN"
-        )
+    # routing: each [NOT] IN / EXISTS conjunct applies its semi/anti
+    # join to the ONE table that owns the probe expression, BEFORE the
+    # main join (filtering a table below an inner join, or the left
+    # side of a LEFT JOIN, commutes with the join; filtering the
+    # null-filled right side of a LEFT JOIN does not -> raise)
+    aliases_s, schemas_s, _ = _build_scope(plan, tables)
+    left_right = {j["alias"] for j in plan["joins"]
+                  if j["how"] == "left_outer"}
+
+    def _probe_alias(expr) -> str:
+        owners = _refs(expr, schemas_s, aliases_s)
+        if len(owners) != 1:
+            raise ValueError(
+                "IN/EXISTS probe expression must reference exactly one "
+                f"table (got {sorted(owners)})"
+            )
+        (a,) = owners
+        if a in left_right:
+            raise ValueError(
+                "IN/EXISTS probe on the null-filled side of a LEFT "
+                "JOIN is not supported (the filter would not commute "
+                "with the join)"
+            )
+        return a
+
+    alias_to_table = {plan["table_alias"]: plan["table"]}
+    for j in plan["joins"]:
+        alias_to_table[j["alias"]] = j["table"]
+    tgt_ds: dict = {}  # alias -> rewritten dataset
+
+    def _get_tgt(a: str):
+        return tgt_ds.get(a, tables[alias_to_table[a]])
+
     conjs = _split_conjuncts(where)
     rest = []
-    ds = tables[plan["table"]]
     si = 0
     gate_empty = False
     for c in conjs:
@@ -1326,7 +1359,7 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
         node = c[1] if anti else c
         if node[0] == "exists":
             sub = node[1]
-            corr = _corr_split(sub, tables, outer_alias, outer_cols)
+            corr = _corr_split(sub, tables, outer_aliases, outer_cols)
             if corr is None:
                 # uncorrelated EXISTS: one boolean gate for every row
                 nonempty = (
@@ -1336,7 +1369,8 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
                     ).limit(1).count() > 0
                 )
                 if nonempty == anti:
-                    ds = _empty_like(ds)
+                    ba = plan["table_alias"]
+                    tgt_ds[ba] = _empty_like(_get_tgt(ba))
                     gate_empty = True
                 continue
             inner_key, outer_key, rest_where = corr
@@ -1355,8 +1389,9 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
             def add_ekey(t: pa.Table, _e=outer_key, _k=okey) -> pa.Table:
                 return t.append_column(_k, _eval(_e, t))
 
-            ds = R.copartition_equi_join(
-                ds.map_batches(add_ekey, batch_format="pyarrow"),
+            ta = _probe_alias(outer_key)
+            tgt_ds[ta] = R.copartition_equi_join(
+                _get_tgt(ta).map_batches(add_ekey, batch_format="pyarrow"),
                 sub_ds, okey, ekey,
                 how="anti" if anti else "semi",
                 num_partitions=num_partitions,
@@ -1371,6 +1406,7 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
             rest.append(c)
             continue
         expr, subplan = node[1], node[2]
+        ta = _probe_alias(expr)
         sub_ds = _exec_plan(subplan, tables, num_partitions)
         sub_names = sub_ds.schema().names
         if len(sub_names) != 1:
@@ -1391,7 +1427,7 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
                 )
 
             if sub_ds.map_batches(nulls, batch_format="pyarrow").sum("n"):
-                ds = _empty_like(ds)
+                tgt_ds[ta] = _empty_like(_get_tgt(ta))
                 gate_empty = True
                 continue
 
@@ -1404,14 +1440,14 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
                 v = pa.array([v.as_py()] * t.num_rows, type=v.type)
             return t.append_column(_k, v)
 
-        keyed = ds.map_batches(add_key, batch_format="pyarrow")
+        keyed = _get_tgt(ta).map_batches(add_key, batch_format="pyarrow")
         if anti:
             # NULL probe values never satisfy NOT IN (NULL, not TRUE)
             def drop_null_key(t: pa.Table, _k=key) -> pa.Table:
                 return t.filter(pc.is_valid(t.column(_k)))
 
             keyed = keyed.map_batches(drop_null_key, batch_format="pyarrow")
-        ds = R.copartition_equi_join(
+        tgt_ds[ta] = R.copartition_equi_join(
             keyed, sub_vals, key, "__sqv",
             how="anti" if anti else "semi",
             num_partitions=num_partitions,
@@ -1421,8 +1457,18 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
     for c in rest:
         residual = c if residual is None else ("and", residual, c)
     tables = dict(tables)
-    tables["__subq_base"] = ds
-    plan = dict(plan, table="__subq_base", where=residual,
+    new_joins = [dict(j) for j in plan["joins"]]
+    new_table = plan["table"]
+    for a, dset in tgt_ds.items():
+        name = f"__subq_{a}"
+        tables[name] = dset
+        if a == plan["table_alias"]:
+            new_table = name
+        else:
+            for j in new_joins:
+                if j["alias"] == a:
+                    j["table"] = name
+    plan = dict(plan, table=new_table, joins=new_joins, where=residual,
                 gate_empty=gate_empty)
     return plan, tables
 

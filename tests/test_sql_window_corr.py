@@ -155,3 +155,53 @@ def test_uncorrelated_exists_gate(ray_session):
         "(SELECT okey FROM items WHERE qty > 999) AND okey < 5",
         {"orders": _orders(), "items": _items()},
     )
+
+
+def test_in_subquery_with_join(ray_session):
+    _both(
+        "SELECT o.okey AS okey, i.qty AS qty "
+        "FROM orders o JOIN items i ON o.okey = i.okey "
+        "WHERE o.cust IN (SELECT cust FROM orders WHERE price > 4000) "
+        "AND i.qty > 30 ORDER BY okey, qty LIMIT 100",
+        {"orders": _orders(), "items": _items()},
+    )
+    # non-vacuous: the semi-join keeps some but not all join rows
+    eng = _both(
+        "SELECT o.okey AS okey FROM orders o JOIN items i "
+        "ON o.okey = i.okey "
+        "WHERE o.cust IN (SELECT cust FROM orders WHERE price > 4000)",
+        {"orders": _orders(), "items": _items()},
+    )
+    assert 0 < len(eng) < 900
+
+
+def test_not_in_and_exists_with_join(ray_session):
+    _both(
+        "SELECT o.okey AS okey, i.qty AS qty "
+        "FROM orders o JOIN items i ON o.okey = i.okey "
+        "WHERE i.qty NOT IN (SELECT qty FROM items WHERE tax > 0.09) "
+        "AND EXISTS (SELECT okey FROM orders o2 WHERE o2.okey = i.okey "
+        "AND o2.price > 1000) "
+        "ORDER BY okey, qty LIMIT 100",
+        {"orders": _orders(), "items": _items()},
+    )
+    eng = _both(
+        "SELECT i.okey AS okey, i.qty AS qty FROM orders o "
+        "JOIN items i ON o.okey = i.okey "
+        "WHERE EXISTS (SELECT okey FROM orders o2 WHERE o2.okey = i.okey "
+        "AND o2.price > 4000)",
+        {"orders": _orders(), "items": _items()},
+    )
+    assert 0 < len(eng) < 900
+
+
+def test_in_probe_on_left_join_right_side_raises(ray_session):
+    import ray.data as rd
+
+    with pytest.raises(ValueError):
+        sql_query(
+            "SELECT o.okey FROM orders o LEFT JOIN items i ON o.okey = i.okey "
+            "WHERE i.qty IN (SELECT qty FROM items)",
+            {"orders": rd.from_arrow(_orders()),
+             "items": rd.from_arrow(_items())},
+        )
