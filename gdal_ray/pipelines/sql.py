@@ -43,9 +43,12 @@ through ``Dataset.map_batches``:
   boolean gate);
 - window functions ROW_NUMBER/RANK/DENSE_RANK () OVER (PARTITION BY k
   ORDER BY s [DESC]) and COUNT/SUM/AVG/MIN/MAX(x) OVER (PARTITION BY
-  k): one hash shuffle on the partition key, vectorized dense-rank +
-  lexsort + reduceat per task (PARTITION BY is required — a global
-  window would serialize through one task).
+  k [ORDER BY s]): one hash shuffle on the partition key, vectorized
+  dense-rank + lexsort + reduceat per task; aggregates with ORDER BY
+  use the SQL default running frame (RANGE UNBOUNDED..CURRENT ROW,
+  peers included: segmented cumsum/cummin/cummax + peer-end
+  broadcast).  PARTITION BY is required — a global window would
+  serialize through one task.
 
 - [NOT] IN / EXISTS conjuncts on JOIN outer queries route the
   semi/anti join to the ONE table owning the probe expression, below
@@ -53,8 +56,8 @@ through ``Dataset.map_batches``:
   JOIN, where the filter would not commute).
 
 Not covered (documented): non-equi join conditions, multiple
-correlated equalities, running (ORDER BY) aggregate window frames,
-windows over GROUP BY results.
+correlated equalities, explicit ROWS/RANGE frame bounds, windows over
+GROUP BY results.
 """
 
 from __future__ import annotations
@@ -332,11 +335,8 @@ class _Parser:
         ranking = fn in ("row_number", "rank", "dense_rank")
         if ranking and not orders:
             raise ValueError(f"{fn}() OVER requires ORDER BY")
-        if not ranking and orders:
-            raise ValueError(
-                "aggregate windows support the unbounded PARTITION frame "
-                "only (no ORDER BY running frames)"
-            )
+        # aggregates WITH orders use the SQL default running frame
+        # (RANGE UNBOUNDED PRECEDING .. CURRENT ROW, peers included)
         if not parts:
             raise ValueError(
                 "OVER requires PARTITION BY (a global window would "
@@ -1659,6 +1659,77 @@ def _run_window(plan: dict, tables: dict, num_partitions: int):
                     cum = np.cumsum(inc)
                     out_sorted = cum - cum[part_start] + 1
                 arr_of = lambda r: pa.array(r, type=pa.int64())  # noqa: E731
+            elif ocs:  # running frame (RANGE UNBOUNDED..CURRENT + peers)
+                import pandas as pd
+
+                pid = np.cumsum(newpart) - 1
+                ok = np.stack(
+                    [k[order] for k in keys[len(gcodes):]], axis=1
+                )
+                newval = newpart.copy()
+                if n > 1:
+                    newval[1:] |= (ok[1:] != ok[:-1]).any(axis=1)
+                peer = np.cumsum(newval) - 1
+                if argc is None:  # COUNT(*)
+                    av = np.ones(n, np.float64)
+                    valid = np.ones(n, bool)
+                else:
+                    a = g.column(argc)
+                    av = pc.cast(a, pa.float64()).to_numpy(
+                        zero_copy_only=False
+                    )[order]
+                    valid = pc.is_valid(a).to_numpy(
+                        zero_copy_only=False
+                    )[order]
+                df = pd.DataFrame({"pid": pid, "peer": peer})
+                gp_ = df["pid"]
+                if fn in ("count", "sum", "avg"):
+                    df["cs"] = (
+                        pd.Series(np.where(valid, av, 0.0))
+                        .groupby(gp_).cumsum()
+                    )
+                    df["cc"] = (
+                        pd.Series(valid.astype(np.int64))
+                        .groupby(gp_).cumsum()
+                    )
+                    ge = df.groupby(["pid", "peer"], sort=False)
+                    cs_e = ge["cs"].transform("last").to_numpy()
+                    cc_e = ge["cc"].transform("last").to_numpy()
+                    if fn == "count":
+                        out_sorted = cc_e.astype(np.int64)
+                        arr_of = lambda r: pa.array(r, type=pa.int64())  # noqa: E731
+                    else:
+                        vals = (
+                            cs_e if fn == "sum"
+                            else cs_e / np.maximum(cc_e, 1)
+                        )
+                        out_sorted = np.where(cc_e > 0, vals, np.nan)
+
+                        def arr_of(r):
+                            arr = pa.array(r, type=pa.float64())
+                            return pc.if_else(
+                                pc.is_nan(arr),
+                                pa.scalar(None, pa.float64()), arr,
+                            )
+                else:  # running min / max
+                    s_ = pd.Series(np.where(valid, av, np.nan))
+                    cm = (
+                        s_.groupby(gp_).cummax() if fn == "max"
+                        else s_.groupby(gp_).cummin()
+                    )
+                    # null rows don't move the extremum: carry forward
+                    df["cm"] = cm.groupby(gp_).ffill()
+                    out_sorted = (
+                        df.groupby(["pid", "peer"], sort=False)["cm"]
+                        .transform("last").to_numpy()
+                    )
+
+                    def arr_of(r):
+                        arr = pa.array(r, type=pa.float64())
+                        return pc.if_else(
+                            pc.is_nan(arr),
+                            pa.scalar(None, pa.float64()), arr,
+                        )
             else:  # whole-partition aggregate
                 starts = np.flatnonzero(newpart)
                 pid = np.cumsum(newpart) - 1

@@ -205,3 +205,31 @@ def test_in_probe_on_left_join_right_side_raises(ray_session):
             {"orders": rd.from_arrow(_orders()),
              "items": rd.from_arrow(_items())},
         )
+
+
+def test_running_frame_windows(ray_session):
+    # DuckDB default frame: RANGE UNBOUNDED PRECEDING..CURRENT ROW
+    # (peers included) — running sums over an integer expr are exact
+    _both(
+        "SELECT okey, cust, "
+        "CAST(SUM(okey % 7) OVER (PARTITION BY cust ORDER BY okey) "
+        "AS DOUBLE) AS run_tot, "
+        "COUNT(*) OVER (PARTITION BY cust ORDER BY okey) AS run_n, "
+        "AVG(okey % 7) OVER (PARTITION BY cust ORDER BY okey) AS run_avg, "
+        "MIN(price) OVER (PARTITION BY cust ORDER BY okey) AS run_lo, "
+        "MAX(price) OVER (PARTITION BY cust ORDER BY okey) AS run_hi "
+        "FROM orders",
+        {"orders": _orders()},
+    )
+
+
+def test_running_frame_with_peer_ties(ray_session):
+    # prio has heavy ties: peers must share the frame value
+    _both(
+        "SELECT okey, cust, "
+        "COUNT(*) OVER (PARTITION BY cust ORDER BY prio) AS run_n, "
+        "CAST(SUM(okey % 5) OVER (PARTITION BY cust ORDER BY prio) "
+        "AS DOUBLE) AS run_tot "
+        "FROM orders WHERE cust < 8",
+        {"orders": _orders()},
+    )
