@@ -47,8 +47,10 @@ through ``Dataset.map_batches``:
   dense-rank + lexsort + reduceat per task; aggregates with ORDER BY
   use the SQL default running frame (RANGE UNBOUNDED..CURRENT ROW,
   peers included: segmented cumsum/cummin/cummax + peer-end
-  broadcast).  PARTITION BY is required — a global window would
-  serialize through one task.
+  broadcast); LAG/LEAD/FIRST_VALUE are typed gathers over the sorted
+  partition (any column type), NTILE uses the SQL remainder-bucket
+  rule.  PARTITION BY is required — a global window would serialize
+  through one task.
 
 - [NOT] IN / EXISTS conjuncts on JOIN outer queries route the
   semi/anti join to the ONE table owning the probe expression, below
@@ -296,17 +298,43 @@ class _Parser:
             self.expect("op", ")")
             return e
         if k == "ident":
-            if (v.lower() in ("row_number", "rank", "dense_rank")
+            lf = v.lower()
+            if (lf in ("row_number", "rank", "dense_rank")
                     and self.peek() == ("op", "(")):
                 self.next()
                 self.expect("op", ")")
-                return self._over_clause(v.lower(), None)
+                return self._over_clause(lf, None)
+            if lf == "ntile" and self.peek() == ("op", "("):
+                self.next()
+                nb = self.next()
+                if nb[0] != "num" or not isinstance(nb[1], int) or nb[1] < 1:
+                    raise ValueError("NTILE needs a positive int literal")
+                self.expect("op", ")")
+                return self._over_clause(lf, None, param=nb[1])
+            if lf in ("lag", "lead") and self.peek() == ("op", "("):
+                self.next()
+                arg = self.expr()
+                off = 1
+                if self.accept("op", ","):
+                    ot = self.next()
+                    if ot[0] != "num" or not isinstance(ot[1], int) or ot[1] < 0:
+                        raise ValueError(
+                            f"{lf.upper()} offset must be an int literal"
+                        )
+                    off = ot[1]
+                self.expect("op", ")")
+                return self._over_clause(lf, arg, param=off)
+            if lf == "first_value" and self.peek() == ("op", "("):
+                self.next()
+                arg = self.expr()
+                self.expect("op", ")")
+                return self._over_clause(lf, arg)
             if self.accept("op", "."):
                 return ("qcol", v, self.expect("ident"))
             return ("col", v)
         raise ValueError(f"unexpected token {k} {v}")
 
-    def _over_clause(self, fn, arg):
+    def _over_clause(self, fn, arg, param=None):
         """fn(...) OVER (PARTITION BY e, ... [ORDER BY e [DESC], ...])
         -> ("win", fn, arg, parts, orders).  Engine extension (the swq
         dialect has no window functions); PARTITION BY is REQUIRED — a
@@ -332,7 +360,8 @@ class _Parser:
                 if not self.accept("op", ","):
                     break
         self.expect("op", ")")
-        ranking = fn in ("row_number", "rank", "dense_rank")
+        ranking = fn in ("row_number", "rank", "dense_rank",
+                         "ntile", "lag", "lead", "first_value")
         if ranking and not orders:
             raise ValueError(f"{fn}() OVER requires ORDER BY")
         # aggregates WITH orders use the SQL default running frame
@@ -342,7 +371,7 @@ class _Parser:
                 "OVER requires PARTITION BY (a global window would "
                 "serialize the whole dataset through one task)"
             )
-        return ("win", fn, arg, tuple(parts), tuple(orders))
+        return ("win", fn, arg, tuple(parts), tuple(orders), param)
 
 
 _TYPES = {
@@ -588,7 +617,8 @@ def _transform(node, fn):
         return fn(("win", node[1],
                    None if node[2] is None else _transform(node[2], fn),
                    tuple(_transform(p, fn) for p in node[3]),
-                   tuple((_transform(e, fn), d) for e, d in node[4])))
+                   tuple((_transform(e, fn), d) for e, d in node[4]),
+                   node[5]))
     return fn((op, *(_transform(c, fn) for c in node[1:])))
 
 
@@ -1584,7 +1614,7 @@ def _run_window(plan: dict, tables: dict, num_partitions: int):
     helper: dict = {}
     win_specs = []  # (fn, arg_col|None, [(order_col, desc)...], out_col)
     for i, wn in enumerate(wins):
-        _, fn, arg, _parts, orders = wn
+        _, fn, arg, _parts, orders, param = wn
         argc = None
         if arg is not None:
             argc = f"__wa{i}"
@@ -1594,7 +1624,7 @@ def _run_window(plan: dict, tables: dict, num_partitions: int):
             oc = f"__wo{i}_{j}"
             helper[oc] = oe
             ocs.append((oc, od))
-        win_specs.append((fn, argc, ocs, f"__win{i}"))
+        win_specs.append((fn, argc, ocs, f"__win{i}", param))
 
     def prep(t: pa.Table) -> pa.Table:
         if where is not None:
@@ -1623,7 +1653,7 @@ def _run_window(plan: dict, tables: dict, num_partitions: int):
             for kc in key_cols
         ]
         outs = {}
-        for fn, argc, ocs, outc in win_specs:
+        for fn, argc, ocs, outc, param in win_specs:
             keys = list(gcodes)
             for oc, od in ocs:
                 keys.append(
@@ -1639,6 +1669,48 @@ def _run_window(plan: dict, tables: dict, num_partitions: int):
                 newpart[1:] = (pk[1:] != pk[:-1]).any(axis=1)
             idx = np.arange(n, dtype=np.int64)
             part_start = np.maximum.accumulate(np.where(newpart, idx, 0))
+            if fn in ("lag", "lead", "first_value"):
+                # typed gather over the sorted partition: src index per
+                # row, out-of-partition -> null; preserves the arg type
+                starts_n = np.flatnonzero(newpart)
+                ends_n = np.concatenate([starts_n[1:] - 1, [n - 1]])
+                pid_n = np.cumsum(newpart) - 1
+                if fn == "first_value":
+                    src = part_start
+                    ok_src = np.ones(n, bool)
+                else:
+                    k = 1 if param is None else int(param)
+                    src = idx - k if fn == "lag" else idx + k
+                    ok_src = (src >= part_start) & (src <= ends_n[pid_n])
+                arg_s = g.column(argc).combine_chunks().take(
+                    pa.array(order)
+                )
+                gathered = arg_s.take(
+                    pa.array(np.where(ok_src, src, 0), mask=~ok_src)
+                )
+                inv = np.empty(n, np.int64)
+                inv[order] = np.arange(n, dtype=np.int64)
+                outs[outc] = gathered.take(pa.array(inv))
+                continue
+            if fn == "ntile":
+                nb = int(param)
+                starts_n = np.flatnonzero(newpart)
+                pid_n = np.cumsum(newpart) - 1
+                sz = np.diff(np.concatenate([starts_n, [n]]))[pid_n]
+                r = idx - part_start
+                big = sz % nb
+                size_big = sz // nb + 1
+                cut = big * size_big
+                small = np.maximum(sz // nb, 1)
+                out_sorted = np.where(
+                    r < cut,
+                    r // size_big + 1,
+                    big + (r - cut) // small + 1,
+                ).astype(np.int64)
+                res = np.empty(n, np.int64)
+                res[order] = out_sorted
+                outs[outc] = pa.array(res, type=pa.int64())
+                continue
             if fn == "row_number":
                 out_sorted = idx - part_start + 1
                 arr_of = lambda r: pa.array(r, type=pa.int64())  # noqa: E731

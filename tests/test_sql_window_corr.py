@@ -233,3 +233,25 @@ def test_running_frame_with_peer_ties(ray_session):
         "FROM orders WHERE cust < 8",
         {"orders": _orders()},
     )
+
+
+def test_lag_lead_first_value_ntile(ray_session):
+    _both(
+        "SELECT okey, cust, "
+        "LAG(price) OVER (PARTITION BY cust ORDER BY okey) AS prev_p, "
+        "LEAD(price, 2) OVER (PARTITION BY cust ORDER BY okey) AS next2_p, "
+        "LAG(prio, 1) OVER (PARTITION BY cust ORDER BY okey) AS prev_s, "
+        "FIRST_VALUE(price) OVER (PARTITION BY cust ORDER BY okey) AS fst, "
+        "NTILE(4) OVER (PARTITION BY cust ORDER BY okey) AS quartile "
+        "FROM orders",
+        {"orders": _orders()},
+    )
+
+
+def test_ntile_small_partitions(ray_session):
+    _both(
+        "SELECT okey, cust, "
+        "NTILE(7) OVER (PARTITION BY cust ORDER BY okey) AS t7 "
+        "FROM orders WHERE okey < 40",
+        {"orders": _orders()},
+    )
