@@ -220,10 +220,45 @@ def q28_embedding_neardup(sf_dir: str, threshold: float = 0.35,
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def part_pca(sf_dir: str, n_components: int = 8,
+             quant_bits: int = 24) -> pd.DataFrame:
+    """PCA golden: single-process direct covariance ((X-μ)ᵀ(X-μ)/n —
+    a DIFFERENT accumulation path than the engine's streaming
+    Σx·xᵀ partials; the shared 2^-quant_bits covariance quantization
+    makes both eigendecompose the identical matrix), then the same
+    canonical encoding: eigenvalue-descending components, sign fixed
+    at the max-|v| entry, integer-quantized eigenvalue and
+    position-weighted loading checksum.  Columns renamed to the q16
+    suite shape (qid=comp, vec_id=eig_q, rank=load_cs)."""
+    _, emb = _embeddings(sf_dir)
+    n, d = emb.shape
+    mu = emb.mean(axis=0)
+    xc = emb - mu
+    cov = (xc.T @ xc) / n
+    q = float(1 << quant_bits)
+    cov = np.round(cov * q) / q
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(-w, kind="stable")[: min(n_components, d)]
+    rows = []
+    for ci, ei in enumerate(order):
+        vec = v[:, ei]
+        j = int(np.argmax(np.abs(vec)))
+        if vec[j] < 0:
+            vec = -vec
+        qv = np.round(vec * q).astype(np.int64)
+        rows.append(
+            (ci, int(round(w[ei] * q)), int(((np.arange(d) + 1) * qv).sum()))
+        )
+    return pd.DataFrame(rows, columns=["qid", "vec_id", "rank"]).astype(
+        np.int64
+    )
+
+
 GOLDENS = {
     # composed into q16_ann_topk by pipelines.queries.COMBINED_ORACLES
     "part_ann_lsh": (q21_ann_lsh, ["qid", "rank"]),
     "part_ann_ivf": (q_ann_ivf, ["qid", "rank"]),
+    "part_pca": (part_pca, ["qid"]),
     "q26_phash_neardup": (q26_phash, ["id_a", "id_b"]),
     "q28_embedding_neardup": (q28_embedding_neardup, ["id_a", "id_b"]),
 }

@@ -2558,12 +2558,36 @@ def q16_ann_topk(sf_dir: str):
 
         return cnt.map_batches(shape, batch_format="pyarrow")
 
+    # distributed PCA rows: method='pca', qid=component (eigenvalue-
+    # descending), vec_id=round(eigenvalue*2^24), rank=position-weighted
+    # integer checksum of the sign-canonicalized quantized loadings —
+    # integer-exact, so the hash compare is accumulation-order-proof
+    from ..stages.ann import embedding_pca
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def shape_pca(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "method": pa.array(["pca"] * n, pa.string()),
+                "qid": t.column("comp"),
+                "vec_id": t.column("eig_q"),
+                "rank": t.column("load_cs"),
+            }
+        )
+
+    pc_rows = embedding_pca(emb).map_batches(
+        shape_pca, batch_format="pyarrow"
+    )
+
     return (
         ex.map_batches(tag("exact"), batch_format="pyarrow")
         .union(ls.map_batches(tag("lsh"), batch_format="pyarrow"))
         .union(iv.map_batches(tag("ivf"), batch_format="pyarrow"))
         .union(recall(ls, "lsh_recall"))
         .union(recall(iv, "ivf_recall"))
+        .union(pc_rows)
         .sort(["method", "qid", "rank"])
     )
 
@@ -2790,6 +2814,9 @@ SELECT * FROM (
          CAST(COUNT(*) AS BIGINT) AS vec_id, CAST(5 AS BIGINT) AS rank
   FROM ivf i JOIN ex e ON i.qid = e.qid AND i.vec_id = e.vec_id
   GROUP BY i.qid
+  UNION ALL
+  SELECT 'pca' AS method, qid, vec_id, rank
+  FROM ({golden_sql("part_pca", sf_dir)})
 ) ORDER BY method, qid, rank
 """
 

@@ -523,3 +523,82 @@ def ann_ivf_topk(
     return _topk_merge_by_qid(
         embeddings.map_batches(probe, batch_format="pyarrow"), k
     )
+
+
+# -------------------------------------------------------------- PCA
+
+
+def embedding_pca(emb, n_components: int = 8, quant_bits: int = 24):
+    """Distributed PCA over an embedding column (engine addition — the
+    whitening / variance-analysis step of an embedding pipeline).
+
+    Streaming shape: one ``map_batches`` pass emits per-batch partials
+    (count, Σx, Σx·xᵀ — one tiny row per block, d ≤ a few hundred), a
+    single-worker reduce sums them with ``math.fsum`` per entry
+    (exactly-rounded, so the result is independent of block arrival
+    order), forms the covariance, QUANTIZES it to 2^-quant_bits (the
+    repo's shared engine↔golden determinism contract: any two correct
+    accumulation orders agree far below the quantization step) and
+    eigendecomposes the tiny d×d matrix on that worker — the full
+    embedding matrix never gathers anywhere.
+
+    Output rows (integer-exact so the oracle hash is stable):
+    ``comp`` (0-based, eigenvalue-descending), ``eig_q`` =
+    round(eigenvalue·2^quant_bits), ``load_cs`` = Σ_j (j+1)·q_j with
+    q_j = round(v_j·2^quant_bits), after canonicalizing each
+    eigenvector's sign (entry of max |v|, first index on ties, made
+    positive)."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.stack(
+            [np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()]
+        )
+        d = x.shape[1]
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], pa.int64()),
+                "s": pa.array([x.sum(axis=0).tolist()],
+                              pa.list_(pa.float64())),
+                "xtx": pa.array([(x.T @ x).reshape(-1).tolist()],
+                                pa.list_(pa.float64())),
+                "d": pa.array([d], pa.int64()),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        d = int(t.column("d")[0].as_py())
+        n = int(pa.compute.sum(t.column("n")).as_py())
+        svals = t.column("s").to_pylist()
+        xvals = t.column("xtx").to_pylist()
+        s = np.array([math.fsum(col) for col in zip(*svals)])
+        xtx = np.array([math.fsum(col) for col in zip(*xvals)]).reshape(d, d)
+        mu = s / n
+        cov = xtx / n - np.outer(mu, mu)
+        q = float(1 << quant_bits)
+        cov = np.round(cov * q) / q
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(-w, kind="stable")[: min(n_components, d)]
+        comps, eig_q, load_cs = [], [], []
+        for ci, ei in enumerate(order):
+            vec = v[:, ei]
+            j = int(np.argmax(np.abs(vec)))
+            if vec[j] < 0:
+                vec = -vec
+            qv = np.round(vec * q).astype(np.int64)
+            comps.append(ci)
+            eig_q.append(int(round(w[ei] * q)))
+            load_cs.append(int(((np.arange(d) + 1) * qv).sum()))
+        return pa.table(
+            {
+                "comp": pa.array(comps, pa.int64()),
+                "eig_q": pa.array(eig_q, pa.int64()),
+                "load_cs": pa.array(load_cs, pa.int64()),
+            }
+        )
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -41,3 +41,35 @@ def test_no_pairs(ray_session):
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert list(out.rep) == [10, 11]
     assert list(out.csize) == [1, 1]
+
+
+def test_embedding_pca_block_split_invariant(ray_session):
+    """The fsum-reduced partials + covariance quantization make the
+    PCA rows independent of block boundaries."""
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.stages.ann import embedding_pca
+
+    rng = np.random.default_rng(9)
+    n, d = 333, 16
+    x = rng.normal(0, 1, (n, d)) @ np.diag(np.linspace(2, 0.1, d))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([row.tolist() for row in x],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    outs = []
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        outs.append(
+            embedding_pca(ds, n_components=5)
+            .to_pandas().sort_values("comp").reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])
+    assert list(outs[0].comp) == [0, 1, 2, 3, 4]
+    # eigenvalues descending
+    e = list(outs[0].eig_q)
+    assert e == sorted(e, reverse=True) and e[0] > 0
