@@ -1177,6 +1177,34 @@ def q52_multimodal_codecs(sf_dir: str, quality: int = 97) -> pd.DataFrame:
         rows.append(("jpeg_cs", row.image_id, _cs_band(dec[:, :, 0]),
                      _cs_band(dec[:, :, 1]), _cs_band(dec[:, :, 2])))
         rows.append(("jpeg_psnr", row.image_id, pm, 0, 0))
+        # image-quality metrics: integer luma + the shared IEEE
+        # expressions from stages/media.image_quality_metrics (same
+        # floats by construction; the integer moment sums are exact)
+        g = (
+            77 * px[:, :, 0].astype(np.int64)
+            + 150 * px[:, :, 1].astype(np.int64)
+            + 29 * px[:, :, 2].astype(np.int64)
+        ) >> 8
+        h2, w2 = g.shape
+        npx = h2 * w2
+        bright_m = int((2000 * int(g.sum()) + npx) // (2 * npx))
+        if h2 > 2 and w2 > 2:
+            lap = (
+                4 * g[1:-1, 1:-1]
+                - g[:-2, 1:-1] - g[2:, 1:-1] - g[1:-1, :-2] - g[1:-1, 2:]
+            )
+            n2 = (h2 - 2) * (w2 - 2)
+            s1 = int(lap.sum())
+            s2 = int((lap * lap).sum())
+            var = s2 / n2 - (s1 / n2) ** 2
+            lapvar_m = int(np.floor(var * 1000.0 + 0.5))
+        else:
+            lapvar_m = 0
+        cnt = np.bincount(g.reshape(-1).astype(np.int64), minlength=256)
+        pq_ = cnt[cnt > 0] / npx
+        ent = float(-(pq_ * np.log2(pq_)).sum())
+        ent_m = int(np.floor(ent * 1000.0 + 0.5))
+        rows.append(("img_quality", row.image_id, bright_m, lapvar_m, ent_m))
 
     ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
     keys = sorted(

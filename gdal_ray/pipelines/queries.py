@@ -1893,7 +1893,33 @@ def q52_multimodal_codecs(sf_dir: str):
         keys.map_batches(synth_v, batch_format="pyarrow")
     ).map_batches(tag_video, batch_format="pyarrow")
 
-    return jpeg.union(aud).union(vid).sort(["kind", "media_id", "a"])
+    def tag_quality(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(["img_quality"] * n, pa.string()),
+                "media_id": t.column("image_id"),
+                "a": t.column("bright_m"),
+                "b": t.column("lapvar_m"),
+                "v": t.column("entropy_m"),
+            }
+        )
+
+    # image-quality scoring rows (brightness / blur / entropy) over the
+    # same small-chip subset — the image-filtering analog of the text
+    # quality scorer (integer-exact metrics, golden mirrors the shared
+    # IEEE expressions)
+    quality = (
+        imgs.map_batches(small, batch_format="pyarrow")
+        .map_batches(M.ImageQuality, batch_format="pyarrow",
+                     batch_size=64, concurrency=2)
+        .map_batches(tag_quality, batch_format="pyarrow")
+    )
+
+    return (
+        jpeg.union(aud).union(vid).union(quality)
+        .sort(["kind", "media_id", "a"])
+    )
 
 
 def q53_sampling(sf_dir: str):

@@ -285,3 +285,77 @@ def synth_video_clip(key: int) -> tuple[bytes, str]:
     frames = np.stack([r, g, b], axis=-1).astype(np.uint8)
     codec = "h264" if key % 19 == 0 else "rawv"
     return encode_video_rawv(frames), codec
+
+
+# ------------------------------------------------------- image quality
+
+
+def image_quality_metrics(img: "np.ndarray") -> tuple[int, int, int]:
+    """Integer-exact image quality metrics for training-data filtering
+    (the image analog of the text quality scorer; engine addition).
+
+    Returns (brightness_milli, lapvar_milli, entropy_milli) over the
+    integer luma ``(77R + 150G + 29B) >> 8``:
+
+    - brightness: round-half-up milli of the luma mean, pure integer
+      arithmetic ``(2000*S + n) // (2*n)``;
+    - Laplacian variance (blur detector): interior 4-neighbour
+      Laplacian, exact integer moment sums, then THE shared IEEE
+      expression ``s2/n2 - (s1/n2)**2`` (mirrored verbatim by the
+      rasterref golden — same floats, same rounding);
+    - 256-bin luma entropy in milli-bits, shared expression
+      ``-(p*log2(p)).sum()`` over the positive bins.
+    """
+    g = (
+        77 * img[:, :, 0].astype(np.int64)
+        + 150 * img[:, :, 1].astype(np.int64)
+        + 29 * img[:, :, 2].astype(np.int64)
+    ) >> 8
+    h, w = g.shape
+    n = h * w
+    bright_m = int((2000 * int(g.sum()) + n) // (2 * n))
+    if h > 2 and w > 2:
+        lap = (
+            4 * g[1:-1, 1:-1]
+            - g[:-2, 1:-1] - g[2:, 1:-1] - g[1:-1, :-2] - g[1:-1, 2:]
+        )
+        n2 = (h - 2) * (w - 2)
+        s1 = int(lap.sum())
+        s2 = int((lap * lap).sum())
+        var = s2 / n2 - (s1 / n2) ** 2
+        lapvar_m = int(np.floor(var * 1000.0 + 0.5))
+    else:
+        lapvar_m = 0
+    cnt = np.bincount(g.reshape(-1).astype(np.int64), minlength=256)
+    p = cnt[cnt > 0] / n
+    ent = float(-(p * np.log2(p)).sum())
+    ent_m = int(np.floor(ent * 1000.0 + 0.5))
+    return bright_m, lapvar_m, ent_m
+
+
+class ImageQuality:
+    """Actor-pool stage: decode each chip once, emit the integer-exact
+    quality metric row (image_id, bright_m, lapvar_m, entropy_m)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions import codecs
+
+        cols = {
+            c: t.column(c).to_pylist()
+            for c in ("image_id", "bytes", "w", "h", "fmt")
+        }
+        n = t.num_rows
+        out = np.empty((n, 3), np.int64)
+        for i in range(n):
+            img = codecs.decode(
+                cols["bytes"][i], cols["w"][i], cols["h"][i], cols["fmt"][i]
+            )
+            out[i] = image_quality_metrics(img)
+        return pa.table(
+            {
+                "image_id": pa.array(cols["image_id"], pa.string()),
+                "bright_m": pa.array(out[:, 0]),
+                "lapvar_m": pa.array(out[:, 1]),
+                "entropy_m": pa.array(out[:, 2]),
+            }
+        )
