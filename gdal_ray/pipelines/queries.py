@@ -1793,6 +1793,8 @@ def q52_multimodal_codecs(sf_dir: str):
         )
 
     def jfn(t: pa.Table) -> pa.Table:
+        from ..stages.media import image_quality_metrics
+
         cols = {c: t.column(c).to_pylist() for c in ("image_id", "bytes", "w", "h", "fmt")}
         kinds, ids, a_o, b_o, v_o = [], [], [], [], []
         for i in range(t.num_rows):
@@ -1801,11 +1803,14 @@ def q52_multimodal_codecs(sf_dir: str):
             cs = checksum.checksum_image(dec)
             p = codecs.psnr(img, dec)
             pm = 999999 if np.isinf(p) else int(np.floor(p * 1000.0 + 0.5))
-            kinds += ["jpeg_cs", "jpeg_psnr"]
-            ids += [cols["image_id"][i]] * 2
-            a_o += [int(cs[0]), pm]
-            b_o += [int(cs[1]), 0]
-            v_o += [int(cs[2]), 0]
+            # image-quality scoring on the SAME decode (one decode per
+            # chip for the whole multimodal suite)
+            bq, lq, eq = image_quality_metrics(img)
+            kinds += ["jpeg_cs", "jpeg_psnr", "img_quality"]
+            ids += [cols["image_id"][i]] * 3
+            a_o += [int(cs[0]), pm, bq]
+            b_o += [int(cs[1]), 0, lq]
+            v_o += [int(cs[2]), 0, eq]
         return pa.table(
             {
                 "kind": pa.array(kinds, pa.string()),
@@ -1893,33 +1898,7 @@ def q52_multimodal_codecs(sf_dir: str):
         keys.map_batches(synth_v, batch_format="pyarrow")
     ).map_batches(tag_video, batch_format="pyarrow")
 
-    def tag_quality(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table(
-            {
-                "kind": pa.array(["img_quality"] * n, pa.string()),
-                "media_id": t.column("image_id"),
-                "a": t.column("bright_m"),
-                "b": t.column("lapvar_m"),
-                "v": t.column("entropy_m"),
-            }
-        )
-
-    # image-quality scoring rows (brightness / blur / entropy) over the
-    # same small-chip subset — the image-filtering analog of the text
-    # quality scorer (integer-exact metrics, golden mirrors the shared
-    # IEEE expressions)
-    quality = (
-        imgs.map_batches(small, batch_format="pyarrow")
-        .map_batches(M.ImageQuality, batch_format="pyarrow",
-                     batch_size=64, concurrency=2)
-        .map_batches(tag_quality, batch_format="pyarrow")
-    )
-
-    return (
-        jpeg.union(aud).union(vid).union(quality)
-        .sort(["kind", "media_id", "a"])
-    )
+    return jpeg.union(aud).union(vid).sort(["kind", "media_id", "a"])
 
 
 def q53_sampling(sf_dir: str):

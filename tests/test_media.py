@@ -107,3 +107,23 @@ def test_video_frame_neardup_across_clips(ray_session):
     ]
     assert len(same_frame) == n_sampled
     assert (pairs.hamming == 0).all()
+
+
+def test_image_quality_metrics_exact():
+    import numpy as np
+
+    from gdal_ray.stages.media import image_quality_metrics
+
+    # uniform gray image: zero laplacian variance, zero entropy
+    img = np.full((8, 8, 3), 100, np.uint8)
+    b, lv, e = image_quality_metrics(img)
+    g = (77 * 100 + 150 * 100 + 29 * 100) >> 8
+    assert b == 1000 * g and lv == 0 and e == 0
+
+    # checkerboard: high laplacian variance, 1-bit entropy
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[::2, 1::2] = 255
+    img[1::2, ::2] = 255
+    b, lv, e = image_quality_metrics(img)
+    assert e == 1000  # two equal-mass luma bins -> exactly 1 bit
+    assert lv > 100000  # extreme high-frequency content
