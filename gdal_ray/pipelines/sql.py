@@ -47,7 +47,9 @@ through ``Dataset.map_batches``:
   dense-rank + lexsort + reduceat per task; aggregates with ORDER BY
   use the SQL default running frame (RANGE UNBOUNDED..CURRENT ROW,
   peers included: segmented cumsum/cummin/cummax + peer-end
-  broadcast); LAG/LEAD/FIRST_VALUE are typed gathers over the sorted
+  broadcast), and explicit ``ROWS BETWEEN n|UNBOUNDED PRECEDING AND
+  CURRENT ROW`` frames compute moving aggregates (prefix-sum
+  differences / per-partition rolling extrema); LAG/LEAD/FIRST_VALUE are typed gathers over the sorted
   partition (any column type), NTILE uses the SQL remainder-bucket
   rule.  PARTITION BY is required — a global window would serialize
   through one task.
@@ -58,8 +60,8 @@ through ``Dataset.map_batches``:
   JOIN, where the filter would not commute).
 
 Not covered (documented): non-equi join conditions, multiple
-correlated equalities, explicit ROWS/RANGE frame bounds, windows over
-GROUP BY results.
+correlated equalities, FOLLOWING frame bounds / explicit RANGE
+bounds, windows over GROUP BY results.
 """
 
 from __future__ import annotations
@@ -359,9 +361,40 @@ class _Parser:
                 orders.append((e, desc))
                 if not self.accept("op", ","):
                     break
+        frame = None  # None = default RANGE running frame (with peers)
+        k, v = self.peek()
+        if k == "ident" and v.lower() == "rows":
+            self.next()
+            self.expect("kw", "between")
+            k2, v2 = self.next()
+            if k2 == "ident" and v2.lower() == "unbounded":
+                nprec = None
+            elif k2 == "num" and isinstance(v2, int) and v2 >= 0:
+                nprec = v2
+            else:
+                raise ValueError(
+                    "ROWS BETWEEN expects UNBOUNDED or an int literal"
+                )
+            if self.expect("ident").lower() != "preceding":
+                raise ValueError("expected PRECEDING")
+            self.expect("kw", "and")
+            if (self.expect("ident").lower() != "current"
+                    or self.expect("ident").lower() != "row"):
+                raise ValueError(
+                    "only ROWS BETWEEN ... AND CURRENT ROW is supported"
+                )
+            frame = ("rows", nprec)
+            if not orders:
+                raise ValueError("a ROWS frame requires ORDER BY")
         self.expect("op", ")")
         ranking = fn in ("row_number", "rank", "dense_rank",
                          "ntile", "lag", "lead", "first_value")
+        if frame is not None:
+            if ranking:
+                raise ValueError("ROWS frames apply to aggregates only")
+            if param is not None:
+                raise ValueError("conflicting window parameters")
+            param = frame
         if ranking and not orders:
             raise ValueError(f"{fn}() OVER requires ORDER BY")
         # aggregates WITH orders use the SQL default running frame
@@ -1731,6 +1764,73 @@ def _run_window(plan: dict, tables: dict, num_partitions: int):
                     cum = np.cumsum(inc)
                     out_sorted = cum - cum[part_start] + 1
                 arr_of = lambda r: pa.array(r, type=pa.int64())  # noqa: E731
+            elif ocs and param is not None:  # explicit ROWS frame
+                import pandas as pd
+
+                nprec = param[1]  # None = UNBOUNDED PRECEDING
+                pid = np.cumsum(newpart) - 1
+                if argc is None:  # COUNT(*)
+                    av = np.ones(n, np.float64)
+                    valid = np.ones(n, bool)
+                else:
+                    a = g.column(argc)
+                    av = pc.cast(a, pa.float64()).to_numpy(
+                        zero_copy_only=False
+                    )[order]
+                    valid = pc.is_valid(a).to_numpy(
+                        zero_copy_only=False
+                    )[order]
+                lo = (
+                    part_start if nprec is None
+                    else np.maximum(idx - nprec, part_start)
+                )
+                if fn in ("count", "sum", "avg"):
+                    x = np.where(valid, av, 0.0)
+                    cum = np.cumsum(x)
+                    cumc = np.cumsum(valid.astype(np.int64))
+                    excl = cum - x       # prefix sum BEFORE each row
+                    exclc = cumc - valid
+                    rs = cum - excl[lo]
+                    rc = (cumc - exclc[lo]).astype(np.int64)
+                    if fn == "count":
+                        out_sorted = rc
+                        arr_of = lambda r: pa.array(r, type=pa.int64())  # noqa: E731
+                    else:
+                        vals = rs if fn == "sum" else rs / np.maximum(rc, 1)
+                        out_sorted = np.where(rc > 0, vals, np.nan)
+
+                        def arr_of(r):
+                            arr = pa.array(r, type=pa.float64())
+                            return pc.if_else(
+                                pc.is_nan(arr),
+                                pa.scalar(None, pa.float64()), arr,
+                            )
+                else:  # moving min / max
+                    xm = np.where(valid, av, np.nan)
+                    s_ = pd.Series(xm)
+                    gp_ = pd.Series(pid)
+                    if nprec is None:
+                        cm = (
+                            s_.groupby(gp_).cummax() if fn == "max"
+                            else s_.groupby(gp_).cummin()
+                        )
+                        out_sorted = cm.groupby(gp_).ffill().to_numpy()
+                    else:
+                        roll = s_.groupby(gp_).rolling(
+                            nprec + 1, min_periods=1
+                        )
+                        rr = roll.max() if fn == "max" else roll.min()
+                        out_sorted = (
+                            rr.reset_index(level=0, drop=True)
+                            .sort_index().to_numpy()
+                        )
+
+                    def arr_of(r):
+                        arr = pa.array(r, type=pa.float64())
+                        return pc.if_else(
+                            pc.is_nan(arr),
+                            pa.scalar(None, pa.float64()), arr,
+                        )
             elif ocs:  # running frame (RANGE UNBOUNDED..CURRENT + peers)
                 import pandas as pd
 

@@ -255,3 +255,21 @@ def test_ntile_small_partitions(ray_session):
         "FROM orders WHERE okey < 40",
         {"orders": _orders()},
     )
+
+
+def test_rows_frame_moving_windows(ray_session):
+    _both(
+        "SELECT okey, cust, "
+        "CAST(SUM(okey % 9) OVER (PARTITION BY cust ORDER BY okey "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_tot, "
+        "COUNT(*) OVER (PARTITION BY cust ORDER BY okey "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n, "
+        "AVG(okey % 9) OVER (PARTITION BY cust ORDER BY okey "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_avg, "
+        "MIN(price) OVER (PARTITION BY cust ORDER BY okey "
+        "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS mov_lo, "
+        "MAX(price) OVER (PARTITION BY cust ORDER BY okey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_hi "
+        "FROM orders",
+        {"orders": _orders()},
+    )
