@@ -2032,6 +2032,11 @@ SELECT o_orderkey AS okey,
             AS DOUBLE) AS k13_tot,
        COUNT(*) OVER (PARTITION BY o_orderstatus) AS n_status,
        MIN(o_totalprice) OVER (PARTITION BY o_orderstatus) AS lo_price,
+       LAG(o_orderkey) OVER (PARTITION BY o_orderstatus
+                             ORDER BY o_orderkey) AS prev_okey,
+       CAST(SUM(o_orderkey % 13) OVER (PARTITION BY o_orderstatus
+            ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS mov_k13,
        (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey)
            AS n_items
 FROM orders o
