@@ -300,18 +300,22 @@ def test_in_subquery_with_groupby(ray_session):
     assert list(df.n) == [3, 2]
 
 
-def test_in_subquery_rejected_with_join(ray_session):
+def test_in_subquery_with_join_now_supported(ray_session):
+    # was rejected until the probe-owner routing landed; the semi join
+    # now applies to t below the main join
     import ray.data as rd
 
     from gdal_ray.pipelines.sql import sql_query
 
     tables = {"t": rd.from_arrow(_table()), "d": rd.from_arrow(_dup_table())}
-    with pytest.raises(ValueError):
-        sql_query(
-            "SELECT t.a FROM t JOIN d ON t.a = d.u "
-            "WHERE t.a IN (SELECT u FROM d)",
-            tables,
-        )
+    df = sql_query(
+        "SELECT t.a AS a FROM t JOIN d ON t.a = d.u "
+        "WHERE t.a IN (SELECT u FROM d)",
+        tables,
+    ).to_pandas()
+    uvals = set(_dup_table().column("u").to_pylist())
+    avals = set(_table().column("a").to_pylist())
+    assert set(df.a) == (avals & uvals) and len(df) > 0
 
 
 def test_select_distinct(ray_session):
