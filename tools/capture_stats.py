@@ -55,7 +55,17 @@ def main():
     names = sys.argv[2:] or list(qs)
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "stats")
     os.makedirs(out_dir, exist_ok=True)
+    # merge into an existing capture so a subset refresh doesn't drop
+    # the other queries' rows
     summary = {"sf_dir": sf_dir, "queries": {}}
+    prev_path = os.path.join(out_dir, "..", "query_stats.json")
+    if os.path.exists(prev_path):
+        try:
+            prev = json.load(open(prev_path))
+            if prev.get("sf_dir") == sf_dir:
+                summary["queries"].update(prev.get("queries", {}))
+        except (ValueError, OSError):
+            pass
     for name in names:
         t0 = time.time()
         entry = {"kind": "?", "rows": None}
