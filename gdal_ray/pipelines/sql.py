@@ -47,9 +47,15 @@ through ``Dataset.map_batches``:
   dense-rank + lexsort + reduceat per task; aggregates with ORDER BY
   use the SQL default running frame (RANGE UNBOUNDED..CURRENT ROW,
   peers included: segmented cumsum/cummin/cummax + peer-end
-  broadcast), and explicit ``ROWS BETWEEN n|UNBOUNDED PRECEDING AND
-  CURRENT ROW`` frames compute moving aggregates (prefix-sum
-  differences / per-partition rolling extrema); LAG/LEAD/FIRST_VALUE are typed gathers over the sorted
+  broadcast); explicit ``ROWS BETWEEN <b> AND <b>`` and ``RANGE
+  BETWEEN <b> AND <b>`` frames accept UNBOUNDED / n PRECEDING /
+  CURRENT ROW / n FOLLOWING on both ends — every frame lowers to
+  per-row inclusive index windows [lo, hi] (ROWS: clamped offsets;
+  RANGE: one vectorized merge-searchsorted per bound over the single
+  numeric ORDER BY key, DuckDB NULL-peer-run semantics), then
+  SUM/COUNT/AVG via prefix-sum differences and MIN/MAX via a
+  NaN-skipping doubling (sparse) table built to the deepest needed
+  level; LAG/LEAD/FIRST_VALUE are typed gathers over the sorted
   partition (any column type), NTILE uses the SQL remainder-bucket
   rule.  PARTITION BY is required — a global window would serialize
   through one task.
@@ -60,8 +66,7 @@ through ``Dataset.map_batches``:
   JOIN, where the filter would not commute).
 
 Not covered (documented): non-equi join conditions, multiple
-correlated equalities, FOLLOWING frame bounds / explicit RANGE
-bounds, windows over GROUP BY results.
+correlated equalities, windows over GROUP BY results.
 """
 
 from __future__ import annotations
@@ -363,35 +368,35 @@ class _Parser:
                     break
         frame = None  # None = default RANGE running frame (with peers)
         k, v = self.peek()
-        if k == "ident" and v.lower() == "rows":
+        if k == "ident" and v.lower() in ("rows", "range"):
+            mode = v.lower()
             self.next()
             self.expect("kw", "between")
-            k2, v2 = self.next()
-            if k2 == "ident" and v2.lower() == "unbounded":
-                nprec = None
-            elif k2 == "num" and isinstance(v2, int) and v2 >= 0:
-                nprec = v2
-            else:
-                raise ValueError(
-                    "ROWS BETWEEN expects UNBOUNDED or an int literal"
-                )
-            if self.expect("ident").lower() != "preceding":
-                raise ValueError("expected PRECEDING")
+            lo = self._frame_bound(mode, is_start=True)
             self.expect("kw", "and")
-            if (self.expect("ident").lower() != "current"
-                    or self.expect("ident").lower() != "row"):
+            hi = self._frame_bound(mode, is_start=False)
+            if lo is not None and hi is not None and lo > hi:
                 raise ValueError(
-                    "only ROWS BETWEEN ... AND CURRENT ROW is supported"
+                    f"{mode.upper()} frame start bound exceeds end bound"
                 )
-            frame = ("rows", nprec)
+            frame = (mode, lo, hi)
             if not orders:
-                raise ValueError("a ROWS frame requires ORDER BY")
+                raise ValueError(
+                    f"a {mode.upper()} frame requires ORDER BY"
+                )
+            if mode == "range" and len(orders) != 1:
+                raise ValueError(
+                    "an explicit RANGE frame requires exactly one "
+                    "ORDER BY key"
+                )
         self.expect("op", ")")
         ranking = fn in ("row_number", "rank", "dense_rank",
                          "ntile", "lag", "lead", "first_value")
         if frame is not None:
             if ranking:
-                raise ValueError("ROWS frames apply to aggregates only")
+                raise ValueError(
+                    "ROWS/RANGE frames apply to aggregates only"
+                )
             if param is not None:
                 raise ValueError("conflicting window parameters")
             param = frame
@@ -405,6 +410,36 @@ class _Parser:
                 "serialize the whole dataset through one task)"
             )
         return ("win", fn, arg, tuple(parts), tuple(orders), param)
+
+    def _frame_bound(self, mode: str, is_start: bool):
+        """One bound of ROWS|RANGE BETWEEN ... AND ... — returns a
+        signed offset (PRECEDING negative, FOLLOWING positive, CURRENT
+        ROW 0) or None for the UNBOUNDED end in that direction."""
+        k, v = self.next()
+        if k == "ident" and v.lower() == "unbounded":
+            d = self.expect("ident").lower()
+            if is_start and d != "preceding":
+                raise ValueError("frame start: UNBOUNDED PRECEDING only")
+            if not is_start and d != "following":
+                raise ValueError("frame end: UNBOUNDED FOLLOWING only")
+            return None
+        if k == "ident" and v.lower() == "current":
+            if self.expect("ident").lower() != "row":
+                raise ValueError("expected CURRENT ROW")
+            return 0
+        if k == "num" and v >= 0:
+            if mode == "rows" and not isinstance(v, int):
+                raise ValueError("ROWS frame offsets must be integers")
+            d = self.expect("ident").lower()
+            if d == "preceding":
+                return -v
+            if d == "following":
+                return v
+            raise ValueError("expected PRECEDING or FOLLOWING")
+        raise ValueError(
+            f"bad frame bound token {k} {v!r} (expected UNBOUNDED, "
+            "CURRENT ROW or <literal> PRECEDING|FOLLOWING)"
+        )
 
 
 _TYPES = {
@@ -1604,6 +1639,66 @@ def _col_hash(col) -> "np.ndarray":
     return c ^ (c >> np.uint64(33))
 
 
+def _merge_search(pid: "np.ndarray", val_d: "np.ndarray",
+                  val_q: "np.ndarray", side: str) -> "np.ndarray":
+    """Vectorized per-partition searchsorted: for each query value
+    ``val_q[i]`` (belonging to partition ``pid[i]``) return the global
+    insertion index into the partition-major sorted data sequence
+    ``(pid, val_d)`` — i.e. the count of data rows in earlier
+    partitions plus data rows in the same partition that sort before
+    the query ('left': strictly less; 'right': less-or-equal).  One
+    lexsort over the 2n merged elements instead of one
+    np.searchsorted call per partition."""
+    nd = len(val_d)
+    pid_all = np.concatenate([pid, pid])
+    val_all = np.concatenate([val_d, val_q])
+    # 'left': queries sort BEFORE equal data values, 'right': after
+    dtag = 1 if side == "left" else 0
+    tag = np.concatenate([
+        np.full(nd, dtag, np.int8),
+        np.full(nd, 1 - dtag, np.int8),
+    ])
+    m = np.lexsort((tag, val_all, pid_all))
+    isq = m >= nd
+    excl = np.cumsum(~isq) - ~isq  # data rows strictly before each slot
+    res = np.empty(nd, np.int64)
+    res[m[isq] - nd] = excl[isq]
+    return res
+
+
+def _range_extrema(xm: "np.ndarray", lo: "np.ndarray", hi: "np.ndarray",
+                   empty: "np.ndarray", want_max: bool) -> "np.ndarray":
+    """NaN-skipping extremum of ``xm`` over per-row inclusive index
+    windows ``[lo, hi]`` (``empty`` rows -> NaN): a doubling (sparse)
+    table built only to the deepest level any window actually needs,
+    then two overlapping power-of-two gathers per row.  O(n * log wmax)
+    build, fully vectorized — typical moving-window frames have small
+    wmax so only a few levels materialize."""
+    n = len(xm)
+    if n == 0:
+        return xm.copy()
+    red = np.fmax if want_max else np.fmin
+    w = np.where(empty, 1, hi - lo + 1).astype(np.int64)
+    # floor(log2(w)) exactly: frexp gives w = m * 2**e with m in [0.5,1)
+    kq = (np.frexp(w.astype(np.float64))[1] - 1).astype(np.int64)
+    kmax = int(kq.max())
+    tables = [xm]
+    for k in range(1, kmax + 1):
+        h = 1 << (k - 1)
+        prev = tables[-1]
+        tables.append(
+            red(prev[:-h], prev[h:]) if len(prev) > h else prev[:0]
+        )
+    out = np.full(n, np.nan)
+    for k in range(kmax + 1):
+        sel = (kq == k) & ~empty
+        if not sel.any():
+            continue
+        tk = tables[k]
+        out[sel] = red(tk[lo[sel]], tk[hi[sel] - (1 << k) + 1])
+    return out
+
+
 def _run_window(plan: dict, tables: dict, num_partitions: int):
     """Distributed window functions (engine extension; the swq dialect
     has none): ROW_NUMBER / RANK / DENSE_RANK () OVER (PARTITION BY k
@@ -1764,11 +1859,12 @@ def _run_window(plan: dict, tables: dict, num_partitions: int):
                     cum = np.cumsum(inc)
                     out_sorted = cum - cum[part_start] + 1
                 arr_of = lambda r: pa.array(r, type=pa.int64())  # noqa: E731
-            elif ocs and param is not None:  # explicit ROWS frame
-                import pandas as pd
-
-                nprec = param[1]  # None = UNBOUNDED PRECEDING
+            elif ocs and param is not None:  # explicit ROWS/RANGE frame
+                mode, lo_off, hi_off = param
                 pid = np.cumsum(newpart) - 1
+                starts_n = np.flatnonzero(newpart)
+                ends_n = np.concatenate([starts_n[1:] - 1, [n - 1]])
+                pend = ends_n[pid]
                 if argc is None:  # COUNT(*)
                     av = np.ones(n, np.float64)
                     valid = np.ones(n, bool)
@@ -1780,18 +1876,86 @@ def _run_window(plan: dict, tables: dict, num_partitions: int):
                     valid = pc.is_valid(a).to_numpy(
                         zero_copy_only=False
                     )[order]
-                lo = (
-                    part_start if nprec is None
-                    else np.maximum(idx - nprec, part_start)
-                )
+                if mode == "rows":
+                    lo = (
+                        part_start
+                        if lo_off is None
+                        else np.maximum(idx + lo_off, part_start)
+                    )
+                    hi = (
+                        pend
+                        if hi_off is None
+                        else np.minimum(idx + hi_off, pend)
+                    )
+                else:
+                    # RANGE: value bounds over the single ORDER BY key.
+                    # DuckDB-verified semantics: NULL order keys sort at
+                    # the partition end and a bounded offset resolves to
+                    # the NULL peer run's edge (start for a bounded
+                    # start, partition end for a bounded end), while
+                    # UNBOUNDED bounds stay positional; a bounded start
+                    # past every non-null value lands on the first NULL
+                    # row (so an unbounded end still reaches the NULLs).
+                    oc0, od0 = ocs[0]
+                    ocol = g.column(oc0)
+                    ov = pc.cast(ocol, pa.float64()).to_numpy(
+                        zero_copy_only=False
+                    )[order]
+                    onn = pc.is_valid(ocol).to_numpy(
+                        zero_copy_only=False
+                    )[order]
+                    if od0:  # DESC: negate -> ascending formulas apply
+                        ov = -ov
+                    nncnt = np.add.reduceat(
+                        onn.astype(np.int64), starts_n
+                    )
+                    nnstart_p = np.concatenate(
+                        [[0], np.cumsum(nncnt)[:-1]]
+                    )
+                    first_null = part_start + nncnt[pid]
+                    nn_idx = np.flatnonzero(onn)
+                    pid_nn = pid[nn_idx]
+                    v_nn = ov[nn_idx]
+                    nn_hi_excl = (nnstart_p + nncnt)[pid_nn]
+                    if lo_off is None:
+                        lo = part_start.copy()
+                    else:
+                        lo = first_null.copy()  # NULL rows: peer run
+                        if len(nn_idx):
+                            cl = _merge_search(
+                                pid_nn, v_nn, v_nn + lo_off, "left"
+                            )
+                            lo[nn_idx] = np.where(
+                                cl < nn_hi_excl,
+                                nn_idx[np.minimum(cl, len(nn_idx) - 1)],
+                                first_null[nn_idx],
+                            )
+                    if hi_off is None:
+                        hi = pend.copy()
+                    else:
+                        hi = pend.copy()  # NULL rows: run ends at pend
+                        if len(nn_idx):
+                            cr = _merge_search(
+                                pid_nn, v_nn, v_nn + hi_off, "right"
+                            )
+                            hi[nn_idx] = np.where(
+                                cr - 1 >= nnstart_p[pid_nn],
+                                nn_idx[np.maximum(cr - 1, 0)],
+                                part_start[nn_idx] - 1,  # empty frame
+                            )
+                empty = lo > hi
+                lo_c = np.clip(lo, 0, n - 1)
+                hi_c = np.clip(hi, 0, n - 1)
                 if fn in ("count", "sum", "avg"):
                     x = np.where(valid, av, 0.0)
                     cum = np.cumsum(x)
                     cumc = np.cumsum(valid.astype(np.int64))
                     excl = cum - x       # prefix sum BEFORE each row
                     exclc = cumc - valid
-                    rs = cum - excl[lo]
-                    rc = (cumc - exclc[lo]).astype(np.int64)
+                    rs = np.where(empty, 0.0, cum[hi_c] - excl[lo_c])
+                    rc = np.where(
+                        empty, 0, cumc[hi_c] - exclc[lo_c]
+                    ).astype(np.int64)
                     if fn == "count":
                         out_sorted = rc
                         arr_of = lambda r: pa.array(r, type=pa.int64())  # noqa: E731
@@ -1805,25 +1969,11 @@ def _run_window(plan: dict, tables: dict, num_partitions: int):
                                 pc.is_nan(arr),
                                 pa.scalar(None, pa.float64()), arr,
                             )
-                else:  # moving min / max
+                else:  # moving min / max over arbitrary index windows
                     xm = np.where(valid, av, np.nan)
-                    s_ = pd.Series(xm)
-                    gp_ = pd.Series(pid)
-                    if nprec is None:
-                        cm = (
-                            s_.groupby(gp_).cummax() if fn == "max"
-                            else s_.groupby(gp_).cummin()
-                        )
-                        out_sorted = cm.groupby(gp_).ffill().to_numpy()
-                    else:
-                        roll = s_.groupby(gp_).rolling(
-                            nprec + 1, min_periods=1
-                        )
-                        rr = roll.max() if fn == "max" else roll.min()
-                        out_sorted = (
-                            rr.reset_index(level=0, drop=True)
-                            .sort_index().to_numpy()
-                        )
+                    out_sorted = _range_extrema(
+                        xm, lo_c, hi_c, empty, fn == "max"
+                    )
 
                     def arr_of(r):
                         arr = pa.array(r, type=pa.float64())

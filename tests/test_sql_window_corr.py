@@ -273,3 +273,78 @@ def test_rows_frame_moving_windows(ray_session):
         "FROM orders",
         {"orders": _orders()},
     )
+
+
+def _nullable_orders():
+    rng = np.random.default_rng(11)
+    n = 500
+    o = rng.integers(0, 40, n).astype("float64")
+    # integer-valued doubles: prefix-sum differences then stay exact,
+    # so engine and DuckDB rows sort identically in the comparison
+    x = rng.integers(-500, 500, n).astype("float64")
+    # real Arrow NULLs (not NaN values, which DuckDB orders as a value)
+    return pa.table(
+        {
+            "cust": pa.array(rng.integers(0, 17, n)),
+            "ts": pa.array(o, mask=rng.random(n) < 0.1),
+            "amt": pa.array(x, mask=rng.random(n) < 0.08),
+        }
+    )
+
+
+def test_rows_frame_following_bounds(ray_session):
+    _both(
+        "SELECT okey, cust, "
+        "CAST(SUM(okey % 9) OVER (PARTITION BY cust ORDER BY okey "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE) AS ctr, "
+        "COUNT(*) OVER (PARTITION BY cust ORDER BY okey "
+        "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fwd_n, "
+        "AVG(price) OVER (PARTITION BY cust ORDER BY okey "
+        "ROWS BETWEEN 1 FOLLOWING AND 4 FOLLOWING) AS fwd_avg, "
+        "MIN(price) OVER (PARTITION BY cust ORDER BY okey "
+        "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS lag_lo, "
+        "MAX(price) OVER (PARTITION BY cust ORDER BY okey "
+        "ROWS BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING) AS tail_hi "
+        "FROM orders",
+        {"orders": _orders()},
+    )
+
+
+def test_range_frame_value_bounds(ray_session):
+    _both(
+        "SELECT cust, ts, amt, "
+        "SUM(amt) OVER (PARTITION BY cust ORDER BY ts "
+        "RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS near_tot, "
+        "COUNT(amt) OVER (PARTITION BY cust ORDER BY ts "
+        "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS trail_n, "
+        "MIN(amt) OVER (PARTITION BY cust ORDER BY ts "
+        "RANGE BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fwd_lo, "
+        "MAX(amt) OVER (PARTITION BY cust ORDER BY ts "
+        "RANGE BETWEEN 2 FOLLOWING AND 6 FOLLOWING) AS gap_hi, "
+        "AVG(amt) OVER (PARTITION BY cust ORDER BY ts "
+        "RANGE BETWEEN 1 PRECEDING AND UNBOUNDED FOLLOWING) AS tail_avg "
+        "FROM ledger",
+        {"ledger": _nullable_orders()},
+    )
+
+
+def test_range_frame_desc_order(ray_session):
+    _both(
+        "SELECT cust, ts, amt, "
+        "SUM(amt) OVER (PARTITION BY cust ORDER BY ts DESC "
+        "RANGE BETWEEN 4 PRECEDING AND 2 FOLLOWING) AS w "
+        "FROM ledger",
+        {"ledger": _nullable_orders()},
+    )
+
+
+def test_range_frame_requires_single_order_key(ray_session):
+    import ray.data as rd
+
+    with pytest.raises(ValueError, match="exactly one"):
+        sql_query(
+            "SELECT SUM(price) OVER (PARTITION BY cust ORDER BY okey, "
+            "prio RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS w "
+            "FROM orders",
+            {"orders": rd.from_arrow(_orders())},
+        )
