@@ -65,8 +65,13 @@ through ``Dataset.map_batches``:
   the main join (raises for probes on the null-filled side of a LEFT
   JOIN, where the filter would not commute).
 
+- window functions over GROUP BY results (``RANK() OVER (PARTITION
+  BY r ORDER BY SUM(x))`` with GROUP BY, joins included): the grouped
+  aggregate runs first, then the window machinery over the aggregated
+  table with aggregates/group keys rewritten to column references.
+
 Not covered (documented): non-equi join conditions, multiple
-correlated equalities, windows over GROUP BY results.
+correlated equalities.
 """
 
 from __future__ import annotations
@@ -2125,6 +2130,57 @@ def _run_window(plan: dict, tables: dict, num_partitions: int):
     )
 
 
+def _run_window_over_agg(plan: dict, tables: dict, num_partitions: int):
+    """Windows over GROUP BY results (engine extension): run the
+    grouped aggregate first (joins / WHERE / HAVING included), then
+    the window machinery over the aggregated table with every
+    aggregate expression and group key rewritten to a plain column
+    reference — e.g. ``SELECT k, SUM(x) AS s, RANK() OVER (PARTITION
+    BY r ORDER BY SUM(x) DESC) FROM t GROUP BY k, r``."""
+    items, group = plan["items"], plan["group"]
+    if not group:
+        raise ValueError(
+            "window functions mixed with aggregates require GROUP BY "
+            "(a windowed global aggregate would be a single row)"
+        )
+    aggs: list = []
+    for e, _ in items:
+        for n in _walk(e):
+            if n[0] == "agg" and n not in aggs:
+                aggs.append(n)
+    gnames = [_out_name(g_, None, i) for i, g_ in enumerate(group)]
+    if len(set(gnames)) != len(gnames):
+        raise ValueError("duplicate group key names under a window")
+    inner_items = list(zip(group, gnames)) + [
+        (a_, f"__ga{j}") for j, a_ in enumerate(aggs)
+    ]
+    inner = dict(plan, items=inner_items, order=[], limit=None,
+                 distinct=False)
+    base = _run_join_agg(inner, tables, num_partitions)
+
+    gk_map = {g_: ("col", gn) for g_, gn in zip(group, gnames)}
+    # the bottom-up rewrite transforms an agg node's children (group
+    # keys inside its argument) before visiting the agg itself — key
+    # the lookup by both the original and the child-rewritten node
+    agg_keys: dict = {}
+    for j, a_ in enumerate(aggs):
+        agg_keys[a_] = f"__ga{j}"
+        agg_keys[_transform(a_, lambda n: gk_map.get(n, n))] = f"__ga{j}"
+
+    def sub(n):
+        if n[0] == "agg":
+            return ("col", agg_keys[n])
+        return gk_map.get(n, n)
+
+    items2 = [(_transform(e, sub), al) for e, al in items]
+    tables2 = dict(tables)
+    tables2["__gwin_base"] = base
+    plan2 = dict(plan, table="__gwin_base", table_alias="__gwin_base",
+                 joins=[], where=None, group=[], having=None,
+                 items=items2)
+    return _run_window(plan2, tables2, num_partitions)
+
+
 def _exec_plan(plan: dict, tables: dict, num_partitions: int = 16):
     from . import relational as R
 
@@ -2134,6 +2190,9 @@ def _exec_plan(plan: dict, tables: dict, num_partitions: int = 16):
     if items is not None and any(
         n[0] == "win" for e, _ in items for n in _walk(e)
     ):
+        if (plan["group"] or plan.get("having") is not None
+                or any(_has_agg(e) for e, _ in items)):
+            return _run_window_over_agg(plan, tables, num_partitions)
         return _run_window(plan, tables, num_partitions)
 
     if plan["joins"] or plan["group"] or plan["having"] is not None or (

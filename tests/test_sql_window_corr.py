@@ -348,3 +348,50 @@ def test_range_frame_requires_single_order_key(ray_session):
             "FROM orders",
             {"orders": rd.from_arrow(_orders())},
         )
+
+
+def test_window_over_group_by(ray_session):
+    # rank groups by their aggregate; nested agg-in-window arg; HAVING
+    _both(
+        "SELECT cust, prio, CAST(SUM(okey % 7) AS DOUBLE) AS s, "
+        "RANK() OVER (PARTITION BY prio ORDER BY SUM(okey % 7) DESC, "
+        "cust) AS rk "
+        "FROM orders GROUP BY cust, prio",
+        {"orders": _orders()},
+    )
+    _both(
+        "SELECT prio, cust, "
+        "CAST(SUM(SUM(okey % 7)) OVER (PARTITION BY prio ORDER BY cust) "
+        "AS DOUBLE) AS run_tot, COUNT(*) AS nrec "
+        "FROM orders GROUP BY prio, cust",
+        {"orders": _orders()},
+    )
+    _both(
+        "SELECT prio, cust, "
+        "MAX(AVG(price)) OVER (PARTITION BY prio ORDER BY cust "
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS mx "
+        "FROM orders GROUP BY prio, cust HAVING COUNT(*) > 1",
+        {"orders": _orders()},
+    )
+
+
+def test_window_over_join_group_by(ray_session):
+    _both(
+        "SELECT o.prio, CAST(SUM(i.qty) AS DOUBLE) AS tot, "
+        "ROW_NUMBER() OVER (PARTITION BY o.prio ORDER BY SUM(i.qty) "
+        "DESC, o.cust) AS rn, o.cust "
+        "FROM orders o JOIN items i ON o.okey = i.okey "
+        "GROUP BY o.prio, o.cust",
+        {"orders": _orders(), "items": _items()},
+    )
+
+
+def test_windowed_global_aggregate_raises(ray_session):
+    import ray.data as rd
+
+    with pytest.raises(ValueError, match="GROUP BY"):
+        sql_query(
+            "SELECT RANK() OVER (PARTITION BY cust ORDER BY SUM(price)) "
+            "AS rk FROM orders",
+            {"orders": rd.from_arrow(_orders())},
+        )
