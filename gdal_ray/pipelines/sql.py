@@ -70,8 +70,12 @@ through ``Dataset.map_batches``:
   aggregate runs first, then the window machinery over the aggregated
   table with aggregates/group keys rewritten to column references.
 
-Not covered (documented): non-equi join conditions, multiple
-correlated equalities.
+- correlated subqueries / EXISTS accept multiple correlated
+  equalities: N ``inner = outer`` conjuncts pair into one exact
+  composite join key (length-prefixed string encoding, NULL when any
+  component is NULL so SQL's never-match-NULL holds).
+
+Not covered (documented): non-equi join conditions.
 """
 
 from __future__ import annotations
@@ -1236,15 +1240,42 @@ def _empty_like(ds):
     return rd.from_arrow(pa.schema(fields).empty_table())
 
 
+def _composite_key(t: pa.Table, exprs: list) -> pa.Array:
+    """Exact single-column join key from N expressions: a single key
+    evaluates as-is; multiple keys encode injectively as
+    length-prefixed string segments (``<len>:<value>;...``), NULL when
+    ANY component is NULL (SQL equality with NULL never matches, and a
+    NULL key never joins)."""
+    vals = []
+    for e in exprs:
+        v = _eval(e, t)
+        if isinstance(v, pa.Scalar):
+            v = pa.array([v.as_py()] * t.num_rows, type=v.type)
+        vals.append(v)
+    if len(vals) == 1:
+        return vals[0]
+    anynull = pc.is_null(vals[0])
+    parts = []
+    for v in vals:
+        anynull = pc.or_(anynull, pc.is_null(v))
+        s = pc.fill_null(pc.cast(v, pa.string()), "")
+        parts.append(pc.cast(pc.utf8_length(s), pa.string()))
+        parts.append(pa.array([":"] * t.num_rows, pa.string()))
+        parts.append(s)
+        parts.append(pa.array([";"] * t.num_rows, pa.string()))
+    joined = pc.binary_join_element_wise(*parts, "")
+    return pc.if_else(anynull, pa.scalar(None, pa.string()), joined)
+
+
 def _corr_split(subplan: dict, tables: dict, outer_aliases: set,
                 outer_cols: set):
-    """Detect correlation of a subquery plan against ONE outer table.
+    """Detect correlation of a subquery plan against the outer scope.
     Returns None when the subquery is self-contained, else
-    ``(inner_key_node, outer_key_node, rest_where)`` where the
-    correlation is the single WHERE conjunct ``inner = outer`` and
-    ``rest_where`` is the AND-fold of the remaining (inner-only)
-    conjuncts.  Anything fancier (multiple correlated equalities,
-    non-equality correlation) raises."""
+    ``(inner_key_nodes, outer_key_nodes, rest_where)`` where the
+    correlation is one or more WHERE conjuncts ``inner = outer``
+    (paired positionally in the two lists) and ``rest_where`` is the
+    AND-fold of the remaining (inner-only) conjuncts.  Non-equality
+    correlation raises."""
     sub_aliases = {subplan["table_alias"]} | {
         j["alias"] for j in subplan["joins"]
     }
@@ -1272,7 +1303,7 @@ def _corr_split(subplan: dict, tables: dict, outer_aliases: set,
     where = subplan.get("where")
     if where is None:
         return None
-    corr = None
+    inner_keys, outer_keys = [], []
     rest = []
     for c in _split_conjuncts(where):
         refs_outer = any(
@@ -1285,8 +1316,8 @@ def _corr_split(subplan: dict, tables: dict, outer_aliases: set,
             continue
         if c[0] != "eq":
             raise ValueError(
-                "correlated subquery predicates must be a single "
-                "inner_col = outer_col equality"
+                "correlated subquery predicates must be "
+                "inner_col = outer_col equalities"
             )
         sa, sb = side(c[1]), side(c[2])
         if {sa, sb} != {"sub", "outer"}:
@@ -1294,15 +1325,15 @@ def _corr_split(subplan: dict, tables: dict, outer_aliases: set,
                 "correlated equality must compare an inner column with "
                 "an outer column"
             )
-        if corr is not None:
-            raise ValueError("only one correlated equality is supported")
-        corr = (c[1], c[2]) if sa == "sub" else (c[2], c[1])
-    if corr is None:
+        ik, ok = (c[1], c[2]) if sa == "sub" else (c[2], c[1])
+        inner_keys.append(ik)
+        outer_keys.append(ok)
+    if not inner_keys:
         return None
     rest_where = None
     for c in rest:
         rest_where = c if rest_where is None else ("and", rest_where, c)
-    return corr[0], corr[1], rest_where
+    return inner_keys, outer_keys, rest_where
 
 
 def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
@@ -1346,7 +1377,7 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
                 "correlated subquery on a JOIN outer query is not "
                 "supported"
             )
-        inner_key, outer_key, rest_where = corr
+        inner_keys, outer_keys, rest_where = corr
         s_items = sub["items"]
         if (s_items is None or len(s_items) != 1
                 or not _has_agg(s_items[0][0])):
@@ -1363,17 +1394,26 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
         i = attach_i[0]
         attach_i[0] += 1
         ckey, cval, okey = f"__ck{i}", f"__cv{i}", f"__ok{i}"
+        knames = [f"{ckey}_{j}" for j in range(len(inner_keys))]
         agg_expr = s_items[0][0]
         subplan2 = dict(
-            sub, items=[(inner_key, ckey), (agg_expr, cval)],
-            where=rest_where, group=[inner_key], having=None,
+            sub,
+            items=list(zip(inner_keys, knames)) + [(agg_expr, cval)],
+            where=rest_where, group=list(inner_keys), having=None,
             order=[], limit=None, distinct=False, union_next=False,
         )
         sub_ds = _exec_plan(subplan2, tables, num_partitions)
+
+        def pack_sub(t: pa.Table, _ks=knames, _ck=ckey,
+                     _cv=cval) -> pa.Table:
+            key = _composite_key(t, [("col", k) for k in _ks])
+            return pa.table({_ck: key, _cv: t.column(_cv)})
+
+        sub_ds = sub_ds.map_batches(pack_sub, batch_format="pyarrow")
         base = corr_base[0] if corr_base[0] is not None else tables[plan["table"]]
 
-        def add_key(t: pa.Table, _e=outer_key, _k=okey) -> pa.Table:
-            return t.append_column(_k, _eval(_e, t))
+        def add_key(t: pa.Table, _es=outer_keys, _k=okey) -> pa.Table:
+            return t.append_column(_k, _composite_key(t, list(_es)))
 
         joined = R.copartition_equi_join(
             base.map_batches(add_key, batch_format="pyarrow"),
@@ -1476,23 +1516,42 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
                     tgt_ds[ba] = _empty_like(_get_tgt(ba))
                     gate_empty = True
                 continue
-            inner_key, outer_key, rest_where = corr
+            inner_keys, outer_keys, rest_where = corr
             if sub["group"] or sub.get("having") is not None:
                 raise ValueError("EXISTS subquery with GROUP BY unsupported")
             i = si
             si += 1
             ekey, okey = f"__ek{i}", f"__eo{i}"
+            knames = [f"{ekey}_{j}" for j in range(len(inner_keys))]
             subplan2 = dict(
-                sub, items=[(inner_key, ekey)], where=rest_where,
+                sub, items=list(zip(inner_keys, knames)),
+                where=rest_where,
                 group=[], having=None, order=[], limit=None,
                 distinct=False, union_next=False,
             )
             sub_ds = _exec_plan(subplan2, tables, num_partitions)
 
-            def add_ekey(t: pa.Table, _e=outer_key, _k=okey) -> pa.Table:
-                return t.append_column(_k, _eval(_e, t))
+            def pack_ekey(t: pa.Table, _ks=knames, _ek=ekey) -> pa.Table:
+                key = _composite_key(t, [("col", k) for k in _ks])
+                return pa.table({_ek: key})
 
-            ta = _probe_alias(outer_key)
+            sub_ds = sub_ds.map_batches(pack_ekey, batch_format="pyarrow")
+
+            def add_ekey(t: pa.Table, _es=outer_keys, _k=okey) -> pa.Table:
+                return t.append_column(_k, _composite_key(t, list(_es)))
+
+            if len(outer_keys) == 1:
+                ta = _probe_alias(outer_keys[0])
+            else:
+                owners = set()
+                for ok_ in outer_keys:
+                    owners.add(_probe_alias(ok_))
+                if len(owners) != 1:
+                    raise ValueError(
+                        "correlated EXISTS equalities must probe one "
+                        f"outer table (got {sorted(owners)})"
+                    )
+                (ta,) = owners
             tgt_ds[ta] = R.copartition_equi_join(
                 _get_tgt(ta).map_batches(add_ekey, batch_format="pyarrow"),
                 sub_ds, okey, ekey,

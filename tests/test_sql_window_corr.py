@@ -395,3 +395,29 @@ def test_windowed_global_aggregate_raises(ray_session):
             "AS rk FROM orders",
             {"orders": rd.from_arrow(_orders())},
         )
+
+
+def test_multiple_correlated_equalities(ray_session):
+    # two correlated equalities pair into one composite join key
+    _both(
+        "SELECT okey, cust, "
+        "(SELECT COUNT(*) FROM items i WHERE i.okey = o.okey "
+        "AND i.qty = o.cust) AS n_match, "
+        "(SELECT SUM(tax) FROM items i WHERE i.okey = o.okey "
+        "AND i.qty = o.cust AND i.tax > 0.02) AS s_match "
+        "FROM orders o WHERE okey < 200",
+        {"orders": _orders(), "items": _items()},
+    )
+    eng = _both(
+        "SELECT okey, cust FROM orders o WHERE EXISTS "
+        "(SELECT qty FROM items i WHERE i.okey = o.okey "
+        "AND i.qty = o.cust)",
+        {"orders": _orders(), "items": _items()},
+    )
+    assert 0 < len(eng) < 400
+    _both(
+        "SELECT okey FROM orders o WHERE NOT EXISTS "
+        "(SELECT qty FROM items i WHERE i.okey = o.okey "
+        "AND i.qty = o.cust) ORDER BY okey",
+        {"orders": _orders(), "items": _items()},
+    )
