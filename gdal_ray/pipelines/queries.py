@@ -2037,8 +2037,18 @@ SELECT o_orderkey AS okey,
        CAST(SUM(o_orderkey % 13) OVER (PARTITION BY o_orderstatus
             ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
             AS DOUBLE) AS mov_k13,
+       CAST(SUM(o_orderkey % 13) OVER (PARTITION BY o_orderstatus
+            ORDER BY o_orderkey ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING)
+            AS DOUBLE) AS ctr_k13,
+       CAST(SUM(o_orderkey % 13) OVER (PARTITION BY o_orderstatus
+            ORDER BY o_orderkey
+            RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+            AS DOUBLE) AS rng_k13,
        (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey)
-           AS n_items
+           AS n_items,
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = o_orderstatus)
+           AS n_flag
 FROM orders o
 WHERE ((o_totalprice BETWEEN 100000 AND 200000
         AND o_orderpriority LIKE '1%')
@@ -2056,8 +2066,10 @@ def q50_sql_frontend(sf_dir: str):
     (PARTITION BY ... ) lowered onto one hash shuffle + vectorized
     per-partition rank/reduceat, a correlated scalar subquery
     decorrelated to a grouped aggregate + co-partitioned left-outer
-    join, and a correlated EXISTS lowered to a co-partitioned semi
-    join): the SAME SQL string is parsed and compiled to pyarrow
+    join (incl. a two-equality correlation paired into one exact
+    composite key), a correlated EXISTS lowered to a co-partitioned
+    semi join, and explicit ROWS/RANGE BETWEEN frames with FOLLOWING
+    bounds): the SAME SQL string is parsed and compiled to pyarrow
     kernels by the engine and handed verbatim to DuckDB as its oracle.
     The window SUM aggregates an integer expression so float64 sums
     are exact and order-independent across both engines."""
@@ -2067,7 +2079,10 @@ def q50_sql_frontend(sf_dir: str):
         sf_dir, "orders",
         columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
     )
-    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    lineitem = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_quantity", "l_returnflag"],
+    )
     return sql_query(_Q50_TEXT, {"orders": orders, "lineitem": lineitem})
 
 
@@ -2077,7 +2092,9 @@ SELECT r.r_name AS region_name,
        COUNT(DISTINCT c.c_nationkey) AS n_nat,
        CAST(SUM(c.c_custkey) AS BIGINT) AS key_sum,
        MIN(c.c_acctbal) AS lo_bal,
-       MAX(c.c_acctbal) AS hi_bal
+       MAX(c.c_acctbal) AS hi_bal,
+       RANK() OVER (PARTITION BY 'g' ORDER BY SUM(c.c_custkey) DESC)
+           AS key_rank
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -2090,7 +2107,8 @@ SELECT 'ALL' AS region_name,
        COUNT(DISTINCT c_nationkey) AS n_nat,
        CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
        MIN(c_acctbal) AS lo_bal,
-       MAX(c_acctbal) AS hi_bal
+       MAX(c_acctbal) AS hi_bal,
+       CAST(1 AS BIGINT) AS key_rank
 FROM customer
 WHERE c_acctbal > 0
 UNION ALL
@@ -2099,7 +2117,8 @@ SELECT 'SUBQ' AS region_name,
        COUNT(DISTINCT c_nationkey) AS n_nat,
        CAST(SUM(DISTINCT c_custkey) AS BIGINT) AS key_sum,
        MIN(c_acctbal) AS lo_bal,
-       MAX(c_acctbal) AS hi_bal
+       MAX(c_acctbal) AS hi_bal,
+       CAST(1 AS BIGINT) AS key_rank
 FROM customer
 WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
   AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)

@@ -1258,7 +1258,24 @@ def _composite_key(t: pa.Table, exprs: list) -> pa.Array:
     parts = []
     for v in vals:
         anynull = pc.or_(anynull, pc.is_null(v))
-        s = pc.fill_null(pc.cast(v, pa.string()), "")
+        if pa.types.is_floating(v.type) or pa.types.is_decimal(v.type):
+            # canonical numeric text so 5.0 (float) == 5 (int) and
+            # -0.0 == 0 across sides: integral in-int64-range floats
+            # render as integers, everything else as float text
+            f = pc.add(pc.cast(v, pa.float64()), 0.0)  # -0.0 -> 0.0
+            is_int = pc.and_(
+                pc.equal(pc.floor(f), f),
+                pc.and_(pc.greater(f, -9.2e18), pc.less(f, 9.2e18)),
+            )
+            is_int = pc.fill_null(is_int, False)
+            as_int = pc.cast(
+                pc.cast(pc.if_else(is_int, f, 0.0), pa.int64()),
+                pa.string(),
+            )
+            s = pc.if_else(is_int, as_int, pc.cast(f, pa.string()))
+        else:
+            s = pc.cast(v, pa.string())
+        s = pc.fill_null(s, "")
         parts.append(pc.cast(pc.utf8_length(s), pa.string()))
         parts.append(pa.array([":"] * t.num_rows, pa.string()))
         parts.append(s)
