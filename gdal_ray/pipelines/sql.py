@@ -75,7 +75,13 @@ through ``Dataset.map_batches``:
   composite join key (length-prefixed string encoding, NULL when any
   component is NULL so SQL's never-match-NULL holds).
 
-Not covered (documented): non-equi join conditions.
+- JOIN ON accepts extra conjuncts beyond the hash equality (band /
+  inequality predicates): the first inner=outer column equality keys
+  the hash join, the residual conjuncts filter post-join (inner joins
+  only — on a LEFT JOIN they would alter match semantics and raise).
+
+Not covered (documented): joins with NO column equality in ON (pure
+non-equi / cross joins).
 """
 
 from __future__ import annotations
@@ -617,8 +623,6 @@ def _parse_one(p: "_Parser", sub: bool = False) -> dict:
             ja = p.expect("ident")
         p.expect("kw", "on")
         cond = p.expr()
-        if cond[0] != "eq":
-            raise ValueError("JOIN ON supports a single equality condition")
         joins.append({"table": jt, "alias": ja, "how": how, "on": cond})
     where = None
     if p.accept("kw", "where"):
@@ -838,9 +842,37 @@ def _run_join_agg(plan, tables, num_partitions: int):
         raise ValueError("JOIN ON sides must be column references")
 
     ds = src[base]
+    deferred_on: list = []  # non-equi / extra ON conjuncts (inner only)
     for i, j in enumerate(plan["joins"]):
         ja, suf = j["alias"], f"_j{i}"
-        s1, s2 = _side(j["on"][1]), _side(j["on"][2])
+        equi = None
+        residual = []
+        for c in _split_conjuncts(j["on"]):
+            if equi is None and c[0] == "eq":
+                try:
+                    t1, t2 = _side(c[1]), _side(c[2])
+                except ValueError:
+                    t1 = t2 = None
+                if t1 is not None and (t1[0] == ja) != (t2[0] == ja):
+                    equi = (t1, t2)
+                    continue
+            residual.append(c)
+        if equi is None:
+            raise ValueError(
+                f"JOIN {ja} ON needs at least one column equality "
+                "relating it to an earlier table (pure non-equi joins "
+                "are not supported)"
+            )
+        if residual and j["how"] == "left_outer":
+            raise ValueError(
+                "extra ON conditions on a LEFT JOIN are not supported "
+                "(they alter match semantics; move them to WHERE for "
+                "filter semantics)"
+            )
+        # residual inner-join ON conjuncts commute with the rest of
+        # the chain: apply them with the post-join WHERE filters
+        deferred_on.extend(residual)
+        s1, s2 = equi
         if s1[0] == ja and s2[0] != ja:
             (la, lc), rk = s2, s1[1]
         elif s2[0] == ja and s1[0] != ja:
@@ -897,6 +929,7 @@ def _run_join_agg(plan, tables, num_partitions: int):
 
         return _transform(node, fn)
 
+    post_where = deferred_on + post_where
     if post_where:
         exprs = [_resolve(p) for p in post_where]
 
@@ -976,6 +1009,12 @@ def _run_join_agg(plan, tables, num_partitions: int):
                 if kind == "cast_valid":
                     v = pc.cast(pc.is_valid(v), pa.int64())
                 cols[name] = v
+            if not cols:
+                # COUNT(*)-only summary: a zero-column pa.table would
+                # report zero rows — keep the count with a stub column
+                cols["__cnt_stub"] = pa.array(
+                    np.zeros(t.num_rows, np.int8)
+                )
             return pa.table(cols)
 
         pre_ds = ds.map_batches(pre, batch_format="pyarrow")

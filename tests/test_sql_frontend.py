@@ -159,8 +159,10 @@ def test_count_col_counts_non_null(ray_session):
 
 
 def test_join_rejects_non_equi(ray_session):
-    with pytest.raises(ValueError):
-        parse_select("SELECT l.id FROM l JOIN r ON l.k > r.k")
+    # parse accepts arbitrary ON conjuncts now; planning still rejects
+    # a join with NO column equality relating the tables
+    with pytest.raises(ValueError, match="column equality"):
+        _run2("SELECT l.id AS id FROM l JOIN r ON l.k > r.k")
 
 
 def test_agg_in_where_rejected(ray_session):

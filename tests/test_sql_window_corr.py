@@ -421,3 +421,41 @@ def test_multiple_correlated_equalities(ray_session):
         "AND i.qty = o.cust) ORDER BY okey",
         {"orders": _orders(), "items": _items()},
     )
+
+
+def test_join_on_residual_conditions(ray_session):
+    # non-equi conjuncts in ON: hash join on the equality, residual
+    # applied as a post-join filter (inner joins only)
+    _both(
+        "SELECT o.okey AS okey, i.qty AS qty, i.tax AS tax "
+        "FROM orders o JOIN items i ON o.okey = i.okey "
+        "AND i.qty > o.cust AND i.tax < 0.08",
+        {"orders": _orders(), "items": _items()},
+    )
+    _both(
+        "SELECT o.prio AS prio, COUNT(*) AS n, "
+        "CAST(SUM(i.qty) AS DOUBLE) AS sq "
+        "FROM orders o JOIN items i ON o.okey = i.okey "
+        "AND i.qty <> o.cust WHERE o.price > 500 GROUP BY o.prio",
+        {"orders": _orders(), "items": _items()},
+    )
+    import ray.data as rd
+
+    with pytest.raises(ValueError, match="LEFT JOIN"):
+        sql_query(
+            "SELECT o.okey FROM orders o LEFT JOIN items i "
+            "ON o.okey = i.okey AND i.qty > 10",
+            {"orders": rd.from_arrow(_orders()),
+             "items": rd.from_arrow(_items())},
+        )
+
+
+def test_bare_count_star(ray_session):
+    # regression: COUNT(*)-only summaries used to build a zero-column
+    # pre-aggregation table, losing every row
+    _both("SELECT COUNT(*) AS n FROM orders", {"orders": _orders()})
+    _both(
+        "SELECT COUNT(*) AS n FROM orders o JOIN items i "
+        "ON o.okey = i.okey",
+        {"orders": _orders(), "items": _items()},
+    )
