@@ -30,7 +30,8 @@ def grouped_aggregate(ds, keys: list[str], specs: list[tuple[str, str, str]]):
 
     op in {sum, count, min, max, mean}; ``count`` counts all rows of the
     group (COUNT(*)).  Partial aggregation per batch, tiny final shuffle.
-    Output columns: keys + aliases (mean emitted as float64).
+    Output columns: keys + aliases (mean emitted as float64; like SQL
+    AVG it divides by the column's NON-NULL count, not the group size).
     """
     for _, op, _ in specs:
         if op not in _PARTIAL_OPS:
@@ -43,6 +44,7 @@ def grouped_aggregate(ds, keys: list[str], specs: list[tuple[str, str, str]]):
             continue
         if op == "mean":
             pa_aggs.append((col, "sum"))
+            pa_aggs.append((col, "count"))  # non-null count for AVG
         else:
             pa_aggs.append((col, op))
     pa_aggs = list(dict.fromkeys(pa_aggs))
@@ -60,6 +62,9 @@ def grouped_aggregate(ds, keys: list[str], specs: list[tuple[str, str, str]]):
         if op == "count":
             continue
         src = f"{col}_sum" if op in ("sum", "mean") else f"{col}_{op}"
+        if op == "mean" and f"{col}_count" not in seen:
+            seen.add(f"{col}_count")
+            ray_aggs.append(Sum(f"{col}_count", alias_name=f"{col}_count"))
         if src in seen:
             continue
         seen.add(src)
@@ -79,9 +84,15 @@ def grouped_aggregate(ds, keys: list[str], specs: list[tuple[str, str, str]]):
             elif op == "sum":
                 cols[alias] = t.column(f"{col}_sum")
             elif op == "mean":
+                # SQL AVG: sum over the NON-NULL count (an all-NULL
+                # group has a NULL sum, so the result stays NULL; the
+                # max(count,1) only dodges the 0/0 in that dead lane)
+                cnt = pc.max_element_wise(
+                    pc.cast(t.column(f"{col}_count"), pa.float64()),
+                    pa.scalar(1.0, pa.float64()),
+                )
                 cols[alias] = pc.divide(
-                    pc.cast(t.column(f"{col}_sum"), pa.float64()),
-                    pc.cast(t.column("__n"), pa.float64()),
+                    pc.cast(t.column(f"{col}_sum"), pa.float64()), cnt
                 )
             else:
                 cols[alias] = t.column(f"{col}_{op}")

@@ -139,6 +139,37 @@ def test_group_by_aggregates(ray_session):
     )
 
 
+def test_avg_ignores_nulls(ray_session):
+    # SQL AVG divides by the NON-NULL count — a null-bearing column
+    # must not be averaged over the group size (regression: mean was
+    # sum/__n, giving 4/3 instead of 4/2 here)
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.pipelines.sql import sql_query
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "a", "b", "b"]),
+            "v": pa.array([1.0, None, 3.0, None, None], pa.float64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    for sql in (
+        "SELECT g, AVG(v) AS av, SUM(v) AS sv, COUNT(v) AS cv "
+        "FROM t GROUP BY g ORDER BY g",
+        "SELECT AVG(v) AS av FROM t",
+        "SELECT g, AVG(DISTINCT v) AS adv FROM t GROUP BY g ORDER BY g",
+    ):
+        a = sql_query(sql, {"t": rd.from_arrow(t)}).to_pandas()
+        b = con.execute(sql).df()
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b, check_dtype=False
+        )
+
+
 def test_join_group_by(ray_session):
     _assert_matches_duck(
         "SELECT r.tag, COUNT(*) AS n, CAST(SUM(l.v * 2) AS BIGINT) AS s2 "
