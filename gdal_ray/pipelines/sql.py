@@ -9,8 +9,9 @@ the same surface (SELECT list with aliases and scalar expressions,
 aggregates COUNT/SUM/AVG/MIN/MAX — usable inside expressions, e.g.
 ``CAST(SUM(x) AS BIGINT)`` — FROM with [LEFT] JOIN ... ON equi-join
 chains, qualified ``table.column`` refs, WHERE with AND/OR/NOT,
-comparison ops, LIKE, IN, BETWEEN, arithmetic incl %, CONCAT, SUBSTR,
-CAST, GROUP BY) and compiles it to vectorized pyarrow.compute kernels
+comparison ops, LIKE/ILIKE, IN, BETWEEN, arithmetic incl %, CONCAT,
+SUBSTR, CAST, CASE WHEN (searched + simple), COALESCE, NULLIF,
+GROUP BY) and compiles it to vectorized pyarrow.compute kernels
 through ``Dataset.map_batches``:
 
 - single-table WHERE conjuncts push down BELOW the join (per-table
@@ -99,7 +100,8 @@ _TOKEN = re.compile(
 
 _KEYWORDS = {
     "select", "from", "where", "order", "by", "asc", "desc", "limit", "as",
-    "and", "or", "not", "like", "in", "between", "cast", "concat", "substr",
+    "and", "or", "not", "like", "ilike", "in", "between", "cast", "concat",
+    "substr", "case", "when", "then", "else", "end", "coalesce", "nullif",
     "is", "null", "true", "false",
     "join", "on", "left", "inner", "outer", "group", "having",
     "union", "all",
@@ -200,14 +202,14 @@ class _Parser:
         if k == "kw" and v == "not":
             # NOT LIKE / NOT IN / NOT BETWEEN
             nk, nv = self.toks[self.i + 1]
-            if nk == "kw" and nv in ("like", "in", "between"):
+            if nk == "kw" and nv in ("like", "ilike", "in", "between"):
                 self.next()
                 neg = True
                 k, v = self.peek()
-        if k == "kw" and v == "like":
+        if k == "kw" and v in ("like", "ilike"):
             self.next()
             rhs = self.add_expr()
-            e = ("like", e, rhs)
+            e = (v, e, rhs)
             return ("not", e) if neg else e
         if k == "kw" and v == "in":
             self.next()
@@ -281,6 +283,43 @@ class _Parser:
                 args.append(self.expr())
             self.expect("op", ")")
             return ("concat", args)
+        if k == "kw" and v == "coalesce":
+            self.expect("op", "(")
+            args = [self.expr()]
+            while self.accept("op", ","):
+                args.append(self.expr())
+            self.expect("op", ")")
+            if len(args) < 2:
+                raise ValueError("COALESCE requires at least two arguments")
+            return ("coalesce", *args)
+        if k == "kw" and v == "nullif":
+            self.expect("op", "(")
+            a = self.expr()
+            self.expect("op", ",")
+            b = self.expr()
+            self.expect("op", ")")
+            return ("nullif", a, b)
+        if k == "kw" and v == "case":
+            # searched: CASE WHEN c THEN v ... [ELSE e] END
+            # simple:   CASE base WHEN x THEN v ... [ELSE e] END
+            #           (desugars to eq(base, x) — SQL equality, so a
+            #           NULL base/operand never matches a WHEN)
+            base = None
+            if self.peek() != ("kw", "when"):
+                base = self.expr()
+            parts = []
+            while self.accept("kw", "when"):
+                c = self.expr()
+                if base is not None:
+                    c = ("eq", base, c)
+                self.expect("kw", "then")
+                parts.append(c)
+                parts.append(self.expr())
+            if not parts:
+                raise ValueError("CASE requires at least one WHEN branch")
+            els = self.expr() if self.accept("kw", "else") else ("lit", None)
+            self.expect("kw", "end")
+            return ("case", *parts, els)
         if k == "kw" and v == "substr":
             self.expect("op", "(")
             e = self.expr()
@@ -464,6 +503,26 @@ _TYPES = {
 }
 
 
+def _case_common_type(types) -> pa.DataType:
+    """Result type of a CASE across its branch value types: NULL
+    branches adopt the others' type, mixed int/float widens to double
+    (the swq/DuckDB promotion), anything else must agree exactly."""
+    types = [ty for ty in types if not pa.types.is_null(ty)]
+    if not types:
+        return pa.null()
+    if all(ty.equals(types[0]) for ty in types):
+        return types[0]
+    if all(pa.types.is_integer(ty) or pa.types.is_floating(ty)
+           for ty in types):
+        if any(pa.types.is_floating(ty) for ty in types):
+            return pa.float64()
+        return pa.int64()
+    raise ValueError(
+        "CASE branches have incompatible types: "
+        + ", ".join(str(ty) for ty in types)
+    )
+
+
 def _eval(node, t: pa.Table):
     op = node[0]
     if op == "lit":
@@ -510,6 +569,36 @@ def _eval(node, t: pa.Table):
         return pc.negate(_eval(node[1], t))
     if op == "like":
         return pc.match_like(_eval(node[1], t), _eval(node[2], t).as_py())
+    if op == "ilike":
+        return pc.match_like(
+            _eval(node[1], t), _eval(node[2], t).as_py(), ignore_case=True
+        )
+    if op == "coalesce":
+        return pc.coalesce(*(_eval(a, t) for a in node[1:]))
+    if op == "nullif":
+        a = _eval(node[1], t)
+        eq = pc.fill_null(pc.equal(a, _eval(node[2], t)), False)
+        if isinstance(a, pa.Scalar):
+            return pa.scalar(None, a.type) if eq.as_py() else a
+        return pc.if_else(eq, pa.scalar(None, a.type), a)
+    if op == "case":
+        # flat node: ("case", c1, v1, c2, v2, ..., else); a NULL
+        # condition is not-matched (SQL three-valued WHEN)
+        branches = node[1:-1]
+        conds = [_eval(branches[i], t) for i in range(0, len(branches), 2)]
+        vals = [_eval(branches[i], t) for i in range(1, len(branches), 2)]
+        vals.append(_eval(node[-1], t))
+        ty = _case_common_type([v.type for v in vals])
+        if pa.types.is_null(ty):
+            return pa.scalar(None)
+        vals = [v if v.type.equals(ty) else pc.cast(v, ty) for v in vals]
+        res = vals[-1]
+        for cond, val in zip(reversed(conds), reversed(vals[:-1])):
+            if isinstance(cond, pa.Scalar):
+                res = val if bool(cond.as_py()) else res
+            else:
+                res = pc.if_else(pc.fill_null(cond, False), val, res)
+        return res
     if op == "in":
         col = _eval(node[1], t)
         vals = []

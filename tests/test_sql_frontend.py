@@ -379,3 +379,82 @@ def test_mixed_union_modes_left_associative(ray_session):
         "SELECT a AS k FROM t WHERE a = 1 ORDER BY k"
     )
     assert list(df.k) == [1, 1]
+
+
+# ------------------------------- CASE / COALESCE / NULLIF / ILIKE
+
+
+def _null_table():
+    return pa.table(
+        {
+            "g": pa.array(["a", "a", "b", "b", "c"]),
+            "x": pa.array([1, None, 3, 4, None], pa.int64()),
+            "y": pa.array([None, 2.5, None, 4.0, 5.0], pa.float64()),
+            "s": pa.array(["Alpha", "BETA", None, "gamma", "ALPHARD"]),
+        }
+    )
+
+
+def _assert_null_table_matches_duck(sql):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.pipelines.sql import sql_query
+
+    t = _null_table()
+    a = sql_query(sql, {"t": rd.from_arrow(t)}).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    b = con.execute(sql).df()
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)].reset_index(drop=True),
+        b[sorted(b.columns)].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_case_searched(ray_session):
+    # NULL conditions are not-matched; int+float branches widen
+    _assert_null_table_matches_duck(
+        "SELECT g, CASE WHEN x > 2 THEN x * 10 WHEN y > 2 THEN 0 "
+        "ELSE -1 END AS c1, "
+        "CASE WHEN x IS NULL THEN y ELSE x END AS c2 "
+        "FROM t ORDER BY g, c1"
+    )
+
+
+def test_case_simple_and_no_else(ray_session):
+    # simple CASE desugars to equality (NULL base never matches);
+    # missing ELSE yields NULL
+    _assert_null_table_matches_duck(
+        "SELECT g, CASE g WHEN 'a' THEN 1 WHEN 'b' THEN 2 END AS tag, "
+        "CASE x WHEN 3 THEN 'three' ELSE 'other' END AS sx "
+        "FROM t ORDER BY g, sx"
+    )
+
+
+def test_case_in_where_and_over_aggregates(ray_session):
+    _assert_null_table_matches_duck(
+        "SELECT g, SUM(CASE WHEN x IS NULL THEN 0 ELSE x END) AS sx, "
+        "CASE WHEN COUNT(*) > 2 THEN 'big' ELSE 'small' END AS sz "
+        "FROM t WHERE CASE WHEN g = 'c' THEN 0 ELSE 1 END = 1 "
+        "GROUP BY g ORDER BY g"
+    )
+
+
+def test_coalesce_nullif(ray_session):
+    _assert_null_table_matches_duck(
+        "SELECT g, COALESCE(CAST(x AS DOUBLE), y, -1) AS cx, "
+        "NULLIF(g, 'b') AS ng, COALESCE(NULLIF(s, 'BETA'), 'none') AS cs "
+        "FROM t ORDER BY g, cx"
+    )
+
+
+def test_ilike(ray_session):
+    _assert_null_table_matches_duck(
+        "SELECT g, s FROM t WHERE s ILIKE 'alpha%' ORDER BY s"
+    )
+    _assert_null_table_matches_duck(
+        "SELECT g, s FROM t WHERE s NOT ILIKE '%a' ORDER BY s"
+    )
