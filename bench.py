@@ -124,6 +124,13 @@ def _session(num_cpus: int):
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # GRAFT_SHUFFLE=hash switches Ray Data's groupby/repartition exchange
+    # to the hash-shuffle implementation (2.49+) — A/B knob for the wide
+    # stages; default stays the sort-based exchange.
+    if os.environ.get("GRAFT_SHUFFLE") == "hash":
+        from ray.data.context import ShuffleStrategy
+
+        DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
 
 def _setup():

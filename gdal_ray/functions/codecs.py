@@ -36,15 +36,20 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """Encode (h, w, 3) uint8 -> PNG bytes (color type 2, filter 0)."""
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """Encode (h, w, 3) uint8 -> PNG bytes (color type 2, filter 0).
+
+    ``level`` is the zlib effort (lossless either way; deterministic
+    per level).  Interior pipeline stages that re-decode immediately
+    (tile compose) use level 1 — the decoded pixels, and hence every
+    checksum oracle, are identical, and encode is ~2x cheaper."""
     h, w = img.shape[:2]
     img = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * 3)
     raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
     raw[:, 0] = 0  # filter type 0 per scanline
     raw[:, 1:] = img
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    idat = zlib.compress(raw.tobytes(), 6)
+    idat = zlib.compress(raw.tobytes(), level)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 

@@ -258,15 +258,13 @@ def downsample2x_masked_average(img: np.ndarray, mask: np.ndarray):
     parent pixel = rounded mean of valid children; parent mask = any
     child valid.  mask: (h, w) bool."""
     h, w = img.shape[:2]
-    a = img[: h // 2 * 2, : w // 2 * 2].astype(np.uint32)
-    m = mask[: h // 2 * 2, : w // 2 * 2].astype(np.uint32)
-    mw = m[:, :, None] if a.ndim == 3 else m
-    s = (
-        (a * mw)[0::2, 0::2]
-        + (a * mw)[0::2, 1::2]
-        + (a * mw)[1::2, 0::2]
-        + (a * mw)[1::2, 1::2]
-    )
+    h2, w2 = h // 2 * 2, w // 2 * 2
+    # uint16 is exact here: each 2x2 sum is <= 4*255 = 1020, and the
+    # rounding numerator s + cnt//2 <= 1022 — no overflow possible
+    a = img[:h2, :w2].astype(np.uint16)
+    m = mask[:h2, :w2].astype(np.uint16)
+    am = a * (m[:, :, None] if a.ndim == 3 else m)  # masked once, not 4x
+    s = am[0::2, 0::2] + am[0::2, 1::2] + am[1::2, 0::2] + am[1::2, 1::2]
     cnt = m[0::2, 0::2] + m[0::2, 1::2] + m[1::2, 0::2] + m[1::2, 1::2]
     safe = np.maximum(cnt, 1)
     safe_b = safe[:, :, None] if a.ndim == 3 else safe

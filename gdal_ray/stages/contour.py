@@ -312,7 +312,7 @@ def contour_cells(cells, levels=LEVELS, grid: int = 64):
     from .polygonize import _materialize_detached
 
     frags = _materialize_detached(
-        scattered.groupby(["__scatter", "cell"]).map_groups(
+        scattered.groupby("__scatter").map_groups(
             fragments_group, batch_format="pyarrow"
         )
     )

@@ -292,7 +292,7 @@ def _join_points_groupby(
         return pa.table(cols)
 
     scattered = both.map_batches(lambda t: _add_scatter(t, key), batch_format="pyarrow")
-    return scattered.groupby(["__scatter", key]).map_groups(
+    return scattered.groupby("__scatter").map_groups(
         probe_group, batch_format="pyarrow"
     )
 
@@ -495,7 +495,7 @@ def _join_chips_groupby(chips, polygons, zoom, chip_cols, poly_cols, hot_cells=N
     from .tiles import _add_scatter
 
     scattered = both.map_batches(lambda t: _add_scatter(t, key), batch_format="pyarrow")
-    return scattered.groupby(["__scatter", key]).map_groups(
+    return scattered.groupby("__scatter").map_groups(
         probe_group, batch_format="pyarrow"
     )
 
@@ -592,7 +592,7 @@ def clip_erase_points(
         return pa.table({c: pts_t.column(c).filter(pa.array(keep)) for c in point_cols})
 
     scattered = both.map_batches(lambda t: _add_scatter(t, key), batch_format="pyarrow")
-    return scattered.groupby(["__scatter", key]).map_groups(
+    return scattered.groupby("__scatter").map_groups(
         flag_group, batch_format="pyarrow"
     )
 

@@ -98,7 +98,7 @@ def compose_tile_group(group: pa.Table, resampling: str = "near") -> pa.Table:
             "z": pa.array([z], pa.int32()),
             "x": pa.array([tx], pa.int32()),
             "y": pa.array([ty], pa.int32()),
-            "tile_bytes": pa.array([codecs.encode_png(canvas)], pa.binary()),
+            "tile_bytes": pa.array([codecs.encode_png(canvas, level=1)], pa.binary()),
             "mask_bytes": pa.array([_pack_mask(mask)], pa.binary()),
             "n_valid": pa.array([n_valid], pa.int32()),
         }
@@ -123,9 +123,10 @@ def _add_scatter(t: pa.Table, key: str = "cell") -> pa.Table:
     """Hash scatter key: groupby sorts by range, so spatially contiguous
     hot groups (e.g. a hot cluster's tiles, which have adjacent cell
     ids) land in ONE sorted block and are processed serially by one
-    map_groups task.  Prefixing the sort key with a hash scatters heavy
-    groups uniformly across range partitions; grouping on
-    (scatter, key) still groups exactly by key."""
+    map_groups task.  The xorshift-multiply mix is a BIJECTION on
+    64-bit ints, so grouping by __scatter ALONE groups exactly by key
+    (one int64 sort column instead of two — cheaper range exchange)
+    while scattering heavy groups uniformly across range partitions."""
     c = t.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
     c = (c ^ (c >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
     c = (c ^ (c >> np.uint64(33))).astype(np.int64)
@@ -218,7 +219,7 @@ def paste_tile_group(group: pa.Table) -> pa.Table:
             "z": pa.array([z], pa.int32()),
             "x": pa.array([tx], pa.int32()),
             "y": pa.array([ty], pa.int32()),
-            "tile_bytes": pa.array([codecs.encode_png(canvas)], pa.binary()),
+            "tile_bytes": pa.array([codecs.encode_png(canvas, level=1)], pa.binary()),
             "mask_bytes": pa.array([_pack_mask(mask)], pa.binary()),
             "n_valid": pa.array([n_valid], pa.int32()),
         }
@@ -234,7 +235,7 @@ def build_base_tiles(images, zoom: int, resampling: str = "near", num_partitions
         .map_batches(make_patches(zoom, resampling), batch_format="pyarrow")
         .map_batches(_add_scatter, batch_format="pyarrow")
     )
-    return ds.groupby(["__scatter", "cell"]).map_groups(
+    return ds.groupby("__scatter").map_groups(
         paste_tile_group, batch_format="pyarrow"
     )
 
@@ -267,7 +268,7 @@ def compose_parent_group(group: pa.Table) -> pa.Table:
             "z": pa.array([pz], pa.int32()),
             "x": pa.array([px], pa.int32()),
             "y": pa.array([py], pa.int32()),
-            "tile_bytes": pa.array([codecs.encode_png(out)], pa.binary()),
+            "tile_bytes": pa.array([codecs.encode_png(out, level=1)], pa.binary()),
             "mask_bytes": pa.array([_pack_mask(omask)], pa.binary()),
             "n_valid": pa.array([n_valid], pa.int32()),
         }
@@ -287,7 +288,7 @@ def build_overview_level(tiles):
     return (
         tiles.map_batches(add_parent, batch_format="pyarrow")
         .map_batches(lambda t: _add_scatter(t, "pcell"), batch_format="pyarrow")
-        .groupby(["__scatter", "pcell"])
+        .groupby("__scatter")
         .map_groups(compose_parent_group, batch_format="pyarrow")
     )
 
