@@ -295,6 +295,112 @@ def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int, dc_tab, ac_tab) ->
     return dc
 
 
+def _tab_arrays(tab: dict) -> tuple[np.ndarray, np.ndarray]:
+    """{symbol: (code, len)} -> (code[256], len[256]) lookup arrays."""
+    code = np.zeros(256, np.uint32)
+    ln = np.zeros(256, np.uint8)
+    for s, (c, l) in tab.items():
+        code[s] = c
+        ln[s] = l
+    return code, ln
+
+
+def _bitlen(a: np.ndarray) -> np.ndarray:
+    """Vectorized |v|.bit_length() for |v| < 2^24 (exact via frexp)."""
+    return np.frexp(np.abs(a).astype(np.float64))[1].astype(np.int64)
+
+
+def _encode_scan(zzs: list, tabs: list) -> bytes:
+    """Vectorized entropy coder for the whole interleaved scan — the
+    emission-stream form of the per-block T.81 F.1.2 loop
+    (:func:`_encode_block`, kept as the tested reference): every
+    (huff-code, magnitude-bits) emission across all MCUs/components is
+    materialized as (value, nbits) records with a total-order key
+    (mcu, component, in-block position), lexsorted, bit-packed with
+    one np.packbits, then 0xFF-stuffed.  Bit-identical to the loop.
+
+    zzs: per-component (n_mcu, 64) zigzagged coefs;
+    tabs: per-component (dc_tab, ac_tab) symbol dicts."""
+    recs_m, recs_c, recs_seq, recs_val, recs_nb = [], [], [], [], []
+
+    def add(m, c, seq, val, nb):
+        m = np.asarray(m, np.int64)
+        recs_m.append(m)
+        recs_c.append(np.full(m.shape, c, np.int64))
+        recs_seq.append(np.broadcast_to(np.asarray(seq, np.int64), m.shape))
+        recs_val.append(np.asarray(val, np.uint32))
+        recs_nb.append(np.broadcast_to(np.asarray(nb, np.int64), m.shape))
+
+    for ci, (zz, (dc_tab, ac_tab)) in enumerate(zip(zzs, tabs)):
+        n_mcu = zz.shape[0]
+        dc_code, dc_len = _tab_arrays(dc_tab)
+        ac_code, ac_len = _tab_arrays(ac_tab)
+        # ---- DC: diff vs previous block of the SAME component
+        dc = zz[:, 0].astype(np.int64)
+        diff = np.empty(n_mcu, np.int64)
+        diff[0] = dc[0]
+        diff[1:] = dc[1:] - dc[:-1]
+        cat = _bitlen(diff)
+        ms = np.arange(n_mcu, dtype=np.int64)
+        add(ms, ci, 0, dc_code[cat], dc_len[cat])
+        mag = np.where(diff >= 0, diff, diff + (1 << cat) - 1)
+        add(ms, ci, 1, mag.astype(np.uint32), cat)  # nbits==0 dropped later
+        # ---- AC: zero runs between nonzeros, in zigzag order
+        m_idx, k0 = np.nonzero(zz[:, 1:])
+        k = (k0 + 1).astype(np.int64)
+        v = zz[m_idx, k].astype(np.int64)
+        starts = np.empty(len(k), bool)
+        if len(k):
+            starts[0] = True
+            starts[1:] = m_idx[1:] != m_idx[:-1]
+        prev_k = np.empty_like(k)
+        prev_k[1:] = k[:-1]
+        prev_k[starts] = 0
+        run = k - prev_k - 1
+        zrl, leftover = run >> 4, run & 15
+        acat = _bitlen(v)
+        sym = (leftover << 4) | acat
+        f0c, f0l = ac_tab[0xF0]
+        for j in range(int(zrl.max()) if len(zrl) else 0):
+            sel = zrl > j
+            add(m_idx[sel], ci, k[sel] * 8 + j,
+                np.full(int(sel.sum()), f0c, np.uint32), f0l)
+        add(m_idx, ci, k * 8 + 5, ac_code[sym], ac_len[sym])
+        amag = np.where(v >= 0, v, v + (1 << acat) - 1)
+        add(m_idx, ci, k * 8 + 6, amag.astype(np.uint32), acat)
+        # ---- EOB for blocks whose last nonzero is before coef 63
+        last = np.zeros(n_mcu, np.int64)
+        if len(k):
+            np.maximum.at(last, m_idx, k)
+        eob = np.flatnonzero(last < 63)
+        ec, el = ac_tab[0x00]
+        add(eob, ci, 64 * 8, np.full(len(eob), ec, np.uint32),
+            np.full(len(eob), el, np.int64))
+
+    m = np.concatenate(recs_m)
+    c = np.concatenate(recs_c)
+    seq = np.concatenate(recs_seq)
+    val = np.concatenate(recs_val)
+    nb = np.concatenate(recs_nb)
+    order = np.lexsort((seq, c, m))
+    val, nb = val[order], nb[order]
+    keep = nb > 0
+    val, nb = val[keep], nb[keep]
+    # ---- bit packing: MSB-first expansion, row-major valid-bit select
+    j = np.arange(16, dtype=np.int64)
+    shifts = nb[:, None] - 1 - j[None, :]
+    bits = ((val[:, None].astype(np.int64) >> np.maximum(shifts, 0)) & 1)
+    flat = bits[shifts >= 0].astype(np.uint8)
+    pad = (-len(flat)) % 8
+    if pad:
+        flat = np.concatenate([flat, np.ones(pad, np.uint8)])  # 1-padded
+    packed = np.packbits(flat)
+    stuff_at = np.flatnonzero(packed == 0xFF) + 1
+    if len(stuff_at):
+        packed = np.insert(packed, stuff_at, 0)
+    return packed.tobytes()
+
+
 def _decode_tables(tabs):
     """{symbol: (code, len)} -> decode dict {(code, len): symbol}."""
     return {(c, l): s for s, (c, l) in tabs.items()}
@@ -308,6 +414,34 @@ def _read_symbol(br: _BitReader, dec) -> int:
         if s is not None:
             return s
     raise ValueError("bad huffman code")
+
+
+def _decode_lut(tab: dict) -> tuple[np.ndarray, np.ndarray]:
+    """{symbol: (code, len)} -> 16-bit-lookahead LUT (sym[2^16],
+    len[2^16]): every 16-bit window starting with a code maps to its
+    symbol and code length — one array index decodes one symbol."""
+    sym = np.zeros(1 << 16, np.uint8)
+    ln = np.zeros(1 << 16, np.uint8)
+    for s, (c, l) in tab.items():
+        lo = c << (16 - l)
+        ln[lo : lo + (1 << (16 - l))] = l
+        sym[lo : lo + (1 << (16 - l))] = s
+    return sym, ln
+
+
+def _bit_windows(scan: bytes) -> np.ndarray:
+    """Unstuff the entropy scan and precompute, per BYTE offset, the
+    24-bit big-endian window w24[i] = bytes i, i+1, i+2 — the 16 bits
+    at any bit position p are (w24[p >> 3] >> (8 - (p & 7))) & 0xFFFF.
+    Trailing zero bytes extend the stream (same as the marker-feed
+    behavior of :class:`_BitReader`)."""
+    b = np.frombuffer(scan, np.uint8)
+    if len(b):
+        stuffed = np.flatnonzero((b[:-1] == 0xFF) & (b[1:] == 0x00)) + 1
+        if len(stuffed):
+            b = np.delete(b, stuffed)
+    b = np.concatenate([b, np.zeros(4, np.uint8)]).astype(np.uint32)
+    return (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
@@ -324,17 +458,11 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     ]
     dc_l, dc_c = _huff_codes(*_DC_L), _huff_codes(*_DC_C)
     ac_l, ac_c = _huff_codes(*_AC_L), _huff_codes(*_AC_C)
-    bw = _BitWriter()
-    # interleaved 4:4:4 MCU = one block per component
-    preds = [0, 0, 0]
-    n_mcu = (H // 8) * (W // 8)
+    # interleaved 4:4:4 MCU = one block per component; whole scan
+    # entropy-coded vectorized (bit-identical to the _encode_block
+    # loop — fuzz-asserted in tests/test_codecs_checksum.py)
     zzs = [c.reshape(-1, 64)[:, _ZIG] for c in coefs]
-    for m in range(n_mcu):
-        for ci, (dc_tab, ac_tab) in enumerate(
-            ((dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c))
-        ):
-            preds[ci] = _encode_block(bw, zzs[ci][m], preds[ci], dc_tab, ac_tab)
-    scan = bw.flush()
+    scan = _encode_scan(zzs, [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)])
 
     def seg(marker, payload):
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -386,7 +514,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(payload[p + 1 : p + 17])
                 n = sum(bits)
                 values = list(payload[p + 17 : p + 17 + n])
-                hts[(cls_idx >> 4, cls_idx & 0xF)] = _decode_tables(
+                hts[(cls_idx >> 4, cls_idx & 0xF)] = _decode_lut(
                     _huff_codes(bits, values)
                 )
                 p += 17 + n
@@ -397,29 +525,43 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             break
     H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     n_mcu = (H // 8) * (W // 8)
-    br = _BitReader(scan)
+    # 16-bit-lookahead Huffman decode: one LUT index per symbol, one
+    # window fetch per magnitude read (no per-bit Python)
+    w24 = _bit_windows(scan).tolist()
+    pos = 0
     coefs = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in range(3)]
     preds = [0, 0, 0]
     comp_tabs = [(hts[(0, 0)], hts[(1, 0)]), (hts[(0, 1)], hts[(1, 1)]),
                  (hts[(0, 1)], hts[(1, 1)])]
     for m in range(n_mcu):
-        for ci, (dct, act) in enumerate(comp_tabs):
+        for ci, ((dsym, dlen), (asym, alen)) in enumerate(comp_tabs):
             blk = coefs[ci][m]
-            cat = _read_symbol(br, dct)
-            diff = _extend(br.bits(cat), cat)
-            preds[ci] += diff
+            win = (w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+            cat = int(dsym[win])
+            pos += int(dlen[win])
+            if cat:
+                win = (w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+                bits = win >> (16 - cat)
+                pos += cat
+                # inline _extend (hot loop)
+                preds[ci] += bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
             blk[0] = preds[ci]
             k = 1
             while k < 64:
-                s = _read_symbol(br, act)
+                win = (w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+                s = int(asym[win])
+                pos += int(alen[win])
                 if s == 0x00:
                     break
-                run, cat = s >> 4, s & 0xF
                 if s == 0xF0:
                     k += 16
                     continue
-                k += run
-                blk[k] = _extend(br.bits(cat), cat)
+                k += s >> 4
+                cat = s & 0xF
+                win = (w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+                bits = win >> (16 - cat)
+                blk[k] = bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+                pos += cat
                 k += 1
     out = np.empty((H, W, 3))
     qmap = [qts[0], qts[1], qts[1]]

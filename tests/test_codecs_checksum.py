@@ -115,3 +115,43 @@ def test_jpeg_odd_sizes_and_flat():
     dec = jpegc.decode_jpeg(jpegc.encode_jpeg(flat, 90))
     assert dec.shape == flat.shape
     assert np.abs(dec.astype(int) - 77).max() <= 2
+
+
+def test_jpeg_vectorized_scan_matches_block_loop():
+    """The vectorized emission-stream entropy coder (_encode_scan) is
+    bit-identical to the per-block T.81 F.1.2 reference loop
+    (_encode_block + _BitWriter) — fuzz across sparse/dense/all-zero
+    blocks, long zero runs (ZRL chains) and coefs at coef 63 (no EOB)."""
+    import numpy as np
+
+    from gdal_ray.functions import jpegc as J
+
+    def scan_ref(zzs, tabs):
+        bw = J._BitWriter()
+        preds = [0, 0, 0]
+        for m in range(zzs[0].shape[0]):
+            for ci, (dc_tab, ac_tab) in enumerate(tabs):
+                preds[ci] = J._encode_block(
+                    bw, zzs[ci][m], preds[ci], dc_tab, ac_tab
+                )
+        return bw.flush()
+
+    dc_l, dc_c = J._huff_codes(*J._DC_L), J._huff_codes(*J._DC_C)
+    ac_l, ac_c = J._huff_codes(*J._AC_L), J._huff_codes(*J._AC_C)
+    tabs = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        n_mcu = int(rng.integers(1, 30))
+        zzs = []
+        for _ in range(3):
+            z = np.zeros((n_mcu, 64), np.int32)
+            for m in range(n_mcu):
+                nnz = int(rng.integers(0, 12))
+                pos = rng.choice(64, nnz, replace=False)
+                z[m, pos] = rng.integers(-1023, 1024, nnz)
+                if rng.random() < 0.2:
+                    z[m] = 0  # all-zero block: immediate EOB
+                if rng.random() < 0.2:
+                    z[m, 63] = int(rng.integers(-255, 256)) or 1  # no EOB
+            zzs.append(z)
+        assert scan_ref(zzs, tabs) == J._encode_scan(zzs, tabs), trial
