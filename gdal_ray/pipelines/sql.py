@@ -8,7 +8,9 @@ ogr/ogrsf_frmts/generic/ogr_gensql.cpp:1319-1510).  This module parses
 the same surface (SELECT list with aliases and scalar expressions,
 aggregates COUNT/SUM/AVG/MIN/MAX — usable inside expressions, e.g.
 ``CAST(SUM(x) AS BIGINT)`` — FROM with [LEFT] JOIN ... ON equi-join
-chains, qualified ``table.column`` refs, WHERE with AND/OR/NOT,
+chains, derived tables ``FROM/JOIN (SELECT ...) alias`` (subquery
+plans execute first, register under the alias, nest arbitrarily),
+qualified ``table.column`` refs, WHERE with AND/OR/NOT,
 comparison ops, LIKE/ILIKE, IN, BETWEEN, arithmetic incl %, CONCAT,
 SUBSTR, CAST, CASE WHEN (searched + simple), COALESCE, NULLIF,
 GROUP BY) and compiles it to vectorized pyarrow.compute kernels
@@ -681,12 +683,22 @@ def _parse_one(p: "_Parser", sub: bool = False) -> dict:
             if not p.accept("op", ","):
                 break
     p.expect("kw", "from")
-    table = p.expect("ident")
-    table_alias = table
-    if p.accept("kw", "as"):
+    derived = None
+    if p.accept("op", "("):
+        # derived table: FROM (SELECT ...) alias — the subquery plan
+        # executes first and registers under the alias
+        derived = _parse_one(p, sub=True)
+        p.expect("op", ")")
+        table = None
+        p.accept("kw", "as")
         table_alias = p.expect("ident")
-    elif p.peek()[0] == "ident":
-        table_alias = p.expect("ident")
+    else:
+        table = p.expect("ident")
+        table_alias = table
+        if p.accept("kw", "as"):
+            table_alias = p.expect("ident")
+        elif p.peek()[0] == "ident":
+            table_alias = p.expect("ident")
     joins = []
     while True:
         k, v = p.peek()
@@ -704,15 +716,24 @@ def _parse_one(p: "_Parser", sub: bool = False) -> dict:
             how = "inner"
         else:
             break
-        jt = p.expect("ident")
-        ja = jt
-        if p.accept("kw", "as"):
+        jderived = None
+        if p.accept("op", "("):
+            jderived = _parse_one(p, sub=True)
+            p.expect("op", ")")
+            jt = None
+            p.accept("kw", "as")
             ja = p.expect("ident")
-        elif p.peek()[0] == "ident" and p.toks[p.i][1].lower() != "on":
-            ja = p.expect("ident")
+        else:
+            jt = p.expect("ident")
+            ja = jt
+            if p.accept("kw", "as"):
+                ja = p.expect("ident")
+            elif p.peek()[0] == "ident" and p.toks[p.i][1].lower() != "on":
+                ja = p.expect("ident")
         p.expect("kw", "on")
         cond = p.expr()
-        joins.append({"table": jt, "alias": ja, "how": how, "on": cond})
+        joins.append({"table": jt, "alias": ja, "how": how, "on": cond,
+                      "derived": jderived})
     where = None
     if p.accept("kw", "where"):
         where = p.expr()
@@ -751,9 +772,10 @@ def _parse_one(p: "_Parser", sub: bool = False) -> dict:
     elif not sub and p.peek()[0] != "end":
         raise ValueError(f"trailing tokens at {p.peek()}")
     return {"items": items, "table": table, "table_alias": table_alias,
-            "joins": joins, "where": where, "group": group,
-            "having": having, "order": order, "limit": limit,
-            "distinct": select_distinct, "union_next": union_next}
+            "derived": derived, "joins": joins, "where": where,
+            "group": group, "having": having, "order": order,
+            "limit": limit, "distinct": select_distinct,
+            "union_next": union_next}
 
 
 # ------------------------------------------------ AST utilities
@@ -2385,9 +2407,42 @@ def _run_window_over_agg(plan: dict, tables: dict, num_partitions: int):
     return _run_window(plan2, tables2, num_partitions)
 
 
+def _lower_derived(plan: dict, tables: dict, num_partitions: int):
+    """Execute FROM/JOIN derived tables (subquery plans) into Datasets
+    registered under their aliases, so downstream execution sees plain
+    named tables."""
+    if plan.get("derived") is None and not any(
+        j.get("derived") is not None for j in plan["joins"]
+    ):
+        return plan, tables
+    tables = dict(tables)
+    plan = dict(plan)
+    if plan.get("derived") is not None:
+        name = plan["table_alias"]
+        if name in tables:
+            raise ValueError(f"derived table alias {name!r} shadows a table")
+        tables[name] = _exec_plan(plan["derived"], tables, num_partitions)
+        plan["table"] = name
+        plan["derived"] = None
+    joins = []
+    for j in plan["joins"]:
+        if j.get("derived") is not None:
+            name = j["alias"]
+            if name in tables:
+                raise ValueError(
+                    f"derived table alias {name!r} shadows a table"
+                )
+            tables[name] = _exec_plan(j["derived"], tables, num_partitions)
+            j = dict(j, table=name, derived=None)
+        joins.append(j)
+    plan["joins"] = joins
+    return plan, tables
+
+
 def _exec_plan(plan: dict, tables: dict, num_partitions: int = 16):
     from . import relational as R
 
+    plan, tables = _lower_derived(plan, tables, num_partitions)
     plan, tables = _lower_subqueries(plan, tables, num_partitions)
     where, items = plan["where"], plan["items"]
 
