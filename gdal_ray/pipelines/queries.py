@@ -2122,6 +2122,19 @@ SELECT 'SUBQ' AS region_name,
 FROM customer
 WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
   AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+UNION ALL
+SELECT 'DERIVED' AS region_name,
+       COUNT(*) AS n_cust,
+       CAST(MAX(nat_cnt) AS BIGINT) AS n_nat,
+       CAST(SUM(key_sum_g) AS BIGINT) AS key_sum,
+       MIN(lo) AS lo_bal,
+       MAX(hi) AS hi_bal,
+       CAST(1 AS BIGINT) AS key_rank
+FROM (SELECT c_nationkey, COUNT(*) AS nat_cnt,
+             CAST(SUM(c_custkey) AS BIGINT) AS key_sum_g,
+             MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+      FROM customer WHERE c_acctbal > 0 GROUP BY c_nationkey) g
+WHERE nat_cnt > 2
 ORDER BY region_name ASC
 """
 
