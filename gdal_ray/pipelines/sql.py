@@ -35,6 +35,11 @@ through ``Dataset.map_batches``:
 - UNION ALL chains branches with Dataset.union; bare UNION dedups
   (left-associative with mixed modes) via the distributed DISTINCT;
   trailing ORDER BY / LIMIT apply to the whole union;
+- INTERSECT / EXCEPT: distinct left rows semi/anti-join the right
+  branch on a NULL-safe positional row key (set-op NULLs compare
+  EQUAL, unlike join equality) — one co-partitioned shuffle; mixing
+  INTERSECT into a UNION/EXCEPT chain raises (precedence differs from
+  left-associative execution — parenthesize via a derived table);
 - SELECT DISTINCT (the swq SWQM_DISTINCT_LIST mode, multi-column)
   lowers onto relational.distinct after the projection;
 - ORDER BY / LIMIT lower onto the distributed top-k;
@@ -106,7 +111,7 @@ _KEYWORDS = {
     "substr", "case", "when", "then", "else", "end", "coalesce", "nullif",
     "is", "null", "true", "false",
     "join", "on", "left", "inner", "outer", "group", "having",
-    "union", "all",
+    "union", "all", "intersect", "except",
     "count", "sum", "avg", "min", "max", "distinct",
     "exists", "over", "partition",
 }
@@ -766,9 +771,13 @@ def _parse_one(p: "_Parser", sub: bool = False) -> dict:
     limit = None
     if p.accept("kw", "limit"):
         limit = int(p.next()[1])
-    union_next = False  # False | "all" | "distinct"
+    union_next = False  # False | "all" | "distinct" | "intersect" | "except"
     if not sub and p.accept("kw", "union"):
         union_next = "all" if p.accept("kw", "all") else "distinct"
+    elif not sub and p.accept("kw", "intersect"):
+        union_next = "intersect"
+    elif not sub and p.accept("kw", "except"):
+        union_next = "except"
     elif not sub and p.peek()[0] != "end":
         raise ValueError(f"trailing tokens at {p.peek()}")
     return {"items": items, "table": table, "table_alias": table_alias,
@@ -1408,30 +1417,55 @@ def _composite_key(t: pa.Table, exprs: list) -> pa.Array:
     parts = []
     for v in vals:
         anynull = pc.or_(anynull, pc.is_null(v))
-        if pa.types.is_floating(v.type) or pa.types.is_decimal(v.type):
-            # canonical numeric text so 5.0 (float) == 5 (int) and
-            # -0.0 == 0 across sides: integral in-int64-range floats
-            # render as integers, everything else as float text
-            f = pc.add(pc.cast(v, pa.float64()), 0.0)  # -0.0 -> 0.0
-            is_int = pc.and_(
-                pc.equal(pc.floor(f), f),
-                pc.and_(pc.greater(f, -9.2e18), pc.less(f, 9.2e18)),
-            )
-            is_int = pc.fill_null(is_int, False)
-            as_int = pc.cast(
-                pc.cast(pc.if_else(is_int, f, 0.0), pa.int64()),
-                pa.string(),
-            )
-            s = pc.if_else(is_int, as_int, pc.cast(f, pa.string()))
-        else:
-            s = pc.cast(v, pa.string())
-        s = pc.fill_null(s, "")
+        s = pc.fill_null(_canon_str(v), "")
         parts.append(pc.cast(pc.utf8_length(s), pa.string()))
         parts.append(pa.array([":"] * t.num_rows, pa.string()))
         parts.append(s)
         parts.append(pa.array([";"] * t.num_rows, pa.string()))
     joined = pc.binary_join_element_wise(*parts, "")
     return pc.if_else(anynull, pa.scalar(None, pa.string()), joined)
+
+
+def _canon_str(v) -> "pa.Array":
+    """Canonical text of a column, NULLs preserved: integral
+    in-int64-range floats render as integers and -0.0 -> 0 so numeric
+    equality across types matches SQL (shared by the composite join
+    key and the set-op row key)."""
+    if pa.types.is_floating(v.type) or pa.types.is_decimal(v.type):
+        f = pc.add(pc.cast(v, pa.float64()), 0.0)  # -0.0 -> 0.0
+        is_int = pc.and_(
+            pc.equal(pc.floor(f), f),
+            pc.and_(pc.greater(f, -9.2e18), pc.less(f, 9.2e18)),
+        )
+        is_int = pc.fill_null(is_int, False)
+        as_int = pc.cast(
+            pc.cast(pc.if_else(is_int, f, 0.0), pa.int64()),
+            pa.string(),
+        )
+        return pc.if_else(is_int, as_int, pc.cast(f, pa.string()))
+    return pc.cast(v, pa.string())
+
+
+def _setop_key(t: pa.Table) -> "pa.Array":
+    """Injective NULL-safe row encoding over ALL columns in positional
+    order — SQL set operations (INTERSECT/EXCEPT) compare rows with
+    NULLs EQUAL, unlike join equality, so NULL encodes as its own
+    token ("N;") distinct from every value encoding ("<len>:<text>;")."""
+    parts = []
+    n = t.num_rows
+    for name in t.column_names:
+        s = _canon_str(t.column(name))
+        enc = pc.binary_join_element_wise(
+            pc.cast(pc.utf8_length(s), pa.string()),
+            pa.array([":"] * n, pa.string()),
+            s,
+            pa.array([";"] * n, pa.string()),
+            "",
+        )
+        parts.append(pc.fill_null(enc, "N;"))
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "")
 
 
 def _corr_split(subplan: dict, tables: dict, outer_aliases: set,
@@ -1802,6 +1836,27 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
     return plan, tables
 
 
+def _setop_join(left, right, mode: str, num_partitions: int):
+    """INTERSECT/EXCEPT tail: the (already distinct) left rows
+    semi/anti-join the right branch on the NULL-safe positional row
+    key — one co-partitioned shuffle, set semantics (NULLs equal)."""
+    from . import relational as R
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("__sok", _setop_key(t))
+
+    def key_only(t: pa.Table) -> pa.Table:
+        return pa.table({"__sok_r": _setop_key(t)})
+
+    keyed = left.map_batches(add_key, batch_format="pyarrow")
+    rkeys = right.map_batches(key_only, batch_format="pyarrow")
+    return R.copartition_equi_join(
+        keyed, rkeys, "__sok", "__sok_r",
+        how="semi" if mode == "intersect" else "anti",
+        num_partitions=num_partitions,
+    ).drop_columns(["__sok"])
+
+
 def sql_query(sql: str, tables: dict, num_partitions: int = 16):
     """Execute a SELECT string against named Datasets.  Returns a
     Dataset; lazy/streaming except for the join / GROUP BY shuffles and
@@ -1819,18 +1874,37 @@ def sql_query(sql: str, tables: dict, num_partitions: int = 16):
             for b in branches[:-1] + [last]
         ]
         modes = plan["union_modes"]
+        if "intersect" in modes and any(
+            m in ("all", "distinct", "except") for m in modes
+        ):
+            # standard SQL binds INTERSECT tighter than UNION/EXCEPT;
+            # this executor is left-associative, so a mixed chain would
+            # silently mis-evaluate — parenthesize via a derived table
+            raise ValueError(
+                "mixing INTERSECT with UNION/EXCEPT in one chain is "
+                "unsupported (INTERSECT has higher precedence; wrap a "
+                "branch in FROM (SELECT ...) instead)"
+            )
         if all(m == "all" for m in modes):
             out = parts[0].union(*parts[1:])
         else:
-            # bare UNION dedups; left-associative with mixed modes
+            # bare UNION dedups; UNION/EXCEPT are left-associative
+            # (same precedence, per standard SQL); INTERSECT chains
+            # are left-associative among themselves
             out = parts[0]
             names = None
             for m, p_ in zip(modes, parts[1:]):
-                out = out.union(p_)
-                if m == "distinct":
+                if m in ("all", "distinct"):
+                    out = out.union(p_)
+                    if m == "distinct":
+                        if names is None:
+                            names = out.schema().names
+                        out = R.distinct(out, list(names))
+                else:
                     if names is None:
                         names = out.schema().names
                     out = R.distinct(out, list(names))
+                    out = _setop_join(out, p_, m, num_partitions)
         if order:
             keys = [c for c, _ in order]
             desc = [d for _, d in order]
