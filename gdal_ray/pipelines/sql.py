@@ -106,7 +106,8 @@ _TOKEN = re.compile(
 )
 
 _KEYWORDS = {
-    "select", "from", "where", "order", "by", "asc", "desc", "limit", "as",
+    "select", "from", "where", "order", "by", "asc", "desc", "limit",
+    "offset", "as",
     "and", "or", "not", "like", "ilike", "in", "between", "cast", "concat",
     "substr", "case", "when", "then", "else", "end", "coalesce", "nullif",
     "is", "null", "true", "false",
@@ -661,9 +662,9 @@ def parse_select(sql: str) -> dict:
     if len(branches) == 1:
         return branches[0]
     for b in branches[:-1]:
-        if b["order"] or b["limit"] is not None:
+        if b["order"] or b["limit"] is not None or b.get("offset"):
             raise ValueError(
-                "ORDER BY/LIMIT inside a non-final UNION ALL branch"
+                "ORDER BY/LIMIT/OFFSET inside a non-final UNION ALL branch"
             )
     return {"union_all": branches, "union_modes": modes}
 
@@ -771,6 +772,9 @@ def _parse_one(p: "_Parser", sub: bool = False) -> dict:
     limit = None
     if p.accept("kw", "limit"):
         limit = int(p.next()[1])
+    offset = None
+    if p.accept("kw", "offset"):
+        offset = int(p.next()[1])
     union_next = False  # False | "all" | "distinct" | "intersect" | "except"
     if not sub and p.accept("kw", "union"):
         union_next = "all" if p.accept("kw", "all") else "distinct"
@@ -783,8 +787,8 @@ def _parse_one(p: "_Parser", sub: bool = False) -> dict:
     return {"items": items, "table": table, "table_alias": table_alias,
             "derived": derived, "joins": joins, "where": where,
             "group": group, "having": having, "order": order,
-            "limit": limit, "distinct": select_distinct,
-            "union_next": union_next}
+            "limit": limit, "offset": offset,
+            "distinct": select_distinct, "union_next": union_next}
 
 
 # ------------------------------------------------ AST utilities
@@ -1286,10 +1290,16 @@ def _run_join_agg(plan, tables, num_partitions: int):
                 )
         keys_o = [c for c, _ in plan["order"]]
         desc = [d for _, d in plan["order"]]
+        off = plan.get("offset") or 0
         if plan["limit"] is not None:
-            return R.order_by_limit(out, keys_o, descending=desc,
-                                    limit=plan["limit"])
+            out = R.order_by_limit(out, keys_o, descending=desc,
+                                   limit=plan["limit"] + off)
+            return _skip_prefix(out, off) if off else out
+        if off:
+            _require_offset_shape(plan["order"], plan["limit"])
         return out.sort(keys_o, descending=desc)
+    if plan.get("offset"):
+        _require_offset_shape(plan["order"], plan["limit"])
     if plan["limit"] is not None:
         return out.limit(plan["limit"])
     return out
@@ -1836,6 +1846,28 @@ def _lower_subqueries(plan: dict, tables: dict, num_partitions: int):
     return plan, tables
 
 
+def _skip_prefix(out, offset: int):
+    """Drop the first ``offset`` rows of an (already sorted, already
+    LIMIT-bounded) Dataset.  The input is at most limit+offset rows by
+    construction — OFFSET requires ORDER BY and LIMIT — so a local
+    ordered concat is bounded and exact."""
+    import ray.data as rd
+
+    batches = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:
+        return out
+    tbl = pa.concat_tables(batches)
+    return rd.from_arrow(tbl.slice(offset))
+
+
+def _require_offset_shape(order, limit):
+    raise ValueError(
+        "OFFSET requires ORDER BY and LIMIT (a deterministic, bounded "
+        "prefix; swq applies OFFSET to the layer's scan order, which "
+        "is not stable across a distributed read)"
+    )
+
+
 def _setop_join(left, right, mode: str, num_partitions: int):
     """INTERSECT/EXCEPT tail: the (already distinct) left rows
     semi/anti-join the right branch on the NULL-safe positional row
@@ -1868,7 +1900,8 @@ def sql_query(sql: str, tables: dict, num_partitions: int = 16):
         branches = plan["union_all"]
         last = branches[-1]
         order, limit = last["order"], last["limit"]
-        last = dict(last, order=[], limit=None)
+        offset = last.get("offset") or 0
+        last = dict(last, order=[], limit=None, offset=None)
         parts = [
             _exec_plan(b, tables, num_partitions)
             for b in branches[:-1] + [last]
@@ -1909,9 +1942,14 @@ def sql_query(sql: str, tables: dict, num_partitions: int = 16):
             keys = [c for c, _ in order]
             desc = [d for _, d in order]
             if limit is not None:
-                return R.order_by_limit(out, keys, descending=desc,
-                                        limit=limit)
+                out = R.order_by_limit(out, keys, descending=desc,
+                                       limit=limit + offset)
+                return _skip_prefix(out, offset) if offset else out
+            if offset:
+                _require_offset_shape(order, limit)
             return out.sort(keys, descending=desc)
+        if offset:
+            _require_offset_shape(order, limit)
         if limit is not None:
             return out.limit(limit)
         return out
@@ -2601,13 +2639,21 @@ def _exec_plan(plan: dict, tables: dict, num_partitions: int = 16):
             for c, _ in plan["order"]
         ]
         desc = [d for _, d in plan["order"]]
+        off = plan.get("offset") or 0
         if plan["limit"] is not None:
-            out = R.order_by_limit(out, keys, descending=desc, limit=plan["limit"])
+            out = R.order_by_limit(out, keys, descending=desc,
+                                   limit=plan["limit"] + off)
+            if off:
+                out = _skip_prefix(out, off)
         else:
+            if off:
+                _require_offset_shape(plan["order"], plan["limit"])
             out = out.sort(keys, descending=desc)
         if extra_keys:
             out = out.drop_columns([f"__ob_{c}" for c in extra_keys])
         return out
+    if plan.get("offset"):
+        _require_offset_shape(plan["order"], plan["limit"])
     if plan["limit"] is not None:
         return out.limit(plan["limit"])
     return out

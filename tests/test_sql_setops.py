@@ -102,3 +102,53 @@ def test_mixed_intersect_union_raises(ray_session):
             "INTERSECT SELECT k FROM b",
             tables,
         )
+
+
+def _both_num(sql):
+    """Like _both but numeric-tolerant (DuckDB renders BIGINT sums as
+    floats through pandas)."""
+    import ray.data as rd
+
+    tables = _tables()
+    eng = sql_query(sql, {k: rd.from_arrow(v) for k, v in tables.items()}).to_pandas()
+    con = duckdb.connect()
+    for k, v in tables.items():
+        con.register(k, v)
+    ora = con.execute(sql).fetchdf()
+    assert sorted(eng.columns) == sorted(ora.columns)
+
+    def norm(d):
+        d = d[sorted(d.columns)]
+        return d.sort_values(list(d.columns)).reset_index(drop=True)
+
+    a, b = norm(eng), norm(ora)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9)
+
+
+def test_limit_offset_plain(ray_session):
+    _both_num("SELECT k, s FROM a ORDER BY k, s LIMIT 10 OFFSET 5")
+
+
+def test_limit_offset_group_by(ray_session):
+    _both_num(
+        "SELECT k, SUM(k) AS sv, COUNT(*) AS n FROM a GROUP BY k "
+        "ORDER BY n DESC, k LIMIT 7 OFFSET 3"
+    )
+
+
+def test_limit_offset_union_tail(ray_session):
+    _both_num(
+        "SELECT k FROM a WHERE k < 10 UNION SELECT k FROM b WHERE k > 25 "
+        "ORDER BY k LIMIT 6 OFFSET 2"
+    )
+
+
+def test_offset_requires_order_and_limit(ray_session):
+    import ray.data as rd
+
+    tables = {k: rd.from_arrow(v) for k, v in _tables().items()}
+    with pytest.raises(ValueError, match="OFFSET requires"):
+        sql_query("SELECT k FROM a LIMIT 5 OFFSET 2", tables)
+    with pytest.raises(ValueError, match="OFFSET requires"):
+        sql_query("SELECT k FROM a ORDER BY k OFFSET 2", tables)
