@@ -254,11 +254,62 @@ def part_pca(sf_dir: str, n_components: int = 8,
     )
 
 
+def part_kmeans(sf_dir: str, k: int = 8, iters: int = 5,
+                quant_bits: int = 24) -> pd.DataFrame:
+    """Distributed-k-means golden: single-process Lloyd with plain
+    ``np.sum`` means — a DIFFERENT accumulation path than the engine's
+    fsum-of-block-partials reduce; the shared per-iteration
+    2^-quant_bits centroid quantization makes every iteration's
+    assignments identical (the repo's determinism contract, as in
+    part_pca).  Same init (k id-smallest vectors), empty-cluster and
+    argmax-lowest-index tie rules.  Rows in the q16 suite shape:
+    ('kmeans', cluster, n_members, cent_cs) summaries and
+    ('kmeans_assign', vec_id, cluster, sim_q) per-vector assignments,
+    with sim_q = round(cos·2^quant_bits) and cent_cs =
+    Σ_j (j+1)·round(c_j·2^quant_bits)."""
+    ids, emb = _embeddings(sf_dir)
+    x = _unit(emb)
+    q = float(1 << quant_bits)
+    C = np.round(_unit(emb[:k].copy()) * q) / q
+    d = C.shape[1]
+    for _ in range(iters):
+        assign = np.argmax(x @ C.T, axis=1)
+        nxt = C.copy()
+        for c in range(k):
+            rows = np.flatnonzero(assign == c)
+            if not len(rows):
+                continue
+            m = x[rows].sum(axis=0) / float(len(rows))
+            n = np.linalg.norm(m)
+            if n > 0:
+                nxt[c] = m / n
+        C = np.round(nxt * q) / q
+    sims = x @ C.T
+    assign = np.argmax(sims, axis=1)
+    best = sims[np.arange(len(assign)), assign]
+    qc = np.round(C * q).astype(np.int64)
+    rows = []
+    for c in range(k):
+        rows.append(
+            ("kmeans", c, int((assign == c).sum()),
+             int(((np.arange(d) + 1) * qc[c]).sum()))
+        )
+    for i in range(len(ids)):
+        rows.append(
+            ("kmeans_assign", int(ids[i]), int(assign[i]),
+             int(round(best[i] * q)))
+        )
+    return pd.DataFrame(
+        rows, columns=["m", "qid", "vec_id", "rank"]
+    ).astype({"qid": np.int64, "vec_id": np.int64, "rank": np.int64})
+
+
 GOLDENS = {
     # composed into q16_ann_topk by pipelines.queries.COMBINED_ORACLES
     "part_ann_lsh": (q21_ann_lsh, ["qid", "rank"]),
     "part_ann_ivf": (q_ann_ivf, ["qid", "rank"]),
     "part_pca": (part_pca, ["qid"]),
+    "part_kmeans": (part_kmeans, ["m", "qid"]),
     "q26_phash_neardup": (q26_phash, ["id_a", "id_b"]),
     "q28_embedding_neardup": (q28_embedding_neardup, ["id_a", "id_b"]),
 }

@@ -2623,6 +2623,43 @@ def q16_ann_topk(sf_dir: str):
         shape_pca, batch_format="pyarrow"
     )
 
+    # distributed k-means rows: per-vector assignments
+    # (method='kmeans_assign', qid=vec_id, vec_id=cluster, rank=sim_q)
+    # and per-cluster summaries (method='kmeans', qid=cluster,
+    # vec_id=n_members, rank=centroid checksum) — integer-exact under
+    # the shared per-iteration centroid-quantization contract
+    from ..stages.ann import embedding_kmeans
+
+    assign_ds, summary = embedding_kmeans(emb)
+
+    def shape_assign(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "method": pa.array(["kmeans_assign"] * n, pa.string()),
+                "qid": pc.cast(t.column("vec_id"), pa.int64()),
+                "vec_id": t.column("cluster"),
+                "rank": t.column("sim_q"),
+            }
+        )
+
+    km_assign = assign_ds.map_batches(shape_assign, batch_format="pyarrow")
+    counts = grouped_aggregate(
+        assign_ds, ["cluster"], [("*", "count", "n")]
+    ).to_pandas().set_index("cluster")["n"]  # k tiny rows
+    import ray.data as _rd
+
+    km_sum = _rd.from_arrow(pa.table(
+        {
+            "method": pa.array(["kmeans"] * len(summary), pa.string()),
+            "qid": pa.array([c for c, _ in summary], pa.int64()),
+            "vec_id": pa.array(
+                [int(counts.get(c, 0)) for c, _ in summary], pa.int64()
+            ),
+            "rank": pa.array([cs for _, cs in summary], pa.int64()),
+        }
+    ))
+
     return (
         ex.map_batches(tag("exact"), batch_format="pyarrow")
         .union(ls.map_batches(tag("lsh"), batch_format="pyarrow"))
@@ -2630,6 +2667,8 @@ def q16_ann_topk(sf_dir: str):
         .union(recall(ls, "lsh_recall"))
         .union(recall(iv, "ivf_recall"))
         .union(pc_rows)
+        .union(km_assign)
+        .union(km_sum)
         .sort(["method", "qid", "rank"])
     )
 
@@ -2859,6 +2898,9 @@ SELECT * FROM (
   UNION ALL
   SELECT 'pca' AS method, qid, vec_id, rank
   FROM ({golden_sql("part_pca", sf_dir)})
+  UNION ALL
+  SELECT m AS method, qid, vec_id, rank
+  FROM ({golden_sql("part_kmeans", sf_dir)})
 ) ORDER BY method, qid, rank
 """
 

@@ -602,3 +602,127 @@ def embedding_pca(emb, n_components: int = 8, quant_bits: int = 24):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+# ----------------------------------------------------- distributed k-means
+
+
+def embedding_kmeans(emb, k: int = 8, iters: int = 5, quant_bits: int = 24,
+                     id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Distributed Lloyd k-means over the embedding column — the
+    full-corpus sibling of the sample-trained IVF coarse quantizer
+    (:func:`kmeans_centroids`); the clustering step of semantic-dedup /
+    curriculum pipelines.
+
+    Shape: each iteration is ONE ``map_batches`` pass emitting
+    per-block per-cluster (count, Σx) partials — k tiny rows per block,
+    k·d floats of shuffle volume regardless of corpus size — reduced on
+    a single worker with ``math.fsum`` per component (exactly-rounded,
+    block-arrival-order independent); new centroids renormalize, then
+    QUANTIZE to 2^-quant_bits before broadcasting into the next pass
+    (the repo's engine↔golden determinism contract: assignments depend
+    only on quantized centroids, so any two correct accumulation
+    orders agree).  Init = the k id-smallest vectors (distributed
+    top-k on ``id_col``); an emptied cluster keeps its previous
+    centroid; cosine assignment with numpy argmax lowest-index ties.
+    The embedding matrix never gathers anywhere.
+
+    Returns ``(assign_ds, summary)``:
+      assign_ds — Dataset (id_col, cluster int64, sim_q int64 =
+        round(cos·2^quant_bits));
+      summary — list of (cluster, cent_cs) with cent_cs =
+        Σ_j (j+1)·round(c_j·2^quant_bits), integer-exact.
+    """
+    import math
+
+    from ..pipelines.relational import order_by_limit
+
+    q = float(1 << quant_bits)
+
+    seed = order_by_limit(
+        emb.select_columns([id_col, vec_col]), [id_col], limit=k
+    ).to_pandas()
+    C = _normalize(np.stack(
+        [np.asarray(v, np.float64) for v in seed[vec_col]]
+    ))
+    C = np.round(C * q) / q
+    d = C.shape[1]
+
+    def partial_pass(Cq):
+        def partial(t: pa.Table) -> pa.Table:
+            x = _normalize(np.stack(
+                [np.asarray(v, np.float64) for v in t.column(vec_col).to_pylist()]
+            ))
+            assign = np.argmax(x @ Cq.T, axis=1)
+            cl, ns, ss = [], [], []
+            for c in range(k):
+                rows = np.flatnonzero(assign == c)
+                cl.append(c)
+                ns.append(len(rows))
+                ss.append(x[rows].sum(axis=0).tolist() if len(rows)
+                          else [0.0] * d)
+            return pa.table(
+                {
+                    "cluster": pa.array(cl, pa.int64()),
+                    "n": pa.array(ns, pa.int64()),
+                    "s": pa.array(ss, pa.list_(pa.float64())),
+                }
+            )
+
+        return partial
+
+    for _ in range(iters):
+        Cq = C
+
+        def reduce_(t: pa.Table, _Cq=Cq) -> pa.Table:
+            cl = t.column("cluster").to_numpy(zero_copy_only=False)
+            ns = t.column("n").to_numpy(zero_copy_only=False)
+            ss = t.column("s").to_pylist()
+            out = _Cq.copy()
+            for c in range(k):
+                sel = np.flatnonzero(cl == c)
+                n_c = int(ns[sel].sum())
+                if n_c == 0:
+                    continue  # emptied cluster keeps its centroid
+                s = np.array(
+                    [math.fsum(ss[i][j] for i in sel) for j in range(d)]
+                )
+                m = s / n_c
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    out[c] = m / nrm
+            out = np.round(out * q) / q
+            return pa.table({"c": pa.array(out.reshape(-1).tolist(),
+                                           pa.float64())})
+
+        C = np.array(
+            emb.map_batches(partial_pass(Cq), batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(reduce_, batch_format="pyarrow", batch_size=None)
+            .to_pandas()["c"]
+        ).reshape(k, d)
+
+    Cf = C
+
+    def assign_rows(t: pa.Table) -> pa.Table:
+        x = _normalize(np.stack(
+            [np.asarray(v, np.float64) for v in t.column(vec_col).to_pylist()]
+        ))
+        sims = x @ Cf.T
+        a = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(a)), a]
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "sim_q": pa.array(np.round(best * q).astype(np.int64),
+                                  pa.int64()),
+            }
+        )
+
+    assign_ds = emb.map_batches(assign_rows, batch_format="pyarrow")
+    qc = np.round(Cf * q).astype(np.int64)
+    summary = [
+        (c, int(((np.arange(d) + 1) * qc[c]).sum())) for c in range(k)
+    ]
+    return assign_ds, summary

@@ -457,3 +457,58 @@ def test_interval_join_timestamps_and_band_guard(ray_session):
         interval_join(rd.from_arrow(lt), rd.from_arrow(rt), on="t",
                       by="k", lo="lo", hi="hi", band=50,
                       max_bands=1).to_pandas()
+
+
+def test_embedding_kmeans_matches_single_process(ray_session, tmp_path):
+    """Distributed Lloyd (block partials -> fsum reduce -> per-iteration
+    centroid quantization) equals the independent single-process golden
+    under the shared contract, for every row, regardless of block
+    split."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages.ann import embedding_kmeans
+
+    rng = np.random.default_rng(17)
+    n, d, k, iters = 400, 16, 5, 4
+    q = float(1 << 24)
+    emb = rng.normal(size=(n, d))
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(emb.tolist(), pa.list_(pa.float64())),
+    })
+
+    # single-process reference (plain np.sum means, same quantization)
+    def unit(m):
+        nn = np.linalg.norm(m, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        return m / nn
+
+    x = unit(emb)
+    C = np.round(unit(emb[:k].copy()) * q) / q
+    for _ in range(iters):
+        a = np.argmax(x @ C.T, axis=1)
+        nxt = C.copy()
+        for c in range(k):
+            rows = np.flatnonzero(a == c)
+            if len(rows):
+                m = x[rows].sum(axis=0) / float(len(rows))
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    nxt[c] = m / nrm
+        C = np.round(nxt * q) / q
+    sims = x @ C.T
+    want_a = np.argmax(sims, axis=1)
+    want_q = np.round(sims[np.arange(n), want_a] * q).astype(np.int64)
+
+    for blocks in (3, 11):  # block-split invariance
+        ds = rd.from_arrow(t).repartition(blocks)
+        assign, summary = embedding_kmeans(ds, k=k, iters=iters)
+        got = assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        assert (got["cluster"].to_numpy() == want_a).all()
+        assert (got["sim_q"].to_numpy() == want_q).all()
+        qc = np.round(C * q).astype(np.int64)
+        want_cs = [int(((np.arange(d) + 1) * qc[c]).sum()) for c in range(k)]
+        assert [cs for _, cs in summary] == want_cs
