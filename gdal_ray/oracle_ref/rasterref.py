@@ -1359,10 +1359,93 @@ def q29_band_stats_hist(sf_dir: str) -> pd.DataFrame:
             }
         )
     )
+    rows.append(_zonal_ref(sf_dir))
     return (
         pd.concat(rows, ignore_index=True)
         .sort_values(["kind", "band", "k"])
         .reset_index(drop=True)
+    )
+
+
+def _zonal_ref(sf_dir: str) -> pd.DataFrame:
+    """Zonal-statistics golden: for every polygon zone, aggregate the
+    pixels of every envelope-overlapping chip whose CENTER is inside
+    the polygon.  DIFFERENT inside test than the engine's scanline
+    span fill: per scanline, crossing-count parity with the <=
+    convention — inside iff #{edge crossings with x <= center_x} is
+    odd (an even total crossing count makes left-parity == span-fill
+    membership, and exact-tie centers resolve identically: a center AT
+    a span-opening crossing is IN, at a closing one OUT).  Rows
+    (kind='zonal_n|zonal_sum|zonal_min|zonal_max', band, k=fid, v)."""
+    import pyarrow.parquet as pq
+
+    from ..synth.make_table import (
+        ensure_fixtures,
+        polygon_rings_of,
+        scale_for_sf_dir,
+    )
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = _fixture_images(
+        sf_dir,
+        columns=["image_id", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"],
+    )
+    pt = pq.read_table(
+        paths["polygons"], columns=["fid", "minx", "miny", "maxx", "maxy"]
+    )
+    pf = pt.column("fid").to_numpy(zero_copy_only=False)
+    pe = {c: pt.column(c).to_numpy() for c in ("minx", "miny", "maxx", "maxy")}
+    ie = {c: imgs[c].to_numpy() for c in ("minx", "miny", "maxx", "maxy")}
+    acc: dict[tuple[int, int], list] = {}
+    for k in range(len(pf)):
+        fid = int(pf[k])
+        rings = polygon_rings_of(fid)
+        a = np.vstack([r[:-1] for r in rings])
+        b = np.vstack([r[1:] for r in rings])
+        y1, y2 = a[:, 1], b[:, 1]
+        x1, x2 = a[:, 0], b[:, 0]
+        hit = np.flatnonzero(
+            (ie["minx"] <= pe["maxx"][k]) & (ie["maxx"] >= pe["minx"][k])
+            & (ie["miny"] <= pe["maxy"][k]) & (ie["maxy"] >= pe["miny"][k])
+        )
+        for ci in hit:
+            row = imgs.iloc[int(ci)]
+            w, h = int(row.w), int(row.h)
+            res = (row.maxx - row.minx) / w
+            cx = row.minx + (np.arange(w) + 0.5) * res
+            ys = row.maxy - (np.arange(h) + 0.5) * res
+            mask = np.zeros((h, w), dtype=bool)
+            for r_ in range(h):
+                y = ys[r_]
+                cond = ((y1 <= y) & (y2 > y)) | ((y2 <= y) & (y1 > y))
+                if not cond.any():
+                    continue
+                t = (y - y1[cond]) / (y2[cond] - y1[cond])
+                xs = x1[cond] + t * (x2[cond] - x1[cond])
+                mask[r_] = ((xs[:, None] <= cx[None, :]).sum(axis=0) % 2) == 1
+            if not mask.any():
+                continue
+            px = ref_decoded(int(row.image_id[3:]), w, h, row.fmt)
+            sel = px[mask]
+            for band in range(px.shape[2]):
+                v = sel[:, band]
+                key = (fid, band)
+                st = acc.get(key)
+                if st is None:
+                    acc[key] = [len(v), int(v.sum(dtype=np.int64)),
+                                int(v.min()), int(v.max())]
+                else:
+                    st[0] += len(v)
+                    st[1] += int(v.sum(dtype=np.int64))
+                    st[2] = min(st[2], int(v.min()))
+                    st[3] = max(st[3], int(v.max()))
+    recs = []
+    for (fid, band), (n, sm, mn, mx) in acc.items():
+        for kind, v in (("zonal_n", n), ("zonal_sum", sm),
+                        ("zonal_min", mn), ("zonal_max", mx)):
+            recs.append((kind, band, fid, float(v)))
+    return pd.DataFrame(recs, columns=["kind", "band", "k", "v"]).astype(
+        {"band": np.int64, "k": np.int64, "v": np.float64}
     )
 
 

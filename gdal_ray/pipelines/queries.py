@@ -2835,9 +2835,45 @@ def q29_band_stats_hist(sf_dir: str):
             }
         )
 
+    # zonal statistics rows (stages/zonal.py: one co-partitioned
+    # spatial-join shuffle + per-pair masked partials + keyed merge):
+    # kind='zonal_{n,sum,min,max}', band, k=zone fid, v — integer-exact
+    import ray.data as rd
+
+    from ..stages.zonal import zonal_statistics
+
+    paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    imgs = rd.read_parquet(
+        paths["images"],
+        columns=["image_id", "bytes", "w", "h", "fmt",
+                 "minx", "miny", "maxx", "maxy"],
+    )
+    pol = rd.read_parquet(
+        paths["polygons"],
+        columns=["fid", "wkb", "minx", "miny", "maxx", "maxy"],
+    )
+    z = zonal_statistics(imgs, pol, zoom=10)
+
+    def melt_zonal(t: pa.Table) -> pa.Table:
+        band = pc.cast(t.column("band"), pa.int64())
+        fid = pc.cast(t.column("fid"), pa.int64())
+        parts = []
+        for kind, col in (("zonal_n", "n_pix"), ("zonal_sum", "sum_val"),
+                          ("zonal_min", "min_val"), ("zonal_max", "max_val")):
+            parts.append(pa.table(
+                {
+                    "kind": pa.array([kind] * t.num_rows, pa.string()),
+                    "band": band,
+                    "k": fid,
+                    "v": pc.cast(t.column(col), pa.float64()),
+                }
+            ))
+        return pa.concat_tables(parts) if parts else pa.table({})
+
     return (
         s.map_batches(melt_stats, batch_format="pyarrow")
         .union(h.map_batches(melt_hist, batch_format="pyarrow"))
+        .union(z.map_batches(melt_zonal, batch_format="pyarrow"))
         .sort(["kind", "band", "k"])
     )
 
