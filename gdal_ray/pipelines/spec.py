@@ -907,3 +907,13 @@ def _vector_sample(ds, key_col: str, frac: float):
     from .relational import sample_hash
 
     return sample_hash(ds, key_col, frac)
+
+
+@register_step("raster_zonal_stats")
+def _raster_zonal_stats(ds, zones_path: str, zoom: int = 10):
+    """Zonal statistics (engine addition; the gdal_rasterize +
+    band-statistics composition): per-(zone fid, band) n/sum/min/max
+    over chips whose pixel centers fall inside the zone polygon."""
+    from ..stages.zonal import zonal_statistics
+
+    return zonal_statistics(ds, _read_ds(zones_path), zoom=zoom)

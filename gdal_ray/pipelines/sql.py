@@ -13,7 +13,10 @@ plans execute first, register under the alias, nest arbitrarily),
 qualified ``table.column`` refs, WHERE with AND/OR/NOT,
 comparison ops, LIKE/ILIKE, IN, BETWEEN, arithmetic incl %, CONCAT,
 SUBSTR, CAST, CASE WHEN (searched + simple), COALESCE, NULLIF,
-GROUP BY) and compiles it to vectorized pyarrow.compute kernels
+GROUP BY incl. GROUP BY <expression> — lowered onto an internal
+derived table precomputing each expression as a hidden column, with
+structurally-equal SELECT/WHERE/HAVING occurrences rewritten to it)
+and compiles it to vectorized pyarrow.compute kernels
 through ``Dataset.map_batches``:
 
 - single-table WHERE conjuncts push down BELOW the join (per-table
@@ -748,8 +751,8 @@ def _parse_one(p: "_Parser", sub: bool = False) -> dict:
         p.expect("kw", "by")
         while True:
             g = p.expr()
-            if g[0] not in ("col", "qcol"):
-                raise ValueError("GROUP BY supports column references")
+            if _has_agg(g):
+                raise ValueError("aggregates are not allowed in GROUP BY")
             group.append(g)
             if not p.accept("op", ","):
                 break
@@ -2551,10 +2554,88 @@ def _lower_derived(plan: dict, tables: dict, num_partitions: int):
     return plan, tables
 
 
+def _lower_group_exprs(plan: dict, tables: dict, num_partitions: int):
+    """GROUP BY <expression>: rewrite onto an internal derived table
+    that precomputes each non-column group expression as a hidden
+    column (``SELECT *, expr AS __gx<i> FROM t``), then group by the
+    hidden columns with every structurally-equal occurrence in
+    SELECT/WHERE/HAVING rewritten to the column reference.  Single
+    table only — with a JOIN, wrap the join in an explicit derived
+    table first (raised with that hint)."""
+    group = plan.get("group") or []
+    if not group or all(g[0] in ("col", "qcol") for g in group):
+        return plan, tables
+
+    if plan["joins"]:
+        raise ValueError(
+            "GROUP BY expressions over a JOIN: wrap the join in a "
+            "derived table (FROM (SELECT ...) t) and group over it"
+        )
+
+    alias = plan["table_alias"]
+
+    def localize(n):
+        def fn(x):
+            if x[0] == "qcol":
+                if x[1] != alias:
+                    raise ValueError(f"unknown table alias {x[1]!r}")
+                return ("col", x[2])
+            return x
+
+        return _transform(n, fn)
+
+    cols = list(tables[plan["table"]].schema().names)
+    extras, new_group, subs = [], [], []
+    for i, g in enumerate(group):
+        if g[0] in ("col", "qcol"):
+            new_group.append(localize(g))
+            continue
+        gl = localize(g)
+        name = f"__gx{i}"
+        if name in cols:
+            raise ValueError(f"column {name!r} collides with a hidden "
+                             "group-expression column")
+        extras.append((gl, name))
+        subs.append((gl, ("col", name)))
+        new_group.append(("col", name))
+
+    inner = {
+        "items": [(("col", c), None) for c in cols] + list(extras),
+        "table": plan["table"], "table_alias": alias, "derived": None,
+        "joins": [], "where": None, "group": [], "having": None,
+        "order": [], "limit": None, "offset": None, "distinct": False,
+        "union_next": False,
+    }
+    src = "__gx_src"
+    if src in tables:
+        raise ValueError(f"table name {src!r} is reserved")
+    tables = dict(tables)
+    tables[src] = _exec_plan(inner, tables, num_partitions)
+
+    def rewrite(n):
+        n = localize(n)
+        for gl, ref in subs:
+            n = _transform(n, lambda x, _g=gl, _r=ref: _r if x == _g else x)
+        return n
+
+    plan = dict(plan)
+    plan["table"] = src
+    plan["table_alias"] = src
+    plan["group"] = new_group
+    if plan["items"] is not None:
+        plan["items"] = [(rewrite(e), a) for e, a in plan["items"]]
+    if plan["where"] is not None:
+        plan["where"] = rewrite(plan["where"])
+    if plan.get("having") is not None:
+        plan["having"] = rewrite(plan["having"])
+    return plan, tables
+
+
 def _exec_plan(plan: dict, tables: dict, num_partitions: int = 16):
     from . import relational as R
 
     plan, tables = _lower_derived(plan, tables, num_partitions)
+    plan, tables = _lower_group_exprs(plan, tables, num_partitions)
     plan, tables = _lower_subqueries(plan, tables, num_partitions)
     where, items = plan["where"], plan["items"]
 

@@ -107,3 +107,40 @@ def test_derived_alias_shadowing_raises(ray_session):
             "SELECT * FROM (SELECT k FROM t) t",
             {"t": rd.from_arrow(_t())},
         )
+
+
+def test_group_by_expression(ray_session):
+    _both(
+        "SELECT k % 5 AS p, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv "
+        "FROM t GROUP BY k % 5 ORDER BY p"
+    )
+
+
+def test_group_by_mixed_expr_and_column(ray_session):
+    _both(
+        "SELECT k % 4 AS p, s, COUNT(*) AS n FROM t "
+        "GROUP BY k % 4, s ORDER BY p, s LIMIT 8"
+    )
+
+
+def test_group_by_case_expression_with_having(ray_session):
+    _both(
+        "SELECT CASE WHEN k < 10 THEN 'lo' ELSE 'hi' END AS b, "
+        "COUNT(*) AS n FROM t "
+        "GROUP BY CASE WHEN k < 10 THEN 'lo' ELSE 'hi' END ORDER BY b"
+    )
+    _both(
+        "SELECT k % 3 AS p, MAX(v) AS mx FROM t WHERE v > 10 "
+        "GROUP BY k % 3 HAVING COUNT(*) > 5 ORDER BY p"
+    )
+
+
+def test_group_by_expression_over_join_raises(ray_session):
+    import ray.data as rd
+
+    with pytest.raises(ValueError, match="derived table"):
+        sql_query(
+            "SELECT t.k % 2 AS p, COUNT(*) AS n FROM t "
+            "JOIN d ON t.k = d.k GROUP BY t.k % 2",
+            {"t": rd.from_arrow(_t()), "d": rd.from_arrow(_d())},
+        )
