@@ -402,14 +402,32 @@ def q31_raster_steps(sf_dir: str) -> pd.DataFrame:
 
 
 def q32_hillshade(sf_dir: str) -> pd.DataFrame:
-    """Horn hillshade (apps/gdaldem_lib.cpp:806 formula restated) on
-    band 0, az 315 / alt 45, edge-replicated 3x3 window."""
+    """gdaldem derivative suite goldens (apps/gdaldem_lib.cpp formulas
+    restated on generator-spec pixels): Horn + Zevenbergen-Thorne
+    hillshades, multidirectional (USGS OF 92-422 weights), combined,
+    Igor, slope degrees/percent, aspect azimuth/trig, TRI/TPI/
+    roughness; float outputs checksum through the float32 cast +
+    GDALCopyWords rounding path."""
     df = _fixture_images(
         sf_dir, ["image_id", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"]
     )
-    ids, css = [], []
-    az = np.radians(360.0 - 315.0 + 90.0)
+    ids, ops, css = [], [], []
+
+    def add(iid, op, cs):
+        ids.append(iid)
+        ops.append(op)
+        css.append(int(cs))
+
+    def shade_byte(val):
+        return np.clip(np.floor(val + 0.5), 1, 255).astype(np.uint8)
+
+    def norm_ang(ang, n):
+        ang = np.fmod(ang, n)
+        return np.where(ang < 0.0, n + ang, ang)
+
+    az315 = np.radians(360.0 - 315.0 + 90.0)
     alt = np.radians(45.0)
+    azr = np.radians(315.0)
     for row, px in _iter_chips(df):
         e = px[:, :, 0].astype(np.float64)
         xres = (row.maxx - row.minx) / int(row.w)
@@ -423,14 +441,114 @@ def q32_hillshade(sf_dir: str) -> pd.DataFrame:
         slope = np.arctan(np.hypot(dzdx, dzdy))
         aspect = np.arctan2(dzdy, -dzdx)
         shade = np.sin(alt) * np.cos(slope) + np.cos(alt) * np.sin(slope) * np.cos(
-            az - aspect
+            az315 - aspect
         )
         out = np.clip(np.floor(254.0 * np.maximum(shade, 0.0) + 1.5), 1, 255).astype(
             np.uint8
         )
-        ids.append(row.image_id)
-        css.append(_cs_band(out))
-    return pd.DataFrame({"image_id": ids, "cs": np.asarray(css, np.int64)})
+        add(row.image_id, "hillshade", _cs_band(out))
+
+        # folded reference gradients (z_factor = 1/8 Horn, 1/2 ZT)
+        xg_h = (1.0 / 8.0) * (((a + 2 * d + g) - (c + 2 * f2 + i2)) / xres)
+        yg_h = (1.0 / 8.0) * (((g + 2 * h2 + i2) - (a + 2 * b + c)) / -yres)
+        xg_z = (1.0 / 2.0) * ((d - f2) / xres)
+        yg_z = (1.0 / 2.0) * ((h2 - b) / -yres)
+
+        # hillshade_zt: standard formula, ZT gradient
+        num = np.sin(alt) - (yg_z * np.cos(azr) - xg_z * np.sin(azr)) * np.cos(alt)
+        cang254 = 254.0 * num / np.sqrt(1.0 + (xg_z * xg_z + yg_z * yg_z))
+        add(row.image_id, "hillshade_zt",
+            _cs_band(shade_byte(np.where(cang254 <= 0.0, 1.0, 1.0 + cang254))))
+
+        # hillshade_md: sin^2-weighted shades from 225/270/315/360
+        s127 = 127.0 * np.sin(alt)
+        c127 = 127.0 * np.cos(alt)
+        c225_127 = np.cos(np.radians(225.0)) * c127
+        xy = xg_h * xg_h + yg_h * yg_h
+        val225 = np.maximum(s127 + (xg_h - yg_h) * c225_127, 0.0)
+        val270 = np.maximum(s127 - xg_h * c127, 0.0)
+        val315 = np.maximum(s127 + (xg_h + yg_h) * c225_127, 0.0)
+        val360 = np.maximum(s127 - yg_h * c127, 0.0)
+        w225 = 0.5 * xy - xg_h * yg_h
+        w270 = xg_h * xg_h
+        w315 = xy - w225
+        w360 = yg_h * yg_h
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cang127 = ((w225 * val225 + w270 * val270 + w315 * val315
+                        + w360 * val360) / xy) / np.sqrt(1.0 + xy)
+        add(row.image_id, "hillshade_md",
+            _cs_band(shade_byte(
+                np.where(xy == 0.0, 1.0 + 254.0 * np.sin(alt), 1.0 + cang127))))
+
+        # hillshade_combined: incidence angle * atan(slope) / (pi/2)^2
+        numh = np.sin(alt) - (yg_h * np.cos(azr) - xg_h * np.sin(azr)) * np.cos(alt)
+        cang = np.arccos(np.clip(numh / np.sqrt(1.0 + xy), -1.0, 1.0))
+        cang = 1.0 - cang * np.arctan(np.sqrt(xy)) * (4.0 / (np.pi * np.pi))
+        add(row.image_id, "hillshade_combined",
+            _cs_band(shade_byte(np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang))))
+
+        # hillshade_igor: shadowness via unscaled-sum aspect
+        slope_deg = np.degrees(np.arctan(np.sqrt(xy)))
+        asp_i = np.arctan2((g + 2 * h2 + i2) - (a + 2 * b + c),
+                           (a + 2 * d + g) - (c + 2 * f2 + i2))
+        two_pi = np.pi * 2.0
+        dd = np.abs(norm_ang(asp_i, two_pi)
+                    - norm_ang(np.pi * 3.0 / 2.0 - azr, two_pi))
+        aspect_diff = np.where(dd > np.pi, two_pi - dd, dd)
+        shadow = 1.0 - (slope_deg / 90.0) * (1.0 - aspect_diff / np.pi)
+        add(row.image_id, "hillshade_igor",
+            _cs_band(np.clip(np.floor(255.0 * shadow + 0.5), 0, 255)
+                     .astype(np.uint8)))
+
+        # slope family (float32-cast checksums)
+        add(row.image_id, "slope",
+            _cs_float(np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
+                      .astype(np.float32)))
+        add(row.image_id, "slope_zt",
+            _cs_float(np.degrees(np.arctan(
+                np.sqrt(xg_z * xg_z + yg_z * yg_z))).astype(np.float32)))
+        add(row.image_id, "slope_percent",
+            _cs_float((100.0 * np.sqrt(xy)).astype(np.float32)))
+
+        # aspect family
+        asp = np.degrees(np.arctan2(dzdy, -dzdx))
+        az_out = np.where(asp > 90.0, 450.0 - asp, 90.0 - asp)
+        az_out = np.where((dzdx == 0) & (dzdy == 0), -9999.0, az_out % 360.0)
+        add(row.image_id, "aspect", _cs_float(az_out.astype(np.float32)))
+        tr_out = np.where(asp < 0.0, asp + 360.0, asp)
+        tr_out = np.where(tr_out == 360.0, 0.0, tr_out)
+        tr_out = np.where((dzdx == 0) & (dzdy == 0), -9999.0, tr_out)
+        add(row.image_id, "aspect_trig", _cs_float(tr_out.astype(np.float32)))
+        zdx = f2 - d
+        zdy = h2 - b
+        aspz = np.degrees(np.arctan2(zdy, -zdx))
+        azz = np.where(aspz > 90.0, 450.0 - aspz, 90.0 - aspz)
+        azz = np.where((zdx == 0) & (zdy == 0), -9999.0, azz % 360.0)
+        add(row.image_id, "aspect_zt", _cs_float(azz.astype(np.float32)))
+
+        # TRI (Wilson mean |dz|), TPI, roughness
+        ctr = p[1:-1, 1:-1]
+        acc = np.zeros_like(ctr)
+        acc2 = np.zeros_like(ctr)
+        mx = np.full(e.shape, -np.inf)
+        mn = np.full(e.shape, np.inf)
+        for dy0 in (-1, 0, 1):
+            for dx0 in (-1, 0, 1):
+                win = p[1 + dy0: p.shape[0] - 1 + dy0,
+                        1 + dx0: p.shape[1] - 1 + dx0]
+                mx = np.maximum(mx, win)
+                mn = np.minimum(mn, win)
+                if dx0 == 0 and dy0 == 0:
+                    continue
+                acc += np.abs(win - ctr)
+                acc2 += win
+        add(row.image_id, "tri", _cs_float((acc / 8.0).astype(np.float32)))
+        add(row.image_id, "tpi",
+            _cs_float((ctr - acc2 / 8.0).astype(np.float32)))
+        add(row.image_id, "roughness", _cs_float((mx - mn).astype(np.float32)))
+    return pd.DataFrame(
+        {"image_id": ids, "op": ops, "cs": np.asarray(css, np.int64)}
+    )
 
 
 ORIGIN_SHIFT = 20037508.342789244
@@ -2272,7 +2390,7 @@ GOLDENS = {
     "q54_grid_metrics": (q54_grid_metrics, ["z", "x", "y"]),
     "q55_color_relief": (q55_color_relief, ["image_id"]),
     "q31_raster_steps": (q31_raster_steps, ["image_id", "op"]),
-    "q32_hillshade": (q32_hillshade, ["image_id"]),
+    "q32_hillshade": (q32_hillshade, ["image_id", "op"]),
     "q35_grid_invdist": (q35_grid_invdist, ["algorithm", "z", "x", "y"]),
     "q37_point_query": (q37_point_query, ["pid", "image_id"]),
     "q39_color_quantize": (q39_color_quantize, ["image_id"]),

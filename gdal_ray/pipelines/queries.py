@@ -1337,32 +1337,19 @@ def _mdim_suite():
 
 
 def q32_hillshade(sf_dir: str):
-    """gdaldem hillshade over band 0 of every chip (Horn 3x3 kernel);
-    returns per-chip result checksums."""
+    """The full gdaldem derivative suite over band 0 of every chip —
+    hillshade (standard Horn + ZT gradient, multidirectional, combined,
+    Igor), slope (degrees Horn/ZT + percent), aspect (azimuth Horn/ZT +
+    trigonometric), TRI/TPI/roughness — one decode per chip, checksums
+    fused into the actor task (apps/gdaldem_lib.cpp surface); returns
+    (image_id, op, cs) rows."""
     import ray.data as rd
 
-    from ..functions import checksum
-    from ..stages.dem import dem_derivative
+    from ..stages.dem import dem_checksum_suite
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
     imgs = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"])
-    out = dem_derivative(imgs, op="hillshade", concurrency=4)
-
-    def cs(t: pa.Table) -> pa.Table:
-        data = t.column("data").to_pylist()
-        w = t.column("w").to_pylist()
-        h = t.column("h").to_pylist()
-        vals = [
-            checksum.checksum_band(
-                np.frombuffer(data[i], dtype=np.uint8).reshape(h[i], w[i])
-            )
-            for i in range(len(data))
-        ]
-        return pa.table(
-            {"image_id": t.column("image_id"), "cs": pa.array(vals, pa.int64())}
-        )
-
-    return out.map_batches(cs, batch_format="pyarrow").sort("image_id")
+    return dem_checksum_suite(imgs, concurrency=4).sort(["image_id", "op"])
 
 
 def q33_rasterize_polygonize(sf_dir: str):

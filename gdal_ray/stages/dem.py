@@ -110,6 +110,165 @@ def roughness(e: np.ndarray) -> np.ndarray:
     return mx - mn
 
 
+# ---------------------------------------------------------------------------
+# gdaldem variants — the reference's folded-gradient form.
+#
+# Reference semantics: apps/gdaldem_lib.cpp GDALCreateHillshadeData
+# (z_factor = z/8 for Horn, z/2 for Zevenbergen-Thorne, folded into the
+# az/alt trig constants), GDALHillshadeAlg :1008, ...CombinedAlg :1140,
+# ...MultiDirectionalAlg :1238 (USGS OF 92-422 weights),
+# ...IgorAlg :943, GDALSlopeZevenbergenThorneAlg :1368 (and the
+# percent slopeFormat), GDALAspectAlg :1417 trigonometric mode.
+# A north-up geotransform is assumed (gt1 = xres > 0, gt5 = -yres < 0),
+# matching the chip fixtures; row 0 of the decoded array is the first
+# scanline, i.e. afWin[0..2].
+
+
+def _ref_grad(e: np.ndarray, xres: float, yres: float, alg: str = "horn",
+              z: float = 1.0):
+    """Gradient<T, alg>::calc with the z-factor fold applied: returns
+    (xg, yg) = (x, y) * z_factor so every downstream formula uses the
+    reference's pre-multiplied constants implicitly."""
+    p = _pad(e.astype(np.float64))
+    a = p[:-2, :-2]; b = p[:-2, 1:-1]; c = p[:-2, 2:]
+    d = p[1:-1, :-2];                  f = p[1:-1, 2:]
+    g = p[2:, :-2];  h = p[2:, 1:-1];  i = p[2:, 2:]
+    if alg == "horn":
+        xg = (z / 8.0) * (((a + 2 * d + g) - (c + 2 * f + i)) / xres)
+        yg = (z / 8.0) * (((g + 2 * h + i) - (a + 2 * b + c)) / -yres)
+    elif alg == "zt":
+        xg = (z / 2.0) * ((d - f) / xres)
+        yg = (z / 2.0) * ((h - b) / -yres)
+    else:
+        raise ValueError(f"unknown gradient alg {alg}")
+    return xg, yg
+
+
+def _shade_byte(val: np.ndarray) -> np.ndarray:
+    return np.clip(np.floor(val + 0.5), 1, 255).astype(np.uint8)
+
+
+def hillshade_ref(e, xres, yres, azimuth=315.0, altitude=45.0, z=1.0,
+                  alg="horn") -> np.ndarray:
+    """Standard hillshade in the reference's folded form (equals
+    `hillshade` for alg='horn'; the ZT gradient needs this form)."""
+    xg, yg = _ref_grad(e, xres, yres, alg, z)
+    alt = np.radians(altitude)
+    az = np.radians(azimuth)
+    num = np.sin(alt) - (yg * np.cos(az) - xg * np.sin(az)) * np.cos(alt)
+    cang254 = 254.0 * num / np.sqrt(1.0 + (xg * xg + yg * yg))
+    return _shade_byte(np.where(cang254 <= 0.0, 1.0, 1.0 + cang254))
+
+
+def hillshade_multidirectional(e, xres, yres, altitude=45.0, z=1.0,
+                               alg="horn") -> np.ndarray:
+    """USGS OF 92-422 multidirectional hillshade: shades from azimuths
+    225/270/315/360 weighted by sin^2(aspect - az); flat cells get the
+    full sin(alt) shade."""
+    xg, yg = _ref_grad(e, xres, yres, alg, z)
+    alt = np.radians(altitude)
+    s127 = 127.0 * np.sin(alt)
+    c127 = 127.0 * np.cos(alt)
+    c225_127 = np.cos(np.radians(225.0)) * c127
+    xy = xg * xg + yg * yg
+    val225 = np.maximum(s127 + (xg - yg) * c225_127, 0.0)
+    val270 = np.maximum(s127 - xg * c127, 0.0)
+    val315 = np.maximum(s127 + (xg + yg) * c225_127, 0.0)
+    val360 = np.maximum(s127 - yg * c127, 0.0)
+    w225 = 0.5 * xy - xg * yg
+    w270 = xg * xg
+    w315 = xy - w225
+    w360 = yg * yg
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cang127 = ((w225 * val225 + w270 * val270 + w315 * val315
+                    + w360 * val360) / xy) / np.sqrt(1.0 + xy)
+    val = np.where(xy == 0.0, 1.0 + 254.0 * np.sin(alt), 1.0 + cang127)
+    return _shade_byte(val)
+
+
+def hillshade_combined(e, xres, yres, azimuth=315.0, altitude=45.0, z=1.0,
+                       alg="horn") -> np.ndarray:
+    """Combined (oblique * slope) shading: the incidence angle scaled
+    by atan(slope) / (pi/2)^2."""
+    xg, yg = _ref_grad(e, xres, yres, alg, z)
+    alt = np.radians(altitude)
+    az = np.radians(azimuth)
+    xy = xg * xg + yg * yg
+    num = np.sin(alt) - (yg * np.cos(az) - xg * np.sin(az)) * np.cos(alt)
+    cang = np.arccos(np.clip(num / np.sqrt(1.0 + xy), -1.0, 1.0))
+    cang = 1.0 - cang * np.arctan(np.sqrt(xy)) * (4.0 / (np.pi * np.pi))
+    return _shade_byte(np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang))
+
+
+def _norm_angle(a, n):
+    a = np.fmod(a, n)
+    return np.where(a < 0.0, n + a, a)
+
+
+def _diff_angles(a1, a2, n):
+    d = np.abs(_norm_angle(a1, n) - _norm_angle(a2, n))
+    return np.where(d > n / 2.0, n - d, d)
+
+
+def hillshade_igor(e, xres, yres, azimuth=315.0, z=1.0,
+                   alg="horn") -> np.ndarray:
+    """Igor shading: shadowness = 1 - slopeStrength * aspectStrength;
+    the aspect term uses the UNSCALED window sums (reference quirk) and
+    the output range is 0..255 (0 is not reserved)."""
+    xg, yg = _ref_grad(e, xres, yres, alg, z)
+    slope_deg = np.degrees(np.arctan(np.sqrt(xg * xg + yg * yg)))
+    p = _pad(e.astype(np.float64))
+    a = p[:-2, :-2]; b = p[:-2, 1:-1]; c = p[:-2, 2:]
+    d = p[1:-1, :-2];                  f = p[1:-1, 2:]
+    g = p[2:, :-2];  h = p[2:, 1:-1];  i = p[2:, 2:]
+    if alg == "horn":
+        # aspect = atan2(dy, -dx) with dx = (c+2f+i)-(a+2d+g)
+        aspect = np.arctan2((g + 2 * h + i) - (a + 2 * b + c),
+                            (a + 2 * d + g) - (c + 2 * f + i))
+    else:
+        aspect = np.arctan2(h - b, d - f)
+    az = np.radians(azimuth)
+    aspect_diff = _diff_angles(aspect, np.pi * 3.0 / 2.0 - az, np.pi * 2.0)
+    shadow = 1.0 - (slope_deg / 90.0) * (1.0 - aspect_diff / np.pi)
+    return np.clip(np.floor(255.0 * shadow + 0.5), 0, 255).astype(np.uint8)
+
+
+def slope_zt_degrees(e, xres, yres) -> np.ndarray:
+    xg, yg = _ref_grad(e, xres, yres, "zt")
+    return np.degrees(np.arctan(np.sqrt(xg * xg + yg * yg)))
+
+
+def slope_percent(e, xres, yres, alg="horn") -> np.ndarray:
+    """gdaldem slope -p: 100 * rise/run."""
+    xg, yg = _ref_grad(e, xres, yres, alg)
+    return 100.0 * np.sqrt(xg * xg + yg * yg)
+
+
+def aspect_trig_degrees(e, xres, yres) -> np.ndarray:
+    """Aspect, trigonometric convention (bAngleAsAzimuth=false):
+    counter-clockwise degrees from east, negatives wrapped +360,
+    360 -> 0, flat -> -9999."""
+    dzdx, dzdy = _horn_gradients(e, xres, yres)
+    asp = np.degrees(np.arctan2(dzdy, -dzdx))
+    out = np.where(asp < 0.0, asp + 360.0, asp)
+    out = np.where(out == 360.0, 0.0, out)
+    return np.where((dzdx == 0) & (dzdy == 0), -9999.0, out)
+
+
+def aspect_zt_degrees(e, xres, yres) -> np.ndarray:
+    """Aspect (azimuth convention) with the Zevenbergen-Thorne
+    gradient; flat -> -9999."""
+    p = _pad(e.astype(np.float64))
+    b = p[:-2, 1:-1]
+    d = p[1:-1, :-2]; f = p[1:-1, 2:]
+    h = p[2:, 1:-1]
+    dx = f - d
+    dy = h - b
+    asp = np.degrees(np.arctan2(dy, -dx))
+    out = np.where(asp > 90.0, 450.0 - asp, 90.0 - asp)
+    return np.where((dx == 0) & (dy == 0), -9999.0, out % 360.0)
+
+
 DEFAULT_RAMP = (
     (0.0, (0, 0, 139)),
     (64.0, (0, 128, 255)),
@@ -156,8 +315,16 @@ def color_relief_stage(images, ramp=DEFAULT_RAMP, concurrency: int = 4):
 
 _OPS = {
     "hillshade": lambda e, xr, yr: hillshade(e, xr, yr),
+    "hillshade_md": hillshade_multidirectional,
+    "hillshade_combined": hillshade_combined,
+    "hillshade_igor": hillshade_igor,
+    "hillshade_zt": lambda e, xr, yr: hillshade_ref(e, xr, yr, alg="zt"),
     "slope": slope_degrees,
+    "slope_zt": slope_zt_degrees,
+    "slope_percent": slope_percent,
     "aspect": aspect_degrees,
+    "aspect_trig": aspect_trig_degrees,
+    "aspect_zt": aspect_zt_degrees,
     "tri": lambda e, xr, yr: tri(e),
     "tpi": lambda e, xr, yr: tpi(e),
     "roughness": lambda e, xr, yr: roughness(e),
@@ -210,5 +377,67 @@ def dem_derivative(images, op: str = "hillshade", concurrency: int = 4):
         fn_constructor_kwargs=dict(op=op),
         batch_format="pyarrow",
         batch_size=128,
+        concurrency=concurrency,
+    )
+
+
+class DemChecksumSuite:
+    """Actor-pool stage: decode each chip ONCE, run every requested DEM
+    op on band 0 and emit (image_id, op, cs) rows — checksums are
+    computed in place so per-op rasters never leave the task (one
+    decode per chip for the whole suite, the q52/q58 fusion pattern).
+    uint8 results use the integer GDAL checksum, float results the
+    float32-cast GDALCopyWords-rounding checksum."""
+
+    def __init__(self, ops):
+        from ..functions import checksum as _ck
+
+        unknown = [o for o in ops if o not in _OPS]
+        if unknown:
+            raise ValueError(f"unknown dem ops {unknown}; known {sorted(_OPS)}")
+        self.ops = list(ops)
+        self._cs_int = _ck.checksum_band
+        self._cs_float = _ck.checksum_float_band
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cols = {
+            c: t.column(c).to_pylist()
+            for c in ("image_id", "bytes", "w", "h", "fmt",
+                      "minx", "miny", "maxx", "maxy")
+        }
+        ids, ops, css = [], [], []
+        for i in range(t.num_rows):
+            img = codecs.decode(
+                cols["bytes"][i], cols["w"][i], cols["h"][i], cols["fmt"][i]
+            )
+            e = img[:, :, 0].astype(np.float64)
+            xres = (cols["maxx"][i] - cols["minx"][i]) / cols["w"][i]
+            yres = (cols["maxy"][i] - cols["miny"][i]) / cols["h"][i]
+            for op in self.ops:
+                res = _OPS[op](e, xres, yres)
+                if res.dtype == np.uint8:
+                    cs = self._cs_int(res)
+                else:
+                    cs = self._cs_float(res.astype(np.float32))
+                ids.append(cols["image_id"][i])
+                ops.append(op)
+                css.append(cs)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "op": pa.array(ops, pa.string()),
+                "cs": pa.array(css, pa.int64()),
+            }
+        )
+
+
+def dem_checksum_suite(images, ops=None, concurrency: int = 4):
+    """All gdaldem derivative checksums in one decode-once pass."""
+    ops = list(_OPS) if ops is None else list(ops)
+    return images.map_batches(
+        DemChecksumSuite,
+        fn_constructor_kwargs=dict(ops=ops),
+        batch_format="pyarrow",
+        batch_size=64,
         concurrency=concurrency,
     )

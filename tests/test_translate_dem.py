@@ -97,6 +97,55 @@ def test_tri_tpi_roughness():
     assert roughness(g)[0, 0] == 0.0
 
 
+def test_hillshade_variants_flat():
+    from gdal_ray.stages.dem import (
+        hillshade_combined,
+        hillshade_igor,
+        hillshade_multidirectional,
+        hillshade_ref,
+    )
+
+    flat = np.zeros((6, 6))
+    expect = int(np.floor(1.0 + 254.0 * np.sin(np.radians(45.0)) + 0.5))
+    assert (hillshade_ref(flat, 1.0, 1.0) == expect).all()
+    assert (hillshade_ref(flat, 1.0, 1.0, alg="zt") == expect).all()
+    assert (hillshade_multidirectional(flat, 1.0, 1.0) == expect).all()
+    # combined: acos(sin 45) * atan(0) term vanishes -> full bright
+    assert (hillshade_combined(flat, 1.0, 1.0) == 255).all()
+    # igor: slopeStrength 0 -> shadowness 1 -> 255
+    assert (hillshade_igor(flat, 1.0, 1.0) == 255).all()
+
+
+def test_hillshade_igor_ramp():
+    from gdal_ray.stages.dem import hillshade_igor
+
+    yy, xx = np.mgrid[0:8, 0:8]
+    ramp = xx.astype(np.float64)  # 45 deg slope facing west (aspect pi)
+    # aspectDiff(pi, 3pi/2 - rad(315)) = 3pi/4 -> strength 1/4;
+    # shadow = 1 - 0.5 * 0.25 = 0.875 -> 223
+    assert (hillshade_igor(ramp, 1.0, 1.0)[2:-2, 2:-2] == 223).all()
+
+
+def test_slope_aspect_variants():
+    from gdal_ray.stages.dem import (
+        aspect_trig_degrees,
+        aspect_zt_degrees,
+        slope_percent,
+        slope_zt_degrees,
+    )
+
+    yy, xx = np.mgrid[0:8, 0:8]
+    ramp = xx.astype(np.float64)
+    assert np.allclose(slope_zt_degrees(ramp, 1.0, 1.0)[2:-2, 2:-2], 45.0)
+    assert np.allclose(slope_percent(ramp, 1.0, 1.0)[2:-2, 2:-2], 100.0)
+    # east-up ramp: azimuth aspect 270, trig aspect 180
+    assert np.allclose(aspect_zt_degrees(ramp, 1.0, 1.0)[2:-2, 2:-2], 270.0)
+    assert np.allclose(aspect_trig_degrees(ramp, 1.0, 1.0)[2:-2, 2:-2], 180.0)
+    flat = np.zeros((4, 4))
+    assert (aspect_zt_degrees(flat, 1.0, 1.0) == -9999.0).all()
+    assert (aspect_trig_degrees(flat, 1.0, 1.0) == -9999.0).all()
+
+
 def test_translate_stage_end_to_end(ray_session, smoke_fixtures):
     import ray.data as rd
 
