@@ -91,8 +91,13 @@ through ``Dataset.map_batches``:
   the hash join, the residual conjuncts filter post-join (inner joins
   only — on a LEFT JOIN they would alter match semantics and raise).
 
-Not covered (documented): joins with NO column equality in ON (pure
-non-equi / cross joins).
+- CROSS JOIN and joins with NO column equality in ON (pure non-equi)
+  lower to a broadcast nested-loop join: the right side materializes
+  once (after its pushed-down WHERE conjuncts), broadcasts via one
+  ray.put, and every left batch emits the cartesian product in bounded
+  chunks with the ON residual filtering fused into the same task;
+  right sides beyond 65,536 rows raise with a rewrite hint (inner
+  joins only — LEFT JOIN still requires an equality).
 """
 
 from __future__ import annotations
@@ -114,7 +119,7 @@ _KEYWORDS = {
     "and", "or", "not", "like", "ilike", "in", "between", "cast", "concat",
     "substr", "case", "when", "then", "else", "end", "coalesce", "nullif",
     "is", "null", "true", "false",
-    "join", "on", "left", "inner", "outer", "group", "having",
+    "join", "on", "left", "inner", "outer", "cross", "group", "having",
     "union", "all", "intersect", "except",
     "count", "sum", "avg", "min", "max", "distinct",
     "exists", "over", "partition",
@@ -720,6 +725,10 @@ def _parse_one(p: "_Parser", sub: bool = False) -> dict:
             p.next()
             p.expect("kw", "join")
             how = "inner"
+        elif k == "kw" and v == "cross":
+            p.next()
+            p.expect("kw", "join")
+            how = "cross"
         elif k == "kw" and v == "join":
             p.next()
             how = "inner"
@@ -739,8 +748,11 @@ def _parse_one(p: "_Parser", sub: bool = False) -> dict:
                 ja = p.expect("ident")
             elif p.peek()[0] == "ident" and p.toks[p.i][1].lower() != "on":
                 ja = p.expect("ident")
-        p.expect("kw", "on")
-        cond = p.expr()
+        if how == "cross":
+            cond = None
+        else:
+            p.expect("kw", "on")
+            cond = p.expr()
         joins.append({"table": jt, "alias": ja, "how": how, "on": cond,
                       "derived": jderived})
     where = None
@@ -890,6 +902,55 @@ def _out_name(e, alias, idx) -> str:
     return f"expr_{idx}"
 
 
+_NL_CAP = 1 << 16  # broadcast nested-loop right-side row cap
+
+
+def _nl_join(left_ds, right_ds, right_cols, renames, right_schema,
+             cap: int = _NL_CAP):
+    """CROSS JOIN / pure non-equi ON: broadcast nested-loop join.
+
+    The right side must be small: it materializes once (AFTER its
+    pushed-down WHERE conjuncts), broadcasts via one ray.put, and every
+    left batch emits the cartesian product in bounded chunks; the ON
+    residual / WHERE conjuncts filter immediately after, fused into the
+    same task.  Beyond the cap the query raises with a rewrite hint —
+    an uncapped distributed cross product is never what a user wants."""
+    import ray
+
+    from ..stages.knn import dataset_to_table
+
+    r = dataset_to_table(right_ds)
+    if r.num_rows == 0 and not r.column_names:
+        # fully-empty materialization loses the schema; rebuild typed
+        r = pa.table({c: pa.array([], type=t) for c, t in right_schema})
+    if r.num_rows > cap:
+        raise ValueError(
+            f"CROSS / non-equi JOIN right side has {r.num_rows} rows "
+            f"(cap {cap}); pre-filter or pre-aggregate it (a derived "
+            "table works), or add a column equality to key a hash join"
+        )
+    r = r.select(right_cols).rename_columns([renames[c] for c in right_cols])
+    ref = ray.put(r)
+
+    def fn(t: pa.Table) -> pa.Table:
+        rt = ray.get(ref)
+        m = rt.num_rows
+        out = []
+        step = max(1, (1 << 18) // max(m, 1))
+        for s in range(0, max(t.num_rows, 1), step):
+            lt = t.slice(s, step)
+            n = lt.num_rows
+            li = np.repeat(np.arange(n, dtype=np.int64), m)
+            ri = np.tile(np.arange(m, dtype=np.int64), n)
+            comb = lt.take(li)
+            for k, col in zip(rt.column_names, rt.columns):
+                comb = comb.append_column(k, col.take(ri))
+            out.append(comb)
+        return pa.concat_tables(out)
+
+    return left_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _run_join_agg(plan, tables, num_partitions: int):
     """JOIN chain + GROUP-BY/aggregate lowering (ogr_gensql.cpp
     analog).  Single-table WHERE conjuncts push below the join (never
@@ -974,7 +1035,7 @@ def _run_join_agg(plan, tables, num_partitions: int):
         ja, suf = j["alias"], f"_j{i}"
         equi = None
         residual = []
-        for c in _split_conjuncts(j["on"]):
+        for c in (_split_conjuncts(j["on"]) if j["on"] is not None else []):
             if equi is None and c[0] == "eq":
                 try:
                     t1, t2 = _side(c[1]), _side(c[2])
@@ -985,11 +1046,24 @@ def _run_join_agg(plan, tables, num_partitions: int):
                     continue
             residual.append(c)
         if equi is None:
-            raise ValueError(
-                f"JOIN {ja} ON needs at least one column equality "
-                "relating it to an earlier table (pure non-equi joins "
-                "are not supported)"
-            )
+            # CROSS JOIN / pure non-equi ON: broadcast nested-loop.
+            if j["how"] == "left_outer":
+                raise ValueError(
+                    f"LEFT JOIN {ja} ON needs at least one column "
+                    "equality relating it to an earlier table"
+                )
+            deferred_on.extend(residual)
+            renames = {}
+            for c in schemas[ja]:
+                nm = c if c not in cur else c + suf
+                renames[c] = nm
+                outname[(ja, c)] = nm
+                cur.add(nm)
+                cur_schema.append((nm, stypes[ja][c]))
+                display.append((nm, nm))
+            ds = _nl_join(ds, src[ja], list(schemas[ja]), renames,
+                          [(c, stypes[ja][c]) for c in schemas[ja]])
+            continue
         if residual and j["how"] == "left_outer":
             raise ValueError(
                 "extra ON conditions on a LEFT JOIN are not supported "

@@ -189,11 +189,15 @@ def test_count_col_counts_non_null(ray_session):
     )
 
 
-def test_join_rejects_non_equi(ray_session):
-    # parse accepts arbitrary ON conjuncts now; planning still rejects
-    # a join with NO column equality relating the tables
+def test_join_non_equi_nested_loop(ray_session):
+    # a join with NO column equality lowers to the broadcast nested
+    # loop now — DuckDB-verbatim; LEFT JOIN still requires an equality
+    _assert_matches_duck(
+        "SELECT l.id AS id, r.k AS rk FROM l JOIN r ON l.k > r.k "
+        "ORDER BY id"
+    )
     with pytest.raises(ValueError, match="column equality"):
-        _run2("SELECT l.id AS id FROM l JOIN r ON l.k > r.k")
+        _run2("SELECT l.id AS id FROM l LEFT JOIN r ON l.k > r.k")
 
 
 def test_agg_in_where_rejected(ray_session):
