@@ -2122,6 +2122,15 @@ FROM (SELECT c_nationkey, COUNT(*) AS nat_cnt,
              MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
       FROM customer WHERE c_acctbal > 0 GROUP BY c_nationkey) g
 WHERE nat_cnt > 2
+UNION ALL
+SELECT 'CROSSNE' AS region_name,
+       COUNT(*) AS n_cust,
+       COUNT(DISTINCT n.n_nationkey) AS n_nat,
+       CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum,
+       MIN(r.r_regionkey + 0.0) AS lo_bal,
+       MAX(r.r_regionkey + 0.0) AS hi_bal,
+       CAST(1 AS BIGINT) AS key_rank
+FROM nation n JOIN region r ON n.n_regionkey < r.r_regionkey
 ORDER BY region_name ASC
 """
 
@@ -2138,7 +2147,9 @@ def q60_sql_join_agg(sf_dir: str):
     attach), UNION ALL branches with the trailing ORDER BY applied
     to the whole union, SUM(DISTINCT) over the per-group distinct set,
     an IN (SELECT ...) WHERE conjunct lowered to a co-partitioned semi
-    join, and a scalar subquery substituted as a literal.  The SAME
+    join, a scalar subquery substituted as a literal, and a pure
+    non-equi JOIN (no ON equality) lowered to the broadcast
+    nested-loop ('CROSSNE' branch).  The SAME
     string runs verbatim in DuckDB as the oracle; aggregates are
     integer-exact (COUNT / int SUM / MIN / MAX) so the value hash is
     order-independent."""
@@ -2513,18 +2524,161 @@ SELECT * FROM (
 """
 
 
+def q14_corpus_scores(sf_dir: str):
+    """TF-IDF + Okapi BM25 (k1=1.2, b=0.75) corpus-statistics scoring
+    — the relevance/quality-weighting primitive of LLM data curation.
+    Distributed shape: one explode pass builds distinct (doc_id, term,
+    tf, dl) posting rows (dl rides along, so BM25 needs NO doc-keyed
+    shuffle), document frequency is ONE term-keyed grouped_aggregate
+    (per-batch partial counts first), joined back with ONE
+    co-partitioned hash join; the corpus scalars (n_docs, total token
+    count) reduce through per-block two-int partials.  Scores use the
+    log-free Robertson rational idf so every value is a fixed float64
+    expression tree over exact integers — bit-identical to the DuckDB
+    oracle that mirrors the same tree."""
+    from ..stages.text import explode_terms_batch, token_count_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tf = docs.map_batches(explode_terms_batch, batch_format="pyarrow")
+    df = R.grouped_aggregate(tf, ["term"], [("tf", "count", "df")])
+    # copartition (not Dataset.join): robust to sparse term domains —
+    # empty hash partitions would otherwise lose the schema
+    scored = R.copartition_equi_join(
+        tf, df, lkey="term", rkey="term", how="inner", num_partitions=8,
+        left_schema=[("doc_id", pa.int64()), ("term", pa.string()),
+                     ("tf", pa.int64()), ("dl", pa.int64())],
+        right_schema=[("term", pa.string()), ("df", pa.int64())],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([int((n > 0).sum())], pa.int64()),
+                "s": pa.array([int(n.sum())], pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(
+        token_count_batch, batch_format="pyarrow"
+    ).map_batches(_partial, batch_format="pyarrow").take_all()
+    n_f = float(sum(p["n"] for p in parts))
+    avgdl = float(sum(p["s"] for p in parts)) / n_f
+
+    def score(t: pa.Table) -> pa.Table:
+        tf64 = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        df64 = t.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl64 = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        tfidf = tf64 * (n_f / df64)
+        idf = ((n_f - df64) + 0.5) / (df64 + 0.5)
+        bm25 = idf * (
+            (tf64 * 2.2) / (tf64 + 1.2 * (0.25 + 0.75 * (dl64 / avgdl)))
+        )
+        t = t.append_column("tfidf", pa.array(tfidf, pa.float64()))
+        return t.append_column("bm25", pa.array(bm25, pa.float64()))
+
+    return scored.map_batches(score, batch_format="pyarrow")
+
+
 def q14_text_stats(sf_dir: str):
-    """Per-lang text-analysis suite: token counting joined with the
-    exact character-count quality metrics (one row per lang)."""
-    toks = q14_token_count(sf_dir)
-    qual = q15_text_quality(sf_dir)
-    return R.hash_join(toks, qual, on="lang", num_partitions=1).sort("lang")
+    """Text-analysis suite in long format (kind, k1, k2, v): per-lang
+    token counting + exact character-count quality metrics, plus the
+    per-(doc, term) corpus-statistics scores — tf / df / tfidf / bm25
+    rows (see q14_corpus_scores)."""
+    base = R.hash_join(
+        q14_token_count(sf_dir), q15_text_quality(sf_dir), on="lang",
+        num_partitions=1,
+    )
+
+    def melt_lang(t: pa.Table) -> pa.Table:
+        lang = t.column("lang").to_pylist()
+        kinds, k1s, vs = [], [], []
+        for kind in ("sum_tokens", "n_docs", "sum_chars", "sum_alpha",
+                     "sum_space"):
+            col = t.column(kind).to_numpy(zero_copy_only=False)
+            kinds.extend([kind] * len(lang))
+            k1s.extend(lang)
+            vs.extend(col.astype(np.float64).tolist())
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "k1": pa.array(k1s, pa.string()),
+                "k2": pa.array([""] * len(kinds), pa.string()),
+                "v": pa.array(vs, pa.float64()),
+            }
+        )
+
+    def melt_scores(t: pa.Table) -> pa.Table:
+        k1 = [str(d) for d in t.column("doc_id").to_pylist()]
+        k2 = t.column("term").to_pylist()
+        n = len(k1)
+        kinds, k1s, k2s, vs = [], [], [], []
+        for kind in ("tf", "df", "tfidf", "bm25"):
+            col = t.column(kind).to_numpy(zero_copy_only=False)
+            kinds.extend([kind] * n)
+            k1s.extend(k1)
+            k2s.extend(k2)
+            vs.extend(col.astype(np.float64).tolist())
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "k1": pa.array(k1s, pa.string()),
+                "k2": pa.array(k2s, pa.string()),
+                "v": pa.array(vs, pa.float64()),
+            }
+        )
+
+    lang_rows = base.map_batches(melt_lang, batch_format="pyarrow")
+    score_rows = q14_corpus_scores(sf_dir).map_batches(
+        melt_scores, batch_format="pyarrow"
+    )
+    return lang_rows.union(score_rows).sort(["kind", "k1", "k2"])
 
 
 _Q14TS_SQL = f"""
-SELECT a.lang, a.sum_tokens, a.n_docs, b.sum_chars, b.sum_alpha, b.sum_space
-FROM ({_Q14_SQL.strip()}) a JOIN ({_Q15_SQL.strip()}) b ON a.lang = b.lang
-ORDER BY a.lang
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+tfx AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term),
+dlx AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        FROM toks GROUP BY doc_id),
+dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfx GROUP BY term),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dlx),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, f.df,
+         t.tf * (CAST(st.n AS DOUBLE) / f.df) AS tfidf,
+         (((CAST(st.n AS DOUBLE) - f.df) + 0.5e0) / (f.df + 0.5e0))
+           * ((t.tf * 2.2e0)
+              / (t.tf + 1.2e0 * (0.25e0 + 0.75e0
+                 * (d.dl / (CAST(st.sum_dl AS DOUBLE) / st.n))))) AS bm25
+  FROM tfx t JOIN dfx f ON t.term = f.term
+             JOIN dlx d ON t.doc_id = d.doc_id, st
+),
+langstats AS (
+  SELECT a.lang, a.sum_tokens, a.n_docs, b.sum_chars, b.sum_alpha, b.sum_space
+  FROM ({_Q14_SQL.strip().replace("ORDER BY lang", "")}) a
+  JOIN ({_Q15_SQL.strip()}) b ON a.lang = b.lang
+)
+SELECT 'tf' AS kind, CAST(doc_id AS VARCHAR) AS k1, term AS k2,
+       CAST(tf AS DOUBLE) AS v FROM scored
+UNION ALL SELECT 'df', CAST(doc_id AS VARCHAR), term, CAST(df AS DOUBLE)
+FROM scored
+UNION ALL SELECT 'tfidf', CAST(doc_id AS VARCHAR), term, tfidf FROM scored
+UNION ALL SELECT 'bm25', CAST(doc_id AS VARCHAR), term, bm25 FROM scored
+UNION ALL SELECT 'sum_tokens', lang, '', CAST(sum_tokens AS DOUBLE)
+FROM langstats
+UNION ALL SELECT 'n_docs', lang, '', CAST(n_docs AS DOUBLE) FROM langstats
+UNION ALL SELECT 'sum_chars', lang, '', CAST(sum_chars AS DOUBLE)
+FROM langstats
+UNION ALL SELECT 'sum_alpha', lang, '', CAST(sum_alpha AS DOUBLE)
+FROM langstats
+UNION ALL SELECT 'sum_space', lang, '', CAST(sum_space AS DOUBLE)
+FROM langstats
+ORDER BY kind, k1, k2
 """
 
 

@@ -150,3 +150,52 @@ class Fingerprinter:
         return pa.table(
             {"doc_id": t.column("doc_id"), "fingerprint": pa.array(out, pa.int64())}
         )
+
+
+def explode_terms_batch(t: pa.Table) -> pa.Table:
+    """Explode documents to distinct (doc_id, term, tf, dl) rows —
+    the posting-list builder for corpus-statistics scoring (TF-IDF /
+    BM25).  Tokenization contract shared verbatim with the DuckDB
+    oracle: ``regexp_split_to_array(lower(trim(text)), '\\s+')`` —
+    i.e. ``text.strip().lower().split()``; empty / whitespace-only
+    docs vanish.  dl (the doc token count, duplicates included) rides
+    along on every row so BM25 needs NO doc-keyed shuffle later.
+    Vectorized: one pandas split pass, one lexsort over the token
+    stream, run-length tf extraction."""
+    import itertools
+
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+    s = pd.Series(t.column("text").to_pylist(), dtype=object).fillna("")
+    toks = s.str.strip().str.lower().str.split()
+    dl = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+    keep = dl > 0
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "dl": pa.array([], pa.int64()),
+        }
+    )
+    if not keep.any():
+        return empty
+    dlk = dl[keep]
+    docrep = np.repeat(doc[keep].astype(np.int64), dlk)
+    dlrep = np.repeat(dlk, dlk)
+    terms = np.asarray(
+        list(itertools.chain.from_iterable(toks[keep])), dtype=object
+    )
+    order = np.lexsort((terms, docrep))
+    dr, tr, dlr = docrep[order], terms[order], dlrep[order]
+    new = np.ones(len(dr), dtype=bool)
+    new[1:] = (dr[1:] != dr[:-1]) | (tr[1:] != tr[:-1])
+    idx = np.flatnonzero(new)
+    tf = np.diff(np.append(idx, len(dr)))
+    return pa.table(
+        {
+            "doc_id": pa.array(dr[idx], pa.int64()),
+            "term": pa.array(tr[idx].tolist(), pa.string()),
+            "tf": pa.array(tf.astype(np.int64), pa.int64()),
+            "dl": pa.array(dlr[idx], pa.int64()),
+        }
+    )

@@ -512,3 +512,97 @@ def test_embedding_kmeans_matches_single_process(ray_session, tmp_path):
         qc = np.round(C * q).astype(np.int64)
         want_cs = [int(((np.arange(d) + 1) * qc[c]).sum()) for c in range(k)]
         assert [cs for _, cs in summary] == want_cs
+
+
+def test_explode_terms_batch_contract():
+    import pyarrow as pa
+
+    from gdal_ray.stages.text import explode_terms_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([7, 8, 9, 10], pa.int64()),
+            "text": pa.array(
+                ["the cat the hat", "  ", "", "B b  a"], pa.string()
+            ),
+        }
+    )
+    out = explode_terms_batch(t).to_pandas()
+    # empty / whitespace-only docs vanish; lower + \s+ split; dl counts
+    # duplicates; (doc, term) rows are distinct
+    got = {
+        (r.doc_id, r.term): (r.tf, r.dl) for r in out.itertuples(index=False)
+    }
+    assert got == {
+        (7, "the"): (2, 4),
+        (7, "cat"): (1, 4),
+        (7, "hat"): (1, 4),
+        (10, "b"): (2, 3),
+        (10, "a"): (1, 3),
+    }
+
+
+def test_corpus_tfidf_bm25_vs_duckdb(ray_session, tmp_path, monkeypatch):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    vocab = np.array(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(1, 12)).tolist())
+        for _ in range(80)
+    ] + ["", "   "]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(82, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 82, pa.string()),
+            "source": pa.array(["s"] * 82, pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    from gdal_ray.pipelines.queries import q14_corpus_scores
+
+    eng = (
+        q14_corpus_scores(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    ora = con.execute(
+        """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+tfx AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term),
+dlx AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        FROM toks GROUP BY doc_id),
+dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfx GROUP BY term),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dlx)
+SELECT t.doc_id, t.term, t.tf, f.df, d.dl,
+       t.tf * (CAST(st.n AS DOUBLE) / f.df) AS tfidf,
+       (((CAST(st.n AS DOUBLE) - f.df) + 0.5e0) / (f.df + 0.5e0))
+         * ((t.tf * 2.2e0)
+            / (t.tf + 1.2e0 * (0.25e0 + 0.75e0
+               * (d.dl / (CAST(st.sum_dl AS DOUBLE) / st.n))))) AS bm25
+FROM tfx t JOIN dfx f ON t.term = f.term
+           JOIN dlx d ON t.doc_id = d.doc_id, st
+ORDER BY t.doc_id, t.term
+"""
+    ).fetchdf()
+    assert len(eng) == len(ora)
+    for c in ("doc_id", "tf", "df", "dl"):
+        assert (eng[c].to_numpy() == ora[c].to_numpy()).all()
+    assert list(eng.term) == list(ora.term)
+    # bit-identical float64 scores (shared expression tree)
+    assert (eng.tfidf.to_numpy() == ora.tfidf.to_numpy()).all()
+    assert (eng.bm25.to_numpy() == ora.bm25.to_numpy()).all()
