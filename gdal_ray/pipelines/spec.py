@@ -168,7 +168,10 @@ def _register_dem(op: str):
         return dem_derivative(ds, op=_op, concurrency=concurrency)
 
 
-for _op in ("hillshade", "slope", "aspect", "tri", "tpi", "roughness"):
+for _op in ("hillshade", "hillshade_md", "hillshade_combined",
+            "hillshade_igor", "hillshade_zt", "slope", "slope_zt",
+            "slope_percent", "aspect", "aspect_trig", "aspect_zt",
+            "tri", "tpi", "roughness"):
     _register_dem(_op)
 
 
