@@ -668,8 +668,13 @@ def q14_token_count(sf_dir: str):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     toks = docs.map_batches(token_count_batch, batch_format="pyarrow")
-    joined = R.hash_join(
-        toks, docs.select_columns(["doc_id", "lang"]), on="doc_id", num_partitions=8
+    # copartition (no hash-shuffle aggregator actors): three native
+    # joins in one q14 DAG starve each other at small CPU budgets
+    joined = R.copartition_equi_join(
+        toks, docs.select_columns(["doc_id", "lang"]),
+        lkey="doc_id", rkey="doc_id", num_partitions=8,
+        left_schema=[("doc_id", pa.int64()), ("n_tokens", pa.int64())],
+        right_schema=[("doc_id", pa.int64()), ("lang", pa.string())],
     )
     return R.grouped_aggregate(
         joined, ["lang"], [("n_tokens", "sum", "sum_tokens"), ("n_tokens", "count", "n_docs")]
@@ -692,8 +697,17 @@ def q15_text_quality(sf_dir: str):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     scored = docs.map_batches(QualityScorer, batch_format="pyarrow", concurrency=2)
-    joined = R.hash_join(
-        scored, docs.select_columns(["doc_id", "lang"]), on="doc_id", num_partitions=8
+    joined = R.copartition_equi_join(
+        scored, docs.select_columns(["doc_id", "lang"]),
+        lkey="doc_id", rkey="doc_id", num_partitions=8,
+        left_schema=[("doc_id", pa.int64()), ("n_chars", pa.int64()),
+                     ("alpha_ratio", pa.float64()),
+                     ("digit_ratio", pa.float64()),
+                     ("punct_ratio", pa.float64()),
+                     ("space_ratio", pa.float64()),
+                     ("stopword_ratio", pa.float64()),
+                     ("mean_word_len", pa.float64())],
+        right_schema=[("doc_id", pa.int64()), ("lang", pa.string())],
     )
 
     def prep(t: pa.Table) -> pa.Table:
@@ -2585,9 +2599,13 @@ def q14_text_stats(sf_dir: str):
     token counting + exact character-count quality metrics, plus the
     per-(doc, term) corpus-statistics scores — tf / df / tfidf / bm25
     rows (see q14_corpus_scores)."""
-    base = R.hash_join(
-        q14_token_count(sf_dir), q15_text_quality(sf_dir), on="lang",
-        num_partitions=1,
+    base = R.copartition_equi_join(
+        q14_token_count(sf_dir), q15_text_quality(sf_dir),
+        lkey="lang", rkey="lang", num_partitions=1,
+        left_schema=[("lang", pa.string()), ("sum_tokens", pa.int64()),
+                     ("n_docs", pa.int64())],
+        right_schema=[("lang", pa.string()), ("sum_chars", pa.int64()),
+                      ("sum_alpha", pa.int64()), ("sum_space", pa.int64())],
     )
 
     def melt_lang(t: pa.Table) -> pa.Table:
