@@ -197,6 +197,108 @@ def marching_squares_desc(grid: np.ndarray, level: float):
     return np.concatenate(segs, axis=0)
 
 
+# Directed case table for POLYGON mode (gdal_contour -p,
+# alg/marching_squares/polygon_ring_appender.h semantics): each
+# segment is oriented so the {v >= level} region lies on the LEFT of
+# the walk direction in y-DOWN pixel coordinates (left of direction
+# (dx, dy) is (dy, -dx)).  Unordered pairs match _EDGE_PAIRS exactly;
+# only the traversal order is added.
+_EDGE_PAIRS_DIR = {
+    1: [(1, 2)], 14: [(2, 1)],
+    2: [(3, 1)], 13: [(1, 3)],
+    3: [(3, 2)], 12: [(2, 3)],
+    4: [(0, 3)], 11: [(3, 0)],
+    6: [(0, 1)], 9: [(1, 0)],
+    8: [(2, 0)], 7: [(0, 2)],
+}
+
+# Saddles keep the line-mode pairing convention ((2,1),(0,3) on the
+# `first` branch) so polygon boundaries and polylines share topology;
+# direction still follows high-on-left, which depends on WHICH corners
+# are high, so cv=5 and cv=10 orient the same unordered pairs
+# oppositely.
+_SADDLE_DIR = {
+    # (case, first_branch) -> directed pairs
+    (5, True): [(1, 2), (0, 3)],   # high bl cut, high tr cut
+    (10, True): [(2, 1), (3, 0)],  # low bl cut, low tr cut
+    (5, False): [(0, 2), (1, 3)],  # low tl cut, low br cut
+    (10, False): [(2, 0), (3, 1)],  # high tl cut, high br cut
+}
+
+
+def marching_squares_desc_dir(grid: np.ndarray, level: float):
+    """DIRECTED variant of :func:`marching_squares_desc` for polygon
+    mode: rows are (o0,iy0,ix0,t0, o1,iy1,ix1,t1) with the {v >= level}
+    side on the left of the 0 -> 1 walk direction.  Endpoint
+    descriptors are bitwise identical to the undirected variant."""
+    g = grid.astype(np.float64)
+    tl = g[:-1, :-1]
+    tr = g[:-1, 1:]
+    bl = g[1:, :-1]
+    br = g[1:, 1:]
+    finite = np.isfinite(tl) & np.isfinite(tr) & np.isfinite(bl) & np.isfinite(br)
+    case = (
+        (tl >= level).astype(np.int8) * 8
+        + (tr >= level).astype(np.int8) * 4
+        + (br >= level).astype(np.int8) * 2
+        + (bl >= level).astype(np.int8)
+    )
+    ys, xs = np.nonzero(finite & (case > 0) & (case < 15))
+    if len(ys) == 0:
+        return np.empty((0, 8), dtype=np.float64)
+    c = case[ys, xs]
+    v_tl, v_tr, v_bl, v_br = tl[ys, xs], tr[ys, xs], bl[ys, xs], br[ys, xs]
+    xf = xs.astype(np.float64)
+    yf = ys.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        eo = np.stack([np.zeros_like(xf), np.zeros_like(xf),
+                       np.ones_like(xf), np.ones_like(xf)])
+        eiy = np.stack([yf, yf + 1.0, yf, yf])
+        eix = np.stack([xf, xf, xf, xf + 1.0])
+        et = np.stack(
+            [
+                (level - v_tl) / (v_tr - v_tl),
+                (level - v_bl) / (v_br - v_bl),
+                (level - v_tl) / (v_bl - v_tl),
+                (level - v_tr) / (v_br - v_tr),
+            ]
+        )
+    segs = []
+    idx_all = np.arange(len(c))
+
+    def emit(sel, ea, eb):
+        segs.append(
+            np.stack(
+                [
+                    eo[ea, sel], eiy[ea, sel], eix[ea, sel], et[ea, sel],
+                    eo[eb, sel], eiy[eb, sel], eix[eb, sel], et[eb, sel],
+                ],
+                axis=1,
+            )
+        )
+
+    for cv, pairs in _EDGE_PAIRS_DIR.items():
+        m = idx_all[c == cv]
+        if len(m) == 0:
+            continue
+        for ea, eb in pairs:
+            emit(m, ea, eb)
+    for cv in (5, 10):
+        m = idx_all[c == cv]
+        if len(m) == 0:
+            continue
+        center_hi = (v_tl[m] + v_tr[m] + v_bl[m] + v_br[m]) / 4.0 >= level
+        first = (cv == 5) == center_hi
+        for branch, sel in ((True, m[first]), (False, m[~first])):
+            if len(sel) == 0:
+                continue
+            for ea, eb in _SADDLE_DIR[(cv, branch)]:
+                emit(sel, ea, eb)
+    if not segs:
+        return np.empty((0, 8), dtype=np.float64)
+    return np.concatenate(segs, axis=0)
+
+
 def contour_levels(grid: np.ndarray, interval: float, base: float = 0.0):
     """Fixed-interval level list covering the grid's range (the
     -i/-off contour options)."""

@@ -402,12 +402,12 @@ def _pack_ep(level: int, ep) -> bytes:
     return struct.pack("<qqqqq", level, o, iy, ix, np.float64(t).view(np.int64))
 
 
-def _ep_hash(ep) -> int:
+def _ep_hash(ep, salt: bytes = b"") -> int:
     import hashlib
     import struct
 
     o, iy, ix, t = ep
-    key = struct.pack("<qqqq", o, iy, ix, np.float64(t).view(np.int64))
+    key = salt + struct.pack("<qqqq", o, iy, ix, np.float64(t).view(np.int64))
     return int.from_bytes(hashlib.blake2b(key, digest_size=8).digest(), "big") >> 1
 
 
@@ -519,7 +519,188 @@ def q38_contour(sf_dir: str, zoom: int = 8, grid: int = 64) -> pd.DataFrame:
     )
     for c in ("level", "comp_id", "n_segments", "length_mm"):
         df[c] = df[c].astype(np.int64)
-    return df.sort_values(["level", "comp_id"]).reset_index(drop=True)
+    df.insert(0, "kind", "line")
+    df["area_px2_milli"] = np.int64(0)
+    poly = _q38_poly_rows(grids, grid, res_px, nt)
+    df = pd.concat([df, poly], ignore_index=True)
+    return df.sort_values(["kind", "level", "comp_id"]).reset_index(drop=True)
+
+
+# contract (shared with the engine): directed marching-squares case
+# table — {v >= level} on the LEFT of the 0 -> 1 walk in y-down pixel
+# coordinates; saddles keep the line-mode pairing branches
+_MS_CASES_DIR = {
+    1: [(1, 2)], 14: [(2, 1)], 2: [(3, 1)], 13: [(1, 3)],
+    3: [(3, 2)], 12: [(2, 3)], 4: [(0, 3)], 11: [(3, 0)],
+    6: [(0, 1)], 9: [(1, 0)], 8: [(2, 0)], 7: [(0, 2)],
+}
+_MS_SADDLE_DIR = {
+    (5, True): [(1, 2), (0, 3)], (10, True): [(2, 1), (3, 0)],
+    (5, False): [(0, 2), (1, 3)], (10, False): [(2, 0), (3, 1)],
+}
+
+
+def _area_term_milli(a, b) -> int:
+    """Shared contract: directed trapezoid shoelace term in integer
+    milli-px^2 (exterior rings sum negative, holes positive)."""
+    ox0, iy0, ix0, t0 = a
+    ox1, iy1, ix1, t1 = b
+    x0 = np.float64(ix0) + (t0 if ox0 == 0 else 0.0)
+    y0 = np.float64(iy0) + (t0 if ox0 == 1 else 0.0)
+    x1 = np.float64(ix1) + (t1 if ox1 == 0 else 0.0)
+    y1 = np.float64(iy1) + (t1 if ox1 == 1 else 0.0)
+    return int(np.floor((x0 + x1) * (y1 - y0) * 500.0 + 0.5))
+
+
+def _q38_poly_rows(grids: dict, grid: int, res_px: float, nt: int,
+                   levels=(64.0, 128.0, 192.0)) -> "pd.DataFrame":
+    """Independent single-process reference for contour POLYGONS
+    (gdal_contour -p semantics): global dense node/value arrays over
+    the covered-cell bounding box, directed iso segments + band
+    sub-pieces of domain-border edges, global dict-walk ring chaining.
+    Shares only the contract formulas with the engine (field, crossing
+    t, band searchsorted, mm rounding, area term, endpoint hash)."""
+    lv = np.asarray(levels, np.float64)
+    txs = [c[0] for c in grids]
+    tys = [c[1] for c in grids]
+    rb = [nt - 1 - ty for ty in tys]
+    goff_r = min(rb) * grid
+    goff_c = min(txs) * grid
+    H = (max(rb) - min(rb) + 1) * grid
+    W = (max(txs) - min(txs) + 1) * grid
+    vals = np.full((H + 1, W + 1), np.nan)
+    for (tx, ty), g in grids.items():
+        lr = (nt - 1 - ty) * grid - goff_r
+        lc = tx * grid - goff_c
+        vals[lr:lr + grid, lc:lc + grid] = g
+    fin = np.isfinite(vals)
+    dom = fin[:-1, :-1] & fin[:-1, 1:] & fin[1:, :-1] & fin[1:, 1:]
+
+    # directed pieces per band: band 0 = (-inf, L0) ... band k = [Lk-1, inf)
+    band_pieces: list[list] = [[] for _ in range(len(lv) + 1)]
+
+    tl = vals[:-1, :-1]; tr = vals[:-1, 1:]; bl = vals[1:, :-1]; br = vals[1:, 1:]
+    for li, level in enumerate(lv):
+        case = (
+            (tl >= level).astype(np.int8) * 8
+            + (tr >= level).astype(np.int8) * 4
+            + (br >= level).astype(np.int8) * 2
+            + (bl >= level).astype(np.int8)
+        )
+        ys, xs = np.nonzero(dom & (case > 0) & (case < 15))
+        for y, x in zip(ys, xs):
+            vtl, vtr, vbl, vbr = tl[y, x], tr[y, x], bl[y, x], br[y, x]
+            cv = int(case[y, x])
+            gy, gx = goff_r + y, goff_c + x
+            edges = {
+                0: (0, gy, gx, (level - vtl) / (vtr - vtl)),
+                1: (0, gy + 1, gx, (level - vbl) / (vbr - vbl)),
+                2: (1, gy, gx, (level - vtl) / (vbl - vtl)),
+                3: (1, gy, gx + 1, (level - vtr) / (vbr - vtr)),
+            }
+            if cv in _MS_CASES_DIR:
+                pairs = _MS_CASES_DIR[cv]
+            else:
+                center_hi = (vtl + vtr + vbl + vbr) / 4.0 >= level
+                pairs = _MS_SADDLE_DIR[(cv, (cv == 5) == center_hi)]
+            for ea, eb in pairs:
+                a, b = edges[ea], edges[eb]
+                band_pieces[li + 1].append((a, b))   # lower bound: as-is
+                band_pieces[li].append((b, a))       # upper bound: reversed
+
+    # domain-border pieces: edges between an in-domain square and not
+    false_row = np.zeros((1, dom.shape[1]), bool)
+    false_col = np.zeros((dom.shape[0], 1), bool)
+    nbr_n = np.vstack([false_row, dom[:-1, :]])
+    nbr_s = np.vstack([dom[1:, :], false_row])
+    nbr_w = np.hstack([false_col, dom[:, :-1]])
+    nbr_e = np.hstack([dom[:, 1:], false_col])
+
+    def border(o, biy, bix, v0, v1, fwd):
+        crossings = sorted(
+            (L - v0) / (v1 - v0) for L in lv if (v0 >= L) != (v1 >= L)
+        )
+        ts = [0.0] + crossings + [1.0]
+        for a, b in zip(ts[:-1], ts[1:]):
+            vm = v0 + 0.5 * (a + b) * (v1 - v0)
+            band = int(np.searchsorted(lv, vm, side="right"))
+
+            def ep(t):
+                if t == 0.0:
+                    return (0, biy, bix, 0.0)
+                if t == 1.0:
+                    return (0, biy + (1 if o == 1 else 0),
+                            bix + (1 if o == 0 else 0), 0.0)
+                return (o, biy, bix, t)
+
+            pa_, pb_ = (ep(a), ep(b)) if fwd else (ep(b), ep(a))
+            band_pieces[band].append((pa_, pb_))
+
+    for mask, kind in ((dom & ~nbr_n, "n"), (dom & ~nbr_s, "s"),
+                       (dom & ~nbr_w, "w"), (dom & ~nbr_e, "e")):
+        ys, xs = np.nonzero(mask)
+        for y, x in zip(ys.tolist(), xs.tolist()):
+            gy, gx = goff_r + y, goff_c + x
+            if kind == "n":
+                border(0, gy, gx, vals[y, x], vals[y, x + 1], False)
+            elif kind == "s":
+                border(0, gy + 1, gx, vals[y + 1, x], vals[y + 1, x + 1], True)
+            elif kind == "w":
+                border(1, gy, gx, vals[y, x], vals[y + 1, x], True)
+            else:
+                border(1, gy, gx + 1, vals[y, x + 1], vals[y + 1, x + 1], False)
+
+    import struct as _struct
+
+    rows = []
+    for band, pieces in enumerate(band_pieces):
+        if not pieces:
+            continue
+        start = {}
+        for i, (a, b) in enumerate(pieces):
+            ka = _struct.pack("<qqqq", int(a[0]), int(a[1]), int(a[2]),
+                              np.float64(a[3]).view(np.int64))
+            if ka in start:
+                raise ValueError("q38 poly oracle: duplicate start key")
+            start[ka] = i
+        visited = np.zeros(len(pieces), dtype=bool)
+        for i0 in range(len(pieces)):
+            if visited[i0]:
+                continue
+            total = n = area = 0
+            canon = None
+            i = i0
+            while True:
+                visited[i] = True
+                a, b = pieces[i]
+                total += _seg_len_mm(a, b, res_px)
+                area += _area_term_milli(a, b)
+                n += 1
+                for ep_ in (a, b):
+                    # band-salted (shared contract): the same iso line
+                    # appears reversed in the adjacent band with the
+                    # SAME endpoints — unsalted ids would collide
+                    h = _ep_hash(ep_, salt=_struct.pack("<q", band))
+                    if canon is None or h < canon:
+                        canon = h
+                kb = _struct.pack("<qqqq", int(b[0]), int(b[1]), int(b[2]),
+                                  np.float64(b[3]).view(np.int64))
+                if kb not in start:
+                    raise ValueError("q38 poly oracle: unclosed ring")
+                i = start[kb]
+                if visited[i]:
+                    break
+            rows.append((band, canon, n, total, area))
+    df = pd.DataFrame(
+        rows, columns=["level", "comp_id", "n_segments", "length_mm",
+                       "area_px2_milli"]
+    )
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    df.insert(0, "kind", "poly")
+    df["closed"] = True
+    return df[["kind", "level", "comp_id", "n_segments", "length_mm",
+               "closed", "area_px2_milli"]]
 
 
 # --------------------------------------------- q57 geometry scalar ops
@@ -1009,7 +1190,7 @@ GOLDENS = {
     "q33_rasterize_polygonize": (q33_rasterize_polygonize, ["comp_id"]),
     "q56_footprint": (q56_footprint, ["comp_id"]),
     "q36_proximity_sieve": (q36_proximity_sieve, ["cell"]),
-    "q38_contour": (q38_contour, ["level", "comp_id"]),
+    "q38_contour": (q38_contour, ["kind", "level", "comp_id"]),
     "q57_geometry_ops": (q57_geometry_ops, ["kind", "fid"]),
 }
 

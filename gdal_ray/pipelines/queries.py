@@ -1528,20 +1528,59 @@ def q37_point_query(sf_dir: str):
 
 
 def q38_contour(sf_dir: str):
-    """Contour with CROSS-CELL polyline stitching (alg/contour.cpp:568
-    semantics, distributed): a smooth analytic field is gridded per
-    z8 cell over the image-covered region, marching-squares fragments
-    are stitched across cell borders by exact endpoint matching +
-    min-label propagation, and whole polylines are emitted (closed flag
-    included)."""
+    """Contour suite, both output modes of gdal_contour
+    (alg/contour.cpp:568, distributed): 'line' rows are cross-cell
+    stitched iso-POLYLINES (exact endpoint matching + min-label
+    propagation); 'poly' rows are contour POLYGONS (-p;
+    polygon_ring_appender.h semantics) — level-band region boundaries
+    as closed rings with signed trapezoid areas (exterior negative,
+    holes positive).  One shared field-grid build; each mode is its
+    own one-shuffle stitch."""
     import ray.data as rd
 
-    from ..stages.contour import contour_cells, field_cells
+    from ..stages.contour import (
+        contour_cells,
+        contour_polygon_cells,
+        field_cells,
+    )
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
     imgs = rd.read_parquet(paths["images"], columns=["minx", "miny", "maxx", "maxy"])
-    cells = field_cells(imgs, zoom=8, grid=64)
-    return contour_cells(cells).sort(["level", "comp_id"])
+    cells = field_cells(imgs, zoom=8, grid=64).materialize()
+
+    def shape_line(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["line"] * t.num_rows, pa.string()),
+                "level": t.column("level"),
+                "comp_id": t.column("comp_id"),
+                "n_segments": t.column("n_segments"),
+                "length_mm": t.column("length_mm"),
+                "closed": t.column("closed"),
+                "area_px2_milli": pa.array(
+                    np.zeros(t.num_rows, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def shape_poly(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["poly"] * t.num_rows, pa.string()),
+                "level": t.column("band"),
+                "comp_id": t.column("comp_id"),
+                "n_segments": t.column("n_segments"),
+                "length_mm": t.column("length_mm"),
+                "closed": pa.array([True] * t.num_rows, pa.bool_()),
+                "area_px2_milli": t.column("area_px2_milli"),
+            }
+        )
+
+    lines = contour_cells(cells).map_batches(shape_line, batch_format="pyarrow")
+    polys = contour_polygon_cells(cells).map_batches(
+        shape_poly, batch_format="pyarrow"
+    )
+    return lines.union(polys).sort(["kind", "level", "comp_id"])
 
 
 def q39_color_quantize(sf_dir: str):
@@ -3490,7 +3529,11 @@ def _attach_affine_gcps(t: pa.Table) -> pa.Table:
 
 def q58_gcp_warp(sf_dir: str):
     """gdalwarp transformer suite: 'poly1' = -order 1 polynomial
-    fit over the sheared-affine GCP spec; 'tps' = thin-plate-spline
+    fit over the sheared-affine GCP spec; 'poly0' = -order 0
+    AUTO-selection (gdal_crs.cpp:202-210; 9 GCPs -> order 2) over the
+    bumped non-affine GCPs; 'polyref' = -refine_gcps outlier removal
+    (remove_outliers/worst_outlier loop) recovering the order-1 fit
+    from one deterministically-corrupted GCP; 'tps' = thin-plate-spline
     transformer (alg/gdal_tps.cpp analog) over the same GCPs with a
     deterministic dyadic non-affine bump (so the spline actually
     bends); 'rpc' = rational-polynomial transformer (alg/gdal_rpc.cpp
@@ -3553,6 +3596,9 @@ class _WarpSuiteChips:
         )
 
         self.poly = WarpChipsGCP(order=1, resampling="bilinear")
+        # order=0 -> reference auto-selection (alg/gdal_crs.cpp:202-210;
+        # 9 GCPs -> order 2), exercised on the BUMPED (non-affine) GCPs
+        self.poly0 = WarpChipsGCP(order=0, resampling="bilinear")
         self.tps = WarpChipsTPS(resampling="bilinear")
         self.rpc = WarpChipsRPC(resampling="bilinear")
         self.glc = WarpChipsGeoloc(resampling="bilinear")
@@ -3583,9 +3629,24 @@ class _WarpSuiteChips:
             env = (cols["minx"][i], cols["miny"][i],
                    cols["maxx"][i], cols["maxy"][i])
             img = codecs.decode(cols["bytes"][i], w, h, fmt)
+            # polyref: one corrupted GCP (index i_img % 9, +32/-16 gsd —
+            # dyadic, mirrored by rasterref), removed by the
+            # remove_outliers loop at tolerance 8*gsd
+            i_img = int(iid[3:])
+            j = i_img % 9
+            gsd = (env[2] - env[0]) / w
+            cgx = list(gx[i])
+            cgy = list(gy[i])
+            cgx[j] += 32.0 * gsd
+            cgy[j] -= 16.0 * gsd
             for tag, out in (
                 ("poly1",
                  self.poly._warp_one(img, gp[i], gl[i], gx[i], gy[i])[0]),
+                ("poly0",
+                 self.poly0._warp_one(img, gp[i], gl[i], bx[i], by[i])[0]),
+                ("polyref",
+                 self.poly._warp_one(img, gp[i], gl[i], cgx, cgy,
+                                     refine=True, tolerance=8.0 * gsd)[0]),
                 ("tps",
                  self.tps._warp_one(img, gp[i], gl[i], bx[i], by[i])[0]),
                 ("rpc", self.rpc._warp_one(img, iid)[0]),

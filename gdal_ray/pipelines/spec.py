@@ -414,14 +414,21 @@ def _raster_fill_nodata(ds, max_search: int = 100):
 
 
 @register_step("raster_contour")
-def _raster_contour(ds, zoom: int = 8, grid: int = 64, levels=None):
+def _raster_contour(ds, zoom: int = 8, grid: int = 64, levels=None,
+                    polygons: bool = False):
     """Envelope rows -> synthetic field cells -> stitched contour
-    polylines (gdalalg_raster_contour.cpp)."""
-    from ..stages.contour import LEVELS, contour_cells, field_cells
+    polylines, or level-band POLYGON rings with ``polygons=True``
+    (gdalalg_raster_contour.cpp; -p maps to polygons)."""
+    from ..stages.contour import (
+        LEVELS,
+        contour_cells,
+        contour_polygon_cells,
+        field_cells,
+    )
 
     cells = field_cells(ds, zoom=zoom, grid=grid)
-    return contour_cells(cells, levels=tuple(levels) if levels else LEVELS,
-                         grid=grid)
+    stage = contour_polygon_cells if polygons else contour_cells
+    return stage(cells, levels=tuple(levels) if levels else LEVELS, grid=grid)
 
 
 @register_step("raster_viewshed")

@@ -189,6 +189,173 @@ def chain_segments(segs: np.ndarray, res_px: float):
     return chains
 
 
+def _frag_xy(segs: np.ndarray):
+    """Decomposed endpoints -> cartesian pixel coords (x0,y0,x1,y1)."""
+    o0, iy0, ix0, t0 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    o1, iy1, ix1, t1 = segs[:, 4], segs[:, 5], segs[:, 6], segs[:, 7]
+    x0 = ix0 + np.where(o0 == 0, t0, 0.0)
+    y0 = iy0 + np.where(o0 == 1, t0, 0.0)
+    x1 = ix1 + np.where(o1 == 0, t1, 0.0)
+    y1 = iy1 + np.where(o1 == 1, t1, 0.0)
+    return x0, y0, x1, y1
+
+
+def _area_terms_milli(segs: np.ndarray) -> np.ndarray:
+    """Per-DIRECTED-fragment trapezoid shoelace term, rounded to
+    integer milli-px^2 so ring sums are accumulation-order independent:
+    floor((x0+x1)*(y1-y0) * 1000/2 + 0.5).  With the region-on-left /
+    y-down orientation convention, exterior rings sum NEGATIVE and
+    holes POSITIVE."""
+    x0, y0, x1, y1 = _frag_xy(segs)
+    return np.floor((x0 + x1) * (y1 - y0) * 500.0 + 0.5).astype(np.int64)
+
+
+def chain_directed(segs: np.ndarray, res_px: float, salt: bytes = b""):
+    """Chain DIRECTED fragments (start -> end) into maximal paths by
+    exact endpoint matching.  Every endpoint key must be the start of
+    at most one fragment and the end of at most one (degree > 2 means
+    a degenerate 'pinch' node — raise rather than mis-stitch).
+
+    `salt` scopes the canon node hashes (polygon mode salts with the
+    BAND: the same iso line is emitted into both adjacent bands —
+    as-is and reversed — with identical endpoint descriptors, so
+    unsalted canons would collide across bands and the band-blind
+    min-label CC would merge one band's ring into the other's).
+
+    Returns chains: dicts (n_seg, len_mm, area_milli, canon,
+    open_keys [start_key, end_key] or [] when locally closed)."""
+    n = len(segs)
+    k0, k1 = _endpoint_keys(segs)
+    lens = _seg_lengths_mm(segs, res_px)
+    areas = _area_terms_milli(segs)
+    start: dict[bytes, int] = {}
+    end_keys: set[bytes] = set()
+    for i in range(n):
+        if k0[i] in start:
+            raise ValueError("contour polygons: duplicate fragment start key "
+                             "(degenerate pinch node)")
+        start[k0[i]] = i
+        if k1[i] in end_keys:
+            raise ValueError("contour polygons: duplicate fragment end key "
+                             "(degenerate pinch node)")
+        end_keys.add(k1[i])
+    visited = np.zeros(n, dtype=bool)
+    chains = []
+
+    def walk(i0: int):
+        total = 0
+        count = 0
+        area = 0
+        canon = None
+        i = i0
+        while True:
+            visited[i] = True
+            total += int(lens[i])
+            area += int(areas[i])
+            count += 1
+            for kk in (k0[i], k1[i]):
+                hsh = _node_hash(salt + kk)
+                if canon is None or hsh < canon:
+                    canon = hsh
+            nxt = start.get(k1[i])
+            if nxt is None or visited[nxt]:
+                return total, count, area, canon, k1[i]
+            i = nxt
+
+    # open chains first: heads are fragments whose start key is no
+    # local fragment's end key
+    for i in range(n):
+        if visited[i] or k0[i] in end_keys:
+            continue
+        total, count, area, canon, last = walk(i)
+        chains.append(dict(n_seg=count, len_mm=total, area_milli=area,
+                           canon=canon, open_keys=[k0[i], last]))
+    # remaining unvisited fragments belong to locally-closed rings
+    for i in range(n):
+        if visited[i]:
+            continue
+        total, count, area, canon, last = walk(i)
+        if last != k0[i]:
+            raise ValueError("contour polygons: local ring did not close")
+        chains.append(dict(n_seg=count, len_mm=total, area_milli=area,
+                           canon=canon, open_keys=[]))
+    return chains
+
+
+def _border_pieces(ext: np.ndarray, dom: np.ndarray, ex: dict,
+                   gr0: int, gc0: int, levels, grid: int) -> np.ndarray:
+    """Directed band-boundary pieces along the DOMAIN border owned by
+    this cell, split at level crossings: (N, 9) rows of
+    (band, o0,iy0,ix0,t0, o1,iy1,ix1,t1) with domain interior on the
+    LEFT.  `dom` is the (grid,grid) in-domain mask of OWN squares;
+    `ex` holds the 8-neighbor existence bits (pixel-space N/S/E/W/
+    NE/SE/SW/NW).  Neighbor-square domain status across the cell
+    border is derived from existence bits (covered cells have fully
+    finite grids — asserted by the caller)."""
+    g = grid
+    rng = np.arange(g)
+    inner = rng < g - 1
+    padN = ex["N"] & (inner | (ex["NE"] & ex["E"]))   # per column c
+    padS = ex["S"] & (inner | ex["SE"])               # per column c
+    padW = ex["W"] & (inner | (ex["SW"] & ex["S"]))   # per row r
+    padE = ex["E"] & (inner | ex["SE"])               # per row r
+
+    nbr_n = np.vstack([padN[None, :], dom[:-1, :]])   # square (r-1, c)
+    nbr_s = np.vstack([dom[1:, :], padS[None, :]])    # square (r+1, c)
+    nbr_w = np.hstack([padW[:, None], dom[:, :-1]])   # square (r, c-1)
+    nbr_e = np.hstack([dom[:, 1:], padE[:, None]])    # square (r, c+1)
+
+    lv = np.asarray(levels, np.float64)
+    out = []
+
+    def edge_pieces(o, biy, bix, v0, v1, fwd):
+        """Split one border edge (descriptor base (o,biy,bix), values
+        v0 at the top/left node, v1 at the other) into band pieces."""
+        crossings = []
+        for L in lv:
+            if (v0 >= L) != (v1 >= L):
+                t = (L - v0) / (v1 - v0)
+                if not (0.0 < t < 1.0):
+                    raise ValueError(
+                        "contour polygons: level crossing landed on a node")
+                crossings.append(t)
+        ts = [0.0] + sorted(crossings) + [1.0]
+        for a, b in zip(ts[:-1], ts[1:]):
+            vm = v0 + 0.5 * (a + b) * (v1 - v0)
+            band = int(np.searchsorted(lv, vm, side="right"))
+
+            def ep(t):
+                if t == 0.0:
+                    return (0.0, float(biy), float(bix), 0.0)
+                if t == 1.0:
+                    return (0.0, float(biy + (1 if o == 1 else 0)),
+                            float(bix + (1 if o == 0 else 0)), 0.0)
+                return (float(o), float(biy), float(bix), float(t))
+
+            pa_, pb_ = (ep(a), ep(b)) if fwd else (ep(b), ep(a))
+            out.append((float(band),) + pa_ + pb_)
+
+    for mask, kind in ((dom & ~nbr_n, "n"), (dom & ~nbr_s, "s"),
+                       (dom & ~nbr_w, "w"), (dom & ~nbr_e, "e")):
+        ys, xs = np.nonzero(mask)
+        for r, c in zip(ys.tolist(), xs.tolist()):
+            if kind == "n":    # D below the edge -> walk -x
+                edge_pieces(0, gr0 + r, gc0 + c,
+                            ext[r, c], ext[r, c + 1], fwd=False)
+            elif kind == "s":  # D above -> walk +x
+                edge_pieces(0, gr0 + r + 1, gc0 + c,
+                            ext[r + 1, c], ext[r + 1, c + 1], fwd=True)
+            elif kind == "w":  # D east -> walk +y
+                edge_pieces(1, gr0 + r, gc0 + c,
+                            ext[r, c], ext[r + 1, c], fwd=True)
+            else:              # east edge: D west -> walk -y
+                edge_pieces(1, gr0 + r, gc0 + c + 1,
+                            ext[r, c + 1], ext[r + 1, c + 1], fwd=False)
+    if not out:
+        return np.empty((0, 9), dtype=np.float64)
+    return np.asarray(out, dtype=np.float64)
+
+
 def contour_cells(cells, levels=LEVELS, grid: int = 64):
     """Cell grid rows -> stitched contour polylines Dataset."""
     from .polygonize import min_label_components
@@ -487,4 +654,315 @@ def contour_cells(cells, levels=LEVELS, grid: int = 64):
     closed_ds = closed_rings.map_batches(shape_closed, batch_format="pyarrow")
     if open_count == 0:
         return closed_ds
+    return merged.map_batches(shape_merged, batch_format="pyarrow").union(closed_ds)
+
+
+def contour_polygon_cells(cells, levels=LEVELS, grid: int = 64):
+    """Contour POLYGONS (``gdal_contour -p``; alg/contour.cpp polygon
+    mode + alg/marching_squares/polygon_ring_appender.h semantics,
+    distributed): the value range is partitioned into bands
+    ``(-inf, L0), [L0, L1), ..., [Lk, +inf)`` and each band's region
+    boundary is emitted as closed rings with sub-pixel crossings —
+    DIRECTED iso segments at the band's bounding levels (region on the
+    left) plus band sub-pieces of the mosaic's DOMAIN-border edges,
+    stitched across cells by the same exact endpoint matching +
+    min-label CC the line mode uses.
+
+    Domain = union of node-grid unit squares whose 4 corners exist;
+    border edges owned across cells are decided from 8-neighbor cell
+    existence bits carried through the one groupby(cell) shuffle
+    (covered cells have fully finite grids — asserted).
+
+    Output rows: band:int64 (0..k), comp_id:int64 (min endpoint hash
+    over the ring), n_segments:int64, length_mm:int64 (perimeter),
+    area_px2_milli:int64 (signed trapezoid sum; with region-on-left /
+    y-down, EXTERIOR rings are negative and HOLES positive — the sign
+    is the ring role, GDAL's winding-number nesting restated)."""
+    from .polygonize import _materialize_detached, min_label_components
+    from .tiles import _add_scatter
+    from ..functions.contour_ms import marching_squares_desc_dir
+
+    levels = tuple(float(l) for l in levels)
+    n_bands = len(levels) + 1
+
+    def emit_with_halo_ex(t: pa.Table) -> pa.Table:
+        rows = {"cell": [], "kind": [], "payload": [], "z": [], "x": [], "y": []}
+        for r in range(t.num_rows):
+            z = int(t.column("z")[r].as_py())
+            tx = int(t.column("x")[r].as_py())
+            ty = int(t.column("y")[r].as_py())
+            gb = t.column("grid_bytes")[r].as_py()
+            g = np.frombuffer(gb, dtype=np.float64).reshape(grid, grid)
+            n = 1 << z
+            rows["cell"].append(int(mercator.pack_cell(z, tx, ty)))
+            rows["kind"].append("own")
+            rows["payload"].append(gb)
+            rows["z"].append(z)
+            rows["x"].append(tx)
+            rows["y"].append(ty)
+            sends = [
+                ("row", 0, 1, g[0, :].tobytes()),
+                ("col", -1, 0, g[:, 0].tobytes()),
+                ("cor", -1, 1, g[0, 0].tobytes()),
+            ]
+            # existence markers to all 8 neighbors: payload = sender's
+            # tile offset relative to the receiver
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    sends.append(("ex", dx, dy, struct.pack("<bb", -dx, -dy)))
+            for kind, dx, dy, payload in sends:
+                nx, ny = tx + dx, ty + dy
+                if 0 <= nx < n and 0 <= ny < n:
+                    rows["cell"].append(int(mercator.pack_cell(z, nx, ny)))
+                    rows["kind"].append(kind)
+                    rows["payload"].append(payload)
+                    rows["z"].append(z)
+                    rows["x"].append(nx)
+                    rows["y"].append(ny)
+        return pa.table(
+            {
+                "cell": pa.array(rows["cell"], pa.int64()),
+                "kind": pa.array(rows["kind"], pa.string()),
+                "payload": pa.array(rows["payload"], pa.binary()),
+                "z": pa.array(rows["z"], pa.int32()),
+                "x": pa.array(rows["x"], pa.int32()),
+                "y": pa.array(rows["y"], pa.int32()),
+            }
+        )
+
+    def _empty_poly_frag_table() -> pa.Table:
+        return pa.table(
+            {
+                "band": pa.array([], pa.int64()),
+                "node": pa.array([], pa.int64()),
+                "n_seg": pa.array([], pa.int64()),
+                "len_mm": pa.array([], pa.int64()),
+                "area_milli": pa.array([], pa.int64()),
+                "closed": pa.array([], pa.bool_()),
+                "ep1": pa.array([], pa.binary()),
+                "ep2": pa.array([], pa.binary()),
+            }
+        )
+
+    def poly_fragments_group(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        if "own" not in kinds:
+            return _empty_poly_frag_table()
+        z = int(g.column("z")[0].as_py())
+        tx = int(g.column("x")[0].as_py())
+        ty = int(g.column("y")[0].as_py())
+        nt = 1 << z
+        res_px = float(mercator.resolution(z)) * 256.0 / grid
+        ext = np.full((grid + 1, grid + 1), np.nan)
+        # pixel-space existence: tile +y is pixel NORTH
+        ex = {k: False for k in ("N", "S", "E", "W", "NE", "NW", "SE", "SW")}
+        _DIR = {(1, 0): "E", (-1, 0): "W", (0, 1): "N", (0, -1): "S",
+                (1, 1): "NE", (1, -1): "SE", (-1, 1): "NW", (-1, -1): "SW"}
+        for r, kind in enumerate(kinds):
+            pl = g.column("payload")[r].as_py()
+            if kind == "own":
+                own = np.frombuffer(pl, dtype=np.float64).reshape(grid, grid)
+                if not np.isfinite(own).all():
+                    raise ValueError(
+                        "contour polygons: covered cell with non-finite grid")
+                ext[:grid, :grid] = own
+            elif kind == "row":
+                ext[grid, :grid] = np.frombuffer(pl, dtype=np.float64)
+            elif kind == "col":
+                ext[:grid, grid] = np.frombuffer(pl, dtype=np.float64)
+            elif kind == "cor":
+                ext[grid, grid] = np.frombuffer(pl, dtype=np.float64)[0]
+            else:  # ex
+                ox, oy = struct.unpack("<bb", pl)
+                ex[_DIR[(ox, oy)]] = True
+        gr0 = (nt - 1 - ty) * grid
+        gc0 = tx * grid
+        fin = np.isfinite(ext)
+        dom = fin[:-1, :-1] & fin[:-1, 1:] & fin[1:, :-1] & fin[1:, 1:]
+
+        band_frags: list[list[np.ndarray]] = [[] for _ in range(n_bands)]
+        for i, L in enumerate(levels):
+            segs = marching_squares_desc_dir(ext, L)
+            if len(segs) == 0:
+                continue
+            segs[:, 1] += gr0
+            segs[:, 2] += gc0
+            segs[:, 5] += gr0
+            segs[:, 6] += gc0
+            band_frags[i + 1].append(segs)          # lower bound: as-is
+            band_frags[i].append(                   # upper bound: reversed
+                np.concatenate([segs[:, 4:8], segs[:, 0:4]], axis=1))
+        borders = _border_pieces(ext, dom, ex, gr0, gc0, levels, grid)
+        for b in range(n_bands):
+            sel = borders[borders[:, 0] == b, 1:9] if len(borders) else None
+            if sel is not None and len(sel):
+                band_frags[b].append(sel)
+
+        out = {k: [] for k in ("band", "node", "n_seg", "len_mm",
+                               "area_milli", "closed", "ep1", "ep2")}
+        for b in range(n_bands):
+            if not band_frags[b]:
+                continue
+            frags = np.concatenate(band_frags[b], axis=0)
+            for ch in chain_directed(frags, res_px, salt=struct.pack("<q", b)):
+                out["band"].append(b)
+                out["node"].append(ch["canon"])
+                out["n_seg"].append(ch["n_seg"])
+                out["len_mm"].append(ch["len_mm"])
+                out["area_milli"].append(ch["area_milli"])
+                out["closed"].append(len(ch["open_keys"]) == 0)
+                out["ep1"].append(ch["open_keys"][0] if ch["open_keys"] else b"")
+                out["ep2"].append(ch["open_keys"][1] if ch["open_keys"] else b"")
+        return pa.table(
+            {
+                "band": pa.array(out["band"], pa.int64()),
+                "node": pa.array(out["node"], pa.int64()),
+                "n_seg": pa.array(out["n_seg"], pa.int64()),
+                "len_mm": pa.array(out["len_mm"], pa.int64()),
+                "area_milli": pa.array(out["area_milli"], pa.int64()),
+                "closed": pa.array(out["closed"], pa.bool_()),
+                "ep1": pa.array(out["ep1"], pa.binary()),
+                "ep2": pa.array(out["ep2"], pa.binary()),
+            }
+        )
+
+    scattered = cells.map_batches(
+        emit_with_halo_ex, batch_format="pyarrow"
+    ).map_batches(_add_scatter, batch_format="pyarrow")
+    frags = _materialize_detached(
+        scattered.groupby("__scatter").map_groups(
+            poly_fragments_group, batch_format="pyarrow"
+        )
+    )
+
+    def _only(closed_val: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t.column("closed"), pa.scalar(closed_val)))
+
+        fn.__name__ = f"pclosed_{closed_val}"
+        return fn
+
+    closed_rings = frags.map_batches(
+        _only(True), batch_format="pyarrow"
+    ).select_columns(["band", "node", "n_seg", "len_mm", "area_milli"])
+    open_frags = frags.map_batches(_only(False), batch_format="pyarrow")
+
+    # one row per open endpoint: key = (band | endpoint descriptor),
+    # role 1 = chain start, 0 = chain end; every key must pair exactly
+    # one start with one end (polygon boundaries always close)
+    def endpoints(t: pa.Table) -> pa.Table:
+        bands = t.column("band").to_pylist()
+        nodes = t.column("node").to_pylist()
+        e1 = t.column("ep1").to_pylist()
+        e2 = t.column("ep2").to_pylist()
+        key, node, role = [], [], []
+        for r in range(t.num_rows):
+            pfx = struct.pack("<q", bands[r])
+            key.append(pfx + e1[r])
+            role.append(1)
+            key.append(pfx + e2[r])
+            role.append(0)
+            node.append(nodes[r])
+            node.append(nodes[r])
+        return pa.table(
+            {
+                "key": pa.array(key, pa.binary()),
+                "node": pa.array(node, pa.int64()),
+                "role": pa.array(role, pa.int64()),
+            }
+        )
+
+    eps = open_frags.map_batches(endpoints, batch_format="pyarrow")
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ep_stats = _materialize_detached(
+        eps.groupby("key").aggregate(
+            Count(alias_name="n"),
+            Min("node", alias_name="mn"),
+            Max("node", alias_name="mx"),
+            Sum("role", alias_name="rs"),
+        )
+    )
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        rs = t.column("rs").to_numpy(zero_copy_only=False)
+        if (n != 2).any() or (rs != 1).any():
+            bad = int(((n != 2) | (rs != 1)).sum())
+            raise ValueError(
+                f"contour polygons: {bad} seam endpoints failed to pair "
+                "one chain start with one chain end (unclosed boundary)")
+        return pa.table({"a": t.column("mn"), "b": t.column("mx")})
+
+    pairs = ep_stats.map_batches(to_pairs, batch_format="pyarrow")
+    labels = min_label_components(pairs)
+    open_count = open_frags.count()
+
+    def _with_root(ds):
+        if labels is None or open_count == 0:
+            def self_root(t: pa.Table) -> pa.Table:
+                return t.append_column("root", t.column("node"))
+
+            return ds.map_batches(self_root, batch_format="pyarrow")
+        n_lab = labels.count()
+        parts_n = max(1, n_lab // 50_000)
+        renamed = labels.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "label": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        joined = ds.join(renamed, join_type="left_outer",
+                         num_partitions=parts_n, on=("node",))
+
+        def pick(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            root = pc.coalesce(t.column("label"), t.column("node"))
+            return t.drop_columns(["label"]).append_column("root", root)
+
+        return joined.map_batches(pick, batch_format="pyarrow")
+
+    def shape_closed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band": t.column("band"),
+                "comp_id": t.column("node"),
+                "n_segments": t.column("n_seg"),
+                "length_mm": t.column("len_mm"),
+                "area_px2_milli": t.column("area_milli"),
+            }
+        )
+
+    closed_ds = closed_rings.map_batches(shape_closed, batch_format="pyarrow")
+    if open_count == 0:
+        return closed_ds
+
+    merged = (
+        _with_root(open_frags.select_columns(
+            ["band", "node", "n_seg", "len_mm", "area_milli"]))
+        .groupby("root")
+        .aggregate(
+            Max("band", alias_name="band"),
+            Sum("n_seg", alias_name="n_segments"),
+            Sum("len_mm", alias_name="length_mm"),
+            Sum("area_milli", alias_name="area_px2_milli"),
+        )
+    )
+
+    def shape_merged(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band": t.column("band"),
+                "comp_id": t.column("root"),
+                "n_segments": t.column("n_segments"),
+                "length_mm": t.column("length_mm"),
+                "area_px2_milli": t.column("area_px2_milli"),
+            }
+        )
+
     return merged.map_batches(shape_merged, batch_format="pyarrow").union(closed_ds)

@@ -97,3 +97,76 @@ def test_distributed_propagation_matches_one_task(ray_session):
         .reset_index(drop=True)
     )
     assert small.equals(big)
+
+
+def test_polygon_bands_cone_four_cells(ray_session):
+    """Polygon mode over the 4-cell cone: level 128 splits the domain
+    into band 1 (the disk, one exterior ring) and band 0 (everything
+    else: one domain-border exterior + the disk as a HOLE).  Checks
+    ring counts, orientation signs, areas, and that the hole and the
+    adjacent band's exterior are the SAME curve under DIFFERENT
+    band-salted comp_ids (the cross-band collision regression)."""
+    from gdal_ray.functions import mercator
+    from gdal_ray.stages.contour import contour_polygon_cells
+
+    z, gx, gy, grid = 8, 200, 200, 64
+    minx, miny, maxx, maxy = mercator.tile_bounds(gx + 1, gy + 1, z)
+    cx, cy = float(minx), float(miny)
+    grids = {}
+    for tx in (gx, gx + 1):
+        for ty in (gy, gy + 1):
+            tminx, tminy, tmaxx, tmaxy = mercator.tile_bounds(tx, ty, z)
+            res = (tmaxx - tminx) / grid
+            xs = tminx + (np.arange(grid) + 0.5) * res
+            ys = tmaxy - (np.arange(grid) + 0.5) * res
+            d = np.hypot(xs[None, :] - cx, ys[:, None] - cy)
+            grids[(tx, ty)] = 200.0 - d / 1000.0
+    res_px = float(mercator.resolution(z)) * 256.0 / grid
+    out = (
+        contour_polygon_cells(_cells_ds(grids), levels=(128.0,))
+        .to_pandas()
+        .sort_values(["band", "area_px2_milli"])
+        .reset_index(drop=True)
+    )
+    r_px = 72000.0 / res_px  # iso radius in pixels
+    disk_px2 = np.pi * r_px * r_px
+    b1 = out[out.band == 1]
+    b0 = out[out.band == 0]
+    assert len(b1) == 1 and len(b0) == 2
+    # band 1: one exterior (negative) ring ~ disk area
+    assert b1.area_px2_milli.iloc[0] < 0
+    assert -b1.area_px2_milli.iloc[0] / 1000.0 == pytest.approx(disk_px2, rel=0.05)
+    # band 0: domain exterior (negative, (2*grid-1)^2 node squares)
+    # + the disk as a positive HOLE
+    dom_px2 = float((2 * grid - 1) ** 2)
+    ext = b0[b0.area_px2_milli < 0]
+    hole = b0[b0.area_px2_milli > 0]
+    assert len(ext) == 1 and len(hole) == 1
+    assert -ext.area_px2_milli.iloc[0] / 1000.0 == pytest.approx(dom_px2, rel=0.02)
+    assert hole.area_px2_milli.iloc[0] / 1000.0 == pytest.approx(disk_px2, rel=0.05)
+    # the hole IS the band-1 exterior curve: same perimeter/segment
+    # count, different band-salted comp_id
+    assert int(hole.n_segments.iloc[0]) == int(b1.n_segments.iloc[0])
+    assert int(hole.length_mm.iloc[0]) == int(b1.length_mm.iloc[0])
+    assert int(hole.comp_id.iloc[0]) != int(b1.comp_id.iloc[0])
+    # perimeter ~ circle circumference
+    assert b1.length_mm.iloc[0] / 1e6 == pytest.approx(2 * np.pi * 72.0, rel=0.1)
+
+
+def test_polygon_bands_ramp_single_cell(ray_session):
+    """Polygon mode on a single-cell x-ramp: each band is one closed
+    region ring; band areas partition the cell domain."""
+    from gdal_ray.functions import mercator
+    from gdal_ray.stages.contour import contour_polygon_cells
+
+    z, tx, ty, grid = 8, 300, 300, 64
+    tminx, tminy, tmaxx, tmaxy = mercator.tile_bounds(tx, ty, z)
+    xs = tminx + (np.arange(grid) + 0.5) * (tmaxx - tminx) / grid
+    g = np.repeat(((xs - tminx) / (tmaxx - tminx) * 255.0)[None, :], grid, axis=0)
+    out = contour_polygon_cells(_cells_ds({(tx, ty): g}), levels=(128.0,)).to_pandas()
+    assert len(out) == 2
+    assert set(out.band) == {0, 1}
+    assert (out.area_px2_milli < 0).all()  # two exteriors, no holes
+    dom_px2 = float((grid - 1) ** 2)
+    total = -out.area_px2_milli.sum() / 1000.0
+    assert total == pytest.approx(dom_px2, abs=0.1)
