@@ -561,7 +561,7 @@ def interval_join(
     left,
     right,
     on: str,
-    by: str,
+    by: str | None,
     lo: str,
     hi: str,
     band: float,
@@ -585,7 +585,9 @@ def interval_join(
     An interval spanning more than ``max_bands`` bands raises (pick a
     larger ``band``) — the replication factor is the scale knob, and a
     silent clamp would drop pairs.  ``band`` is in ``on``-units
-    (microsecond ticks for timestamp columns)."""
+    (microsecond ticks for timestamp columns).  ``by=None`` joins on
+    the range alone (the SQL pure non-equi fallback): partitioning
+    then comes entirely from the band id."""
     if band <= 0:
         raise ValueError("band must be positive")
 
@@ -593,7 +595,7 @@ def interval_join(
     rsch = list(zip(right.schema().names, right.schema().types))
     lcols = [c for c, _ in lsch]
     rcols = [c for c, _ in rsch]
-    r_out = [c for c in rcols if c != by]
+    r_out = [c for c in rcols if c != by]  # by=None keeps all
     out_names = {c: (c + right_suffix if c in lcols else c) for c in r_out}
 
     def _ticks(col) -> np.ndarray:
@@ -609,9 +611,12 @@ def interval_join(
         return (h % np.uint64(num_partitions)).astype(np.int64)
 
     def tag_left(t: pa.Table) -> pa.Table:
-        valid = pc.and_(pc.is_valid(t.column(by)), pc.is_valid(t.column(on)))
+        valid = pc.is_valid(t.column(on))
+        if by is not None:
+            valid = pc.and_(pc.is_valid(t.column(by)), valid)
         t = t.filter(valid)
-        k = pc.cast(t.column(by), pa.int64()).to_numpy(zero_copy_only=False)
+        k = (pc.cast(t.column(by), pa.int64()).to_numpy(zero_copy_only=False)
+             if by is not None else np.zeros(t.num_rows, np.int64))
         b = np.floor_divide(_ticks(t.column(on)), np.int64(band))
         cols = {
             "__side": pa.array(np.zeros(t.num_rows, np.int8)),
@@ -625,12 +630,12 @@ def interval_join(
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
-        valid = pc.and_(
-            pc.is_valid(t.column(by)),
-            pc.and_(pc.is_valid(t.column(lo)), pc.is_valid(t.column(hi))),
-        )
+        valid = pc.and_(pc.is_valid(t.column(lo)), pc.is_valid(t.column(hi)))
+        if by is not None:
+            valid = pc.and_(pc.is_valid(t.column(by)), valid)
         t = t.filter(valid)
-        k = pc.cast(t.column(by), pa.int64()).to_numpy(zero_copy_only=False)
+        k = (pc.cast(t.column(by), pa.int64()).to_numpy(zero_copy_only=False)
+             if by is not None else np.zeros(t.num_rows, np.int64))
         b0 = np.floor_divide(_ticks(t.column(lo)), np.int64(band))
         b1 = np.floor_divide(_ticks(t.column(hi)), np.int64(band))
         cnt = (b1 - b0 + 1).astype(np.int64)
@@ -675,12 +680,13 @@ def interval_join(
         )
         if lt.num_rows == 0 or rt.num_rows == 0:
             return pa.table(empty)
-        lk = pc.cast(lt.column(by), pa.int64()).to_numpy(zero_copy_only=False)
+        lk = (pc.cast(lt.column(by), pa.int64()).to_numpy(zero_copy_only=False)
+              if by is not None else np.zeros(lt.num_rows, np.int64))
         lb = lt.column("__band").to_numpy(zero_copy_only=False)
         lt_on = _ticks(lt.column(on))
-        rk = pc.cast(rt.column(f"__r_{by}"), pa.int64()).to_numpy(
+        rk = (pc.cast(rt.column(f"__r_{by}"), pa.int64()).to_numpy(
             zero_copy_only=False
-        )
+        ) if by is not None else np.zeros(rt.num_rows, np.int64))
         rb = rt.column("__band").to_numpy(zero_copy_only=False)
         r_lo = _ticks(rt.column(f"__r_{lo}"))
         r_hi = _ticks(rt.column(f"__r_{hi}"))

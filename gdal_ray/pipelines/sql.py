@@ -951,6 +951,88 @@ def _nl_join(left_ds, right_ds, right_cols, renames, right_schema,
     return left_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _match_range_on(residual, side_of, ja):
+    """Pattern-match a non-equi ON for the interval-join lowering:
+    returns (probe=(alias,col), lo=(alias,col), hi=(alias,col)) where
+    lo/hi live on ONE table and the probe on the other, one of them
+    being ``ja`` — from either a single BETWEEN conjunct or a
+    lower+upper inequality pair over the same probe column.  Strict
+    bounds still match (the lowering co-locates the INCLUSIVE superset;
+    the original conjuncts re-filter post-join).  None when the shape
+    is absent."""
+    def col_side(node):
+        try:
+            return side_of(node)
+        except ValueError:
+            return None
+
+    # single BETWEEN: X BETWEEN lo AND hi
+    for c in residual:
+        if c[0] != "between":
+            continue
+        x, lo, hi = col_side(c[1]), col_side(c[2]), col_side(c[3])
+        if None in (x, lo, hi) or lo[0] != hi[0] or x[0] == lo[0]:
+            continue
+        if ja in (x[0], lo[0]):
+            return x, lo, hi
+    # lower + upper inequality pair over the same probe column
+    lowers, uppers = {}, {}
+    for c in residual:
+        if c[0] not in ("ge", "gt", "le", "lt"):
+            continue
+        a, b = col_side(c[1]), col_side(c[2])
+        if a is None or b is None or a[0] == b[0]:
+            continue
+        # normalize to bound <= probe (lower) / probe <= bound (upper)
+        if c[0] in ("ge", "gt"):  # a >= b: b is a lower bound of a
+            lowers.setdefault(a, b)
+            uppers.setdefault(b, a)
+        else:  # a <= b
+            uppers.setdefault(a, b)
+            lowers.setdefault(b, a)
+    for probe, lo in lowers.items():
+        hi = uppers.get(probe)
+        if hi is None or lo[0] != hi[0] or probe[0] == lo[0]:
+            continue
+        if ja in (probe[0], lo[0]):
+            return probe, lo, hi
+    return None
+
+
+def _interval_band_of(interval_ds, lo: str, hi: str) -> int:
+    """Auto band width for the interval-join fallback: one tiny
+    per-block partial pass (3 int64 ticks per block, driver-reduced)
+    gives max interval width and global span; band =
+    max(max_width, span/4096, 1) bounds replication at 2 bands per
+    interval and the band count at ~4096."""
+    def part(t: pa.Table) -> pa.Table:
+        def ticks(col):
+            a = col.to_numpy(zero_copy_only=False)
+            return a.view("i8") if a.dtype.kind in "mM" else a
+
+        v = pc.and_(pc.is_valid(t.column(lo)), pc.is_valid(t.column(hi)))
+        t = t.filter(v)
+        if t.num_rows == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        a, b = ticks(t.column(lo)), ticks(t.column(hi))
+        return pa.table({"mn": pa.array([int(a.min())], pa.int64()),
+                         "mx": pa.array([int(b.max())], pa.int64()),
+                         "w": pa.array([int((b - a).max())], pa.int64())})
+
+    parts = interval_ds.map_batches(part, batch_format="pyarrow").take_all()
+    if not parts:
+        return 1
+    span = max(p["mx"] for p in parts) - min(p["mn"] for p in parts)
+    max_w = max(p["w"] for p in parts)
+    return max(int(max_w), int(span // 4096), 1)
+
+
+_RANGEABLE = (pa.types.is_integer, pa.types.is_timestamp,
+              pa.types.is_date, pa.types.is_time)
+
+
 def _run_join_agg(plan, tables, num_partitions: int):
     """JOIN chain + GROUP-BY/aggregate lowering (ogr_gensql.cpp
     analog).  Single-table WHERE conjuncts push below the join (never
@@ -1046,7 +1128,9 @@ def _run_join_agg(plan, tables, num_partitions: int):
                     continue
             residual.append(c)
         if equi is None:
-            # CROSS JOIN / pure non-equi ON: broadcast nested-loop.
+            # CROSS JOIN / pure non-equi ON: interval-join lowering
+            # when the ON carries a range predicate (scales past the
+            # broadcast cap), else broadcast nested-loop.
             if j["how"] == "left_outer":
                 raise ValueError(
                     f"LEFT JOIN {ja} ON needs at least one column "
@@ -1061,6 +1145,37 @@ def _run_join_agg(plan, tables, num_partitions: int):
                 cur.add(nm)
                 cur_schema.append((nm, stypes[ja][c]))
                 display.append((nm, nm))
+            rng = _match_range_on(residual, _side, ja)
+            if rng is not None:
+                pr, rlo, rhi = rng
+                ok_ty = all(
+                    any(p(stypes[a][c]) for p in _RANGEABLE)
+                    for a, c in (pr, rlo, rhi)
+                )
+            if rng is not None and ok_ty:
+                # inclusive superset co-location; the original
+                # conjuncts (already in deferred_on) re-filter exactly
+                if rlo[0] == ja:  # probe on the earlier chain
+                    band = _interval_band_of(src[ja], rlo[1], rhi[1])
+                    ds = R.interval_join(
+                        ds, src[ja], on=outname[pr], by=None,
+                        lo=rlo[1], hi=rhi[1], band=band,
+                        right_suffix=suf, num_partitions=num_partitions,
+                    )
+                else:  # probe on ja; intervals on the earlier chain
+                    ren_ja = src[ja].map_batches(
+                        lambda t, _r=renames: t.rename_columns(
+                            [_r[c] for c in t.column_names]),
+                        batch_format="pyarrow",
+                    )
+                    band = _interval_band_of(
+                        ds, outname[rlo], outname[rhi])
+                    ds = R.interval_join(
+                        ren_ja, ds, on=renames[pr[1]], by=None,
+                        lo=outname[rlo], hi=outname[rhi], band=band,
+                        right_suffix=suf, num_partitions=num_partitions,
+                    )
+                continue
             ds = _nl_join(ds, src[ja], list(schemas[ja]), renames,
                           [(c, stypes[ja][c]) for c in schemas[ja]])
             continue
