@@ -91,11 +91,78 @@ class PolyTransform2D:
         return X, Y
 
 
+def auto_order(n_gcps: int) -> int:
+    """Reference auto-selection (``gdalwarp -order 0`` /
+    ``nReqOrder == 0``, alg/gdal_crs.cpp:202-210): order 2 from 6 GCPs
+    up, else 1 — third order is never chosen automatically ("for now we
+    avoid 3rd order since it is unstable")."""
+    return 2 if n_gcps >= 6 else 1
+
+
+_FLT_EPS = 1.19209290e-07  # FLT_EPSILON, the reference's zero clamp
+
+
 class GCPTransformer:
     """Bidirectional GCP transformer: forward = pixel -> geo, inverse =
     geo -> pixel, each its own least-squares fit (the gdal_crs.c
-    two-way CRS_compute_georef_equations discipline)."""
+    two-way CRS_compute_georef_equations discipline).
 
-    def __init__(self, pixels, geos, order: int = 1):
+    ``order=0`` auto-selects like the reference (:func:`auto_order`).
+    Two GCPs forming opposite rectangle corners synthesize a third
+    (alg/gdal_crs.cpp:223-237).  ``refine=True`` iteratively drops the
+    worst forward-residual GCP above ``tolerance`` (geo units) until
+    none remains or ``minimum_gcps`` would be violated — the
+    remove_outliers/worst_outlier loop of alg/gdal_crs.cpp (first
+    maximum wins ties; residuals under FLT_EPSILON clamp to zero).
+    ``n_dropped`` / ``n_used`` report the outcome (no silent drops)."""
+
+    def __init__(self, pixels, geos, order: int = 1, refine: bool = False,
+                 tolerance: float = 0.0, minimum_gcps: int | None = None):
+        pixels = [tuple(map(float, p)) for p in pixels]
+        geos = [tuple(map(float, g)) for g in geos]
+        if order == 0:
+            order = auto_order(len(pixels))
+        if (
+            len(pixels) == 2
+            and order == 1
+            and geos[0][0] != geos[1][0]
+            and geos[0][1] != geos[1][1]
+        ):
+            # opposite rectangle corners -> synthesize the third
+            geos.append((geos[1][0], geos[0][1]))
+            pixels.append((pixels[1][0], pixels[0][1]))
+        self.order = order
+        self.n_dropped = 0
+        if refine:
+            if minimum_gcps is None:
+                minimum_gcps = _N_TERMS[order] + 1
+            pixels, geos = self._remove_outliers(
+                pixels, geos, order, tolerance, minimum_gcps
+            )
+        self.n_used = len(pixels)
         self.fwd = PolyTransform2D(pixels, geos, order)
         self.inv = PolyTransform2D(geos, pixels, order)
+
+    def _remove_outliers(self, pixels, geos, order, tolerance, minimum_gcps):
+        while True:
+            fwd = PolyTransform2D(pixels, geos, order)
+            px = np.asarray([p[0] for p in pixels])
+            py = np.asarray([p[1] for p in pixels])
+            gx, gy = fwd(px, py)
+            res = np.hypot(
+                gx - np.asarray([g[0] for g in geos]),
+                gy - np.asarray([g[1] for g in geos]),
+            )
+            res[res < _FLT_EPS] = 0.0
+            if len(pixels) <= minimum_gcps:
+                return pixels, geos
+            # first strict maximum at or above tolerance (reference scan)
+            worst, diff = -1, -1.0
+            for i, r in enumerate(res):
+                if r > diff and r >= tolerance:
+                    worst, diff = i, r
+            if worst == -1:
+                return pixels, geos
+            pixels = pixels[:worst] + pixels[worst + 1:]
+            geos = geos[:worst] + geos[worst + 1:]
+            self.n_dropped += 1

@@ -2229,8 +2229,15 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
         bgx = gx + gsd * (((3 * p_idx + 5 * l_idx + i) % 7) - 3) / 8.0
         bgy = gy + gsd * (((2 * p_idx + 7 * l_idx + i) % 5) - 2) / 8.0
 
-        for tag in ("poly1", "tps", "rpc", "rpc_dem", "geoloc", "utm",
-                    "sumpres"):
+        # polyref corruption spec (shared contract): GCP i%9 shifted
+        # +32/-16 gsd; outlier removal at tolerance 8*gsd
+        j_bad = i % 9
+        cgx, cgy = gx.copy(), gy.copy()
+        cgx[j_bad] += 32.0 * gsd
+        cgy[j_bad] -= 16.0 * gsd
+
+        for tag in ("poly1", "poly0", "polyref", "tps", "rpc", "rpc_dem",
+                    "geoloc", "utm", "sumpres"):
             if tag == "sumpres":
                 # sum-preserving 3857->4326 warp: banded fractional-
                 # overlap scatter of source pixels (GWKSumPreserving
@@ -2248,6 +2255,30 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
             if tag == "poly1":
                 fwd = _fit_poly_ref(pp, ll, gx, gy, 1)
                 inv = _fit_poly_ref(gx, gy, pp, ll, 1)
+            elif tag == "poly0":
+                # auto-order restated (gdal_crs.cpp:202-210): 9 GCPs
+                # -> order 2, fitted on the BUMPED (non-affine) GCPs
+                fwd = _fit_poly_ref(pp, ll, bgx, bgy, 2)
+                inv = _fit_poly_ref(bgx, bgy, pp, ll, 2)
+            elif tag == "polyref":
+                # independent remove_outliers: iterate normal-equations
+                # order-1 fits, dropping the worst residual >= 8*gsd
+                kp, kl, kx, ky = pp.copy(), ll.copy(), cgx.copy(), cgy.copy()
+                while len(kp) > 4:
+                    f = _fit_poly_ref(kp, kl, kx, ky, 1)
+                    ex, ey = f(kp, kl)
+                    res = np.hypot(ex - kx, ey - ky)
+                    res[res < 1.19209290e-07] = 0.0
+                    worst, diff = -1, -1.0
+                    for q, r in enumerate(res):
+                        if r > diff and r >= 8.0 * gsd:
+                            worst, diff = q, r
+                    if worst == -1:
+                        break
+                    keep = np.arange(len(kp)) != worst
+                    kp, kl, kx, ky = kp[keep], kl[keep], kx[keep], ky[keep]
+                fwd = _fit_poly_ref(kp, kl, kx, ky, 1)
+                inv = _fit_poly_ref(kx, ky, kp, kl, 1)
             elif tag == "tps":
                 fwd = _TpsRef(pp, ll, bgx, bgy)
                 inv = _TpsRef(bgx, bgy, pp, ll)

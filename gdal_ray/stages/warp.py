@@ -249,16 +249,22 @@ class WarpChipsGCP:
     (GDAL pixel-corner convention: center of pixel i is i+0.5) and
     samples with functions.kernels.resample_grid (nodata 0 outside)."""
 
-    def __init__(self, order: int = 1, resampling: str = "bilinear"):
+    def __init__(self, order: int = 1, resampling: str = "bilinear",
+                 refine: bool = False, tolerance: float = 0.0):
         self.order = order
         self.resampling = resampling
+        self.refine = refine
+        self.tolerance = tolerance
 
-    def _warp_one(self, img, gp, gl, gx, gy):
+    def _warp_one(self, img, gp, gl, gx, gy, refine: bool | None = None,
+                  tolerance: float | None = None):
         from ..functions.gcp import GCPTransformer
 
         h, w = img.shape[:2]
         tr = GCPTransformer(
-            list(zip(gp, gl)), list(zip(gx, gy)), order=self.order
+            list(zip(gp, gl)), list(zip(gx, gy)), order=self.order,
+            refine=self.refine if refine is None else refine,
+            tolerance=self.tolerance if tolerance is None else tolerance,
         )
         cpx = np.array([0.0, float(w), float(w), 0.0])
         cpl = np.array([0.0, 0.0, float(h), float(h)])

@@ -313,3 +313,75 @@ def test_rpc_dem_inverse_roundtrip():
         assert ok.all()
         bp, bl = rpc_forward_dem(m, dem, lon, lat)
         assert max(np.abs(bp - px).max(), np.abs(bl - ln).max()) < 0.1
+
+
+# ------------------------------------------------------- GCP auto-order
+
+
+def test_gcp_auto_order_rule():
+    """order=0 auto-selection mirrors alg/gdal_crs.cpp:202-210: order 2
+    from 6 GCPs up, else 1; never 3."""
+    from gdal_ray.functions.gcp import auto_order
+
+    assert auto_order(3) == 1
+    assert auto_order(5) == 1
+    assert auto_order(6) == 2
+    assert auto_order(100) == 2
+
+
+def test_gcp_order0_fits_quadratic():
+    import numpy as np
+
+    from gdal_ray.functions.gcp import GCPTransformer
+
+    px = np.array([0.0, 16.0, 32.0, 48.0, 64.0] * 3)
+    pl = np.repeat([0.0, 32.0, 64.0], 5)
+    gx = 100.0 + 2.0 * px + 0.1 * pl + 0.01 * px * px
+    gy = 50.0 - 0.5 * px + 3.0 * pl + 0.02 * pl * pl
+    tr = GCPTransformer(list(zip(px, pl)), list(zip(gx, gy)), order=0)
+    assert tr.order == 2
+    X, Y = tr.fwd(px, pl)
+    assert np.allclose(X, gx, atol=0.05)
+    assert np.allclose(Y, gy, atol=0.05)
+
+
+def test_gcp_two_corner_synthesis():
+    """Two GCPs forming opposite rectangle corners synthesize a third
+    (alg/gdal_crs.cpp:223-237) so the affine fit is determined."""
+    import numpy as np
+
+    from gdal_ray.functions.gcp import GCPTransformer
+
+    tr = GCPTransformer(
+        [(0.0, 0.0), (64.0, 64.0)], [(1000.0, 2000.0), (1640.0, 1360.0)],
+        order=1,
+    )
+    assert tr.n_used == 3
+    X, Y = tr.fwd(np.array([32.0]), np.array([32.0]))
+    assert float(X[0]) == pytest.approx(1320.0, abs=0.1)
+    assert float(Y[0]) == pytest.approx(1680.0, abs=0.1)
+
+
+def test_gcp_refine_drops_outlier():
+    """refine=True removes the one corrupted GCP (remove_outliers /
+    worst_outlier loop) and restores the clean affine fit."""
+    import numpy as np
+
+    from gdal_ray.functions.gcp import GCPTransformer
+
+    px = np.array([0.0, 16.0, 32.0, 48.0, 64.0] * 3)
+    pl = np.repeat([0.0, 32.0, 64.0], 5)
+    gx = 100.0 + 2.0 * px + 0.1 * pl
+    gy = 50.0 - 0.5 * px + 3.0 * pl
+    gx_bad = gx.copy()
+    gx_bad[7] += 500.0  # one corrupted GCP
+    pts_p = list(zip(px, pl))
+    pts_g = list(zip(gx_bad, gy))
+    dirty = GCPTransformer(pts_p, pts_g, order=1)
+    clean = GCPTransformer(pts_p, pts_g, order=1, refine=True, tolerance=1.0)
+    assert clean.n_dropped == 1 and clean.n_used == len(px) - 1
+    X, Y = clean.fwd(px, pl)
+    assert np.allclose(X, gx, atol=0.05)
+    assert np.allclose(Y, gy, atol=0.05)
+    Xd, _ = dirty.fwd(px, pl)
+    assert np.abs(Xd - gx).max() > 5.0
