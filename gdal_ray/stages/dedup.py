@@ -220,6 +220,7 @@ def minhash_lsh_pairs(
     concurrency: int = 4,
     max_bucket: int = 4096,
     exact_shingles: bool = False,
+    return_stats: bool = False,
 ):
     """Near-dup pairs via banded LSH, verified with the signature-
     estimated Jaccard.  Returns (doc_a, doc_b, est_jaccard), doc_a <
@@ -241,6 +242,12 @@ def minhash_lsh_pairs(
     millions of empty or boilerplate docs landing in one band hash) are
     truncated to the ``max_bucket`` smallest doc_ids, bounding every
     bucket at O(max_bucket^2) pair work instead of O(n^2).
+
+    ``return_stats=True`` also returns a truncation Dataset of the
+    OVERFLOWING (band, band-hash) buckets only — (band, bh,
+    n_in_bucket, n_dropped) — so capped work is visible, never silent
+    (the no-silent-caps discipline; empty at healthy corpora, so the
+    stats table stays tiny at any scale).
     """
     from .polygonize import _materialize_detached
 
@@ -410,7 +417,41 @@ def minhash_lsh_pairs(
             }
         )
 
-    return withb.map_batches(verify, batch_format="pyarrow")
+    pairs = withb.map_batches(verify, batch_format="pyarrow")
+    if not return_stats:
+        return pairs
+    return pairs, _bucket_overflow_stats(exploded, "band", "bh", max_bucket)
+
+
+def _bucket_overflow_stats(exploded, band_col: str, bh_col: str,
+                           max_bucket: int):
+    """Overflowing LSH buckets as (band, bh, n_in_bucket, n_dropped)
+    rows — only buckets beyond the cap are emitted, so the stats table
+    is tiny unless the corpus is degenerate."""
+    from ray.data.aggregate import Count
+
+    def overflow(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.column("count()").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(n > max_bucket))
+        n = n[n > max_bucket]
+        return pa.table(
+            {
+                "band": pc.cast(t.column(band_col), pa.int64()),
+                "bh": t.column(bh_col),
+                "n_in_bucket": pa.array(n.astype(np.int64), pa.int64()),
+                "n_dropped": pa.array(
+                    (n - max_bucket).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        exploded.groupby([band_col, bh_col])
+        .aggregate(Count())
+        .map_batches(overflow, batch_format="pyarrow")
+    )
 
 
 # ------------------------------------------------------------- SimHash
@@ -453,6 +494,7 @@ except AttributeError:  # pragma: no cover
 def _banded_hash_pairs(
     ds, id_col: str, hash_col: str, out_a: str, out_b: str,
     max_hamming: int, bands: int, max_bucket: int, id_is_string: bool,
+    return_stats: bool = False,
 ):
     """Shared scale path for 64-bit-hash near-dup (simhash / phash):
     explode to (id, hash, band, band-hash) -> ONE groupby on a hash
@@ -461,7 +503,8 @@ def _banded_hash_pairs(
     per-partition bucket runs, each verified with VECTORIZED all-pairs
     Hamming (matrix xor + popcount), first-shared-band dedup, buckets
     capped at ``max_bucket`` smallest ids (bounded degenerate-content
-    work)."""
+    work).  ``return_stats=True`` also returns the overflowing-bucket
+    truncation Dataset (see :func:`_bucket_overflow_stats`)."""
     id_ty = pa.string() if id_is_string else pa.int64()
     num_partitions = 64
 
@@ -543,23 +586,27 @@ def _banded_hash_pairs(
             }
         )
 
-    return (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("__bpart")
-        .map_groups(pairs_part, batch_format="pyarrow")
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    pairs = exploded.groupby("__bpart").map_groups(
+        pairs_part, batch_format="pyarrow"
     )
+    if not return_stats:
+        return pairs
+    return pairs, _bucket_overflow_stats(exploded, "band", "bh", max_bucket)
 
 
 def simhash_pairs(docs, max_hamming: int = 3, bands: int = 4,
-                  max_bucket: int = 4096):
+                  max_bucket: int = 4096, return_stats: bool = False):
     """Near-dup pairs with Hamming(simhash) <= max_hamming, via 16-bit
     band bucketing (a pair within distance 3 shares >= one of 4
-    bands); vectorized bucket pair check with a degenerate-bucket cap."""
+    bands); vectorized bucket pair check with a degenerate-bucket cap
+    (``return_stats=True`` surfaces overflowing buckets)."""
     hashed = docs.map_batches(simhash_batch, batch_format="pyarrow")
     return _banded_hash_pairs(
         hashed.select_columns(["doc_id", "simhash"]),
         "doc_id", "simhash", "doc_a", "doc_b",
         max_hamming, bands, max_bucket, id_is_string=False,
+        return_stats=return_stats,
     )
 
 
@@ -567,14 +614,16 @@ def simhash_pairs(docs, max_hamming: int = 3, bands: int = 4,
 
 
 def phash_neardup_pairs(images, max_hamming: int = 6, bands: int = 4,
-                        max_bucket: int = 4096):
+                        max_bucket: int = 4096, return_stats: bool = False):
     """Image near-duplicates: groupby 16-bit phash band, vectorized
     within-group Hamming check, capped buckets (engine addition,
-    SURVEY.md §2.6 'Near dedup')."""
+    SURVEY.md §2.6 'Near dedup'; ``return_stats=True`` surfaces
+    overflowing buckets)."""
     return _banded_hash_pairs(
         images.select_columns(["image_id", "phash"]),
         "image_id", "phash", "id_a", "id_b",
         max_hamming, bands, max_bucket, id_is_string=True,
+        return_stats=return_stats,
     )
 
 

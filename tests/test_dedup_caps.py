@@ -107,3 +107,63 @@ def test_ivf_recall_against_exact(ray_session):
         want = set(exact[exact.qid == q].vec_id)
         hits += len(got & want)
     assert hits >= 12  # >=60% recall across the 20 exact pairs
+
+
+def test_phash_truncation_stats_surface_overflow(ray_session):
+    """return_stats=True reports exactly the overflowing buckets with
+    their dropped counts (no-silent-caps), and nothing on healthy
+    corpora."""
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import phash_neardup_pairs
+
+    n, cap = 500, 100
+    ids = [f"img{i:04d}" for i in range(n)]
+    t = pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "phash": pa.array(np.full(n, 777, np.int64), pa.int64()),
+        }
+    )
+    pairs, stats = phash_neardup_pairs(
+        rd.from_arrow(t), max_bucket=cap, return_stats=True
+    )
+    sdf = stats.to_pandas()
+    # identical hashes: all 4 bands overflow with the same counts
+    assert len(sdf) == 4
+    assert (sdf.n_in_bucket == n).all()
+    assert (sdf.n_dropped == n - cap).all()
+    assert pairs.count() == cap * (cap - 1) // 2
+    # healthy corpus -> empty stats
+    t2 = pa.table(
+        {
+            "image_id": pa.array(ids[:50], pa.string()),
+            "phash": pa.array(np.arange(50) * 1_000_003, pa.int64()),
+        }
+    )
+    _, stats2 = phash_neardup_pairs(
+        rd.from_arrow(t2), max_bucket=cap, return_stats=True
+    )
+    assert stats2.count() == 0
+
+
+def test_minhash_truncation_stats(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import minhash_lsh_pairs
+
+    n, cap = 300, 50
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(["same boilerplate text here"] * n, pa.string()),
+        }
+    )
+    pairs, stats = minhash_lsh_pairs(
+        rd.from_arrow(t), max_bucket=cap, return_stats=True
+    )
+    sdf = stats.to_pandas()
+    assert len(sdf) == 8  # all 8 bands overflow (identical signatures)
+    assert (sdf.n_in_bucket == n).all()
+    assert (sdf.n_dropped == n - cap).all()
+    assert pairs.count() == cap * (cap - 1) // 2
