@@ -165,6 +165,65 @@ class UTMProjection:
         return tm_inverse(e, n, self.lon0, fn=self.fn)
 
 
+class WebMercatorProjection:
+    """fwd: (lon, lat) degrees -> EPSG:3857 meters; inv: meters ->
+    (lon, lat) — the closed forms of functions.mercator (the
+    reference's GlobalMercator, gdal2tiles.py:422-441), wrapped in the
+    projection protocol so they compose."""
+
+    def fwd(self, lon, lat):
+        from . import mercator
+
+        mx, my = mercator.lat_lon_to_meters(lat, lon)
+        return mx, my
+
+    def inv(self, mx, my):
+        from . import mercator
+
+        lat, lon = mercator.meters_to_lat_lon(mx, my)
+        return lon, lat
+
+
+class InverseOf:
+    """Adapter flipping a projection's direction (a CRS->geographic
+    step inside a chain)."""
+
+    def __init__(self, p):
+        self.p = p
+
+    def fwd(self, x, y):
+        return self.p.inv(x, y)
+
+    def inv(self, x, y):
+        return self.p.fwd(x, y)
+
+
+class ComposedTransform:
+    """PROJ-pipeline-style chained CRS transform (the reference's
+    GDALCreateGenImgProjTransformer src-CRS -> intermediate -> dst-CRS
+    chain, alg/gdaltransformer.cpp:2187; PROJ `+proj=pipeline` analog):
+    ``fwd`` applies each step's fwd in order, ``inv`` the reversed
+    steps' inverses.  Steps are any objects with fwd/inv over
+    coordinate arrays (UTMProjection, WebMercatorProjection,
+    InverseOf, GCP/TPS transformers via their fwd/inv attributes...).
+    """
+
+    def __init__(self, *steps):
+        if not steps:
+            raise ValueError("ComposedTransform needs >= 1 step")
+        self.steps = steps
+
+    def fwd(self, x, y):
+        for s in self.steps:
+            x, y = s.fwd(x, y)
+        return x, y
+
+    def inv(self, x, y):
+        for s in reversed(self.steps):
+            x, y = s.inv(x, y)
+        return x, y
+
+
 # ------------------------------------------------------- fixture synthesis
 
 

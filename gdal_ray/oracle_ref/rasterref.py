@@ -2145,6 +2145,27 @@ class _UtmRef:
         sl = (self.n0 + self.gsd * self.h - N) / self.gsd
         return sp, sl
 
+    # composed chain (UTM -> lon/lat -> EPSG:3857): the mercator legs
+    # restate the gdal2tiles.py:422-441 closed forms EXACTLY (shared
+    # expression contract with functions/mercator.py)
+    def chain_fwd_corners(self, pixel, line):
+        lon, lat = self.fwd_corners(pixel, line)
+        mx = np.asarray(lon, np.float64) * ORIGIN_SHIFT / 180.0
+        my = np.log(np.tan((90.0 + np.asarray(lat, np.float64))
+                           * np.pi / 360.0)) / (np.pi / 180.0)
+        my = my * ORIGIN_SHIFT / 180.0
+        return mx, my
+
+    def chain_inv_grid(self, mx, my):
+        lon = (np.asarray(mx, np.float64) / ORIGIN_SHIFT) * 180.0
+        lat = (np.asarray(my, np.float64) / ORIGIN_SHIFT) * 180.0
+        lat = (
+            180.0
+            / np.pi
+            * (2.0 * np.arctan(np.exp(lat * np.pi / 180.0)) - np.pi / 2.0)
+        )
+        return self.inv_grid(lon, lat)
+
 
 def _sum_preserve_ref(px: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
     """Sum-preserving 3857->4326 warp golden: the engine's documented
@@ -2237,7 +2258,7 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
         cgy[j_bad] -= 16.0 * gsd
 
         for tag in ("poly1", "poly0", "polyref", "tps", "rpc", "rpc_dem",
-                    "geoloc", "utm", "sumpres"):
+                    "geoloc", "utm", "utmchain", "sumpres"):
             if tag == "sumpres":
                 # sum-preserving 3857->4326 warp: banded fractional-
                 # overlap scatter of source pixels (GWKSumPreserving
@@ -2292,6 +2313,10 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
                 ref = _UtmRef(i, w, h)
                 fwd = ref.fwd_corners
                 inv = ref.inv_grid
+            elif tag == "utmchain":  # composed UTM -> lon/lat -> 3857
+                ref = _UtmRef(i, w, h)
+                fwd = ref.chain_fwd_corners
+                inv = ref.chain_inv_grid
             else:  # geoloc arrays: forward corners, Newton-inverse grid
                 ref = _GeolocRef(i, w, h, row.minx, row.miny,
                                  row.maxx, row.maxy)

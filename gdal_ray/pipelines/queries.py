@@ -3541,7 +3541,10 @@ def q58_gcp_warp(sf_dir: str):
     coefficient fixture; 'utm' = ellipsoidal Transverse Mercator
     (Karney/Krueger series — the gdalwarp UTM->4326 canonical case,
     autotest/benchmark/test_gdalwarp.py:24) over the synth_utm dyadic
-    zone/origin fixture; 'sumpres' = sum-preserving warp
+    zone/origin fixture; 'utmchain' = the same chips warped straight
+    to EPSG:3857 through a COMPOSED transform chain (ComposedTransform
+    UTM-inverse -> WebMercator-forward — the GenImgProjTransformer /
+    PROJ-pipeline composition hook); 'sumpres' = sum-preserving warp
     (GWKSumPreserving, alg/gdalwarpkernel.cpp:7969 — fractional
     footprint-overlap scatter, global sum conserved in the float
     path).  Quantized-coefficient transformers, full 2-D
@@ -3593,6 +3596,7 @@ class _WarpSuiteChips:
             WarpChipsSum,
             WarpChipsTPS,
             WarpChipsUTM,
+            WarpChipsUTMChain,
         )
 
         self.poly = WarpChipsGCP(order=1, resampling="bilinear")
@@ -3604,6 +3608,8 @@ class _WarpSuiteChips:
         self.glc = WarpChipsGeoloc(resampling="bilinear")
         self.rpd = WarpChipsRPCDEM(resampling="bilinear")
         self.utm = WarpChipsUTM(resampling="bilinear")
+        # composed CRS chain (PROJ-pipeline analog): UTM -> 4326 -> 3857
+        self.utmc = WarpChipsUTMChain(resampling="bilinear")
         self.smp = WarpChipsSum()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -3653,6 +3659,7 @@ class _WarpSuiteChips:
                 ("geoloc", self.glc._warp_one(img, iid, env)[0]),
                 ("rpc_dem", self.rpd._warp_one(img, iid)[0]),
                 ("utm", self.utm._warp_one(img, iid)[0]),
+                ("utmchain", self.utmc._warp_one(img, iid)[0]),
                 ("sumpres", self.smp._warp_one(img, *env)[0]),
             ):
                 dec = codecs.decode(codecs.encode(out, fmt), w, h, fmt)

@@ -701,6 +701,50 @@ class WarpChipsUTM(WarpChipsRPC):
         return out, (minx, miny, maxx, maxy)
 
 
+class WarpChipsUTMChain(WarpChipsUTM):
+    """Actor-pool stage: warp each UTM-georeferenced chip directly to
+    EPSG:3857 through a COMPOSED transform chain
+    (functions.proj.ComposedTransform — the reference's
+    GDALCreateGenImgProjTransformer src-CRS -> geographic -> dst-CRS
+    chain, alg/gdaltransformer.cpp:2187 / PROJ `+proj=pipeline`):
+    UTM inverse -> WebMercator forward, with the inverse chain mapping
+    each dst 3857 pixel center back through lon/lat to (E, N) and on
+    to source pixels.  Same dst-grid spec as WarpChipsUTM (corner
+    envelope, w x h kept)."""
+
+    def _warp_one(self, img, iid: str):
+        from ..functions.proj import (
+            ComposedTransform,
+            InverseOf,
+            UTMProjection,
+            WebMercatorProjection,
+            synth_utm,
+        )
+
+        h, w = img.shape[:2]
+        i = int(iid[3:])
+        epsg, e0, n0, gsd = synth_utm(i)
+        prj = self._projs.get(epsg)
+        if prj is None:
+            prj = self._projs[epsg] = UTMProjection(epsg)
+        chain = ComposedTransform(InverseOf(prj), WebMercatorProjection())
+        cE = np.array([e0, e0 + gsd * w, e0 + gsd * w, e0])
+        cN = np.array([n0 + gsd * h, n0 + gsd * h, n0, n0])
+        cx, cy = chain.fwd(cE, cN)
+        minx, maxx = float(np.min(cx)), float(np.max(cx))
+        miny, maxy = float(np.min(cy)), float(np.max(cy))
+        X = minx + (np.arange(w) + 0.5) * ((maxx - minx) / w)
+        Y = maxy - (np.arange(h) + 0.5) * ((maxy - miny) / h)
+        XX, YY = np.meshgrid(X, Y)
+        E, N = chain.inv(XX, YY)
+        sp = (E - e0) / gsd
+        sl = (n0 + gsd * h - N) / gsd
+        out = kernels.resample_grid(
+            img, sp - 0.5, sl - 0.5, self.resampling, nodata=0
+        )
+        return out, (minx, miny, maxx, maxy)
+
+
 def warp_images_utm(images, resampling: str = "bilinear",
                     concurrency=4, batch_size: int = 64):
     """UTM -> EPSG:4326 warp over an images Dataset (actor pool;

@@ -100,3 +100,69 @@ def test_warp_chips_utm_stage():
     # 1 km scale: interior fully populated, values near the source's
     assert np.count_nonzero(warped[16:48, 16:48]) == 32 * 32 * 3
     assert abs(float(warped.mean()) - float(img.mean())) < 8.0
+
+
+# ------------------------------------------------ transform composition
+
+
+def test_composed_transform_roundtrip():
+    """ComposedTransform (PROJ-pipeline analog): UTM -> lon/lat ->
+    3857 round-trips through the chained inverse to meter accuracy."""
+    import numpy as np
+
+    from gdal_ray.functions.proj import (
+        ComposedTransform,
+        InverseOf,
+        UTMProjection,
+        WebMercatorProjection,
+    )
+
+    prj = UTMProjection("EPSG:32611")
+    chain = ComposedTransform(InverseOf(prj), WebMercatorProjection())
+    rng = np.random.default_rng(4)
+    E = 320000.0 + rng.uniform(0, 200000, 50)
+    N = 3600000.0 + rng.uniform(0, 400000, 50)
+    x, y = chain.fwd(E, N)
+    E2, N2 = chain.inv(x, y)
+    assert np.allclose(E2, E, atol=1e-6)
+    assert np.allclose(N2, N, atol=1e-6)
+    # the chain equals the manual two-step application
+    lon, lat = prj.inv(E, N)
+    x1, y1 = WebMercatorProjection().fwd(lon, lat)
+    assert (x1 == x).all() and (y1 == y).all()
+
+
+def test_composed_chain_warp_matches_manual():
+    """WarpChipsUTMChain output equals the manual compose-by-hand warp
+    (same grid spec as WarpChipsUTM, dst in 3857)."""
+    import numpy as np
+
+    from gdal_ray.functions import kernels
+    from gdal_ray.functions.proj import (
+        UTMProjection,
+        synth_utm,
+    )
+    from gdal_ray.functions import mercator
+    from gdal_ray.stages.warp import WarpChipsUTMChain
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    st = WarpChipsUTMChain(resampling="bilinear")
+    out, env = st._warp_one(img, "img0000012")
+    epsg, e0, n0, gsd = synth_utm(12)
+    prj = UTMProjection(epsg)
+    w = h = 32
+    lon, lat = prj.inv(np.array([e0, e0 + gsd * w, e0 + gsd * w, e0]),
+                       np.array([n0 + gsd * h, n0 + gsd * h, n0, n0]))
+    cx, cy = mercator.lat_lon_to_meters(lat, lon)
+    assert env == (cx.min(), cy.min(), cx.max(), cy.max())
+    X = env[0] + (np.arange(w) + 0.5) * ((env[2] - env[0]) / w)
+    Y = env[3] - (np.arange(h) + 0.5) * ((env[3] - env[1]) / h)
+    XX, YY = np.meshgrid(X, Y)
+    glat, glon = mercator.meters_to_lat_lon(XX, YY)
+    E, N = prj.fwd(glon, glat)
+    ref = kernels.resample_grid(
+        img, (E - e0) / gsd - 0.5, (n0 + gsd * h - N) / gsd - 0.5,
+        "bilinear", nodata=0,
+    )
+    assert (out == ref).all()
