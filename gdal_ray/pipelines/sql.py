@@ -1148,10 +1148,11 @@ def _run_join_agg(plan, tables, num_partitions: int):
             rng = _match_range_on(residual, _side, ja)
             if rng is not None:
                 pr, rlo, rhi = rng
+                earlier = (pr,) if rlo[0] == ja else (rlo, rhi)
                 ok_ty = all(
                     any(p(stypes[a][c]) for p in _RANGEABLE)
                     for a, c in (pr, rlo, rhi)
-                )
+                ) and all(k in outname for k in earlier)
             if rng is not None and ok_ty:
                 # inclusive superset co-location; the original
                 # conjuncts (already in deferred_on) re-filter exactly
