@@ -415,20 +415,26 @@ def _raster_fill_nodata(ds, max_search: int = 100):
 
 @register_step("raster_contour")
 def _raster_contour(ds, zoom: int = 8, grid: int = 64, levels=None,
-                    polygons: bool = False):
+                    polygons: bool = False, emit: str = "stats"):
     """Envelope rows -> synthetic field cells -> stitched contour
     polylines, or level-band POLYGON rings with ``polygons=True``
-    (gdalalg_raster_contour.cpp; -p maps to polygons)."""
+    (gdalalg_raster_contour.cpp; -p maps to polygons).  With
+    ``polygons=True, emit='wkb'`` the rings carry actual WKB POLYGON
+    geometry instead of the deterministic ring statistics."""
     from ..stages.contour import (
         LEVELS,
         contour_cells,
         contour_polygon_cells,
+        contour_polygon_rings,
         field_cells,
     )
 
     cells = field_cells(ds, zoom=zoom, grid=grid)
+    lv = tuple(levels) if levels else LEVELS
+    if polygons and emit == "wkb":
+        return contour_polygon_rings(cells, levels=lv, grid=grid, zoom=zoom)
     stage = contour_polygon_cells if polygons else contour_cells
-    return stage(cells, levels=tuple(levels) if levels else LEVELS, grid=grid)
+    return stage(cells, levels=lv, grid=grid)
 
 
 @register_step("raster_viewshed")

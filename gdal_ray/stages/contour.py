@@ -210,7 +210,8 @@ def _area_terms_milli(segs: np.ndarray) -> np.ndarray:
     return np.floor((x0 + x1) * (y1 - y0) * 500.0 + 0.5).astype(np.int64)
 
 
-def chain_directed(segs: np.ndarray, res_px: float, salt: bytes = b""):
+def chain_directed(segs: np.ndarray, res_px: float, salt: bytes = b"",
+                   collect_points: bool = False):
     """Chain DIRECTED fragments (start -> end) into maximal paths by
     exact endpoint matching.  Every endpoint key must be the start of
     at most one fragment and the end of at most one (degree > 2 means
@@ -223,11 +224,15 @@ def chain_directed(segs: np.ndarray, res_px: float, salt: bytes = b""):
     min-label CC would merge one band's ring into the other's).
 
     Returns chains: dicts (n_seg, len_mm, area_milli, canon,
-    open_keys [start_key, end_key] or [] when locally closed)."""
+    open_keys [start_key, end_key] or [] when locally closed; with
+    ``collect_points`` also 'pts', the (n_seg+1, 2) pixel-space
+    vertex run in walk order)."""
     n = len(segs)
     k0, k1 = _endpoint_keys(segs)
     lens = _seg_lengths_mm(segs, res_px)
     areas = _area_terms_milli(segs)
+    if collect_points:
+        px0, py0, px1, py1 = _frag_xy(segs)
     start: dict[bytes, int] = {}
     end_keys: set[bytes] = set()
     for i in range(n):
@@ -247,19 +252,22 @@ def chain_directed(segs: np.ndarray, res_px: float, salt: bytes = b""):
         count = 0
         area = 0
         canon = None
+        pts: list | None = [(px0[i0], py0[i0])] if collect_points else None
         i = i0
         while True:
             visited[i] = True
             total += int(lens[i])
             area += int(areas[i])
             count += 1
+            if pts is not None:
+                pts.append((px1[i], py1[i]))
             for kk in (k0[i], k1[i]):
                 hsh = _node_hash(salt + kk)
                 if canon is None or hsh < canon:
                     canon = hsh
             nxt = start.get(k1[i])
             if nxt is None or visited[nxt]:
-                return total, count, area, canon, k1[i]
+                return total, count, area, canon, k1[i], pts
             i = nxt
 
     # open chains first: heads are fragments whose start key is no
@@ -267,18 +275,18 @@ def chain_directed(segs: np.ndarray, res_px: float, salt: bytes = b""):
     for i in range(n):
         if visited[i] or k0[i] in end_keys:
             continue
-        total, count, area, canon, last = walk(i)
+        total, count, area, canon, last, pts = walk(i)
         chains.append(dict(n_seg=count, len_mm=total, area_milli=area,
-                           canon=canon, open_keys=[k0[i], last]))
+                           canon=canon, open_keys=[k0[i], last], pts=pts))
     # remaining unvisited fragments belong to locally-closed rings
     for i in range(n):
         if visited[i]:
             continue
-        total, count, area, canon, last = walk(i)
+        total, count, area, canon, last, pts = walk(i)
         if last != k0[i]:
             raise ValueError("contour polygons: local ring did not close")
         chains.append(dict(n_seg=count, len_mm=total, area_milli=area,
-                           canon=canon, open_keys=[]))
+                           canon=canon, open_keys=[], pts=pts))
     return chains
 
 
@@ -657,34 +665,19 @@ def contour_cells(cells, levels=LEVELS, grid: int = 64):
     return merged.map_batches(shape_merged, batch_format="pyarrow").union(closed_ds)
 
 
-def contour_polygon_cells(cells, levels=LEVELS, grid: int = 64):
-    """Contour POLYGONS (``gdal_contour -p``; alg/contour.cpp polygon
-    mode + alg/marching_squares/polygon_ring_appender.h semantics,
-    distributed): the value range is partitioned into bands
-    ``(-inf, L0), [L0, L1), ..., [Lk, +inf)`` and each band's region
-    boundary is emitted as closed rings with sub-pixel crossings —
-    DIRECTED iso segments at the band's bounding levels (region on the
-    left) plus band sub-pieces of the mosaic's DOMAIN-border edges,
-    stitched across cells by the same exact endpoint matching +
-    min-label CC the line mode uses.
-
-    Domain = union of node-grid unit squares whose 4 corners exist;
-    border edges owned across cells are decided from 8-neighbor cell
-    existence bits carried through the one groupby(cell) shuffle
-    (covered cells have fully finite grids — asserted).
-
-    Output rows: band:int64 (0..k), comp_id:int64 (min endpoint hash
-    over the ring), n_segments:int64, length_mm:int64 (perimeter),
-    area_px2_milli:int64 (signed trapezoid sum; with region-on-left /
-    y-down, EXTERIOR rings are negative and HOLES positive — the sign
-    is the ring role, GDAL's winding-number nesting restated)."""
-    from .polygonize import _materialize_detached, min_label_components
+def _poly_frag_stage(cells, levels, grid: int, with_points: bool = False):
+    """Shared fragment stage of the polygon modes: one groupby(cell)
+    shuffle carrying grids + halos + 8-neighbor existence bits, per-
+    cell directed fragment generation (iso + domain border) and local
+    chaining.  Returns (frags Dataset, n_bands); ``with_points`` adds
+    a 'pts' binary column (float64 (x,y) pixel vertex runs in walk
+    order) for geometry emission."""
+    from .polygonize import _materialize_detached
     from .tiles import _add_scatter
     from ..functions.contour_ms import marching_squares_desc_dir
 
     levels = tuple(float(l) for l in levels)
     n_bands = len(levels) + 1
-
     def emit_with_halo_ex(t: pa.Table) -> pa.Table:
         rows = {"cell": [], "kind": [], "payload": [], "z": [], "x": [], "y": []}
         for r in range(t.num_rows):
@@ -733,18 +726,19 @@ def contour_polygon_cells(cells, levels=LEVELS, grid: int = 64):
         )
 
     def _empty_poly_frag_table() -> pa.Table:
-        return pa.table(
-            {
-                "band": pa.array([], pa.int64()),
-                "node": pa.array([], pa.int64()),
-                "n_seg": pa.array([], pa.int64()),
-                "len_mm": pa.array([], pa.int64()),
-                "area_milli": pa.array([], pa.int64()),
-                "closed": pa.array([], pa.bool_()),
-                "ep1": pa.array([], pa.binary()),
-                "ep2": pa.array([], pa.binary()),
-            }
-        )
+        cols = {
+            "band": pa.array([], pa.int64()),
+            "node": pa.array([], pa.int64()),
+            "n_seg": pa.array([], pa.int64()),
+            "len_mm": pa.array([], pa.int64()),
+            "area_milli": pa.array([], pa.int64()),
+            "closed": pa.array([], pa.bool_()),
+            "ep1": pa.array([], pa.binary()),
+            "ep2": pa.array([], pa.binary()),
+        }
+        if with_points:
+            cols["pts"] = pa.array([], pa.binary())
+        return pa.table(cols)
 
     def poly_fragments_group(g: pa.Table) -> pa.Table:
         kinds = g.column("kind").to_pylist()
@@ -801,12 +795,14 @@ def contour_polygon_cells(cells, levels=LEVELS, grid: int = 64):
                 band_frags[b].append(sel)
 
         out = {k: [] for k in ("band", "node", "n_seg", "len_mm",
-                               "area_milli", "closed", "ep1", "ep2")}
+                               "area_milli", "closed", "ep1", "ep2", "pts")}
         for b in range(n_bands):
             if not band_frags[b]:
                 continue
             frags = np.concatenate(band_frags[b], axis=0)
-            for ch in chain_directed(frags, res_px, salt=struct.pack("<q", b)):
+            for ch in chain_directed(frags, res_px,
+                                     salt=struct.pack("<q", b),
+                                     collect_points=with_points):
                 out["band"].append(b)
                 out["node"].append(ch["canon"])
                 out["n_seg"].append(ch["n_seg"])
@@ -815,18 +811,22 @@ def contour_polygon_cells(cells, levels=LEVELS, grid: int = 64):
                 out["closed"].append(len(ch["open_keys"]) == 0)
                 out["ep1"].append(ch["open_keys"][0] if ch["open_keys"] else b"")
                 out["ep2"].append(ch["open_keys"][1] if ch["open_keys"] else b"")
-        return pa.table(
-            {
-                "band": pa.array(out["band"], pa.int64()),
-                "node": pa.array(out["node"], pa.int64()),
-                "n_seg": pa.array(out["n_seg"], pa.int64()),
-                "len_mm": pa.array(out["len_mm"], pa.int64()),
-                "area_milli": pa.array(out["area_milli"], pa.int64()),
-                "closed": pa.array(out["closed"], pa.bool_()),
-                "ep1": pa.array(out["ep1"], pa.binary()),
-                "ep2": pa.array(out["ep2"], pa.binary()),
-            }
-        )
+                if with_points:
+                    out["pts"].append(
+                        np.asarray(ch["pts"], np.float64).tobytes())
+        cols = {
+            "band": pa.array(out["band"], pa.int64()),
+            "node": pa.array(out["node"], pa.int64()),
+            "n_seg": pa.array(out["n_seg"], pa.int64()),
+            "len_mm": pa.array(out["len_mm"], pa.int64()),
+            "area_milli": pa.array(out["area_milli"], pa.int64()),
+            "closed": pa.array(out["closed"], pa.bool_()),
+            "ep1": pa.array(out["ep1"], pa.binary()),
+            "ep2": pa.array(out["ep2"], pa.binary()),
+        }
+        if with_points:
+            cols["pts"] = pa.array(out["pts"], pa.binary())
+        return pa.table(cols)
 
     scattered = cells.map_batches(
         emit_with_halo_ex, batch_format="pyarrow"
@@ -836,6 +836,35 @@ def contour_polygon_cells(cells, levels=LEVELS, grid: int = 64):
             poly_fragments_group, batch_format="pyarrow"
         )
     )
+    return frags, n_bands
+
+
+def contour_polygon_cells(cells, levels=LEVELS, grid: int = 64):
+    """Contour POLYGONS (``gdal_contour -p``; alg/contour.cpp polygon
+    mode + alg/marching_squares/polygon_ring_appender.h semantics,
+    distributed): the value range is partitioned into bands
+    ``(-inf, L0), [L0, L1), ..., [Lk, +inf)`` and each band's region
+    boundary is emitted as closed rings with sub-pixel crossings —
+    DIRECTED iso segments at the band's bounding levels (region on the
+    left) plus band sub-pieces of the mosaic's DOMAIN-border edges,
+    stitched across cells by the same exact endpoint matching +
+    min-label CC the line mode uses.
+
+    Domain = union of node-grid unit squares whose 4 corners exist;
+    border edges owned across cells are decided from 8-neighbor cell
+    existence bits carried through the one groupby(cell) shuffle
+    (covered cells have fully finite grids — asserted).
+
+    Output rows: band:int64 (0..k), comp_id:int64 (min band-salted
+    endpoint hash over the ring), n_segments:int64, length_mm:int64
+    (perimeter), area_px2_milli:int64 (signed trapezoid sum; with
+    region-on-left / y-down, EXTERIOR rings are negative and HOLES
+    positive — the sign is the ring role, GDAL's winding-number
+    nesting restated).  See :func:`contour_polygon_rings` for the
+    WKB-geometry-emitting variant."""
+    from .polygonize import _materialize_detached, min_label_components
+
+    frags, n_bands = _poly_frag_stage(cells, levels, grid)
 
     def _only(closed_val: bool):
         def fn(t: pa.Table) -> pa.Table:
@@ -966,3 +995,190 @@ def contour_polygon_cells(cells, levels=LEVELS, grid: int = 64):
         )
 
     return merged.map_batches(shape_merged, batch_format="pyarrow").union(closed_ds)
+
+
+def contour_polygon_rings(cells, levels=LEVELS, grid: int = 64,
+                          zoom: int = 8, num_partitions: int = 16):
+    """Contour polygon RING GEOMETRIES — the WKB output surface of
+    ``gdal_contour -p`` (contour_polygon_cells emits the deterministic
+    ring STATISTICS the golden gate checks; this variant emits the
+    actual geometry): one WKB POLYGON per ring (single ring, EPSG:3857
+    meters, region-on-left vertex order; the signed area column tells
+    exterior (<0) from hole (>0) so consumers can nest rings).
+
+    Cross-cell rings assemble in ONE ``map_groups`` over the CC root:
+    each group holds exactly one ring's chains (bounded by the number
+    of cells the ring touches), ordered by following each chain's end
+    key to the next chain's start key.  Coordinate payloads ride the
+    shuffles — inherent to geometry output; everything else matches
+    the stats mode's one-shuffle plan.  All cells must share ``zoom``
+    (the fixture field's contract) for the pixel->meter conversion."""
+    from ..functions.geom import wkb_polygon
+    from .polygonize import _materialize_detached, min_label_components
+
+    res_px = float(mercator.resolution(zoom)) * 256.0 / grid
+    origin = mercator.ORIGIN_SHIFT
+
+    def to_meters(pts_px: np.ndarray) -> np.ndarray:
+        out = np.empty_like(pts_px)
+        out[:, 0] = -origin + (pts_px[:, 0] + 0.5) * res_px
+        out[:, 1] = origin - (pts_px[:, 1] + 0.5) * res_px
+        return out
+
+    frags, n_bands = _poly_frag_stage(cells, levels, grid, with_points=True)
+
+    def _only(closed_val: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t.column("closed"), pa.scalar(closed_val)))
+
+        fn.__name__ = f"rclosed_{closed_val}"
+        return fn
+
+    def shape_closed(t: pa.Table) -> pa.Table:
+        wkbs = []
+        for blob in t.column("pts").to_pylist():
+            ring = to_meters(np.frombuffer(blob, np.float64).reshape(-1, 2))
+            wkbs.append(wkb_polygon([ring]))
+        return pa.table(
+            {
+                "band": t.column("band"),
+                "comp_id": t.column("node"),
+                "n_points": pa.array(
+                    [len(b) // 16 for b in t.column("pts").to_pylist()],
+                    pa.int64()),
+                "area_px2_milli": t.column("area_milli"),
+                "wkb": pa.array(wkbs, pa.binary()),
+            }
+        )
+
+    closed_ds = frags.map_batches(
+        _only(True), batch_format="pyarrow"
+    ).map_batches(shape_closed, batch_format="pyarrow")
+
+    open_frags = frags.map_batches(_only(False), batch_format="pyarrow")
+    open_count = open_frags.count()
+    if open_count == 0:
+        return closed_ds
+
+    # seam pairing identical to the stats mode
+    def endpoints(t: pa.Table) -> pa.Table:
+        bands = t.column("band").to_pylist()
+        nodes = t.column("node").to_pylist()
+        e1 = t.column("ep1").to_pylist()
+        e2 = t.column("ep2").to_pylist()
+        key, node, role = [], [], []
+        for r in range(t.num_rows):
+            pfx = struct.pack("<q", bands[r])
+            key.append(pfx + e1[r])
+            role.append(1)
+            key.append(pfx + e2[r])
+            role.append(0)
+            node.append(nodes[r])
+            node.append(nodes[r])
+        return pa.table(
+            {
+                "key": pa.array(key, pa.binary()),
+                "node": pa.array(node, pa.int64()),
+                "role": pa.array(role, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ep_stats = _materialize_detached(
+        open_frags.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("node", alias_name="mn"),
+            Max("node", alias_name="mx"),
+            Sum("role", alias_name="rs"),
+        )
+    )
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        rs = t.column("rs").to_numpy(zero_copy_only=False)
+        if (n != 2).any() or (rs != 1).any():
+            bad = int(((n != 2) | (rs != 1)).sum())
+            raise ValueError(
+                f"contour polygon rings: {bad} seam endpoints failed to "
+                "pair one chain start with one chain end")
+        return pa.table({"a": t.column("mn"), "b": t.column("mx")})
+
+    labels = min_label_components(
+        ep_stats.map_batches(to_pairs, batch_format="pyarrow"))
+
+    open_sel = open_frags.select_columns(
+        ["band", "node", "n_seg", "area_milli", "ep1", "ep2", "pts"])
+    if labels is None:
+        with_root = open_sel.map_batches(
+            lambda t: t.append_column("root", t.column("node")),
+            batch_format="pyarrow",
+        )
+    else:
+        renamed = labels.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "label": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        joined = open_sel.join(
+            renamed, join_type="left_outer",
+            num_partitions=num_partitions, on=("node",),
+        )
+
+        def pick(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            root = pc.coalesce(t.column("label"), t.column("node"))
+            return t.drop_columns(["label"]).append_column("root", root)
+
+        with_root = joined.map_batches(pick, batch_format="pyarrow")
+
+    def assemble(g: pa.Table) -> pa.Table:
+        e1 = g.column("ep1").to_pylist()
+        e2 = g.column("ep2").to_pylist()
+        blobs = g.column("pts").to_pylist()
+        start = {}
+        for i, k in enumerate(e1):
+            if k in start:
+                raise ValueError(
+                    "contour polygon rings: duplicate chain start in ring")
+            start[k] = i
+        run = [0]
+        nxt = start.get(e2[0])
+        while nxt is not None and nxt != 0:
+            run.append(nxt)
+            nxt = start.get(e2[nxt])
+        if len(run) != g.num_rows or nxt != 0:
+            raise ValueError(
+                "contour polygon rings: ring chains did not close "
+                f"({len(run)} of {g.num_rows} walked)")
+        parts = [np.frombuffer(blobs[run[0]], np.float64).reshape(-1, 2)]
+        for i in run[1:]:
+            parts.append(
+                np.frombuffer(blobs[i], np.float64).reshape(-1, 2)[1:])
+        ring = np.concatenate(parts, axis=0)
+        if not (ring[0] == ring[-1]).all():
+            raise ValueError("contour polygon rings: assembled ring open")
+        area = int(g.column("area_milli").to_numpy(
+            zero_copy_only=False).sum())
+        return pa.table(
+            {
+                "band": pa.array([int(g.column("band")[0].as_py())],
+                                 pa.int64()),
+                "comp_id": pa.array(
+                    [int(g.column("root")[0].as_py())], pa.int64()),
+                "n_points": pa.array([len(ring)], pa.int64()),
+                "area_px2_milli": pa.array([area], pa.int64()),
+                "wkb": pa.array([wkb_polygon([to_meters(ring)])],
+                                pa.binary()),
+            }
+        )
+
+    merged = with_root.groupby("root").map_groups(
+        assemble, batch_format="pyarrow"
+    )
+    return merged.union(closed_ds)

@@ -170,3 +170,51 @@ def test_polygon_bands_ramp_single_cell(ray_session):
     dom_px2 = float((grid - 1) ** 2)
     total = -out.area_px2_milli.sum() / 1000.0
     assert total == pytest.approx(dom_px2, abs=0.1)
+
+
+def test_polygon_rings_emit_wkb_geometry(ray_session):
+    """contour_polygon_rings emits one WKB POLYGON per ring whose
+    shoelace area and identity match the stats mode exactly (same CC
+    roots), with rings closed and n_points == n_segments + 1."""
+    from gdal_ray.functions import mercator
+    from gdal_ray.functions.geom import parse_wkb
+    from gdal_ray.stages.contour import (
+        contour_polygon_cells,
+        contour_polygon_rings,
+    )
+
+    z, gx, gy, grid = 8, 200, 200, 64
+    minx, miny, maxx, maxy = mercator.tile_bounds(gx + 1, gy + 1, z)
+    cx, cy = float(minx), float(miny)
+    grids = {}
+    for tx in (gx, gx + 1):
+        for ty in (gy, gy + 1):
+            tminx, tminy, tmaxx, tmaxy = mercator.tile_bounds(tx, ty, z)
+            res = (tmaxx - tminx) / grid
+            xs = tminx + (np.arange(grid) + 0.5) * res
+            ys = tmaxy - (np.arange(grid) + 0.5) * res
+            d = np.hypot(xs[None, :] - cx, ys[:, None] - cy)
+            grids[(tx, ty)] = 200.0 - d / 1000.0
+    stats = (
+        contour_polygon_cells(_cells_ds(grids), levels=(128.0,))
+        .to_pandas().set_index(["band", "comp_id"]).sort_index()
+    )
+    rings = (
+        contour_polygon_rings(_cells_ds(grids), levels=(128.0,), zoom=z)
+        .to_pandas().set_index(["band", "comp_id"]).sort_index()
+    )
+    assert list(stats.index) == list(rings.index)  # identical ring identity
+    assert (rings.area_px2_milli == stats.area_px2_milli).all()
+    assert (rings.n_points == stats.n_segments + 1).all()
+    res_px = float(mercator.resolution(z)) * 256.0 / grid
+    for (band, comp), row in rings.iterrows():
+        geom = parse_wkb(bytes(row.wkb))
+        ring = geom[1][0] if isinstance(geom, tuple) else geom["rings"][0]
+        ring = np.asarray(ring, np.float64)
+        assert (ring[0] == ring[-1]).all()
+        # y-down px -> y-up meters flips the shoelace sign
+        sh = 0.5 * np.sum(
+            (ring[:-1, 0] + ring[1:, 0]) * (ring[1:, 1] - ring[:-1, 1])
+        )
+        expect_m2 = -(row.area_px2_milli / 1000.0) * res_px * res_px
+        assert sh == pytest.approx(expect_m2, rel=1e-6, abs=1.0)
