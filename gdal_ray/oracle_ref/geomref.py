@@ -573,6 +573,12 @@ def _q38_poly_rows(grids: dict, grid: int, res_px: float, nt: int,
         lr = (nt - 1 - ty) * grid - goff_r
         lc = tx * grid - goff_c
         vals[lr:lr + grid, lc:lc + grid] = g
+    # shared contract: marching_squares/utility.h:30-47 value fudge —
+    # nodes within 1e-6 of a level shift up by 1e-6
+    for L in lv:
+        near = np.abs(vals - L) < 1e-6
+        if near.any():
+            vals[near] += 1e-6
     fin = np.isfinite(vals)
     dom = fin[:-1, :-1] & fin[:-1, 1:] & fin[1:, :-1] & fin[1:, 1:]
 

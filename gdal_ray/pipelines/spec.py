@@ -429,6 +429,13 @@ def _raster_contour(ds, zoom: int = 8, grid: int = 64, levels=None,
         field_cells,
     )
 
+    if emit not in ("stats", "wkb"):
+        raise ValueError(f"raster_contour: unknown emit {emit!r} "
+                         "(expected 'stats' or 'wkb')")
+    if emit == "wkb" and not polygons:
+        raise ValueError(
+            "raster_contour: emit='wkb' requires polygons=True "
+            "(polyline WKB emission is not implemented)")
     cells = field_cells(ds, zoom=zoom, grid=grid)
     lv = tuple(levels) if levels else LEVELS
     if polygons and emit == "wkb":

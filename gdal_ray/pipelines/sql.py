@@ -1029,8 +1029,18 @@ def _interval_band_of(interval_ds, lo: str, hi: str) -> int:
     return max(int(max_w), int(span // 4096), 1)
 
 
-_RANGEABLE = (pa.types.is_integer, pa.types.is_timestamp,
-              pa.types.is_date, pa.types.is_time)
+def _range_lowerable(tys) -> bool:
+    """The interval lowering bands raw int64 ticks, so probe/lo/hi
+    must share ONE tick space: all three types IDENTICAL and in the
+    supported set (integers, tz-naive timestamps, dates — time32/64
+    arrive as Python time objects and mixed units would band into
+    incomparable spaces, silently dropping matches)."""
+    t0 = tys[0]
+    if not all(t.equals(t0) for t in tys[1:]):
+        return False
+    if pa.types.is_integer(t0) or pa.types.is_date(t0):
+        return True
+    return pa.types.is_timestamp(t0) and t0.tz is None
 
 
 def _run_join_agg(plan, tables, num_partitions: int):
@@ -1149,9 +1159,8 @@ def _run_join_agg(plan, tables, num_partitions: int):
             if rng is not None:
                 pr, rlo, rhi = rng
                 earlier = (pr,) if rlo[0] == ja else (rlo, rhi)
-                ok_ty = all(
-                    any(p(stypes[a][c]) for p in _RANGEABLE)
-                    for a, c in (pr, rlo, rhi)
+                ok_ty = _range_lowerable(
+                    [stypes[a][c] for a, c in (pr, rlo, rhi)]
                 ) and all(k in outname for k in earlier)
             if rng is not None and ok_ty:
                 # inclusive superset co-location; the original
@@ -1169,6 +1178,9 @@ def _run_join_agg(plan, tables, num_partitions: int):
                             [_r[c] for c in t.column_names]),
                         batch_format="pyarrow",
                     )
+                    # the chain is consumed twice (band estimation +
+                    # the join itself) — materialize once
+                    ds = ds.materialize()
                     band = _interval_band_of(
                         ds, outname[rlo], outname[rhi])
                     ds = R.interval_join(

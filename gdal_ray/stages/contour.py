@@ -676,8 +676,13 @@ def _poly_frag_stage(cells, levels, grid: int, with_points: bool = False):
     from .tiles import _add_scatter
     from ..functions.contour_ms import marching_squares_desc_dir
 
-    levels = tuple(float(l) for l in levels)
+    # bands index the SORTED unique levels (searchsorted + the i/i+1
+    # iso assignment both assume strict ascending order)
+    levels = tuple(sorted({float(l) for l in levels}))
+    if not levels:
+        raise ValueError("contour polygons: need >= 1 level")
     n_bands = len(levels) + 1
+
     def emit_with_halo_ex(t: pa.Table) -> pa.Table:
         rows = {"cell": [], "kind": [], "payload": [], "z": [], "x": [], "y": []}
         for r in range(t.num_rows):
@@ -773,6 +778,17 @@ def _poly_frag_stage(cells, levels, grid: int, with_points: bool = False):
                 ex[_DIR[(ox, oy)]] = True
         gr0 = (nt - 1 - ty) * grid
         gc0 = tx * grid
+        # value fudge (marching_squares/utility.h:30-47 discipline):
+        # nodes within 1e-6 of a level shift up by 1e-6 so no crossing
+        # ever lands EXACTLY on a node (t==0/1 descriptors would fail
+        # seam pairing); a pure function of (value, levels), so halo
+        # copies fudge identically on both sides of a border.  (The
+        # reference exempts the raster-minimum level; value-side
+        # fudging here keeps every band boundary strictly off-node.)
+        for L in levels:
+            near = np.abs(ext - L) < 1e-6
+            if near.any():
+                ext[near] += 1e-6
         fin = np.isfinite(ext)
         dom = fin[:-1, :-1] & fin[:-1, 1:] & fin[1:, :-1] & fin[1:, 1:]
 
@@ -839,6 +855,64 @@ def _poly_frag_stage(cells, levels, grid: int, with_points: bool = False):
     return frags, n_bands
 
 
+def _poly_seam_labels(open_frags):
+    """Seam pairing shared by both polygon output modes: one row per
+    open-chain endpoint keyed (band | endpoint descriptor), each key
+    must carry exactly one chain START and one chain END (polygon band
+    boundaries always close — anything else is a mis-stitch and
+    raises); min-label CC over the resulting chain pairs.  Returns the
+    (node, label) Dataset, or None when there are no pairs."""
+    from .polygonize import _materialize_detached, min_label_components
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        bands = t.column("band").to_pylist()
+        nodes = t.column("node").to_pylist()
+        e1 = t.column("ep1").to_pylist()
+        e2 = t.column("ep2").to_pylist()
+        key, node, role = [], [], []
+        for r in range(t.num_rows):
+            pfx = struct.pack("<q", bands[r])
+            key.append(pfx + e1[r])
+            role.append(1)
+            key.append(pfx + e2[r])
+            role.append(0)
+            node.append(nodes[r])
+            node.append(nodes[r])
+        return pa.table(
+            {
+                "key": pa.array(key, pa.binary()),
+                "node": pa.array(node, pa.int64()),
+                "role": pa.array(role, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ep_stats = _materialize_detached(
+        open_frags.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("node", alias_name="mn"),
+            Max("node", alias_name="mx"),
+            Sum("role", alias_name="rs"),
+        )
+    )
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        rs = t.column("rs").to_numpy(zero_copy_only=False)
+        if (n != 2).any() or (rs != 1).any():
+            bad = int(((n != 2) | (rs != 1)).sum())
+            raise ValueError(
+                f"contour polygons: {bad} seam endpoints failed to pair "
+                "one chain start with one chain end (unclosed boundary)")
+        return pa.table({"a": t.column("mn"), "b": t.column("mx")})
+
+    return min_label_components(
+        ep_stats.map_batches(to_pairs, batch_format="pyarrow"))
+
+
 def contour_polygon_cells(cells, levels=LEVELS, grid: int = 64):
     """Contour POLYGONS (``gdal_contour -p``; alg/contour.cpp polygon
     mode + alg/marching_squares/polygon_ring_appender.h semantics,
@@ -862,8 +936,6 @@ def contour_polygon_cells(cells, levels=LEVELS, grid: int = 64):
     positive — the sign is the ring role, GDAL's winding-number
     nesting restated).  See :func:`contour_polygon_rings` for the
     WKB-geometry-emitting variant."""
-    from .polygonize import _materialize_detached, min_label_components
-
     frags, n_bands = _poly_frag_stage(cells, levels, grid)
 
     def _only(closed_val: bool):
@@ -880,56 +952,9 @@ def contour_polygon_cells(cells, levels=LEVELS, grid: int = 64):
     ).select_columns(["band", "node", "n_seg", "len_mm", "area_milli"])
     open_frags = frags.map_batches(_only(False), batch_format="pyarrow")
 
-    # one row per open endpoint: key = (band | endpoint descriptor),
-    # role 1 = chain start, 0 = chain end; every key must pair exactly
-    # one start with one end (polygon boundaries always close)
-    def endpoints(t: pa.Table) -> pa.Table:
-        bands = t.column("band").to_pylist()
-        nodes = t.column("node").to_pylist()
-        e1 = t.column("ep1").to_pylist()
-        e2 = t.column("ep2").to_pylist()
-        key, node, role = [], [], []
-        for r in range(t.num_rows):
-            pfx = struct.pack("<q", bands[r])
-            key.append(pfx + e1[r])
-            role.append(1)
-            key.append(pfx + e2[r])
-            role.append(0)
-            node.append(nodes[r])
-            node.append(nodes[r])
-        return pa.table(
-            {
-                "key": pa.array(key, pa.binary()),
-                "node": pa.array(node, pa.int64()),
-                "role": pa.array(role, pa.int64()),
-            }
-        )
+    from ray.data.aggregate import Max, Sum
 
-    eps = open_frags.map_batches(endpoints, batch_format="pyarrow")
-
-    from ray.data.aggregate import Count, Max, Min, Sum
-
-    ep_stats = _materialize_detached(
-        eps.groupby("key").aggregate(
-            Count(alias_name="n"),
-            Min("node", alias_name="mn"),
-            Max("node", alias_name="mx"),
-            Sum("role", alias_name="rs"),
-        )
-    )
-
-    def to_pairs(t: pa.Table) -> pa.Table:
-        n = t.column("n").to_numpy(zero_copy_only=False)
-        rs = t.column("rs").to_numpy(zero_copy_only=False)
-        if (n != 2).any() or (rs != 1).any():
-            bad = int(((n != 2) | (rs != 1)).sum())
-            raise ValueError(
-                f"contour polygons: {bad} seam endpoints failed to pair "
-                "one chain start with one chain end (unclosed boundary)")
-        return pa.table({"a": t.column("mn"), "b": t.column("mx")})
-
-    pairs = ep_stats.map_batches(to_pairs, batch_format="pyarrow")
-    labels = min_label_components(pairs)
+    labels = _poly_seam_labels(open_frags)
     open_count = open_frags.count()
 
     def _with_root(ds):
@@ -1014,7 +1039,6 @@ def contour_polygon_rings(cells, levels=LEVELS, grid: int = 64,
     the stats mode's one-shuffle plan.  All cells must share ``zoom``
     (the fixture field's contract) for the pixel->meter conversion."""
     from ..functions.geom import wkb_polygon
-    from .polygonize import _materialize_detached, min_label_components
 
     res_px = float(mercator.resolution(zoom)) * 256.0 / grid
     origin = mercator.ORIGIN_SHIFT
@@ -1062,54 +1086,7 @@ def contour_polygon_rings(cells, levels=LEVELS, grid: int = 64,
     if open_count == 0:
         return closed_ds
 
-    # seam pairing identical to the stats mode
-    def endpoints(t: pa.Table) -> pa.Table:
-        bands = t.column("band").to_pylist()
-        nodes = t.column("node").to_pylist()
-        e1 = t.column("ep1").to_pylist()
-        e2 = t.column("ep2").to_pylist()
-        key, node, role = [], [], []
-        for r in range(t.num_rows):
-            pfx = struct.pack("<q", bands[r])
-            key.append(pfx + e1[r])
-            role.append(1)
-            key.append(pfx + e2[r])
-            role.append(0)
-            node.append(nodes[r])
-            node.append(nodes[r])
-        return pa.table(
-            {
-                "key": pa.array(key, pa.binary()),
-                "node": pa.array(node, pa.int64()),
-                "role": pa.array(role, pa.int64()),
-            }
-        )
-
-    from ray.data.aggregate import Count, Max, Min, Sum
-
-    ep_stats = _materialize_detached(
-        open_frags.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("key")
-        .aggregate(
-            Count(alias_name="n"),
-            Min("node", alias_name="mn"),
-            Max("node", alias_name="mx"),
-            Sum("role", alias_name="rs"),
-        )
-    )
-
-    def to_pairs(t: pa.Table) -> pa.Table:
-        n = t.column("n").to_numpy(zero_copy_only=False)
-        rs = t.column("rs").to_numpy(zero_copy_only=False)
-        if (n != 2).any() or (rs != 1).any():
-            bad = int(((n != 2) | (rs != 1)).sum())
-            raise ValueError(
-                f"contour polygon rings: {bad} seam endpoints failed to "
-                "pair one chain start with one chain end")
-        return pa.table({"a": t.column("mn"), "b": t.column("mx")})
-
-    labels = min_label_components(
-        ep_stats.map_batches(to_pairs, batch_format="pyarrow"))
+    labels = _poly_seam_labels(open_frags)
 
     open_sel = open_frags.select_columns(
         ["band", "node", "n_seg", "area_milli", "ep1", "ep2", "pts"])

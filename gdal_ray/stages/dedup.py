@@ -350,10 +350,14 @@ def minhash_lsh_pairs(
     cand = _materialize_detached(cand)
     n_cand = cand.count()
     if n_cand == 0:
-        return cand.map_batches(
+        empty = cand.map_batches(
             lambda t: t.append_column(score_col, pa.array([], pa.float64())),
             batch_format="pyarrow",
         )
+        if not return_stats:
+            return empty
+        return empty, _bucket_overflow_stats(exploded, "band", "bh",
+                                             max_bucket)
     parts = max(1, n_cand // 50_000)
 
     def _sig_as(key: str):

@@ -218,3 +218,29 @@ def test_polygon_rings_emit_wkb_geometry(ray_session):
         )
         expect_m2 = -(row.area_px2_milli / 1000.0) * res_px * res_px
         assert sh == pytest.approx(expect_m2, rel=1e-6, abs=1.0)
+
+
+def test_polygon_levels_unsorted_and_node_equal_value(ray_session):
+    """Unsorted level lists sort before banding, and grid values
+    EXACTLY equal to a level take the reference's value fudge
+    (marching_squares/utility.h:30-47) instead of crashing seam
+    pairing."""
+    from gdal_ray.functions import mercator
+    from gdal_ray.stages.contour import contour_polygon_cells
+
+    z, tx, ty, grid = 8, 300, 300, 64
+    tminx, tminy, tmaxx, tmaxy = mercator.tile_bounds(tx, ty, z)
+    xs = tminx + (np.arange(grid) + 0.5) * (tmaxx - tminx) / grid
+    # integer-valued ramp 0..252: many nodes EXACTLY equal 64/128
+    g = np.repeat(np.floor(
+        (xs - tminx) / (tmaxx - tminx) * 253.0)[None, :], grid, axis=0)
+    out = (
+        contour_polygon_cells(_cells_ds({(tx, ty): g}),
+                              levels=(128.0, 64.0))  # unsorted on purpose
+        .to_pandas()
+    )
+    assert set(out.band) == {0, 1, 2}
+    assert len(out) == 3
+    assert (out.area_px2_milli < 0).all()
+    dom_px2 = float((grid - 1) ** 2)
+    assert -out.area_px2_milli.sum() / 1000.0 == pytest.approx(dom_px2, abs=0.1)

@@ -167,3 +167,27 @@ def test_minhash_truncation_stats(ray_session):
     assert (sdf.n_in_bucket == n).all()
     assert (sdf.n_dropped == n - cap).all()
     assert pairs.count() == cap * (cap - 1) // 2
+
+
+def test_minhash_return_stats_zero_candidates(ray_session):
+    """return_stats keeps the (pairs, stats) contract when NO candidate
+    pairs exist (the regression: the n_cand==0 early return used to
+    hand back a bare Dataset)."""
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import minhash_lsh_pairs
+
+    rng = np.random.default_rng(13)
+    alphabet = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+    texts = ["".join(rng.choice(alphabet, 400)) for _ in range(8)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(8), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pairs, stats = minhash_lsh_pairs(
+        rd.from_arrow(t), return_stats=True
+    )
+    assert pairs.count() == 0
+    assert stats.count() == 0

@@ -114,3 +114,28 @@ def test_float_range_still_nested_loop(ray_session):
         ),
     }
     _both("SELECT pid, iv_id FROM fp JOIN fiv ON v BETWEEN lo AND hi", tables)
+
+
+def test_mixed_tick_types_do_not_take_interval_path(ray_session):
+    """Probe and bound columns of DIFFERENT tick units (timestamp[s]
+    vs timestamp[us]) must not band in incomparable spaces — the
+    lowering declines and the nested loop (arrow comparison kernels
+    handle the cast) gives the DuckDB answer."""
+    ts_s = pa.array(
+        np.array([100, 200, 300], dtype="datetime64[s]"),
+        pa.timestamp("s"),
+    )
+    lo_us = pa.array(
+        np.array([50_000_000, 250_000_000], dtype="datetime64[us]"),
+        pa.timestamp("us"),
+    )
+    hi_us = pa.array(
+        np.array([150_000_000, 350_000_000], dtype="datetime64[us]"),
+        pa.timestamp("us"),
+    )
+    tables = {
+        "p": pa.table({"pid": pa.array([1, 2, 3], pa.int64()), "t": ts_s}),
+        "iv": pa.table({"iv_id": pa.array([10, 20], pa.int64()),
+                        "lo": lo_us, "hi": hi_us}),
+    }
+    _both("SELECT pid, iv_id FROM p JOIN iv ON t BETWEEN lo AND hi", tables)
