@@ -122,15 +122,20 @@ class GCPTransformer:
         geos = [tuple(map(float, g)) for g in geos]
         if order == 0:
             order = auto_order(len(pixels))
-        if (
-            len(pixels) == 2
-            and order == 1
-            and geos[0][0] != geos[1][0]
-            and geos[0][1] != geos[1][1]
-        ):
-            # opposite rectangle corners -> synthesize the third
-            geos.append((geos[1][0], geos[0][1]))
-            pixels.append((pixels[1][0], pixels[0][1]))
+        if len(pixels) == 2 and order == 1:
+            if geos[0][0] != geos[1][0] and geos[0][1] != geos[1][1]:
+                # opposite rectangle corners -> synthesize the third
+                geos.append((geos[1][0], geos[0][1]))
+                pixels.append((pixels[1][0], pixels[0][1]))
+            else:
+                # 2 GCPs sharing a geo X or Y: the reference reports the
+                # unsolvable-transform condition explicitly (gdal_crs.cpp
+                # MUNSOLVABLE) rather than a generic fit-arity error
+                raise ValueError(
+                    "2 GCPs sharing a geo X or Y cannot define an "
+                    "order-1 transform (unsolvable; reference "
+                    "gdal_crs.cpp MUNSOLVABLE)"
+                )
         self.order = order
         self.n_dropped = 0
         if refine:

@@ -948,8 +948,6 @@ def q47_session_window(sf_dir: str):
     """Session windows per user (30-min inactivity gap): groupby(user)
     -> per-group sorted gap-split (the keyed stateful-window pattern);
     per user: n_sessions, n_events, total span seconds."""
-    import pandas as pd
-
     ev = _read(sf_dir, "events", columns=["ts", "user_id", "event_id"])
     GAP_US = 30 * 60 * 1_000_000
     P = 32
@@ -962,14 +960,17 @@ def q47_session_window(sf_dir: str):
             "__spart", pa.array((u % np.uint64(P)).astype(np.int64), pa.int64())
         )
 
-    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+    def sessions_part(g: pa.Table) -> pa.Table:
         # one vectorized call per hash partition (NOT one per user):
         # sort by (user, ts, event_id), split sessions at user changes
         # or >30-min gaps, then per-user reductions via reduceat
-        g = g.sort_values(["user_id", "ts", "event_id"])
-        # robust to pandas 2 unit-preserving dtypes (datetime64[us] vs [ns])
-        us = g["ts"].values.astype("datetime64[us]").astype(np.int64)
-        uid = g["user_id"].values.astype(np.int64)
+        # (pyarrow group container; internals are pure numpy)
+        us_raw = (g.column("ts").to_numpy(zero_copy_only=False)
+                  .astype("datetime64[us]").astype(np.int64))
+        uid_raw = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, us_raw, uid_raw))
+        us, uid = us_raw[order], uid_raw[order]
         n = len(uid)
         new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
         gap = np.concatenate([[GAP_US + 1], np.diff(us)])
@@ -988,19 +989,19 @@ def q47_session_window(sf_dir: str):
             if len(s_user)
             else np.array([], np.int64)
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": users,
-                "n_sessions": n_sessions.astype(np.int64),
-                "n_events": n_events.astype(np.int64),
-                "span_s": span_s.astype(np.int64),
+                "user_id": pa.array(users, pa.int64()),
+                "n_sessions": pa.array(n_sessions.astype(np.int64), pa.int64()),
+                "n_events": pa.array(n_events.astype(np.int64), pa.int64()),
+                "span_s": pa.array(span_s.astype(np.int64), pa.int64()),
             }
         )
 
     return (
         ev.map_batches(add_part, batch_format="pyarrow")
         .groupby("__spart")
-        .map_groups(sessions_part, batch_format="pandas")
+        .map_groups(sessions_part, batch_format="pyarrow")
         .sort("user_id")
     )
 

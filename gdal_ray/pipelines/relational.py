@@ -196,20 +196,74 @@ def _desc_list(keys, descending):
 
 def broadcast_hash_join(left, right_table: pa.Table, on: str, how: str = "inner"):
     """Small-side broadcast equi-join: ray.put the build table once,
-    per-batch pandas merge (no shuffle; ogr_gensql.cpp:1319 secondary-
-    table fetch analog)."""
+    Arrow-native probe per batch (no shuffle; ogr_gensql.cpp:1319
+    secondary-table fetch analog).
+
+    The build side is key-sorted ONCE at plan time (unique keys +
+    run offsets), so each probe batch is one ``pc.index_in`` against
+    the broadcast key set plus two vectorized takes — the probe stream
+    never leaves Arrow (the prior pandas merge round-tripped every
+    left batch through pandas).  Row order: left order preserved,
+    multi-matches expand in build-side key-sorted order.  Colliding
+    right column names take the ``_r`` suffix (copartition_equi_join
+    convention)."""
     import ray
 
-    ref = ray.put(right_table.to_pandas())
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_hash_join: unsupported how={how!r}")
+    rs = right_table.sort_by(on)
+    rkeys = rs.column(on)
+    if rs.num_rows:
+        kv = rkeys.to_numpy(zero_copy_only=False)
+        new = np.concatenate([[True], kv[1:] != kv[:-1]])
+        starts = np.flatnonzero(new).astype(np.int64)
+        counts = np.diff(np.append(starts, len(kv))).astype(np.int64)
+        uniq = rkeys.take(pa.array(starts, pa.int64()))
+    else:
+        starts = np.array([], np.int64)
+        counts = np.array([], np.int64)
+        uniq = rkeys
+    right_payload = rs.drop_columns([on])
+    ref = ray.put((uniq, starts, counts, right_payload))
 
-    def fn(df):
-        import pandas as pd  # noqa: F401
-
-        r = ray.get(ref)
-        return df.merge(r, on=on, how=how)
+    def fn(t: pa.Table) -> pa.Table:
+        uniq, starts, counts, payload = ray.get(ref)
+        pos = pc.index_in(t.column(on), value_set=uniq)
+        pos_np = pos.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        match = pos_np >= 0
+        if how == "inner":
+            lrows = np.flatnonzero(match)
+            m = pos_np[lrows]
+            rep = counts[m]
+            left_take = np.repeat(lrows, rep)
+            base = np.repeat(starts[m], rep)
+            csum = np.cumsum(rep) - rep
+            offs = np.arange(int(rep.sum()), dtype=np.int64) - np.repeat(csum, rep)
+            right_idx = pa.array(base + offs, pa.int64())
+        else:  # left outer: unmatched rows emit once with null right side
+            pos_safe = np.where(match, pos_np, 0)
+            counts_g = counts if len(counts) else np.zeros(1, np.int64)
+            starts_g = starts if len(starts) else np.zeros(1, np.int64)
+            rep_full = np.where(match, counts_g[pos_safe], 1).astype(np.int64)
+            left_take = np.repeat(np.arange(len(t), dtype=np.int64), rep_full)
+            base = np.repeat(np.where(match, starts_g[pos_safe], 0), rep_full)
+            csum = np.cumsum(rep_full) - rep_full
+            offs = (np.arange(int(rep_full.sum()), dtype=np.int64)
+                    - np.repeat(csum, rep_full))
+            ridx = base + offs
+            rmask = np.repeat(~match, rep_full)  # True -> null index
+            right_idx = pa.array(ridx, pa.int64(), mask=rmask)
+        out = t.take(pa.array(left_take, pa.int64()))
+        lnames = set(out.column_names)
+        for name in payload.column_names:
+            col = payload.column(name).take(right_idx)
+            out = out.append_column(
+                name + "_r" if name in lnames else name, col
+            )
+        return out
 
     fn.__name__ = f"broadcast_join_{on}"
-    return left.map_batches(fn, batch_format="pandas")
+    return left.map_batches(fn, batch_format="pyarrow")
 
 
 def hash_join(left, right, on: str, num_partitions: int = 32, how: str = "inner"):

@@ -1166,9 +1166,13 @@ def _run_join_agg(plan, tables, num_partitions: int):
                 # inclusive superset co-location; the original
                 # conjuncts (already in deferred_on) re-filter exactly
                 if rlo[0] == ja:  # probe on the earlier chain
-                    band = _interval_band_of(src[ja], rlo[1], rhi[1])
+                    # src[ja] is consumed twice (band estimation + the
+                    # join itself) — materialize once, mirroring the
+                    # swapped orientation below
+                    ja_ds = src[ja].materialize()
+                    band = _interval_band_of(ja_ds, rlo[1], rhi[1])
                     ds = R.interval_join(
-                        ds, src[ja], on=outname[pr], by=None,
+                        ds, ja_ds, on=outname[pr], by=None,
                         lo=rlo[1], hi=rhi[1], band=band,
                         right_suffix=suf, num_partitions=num_partitions,
                     )

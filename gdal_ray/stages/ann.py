@@ -292,10 +292,10 @@ def embedding_neardup_pairs(
                 % np.uint64(n_cand_parts)).astype(np.int64)
         return t.append_column("__bpart", pa.array(part, pa.int64()))
 
-    def cand_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        band_a = g["band"].to_numpy(np.int64)
-        bk_a = g["bucket"].to_numpy(np.int64)
-        vid_a = g["vec_id"].to_numpy(np.int64)
+    def cand_pairs_part(g: pa.Table) -> pa.Table:
+        band_a = g.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bk_a = g.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        vid_a = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((vid_a, bk_a, band_a))
         bs, ks = band_a[order], bk_a[order]
         new = np.concatenate(
@@ -303,7 +303,7 @@ def embedding_neardup_pairs(
         )
         starts = np.flatnonzero(new)
         ends = np.append(starts[1:], len(order))
-        sig_all = g["sig"].to_numpy()
+        sig_all = g.column("sig").to_numpy(zero_copy_only=False)
         out_a, out_b = [], []
         for b0, b1 in zip(starts, ends):
             if b1 - b0 < 2:
@@ -332,14 +332,17 @@ def embedding_neardup_pairs(
                 out_b.append(ids[ci[keep]])
         a = np.concatenate(out_a) if out_a else np.array([], np.int64)
         b = np.concatenate(out_b) if out_b else np.array([], np.int64)
-        return pd.DataFrame(
-            {"id_a": a.astype(np.int64), "id_b": b.astype(np.int64)}
+        return pa.table(
+            {
+                "id_a": pa.array(a.astype(np.int64), pa.int64()),
+                "id_b": pa.array(b.astype(np.int64), pa.int64()),
+            }
         )
 
     cands = (
         exploded.map_batches(add_bpart, batch_format="pyarrow")
         .groupby("__bpart")
-        .map_groups(cand_pairs_part, batch_format="pandas")
+        .map_groups(cand_pairs_part, batch_format="pyarrow")
     )
 
     n_cand = cands.count()
@@ -551,9 +554,7 @@ def embedding_pca(emb, n_components: int = 8, quant_bits: int = 24):
     import math
 
     def partial(t: pa.Table) -> pa.Table:
-        x = np.stack(
-            [np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()]
-        )
+        x = _emb_matrix(t, "embedding")
         d = x.shape[1]
         return pa.table(
             {
@@ -650,9 +651,7 @@ def embedding_kmeans(emb, k: int = 8, iters: int = 5, quant_bits: int = 24,
 
     def partial_pass(Cq):
         def partial(t: pa.Table) -> pa.Table:
-            x = _normalize(np.stack(
-                [np.asarray(v, np.float64) for v in t.column(vec_col).to_pylist()]
-            ))
+            x = _normalize(_emb_matrix(t, vec_col))
             assign = np.argmax(x @ Cq.T, axis=1)
             cl, ns, ss = [], [], []
             for c in range(k):
@@ -705,9 +704,7 @@ def embedding_kmeans(emb, k: int = 8, iters: int = 5, quant_bits: int = 24,
     Cf = C
 
     def assign_rows(t: pa.Table) -> pa.Table:
-        x = _normalize(np.stack(
-            [np.asarray(v, np.float64) for v in t.column(vec_col).to_pylist()]
-        ))
+        x = _normalize(_emb_matrix(t, vec_col))
         sims = x @ Cf.T
         a = np.argmax(sims, axis=1)
         best = sims[np.arange(len(a)), a]

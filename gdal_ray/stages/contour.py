@@ -665,7 +665,8 @@ def contour_cells(cells, levels=LEVELS, grid: int = 64):
     return merged.map_batches(shape_merged, batch_format="pyarrow").union(closed_ds)
 
 
-def _poly_frag_stage(cells, levels, grid: int, with_points: bool = False):
+def _poly_frag_stage(cells, levels, grid: int, with_points: bool = False,
+                     expect_zoom: int | None = None):
     """Shared fragment stage of the polygon modes: one groupby(cell)
     shuffle carrying grids + halos + 8-neighbor existence bits, per-
     cell directed fragment generation (iso + domain border) and local
@@ -750,6 +751,13 @@ def _poly_frag_stage(cells, levels, grid: int, with_points: bool = False):
         if "own" not in kinds:
             return _empty_poly_frag_table()
         z = int(g.column("z")[0].as_py())
+        if expect_zoom is not None and z != expect_zoom:
+            # a caller-supplied zoom that disagrees with the cells'
+            # own z would silently mis-scale/mis-place the WKB rings
+            # while the stats columns stay plausible — fail loudly
+            raise ValueError(
+                f"contour polygons: cell z={z} != caller zoom="
+                f"{expect_zoom} (pixel->meter conversion would be wrong)")
         tx = int(g.column("x")[0].as_py())
         ty = int(g.column("y")[0].as_py())
         nt = 1 << z
@@ -776,6 +784,24 @@ def _poly_frag_stage(cells, levels, grid: int, with_points: bool = False):
             else:  # ex
                 ox, oy = struct.unpack("<bb", pl)
                 ex[_DIR[(ox, oy)]] = True
+        # COVERAGE PRECONDITION (documented): no diagonal-only
+        # adjacency.  A neighbor cell touching ONLY at a corner (e.g.
+        # NE covered while N and E are not) makes that domain corner a
+        # 4-edge pinch node of the band boundary; the exact endpoint
+        # chaining (chain_directed) is degree-<=2 by construction and
+        # would abort deep in the run with a misleading 'degenerate
+        # pinch node'.  The reference's polygon_ring_appender resolves
+        # such touch points by a turn rule; this engine instead
+        # requires edge-connected coverage (every mosaic fixture is a
+        # full rectangle of cells) and fails loudly up front here.
+        for dia, (s1, s2) in (("NE", ("N", "E")), ("NW", ("N", "W")),
+                              ("SE", ("S", "E")), ("SW", ("S", "W"))):
+            if ex[dia] and not (ex[s1] or ex[s2]):
+                raise ValueError(
+                    f"contour polygons: diagonal-only covered neighbor "
+                    f"{dia} at cell z={z} x={tx} y={ty} — corner touch "
+                    "points (pinch nodes) are unsupported; coverage "
+                    "must be edge-connected")
         gr0 = (nt - 1 - ty) * grid
         gc0 = tx * grid
         # value fudge (marching_squares/utility.h:30-47 discipline):
@@ -1049,7 +1075,8 @@ def contour_polygon_rings(cells, levels=LEVELS, grid: int = 64,
         out[:, 1] = origin - (pts_px[:, 1] + 0.5) * res_px
         return out
 
-    frags, n_bands = _poly_frag_stage(cells, levels, grid, with_points=True)
+    frags, n_bands = _poly_frag_stage(cells, levels, grid, with_points=True,
+                                      expect_zoom=zoom)
 
     def _only(closed_val: bool):
         def fn(t: pa.Table) -> pa.Table:
