@@ -224,6 +224,195 @@ class ComposedTransform:
         return x, y
 
 
+# ---------------------------------------------- conic / polar families
+#
+# The reference reaches every projected CRS through PROJ
+# (ogr/ogrct.cpp:1018 OGRCreateCoordinateTransformation); the families
+# below are the closed ellipsoidal forms PROJ's lcc/aea/stere evaluate
+# (Snyder 1987, "Map Projections — A Working Manual", USGS PP 1395:
+# LCC eq. 15-1..15-11, Albers eq. 14-1..14-12 + 3-16, Polar
+# Stereographic eq. 21-33..21-41 + 3-5), parameterized the EPSG way
+# (two standard parallels / lat_ts, false origin) and composable with
+# ComposedTransform.  All vectorized numpy over coordinate arrays (the
+# OGRProjCT array contract).  The rasterref golden restates the same
+# published formulas with the identical elementwise expression
+# sequence, so engine and golden produce identical doubles.
+
+
+def _t_snyder(phi):
+    """Snyder eq. 15-9: isometric-colatitude function t(phi)."""
+    esin = E1 * np.sin(phi)
+    return (np.tan(np.pi / 4.0 - phi / 2.0)
+            / ((1.0 - esin) / (1.0 + esin)) ** (E1 / 2.0))
+
+
+def _m_snyder(phi):
+    """Snyder eq. 14-15: m(phi) = cos(phi)/sqrt(1 - e^2 sin^2 phi)."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - E2 * s * s)
+
+
+def _phi_from_t(t):
+    """Invert Snyder eq. 15-9 (eq. 7-9 fixed-point): phi =
+    pi/2 - 2 atan(t ((1 - e sin phi)/(1 + e sin phi))^(e/2)),
+    seeded with the spherical phi; converges quadratically."""
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(15):
+        esin = E1 * np.sin(phi)
+        phi_new = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - esin) / (1.0 + esin)) ** (E1 / 2.0))
+        if np.all(np.abs(phi_new - phi) < 1e-14):
+            phi = phi_new
+            break
+        phi = phi_new
+    return phi
+
+
+def _q_snyder(phi):
+    """Snyder eq. 3-12: equal-area q(phi)."""
+    s = np.sin(phi)
+    esin = E1 * s
+    return (1.0 - E2) * (
+        s / (1.0 - E2 * s * s)
+        - (1.0 / (2.0 * E1)) * np.log((1.0 - esin) / (1.0 + esin))
+    )
+
+
+def _phi_from_q(q):
+    """Invert q(phi) by Newton (Snyder eq. 3-16), seeded with the
+    authalic-sphere arcsine."""
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(15):
+        s = np.sin(phi)
+        esin = E1 * s
+        one = 1.0 - E2 * s * s
+        dphi = (one * one / (2.0 * np.cos(phi))) * (
+            q / (1.0 - E2)
+            - s / one
+            + (1.0 / (2.0 * E1)) * np.log((1.0 - esin) / (1.0 + esin))
+        )
+        phi = phi + dphi
+        if np.all(np.abs(dphi) < 1e-14):
+            break
+    return phi
+
+
+class LambertConformalConic:
+    """Ellipsoidal LCC, 2SP EPSG parametrization (1SP when
+    lat1 == lat2) — Snyder eq. 15-1..15-11.  fwd: (lon, lat) degrees
+    -> (E, N) meters; inv: (E, N) -> (lon, lat)."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float,
+                 lon0: float, fe: float = 0.0, fn: float = 0.0):
+        p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+        self.lon0 = float(lon0)
+        self.fe, self.fn = float(fe), float(fn)
+        t1, t2, t0 = _t_snyder(p1), _t_snyder(p2), _t_snyder(p0)
+        m1 = _m_snyder(p1)
+        if lat1 == lat2:
+            self.n = np.sin(p1)
+        else:
+            m2 = _m_snyder(p2)
+            self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+        self.F = m1 / (self.n * t1 ** self.n)
+        self.rho0 = A * self.F * t0 ** self.n
+
+    def fwd(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        theta = self.n * np.radians(
+            np.asarray(lon, np.float64) - self.lon0)
+        rho = A * self.F * _t_snyder(phi) ** self.n
+        E = self.fe + rho * np.sin(theta)
+        N = self.fn + self.rho0 - rho * np.cos(theta)
+        return E, N
+
+    def inv(self, e, n):
+        x = np.asarray(e, np.float64) - self.fe
+        y = self.rho0 - (np.asarray(n, np.float64) - self.fn)
+        sgn = 1.0 if self.n >= 0 else -1.0
+        rho = sgn * np.hypot(x, y)
+        t = (rho / (A * self.F)) ** (1.0 / self.n)
+        theta = np.arctan2(sgn * x, sgn * y)
+        lat = np.degrees(_phi_from_t(t))
+        lon = self.lon0 + np.degrees(theta / self.n)
+        return lon, lat
+
+
+class AlbersEqualArea:
+    """Ellipsoidal Albers equal-area conic, 2SP — Snyder eq.
+    14-1..14-12 with the Newton inverse of eq. 3-16."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float,
+                 lon0: float, fe: float = 0.0, fn: float = 0.0):
+        p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+        self.lon0 = float(lon0)
+        self.fe, self.fn = float(fe), float(fn)
+        m1, m2 = _m_snyder(p1), _m_snyder(p2)
+        q1, q2, q0 = _q_snyder(p1), _q_snyder(p2), _q_snyder(p0)
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = A * np.sqrt(self.C - self.n * q0) / self.n
+
+    def fwd(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        theta = self.n * np.radians(
+            np.asarray(lon, np.float64) - self.lon0)
+        rho = A * np.sqrt(self.C - self.n * _q_snyder(phi)) / self.n
+        E = self.fe + rho * np.sin(theta)
+        N = self.fn + self.rho0 - rho * np.cos(theta)
+        return E, N
+
+    def inv(self, e, n):
+        x = np.asarray(e, np.float64) - self.fe
+        y = self.rho0 - (np.asarray(n, np.float64) - self.fn)
+        sgn = 1.0 if self.n >= 0 else -1.0
+        rho = np.hypot(x, y)
+        q = (self.C - (rho * self.n / A) ** 2) / self.n
+        theta = np.arctan2(sgn * x, sgn * y)
+        lat = np.degrees(_phi_from_q(q))
+        lon = self.lon0 + np.degrees(theta / self.n)
+        return lon, lat
+
+
+class PolarStereographic:
+    """Ellipsoidal polar stereographic, variant B (standard parallel
+    lat_ts; EPSG 9829) — Snyder eq. 21-33..21-41; inverse via the
+    t-iteration (eq. 7-9).  ``south=True`` mirrors to the south pole
+    (EPSG:3031-style)."""
+
+    def __init__(self, lat_ts: float, lon0: float, fe: float = 0.0,
+                 fn: float = 0.0, south: bool = False):
+        self.lon0 = float(lon0)
+        self.fe, self.fn = float(fe), float(fn)
+        self.south = bool(south)
+        pts = np.radians(lat_ts)
+        # scale anchor at the standard parallel (Snyder eq. 21-34:
+        # rho = a m_c t / t_c); m is even in phi, t mirrors for south
+        self.mc = _m_snyder(pts)
+        self.tc = _t_snyder(-pts if south else pts)
+
+    def fwd(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        t = _t_snyder(-phi if self.south else phi)
+        rho = A * self.mc * t / self.tc
+        E = self.fe + rho * np.sin(lam)
+        N = self.fn + (rho * np.cos(lam) if self.south
+                       else -rho * np.cos(lam))
+        return E, N
+
+    def inv(self, e, n):
+        x = np.asarray(e, np.float64) - self.fe
+        y = np.asarray(n, np.float64) - self.fn
+        rho = np.hypot(x, y)
+        t = rho * self.tc / (A * self.mc)
+        phi = _phi_from_t(t)
+        lat = np.degrees(-phi if self.south else phi)
+        lam = np.arctan2(x, y if self.south else -y)
+        lon = self.lon0 + np.degrees(lam)
+        return lon, lat
+
+
 # ------------------------------------------------------- fixture synthesis
 
 
@@ -238,3 +427,40 @@ def synth_utm(i: int):
     e0 = 320000.0 + ((i * 7) % 64) * 4096.0
     n0 = 3600000.0 + ((i * 11) % 64) * 4096.0
     return f"EPSG:{32600 + zone}", e0, n0, 16.0
+
+
+# Conic/polar fixture parameter families (FIXTURES — mirrored by the
+# rasterref golden).  Parameters follow well-known EPSG products:
+# Lambert-93 (EPSG:2154), NAD83 / Conus Albers (EPSG:5070), NSIDC Sea
+# Ice Polar Stereographic North (EPSG:3413) — evaluated on WGS84.
+LCC_PARAMS = (49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0)
+ALBERS_PARAMS = (29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
+STERE_PARAMS = (70.0, -45.0, 0.0, 0.0)  # lat_ts, lon0, fe, fn (north)
+
+
+def synth_lcc(i: int):
+    """Deterministic per-chip LCC georeferencing: dyadic false-origin
+    offsets inside the Lambert-93 usage area, 16 m GSD.  Returns
+    (x0, y0, gsd); footprint X in [x0, x0+gsd*w], Y in
+    [y0, y0+gsd*h]."""
+    x0 = 700000.0 + (((i * 7) % 64) - 32) * 4096.0
+    y0 = 6600000.0 + (((i * 11) % 64) - 32) * 4096.0
+    return x0, y0, 16.0
+
+
+def synth_albers(i: int):
+    """Deterministic per-chip Albers georeferencing (Conus Albers
+    interior, dyadic offsets, 16 m GSD)."""
+    x0 = -256000.0 + ((i * 13) % 64) * 4096.0
+    y0 = 1792000.0 + ((i * 5) % 64) * 4096.0
+    return x0, y0, 16.0
+
+
+def synth_stere(i: int):
+    """Deterministic per-chip polar-stereographic georeferencing
+    (EPSG:3413 interior — a Greenland-ish window off the pole so
+    lon/lat vary smoothly across the chip, dyadic offsets, 16 m
+    GSD)."""
+    x0 = -512000.0 + ((i * 9) % 64) * 4096.0
+    y0 = -2304000.0 + ((i * 3) % 64) * 4096.0
+    return x0, y0, 16.0

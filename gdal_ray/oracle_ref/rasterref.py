@@ -1140,12 +1140,14 @@ def q44_pansharpen_nearblack(sf_dir: str) -> pd.DataFrame:
 # --------------------------------------------------------- q45 viewshed
 
 
-def _viewshed_ref(elev: np.ndarray, obs_height: float = 2.0) -> np.ndarray:
+def _viewshed_ref(elev: np.ndarray, obs_height: float = 2.0,
+                  obs: tuple | None = None) -> np.ndarray:
     """Per-pixel scalar evaluation of the Wang reference-plane
     recurrence (memoized recursion — independent of the engine's
-    ring-vectorized propagation)."""
+    ring-vectorized propagation).  ``obs`` = (row, col) observer;
+    default = center."""
     h, w = elev.shape
-    oy, ox = (h - 1) // 2, (w - 1) // 2
+    oy, ox = ((h - 1) // 2, (w - 1) // 2) if obs is None else obs
     oz = float(elev[oy, ox]) + obs_height
     aux = {}
     vis = np.zeros((h, w), dtype=bool)
@@ -1203,17 +1205,36 @@ def _viewshed_ref(elev: np.ndarray, obs_height: float = 2.0) -> np.ndarray:
 
 
 def q45_viewshed(sf_dir: str) -> pd.DataFrame:
+    """Viewshed suite golden: mode='single' = center-observer Wang
+    recurrence; mode='cumulative' = the observer-grid accumulation
+    (alg/viewshed/cumulative.cpp:66-68: observers every 32 px starting
+    at 0 in both axes, 1-for-visible rasters summed)."""
     df = _fixture_images(sf_dir)
     df = df[(df["w"] <= 64) & (df["h"] <= 64)].reset_index(drop=True)
-    ids, nv, fr = [], [], []
+    ids, modes, nv, fr = [], [], [], []
     for row, px in _iter_chips(df):
-        m = _viewshed_ref(px[:, :, 0].astype(np.float64))
+        elev = px[:, :, 0].astype(np.float64)
+        m = _viewshed_ref(elev)
         ids.append(row.image_id)
+        modes.append("single")
         nv.append(int(m.sum()))
         fr.append(float(np.round(float(m.mean()), 6)))
+        h, w = elev.shape
+        counts = np.zeros((h, w), np.int64)
+        n_obs = 0
+        for x in range(0, w, 32):
+            for y in range(0, h, 32):
+                counts += _viewshed_ref(elev, obs=(y, x))
+                n_obs += 1
+        s = int(counts.sum())
+        ids.append(row.image_id)
+        modes.append("cumulative")
+        nv.append(s)
+        fr.append(float(np.round(s / float(counts.size * n_obs), 6)))
     return pd.DataFrame(
         {
             "image_id": ids,
+            "mode": modes,
             "n_visible": np.asarray(nv, np.int64),
             "frac_visible": np.asarray(fr, np.float64),
         }
@@ -2222,6 +2243,167 @@ def _sum_preserve_ref(px: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
     return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 
 
+class _ConicRef:
+    """Conic/polar projected-CRS golden (LCC 2SP / Albers / polar
+    stereographic): the Snyder 1987 closed forms (eq. 15-1..15-11,
+    14-1..14-12 + 3-16, 21-33..21-41 + 7-9) restated with the engine's
+    documented elementwise expression sequence (identical doubles;
+    independent code), over the synth_lcc/synth_albers/synth_stere
+    dyadic chip georeferencing fixtures."""
+
+    _A = 6378137.0
+    _F = 1.0 / 298.257223563
+
+    def __init__(self, i: int, w: int, h: int, mode: str):
+        f = self._F
+        self.e2 = f * (2.0 - f)
+        self.e1 = np.sqrt(self.e2)
+        self.mode = mode
+        self.w, self.h = w, h
+        if mode == "lcc":
+            lat1, lat2, lat0, lon0 = 49.0, 44.0, 46.5, 3.0
+            self.fe, self.fn = 700000.0, 6600000.0
+            self.lon0 = lon0
+            p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+            t1, t2, t0 = self._t(p1), self._t(p2), self._t(p0)
+            m1, m2 = self._m(p1), self._m(p2)
+            self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+            self.Fc = m1 / (self.n * t1 ** self.n)
+            self.rho0 = self._A * self.Fc * t0 ** self.n
+            self.x0 = 700000.0 + (((i * 7) % 64) - 32) * 4096.0
+            self.y0 = 6600000.0 + (((i * 11) % 64) - 32) * 4096.0
+        elif mode == "albers":
+            lat1, lat2, lat0, lon0 = 29.5, 45.5, 23.0, -96.0
+            self.fe, self.fn = 0.0, 0.0
+            self.lon0 = lon0
+            p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+            m1, m2 = self._m(p1), self._m(p2)
+            q1, q2, q0 = self._q(p1), self._q(p2), self._q(p0)
+            self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+            self.C = m1 * m1 + self.n * q1
+            self.rho0 = self._A * np.sqrt(self.C - self.n * q0) / self.n
+            self.x0 = -256000.0 + ((i * 13) % 64) * 4096.0
+            self.y0 = 1792000.0 + ((i * 5) % 64) * 4096.0
+        else:  # stere (north, lat_ts=70, lon0=-45)
+            self.fe, self.fn = 0.0, 0.0
+            self.lon0 = -45.0
+            pts = np.radians(70.0)
+            self.mc = self._m(pts)
+            self.tc = self._t(pts)
+            self.x0 = -512000.0 + ((i * 9) % 64) * 4096.0
+            self.y0 = -2304000.0 + ((i * 3) % 64) * 4096.0
+        self.gsd = 16.0
+
+    def _t(self, phi):
+        esin = self.e1 * np.sin(phi)
+        return (np.tan(np.pi / 4.0 - phi / 2.0)
+                / ((1.0 - esin) / (1.0 + esin)) ** (self.e1 / 2.0))
+
+    def _m(self, phi):
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1.0 - self.e2 * s * s)
+
+    def _q(self, phi):
+        s = np.sin(phi)
+        esin = self.e1 * s
+        return (1.0 - self.e2) * (
+            s / (1.0 - self.e2 * s * s)
+            - (1.0 / (2.0 * self.e1))
+            * np.log((1.0 - esin) / (1.0 + esin)))
+
+    def _phi_t(self, t):
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(15):
+            esin = self.e1 * np.sin(phi)
+            phi_new = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - esin) / (1.0 + esin)) ** (self.e1 / 2.0))
+            if np.all(np.abs(phi_new - phi) < 1e-14):
+                phi = phi_new
+                break
+            phi = phi_new
+        return phi
+
+    def _phi_q(self, q):
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(15):
+            s = np.sin(phi)
+            esin = self.e1 * s
+            one = 1.0 - self.e2 * s * s
+            dphi = (one * one / (2.0 * np.cos(phi))) * (
+                q / (1.0 - self.e2)
+                - s / one
+                + (1.0 / (2.0 * self.e1))
+                * np.log((1.0 - esin) / (1.0 + esin)))
+            phi = phi + dphi
+            if np.all(np.abs(dphi) < 1e-14):
+                break
+        return phi
+
+    def fwd_corners(self, pixel, line):
+        """pixel-space corners -> (lon, lat) via the projection
+        INVERSE."""
+        E = self.x0 + self.gsd * np.asarray(pixel, np.float64)
+        N = self.y0 + self.gsd * self.h - self.gsd * np.asarray(
+            line, np.float64)
+        if self.mode == "lcc":
+            x = E - self.fe
+            y = self.rho0 - (N - self.fn)
+            sgn = 1.0 if self.n >= 0 else -1.0
+            rho = sgn * np.hypot(x, y)
+            t = (rho / (self._A * self.Fc)) ** (1.0 / self.n)
+            theta = np.arctan2(sgn * x, sgn * y)
+            lat = np.degrees(self._phi_t(t))
+            lon = self.lon0 + np.degrees(theta / self.n)
+        elif self.mode == "albers":
+            x = E - self.fe
+            y = self.rho0 - (N - self.fn)
+            sgn = 1.0 if self.n >= 0 else -1.0
+            rho = np.hypot(x, y)
+            q = (self.C - (rho * self.n / self._A) ** 2) / self.n
+            theta = np.arctan2(sgn * x, sgn * y)
+            lat = np.degrees(self._phi_q(q))
+            lon = self.lon0 + np.degrees(theta / self.n)
+        else:  # stere north
+            x = E - self.fe
+            y = N - self.fn
+            rho = np.hypot(x, y)
+            t = rho * self.tc / (self._A * self.mc)
+            phi = self._phi_t(t)
+            lat = np.degrees(phi)
+            lam = np.arctan2(x, -y)
+            lon = self.lon0 + np.degrees(lam)
+        return lon, lat
+
+    def inv_grid(self, lon, lat):
+        """(lon, lat) grid -> source pixel coords via the projection
+        FORWARD."""
+        if self.mode == "lcc":
+            phi = np.radians(np.asarray(lat, np.float64))
+            theta = self.n * np.radians(
+                np.asarray(lon, np.float64) - self.lon0)
+            rho = self._A * self.Fc * self._t(phi) ** self.n
+            E = self.fe + rho * np.sin(theta)
+            N = self.fn + self.rho0 - rho * np.cos(theta)
+        elif self.mode == "albers":
+            phi = np.radians(np.asarray(lat, np.float64))
+            theta = self.n * np.radians(
+                np.asarray(lon, np.float64) - self.lon0)
+            rho = self._A * np.sqrt(
+                self.C - self.n * self._q(phi)) / self.n
+            E = self.fe + rho * np.sin(theta)
+            N = self.fn + self.rho0 - rho * np.cos(theta)
+        else:  # stere north
+            phi = np.radians(np.asarray(lat, np.float64))
+            lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+            t = self._t(phi)
+            rho = self._A * self.mc * t / self.tc
+            E = self.fe + rho * np.sin(lam)
+            N = self.fn + -rho * np.cos(lam)
+        sp = (E - self.x0) / self.gsd
+        sl = (self.y0 + self.gsd * self.h - N) / self.gsd
+        return sp, sl
+
+
 def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
     """GCP warp suite golden: 'poly1' = order-1 fit by normal
     equations over the dyadic affine GCP spec; 'tps' = thin-plate
@@ -2258,7 +2440,8 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
         cgy[j_bad] -= 16.0 * gsd
 
         for tag in ("poly1", "poly0", "polyref", "tps", "rpc", "rpc_dem",
-                    "geoloc", "utm", "utmchain", "sumpres"):
+                    "geoloc", "utm", "utmchain", "lcc", "albers", "stere",
+                    "sumpres"):
             if tag == "sumpres":
                 # sum-preserving 3857->4326 warp: banded fractional-
                 # overlap scatter of source pixels (GWKSumPreserving
@@ -2317,6 +2500,11 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
                 ref = _UtmRef(i, w, h)
                 fwd = ref.chain_fwd_corners
                 inv = ref.chain_inv_grid
+            elif tag in ("lcc", "albers", "stere"):  # conic/polar
+                # families: projection-inverse corners, forward grid
+                ref = _ConicRef(i, w, h, tag)
+                fwd = ref.fwd_corners
+                inv = ref.inv_grid
             else:  # geoloc arrays: forward corners, Newton-inverse grid
                 ref = _GeolocRef(i, w, h, row.minx, row.miny,
                                  row.maxx, row.maxy)
@@ -2451,6 +2639,6 @@ GOLDENS = {
     "q37_point_query": (q37_point_query, ["pid", "image_id"]),
     "q39_color_quantize": (q39_color_quantize, ["image_id"]),
     "q44_pansharpen_nearblack": (q44_pansharpen_nearblack, ["image_id"]),
-    "q45_viewshed": (q45_viewshed, ["image_id"]),
+    "q45_viewshed": (q45_viewshed, ["image_id", "mode"]),
     "q25_warp": (q25_warp, ["image_id"]),
 }

@@ -1682,14 +1682,22 @@ def q44_pansharpen_nearblack(sf_dir: str):
 
 
 def q45_viewshed(sf_dir: str):
-    """Viewshed from each chip's center over band-0 elevation — the
-    Wang et al. reference-plane sweep (alg/viewshed/viewshed.cpp
-    semantics); per-chip visible count + fraction.  Runs on the chips
-    with w,h <= 64 (an explicit predicate: the independent per-pixel
-    oracle recursion is O(px) per chip)."""
+    """Viewshed suite over band-0 elevation: mode='single' = the Wang
+    et al. reference-plane sweep from the chip center
+    (alg/viewshed/viewshed.cpp semantics); mode='cumulative' = the
+    observer-grid accumulation mode (alg/viewshed/cumulative.cpp:66-68:
+    observers every 32 px starting at 0 in both axes, normal-mode
+    1-for-visible rasters summed; n_visible = Σ per-pixel count,
+    frac_visible = count/(npx·n_obs)).  Per-chip rows, both modes from
+    ONE decode.  Runs on the chips with w,h <= 64 (an explicit
+    predicate: the independent per-pixel oracle recursion is O(px·obs)
+    per chip)."""
     import ray.data as rd
 
-    from ..stages.viewshed import viewshed_stage
+    from ..stages.viewshed import (
+        cumulative_viewshed_counts,
+        viewshed_mask_wang,
+    )
 
     paths = ensure_fixtures(scale_for_sf_dir(sf_dir))
     imgs = rd.read_parquet(
@@ -1704,9 +1712,41 @@ def q45_viewshed(sf_dir: str):
             )
         )
 
-    return viewshed_stage(imgs.map_batches(small, batch_format="pyarrow")).select_columns(
-        ["image_id", "n_visible", "frac_visible"]
-    ).sort("image_id")
+    def suite(t: pa.Table) -> pa.Table:
+        from ..functions import codecs
+
+        cols = {c: t.column(c).to_pylist()
+                for c in ("image_id", "bytes", "w", "h", "fmt")}
+        ids, modes, nv, fr = [], [], [], []
+        for i in range(t.num_rows):
+            img = codecs.decode(cols["bytes"][i], cols["w"][i],
+                                cols["h"][i], cols["fmt"][i])
+            elev = img[:, :, 0].astype(np.float64)
+            m = viewshed_mask_wang(elev)
+            ids.append(cols["image_id"][i])
+            modes.append("single")
+            nv.append(int(m.sum()))
+            fr.append(float(np.round(float(m.mean()), 6)))
+            counts, n_obs = cumulative_viewshed_counts(elev, spacing=32)
+            s = int(counts.sum())
+            ids.append(cols["image_id"][i])
+            modes.append("cumulative")
+            nv.append(s)
+            fr.append(float(np.round(s / float(counts.size * n_obs), 6)))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "mode": pa.array(modes, pa.string()),
+                "n_visible": pa.array(nv, pa.int64()),
+                "frac_visible": pa.array(fr, pa.float64()),
+            }
+        )
+
+    return (
+        imgs.map_batches(small, batch_format="pyarrow")
+        .map_batches(suite, batch_format="pyarrow", batch_size=64)
+        .sort(["image_id", "mode"])
+    )
 
 
 def q48_clip_points(sf_dir: str):
@@ -3545,7 +3585,12 @@ def q58_gcp_warp(sf_dir: str):
     zone/origin fixture; 'utmchain' = the same chips warped straight
     to EPSG:3857 through a COMPOSED transform chain (ComposedTransform
     UTM-inverse -> WebMercator-forward — the GenImgProjTransformer /
-    PROJ-pipeline composition hook); 'sumpres' = sum-preserving warp
+    PROJ-pipeline composition hook); 'lcc'/'albers'/'stere' = the
+    conic/polar projected-CRS families (Lambert Conformal Conic 2SP,
+    Albers Equal Area, polar stereographic — Snyder closed forms over
+    the synth_lcc/synth_albers/synth_stere dyadic fixtures; the
+    arbitrary-CRS coverage the reference reaches through PROJ,
+    ogr/ogrct.cpp:1018); 'sumpres' = sum-preserving warp
     (GWKSumPreserving, alg/gdalwarpkernel.cpp:7969 — fractional
     footprint-overlap scatter, global sum conserved in the float
     path).  Quantized-coefficient transformers, full 2-D
@@ -3590,10 +3635,13 @@ class _WarpSuiteChips:
 
     def __init__(self):
         from ..stages.warp import (
+            WarpChipsAlbers,
             WarpChipsGCP,
             WarpChipsGeoloc,
+            WarpChipsLCC,
             WarpChipsRPC,
             WarpChipsRPCDEM,
+            WarpChipsStere,
             WarpChipsSum,
             WarpChipsTPS,
             WarpChipsUTM,
@@ -3611,6 +3659,11 @@ class _WarpSuiteChips:
         self.utm = WarpChipsUTM(resampling="bilinear")
         # composed CRS chain (PROJ-pipeline analog): UTM -> 4326 -> 3857
         self.utmc = WarpChipsUTMChain(resampling="bilinear")
+        # conic/polar CRS families (the PROJ-database coverage gap:
+        # LCC 2SP, Albers, polar stereographic — Snyder closed forms)
+        self.lcc = WarpChipsLCC(resampling="bilinear")
+        self.alb = WarpChipsAlbers(resampling="bilinear")
+        self.ste = WarpChipsStere(resampling="bilinear")
         self.smp = WarpChipsSum()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -3661,6 +3714,9 @@ class _WarpSuiteChips:
                 ("rpc_dem", self.rpd._warp_one(img, iid)[0]),
                 ("utm", self.utm._warp_one(img, iid)[0]),
                 ("utmchain", self.utmc._warp_one(img, iid)[0]),
+                ("lcc", self.lcc._warp_one(img, iid)[0]),
+                ("albers", self.alb._warp_one(img, iid)[0]),
+                ("stere", self.ste._warp_one(img, iid)[0]),
                 ("sumpres", self.smp._warp_one(img, *env)[0]),
             ):
                 dec = codecs.decode(codecs.encode(out, fmt), w, h, fmt)

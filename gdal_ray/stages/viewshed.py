@@ -21,11 +21,13 @@ import pyarrow as pa
 from ..functions import codecs
 
 
-def viewshed_mask_wang(elev: np.ndarray, obs_height: float = 2.0) -> np.ndarray:
-    """(h, w) elevation -> bool visibility mask from the center pixel
-    (Wang et al. sweep; slope = (z - oz) / chebyshev-line distance)."""
+def viewshed_mask_wang(elev: np.ndarray, obs_height: float = 2.0,
+                       obs: tuple[int, int] | None = None) -> np.ndarray:
+    """(h, w) elevation -> bool visibility mask from the observer pixel
+    (Wang et al. sweep; slope = (z - oz) / chebyshev-line distance).
+    ``obs`` = (row, col); default = the center pixel."""
     h, w = elev.shape
-    oy, ox = (h - 1) // 2, (w - 1) // 2
+    oy, ox = ((h - 1) // 2, (w - 1) // 2) if obs is None else obs
     oz = float(elev[oy, ox]) + obs_height
     yy, xx = np.mgrid[0:h, 0:w]
     dy = yy - oy
@@ -107,6 +109,24 @@ def viewshed_mask_radial(elev: np.ndarray, obs_height: float = 2.0) -> np.ndarra
     return mask
 
 
+def cumulative_viewshed_counts(elev: np.ndarray, obs_height: float = 2.0,
+                               spacing: int = 32):
+    """Cumulative (multi-observer) viewshed — the observer-grid
+    accumulation mode of the reference (alg/viewshed/cumulative.cpp:
+    66-68 queues observers every ``observerSpacing`` pixels starting
+    at 0 in BOTH axes; each runs a normal-mode viewshed with
+    visibleVal=1 and the rasters sum).  Returns (counts int32 raster,
+    n_observers); integer-exact, accumulation-order independent."""
+    h, w = elev.shape
+    counts = np.zeros((h, w), np.int32)
+    n_obs = 0
+    for x in range(0, w, spacing):
+        for y in range(0, h, spacing):
+            counts += viewshed_mask_wang(elev, obs_height, obs=(y, x))
+            n_obs += 1
+    return counts, n_obs
+
+
 # back-compat alias (round-1 name)
 viewshed_mask = viewshed_mask_radial
 
@@ -135,6 +155,39 @@ def viewshed_stage(
                 "n_visible": pa.array(n_vis, pa.int64()),
                 "frac_visible": pa.array(np.round(frac, 6), pa.float64()),
                 "mask_bytes": pa.array(masks, pa.binary()),
+            }
+        )
+
+    return images.map_batches(fn, batch_format="pyarrow", batch_size=128)
+
+
+def cumulative_viewshed_stage(images, obs_height: float = 2.0,
+                              spacing: int = 32):
+    """map_batches stage: per-chip CUMULATIVE viewshed (observer grid
+    every ``spacing`` px, alg/viewshed/cumulative.cpp); output rows
+    (image_id, n_obs, sum_counts = Σ per-pixel visibility count,
+    frac_visible = sum_counts/(npx·n_obs) rounded to 1e-6)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c).to_pylist()
+                for c in ("image_id", "bytes", "w", "h", "fmt")}
+        n_ob, sums, frac = [], [], []
+        for i in range(t.num_rows):
+            img = codecs.decode(cols["bytes"][i], cols["w"][i],
+                                cols["h"][i], cols["fmt"][i])
+            counts, n_obs = cumulative_viewshed_counts(
+                img[:, :, 0].astype(np.float64), obs_height, spacing)
+            s = int(counts.sum())
+            n_ob.append(n_obs)
+            sums.append(s)
+            frac.append(float(np.round(
+                s / float(counts.size * n_obs), 6)))
+        return pa.table(
+            {
+                "image_id": pa.array(cols["image_id"], pa.string()),
+                "n_obs": pa.array(n_ob, pa.int64()),
+                "n_visible": pa.array(sums, pa.int64()),
+                "frac_visible": pa.array(frac, pa.float64()),
             }
         )
 

@@ -745,6 +745,82 @@ class WarpChipsUTMChain(WarpChipsUTM):
         return out, (minx, miny, maxx, maxy)
 
 
+class WarpChipsProjFam(WarpChipsRPC):
+    """Actor-pool stage: warp each chip from a conic/polar projected
+    CRS (Lambert Conformal Conic / Albers Equal Area / Polar
+    Stereographic — the Snyder closed forms of functions.proj,
+    covering the arbitrary-CRS families the reference reaches through
+    PROJ, ogr/ogrct.cpp:1018) to EPSG:4326.  Same full-2-D
+    inverse-mapped grid spec as WarpChipsUTM: dst bbox = envelope of
+    the INVERSE-projected chip corners, w x h kept, each dst pixel
+    center forward-projected back to source pixel space.  The
+    projection object and fixture spec are built once per actor."""
+
+    FAMILY: str = ""
+
+    def __init__(self, resampling: str = "bilinear"):
+        super().__init__(resampling)
+        from ..functions import proj as P
+
+        if self.FAMILY == "lcc":
+            self.prj = P.LambertConformalConic(*P.LCC_PARAMS)
+            self.synth = P.synth_lcc
+        elif self.FAMILY == "albers":
+            self.prj = P.AlbersEqualArea(*P.ALBERS_PARAMS)
+            self.synth = P.synth_albers
+        elif self.FAMILY == "stere":
+            self.prj = P.PolarStereographic(*P.STERE_PARAMS)
+            self.synth = P.synth_stere
+        else:
+            raise ValueError(f"unknown projection family {self.FAMILY!r}")
+
+    def _warp_one(self, img, iid: str):
+        h, w = img.shape[:2]
+        i = int(iid[3:])
+        x0, y0, gsd = self.synth(i)
+        cX = np.array([x0, x0 + gsd * w, x0 + gsd * w, x0])
+        cY = np.array([y0 + gsd * h, y0 + gsd * h, y0, y0])
+        clon, clat = self.prj.inv(cX, cY)
+        minx, maxx = float(np.min(clon)), float(np.max(clon))
+        miny, maxy = float(np.min(clat)), float(np.max(clat))
+        X = minx + (np.arange(w) + 0.5) * ((maxx - minx) / w)
+        Y = maxy - (np.arange(h) + 0.5) * ((maxy - miny) / h)
+        XX, YY = np.meshgrid(X, Y)
+        E, N = self.prj.fwd(XX, YY)
+        sp = (E - x0) / gsd
+        sl = (y0 + gsd * h - N) / gsd
+        out = kernels.resample_grid(
+            img, sp - 0.5, sl - 0.5, self.resampling, nodata=0
+        )
+        return out, (minx, miny, maxx, maxy)
+
+
+class WarpChipsLCC(WarpChipsProjFam):
+    FAMILY = "lcc"
+
+
+class WarpChipsAlbers(WarpChipsProjFam):
+    FAMILY = "albers"
+
+
+class WarpChipsStere(WarpChipsProjFam):
+    FAMILY = "stere"
+
+
+def warp_images_projfam(images, family: str, resampling: str = "bilinear",
+                        concurrency=4, batch_size: int = 64):
+    """Conic/polar-family warp over an images Dataset (actor pool)."""
+    cls = {"lcc": WarpChipsLCC, "albers": WarpChipsAlbers,
+           "stere": WarpChipsStere}[family]
+    return images.map_batches(
+        cls,
+        fn_constructor_kwargs=dict(resampling=resampling),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def warp_images_utm(images, resampling: str = "bilinear",
                     concurrency=4, batch_size: int = 64):
     """UTM -> EPSG:4326 warp over an images Dataset (actor pool;

@@ -1,0 +1,258 @@
+"""Conic/polar projected-CRS families (functions.proj) + the
+cumulative viewshed mode: round-trip accuracy, known anchors, scale
+conditions, engine<->compose-by-hand warp parity.
+
+Reference behavior: ogr/ogrct.cpp:1018 (PROJ-backed arbitrary CRS);
+alg/viewshed/cumulative.cpp:66-88 (observer grid accumulation).
+"""
+
+import numpy as np
+import pytest
+
+from gdal_ray.functions.proj import (
+    ALBERS_PARAMS,
+    LCC_PARAMS,
+    STERE_PARAMS,
+    AlbersEqualArea,
+    ComposedTransform,
+    InverseOf,
+    LambertConformalConic,
+    PolarStereographic,
+    WebMercatorProjection,
+    synth_albers,
+    synth_lcc,
+    synth_stere,
+)
+
+
+@pytest.fixture(scope="module")
+def projections():
+    return {
+        "lcc": LambertConformalConic(*LCC_PARAMS),
+        "albers": AlbersEqualArea(*ALBERS_PARAMS),
+        "stere": PolarStereographic(*STERE_PARAMS),
+        "stere_s": PolarStereographic(-71.0, 0.0, south=True),
+    }
+
+
+def test_roundtrip_meters(projections):
+    """fwd(inv(E,N)) round-trips to < 1e-6 m over the fixture areas."""
+    windows = {
+        "lcc": (100000.0, 1300000.0, 6000000.0, 7200000.0),
+        "albers": (-2300000.0, 2300000.0, 300000.0, 3200000.0),
+        "stere": (-3800000.0, 3800000.0, -5300000.0, -700000.0),
+    }
+    for name, (xmin, xmax, ymin, ymax) in windows.items():
+        prj = projections[name]
+        X, Y = np.meshgrid(np.linspace(xmin, xmax, 11),
+                           np.linspace(ymin, ymax, 11))
+        lon, lat = prj.inv(X, Y)
+        X2, Y2 = prj.fwd(lon, lat)
+        err = max(np.abs(X2 - X).max(), np.abs(Y2 - Y).max())
+        assert err < 1e-6, (name, err)
+
+
+def test_roundtrip_degrees(projections):
+    for name, lons, lats in (
+        ("lcc", np.linspace(-5, 11, 9), np.linspace(41, 51, 9)),
+        ("albers", np.linspace(-120, -73, 9), np.linspace(24, 49, 9)),
+        ("stere", np.linspace(-180, 180, 9), np.linspace(60, 89, 9)),
+        ("stere_s", np.linspace(-180, 180, 9), np.linspace(-89, -60, 9)),
+    ):
+        prj = projections[name]
+        LO, LA = np.meshgrid(lons, lats)
+        E, N = prj.fwd(LO, LA)
+        lo2, la2 = prj.inv(E, N)
+        # wrap-safe longitude comparison
+        dlon = np.abs((lo2 - LO + 180.0) % 360.0 - 180.0)
+        assert dlon.max() < 1e-9
+        assert np.abs(la2 - LA).max() < 1e-9
+
+
+def test_known_anchors(projections):
+    """False origin maps the latitude/longitude of origin exactly."""
+    E, N = projections["lcc"].fwd(3.0, 46.5)
+    assert (E, N) == (700000.0, 6600000.0)
+    E, N = projections["albers"].fwd(-96.0, 23.0)
+    assert (E, N) == (0.0, 0.0)
+    # polar stereographic: central meridian maps onto the -y axis
+    E, N = projections["stere"].fwd(-45.0, 70.0)
+    assert abs(E) < 1e-9 and N < 0
+    # EPSG:3413 published value: rho(70N) ~= 2,187,928 m
+    assert abs(-N - 2187927.65) < 1.0
+
+
+def test_scale_at_standard_parallels(projections):
+    """Local linear scale == 1 at the standard parallels (the defining
+    property of the 2SP forms), measured by finite differences along
+    the meridian vs the ellipsoidal meridian arc."""
+    a, f = 6378137.0, 1.0 / 298.257223563
+    e2 = f * (2.0 - f)
+    for name, lats, lon in (("lcc", (49.0, 44.0), 3.0),
+                            ("albers", (29.5, 45.5), -96.0),
+                            ("stere", (70.0,), -45.0)):
+        prj = projections[name]
+        for lat in lats:
+            dphi = 1e-6
+            E1_, N1_ = prj.fwd(lon, lat - dphi / 2)
+            E2_, N2_ = prj.fwd(lon, lat + dphi / 2)
+            dproj = np.hypot(E2_ - E1_, N2_ - N1_)
+            s = np.sin(np.radians(lat))
+            M = a * (1 - e2) / (1 - e2 * s * s) ** 1.5  # meridian radius
+            darc = M * np.radians(dphi)
+            assert abs(dproj / darc - 1.0) < 1e-5, (name, lat)
+
+
+def test_albers_equal_area_property(projections):
+    """Albers preserves area: the Jacobian determinant of (E, N) wrt
+    authalic coordinates equals 1 — check the area of a small
+    ellipsoidal quadrangle against its projected quadrilateral."""
+    prj = projections["albers"]
+    a, f = 6378137.0, 1.0 / 298.257223563
+    e2 = f * (2.0 - f)
+    e1 = np.sqrt(e2)
+    lon0, lat0, d = -100.0, 40.0, 0.01
+
+    def q_of(lat):
+        s = np.sin(np.radians(lat))
+        esin = e1 * s
+        return (1.0 - e2) * (s / (1.0 - e2 * s * s)
+                             - np.log((1.0 - esin) / (1.0 + esin))
+                             / (2.0 * e1))
+
+    # ellipsoidal area of the quadrangle (exact via q)
+    area_true = (np.radians(d) * a * a / 2.0
+                 * (q_of(lat0 + d) - q_of(lat0)))
+    lons = [lon0, lon0 + d, lon0 + d, lon0]
+    lats = [lat0, lat0, lat0 + d, lat0 + d]
+    E, N = prj.fwd(np.array(lons), np.array(lats))
+    area_proj = 0.5 * abs(sum(
+        E[i] * N[(i + 1) % 4] - E[(i + 1) % 4] * N[i] for i in range(4)))
+    assert abs(area_proj / area_true - 1.0) < 1e-4
+
+
+def test_lcc_conformal_meridian_convergence(projections):
+    """LCC is conformal: scale is isotropic (meridian scale ==
+    parallel scale) away from the standard parallels."""
+    prj = projections["lcc"]
+    a, f = 6378137.0, 1.0 / 298.257223563
+    e2 = f * (2.0 - f)
+    lon, lat, d = 5.0, 47.5, 1e-6
+    s = np.sin(np.radians(lat))
+    M = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+    Nr = a / np.sqrt(1 - e2 * s * s)
+    E1_, N1_ = prj.fwd(lon, lat - d / 2)
+    E2_, N2_ = prj.fwd(lon, lat + d / 2)
+    h_scale = np.hypot(E2_ - E1_, N2_ - N1_) / (M * np.radians(d))
+    E3_, N3_ = prj.fwd(lon - d / 2, lat)
+    E4_, N4_ = prj.fwd(lon + d / 2, lat)
+    k_scale = np.hypot(E4_ - E3_, N4_ - N3_) / (
+        Nr * np.cos(np.radians(lat)) * np.radians(d))
+    assert abs(h_scale / k_scale - 1.0) < 1e-5
+
+
+def test_composed_chain_matches_two_step(projections):
+    """ComposedTransform(LCC-inverse, WebMercator-forward) equals the
+    manual two-step application (the PROJ-pipeline composition hook)."""
+    prj = projections["lcc"]
+    chain = ComposedTransform(InverseOf(prj), WebMercatorProjection())
+    X = np.linspace(650000.0, 750000.0, 5)
+    Y = np.linspace(6550000.0, 6650000.0, 5)
+    mx, my = chain.fwd(X, Y)
+    lon, lat = prj.inv(X, Y)
+    mx2, my2 = WebMercatorProjection().fwd(lon, lat)
+    assert np.array_equal(mx, mx2) and np.array_equal(my, my2)
+    X2, Y2 = chain.inv(mx, my)
+    assert np.abs(X2 - X).max() < 1e-6 and np.abs(Y2 - Y).max() < 1e-6
+
+
+def test_warp_stage_matches_compose_by_hand():
+    """WarpChipsLCC._warp_one == corner-inverse + forward-grid +
+    bilinear resample composed by hand."""
+    from gdal_ray.functions import kernels
+    from gdal_ray.stages.warp import WarpChipsLCC
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (48, 48, 3), dtype=np.uint8)
+    stage = WarpChipsLCC()
+    out, env = stage._warp_one(img, "img00000042")
+    prj = LambertConformalConic(*LCC_PARAMS)
+    x0, y0, gsd = synth_lcc(42)
+    h, w = img.shape[:2]
+    cX = np.array([x0, x0 + gsd * w, x0 + gsd * w, x0])
+    cY = np.array([y0 + gsd * h, y0 + gsd * h, y0, y0])
+    lon, lat = prj.inv(cX, cY)
+    minx, maxx = float(lon.min()), float(lon.max())
+    miny, maxy = float(lat.min()), float(lat.max())
+    assert env == (minx, miny, maxx, maxy)
+    X = minx + (np.arange(w) + 0.5) * ((maxx - minx) / w)
+    Y = maxy - (np.arange(h) + 0.5) * ((maxy - miny) / h)
+    XX, YY = np.meshgrid(X, Y)
+    E, N = prj.fwd(XX, YY)
+    sp = (E - x0) / gsd
+    sl = (y0 + gsd * h - N) / gsd
+    ref = kernels.resample_grid(img, sp - 0.5, sl - 0.5, "bilinear", nodata=0)
+    assert np.array_equal(out, ref)
+
+
+def test_fixture_windows_inside_usage_area():
+    """Every fixture chip inverse-projects to plausible lon/lat inside
+    the parameter family's usage area (guards fixture drift)."""
+    fams = (
+        ("lcc", LambertConformalConic(*LCC_PARAMS), synth_lcc,
+         (-7.0, 12.0, 40.0, 52.0)),
+        ("albers", AlbersEqualArea(*ALBERS_PARAMS), synth_albers,
+         (-110.0, -80.0, 30.0, 50.0)),
+        ("stere", PolarStereographic(*STERE_PARAMS), synth_stere,
+         (-180.0, 180.0, 60.0, 90.0)),
+    )
+    for name, prj, synth, (lo0, lo1, la0, la1) in fams:
+        for i in range(0, 200, 17):
+            x0, y0, gsd = synth(i)
+            lon, lat = prj.inv(np.array([x0, x0 + gsd * 256]),
+                               np.array([y0, y0 + gsd * 256]))
+            assert (lo0 <= lon).all() and (lon <= lo1).all(), (name, i, lon)
+            assert (la0 <= lat).all() and (lat <= la1).all(), (name, i, lat)
+
+
+# ------------------------------------------------- cumulative viewshed
+
+
+def test_cumulative_flat_dem_all_visible():
+    from gdal_ray.stages.viewshed import cumulative_viewshed_counts
+
+    elev = np.zeros((48, 64))
+    counts, n_obs = cumulative_viewshed_counts(elev, spacing=32)
+    assert n_obs == 4  # x in {0, 32}, y in {0, 32}
+    assert (counts == n_obs).all()
+
+
+def test_cumulative_wall_blocks_some():
+    from gdal_ray.stages.viewshed import (
+        cumulative_viewshed_counts,
+        viewshed_mask_wang,
+    )
+
+    elev = np.zeros((64, 64))
+    elev[:, 30] = 100.0  # wall
+    counts, n_obs = cumulative_viewshed_counts(elev, spacing=32)
+    assert n_obs == 4
+    # observers at x=0 cannot see past the wall; x=32 observers can't
+    # see (most of) the left side
+    assert counts.min() < n_obs
+    # consistency: cumulative == sum of single-observer masks
+    acc = np.zeros_like(counts)
+    for x in (0, 32):
+        for y in (0, 32):
+            acc += viewshed_mask_wang(elev, obs=(y, x))
+    assert np.array_equal(acc, counts)
+
+
+def test_wang_observer_param_default_is_center():
+    from gdal_ray.stages.viewshed import viewshed_mask_wang
+
+    rng = np.random.RandomState(3)
+    elev = rng.randint(0, 50, (33, 47)).astype(float)
+    assert np.array_equal(
+        viewshed_mask_wang(elev),
+        viewshed_mask_wang(elev, obs=((33 - 1) // 2, (47 - 1) // 2)))
