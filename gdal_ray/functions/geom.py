@@ -24,6 +24,10 @@ WKB_POINT = 1
 WKB_LINESTRING = 2
 WKB_POLYGON = 3
 WKB_MULTIPOLYGON = 6
+# ISO curve types (ogr/ogr_core.h:405-440)
+WKB_CIRCULARSTRING = 8
+WKB_COMPOUNDCURVE = 9
+WKB_CURVEPOLYGON = 10
 
 # ---------------------------------------------------------------- WKB emit
 
@@ -105,7 +109,63 @@ def _parse_geom(buf: memoryview, pos: int):
             assert g[0] == "polygon"
             polys.append(g[1])
         return ("multipolygon", polys), pos
+    if gtype == WKB_CIRCULARSTRING:
+        # same layout as LineString: point count + xy pairs; odd count
+        # >= 3, every consecutive point triple is one arc
+        pts, pos = _read_ring(buf, pos)
+        return ("circularstring", pts), pos
+    if gtype == WKB_COMPOUNDCURVE:
+        # count + child curve geometries (each with its own WKB
+        # header); children are LineString or CircularString
+        (nseg,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        segs = []
+        for _ in range(nseg):
+            g, pos = _parse_geom(buf, pos)
+            if g[0] not in ("linestring", "circularstring"):
+                raise ValueError(f"CompoundCurve member {g[0]}")
+            segs.append(g)
+        return ("compoundcurve", segs), pos
+    if gtype == WKB_CURVEPOLYGON:
+        # ring count + rings, each a full curve geometry (LineString /
+        # CircularString / CompoundCurve)
+        (nrings,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        rings = []
+        for _ in range(nrings):
+            g, pos = _parse_geom(buf, pos)
+            if g[0] not in ("linestring", "circularstring",
+                            "compoundcurve"):
+                raise ValueError(f"CurvePolygon ring {g[0]}")
+            rings.append(g)
+        return ("curvepolygon", rings), pos
     raise NotImplementedError(f"WKB geometry type {gtype}")
+
+
+def wkb_circularstring(pts: np.ndarray) -> bytes:
+    """Emit a CircularString (ISO WKB type 8): like LineString, an odd
+    point count >= 3 where each consecutive triple is one arc."""
+    pts = np.asarray(pts, dtype=np.float64)
+    return struct.pack("<BI", 1, WKB_CIRCULARSTRING) + _pack_ring(pts)
+
+
+def wkb_compoundcurve(segs: list[bytes]) -> bytes:
+    """Emit a CompoundCurve (type 9) from already-encoded member WKBs
+    (LineString / CircularString); members must chain end-to-start."""
+    return (struct.pack("<BII", 1, WKB_COMPOUNDCURVE, len(segs))
+            + b"".join(segs))
+
+
+def wkb_curvepolygon(rings: list[bytes]) -> bytes:
+    """Emit a CurvePolygon (type 10) from encoded closed ring WKBs."""
+    return (struct.pack("<BII", 1, WKB_CURVEPOLYGON, len(rings))
+            + b"".join(rings))
+
+
+def wkb_linestring(pts: np.ndarray) -> bytes:
+    """Emit a LineString (type 2)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    return struct.pack("<BI", 1, WKB_LINESTRING) + _pack_ring(pts)
 
 
 def polygon_rings(geom) -> list[list[np.ndarray]]:

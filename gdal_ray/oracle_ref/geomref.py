@@ -1040,6 +1040,199 @@ def _cov_simplify_ref(grid: int, tolerance: float, preserve: bool):
     return out
 
 
+# ------------------------- polygon-buffer golden (single-process ref)
+#
+# Independent restatement of the round-join positive polygon buffer
+# contract (stages/geomops.py documents it; OGRGeometry::Buffer / GEOS
+# BufferOp analog).  The raw offset-walk construction is the SHARED
+# published discipline (per-edge right-normal shift + quadrant-segment
+# fillets) mirrored with the identical scalar float expression
+# sequence, like the segmentize golden above; everything downstream —
+# the all-pairs rational noding (no bbox prefilter here), the
+# first-repeat pinch split (restated with a linear path scan instead of
+# the engine's seen-dict), the dominant-ring selection and the exact
+# shoelace — is exact Fraction arithmetic, so any correct restatement
+# produces identical bits.
+
+
+def _buf_cross_ref(a1, a2, b1, b2):
+    """Exact proper-crossing of segments (a1,a2) x (b1,b2): returns
+    (t_along_a, u_along_b, point) or None.  All Fractions."""
+    from fractions import Fraction
+
+    rx, ry = a2[0] - a1[0], a2[1] - a1[1]
+    sx, sy = b2[0] - b1[0], b2[1] - b1[1]
+    den = rx * sy - ry * sx
+    if den == 0:
+        return None
+    qpx, qpy = b1[0] - a1[0], b1[1] - a1[1]
+    t = Fraction(qpx * sy - qpy * sx, den)
+    u = Fraction(qpx * ry - qpy * rx, den)
+    if not (0 < t < 1 and 0 < u < 1):
+        return None
+    return t, u, (a1[0] + t * rx, a1[1] + t * ry)
+
+
+def _buffer_ref(xs, ys, radius: float = 1000.0, quadseg: int = 8):
+    """-> (n_verts, n_cross, area) of the buffered polygon boundary."""
+    import math
+    from fractions import Fraction
+
+    n = len(xs)
+    a2i = 0
+    for i in range(n):
+        j = (i + 1) % n
+        a2i += int(xs[i]) * int(ys[j]) - int(xs[j]) * int(ys[i])
+    if a2i < 0:
+        xs = list(xs)[::-1]
+        ys = list(ys)[::-1]
+    vx = [np.float64(v) for v in xs]
+    vy = [np.float64(v) for v in ys]
+    quantum = (np.pi / 2.0) / quadseg
+    dx = [vx[(i + 1) % n] - vx[i] for i in range(n)]
+    dy = [vy[(i + 1) % n] - vy[i] for i in range(n)]
+    L = [np.hypot(dx[i], dy[i]) for i in range(n)]
+    nx = [dy[i] / L[i] for i in range(n)]
+    ny = [-dx[i] / L[i] for i in range(n)]
+    wx: list = []
+    wy: list = []
+    for i in range(n):
+        wx.append(vx[i] + radius * nx[i])
+        wy.append(vy[i] + radius * ny[i])
+        k = (i + 1) % n
+        wx.append(vx[k] + radius * nx[i])
+        wy.append(vy[k] + radius * ny[i])
+        crossz = dx[i] * dy[k] - dy[i] * dx[k]
+        if crossz > 0:
+            th0 = np.arctan2(ny[i], nx[i])
+            th1 = np.arctan2(ny[k], nx[k])
+            dth = (th1 - th0) % (2.0 * np.pi)
+            m = max(1, int(np.ceil(dth / quantum - 1e-12)))
+            for s in range(1, m):
+                th = th0 + dth * s / m
+                wx.append(vx[k] + radius * np.cos(th))
+                wy.append(vy[k] + radius * np.sin(th))
+    # all-pairs exact noding of the closed offset walk
+    w = len(wx)
+    pts = [(Fraction(float(wx[i])), Fraction(float(wy[i]))) for i in range(w)]
+    cuts: list[list] = [[] for _ in range(w)]
+    n_cross = 0
+    for i in range(w):
+        for j in range(i + 1, w):
+            if (j + 1) % w == i or (i + 1) % w == j:
+                continue
+            hit = _buf_cross_ref(
+                pts[i], pts[(i + 1) % w], pts[j], pts[(j + 1) % w]
+            )
+            if hit is None:
+                continue
+            t, u, pt = hit
+            cuts[i].append((t, pt))
+            cuts[j].append((u, pt))
+            n_cross += 1
+    walk = []
+    for i in range(w):
+        walk.append(pts[i])
+        for _, pt in sorted(cuts[i], key=lambda c: c[0]):
+            walk.append(pt)
+    # first-repeat pinch split (linear path scan restatement)
+    rings = []
+    path: list = []
+    for p in walk:
+        try:
+            k = path.index(p)
+        except ValueError:
+            path.append(p)
+            continue
+        loop = path[k:]
+        if len(loop) >= 3:
+            rings.append(loop)
+        path = path[: k + 1]
+    if len(path) >= 3:
+        rings.append(path)
+    areas = []
+    for r in rings:
+        s = Fraction(0)
+        for i in range(len(r)):
+            j = (i + 1) % len(r)
+            s += r[i][0] * r[j][1] - r[j][0] * r[i][1]
+        areas.append(s)
+    best = max(range(len(rings)), key=lambda q: abs(areas[q]))
+    assert areas[best] > 0
+    assert all(
+        abs(areas[q]) < areas[best] for q in range(len(rings)) if q != best
+    )
+    return len(rings[best]), n_cross, float(areas[best] / 2)
+
+
+# ----------------------------- curve-suite golden (single-process ref)
+#
+# The engine path emits ISO curve WKB (CircularString / CompoundCurve /
+# CurvePolygon), parses it back and linearizes at the published
+# OGR_ARC_STEPSIZE discipline (ogrgeometryfactory.cpp:4278
+# approximateArcAngles: n = max(2, ceil(|sweep_deg|/4) + 1) uniform
+# slices).  The golden computes the SAME fixture geometry analytically
+# (no WKB round trip — that encode/decode is what the comparison
+# tests), restating the stepping with the identical numpy array
+# expression sequence (np.cos/np.sin over the slice array — the shared
+# numpy-expression contract of the reproject golden above, since the
+# SIMD transcendental loops differ from scalar libm in the last ulp).
+
+
+def _arc_pts_ref(x0, y0, x1, y1, x2, y2):
+    """Linearized arc through three points, both endpoints exact."""
+    d = 2.0 * (x0 * (y1 - y2) + x1 * (y2 - y0) + x2 * (y0 - y1))
+    ux = ((x0 * x0 + y0 * y0) * (y1 - y2)
+          + (x1 * x1 + y1 * y1) * (y2 - y0)
+          + (x2 * x2 + y2 * y2) * (y0 - y1)) / d
+    uy = ((x0 * x0 + y0 * y0) * (x2 - x1)
+          + (x1 * x1 + y1 * y1) * (x0 - x2)
+          + (x2 * x2 + y2 * y2) * (x1 - x0)) / d
+    r = np.hypot(x0 - ux, y0 - uy)
+    a0 = np.arctan2(y0 - uy, x0 - ux)
+    a1 = np.arctan2(y1 - uy, x1 - ux)
+    a2 = np.arctan2(y2 - uy, x2 - ux)
+    two_pi = 2.0 * np.pi
+    s01 = (a1 - a0) % two_pi
+    s02 = (a2 - a0) % two_pi
+    sweep = s02 if s01 <= s02 else s02 - two_pi
+    npts = max(2, int(np.ceil(abs(sweep) * 180.0 / np.pi / 4.0)) + 1)
+    i = np.arange(npts, dtype=np.float64)
+    th = a0 + sweep * i / (npts - 1)
+    axs = ux + r * np.cos(th)
+    ays = uy + r * np.sin(th)
+    axs[0], ays[0] = x0, y0
+    axs[-1], ays[-1] = x2, y2
+    return axs, ays
+
+
+def _curve_ref(kk: int, cx: float, cy: float):
+    """-> [(kind, n_pts, value), ...] for the three curve fixtures."""
+    import math
+
+    R = 4000.0 + (kk % 10) * 500.0
+    out = []
+    # half-circle CircularString, left -> top -> right (clockwise)
+    ux, uy = _arc_pts_ref(cx - R, cy, cx, cy + R, cx + R, cy)
+    length = math.fsum(np.hypot(np.diff(ux), np.diff(uy)).tolist())
+    out.append(("curvecs", len(ux), length))
+    # CompoundCurve: straight base then the reversed upper arc
+    bx, by = _arc_pts_ref(cx + R, cy, cx, cy + R, cx - R, cy)
+    qx = np.concatenate([[cx - R, cx + R], bx[1:]])
+    qy = np.concatenate([[cy, cy], by[1:]])
+    length = math.fsum(np.hypot(np.diff(qx), np.diff(qy)).tolist())
+    out.append(("curvecc", len(qx), length))
+    # CurvePolygon: full circle as two half arcs
+    lx, ly = _arc_pts_ref(cx + R, cy, cx, cy - R, cx - R, cy)
+    fx = np.concatenate([ux, lx[1:]])
+    fy = np.concatenate([uy, ly[1:]])
+    m = len(fx)
+    terms = [fx[i] * fy[(i + 1) % m] - fx[(i + 1) % m] * fy[i]
+             for i in range(m)]
+    out.append(("curvepoly", m, abs(math.fsum(terms)) * 0.5))
+    return out
+
+
 def q57_geometry_ops(sf_dir: str) -> pd.DataFrame:
     import math
 
@@ -1159,6 +1352,13 @@ def q57_geometry_ops(sf_dir: str) -> pd.DataFrame:
         inter = np.column_stack([closed_x, closed_y]).ravel()
         rows.append(("setgeomtype", kk, 3 * 100 + 6, len(closed_x),
                      math.fsum(inter)))
+        # polygon buffer (every 10th ngon, r=1000 round joins)
+        if kk % 10 == 0:
+            nverts, ncross, barea = _buffer_ref(vx, vy)
+            rows.append(("bufferpoly", kk, nverts, ncross, barea))
+        # ISO curve suite (CircularString / CompoundCurve / CurvePolygon)
+        for ckind, cn, cv in _curve_ref(kk, cx, cy):
+            rows.append((ckind, kk, cn, 0, cv))
 
     # point buffers (pid % 10 == 0), 32-gon on the lattice
     ang = 2.0 * np.pi * np.arange(32) / 32

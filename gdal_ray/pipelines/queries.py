@@ -3469,9 +3469,37 @@ def q57_geometry_ops(sf_dir: str):
         _derive_coverage(), tolerance=3000.0, preserve_boundary=True
     ).map_batches(tag_cov("simplifycovpb"), batch_format="pyarrow")
 
+    # polygon buffer (every 10th ngon, r=1000, round joins + exact
+    # noding dissolve — OGRGeometry::Buffer/GEOS BufferOp analog)
+    from ..stages.geomops import buffer_polygon_batch, curve_suite_batch
+
+    def every_10th_fid(t: pa.Table) -> pa.Table:
+        fid = t.column("fid").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(fid % 10 == 0))
+
+    def tag_bufpoly(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["bufferpoly"] * t.num_rows, pa.string()),
+                "fid": t.column("fid"),
+                "a": t.column("n_verts"),
+                "b": t.column("n_cross"),
+                "v": t.column("area"),
+            }
+        )
+
+    bfp = (
+        ngons.map_batches(every_10th_fid, batch_format="pyarrow")
+        .map_batches(buffer_polygon_batch(radius=1000.0),
+                     batch_format="pyarrow")
+        .map_batches(tag_bufpoly, batch_format="pyarrow")
+    )
+    # ISO curve WKB parse + 4-degree linearization suite
+    crv = ngons.map_batches(curve_suite_batch, batch_format="pyarrow")
+
     out = cen.union(simp).union(buf).union(clip).union(seg).union(swp)
     out = out.union(exp).union(mkv).union(rpj).union(sgt)
-    out = out.union(hul).union(dst)
+    out = out.union(hul).union(dst).union(bfp).union(crv)
     return out.union(scv).union(scvpb).sort(["kind", "fid"])
 
 

@@ -200,6 +200,242 @@ def buffer_points_batch(radius: float, quadseg: int = 8):
     return fn
 
 
+# ----------------------------------------------------- polygon buffer
+
+
+def _node_walk_prefiltered(xs, ys):
+    """Exact noding of a closed walk with a float-bbox prefilter
+    (bbox-disjoint edges cannot properly cross — a sound skip, not an
+    approximation; needed because buffer rings run ~100 vertices and
+    the all-pairs Fraction test would dominate).  Same output as
+    functions.makevalid.node_ring."""
+    from fractions import Fraction
+
+    from ..functions.makevalid import _seg_intersection
+
+    n = len(xs)
+    xa = np.asarray(xs, np.float64)
+    ya = np.asarray(ys, np.float64)
+    x2 = np.roll(xa, -1)
+    y2 = np.roll(ya, -1)
+    eminx, emaxx = np.minimum(xa, x2), np.maximum(xa, x2)
+    eminy, emaxy = np.minimum(ya, y2), np.maximum(ya, y2)
+    pts = [(Fraction(float(xa[i])), Fraction(float(ya[i])))
+           for i in range(n)]
+    cuts: dict[int, list] = {i: [] for i in range(n)}
+    n_cross = 0
+    for i in range(n):
+        cand = np.nonzero(
+            (eminx[i] <= emaxx) & (emaxx[i] >= eminx)
+            & (eminy[i] <= emaxy) & (emaxy[i] >= eminy)
+        )[0]
+        a1, a2 = pts[i], pts[(i + 1) % n]
+        for j in cand:
+            j = int(j)
+            if j <= i or (j + 1) % n == i or (i + 1) % n == j:
+                continue
+            b1, b2 = pts[j], pts[(j + 1) % n]
+            hit = _seg_intersection(a1, a2, b1, b2)
+            if hit is None:
+                continue
+            pt, t = hit
+            hit_j = _seg_intersection(b1, b2, a1, a2)
+            cuts[i].append((t, pt))
+            cuts[j].append((hit_j[1], pt))
+            n_cross += 1
+    out = []
+    for i in range(n):
+        out.append(pts[i])
+        for _, pt in sorted(cuts[i], key=lambda c: c[0]):
+            out.append(pt)
+    return out, n_cross
+
+
+def buffer_polygon_ring(xs, ys, radius: float, quadseg: int = 8):
+    """Positive-offset round-join POLYGON buffer (the Minkowski sum
+    with a radius-r disc; OGRGeometry::Buffer -> GEOS BufferOp
+    analog, ogr/ogrgeometry.cpp Buffer; autotest/ogr/ogr_geom.py):
+
+    1. orient the ring CCW (exact integer shoelace sign — fixture
+       coordinates are lattice integers);
+    2. raw offset curve: each edge shifts outward by ``radius`` along
+       its right normal; each CONVEX vertex inserts a circular fillet
+       sampled at the GEOS quadrant-segments discipline (arc quantum
+       (pi/2)/quadseg, m = ceil(sweep/quantum) equal steps); reflex
+       vertices connect directly (the inverted local loop is removed
+       by step 3 — the trim point is the exact crossing);
+    3. EXACT noding of the offset walk (rational crossings over the
+       dyadic float lattice) + pinch-split into simple rings — the
+       same machinery as MakeValid (functions/makevalid.py);
+    4. the buffered region of a connected polygon is simply connected,
+       so its boundary is the DOMINANT ring: the unique max-|area|
+       ring, which must be CCW (exact-positive) and strictly larger
+       than every pinched loop (reflex trims pinch off small loops on
+       either side of the trim point — a CW inverted sliver when the
+       crossing is between the two offset edges, a CCW redundant
+       triangle when it involves the connecting chord; both lie inside
+       the union and drop).  A tie or a CW dominant ring means the
+       offset curve self-touched pathologically and raises.
+
+    Returns (n_verts, area float64 [exact rational -> rounded once],
+    n_crossings)."""
+    from ..functions.makevalid import ring_area2_exact, split_simple_rings
+
+    n = len(xs)
+    if n < 3:
+        raise ValueError("buffer_polygon_ring: need >= 3 vertices")
+    if not radius > 0:
+        raise ValueError("buffer_polygon_ring: radius must be > 0")
+    # exact integer orientation (fixture lattice contract)
+    a2 = 0
+    for i in range(n):
+        j = (i + 1) % n
+        a2 += int(xs[i]) * int(ys[j]) - int(xs[j]) * int(ys[i])
+    if a2 < 0:
+        xs = list(xs)[::-1]
+        ys = list(ys)[::-1]
+    vx = np.asarray(xs, np.float64)
+    vy = np.asarray(ys, np.float64)
+    dx = np.roll(vx, -1) - vx
+    dy = np.roll(vy, -1) - vy
+    L = np.hypot(dx, dy)
+    if not (L > 0).all():
+        raise ValueError("buffer_polygon_ring: zero-length edge")
+    nx = dy / L
+    ny = -dx / L
+    quantum = (np.pi / 2.0) / quadseg
+    wx: list[float] = []
+    wy: list[float] = []
+    for i in range(n):
+        wx.append(vx[i] + radius * nx[i])
+        wy.append(vy[i] + radius * ny[i])
+        k = (i + 1) % n
+        wx.append(vx[k] + radius * nx[i])
+        wy.append(vy[k] + radius * ny[i])
+        crossz = dx[i] * dy[k] - dy[i] * dx[k]
+        if crossz > 0:  # convex turn: circular fillet around v_k
+            th0 = np.arctan2(ny[i], nx[i])
+            th1 = np.arctan2(ny[k], nx[k])
+            dth = (th1 - th0) % (2.0 * np.pi)
+            m = max(1, int(np.ceil(dth / quantum - 1e-12)))
+            for s in range(1, m):
+                th = th0 + dth * s / m
+                wx.append(vx[k] + radius * np.cos(th))
+                wy.append(vy[k] + radius * np.sin(th))
+    walk, n_cross = _node_walk_prefiltered(wx, wy)
+    rings = split_simple_rings(walk)
+    areas = [ring_area2_exact(r) for r in rings]
+    order = sorted(range(len(rings)), key=lambda q: abs(areas[q]),
+                   reverse=True)
+    best = order[0]
+    if areas[best] <= 0 or (
+        len(order) > 1 and abs(areas[order[1]]) >= areas[best]
+    ):
+        raise ValueError(
+            "buffer_polygon_ring: no dominant CCW exterior ring "
+            "(pathological self-touching offset curve)")
+    return len(rings[best]), float(areas[best] / 2), n_cross
+
+
+def buffer_polygon_batch(radius: float, quadseg: int = 8):
+    """map_batches stage over (fid, xs, ys) polygon rows: positive
+    round-join polygon buffer; emits (fid, n_verts, n_cross, area)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        fids = t.column("fid").to_numpy(zero_copy_only=False)
+        xs_l = t.column("xs").to_pylist()
+        ys_l = t.column("ys").to_pylist()
+        nv, nc, ar = [], [], []
+        for xs, ys in zip(xs_l, ys_l):
+            v, a, c = buffer_polygon_ring(xs, ys, radius, quadseg)
+            nv.append(v)
+            nc.append(c)
+            ar.append(a)
+        return pa.table(
+            {
+                "fid": pa.array(fids.astype(np.int64), pa.int64()),
+                "n_verts": pa.array(nv, pa.int64()),
+                "n_cross": pa.array(nc, pa.int64()),
+                "area": pa.array(ar, pa.float64()),
+            }
+        )
+
+    fn.__name__ = f"buffer_poly_r{radius}"
+    return fn
+
+
+# ------------------------------------------------------ curve suite
+
+
+def curve_suite_batch(t: pa.Table) -> pa.Table:
+    """Curve-geometry suite over the ngon fixture centers: emit ISO
+    curve WKB (CircularString / CompoundCurve / CurvePolygon,
+    ogr/ogr_core.h:405-440), parse it back, linearize at the
+    reference's 4-degree arc step (ogrgeometryfactory.cpp:4278
+    approximateArcAngles discipline) and measure:
+      kind='curvecs'  : half-circle CircularString -> n_pts, length
+      kind='curvecc'  : line+arc CompoundCurve     -> n_pts, length
+      kind='curvepoly': full-circle CurvePolygon   -> n_pts, area
+    Lengths/areas are math.fsum reductions (shared engine<->golden
+    expression contract); radius R = 4000 + (fid % 10) * 500."""
+    import math
+
+    from ..functions.curves import linearize_curve
+    from ..functions.geom import (
+        parse_wkb,
+        wkb_circularstring,
+        wkb_compoundcurve,
+        wkb_curvepolygon,
+        wkb_linestring,
+    )
+
+    fids = t.column("fid").to_numpy(zero_copy_only=False)
+    cxs = t.column("cx").to_numpy(zero_copy_only=False)
+    cys = t.column("cy").to_numpy(zero_copy_only=False)
+    kind_o, fid_o, a_o, v_o = [], [], [], []
+    for kk, cx, cy in zip(fids, cxs, cys):
+        kk, cx, cy = int(kk), float(cx), float(cy)
+        R = 4000.0 + (kk % 10) * 500.0
+        cs = wkb_circularstring(
+            [[cx - R, cy], [cx, cy + R], [cx + R, cy]])
+        cc = wkb_compoundcurve([
+            wkb_linestring([[cx - R, cy], [cx + R, cy]]),
+            wkb_circularstring(
+                [[cx + R, cy], [cx, cy + R], [cx - R, cy]]),
+        ])
+        cp = wkb_curvepolygon([
+            wkb_circularstring(
+                [[cx - R, cy], [cx, cy + R], [cx + R, cy],
+                 [cx, cy - R], [cx - R, cy]]),
+        ])
+        for kind, wkb in (("curvecs", cs), ("curvecc", cc)):
+            _, pts = linearize_curve(parse_wkb(wkb))
+            length = math.fsum(
+                np.hypot(np.diff(pts[:, 0]), np.diff(pts[:, 1])).tolist())
+            kind_o.append(kind)
+            fid_o.append(kk)
+            a_o.append(len(pts))
+            v_o.append(length)
+        _, rings = linearize_curve(parse_wkb(cp))
+        r = rings[0]
+        n = len(r)
+        terms = [r[i, 0] * r[(i + 1) % n, 1]
+                 - r[(i + 1) % n, 0] * r[i, 1] for i in range(n)]
+        kind_o.append("curvepoly")
+        fid_o.append(kk)
+        a_o.append(n)
+        v_o.append(abs(math.fsum(terms)) * 0.5)
+    return pa.table(
+        {
+            "kind": pa.array(kind_o, pa.string()),
+            "fid": pa.array(fid_o, pa.int64()),
+            "a": pa.array(a_o, pa.int64()),
+            "b": pa.array(np.zeros(len(a_o), np.int64), pa.int64()),
+            "v": pa.array(v_o, pa.float64()),
+        }
+    )
+
+
 # ------------------------------------- Sutherland-Hodgman rect clip
 
 

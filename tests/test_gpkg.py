@@ -1,0 +1,195 @@
+"""GeoPackage source/sink (sources/gpkg.py).
+
+Reference behavior model: ogr/ogrsf_frmts/gpkg/ (GP binary header per
+OGC 12-128r18 §2.1.3; required metadata tables) and
+autotest/ogr/ogr_gpkg.py.
+"""
+
+import sqlite3
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gdal_ray.functions.geom import envelope_wkb, wkb_point, wkb_polygon
+from gdal_ray.sources import gpkg as GP
+
+
+def _ring(cx, cy, h):
+    return np.array(
+        [[cx - h, cy - h], [cx + h, cy - h], [cx + h, cy + h],
+         [cx - h, cy + h], [cx - h, cy - h]], np.float64)
+
+
+def _features(n=7):
+    wkbs, names, vals = [], [], []
+    for i in range(n):
+        if i % 2:
+            wkbs.append(wkb_point(float(i), float(10 * i)))
+        else:
+            wkbs.append(wkb_polygon([_ring(i * 5.0, i * 3.0, 2.0)]))
+        names.append(f"f{i}")
+        vals.append(None if i == 3 else i * 1.5)
+    return pa.table({
+        "geometry": pa.array(wkbs, pa.binary()),
+        "name": pa.array(names, pa.string()),
+        "val": pa.array(vals, pa.float64()),
+    })
+
+
+def test_gp_header_round_trip_and_layout():
+    wkb = wkb_point(3.25, -4.5)
+    blob = GP.gp_wrap(wkb, srs_id=3857)
+    assert blob[:2] == b"GP" and blob[2] == 0
+    flags = blob[3]
+    assert flags & 1  # little-endian header
+    assert (flags >> 1) & 0b111 == 1  # xy envelope
+    (srs,) = struct.unpack_from("<i", blob, 4)
+    assert srs == 3857
+    minx, maxx, miny, maxy = struct.unpack_from("<4d", blob, 8)
+    assert (minx, maxx, miny, maxy) == (3.25, 3.25, -4.5, -4.5)
+    out, srs2 = GP.gp_unwrap(blob)
+    assert out == wkb and srs2 == 3857
+    # no-envelope form
+    out2, _ = GP.gp_unwrap(GP.gp_wrap(wkb, envelope=False))
+    assert out2 == wkb
+    with pytest.raises(ValueError):
+        GP.gp_unwrap(b"XX" + blob[2:])
+
+
+def test_write_read_round_trip(ray_session, tmp_path):
+    t = _features()
+    path = str(tmp_path / "a.gpkg")
+    n = GP.write_gpkg(t, path, layer="feats", srs_id=4326)
+    assert n == t.num_rows
+    # file-level metadata the spec requires
+    con = sqlite3.connect(path)
+    (app_id,) = con.execute("PRAGMA application_id").fetchone()
+    assert app_id == GP.GPKG_APPLICATION_ID
+    rows = con.execute(
+        "SELECT table_name, data_type, srs_id FROM gpkg_contents"
+    ).fetchall()
+    assert rows == [("feats", "features", 4326)]
+    gc = con.execute(
+        "SELECT table_name, column_name, geometry_type_name, srs_id "
+        "FROM gpkg_geometry_columns").fetchall()
+    assert gc == [("feats", "geom", "GEOMETRY", 4326)]  # mixed types
+    # contents extent covers every feature envelope
+    ext = con.execute(
+        "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents"
+    ).fetchone()
+    con.close()
+    envs = [envelope_wkb(w.as_py()) for w in t.column("geometry")]
+    assert ext[0] == min(e[0] for e in envs)
+    assert ext[3] == max(e[3] for e in envs)
+
+    back = GP.read_gpkg(path).to_pandas().sort_values("fid")
+    assert len(back) == t.num_rows
+    assert list(back["geometry"]) == t.column("geometry").to_pylist()
+    assert list(back["name"]) == t.column("name").to_pylist()
+    assert back["val"].isna().tolist() == [False] * 3 + [True] + [False] * 3
+    assert (back["srs_id"] == 4326).all()
+    assert list(back["fid"]) == list(range(1, 8))  # sqlite auto fid
+
+
+def test_explicit_fid_and_single_type_layer(ray_session, tmp_path):
+    wkbs = [wkb_point(float(i), 0.0) for i in range(5)]
+    t = pa.table({
+        "myfid": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        "geometry": pa.array(wkbs, pa.binary()),
+    })
+    path = str(tmp_path / "pts.gpkg")
+    GP.write_gpkg(t, path, layer="pts", fid_col="myfid")
+    con = sqlite3.connect(path)
+    (gt,) = con.execute(
+        "SELECT geometry_type_name FROM gpkg_geometry_columns").fetchone()
+    con.close()
+    assert gt == "POINT"
+    back = GP.read_gpkg(path).to_pandas().sort_values("fid")
+    assert list(back["fid"]) == [10, 20, 30, 40, 50]
+
+
+def test_parallel_range_read_equals_whole(ray_session, tmp_path):
+    wkbs = [wkb_point(float(i), float(i % 13)) for i in range(257)]
+    t = pa.table({"geometry": pa.array(wkbs, pa.binary()),
+                  "k": pa.array(list(range(257)), pa.int64())})
+    path = str(tmp_path / "many.gpkg")
+    GP.write_gpkg(t, path, layer="pts")
+    one = GP.read_gpkg(path, parallelism=1).to_pandas().sort_values("fid")
+    many = GP.read_gpkg(path, parallelism=16).to_pandas().sort_values("fid")
+    assert list(one["k"]) == list(many["k"]) == list(range(257))
+    assert list(one["geometry"]) == list(many["geometry"])
+
+
+def test_bbox_pushdown(ray_session, tmp_path):
+    wkbs = [wkb_point(float(i), float(i)) for i in range(100)]
+    t = pa.table({"geometry": pa.array(wkbs, pa.binary())})
+    path = str(tmp_path / "grid.gpkg")
+    GP.write_gpkg(t, path, layer="pts")
+    sel = GP.read_gpkg(path, bbox=(10.0, 10.0, 20.0, 20.0)).to_pandas()
+    assert len(sel) == 11  # i in [10, 20]
+
+
+def test_multi_layer_file(ray_session, tmp_path):
+    path = str(tmp_path / "two.gpkg")
+    w = GP.GpkgWriter(path)
+    w.write_table(
+        pa.table({"geometry": pa.array([wkb_point(1.0, 2.0)], pa.binary())}),
+        "a", srs_id=4326)
+    w.write_table(
+        pa.table({"geometry": pa.array(
+            [wkb_polygon([_ring(0, 0, 1)])], pa.binary())}),
+        "b", srs_id=3857)
+    w.close()
+    meta = GP.list_layers(path)
+    assert [m["layer"] for m in meta] == ["a", "b"]
+    assert meta[0]["srs_id"] == 4326 and meta[1]["srs_id"] == 3857
+    with pytest.raises(ValueError):
+        GP.read_gpkg(path)  # ambiguous without layer=
+    b = GP.read_gpkg(path, layer="b").to_pandas()
+    assert (b["srs_id"] == 3857).all()
+    # custom srs got registered in gpkg_spatial_ref_sys
+    con = sqlite3.connect(path)
+    (n,) = con.execute(
+        "SELECT COUNT(*) FROM gpkg_spatial_ref_sys WHERE srs_id=3857"
+    ).fetchone()
+    con.close()
+    assert n == 1
+
+
+def test_geojson_gpkg_interop(ray_session, tmp_path):
+    """Same features through both boundary formats -> identical WKB."""
+    from gdal_ray.sources import geojson as GJ
+
+    t = _features()
+    gj = GJ.geojson_to_table(GJ.table_to_geojson(t))
+    path = str(tmp_path / "x.gpkg")
+    GP.write_gpkg(t, path, layer="f")
+    gp = GP.read_gpkg(path).to_pandas().sort_values("fid")
+    assert gj.column("geometry").to_pylist() == list(gp["geometry"])
+
+
+def test_dataset_streaming_write(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = _features(64)
+    ds = rd.from_arrow(t).repartition(8)
+    path = str(tmp_path / "ds.gpkg")
+    n = GP.write_gpkg(ds, path, layer="f")
+    assert n == 64
+    back = GP.read_gpkg(path).to_pandas()
+    assert len(back) == 64
+    assert sorted(back["name"]) == sorted(t.column("name").to_pylist())
+
+
+def test_schema_mismatch_rejected(tmp_path):
+    w = GP.GpkgWriter(str(tmp_path / "m.gpkg"))
+    w.write_table(
+        pa.table({"geometry": pa.array([wkb_point(0.0, 0.0)], pa.binary()),
+                  "a": pa.array([1], pa.int64())}), "f")
+    with pytest.raises(ValueError):
+        w.write_table(
+            pa.table({"geometry": pa.array([wkb_point(0.0, 0.0)],
+                                           pa.binary()),
+                      "b": pa.array([1], pa.int64())}), "f")
