@@ -707,11 +707,100 @@ def _vector_concat(ds, paths):
 
 
 @register_step("vector_buffer")
-def _vector_buffer(ds, radius: float, quadseg: int = 8):
-    from ..stages.geomops import buffer_points_batch
+def _vector_buffer(ds, radius: float, quadseg: int = 8,
+                   geometry: str = "points"):
+    """gdalalg_vector_buffer.cpp analog: 'points' buffers (px, py)
+    rows; 'polygons' runs the round-join offset-curve buffer over
+    (fid, xs, ys) ring rows."""
+    from ..stages.geomops import buffer_points_batch, buffer_polygon_batch
 
+    if geometry == "polygons":
+        return ds.map_batches(buffer_polygon_batch(radius, quadseg),
+                              batch_format="pyarrow")
+    if geometry != "points":
+        raise ValueError(f"vector_buffer: unknown geometry {geometry!r}")
     return ds.map_batches(buffer_points_batch(radius, quadseg),
                           batch_format="pyarrow")
+
+
+_VECTOR_DRIVERS = {
+    ".geojson": "geojson", ".json": "geojson", ".shp": "shapefile",
+    ".gpkg": "gpkg", ".fgb": "flatgeobuf",
+}
+
+
+def _vector_driver_of(path: str, driver: str | None) -> str:
+    if driver:
+        return driver
+    import os
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in _VECTOR_DRIVERS:
+        raise ValueError(
+            f"cannot infer vector driver from {path!r}; pass driver= "
+            f"(one of {sorted(set(_VECTOR_DRIVERS.values()))})")
+    return _VECTOR_DRIVERS[ext]
+
+
+@register_step("vector_read")
+def _vector_read(ds, path: str, driver: str | None = None,
+                 layer: str | None = None, bbox=None):
+    """Open a vector source in the engine's WKB convention — the
+    `gdal vector convert` read half (driver inferred from the
+    extension: geojson / shapefile / gpkg / flatgeobuf)."""
+    drv = _vector_driver_of(path, driver)
+    if drv == "geojson":
+        from ..sources.geojson import read_geojson
+
+        return read_geojson(path)
+    if drv == "shapefile":
+        from ..sources.shapefile import read_shapefile
+
+        return read_shapefile(path)
+    if drv == "gpkg":
+        from ..sources.gpkg import read_gpkg
+
+        return read_gpkg(path, layer=layer, bbox=bbox)
+    from ..sources.flatgeobuf import read_flatgeobuf
+
+    return read_flatgeobuf(path, bbox=bbox)
+
+
+@register_step("vector_write")
+def _vector_write(ds, path: str, driver: str | None = None,
+                  layer: str = "layer", srs_id: int = 4326):
+    """Write the WKB-convention Dataset through a vector driver — the
+    `gdal vector convert` write half.  GPKG/FlatGeobuf are single-file
+    sinks (see their module docstrings); GeoJSON/Shapefile write
+    resumable partitioned directories."""
+    drv = _vector_driver_of(path, driver)
+    if drv == "geojson":
+        from ..sources.geojson import write_geojson
+
+        return write_geojson(ds, path)
+    if drv == "shapefile":
+        from ..sources.shapefile import write_shapefile_sink
+
+        return write_shapefile_sink(ds, path)
+    if drv == "gpkg":
+        import pyarrow as pa
+
+        from ..sources.gpkg import write_gpkg
+
+        n = write_gpkg(ds, path, layer=layer, srs_id=srs_id)
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"path": pa.array([path]),
+                                       "n": pa.array([n], pa.int64())}))
+    import pyarrow as pa
+
+    from ..sources.flatgeobuf import write_flatgeobuf
+
+    n = write_flatgeobuf(ds, path, layer=layer, srs_code=srs_id)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"path": pa.array([path]),
+                                   "n": pa.array([n], pa.int64())}))
 
 
 @register_step("vector_simplify")

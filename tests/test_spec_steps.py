@@ -279,3 +279,65 @@ def test_vector_layer_algebra_spec_matches_direct(ray_session, smoke_fixtures):
     want = overlay_layers(rn("fid_a"), rn("fid_b"), "intersection",
                           zoom=10).count()
     assert got == want > 0
+
+
+def test_vector_convert_read_write_steps(ray_session, tmp_path):
+    """`gdal vector convert` analog: vector_read/vector_write through
+    every boundary driver, identical WKB at each hop."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.functions.geom import wkb_point, wkb_polygon
+
+    def ring(cx, cy, h):
+        return np.array(
+            [[cx - h, cy - h], [cx + h, cy - h], [cx + h, cy + h],
+             [cx - h, cy + h], [cx - h, cy - h]], np.float64)
+
+    wkbs = [wkb_point(float(i), float(i % 5)) if i % 2
+            else wkb_polygon([ring(i * 3.0, i * 2.0, 1.0)])
+            for i in range(24)]
+    t = pa.table({"geometry": pa.array(wkbs, pa.binary()),
+                  "tag": pa.array([f"x{i}" for i in range(24)])})
+    import ray.data as rd
+
+    src = rd.from_arrow(t)
+    gpkg = str(tmp_path / "a.gpkg")
+    run_pipeline([{"step": "vector_write", "path": gpkg,
+                   "layer": "f"}], src).to_pandas()
+    fgb = str(tmp_path / "b.fgb")
+    out = run_pipeline([
+        {"step": "vector_read", "path": gpkg},
+        {"step": "vector_select", "columns": ["geometry", "tag"]},
+        {"step": "vector_write", "path": fgb},
+    ]).to_pandas()
+    assert int(out["n"].iloc[0]) == 24
+    back = run_pipeline([{"step": "vector_read", "path": fgb}]).to_pandas()
+    assert sorted(zip(back["tag"], back["geometry"])) == sorted(
+        zip(t.column("tag").to_pylist(), wkbs))
+    # driver inference failure is loud
+    import pytest
+
+    with pytest.raises(ValueError, match="driver"):
+        run_pipeline([{"step": "vector_read", "path": "x.unknown"}])
+
+
+def test_vector_buffer_step_polygon_mode(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    rows = pa.table({
+        "fid": pa.array([1], pa.int64()),
+        "xs": pa.array([[0.0, 8000.0, 8000.0, 0.0]],
+                       pa.list_(pa.float64())),
+        "ys": pa.array([[0.0, 0.0, 6000.0, 6000.0]],
+                       pa.list_(pa.float64())),
+    })
+    out = run_pipeline(
+        [{"step": "vector_buffer", "radius": 500.0,
+          "geometry": "polygons"}], rd.from_arrow(rows)).to_pandas()
+    import numpy as np
+
+    expect = 8000 * 6000 + 2 * (8000 + 6000) * 500 \
+        + 16.0 * 500 * 500 * np.sin(np.pi / 16.0)
+    assert abs(out["area"].iloc[0] - expect) < 1e-6 * expect
