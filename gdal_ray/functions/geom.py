@@ -60,35 +60,156 @@ def wkb_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
     return b"".join(out)
 
 
+# Z variants use the ISO +1000 type codes (ogr/ogr_core.h:405-440 —
+# the modern form; the EWKB 0x80000000 flag parses too)
+
+
+def wkb_point_z(x: float, y: float, z: float) -> bytes:
+    return struct.pack("<BIddd", 1, WKB_POINT + 1000, x, y, z)
+
+
+def wkb_linestring_z(pts: np.ndarray) -> bytes:
+    pts = np.asarray(pts, dtype=np.float64)
+    if pts.shape[1] != 3:
+        raise ValueError("wkb_linestring_z: points must be (N, 3)")
+    return struct.pack("<BI", 1, WKB_LINESTRING + 1000) + _pack_ring(pts)
+
+
+def wkb_polygon_z(rings: list[np.ndarray]) -> bytes:
+    out = [struct.pack("<BII", 1, WKB_POLYGON + 1000, len(rings))]
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        if ring.shape[1] != 3:
+            raise ValueError("wkb_polygon_z: rings must be (N, 3)")
+        if not np.array_equal(ring[0], ring[-1]):
+            ring = np.vstack([ring, ring[:1]])
+        out.append(_pack_ring(ring))
+    return b"".join(out)
+
+
+def flatten_to_2d(wkb: bytes) -> bytes:
+    """OGR_G_FlattenTo2D analog: drop Z/M, re-emit 2-D WKB."""
+    kind, payload = parse_wkb(wkb)
+    base = kind.split("_")[0]
+    if kind == base:  # already 2-D
+        return wkb
+    if base == "point":
+        return wkb_point(payload[0], payload[1])
+    if base == "linestring":
+        return (struct.pack("<BI", 1, WKB_LINESTRING)
+                + _pack_ring(np.asarray(payload)[:, :2]))
+    if base == "polygon":
+        return wkb_polygon([np.asarray(r)[:, :2] for r in payload])
+    if base == "multipolygon":
+        return wkb_multipolygon(
+            [[np.asarray(r)[:, :2] for r in poly] for poly in payload])
+    raise ValueError(f"flatten_to_2d: unsupported kind {kind!r}")
+
+
+def force_3d(wkb: bytes, z: float = 0.0) -> bytes:
+    """OGR_G_Set3D analog: promote 2-D geometry to Z with constant z;
+    Z inputs pass through, M is dropped."""
+    kind, payload = parse_wkb(wkb)
+    if kind.endswith("_z"):
+        return wkb
+    base = kind.split("_")[0]
+
+    def with_z(a):
+        a = np.asarray(a, np.float64)[:, :2]
+        return np.column_stack([a, np.full(len(a), z)])
+
+    if base == "point":
+        return wkb_point_z(payload[0], payload[1], z)
+    if base == "linestring":
+        return wkb_linestring_z(with_z(payload))
+    if base == "polygon":
+        return wkb_polygon_z([with_z(r) for r in payload])
+    raise ValueError(f"force_3d: unsupported kind {kind!r}")
+
+
 # ---------------------------------------------------------------- WKB parse
 
 
-def _read_ring(buf: memoryview, pos: int) -> tuple[np.ndarray, int]:
+def _read_ring(buf: memoryview, pos: int, dim: int = 2
+               ) -> tuple[np.ndarray, int]:
     (n,) = struct.unpack_from("<I", buf, pos)
     pos += 4
-    ring = np.frombuffer(buf, dtype="<f8", count=2 * n, offset=pos).reshape(n, 2)
-    return ring, pos + 16 * n
+    ring = np.frombuffer(buf, dtype="<f8", count=dim * n,
+                         offset=pos).reshape(n, dim)
+    return ring, pos + 8 * dim * n
 
 
 def parse_wkb(data: bytes):
     """Parse WKB -> ("point", (x, y)) | ("polygon", [rings]) |
-    ("multipolygon", [[rings], ...]).  Little- and big-endian accepted."""
+    ("multipolygon", [[rings], ...]).  Z/M variants (ISO +1000/+2000/
+    +3000 type codes and the EWKB 0x80000000/0x40000000 flags,
+    ogr/ogr_core.h:405-440 / ogrgeometry.cpp importFromWkb) parse to
+    kinds suffixed "_z" / "_m" / "_zm" with 3- or 4-wide vertex rows
+    ((x, y, z[, m]) order)."""
     buf = memoryview(data)
     geom, _ = _parse_geom(buf, 0)
     return geom
+
+
+def _wkb_dims(gtype: int) -> tuple[int, bool, bool]:
+    """Raw WKB type code -> (base type, has_z, has_m)."""
+    has_z = bool(gtype & 0x80000000)  # EWKB Z flag
+    has_m = bool(gtype & 0x40000000)  # EWKB M flag
+    base = gtype & 0x3FFFFFFF
+    if base >= 1000:  # ISO offsets: +1000 Z, +2000 M, +3000 ZM
+        iso = base // 1000
+        base = base % 1000
+        has_z = has_z or iso in (1, 3)
+        has_m = has_m or iso in (2, 3)
+    return base, has_z, has_m
+
+
+def _kind_suffix(has_z: bool, has_m: bool) -> str:
+    if has_z and has_m:
+        return "_zm"
+    return "_z" if has_z else ("_m" if has_m else "")
 
 
 def _parse_geom(buf: memoryview, pos: int):
     byte_order = buf[pos]
     endian = "<" if byte_order == 1 else ">"
     (gtype,) = struct.unpack_from(endian + "I", buf, pos + 1)
-    gtype = gtype & 0xFF  # strip 2.5D / SRID flags
+    gtype, has_z, has_m = _wkb_dims(gtype)
+    dim = 2 + int(has_z) + int(has_m)
+    sfx = _kind_suffix(has_z, has_m)
     pos += 5
     if endian == ">":
         raise NotImplementedError("big-endian WKB not supported")
     if gtype == WKB_POINT:
-        x, y = struct.unpack_from("<dd", buf, pos)
-        return ("point", (x, y)), pos + 16
+        coords = struct.unpack_from(f"<{dim}d", buf, pos)
+        return ("point" + sfx, coords if dim > 2 else (coords[0], coords[1])
+                ), pos + 8 * dim
+    if dim > 2:
+        # higher-dim parse for the linear family (curve WKB stays 2-D)
+        if gtype == WKB_LINESTRING:
+            ring, pos = _read_ring(buf, pos, dim)
+            return ("linestring" + sfx, ring), pos
+        if gtype == WKB_POLYGON:
+            (nrings,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+            rings = []
+            for _ in range(nrings):
+                ring, pos = _read_ring(buf, pos, dim)
+                rings.append(ring)
+            return ("polygon" + sfx, rings), pos
+        if gtype == WKB_MULTIPOLYGON:
+            (npolys,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+            polys = []
+            for _ in range(npolys):
+                g, pos = _parse_geom(buf, pos)
+                if g[0] != "polygon" + sfx:
+                    raise ValueError(
+                        f"MultiPolygon{sfx} member {g[0]} (mixed dims)")
+                polys.append(g[1])
+            return ("multipolygon" + sfx, polys), pos
+        raise NotImplementedError(
+            f"WKB geometry type {gtype} with Z/M not supported")
     if gtype in (WKB_LINESTRING,):
         ring, pos = _read_ring(buf, pos)
         return ("linestring", ring), pos
@@ -180,12 +301,24 @@ def polygon_rings(geom) -> list[list[np.ndarray]]:
 
 
 def envelope_wkb(data: bytes) -> tuple[float, float, float, float]:
-    """(minx, miny, maxx, maxy) of any supported WKB geometry."""
+    """(minx, miny, maxx, maxy) of any supported WKB geometry (the
+    XY envelope; Z/M coordinates are ignored)."""
     kind, val = parse_wkb(data)
-    if kind == "point":
-        x, y = val
-        return x, y, x, y
-    if kind == "linestring":
+    if kind.startswith("point"):
+        return val[0], val[1], val[0], val[1]
+    if kind.startswith("polygon_") or kind.startswith("multipolygon_"):
+        # Z/M variants: gather all ring vertices directly
+        rings = val if kind.startswith("polygon_") else [
+            r for poly in val for r in poly]
+        pts = np.vstack(rings)
+        return (
+            float(pts[:, 0].min()),
+            float(pts[:, 1].min()),
+            float(pts[:, 0].max()),
+            float(pts[:, 1].max()),
+        )
+    if kind.startswith("linestring"):
+        val = np.asarray(val)
         return (
             float(val[:, 0].min()),
             float(val[:, 1].min()),

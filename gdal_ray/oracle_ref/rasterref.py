@@ -1204,6 +1204,92 @@ def _viewshed_ref(elev: np.ndarray, obs_height: float = 2.0,
     return vis
 
 
+def _los_cells_ref(xA, yA, xB, yB):
+    """The published Bresenham cell traversal of alg/los.cpp:37-108
+    (balance-increment variant) — the visited-cell SET is part of the
+    LOS contract, so it is mirrored expression-for-expression like the
+    scanline parity fill above; the golden differs structurally by
+    materializing the path first and testing after."""
+    cells = []
+    dx, incx = (xB - xA, 1) if xB >= xA else (xA - xB, -1)
+    dy, incy = (yB - yA, 1) if yB >= yA else (yA - yB, -1)
+    x, y = xA, yA
+    if dx >= dy:
+        dy2 = dy << 1
+        balance = dy2 - dx
+        dx2 = dx * 2
+        while x != xB:
+            cells.append((x, y))
+            if balance >= 0:
+                y += incy
+                balance -= dx2
+            balance += dy2
+            x += incx
+        cells.append((x, y))
+    else:
+        dx2 = dx * 2
+        balance = dx2 - dy
+        dy2 = dy * 2
+        while y != yB:
+            cells.append((x, y))
+            if balance >= 0:
+                x += incx
+                balance -= dy2
+            balance += dx2
+            y += incy
+        cells.append((x, y))
+    return cells
+
+
+def _los_visible_ref(elev, xA, yA, zA, xB, yB, zB) -> bool:
+    """GDALIsLineOfSightVisible (alg/los.cpp:177) restated: endpoint
+    pre-checks, axis-ratio lerp for vertical/horizontal lines, sqrt
+    distance-ratio lerp otherwise, strict z > terrain."""
+    if not zA > float(elev[yA, xA]):
+        return False
+    if not zB > float(elev[yB, xB]):
+        return False
+    if xA == xB and yA == yB:
+        return True
+    if xA == xB:
+        step = 1 if yB > yA else -1
+        return all(
+            zA + (y - yA) / (yB - yA) * (zB - zA) > float(elev[y, xA])
+            for y in range(yA, yB + step, step)
+        )
+    if yA == yB:
+        step = 1 if xB > xA else -1
+        return all(
+            zA + (x - xA) / (xB - xA) * (zB - zA) > float(elev[yA, x])
+            for x in range(xA, xB + step, step)
+        )
+    r_denom = float(xB - xA) ** 2 + float(yB - yA) ** 2
+    for x, y in _los_cells_ref(xA, yA, xB, yB):
+        r_num = float(x - xA) ** 2 + float(y - yA) ** 2
+        z = zA + np.sqrt(r_num / r_denom) * (zB - zA)
+        if not z > float(elev[y, x]):
+            return False
+    return True
+
+
+def _los_fan_ref(elev, obs_height: float = 2.0):
+    """16-ray fan golden: center at +2 and +16 to the 8 border compass
+    targets at +2 (fixture spec shared with the engine)."""
+    h, w = elev.shape
+    cy, cx = (h - 1) // 2, (w - 1) // 2
+    targets = [
+        (0, 0), (0, cx), (0, w - 1), (cy, w - 1),
+        (h - 1, w - 1), (h - 1, cx), (h - 1, 0), (cy, 0),
+    ]
+    n = 0
+    for zmul in (1.0, 8.0):
+        zA = float(elev[cy, cx]) + obs_height * zmul
+        for ty, tx in targets:
+            zB = float(elev[ty, tx]) + obs_height
+            n += int(_los_visible_ref(elev, cx, cy, zA, tx, ty, zB))
+    return n, 16
+
+
 def q45_viewshed(sf_dir: str) -> pd.DataFrame:
     """Viewshed suite golden: mode='single' = center-observer Wang
     recurrence; mode='cumulative' = the observer-grid accumulation
@@ -1231,6 +1317,11 @@ def q45_viewshed(sf_dir: str) -> pd.DataFrame:
         modes.append("cumulative")
         nv.append(s)
         fr.append(float(np.round(s / float(counts.size * n_obs), 6)))
+        n_los, n_rays = _los_fan_ref(elev)
+        ids.append(row.image_id)
+        modes.append("los")
+        nv.append(n_los)
+        fr.append(float(np.round(n_los / float(n_rays), 6)))
     return pd.DataFrame(
         {
             "image_id": ids,

@@ -1696,6 +1696,7 @@ def q45_viewshed(sf_dir: str):
 
     from ..stages.viewshed import (
         cumulative_viewshed_counts,
+        los_ray_suite,
         viewshed_mask_wang,
     )
 
@@ -1733,6 +1734,14 @@ def q45_viewshed(sf_dir: str):
             modes.append("cumulative")
             nv.append(s)
             fr.append(float(np.round(s / float(counts.size * n_obs), 6)))
+            # mode='los': GDALIsLineOfSightVisible (alg/los.cpp) over a
+            # deterministic 16-ray fan (center at +2/+16 to the 8
+            # border compass targets at +2)
+            n_los, n_rays = los_ray_suite(elev)
+            ids.append(cols["image_id"][i])
+            modes.append("los")
+            nv.append(n_los)
+            fr.append(float(np.round(n_los / float(n_rays), 6)))
         return pa.table(
             {
                 "image_id": pa.array(ids, pa.string()),

@@ -127,6 +127,105 @@ def cumulative_viewshed_counts(elev: np.ndarray, obs_height: float = 2.0,
     return counts, n_obs
 
 
+def line_of_sight(elev: np.ndarray, xA: int, yA: int, zA: float,
+                  xB: int, yB: int, zB: float):
+    """Point-to-point line of sight over a DEM — the
+    GDALIsLineOfSightVisible contract (alg/los.cpp:177): both
+    endpoints must be strictly above terrain; the path walks the
+    published Bresenham cell traversal (alg/los.cpp:37-108, the
+    balance-increment variant restated here expression-for-
+    expression — the visited cell SET is part of the contract) and
+    each cell tests ``z > terrain`` with z linearly interpolated along
+    the ray: by the axis ratio for purely vertical/horizontal lines,
+    by the sqrt distance ratio otherwise (alg/los.cpp:330-346).
+
+    Returns (visible, ix, iy) — (True, -1, -1) when clear, else the
+    first blocking cell."""
+    h, w = elev.shape
+
+    def above(x, y, z):
+        return z > float(elev[y, x])
+
+    if not above(xA, yA, zA):
+        return False, xA, yA
+    if not above(xB, yB, zB):
+        return False, xB, yB
+    if xA == xB and yA == yB:
+        return True, -1, -1
+    if xA == xB:  # vertical: lerp by y ratio
+        step = 1 if yB > yA else -1
+        for y in range(yA, yB + step, step):
+            z = zA + (y - yA) / (yB - yA) * (zB - zA)
+            if not above(xA, y, z):
+                return False, xA, y
+        return True, -1, -1
+    if yA == yB:  # horizontal: lerp by x ratio
+        step = 1 if xB > xA else -1
+        for x in range(xA, xB + step, step):
+            z = zA + (x - xA) / (xB - xA) * (zB - zA)
+            if not above(x, yA, z):
+                return False, x, yA
+        return True, -1, -1
+    r_denom = float(xB - xA) ** 2 + float(yB - yA) ** 2
+
+    def z_of(x, y):
+        r_num = float(x - xA) ** 2 + float(y - yA) ** 2
+        ratio = np.sqrt(r_num / r_denom)
+        return zA + ratio * (zB - zA)
+
+    dx, incx = (xB - xA, 1) if xB >= xA else (xA - xB, -1)
+    dy, incy = (yB - yA, 1) if yB >= yA else (yA - yB, -1)
+    x, y = xA, yA
+    if dx >= dy:
+        dy2 = dy << 1
+        balance = dy2 - dx
+        dx2 = dx * 2
+        while x != xB:
+            if not above(x, y, z_of(x, y)):
+                return False, x, y
+            if balance >= 0:
+                y += incy
+                balance -= dx2
+            balance += dy2
+            x += incx
+    else:
+        dx2 = dx * 2
+        balance = dx2 - dy
+        dy2 = dy * 2
+        while y != yB:
+            if not above(x, y, z_of(x, y)):
+                return False, x, y
+            if balance >= 0:
+                x += incx
+                balance -= dy2
+            balance += dx2
+            y += incy
+    if not above(xB, yB, z_of(xB, yB)):
+        return False, xB, yB
+    return True, -1, -1
+
+
+def los_ray_suite(elev: np.ndarray, obs_height: float = 2.0):
+    """Deterministic LOS ray fan per chip: from the center (terrain +
+    obs_height, and terrain + 8*obs_height for the high variant) to
+    the 8 border compass targets at terrain + obs_height -> 16 rays;
+    returns the visible-ray count."""
+    h, w = elev.shape
+    cy, cx = (h - 1) // 2, (w - 1) // 2
+    targets = [
+        (0, 0), (0, cx), (0, w - 1), (cy, w - 1),
+        (h - 1, w - 1), (h - 1, cx), (h - 1, 0), (cy, 0),
+    ]
+    n_vis = 0
+    for zmul in (1.0, 8.0):
+        zA = float(elev[cy, cx]) + obs_height * zmul
+        for ty, tx in targets:
+            zB = float(elev[ty, tx]) + obs_height
+            ok, _, _ = line_of_sight(elev, cx, cy, zA, tx, ty, zB)
+            n_vis += int(ok)
+    return n_vis, 16
+
+
 # back-compat alias (round-1 name)
 viewshed_mask = viewshed_mask_radial
 

@@ -87,3 +87,86 @@ def test_clip_ring_rect():
 def test_envelope_wkb():
     assert G.envelope_wkb(G.wkb_point(3.0, 4.0)) == (3.0, 4.0, 3.0, 4.0)
     assert G.envelope_wkb(G.wkb_polygon([square(1, 2, 3)])) == (1.0, 2.0, 4.0, 5.0)
+
+
+def test_wkb_z_iso_round_trip():
+    """ISO +1000 Z codes parse/emit (ogr/ogr_core.h:405-440)."""
+    from gdal_ray.functions.geom import (
+        envelope_wkb,
+        parse_wkb,
+        wkb_linestring_z,
+        wkb_point_z,
+        wkb_polygon_z,
+    )
+
+    k, p = parse_wkb(wkb_point_z(1.0, 2.0, 3.0))
+    assert k == "point_z" and p == (1.0, 2.0, 3.0)
+
+    ls = wkb_linestring_z([[0, 0, 5], [3, 4, 7]])
+    k, pts = parse_wkb(ls)
+    assert k == "linestring_z" and pts.shape == (2, 3)
+    assert envelope_wkb(ls) == (0.0, 0.0, 3.0, 4.0)  # XY envelope
+
+    pg = wkb_polygon_z([[[0, 0, 1], [4, 0, 1], [4, 4, 1], [0, 4, 1]]])
+    k, rings = parse_wkb(pg)
+    assert k == "polygon_z" and rings[0].shape == (5, 3)  # auto-closed
+    assert envelope_wkb(pg) == (0.0, 0.0, 4.0, 4.0)
+
+
+def test_wkb_ewkb_flags_and_m():
+    """EWKB 0x80000000 (Z) / 0x40000000 (M) flags and ISO +2000/+3000
+    codes parse to the right widths (regression: the old parser
+    stripped flags and mis-read 3-wide vertices as 2-wide)."""
+    import struct
+
+    from gdal_ray.functions.geom import parse_wkb
+
+    ewkb_z = struct.pack("<BIddd", 1, 0x80000000 | 1, 1.0, 2.0, 3.0)
+    assert parse_wkb(ewkb_z) == ("point_z", (1.0, 2.0, 3.0))
+    iso_m = struct.pack("<BIddd", 1, 2001, 1.0, 2.0, 9.0)
+    assert parse_wkb(iso_m) == ("point_m", (1.0, 2.0, 9.0))
+    iso_zm = struct.pack("<BIdddd", 1, 3002, 0, 0, 1, 2) \
+        + struct.pack("<4d", 3, 4, 5, 6)
+    # LineStringZM: header carries point count, not inline coords
+    iso_zm = struct.pack("<BII", 1, 3002, 2) \
+        + struct.pack("<8d", 0, 0, 1, 2, 3, 4, 5, 6)
+    k, pts = parse_wkb(iso_zm)
+    assert k == "linestring_zm" and pts.shape == (2, 4)
+    assert pts[1].tolist() == [3.0, 4.0, 5.0, 6.0]
+
+
+def test_flatten_and_force_3d():
+    from gdal_ray.functions.geom import (
+        flatten_to_2d,
+        force_3d,
+        parse_wkb,
+        wkb_point,
+        wkb_polygon,
+        wkb_polygon_z,
+    )
+
+    pg3 = wkb_polygon_z([[[0, 0, 9], [4, 0, 9], [4, 4, 9], [0, 4, 9]]])
+    flat = flatten_to_2d(pg3)
+    k, rings = parse_wkb(flat)
+    assert k == "polygon" and rings[0].shape == (5, 2)
+    # 2-D input passes through unchanged
+    assert flatten_to_2d(flat) == flat
+    up = force_3d(wkb_point(1.0, 2.0), z=7.0)
+    assert parse_wkb(up) == ("point_z", (1.0, 2.0, 7.0))
+    assert force_3d(up) == up  # Z input passes through
+    # round trip: force then flatten recovers the 2-D form
+    assert flatten_to_2d(force_3d(wkb_polygon([[[0, 0], [2, 0], [1, 2]]])))\
+        == wkb_polygon([[[0, 0], [2, 0], [1, 2]]])
+
+
+def test_multipolygon_z_parse():
+    import struct
+
+    from gdal_ray.functions.geom import parse_wkb, wkb_polygon_z
+
+    p1 = wkb_polygon_z([[[0, 0, 1], [2, 0, 1], [1, 2, 1]]])
+    p2 = wkb_polygon_z([[[5, 5, 2], [7, 5, 2], [6, 7, 2]]])
+    mp = struct.pack("<BII", 1, 6 + 1000, 2) + p1 + p2
+    k, polys = parse_wkb(mp)
+    assert k == "multipolygon_z" and len(polys) == 2
+    assert polys[1][0][0].tolist() == [5.0, 5.0, 2.0]

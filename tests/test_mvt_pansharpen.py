@@ -166,3 +166,54 @@ def test_mvt_multilayer_stage(ray_session, smoke_fixtures):
     assert len(layers["points"]["features"]) == row.n_points
     assert all(f["type"] == mvt.GEOM_LINESTRING for f in layers["lines"]["features"])
     assert all(f["type"] == mvt.GEOM_POINT for f in layers["points"]["features"])
+
+
+def test_los_flat_and_wall():
+    """GDALIsLineOfSightVisible semantics (alg/los.cpp:177)."""
+    import numpy as np
+
+    from gdal_ray.stages.viewshed import line_of_sight
+
+    flat = np.zeros((32, 32), np.float64)
+    ok, ix, iy = line_of_sight(flat, 0, 0, 2.0, 31, 31, 2.0)
+    assert ok and (ix, iy) == (-1, -1)
+    wall = flat.copy()
+    wall[:, 16] = 50.0
+    ok, ix, iy = line_of_sight(wall, 0, 5, 2.0, 31, 5, 2.0)
+    assert not ok and (ix, iy) == (16, 5)  # first blocking cell
+    # high enough to clear the wall
+    ok, _, _ = line_of_sight(wall, 0, 5, 120.0, 31, 5, 120.0)
+    assert ok
+    # endpoint below terrain fails the pre-check at that endpoint
+    ok, ix, iy = line_of_sight(wall, 16, 3, 10.0, 31, 3, 2.0)
+    assert not ok and (ix, iy) == (16, 3)
+    # vertical / horizontal / same-point paths
+    assert line_of_sight(flat, 4, 0, 1.0, 4, 31, 1.0)[0]
+    assert line_of_sight(flat, 0, 9, 1.0, 31, 9, 1.0)[0]
+    assert line_of_sight(flat, 7, 7, 1.0, 7, 7, 1.0)[0]
+
+
+def test_los_lerp_clears_rising_ground():
+    """z interpolates along the ray: a ramp under a climbing sightline
+    stays visible, but a flat sightline into the ramp is blocked."""
+    import numpy as np
+
+    from gdal_ray.stages.viewshed import line_of_sight
+
+    ramp = np.tile(np.arange(32, dtype=np.float64), (32, 1))
+    ok, _, _ = line_of_sight(ramp, 0, 10, 2.0, 31, 13, 33.0)
+    assert ok  # sightline climbs with the terrain
+    ok, ix, iy = line_of_sight(ramp, 0, 10, 2.0, 31, 13, 2.0)
+    assert not ok and ix >= 1  # flat sightline hits the ramp early
+
+
+def test_los_fan_engine_matches_golden():
+    import numpy as np
+
+    from gdal_ray.oracle_ref.rasterref import _los_fan_ref
+    from gdal_ray.stages.viewshed import los_ray_suite
+
+    rng = np.random.default_rng(19)
+    for _ in range(6):
+        elev = rng.integers(0, 40, (33, 47)).astype(np.float64)
+        assert los_ray_suite(elev) == _los_fan_ref(elev)
