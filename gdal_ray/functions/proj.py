@@ -416,6 +416,118 @@ class PolarStereographic:
 # ------------------------------------------------------- fixture synthesis
 
 
+# ------------------------------------------------- datum shifts
+#
+# The reference reaches datum transformations through PROJ's Helmert
+# step (ogr/ogrct.cpp pipelines emit +proj=cart -> +proj=helmert ->
+# +proj=cart +inv); this is the EPSG 9606 position-vector 7-parameter
+# form over geocentric coordinates, with the geodetic<->geocentric
+# conversions (EPSG 9602) on each side and the 2-D contract's h=0
+# assumption (heights are not carried by the engine's coordinate
+# columns, matching GDAL's 2-D transform behavior).
+
+#: ellipsoid registry: name -> (a, 1/f)
+ELLIPSOIDS = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "intl1924": (6378388.0, 297.0),       # Hayford / International
+    "bessel1841": (6377397.155, 299.1528128),
+    "clarke1866": (6378206.4, 294.978698214),
+}
+
+
+def geodetic_to_geocentric(lon_deg, lat_deg, a: float, inv_f: float,
+                           h=0.0):
+    """(lon, lat, h) -> geocentric (X, Y, Z) on the given ellipsoid
+    (EPSG method 9602)."""
+    f = 1.0 / inv_f
+    e2 = f * (2.0 - f)
+    lam = np.radians(np.asarray(lon_deg, np.float64))
+    phi = np.radians(np.asarray(lat_deg, np.float64))
+    sphi = np.sin(phi)
+    nrad = a / np.sqrt(1.0 - e2 * sphi * sphi)
+    cphi = np.cos(phi)
+    x = (nrad + h) * cphi * np.cos(lam)
+    y = (nrad + h) * cphi * np.sin(lam)
+    z = (nrad * (1.0 - e2) + h) * sphi
+    return x, y, z
+
+
+def geocentric_to_geodetic(x, y, z, a: float, inv_f: float):
+    """Geocentric (X, Y, Z) -> (lon, lat, h): Bowring's seed + fixed-
+    point refinement (sub-nanometer at crustal heights)."""
+    f = 1.0 / inv_f
+    e2 = f * (2.0 - f)
+    b = a * (1.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    z = np.asarray(z, np.float64)
+    p = np.hypot(x, y)
+    theta = np.arctan2(z * a, p * b)
+    phi = np.arctan2(z + ep2 * b * np.sin(theta) ** 3,
+                     p - e2 * a * np.cos(theta) ** 3)
+    for _ in range(3):
+        sphi = np.sin(phi)
+        nrad = a / np.sqrt(1.0 - e2 * sphi * sphi)
+        h = p / np.cos(phi) - nrad
+        phi = np.arctan2(z, p * (1.0 - e2 * nrad / (nrad + h)))
+    sphi = np.sin(phi)
+    nrad = a / np.sqrt(1.0 - e2 * sphi * sphi)
+    h = p / np.cos(phi) - nrad
+    return np.degrees(np.arctan2(y, x)), np.degrees(phi), h
+
+
+class DatumShift:
+    """lon/lat datum transformation via a position-vector 7-parameter
+    Helmert over geocentric coordinates (EPSG method 9606 — PROJ's
+    +proj=helmert convention_position_vector, the convention EPSG /
+    the reference's European parameter sets use):
+
+        X' = T + (1 + ds) * R(rx, ry, rz) * X,
+        R = [[1, -rz, ry], [rz, 1, -rx], [-ry, rx, 1]]  (small angles)
+
+    ``fwd`` maps (lon, lat) on the SOURCE ellipsoid to (lon, lat) on
+    the TARGET ellipsoid; ``inv`` solves the same linear model exactly
+    (3x3 inverse), so fwd/inv round-trip to machine precision.  The
+    rotation parameters are arcseconds, ``ds_ppm`` parts-per-million.
+    h=0 on input, height dropped on output (2-D contract).
+    """
+
+    def __init__(self, dx: float, dy: float, dz: float,
+                 rx_as: float = 0.0, ry_as: float = 0.0,
+                 rz_as: float = 0.0, ds_ppm: float = 0.0,
+                 src: str = "intl1924", dst: str = "WGS84"):
+        self.t = np.array([dx, dy, dz], np.float64)
+        arc = np.pi / (180.0 * 3600.0)
+        rx, ry, rz = rx_as * arc, ry_as * arc, rz_as * arc
+        m = 1.0 + ds_ppm * 1e-6
+        self.mat = m * np.array(
+            [[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]], np.float64)
+        self.mat_inv = np.linalg.inv(self.mat)
+        self.src = ELLIPSOIDS[src] if isinstance(src, str) else src
+        self.dst = ELLIPSOIDS[dst] if isinstance(dst, str) else dst
+
+    def fwd(self, lon, lat):
+        x, y, z = geodetic_to_geocentric(lon, lat, *self.src)
+        v = self.mat @ np.vstack([np.ravel(x), np.ravel(y), np.ravel(z)])
+        lon2, lat2, _ = geocentric_to_geodetic(
+            v[0] + self.t[0], v[1] + self.t[1], v[2] + self.t[2],
+            *self.dst)
+        shp = np.shape(np.asarray(lon, np.float64))
+        return lon2.reshape(shp), lat2.reshape(shp)
+
+    def inv(self, lon, lat):
+        x, y, z = geodetic_to_geocentric(lon, lat, *self.dst)
+        w = np.vstack([np.ravel(x) - self.t[0], np.ravel(y) - self.t[1],
+                       np.ravel(z) - self.t[2]])
+        v = self.mat_inv @ w
+        lon2, lat2, _ = geocentric_to_geodetic(v[0], v[1], v[2],
+                                               *self.src)
+        shp = np.shape(np.asarray(lon, np.float64))
+        return lon2.reshape(shp), lat2.reshape(shp)
+
+
 def synth_utm(i: int):
     """Deterministic per-chip UTM georeferencing (FIXTURE — mirrored
     by the rasterref golden): chip i sits in zone 11 + (i % 3) north

