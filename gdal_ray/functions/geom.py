@@ -87,6 +87,44 @@ def wkb_polygon_z(rings: list[np.ndarray]) -> bytes:
     return b"".join(out)
 
 
+def wkb_multipoint(pts: np.ndarray) -> bytes:
+    pts = np.asarray(pts, np.float64)
+    return (struct.pack("<BII", 1, 4, len(pts))
+            + b"".join(wkb_point(float(x), float(y)) for x, y in pts))
+
+
+def wkb_multilinestring(lines: list[np.ndarray]) -> bytes:
+    return (struct.pack("<BII", 1, 5, len(lines))
+            + b"".join(wkb_linestring(np.asarray(a, np.float64))
+                       for a in lines))
+
+
+def wkb_geometrycollection(members: list[bytes]) -> bytes:
+    """Emit a GeometryCollection (type 7) from encoded member WKBs."""
+    return struct.pack("<BII", 1, 7, len(members)) + b"".join(members)
+
+
+def wkb_of(geom) -> bytes:
+    """Re-emit WKB from a parsed (kind, payload) tuple — the inverse
+    of parse_wkb for the 2-D simple-feature kinds."""
+    kind, val = geom
+    if kind == "point":
+        return wkb_point(val[0], val[1])
+    if kind == "linestring":
+        return wkb_linestring(np.asarray(val, np.float64))
+    if kind == "polygon":
+        return wkb_polygon(list(val))
+    if kind == "multipolygon":
+        return wkb_multipolygon([list(p) for p in val])
+    if kind == "multipoint":
+        return wkb_multipoint(val)
+    if kind == "multilinestring":
+        return wkb_multilinestring(val)
+    if kind == "geometrycollection":
+        return wkb_geometrycollection([wkb_of(g) for g in val])
+    raise ValueError(f"wkb_of: unsupported kind {kind!r}")
+
+
 def flatten_to_2d(wkb: bytes) -> bytes:
     """OGR_G_FlattenTo2D analog: drop Z/M, re-emit 2-D WKB."""
     kind, payload = parse_wkb(wkb)
@@ -230,6 +268,34 @@ def _parse_geom(buf: memoryview, pos: int):
             assert g[0] == "polygon"
             polys.append(g[1])
         return ("multipolygon", polys), pos
+    if gtype == 4:  # MultiPoint: point count + full point WKBs
+        (npts,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        pts = []
+        for _ in range(npts):
+            g, pos = _parse_geom(buf, pos)
+            if g[0] != "point":
+                raise ValueError(f"MultiPoint member {g[0]}")
+            pts.append(g[1])
+        return ("multipoint", np.asarray(pts, np.float64)), pos
+    if gtype == 5:  # MultiLineString
+        (nls,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        lines = []
+        for _ in range(nls):
+            g, pos = _parse_geom(buf, pos)
+            if g[0] != "linestring":
+                raise ValueError(f"MultiLineString member {g[0]}")
+            lines.append(g[1])
+        return ("multilinestring", lines), pos
+    if gtype == 7:  # GeometryCollection: any members
+        (ng,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        geoms = []
+        for _ in range(ng):
+            g, pos = _parse_geom(buf, pos)
+            geoms.append(g)
+        return ("geometrycollection", geoms), pos
     if gtype == WKB_CIRCULARSTRING:
         # same layout as LineString: point count + xy pairs; odd count
         # >= 3, every consecutive point triple is one arc
@@ -306,6 +372,17 @@ def envelope_wkb(data: bytes) -> tuple[float, float, float, float]:
     kind, val = parse_wkb(data)
     if kind.startswith("point"):
         return val[0], val[1], val[0], val[1]
+    if kind == "multipoint":
+        return (float(val[:, 0].min()), float(val[:, 1].min()),
+                float(val[:, 0].max()), float(val[:, 1].max()))
+    if kind == "multilinestring":
+        pts = np.vstack(val)
+        return (float(pts[:, 0].min()), float(pts[:, 1].min()),
+                float(pts[:, 0].max()), float(pts[:, 1].max()))
+    if kind == "geometrycollection":
+        envs = [envelope_wkb(wkb_of(g)) for g in val]
+        return (min(e[0] for e in envs), min(e[1] for e in envs),
+                max(e[2] for e in envs), max(e[3] for e in envs))
     if kind.startswith("polygon_") or kind.startswith("multipolygon_"):
         # Z/M variants: gather all ring vertices directly
         rings = val if kind.startswith("polygon_") else [

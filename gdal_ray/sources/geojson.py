@@ -85,6 +85,16 @@ def _wkb_to_geojson(wkb: bytes) -> dict:
                 [np.asarray(r).tolist() for r in poly] for poly in payload
             ],
         }
+    if kind == "multipoint":
+        return {"type": "MultiPoint",
+                "coordinates": np.asarray(payload).tolist()}
+    if kind == "multilinestring":
+        return {"type": "MultiLineString",
+                "coordinates": [np.asarray(a).tolist() for a in payload]}
+    if kind == "geometrycollection":
+        return {"type": "GeometryCollection",
+                "geometries": [_wkb_to_geojson(G.wkb_of(g))
+                               for g in payload]}
     raise ValueError(f"unsupported geometry kind {kind!r}")
 
 

@@ -170,3 +170,76 @@ def test_multipolygon_z_parse():
     k, polys = parse_wkb(mp)
     assert k == "multipolygon_z" and len(polys) == 2
     assert polys[1][0][0].tolist() == [5.0, 5.0, 2.0]
+
+
+def test_multipoint_multilinestring_collection_round_trip():
+    import numpy as np
+
+    from gdal_ray.functions.geom import (
+        envelope_wkb,
+        parse_wkb,
+        wkb_geometrycollection,
+        wkb_multilinestring,
+        wkb_multipoint,
+        wkb_of,
+        wkb_point,
+        wkb_polygon,
+    )
+
+    mp = wkb_multipoint([[1.0, 2.0], [-3.0, 4.0], [5.0, -6.0]])
+    k, pts = parse_wkb(mp)
+    assert k == "multipoint" and pts.shape == (3, 2)
+    assert envelope_wkb(mp) == (-3.0, -6.0, 5.0, 4.0)
+    assert wkb_of((k, pts)) == mp
+
+    mls = wkb_multilinestring([[[0, 0], [1, 1]], [[5, 5], [6, 7], [8, 5]]])
+    k, lines = parse_wkb(mls)
+    assert k == "multilinestring" and len(lines) == 2
+    assert envelope_wkb(mls) == (0.0, 0.0, 8.0, 7.0)
+    assert wkb_of((k, lines)) == mls
+
+    gc = wkb_geometrycollection([
+        wkb_point(10.0, 20.0),
+        wkb_polygon([[[0, 0], [4, 0], [4, 4], [0, 4]]]),
+        mp,
+    ])
+    k, members = parse_wkb(gc)
+    assert k == "geometrycollection"
+    assert [m[0] for m in members] == ["point", "polygon", "multipoint"]
+    assert envelope_wkb(gc) == (-3.0, -6.0, 10.0, 20.0)
+    assert wkb_of((k, members)) == gc
+
+
+def test_geojson_renders_multi_and_collection():
+    import json
+
+    from gdal_ray.functions.geom import (
+        wkb_geometrycollection,
+        wkb_multilinestring,
+        wkb_multipoint,
+        wkb_point,
+    )
+    from gdal_ray.sources.geojson import _wkb_to_geojson, geojson_to_table
+
+    gj = _wkb_to_geojson(wkb_multipoint([[1, 2], [3, 4]]))
+    assert gj == {"type": "MultiPoint", "coordinates": [[1, 2], [3, 4]]}
+    gj = _wkb_to_geojson(wkb_multilinestring([[[0, 0], [1, 1]]]))
+    assert gj["type"] == "MultiLineString"
+    gj = _wkb_to_geojson(wkb_geometrycollection([wkb_point(5.0, 6.0)]))
+    assert gj == {"type": "GeometryCollection",
+                  "geometries": [{"type": "Point",
+                                  "coordinates": [5.0, 6.0]}]}
+    # GeoJSON reader round-trips MultiPoint/MultiLineString features
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"k": 1},
+         "geometry": {"type": "MultiPoint",
+                      "coordinates": [[1, 2], [3, 4]]}},
+        {"type": "Feature", "properties": {"k": 2},
+         "geometry": {"type": "MultiLineString",
+                      "coordinates": [[[0, 0], [2, 2], [4, 0]]]}},
+    ]}
+    t = geojson_to_table(json.dumps(fc))
+    from gdal_ray.functions.geom import parse_wkb
+
+    kinds = [parse_wkb(w)[0] for w in t.column("geometry").to_pylist()]
+    assert kinds == ["multipoint", "multilinestring"]
