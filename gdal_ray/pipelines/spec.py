@@ -1021,6 +1021,103 @@ def _vector_sample(ds, key_col: str, frac: float):
     return sample_hash(ds, key_col, frac)
 
 
+# ------------------------------------------------- mdim steps
+#
+# The `gdal mdim convert/info` analog (apps/gdalalg_mdim_*.cpp): N-D
+# steps thread an (ds, spec) pair through the pipeline as an
+# MDimHandle, opened by an mdim_read_* step and consumed by
+# mdim_checksums / mdim_write_zarr.
+
+
+class MDimHandle:
+    """Chunk-row Dataset + its MDSpec, threaded between mdim steps."""
+
+    def __init__(self, ds, spec):
+        self.ds = ds
+        self.spec = spec
+
+
+def _mdim_handle(ds) -> "MDimHandle":
+    if not isinstance(ds, MDimHandle):
+        raise TypeError(
+            "mdim step needs an MDimHandle input — start the pipeline "
+            "with mdim_read_zarr / mdim_read_netcdf")
+    return ds
+
+
+@register_step("mdim_read_zarr")
+def _mdim_read_zarr(ds, path: str, parallelism: int = 16):
+    from ..sources.zarr import read_zarr
+
+    zds, spec = read_zarr(path, parallelism=parallelism)
+    return MDimHandle(zds, spec)
+
+
+@register_step("mdim_read_netcdf")
+def _mdim_read_netcdf(ds, path: str, var: str, slab: int = 0,
+                      parallelism: int = 16):
+    from ..sources.netcdf import read_netcdf
+
+    nds, spec = read_netcdf(path, var, slab=slab,
+                            parallelism=parallelism)
+    return MDimHandle(nds, spec)
+
+
+@register_step("mdim_transpose")
+def _mdim_transpose(ds, perm):
+    from ..stages.mdim import mdim_transpose
+
+    h = _mdim_handle(ds)
+    out, spec = mdim_transpose(h.ds, h.spec, tuple(perm))
+    return MDimHandle(out, spec)
+
+
+@register_step("mdim_slice")
+def _mdim_slice(ds, ranges):
+    from ..stages.mdim import mdim_slice
+
+    h = _mdim_handle(ds)
+    out, spec = mdim_slice(h.ds, h.spec,
+                           [tuple(r) for r in ranges])
+    return MDimHandle(out, spec)
+
+
+@register_step("mdim_reduce")
+def _mdim_reduce(ds, op: str, axis: int):
+    from ..stages.mdim import mdim_reduce
+
+    h = _mdim_handle(ds)
+    out, spec = mdim_reduce(h.ds, h.spec, op, axis)
+    return MDimHandle(out, spec)
+
+
+@register_step("mdim_resample2x")
+def _mdim_resample2x(ds, axes):
+    from ..stages.mdim import mdim_resample2x
+
+    h = _mdim_handle(ds)
+    out, spec = mdim_resample2x(h.ds, h.spec, tuple(axes))
+    return MDimHandle(out, spec)
+
+
+@register_step("mdim_checksums")
+def _mdim_checksums(ds, tag: str = "mdim"):
+    from ..stages.mdim import mdim_chunk_checksums
+
+    h = _mdim_handle(ds)
+    return mdim_chunk_checksums(h.ds, h.spec, tag)
+
+
+@register_step("mdim_write_zarr")
+def _mdim_write_zarr(ds, path: str, compressor: str | None = "zlib",
+                     level: int = 1):
+    from ..sources.zarr import write_zarr
+
+    h = _mdim_handle(ds)
+    return write_zarr(h.ds, h.spec, path, compressor=compressor,
+                      level=level)
+
+
 @register_step("raster_zonal_stats")
 def _raster_zonal_stats(ds, zones_path: str, zoom: int = 10):
     """Zonal statistics (engine addition; the gdal_rasterize +

@@ -341,3 +341,56 @@ def test_vector_buffer_step_polygon_mode(ray_session):
     expect = 8000 * 6000 + 2 * (8000 + 6000) * 500 \
         + 16.0 * 500 * 500 * np.sin(np.pi / 16.0)
     assert abs(out["area"].iloc[0] - expect) < 1e-6 * expect
+
+
+def test_mdim_pipeline_steps(ray_session, tmp_path):
+    """`gdal mdim convert` analog: zarr -> transpose -> reduce ->
+    zarr, replayed from a serialized spec, matches the direct calls."""
+    import numpy as np
+
+    from gdal_ray.sources.zarr import read_zarr, write_zarr
+    from gdal_ray.stages import mdim as M
+
+    spec = M.MDSpec((24, 32, 32), (8, 16, 16), "int64")
+    fill = lambda i, j, k: (i * 7 + j * 3 + k) % 50  # noqa: E731
+    src = str(tmp_path / "src.zarr")
+    write_zarr(M.mdim_create(spec, fill, parallelism=4), spec,
+               src).to_pandas()
+
+    out = run_pipeline([
+        {"step": "mdim_read_zarr", "path": src},
+        {"step": "mdim_transpose", "perm": [2, 0, 1]},
+        {"step": "mdim_reduce", "op": "sum", "axis": 1},
+        {"step": "mdim_checksums", "tag": "t"},
+    ]).to_pandas()
+    # direct composition
+    zds, zspec = read_zarr(src)
+    tr, tr_spec = M.mdim_transpose(zds, zspec, (2, 0, 1))
+    rd_, rd_spec = M.mdim_reduce(tr, tr_spec, "sum", 1)
+    ref = M.mdim_chunk_checksums(rd_, rd_spec, "t").to_pandas()
+    assert sorted(zip(out["image_id"], out["cs"])) == sorted(
+        zip(ref["image_id"], ref["cs"]))
+
+    # write half: spec-driven zarr sink reads back checksum-identical
+    dst = str(tmp_path / "dst.zarr")
+    run_pipeline([
+        {"step": "mdim_read_zarr", "path": src},
+        {"step": "mdim_resample2x", "axes": [1, 2]},
+        {"step": "mdim_write_zarr", "path": dst},
+    ]).to_pandas()
+    back, back_spec = read_zarr(dst)
+    assert back_spec.shape == (24, 16, 16)
+    rs, rs_spec = M.mdim_resample2x(zds2 := read_zarr(src)[0], zspec,
+                                    (1, 2))
+    a = M.mdim_chunk_checksums(back, back_spec, "x").to_pandas()
+    b = M.mdim_chunk_checksums(rs, rs_spec, "x").to_pandas()
+    assert sorted(zip(a["image_id"], a["cs"])) == sorted(
+        zip(b["image_id"], b["cs"]))
+
+    # loud failure without a reader step
+    import pytest
+    import ray.data as rd2
+
+    with pytest.raises(TypeError, match="MDimHandle"):
+        run_pipeline([{"step": "mdim_transpose", "perm": [0, 1, 2]}],
+                     rd2.range(1))
