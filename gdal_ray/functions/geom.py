@@ -24,10 +24,13 @@ WKB_POINT = 1
 WKB_LINESTRING = 2
 WKB_POLYGON = 3
 WKB_MULTIPOLYGON = 6
-# ISO curve types (ogr/ogr_core.h:405-440)
+# ISO curve / surface types (ogr/ogr_core.h:405-440)
 WKB_CIRCULARSTRING = 8
 WKB_COMPOUNDCURVE = 9
 WKB_CURVEPOLYGON = 10
+WKB_POLYHEDRALSURFACE = 15
+WKB_TIN = 16
+WKB_TRIANGLE = 17
 
 # ---------------------------------------------------------------- WKB emit
 
@@ -102,6 +105,41 @@ def wkb_multilinestring(lines: list[np.ndarray]) -> bytes:
 def wkb_geometrycollection(members: list[bytes]) -> bytes:
     """Emit a GeometryCollection (type 7) from encoded member WKBs."""
     return struct.pack("<BII", 1, 7, len(members)) + b"".join(members)
+
+
+def wkb_triangle(ring: np.ndarray) -> bytes:
+    """Emit a Triangle (ISO type 17): one closed 4-point ring."""
+    ring = np.asarray(ring, np.float64)
+    if not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])
+    if len(ring) != 4:
+        raise ValueError("wkb_triangle: need 3 distinct vertices")
+    return struct.pack("<BII", 1, WKB_TRIANGLE, 1) + _pack_ring(ring)
+
+
+def wkb_polyhedralsurface(patches: list[list[np.ndarray]]) -> bytes:
+    """Emit a PolyhedralSurface (type 15) of Polygon patches."""
+    return (struct.pack("<BII", 1, WKB_POLYHEDRALSURFACE, len(patches))
+            + b"".join(wkb_polygon(list(p)) for p in patches))
+
+
+def wkb_tin(triangles: list[np.ndarray]) -> bytes:
+    """Emit a TIN (type 16) of Triangle patches."""
+    return (struct.pack("<BII", 1, WKB_TIN, len(triangles))
+            + b"".join(wkb_triangle(t) for t in triangles))
+
+
+def surface_to_multipolygon(wkb: bytes) -> bytes:
+    """OGRGeometryFactory::forceTo analog for the surface family:
+    PolyhedralSurface / TIN -> MultiPolygon (each patch one part;
+    Triangle -> Polygon)."""
+    kind, val = parse_wkb(wkb)
+    if kind == "triangle":
+        return wkb_polygon(list(val))
+    if kind in ("polyhedralsurface", "tin"):
+        # patches parse as ring lists for both (Triangle = 1-ring)
+        return wkb_multipolygon([list(p) for p in val])
+    raise ValueError(f"surface_to_multipolygon: not a surface: {kind!r}")
 
 
 def wkb_of(geom) -> bytes:
@@ -296,6 +334,30 @@ def _parse_geom(buf: memoryview, pos: int):
             g, pos = _parse_geom(buf, pos)
             geoms.append(g)
         return ("geometrycollection", geoms), pos
+    if gtype == WKB_TRIANGLE:
+        # same layout as Polygon: one closed 4-point ring
+        (nrings,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        if nrings != 1:
+            raise ValueError(f"Triangle needs exactly 1 ring, got {nrings}")
+        ring, pos = _read_ring(buf, pos)
+        if len(ring) != 4:
+            raise ValueError(f"Triangle ring needs 4 points, got {len(ring)}")
+        return ("triangle", [ring]), pos
+    if gtype in (WKB_POLYHEDRALSURFACE, WKB_TIN):
+        # patch count + full patch WKBs (Polygon / Triangle)
+        kind = "polyhedralsurface" if gtype == WKB_POLYHEDRALSURFACE \
+            else "tin"
+        want = "polygon" if gtype == WKB_POLYHEDRALSURFACE else "triangle"
+        (npatch,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        patches = []
+        for _ in range(npatch):
+            g, pos = _parse_geom(buf, pos)
+            if g[0] != want:
+                raise ValueError(f"{kind} patch {g[0]} (expected {want})")
+            patches.append(g[1])
+        return (kind, patches), pos
     if gtype == WKB_CIRCULARSTRING:
         # same layout as LineString: point count + xy pairs; odd count
         # >= 3, every consecutive point triple is one arc

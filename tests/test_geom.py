@@ -243,3 +243,55 @@ def test_geojson_renders_multi_and_collection():
 
     kinds = [parse_wkb(w)[0] for w in t.column("geometry").to_pylist()]
     assert kinds == ["multipoint", "multilinestring"]
+
+
+def test_surface_family_round_trip():
+    """PolyhedralSurface / TIN / Triangle (ISO types 15/16/17,
+    ogr/ogr_core.h:405-440) + forceTo-MultiPolygon."""
+    import numpy as np
+
+    from gdal_ray.functions.geom import (
+        parse_wkb,
+        ring_area,
+        surface_to_multipolygon,
+        wkb_polyhedralsurface,
+        wkb_tin,
+        wkb_triangle,
+    )
+
+    tri = wkb_triangle([[0, 0], [4, 0], [0, 3]])
+    k, rings = parse_wkb(tri)
+    assert k == "triangle" and len(rings) == 1 and len(rings[0]) == 4
+    assert abs(abs(ring_area(rings[0])) - 6.0) < 1e-12
+
+    tin = wkb_tin([[[0, 0], [4, 0], [0, 3]],
+                   [[4, 0], [4, 3], [0, 3]]])
+    k, tris = parse_wkb(tin)
+    assert k == "tin" and len(tris) == 2
+    mp = surface_to_multipolygon(tin)
+    k2, polys = parse_wkb(mp)
+    assert k2 == "multipolygon" and len(polys) == 2
+    total = sum(abs(ring_area(p[0])) for p in polys)
+    assert abs(total - 12.0) < 1e-12  # the two triangles tile a 4x3 rect
+
+    ps = wkb_polyhedralsurface([
+        [[[0, 0], [1, 0], [1, 1], [0, 1]]],
+        [[[1, 0], [2, 0], [2, 1], [1, 1]]],
+    ])
+    k, patches = parse_wkb(ps)
+    assert k == "polyhedralsurface" and len(patches) == 2
+    k2, polys = parse_wkb(surface_to_multipolygon(ps))
+    assert k2 == "multipolygon" and len(polys) == 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="4 points"):
+        import struct
+
+        from gdal_ray.functions.geom import WKB_TRIANGLE, _pack_ring
+
+        bad = struct.pack("<BII", 1, WKB_TRIANGLE, 1) + _pack_ring(
+            np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float))
+        parse_wkb(bad)
+    with pytest.raises(ValueError, match="need 3 distinct"):
+        wkb_triangle([[0, 0], [1, 0], [1, 1], [0, 1]])
