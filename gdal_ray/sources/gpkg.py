@@ -287,6 +287,141 @@ def list_layers(path: str) -> list[dict]:
     ]
 
 
+# ----------------------------------------------------- raster tiles
+#
+# The GPKG raster half (ogr/ogrsf_frmts/gpkg/ tiled gridded coverage:
+# gpkg_tile_matrix_set + gpkg_tile_matrix + a tile pyramid table keyed
+# (zoom_level, tile_column, tile_row) — GPKG rows are XYZ-oriented,
+# unlike MBTiles' TMS).  WebMercator matrix: 2^z x 2^z tiles of 256px
+# at the gdal2tiles initial resolution.
+
+_WM = 20037508.342789244
+_INITIAL_RES = 156543.03392804097
+
+
+def write_gpkg_tiles(ds, path: str, table: str = "tiles",
+                     srs_id: int = 3857) -> int:
+    """Stream XYZ tile rows (z, x, y, tile_bytes) into a GPKG tile
+    pyramid table with the WebMercator tile matrix metadata.  Appends
+    to an existing GeoPackage or creates one.  Returns tile count."""
+    exists = os.path.exists(path)
+    work = path if exists else path + ".tmp"
+    con = sqlite3.connect(work)
+    _init_gpkg(con)
+    _ensure_srs(con, srs_id)
+    con.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_tile_matrix_set (
+        table_name TEXT PRIMARY KEY, srs_id INTEGER NOT NULL,
+        min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE)"""
+    )
+    con.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_tile_matrix (
+        table_name TEXT NOT NULL, zoom_level INTEGER NOT NULL,
+        matrix_width INTEGER, matrix_height INTEGER,
+        tile_width INTEGER, tile_height INTEGER,
+        pixel_x_size DOUBLE, pixel_y_size DOUBLE,
+        CONSTRAINT pk_tm PRIMARY KEY (table_name, zoom_level))"""
+    )
+    con.execute(
+        f"""CREATE TABLE "{table}" (
+        id INTEGER PRIMARY KEY AUTOINCREMENT,
+        zoom_level INTEGER NOT NULL, tile_column INTEGER NOT NULL,
+        tile_row INTEGER NOT NULL, tile_data BLOB NOT NULL,
+        UNIQUE (zoom_level, tile_column, tile_row))"""
+    )
+    n = 0
+    zooms: set[int] = set()
+
+    def insert(t: pa.Table):
+        nonlocal n
+        rows = list(zip(
+            (int(v) for v in t.column("z").to_pylist()),
+            (int(v) for v in t.column("x").to_pylist()),
+            (int(v) for v in t.column("y").to_pylist()),
+            t.column("tile_bytes").to_pylist()))
+        with con:
+            con.executemany(
+                f'INSERT INTO "{table}" (zoom_level, tile_column, '
+                "tile_row, tile_data) VALUES (?, ?, ?, ?)", rows)
+        zooms.update(r[0] for r in rows)
+        n += len(rows)
+
+    if isinstance(ds, pa.Table):
+        insert(ds)
+    else:
+        for t in ds.iter_batches(batch_format="pyarrow", batch_size=512):
+            insert(t)
+    with con:
+        con.execute(
+            "INSERT OR REPLACE INTO gpkg_tile_matrix_set VALUES "
+            "(?, ?, ?, ?, ?, ?)",
+            (table, srs_id, -_WM, -_WM, _WM, _WM))
+        for z in sorted(zooms):
+            res = _INITIAL_RES / (1 << z)
+            con.execute(
+                "INSERT OR REPLACE INTO gpkg_tile_matrix VALUES "
+                "(?, ?, ?, ?, ?, ?, ?, ?)",
+                (table, z, 1 << z, 1 << z, 256, 256, res, res))
+        con.execute(
+            "INSERT OR REPLACE INTO gpkg_contents (table_name, "
+            "data_type, identifier, min_x, min_y, max_x, max_y, srs_id)"
+            " VALUES (?, 'tiles', ?, ?, ?, ?, ?, ?)",
+            (table, table, -_WM, -_WM, _WM, _WM, srs_id))
+    con.close()
+    if not exists:
+        os.replace(work, path)
+    return n
+
+
+def read_gpkg_tiles(path: str, table: str = "tiles",
+                    zoom: int | None = None, parallelism: int = 16):
+    """Ray Dataset of XYZ tile rows from a GPKG tile pyramid table."""
+    import ray.data as rd
+
+    where = "" if zoom is None else f" WHERE zoom_level = {int(zoom)}"
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        lo, hi = con.execute(
+            f'SELECT MIN(id), MAX(id) FROM "{table}"{where}').fetchone()
+    finally:
+        con.close()
+    if lo is None:
+        return rd.from_arrow(pa.table({
+            "z": pa.array([], pa.int32()), "x": pa.array([], pa.int32()),
+            "y": pa.array([], pa.int32()),
+            "tile_bytes": pa.array([], pa.binary())}))
+    edges = np.unique(np.linspace(lo, hi + 1, parallelism + 1)
+                      .astype(np.int64))
+    items = [{"lo": int(edges[i]), "hi": int(edges[i + 1] - 1)}
+             for i in range(len(edges) - 1)]
+
+    def fetch(t: pa.Table) -> pa.Table:
+        con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        zs, xs, ys, bs = [], [], [], []
+        try:
+            for lo_, hi_ in zip(t.column("lo").to_pylist(),
+                                t.column("hi").to_pylist()):
+                cond = f"id >= {lo_} AND id <= {hi_}"
+                if zoom is not None:
+                    cond += f" AND zoom_level = {int(zoom)}"
+                for z, x, y, d in con.execute(
+                    "SELECT zoom_level, tile_column, tile_row, "
+                    f'tile_data FROM "{table}" WHERE {cond}'
+                ):
+                    zs.append(z)
+                    xs.append(x)
+                    ys.append(y)
+                    bs.append(d)
+        finally:
+            con.close()
+        return pa.table({
+            "z": pa.array(zs, pa.int32()), "x": pa.array(xs, pa.int32()),
+            "y": pa.array(ys, pa.int32()),
+            "tile_bytes": pa.array(bs, pa.binary())})
+
+    return rd.from_items(items).map_batches(fetch, batch_format="pyarrow")
+
+
 def _read_range(path: str, layer: str, geom_col: str, attrs: list[str],
                 lo: int, hi: int, bbox=None) -> pa.Table:
     con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)

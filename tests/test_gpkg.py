@@ -193,3 +193,71 @@ def test_schema_mismatch_rejected(tmp_path):
             pa.table({"geometry": pa.array([wkb_point(0.0, 0.0)],
                                            pa.binary()),
                       "b": pa.array([1], pa.int64())}), "f")
+
+
+def _tile_rows(zs=(9, 10)):
+    rows = {"z": [], "x": [], "y": [], "tile_bytes": []}
+    for z in zs:
+        for x in range(3):
+            for y in range(2):
+                rows["z"].append(z)
+                rows["x"].append(x)
+                rows["y"].append(y)
+                rows["tile_bytes"].append(bytes([z, x, y]) * 5)
+    return pa.table({
+        "z": pa.array(rows["z"], pa.int32()),
+        "x": pa.array(rows["x"], pa.int32()),
+        "y": pa.array(rows["y"], pa.int32()),
+        "tile_bytes": pa.array(rows["tile_bytes"], pa.binary()),
+    })
+
+
+def test_gpkg_tile_pyramid_round_trip(ray_session, tmp_path):
+    """GPKG raster half: gpkg_tile_matrix_set/_matrix metadata + XYZ
+    tile rows (GPKG rows are XYZ, unlike MBTiles TMS)."""
+    import ray.data as rd
+
+    t = _tile_rows()
+    path = str(tmp_path / "t.gpkg")
+    n = GP.write_gpkg_tiles(rd.from_arrow(t).repartition(3), path)
+    assert n == t.num_rows
+    con = sqlite3.connect(path)
+    (dt,) = con.execute(
+        "SELECT data_type FROM gpkg_contents WHERE table_name='tiles'"
+    ).fetchone()
+    assert dt == "tiles"
+    tm = con.execute(
+        "SELECT zoom_level, matrix_width, tile_width, pixel_x_size "
+        "FROM gpkg_tile_matrix ORDER BY zoom_level").fetchall()
+    assert [r[0] for r in tm] == [9, 10]
+    assert tm[0][1] == 512 and tm[0][2] == 256  # 2^9 matrix, 256px
+    assert abs(tm[1][3] - 156543.03392804097 / 1024) < 1e-9
+    # XYZ orientation: row stored as-is (no TMS flip)
+    (blob,) = con.execute(
+        "SELECT tile_data FROM tiles WHERE zoom_level=10 AND "
+        "tile_column=1 AND tile_row=1").fetchone()
+    assert blob == bytes([10, 1, 1]) * 5
+    con.close()
+    back = GP.read_gpkg_tiles(path, parallelism=4).to_pandas()
+    got = sorted(zip(back["z"], back["x"], back["y"], back["tile_bytes"]))
+    exp = sorted(zip(*[t.column(c).to_pylist()
+                       for c in ("z", "x", "y", "tile_bytes")]))
+    assert got == exp
+    z9 = GP.read_gpkg_tiles(path, zoom=9).to_pandas()
+    assert (z9["z"] == 9).all() and len(z9) == 6
+
+
+def test_gpkg_vector_and_tiles_coexist(ray_session, tmp_path):
+    """One GeoPackage carrying a vector layer AND a tile pyramid."""
+    path = str(tmp_path / "both.gpkg")
+    GP.write_gpkg(_features(5), path, layer="v")
+    GP.write_gpkg_tiles(_tile_rows(zs=(8,)), path)
+    meta = GP.list_layers(path)
+    assert [m["layer"] for m in meta] == ["v"]  # features only
+    con = sqlite3.connect(path)
+    types = dict(con.execute(
+        "SELECT table_name, data_type FROM gpkg_contents").fetchall())
+    con.close()
+    assert types == {"v": "features", "tiles": "tiles"}
+    assert GP.read_gpkg(path, layer="v").count() == 5
+    assert GP.read_gpkg_tiles(path).count() == 6
