@@ -423,14 +423,18 @@ def read_gpkg_tiles(path: str, table: str = "tiles",
 
 
 def _read_range(path: str, layer: str, geom_col: str, attrs: list[str],
-                lo: int, hi: int, bbox=None) -> pa.Table:
+                lo: int, hi: int, bbox=None,
+                where: str | None = None) -> pa.Table:
     con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     try:
         sel = ", ".join(["fid", *(f'"{c}"' for c in attrs),
                          f'"{geom_col}"'])
+        cond = "fid >= ? AND fid <= ?"
+        if where:
+            cond += f" AND ({where})"
         rows = con.execute(
-            f'SELECT {sel} FROM "{layer}" WHERE fid >= ? AND fid <= ? '
-            "ORDER BY fid", (lo, hi),
+            f'SELECT {sel} FROM "{layer}" WHERE {cond} ORDER BY fid',
+            (lo, hi),
         ).fetchall()
     finally:
         con.close()
@@ -457,13 +461,15 @@ def _read_range(path: str, layer: str, geom_col: str, attrs: list[str],
 
 
 def read_gpkg(path: str, layer: str | None = None, bbox=None,
-              parallelism: int = 16):
+              where: str | None = None, parallelism: int = 16):
     """Ray Dataset over one GPKG feature layer in the engine's WKB
     convention (fid, geometry, srs_id, attrs...).  The layer's rowid
     span splits into `parallelism` fid ranges; each range is one task
     opening the file read-only — a large layer fans out like any
     partitioned source.  `bbox = (minx, miny, maxx, maxy)` prunes by
-    feature envelope inside each task."""
+    feature envelope inside each task; `where` is an attribute filter
+    pushed into the per-range SQL (the OGR SetAttributeFilter analog —
+    the file opens read-only, so the expression cannot mutate it)."""
     import ray.data as rd
 
     meta = list_layers(path)
@@ -501,7 +507,8 @@ def read_gpkg(path: str, layer: str | None = None, bbox=None,
 
     def fetch(t: pa.Table) -> pa.Table:
         parts = [
-            _read_range(path, layer, geom_col, attrs, lo_, hi_, bbox)
+            _read_range(path, layer, geom_col, attrs, lo_, hi_, bbox,
+                        where)
             for lo_, hi_ in zip(t.column("lo").to_pylist(),
                                 t.column("hi").to_pylist())
         ]

@@ -261,3 +261,21 @@ def test_gpkg_vector_and_tiles_coexist(ray_session, tmp_path):
     assert types == {"v": "features", "tiles": "tiles"}
     assert GP.read_gpkg(path, layer="v").count() == 5
     assert GP.read_gpkg_tiles(path).count() == 6
+
+
+def test_attribute_filter_pushdown(ray_session, tmp_path):
+    """where= lowers into the per-range SQL (SetAttributeFilter
+    analog), composing with bbox pruning."""
+    wkbs = [wkb_point(float(i), float(i)) for i in range(60)]
+    t = pa.table({"geometry": pa.array(wkbs, pa.binary()),
+                  "k": pa.array(list(range(60)), pa.int64()),
+                  "name": pa.array([f"n{i % 4}" for i in range(60)])})
+    path = str(tmp_path / "w.gpkg")
+    GP.write_gpkg(t, path, layer="pts")
+    sel = GP.read_gpkg(path, where="k % 2 = 0 AND name = 'n0'",
+                       parallelism=4).to_pandas()
+    assert sorted(sel["k"]) == [i for i in range(60)
+                                if i % 2 == 0 and i % 4 == 0]
+    both = GP.read_gpkg(path, where="k >= 10",
+                        bbox=(0.0, 0.0, 20.0, 20.0)).to_pandas()
+    assert sorted(both["k"]) == list(range(10, 21))

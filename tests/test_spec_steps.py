@@ -394,3 +394,26 @@ def test_mdim_pipeline_steps(ray_session, tmp_path):
     with pytest.raises(TypeError, match="MDimHandle"):
         run_pipeline([{"step": "mdim_transpose", "perm": [0, 1, 2]}],
                      rd2.range(1))
+
+
+def test_registry_signature_contract():
+    """Every registered step is a callable whose first parameter is the
+    threaded dataset and whose remaining parameters are keyword-able
+    (what run_pipeline invokes) — catches signature drift across the
+    whole registry without needing per-step fixtures."""
+    import inspect
+
+    from gdal_ray.pipelines import spec as S
+
+    for name in list_steps():
+        fn = S._REGISTRY[name]
+        sig = inspect.signature(fn)
+        params = list(sig.parameters.values())
+        assert params, f"{name}: no parameters"
+        first = params[0]
+        assert first.kind in (first.POSITIONAL_ONLY,
+                              first.POSITIONAL_OR_KEYWORD), name
+        for p in params[1:]:
+            assert p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY,
+                              p.VAR_KEYWORD), (
+                f"{name}: param {p.name} not keyword-addressable")
