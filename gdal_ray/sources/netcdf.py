@@ -94,28 +94,40 @@ def _read_atts(buf: bytes, pos: int) -> tuple[dict, int]:
 
 
 def write_netcdf(path: str, variables: dict, dims: dict,
-                 attrs: dict | None = None, version: int = 2) -> None:
-    """Write fixed variables to a classic netCDF file.
+                 attrs: dict | None = None, version: int = 2,
+                 record_dim: str | None = None) -> None:
+    """Write variables to a classic netCDF file.
 
     ``dims``: ordered {name: length}; ``variables``: {name: (dim_names
     tuple, ndarray)} — arrays must match their dims and use a classic-
     representable dtype (int8/16/32, float32/64).  ``version`` 1 =
-    CDF-1 (32-bit offsets), 2 = CDF-2 (64-bit)."""
+    CDF-1 (32-bit offsets), 2 = CDF-2 (64-bit).  ``record_dim`` names
+    the unlimited dimension: it is stored with length 0, its actual
+    length becomes numrecs, and every variable whose FIRST dim is the
+    record dim writes into the interleaved record section (per-record
+    chunks padded to 4 bytes unless there is exactly one record
+    variable — the classic-format special case)."""
     if version not in (1, 2):
         raise ValueError("classic netCDF is version 1 or 2")
     dim_names = list(dims)
+    numrecs = 0
+    if record_dim is not None:
+        if record_dim not in dims:
+            raise ValueError(f"record_dim {record_dim!r} not in dims")
+        numrecs = int(dims[record_dim])
     header = bytearray(b"CDF" + bytes([version]))
-    header += struct.pack(">I", 0)  # numrecs (no record vars)
+    header += struct.pack(">I", numrecs)
     header += struct.pack(">II", _NC_DIMENSION, len(dims))
     for dname in dim_names:
-        header += _name(dname) + struct.pack(">I", int(dims[dname]))
+        ln = 0 if dname == record_dim else int(dims[dname])
+        header += _name(dname) + struct.pack(">I", ln)
     a = attrs or {}
     header += struct.pack(">II", _NC_ATTRIBUTE if a else 0, len(a))
     for k, v in a.items():
         header += _att_bytes(k, v)
     # variable list: sizes depend on begin width
     header += struct.pack(">II", _NC_VARIABLE, len(variables))
-    var_entries = []
+    fixed_entries, rec_entries = [], []
     for vname, (vdims, arr) in variables.items():
         arr = np.asarray(arr)
         if str(arr.dtype) not in _NC_OF_NP:
@@ -124,27 +136,61 @@ def write_netcdf(path: str, variables: dict, dims: dict,
                 "classic netCDF (int64 is not; cast first)")
         if tuple(arr.shape) != tuple(int(dims[d]) for d in vdims):
             raise ValueError(f"{vname}: shape {arr.shape} != dims {vdims}")
+        is_rec = bool(vdims) and vdims[0] == record_dim \
+            and record_dim is not None
+        if record_dim is not None and record_dim in vdims[1:]:
+            raise ValueError(
+                f"{vname}: the record dim must be the FIRST dimension")
         nct = _NC_OF_NP[str(arr.dtype)]
         sz = np.dtype(_NC_TYPES[nct]).itemsize
-        vsize = arr.size * sz
-        vsize += (-vsize) % 4
+        if is_rec:
+            per_rec = int(np.prod(arr.shape[1:], dtype=np.int64)) * sz
+            vsize = per_rec + ((-per_rec) % 4)
+        else:
+            vsize = arr.size * sz
+            vsize += (-vsize) % 4
         ent = _name(vname) + struct.pack(">I", len(vdims))
         for d in vdims:
             ent += struct.pack(">I", dim_names.index(d))
         ent += struct.pack(">II", 0, 0)  # empty vatt list
         ent += struct.pack(">I", nct) + struct.pack(">I", vsize)
-        var_entries.append((ent, arr, nct))
+        (rec_entries if is_rec else fixed_entries).append(
+            (vname, ent, arr, nct, vsize))
     begin_w = 4 if version == 1 else 8
-    hdr_len = len(header) + sum(len(e) + begin_w for e, _, _ in var_entries)
+    n_ent = len(fixed_entries) + len(rec_entries)
+    hdr_len = len(header) + sum(
+        len(e[1]) + begin_w for e in fixed_entries + rec_entries)
+    del n_ent
     offset = hdr_len
     body = bytearray()
-    for ent, arr, nct in var_entries:
-        header += ent
-        header += struct.pack(">I" if version == 1 else ">Q", offset)
+    ordered = []
+    for vname, ent, arr, nct, vsize in fixed_entries:
+        ordered.append((ent, offset))
         raw = _pad4(np.ascontiguousarray(arr).astype(
             _NC_TYPES[nct]).tobytes())
         body += raw
         offset += len(raw)
+    # record section: per-record interleave in variable order
+    if rec_entries:
+        single = len(rec_entries) == 1
+        chunks = []
+        for vname, ent, arr, nct, vsize in rec_entries:
+            per_rec_raw = np.ascontiguousarray(arr).astype(
+                _NC_TYPES[nct]).reshape(numrecs, -1)
+            chunks.append((per_rec_raw, vsize))
+            ordered.append((ent, offset))
+            offset += (per_rec_raw[0].nbytes if single else vsize)
+        for r in range(numrecs):
+            for per_rec_raw, vsize in chunks:
+                raw = per_rec_raw[r].tobytes()
+                if not single:
+                    raw = raw + b"\x00" * (vsize - len(raw))
+                body += raw
+    # emit entries in the original dict order (fixed then record order
+    # matches the offsets recorded above)
+    for ent, off in ordered:
+        header += ent
+        header += struct.pack(">I" if version == 1 else ">Q", off)
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
         fh.write(header)
@@ -160,18 +206,20 @@ def netcdf_info(path: str) -> dict:
     if head[:3] != b"CDF" or head[3] not in (1, 2):
         raise ValueError(f"{path}: not a classic netCDF file")
     version = head[3]
-    pos = 8  # skip numrecs
+    (numrecs,) = struct.unpack_from(">I", head, 4)
+    pos = 8
     tag, ndims = struct.unpack_from(">II", head, pos)
     pos += 8
     dims = []
+    record_dim = None
     if tag == _NC_DIMENSION:
         for _ in range(ndims):
             name, pos = _read_name(head, pos)
             (ln,) = struct.unpack_from(">I", head, pos)
             pos += 4
-            if ln == 0:
-                raise ValueError(
-                    "record (unlimited) dimensions are not supported")
+            if ln == 0:  # the unlimited dimension: actual len = numrecs
+                record_dim = name
+                ln = numrecs
             dims.append((name, ln))
     attrs, pos = _read_atts(head, pos)
     tag, nvars = struct.unpack_from(">II", head, pos)
@@ -197,11 +245,22 @@ def netcdf_info(path: str) -> dict:
             "shape": tuple(dims[i][1] for i in dimids),
             "dtype": str(np.dtype(_NC_TYPES[nct]).newbyteorder("=")),
             "nc_type": nct,
+            "vsize": _vsize,
             "begin": begin,
             "attrs": vatts,
+            "record": bool(dimids) and record_dim is not None
+            and dims[dimids[0]][0] == record_dim,
         }
+    rec_vars = [v for v in variables.values() if v["record"]]
+    if len(rec_vars) == 1:
+        per = int(np.prod(rec_vars[0]["shape"][1:], dtype=np.int64)
+                  ) * np.dtype(_NC_TYPES[rec_vars[0]["nc_type"]]).itemsize
+        recsize = per  # single-record-var special case: unpadded
+    else:
+        recsize = sum(v["vsize"] for v in rec_vars)
     return {"version": version, "dims": dict(dims), "attrs": attrs,
-            "variables": variables}
+            "variables": variables, "record_dim": record_dim,
+            "numrecs": numrecs, "recsize": recsize}
 
 
 def read_netcdf(path: str, var: str, *, slab: int = 0,
@@ -231,6 +290,9 @@ def read_netcdf(path: str, var: str, *, slab: int = 0,
     begin = v["begin"]
     n_slabs = -(-shape[0] // slab)
 
+    is_record = v["record"]
+    recsize = info["recsize"]
+
     def fetch(t: pa.Table) -> pa.Table:
         rows = []
         with open(path, "rb") as fh:
@@ -238,10 +300,24 @@ def read_netcdf(path: str, var: str, *, slab: int = 0,
                 i = int(i)
                 r0 = i * slab
                 nrows = min(slab, shape[0] - r0)
-                fh.seek(begin + r0 * row_bytes)
-                raw = fh.read(nrows * row_bytes)
-                arr = np.frombuffer(raw, dt_be).reshape(
-                    (nrows,) + shape[1:]).astype(spec.dtype)
+                if is_record and recsize != row_bytes:
+                    # interleaved record section: this var's chunk of
+                    # record r sits at begin + r*recsize
+                    fh.seek(begin + r0 * recsize)
+                    span = fh.read((nrows - 1) * recsize + row_bytes)
+                    parts = [
+                        np.frombuffer(span, dt_be,
+                                      row_bytes // np.dtype(dt_be).itemsize,
+                                      r * recsize)
+                        for r in range(nrows)
+                    ]
+                    arr = np.stack(parts).reshape(
+                        (nrows,) + shape[1:]).astype(spec.dtype)
+                else:
+                    fh.seek(begin + r0 * row_bytes)
+                    raw = fh.read(nrows * row_bytes)
+                    arr = np.frombuffer(raw, dt_be).reshape(
+                        (nrows,) + shape[1:]).astype(spec.dtype)
                 idx = (i,) + (0,) * (len(shape) - 1)
                 rows.append(_row(idx, np.ascontiguousarray(arr)))
         return _emit(rows)

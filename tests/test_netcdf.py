@@ -113,3 +113,75 @@ def test_multi_variable_and_errors(tmp_path):
         with open(p, "wb") as fh:
             fh.write(b"HDF\x89" + b"\x00" * 64)
         netcdf_info(p)
+
+
+def test_record_dimension_single_var(ray_session, tmp_path):
+    """Unlimited dim: length 0 in the dim list, numrecs in the header;
+    a single record variable is unpadded (the classic special case)."""
+    path = str(tmp_path / "rec1.nc")
+    a = np.arange(7 * 3 * 5, dtype=np.int16).reshape(7, 3, 5)
+    write_netcdf(path, {"t": (("time", "y", "x"), a)},
+                 {"time": 7, "y": 3, "x": 5}, record_dim="time")
+    with open(path, "rb") as fh:
+        head = fh.read(8)
+    assert struct.unpack(">I", head[4:8])[0] == 7  # numrecs
+    info = netcdf_info(path)
+    assert info["record_dim"] == "time" and info["numrecs"] == 7
+    assert info["variables"]["t"]["record"]
+    assert info["variables"]["t"]["shape"] == (7, 3, 5)
+    assert info["recsize"] == 3 * 5 * 2  # unpadded single-var case
+    ds, spec = read_netcdf(path, "t", slab=3)
+    rows = ds.to_pandas()
+    rebuilt = np.zeros((7, 3, 5), np.int16)
+    for c, s, d in zip(rows["chunk"], rows["shape"], rows["data"]):
+        rebuilt[c[0] * 3:c[0] * 3 + s[0]] = np.frombuffer(
+            d, np.int16).reshape(tuple(s))
+    assert np.array_equal(rebuilt, a)
+
+
+def test_record_dimension_interleaved_vars(ray_session, tmp_path):
+    """Two record variables interleave per record, each chunk padded
+    to 4; both read back exactly through the strided path."""
+    path = str(tmp_path / "rec2.nc")
+    a = np.arange(6 * 3, dtype=np.int16).reshape(6, 3)  # 6 B -> pad 8
+    b = (np.arange(6 * 2) * 1.5).astype(np.float64).reshape(6, 2)
+    write_netcdf(path, {"a": (("time", "p"), a), "b": (("time", "q"), b)},
+                 {"time": 6, "p": 3, "q": 2}, record_dim="time")
+    info = netcdf_info(path)
+    assert info["recsize"] == 8 + 16  # padded int16x3 + float64x2
+    assert info["variables"]["a"]["record"]
+    assert info["variables"]["b"]["record"]
+    # raw layout anchor: record 0 of b follows the padded record 0 of a
+    va, vb = info["variables"]["a"], info["variables"]["b"]
+    assert vb["begin"] == va["begin"] + 8
+    for name, src, dt in (("a", a, np.int16), ("b", b, np.float64)):
+        ds, spec = read_netcdf(path, name, slab=4)
+        rows = ds.to_pandas()
+        rebuilt = np.zeros(src.shape, dt)
+        for c, s, d in zip(rows["chunk"], rows["shape"], rows["data"]):
+            rebuilt[c[0] * 4:c[0] * 4 + s[0]] = np.frombuffer(
+                d, dt).reshape(tuple(s))
+        assert np.array_equal(rebuilt, src), name
+    # fixed + record vars coexist
+    path2 = str(tmp_path / "mix.nc")
+    fix = np.arange(4, dtype=np.int32)
+    write_netcdf(path2, {"f": (("s",), fix), "r": (("time", "s"),
+                 np.arange(8, dtype=np.int32).reshape(2, 4))},
+                 {"s": 4, "time": 2}, record_dim="time")
+    i2 = netcdf_info(path2)
+    assert not i2["variables"]["f"]["record"]
+    assert i2["variables"]["r"]["record"]
+    dsf, _ = read_netcdf(path2, "f", slab=4)
+    assert np.frombuffer(dsf.to_pandas()["data"][0],
+                         np.int32).tolist() == [0, 1, 2, 3]
+    dsr, _ = read_netcdf(path2, "r", slab=2)
+    assert np.frombuffer(dsr.to_pandas()["data"][0],
+                         np.int32).tolist() == list(range(8))
+
+
+def test_record_dim_must_be_first(tmp_path):
+    with pytest.raises(ValueError, match="FIRST"):
+        write_netcdf(str(tmp_path / "x.nc"),
+                     {"v": (("y", "time"),
+                            np.zeros((2, 3), np.int32))},
+                     {"y": 2, "time": 3}, record_dim="time")
