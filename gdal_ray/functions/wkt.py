@@ -59,6 +59,19 @@ def to_wkt(geom) -> str:
         return f"GEOMETRYCOLLECTION{dim} ({', '.join(to_wkt(g) for g in val)})"
     if base == "circularstring":
         return f"CIRCULARSTRING{dim} ({_coords(val)})"
+    if base == "compoundcurve":
+        # members: bare parens = LineString, tagged = CircularString
+        parts = []
+        for mk, mv in val:
+            parts.append(f"({_coords(mv)})" if mk == "linestring"
+                         else to_wkt((mk, mv)))
+        return f"COMPOUNDCURVE{dim} ({', '.join(parts)})"
+    if base == "curvepolygon":
+        parts = []
+        for mk, mv in val:
+            parts.append(f"({_coords(mv)})" if mk == "linestring"
+                         else to_wkt((mk, mv)))
+        return f"CURVEPOLYGON{dim} ({', '.join(parts)})"
     raise ValueError(f"to_wkt: unsupported kind {kind!r}")
 
 
@@ -228,6 +241,28 @@ def _parse(sc: _Scanner):
             sc.expect(",")
         sfx, _ = _dim_suffix(dim, polys[0][0].shape[1])
         return (tag.lower() + sfx, polys)
+    if tag in ("COMPOUNDCURVE", "CURVEPOLYGON"):
+        # members: a bare paren group is a LineString segment/ring; a
+        # tagged member (CIRCULARSTRING / COMPOUNDCURVE) parses fully
+        sc.expect("(")
+        members = []
+        while True:
+            if sc.peek() == "(":
+                members.append(("linestring", _scan_coords(sc)))
+            else:
+                members.append(_parse(sc))
+            if sc.peek() == ")":
+                sc.expect(")")
+                break
+            sc.expect(",")
+    # validate member kinds per the WKB layer's rules
+        allowed = (("linestring", "circularstring")
+                   if tag == "COMPOUNDCURVE"
+                   else ("linestring", "circularstring", "compoundcurve"))
+        for mk, _ in members:
+            if mk not in allowed:
+                raise ValueError(f"{tag}: member {mk!r} not allowed")
+        return (tag.lower(), members)
     if tag == "GEOMETRYCOLLECTION":
         sc.expect("(")
         members = []

@@ -93,3 +93,48 @@ def test_empty_and_errors():
 def test_whitespace_and_case_insensitive():
     assert parse_wkt("  point(1   2)  ") == ("point", (1.0, 2.0))
     assert parse_wkt("PoLyGoN((0 0,1 0,1 1,0 0))")[0] == "polygon"
+
+
+def test_curve_wkt_forms():
+    """COMPOUNDCURVE / CURVEPOLYGON text grammar: bare paren groups are
+    LineString members, tagged members parse fully (OGR convention)."""
+    w = "COMPOUNDCURVE ((0 0, 2 0), CIRCULARSTRING (2 0, 3 1, 4 0))"
+    k, members = parse_wkt(w)
+    assert k == "compoundcurve"
+    assert [m[0] for m in members] == ["linestring", "circularstring"]
+    assert to_wkt((k, members)) == w
+    w2 = "CURVEPOLYGON (CIRCULARSTRING (-1 0, 0 1, 1 0, 0 -1, -1 0))"
+    k, rings = parse_wkt(w2)
+    assert k == "curvepolygon" and rings[0][0] == "circularstring"
+    assert to_wkt((k, rings)) == w2
+    # nested compound ring inside a curve polygon
+    w3 = ("CURVEPOLYGON (COMPOUNDCURVE ((0 0, 4 0), "
+          "CIRCULARSTRING (4 0, 2 2, 0 0)))")
+    k, rings = parse_wkt(w3)
+    assert rings[0][0] == "compoundcurve"
+    assert to_wkt((k, rings)) == w3
+    with pytest.raises(ValueError, match="not allowed"):
+        parse_wkt("COMPOUNDCURVE (COMPOUNDCURVE ((0 0, 1 1)))")
+
+
+def test_curvepolygon_compound_ring_linearizes():
+    """The linearizer accepts CurvePolygon rings that are
+    CompoundCurves (straight base + arc cap) — ring closes and its
+    area approaches the analytic half-disc + nothing."""
+    import math
+
+    from gdal_ray.functions.curves import linearize_curve
+    from gdal_ray.functions.wkt import parse_wkt
+
+    R = 2.0
+    w = ("CURVEPOLYGON (COMPOUNDCURVE ((-2 0, 2 0), "
+         "CIRCULARSTRING (2 0, 0 2, -2 0)))")
+    kind, rings = linearize_curve(parse_wkt(w))
+    assert kind == "polygon"
+    r = rings[0]
+    assert np.array_equal(r[0], r[-1])  # closed
+    n = len(r)
+    a2 = math.fsum(r[i, 0] * r[(i + 1) % n, 1]
+                   - r[(i + 1) % n, 0] * r[i, 1] for i in range(n))
+    half_disc = 0.5 * np.pi * R * R
+    assert abs(abs(a2) * 0.5 - half_disc) < 0.01 * half_disc
