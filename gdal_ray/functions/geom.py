@@ -71,6 +71,28 @@ def wkb_point_z(x: float, y: float, z: float) -> bytes:
     return struct.pack("<BIddd", 1, WKB_POINT + 1000, x, y, z)
 
 
+def wkb_point_m(x: float, y: float, m: float) -> bytes:
+    return struct.pack("<BIddd", 1, WKB_POINT + 2000, x, y, m)
+
+
+def wkb_point_zm(x: float, y: float, z: float, m: float) -> bytes:
+    return struct.pack("<BIdddd", 1, WKB_POINT + 3000, x, y, z, m)
+
+
+def wkb_linestring_m(pts: np.ndarray) -> bytes:
+    pts = np.asarray(pts, dtype=np.float64)
+    if pts.shape[1] != 3:
+        raise ValueError("wkb_linestring_m: points must be (N, 3)")
+    return struct.pack("<BI", 1, WKB_LINESTRING + 2000) + _pack_ring(pts)
+
+
+def wkb_linestring_zm(pts: np.ndarray) -> bytes:
+    pts = np.asarray(pts, dtype=np.float64)
+    if pts.shape[1] != 4:
+        raise ValueError("wkb_linestring_zm: points must be (N, 4)")
+    return struct.pack("<BI", 1, WKB_LINESTRING + 3000) + _pack_ring(pts)
+
+
 def wkb_linestring_z(pts: np.ndarray) -> bytes:
     pts = np.asarray(pts, dtype=np.float64)
     if pts.shape[1] != 3:

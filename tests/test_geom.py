@@ -295,3 +295,26 @@ def test_surface_family_round_trip():
         parse_wkb(bad)
     with pytest.raises(ValueError, match="need 3 distinct"):
         wkb_triangle([[0, 0], [1, 0], [1, 1], [0, 1]])
+
+
+def test_m_and_zm_emitters():
+    from gdal_ray.functions.geom import (
+        flatten_to_2d,
+        parse_wkb,
+        wkb_linestring_m,
+        wkb_linestring_zm,
+        wkb_point,
+        wkb_point_m,
+        wkb_point_zm,
+    )
+
+    assert parse_wkb(wkb_point_m(1.0, 2.0, 9.0)) == ("point_m",
+                                                     (1.0, 2.0, 9.0))
+    assert parse_wkb(wkb_point_zm(1.0, 2.0, 3.0, 4.0)) == (
+        "point_zm", (1.0, 2.0, 3.0, 4.0))
+    k, a = parse_wkb(wkb_linestring_m([[0, 0, 5], [1, 1, 6]]))
+    assert k == "linestring_m" and a.shape == (2, 3)
+    k, a = parse_wkb(wkb_linestring_zm([[0, 0, 5, 7], [1, 1, 6, 8]]))
+    assert k == "linestring_zm" and a.shape == (2, 4)
+    assert flatten_to_2d(wkb_point_zm(1.0, 2.0, 3.0, 4.0)) == \
+        wkb_point(1.0, 2.0)
