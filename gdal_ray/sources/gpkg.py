@@ -307,6 +307,15 @@ def write_gpkg_tiles(ds, path: str, table: str = "tiles",
     exists = os.path.exists(path)
     work = path if exists else path + ".tmp"
     con = sqlite3.connect(work)
+    if exists:
+        (dup,) = con.execute(
+            "SELECT COUNT(*) FROM sqlite_master WHERE type='table' "
+            "AND name=?", (table,)).fetchone()
+        if dup:
+            con.close()
+            raise ValueError(
+                f"{path}: tile table {table!r} already exists — GPKG "
+                "tile pyramids are write-once (pass a new table name)")
     _init_gpkg(con)
     _ensure_srs(con, srs_id)
     con.execute(

@@ -279,3 +279,13 @@ def test_attribute_filter_pushdown(ray_session, tmp_path):
     both = GP.read_gpkg(path, where="k >= 10",
                         bbox=(0.0, 0.0, 20.0, 20.0)).to_pandas()
     assert sorted(both["k"]) == list(range(10, 21))
+
+
+def test_gpkg_tiles_write_once(ray_session, tmp_path):
+    path = str(tmp_path / "dup.gpkg")
+    GP.write_gpkg_tiles(_tile_rows(zs=(8,)), path)
+    with pytest.raises(ValueError, match="already exists"):
+        GP.write_gpkg_tiles(_tile_rows(zs=(8,)), path)
+    # a different table name appends fine
+    GP.write_gpkg_tiles(_tile_rows(zs=(9,)), path, table="tiles2")
+    assert GP.read_gpkg_tiles(path, table="tiles2").count() == 6
