@@ -147,6 +147,10 @@ def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from . import jpegc
 
         return jpegc.decode_jpeg(data)
+    if fmt == "webp":
+        from . import webp
+
+        return np.ascontiguousarray(webp.decode_webp(data)[:, :, :3])
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -162,11 +166,15 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
         from . import jpegc
 
         return jpegc.encode_jpeg(img, JPEG_QUALITY)
+    if fmt == "webp":
+        from . import webp
+
+        return webp.encode_webp(img)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
 def is_lossless(fmt: str) -> bool:
-    return fmt in ("raw", "png")
+    return fmt in ("raw", "png", "webp")
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

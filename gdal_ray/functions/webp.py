@@ -1,0 +1,876 @@
+"""WebP lossless (VP8L) codec — from-scratch, spec-derived.
+
+The reference's WebP driver (``frmts/webp/webpdataset.cpp:893`` — the
+``sConfig.lossless`` path, ``webpdrivercore.cpp:32`` VP8L signature
+sniff) delegates to libwebp; this module implements the public "WebP
+Lossless Bitstream Specification" directly so the engine can carry
+``fmt='webp'`` chips without external libraries.
+
+Scope (encoder AND decoder, symmetric):
+- RIFF/WEBP container with a single VP8L chunk.
+- LSB-first bitstream, canonical (DEFLATE-style) prefix codes in both
+  the simple (1-2 symbol) and full (code-length-coded) serializations.
+- The 5-tree entropy image (green+length+cache / red / blue / alpha /
+  distance), LZ77 backward references with the 120-entry close-neighbor
+  distance mapping, and the optional color cache.
+- The subtract-green transform.
+
+Not implemented (decode raises, matching the engine's declared-guard
+convention): the predictor / cross-color / color-indexing transforms
+and meta prefix codes — none are ever emitted by this encoder, and no
+external WebP files exist in this environment to decode.
+
+Interop caveat: with no libwebp in the container the bit-exactness of
+this implementation against other decoders is validated by raw-bit
+anchor tests (header fields, simple-code layout) plus round trips, not
+by a third-party golden.
+"""
+
+from __future__ import annotations
+
+import heapq
+import struct
+
+import numpy as np
+
+# Order in which code-length-code lengths are stored (spec §"Prefix
+# code serialization"; same table as libwebp kCodeLengthCodeOrder).
+_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+_NUM_LITERALS = 256
+_NUM_LENGTH_CODES = 24
+_NUM_DISTANCE_CODES = 40
+_MAX_CODE_LEN = 15  # main trees
+_MAX_CL_LEN = 7     # code-length tree (3-bit length fields)
+_MAX_LZ_LEN = 4096  # longest length expressible by length code 23
+
+# 120 close-neighbor (dx, dy) offsets for distance codes 1..120
+# (spec §"Decoding of distances"). dist = dy*xsize + dx, clamped to 1.
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (7, 1), (-7, 1), (2, 7), (-2, 7),
+    (7, 2), (-7, 2), (4, 6), (-4, 6), (6, 4), (-6, 4), (5, 5), (-5, 5),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+_CACHE_MUL = 0x1E35A7BD  # color-cache hash multiplier (spec)
+
+
+# ---------------------------------------------------------------------------
+# LSB-first bit I/O
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    """Collects (value, nbits) emissions; vectorized LSB-first pack.
+
+    Scalar ``put`` calls buffer into Python lists; ``put_arrays`` takes
+    whole numpy emission arrays zero-loop (the vectorized literal path
+    emits one (n*4,) array for the entire pixel stream)."""
+
+    def __init__(self):
+        self._pv: list = []   # pending scalar values
+        self._pb: list = []   # pending scalar nbits
+        self._segs: list = []  # ordered (vals uint64, nbits int64) arrays
+
+    def _flush_pending(self) -> None:
+        if self._pv:
+            self._segs.append((np.asarray(self._pv, dtype=np.uint64),
+                               np.asarray(self._pb, dtype=np.int64)))
+            self._pv, self._pb = [], []
+
+    def put(self, value: int, nbits: int) -> None:
+        self._pv.append(value)
+        self._pb.append(nbits)
+
+    def put_arrays(self, vals: np.ndarray, nbits: np.ndarray) -> None:
+        self._flush_pending()
+        self._segs.append((vals.astype(np.uint64, copy=False),
+                           nbits.astype(np.int64, copy=False)))
+
+    def tobytes(self) -> bytes:
+        self._flush_pending()
+        if not self._segs:
+            return b""
+        vals = np.concatenate([s[0] for s in self._segs])
+        nb = np.concatenate([s[1] for s in self._segs])
+        total = int(nb.sum())
+        if total == 0:
+            return b""
+        out = np.zeros(total, dtype=np.uint8)
+        ends = np.cumsum(nb)
+        starts = ends - nb
+        # chunk so the (M, maxb) expansion stays small
+        step = 1 << 17
+        for lo in range(0, len(nb), step):
+            hi = min(lo + step, len(nb))
+            v, b, s = vals[lo:hi], nb[lo:hi], starts[lo:hi]
+            maxb = int(b.max()) if len(b) else 0
+            if maxb == 0:
+                continue
+            k = np.arange(maxb, dtype=np.uint64)
+            mat = ((v[:, None] >> k[None, :]) & 1).astype(np.uint8)
+            pos = s[:, None] + np.arange(maxb)[None, :]
+            mask = np.arange(maxb)[None, :] < b[:, None]
+            out[pos[mask]] = mat[mask]
+        return np.packbits(out, bitorder="little").tobytes()
+
+
+class _BitReader:
+    """LSB-first reader over a byte buffer (8-byte window peeks)."""
+
+    def __init__(self, data: bytes):
+        self.data = bytes(data) + b"\x00" * 8
+        self.limit = len(data) * 8
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        p = self.pos
+        if p + n > self.limit:
+            raise ValueError("VP8L: bitstream truncated")
+        self.pos = p + n
+        word = int.from_bytes(self.data[p >> 3:(p >> 3) + 8], "little")
+        return (word >> (p & 7)) & ((1 << n) - 1)
+
+    def peek(self, n: int) -> int:
+        p = self.pos
+        word = int.from_bytes(self.data[p >> 3:(p >> 3) + 8], "little")
+        return (word >> (p & 7)) & ((1 << n) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Canonical prefix codes
+# ---------------------------------------------------------------------------
+
+def _rev_bits(code: int, length: int) -> int:
+    r = 0
+    for _ in range(length):
+        r = (r << 1) | (code & 1)
+        code >>= 1
+    return r
+
+
+def _canonical_codes(lengths: np.ndarray) -> np.ndarray:
+    """DEFLATE canonical code assignment (increasing within a length)."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    maxlen = int(lengths.max()) if lengths.size else 0
+    bl_count = np.bincount(lengths, minlength=maxlen + 1)
+    bl_count[0] = 0
+    codes = np.zeros(len(lengths), dtype=np.int64)
+    next_code = 0
+    first = np.zeros(maxlen + 1, dtype=np.int64)
+    for l in range(1, maxlen + 1):
+        next_code = (next_code + int(bl_count[l - 1])) << 1
+        first[l] = next_code
+    counters = first.copy()
+    for sym in range(len(lengths)):
+        l = int(lengths[sym])
+        if l:
+            codes[sym] = counters[l]
+            counters[l] += 1
+    return codes
+
+
+def _plain_huffman_lengths(freqs: np.ndarray) -> np.ndarray:
+    """Unlimited Huffman code lengths for positive ``freqs`` (n >= 2)."""
+    n = len(freqs)
+    heap = [(int(f), i, i) for i, f in enumerate(freqs)]
+    heapq.heapify(heap)
+    parent = {}
+    nxt = n
+    while len(heap) > 1:
+        fa, _, a = heapq.heappop(heap)
+        fb, _, b = heapq.heappop(heap)
+        parent[a] = nxt
+        parent[b] = nxt
+        heapq.heappush(heap, (fa + fb, nxt, nxt))
+        nxt += 1
+    lengths = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        d, node = 0, i
+        while node in parent:
+            node = parent[node]
+            d += 1
+        lengths[i] = max(d, 1)
+    return lengths
+
+
+def _limited_lengths(freqs: np.ndarray, maxlen: int) -> np.ndarray:
+    """Length-limited code lengths (zlib-style Kraft repair)."""
+    lengths = _plain_huffman_lengths(freqs)
+    if lengths.max() <= maxlen:
+        return lengths
+    lengths = np.minimum(lengths, maxlen)
+    count = np.bincount(lengths, minlength=maxlen + 1).astype(np.int64)
+    count[0] = 0
+    kraft = int(np.sum(count[1:] * (1 << (maxlen - np.arange(1, maxlen + 1)))))
+    full = 1 << maxlen
+    # demote (lengthen) from the longest length < maxlen: smallest steps
+    while kraft > full:
+        l = maxlen - 1
+        while l > 0 and count[l] == 0:
+            l -= 1
+        if l == 0:
+            raise AssertionError("VP8L: Kraft repair failed")
+        count[l] -= 1
+        count[l + 1] += 1
+        kraft -= 1 << (maxlen - l - 1)
+    # promote (shorten) to land exactly on a complete code
+    while kraft < full:
+        slack = full - kraft
+        l = maxlen
+        while l > 1 and ((1 << (maxlen - l + 1)) - (1 << (maxlen - l)) > slack
+                         or count[l] == 0):
+            l -= 1
+        if count[l] == 0:
+            raise AssertionError("VP8L: Kraft repair failed")
+        count[l] -= 1
+        count[l - 1] += 1
+        kraft += 1 << (maxlen - l)
+    # redistribute: most frequent symbols get the shortest lengths
+    order = np.lexsort((np.arange(len(freqs)), -np.asarray(freqs)))
+    out = np.zeros(len(freqs), dtype=np.int64)
+    pos = 0
+    for l in range(1, maxlen + 1):
+        for _ in range(int(count[l])):
+            out[order[pos]] = l
+            pos += 1
+    assert pos == len(freqs)
+    return out
+
+
+class _PrefixCode:
+    """Decoder side: single-level LUT over ``maxlen`` peeked bits."""
+
+    __slots__ = ("lut", "maxlen", "single")
+
+    def __init__(self, lengths: np.ndarray | None, single: int | None = None):
+        self.single = single
+        if single is not None:
+            self.lut = None
+            self.maxlen = 0
+            return
+        lengths = np.asarray(lengths, dtype=np.int64)
+        used = np.nonzero(lengths)[0]
+        if used.size == 0:
+            raise ValueError("VP8L: empty prefix code")
+        maxlen = int(lengths[used].max())
+        if maxlen > _MAX_CODE_LEN:
+            raise ValueError("VP8L: code length > 15")
+        kraft = int(np.sum(1 << (maxlen - lengths[used])))
+        if kraft != (1 << maxlen) and used.size > 1:
+            raise ValueError("VP8L: invalid (incomplete/oversubscribed) code")
+        self.maxlen = maxlen
+        codes = _canonical_codes(lengths)
+        lut = np.zeros(1 << maxlen, dtype=np.int64)
+        lut[:] = -1
+        for sym in used:
+            l = int(lengths[sym])
+            rev = _rev_bits(int(codes[sym]), l)
+            fill = np.arange(1 << (maxlen - l), dtype=np.int64)
+            lut[rev + (fill << l)] = (int(sym) << 4) | l
+        if used.size == 1:
+            # single symbol serialized with length 1: bit 0 selects it
+            pass
+        self.lut = lut
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        e = int(self.lut[br.peek(self.maxlen)])
+        if e < 0:
+            raise ValueError("VP8L: invalid prefix code word")
+        br.pos += e & 15
+        return e >> 4
+
+
+class _EncCode:
+    """Encoder side: per-symbol (reversed code, length) LUTs."""
+
+    __slots__ = ("codes", "lengths", "simple_syms")
+
+    def __init__(self, lengths: np.ndarray | None,
+                 simple_syms: list | None = None):
+        self.simple_syms = simple_syms
+        if simple_syms is not None:
+            n = max(simple_syms) + 1
+            self.codes = np.zeros(n, dtype=np.int64)
+            self.lengths = np.zeros(n, dtype=np.int64)
+            if len(simple_syms) == 2:
+                self.codes[simple_syms[0]] = 0
+                self.codes[simple_syms[1]] = 1
+                self.lengths[simple_syms[0]] = 1
+                self.lengths[simple_syms[1]] = 1
+            # 1 symbol: zero bits — codes/lengths stay 0
+            return
+        lengths = np.asarray(lengths, dtype=np.int64)
+        canon = _canonical_codes(lengths)
+        rev = np.zeros(len(lengths), dtype=np.int64)
+        for s in np.nonzero(lengths)[0]:
+            rev[s] = _rev_bits(int(canon[s]), int(lengths[s]))
+        self.codes = rev
+        self.lengths = lengths
+
+
+# ---------------------------------------------------------------------------
+# Prefix-code (de)serialization
+# ---------------------------------------------------------------------------
+
+def _emit_prefix_code(bw: _BitWriter, hist: np.ndarray,
+                      alphabet: int) -> _EncCode:
+    """Serialize one prefix code for ``hist`` and return the emit LUT."""
+    used = np.nonzero(hist)[0]
+    if used.size == 0:
+        used = np.array([0])  # never-read tree: 1-symbol placeholder
+    if used.size <= 2 and int(used.max()) <= 255:
+        # simple form
+        bw.put(1, 1)                      # simple
+        bw.put(used.size - 1, 1)          # num_symbols - 1
+        s0 = int(used[0])
+        first8 = 1 if s0 > 1 else 0
+        bw.put(first8, 1)
+        bw.put(s0, 8 if first8 else 1)
+        if used.size == 2:
+            bw.put(int(used[1]), 8)
+        return _EncCode(None, simple_syms=[int(s) for s in used])
+
+    if used.size == 1:
+        lengths = np.zeros(alphabet, dtype=np.int64)
+        lengths[used[0]] = 1
+    elif used.size == 2:
+        lengths = np.zeros(alphabet, dtype=np.int64)
+        lengths[used] = 1
+    else:
+        lengths = np.zeros(alphabet, dtype=np.int64)
+        lengths[used] = _limited_lengths(hist[used], _MAX_CODE_LEN)
+
+    # RLE-tokenize the length array (DEFLATE-style 16/17/18 repeats)
+    tokens: list[tuple[int, int, int]] = []  # (symbol, extra_val, extra_bits)
+    i, n = 0, alphabet
+    prev_nz = -1
+    while i < n:
+        l = int(lengths[i])
+        if l == 0:
+            j = i
+            while j < n and lengths[j] == 0:
+                j += 1
+            run = j - i
+            while run >= 11:
+                r = min(run, 138)
+                tokens.append((18, r - 11, 7))
+                run -= r
+            while run >= 3:
+                r = min(run, 10)
+                tokens.append((17, r - 3, 3))
+                run -= r
+            tokens.extend((0, 0, 0) for _ in range(run))
+            i = j
+        else:
+            tokens.append((l, 0, 0))
+            prev_nz = l
+            i += 1
+            run = 0
+            while i + run < n and lengths[i + run] == prev_nz:
+                run += 1
+            emitted = 0
+            while run - emitted >= 3:
+                r = min(run - emitted, 6)
+                tokens.append((16, r - 3, 2))
+                emitted += r
+            i += emitted  # leftover (<3) re-enter the loop as literals
+
+    cl_hist = np.zeros(19, dtype=np.int64)
+    for sym, _, _ in tokens:
+        cl_hist[sym] += 1
+    cl_used = np.nonzero(cl_hist)[0]
+    cl_lengths = np.zeros(19, dtype=np.int64)
+    if cl_used.size == 1:
+        cl_lengths[cl_used[0]] = 1
+    elif cl_used.size == 2:
+        cl_lengths[cl_used] = 1
+    else:
+        cl_lengths[cl_used] = _limited_lengths(cl_hist[cl_used], _MAX_CL_LEN)
+
+    # trim trailing zeros in _ORDER ordering (min 4 entries)
+    num_cl = 19
+    while num_cl > 4 and cl_lengths[_ORDER[num_cl - 1]] == 0:
+        num_cl -= 1
+
+    bw.put(0, 1)            # full form
+    bw.put(num_cl - 4, 4)
+    for k in range(num_cl):
+        bw.put(int(cl_lengths[_ORDER[k]]), 3)
+    bw.put(0, 1)            # use_max_symbol = 0: full token coverage
+
+    cl_code = _EncCode(cl_lengths)
+    for sym, ev, eb in tokens:
+        bw.put(int(cl_code.codes[sym]), int(cl_code.lengths[sym]))
+        if eb:
+            bw.put(ev, eb)
+    return _EncCode(lengths)
+
+
+def _read_prefix_code(br: _BitReader, alphabet: int) -> _PrefixCode:
+    if br.read(1):  # simple
+        num_symbols = br.read(1) + 1
+        first8 = br.read(1)
+        s0 = br.read(8 if first8 else 1)
+        if num_symbols == 1:
+            return _PrefixCode(None, single=s0)
+        s1 = br.read(8)
+        lengths = np.zeros(alphabet, dtype=np.int64)
+        if s0 >= alphabet or s1 >= alphabet:
+            raise ValueError("VP8L: simple-code symbol out of range")
+        lengths[s0] = 1
+        lengths[s1] = 1
+        # canonical assignment: s0 must get code 0 — DEFLATE canonical
+        # gives code 0 to the smaller symbol index, so reorder via an
+        # explicit two-symbol table instead when s0 > s1.
+        if s0 < s1:
+            return _PrefixCode(lengths)
+        pc = _PrefixCode.__new__(_PrefixCode)
+        pc.single = None
+        pc.maxlen = 1
+        pc.lut = np.array([(s0 << 4) | 1, (s1 << 4) | 1], dtype=np.int64)
+        return pc
+
+    num_cl = 4 + br.read(4)
+    cl_lengths = np.zeros(19, dtype=np.int64)
+    for k in range(num_cl):
+        cl_lengths[_ORDER[k]] = br.read(3)
+    cl_used = np.nonzero(cl_lengths)[0]
+    if cl_used.size == 0:
+        raise ValueError("VP8L: empty code-length code")
+    # a single used symbol is serialized with length 1 (our encoder's
+    # convention): each token read consumes one 0 bit
+    cl_code = _PrefixCode(cl_lengths)
+
+    use_max = br.read(1)
+    if use_max:
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+
+    lengths = np.zeros(alphabet, dtype=np.int64)
+    sym = 0
+    prev_nz = 8
+    while sym < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = cl_code.read(br)
+        if code_len < 16:
+            lengths[sym] = code_len
+            sym += 1
+            if code_len:
+                prev_nz = code_len
+        else:
+            if code_len == 16:
+                repeat = br.read(2) + 3
+                fill = prev_nz
+            elif code_len == 17:
+                repeat = br.read(3) + 3
+                fill = 0
+            else:
+                repeat = br.read(7) + 11
+                fill = 0
+            if sym + repeat > alphabet:
+                raise ValueError("VP8L: code-length repeat overflow")
+            lengths[sym:sym + repeat] = fill
+            sym += repeat
+    used = np.nonzero(lengths)[0]
+    if used.size == 1:
+        # our encoder writes a single used symbol with length 1: reading
+        # consumes 1 bit (code 0) per symbol
+        pass
+    return _PrefixCode(lengths)
+
+
+# ---------------------------------------------------------------------------
+# LZ77 prefix-coded integers (lengths and distance codes)
+# ---------------------------------------------------------------------------
+
+def _lz77_prefix(v: int) -> tuple[int, int, int]:
+    """value >= 1 -> (prefix_code, extra_val, extra_bits)."""
+    u = v - 1
+    if u < 4:
+        return u, 0, 0
+    n = u.bit_length() - 1
+    code = 2 * n + ((u >> (n - 1)) & 1)
+    extra_bits = n - 1
+    return code, u & ((1 << extra_bits) - 1), extra_bits
+
+
+def _lz77_value(code: int, br: _BitReader) -> int:
+    if code < 4:
+        return code + 1
+    extra_bits = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra_bits
+    return offset + br.read(extra_bits) + 1
+
+
+def _dist_to_code(dist: int, xsize: int,
+                  lut: dict[int, int] | None) -> tuple[int, int, int]:
+    code = dist + 120
+    if lut is not None:
+        code = lut.get(dist, code)
+    return _lz77_prefix(code)
+
+
+def _dist_lut(xsize: int) -> dict[int, int]:
+    lut: dict[int, int] = {}
+    for i, (dx, dy) in enumerate(_DIST_MAP):
+        d = dy * xsize + dx
+        if d >= 1 and d not in lut:
+            lut[d] = i + 1
+    return lut
+
+
+def _code_to_dist(code: int, xsize: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = _DIST_MAP[code - 1]
+    return max(dy * xsize + dx, 1)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _tokenize(argb: np.ndarray, xsize: int, use_lz77: bool,
+              cache_bits: int) -> tuple[list, np.ndarray, np.ndarray,
+                                        np.ndarray, np.ndarray, np.ndarray]:
+    """Greedy LZ77 + color-cache tokenizer over the ARGB pixel stream.
+
+    Returns (tokens, green_hist, red_hist, blue_hist, alpha_hist,
+    dist_hist). Token shapes: ('lit', argb) / ('cache', idx) /
+    ('copy', len, dist_code_tuple).
+    """
+    n = len(argb)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_hist = np.zeros(_NUM_LITERALS + _NUM_LENGTH_CODES + cache_size,
+                          dtype=np.int64)
+    red_hist = np.zeros(256, dtype=np.int64)
+    blue_hist = np.zeros(256, dtype=np.int64)
+    alpha_hist = np.zeros(256, dtype=np.int64)
+    dist_hist = np.zeros(_NUM_DISTANCE_CODES, dtype=np.int64)
+    tokens: list = []
+    p = argb
+    dlut = _dist_lut(xsize) if use_lz77 else None
+    cache = np.full(cache_size, -1, dtype=np.int64) if cache_size else None
+
+    def cache_idx(px: int) -> int:
+        return ((_CACHE_MUL * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+    i = 0
+    table: dict[tuple, int] = {}
+    while i < n:
+        if use_lz77 and i + 3 <= n:
+            key = (int(p[i]), int(p[i + 1]), int(p[i + 2]))
+            j = table.get(key, -1)
+            table[key] = i
+            if 0 <= j and i - j <= 0xFFF00:  # distance-code-39 ceiling
+                dist = i - j
+                length = 3
+                maxl = min(_MAX_LZ_LEN, n - i)
+                while length < maxl and p[j + length] == p[i + length]:
+                    length += 1
+                lc, lev, leb = _lz77_prefix(length)
+                dc, dev, deb = _dist_to_code(dist, xsize, dlut)
+                tokens.append(("copy", length, (lc, lev, leb),
+                               (dc, dev, deb)))
+                green_hist[_NUM_LITERALS + lc] += 1
+                dist_hist[dc] += 1
+                if cache is not None:
+                    for k in range(i, i + length):
+                        cache[cache_idx(int(p[k]))] = int(p[k])
+                for k in range(i + 1, min(i + length, n - 2)):
+                    table[(int(p[k]), int(p[k + 1]), int(p[k + 2]))] = k
+                i += length
+                continue
+        px = int(p[i])
+        if cache is not None:
+            ci = cache_idx(px)
+            if cache[ci] == px:
+                tokens.append(("cache", ci))
+                green_hist[_NUM_LITERALS + _NUM_LENGTH_CODES + ci] += 1
+                i += 1
+                continue
+            cache[ci] = px
+        a = (px >> 24) & 0xFF
+        r = (px >> 16) & 0xFF
+        g = (px >> 8) & 0xFF
+        b = px & 0xFF
+        tokens.append(("lit", px))
+        green_hist[g] += 1
+        red_hist[r] += 1
+        blue_hist[b] += 1
+        alpha_hist[a] += 1
+        i += 1
+    return tokens, green_hist, red_hist, blue_hist, alpha_hist, dist_hist
+
+
+def encode_webp(img: np.ndarray, *, use_lz77: bool = True,
+                cache_bits: int = 0, subtract_green: bool = True) -> bytes:
+    """Encode (h, w, 3|4) uint8 -> lossless WebP (RIFF/VP8L) bytes."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] not in (3, 4):
+        raise ValueError("encode_webp needs (h, w, 3|4) uint8")
+    h, w = img.shape[:2]
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("VP8L dimensions must be 1..16384")
+    if not 0 <= cache_bits <= 11:
+        raise ValueError("cache_bits must be 0..11")
+    r = img[:, :, 0].astype(np.uint32).ravel()
+    g = img[:, :, 1].astype(np.uint32).ravel()
+    b = img[:, :, 2].astype(np.uint32).ravel()
+    if img.shape[2] == 4:
+        a = img[:, :, 3].astype(np.uint32).ravel()
+    else:
+        a = np.full(h * w, 255, dtype=np.uint32)
+    alpha_used = bool(np.any(a != 255))
+    if subtract_green:
+        r = (r - g) & 0xFF
+        b = (b - g) & 0xFF
+    argb = (a << 24) | (r << 16) | (g << 8) | b
+
+    bw = _BitWriter()
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(1 if alpha_used else 0, 1)
+    bw.put(0, 3)  # version
+    if subtract_green:
+        bw.put(1, 1)
+        bw.put(2, 2)  # SUBTRACT_GREEN
+    bw.put(0, 1)      # no more transforms
+    if cache_bits:
+        bw.put(1, 1)
+        bw.put(cache_bits, 4)
+    else:
+        bw.put(0, 1)
+    bw.put(0, 1)      # no meta prefix codes
+
+    if not use_lz77 and not cache_bits:
+        # fully vectorized literal path: bincount histograms, LUT code
+        # lookup, one interleaved (n*4,) emission array — no pixel loop
+        gh = np.bincount(g, minlength=_NUM_LITERALS + _NUM_LENGTH_CODES)
+        rh = np.bincount(r, minlength=256)
+        bh = np.bincount(b, minlength=256)
+        ah = np.bincount(a, minlength=256)
+        gcode = _emit_prefix_code(bw, gh, len(gh))
+        rcode = _emit_prefix_code(bw, rh, 256)
+        bcode = _emit_prefix_code(bw, bh, 256)
+        acode = _emit_prefix_code(bw, ah, 256)
+        _emit_prefix_code(bw, np.zeros(_NUM_DISTANCE_CODES, np.int64),
+                          _NUM_DISTANCE_CODES)
+        n = h * w
+        vals = np.empty((n, 4), dtype=np.uint64)
+        nbits = np.empty((n, 4), dtype=np.int64)
+        for col, (code, chan) in enumerate(
+                ((gcode, g), (rcode, r), (bcode, b), (acode, a))):
+            vals[:, col] = code.codes[chan]
+            nbits[:, col] = code.lengths[chan]
+        bw.put_arrays(vals.ravel(), nbits.ravel())
+        return _wrap_riff(b"\x2f" + bw.tobytes())
+
+    tokens, gh, rh, bh, ah, dh = _tokenize(argb, w, use_lz77, cache_bits)
+    gcode = _emit_prefix_code(bw, gh, len(gh))
+    rcode = _emit_prefix_code(bw, rh, 256)
+    bcode = _emit_prefix_code(bw, bh, 256)
+    acode = _emit_prefix_code(bw, ah, 256)
+    dcode = _emit_prefix_code(bw, dh, _NUM_DISTANCE_CODES)
+
+    gc, gl = gcode.codes, gcode.lengths
+    for tok in tokens:
+        kind = tok[0]
+        if kind == "lit":
+            px = tok[1]
+            aa = (px >> 24) & 0xFF
+            rr = (px >> 16) & 0xFF
+            gg = (px >> 8) & 0xFF
+            bb = px & 0xFF
+            bw.put(int(gc[gg]), int(gl[gg]))
+            bw.put(int(rcode.codes[rr]), int(rcode.lengths[rr]))
+            bw.put(int(bcode.codes[bb]), int(bcode.lengths[bb]))
+            bw.put(int(acode.codes[aa]), int(acode.lengths[aa]))
+        elif kind == "cache":
+            s = _NUM_LITERALS + _NUM_LENGTH_CODES + tok[1]
+            bw.put(int(gc[s]), int(gl[s]))
+        else:  # copy
+            _, _, (lc, lev, leb), (dc, dev, deb) = tok
+            s = _NUM_LITERALS + lc
+            bw.put(int(gc[s]), int(gl[s]))
+            if leb:
+                bw.put(lev, leb)
+            bw.put(int(dcode.codes[dc]), int(dcode.lengths[dc]))
+            if deb:
+                bw.put(dev, deb)
+
+    return _wrap_riff(b"\x2f" + bw.tobytes())
+
+
+def _wrap_riff(payload: bytes) -> bytes:
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def _vp8l_payload(data: bytes) -> bytes:
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        pos = 12
+        while pos + 8 <= len(data):
+            tag = data[pos:pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body = data[pos + 8:pos + 8 + size]
+            if tag == b"VP8L":
+                return body
+            if tag == b"VP8 " or tag == b"VP8X":
+                raise NotImplementedError(
+                    "WebP: lossy VP8 / extended VP8X not supported "
+                    "(lossless VP8L only)")
+            pos += 8 + size + (size & 1)
+        raise ValueError("WebP: no VP8L chunk found")
+    if data[:1] == b"\x2f":
+        return data
+    raise ValueError("not a WebP (RIFF/WEBP or raw VP8L) buffer")
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """Decode lossless WebP bytes -> (h, w, 4) uint8 RGBA."""
+    payload = _vp8l_payload(bytes(data))
+    if payload[0] != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    br = _BitReader(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    version = br.read(3)
+    if version != 0:
+        raise ValueError(f"VP8L: unsupported version {version}")
+
+    transforms: list[int] = []
+    while br.read(1):
+        t = br.read(2)
+        if t != 2:
+            raise NotImplementedError(
+                "VP8L: only the subtract-green transform is supported "
+                f"(got transform type {t}: "
+                f"{['predictor', 'cross-color', 'subtract-green', 'color-indexing'][t]})")
+        if t in transforms:
+            raise ValueError("VP8L: duplicate transform")
+        transforms.append(t)
+
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("VP8L: bad color-cache bits")
+    if br.read(1):
+        raise NotImplementedError("VP8L: meta prefix codes not supported")
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    gcode = _read_prefix_code(
+        br, _NUM_LITERALS + _NUM_LENGTH_CODES + cache_size)
+    rcode = _read_prefix_code(br, 256)
+    bcode = _read_prefix_code(br, 256)
+    acode = _read_prefix_code(br, 256)
+    dcode = _read_prefix_code(br, _NUM_DISTANCE_CODES)
+
+    n = w * h
+    out = np.zeros(n, dtype=np.uint32)
+    cache = np.zeros(cache_size, dtype=np.uint32) if cache_size else None
+    pos = 0
+    cache_shift = 32 - cache_bits if cache_bits else 0
+    while pos < n:
+        s = gcode.read(br)
+        if s < _NUM_LITERALS:
+            rr = rcode.read(br)
+            bb = bcode.read(br)
+            aa = acode.read(br)
+            px = (aa << 24) | (rr << 16) | (s << 8) | bb
+            out[pos] = px
+            if cache is not None:
+                cache[((_CACHE_MUL * px) & 0xFFFFFFFF) >> cache_shift] = px
+            pos += 1
+        elif s < _NUM_LITERALS + _NUM_LENGTH_CODES:
+            length = _lz77_value(s - _NUM_LITERALS, br)
+            dc = _lz77_value(dcode.read(br), br)
+            dist = _code_to_dist(dc, w)
+            if dist > pos:
+                raise ValueError("VP8L: backward reference before start")
+            if pos + length > n:
+                raise ValueError("VP8L: backward reference past end")
+            if dist >= length:
+                out[pos:pos + length] = out[pos - dist:pos - dist + length]
+                if cache is not None:
+                    for k in range(pos, pos + length):
+                        px = int(out[k])
+                        cache[((_CACHE_MUL * px) & 0xFFFFFFFF)
+                              >> cache_shift] = px
+            else:
+                for k in range(length):  # overlapping copy
+                    px = int(out[pos - dist + k])
+                    out[pos + k] = px
+                    if cache is not None:
+                        cache[((_CACHE_MUL * px) & 0xFFFFFFFF)
+                              >> cache_shift] = px
+            pos += length
+        else:
+            ci = s - _NUM_LITERALS - _NUM_LENGTH_CODES
+            if cache is None or ci >= cache_size:
+                raise ValueError("VP8L: cache symbol without color cache")
+            out[pos] = cache[ci]
+            pos += 1
+
+    a = (out >> 24) & 0xFF
+    r = (out >> 16) & 0xFF
+    g = (out >> 8) & 0xFF
+    b = out & 0xFF
+    for t in reversed(transforms):
+        if t == 2:  # inverse subtract-green
+            r = (r + g) & 0xFF
+            b = (b + g) & 0xFF
+    rgba = np.empty((h, w, 4), dtype=np.uint8)
+    rgba[:, :, 0] = r.reshape(h, w)
+    rgba[:, :, 1] = g.reshape(h, w)
+    rgba[:, :, 2] = b.reshape(h, w)
+    rgba[:, :, 3] = a.reshape(h, w)
+    return rgba
+
+
+def webp_info(data: bytes) -> dict:
+    """Parse header fields without decoding pixels."""
+    payload = _vp8l_payload(bytes(data))
+    br = _BitReader(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    alpha = br.read(1)
+    version = br.read(3)
+    transforms = []
+    while br.read(1):
+        t = br.read(2)
+        transforms.append(
+            ["predictor", "cross-color", "subtract-green",
+             "color-indexing"][t])
+        if t != 2:
+            break  # other transforms carry data we do not parse
+    return {"w": w, "h": h, "alpha_hint": bool(alpha), "version": version,
+            "transforms": transforms}

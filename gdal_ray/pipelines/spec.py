@@ -210,7 +210,7 @@ def _raster_clip(ds, minx, miny, maxx, maxy, concurrency: int = 4):
 @register_step("raster_convert")
 def _raster_convert(ds, fmt: str, concurrency: int = 4, batch_size: int = 128):
     """Codec conversion (gdalalg_raster_convert.cpp): re-encode every
-    chip's payload in ``fmt`` (png/raw/qraw/jpeg)."""
+    chip's payload in ``fmt`` (png/raw/qraw/jpeg/webp)."""
     import pyarrow as pa
 
     from ..functions import codecs

@@ -120,6 +120,24 @@ def test_raster_convert_and_calc(ray_session, smoke_fixtures):
         assert (got[:, :, 2] == want).all()  # broadcast across bands
 
 
+def test_raster_convert_webp_lossless(ray_session, smoke_fixtures):
+    conv = run_pipeline([
+        {"step": "read_images", "path": smoke_fixtures["images"]},
+        {"step": "limit", "n": 4},
+        {"step": "raster_convert", "fmt": "webp"},
+    ]).to_pandas()
+    assert (conv["fmt"] == "webp").all()
+    src = pq.read_table(
+        glob.glob(smoke_fixtures["images"] + "/*.parquet")[0]
+    ).to_pandas().set_index("image_id")
+    for _, row in conv.iterrows():
+        orig = src.loc[row["image_id"]]
+        want = codecs.decode(orig["bytes"], orig["w"], orig["h"], orig["fmt"])
+        got = codecs.decode(row["bytes"], row["w"], row["h"], "webp")
+        assert (got == want).all()  # VP8L is lossless
+        assert bytes(row["bytes"])[:4] == b"RIFF"
+
+
 def test_raster_create_update_pixel_info(ray_session, tmp_path):
     canvases = run_pipeline([
         {"step": "raster_create", "n": 3, "w": 24, "h": 24, "fill": 7,
