@@ -623,39 +623,192 @@ def _tokenize(argb: np.ndarray, xsize: int, use_lz77: bool,
     return tokens, green_hist, red_hist, blue_hist, alpha_hist, dist_hist
 
 
-def encode_webp(img: np.ndarray, *, use_lz77: bool = True,
-                cache_bits: int = 0, subtract_green: bool = True) -> bytes:
-    """Encode (h, w, 3|4) uint8 -> lossless WebP (RIFF/VP8L) bytes."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
-    if img.ndim != 3 or img.shape[2] not in (3, 4):
-        raise ValueError("encode_webp needs (h, w, 3|4) uint8")
-    h, w = img.shape[:2]
-    if not (1 <= w <= 16384 and 1 <= h <= 16384):
-        raise ValueError("VP8L dimensions must be 1..16384")
-    if not 0 <= cache_bits <= 11:
-        raise ValueError("cache_bits must be 0..11")
-    r = img[:, :, 0].astype(np.uint32).ravel()
-    g = img[:, :, 1].astype(np.uint32).ravel()
-    b = img[:, :, 2].astype(np.uint32).ravel()
-    if img.shape[2] == 4:
-        a = img[:, :, 3].astype(np.uint32).ravel()
-    else:
-        a = np.full(h * w, 255, dtype=np.uint32)
-    alpha_used = bool(np.any(a != 255))
-    if subtract_green:
-        r = (r - g) & 0xFF
-        b = (b - g) & 0xFF
-    argb = (a << 24) | (r << 16) | (g << 8) | b
+# ---------------------------------------------------------------------------
+# Predictor transform (spec §"Predictor transform": 14 modes, per-block)
+# ---------------------------------------------------------------------------
 
-    bw = _BitWriter()
-    bw.put(w - 1, 14)
-    bw.put(h - 1, 14)
-    bw.put(1 if alpha_used else 0, 1)
-    bw.put(0, 3)  # version
-    if subtract_green:
-        bw.put(1, 1)
-        bw.put(2, 2)  # SUBTRACT_GREEN
-    bw.put(0, 1)      # no more transforms
+def _avg2(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    return (x + y) >> 1
+
+
+def _predictions(P: np.ndarray, w: int, h: int) -> np.ndarray:
+    """All 14 mode predictions, vectorized.
+
+    ``P``: (4, h, w) int32 channels (a, r, g, b).  Returns (14, 4, h, w).
+    Edge rules (applied to every mode so block modes are irrelevant
+    there): (0,0) predicts BLACK, row 0 predicts L, column 0 predicts
+    T.  TR on the rightmost column is the current row's leftmost pixel
+    (the contiguous-buffer rule libwebp inherits and the spec keeps).
+    """
+    L = np.zeros_like(P)
+    L[:, :, 1:] = P[:, :, :-1]
+    T = np.zeros_like(P)
+    T[:, 1:, :] = P[:, :-1, :]
+    TL = np.zeros_like(P)
+    TL[:, 1:, 1:] = P[:, :-1, :-1]
+    TR = np.zeros_like(P)
+    if w > 1:
+        TR[:, 1:, :-1] = P[:, :-1, 1:]
+    TR[:, 1:, -1] = P[:, 1:, 0]
+
+    black = np.zeros_like(P)
+    black[0] = 255  # alpha channel of 0xff000000
+
+    sel_p = L + T - TL
+    pL = np.abs(sel_p - L).sum(axis=0)
+    pT = np.abs(sel_p - T).sum(axis=0)
+    select = np.where((pL < pT)[None, :, :], L, T)
+
+    clamp_full = np.clip(L + T - TL, 0, 255)
+    av = _avg2(L, T)
+    d = av - TL
+    half = np.sign(d) * (np.abs(d) >> 1)  # C trunc-toward-zero /2
+    clamp_half = np.clip(av + half, 0, 255)
+
+    preds = np.stack([
+        black, L, T, TR, TL,
+        _avg2(_avg2(L, TR), T), _avg2(L, TL), _avg2(L, T),
+        _avg2(TL, T), _avg2(T, TR), _avg2(_avg2(L, TL), _avg2(T, TR)),
+        select, clamp_full, clamp_half,
+    ])
+    # edge overrides (same for every mode)
+    preds[:, :, 0, 1:] = L[None, :, 0, 1:]
+    preds[:, :, 1:, 0] = T[None, :, 1:, 0]
+    preds[:, :, 0, 0] = black[None, :, 0, 0]
+    return preds
+
+
+def _predictor_forward(argb: np.ndarray, w: int, h: int,
+                       bits: int) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Residual-encode ``argb`` (flat uint32) with per-block best modes.
+
+    Returns (residual flat uint32, modes (subh, subw) uint8, subw, subh).
+    """
+    bs = 1 << bits
+    subw = (w + bs - 1) >> bits
+    subh = (h + bs - 1) >> bits
+    P = np.empty((4, h, w), dtype=np.int32)
+    A = argb.reshape(h, w)
+    P[0] = (A >> 24) & 0xFF
+    P[1] = (A >> 16) & 0xFF
+    P[2] = (A >> 8) & 0xFF
+    P[3] = A & 0xFF
+    preds = _predictions(P, w, h)
+    res = (P[None, :, :, :] - preds) & 0xFF           # (14, 4, h, w)
+    cost_pix = np.minimum(res, 256 - res).sum(axis=1)  # (14, h, w)
+    ycut = np.arange(0, h, bs)
+    xcut = np.arange(0, w, bs)
+    cost_blk = np.add.reduceat(
+        np.add.reduceat(cost_pix, ycut, axis=1), xcut, axis=2)
+    modes = np.argmin(cost_blk, axis=0).astype(np.uint8)  # (subh, subw)
+
+    mode_pix = np.repeat(np.repeat(modes, bs, axis=0), bs, axis=1)[:h, :w]
+    out = np.empty((4, h, w), dtype=np.int32)
+    for m in np.unique(mode_pix):
+        mask = mode_pix == m
+        out[:, mask] = res[m][:, mask]
+    flat = ((out[0].astype(np.uint32) << 24)
+            | (out[1].astype(np.uint32) << 16)
+            | (out[2].astype(np.uint32) << 8)
+            | out[3].astype(np.uint32)).ravel()
+    return flat, modes, subw, subh
+
+
+def _predictor_inverse(a, r, g, b, w: int, h: int, bits: int,
+                       modes: np.ndarray):
+    """Sequential inverse predictor (decoded pixels feed later
+    predictions).  Row segments whose mode needs no L neighbor are
+    vectorized; L-dependent modes run the per-pixel loop."""
+    res = np.empty((4, h, w), dtype=np.int32)
+    res[0] = a.reshape(h, w)
+    res[1] = r.reshape(h, w)
+    res[2] = g.reshape(h, w)
+    res[3] = b.reshape(h, w)
+    out = np.zeros((4, h, w), dtype=np.int32)
+    bs = 1 << bits
+    # row 0: (0,0) = BLACK + residual, then L-prediction -> cumsum
+    row = res[:, 0, :].copy()
+    row[0, 0] = (row[0, 0] + 255) & 0xFF
+    out[:, 0, :] = np.cumsum(row, axis=1) & 0xFF
+
+    for y in range(1, h):
+        top = out[:, y - 1, :]
+        # column 0: T prediction
+        out[:, y, 0] = (res[:, y, 0] + top[:, 0]) & 0xFF
+        by = (y >> bits)
+        for bx in range((w + bs - 1) >> bits):
+            x0 = max(bx << bits, 1)
+            x1 = min((bx + 1) << bits, w)
+            if x0 >= x1:
+                continue
+            m = int(modes[by, bx])
+            seg = res[:, y, x0:x1]
+            if m == 0:
+                pred = np.zeros((4, x1 - x0), dtype=np.int32)
+                pred[0] = 255
+                out[:, y, x0:x1] = (seg + pred) & 0xFF
+            elif m == 2:
+                out[:, y, x0:x1] = (seg + top[:, x0:x1]) & 0xFF
+            elif m == 4:
+                out[:, y, x0:x1] = (seg + top[:, x0 - 1:x1 - 1]) & 0xFF
+            elif m in (3, 8, 9):
+                tr = np.empty((4, x1 - x0), dtype=np.int32)
+                if x1 < w:
+                    tr[:] = top[:, x0 + 1:x1 + 1]
+                else:
+                    tr[:, :-1] = top[:, x0 + 1:]
+                    tr[:, -1] = out[:, y, 0]  # rightmost-column TR rule
+                if m == 3:
+                    pred = tr
+                elif m == 8:
+                    pred = _avg2(top[:, x0 - 1:x1 - 1], top[:, x0:x1])
+                else:
+                    pred = _avg2(top[:, x0:x1], tr)
+                out[:, y, x0:x1] = (seg + pred) & 0xFF
+            elif m == 1:
+                # L prediction = running sum seeded by the left neighbor
+                carry = out[:, y, x0 - 1][:, None]
+                out[:, y, x0:x1] = (np.cumsum(seg, axis=1) + carry) & 0xFF
+            else:
+                # L-dependent modes: per-pixel
+                for x in range(x0, x1):
+                    lpx = out[:, y, x - 1]
+                    tpx = top[:, x]
+                    tlpx = top[:, x - 1]
+                    trpx = top[:, x + 1] if x + 1 < w else out[:, y, 0]
+                    if m == 5:
+                        pred = _avg2(_avg2(lpx, trpx), tpx)
+                    elif m == 6:
+                        pred = _avg2(lpx, tlpx)
+                    elif m == 7:
+                        pred = _avg2(lpx, tpx)
+                    elif m == 10:
+                        pred = _avg2(_avg2(lpx, tlpx), _avg2(tpx, trpx))
+                    elif m == 11:
+                        p = lpx + tpx - tlpx
+                        pred = (lpx if int(np.abs(p - lpx).sum())
+                                < int(np.abs(p - tpx).sum()) else tpx)
+                    elif m == 12:
+                        pred = np.clip(lpx + tpx - tlpx, 0, 255)
+                    elif m == 13:
+                        av = _avg2(lpx, tpx)
+                        dd = av - tlpx
+                        pred = np.clip(av + np.sign(dd) * (np.abs(dd) >> 1),
+                                       0, 255)
+                    else:
+                        raise ValueError(f"VP8L: bad predictor mode {m}")
+                    out[:, y, x] = (res[:, y, x] + pred) & 0xFF
+    return (out[0].ravel().astype(np.uint32),
+            out[1].ravel().astype(np.uint32),
+            out[2].ravel().astype(np.uint32),
+            out[3].ravel().astype(np.uint32))
+
+
+def _emit_entropy_stream(bw: _BitWriter, argb: np.ndarray, xsize: int,
+                         use_lz77: bool, cache_bits: int) -> None:
+    """Emit one entropy-coded image: cache header, meta bit, 5 prefix
+    codes, symbol stream.  Used for the main image and for transform
+    subresolution images (spec: both share this exact layout)."""
     if cache_bits:
         bw.put(1, 1)
         bw.put(cache_bits, 4)
@@ -666,6 +819,10 @@ def encode_webp(img: np.ndarray, *, use_lz77: bool = True,
     if not use_lz77 and not cache_bits:
         # fully vectorized literal path: bincount histograms, LUT code
         # lookup, one interleaved (n*4,) emission array — no pixel loop
+        a = (argb >> 24) & 0xFF
+        r = (argb >> 16) & 0xFF
+        g = (argb >> 8) & 0xFF
+        b = argb & 0xFF
         gh = np.bincount(g, minlength=_NUM_LITERALS + _NUM_LENGTH_CODES)
         rh = np.bincount(r, minlength=256)
         bh = np.bincount(b, minlength=256)
@@ -676,7 +833,7 @@ def encode_webp(img: np.ndarray, *, use_lz77: bool = True,
         acode = _emit_prefix_code(bw, ah, 256)
         _emit_prefix_code(bw, np.zeros(_NUM_DISTANCE_CODES, np.int64),
                           _NUM_DISTANCE_CODES)
-        n = h * w
+        n = len(argb)
         vals = np.empty((n, 4), dtype=np.uint64)
         nbits = np.empty((n, 4), dtype=np.int64)
         for col, (code, chan) in enumerate(
@@ -684,9 +841,9 @@ def encode_webp(img: np.ndarray, *, use_lz77: bool = True,
             vals[:, col] = code.codes[chan]
             nbits[:, col] = code.lengths[chan]
         bw.put_arrays(vals.ravel(), nbits.ravel())
-        return _wrap_riff(b"\x2f" + bw.tobytes())
+        return
 
-    tokens, gh, rh, bh, ah, dh = _tokenize(argb, w, use_lz77, cache_bits)
+    tokens, gh, rh, bh, ah, dh = _tokenize(argb, xsize, use_lz77, cache_bits)
     gcode = _emit_prefix_code(bw, gh, len(gh))
     rcode = _emit_prefix_code(bw, rh, 256)
     bcode = _emit_prefix_code(bw, bh, 256)
@@ -719,6 +876,62 @@ def encode_webp(img: np.ndarray, *, use_lz77: bool = True,
             if deb:
                 bw.put(dev, deb)
 
+
+def encode_webp(img: np.ndarray, *, use_lz77: bool = True,
+                cache_bits: int = 0, subtract_green: bool = True,
+                predictor: bool = False,
+                predictor_bits: int = 4) -> bytes:
+    """Encode (h, w, 3|4) uint8 -> lossless WebP (RIFF/VP8L) bytes.
+
+    ``predictor=True`` adds the spatial predictor transform (per-block
+    best of the 14 spec modes, block size ``1 << predictor_bits``) —
+    much smaller output on smooth content; decode of predicted files
+    runs a sequential per-pixel inverse (encode stays vectorized).
+    """
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] not in (3, 4):
+        raise ValueError("encode_webp needs (h, w, 3|4) uint8")
+    h, w = img.shape[:2]
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("VP8L dimensions must be 1..16384")
+    if not 0 <= cache_bits <= 11:
+        raise ValueError("cache_bits must be 0..11")
+    if not 2 <= predictor_bits <= 9:
+        raise ValueError("predictor_bits must be 2..9")
+    r = img[:, :, 0].astype(np.uint32).ravel()
+    g = img[:, :, 1].astype(np.uint32).ravel()
+    b = img[:, :, 2].astype(np.uint32).ravel()
+    if img.shape[2] == 4:
+        a = img[:, :, 3].astype(np.uint32).ravel()
+    else:
+        a = np.full(h * w, 255, dtype=np.uint32)
+    alpha_used = bool(np.any(a != 255))
+    if subtract_green:
+        r = (r - g) & 0xFF
+        b = (b - g) & 0xFF
+    argb = (a << 24) | (r << 16) | (g << 8) | b
+
+    bw = _BitWriter()
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(1 if alpha_used else 0, 1)
+    bw.put(0, 3)  # version
+    # forward transforms are applied in write order; the decoder undoes
+    # them in reverse read order (subtract-green first, predictor last)
+    if subtract_green:
+        bw.put(1, 1)
+        bw.put(2, 2)  # SUBTRACT_GREEN
+    if predictor:
+        argb, modes, subw, subh = _predictor_forward(argb, w, h,
+                                                     predictor_bits)
+        bw.put(1, 1)
+        bw.put(0, 2)  # PREDICTOR
+        bw.put(predictor_bits - 2, 3)
+        mode_img = (np.uint32(0xFF000000)
+                    | (modes.astype(np.uint32) << 8)).ravel()
+        _emit_entropy_stream(bw, mode_img, subw, True, 0)
+    bw.put(0, 1)      # no more transforms
+    _emit_entropy_stream(bw, argb, w, use_lz77, cache_bits)
     return _wrap_riff(b"\x2f" + bw.tobytes())
 
 
@@ -766,18 +979,49 @@ def decode_webp(data: bytes) -> np.ndarray:
     if version != 0:
         raise ValueError(f"VP8L: unsupported version {version}")
 
-    transforms: list[int] = []
+    transforms: list[tuple] = []
     while br.read(1):
         t = br.read(2)
-        if t != 2:
+        if t not in (0, 2):
             raise NotImplementedError(
-                "VP8L: only the subtract-green transform is supported "
-                f"(got transform type {t}: "
+                "VP8L: only the predictor and subtract-green transforms "
+                f"are supported (got transform type {t}: "
                 f"{['predictor', 'cross-color', 'subtract-green', 'color-indexing'][t]})")
-        if t in transforms:
+        if any(t == seen for seen, _ in transforms):
             raise ValueError("VP8L: duplicate transform")
-        transforms.append(t)
+        if t == 0:  # predictor: size bits + subresolution mode image
+            bits = br.read(3) + 2
+            subw = (w + (1 << bits) - 1) >> bits
+            subh = (h + (1 << bits) - 1) >> bits
+            mode_img = _decode_entropy_stream(br, subw, subh)
+            modes = ((mode_img >> 8) & 0xFF).astype(np.uint8)
+            transforms.append((0, (bits, modes.reshape(subh, subw))))
+        else:
+            transforms.append((2, None))
 
+    argb = _decode_entropy_stream(br, w, h)
+
+    a = (argb >> 24) & 0xFF
+    r = (argb >> 16) & 0xFF
+    g = (argb >> 8) & 0xFF
+    b = argb & 0xFF
+    for t, payload_t in reversed(transforms):
+        if t == 2:  # inverse subtract-green
+            r = (r + g) & 0xFF
+            b = (b + g) & 0xFF
+        elif t == 0:  # inverse predictor
+            bits, modes = payload_t
+            a, r, g, b = _predictor_inverse(a, r, g, b, w, h, bits, modes)
+    rgba = np.empty((h, w, 4), dtype=np.uint8)
+    rgba[:, :, 0] = r.reshape(h, w)
+    rgba[:, :, 1] = g.reshape(h, w)
+    rgba[:, :, 2] = b.reshape(h, w)
+    rgba[:, :, 3] = a.reshape(h, w)
+    return rgba
+
+
+def _decode_entropy_stream(br: _BitReader, w: int, h: int) -> np.ndarray:
+    """Decode one entropy-coded image -> flat uint32 ARGB array."""
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
@@ -839,21 +1083,7 @@ def decode_webp(data: bytes) -> np.ndarray:
                 raise ValueError("VP8L: cache symbol without color cache")
             out[pos] = cache[ci]
             pos += 1
-
-    a = (out >> 24) & 0xFF
-    r = (out >> 16) & 0xFF
-    g = (out >> 8) & 0xFF
-    b = out & 0xFF
-    for t in reversed(transforms):
-        if t == 2:  # inverse subtract-green
-            r = (r + g) & 0xFF
-            b = (b + g) & 0xFF
-    rgba = np.empty((h, w, 4), dtype=np.uint8)
-    rgba[:, :, 0] = r.reshape(h, w)
-    rgba[:, :, 1] = g.reshape(h, w)
-    rgba[:, :, 2] = b.reshape(h, w)
-    rgba[:, :, 3] = a.reshape(h, w)
-    return rgba
+    return out
 
 
 def webp_info(data: bytes) -> dict:

@@ -250,6 +250,65 @@ def test_alpha_hint_header():
 
 
 # ---------------------------------------------------------------------------
+# predictor transform
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("sg", [False, True])
+@pytest.mark.parametrize("lz", [False, True])
+def test_predictor_round_trip(sg, lz):
+    r = rng()
+    for shape in ((1, 1, 3), (7, 13, 3), (16, 16, 4), (33, 5, 4)):
+        img = r.integers(0, 256, shape, np.uint8)
+        d = encode_webp(img, predictor=True, subtract_green=sg, use_lz77=lz)
+        out = decode_webp(d)
+        assert (out[:, :, :shape[2]] == img).all()
+
+
+def test_predictor_compresses_gradient():
+    y, x = np.mgrid[0:128, 0:128]
+    img = np.stack([(x * 2).astype(np.uint8), (y * 2).astype(np.uint8),
+                    (x + y).astype(np.uint8)], axis=-1)
+    lit = encode_webp(img, use_lz77=False)
+    pred = encode_webp(img, predictor=True)
+    assert len(pred) < len(lit) // 10
+    assert (decode_webp(pred)[:, :, :3] == img).all()
+
+
+@pytest.mark.parametrize("pb", [2, 5, 9])
+def test_predictor_block_sizes(pb):
+    img = rng().integers(0, 256, (19, 37, 4), np.uint8)
+    d = encode_webp(img, predictor=True, predictor_bits=pb)
+    assert (decode_webp(d) == img).all()
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_predictor_every_mode_inverts(mode):
+    # forward residual with a FORCED single mode must invert exactly —
+    # covers all 14 spec predictors on both sides incl. the rightmost-
+    # column TR rule and the Select/ClampAddSubtract arithmetic
+    from gdal_ray.functions.webp import _predictions, _predictor_inverse
+    r = rng()
+    h, w, bits = 13, 21, 3
+    P = r.integers(0, 256, (4, h, w)).astype(np.int32)
+    preds = _predictions(P, w, h)
+    res = (P - preds[mode]) & 0xFF
+    subh, subw = (h + 7) >> 3, (w + 7) >> 3
+    modes = np.full((subh, subw), mode, np.uint8)
+    a, rr, g, b = _predictor_inverse(
+        res[0].ravel(), res[1].ravel(), res[2].ravel(), res[3].ravel(),
+        w, h, bits, modes)
+    got = np.stack([a.reshape(h, w), rr.reshape(h, w),
+                    g.reshape(h, w), b.reshape(h, w)]).astype(np.int32)
+    assert (got == P).all()
+
+
+def test_predictor_transform_order_in_header():
+    img = rng().integers(0, 256, (8, 8, 3), np.uint8)
+    info = webp_info(encode_webp(img, predictor=True))
+    assert info["transforms"] == ["subtract-green", "predictor"]
+
+
+# ---------------------------------------------------------------------------
 # error paths
 # ---------------------------------------------------------------------------
 
@@ -267,9 +326,9 @@ def test_rejects_unknown_transform():
     bw.put(0, 1)
     bw.put(0, 3)
     bw.put(1, 1)   # transform present
-    bw.put(0, 2)   # PREDICTOR
+    bw.put(1, 2)   # CROSS-COLOR
     from gdal_ray.functions.webp import _wrap_riff
-    with pytest.raises(NotImplementedError, match="predictor"):
+    with pytest.raises(NotImplementedError, match="cross-color"):
         decode_webp(_wrap_riff(b"\x2f" + bw.tobytes()))
 
 
