@@ -1855,6 +1855,10 @@ def q52_multimodal_codecs(sf_dir: str):
       milli-dB; the oracle recomputes the decode through the
       DCT-quantization model only, so matching proves the
       entropy-coded bitstream round-trips.
+    - 'webp_cs': VP8L lossless roundtrip per small chip (frmts/webp
+      analog, from-scratch functions/webp.py) — the oracle checksums
+      the source pixels (lossless identity), the engine rides the
+      actual encode->decode bitstream.
     - 'audio_feat': frame energy / zero-crossing features over
       synthetic pcm16 clips (stages/media.py actor pool; clips derived
       deterministically from event keys).
@@ -1896,11 +1900,17 @@ def q52_multimodal_codecs(sf_dir: str):
             # image-quality scoring on the SAME decode (one decode per
             # chip for the whole multimodal suite)
             bq, lq, eq = image_quality_metrics(img)
-            kinds += ["jpeg_cs", "jpeg_psnr", "img_quality"]
-            ids += [cols["image_id"][i]] * 3
-            a_o += [int(cs[0]), pm, bq]
-            b_o += [int(cs[1]), 0, lq]
-            v_o += [int(cs[2]), 0, eq]
+            # VP8L round trip: the oracle checksums the ORIGINAL pixels
+            # (lossless-identity claim), so any bitstream defect in the
+            # from-scratch webp codec lands as a driver-row mismatch
+            wdec = codecs.decode(
+                codecs.encode(img, "webp"), cols["w"][i], cols["h"][i], "webp")
+            wcs = checksum.checksum_image(wdec)
+            kinds += ["jpeg_cs", "jpeg_psnr", "img_quality", "webp_cs"]
+            ids += [cols["image_id"][i]] * 4
+            a_o += [int(cs[0]), pm, bq, int(wcs[0])]
+            b_o += [int(cs[1]), 0, lq, int(wcs[1])]
+            v_o += [int(cs[2]), 0, eq, int(wcs[2])]
         return pa.table(
             {
                 "kind": pa.array(kinds, pa.string()),
