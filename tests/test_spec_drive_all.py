@@ -1,0 +1,352 @@
+"""Drive EVERY registered pipeline step from a serialized JSON spec.
+
+Closes the round-5 plan item: the signature-contract smoke guarantees
+callability; this sweep actually executes each step through
+``run_pipeline`` on minimal fixtures, so a serialized reference
+pipeline using any registered step name is known to replay.  Deep
+semantics are gated elsewhere (driver rows + dedicated pytest); these
+assertions are plumbing-level: the step runs, returns a Dataset, and
+yields sane rows/columns.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from gdal_ray.pipelines.spec import list_steps, run_pipeline
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _drive(steps, ds=None):
+    # the 4-CPU test session starves concurrency-4 actor pools (repo
+    # test convention: concurrency=1); inject it wherever accepted
+    import inspect
+
+    from gdal_ray.pipelines import spec as S
+
+    steps = [dict(s) for s in steps]
+    for s in steps:
+        fn = S._REGISTRY[s["step"]]
+        if ("concurrency" in inspect.signature(fn).parameters
+                and "concurrency" not in s):
+            s["concurrency"] = 1
+    out = run_pipeline(steps, ds) if ds is not None else run_pipeline(steps)
+    return out.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# raster family over the images fixture
+# ---------------------------------------------------------------------------
+
+RASTER_UNARY = [
+    ({"step": "raster_aspect"}, None),
+    ({"step": "raster_aspect_trig"}, None),
+    ({"step": "raster_aspect_zt"}, None),
+    ({"step": "raster_slope"}, None),
+    ({"step": "raster_slope_percent"}, None),
+    ({"step": "raster_slope_zt"}, None),
+    ({"step": "raster_tri"}, None),
+    ({"step": "raster_tpi"}, None),
+    ({"step": "raster_roughness"}, None),
+    ({"step": "raster_hillshade_md"}, None),
+    ({"step": "raster_hillshade_combined"}, None),
+    ({"step": "raster_hillshade_igor"}, None),
+    ({"step": "raster_hillshade_zt"}, None),
+    ({"step": "raster_color_map"}, None),
+    ({"step": "raster_clean_collar"}, None),
+    ({"step": "raster_reclassify", "mapping": "[0,127]=0;[128,255]=1"},
+     None),
+    ({"step": "raster_unscale", "scale": 2.0, "offset": 1.0}, None),
+    ({"step": "raster_nodata_to_alpha", "nodata": [0, 0, 0]}, None),
+    ({"step": "raster_select", "bands": [0]}, None),
+    ({"step": "raster_edit"}, None),
+    ({"step": "raster_reproject"}, None),
+    ({"step": "raster_viewshed"}, None),
+    ({"step": "raster_pansharpen"}, None),
+    ({"step": "raster_footprint"}, None),
+    ({"step": "raster_info"}, 3),  # one stats row per band
+    ({"step": "raster_index"}, None),
+]
+
+
+@pytest.mark.parametrize(
+    "step,nrows", RASTER_UNARY,
+    ids=[s["step"] for s, _ in RASTER_UNARY])
+def test_raster_step_drives_from_json(step, nrows, smoke_fixtures):
+    df = _drive([
+        {"step": "read_images", "path": smoke_fixtures["images"]},
+        {"step": "limit", "n": 3},
+        step,
+    ])
+    if nrows is None:
+        assert len(df) > 0
+    else:
+        assert len(df) == nrows
+
+
+def test_raster_binary_steps_drive_from_json(smoke_fixtures):
+    imgs = smoke_fixtures["images"]
+    for step in (
+        {"step": "raster_stack", "other_path": imgs},
+        {"step": "raster_color_merge", "gray_path": imgs},
+    ):
+        df = _drive([
+            {"step": "read_images", "path": imgs},
+            {"step": "limit", "n": 3},
+            step,
+        ])
+        assert len(df) > 0
+
+
+def test_raster_clip_and_envelope_steps(smoke_fixtures):
+    # clip window from the fixture's own envelope so rows survive
+    import pyarrow.parquet as pq
+    import glob
+
+    t = pq.read_table(glob.glob(smoke_fixtures["images"] + "/*.parquet")[0],
+                      columns=["minx", "miny", "maxx", "maxy"])
+    minx = min(t.column("minx").to_pylist())
+    miny = min(t.column("miny").to_pylist())
+    maxx = max(t.column("maxx").to_pylist())
+    maxy = max(t.column("maxy").to_pylist())
+    for step_name in ("raster_clip", "filter_envelope"):
+        df = _drive([
+            {"step": "read_images", "path": smoke_fixtures["images"]},
+            {"step": "limit", "n": 5},
+            {"step": step_name, "minx": minx, "miny": miny,
+             "maxx": maxx, "maxy": maxy},
+        ])
+        assert len(df) > 0
+
+
+def test_raster_tile_grid_steps(smoke_fixtures):
+    base = _drive([
+        {"step": "read_images", "path": smoke_fixtures["images"]},
+        {"step": "limit", "n": 3},
+        {"step": "raster_mosaic", "zoom": 6},
+    ])
+    assert len(base) > 0 and {"z", "x", "y"} <= set(base.columns)
+
+    pyr = _drive([
+        {"step": "read_images", "path": smoke_fixtures["images"]},
+        {"step": "limit", "n": 3},
+        {"step": "raster_tile", "z_max": 6},
+    ])
+    assert len(pyr) > 0
+
+    ovr = _drive([
+        {"step": "read_images", "path": smoke_fixtures["images"]},
+        {"step": "limit", "n": 3},
+        {"step": "raster_mosaic", "zoom": 6},
+        {"step": "raster_overview"},
+    ])
+    assert len(ovr) > 0
+    assert set(ovr["z"]) == {5}
+
+
+def test_tiles_and_warp_steps_drive_from_json(smoke_fixtures):
+    df = _drive([
+        {"step": "read_images", "path": smoke_fixtures["images"]},
+        {"step": "limit", "n": 3},
+        {"step": "tiles", "zoom": 6},
+    ])
+    assert len(df) > 0
+
+    df = _drive([
+        {"step": "read_images", "path": smoke_fixtures["images"]},
+        {"step": "limit", "n": 3},
+        {"step": "warp"},
+    ])
+    assert len(df) == 3
+
+
+def test_raster_contour_step(smoke_fixtures):
+    df = _drive([
+        {"step": "read_images", "path": smoke_fixtures["images"]},
+        {"step": "limit", "n": 2},
+        {"step": "raster_contour", "zoom": 8, "grid": 16},
+    ])
+    assert len(df) > 0
+
+
+def test_raster_zonal_stats_step(smoke_fixtures):
+    df = _drive([
+        {"step": "read_images", "path": smoke_fixtures["images"]},
+        {"step": "raster_zonal_stats",
+         "zones_path": smoke_fixtures["polygons"]},
+    ])
+    assert len(df) > 0
+
+
+# ---------------------------------------------------------------------------
+# rasterize -> cell-raster chain
+# ---------------------------------------------------------------------------
+
+def test_rasterize_and_cell_ops_drive_from_json(smoke_fixtures):
+    opener = [
+        {"step": "read_parquet", "path": smoke_fixtures["polygons"]},
+        {"step": "vector_rasterize", "zoom": 8},
+    ]
+    cells = _drive(opener)
+    assert len(cells) > 0
+    for step in (
+        {"step": "raster_proximity"},
+        {"step": "raster_sieve", "threshold": 4},
+        {"step": "raster_fill_nodata"},
+        {"step": "raster_polygonize"},
+    ):
+        df = _drive(opener + [step])
+        if step["step"] == "raster_polygonize":
+            assert len(df) > 0  # one row per polygon, not per cell
+        else:
+            assert len(df) == len(cells), step["step"]
+
+
+# ---------------------------------------------------------------------------
+# vector family
+# ---------------------------------------------------------------------------
+
+def _ring_table():
+    # two adjacent unit-ish squares sharing an arc (coverage-friendly)
+    return rd.from_arrow(pa.table({
+        "fid": pa.array([1, 2], pa.int64()),
+        "xs": pa.array([[0.0, 1000.0, 1000.0, 0.0],
+                        [1000.0, 2000.0, 2000.0, 1000.0]],
+                       pa.list_(pa.float64())),
+        "ys": pa.array([[0.0, 0.0, 800.0, 800.0],
+                        [0.0, 0.0, 800.0, 800.0]],
+                       pa.list_(pa.float64())),
+    }))
+
+
+@pytest.mark.parametrize("step", [
+    {"step": "vector_swap_xy"},
+    {"step": "vector_segmentize", "max_length": 100.0},
+    {"step": "vector_make_valid"},
+    {"step": "vector_set_geom_type"},
+    {"step": "vector_explode_collections"},
+    {"step": "vector_reproject"},
+    {"step": "vector_simplify_coverage", "tolerance": 10.0},
+], ids=lambda s: s["step"])
+def test_vector_ring_steps_drive_from_json(step):
+    df = _drive([step], _ring_table())
+    assert len(df) > 0
+
+
+@pytest.mark.parametrize("algo_step", [
+    {"step": "vector_grid", "zoom": 8, "value_col": "k"},
+    {"step": "vector_grid_invdist", "zoom": 8, "value_col": "k"},
+    {"step": "vector_grid_invdistnn", "zoom": 8, "value_col": "k"},
+    {"step": "vector_grid_nearest", "zoom": 8, "value_col": "k"},
+    {"step": "vector_grid_average", "zoom": 8, "value_col": "k",
+     "radius": 2000.0},
+    {"step": "vector_grid_linear", "zoom": 8, "value_col": "k"},
+    {"step": "vector_grid_data_metrics", "zoom": 8, "value_col": "k"},
+], ids=lambda s: s["step"] + "-" + s.get("algorithm", ""))
+def test_vector_grid_steps_drive_from_json(algo_step, smoke_fixtures):
+    df = _drive([
+        {"step": "read_parquet", "path": smoke_fixtures["points"]},
+        algo_step,
+    ])
+    assert len(df) > 0
+
+
+def test_vector_misc_steps_drive_from_json(smoke_fixtures, tmp_path):
+    pts = smoke_fixtures["points"]
+    total = rd.read_parquet(pts).count()
+
+    df = _drive([
+        {"step": "read_parquet", "path": pts},
+        {"step": "vector_sql", "sql": "SELECT pid, k FROM t WHERE k > 0"},
+    ])
+    assert 0 < len(df) <= total and set(df.columns) == {"pid", "k"}
+
+    df = _drive([
+        {"step": "read_parquet", "path": pts},
+        {"step": "vector_concat", "paths": [pts]},
+    ])
+    assert len(df) == 2 * total
+
+    df = _drive([
+        {"step": "read_parquet", "path": smoke_fixtures["polygons"]},
+        {"step": "vector_index", "zoom": 8},
+    ])
+    assert len(df) > 0 and "cell" in df.columns
+
+    df = _drive([
+        {"step": "read_parquet", "path": smoke_fixtures["polygons"]},
+        {"step": "select", "columns": ["fid", "category"]},
+    ])
+    assert set(df.columns) == {"fid", "category"}
+
+
+def test_cell_assign_and_sinks_drive_from_json(smoke_fixtures, tmp_path):
+    out1 = str(tmp_path / "plain")
+    df = _drive([
+        {"step": "read_parquet", "path": smoke_fixtures["polygons"]},
+        {"step": "assign_cells", "zoom": 8},
+        {"step": "write_parquet", "path": out1},
+    ])
+    back = rd.read_parquet(out1).to_pandas()
+    assert len(back) > 0 and "cell" in back.columns
+
+    out2 = str(tmp_path / "part")
+    _drive([
+        {"step": "read_parquet", "path": smoke_fixtures["polygons"]},
+        {"step": "assign_cells", "zoom": 8},
+        {"step": "write_partitioned", "path": out2, "key_col": "cell"},
+    ])
+    import glob
+    assert glob.glob(out2 + "/*/*.parquet"), "partitioned layout expected"
+
+
+# ---------------------------------------------------------------------------
+# mdim tail: slice + netcdf reader step
+# ---------------------------------------------------------------------------
+
+def test_mdim_slice_and_netcdf_steps(tmp_path):
+    from gdal_ray.sources.netcdf import write_netcdf
+    from gdal_ray.sources.zarr import write_zarr
+    from gdal_ray.stages import mdim as M
+
+    spec = M.MDSpec((8, 16, 16), (4, 8, 8), "int64")
+    fill = lambda i, j, k: (i * 5 + j * 2 + k) % 30  # noqa: E731
+    src = str(tmp_path / "s.zarr")
+    write_zarr(M.mdim_create(spec, fill, parallelism=2), spec,
+               src).to_pandas()
+
+    df = _drive([
+        {"step": "mdim_read_zarr", "path": src},
+        {"step": "mdim_slice", "ranges": [[0, 4], [0, 16], [4, 12]]},
+        {"step": "mdim_checksums", "tag": "s"},
+    ])
+    assert len(df) > 0
+
+    # netcdf reader step: write a classic file then replay from JSON
+    nc = str(tmp_path / "s.nc")
+    arr = np.arange(4 * 6 * 5, dtype=np.int32).reshape(4, 6, 5)
+    write_netcdf(nc, {"v": (("t", "y", "x"), arr)},
+                 dims={"t": 4, "y": 6, "x": 5})
+    df = _drive([
+        {"step": "mdim_read_netcdf", "path": nc, "var": "v"},
+        {"step": "mdim_checksums", "tag": "n"},
+    ])
+    assert len(df) > 0
+
+
+# ---------------------------------------------------------------------------
+# completeness: every registered step is exercised from JSON somewhere
+# ---------------------------------------------------------------------------
+
+def test_every_registered_step_is_driven_in_tests():
+    import glob
+
+    src = ""
+    for f in glob.glob("tests/test_spec*.py"):
+        src += open(f).read()
+    missing = [n for n in list_steps()
+               if f'"{n}"' not in src and f"'{n}'" not in src]
+    assert not missing, f"steps never driven from JSON in tests: {missing}"
