@@ -624,6 +624,97 @@ def _tokenize(argb: np.ndarray, xsize: int, use_lz77: bool,
 
 
 # ---------------------------------------------------------------------------
+# Color-indexing transform (spec §"Color indexing transform")
+# ---------------------------------------------------------------------------
+
+def _palette_width_bits(n_colors: int) -> int:
+    """Sub-pixel packing: <=2 colors -> 8 px/byte, <=4 -> 4, <=16 -> 2."""
+    if n_colors <= 2:
+        return 3
+    if n_colors <= 4:
+        return 2
+    if n_colors <= 16:
+        return 1
+    return 0
+
+
+def _palette_forward(argb: np.ndarray, w: int,
+                     h: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Map pixels to palette indices and bundle.
+
+    Returns (packed green-channel image flat uint32, table uint32
+    ascending, packed width).  Raises if more than 256 distinct colors.
+    """
+    table = np.unique(argb)
+    if len(table) > 256:
+        raise ValueError(
+            f"palette encoding needs <= 256 distinct colors, got "
+            f"{len(table)}")
+    idx = np.searchsorted(table, argb).astype(np.uint32)
+    wb = _palette_width_bits(len(table))
+    if wb == 0:
+        packed = idx
+        pw = w
+    else:
+        ppb = 1 << wb            # pixels per packed byte
+        bits_pp = 8 >> wb        # bits per pixel
+        pw = (w + ppb - 1) >> wb
+        grid = np.zeros((h, pw * ppb), dtype=np.uint32)
+        grid[:, :w] = idx.reshape(h, w)
+        sub = grid.reshape(h, pw, ppb)
+        shifts = (np.arange(ppb, dtype=np.uint32) * bits_pp)[None, None, :]
+        packed = (sub << shifts).sum(axis=2, dtype=np.uint32).ravel()
+    out = np.uint32(0xFF000000) | (packed << 8)
+    return out, table, pw
+
+
+def _palette_inverse(a, r, g, b, w: int, h: int, table: np.ndarray,
+                     pw: int):
+    """Expand bundled indices and look up the palette (out-of-range
+    indices map to 0x00000000, the libwebp convention)."""
+    wb = _palette_width_bits(len(table))
+    green = g.reshape(h, pw).astype(np.uint32)
+    if wb == 0:
+        idx = green
+    else:
+        bits_pp = 8 >> wb
+        mask = (1 << bits_pp) - 1
+        x = np.arange(w, dtype=np.int64)
+        src = green[:, x >> wb]
+        shift = ((x & ((1 << wb) - 1)) * bits_pp).astype(np.uint32)
+        idx = (src >> shift[None, :]) & mask
+    safe = idx < len(table)
+    px = np.where(safe, table[np.minimum(idx, len(table) - 1)],
+                  np.uint32(0))
+    return ((px >> 24) & 0xFF).ravel(), ((px >> 16) & 0xFF).ravel(), \
+        ((px >> 8) & 0xFF).ravel(), (px & 0xFF).ravel()
+
+
+def _emit_palette_table(bw: _BitWriter, table: np.ndarray) -> None:
+    """Palette entries are stored component-delta-coded (uint8 wrap vs
+    the previous entry) as a width=n, height=1 entropy image."""
+    t = table.astype(np.uint32)
+    prev = np.zeros(len(t), dtype=np.uint32)
+    prev[1:] = t[:-1]
+    delta = np.uint32(0)
+    comps = []
+    for sh in (24, 16, 8, 0):
+        d = (((t >> sh) & 0xFF) - ((prev >> sh) & 0xFF)) & 0xFF
+        comps.append(d << sh)
+    delta = comps[0] | comps[1] | comps[2] | comps[3]
+    _emit_entropy_stream(bw, delta, len(t), True, 0)
+
+
+def _read_palette_table(br: _BitReader, n: int) -> np.ndarray:
+    delta = _decode_entropy_stream(br, n, 1)
+    comps = []
+    for sh in (24, 16, 8, 0):
+        c = np.cumsum((delta >> sh) & 0xFF).astype(np.uint32) & 0xFF
+        comps.append(c << sh)
+    return comps[0] | comps[1] | comps[2] | comps[3]
+
+
+# ---------------------------------------------------------------------------
 # Predictor transform (spec §"Predictor transform": 14 modes, per-block)
 # ---------------------------------------------------------------------------
 
@@ -880,13 +971,20 @@ def _emit_entropy_stream(bw: _BitWriter, argb: np.ndarray, xsize: int,
 def encode_webp(img: np.ndarray, *, use_lz77: bool = True,
                 cache_bits: int = 0, subtract_green: bool = True,
                 predictor: bool = False,
-                predictor_bits: int = 4) -> bytes:
+                predictor_bits: int = 4,
+                palette: bool = False) -> bytes:
     """Encode (h, w, 3|4) uint8 -> lossless WebP (RIFF/VP8L) bytes.
 
     ``predictor=True`` adds the spatial predictor transform (per-block
     best of the 14 spec modes, block size ``1 << predictor_bits``) —
     much smaller output on smooth content; decode of predicted files
     runs a sequential per-pixel inverse (encode stays vectorized).
+
+    ``palette=True`` uses the color-indexing transform (<= 256
+    distinct colors required; <= 16 colors additionally bundle 2-8
+    pixels per byte) — it is the SOLE transform in that mode
+    (subtract-green/predictor are skipped: they would operate on
+    index bytes, which only hurts).
     """
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[2] not in (3, 4):
@@ -906,7 +1004,7 @@ def encode_webp(img: np.ndarray, *, use_lz77: bool = True,
     else:
         a = np.full(h * w, 255, dtype=np.uint32)
     alpha_used = bool(np.any(a != 255))
-    if subtract_green:
+    if subtract_green and not palette:
         r = (r - g) & 0xFF
         b = (b - g) & 0xFF
     argb = (a << 24) | (r << 16) | (g << 8) | b
@@ -918,6 +1016,15 @@ def encode_webp(img: np.ndarray, *, use_lz77: bool = True,
     bw.put(0, 3)  # version
     # forward transforms are applied in write order; the decoder undoes
     # them in reverse read order (subtract-green first, predictor last)
+    if palette:
+        argb, table, pw = _palette_forward(argb, w, h)
+        bw.put(1, 1)
+        bw.put(3, 2)  # COLOR_INDEXING
+        bw.put(len(table) - 1, 8)
+        _emit_palette_table(bw, table)
+        bw.put(0, 1)  # no more transforms
+        _emit_entropy_stream(bw, argb, pw, use_lz77, cache_bits)
+        return _wrap_riff(b"\x2f" + bw.tobytes())
     if subtract_green:
         bw.put(1, 1)
         bw.put(2, 2)  # SUBTRACT_GREEN
@@ -980,13 +1087,12 @@ def decode_webp(data: bytes) -> np.ndarray:
         raise ValueError(f"VP8L: unsupported version {version}")
 
     transforms: list[tuple] = []
+    eff_w = w
     while br.read(1):
         t = br.read(2)
-        if t not in (0, 2):
+        if t == 1:
             raise NotImplementedError(
-                "VP8L: only the predictor and subtract-green transforms "
-                f"are supported (got transform type {t}: "
-                f"{['predictor', 'cross-color', 'subtract-green', 'color-indexing'][t]})")
+                "VP8L: the cross-color transform is not supported")
         if any(t == seen for seen, _ in transforms):
             raise ValueError("VP8L: duplicate transform")
         if t == 0:  # predictor: size bits + subresolution mode image
@@ -996,10 +1102,22 @@ def decode_webp(data: bytes) -> np.ndarray:
             mode_img = _decode_entropy_stream(br, subw, subh)
             modes = ((mode_img >> 8) & 0xFF).astype(np.uint8)
             transforms.append((0, (bits, modes.reshape(subh, subw))))
+        elif t == 3:  # color indexing: palette + bundled width
+            n = br.read(8) + 1
+            table = _read_palette_table(br, n)
+            wb = _palette_width_bits(n)
+            eff_w = (w + (1 << wb) - 1) >> wb
+            transforms.append((3, table))
         else:
             transforms.append((2, None))
+    if any(t == 3 for t, _ in transforms) and len(transforms) > 1:
+        # our encoder emits color indexing alone; mixing it with
+        # width-changing siblings needs the spec's staged-width rules
+        raise NotImplementedError(
+            "VP8L: color indexing combined with other transforms is "
+            "not supported")
 
-    argb = _decode_entropy_stream(br, w, h)
+    argb = _decode_entropy_stream(br, eff_w, h)
 
     a = (argb >> 24) & 0xFF
     r = (argb >> 16) & 0xFF
@@ -1012,6 +1130,9 @@ def decode_webp(data: bytes) -> np.ndarray:
         elif t == 0:  # inverse predictor
             bits, modes = payload_t
             a, r, g, b = _predictor_inverse(a, r, g, b, w, h, bits, modes)
+        elif t == 3:  # inverse color indexing
+            a, r, g, b = _palette_inverse(a, r, g, b, w, h, payload_t,
+                                          eff_w)
     rgba = np.empty((h, w, 4), dtype=np.uint8)
     rgba[:, :, 0] = r.reshape(h, w)
     rgba[:, :, 1] = g.reshape(h, w)

@@ -309,6 +309,62 @@ def test_predictor_transform_order_in_header():
 
 
 # ---------------------------------------------------------------------------
+# color-indexing transform
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ncol", [1, 2, 3, 4, 5, 16, 17, 200, 256])
+def test_palette_round_trip_all_bundle_tiers(ncol):
+    r = rng()
+    pal = r.integers(0, 256, (ncol, 4), np.uint8)
+    idx = r.integers(0, ncol, (11, 23))
+    img = pal[idx]
+    for lz in (False, True):
+        for cb in (0, 4):
+            d = encode_webp(img, palette=True, use_lz77=lz, cache_bits=cb)
+            out = decode_webp(d)
+            assert (out == img).all(), (ncol, lz, cb)
+
+
+def test_palette_bundles_and_compresses():
+    r = rng()
+    img = (r.integers(0, 2, (64, 64, 1))
+           * np.array([255, 128, 0], np.uint8)[None, None, :]).astype(np.uint8)
+    plain = encode_webp(img, use_lz77=False)
+    pal = encode_webp(img, palette=True, use_lz77=False)
+    assert len(pal) < len(plain)  # 8 px/byte bundling
+    assert (decode_webp(pal)[:, :, :3] == img).all()
+
+
+def test_palette_header_bits():
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[0, 0] = 7  # 2 colors
+    d = encode_webp(img, palette=True)
+    br = _BitReader(d[21:])
+    br.read(14 + 14 + 1 + 3)
+    assert br.read(1) == 1  # transform present
+    assert br.read(2) == 3  # COLOR_INDEXING
+    assert br.read(8) == 1  # table size - 1
+    info = webp_info(d)
+    assert info["transforms"] == ["color-indexing"]
+
+
+def test_palette_width_not_multiple_of_bundle():
+    # w=13 with 4 colors -> 2 bits/px, 4 px/byte, packed w=4 with
+    # 3 padding subpixels in the last byte of every row
+    r = rng()
+    pal = r.integers(0, 256, (4, 3), np.uint8)
+    img = pal[r.integers(0, 4, (5, 13))]
+    d = encode_webp(img, palette=True)
+    assert (decode_webp(d)[:, :, :3] == img).all()
+
+
+def test_palette_rejects_too_many_colors():
+    img = rng().integers(0, 256, (32, 32, 3), np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        encode_webp(img, palette=True)
+
+
+# ---------------------------------------------------------------------------
 # error paths
 # ---------------------------------------------------------------------------
 
