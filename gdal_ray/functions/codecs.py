@@ -169,7 +169,10 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "webp":
         from . import webp
 
-        return webp.encode_webp(img)
+        # pipeline default: the fully vectorized literal path (lossless
+        # either way; LZ77/cache/predictor stay available through
+        # functions.webp.encode_webp for interchange-grade compression)
+        return webp.encode_webp(img, use_lz77=False)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -28,7 +28,6 @@ by a third-party golden.
 
 from __future__ import annotations
 
-import heapq
 import struct
 
 import numpy as np
@@ -162,6 +161,15 @@ def _rev_bits(code: int, length: int) -> int:
     return r
 
 
+_REV8 = np.array([_rev_bits(i, 8) for i in range(256)], dtype=np.int64)
+
+
+def _rev_bits_vec(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized within-length bit reversal (lengths <= 16)."""
+    rev16 = (_REV8[codes & 0xFF] << 8) | _REV8[(codes >> 8) & 0xFF]
+    return rev16 >> (16 - lengths)
+
+
 def _canonical_codes(lengths: np.ndarray) -> np.ndarray:
     """DEFLATE canonical code assignment (increasing within a length)."""
     lengths = np.asarray(lengths, dtype=np.int64)
@@ -184,26 +192,40 @@ def _canonical_codes(lengths: np.ndarray) -> np.ndarray:
 
 
 def _plain_huffman_lengths(freqs: np.ndarray) -> np.ndarray:
-    """Unlimited Huffman code lengths for positive ``freqs`` (n >= 2)."""
+    """Unlimited Huffman code lengths for positive ``freqs`` (n >= 2).
+
+    Two-queue construction (leaves sorted once, merged nodes emerge in
+    nondecreasing weight order), then depths via parent pointers.
+    Deterministic: ties prefer the leaf queue, then lower index."""
     n = len(freqs)
-    heap = [(int(f), i, i) for i, f in enumerate(freqs)]
-    heapq.heapify(heap)
-    parent = {}
+    order = np.lexsort((np.arange(n), np.asarray(freqs)))
+    leaf_w = [int(freqs[i]) for i in order]
+    li = 0                      # leaf queue head
+    node_w: list[int] = []      # merged-node weights (FIFO)
+    ni = 0
+    parent = [0] * (2 * n - 1)  # tree ids: leaves 0..n-1, merges follow
     nxt = n
-    while len(heap) > 1:
-        fa, _, a = heapq.heappop(heap)
-        fb, _, b = heapq.heappop(heap)
+
+    def pop_min():
+        nonlocal li, ni
+        if li < n and (ni >= len(node_w) or leaf_w[li] <= node_w[ni]):
+            li += 1
+            return leaf_w[li - 1], int(order[li - 1])
+        ni += 1
+        return node_w[ni - 1], n + ni - 1
+
+    for _ in range(n - 1):
+        wa, a = pop_min()
+        wb, b = pop_min()
         parent[a] = nxt
         parent[b] = nxt
-        heapq.heappush(heap, (fa + fb, nxt, nxt))
+        node_w.append(wa + wb)
         nxt += 1
-    lengths = np.zeros(n, dtype=np.int64)
-    for i in range(n):
-        d, node = 0, i
-        while node in parent:
-            node = parent[node]
-            d += 1
-        lengths[i] = max(d, 1)
+    # depths: root (last merge) depth 0, children = parent depth + 1
+    depth = [0] * (2 * n - 1)
+    for node in range(2 * n - 3, -1, -1):
+        depth[node] = depth[parent[node]] + 1
+    lengths = np.maximum(np.array(depth[:n], dtype=np.int64), 1)
     return lengths
 
 
@@ -254,13 +276,14 @@ def _limited_lengths(freqs: np.ndarray, maxlen: int) -> np.ndarray:
 class _PrefixCode:
     """Decoder side: single-level LUT over ``maxlen`` peeked bits."""
 
-    __slots__ = ("lut", "maxlen", "single")
+    __slots__ = ("lut", "maxlen", "single", "max_sym")
 
     def __init__(self, lengths: np.ndarray | None, single: int | None = None):
         self.single = single
         if single is not None:
             self.lut = None
             self.maxlen = 0
+            self.max_sym = single
             return
         lengths = np.asarray(lengths, dtype=np.int64)
         used = np.nonzero(lengths)[0]
@@ -274,17 +297,17 @@ class _PrefixCode:
             raise ValueError("VP8L: invalid (incomplete/oversubscribed) code")
         self.maxlen = maxlen
         codes = _canonical_codes(lengths)
-        lut = np.zeros(1 << maxlen, dtype=np.int64)
-        lut[:] = -1
-        for sym in used:
-            l = int(lengths[sym])
-            rev = _rev_bits(int(codes[sym]), l)
-            fill = np.arange(1 << (maxlen - l), dtype=np.int64)
-            lut[rev + (fill << l)] = (int(sym) << 4) | l
-        if used.size == 1:
-            # single symbol serialized with length 1: bit 0 selects it
-            pass
+        lut = np.full(1 << maxlen, -1, dtype=np.int64)
+        revs = _rev_bits_vec(codes[used], lengths[used])
+        entries = (used << 4) | lengths[used]
+        # fill grouped by code length: <=15 vectorized scatters
+        for l in np.unique(lengths[used]):
+            sel = lengths[used] == l
+            fill = (np.arange(1 << (maxlen - l), dtype=np.int64) << l)
+            idx = revs[sel][:, None] + fill[None, :]
+            lut[idx.ravel()] = np.repeat(entries[sel], len(fill))
         self.lut = lut
+        self.max_sym = int(used.max())
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
@@ -318,8 +341,8 @@ class _EncCode:
         lengths = np.asarray(lengths, dtype=np.int64)
         canon = _canonical_codes(lengths)
         rev = np.zeros(len(lengths), dtype=np.int64)
-        for s in np.nonzero(lengths)[0]:
-            rev[s] = _rev_bits(int(canon[s]), int(lengths[s]))
+        used = np.nonzero(lengths)[0]
+        rev[used] = _rev_bits_vec(canon[used], lengths[used])
         self.codes = rev
         self.lengths = lengths
 
@@ -444,6 +467,7 @@ def _read_prefix_code(br: _BitReader, alphabet: int) -> _PrefixCode:
         pc.single = None
         pc.maxlen = 1
         pc.lut = np.array([(s0 << 4) | 1, (s1 << 4) | 1], dtype=np.int64)
+        pc.max_sym = max(s0, s1)
         return pc
 
     num_cl = 4 + br.read(4)
@@ -1160,6 +1184,11 @@ def _decode_entropy_stream(br: _BitReader, w: int, h: int) -> np.ndarray:
     dcode = _read_prefix_code(br, _NUM_DISTANCE_CODES)
 
     n = w * h
+    if cache_bits == 0 and gcode.max_sym < _NUM_LITERALS:
+        # pure literal stream (the vectorized-encoder common case): no
+        # copies or cache symbols can appear, so decode with the tight
+        # one-window-per-pixel loop (~4x the generic symbol loop)
+        return _decode_literal_stream(br, n, gcode, rcode, bcode, acode)
     out = np.zeros(n, dtype=np.uint32)
     cache = np.zeros(cache_size, dtype=np.uint32) if cache_size else None
     pos = 0
@@ -1205,6 +1234,66 @@ def _decode_entropy_stream(br: _BitReader, w: int, h: int) -> np.ndarray:
             out[pos] = cache[ci]
             pos += 1
     return out
+
+
+def _decode_literal_stream(br: _BitReader, n: int, gcode: _PrefixCode,
+                           rcode: _PrefixCode, bcode: _PrefixCode,
+                           acode: _PrefixCode) -> np.ndarray:
+    """Literal-only symbol stream: one 64-bit window load decodes all
+    four channel codes of a pixel (4 codes x <=15 bits <= 60 bits).
+    Python-list LUTs avoid numpy scalar boxing in the hot loop."""
+    def mk(code: _PrefixCode) -> tuple[list, int]:
+        if code.single is not None:
+            return [code.single << 4], 0  # 0-bit code: mask 0 -> idx 0
+        return code.lut.tolist(), (1 << code.maxlen) - 1
+
+    glut, gmask = mk(gcode)
+    rlut, rmask = mk(rcode)
+    blut, bmask = mk(bcode)
+    alut, amask = mk(acode)
+    d = br.data
+    pos = br.pos
+    limit = br.limit + 64  # padded tail tolerates the final window load
+    gs = [0] * n
+    rs = [0] * n
+    bs = [0] * n
+    as_ = [0] * n
+    frombytes = int.from_bytes
+    for i in range(n):
+        if pos + 60 > limit:
+            raise ValueError("VP8L: bitstream truncated")
+        w64 = frombytes(d[pos >> 3:(pos >> 3) + 8], "little") >> (pos & 7)
+        e = glut[w64 & gmask]
+        if e < 0:
+            raise ValueError("VP8L: invalid prefix code word")
+        l = e & 15
+        gs[i] = e >> 4
+        w64 >>= l
+        c = l
+        e = rlut[w64 & rmask]
+        if e < 0:
+            raise ValueError("VP8L: invalid prefix code word")
+        l = e & 15
+        rs[i] = e >> 4
+        w64 >>= l
+        c += l
+        e = blut[w64 & bmask]
+        if e < 0:
+            raise ValueError("VP8L: invalid prefix code word")
+        l = e & 15
+        bs[i] = e >> 4
+        w64 >>= l
+        c += l
+        e = alut[w64 & amask]
+        if e < 0:
+            raise ValueError("VP8L: invalid prefix code word")
+        as_[i] = e >> 4
+        pos += c + (e & 15)
+    br.pos = pos
+    return ((np.array(as_, dtype=np.uint32) << 24)
+            | (np.array(rs, dtype=np.uint32) << 16)
+            | (np.array(gs, dtype=np.uint32) << 8)
+            | np.array(bs, dtype=np.uint32))
 
 
 def webp_info(data: bytes) -> dict:

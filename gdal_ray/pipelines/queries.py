@@ -1900,17 +1900,27 @@ def q52_multimodal_codecs(sf_dir: str):
             # image-quality scoring on the SAME decode (one decode per
             # chip for the whole multimodal suite)
             bq, lq, eq = image_quality_metrics(img)
-            # VP8L round trip: the oracle checksums the ORIGINAL pixels
-            # (lossless-identity claim), so any bitstream defect in the
-            # from-scratch webp codec lands as a driver-row mismatch
-            wdec = codecs.decode(
-                codecs.encode(img, "webp"), cols["w"][i], cols["h"][i], "webp")
-            wcs = checksum.checksum_image(wdec)
-            kinds += ["jpeg_cs", "jpeg_psnr", "img_quality", "webp_cs"]
-            ids += [cols["image_id"][i]] * 4
-            a_o += [int(cs[0]), pm, bq, int(wcs[0])]
-            b_o += [int(cs[1]), 0, lq, int(wcs[1])]
-            v_o += [int(cs[2]), 0, eq, int(wcs[2])]
+            kinds += ["jpeg_cs", "jpeg_psnr", "img_quality"]
+            ids += [cols["image_id"][i]] * 3
+            a_o += [int(cs[0]), pm, bq]
+            b_o += [int(cs[1]), 0, lq]
+            v_o += [int(cs[2]), 0, eq]
+            # VP8L round trip on a deterministic 1-in-4 chip subset
+            # (id-numeral rule, mirrored verbatim by the oracle): the
+            # oracle checksums the ORIGINAL pixels (lossless-identity
+            # claim), so any bitstream defect in the from-scratch webp
+            # codec lands as a driver-row mismatch.  Subsetting keeps
+            # the Python-loop VP8L symbol decode off 3/4 of the suite.
+            if int(cols["image_id"][i][3:]) % 4 == 0:
+                wdec = codecs.decode(
+                    codecs.encode(img, "webp"),
+                    cols["w"][i], cols["h"][i], "webp")
+                wcs = checksum.checksum_image(wdec)
+                kinds.append("webp_cs")
+                ids.append(cols["image_id"][i])
+                a_o.append(int(wcs[0]))
+                b_o.append(int(wcs[1]))
+                v_o.append(int(wcs[2]))
         return pa.table(
             {
                 "kind": pa.array(kinds, pa.string()),
