@@ -739,6 +739,108 @@ def _read_palette_table(br: _BitReader, n: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Cross-color transform (spec §"Color transform")
+# ---------------------------------------------------------------------------
+#
+# Per block, three signed 3.5 fixed-point multipliers decorrelate the
+# channels:  red'  = red  - (g2r*green)>>5
+#            blue' = blue - (g2b*green)>>5 - (r2b*red)>>5   [orig red]
+# Inverse adds the deltas back (blue uses the RECOVERED red).  All
+# same-pixel arithmetic -> both directions fully vectorized.  The
+# element is stored as a subresolution pixel: b=g2r, g=g2b, r=r2b.
+
+_XC_CANDIDATES = np.array(
+    [-96, -64, -48, -32, -24, -16, -8, -4, 0, 4, 8, 16, 24, 32, 48, 64, 96],
+    dtype=np.int64)
+
+
+def _xc_delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(int8 multiplier * int8 channel) >> 5, C arithmetic-shift."""
+    c8 = np.where(c > 127, c - 256, c)  # uint8 channel as int8
+    return (t * c8) >> 5
+
+
+def _xc_cost(res: np.ndarray) -> np.ndarray:
+    """Wrap-distance residual cost, summed over the block axis."""
+    return np.minimum(res, 256 - res).sum(axis=-1)
+
+
+def _cross_color_forward(argb: np.ndarray, w: int, h: int,
+                         bits: int) -> tuple[np.ndarray, np.ndarray,
+                                             int, int]:
+    """Greedy per-block multiplier choice from a fixed candidate set
+    (g2r on red; then g2b with r2b=0; then r2b given g2b — each step
+    vectorized over candidates x blocks)."""
+    bs = 1 << bits
+    subw = (w + bs - 1) >> bits
+    subh = (h + bs - 1) >> bits
+    A = argb.reshape(h, w)
+    g = ((A >> 8) & 0xFF).astype(np.int64)
+    r = ((A >> 16) & 0xFF).astype(np.int64)
+    b = (A & 0xFF).astype(np.int64)
+
+    # group pixels by block: pad to block multiples then reshape
+    def blocks(ch):
+        p = np.zeros((subh * bs, subw * bs), dtype=np.int64)
+        p[:h, :w] = ch
+        return (p.reshape(subh, bs, subw, bs).transpose(0, 2, 1, 3)
+                .reshape(subh * subw, bs * bs))
+
+    gb, rb, bb = blocks(g), blocks(r), blocks(b)
+    # mask padding out of costs (padding pixels are 0 -> residual 0
+    # for any multiplier, so they never bias the argmin)
+    cand = _XC_CANDIDATES[:, None, None]
+    res_r = (rb[None, :, :] - _xc_delta(cand, gb[None, :, :])) & 0xFF
+    g2r = _XC_CANDIDATES[np.argmin(_xc_cost(res_r), axis=0)]
+    res_b1 = (bb[None, :, :] - _xc_delta(cand, gb[None, :, :])) & 0xFF
+    g2b = _XC_CANDIDATES[np.argmin(_xc_cost(res_b1), axis=0)]
+    b_after_g = (bb - _xc_delta(g2b[:, None], gb)) & 0xFF
+    res_b2 = (b_after_g[None, :, :] - _xc_delta(cand, rb[None, :, :])) & 0xFF
+    r2b = _XC_CANDIDATES[np.argmin(_xc_cost(res_b2), axis=0)]
+
+    # apply per-pixel with the block maps
+    bmap_y = np.minimum(np.arange(h) >> bits, subh - 1)
+    bmap_x = np.minimum(np.arange(w) >> bits, subw - 1)
+    bidx = (bmap_y[:, None] * subw + bmap_x[None, :])
+    g2r_p = g2r[bidx]
+    g2b_p = g2b[bidx]
+    r2b_p = r2b[bidx]
+    new_r = (r - _xc_delta(g2r_p, g)) & 0xFF
+    new_b = (b - _xc_delta(g2b_p, g) - _xc_delta(r2b_p, r)) & 0xFF
+    out = ((A & np.uint32(0xFF00FF00))
+           | (new_r.astype(np.uint32) << 16) | new_b.astype(np.uint32))
+    # element pixels: a=255, r=r2b, g=g2b, b=g2r (signed bytes as uint8)
+    elem = (np.uint32(0xFF000000)
+            | ((r2b & 0xFF).astype(np.uint32) << 16)
+            | ((g2b & 0xFF).astype(np.uint32) << 8)
+            | (g2r & 0xFF).astype(np.uint32)).reshape(subh, subw)
+    return out.ravel(), elem, subw, subh
+
+
+def _cross_color_inverse(a, r, g, b, w: int, h: int, bits: int,
+                         elem: np.ndarray):
+    """Vectorized inverse: red first, then blue with the recovered red."""
+    subw = elem.shape[1]
+    subh = elem.shape[0]
+    bmap_y = np.minimum(np.arange(h) >> bits, subh - 1)
+    bmap_x = np.minimum(np.arange(w) >> bits, subw - 1)
+    E = elem[bmap_y[:, None], bmap_x[None, :]]
+
+    def s8(x):
+        return np.where(x > 127, x - 256, x).astype(np.int64)
+
+    g2r = s8((E) & 0xFF)
+    g2b = s8((E >> 8) & 0xFF)
+    r2b = s8((E >> 16) & 0xFF)
+    G = g.reshape(h, w).astype(np.int64)
+    R = r.reshape(h, w).astype(np.int64)
+    B = b.reshape(h, w).astype(np.int64)
+    R = (R + _xc_delta(g2r, G)) & 0xFF
+    B = (B + _xc_delta(g2b, G) + _xc_delta(r2b, R)) & 0xFF
+    return a, R.ravel().astype(np.uint32), g, B.ravel().astype(np.uint32)
+
+
+# ---------------------------------------------------------------------------
 # Predictor transform (spec §"Predictor transform": 14 modes, per-block)
 # ---------------------------------------------------------------------------
 
@@ -996,6 +1098,8 @@ def encode_webp(img: np.ndarray, *, use_lz77: bool = True,
                 cache_bits: int = 0, subtract_green: bool = True,
                 predictor: bool = False,
                 predictor_bits: int = 4,
+                cross_color: bool = False,
+                cross_color_bits: int = 4,
                 palette: bool = False) -> bytes:
     """Encode (h, w, 3|4) uint8 -> lossless WebP (RIFF/VP8L) bytes.
 
@@ -1003,6 +1107,10 @@ def encode_webp(img: np.ndarray, *, use_lz77: bool = True,
     best of the 14 spec modes, block size ``1 << predictor_bits``) —
     much smaller output on smooth content; decode of predicted files
     runs a sequential per-pixel inverse (encode stays vectorized).
+
+    ``cross_color=True`` adds the cross-color transform (per-block
+    g2r/g2b/r2b signed 3.5 fixed-point channel decorrelation, greedy
+    candidate-set selection) — vectorized both directions.
 
     ``palette=True`` uses the color-indexing transform (<= 256
     distinct colors required; <= 16 colors additionally bundle 2-8
@@ -1020,6 +1128,8 @@ def encode_webp(img: np.ndarray, *, use_lz77: bool = True,
         raise ValueError("cache_bits must be 0..11")
     if not 2 <= predictor_bits <= 9:
         raise ValueError("predictor_bits must be 2..9")
+    if not 2 <= cross_color_bits <= 9:
+        raise ValueError("cross_color_bits must be 2..9")
     r = img[:, :, 0].astype(np.uint32).ravel()
     g = img[:, :, 1].astype(np.uint32).ravel()
     b = img[:, :, 2].astype(np.uint32).ravel()
@@ -1052,6 +1162,13 @@ def encode_webp(img: np.ndarray, *, use_lz77: bool = True,
     if subtract_green:
         bw.put(1, 1)
         bw.put(2, 2)  # SUBTRACT_GREEN
+    if cross_color:
+        argb, elem, subw, subh = _cross_color_forward(argb, w, h,
+                                                      cross_color_bits)
+        bw.put(1, 1)
+        bw.put(1, 2)  # CROSS_COLOR
+        bw.put(cross_color_bits - 2, 3)
+        _emit_entropy_stream(bw, elem.ravel(), subw, True, 0)
     if predictor:
         argb, modes, subw, subh = _predictor_forward(argb, w, h,
                                                      predictor_bits)
@@ -1114,9 +1231,6 @@ def decode_webp(data: bytes) -> np.ndarray:
     eff_w = w
     while br.read(1):
         t = br.read(2)
-        if t == 1:
-            raise NotImplementedError(
-                "VP8L: the cross-color transform is not supported")
         if any(t == seen for seen, _ in transforms):
             raise ValueError("VP8L: duplicate transform")
         if t == 0:  # predictor: size bits + subresolution mode image
@@ -1126,6 +1240,12 @@ def decode_webp(data: bytes) -> np.ndarray:
             mode_img = _decode_entropy_stream(br, subw, subh)
             modes = ((mode_img >> 8) & 0xFF).astype(np.uint8)
             transforms.append((0, (bits, modes.reshape(subh, subw))))
+        elif t == 1:  # cross-color: size bits + element image
+            bits = br.read(3) + 2
+            subw = (w + (1 << bits) - 1) >> bits
+            subh = (h + (1 << bits) - 1) >> bits
+            elem = _decode_entropy_stream(br, subw, subh)
+            transforms.append((1, (bits, elem.reshape(subh, subw))))
         elif t == 3:  # color indexing: palette + bundled width
             n = br.read(8) + 1
             table = _read_palette_table(br, n)
@@ -1154,6 +1274,9 @@ def decode_webp(data: bytes) -> np.ndarray:
         elif t == 0:  # inverse predictor
             bits, modes = payload_t
             a, r, g, b = _predictor_inverse(a, r, g, b, w, h, bits, modes)
+        elif t == 1:  # inverse cross-color
+            bits, elem = payload_t
+            a, r, g, b = _cross_color_inverse(a, r, g, b, w, h, bits, elem)
         elif t == 3:  # inverse color indexing
             a, r, g, b = _palette_inverse(a, r, g, b, w, h, payload_t,
                                           eff_w)

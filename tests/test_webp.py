@@ -375,17 +375,62 @@ def test_rejects_lossy_vp8():
         decode_webp(fake)
 
 
-def test_rejects_unknown_transform():
+def test_rejects_duplicate_transform():
     bw = _BitWriter()
     bw.put(0, 14)
     bw.put(0, 14)
     bw.put(0, 1)
     bw.put(0, 3)
     bw.put(1, 1)   # transform present
-    bw.put(1, 2)   # CROSS-COLOR
+    bw.put(2, 2)   # SUBTRACT_GREEN
+    bw.put(1, 1)   # another transform
+    bw.put(2, 2)   # SUBTRACT_GREEN again
     from gdal_ray.functions.webp import _wrap_riff
-    with pytest.raises(NotImplementedError, match="cross-color"):
+    with pytest.raises(ValueError, match="duplicate"):
         decode_webp(_wrap_riff(b"\x2f" + bw.tobytes()))
+
+
+# ---------------------------------------------------------------------------
+# cross-color transform
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("sg", [False, True])
+@pytest.mark.parametrize("pred", [False, True])
+def test_cross_color_round_trip(sg, pred):
+    r = rng()
+    for shape in ((1, 1, 3), (7, 13, 3), (16, 16, 4), (33, 5, 4)):
+        img = r.integers(0, 256, shape, np.uint8)
+        d = encode_webp(img, cross_color=True, subtract_green=sg,
+                        predictor=pred)
+        out = decode_webp(d)
+        assert (out[:, :, :shape[2]] == img).all()
+
+
+def test_cross_color_delta_semantics():
+    # forward/inverse must mirror the spec's int8 3.5 fixed-point
+    # arithmetic exactly, including negative multipliers and the
+    # recovered-red dependency of blue
+    from gdal_ray.functions.webp import (_cross_color_forward,
+                                         _cross_color_inverse)
+    r = rng()
+    h, w = 9, 14
+    argb = (np.uint32(0xFF000000)
+            | (r.integers(0, 1 << 24, h * w).astype(np.uint32)))
+    out, elem, subw, subh = _cross_color_forward(argb, w, h, 2)
+    a = (out >> 24) & 0xFF
+    rr = (out >> 16) & 0xFF
+    g = (out >> 8) & 0xFF
+    b = out & 0xFF
+    a2, r2, g2, b2 = _cross_color_inverse(a, rr, g, b, w, h, 2, elem)
+    back = (a2 << 24) | (r2 << 16) | (g2 << 8) | b2
+    assert (back.astype(np.uint32) == argb).all()
+    assert elem.shape == (subh, subw) == (3, 4)
+
+
+def test_cross_color_header():
+    img = rng().integers(0, 256, (8, 8, 3), np.uint8)
+    info = webp_info(encode_webp(img, cross_color=True))
+    assert "cross-color" in info["transforms"]
 
 
 def test_rejects_truncated():
