@@ -1112,6 +1112,15 @@ def _buffer_ref(xs, ys, radius: float = 1000.0, quadseg: int = 8):
                 th = th0 + dth * s / m
                 wx.append(vx[k] + radius * np.cos(th))
                 wy.append(vy[k] + radius * np.sin(th))
+    return _node_split_dominant_ref(wx, wy)
+
+
+def _node_split_dominant_ref(wx, wy):
+    """Exact noding + first-repeat pinch split + dominant-ring pick of
+    a closed offset walk (shared by the polygon and line buffer refs;
+    everything here is exact Fraction arithmetic)."""
+    from fractions import Fraction
+
     # all-pairs exact noding of the closed offset walk
     w = len(wx)
     pts = [(Fraction(float(wx[i])), Fraction(float(wy[i]))) for i in range(w)]
@@ -1163,6 +1172,74 @@ def _buffer_ref(xs, ys, radius: float = 1000.0, quadseg: int = 8):
         abs(areas[q]) < areas[best] for q in range(len(rings)) if q != best
     )
     return len(rings[best]), n_cross, float(areas[best] / 2)
+
+
+def _buffer_line_ref(xs, ys, radius: float = 1000.0, quadseg: int = 8):
+    """-> (n_verts, n_cross, area) of the round-cap/round-join LINE
+    buffer (corridor).  Walk: right side forward, pi cap, left side
+    backward, pi cap — the same scalar float expression sequence as
+    the engine's buffer_line_chain (shared published discipline);
+    noding/split/dominant are exact Fractions via
+    _node_split_dominant_ref."""
+    m = len(xs)
+    vx = [np.float64(v) for v in xs]
+    vy = [np.float64(v) for v in ys]
+    ne = m - 1
+    dx = [vx[i + 1] - vx[i] for i in range(ne)]
+    dy = [vy[i + 1] - vy[i] for i in range(ne)]
+    L = [np.hypot(dx[i], dy[i]) for i in range(ne)]
+    nx = [dy[i] / L[i] for i in range(ne)]
+    ny = [-dx[i] / L[i] for i in range(ne)]
+    quantum = (np.pi / 2.0) / quadseg
+    wx: list = []
+    wy: list = []
+
+    def fillet(cx, cy, th0, th1):
+        dth = (th1 - th0) % (2.0 * np.pi)
+        k = max(1, int(np.ceil(dth / quantum - 1e-12)))
+        for s in range(1, k):
+            th = th0 + dth * s / k
+            wx.append(cx + radius * np.cos(th))
+            wy.append(cy + radius * np.sin(th))
+
+    for i in range(ne):
+        wx.append(vx[i] + radius * nx[i])
+        wy.append(vy[i] + radius * ny[i])
+        wx.append(vx[i + 1] + radius * nx[i])
+        wy.append(vy[i + 1] + radius * ny[i])
+        if i + 1 < ne:
+            crossz = dx[i] * dy[i + 1] - dy[i] * dx[i + 1]
+            if crossz > 0:
+                fillet(vx[i + 1], vy[i + 1],
+                       np.arctan2(ny[i], nx[i]),
+                       np.arctan2(ny[i + 1], nx[i + 1]))
+    fillet(vx[-1], vy[-1],
+           np.arctan2(ny[ne - 1], nx[ne - 1]),
+           np.arctan2(-ny[ne - 1], -nx[ne - 1]))
+    for i in range(ne - 1, -1, -1):
+        wx.append(vx[i + 1] - radius * nx[i])
+        wy.append(vy[i + 1] - radius * ny[i])
+        wx.append(vx[i] - radius * nx[i])
+        wy.append(vy[i] - radius * ny[i])
+        if i > 0:
+            crossz = dx[i - 1] * dy[i] - dy[i - 1] * dx[i]
+            if crossz < 0:
+                fillet(vx[i], vy[i],
+                       np.arctan2(-ny[i], -nx[i]),
+                       np.arctan2(-ny[i - 1], -nx[i - 1]))
+    fillet(vx[0], vy[0],
+           np.arctan2(-ny[0], -nx[0]),
+           np.arctan2(ny[0], nx[0]))
+    ux: list = []
+    uy: list = []
+    for px_, py_ in zip(wx, wy):
+        if not ux or px_ != ux[-1] or py_ != uy[-1]:
+            ux.append(px_)
+            uy.append(py_)
+    if ux[0] == ux[-1] and uy[0] == uy[-1]:
+        ux.pop()
+        uy.pop()
+    return _node_split_dominant_ref(ux, uy)
 
 
 # ----------------------------- curve-suite golden (single-process ref)
@@ -1356,6 +1433,13 @@ def q57_geometry_ops(sf_dir: str) -> pd.DataFrame:
         if kk % 10 == 0:
             nverts, ncross, barea = _buffer_ref(vx, vy)
             rows.append(("bufferpoly", kk, nverts, ncross, barea))
+        # LINE buffer (fid % 10 == 5): open chain = the ngon's first
+        # ceil(n/2)+1 vertices, r=1000, round caps + round joins
+        if kk % 10 == 5:
+            nchain = len(vx) // 2 + 2
+            nverts, ncross, barea = _buffer_line_ref(vx[:nchain],
+                                                     vy[:nchain])
+            rows.append(("bufferline", kk, nverts, ncross, barea))
         # ISO curve suite (CircularString / CompoundCurve / CurvePolygon)
         for ckind, cn, cv in _curve_ref(kk, cx, cy):
             rows.append((ckind, kk, cn, 0, cv))

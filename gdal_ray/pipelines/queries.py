@@ -3523,12 +3523,48 @@ def q57_geometry_ops(sf_dir: str):
                      batch_format="pyarrow")
         .map_batches(tag_bufpoly, batch_format="pyarrow")
     )
+    # LINE buffer (fid % 10 == 5): open chain = first n//2+2 ring
+    # vertices, round caps + round joins, exact-noding dissolve
+    from ..stages.geomops import buffer_line_batch
+
+    def chains_fid5(t: pa.Table) -> pa.Table:
+        fid = t.column("fid").to_numpy(zero_copy_only=False)
+        keep = fid % 10 == 5
+        xs = [v[: len(v) // 2 + 2]
+              for v, k in zip(t.column("xs").to_pylist(), keep) if k]
+        ys = [v[: len(v) // 2 + 2]
+              for v, k in zip(t.column("ys").to_pylist(), keep) if k]
+        return pa.table(
+            {
+                "fid": pa.array(fid[keep], pa.int64()),
+                "xs": pa.array(xs, pa.list_(pa.float64())),
+                "ys": pa.array(ys, pa.list_(pa.float64())),
+            }
+        )
+
+    def tag_bufline(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["bufferline"] * t.num_rows, pa.string()),
+                "fid": t.column("fid"),
+                "a": t.column("n_verts"),
+                "b": t.column("n_cross"),
+                "v": t.column("area"),
+            }
+        )
+
+    bfl = (
+        ngons.map_batches(chains_fid5, batch_format="pyarrow")
+        .map_batches(buffer_line_batch(radius=1000.0),
+                     batch_format="pyarrow")
+        .map_batches(tag_bufline, batch_format="pyarrow")
+    )
     # ISO curve WKB parse + 4-degree linearization suite
     crv = ngons.map_batches(curve_suite_batch, batch_format="pyarrow")
 
     out = cen.union(simp).union(buf).union(clip).union(seg).union(swp)
     out = out.union(exp).union(mkv).union(rpj).union(sgt)
-    out = out.union(hul).union(dst).union(bfp).union(crv)
+    out = out.union(hul).union(dst).union(bfp).union(bfl).union(crv)
     return out.union(scv).union(scvpb).sort(["kind", "fid"])
 
 

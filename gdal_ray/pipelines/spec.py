@@ -711,11 +711,16 @@ def _vector_buffer(ds, radius: float, quadseg: int = 8,
                    geometry: str = "points"):
     """gdalalg_vector_buffer.cpp analog: 'points' buffers (px, py)
     rows; 'polygons' runs the round-join offset-curve buffer over
-    (fid, xs, ys) ring rows."""
-    from ..stages.geomops import buffer_points_batch, buffer_polygon_batch
+    (fid, xs, ys) ring rows; 'lines' the round-cap corridor buffer
+    over (fid, xs, ys) OPEN polyline rows."""
+    from ..stages.geomops import (buffer_line_batch, buffer_points_batch,
+                                  buffer_polygon_batch)
 
     if geometry == "polygons":
         return ds.map_batches(buffer_polygon_batch(radius, quadseg),
+                              batch_format="pyarrow")
+    if geometry == "lines":
+        return ds.map_batches(buffer_line_batch(radius, quadseg),
                               batch_format="pyarrow")
     if geometry != "points":
         raise ValueError(f"vector_buffer: unknown geometry {geometry!r}")

@@ -337,6 +337,139 @@ def buffer_polygon_ring(xs, ys, radius: float, quadseg: int = 8):
     return len(rings[best]), float(areas[best] / 2), n_cross
 
 
+def buffer_line_chain(xs, ys, radius: float, quadseg: int = 8):
+    """Positive round-join, round-cap LINESTRING buffer (the corridor:
+    Minkowski sum of an open polyline with a radius-r disc;
+    OGRGeometry::Buffer on a LineString -> GEOS BufferOp analog,
+    ogr/ogrgeometry.cpp Buffer; autotest/ogr/ogr_geom.py).
+
+    The offset walk traverses the right side forward, sweeps a pi
+    round cap at the far end (GEOS quadrant-segments discipline: arc
+    quantum (pi/2)/quadseg), returns along the left side (reversed
+    edges, negated normals) and closes with the near-end pi cap.
+    Convex joints (on whichever side is outside the turn) insert
+    circular fillets; the inside of the turn self-crosses and is
+    trimmed by the SAME exact-noding + pinch-split + dominant-ring
+    machinery as the polygon buffer.
+
+    Returns (n_verts, area float64, n_crossings)."""
+    from ..functions.makevalid import ring_area2_exact, split_simple_rings
+
+    m = len(xs)
+    if m < 2:
+        raise ValueError("buffer_line_chain: need >= 2 vertices")
+    if not radius > 0:
+        raise ValueError("buffer_line_chain: radius must be > 0")
+    vx = np.asarray(xs, np.float64)
+    vy = np.asarray(ys, np.float64)
+    dx = vx[1:] - vx[:-1]
+    dy = vy[1:] - vy[:-1]
+    L = np.hypot(dx, dy)
+    if not (L > 0).all():
+        raise ValueError("buffer_line_chain: zero-length edge")
+    nx = dy / L
+    ny = -dx / L
+    quantum = (np.pi / 2.0) / quadseg
+    wx: list[float] = []
+    wy: list[float] = []
+
+    def fillet(cx, cy, th0, th1):
+        """CCW arc samples strictly between th0 and th1 around (cx, cy)."""
+        dth = (th1 - th0) % (2.0 * np.pi)
+        k = max(1, int(np.ceil(dth / quantum - 1e-12)))
+        for s in range(1, k):
+            th = th0 + dth * s / k
+            wx.append(cx + radius * np.cos(th))
+            wy.append(cy + radius * np.sin(th))
+
+    ne = m - 1
+    # right side, forward
+    for i in range(ne):
+        wx.append(vx[i] + radius * nx[i])
+        wy.append(vy[i] + radius * ny[i])
+        wx.append(vx[i + 1] + radius * nx[i])
+        wy.append(vy[i + 1] + radius * ny[i])
+        if i + 1 < ne:
+            crossz = dx[i] * dy[i + 1] - dy[i] * dx[i + 1]
+            if crossz > 0:  # convex on the right side
+                fillet(vx[i + 1], vy[i + 1],
+                       np.arctan2(ny[i], nx[i]),
+                       np.arctan2(ny[i + 1], nx[i + 1]))
+    # far round cap: n_{last} -> -n_{last} (pi sweep)
+    fillet(vx[-1], vy[-1],
+           np.arctan2(ny[ne - 1], nx[ne - 1]),
+           np.arctan2(-ny[ne - 1], -nx[ne - 1]))
+    # left side, backward (reversed edges: normal flips sign)
+    for i in range(ne - 1, -1, -1):
+        wx.append(vx[i + 1] - radius * nx[i])
+        wy.append(vy[i + 1] - radius * ny[i])
+        wx.append(vx[i] - radius * nx[i])
+        wy.append(vy[i] - radius * ny[i])
+        if i > 0:
+            # joint at v_i between reversed edge i and reversed edge
+            # i-1: convex on the left side when the right side was
+            # reflex (crossz < 0)
+            crossz = dx[i - 1] * dy[i] - dy[i - 1] * dx[i]
+            if crossz < 0:
+                fillet(vx[i], vy[i],
+                       np.arctan2(-ny[i], -nx[i]),
+                       np.arctan2(-ny[i - 1], -nx[i - 1]))
+    # near round cap: -n_0 -> n_0
+    fillet(vx[0], vy[0],
+           np.arctan2(-ny[0], -nx[0]),
+           np.arctan2(ny[0], nx[0]))
+
+    # drop consecutive duplicates (collinear joints produce them)
+    ux: list[float] = []
+    uy: list[float] = []
+    for px_, py_ in zip(wx, wy):
+        if not ux or px_ != ux[-1] or py_ != uy[-1]:
+            ux.append(px_)
+            uy.append(py_)
+    if ux[0] == ux[-1] and uy[0] == uy[-1]:
+        ux.pop()
+        uy.pop()
+    walk, n_cross = _node_walk_prefiltered(ux, uy)
+    rings = split_simple_rings(walk)
+    areas = [ring_area2_exact(r) for r in rings]
+    order = sorted(range(len(rings)), key=lambda q: abs(areas[q]),
+                   reverse=True)
+    best = order[0]
+    if areas[best] <= 0 or (
+        len(order) > 1 and abs(areas[order[1]]) >= areas[best]
+    ):
+        raise ValueError(
+            "buffer_line_chain: no dominant CCW exterior ring "
+            "(pathological self-touching offset curve)")
+    return len(rings[best]), float(areas[best] / 2), n_cross
+
+
+def buffer_line_batch(radius: float, quadseg: int = 8):
+    """map_batches stage over (fid, xs, ys) OPEN polyline rows: round
+    cap + round join line buffer; emits (fid, n_verts, n_cross, area)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        fids = t.column("fid").to_numpy(zero_copy_only=False)
+        xs = t.column("xs").to_pylist()
+        ys = t.column("ys").to_pylist()
+        nv = np.empty(len(fids), np.int64)
+        nc = np.empty(len(fids), np.int64)
+        ar = np.empty(len(fids), np.float64)
+        for i in range(len(fids)):
+            nv[i], ar[i], nc[i] = buffer_line_chain(
+                xs[i], ys[i], radius, quadseg)
+        return pa.table(
+            {
+                "fid": pa.array(fids, pa.int64()),
+                "n_verts": pa.array(nv),
+                "n_cross": pa.array(nc),
+                "area": pa.array(ar),
+            }
+        )
+
+    return fn
+
+
 def buffer_polygon_batch(radius: float, quadseg: int = 8):
     """map_batches stage over (fid, xs, ys) polygon rows: positive
     round-join polygon buffer; emits (fid, n_verts, n_cross, area)."""

@@ -24,7 +24,8 @@ from gdal_ray.functions.geom import (
     wkb_linestring,
     wkb_point,
 )
-from gdal_ray.stages.geomops import buffer_polygon_ring, curve_suite_batch
+from gdal_ray.stages.geomops import (buffer_line_chain, buffer_polygon_ring,
+                                     curve_suite_batch)
 
 # ------------------------------------------------------------- buffer
 
@@ -96,6 +97,82 @@ def test_buffer_rejects_bad_inputs():
         buffer_polygon_ring([0, 10, 0], [0, 0, 10], 0.0)
     with pytest.raises(ValueError):
         buffer_polygon_ring([0, 0, 10, 0], [0, 0, 0, 10], 5.0)  # zero edge
+
+
+# ------------------------------------------------------- line buffer
+
+
+def test_line_buffer_straight_segment_exact():
+    # corridor: 2rL rectangle + two pi caps sampled at 2*quadseg
+    # slices each = one inscribed 32-gon: 16 r^2 sin(pi/16)
+    r, L = 500.0, 8000.0
+    nv, area, nc = buffer_line_chain([0, L], [0, 0], r)
+    expect = 2 * r * L + 16.0 * r * r * np.sin(np.pi / 16.0)
+    assert nc == 0
+    assert abs(area - expect) < 1e-9 * expect
+
+
+def test_line_buffer_direction_invariant():
+    xs = [0, 4000, 4000]
+    ys = [0, 0, 4000]
+    fwd = buffer_line_chain(xs, ys, 700.0)
+    rev = buffer_line_chain(xs[::-1], ys[::-1], 700.0)
+    assert fwd[1] == pytest.approx(rev[1], rel=1e-12)
+    assert fwd[0] == rev[0] and fwd[2] == rev[2]
+
+
+def test_line_buffer_membership_grid():
+    # zigzag corridor vs the distance-to-polyline membership estimate
+    xs = [0, 2000, 4000, 6000]
+    ys = [0, 1500, 0, 1500]
+    r = 300.0
+    nv, area, nc = buffer_line_chain(xs, ys, r)
+    assert nc >= 2  # inside-of-turn trims
+    px = np.array(xs, np.float64)
+    py = np.array(ys, np.float64)
+    gx = np.linspace(-r - 200, 6000 + r + 200, 500)
+    gy = np.linspace(-r - 200, 1500 + r + 200, 300)
+    X, Y = np.meshgrid(gx, gy)
+    dmin = np.full(X.shape, np.inf)
+    for i in range(len(px) - 1):
+        x0, y0, x1, y1 = px[i], py[i], px[i + 1], py[i + 1]
+        dx, dy = x1 - x0, y1 - y0
+        tt = np.clip(((X - x0) * dx + (Y - y0) * dy) / (dx * dx + dy * dy),
+                     0, 1)
+        d2 = (X - (x0 + tt * dx)) ** 2 + (Y - (y0 + tt * dy)) ** 2
+        dmin = np.minimum(dmin, np.sqrt(d2))
+    cell = (gx[1] - gx[0]) * (gy[1] - gy[0])
+    est = (dmin <= r).sum() * cell
+    assert abs(area - est) < 0.02 * est
+
+
+def test_line_buffer_monotone_in_radius():
+    xs = [0, 2000, 4000, 6000]
+    ys = [0, 1500, 0, 1500]
+    a1 = buffer_line_chain(xs, ys, 200.0)[1]
+    a2 = buffer_line_chain(xs, ys, 800.0)[1]
+    assert a2 > a1 > 0
+
+
+def test_line_buffer_matches_oracle_restatement():
+    from gdal_ray.oracle_ref.geomref import _buffer_line_ref, _ngon
+
+    for kk in (5, 15, 25, 105):
+        _, _, vx, vy = _ngon(kk)
+        nchain = len(vx) // 2 + 2
+        nv, area, nc = buffer_line_chain(list(vx[:nchain]),
+                                         list(vy[:nchain]), 1000.0)
+        rnv, rnc, rarea = _buffer_line_ref(vx[:nchain], vy[:nchain])
+        assert (nv, nc, area) == (rnv, rnc, rarea)
+
+
+def test_line_buffer_rejects_bad_inputs():
+    with pytest.raises(ValueError):
+        buffer_line_chain([0], [0], 10.0)
+    with pytest.raises(ValueError):
+        buffer_line_chain([0, 10], [0, 0], 0.0)
+    with pytest.raises(ValueError):
+        buffer_line_chain([0, 0, 10], [0, 0, 5], 5.0)  # zero edge
 
 
 # -------------------------------------------------------- curve WKB

@@ -361,6 +361,23 @@ def test_vector_buffer_step_polygon_mode(ray_session):
     assert abs(out["area"].iloc[0] - expect) < 1e-6 * expect
 
 
+def test_vector_buffer_step_line_mode(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    rows = pa.table({
+        "fid": pa.array([1], pa.int64()),
+        "xs": pa.array([[0.0, 8000.0]], pa.list_(pa.float64())),
+        "ys": pa.array([[0.0, 0.0]], pa.list_(pa.float64())),
+    })
+    out = run_pipeline(
+        [{"step": "vector_buffer", "radius": 500.0,
+          "geometry": "lines"}], rd.from_arrow(rows)).to_pandas()
+    expect = 2 * 500.0 * 8000.0 + 16.0 * 500.0 ** 2 * np.sin(np.pi / 16.0)
+    assert abs(out["area"].iloc[0] - expect) < 1e-9 * expect
+
+
 def test_mdim_pipeline_steps(ray_session, tmp_path):
     """`gdal mdim convert` analog: zarr -> transpose -> reduce ->
     zarr, replayed from a serialized spec, matches the direct calls."""
