@@ -1021,6 +1021,74 @@ def _predictor_inverse(a, r, g, b, w: int, h: int, bits: int,
             out[3].ravel().astype(np.uint32))
 
 
+def _emit_meta_literal_stream(bw: _BitWriter, argb: np.ndarray, w: int,
+                              h: int, meta_bits: int,
+                              max_groups: int = 4) -> None:
+    """Main-image entropy stream WITH meta prefix codes: tiles of
+    ``1 << meta_bits`` pixels are clustered into up to ``max_groups``
+    entropy groups (deterministic equal-count split of the tiles
+    ranked by mean green value — brightness-banded statistics), each
+    group carrying its own 5 prefix codes.  Literal-only emission
+    (the spec permits LZ77/cache with meta; this encoder keeps the
+    vectorized literal path)."""
+    bs = 1 << meta_bits
+    mw = (w + bs - 1) >> meta_bits
+    mh = (h + bs - 1) >> meta_bits
+    a = (argb >> 24) & 0xFF
+    r = (argb >> 16) & 0xFF
+    g = (argb >> 8) & 0xFF
+    b = argb & 0xFF
+
+    # tile rank by mean green -> equal-count group split
+    G = np.zeros((mh * bs, mw * bs), dtype=np.int64)
+    G[:h, :w] = g.reshape(h, w)
+    cnt = np.zeros((mh * bs, mw * bs), dtype=np.int64)
+    cnt[:h, :w] = 1
+    tsum = G.reshape(mh, bs, mw, bs).sum(axis=(1, 3))
+    tcnt = cnt.reshape(mh, bs, mw, bs).sum(axis=(1, 3))
+    tmean = (tsum / np.maximum(tcnt, 1)).ravel()
+    n_tiles = mh * mw
+    k = min(max_groups, n_tiles)
+    rank = np.empty(n_tiles, dtype=np.int64)
+    rank[np.lexsort((np.arange(n_tiles), tmean))] = np.arange(n_tiles)
+    groups = (rank * k // n_tiles).astype(np.int64)  # equal-count split
+
+    bw.put(0, 1)              # no color cache
+    bw.put(1, 1)              # meta prefix codes present
+    bw.put(meta_bits - 2, 3)
+    meta_img = (np.uint32(0xFF000000)
+                | ((groups >> 8).astype(np.uint32) << 16)
+                | ((groups & 0xFF).astype(np.uint32) << 8))
+    _emit_entropy_stream(bw, meta_img, mw, True, 0)
+
+    # per-pixel group map
+    gy = np.minimum(np.arange(h) >> meta_bits, mh - 1)
+    gx = np.minimum(np.arange(w) >> meta_bits, mw - 1)
+    gpix = groups.reshape(mh, mw)[gy[:, None], gx[None, :]].ravel()
+
+    n = h * w
+    vals = np.empty((n, 4), dtype=np.uint64)
+    nbits = np.empty((n, 4), dtype=np.int64)
+    galpha = _NUM_LITERALS + _NUM_LENGTH_CODES
+    for gi in range(k):
+        sel = gpix == gi
+        gh_ = np.bincount(g[sel], minlength=galpha)
+        rh_ = np.bincount(r[sel], minlength=256)
+        bh_ = np.bincount(b[sel], minlength=256)
+        ah_ = np.bincount(a[sel], minlength=256)
+        gcode = _emit_prefix_code(bw, gh_, galpha)
+        rcode = _emit_prefix_code(bw, rh_, 256)
+        bcode = _emit_prefix_code(bw, bh_, 256)
+        acode = _emit_prefix_code(bw, ah_, 256)
+        _emit_prefix_code(bw, np.zeros(_NUM_DISTANCE_CODES, np.int64),
+                          _NUM_DISTANCE_CODES)
+        for col, (code, chan) in enumerate(
+                ((gcode, g), (rcode, r), (bcode, b), (acode, a))):
+            vals[sel, col] = code.codes[chan[sel]]
+            nbits[sel, col] = code.lengths[chan[sel]]
+    bw.put_arrays(vals.ravel(), nbits.ravel())
+
+
 def _emit_entropy_stream(bw: _BitWriter, argb: np.ndarray, xsize: int,
                          use_lz77: bool, cache_bits: int) -> None:
     """Emit one entropy-coded image: cache header, meta bit, 5 prefix
@@ -1100,7 +1168,8 @@ def encode_webp(img: np.ndarray, *, use_lz77: bool = True,
                 predictor_bits: int = 4,
                 cross_color: bool = False,
                 cross_color_bits: int = 4,
-                palette: bool = False) -> bytes:
+                palette: bool = False,
+                meta_bits: int | None = None) -> bytes:
     """Encode (h, w, 3|4) uint8 -> lossless WebP (RIFF/VP8L) bytes.
 
     ``predictor=True`` adds the spatial predictor transform (per-block
@@ -1130,6 +1199,16 @@ def encode_webp(img: np.ndarray, *, use_lz77: bool = True,
         raise ValueError("predictor_bits must be 2..9")
     if not 2 <= cross_color_bits <= 9:
         raise ValueError("cross_color_bits must be 2..9")
+    if meta_bits is not None:
+        if not 2 <= meta_bits <= 9:
+            raise ValueError("meta_bits must be 2..9")
+        if palette:
+            raise ValueError("meta prefix codes cannot combine with "
+                             "palette bundling in this encoder")
+        if cache_bits:
+            raise ValueError("meta prefix codes use the literal-only "
+                             "emission path (cache_bits must be 0)")
+        # use_lz77 is ignored with meta: emission is literal-only
     r = img[:, :, 0].astype(np.uint32).ravel()
     g = img[:, :, 1].astype(np.uint32).ravel()
     b = img[:, :, 2].astype(np.uint32).ravel()
@@ -1179,7 +1258,10 @@ def encode_webp(img: np.ndarray, *, use_lz77: bool = True,
                     | (modes.astype(np.uint32) << 8)).ravel()
         _emit_entropy_stream(bw, mode_img, subw, True, 0)
     bw.put(0, 1)      # no more transforms
-    _emit_entropy_stream(bw, argb, w, use_lz77, cache_bits)
+    if meta_bits is not None:
+        _emit_meta_literal_stream(bw, argb, w, h, meta_bits)
+    else:
+        _emit_entropy_stream(bw, argb, w, use_lz77, cache_bits)
     return _wrap_riff(b"\x2f" + bw.tobytes())
 
 
@@ -1261,7 +1343,7 @@ def decode_webp(data: bytes) -> np.ndarray:
             "VP8L: color indexing combined with other transforms is "
             "not supported")
 
-    argb = _decode_entropy_stream(br, eff_w, h)
+    argb = _decode_entropy_stream(br, eff_w, h, allow_meta=True)
 
     a = (argb >> 24) & 0xFF
     r = (argb >> 16) & 0xFF
@@ -1288,26 +1370,46 @@ def decode_webp(data: bytes) -> np.ndarray:
     return rgba
 
 
-def _decode_entropy_stream(br: _BitReader, w: int, h: int) -> np.ndarray:
+def _decode_entropy_stream(br: _BitReader, w: int, h: int,
+                           allow_meta: bool = False) -> np.ndarray:
     """Decode one entropy-coded image -> flat uint32 ARGB array."""
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("VP8L: bad color-cache bits")
+    meta_codes = None
+    meta_bits = 0
+    mw = 0
+    num_groups = 1
     if br.read(1):
-        raise NotImplementedError("VP8L: meta prefix codes not supported")
+        if not allow_meta:
+            raise ValueError(
+                "VP8L: meta prefix codes are only valid in the main image")
+        meta_bits = br.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_entropy_stream(br, mw, mh)
+        meta_codes = ((((meta_img >> 16) & 0xFF) << 8)
+                      | ((meta_img >> 8) & 0xFF)).astype(np.int64)
+        num_groups = int(meta_codes.max()) + 1
 
     cache_size = (1 << cache_bits) if cache_bits else 0
-    gcode = _read_prefix_code(
-        br, _NUM_LITERALS + _NUM_LENGTH_CODES + cache_size)
-    rcode = _read_prefix_code(br, 256)
-    bcode = _read_prefix_code(br, 256)
-    acode = _read_prefix_code(br, 256)
-    dcode = _read_prefix_code(br, _NUM_DISTANCE_CODES)
+    group_codes = []
+    for _ in range(num_groups):
+        group_codes.append((
+            _read_prefix_code(
+                br, _NUM_LITERALS + _NUM_LENGTH_CODES + cache_size),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, _NUM_DISTANCE_CODES),
+        ))
+    gcode, rcode, bcode, acode, dcode = group_codes[0]
 
     n = w * h
-    if cache_bits == 0 and gcode.max_sym < _NUM_LITERALS:
+    if (meta_codes is None and cache_bits == 0
+            and gcode.max_sym < _NUM_LITERALS):
         # pure literal stream (the vectorized-encoder common case): no
         # copies or cache symbols can appear, so decode with the tight
         # one-window-per-pixel loop (~4x the generic symbol loop)
@@ -1316,7 +1418,12 @@ def _decode_entropy_stream(br: _BitReader, w: int, h: int) -> np.ndarray:
     cache = np.zeros(cache_size, dtype=np.uint32) if cache_size else None
     pos = 0
     cache_shift = 32 - cache_bits if cache_bits else 0
+    meta_list = meta_codes.tolist() if meta_codes is not None else None
     while pos < n:
+        if meta_list is not None:
+            y, x = divmod(pos, w)
+            gi = meta_list[(y >> meta_bits) * mw + (x >> meta_bits)]
+            gcode, rcode, bcode, acode, dcode = group_codes[gi]
         s = gcode.read(br)
         if s < _NUM_LITERALS:
             rr = rcode.read(br)

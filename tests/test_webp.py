@@ -365,6 +365,63 @@ def test_palette_rejects_too_many_colors():
 
 
 # ---------------------------------------------------------------------------
+# meta prefix codes
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mb", [2, 4])
+@pytest.mark.parametrize("sg", [False, True])
+def test_meta_prefix_round_trip(mb, sg):
+    r = rng()
+    for shape in ((8, 8, 3), (33, 47, 3), (17, 5, 4)):
+        y, _ = np.mgrid[0:shape[0], 0:shape[1]]
+        img = r.integers(0, 256, shape, np.uint8)
+        img[:, :, 1] = np.where(y < shape[0] // 2,
+                                img[:, :, 1] // 4, img[:, :, 1])
+        d = encode_webp(img, meta_bits=mb, subtract_green=sg)
+        out = decode_webp(d)
+        assert (out[:, :, :shape[2]] == img).all()
+
+
+def test_meta_composes_with_transforms():
+    img = rng().integers(0, 256, (32, 48, 3), np.uint8)
+    d = encode_webp(img, meta_bits=3, predictor=True, cross_color=True)
+    assert (decode_webp(d)[:, :, :3] == img).all()
+
+
+def test_meta_compresses_banded_content():
+    r = rng()
+    y, _ = np.mgrid[0:128, 0:128]
+    img = np.where((y < 64)[:, :, None],
+                   r.integers(0, 16, (128, 128, 3)),
+                   r.integers(128, 256, (128, 128, 3))).astype(np.uint8)
+    plain = encode_webp(img, use_lz77=False, subtract_green=False)
+    meta = encode_webp(img, meta_bits=5, subtract_green=False)
+    assert len(meta) < len(plain)
+    assert (decode_webp(meta)[:, :, :3] == img).all()
+
+
+def test_meta_header_bits():
+    # meta bit follows the (absent) color-cache bit in the main stream
+    img = rng().integers(0, 256, (16, 16, 3), np.uint8)
+    d = encode_webp(img, meta_bits=3, subtract_green=False)
+    br = _BitReader(d[21:])
+    br.read(14 + 14 + 1 + 3)
+    assert br.read(1) == 0  # no transforms
+    assert br.read(1) == 0  # no color cache
+    assert br.read(1) == 1  # meta prefix codes present
+    assert br.read(3) == 1  # meta_bits - 2
+
+
+def test_meta_rejected_outside_main_image_and_guards():
+    img = rng().integers(0, 256, (16, 16, 3), np.uint8)
+    with pytest.raises(ValueError, match="cache_bits"):
+        encode_webp(img, meta_bits=4, cache_bits=3)
+    with pytest.raises(ValueError, match="palette"):
+        encode_webp(np.zeros((8, 8, 3), np.uint8), meta_bits=4,
+                    palette=True)
+
+
+# ---------------------------------------------------------------------------
 # error paths
 # ---------------------------------------------------------------------------
 
