@@ -300,10 +300,19 @@ _INITIAL_RES = 156543.03392804097
 
 
 def write_gpkg_tiles(ds, path: str, table: str = "tiles",
-                     srs_id: int = 3857) -> int:
+                     srs_id: int = 3857,
+                     tile_format: str = "png") -> int:
     """Stream XYZ tile rows (z, x, y, tile_bytes) into a GPKG tile
     pyramid table with the WebMercator tile matrix metadata.  Appends
-    to an existing GeoPackage or creates one.  Returns tile count."""
+    to an existing GeoPackage or creates one.  Returns tile count.
+
+    ``tile_format``: 'png' or 'jpeg' (the core GPKG tile encodings)
+    need no declaration; 'webp' registers the ``gpkg_webp`` extension
+    row the spec requires (OGC GPKG §F.4, extension_tiles_webp) —
+    tile_data blobs themselves are caller-encoded either way."""
+    if tile_format not in ("png", "jpeg", "webp"):
+        raise ValueError(
+            f"tile_format must be png/jpeg/webp, got {tile_format!r}")
     exists = os.path.exists(path)
     work = path if exists else path + ".tmp"
     con = sqlite3.connect(work)
@@ -338,6 +347,20 @@ def write_gpkg_tiles(ds, path: str, table: str = "tiles",
         tile_row INTEGER NOT NULL, tile_data BLOB NOT NULL,
         UNIQUE (zoom_level, tile_column, tile_row))"""
     )
+    if tile_format == "webp":
+        con.execute(
+            """CREATE TABLE IF NOT EXISTS gpkg_extensions (
+            table_name TEXT, column_name TEXT,
+            extension_name TEXT NOT NULL, definition TEXT NOT NULL,
+            scope TEXT NOT NULL,
+            CONSTRAINT ge_tce UNIQUE (table_name, column_name,
+            extension_name))"""
+        )
+        con.execute(
+            "INSERT INTO gpkg_extensions VALUES (?, ?, ?, ?, ?)",
+            (table, "tile_data", "gpkg_webp",
+             "http://www.geopackage.org/spec120/#extension_tiles_webp",
+             "read-write"))
     n = 0
     zooms: set[int] = set()
 

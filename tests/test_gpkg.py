@@ -289,3 +289,54 @@ def test_gpkg_tiles_write_once(ray_session, tmp_path):
     # a different table name appends fine
     GP.write_gpkg_tiles(_tile_rows(zs=(9,)), path, table="tiles2")
     assert GP.read_gpkg_tiles(path, table="tiles2").count() == 6
+
+
+def test_gpkg_webp_tiles_register_extension(ray_session, tmp_path):
+    """WebP tile_data requires the gpkg_webp extension row (OGC GPKG
+    extension_tiles_webp); real VP8L blobs round-trip bit-exact."""
+    import numpy as np
+
+    from gdal_ray.functions.webp import decode_webp, encode_webp
+
+    rng = np.random.default_rng(3)
+    rows = {"z": [], "x": [], "y": [], "tile_bytes": []}
+    imgs = {}
+    for x in range(2):
+        for y in range(2):
+            img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+            imgs[(x, y)] = img
+            rows["z"].append(8)
+            rows["x"].append(x)
+            rows["y"].append(y)
+            rows["tile_bytes"].append(encode_webp(img))
+    t = pa.table({
+        "z": pa.array(rows["z"], pa.int32()),
+        "x": pa.array(rows["x"], pa.int32()),
+        "y": pa.array(rows["y"], pa.int32()),
+        "tile_bytes": pa.array(rows["tile_bytes"], pa.binary()),
+    })
+    path = str(tmp_path / "w.gpkg")
+    GP.write_gpkg_tiles(t, path, tile_format="webp")
+    con = sqlite3.connect(path)
+    ext = con.execute(
+        "SELECT table_name, column_name, extension_name, scope "
+        "FROM gpkg_extensions").fetchall()
+    con.close()
+    assert ("tiles", "tile_data", "gpkg_webp", "read-write") in ext
+    back = GP.read_gpkg_tiles(path).to_pandas()
+    assert len(back) == 4
+    for _, r in back.iterrows():
+        dec = decode_webp(bytes(r["tile_bytes"]))[:, :, :3]
+        assert (dec == imgs[(r["x"], r["y"])]).all()
+    # png needs no extension row; bad format rejected
+    p2 = str(tmp_path / "p.gpkg")
+    GP.write_gpkg_tiles(_tile_rows(zs=(8,)), p2)
+    con = sqlite3.connect(p2)
+    n_ext = con.execute(
+        "SELECT COUNT(*) FROM sqlite_master WHERE name='gpkg_extensions'"
+    ).fetchone()[0]
+    con.close()
+    assert n_ext == 0
+    with pytest.raises(ValueError, match="tile_format"):
+        GP.write_gpkg_tiles(_tile_rows(zs=(9,)), p2, table="t2",
+                            tile_format="gif")

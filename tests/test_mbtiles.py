@@ -87,3 +87,32 @@ def test_pyramid_to_mbtiles(ray_session, smoke_fixtures, tmp_path):
     a = sorted(zip(ref["z"], ref["x"], ref["y"], ref["tile_bytes"]))
     b = sorted(zip(back["z"], back["x"], back["y"], back["tile_bytes"]))
     assert a == b
+
+
+def test_webp_format_mbtiles(ray_session, tmp_path):
+    """MBTiles 1.3 allows format=webp; real VP8L blobs round-trip."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.functions.webp import decode_webp, encode_webp
+    from gdal_ray.sources.mbtiles import (mbtiles_metadata, read_mbtiles,
+                                          write_mbtiles)
+
+    rng = np.random.default_rng(4)
+    imgs = {}
+    rows = {"z": [], "x": [], "y": [], "tile_bytes": []}
+    for x in range(2):
+        img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        imgs[x] = img
+        rows["z"].append(7)
+        rows["x"].append(x)
+        rows["y"].append(0)
+        rows["tile_bytes"].append(encode_webp(img))
+    t = pa.table({k: pa.array(v) for k, v in rows.items()})
+    path = str(tmp_path / "w.mbtiles")
+    assert write_mbtiles(t, path, fmt="webp") == 2
+    assert mbtiles_metadata(path)["format"] == "webp"
+    back = read_mbtiles(path).to_pandas()
+    for _, r in back.iterrows():
+        dec = decode_webp(bytes(r["tile_bytes"]))[:, :, :3]
+        assert (dec == imgs[int(r["x"])]).all()
