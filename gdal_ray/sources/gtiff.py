@@ -16,7 +16,8 @@ frmts/gtiff/cogdriver.cpp, read side gtiffdataset_read.cpp:3880-3905):
   full resolution, each tile preceded by a uint32 size leader and
   followed by its last 4 bytes repeated (the trailer lets streaming
   readers validate a ranged read without a second request);
-- DEFLATE (zlib, compression id 8) or uncompressed (1);
+- DEFLATE (zlib, compression id 8), WEBP lossless (50001 via the
+  in-engine VP8L codec, uint8 RGB tiles only) or uncompressed (1);
 - GeoTIFF georeferencing: ModelPixelScale (33550) + ModelTiepoint
   (33922) + a minimal GeoKeyDirectory (34735) declaring EPSG:3857
   (the engine's tile CRS — functions/mercator.py).
@@ -157,8 +158,12 @@ def write_cog(
         bps, sfmt = 32, 3
     else:
         raise ValueError("dtype must be uint8 or float32")
-    if compress not in ("deflate", "none"):
-        raise ValueError("compress must be deflate|none")
+    if compress not in ("deflate", "none", "webp"):
+        raise ValueError("compress must be deflate|none|webp")
+    if compress == "webp" and (nb != 3 or img.dtype != np.uint8):
+        raise ValueError(
+            "compress='webp' requires uint8 3-band imagery (the GDAL "
+            "GTiff WEBP restriction: PHOTOMETRIC RGB, Byte)")
 
     # overview pyramid: halve until max dim < overview_min
     levels = [img]
@@ -207,8 +212,14 @@ def write_cog(
     chunks: list[bytes] = []
     for ifd in reversed(ifds):
         for tile in _tiles_of(ifd.img, tile_size):
-            raw = tile.tobytes()
-            enc = zlib.compress(raw, 6) if compress == "deflate" else raw
+            if compress == "webp":
+                from ..functions.webp import encode_webp
+
+                enc = encode_webp(tile, use_lz77=False)
+            else:
+                raw = tile.tobytes()
+                enc = (zlib.compress(raw, 6)
+                       if compress == "deflate" else raw)
             leader = struct.pack("<I", len(enc))
             trailer = enc[-4:] if len(enc) >= 4 else enc.ljust(4, b"\0")
             ifd.tile_offsets.append(pos + 4)  # offset past the leader
@@ -218,7 +229,7 @@ def write_cog(
             pos += len(blob)
 
     # ---- render IFD tables
-    comp_id = 8 if compress == "deflate" else 1
+    comp_id = {"deflate": 8, "none": 1, "webp": 50001}[compress]
 
     def pack_entry(tag, typ, count, value_or_offset) -> bytes:
         if typ == _TYPE_SHORT and count == 1:
@@ -438,8 +449,10 @@ def read_cog(path: str, level: int = 0) -> dict:
     planar = gv(_T_PLANARCONFIG, 1)
     sfmt = gv(_T_SAMPLEFORMAT, 1)
     bps = gv(_T_BITSPERSAMPLE, 8)
-    if comp not in (1, 8):
+    if comp not in (1, 8, 50001):
         raise ValueError(f"unsupported compression {comp}")
+    if comp == 50001 and pred == 2:
+        raise ValueError("WEBP compression cannot combine with predictor=2")
     if pred not in (1, 2):
         raise ValueError(f"unsupported predictor {pred}")
     if planar not in (1, 2):
@@ -475,10 +488,18 @@ def read_cog(path: str, level: int = 0) -> dict:
         per_band = math.ceil(h / ts) * ntx  # tiles per plane when sep
         for ti, (o, c) in enumerate(zip(offsets, counts)):
             enc = buf[o : o + c]
-            raw = zlib.decompress(enc) if comp == 8 else enc
             band = ti // per_band if sep else None
-            shape = (ts, ts) if (sep or nb == 1) else (ts, ts, nb)
-            tile = np.frombuffer(raw, dtype).reshape(shape)
+            if comp == 50001:
+                from ..functions.webp import decode_webp
+
+                if sep or nb != 3:
+                    raise ValueError(
+                        "WEBP tiles require chunky 3-band layout")
+                tile = np.ascontiguousarray(decode_webp(enc)[:, :, :3])
+            else:
+                raw = zlib.decompress(enc) if comp == 8 else enc
+                shape = (ts, ts) if (sep or nb == 1) else (ts, ts, nb)
+                tile = np.frombuffer(raw, dtype).reshape(shape)
             if pred == 2:
                 tile = _undo_predictor2(tile)
             ty, tx = divmod(ti % per_band if sep else ti, ntx)
@@ -488,6 +509,8 @@ def read_cog(path: str, level: int = 0) -> dict:
         counts = _tag_values(buf, tags, _T_STRIPBYTECOUNTS, big)
         rps = gv(_T_ROWSPERSTRIP, h)
         per_band = math.ceil(h / rps)  # strips per plane when sep
+        if comp == 50001:
+            raise ValueError("WEBP compression is tile-only (no strips)")
         for si, (o, c) in enumerate(zip(offsets, counts)):
             band = si // per_band if sep else None
             y0 = (si % per_band if sep else si) * rps
@@ -587,8 +610,12 @@ def write_tiff(
         bps, sfmt = 32, 3
     else:
         raise ValueError("dtype must be uint8, uint16 or float32")
-    if compress not in ("deflate", "none"):
-        raise ValueError("compress must be deflate|none")
+    if compress not in ("deflate", "none", "webp"):
+        raise ValueError("compress must be deflate|none|webp")
+    if compress == "webp" and (nb != 3 or img.dtype != np.uint8):
+        raise ValueError(
+            "compress='webp' requires uint8 3-band imagery (the GDAL "
+            "GTiff WEBP restriction: PHOTOMETRIC RGB, Byte)")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1|2")
     if predictor == 2 and img.dtype == np.float32:

@@ -239,3 +239,32 @@ def test_planar2_uint16_bigtiff(tmp_path):
     r = read_cog(p)
     assert np.array_equal(r["img"], img)
     assert r["envelope"] == (0.0, 0.0, 55.0, 40.0)
+
+
+def test_cog_webp_compression_round_trip(tmp_path):
+    """COMPRESSION=50001 (WEBP, the common COG choice in the
+    reference's ecosystem) through the in-engine VP8L codec: lossless
+    round trip, overview levels decoded, single-band/strip rejections."""
+    import numpy as np
+
+    from gdal_ray.sources.gtiff import read_cog, write_cog
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (300, 520, 3), np.uint8)
+    p = str(tmp_path / "w.tif")
+    info = write_cog(p, img, envelope=(0.0, 0.0, 5200.0, 3000.0),
+                     compress="webp")
+    assert info["levels"] == 3
+    back = read_cog(p)
+    assert (back["img"] == img).all()
+    assert back["envelope"] == (0.0, 0.0, 5200.0, 3000.0)
+    ov = read_cog(p, level=1)
+    assert ov["img"].shape == (150, 260, 3)
+    # each tile blob is a RIFF container
+    raw = open(p, "rb").read()
+    assert raw.count(b"RIFF") == info["tiles"]
+    with pytest.raises(ValueError, match="uint8 3-band"):
+        write_cog(str(tmp_path / "b.tif"), img[:, :, 0], compress="webp")
+    with pytest.raises(ValueError, match="uint8 3-band"):
+        write_cog(str(tmp_path / "f.tif"),
+                  img.astype(np.float32), compress="webp")
