@@ -1414,29 +1414,91 @@ def _decode_entropy_stream(br: _BitReader, w: int, h: int,
         # copies or cache symbols can appear, so decode with the tight
         # one-window-per-pixel loop (~4x the generic symbol loop)
         return _decode_literal_stream(br, n, gcode, rcode, bcode, acode)
+    # generic loop (LZ77 / color cache / meta groups), windowed: the
+    # worst-case symbol group — green code 15 + length extras 10 +
+    # distance code 15 + distance extras 18 = 58 bits — fits ONE
+    # 64-bit window load; Python-list LUTs avoid numpy scalar boxing
+    def mk(code: _PrefixCode) -> tuple[list, int]:
+        if code.single is not None:
+            return [code.single << 4], 0
+        return code.lut.tolist(), (1 << code.maxlen) - 1
+
+    tables = [tuple(mk(c) for c in grp) for grp in group_codes]
+    (glut, gmask), (rlut, rmask), (blut, bmask), (alut, amask), \
+        (dlut, dmask) = tables[0]
     out = np.zeros(n, dtype=np.uint32)
     cache = np.zeros(cache_size, dtype=np.uint32) if cache_size else None
     pos = 0
     cache_shift = 32 - cache_bits if cache_bits else 0
     meta_list = meta_codes.tolist() if meta_codes is not None else None
+    d = br.data
+    bitpos = br.pos
+    bitlimit = br.limit
+    frombytes = int.from_bytes
     while pos < n:
         if meta_list is not None:
             y, x = divmod(pos, w)
             gi = meta_list[(y >> meta_bits) * mw + (x >> meta_bits)]
-            gcode, rcode, bcode, acode, dcode = group_codes[gi]
-        s = gcode.read(br)
+            (glut, gmask), (rlut, rmask), (blut, bmask), (alut, amask), \
+                (dlut, dmask) = tables[gi]
+        if bitpos > bitlimit:
+            raise ValueError("VP8L: bitstream truncated")
+        w64 = frombytes(d[bitpos >> 3:(bitpos >> 3) + 8],
+                        "little") >> (bitpos & 7)
+        e = glut[w64 & gmask]
+        if e < 0:
+            raise ValueError("VP8L: invalid prefix code word")
+        s = e >> 4
+        l = e & 15
+        w64 >>= l
+        used = l
         if s < _NUM_LITERALS:
-            rr = rcode.read(br)
-            bb = bcode.read(br)
-            aa = acode.read(br)
+            e = rlut[w64 & rmask]
+            rr = e >> 4
+            l = e & 15
+            w64 >>= l
+            used += l
+            e = blut[w64 & bmask]
+            bb = e >> 4
+            l = e & 15
+            w64 >>= l
+            used += l
+            e = alut[w64 & amask]
+            aa = e >> 4
+            used += e & 15
+            if rr < 0 or bb < 0 or aa < 0:
+                raise ValueError("VP8L: invalid prefix code word")
+            bitpos += used
             px = (aa << 24) | (rr << 16) | (s << 8) | bb
             out[pos] = px
             if cache is not None:
                 cache[((_CACHE_MUL * px) & 0xFFFFFFFF) >> cache_shift] = px
             pos += 1
         elif s < _NUM_LITERALS + _NUM_LENGTH_CODES:
-            length = _lz77_value(s - _NUM_LITERALS, br)
-            dc = _lz77_value(dcode.read(br), br)
+            lc = s - _NUM_LITERALS
+            if lc < 4:
+                length = lc + 1
+            else:
+                eb = (lc - 2) >> 1
+                length = (((2 + (lc & 1)) << eb)
+                          + (w64 & ((1 << eb) - 1)) + 1)
+                w64 >>= eb
+                used += eb
+            e = dlut[w64 & dmask]
+            if e < 0:
+                raise ValueError("VP8L: invalid prefix code word")
+            dc0 = e >> 4
+            l = e & 15
+            w64 >>= l
+            used += l
+            if dc0 < 4:
+                dc = dc0 + 1
+            else:
+                eb = (dc0 - 2) >> 1
+                dc = (((2 + (dc0 & 1)) << eb)
+                      + (w64 & ((1 << eb) - 1)) + 1)
+                used += eb
+            bitpos += used
             dist = _code_to_dist(dc, w)
             if dist > pos:
                 raise ValueError("VP8L: backward reference before start")
@@ -1444,25 +1506,25 @@ def _decode_entropy_stream(br: _BitReader, w: int, h: int,
                 raise ValueError("VP8L: backward reference past end")
             if dist >= length:
                 out[pos:pos + length] = out[pos - dist:pos - dist + length]
-                if cache is not None:
-                    for k in range(pos, pos + length):
-                        px = int(out[k])
-                        cache[((_CACHE_MUL * px) & 0xFFFFFFFF)
-                              >> cache_shift] = px
             else:
                 for k in range(length):  # overlapping copy
-                    px = int(out[pos - dist + k])
-                    out[pos + k] = px
-                    if cache is not None:
-                        cache[((_CACHE_MUL * px) & 0xFFFFFFFF)
-                              >> cache_shift] = px
+                    out[pos + k] = out[pos - dist + k]
+            if cache is not None:
+                # batch cache update: last-write-wins equals the
+                # sequential per-pixel insertion order
+                seg = out[pos:pos + length]
+                idx = ((_CACHE_MUL * seg.astype(np.uint64))
+                       & 0xFFFFFFFF) >> cache_shift
+                cache[idx.astype(np.int64)] = seg
             pos += length
         else:
             ci = s - _NUM_LITERALS - _NUM_LENGTH_CODES
             if cache is None or ci >= cache_size:
                 raise ValueError("VP8L: cache symbol without color cache")
+            bitpos += used
             out[pos] = cache[ci]
             pos += 1
+    br.pos = bitpos
     return out
 
 
