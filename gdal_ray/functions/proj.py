@@ -413,6 +413,138 @@ class PolarStereographic:
         return lon, lat
 
 
+# --------------------------------------- meridian-arc projections
+#
+# Snyder's ellipsoidal meridian arc M(phi) (eq. 3-21) and its
+# footpoint inverse (eq. 3-26 / 7-19 rectifying-latitude series)
+# carry the sinusoidal (MODIS grid, PROJ +proj=sinu) and equidistant
+# cylindrical (EPSG method 1028) families; Mollweide is the spherical
+# Newton form PROJ's +proj=moll applies on the semi-major axis.
+
+_M0 = 1.0 - E2 / 4.0 - 3.0 * E2 ** 2 / 64.0 - 5.0 * E2 ** 3 / 256.0
+_M2 = 3.0 * E2 / 8.0 + 3.0 * E2 ** 2 / 32.0 + 45.0 * E2 ** 3 / 1024.0
+_M4 = 15.0 * E2 ** 2 / 256.0 + 45.0 * E2 ** 3 / 1024.0
+_M6 = 35.0 * E2 ** 3 / 3072.0
+_E1R = (1.0 - np.sqrt(1.0 - E2)) / (1.0 + np.sqrt(1.0 - E2))
+
+
+def _m_arc(phi):
+    """Snyder eq. 3-21: meridian arc length from the equator (m)."""
+    return A * (_M0 * phi - _M2 * np.sin(2.0 * phi)
+                + _M4 * np.sin(4.0 * phi) - _M6 * np.sin(6.0 * phi))
+
+
+def _phi_from_m(M):
+    """Footpoint latitude from meridian arc: Snyder eq. 3-26 series
+    seed + two Newton steps against _m_arc (dM/dphi = the meridian
+    radius), so the inverse is machine-exact against the forward's
+    own e^6 truncation (the raw series pair disagrees at ~1e-4 m)."""
+    mu = M / (A * _M0)
+    e1 = _E1R
+    phi = (mu
+           + (3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0) * np.sin(2.0 * mu)
+           + (21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0)
+           * np.sin(4.0 * mu)
+           + (151.0 * e1 ** 3 / 96.0) * np.sin(6.0 * mu)
+           + (1097.0 * e1 ** 4 / 512.0) * np.sin(8.0 * mu))
+    for _ in range(2):
+        s = np.sin(phi)
+        rho = A * (1.0 - E2) / (1.0 - E2 * s * s) ** 1.5
+        phi = phi + (M - _m_arc(phi)) / rho
+    return phi
+
+
+class Sinusoidal:
+    """Ellipsoidal sinusoidal (Snyder eq. 30-8/30-9; PROJ +proj=sinu
+    — the MODIS grid projection).  fwd: (lon, lat) deg -> (E, N) m."""
+
+    def __init__(self, lon0: float = 0.0, fe: float = 0.0,
+                 fn: float = 0.0):
+        self.lon0 = float(lon0)
+        self.fe, self.fn = float(fe), float(fn)
+
+    def fwd(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        dlam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        s = np.sin(phi)
+        E = self.fe + A * dlam * np.cos(phi) / np.sqrt(1.0 - E2 * s * s)
+        N = self.fn + _m_arc(phi)
+        return E, N
+
+    def inv(self, e, n):
+        x = np.asarray(e, np.float64) - self.fe
+        y = np.asarray(n, np.float64) - self.fn
+        phi = _phi_from_m(y)
+        s = np.sin(phi)
+        lam = x * np.sqrt(1.0 - E2 * s * s) / (A * np.cos(phi))
+        return self.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+class EquidistantCylindrical:
+    """Ellipsoidal equidistant cylindrical (EPSG method 1028):
+    E = FE + nu(lat1) cos(lat1) dlam, N = FN + M(phi)."""
+
+    def __init__(self, lat1: float = 0.0, lon0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0):
+        self.lon0 = float(lon0)
+        self.fe, self.fn = float(fe), float(fn)
+        p1 = np.radians(lat1)
+        s1 = np.sin(p1)
+        self.nu1cos = A * np.cos(p1) / np.sqrt(1.0 - E2 * s1 * s1)
+
+    def fwd(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        dlam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        return self.fe + self.nu1cos * dlam, self.fn + _m_arc(phi)
+
+    def inv(self, e, n):
+        x = np.asarray(e, np.float64) - self.fe
+        y = np.asarray(n, np.float64) - self.fn
+        phi = _phi_from_m(y)
+        return (self.lon0 + np.degrees(x / self.nu1cos),
+                np.degrees(phi))
+
+
+class Mollweide:
+    """Spherical Mollweide on the semi-major axis (PROJ +proj=moll):
+    Newton solve of 2*theta + sin(2*theta) = pi sin(phi)."""
+
+    def __init__(self, lon0: float = 0.0, fe: float = 0.0,
+                 fn: float = 0.0):
+        self.lon0 = float(lon0)
+        self.fe, self.fn = float(fe), float(fn)
+
+    @staticmethod
+    def _theta(phi):
+        rhs = np.pi * np.sin(phi)
+        th2 = 2.0 * np.asarray(phi, np.float64).copy()
+        for _ in range(20):
+            f = th2 + np.sin(th2) - rhs
+            d = 1.0 + np.cos(th2)
+            step = np.where(d > 1e-12, f / np.maximum(d, 1e-12), 0.0)
+            th2 = th2 - step
+            if np.all(np.abs(step) < 1e-14):
+                break
+        return th2 / 2.0
+
+    def fwd(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        dlam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        th = self._theta(phi)
+        E = self.fe + (2.0 * np.sqrt(2.0) / np.pi) * A * dlam * np.cos(th)
+        N = self.fn + np.sqrt(2.0) * A * np.sin(th)
+        return E, N
+
+    def inv(self, e, n):
+        x = np.asarray(e, np.float64) - self.fe
+        y = np.asarray(n, np.float64) - self.fn
+        th = np.arcsin(np.clip(y / (np.sqrt(2.0) * A), -1.0, 1.0))
+        phi = np.arcsin(np.clip(
+            (2.0 * th + np.sin(2.0 * th)) / np.pi, -1.0, 1.0))
+        lam = np.pi * x / (2.0 * np.sqrt(2.0) * A * np.cos(th))
+        return self.lon0 + np.degrees(lam), np.degrees(phi)
+
+
 # ------------------------------------------------------- fixture synthesis
 
 
@@ -548,6 +680,33 @@ def synth_utm(i: int):
 LCC_PARAMS = (49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0)
 ALBERS_PARAMS = (29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
 STERE_PARAMS = (70.0, -45.0, 0.0, 0.0)  # lat_ts, lon0, fe, fn (north)
+SINU_PARAMS = (0.0, 0.0, 0.0)           # lon0, fe, fn (MODIS grid form)
+EQC_PARAMS = (30.0, 0.0, 0.0, 0.0)      # lat1, lon0, fe, fn
+MOLL_PARAMS = (0.0, 0.0, 0.0)           # lon0, fe, fn
+
+
+def synth_sinu(i: int):
+    """Deterministic per-chip sinusoidal georeferencing (a MODIS
+    h18-ish mid-latitude window, dyadic offsets, 16 m GSD)."""
+    x0 = 400000.0 + (((i * 7) % 64) - 32) * 4096.0
+    y0 = 4800000.0 + (((i * 11) % 64) - 32) * 4096.0
+    return x0, y0, 16.0
+
+
+def synth_eqc(i: int):
+    """Deterministic per-chip equidistant-cylindrical georeferencing
+    (lat1=30 grid, mid-latitude window, dyadic offsets, 16 m GSD)."""
+    x0 = -131072.0 + ((i * 13) % 64) * 4096.0
+    y0 = 4700000.0 + ((i * 5) % 64) * 4096.0
+    return x0, y0, 16.0
+
+
+def synth_moll(i: int):
+    """Deterministic per-chip Mollweide georeferencing (central-
+    meridian mid-latitude window, dyadic offsets, 16 m GSD)."""
+    x0 = -1048576.0 + ((i * 9) % 64) * 4096.0
+    y0 = 4500000.0 + ((i * 3) % 64) * 4096.0
+    return x0, y0, 16.0
 
 
 def synth_lcc(i: int):

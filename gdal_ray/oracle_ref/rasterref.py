@@ -2382,7 +2382,7 @@ class _ConicRef:
             self.rho0 = self._A * np.sqrt(self.C - self.n * q0) / self.n
             self.x0 = -256000.0 + ((i * 13) % 64) * 4096.0
             self.y0 = 1792000.0 + ((i * 5) % 64) * 4096.0
-        else:  # stere (north, lat_ts=70, lon0=-45)
+        elif mode == "stere":  # north, lat_ts=70, lon0=-45
             self.fe, self.fn = 0.0, 0.0
             self.lon0 = -45.0
             pts = np.radians(70.0)
@@ -2390,6 +2390,34 @@ class _ConicRef:
             self.tc = self._t(pts)
             self.x0 = -512000.0 + ((i * 9) % 64) * 4096.0
             self.y0 = -2304000.0 + ((i * 3) % 64) * 4096.0
+        elif mode == "sinu":
+            self.fe, self.fn = 0.0, 0.0
+            self.lon0 = 0.0
+            self.x0 = 400000.0 + (((i * 7) % 64) - 32) * 4096.0
+            self.y0 = 4800000.0 + (((i * 11) % 64) - 32) * 4096.0
+        elif mode == "eqc":
+            self.fe, self.fn = 0.0, 0.0
+            self.lon0 = 0.0
+            p1 = np.radians(30.0)
+            s1 = np.sin(p1)
+            self.nu1cos = self._A * np.cos(p1) / np.sqrt(
+                1.0 - self.e2 * s1 * s1)
+            self.x0 = -131072.0 + ((i * 13) % 64) * 4096.0
+            self.y0 = 4700000.0 + ((i * 5) % 64) * 4096.0
+        else:  # moll (spherical on a)
+            self.fe, self.fn = 0.0, 0.0
+            self.lon0 = 0.0
+            self.x0 = -1048576.0 + ((i * 9) % 64) * 4096.0
+            self.y0 = 4500000.0 + ((i * 3) % 64) * 4096.0
+        if mode in ("sinu", "eqc"):
+            e2 = self.e2
+            self.m0 = 1.0 - e2 / 4.0 - 3.0 * e2 ** 2 / 64.0 \
+                - 5.0 * e2 ** 3 / 256.0
+            self.m2 = 3.0 * e2 / 8.0 + 3.0 * e2 ** 2 / 32.0 \
+                + 45.0 * e2 ** 3 / 1024.0
+            self.m4 = 15.0 * e2 ** 2 / 256.0 + 45.0 * e2 ** 3 / 1024.0
+            self.m6 = 35.0 * e2 ** 3 / 3072.0
+            self.e1r = (1.0 - np.sqrt(1.0 - e2)) / (1.0 + np.sqrt(1.0 - e2))
         self.gsd = 16.0
 
     def _t(self, phi):
@@ -2437,12 +2465,72 @@ class _ConicRef:
                 break
         return phi
 
+    def _m_arc(self, phi):
+        return self._A * (self.m0 * phi - self.m2 * np.sin(2.0 * phi)
+                          + self.m4 * np.sin(4.0 * phi)
+                          - self.m6 * np.sin(6.0 * phi))
+
+    def _phi_m(self, M):
+        """Series footpoint + two Newton steps (the engine's
+        documented sequence — identical doubles)."""
+        mu = M / (self._A * self.m0)
+        e1 = self.e1r
+        phi = (mu
+               + (3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0)
+               * np.sin(2.0 * mu)
+               + (21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0)
+               * np.sin(4.0 * mu)
+               + (151.0 * e1 ** 3 / 96.0) * np.sin(6.0 * mu)
+               + (1097.0 * e1 ** 4 / 512.0) * np.sin(8.0 * mu))
+        for _ in range(2):
+            s = np.sin(phi)
+            rho = self._A * (1.0 - self.e2) / (
+                1.0 - self.e2 * s * s) ** 1.5
+            phi = phi + (M - self._m_arc(phi)) / rho
+        return phi
+
+    def _theta_moll(self, phi):
+        rhs = np.pi * np.sin(phi)
+        th2 = 2.0 * np.asarray(phi, np.float64).copy()
+        for _ in range(20):
+            f = th2 + np.sin(th2) - rhs
+            d = 1.0 + np.cos(th2)
+            step = np.where(d > 1e-12, f / np.maximum(d, 1e-12), 0.0)
+            th2 = th2 - step
+            if np.all(np.abs(step) < 1e-14):
+                break
+        return th2 / 2.0
+
     def fwd_corners(self, pixel, line):
         """pixel-space corners -> (lon, lat) via the projection
         INVERSE."""
         E = self.x0 + self.gsd * np.asarray(pixel, np.float64)
         N = self.y0 + self.gsd * self.h - self.gsd * np.asarray(
             line, np.float64)
+        if self.mode == "sinu":
+            x = E - self.fe
+            y = N - self.fn
+            phi = self._phi_m(y)
+            s = np.sin(phi)
+            lam = x * np.sqrt(1.0 - self.e2 * s * s) / (
+                self._A * np.cos(phi))
+            return self.lon0 + np.degrees(lam), np.degrees(phi)
+        if self.mode == "eqc":
+            x = E - self.fe
+            y = N - self.fn
+            phi = self._phi_m(y)
+            return (self.lon0 + np.degrees(x / self.nu1cos),
+                    np.degrees(phi))
+        if self.mode == "moll":
+            x = E - self.fe
+            y = N - self.fn
+            th = np.arcsin(np.clip(
+                y / (np.sqrt(2.0) * self._A), -1.0, 1.0))
+            phi = np.arcsin(np.clip(
+                (2.0 * th + np.sin(2.0 * th)) / np.pi, -1.0, 1.0))
+            lam = np.pi * x / (
+                2.0 * np.sqrt(2.0) * self._A * np.cos(th))
+            return self.lon0 + np.degrees(lam), np.degrees(phi)
         if self.mode == "lcc":
             x = E - self.fe
             y = self.rho0 - (N - self.fn)
@@ -2475,6 +2563,34 @@ class _ConicRef:
     def inv_grid(self, lon, lat):
         """(lon, lat) grid -> source pixel coords via the projection
         FORWARD."""
+        if self.mode == "sinu":
+            phi = np.radians(np.asarray(lat, np.float64))
+            dlam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+            s = np.sin(phi)
+            E = self.fe + self._A * dlam * np.cos(phi) / np.sqrt(
+                1.0 - self.e2 * s * s)
+            N = self.fn + self._m_arc(phi)
+            sp = (E - self.x0) / self.gsd
+            sl = (self.y0 + self.gsd * self.h - N) / self.gsd
+            return sp, sl
+        if self.mode == "eqc":
+            phi = np.radians(np.asarray(lat, np.float64))
+            dlam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+            E = self.fe + self.nu1cos * dlam
+            N = self.fn + self._m_arc(phi)
+            sp = (E - self.x0) / self.gsd
+            sl = (self.y0 + self.gsd * self.h - N) / self.gsd
+            return sp, sl
+        if self.mode == "moll":
+            phi = np.radians(np.asarray(lat, np.float64))
+            dlam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+            th = self._theta_moll(phi)
+            E = self.fe + (2.0 * np.sqrt(2.0) / np.pi) * self._A \
+                * dlam * np.cos(th)
+            N = self.fn + np.sqrt(2.0) * self._A * np.sin(th)
+            sp = (E - self.x0) / self.gsd
+            sl = (self.y0 + self.gsd * self.h - N) / self.gsd
+            return sp, sl
         if self.mode == "lcc":
             phi = np.radians(np.asarray(lat, np.float64))
             theta = self.n * np.radians(
@@ -2539,7 +2655,7 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
 
         for tag in ("poly1", "poly0", "polyref", "tps", "rpc", "rpc_dem",
                     "geoloc", "utm", "utmchain", "lcc", "albers", "stere",
-                    "sumpres"):
+                    "sinu", "eqc", "moll", "sumpres"):
             if tag == "sumpres":
                 # sum-preserving 3857->4326 warp: banded fractional-
                 # overlap scatter of source pixels (GWKSumPreserving
@@ -2598,8 +2714,9 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
                 ref = _UtmRef(i, w, h)
                 fwd = ref.chain_fwd_corners
                 inv = ref.chain_inv_grid
-            elif tag in ("lcc", "albers", "stere"):  # conic/polar
-                # families: projection-inverse corners, forward grid
+            elif tag in ("lcc", "albers", "stere",
+                         "sinu", "eqc", "moll"):  # projected families:
+                # projection-inverse corners, forward grid
                 ref = _ConicRef(i, w, h, tag)
                 fwd = ref.fwd_corners
                 inv = ref.inv_grid

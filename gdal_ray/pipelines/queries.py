@@ -3683,7 +3683,11 @@ def q58_gcp_warp(sf_dir: str):
     Albers Equal Area, polar stereographic — Snyder closed forms over
     the synth_lcc/synth_albers/synth_stere dyadic fixtures; the
     arbitrary-CRS coverage the reference reaches through PROJ,
-    ogr/ogrct.cpp:1018); 'sumpres' = sum-preserving warp
+    ogr/ogrct.cpp:1018); 'sinu'/'eqc'/'moll' = the meridian-arc +
+    pseudocylindrical families (sinusoidal aka the MODIS grid,
+    equidistant cylindrical EPSG method 1028, spherical Mollweide —
+    Snyder eq. 30-8/30-9, 3-21/3-26 + Newton, and the 2theta Newton
+    form, over dyadic fixtures); 'sumpres' = sum-preserving warp
     (GWKSumPreserving, alg/gdalwarpkernel.cpp:7969 — fractional
     footprint-overlap scatter, global sum conserved in the float
     path).  Quantized-coefficient transformers, full 2-D
@@ -3729,11 +3733,14 @@ class _WarpSuiteChips:
     def __init__(self):
         from ..stages.warp import (
             WarpChipsAlbers,
+            WarpChipsEqc,
             WarpChipsGCP,
             WarpChipsGeoloc,
             WarpChipsLCC,
+            WarpChipsMoll,
             WarpChipsRPC,
             WarpChipsRPCDEM,
+            WarpChipsSinu,
             WarpChipsStere,
             WarpChipsSum,
             WarpChipsTPS,
@@ -3757,6 +3764,11 @@ class _WarpSuiteChips:
         self.lcc = WarpChipsLCC(resampling="bilinear")
         self.alb = WarpChipsAlbers(resampling="bilinear")
         self.ste = WarpChipsStere(resampling="bilinear")
+        # meridian-arc + pseudocylindrical families (sinusoidal = the
+        # MODIS grid, equidistant cylindrical EPSG 1028, Mollweide)
+        self.sin = WarpChipsSinu(resampling="bilinear")
+        self.eqc = WarpChipsEqc(resampling="bilinear")
+        self.mol = WarpChipsMoll(resampling="bilinear")
         self.smp = WarpChipsSum()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -3810,6 +3822,9 @@ class _WarpSuiteChips:
                 ("lcc", self.lcc._warp_one(img, iid)[0]),
                 ("albers", self.alb._warp_one(img, iid)[0]),
                 ("stere", self.ste._warp_one(img, iid)[0]),
+                ("sinu", self.sin._warp_one(img, iid)[0]),
+                ("eqc", self.eqc._warp_one(img, iid)[0]),
+                ("moll", self.mol._warp_one(img, iid)[0]),
                 ("sumpres", self.smp._warp_one(img, *env)[0]),
             ):
                 dec = codecs.decode(codecs.encode(out, fmt), w, h, fmt)

@@ -341,6 +341,14 @@ def _raster_select(ds, bands, concurrency: int = 4):
 @register_step("raster_reproject")
 def _raster_reproject(ds, dst_srs="EPSG:4326", src_srs="EPSG:3857",
                       resampling="bilinear", concurrency: int = 4):
+    """3857<->4326 closed-form warp, or any projected family via
+    ``src_srs='family:<lcc|albers|stere|sinu|eqc|moll>'`` (dst 4326;
+    per-chip fixture georeferencing, the q58 transformer contract)."""
+    if src_srs.startswith("family:"):
+        from ..stages.warp import warp_images_projfam
+
+        return warp_images_projfam(ds, src_srs.split(":", 1)[1],
+                                   resampling, concurrency=concurrency)
     from ..stages.warp import warp_images
 
     return warp_images(ds, src_srs, dst_srs, resampling, concurrency=concurrency)

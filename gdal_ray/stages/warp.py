@@ -771,6 +771,15 @@ class WarpChipsProjFam(WarpChipsRPC):
         elif self.FAMILY == "stere":
             self.prj = P.PolarStereographic(*P.STERE_PARAMS)
             self.synth = P.synth_stere
+        elif self.FAMILY == "sinu":
+            self.prj = P.Sinusoidal(*P.SINU_PARAMS)
+            self.synth = P.synth_sinu
+        elif self.FAMILY == "eqc":
+            self.prj = P.EquidistantCylindrical(*P.EQC_PARAMS)
+            self.synth = P.synth_eqc
+        elif self.FAMILY == "moll":
+            self.prj = P.Mollweide(*P.MOLL_PARAMS)
+            self.synth = P.synth_moll
         else:
             raise ValueError(f"unknown projection family {self.FAMILY!r}")
 
@@ -807,11 +816,24 @@ class WarpChipsStere(WarpChipsProjFam):
     FAMILY = "stere"
 
 
+class WarpChipsSinu(WarpChipsProjFam):
+    FAMILY = "sinu"
+
+
+class WarpChipsEqc(WarpChipsProjFam):
+    FAMILY = "eqc"
+
+
+class WarpChipsMoll(WarpChipsProjFam):
+    FAMILY = "moll"
+
+
 def warp_images_projfam(images, family: str, resampling: str = "bilinear",
                         concurrency=4, batch_size: int = 64):
-    """Conic/polar-family warp over an images Dataset (actor pool)."""
+    """Projected-CRS-family warp over an images Dataset (actor pool)."""
     cls = {"lcc": WarpChipsLCC, "albers": WarpChipsAlbers,
-           "stere": WarpChipsStere}[family]
+           "stere": WarpChipsStere, "sinu": WarpChipsSinu,
+           "eqc": WarpChipsEqc, "moll": WarpChipsMoll}[family]
     return images.map_batches(
         cls,
         fn_constructor_kwargs=dict(resampling=resampling),

@@ -347,3 +347,106 @@ def test_datum_shift_seven_param_round_trip_and_compose():
     lon4, lat4 = chain.inv(e, n)
     assert np.allclose(lon4, lon, atol=1e-9)
     assert np.allclose(lat4, lat, atol=1e-9)
+
+
+# ---------------------------------------- meridian-arc / pseudocyl
+
+
+def _new_families():
+    from gdal_ray.functions.proj import (EQC_PARAMS, MOLL_PARAMS,
+                                         SINU_PARAMS,
+                                         EquidistantCylindrical,
+                                         Mollweide, Sinusoidal)
+    return {
+        "sinu": Sinusoidal(*SINU_PARAMS),
+        "eqc": EquidistantCylindrical(*EQC_PARAMS),
+        "moll": Mollweide(*MOLL_PARAMS),
+    }
+
+
+def test_meridian_families_roundtrip_globe():
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    lon = rng.uniform(-170.0, 170.0, 400)
+    lat = rng.uniform(-85.0, 85.0, 400)
+    for name, prj in _new_families().items():
+        e, n = prj.fwd(lon, lat)
+        lon2, lat2 = prj.inv(e, n)
+        gm = np.hypot((lon2 - lon) * np.cos(np.radians(lat)),
+                      lat2 - lat) * 111320.0
+        assert np.max(gm) < 1e-5, name
+        e2, n2 = prj.fwd(lon2, lat2)
+        assert np.max(np.hypot(e2 - e, n2 - n)) < 1e-6, name
+
+
+def test_meridian_families_fixture_windows():
+    import numpy as np
+
+    from gdal_ray.functions.proj import synth_eqc, synth_moll, synth_sinu
+
+    synth = {"sinu": synth_sinu, "eqc": synth_eqc, "moll": synth_moll}
+    rng = np.random.default_rng(3)
+    for name, prj in _new_families().items():
+        for i in (0, 17, 63):
+            x0, y0, _ = synth[name](i)
+            E = x0 + rng.uniform(0, 4096, 100)
+            N = y0 + rng.uniform(0, 4096, 100)
+            lon, lat = prj.inv(E, N)
+            assert np.all(np.abs(lat) < 89.0), name
+            E2_, N2_ = prj.fwd(lon, lat)
+            assert np.max(np.hypot(E2_ - E, N2_ - N)) < 1e-7, name
+
+
+def test_meridian_families_anchors():
+    import numpy as np
+
+    from gdal_ray.functions.proj import A, Mollweide, Sinusoidal
+
+    # sinusoidal on the equator: x = a * dlam exactly
+    s = Sinusoidal(0.0)
+    e, n = s.fwd(1.0, 0.0)
+    assert abs(e - A * np.pi / 180.0) < 1e-6
+    assert abs(n) < 1e-6
+    # mollweide pole: y = sqrt(2) a, x = 0
+    m = Mollweide(0.0)
+    e, n = m.fwd(0.0, 90.0)
+    assert abs(n - np.sqrt(2.0) * A) < 1e-3
+    # mollweide total width at the equator: x(180) = 2 sqrt(2) a / pi * pi
+    e, n = m.fwd(180.0, 0.0)
+    assert abs(e - 2.0 * np.sqrt(2.0) * A) < 1e-3
+
+
+def test_sinu_composes_to_webmercator():
+    import numpy as np
+
+    from gdal_ray.functions.proj import (ComposedTransform, InverseOf,
+                                         Sinusoidal,
+                                         WebMercatorProjection)
+
+    chain = ComposedTransform(InverseOf(Sinusoidal(0.0)),
+                              WebMercatorProjection())
+    rng = np.random.default_rng(4)
+    sx = rng.uniform(3e5, 8e5, 50)
+    sy = rng.uniform(4.4e6, 5.0e6, 50)
+    mx, my = chain.fwd(sx, sy)
+    sx2, sy2 = chain.inv(mx, my)
+    assert np.max(np.hypot(sx2 - sx, sy2 - sy)) < 1e-6
+
+
+def test_warp_stage_meridian_families():
+    import numpy as np
+
+    from gdal_ray.stages.warp import (WarpChipsEqc, WarpChipsMoll,
+                                      WarpChipsSinu)
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (64, 64, 3), np.uint8)
+    for cls in (WarpChipsSinu, WarpChipsMoll, WarpChipsEqc):
+        st = cls.__new__(cls)
+        cls.__init__(st, resampling="bilinear")
+        out, env = st._warp_one(img, "img00000042")
+        assert out.shape == img.shape
+        assert out.any()
+        assert env[0] < env[2] and env[1] < env[3]
+        assert -180 < env[0] and env[2] < 180
