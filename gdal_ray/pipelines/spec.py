@@ -511,6 +511,17 @@ def _raster_rgb_to_palette(ds, n_colors: int = 16, concurrency: int = 4,
                           concurrency=concurrency)
 
 
+@register_step("raster_to_xyz")
+def _raster_to_xyz(ds, skip_zero: bool = False, batch_size: int = 16):
+    """gdal2xyz analog (osgeo_utils/gdal2xyz.py): one output row per
+    pixel with pixel-center geo coordinates and band values; output
+    explodes w*h per chip, so batches stay small."""
+    from ..stages.translate import xyz_points_batch
+
+    return ds.map_batches(xyz_points_batch(skip_zero),
+                          batch_format="pyarrow", batch_size=batch_size)
+
+
 @register_step("raster_info")
 def _raster_info(ds, sample_frac: float | None = None):
     """Band min/max/mean/std summary (gdalalg_raster_info.cpp /
@@ -860,7 +871,16 @@ def _vector_explode_collections(ds, offset_x: float = 0.0):
 
 
 @register_step("vector_reproject")
-def _vector_reproject(ds):
+def _vector_reproject(ds, src_srs: str = "EPSG:3857"):
+    """3857->4326 by default; ``src_srs='family:<name>'`` routes
+    through the projected-family closed forms (geomops
+    reproject_family_batch)."""
+    if src_srs.startswith("family:"):
+        from ..stages.geomops import reproject_family_batch
+
+        return ds.map_batches(
+            reproject_family_batch(src_srs.split(":", 1)[1]),
+            batch_format="pyarrow")
     from ..stages.geomops import reproject_batch
 
     return ds.map_batches(reproject_batch, batch_format="pyarrow")

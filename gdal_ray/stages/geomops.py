@@ -817,6 +817,45 @@ def reproject_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def reproject_family_batch(family: str):
+    """gdal vector reproject through an arbitrary projected family
+    (the ogrct.cpp path for non-WebMercator source CRS): ring
+    coordinates treated as <family> meters -> EPSG:4326 degrees via
+    the functions.proj closed forms (lcc/albers/stere/sinu/eqc/moll
+    at the engine's fixture parameters).  Same output contract as
+    reproject_batch."""
+    from ..functions import proj as P
+
+    prj = {
+        "lcc": lambda: P.LambertConformalConic(*P.LCC_PARAMS),
+        "albers": lambda: P.AlbersEqualArea(*P.ALBERS_PARAMS),
+        "stere": lambda: P.PolarStereographic(*P.STERE_PARAMS),
+        "sinu": lambda: P.Sinusoidal(*P.SINU_PARAMS),
+        "eqc": lambda: P.EquidistantCylindrical(*P.EQC_PARAMS),
+        "moll": lambda: P.Mollweide(*P.MOLL_PARAMS),
+    }[family]()
+
+    def fn(t: pa.Table) -> pa.Table:
+        fid, rings = _rings_from_table(t)
+        out_f, out_n, out_lon, out_lat = [], [], [], []
+        for i, r in enumerate(rings):
+            lon, lat = prj.inv(r[:, 0], r[:, 1])
+            out_f.append(int(fid[i]))
+            out_n.append(len(r))
+            out_lon.append(math.fsum(lon))
+            out_lat.append(math.fsum(lat))
+        return pa.table(
+            {
+                "fid": pa.array(out_f, pa.int64()),
+                "n_pts": pa.array(out_n, pa.int64()),
+                "lon_fsum": pa.array(out_lon, pa.float64()),
+                "lat_fsum": pa.array(out_lat, pa.float64()),
+            }
+        )
+
+    return fn
+
+
 # ------------------------------------------------------- set-geom-type
 
 

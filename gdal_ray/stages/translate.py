@@ -137,3 +137,63 @@ def translate_images(images, concurrency: int = 4, batch_size: int = 128, **opts
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def xyz_points_batch(skip_zero: bool = False):
+    """gdal2xyz analog (osgeo_utils/gdal2xyz.py:196-197 pixel-center
+    formula): explode each chip into one row per pixel with geo
+    coordinates and band values.
+
+    geo_x = minx + (col + 0.5) * gsd_x
+    geo_y = maxy - (row + 0.5) * gsd_y   (north-up, gt[5] < 0 analog)
+
+    ``skip_zero`` mirrors -skipnodata with nodata=0: rows whose bands
+    are ALL zero are dropped.  Emits (image_id, x, y, r, g, b)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids_o, xs_o, ys_o = [], [], []
+        vals_o = [[], [], []]
+        cols = {c: t.column(c).to_pylist()
+                for c in ("image_id", "bytes", "w", "h", "fmt",
+                          "minx", "miny", "maxx", "maxy")}
+        for i in range(t.num_rows):
+            w, h = cols["w"][i], cols["h"][i]
+            img = codecs.decode(cols["bytes"][i], w, h, cols["fmt"][i])
+            gsd_x = (cols["maxx"][i] - cols["minx"][i]) / w
+            gsd_y = (cols["maxy"][i] - cols["miny"][i]) / h
+            gx = cols["minx"][i] + (np.arange(w) + 0.5) * gsd_x
+            gy = cols["maxy"][i] - (np.arange(h) + 0.5) * gsd_y
+            XX, YY = np.meshgrid(gx, gy)
+            flat = img.reshape(-1, 3)
+            keep = slice(None)
+            if skip_zero:
+                keep = np.nonzero(flat.any(axis=1))[0]
+            xs = XX.ravel()[keep]
+            ids_o.append(np.full(len(xs), cols["image_id"][i]))
+            xs_o.append(xs)
+            ys_o.append(YY.ravel()[keep])
+            for b in range(3):
+                vals_o[b].append(flat[keep, b])
+        if not ids_o:
+            return pa.table(
+                {
+                    "image_id": pa.array([], pa.string()),
+                    "x": pa.array([], pa.float64()),
+                    "y": pa.array([], pa.float64()),
+                    "r": pa.array([], pa.int32()),
+                    "g": pa.array([], pa.int32()),
+                    "b": pa.array([], pa.int32()),
+                }
+            )
+        return pa.table(
+            {
+                "image_id": pa.array(np.concatenate(ids_o)),
+                "x": pa.array(np.concatenate(xs_o), pa.float64()),
+                "y": pa.array(np.concatenate(ys_o), pa.float64()),
+                "r": pa.array(np.concatenate(vals_o[0]).astype(np.int32)),
+                "g": pa.array(np.concatenate(vals_o[1]).astype(np.int32)),
+                "b": pa.array(np.concatenate(vals_o[2]).astype(np.int32)),
+            }
+        )
+
+    return fn

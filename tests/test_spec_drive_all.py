@@ -174,6 +174,59 @@ def test_raster_contour_step(smoke_fixtures):
     assert len(df) > 0
 
 
+def test_raster_to_xyz_step(smoke_fixtures):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = _drive([
+        {"step": "read_images", "path": smoke_fixtures["images"]},
+        {"step": "limit", "n": 2},
+        {"step": "raster_to_xyz"},
+    ])
+    src = pq.read_table(
+        glob.glob(smoke_fixtures["images"] + "/*.parquet")[0]
+    ).to_pandas().set_index("image_id")
+    ids = df["image_id"].unique()
+    assert len(ids) == 2
+    from gdal_ray.functions import codecs
+
+    for iid in ids:
+        row = src.loc[iid]
+        sub = df[df["image_id"] == iid]
+        assert len(sub) == row["w"] * row["h"]  # one row per pixel
+        # anchor: the first pixel (row 0, col 0) -> pixel-center coords
+        img = codecs.decode(row["bytes"], row["w"], row["h"], row["fmt"])
+        gsd_x = (row["maxx"] - row["minx"]) / row["w"]
+        gsd_y = (row["maxy"] - row["miny"]) / row["h"]
+        p = sub[(sub["x"] == row["minx"] + 0.5 * gsd_x)
+                & (sub["y"] == row["maxy"] - 0.5 * gsd_y)]
+        assert len(p) == 1
+        assert (p.iloc[0][["r", "g", "b"]].to_numpy()
+                == img[0, 0]).all()
+
+    skipped = _drive([
+        {"step": "read_images", "path": smoke_fixtures["images"]},
+        {"step": "limit", "n": 2},
+        {"step": "raster_to_xyz", "skip_zero": True},
+    ])
+    assert len(skipped) <= len(df)
+
+
+def test_vector_reproject_family_step():
+    import math
+
+    df = _drive([{"step": "vector_reproject", "src_srs": "family:sinu"}],
+                _ring_table())
+    assert len(df) == 2 and "lon_fsum" in df.columns
+    from gdal_ray.functions.proj import SINU_PARAMS, Sinusoidal
+
+    prj = Sinusoidal(*SINU_PARAMS)
+    lon, lat = prj.inv([0.0, 1000.0, 1000.0, 0.0],
+                       [0.0, 0.0, 800.0, 800.0])
+    assert df[df["fid"] == 1]["lon_fsum"].iloc[0] == math.fsum(lon)
+
+
 def test_raster_zonal_stats_step(smoke_fixtures):
     df = _drive([
         {"step": "read_images", "path": smoke_fixtures["images"]},
