@@ -3064,9 +3064,18 @@ def q19_langid_fingerprint(sf_dir: str):
 def q29_band_stats_hist(sf_dir: str):
     """Band-statistics + 256-bucket histogram suite in long format
     (kind, band, k, v): stats rows carry k=0 and v = the statistic
-    (n/min/max/mean/stddev); 'hist' rows carry k=bucket, v=count."""
-    s = q29_band_stats(sf_dir)
-    h = q30_band_histogram(sf_dir)
+    (n/min/max/mean/stddev); 'hist' rows carry k=bucket, v=count.
+    Stats DERIVE from the merged histogram (Byte data: the histogram
+    is a sufficient statistic with identical int64 partials), so the
+    two surfaces share ONE decode pass."""
+    import ray.data as rd_
+
+    from ..stages.stats import band_stats_and_histogram
+
+    paths0 = ensure_fixtures(scale_for_sf_dir(sf_dir))
+    s, h = band_stats_and_histogram(
+        rd_.read_parquet(paths0["images"],
+                         columns=["bytes", "w", "h", "fmt"]))
 
     def melt_stats(t: pa.Table) -> pa.Table:
         band = t.column("band").to_numpy(zero_copy_only=False)

@@ -135,6 +135,53 @@ def band_histogram(images, n_buckets: int = 256):
     )
 
 
+def band_stats_and_histogram(images, n_buckets: int = 256):
+    """ONE decode pass serving both surfaces: the merged per-band
+    histogram is materialized (<= 768 tiny rows) and the statistics
+    DERIVE from it — for Byte data the histogram is a sufficient
+    statistic: s = sum(k*c) and ss = sum(k^2*c) are the identical
+    int64 partial sums the direct pass accumulates, so the finalize
+    floats are bit-equal while every chip decodes once instead of
+    twice.  Returns (stats_ds, hist_ds)."""
+    hist = band_histogram(images, n_buckets).materialize()
+
+    def derive(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        bucket = t.column("bucket").to_numpy(zero_copy_only=False)
+        count = t.column("count").to_numpy(zero_copy_only=False)
+        rows = {"band": [], "s": [], "ss": [], "n": [], "mn": [], "mx": []}
+        for b in np.unique(band):
+            sel = band == b
+            k = bucket[sel].astype(np.int64)
+            c = count[sel].astype(np.int64)
+            rows["band"].append(int(b))
+            rows["s"].append(int((k * c).sum()))
+            rows["ss"].append(int((k * k * c).sum()))
+            rows["n"].append(int(c.sum()))
+            nz = k[c > 0]
+            rows["mn"].append(int(nz.min()))
+            rows["mx"].append(int(nz.max()))
+        s = np.asarray(rows["s"], np.float64)
+        ss = np.asarray(rows["ss"], np.float64)
+        n = np.asarray(rows["n"], np.float64)
+        mean = s / n
+        var = ss / n - mean * mean
+        return pa.table(
+            {
+                "band": pa.array(rows["band"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "min": pa.array(rows["mn"], pa.int64()),
+                "max": pa.array(rows["mx"], pa.int64()),
+                "mean": pa.array(mean),
+                "stddev": pa.array(np.sqrt(np.maximum(var, 0.0))),
+            }
+        )
+
+    stats = (hist.repartition(1)
+             .map_batches(derive, batch_format="pyarrow").sort("band"))
+    return stats, hist
+
+
 def image_checksums(images):
     """Per-chip GDAL checksum Dataset (the golden-compare aggregate)."""
     from ..functions import checksum
