@@ -735,3 +735,172 @@ def synth_stere(i: int):
     x0 = -512000.0 + ((i * 9) % 64) * 4096.0
     y0 = -2304000.0 + ((i * 3) % 64) * 4096.0
     return x0, y0, 16.0
+
+
+# ------------------------------------------------- NTv2 grid-shift datum
+
+
+class NTv2GridShift:
+    """Horizontal datum transformation via an NTv2 shift grid — the
+    reference reaches this through PROJ's ``+nadgrids=`` horizontal
+    grid correction (ogr/ogrct.cpp:1018; the grid FILE itself is the
+    frmts/ntv2 driver's subject, sources/ntv2.py here).
+
+    ``subgrids`` is the parsed list from :func:`sources.ntv2.read_ntv2`
+    (or equivalently-shaped dicts): bounds/increments in arc-seconds
+    with longitudes POSITIVE WEST, float32 shift arrays with row 0 at
+    S_LAT and col 0 at E_LONG.
+
+    Subgrid selection: the LAST subgrid in file order whose bounds
+    contain the point wins (NTv2 files list children after their
+    parents, so the densest containing grid is chosen — the PROJ
+    child-grid rule).  Points outside every subgrid pass through
+    UNSHIFTED (the PROJ ``errno_outside_grid`` soft path).
+
+    Bilinear interpolation, exact elementwise sequence (the rasterref
+    golden mirrors it)::
+
+        tw = (-lon * 3600 - e_long) / long_inc      # positive-west col
+        ty = ( lat * 3600 - s_lat) / lat_inc
+        c0 = clip(floor(tw), 0, ncols - 2); fx = tw - c0
+        r0 = clip(floor(ty), 0, nrows - 2); fy = ty - r0
+        v  = (v00 * (1-fy) * (1-fx) + v01 * (1-fy) * fx
+              + v10 * fy * (1-fx) + v11 * fy * fx)
+
+    with v00 = grid[r0, c0], v01 = grid[r0, c0+1], v10 = grid[r0+1,
+    c0], v11 = grid[r0+1, c0+1] (float32 nodes upcast to float64).
+
+    ``fwd`` maps source-datum (lon, lat) degrees to target-datum
+    degrees: lat' = lat + latshift/3600, lon' = lon - lonshift/3600
+    (shift positive west, lon positive east).  ``inv`` runs exactly
+    FOUR fixed-point iterations of the forward field (deterministic —
+    no tolerance branch; PROJ iterates to tolerance, but a fixed count
+    makes engine/golden bit-identical and lands ~1e-4 arc-second
+    accuracy at realistic shift gradients).
+    """
+
+    def __init__(self, subgrids: list[dict]):
+        if not subgrids:
+            raise ValueError("NTv2GridShift needs >= 1 subgrid")
+        self.subs = []
+        for s in subgrids:
+            nrows = int(round((s["n_lat"] - s["s_lat"]) / s["lat_inc"])) + 1
+            ncols = int(round((s["w_long"] - s["e_long"])
+                              / s["long_inc"])) + 1
+            self.subs.append((
+                float(s["s_lat"]), float(s["n_lat"]), float(s["e_long"]),
+                float(s["w_long"]), float(s["lat_inc"]),
+                float(s["long_inc"]), nrows, ncols,
+                np.asarray(s["lat_shift"], np.float64),
+                np.asarray(s["lon_shift"], np.float64),
+            ))
+
+    def _shift_sec(self, lon, lat):
+        """Interpolated (lat_shift, lon_shift) arc-seconds at
+        east-positive degree coordinates; zeros outside coverage."""
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        lon_w = lon * -3600.0
+        lat_s = lat * 3600.0
+        dla = np.zeros(lon.shape, np.float64)
+        dlo = np.zeros(lon.shape, np.float64)
+        for (s_lat, n_lat, e_long, w_long, lat_inc, long_inc,
+             nrows, ncols, gla, glo) in self.subs:
+            m = ((lat_s >= s_lat) & (lat_s <= n_lat)
+                 & (lon_w >= e_long) & (lon_w <= w_long))
+            if not np.any(m):
+                continue
+            tw = (lon_w[m] - e_long) / long_inc
+            ty = (lat_s[m] - s_lat) / lat_inc
+            c0 = np.clip(np.floor(tw), 0, ncols - 2).astype(np.int64)
+            r0 = np.clip(np.floor(ty), 0, nrows - 2).astype(np.int64)
+            fx = tw - c0
+            fy = ty - r0
+            for grid, acc in ((gla, dla), (glo, dlo)):
+                v = (grid[r0, c0] * (1.0 - fy) * (1.0 - fx)
+                     + grid[r0, c0 + 1] * (1.0 - fy) * fx
+                     + grid[r0 + 1, c0] * fy * (1.0 - fx)
+                     + grid[r0 + 1, c0 + 1] * fy * fx)
+                acc[m] = v
+        return dla, dlo
+
+    def fwd(self, lon, lat):
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        dla, dlo = self._shift_sec(lon, lat)
+        return lon - dlo / 3600.0, lat + dla / 3600.0
+
+    def inv(self, lon, lat):
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        lon_s = lon.copy()
+        lat_s = lat.copy()
+        for _ in range(4):
+            dla, dlo = self._shift_sec(lon_s, lat_s)
+            lon_s = lon + dlo / 3600.0
+            lat_s = lat - dla / 3600.0
+        return lon_s, lat_s
+
+
+def synth_ntv2_subgrids() -> list[dict]:
+    """Deterministic NTv2 fixture grid (FIXTURE — node formulas
+    mirrored by the rasterref golden): a 0.25-degree base grid over
+    lat 42..46 N, lon 112..118 W, plus a 0.125-degree child subgrid
+    over lat 43.5..44.5, lon 114..116 W with an UNRELATED field (so
+    child-over-parent selection is observable).  Shift node values are
+    small dyadic integers scaled by 4 resp. 2 (exactly representable
+    in the file's float32 nodes):
+
+        base : lat[r, c] = (((3r + 5c) %% 17) - 8) * 4
+               lon[r, c] = (((7r + 11c) %% 13) - 6) * 4
+        child: lat[r, c] = (((5r + 7c) %% 19) - 9) * 2 + 8
+               lon[r, c] = (((11r + 3c) %% 23) - 11) * 2 - 4
+
+    (arc-seconds; lon positive west)."""
+    r, c = np.meshgrid(np.arange(17), np.arange(25), indexing="ij")
+    base = dict(
+        name="BASE", parent=None,
+        s_lat=42.0 * 3600.0, n_lat=46.0 * 3600.0,
+        e_long=112.0 * 3600.0, w_long=118.0 * 3600.0,
+        lat_inc=900.0, long_inc=900.0,
+        lat_shift=(((3 * r + 5 * c) % 17) - 8).astype(np.float64) * 4.0,
+        lon_shift=(((7 * r + 11 * c) % 13) - 6).astype(np.float64) * 4.0,
+    )
+    r, c = np.meshgrid(np.arange(9), np.arange(17), indexing="ij")
+    child = dict(
+        name="CHILD", parent="BASE",
+        s_lat=43.5 * 3600.0, n_lat=44.5 * 3600.0,
+        e_long=114.0 * 3600.0, w_long=116.0 * 3600.0,
+        lat_inc=450.0, long_inc=450.0,
+        lat_shift=(((5 * r + 7 * c) % 19) - 9).astype(np.float64) * 2.0
+        + 8.0,
+        lon_shift=(((11 * r + 3 * c) % 23) - 11).astype(np.float64) * 2.0
+        - 4.0,
+    )
+    return [base, child]
+
+
+def synth_ntv2(i: int):
+    """Deterministic per-chip NAD27 lon/lat georeferencing inside the
+    synth_ntv2_subgrids coverage (FIXTURE — mirrored by the rasterref
+    golden): dyadic origins, 1/512-degree GSD; a subset of chips
+    overlaps the CHILD subgrid window.  Returns (lon0, lat0, gsd_deg);
+    the chip footprint is lon in [lon0, lon0 + gsd*w], lat in
+    [lat0, lat0 + gsd*h] (east-positive degrees)."""
+    lon0 = -117.5 + ((i * 7) % 16) * 0.25
+    lat0 = 42.5 + ((i * 11) % 16) * 0.1875
+    return lon0, lat0, 1.0 / 512.0
+
+
+def fixture_ntv2_transform() -> NTv2GridShift:
+    """The NTv2 fixture transform straight from the synth subgrids
+    (in-memory; the warp stage instead round-trips through a real
+    .gsb file via sources.ntv2).  float32 node quantization is applied
+    here too so both paths interpolate identical values."""
+    subs = []
+    for s in synth_ntv2_subgrids():
+        s = dict(s)
+        s["lat_shift"] = s["lat_shift"].astype(np.float32)
+        s["lon_shift"] = s["lon_shift"].astype(np.float32)
+        subs.append(s)
+    return NTv2GridShift(subs)

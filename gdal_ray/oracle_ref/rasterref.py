@@ -2618,6 +2618,95 @@ class _ConicRef:
         return sp, sl
 
 
+class _NtvRef:
+    """NTv2 grid-shift datum golden: restates the fixture grid node
+    formulas, the child-over-parent subgrid selection, the documented
+    bilinear sequence and the fixed-4-step iterative inverse with
+    independent code (identical doubles; the engine additionally
+    round-trips the grid through a real .gsb file — float32 nodes are
+    dyadic, so the file quantization is exact on both sides).  Chip
+    georeferencing restates functions.proj.synth_ntv2."""
+
+    def __init__(self, i: int, w: int, h: int):
+        self.w, self.h = w, h
+        self.lon0 = -117.5 + ((i * 7) % 16) * 0.25
+        self.lat0 = 42.5 + ((i * 11) % 16) * 0.1875
+        self.gsd = 1.0 / 512.0
+        r, c = np.meshgrid(np.arange(17), np.arange(25), indexing="ij")
+        base_la = ((((3 * r + 5 * c) % 17) - 8).astype(np.float64)
+                   * 4.0).astype(np.float32).astype(np.float64)
+        base_lo = ((((7 * r + 11 * c) % 13) - 6).astype(np.float64)
+                   * 4.0).astype(np.float32).astype(np.float64)
+        r, c = np.meshgrid(np.arange(9), np.arange(17), indexing="ij")
+        ch_la = (((((5 * r + 7 * c) % 19) - 9).astype(np.float64) * 2.0
+                  + 8.0)).astype(np.float32).astype(np.float64)
+        ch_lo = (((((11 * r + 3 * c) % 23) - 11).astype(np.float64) * 2.0
+                  - 4.0)).astype(np.float32).astype(np.float64)
+        # (s_lat, n_lat, e_long, w_long, inc, nrows, ncols, la, lo) —
+        # seconds, lon positive west; LAST containing subgrid wins
+        self.subs = (
+            (151200.0, 165600.0, 403200.0, 424800.0, 900.0, 17, 25,
+             base_la, base_lo),
+            (156600.0, 160200.0, 410400.0, 417600.0, 450.0, 9, 17,
+             ch_la, ch_lo),
+        )
+
+    def _shift(self, lon, lat):
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        lon_w = lon * -3600.0
+        lat_s = lat * 3600.0
+        dla = np.zeros(lon.shape, np.float64)
+        dlo = np.zeros(lon.shape, np.float64)
+        for (s_lat, n_lat, e_long, w_long, inc, nrows, ncols,
+             gla, glo) in self.subs:
+            inside = ((lat_s >= s_lat) & (lat_s <= n_lat)
+                      & (lon_w >= e_long) & (lon_w <= w_long))
+            if not inside.any():
+                continue
+            tw = (lon_w - e_long) / inc
+            ty = (lat_s - s_lat) / inc
+            c0 = np.clip(np.floor(tw), 0, ncols - 2).astype(np.int64)
+            r0 = np.clip(np.floor(ty), 0, nrows - 2).astype(np.int64)
+            fx = tw - c0
+            fy = ty - r0
+            va = (gla[r0, c0] * (1.0 - fy) * (1.0 - fx)
+                  + gla[r0, c0 + 1] * (1.0 - fy) * fx
+                  + gla[r0 + 1, c0] * fy * (1.0 - fx)
+                  + gla[r0 + 1, c0 + 1] * fy * fx)
+            vo = (glo[r0, c0] * (1.0 - fy) * (1.0 - fx)
+                  + glo[r0, c0 + 1] * (1.0 - fy) * fx
+                  + glo[r0 + 1, c0] * fy * (1.0 - fx)
+                  + glo[r0 + 1, c0 + 1] * fy * fx)
+            dla = np.where(inside, va, dla)
+            dlo = np.where(inside, vo, dlo)
+        return dla, dlo
+
+    def fwd_corners(self, pixel, line):
+        """pixel-space corners -> target-datum (lon, lat) via the
+        forward shift."""
+        lon = self.lon0 + self.gsd * np.asarray(pixel, np.float64)
+        lat = (self.lat0 + self.gsd * self.h
+               - self.gsd * np.asarray(line, np.float64))
+        dla, dlo = self._shift(lon, lat)
+        return lon - dlo / 3600.0, lat + dla / 3600.0
+
+    def inv_grid(self, lon, lat):
+        """target-datum grid -> source pixel coords via the fixed-4
+        iterative inverse."""
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        lon_it = lon.copy()
+        lat_it = lat.copy()
+        for _ in range(4):
+            dla, dlo = self._shift(lon_it, lat_it)
+            lon_it = lon + dlo / 3600.0
+            lat_it = lat - dla / 3600.0
+        sp = (lon_it - self.lon0) / self.gsd
+        sl = (self.lat0 + self.gsd * self.h - lat_it) / self.gsd
+        return sp, sl
+
+
 def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
     """GCP warp suite golden: 'poly1' = order-1 fit by normal
     equations over the dyadic affine GCP spec; 'tps' = thin-plate
@@ -2655,7 +2744,7 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
 
         for tag in ("poly1", "poly0", "polyref", "tps", "rpc", "rpc_dem",
                     "geoloc", "utm", "utmchain", "lcc", "albers", "stere",
-                    "sinu", "eqc", "moll", "sumpres"):
+                    "sinu", "eqc", "moll", "ntv2", "sumpres"):
             if tag == "sumpres":
                 # sum-preserving 3857->4326 warp: banded fractional-
                 # overlap scatter of source pixels (GWKSumPreserving
@@ -2718,6 +2807,11 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
                          "sinu", "eqc", "moll"):  # projected families:
                 # projection-inverse corners, forward grid
                 ref = _ConicRef(i, w, h, tag)
+                fwd = ref.fwd_corners
+                inv = ref.inv_grid
+            elif tag == "ntv2":  # grid-shift datum: forward-shift
+                # corners, fixed-4 iterative-inverse grid
+                ref = _NtvRef(i, w, h)
                 fwd = ref.fwd_corners
                 inv = ref.inv_grid
             else:  # geoloc arrays: forward corners, Newton-inverse grid

@@ -3696,7 +3696,12 @@ def q58_gcp_warp(sf_dir: str):
     pseudocylindrical families (sinusoidal aka the MODIS grid,
     equidistant cylindrical EPSG method 1028, spherical Mollweide —
     Snyder eq. 30-8/30-9, 3-21/3-26 + Newton, and the 2theta Newton
-    form, over dyadic fixtures); 'sumpres' = sum-preserving warp
+    form, over dyadic fixtures); 'ntv2' = NTv2 grid-shift datum
+    transform (the PROJ +nadgrids= horizontal correction the reference
+    reaches through ogr/ogrct.cpp:1018; the deterministic fixture grid
+    round-trips through a REAL .gsb file via sources.ntv2, base +
+    child subgrid selection, fixed-4 iterative inverse); 'sumpres' =
+    sum-preserving warp
     (GWKSumPreserving, alg/gdalwarpkernel.cpp:7969 — fractional
     footprint-overlap scatter, global sum conserved in the float
     path).  Quantized-coefficient transformers, full 2-D
@@ -3747,6 +3752,7 @@ class _WarpSuiteChips:
             WarpChipsGeoloc,
             WarpChipsLCC,
             WarpChipsMoll,
+            WarpChipsNTv2,
             WarpChipsRPC,
             WarpChipsRPCDEM,
             WarpChipsSinu,
@@ -3778,6 +3784,9 @@ class _WarpSuiteChips:
         self.sin = WarpChipsSinu(resampling="bilinear")
         self.eqc = WarpChipsEqc(resampling="bilinear")
         self.mol = WarpChipsMoll(resampling="bilinear")
+        # NTv2 grid-shift datum transform (the +nadgrids= horizontal
+        # correction path; grid round-tripped through a real .gsb)
+        self.ntv = WarpChipsNTv2(resampling="bilinear")
         self.smp = WarpChipsSum()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -3834,6 +3843,7 @@ class _WarpSuiteChips:
                 ("sinu", self.sin._warp_one(img, iid)[0]),
                 ("eqc", self.eqc._warp_one(img, iid)[0]),
                 ("moll", self.mol._warp_one(img, iid)[0]),
+                ("ntv2", self.ntv._warp_one(img, iid)[0]),
                 ("sumpres", self.smp._warp_one(img, *env)[0]),
             ):
                 dec = codecs.decode(codecs.encode(out, fmt), w, h, fmt)

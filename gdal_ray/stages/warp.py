@@ -830,12 +830,84 @@ class WarpChipsMoll(WarpChipsProjFam):
 
 def warp_images_projfam(images, family: str, resampling: str = "bilinear",
                         concurrency=4, batch_size: int = 64):
-    """Projected-CRS-family warp over an images Dataset (actor pool)."""
+    """Projected-CRS-family warp over an images Dataset (actor pool).
+    ``family='ntv2'`` routes to the NTv2 grid-shift datum warp (same
+    stage protocol; georeferencing in source-datum lon/lat)."""
     cls = {"lcc": WarpChipsLCC, "albers": WarpChipsAlbers,
            "stere": WarpChipsStere, "sinu": WarpChipsSinu,
-           "eqc": WarpChipsEqc, "moll": WarpChipsMoll}[family]
+           "eqc": WarpChipsEqc, "moll": WarpChipsMoll,
+           "ntv2": WarpChipsNTv2}[family]
     return images.map_batches(
         cls,
+        fn_constructor_kwargs=dict(resampling=resampling),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class WarpChipsNTv2(WarpChipsRPC):
+    """Actor-pool stage: warp each chip across a horizontal DATUM
+    SHIFT driven by an NTv2 grid file — the reference reaches this
+    through PROJ's ``+nadgrids=`` correction (ogr/ogrct.cpp:1018) and
+    ships the grid format itself as the frmts/ntv2 driver.
+
+    The actor ``__init__`` writes the deterministic fixture grid
+    (functions.proj.synth_ntv2_subgrids) to a real .gsb file under
+    /tmp once, reads it back through sources.ntv2.read_ntv2 and builds
+    the transform from the PARSED records — so every driver-checked
+    row exercises the binary format round trip, not just the math.
+
+    Chips are georeferenced in source-datum (NAD27-style) lon/lat by
+    functions.proj.synth_ntv2(i); dst bbox = envelope of the
+    FORWARD-shifted corners (source datum -> target datum), w x h
+    kept, each dst pixel center mapped back through the fixed-4-step
+    iterative INVERSE to source pixel space (mirrored by the
+    rasterref golden)."""
+
+    FIXTURE_GSB = "/tmp/gdal_ray_fixtures/ntv2_fixture.gsb"
+
+    def __init__(self, resampling: str = "bilinear"):
+        super().__init__(resampling)
+        import os
+
+        from ..functions.proj import NTv2GridShift, synth_ntv2_subgrids
+        from ..sources.ntv2 import read_ntv2, write_ntv2
+
+        if not os.path.exists(self.FIXTURE_GSB):
+            os.makedirs(os.path.dirname(self.FIXTURE_GSB), exist_ok=True)
+            write_ntv2(self.FIXTURE_GSB, synth_ntv2_subgrids())
+        self.shift = NTv2GridShift(read_ntv2(self.FIXTURE_GSB)["subgrids"])
+
+    def _warp_one(self, img, iid: str):
+        from ..functions.proj import synth_ntv2
+
+        h, w = img.shape[:2]
+        i = int(iid[3:])
+        lon0, lat0, gsd = synth_ntv2(i)
+        cX = np.array([lon0, lon0 + gsd * w, lon0 + gsd * w, lon0])
+        cY = np.array([lat0 + gsd * h, lat0 + gsd * h, lat0, lat0])
+        clon, clat = self.shift.fwd(cX, cY)
+        minx, maxx = float(np.min(clon)), float(np.max(clon))
+        miny, maxy = float(np.min(clat)), float(np.max(clat))
+        X = minx + (np.arange(w) + 0.5) * ((maxx - minx) / w)
+        Y = maxy - (np.arange(h) + 0.5) * ((maxy - miny) / h)
+        XX, YY = np.meshgrid(X, Y)
+        E, N = self.shift.inv(XX, YY)
+        sp = (E - lon0) / gsd
+        sl = (lat0 + gsd * h - N) / gsd
+        out = kernels.resample_grid(
+            img, sp - 0.5, sl - 0.5, self.resampling, nodata=0
+        )
+        return out, (minx, miny, maxx, maxy)
+
+
+def warp_images_ntv2(images, resampling: str = "bilinear",
+                     concurrency=4, batch_size: int = 64):
+    """NTv2 grid-shift datum warp over an images Dataset (actor pool;
+    the .gsb fixture is written/parsed once per actor)."""
+    return images.map_batches(
+        WarpChipsNTv2,
         fn_constructor_kwargs=dict(resampling=resampling),
         batch_format="pyarrow",
         batch_size=batch_size,
