@@ -1096,6 +1096,18 @@ def _mdim_read_netcdf(ds, path: str, var: str, slab: int = 0,
     return MDimHandle(nds, spec)
 
 
+@register_step("mdim_read_grib2")
+def _mdim_read_grib2(ds, path: str, msg: int = 0, slab: int = 0,
+                     parallelism: int = 16):
+    """One GRIB2 message's (nj, ni) field as mdim chunk rows
+    (frmts/grib analog; sources.grib2)."""
+    from ..sources.grib2 import read_grib2_mdim
+
+    gds, spec = read_grib2_mdim(path, msg=msg, slab=slab,
+                                parallelism=parallelism)
+    return MDimHandle(gds, spec)
+
+
 @register_step("mdim_transpose")
 def _mdim_transpose(ds, perm):
     from ..stages.mdim import mdim_transpose

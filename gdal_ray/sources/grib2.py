@@ -1,0 +1,379 @@
+"""GRIB2 (WMO FM 92 GRIB Edition 2) source/sink, from the published
+spec — the reference reads this family through ``frmts/grib`` (a
+degrib/g2clib vendoring); this is a from-scratch implementation of the
+message layout itself.
+
+Supported surface:
+
+- Section 0 indicator (discipline, edition 2, 8-byte total length),
+  section 1 identification (centre, reference time), section 3 grid
+  definition template 3.0 (equidistant lat/lon grid, scanning modes
+  0x00 north-to-south and 0x40 south-to-north), section 4 product
+  definition template 4.0 (parameter category/number, forecast hour),
+  section 5 data representation template 5.0 (simple packing:
+  ``Y = (R + X * 2^E) / 10^D`` with float32 reference R, sign-magnitude
+  int16 binary/decimal scale factors), section 6 bitmap (indicator 0 =
+  bitmap present, 255 = none; NaN cells round-trip through the bitmap),
+  section 7 packed data (big-endian MSB-first bit stream), section 8
+  ``7777`` terminator.  Multiple messages per file (the operational
+  concatenated-file convention).
+- All multi-byte integers big-endian; NEGATIVE values (latitudes,
+  scale factors) in GRIB sign-and-magnitude form (high bit = sign),
+  NOT two's complement.
+
+Vectorized pack/unpack (np.packbits over an (n, nbits) bit matrix).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+_EDITION = 2
+
+
+def _sm_bytes(v: int, width: int) -> bytes:
+    """Signed int -> GRIB sign-and-magnitude big-endian bytes."""
+    neg = v < 0
+    mag = -v if neg else v
+    top = 1 << (8 * width - 1)
+    if mag >= top:
+        raise ValueError(f"magnitude {mag} too large for {width} bytes")
+    return int(mag | (top if neg else 0)).to_bytes(width, "big")
+
+
+def _sm_read(b: bytes) -> int:
+    """GRIB sign-and-magnitude bytes -> signed int."""
+    v = int.from_bytes(b, "big")
+    top = 1 << (8 * len(b) - 1)
+    return -(v & (top - 1)) if v & top else v
+
+
+def _pack_bits(x: np.ndarray, nbits: int) -> bytes:
+    """Big-endian MSB-first packing of unsigned ints at nbits each."""
+    if nbits == 0 or len(x) == 0:
+        return b""
+    shifts = np.arange(nbits - 1, -1, -1, dtype=np.uint32)
+    bits = ((x[:, None].astype(np.uint64) >> shifts) & 1).astype(np.uint8)
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def _unpack_bits(buf: bytes, n: int, nbits: int) -> np.ndarray:
+    if nbits == 0 or n == 0:
+        return np.zeros(n, np.int64)
+    bits = np.unpackbits(np.frombuffer(buf, np.uint8),
+                         count=n * nbits).reshape(n, nbits)
+    powers = (np.int64(1) << np.arange(nbits - 1, -1, -1,
+                                       dtype=np.int64))
+    return bits.astype(np.int64) @ powers
+
+
+def _microdeg(v: float) -> int:
+    return int(round(v * 1_000_000))
+
+
+def write_grib2(path: str, messages: list[dict]) -> None:
+    """Write a multi-message GRIB2 file.
+
+    Each message dict: ``values`` (nj, ni) float array in SCAN ORDER
+    (row 0 = first scanned row; NaN cells become bitmap-absent),
+    ``lat1``/``lon1`` (degrees of the first grid point), ``di``/``dj``
+    (positive degree increments), ``scan`` (0x00 = rows scan W->E top
+    lat first going south, 0x40 = going north; default 0x00), plus
+    optional ``discipline`` (0), ``param_category`` (0),
+    ``param_number`` (0), ``forecast_hours`` (0), ``decimal_scale`` D
+    (0), ``ref_time`` (2020,1,1,0,0,0), ``centre`` (255).
+    """
+    out = []
+    for msg in messages:
+        vals = np.asarray(msg["values"], np.float64)
+        if vals.ndim != 2:
+            raise ValueError("GRIB2 values must be 2-D (nj, ni)")
+        nj, ni = vals.shape
+        n = ni * nj
+        scan = int(msg.get("scan", 0x00))
+        if scan not in (0x00, 0x40):
+            raise ValueError(f"unsupported scanning mode 0x{scan:02x} "
+                             "(0x00 / 0x40)")
+        d_scale = int(msg.get("decimal_scale", 0))
+        flat = vals.ravel()
+        present = np.isfinite(flat)
+        has_bitmap = not present.all()
+        data = flat[present]
+        if data.size == 0:
+            raise ValueError("GRIB2 message with no present data points")
+        scaled = np.round(data * (10.0 ** d_scale))
+        if np.abs(scaled).max() >= 2 ** 53:
+            raise ValueError("values overflow the packing range at "
+                             f"decimal scale {d_scale}")
+        ref = float(scaled.min())
+        x = (scaled - ref).astype(np.int64)
+        xmax = int(x.max())
+        nbits = max(1, xmax.bit_length())
+        # --- section 1: identification
+        yy, mo, dd, hh, mi, ss = msg.get("ref_time",
+                                         (2020, 1, 1, 0, 0, 0))
+        sec1 = (struct.pack(">IB", 21, 1)
+                + struct.pack(">HHBBB", int(msg.get("centre", 255)),
+                              0, 2, 1, 1)
+                + struct.pack(">HBBBBB", yy, mo, dd, hh, mi, ss)
+                + struct.pack(">BB", 0, 1))
+        # --- section 3: grid definition template 3.0 (lat/lon)
+        lat1 = float(msg["lat1"])
+        lon1 = float(msg["lon1"])
+        di = float(msg["di"])
+        dj = float(msg["dj"])
+        sgn_j = 1.0 if scan == 0x40 else -1.0
+        lat2 = lat1 + sgn_j * dj * (nj - 1)
+        lon2 = lon1 + di * (ni - 1)
+        tmpl3 = (struct.pack(">B", 6)          # shape of earth: sphere
+                 + b"\xff" + b"\xff\xff\xff\xff"  # radius n/a
+                 + b"\xff" + b"\xff\xff\xff\xff"  # major n/a
+                 + b"\xff" + b"\xff\xff\xff\xff"  # minor n/a
+                 + struct.pack(">II", ni, nj)
+                 + struct.pack(">II", 0, 0)    # basic angle
+                 + _sm_bytes(_microdeg(lat1), 4)
+                 + _sm_bytes(_microdeg(lon1 % 360.0), 4)
+                 + struct.pack(">B", 0x30)     # i/j increments given
+                 + _sm_bytes(_microdeg(lat2), 4)
+                 + _sm_bytes(_microdeg(lon2 % 360.0), 4)
+                 + struct.pack(">II", _microdeg(di), _microdeg(dj))
+                 + struct.pack(">B", scan))
+        sec3 = (struct.pack(">IBBIBBH", 72, 3, 0, n, 0, 0, 0) + tmpl3)
+        assert len(sec3) == 72
+        # --- section 4: product definition template 4.0
+        tmpl4 = struct.pack(
+            ">BBBBBHBBiBbIBbI",
+            int(msg.get("param_category", 0)),
+            int(msg.get("param_number", 0)),
+            0, 255, 0, 0, 0,
+            1,                                  # time unit: hours
+            int(msg.get("forecast_hours", 0)),
+            1, 0, 0,                            # first surface: ground
+            255, 0, 0)                          # second surface: none
+        sec4 = struct.pack(">IBHH", 9 + len(tmpl4), 4, 0, 0) + tmpl4
+        # --- section 5: data representation template 5.0
+        sec5 = (struct.pack(">IBIH", 21, 5, int(data.size), 0)
+                + struct.pack(">f", ref)
+                + _sm_bytes(0, 2)               # binary scale E = 0
+                + _sm_bytes(d_scale, 2)
+                + struct.pack(">BB", nbits, 0))
+        # --- section 6: bitmap
+        if has_bitmap:
+            bm = np.packbits(present.astype(np.uint8)).tobytes()
+            sec6 = struct.pack(">IBB", 6 + len(bm), 6, 0) + bm
+        else:
+            sec6 = struct.pack(">IBB", 6, 6, 255)
+        # --- section 7: data
+        packed = _pack_bits(x.astype(np.uint64), nbits)
+        sec7 = struct.pack(">IB", 5 + len(packed), 7) + packed
+        body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7
+        total = 16 + len(body) + 4
+        sec0 = (b"GRIB" + b"\x00\x00"
+                + struct.pack(">BB", int(msg.get("discipline", 0)),
+                              _EDITION)
+                + struct.pack(">Q", total))
+        out.append(sec0 + body + b"7777")
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(b"".join(out))
+    os.replace(tmp, path)
+
+
+def scan_grib2(path: str) -> list[tuple[int, int]]:
+    """Cheap index pass: (offset, length) of every message in the file
+    (reads only the 16-byte indicator sections)."""
+    spans = []
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        pos = 0
+        while pos < size:
+            fh.seek(pos)
+            head = fh.read(16)
+            if len(head) < 16 or head[:4] != b"GRIB":
+                raise ValueError(f"GRIB2: bad indicator at offset {pos}")
+            if head[7] != _EDITION:
+                raise ValueError(f"GRIB2: edition {head[7]} unsupported")
+            length = struct.unpack(">Q", head[8:16])[0]
+            spans.append((pos, int(length)))
+            pos += length
+    return spans
+
+
+def _decode_message(buf: bytes) -> dict:
+    """Decode ONE message (buf = the full GRIB..7777 span)."""
+    if buf[:4] != b"GRIB" or buf[-4:] != b"7777":
+        raise ValueError("GRIB2: message framing broken")
+    msg = {"discipline": buf[6], "edition": buf[7]}
+    pos = 16
+    sections: dict[int, bytes] = {}
+    while pos < len(buf) - 4:
+        ln = struct.unpack(">I", buf[pos:pos + 4])[0]
+        num = buf[pos + 4]
+        sections[num] = buf[pos:pos + ln]
+        pos += ln
+    for need in (1, 3, 4, 5, 6, 7):
+        if need not in sections:
+            raise ValueError(f"GRIB2: missing section {need}")
+    s1 = sections[1]
+    msg["centre"] = struct.unpack(">H", s1[5:7])[0]
+    msg["ref_time"] = struct.unpack(">HBBBBB", s1[12:19])
+    # section 3: lat/lon template
+    s3 = sections[3]
+    tnum = struct.unpack(">H", s3[12:14])[0]
+    if tnum != 0:
+        raise ValueError(f"GRIB2: grid template 3.{tnum} unsupported "
+                         "(only 3.0 lat/lon)")
+    t = s3[14:]
+    ni, nj = struct.unpack(">II", t[16:24])
+    msg["ni"], msg["nj"] = ni, nj
+    msg["lat1"] = _sm_read(t[32:36]) / 1e6
+    msg["lon1"] = _sm_read(t[36:40]) / 1e6
+    msg["lat2"] = _sm_read(t[41:45]) / 1e6
+    msg["lon2"] = _sm_read(t[45:49]) / 1e6
+    msg["di"] = struct.unpack(">I", t[49:53])[0] / 1e6
+    msg["dj"] = struct.unpack(">I", t[53:57])[0] / 1e6
+    scan = t[57]
+    if scan not in (0x00, 0x40):
+        raise ValueError(f"GRIB2: scanning mode 0x{scan:02x} unsupported")
+    msg["scan"] = scan
+    # section 4: product template 4.0
+    s4 = sections[4]
+    ptnum = struct.unpack(">H", s4[7:9])[0]
+    if ptnum != 0:
+        raise ValueError(f"GRIB2: product template 4.{ptnum} unsupported")
+    msg["param_category"] = s4[9]
+    msg["param_number"] = s4[10]
+    msg["forecast_hours"] = struct.unpack(">i", s4[18:22])[0]
+    # section 5: simple packing
+    s5 = sections[5]
+    n_packed = struct.unpack(">I", s5[5:9])[0]
+    dtnum = struct.unpack(">H", s5[9:11])[0]
+    if dtnum != 0:
+        raise ValueError(f"GRIB2: data template 5.{dtnum} unsupported "
+                         "(only 5.0 simple packing)")
+    ref = struct.unpack(">f", s5[11:15])[0]
+    e_scale = _sm_read(s5[15:17])
+    d_scale = _sm_read(s5[17:19])
+    nbits = s5[19]
+    # section 6: bitmap
+    s6 = sections[6]
+    ind = s6[5]
+    n = ni * nj
+    if ind == 0:
+        present = np.unpackbits(np.frombuffer(s6[6:], np.uint8),
+                                count=n).astype(bool)
+    elif ind == 255:
+        present = np.ones(n, bool)
+    else:
+        raise ValueError(f"GRIB2: bitmap indicator {ind} unsupported")
+    if int(present.sum()) != n_packed:
+        raise ValueError("GRIB2: bitmap count != packed data count")
+    # section 7: packed data
+    x = _unpack_bits(sections[7][5:], n_packed, nbits)
+    y = (ref + x.astype(np.float64) * 2.0 ** e_scale) / 10.0 ** d_scale
+    flat = np.full(n, np.nan)
+    flat[present] = y
+    msg["values"] = flat.reshape(nj, ni)
+    return msg
+
+
+def read_grib2(path: str) -> list[dict]:
+    """Read every message in a GRIB2 file (driver-side; for the
+    distributed form use :func:`read_grib2_rows`)."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    return [_decode_message(buf[off:off + ln])
+            for off, ln in scan_grib2(path)]
+
+
+def grid_lats_lons(msg: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row latitudes / per-column longitudes of a decoded message
+    in SCAN ORDER (row j of values is at lats[j])."""
+    sgn = 1.0 if msg["scan"] == 0x40 else -1.0
+    lats = msg["lat1"] + sgn * msg["dj"] * np.arange(msg["nj"])
+    lons = msg["lon1"] + msg["di"] * np.arange(msg["ni"])
+    return lats, lons
+
+
+def read_grib2_rows(path: str, parallelism: int = 16):
+    """Ray Dataset over a (multi-message) GRIB2 file: the driver scans
+    only the 16-byte indicators for message spans; each task ranged-
+    reads and decodes its own messages (messages are the natural block
+    grain of operational GRIB files).  Rows: msg_id, discipline,
+    param_category, param_number, forecast_hours, ni, nj, lat1, lon1,
+    di, dj, scan, values (row-major float64 bytes, NaN = bitmap
+    absent)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    spans = scan_grib2(path)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        cols = {k: [] for k in
+                ("msg_id", "discipline", "param_category", "param_number",
+                 "forecast_hours", "ni", "nj", "lat1", "lon1", "di",
+                 "dj", "scan", "values")}
+        with open(path, "rb") as fh:
+            for i in t.column("id").to_pylist():
+                off, ln = spans[int(i)]
+                fh.seek(off)
+                m = _decode_message(fh.read(ln))
+                cols["msg_id"].append(int(i))
+                for k in ("discipline", "param_category", "param_number",
+                          "forecast_hours", "ni", "nj", "scan"):
+                    cols[k].append(int(m[k]))
+                for k in ("lat1", "lon1", "di", "dj"):
+                    cols[k].append(float(m[k]))
+                cols["values"].append(
+                    np.ascontiguousarray(m["values"]).tobytes())
+        return pa.table(
+            {k: pa.array(v, pa.binary() if k == "values" else
+                         (pa.float64() if k in ("lat1", "lon1", "di",
+                                                "dj") else pa.int64()))
+             for k, v in cols.items()})
+
+    ids = rd.range(len(spans),
+                   override_num_blocks=min(parallelism, len(spans)))
+    return ids.map_batches(fetch, batch_format="pyarrow")
+
+
+def read_grib2_mdim(path: str, msg: int = 0, *, slab: int = 0,
+                    parallelism: int = 16):
+    """One GRIB2 message as mdim chunk rows + MDSpec (the
+    sources.netcdf.read_netcdf contract): the (nj, ni) field splits
+    into first-axis slabs, each task decoding the message once and
+    emitting its slab rows.  Composes with the whole mdim step
+    algebra."""
+    import ray.data as rd
+
+    from ..stages.mdim import MDSpec, _emit, _row
+
+    spans = scan_grib2(path)
+    if not (0 <= msg < len(spans)):
+        raise ValueError(f"message {msg} out of range ({len(spans)})")
+    off, ln = spans[msg]
+    with open(path, "rb") as fh:
+        fh.seek(off)
+        head = _decode_message(fh.read(ln))
+    nj, ni = head["nj"], head["ni"]
+    if slab <= 0:
+        slab = max(1, -(-nj // parallelism))
+    spec = MDSpec((nj, ni), (slab, ni), "float64")
+    n_slabs = -(-nj // slab)
+
+    def fetch(t):
+        with open(path, "rb") as fh:
+            fh.seek(off)
+            vals = _decode_message(fh.read(ln))["values"]
+        rows = []
+        for i in t.column("id").to_pylist():
+            r0 = int(i) * slab
+            chunk = np.ascontiguousarray(vals[r0:r0 + slab])
+            rows.append(_row((r0 // slab, 0), chunk))
+        return _emit(rows)
+
+    ids = rd.range(n_slabs, override_num_blocks=min(parallelism, n_slabs))
+    return ids.map_batches(fetch, batch_format="pyarrow"), spec

@@ -392,6 +392,23 @@ def test_mdim_slice_and_netcdf_steps(tmp_path):
     ])
     assert len(df) > 0
 
+    # grib2 reader step: write a two-message file then replay msg 1
+    from gdal_ray.sources.grib2 import write_grib2
+
+    gb = str(tmp_path / "s.grib2")
+    write_grib2(gb, [
+        {"values": np.arange(12.0).reshape(3, 4),
+         "lat1": 50.0, "lon1": 10.0, "di": 0.5, "dj": 0.5},
+        {"values": np.arange(40.0).reshape(5, 8) * 0.25,
+         "lat1": 40.0, "lon1": 0.0, "di": 1.0, "dj": 1.0,
+         "decimal_scale": 2},
+    ])
+    df = _drive([
+        {"step": "mdim_read_grib2", "path": gb, "msg": 1, "slab": 2},
+        {"step": "mdim_checksums", "tag": "g"},
+    ])
+    assert len(df) > 0
+
 
 # ---------------------------------------------------------------------------
 # completeness: every registered step is exercised from JSON somewhere
