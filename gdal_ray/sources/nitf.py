@@ -1,0 +1,428 @@
+"""NITF 2.1 (MIL-STD-2500C / NSIF 1.0) source/sink — the reference's
+``frmts/nitf`` driver family, reimplemented from the published spec for
+the uncompressed interchange core:
+
+- file header (``NITF02.10``), fixed-width space-padded ASCII fields,
+  the 167-byte security block, FL/HL byte accounting, per-segment
+  LISH/LI length table;
+- image segments: uncompressed (``IC=NC``), 8-bit (``NBPP=08``,
+  ``PVTYPE=INT``), MONO or RGB (``IREP``), band-interleaved-by-block
+  (``IMODE=B``) or pixel-interleaved (``IMODE=P``), an NBPR x NBPC
+  block grid of fixed NPPBH x NPPBV blocks with zero-padded partial
+  edge blocks;
+- geographic corners: ``ICORDS=G`` with the 60-byte ``IGEOLO``
+  ddmmssXdddmmssY corner string (0,0 / 0,maxcol / maxrow,maxcol /
+  maxrow,0 order), or ``ICORDS=' '`` for none;
+- multiple image segments per file; image comments.
+
+Compressed IC codes (C3/C8 = JPEG/J2K) are out of scope and rejected
+explicitly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _a(value, width: int) -> bytes:
+    """BCS-A field: left-justified, space-padded ASCII."""
+    b = str(value).encode("ascii")
+    if len(b) > width:
+        raise ValueError(f"NITF field {value!r} exceeds {width} bytes")
+    return b.ljust(width)
+
+
+def _n(value: int, width: int) -> bytes:
+    """BCS-N positive integer field: right-justified, zero-filled."""
+    s = str(int(value))
+    if len(s) > width:
+        raise ValueError(f"NITF numeric {value} exceeds {width} digits")
+    return s.zfill(width).encode("ascii")
+
+
+# 167-byte security block (FSCLAS..FSCTLN / ISCLAS..ISCTLN), all
+# defaulted to unclassified/empty
+def _security(clas: str = "U") -> bytes:
+    return (_a(clas, 1) + _a("", 2) + _a("", 11) + _a("", 2)
+            + _a("", 20) + _a("", 2) + _a("", 8) + _a("", 4)
+            + _a("", 1) + _a("", 8) + _a("", 43) + _a("", 1)
+            + _a("", 40) + _a("", 1) + _a("", 8) + _a("", 15))
+
+
+_SECURITY_LEN = 167
+
+
+def _dms_lat(deg: float) -> bytes:
+    h = b"S" if deg < 0 else b"N"
+    v = abs(deg)
+    d = int(v)
+    m = int((v - d) * 60.0)
+    s = int(round(((v - d) * 60.0 - m) * 60.0))
+    if s == 60:
+        s = 0
+        m += 1
+    if m == 60:
+        m = 0
+        d += 1
+    return _n(d, 2) + _n(m, 2) + _n(s, 2) + h
+
+
+def _dms_lon(deg: float) -> bytes:
+    h = b"W" if deg < 0 else b"E"
+    v = abs(deg)
+    d = int(v)
+    m = int((v - d) * 60.0)
+    s = int(round(((v - d) * 60.0 - m) * 60.0))
+    if s == 60:
+        s = 0
+        m += 1
+    if m == 60:
+        m = 0
+        d += 1
+    return _n(d, 3) + _n(m, 2) + _n(s, 2) + h
+
+
+def _parse_dms(b: bytes, lon: bool) -> float:
+    dw = 3 if lon else 2
+    d = int(b[:dw])
+    m = int(b[dw:dw + 2])
+    s = int(b[dw + 2:dw + 4])
+    hemi = chr(b[dw + 4])
+    v = d + m / 60.0 + s / 3600.0
+    return -v if hemi in ("S", "W") else v
+
+
+def _igeolo(corners) -> bytes:
+    """corners: 4 (lat, lon) pairs in the 2500C order (0,0), (0,max
+    col), (maxrow, maxcol), (maxrow, 0)."""
+    out = b""
+    for lat, lon in corners:
+        out += _dms_lat(lat) + _dms_lon(lon)
+    if len(out) != 60:
+        raise ValueError("IGEOLO needs exactly 4 corners")
+    return out
+
+
+def _blocks(arr: np.ndarray, nppbh: int, nppbv: int):
+    """(nbpr, nbpc, padded blocks) of one band, zero-padded edges."""
+    rows, cols = arr.shape
+    nbpc = -(-rows // nppbv)  # blocks per column direction (vertical)
+    nbpr = -(-cols // nppbh)  # blocks per row direction (horizontal)
+    pad = np.zeros((nbpc * nppbv, nbpr * nppbh), arr.dtype)
+    pad[:rows, :cols] = arr
+    return nbpr, nbpc, pad
+
+
+def write_nitf(path: str, images: list[dict], *,
+               ostaid: str = "GDALRAY", ftitle: str = "",
+               fdt: str = "20200101000000") -> None:
+    """Write a NITF 2.1 file.
+
+    Each image dict: ``values`` — (rows, cols) uint8 for MONO or
+    (rows, cols, 3) uint8 for RGB; optional ``iid1`` (10-char id),
+    ``idatim``, ``imode`` ('B' block-band-sequential, default, or 'P'
+    pixel-interleaved), ``nppbh``/``nppbv`` (block size, default 256),
+    ``corners`` (4 (lat, lon) pairs -> ICORDS=G + IGEOLO), ``icom``
+    (list of <=80-char comment strings).
+    """
+    seg_headers: list[bytes] = []
+    seg_datas: list[bytes] = []
+    for k, im in enumerate(images):
+        arr = np.asarray(im["values"])
+        if arr.dtype != np.uint8:
+            raise ValueError("NITF writer: only 8-bit (uint8) samples")
+        if arr.ndim == 2:
+            bands = [arr]
+            irep = "MONO"
+        elif arr.ndim == 3 and arr.shape[2] == 3:
+            bands = [arr[:, :, b] for b in range(3)]
+            irep = "RGB"
+        else:
+            raise ValueError("NITF writer: values must be (r, c) or "
+                             "(r, c, 3)")
+        rows, cols = bands[0].shape
+        imode = im.get("imode", "B")
+        if imode not in ("B", "P"):
+            raise ValueError(f"IMODE {imode!r} unsupported (B / P)")
+        nppbh = int(im.get("nppbh", 256))
+        nppbv = int(im.get("nppbv", 256))
+        planes = [_blocks(b, nppbh, nppbv) for b in bands]
+        nbpr, nbpc, _ = planes[0]
+        chunks = []
+        for bj in range(nbpc):
+            for bi in range(nbpr):
+                r0, c0 = bj * nppbv, bi * nppbh
+                blocks = [p[2][r0:r0 + nppbv, c0:c0 + nppbh]
+                          for p in planes]
+                if imode == "B":
+                    for blk in blocks:  # band-sequential inside block
+                        chunks.append(blk.tobytes())
+                else:  # P: pixel interleaved inside block
+                    chunks.append(np.stack(blocks, axis=-1).tobytes())
+        data = b"".join(chunks)
+        corners = im.get("corners")
+        sub = (
+            _a("IM", 2)
+            + _a(im.get("iid1", f"IMG{k:03d}"), 10)
+            + _a(im.get("idatim", fdt), 14)
+            + _a("", 17)                      # TGTID
+            + _a(im.get("iid2", ""), 80)
+            + _security()
+            + _a("0", 1)                      # ENCRYP
+            + _a("", 42)                      # ISORCE
+            + _n(rows, 8) + _n(cols, 8)
+            + _a("INT", 3)                    # PVTYPE
+            + _a(irep, 8)
+            + _a("VIS", 8)                    # ICAT
+            + _n(8, 2)                        # ABPP
+            + _a("R", 1)                      # PJUST
+            + (_a("G", 1) + _igeolo(corners) if corners
+               else _a(" ", 1))
+        )
+        icom = im.get("icom", [])
+        sub += _n(len(icom), 1)
+        for c in icom:
+            sub += _a(c, 80)
+        sub += _a("NC", 2)                    # IC: uncompressed
+        sub += _n(len(bands), 1)              # NBANDS
+        for bi, _b in enumerate(bands):
+            rep = "M " if irep == "MONO" else ("R", "G", "B")[bi] + " "
+            sub += (_a(rep, 2) + _a("", 6) + _a("N", 1) + _a("", 3)
+                    + _n(0, 1))               # IREPBAND..NLUTS
+        sub += (_n(0, 1)                      # ISYNC
+                + _a(imode, 1)
+                + _n(nbpr, 4) + _n(nbpc, 4)
+                + _n(nppbh, 4) + _n(nppbv, 4)
+                + _n(8, 2)                    # NBPP
+                + _n(k + 1, 3)                # IDLVL
+                + _n(0, 3)                    # IALVL
+                + _a("0000000000", 10)        # ILOC
+                + _a("1.0 ", 4)               # IMAG
+                + _n(0, 5) + _n(0, 5))        # UDIDL, IXSHDL
+        seg_headers.append(sub)
+        seg_datas.append(data)
+
+    numi = len(images)
+    # file header length: fixed part + 16 bytes (LISH+LI) per image
+    hl = (4 + 5 + 2 + 4 + 10 + 14 + 80 + _SECURITY_LEN + 5 + 5 + 1 + 3
+          + 24 + 18 + 12 + 6 + 3 + numi * 16 + 3 + 3 + 3 + 3 + 3
+          + 5 + 5)
+    fl = hl + sum(len(h) + len(d)
+                  for h, d in zip(seg_headers, seg_datas))
+    head = (
+        _a("NITF", 4) + _a("02.10", 5)
+        + _n(3, 2)                            # CLEVEL
+        + _a("BF01", 4)                       # STYPE
+        + _a(ostaid, 10)
+        + _a(fdt, 14)
+        + _a(ftitle, 80)
+        + _security()
+        + _n(0, 5) + _n(0, 5)                 # FSCOP, FSCPYS
+        + _a("0", 1)                          # ENCRYP
+        + b"\x00\x00\x00"                     # FBKGC (binary RGB)
+        + _a("", 24) + _a("", 18)             # ONAME, OPHONE
+        + _n(fl, 12) + _n(hl, 6)
+        + _n(numi, 3)
+    )
+    for h, d in zip(seg_headers, seg_datas):
+        head += _n(len(h), 6) + _n(len(d), 10)
+    head += (_n(0, 3) + _n(0, 3) + _n(0, 3) + _n(0, 3) + _n(0, 3)
+             + _n(0, 5) + _n(0, 5))           # NUMS NUMX NUMT NUMDES
+    assert len(head) == hl, (len(head), hl)   # NUMRES UDHDL XHDL
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(head)
+        for h, d in zip(seg_headers, seg_datas):
+            fh.write(h)
+            fh.write(d)
+    os.replace(tmp, path)
+
+
+def _parse_image_subheader(buf: bytes, pos: int):
+    """Parse one image subheader at pos -> (meta dict, data offset)."""
+    m: dict = {}
+    if buf[pos:pos + 2] != b"IM":
+        raise ValueError(f"NITF: image subheader magic missing at {pos}")
+    m["iid1"] = buf[pos + 2:pos + 12].decode().strip()
+    m["idatim"] = buf[pos + 12:pos + 26].decode().strip()
+    m["iid2"] = buf[pos + 43:pos + 123].decode().strip()
+    p = pos + 123 + _SECURITY_LEN + 1 + 42     # skip security/ENCRYP/ISORCE
+    m["rows"] = int(buf[p:p + 8])
+    m["cols"] = int(buf[p + 8:p + 16])
+    m["pvtype"] = buf[p + 16:p + 19].decode().strip()
+    m["irep"] = buf[p + 19:p + 27].decode().strip()
+    p += 27 + 8 + 2 + 1                        # ICAT, ABPP, PJUST
+    icords = chr(buf[p])
+    p += 1
+    if icords != " ":
+        if icords != "G":
+            raise ValueError(f"NITF: ICORDS {icords!r} unsupported")
+        geo = buf[p:p + 60]
+        m["corners"] = [
+            (_parse_dms(geo[i * 15:i * 15 + 7], False),
+             _parse_dms(geo[i * 15 + 7:i * 15 + 15], True))
+            for i in range(4)
+        ]
+        p += 60
+    nicom = int(buf[p:p + 1])
+    p += 1
+    m["icom"] = [buf[p + i * 80:p + (i + 1) * 80].decode().rstrip()
+                 for i in range(nicom)]
+    p += nicom * 80
+    ic = buf[p:p + 2].decode()
+    if ic != "NC":
+        raise ValueError(f"NITF: compression {ic!r} unsupported "
+                         "(only NC)")
+    p += 2
+    nbands = int(buf[p:p + 1])
+    p += 1 + nbands * 13                       # band descriptors
+    p += 1                                     # ISYNC
+    m["imode"] = chr(buf[p])
+    if m["imode"] not in ("B", "P"):
+        raise ValueError(f"NITF: IMODE {m['imode']!r} unsupported "
+                         "(B / P)")
+    p += 1
+    m["nbpr"] = int(buf[p:p + 4])
+    m["nbpc"] = int(buf[p + 4:p + 8])
+    m["nppbh"] = int(buf[p + 8:p + 12])
+    m["nppbv"] = int(buf[p + 12:p + 16])
+    m["nbpp"] = int(buf[p + 16:p + 18])
+    p += 18 + 3 + 3 + 10 + 4                   # IDLVL..IMAG
+    udidl = int(buf[p:p + 5])
+    ixshdl = int(buf[p + 5:p + 10])
+    p += 10 + udidl + ixshdl
+    m["nbands"] = nbands
+    return m, p
+
+
+def read_nitf(path: str) -> list[dict]:
+    """Read a NITF 2.1 file -> one dict per image segment: ``values``
+    ((rows, cols) or (rows, cols, 3) uint8), ids, ``corners`` (4
+    (lat, lon) pairs when ICORDS=G), comments, block geometry."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if buf[:9] != b"NITF02.10":
+        raise ValueError("not a NITF 2.1 file")
+    fl = int(buf[342:354])
+    hl = int(buf[354:360])
+    if fl != len(buf):
+        raise ValueError(f"NITF: FL {fl} != file size {len(buf)}")
+    numi = int(buf[360:363])
+    lish, li = [], []
+    p = 363
+    for _ in range(numi):
+        lish.append(int(buf[p:p + 6]))
+        li.append(int(buf[p + 6:p + 16]))
+        p += 16
+    out = []
+    pos = hl
+    for k in range(numi):
+        seg = buf[pos:pos + lish[k] + li[k]]
+        m, dpos = _parse_image_subheader(seg, 0)
+        if dpos != lish[k]:
+            raise ValueError(
+                f"NITF: subheader length {dpos} != LISH {lish[k]}")
+        if m["nbpp"] != 8 or m["pvtype"] != "INT":
+            raise ValueError("NITF: only 8-bit INT samples supported")
+        expect = (m["nbpr"] * m["nbpc"] * m["nppbh"] * m["nppbv"]
+                  * m["nbands"])
+        if expect != li[k]:
+            raise ValueError(f"NITF: block data {expect} != LI {li[k]}")
+        m["values"] = _decode_segment(seg, m, dpos)
+        out.append(m)
+        pos += lish[k] + li[k]
+    return out
+
+
+def read_nitf_rows(path: str, parallelism: int = 8):
+    """Ray Dataset over a NITF file's image segments: the driver
+    parses only the file header length table; each task ranged-reads
+    its own segments (subheader + blocked data).  Rows: seg_id, iid1,
+    rows, cols, nbands, imode, corner lat/lons (NaN when absent),
+    values (row-major uint8 bytes, band-interleaved-by-pixel for
+    multiband)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    with open(path, "rb") as fh:
+        head = fh.read(512)
+        if head[:9] != b"NITF02.10":
+            raise ValueError("not a NITF 2.1 file")
+        hl = int(head[354:360])
+        if hl > len(head):
+            head += fh.read(hl - len(head))
+    numi = int(head[360:363])
+    spans = []
+    p, pos = 363, hl
+    for _ in range(numi):
+        lish = int(head[p:p + 6])
+        li = int(head[p + 6:p + 16])
+        spans.append((pos, lish + li))
+        pos += lish + li
+        p += 16
+
+    def fetch(t: pa.Table) -> pa.Table:
+        cols = {k: [] for k in ("seg_id", "iid1", "rows", "cols",
+                                "nbands", "imode", "lat_ul", "lon_ul",
+                                "values")}
+        with open(path, "rb") as fh:
+            for i in t.column("id").to_pylist():
+                off, ln = spans[int(i)]
+                fh.seek(off)
+                seg = fh.read(ln)
+                m, dpos = _parse_image_subheader(seg, 0)
+                sub = _decode_segment(seg, m, dpos)
+                cols["seg_id"].append(int(i))
+                cols["iid1"].append(m["iid1"])
+                cols["rows"].append(m["rows"])
+                cols["cols"].append(m["cols"])
+                cols["nbands"].append(m["nbands"])
+                cols["imode"].append(m["imode"])
+                c = m.get("corners")
+                cols["lat_ul"].append(c[0][0] if c else float("nan"))
+                cols["lon_ul"].append(c[0][1] if c else float("nan"))
+                cols["values"].append(np.ascontiguousarray(sub).tobytes())
+        return pa.table({
+            "seg_id": pa.array(cols["seg_id"], pa.int64()),
+            "iid1": pa.array(cols["iid1"], pa.string()),
+            "rows": pa.array(cols["rows"], pa.int64()),
+            "cols": pa.array(cols["cols"], pa.int64()),
+            "nbands": pa.array(cols["nbands"], pa.int64()),
+            "imode": pa.array(cols["imode"], pa.string()),
+            "lat_ul": pa.array(cols["lat_ul"], pa.float64()),
+            "lon_ul": pa.array(cols["lon_ul"], pa.float64()),
+            "values": pa.array(cols["values"], pa.binary()),
+        })
+
+    ids = rd.range(numi, override_num_blocks=min(parallelism, numi))
+    return ids.map_batches(fetch, batch_format="pyarrow")
+
+
+def _decode_segment(seg: bytes, m: dict, dpos: int) -> np.ndarray:
+    """Decode one segment's blocked data (seg = subheader + data)."""
+    nbands = m["nbands"]
+    rows, cols = m["rows"], m["cols"]
+    nppbh, nppbv = m["nppbh"], m["nppbv"]
+    nbpr, nbpc = m["nbpr"], m["nbpc"]
+    full = np.zeros((nbands, nbpc * nppbv, nbpr * nppbh), np.uint8)
+    q = dpos
+    bsz = nppbh * nppbv
+    for bj in range(nbpc):
+        for bi in range(nbpr):
+            r0, c0 = bj * nppbv, bi * nppbh
+            if m["imode"] == "B":
+                for b in range(nbands):
+                    full[b, r0:r0 + nppbv, c0:c0 + nppbh] = np.frombuffer(
+                        seg, np.uint8, bsz, q).reshape(nppbv, nppbh)
+                    q += bsz
+            else:
+                blk = np.frombuffer(seg, np.uint8, bsz * nbands,
+                                    q).reshape(nppbv, nppbh, nbands)
+                for b in range(nbands):
+                    full[b, r0:r0 + nppbv, c0:c0 + nppbh] = blk[:, :, b]
+                q += bsz * nbands
+    vals = full[:, :rows, :cols]
+    return (vals[0] if nbands == 1
+            else np.ascontiguousarray(np.moveaxis(vals, 0, -1)))

@@ -1,0 +1,130 @@
+"""NITF 2.1 source/sink (sources.nitf): header byte anchors against
+the MIL-STD-2500C fixed-width field layout, blocked-image round trips
+(MONO/RGB x IMODE B/P x partial edge blocks), IGEOLO corner coding,
+the FL/HL/LISH/LI length accounting, and the distributed segment
+reader.
+
+Reference behavior: frmts/nitf (nitffile.c / nitfimage.c).
+"""
+
+import numpy as np
+import pytest
+
+from gdal_ray.sources.nitf import (
+    _dms_lat,
+    _dms_lon,
+    _parse_dms,
+    read_nitf,
+    read_nitf_rows,
+    write_nitf,
+)
+
+CORNERS = [(44.5, -115.25), (44.5, -115.0), (44.25, -115.0),
+           (44.25, -115.25)]
+
+
+def test_header_byte_anchors(tmp_path):
+    """Fixed-width ASCII fields at their spec offsets: FHDR/FVER,
+    CLEVEL, OSTAID, FL at 342 (12 digits), HL at 354 (6), NUMI at
+    360 (3), LISH/LI table."""
+    p = str(tmp_path / "a.ntf")
+    vals = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    write_nitf(p, [{"values": vals, "nppbh": 8, "nppbv": 8}],
+               ostaid="STATION1")
+    buf = open(p, "rb").read()
+    assert buf[0:9] == b"NITF02.10"
+    assert buf[9:11] == b"03"                      # CLEVEL
+    assert buf[11:15] == b"BF01"                   # STYPE
+    assert buf[15:25] == b"STATION1  "             # OSTAID
+    fl = int(buf[342:354])
+    hl = int(buf[354:360])
+    assert fl == len(buf)
+    assert int(buf[360:363]) == 1                  # NUMI
+    lish = int(buf[363:369])
+    li = int(buf[369:379])
+    assert li == 8 * 8                             # one 8x8 block
+    assert hl + lish + li == fl
+    # image subheader magic + IC=NC + IMODE=B in the stream
+    assert buf[hl:hl + 2] == b"IM"
+    sub = buf[hl:hl + lish]
+    assert b"NC" in sub and b"MONO" in sub and b"INT" in sub
+
+
+def test_mono_roundtrip_partial_blocks(tmp_path):
+    """rows/cols not multiples of the block size: edge blocks are
+    zero-padded on disk, cropped on read."""
+    p = str(tmp_path / "m.ntf")
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 256, (45, 70)).astype(np.uint8)
+    write_nitf(p, [{"values": vals, "nppbh": 32, "nppbv": 32,
+                    "iid1": "CHIP01", "icom": ["first comment",
+                                               "second"]}])
+    m = read_nitf(p)[0]
+    assert m["iid1"] == "CHIP01"
+    assert (m["nbpr"], m["nbpc"]) == (3, 2)
+    assert m["icom"] == ["first comment", "second"]
+    np.testing.assert_array_equal(m["values"], vals)
+    assert "corners" not in m
+
+
+@pytest.mark.parametrize("imode", ["B", "P"])
+def test_rgb_roundtrip_both_imodes(tmp_path, imode):
+    p = str(tmp_path / f"rgb_{imode}.ntf")
+    rng = np.random.default_rng(6)
+    vals = rng.integers(0, 256, (30, 50, 3)).astype(np.uint8)
+    write_nitf(p, [{"values": vals, "imode": imode, "nppbh": 16,
+                    "nppbv": 16, "corners": CORNERS}])
+    m = read_nitf(p)[0]
+    assert m["irep"] == "RGB" and m["imode"] == imode
+    np.testing.assert_array_equal(m["values"], vals)
+    # corners survive at 1-arcsecond dms granularity (exact here)
+    for got, want in zip(m["corners"], CORNERS):
+        assert abs(got[0] - want[0]) < 1 / 3600.0 + 1e-9
+        assert abs(got[1] - want[1]) < 1 / 3600.0 + 1e-9
+
+
+def test_igeolo_dms_coding():
+    assert _dms_lat(44.5) == b"443000N"
+    assert _dms_lat(-1.25) == b"011500S"
+    assert _dms_lon(-115.25) == b"1151500W"
+    assert _dms_lon(7.0) == b"0070000E"
+    assert _parse_dms(b"443000N", False) == 44.5
+    assert _parse_dms(b"1151500W", True) == -115.25
+
+
+def test_multi_segment_and_rows_reader(tmp_path, ray_session):
+    p = str(tmp_path / "multi.ntf")
+    rng = np.random.default_rng(7)
+    imgs = [
+        {"values": rng.integers(0, 256, (20, 20)).astype(np.uint8),
+         "nppbh": 16, "nppbv": 16, "iid1": "SEG0"},
+        {"values": rng.integers(0, 256, (10, 40, 3)).astype(np.uint8),
+         "nppbh": 16, "nppbv": 16, "iid1": "SEG1",
+         "corners": CORNERS, "imode": "P"},
+    ]
+    write_nitf(p, imgs)
+    segs = read_nitf(p)
+    assert [s["iid1"] for s in segs] == ["SEG0", "SEG1"]
+    np.testing.assert_array_equal(segs[0]["values"], imgs[0]["values"])
+    np.testing.assert_array_equal(segs[1]["values"], imgs[1]["values"])
+
+    rows = read_nitf_rows(p, parallelism=2).take_all()
+    rows.sort(key=lambda r: r["seg_id"])
+    assert rows[0]["iid1"] == "SEG0" and rows[0]["nbands"] == 1
+    assert np.isnan(rows[0]["lat_ul"])
+    got = np.frombuffer(rows[1]["values"], np.uint8).reshape(10, 40, 3)
+    np.testing.assert_array_equal(got, imgs[1]["values"])
+    assert abs(rows[1]["lat_ul"] - 44.5) < 1e-9
+
+
+def test_guards(tmp_path):
+    with pytest.raises(ValueError, match="uint8"):
+        write_nitf(str(tmp_path / "x.ntf"),
+                   [{"values": np.ones((4, 4), np.uint16)}])
+    with pytest.raises(ValueError, match="IMODE"):
+        write_nitf(str(tmp_path / "x.ntf"),
+                   [{"values": np.ones((4, 4), np.uint8), "imode": "S"}])
+    p = str(tmp_path / "bad.ntf")
+    open(p, "wb").write(b"NITF02.00" + b" " * 400)
+    with pytest.raises(ValueError, match="NITF 2.1"):
+        read_nitf(p)
