@@ -1108,6 +1108,18 @@ def _mdim_read_grib2(ds, path: str, msg: int = 0, slab: int = 0,
     return MDimHandle(gds, spec)
 
 
+@register_step("mdim_read_hdf5")
+def _mdim_read_hdf5(ds, path: str, name: str, slab: int = 0,
+                    parallelism: int = 16):
+    """One contiguous HDF5 dataset as mdim chunk rows (frmts/hdf5
+    analog; sources.hdf5)."""
+    from ..sources.hdf5 import read_hdf5_mdim
+
+    hds, spec = read_hdf5_mdim(path, name, slab=slab,
+                               parallelism=parallelism)
+    return MDimHandle(hds, spec)
+
+
 @register_step("mdim_transpose")
 def _mdim_transpose(ds, perm):
     from ..stages.mdim import mdim_transpose

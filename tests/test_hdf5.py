@@ -1,0 +1,149 @@
+"""HDF5 source/sink (sources.hdf5): byte anchors restating the HDF5
+File Format Specification directly against raw file bytes (superblock
+v0, TREE/SNOD/HEAP structures, v1 object headers, datatype message
+encodings), round trips across the dtype matrix, the declared
+unsupported guards, and the distributed mdim reader.
+
+Reference behavior: frmts/hdf5 (libhdf5-linked); nothing is shared
+with it — the layout here comes from the published spec.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from gdal_ray.sources.hdf5 import (
+    hdf5_info,
+    read_hdf5,
+    read_hdf5_mdim,
+    write_hdf5,
+)
+
+
+def test_superblock_byte_anchors(tmp_path):
+    """Signature, version fields, offset sizes, EOF address, root
+    symbol-table entry layout — straight off the spec."""
+    p = str(tmp_path / "a.h5")
+    write_hdf5(p, {"x": np.arange(10, dtype=np.int64)})
+    buf = open(p, "rb").read()
+    assert buf[:8] == b"\x89HDF\r\n\x1a\n"
+    assert buf[8] == 0                           # superblock version
+    assert buf[13] == 8 and buf[14] == 8         # offset/length sizes
+    leaf_k, int_k = struct.unpack("<HH", buf[16:20])
+    assert leaf_k > 0 and int_k == 16
+    base, _fs, eof, _drv = struct.unpack("<QQQQ", buf[24:56])
+    assert base == 0
+    assert eof == len(buf)                       # EOF address = size
+    # root symbol-table entry: header address + cached btree/heap
+    root_hdr = struct.unpack("<Q", buf[64:72])[0]
+    cache_type = struct.unpack("<I", buf[72:76])[0]
+    assert cache_type == 1
+    btree, heap = struct.unpack("<QQ", buf[80:96])
+    assert buf[btree:btree + 4] == b"TREE"
+    assert buf[heap:heap + 4] == b"HEAP"
+    # root object header v1 with ONE symbol table message (0x0011)
+    ver, _r, nmsg = struct.unpack("<BBH", buf[root_hdr:root_hdr + 4])
+    assert ver == 1 and nmsg == 1
+    mtype = struct.unpack("<H", buf[root_hdr + 16:root_hdr + 18])[0]
+    assert mtype == 0x0011
+    bt2, hp2 = struct.unpack("<QQ", buf[root_hdr + 24:root_hdr + 40])
+    assert (bt2, hp2) == (btree, heap)
+    # SNOD child of the btree
+    snod = struct.unpack("<Q", buf[btree + 32:btree + 40])[0]
+    assert buf[snod:snod + 4] == b"SNOD"
+    assert struct.unpack("<H", buf[snod + 6:snod + 8])[0] == 1
+
+
+def test_datatype_message_anchors(tmp_path):
+    """float64 datatype message: class 1 version 1, norm bits 0x20,
+    sign bit 63, IEEE exponent/mantissa split, bias 1023."""
+    p = str(tmp_path / "d.h5")
+    write_hdf5(p, {"f": np.zeros(3), "i": np.zeros(3, np.int16)})
+    buf = open(p, "rb").read()
+    # find the float64 datatype message body
+    body = bytes([0x11, 0x20, 63, 0]) + struct.pack("<I", 8) \
+        + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    assert body in buf
+    # int16 signed LE: class 0, sign flag 0x08, precision 16
+    body_i = bytes([0x10, 0x08, 0, 0]) + struct.pack("<I", 2) \
+        + struct.pack("<HH", 0, 16)
+    assert body_i in buf
+
+
+def test_roundtrip_dtype_matrix(tmp_path):
+    p = str(tmp_path / "m.h5")
+    rng = np.random.default_rng(9)
+    ds = {}
+    for dt in ("int8", "int16", "int32", "int64",
+               "uint8", "uint16", "uint32", "uint64"):
+        info = np.iinfo(dt)
+        ds[dt] = rng.integers(info.min, info.max, (4, 5), dtype=dt)
+    ds["float32"] = rng.normal(size=(3, 2, 2)).astype(np.float32)
+    ds["float64"] = rng.normal(size=(7,))
+    ds["scalar_rank1"] = np.array([42.5])
+    write_hdf5(p, ds)
+    names = sorted(hdf5_info(p)["datasets"])
+    assert names == sorted(ds)
+    for k, v in ds.items():
+        got = read_hdf5(p, k)
+        assert got.dtype == v.dtype and np.array_equal(got, v), k
+
+
+def test_symbols_sorted_and_heap_names(tmp_path):
+    """Links live in the local heap NUL-terminated, SNOD entries in
+    name order (the B-tree invariant)."""
+    p = str(tmp_path / "s.h5")
+    write_hdf5(p, {"zeta": np.zeros(1), "alpha": np.zeros(1),
+                   "mid": np.zeros(1)})
+    buf = open(p, "rb").read()
+    assert buf.index(b"alpha\x00") < buf.index(b"mid\x00") \
+        < buf.index(b"zeta\x00")
+    info = hdf5_info(p)["datasets"]
+    assert sorted(info) == ["alpha", "mid", "zeta"]
+
+
+def test_guards(tmp_path):
+    with pytest.raises(ValueError, match="unsupported"):
+        write_hdf5(str(tmp_path / "x.h5"),
+                   {"c": np.array(["a"], dtype=object)})
+    with pytest.raises(ValueError, match="little-endian"):
+        write_hdf5(str(tmp_path / "x.h5"),
+                   {"b": np.zeros(2, dtype=">f8")})
+    with pytest.raises(ValueError, match=">= 1 dataset"):
+        write_hdf5(str(tmp_path / "x.h5"), {})
+    p = str(tmp_path / "junk.h5")
+    open(p, "wb").write(b"NOTHDF5!" + b"\x00" * 96)
+    with pytest.raises(ValueError, match="signature"):
+        hdf5_info(p)
+    p2 = str(tmp_path / "ok.h5")
+    write_hdf5(p2, {"x": np.zeros(4)})
+    with pytest.raises(ValueError, match="no dataset"):
+        read_hdf5(p2, "missing")
+
+
+def test_mdim_reader(tmp_path, ray_session):
+    """Distributed slab reads reassemble the dataset bit-exactly and
+    compose with the mdim step algebra from JSON."""
+    import json
+
+    from gdal_ray.pipelines.spec import run_pipeline
+
+    p = str(tmp_path / "r.h5")
+    rng = np.random.default_rng(4)
+    v = rng.normal(size=(12, 6, 5))
+    write_hdf5(p, {"cube": v})
+    ds, spec = read_hdf5_mdim(p, "cube", slab=5, parallelism=4)
+    assert spec.shape == (12, 6, 5) and spec.chunks == (5, 6, 5)
+    chunks = sorted(ds.take_all(), key=lambda c: c["chunk"][0])
+    rebuilt = np.concatenate(
+        [np.frombuffer(c["data"], np.float64).reshape(tuple(c["shape"]))
+         for c in chunks])
+    np.testing.assert_array_equal(rebuilt, v)
+
+    out = run_pipeline(json.dumps([
+        {"step": "mdim_read_hdf5", "path": p, "name": "cube", "slab": 4},
+        {"step": "mdim_slice", "ranges": [[0, 8], [0, 6], [1, 4]]},
+        {"step": "mdim_checksums", "tag": "h5"},
+    ])).to_pandas()
+    assert len(out) == 2 and (out["op"] == "h5").all()

@@ -409,6 +409,18 @@ def test_mdim_slice_and_netcdf_steps(tmp_path):
     ])
     assert len(df) > 0
 
+    # hdf5 reader step
+    from gdal_ray.sources.hdf5 import write_hdf5
+
+    h5 = str(tmp_path / "s.h5")
+    write_hdf5(h5, {"v": np.arange(6 * 5 * 4,
+                                   dtype=np.float64).reshape(6, 5, 4)})
+    df = _drive([
+        {"step": "mdim_read_hdf5", "path": h5, "name": "v", "slab": 2},
+        {"step": "mdim_checksums", "tag": "h"},
+    ])
+    assert len(df) > 0
+
 
 # ---------------------------------------------------------------------------
 # completeness: every registered step is exercised from JSON somewhere
