@@ -84,8 +84,31 @@ def _symbol_entry(name_off: int, hdr_addr: int, cache: bytes = b"",
         + cache.ljust(16, b"\x00")
 
 
-def write_hdf5(path: str, datasets: dict[str, np.ndarray]) -> None:
-    """Write ``{name: array}`` as contiguous root-level HDF5 datasets."""
+def _chunk_grid(shape, chunk):
+    """Chunk-origin offsets per dimension (edge chunks stored FULL
+    size per the spec, padded with zeros)."""
+    import itertools
+
+    ranges = [range(0, s, c) for s, c in zip(shape, chunk)]
+    return list(itertools.product(*ranges))
+
+
+def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
+               chunks: dict[str, tuple] | None = None,
+               compress: dict[str, int] | None = None) -> None:
+    """Write ``{name: array}`` as root-level HDF5 datasets.
+
+    Default layout is CONTIGUOUS.  ``chunks={name: chunk_shape}``
+    switches a dataset to CHUNKED (version-1 node-type-1 B-tree over
+    whole chunks, zero-padded at the edges); ``compress={name: level}``
+    adds the deflate filter (id 1) to a chunked dataset — the layout
+    netCDF-4 / h5py files actually use."""
+    chunks = dict(chunks or {})
+    compress = dict(compress or {})
+    for n in compress:
+        if n not in chunks:
+            raise ValueError(f"compress[{n!r}] requires chunks[{n!r}] "
+                             "(deflate applies to chunked layout)")
     if not datasets:
         raise ValueError("write_hdf5 needs >= 1 dataset")
     if len(datasets) > 2 * _LEAF_K:
@@ -120,33 +143,113 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray]) -> None:
     snod_addr = pos
     snod_size = 8 + 40 * 2 * _LEAF_K
     pos += snod_size
+    import zlib
+
     hdr_addr = {}
     layout_fixup = {}
     hdrs = {}
+    chunk_blobs: dict[str, list[bytes]] = {}
+    chunk_offs: dict[str, list[tuple]] = {}
     for n in names:
         a = arrays[n]
         msgs = [
             _msg(0x0001, struct.pack("<BBB5x", 1, a.ndim, 0)
                  + b"".join(struct.pack("<Q", d) for d in a.shape)),
             _msg(0x0003, _dt_body(a.dtype)),
-            _msg(0x0008, struct.pack("<BBQQ", 3, 1, 0, a.nbytes)),
         ]
+        if n in chunks:
+            ck = tuple(int(c) for c in chunks[n])
+            if len(ck) != a.ndim:
+                raise ValueError(f"chunks[{n!r}] rank != dataset rank")
+            if n in compress:
+                # filter pipeline v1: deflate (id 1), 1 client value
+                # filter description: id 1 (deflate), one client value
+                # (level) + the spec's 4-byte pad for odd value counts
+                msgs.append(_msg(
+                    0x000B,
+                    struct.pack("<BB6x", 1, 1)
+                    + struct.pack("<HHHH", 1, 0, 0, 1)
+                    + struct.pack("<I4x", int(compress[n]))))
+            body = (struct.pack("<BBB", 3, 2, a.ndim + 1)
+                    + struct.pack("<Q", 0)            # btree (fixup)
+                    + b"".join(struct.pack("<I", c) for c in ck)
+                    + struct.pack("<I", a.dtype.itemsize))
+            msgs.append(_msg(0x0008, body))
+            offs = _chunk_grid(a.shape, ck)
+            blobs = []
+            for o in offs:
+                sl = tuple(slice(i, i + c) for i, c in zip(o, ck))
+                blk = np.zeros(ck, a.dtype)
+                part = a[sl]
+                blk[tuple(slice(0, s) for s in part.shape)] = part
+                raw = blk.tobytes()
+                blobs.append(zlib.compress(raw, int(compress[n]))
+                             if n in compress else raw)
+            chunk_blobs[n] = blobs
+            chunk_offs[n] = offs
+            layout_body_pad = len(_pad8(b"\x00" * len(body)))
+        else:
+            body = struct.pack("<BBQQ", 3, 1, 0, a.nbytes)
+            msgs.append(_msg(0x0008, body))
+            layout_body_pad = len(_pad8(b"\x00" * 18))
         hdr = _object_header(msgs)
         hdr_addr[n] = pos
-        # the layout message is last: its (padded) body starts 24
-        # bytes short of the header end, address field 2 bytes in —
-        # patched once data addresses are planned
-        layout_fixup[n] = len(hdr) - len(_pad8(b"\x00" * 18))
+        # the layout message is last: its (padded) body ends the
+        # header; the address field (data for contiguous, btree for
+        # chunked) is patched once addresses are planned
+        layout_fixup[n] = len(hdr) - layout_body_pad
         hdrs[n] = bytearray(hdr)
         pos += len(hdr)
-    data_addr = {}
+    # chunk B-trees (one level-0 node-type-1 per chunked dataset)
+    cbt_addr = {}
     for n in names:
-        data_addr[n] = pos
-        pos += arrays[n].nbytes
+        if n not in chunk_blobs:
+            continue
+        nck = len(chunk_blobs[n])
+        if nck > 64:
+            raise ValueError(f"write_hdf5: {n!r} has {nck} chunks; > 64 "
+                             "needs a multi-node chunk B-tree "
+                             "(unsupported — use larger chunks)")
+        cbt_addr[n] = pos
+        keysize = 8 + 8 * (arrays[n].ndim + 1)
+        pos += 24 + (nck + 1) * keysize + nck * 8
+    data_addr = {}
+    chunk_addr: dict[str, list[int]] = {}
+    for n in names:
+        if n in chunk_blobs:
+            chunk_addr[n] = []
+            for b in chunk_blobs[n]:
+                chunk_addr[n].append(pos)
+                pos += len(b)
+        else:
+            data_addr[n] = pos
+            pos += arrays[n].nbytes
     eof = pos
     for n in names:
         off = layout_fixup[n]
-        hdrs[n][off + 2:off + 10] = struct.pack("<Q", data_addr[n])
+        if n in chunk_blobs:
+            hdrs[n][off + 3:off + 11] = struct.pack("<Q", cbt_addr[n])
+        else:
+            hdrs[n][off + 2:off + 10] = struct.pack("<Q", data_addr[n])
+    # build the chunk btree nodes
+    cbt_nodes = {}
+    for n, blobs in chunk_blobs.items():
+        a = arrays[n]
+        ck = tuple(int(c) for c in chunks[n])
+        node = bytearray()
+        node += b"TREE" + bytes([1, 0]) + struct.pack("<H", len(blobs))
+        node += struct.pack("<QQ", _UNDEF, _UNDEF)
+        for b, o, addr in zip(blobs, chunk_offs[n], chunk_addr[n]):
+            node += struct.pack("<II", len(b), 0)       # size, mask
+            node += b"".join(struct.pack("<Q", i) for i in o)
+            node += struct.pack("<Q", 0)                # elem-dim off
+            node += struct.pack("<Q", addr)
+        # final (max) key: the logical next chunk origin
+        nxt = tuple(-(-s // c) * c for s, c in zip(a.shape, ck))
+        node += struct.pack("<II", 0, 0)
+        node += b"".join(struct.pack("<Q", i) for i in nxt)
+        node += struct.pack("<Q", 0)
+        cbt_nodes[n] = bytes(node)
 
     # ---- root object header (Symbol Table message)
     root_hdr = _object_header(
@@ -198,7 +301,14 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray]) -> None:
         for n in names:
             fh.write(bytes(hdrs[n]))
         for n in names:
-            fh.write(arrays[n].tobytes())
+            if n in cbt_nodes:
+                fh.write(cbt_nodes[n])
+        for n in names:
+            if n in chunk_blobs:
+                for b in chunk_blobs[n]:
+                    fh.write(b)
+            else:
+                fh.write(arrays[n].tobytes())
     os.replace(tmp, path)
 
 
@@ -258,12 +368,38 @@ def _parse_object_header(buf: bytes, addr: int) -> dict:
             info["dtype"] = _parse_datatype(body)
         elif mtype == 0x0008:
             lver, lclass = body[0], body[1]
-            if lver != 3 or lclass != 1:
+            if lver != 3 or lclass not in (1, 2):
                 raise ValueError(
-                    "HDF5: only version-3 CONTIGUOUS data layout "
-                    f"supported (got v{lver} class {lclass})")
-            info["data_addr"], info["data_size"] = struct.unpack(
-                "<QQ", body[2:18])
+                    "HDF5: only version-3 contiguous/chunked data "
+                    f"layout supported (got v{lver} class {lclass})")
+            if lclass == 1:
+                info["layout"] = "contiguous"
+                info["data_addr"], info["data_size"] = struct.unpack(
+                    "<QQ", body[2:18])
+            else:
+                ndim = body[2]          # rank + 1 (element-size dim)
+                info["layout"] = "chunked"
+                info["chunk_btree"] = struct.unpack("<Q", body[3:11])[0]
+                dims = struct.unpack(f"<{ndim}I",
+                                     body[11:11 + 4 * ndim])
+                info["chunk"] = tuple(int(d) for d in dims[:-1])
+        elif mtype == 0x000B:
+            fver, nf = body[0], body[1]
+            if fver != 1:
+                raise ValueError(f"HDF5: filter pipeline v{fver} "
+                                 "unsupported")
+            p2, fids = 8, []
+            for _k in range(nf):
+                fid, nlen, _fl, ncv = struct.unpack(
+                    "<HHHH", body[p2:p2 + 8])
+                p2 += 8 + nlen + (-nlen % 8) + 4 * ncv
+                if ncv % 2:
+                    p2 += 4     # v1 pads odd client-value counts
+                fids.append(fid)
+            if fids not in ([], [1]):
+                raise ValueError(f"HDF5: filters {fids} unsupported "
+                                 "(deflate only)")
+            info["filters"] = fids
         elif mtype == 0x0011:
             info["btree_addr"], info["heap_addr"] = struct.unpack(
                 "<QQ", body[0:16])
@@ -336,23 +472,69 @@ def hdf5_info(path: str) -> dict:
     return {"datasets": datasets}
 
 
+def _walk_chunk_btree(buf: bytes, addr: int, rank: int):
+    """v1 chunk B-tree (node type 1) -> (offsets, nbytes, address)
+    per chunk (recurses internal levels)."""
+    if buf[addr:addr + 4] != b"TREE":
+        raise ValueError(f"HDF5: TREE signature missing at {addr}")
+    ntype, level = buf[addr + 4], buf[addr + 5]
+    if ntype != 1:
+        raise ValueError(f"HDF5: expected chunk B-tree, got type {ntype}")
+    used = struct.unpack("<H", buf[addr + 6:addr + 8])[0]
+    keysize = 8 + 8 * (rank + 1)
+    out = []
+    p = addr + 24
+    for _ in range(used):
+        size, _mask = struct.unpack("<II", buf[p:p + 8])
+        offs = struct.unpack(f"<{rank + 1}Q",
+                             buf[p + 8:p + 8 + 8 * (rank + 1)])
+        child = struct.unpack(
+            "<Q", buf[p + keysize:p + keysize + 8])[0]
+        if level == 0:
+            out.append((tuple(int(o) for o in offs[:-1]), size, child))
+        else:
+            out.extend(_walk_chunk_btree(buf, child, rank))
+        p += keysize + 8
+    return out
+
+
 def read_hdf5(path: str, name: str) -> np.ndarray:
-    """Read one contiguous dataset fully (driver-side)."""
+    """Read one dataset fully (driver-side; contiguous or chunked,
+    deflate-compressed chunks inflated)."""
+    import zlib
+
     info = hdf5_info(path)["datasets"]
     if name not in info:
         raise ValueError(f"no dataset {name!r}; have {sorted(info)}")
     v = info[name]
     with open(path, "rb") as fh:
-        fh.seek(v["data_addr"])
-        raw = fh.read(v["data_size"])
-    return np.frombuffer(raw, v["dtype"]).reshape(v["shape"]).copy()
+        buf = fh.read()
+    if v["layout"] == "contiguous":
+        raw = buf[v["data_addr"]:v["data_addr"] + v["data_size"]]
+        return np.frombuffer(raw, v["dtype"]).reshape(v["shape"]).copy()
+    shape, ck, dt = v["shape"], v["chunk"], v["dtype"]
+    deflate = 1 in v.get("filters", [])
+    out = np.zeros(shape, dt)
+    for offs, size, addr in _walk_chunk_btree(buf, v["chunk_btree"],
+                                              len(shape)):
+        raw = buf[addr:addr + size]
+        if deflate:
+            raw = zlib.decompress(raw)
+        blk = np.frombuffer(raw, dt).reshape(ck)
+        sl = tuple(slice(o, min(o + c, s))
+                   for o, c, s in zip(offs, ck, shape))
+        out[sl] = blk[tuple(slice(0, s.stop - s.start) for s in sl)]
+    return out
 
 
 def read_hdf5_mdim(path: str, name: str, *, slab: int = 0,
                    parallelism: int = 16):
-    """Ray Dataset of mdim chunk rows over one contiguous dataset
-    (the sources.netcdf.read_netcdf contract): first-axis slabs, each
-    task one ranged read of the row-major buffer."""
+    """Ray Dataset of mdim chunk rows over one dataset (the
+    sources.netcdf.read_netcdf contract).  Contiguous layout splits
+    into first-axis slabs (one ranged read per task); CHUNKED layout
+    serves the file's own chunks as the mdim grain — each task
+    ranged-reads and (when deflated) inflates its chunks, cropping
+    edge padding to the dataset extent."""
     import ray.data as rd
 
     from ..stages.mdim import MDSpec, _emit, _row
@@ -364,6 +546,37 @@ def read_hdf5_mdim(path: str, name: str, *, slab: int = 0,
     shape, dt = v["shape"], v["dtype"]
     if not shape:
         raise ValueError(f"{name} is a scalar; mdim needs >= 1 dim")
+    if v["layout"] == "chunked":
+        import zlib
+
+        with open(path, "rb") as fh:
+            buf = fh.read()
+        entries = _walk_chunk_btree(buf, v["chunk_btree"], len(shape))
+        ck = v["chunk"]
+        deflate = 1 in v.get("filters", [])
+        spec = MDSpec(shape, ck, dt.name)
+
+        def fetch_chunks(t):
+            rows = []
+            with open(path, "rb") as fh:
+                for i in t.column("id").to_pylist():
+                    offs, size, addr = entries[int(i)]
+                    fh.seek(addr)
+                    raw = fh.read(size)
+                    if deflate:
+                        raw = zlib.decompress(raw)
+                    blk = np.frombuffer(raw, dt).reshape(ck)
+                    idx = tuple(o // c for o, c in zip(offs, ck))
+                    want = spec.chunk_shape(idx)
+                    blk = blk[tuple(slice(0, s) for s in want)]
+                    rows.append(_row(idx, np.ascontiguousarray(blk)))
+            return _emit(rows)
+
+        ids = rd.range(len(entries),
+                       override_num_blocks=min(parallelism,
+                                               len(entries)))
+        return ids.map_batches(fetch_chunks,
+                               batch_format="pyarrow"), spec
     if slab <= 0:
         slab = max(1, -(-shape[0] // parallelism))
     spec = MDSpec(shape, (slab,) + shape[1:], dt.name)

@@ -147,3 +147,61 @@ def test_mdim_reader(tmp_path, ray_session):
         {"step": "mdim_checksums", "tag": "h5"},
     ])).to_pandas()
     assert len(out) == 2 and (out["op"] == "h5").all()
+
+
+def test_chunked_deflate_roundtrip(tmp_path):
+    """Chunked layout (v1 node-type-1 B-tree) with and without the
+    deflate filter; ragged edges stored as full zero-padded chunks and
+    cropped on read."""
+    p = str(tmp_path / "c.h5")
+    rng = np.random.default_rng(8)
+    a = rng.normal(size=(37, 23))
+    b = rng.integers(0, 255, (9, 11, 5)).astype(np.int16)
+    write_hdf5(p, {"a": a, "b": b},
+               chunks={"a": (16, 8), "b": (4, 4, 4)},
+               compress={"a": 6})
+    info = hdf5_info(p)["datasets"]
+    assert info["a"]["layout"] == "chunked"
+    assert info["a"]["chunk"] == (16, 8)
+    assert info["a"]["filters"] == [1]
+    assert "filters" not in info["b"]
+    np.testing.assert_array_equal(read_hdf5(p, "a"), a)
+    np.testing.assert_array_equal(read_hdf5(p, "b"), b)
+    # deflate actually shrinks a compressible dataset
+    p2 = str(tmp_path / "z.h5")
+    z = np.zeros((64, 64))
+    write_hdf5(p2, {"z": z}, chunks={"z": (32, 32)},
+               compress={"z": 6})
+    import os
+    assert os.path.getsize(p2) < z.nbytes // 4
+    np.testing.assert_array_equal(read_hdf5(p2, "z"), z)
+
+
+def test_chunked_guards(tmp_path):
+    with pytest.raises(ValueError, match="requires chunks"):
+        write_hdf5(str(tmp_path / "x.h5"), {"a": np.zeros((4, 4))},
+                   compress={"a": 6})
+    with pytest.raises(ValueError, match="rank"):
+        write_hdf5(str(tmp_path / "x.h5"), {"a": np.zeros((4, 4))},
+                   chunks={"a": (2,)})
+    with pytest.raises(ValueError, match="> 64"):
+        write_hdf5(str(tmp_path / "x.h5"), {"a": np.zeros((100, 100))},
+                   chunks={"a": (2, 2)})
+
+
+def test_chunked_mdim_reader(tmp_path, ray_session):
+    """The file's own chunks become the mdim grain: distributed
+    ranged reads + inflate reassemble bit-exactly."""
+    p = str(tmp_path / "cm.h5")
+    rng = np.random.default_rng(10)
+    v = rng.normal(size=(20, 14))
+    write_hdf5(p, {"v": v}, chunks={"v": (8, 8)}, compress={"v": 4})
+    ds, spec = read_hdf5_mdim(p, "v", parallelism=3)
+    assert spec.chunks == (8, 8)
+    out = np.zeros_like(v)
+    for c in ds.take_all():
+        i, j = c["chunk"]
+        blk = np.frombuffer(c["data"], np.float64).reshape(
+            tuple(c["shape"]))
+        out[i * 8:i * 8 + blk.shape[0], j * 8:j * 8 + blk.shape[1]] = blk
+    np.testing.assert_array_equal(out, v)
