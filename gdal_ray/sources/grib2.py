@@ -10,9 +10,12 @@ Supported surface:
   definition template 3.0 (equidistant lat/lon grid, scanning modes
   0x00 north-to-south and 0x40 south-to-north), section 4 product
   definition template 4.0 (parameter category/number, forecast hour),
-  section 5 data representation template 5.0 (simple packing:
+  section 5 data representation templates 5.0 (simple packing:
   ``Y = (R + X * 2^E) / 10^D`` with float32 reference R, sign-magnitude
-  int16 binary/decimal scale factors), section 6 bitmap (indicator 0 =
+  int16 binary/decimal scale factors), 5.2 (complex packing: grouped
+  values with per-group reference/width and described group lengths)
+  and 5.3 (complex packing + first/second-order spatial differencing —
+  the operational NCEP packing), section 6 bitmap (indicator 0 =
   bitmap present, 255 = none; NaN cells round-trip through the bitmap),
   section 7 packed data (big-endian MSB-first bit stream), section 8
   ``7777`` terminator.  Multiple messages per file (the operational
@@ -74,6 +77,150 @@ def _microdeg(v: float) -> int:
     return int(round(v * 1_000_000))
 
 
+def _byte_align(bits: list[bytes]) -> bytes:
+    """Each packed sub-stream of a complex-packing data section starts
+    on an octet boundary (_pack_bits already pads each to bytes)."""
+    return b"".join(bits)
+
+
+def _complex_pack(x: np.ndarray, ref: float, d_scale: int,
+                  packing: int, order: int, group_size: int):
+    """Templates 5.2 (complex) / 5.3 (complex + spatial differencing):
+    returns (section 5 bytes, section 7 payload).
+
+    The encoder's group splitting is fixed-size (``group_size`` values,
+    shorter last group) — any splitting is spec-legal; the stream
+    describes its own groups.  For 5.3 the field is differenced at
+    ``order`` (1 or 2), the first ``order`` values ride the section-7
+    prologue as sign-magnitude ints together with the overall minimum
+    of the differences (the template's extra-descriptor octets), and
+    the first ``order`` packed positions hold zeros (the g2clib
+    convention).  Group reference values / widths / lengths / data
+    each start on an octet boundary."""
+    n = int(x.size)
+    if packing == 3:
+        if order not in (1, 2):
+            raise ValueError("diff_order must be 1 or 2")
+        if n <= order:
+            raise ValueError("field too small for spatial differencing")
+        d = x.astype(np.int64)
+        if order == 1:
+            h = np.concatenate([[0], np.diff(d)])
+            init = [int(d[0])]
+        else:
+            h = np.concatenate([[0, 0],
+                                d[2:] - 2 * d[1:-1] + d[:-2]])
+            init = [int(d[0]), int(d[1])]
+        gmin = int(h[order:].min())
+        work = h.copy()
+        work[order:] -= gmin
+        work[:order] = 0
+        extras = init + [gmin]
+        extra_octets = max(
+            (max(abs(v) for v in extras).bit_length() + 8) // 8, 1)
+    else:
+        work = x.astype(np.int64)
+        extras, extra_octets, gmin = [], 0, 0
+    # fixed-size group split
+    ng = -(-n // group_size)
+    last_len = n - (ng - 1) * group_size
+    grefs = np.empty(ng, np.int64)
+    gwidths = np.empty(ng, np.int64)
+    datas = []
+    for g in range(ng):
+        seg = work[g * group_size:(g + 1) * group_size]
+        lo = int(seg.min())
+        grefs[g] = lo
+        rel = seg - lo
+        w = int(rel.max()).bit_length()
+        gwidths[g] = w
+        datas.append((rel.astype(np.uint64), w))
+    ref_bits = max(1, int(grefs.max()).bit_length())
+    wmin = int(gwidths.min())
+    wbits = max(int((gwidths - wmin).max()).bit_length(), 1)
+    sec5 = (struct.pack(">IBIH", 47 + (2 if packing == 3 else 0),
+                        5, n, packing)
+            + struct.pack(">f", ref)
+            + _sm_bytes(0, 2)                   # binary scale E = 0
+            + _sm_bytes(d_scale, 2)
+            + struct.pack(">BB", ref_bits, 0)
+            + struct.pack(">BB", 1, 0)          # general split, no MV
+            + struct.pack(">II", 0, 0)          # missing substitutes
+            + struct.pack(">I", ng)
+            + struct.pack(">BB", wmin, wbits)
+            + struct.pack(">IB", group_size, 1)  # len ref, len inc
+            + struct.pack(">I", last_len)
+            + struct.pack(">B", 0))             # scaled lens: 0 bits
+    if packing == 3:
+        sec5 += struct.pack(">BB", order, extra_octets)
+    streams = []
+    if packing == 3:
+        streams.append(b"".join(_sm_bytes(v, extra_octets)
+                                for v in extras))
+    streams.append(_pack_bits(grefs.astype(np.uint64), ref_bits))
+    streams.append(_pack_bits((gwidths - wmin).astype(np.uint64),
+                              wbits))
+    streams.append(b"")                          # scaled lengths: 0 bits
+    streams.append(b"".join(_pack_bits(rel, w) for rel, w in datas))
+    return sec5, _byte_align(streams)
+
+
+def _complex_unpack(s5: bytes, payload: bytes, n: int,
+                    packing: int) -> np.ndarray:
+    """Inverse of :func:`_complex_pack` -> float64 values (pre-bitmap
+    scatter)."""
+    ref = struct.unpack(">f", s5[11:15])[0]
+    e_scale = _sm_read(s5[15:17])
+    d_scale = _sm_read(s5[17:19])
+    ref_bits = s5[19]
+    split, mv = s5[21], s5[22]
+    if split != 1 or mv != 0:
+        raise ValueError("GRIB2 complex packing: only general group "
+                         "splitting without missing-value management")
+    ng = struct.unpack(">I", s5[31:35])[0]
+    wmin, wbits = s5[35], s5[36]
+    len_ref = struct.unpack(">I", s5[37:41])[0]
+    len_inc = s5[41]
+    last_len = struct.unpack(">I", s5[42:46])[0]
+    lbits = s5[46]
+    pos = 0
+    if packing == 3:
+        order, extra_octets = s5[47], s5[48]
+        extras = [_sm_read(payload[k * extra_octets:
+                                   (k + 1) * extra_octets])
+                  for k in range(order + 1)]
+        pos = (order + 1) * extra_octets
+    grefs = _unpack_bits(payload[pos:], ng, ref_bits)
+    pos += (ng * ref_bits + 7) // 8
+    gw = _unpack_bits(payload[pos:], ng, wbits) + wmin
+    pos += (ng * wbits + 7) // 8
+    glen = _unpack_bits(payload[pos:], ng, lbits) * len_inc + len_ref
+    pos += (ng * lbits + 7) // 8
+    glen[-1] = last_len
+    if int(glen.sum()) != n:
+        raise ValueError("GRIB2 complex packing: group lengths != n")
+    out = np.empty(n, np.int64)
+    at = 0
+    for g in range(ng):
+        ln, w = int(glen[g]), int(gw[g])
+        vals = _unpack_bits(payload[pos:], ln, w) + grefs[g]
+        pos += (ln * w + 7) // 8
+        out[at:at + ln] = vals
+        at += ln
+    if packing == 3:
+        out[order:] += extras[-1]               # + gmin
+        if order == 1:
+            out[0] = extras[0]
+            out = np.cumsum(out)
+        else:                                   # integrate twice
+            first = np.concatenate(
+                [[extras[1] - extras[0]], out[2:]]).cumsum()
+            out = np.concatenate([[np.int64(extras[0])],
+                                  extras[0] + first.cumsum()])
+    return (ref + out.astype(np.float64) * 2.0 ** e_scale) \
+        / 10.0 ** d_scale
+
+
 def write_grib2(path: str, messages: list[dict]) -> None:
     """Write a multi-message GRIB2 file.
 
@@ -108,6 +255,10 @@ def write_grib2(path: str, messages: list[dict]) -> None:
         if np.abs(scaled).max() >= 2 ** 53:
             raise ValueError("values overflow the packing range at "
                              f"decimal scale {d_scale}")
+        packing = int(msg.get("packing", 0))
+        if packing not in (0, 2, 3):
+            raise ValueError(f"data template 5.{packing} unsupported "
+                             "(0 simple / 2 complex / 3 complex+diff)")
         ref = float(scaled.min())
         x = (scaled - ref).astype(np.int64)
         xmax = int(x.max())
@@ -154,20 +305,25 @@ def write_grib2(path: str, messages: list[dict]) -> None:
             1, 0, 0,                            # first surface: ground
             255, 0, 0)                          # second surface: none
         sec4 = struct.pack(">IBHH", 9 + len(tmpl4), 4, 0, 0) + tmpl4
-        # --- section 5: data representation template 5.0
-        sec5 = (struct.pack(">IBIH", 21, 5, int(data.size), 0)
-                + struct.pack(">f", ref)
-                + _sm_bytes(0, 2)               # binary scale E = 0
-                + _sm_bytes(d_scale, 2)
-                + struct.pack(">BB", nbits, 0))
+        # --- sections 5 + 7: data representation + packed data
+        if packing == 0:                        # template 5.0: simple
+            sec5 = (struct.pack(">IBIH", 21, 5, int(data.size), 0)
+                    + struct.pack(">f", ref)
+                    + _sm_bytes(0, 2)           # binary scale E = 0
+                    + _sm_bytes(d_scale, 2)
+                    + struct.pack(">BB", nbits, 0))
+            packed = _pack_bits(x.astype(np.uint64), nbits)
+        else:                                   # templates 5.2 / 5.3
+            order = int(msg.get("diff_order", 2)) if packing == 3 else 0
+            sec5, packed = _complex_pack(
+                x, ref, d_scale, packing, order,
+                int(msg.get("group_size", 32)))
         # --- section 6: bitmap
         if has_bitmap:
             bm = np.packbits(present.astype(np.uint8)).tobytes()
             sec6 = struct.pack(">IBB", 6 + len(bm), 6, 0) + bm
         else:
             sec6 = struct.pack(">IBB", 6, 6, 255)
-        # --- section 7: data
-        packed = _pack_bits(x.astype(np.uint64), nbits)
         sec7 = struct.pack(">IB", 5 + len(packed), 7) + packed
         body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7
         total = 16 + len(body) + 4
@@ -247,17 +403,14 @@ def _decode_message(buf: bytes) -> dict:
     msg["param_category"] = s4[9]
     msg["param_number"] = s4[10]
     msg["forecast_hours"] = struct.unpack(">i", s4[18:22])[0]
-    # section 5: simple packing
+    # section 5: data representation
     s5 = sections[5]
     n_packed = struct.unpack(">I", s5[5:9])[0]
     dtnum = struct.unpack(">H", s5[9:11])[0]
-    if dtnum != 0:
+    if dtnum not in (0, 2, 3):
         raise ValueError(f"GRIB2: data template 5.{dtnum} unsupported "
-                         "(only 5.0 simple packing)")
-    ref = struct.unpack(">f", s5[11:15])[0]
-    e_scale = _sm_read(s5[15:17])
-    d_scale = _sm_read(s5[17:19])
-    nbits = s5[19]
+                         "(5.0 simple / 5.2 complex / 5.3 +diff)")
+    msg["packing"] = dtnum
     # section 6: bitmap
     s6 = sections[6]
     ind = s6[5]
@@ -272,8 +425,16 @@ def _decode_message(buf: bytes) -> dict:
     if int(present.sum()) != n_packed:
         raise ValueError("GRIB2: bitmap count != packed data count")
     # section 7: packed data
-    x = _unpack_bits(sections[7][5:], n_packed, nbits)
-    y = (ref + x.astype(np.float64) * 2.0 ** e_scale) / 10.0 ** d_scale
+    if dtnum == 0:
+        ref = struct.unpack(">f", s5[11:15])[0]
+        e_scale = _sm_read(s5[15:17])
+        d_scale = _sm_read(s5[17:19])
+        nbits = s5[19]
+        x = _unpack_bits(sections[7][5:], n_packed, nbits)
+        y = (ref + x.astype(np.float64) * 2.0 ** e_scale) \
+            / 10.0 ** d_scale
+    else:
+        y = _complex_unpack(s5, sections[7][5:], n_packed, dtnum)
     flat = np.full(n, np.nan)
     flat[present] = y
     msg["values"] = flat.reshape(nj, ni)

@@ -206,3 +206,82 @@ def test_ray_rows_and_mdim(tmp_path, ray_session):
         [np.frombuffer(c["data"], np.float64).reshape(tuple(c["shape"]))
          for c in sorted(chunks, key=lambda c: c["chunk"][0])])
     np.testing.assert_array_equal(rebuilt, v0)
+
+
+def test_complex_packing_roundtrips(tmp_path):
+    """Templates 5.2 / 5.3: grouped packing and spatial differencing
+    (orders 1 and 2) round-trip exactly, with bitmap and negatives."""
+    p = str(tmp_path / "cx.grib2")
+    yy, xx = np.mgrid[0:40, 0:60]
+    smooth = np.round((250.0 + 20 * np.sin(xx / 9)
+                       + 10 * np.cos(yy / 7)) * 100) / 100
+    smooth[3, 4] = np.nan
+    rng = np.random.default_rng(17)
+    noise = rng.integers(-300, 300, (25, 25)).astype(float)
+    write_grib2(p, [
+        {"values": smooth, "lat1": 30.0, "lon1": 0.0, "di": 0.5,
+         "dj": 0.5, "decimal_scale": 2, "packing": 2},
+        {"values": smooth, "lat1": 30.0, "lon1": 0.0, "di": 0.5,
+         "dj": 0.5, "decimal_scale": 2, "packing": 3, "diff_order": 1},
+        {"values": smooth, "lat1": 30.0, "lon1": 0.0, "di": 0.5,
+         "dj": 0.5, "decimal_scale": 2, "packing": 3, "diff_order": 2},
+        {"values": noise, "lat1": 0.0, "lon1": 0.0, "di": 1.0,
+         "dj": 1.0, "packing": 2, "group_size": 17},
+    ])
+    msgs = read_grib2(p)
+    assert [m["packing"] for m in msgs] == [2, 3, 3, 2]
+    for m in msgs[:3]:
+        np.testing.assert_array_equal(
+            np.isnan(m["values"]), np.isnan(smooth))
+        np.testing.assert_array_equal(
+            m["values"][~np.isnan(smooth)], smooth[~np.isnan(smooth)])
+    np.testing.assert_array_equal(msgs[3]["values"], noise)
+
+
+def test_complex_packing_template_anchors(tmp_path):
+    """Section-5 template fields at their spec offsets: template
+    number, NG, group-length reference/increment, 5.3 order octet."""
+    p = str(tmp_path / "anchor.grib2")
+    v = np.arange(100.0).reshape(10, 10)
+    write_grib2(p, [{"values": v, "lat1": 0.0, "lon1": 0.0,
+                     "di": 1.0, "dj": 1.0, "packing": 3,
+                     "diff_order": 2, "group_size": 16}])
+    buf = open(p, "rb").read()
+    # walk to section 5
+    pos = 16
+    while buf[pos + 4] != 5:
+        pos += struct.unpack(">I", buf[pos:pos + 4])[0]
+    s5 = buf[pos:pos + struct.unpack(">I", buf[pos:pos + 4])[0]]
+    assert len(s5) == 49                               # 5.3 length
+    assert struct.unpack(">H", s5[9:11])[0] == 3       # template 5.3
+    assert struct.unpack(">I", s5[5:9])[0] == 100      # n points
+    assert s5[21] == 1 and s5[22] == 0                 # split / no MV
+    assert struct.unpack(">I", s5[31:35])[0] == 7      # NG = ceil(100/16)
+    assert struct.unpack(">I", s5[37:41])[0] == 16     # len reference
+    assert s5[41] == 1                                 # len increment
+    assert struct.unpack(">I", s5[42:46])[0] == 4      # last group len
+    assert s5[47] == 2                                 # diff order
+    # a smooth ramp under 2nd-order differencing: all diffs constant,
+    # so every group packs at width 0 -> section 7 is tiny
+    pos7 = pos + len(s5)
+    while buf[pos7 + 4] != 7:
+        pos7 += struct.unpack(">I", buf[pos7:pos7 + 4])[0]
+    assert struct.unpack(">I", buf[pos7:pos7 + 4])[0] < 40
+
+
+def test_complex_beats_simple_on_smooth(tmp_path):
+    """5.3 produces a smaller message than 5.0 on a smooth field (the
+    reason the operational archives use it)."""
+    import os
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    v = np.round((1000.0 + 30 * np.sin(xx / 11)
+                  + 20 * np.cos(yy / 13)) * 100) / 100
+    sizes = {}
+    for pk in (0, 3):
+        p = str(tmp_path / f"s{pk}.grib2")
+        write_grib2(p, [{"values": v, "lat1": 0.0, "lon1": 0.0,
+                         "di": 0.5, "dj": 0.5, "decimal_scale": 2,
+                         "packing": pk, "diff_order": 2}])
+        sizes[pk] = os.path.getsize(p)
+    assert sizes[3] < sizes[0]
