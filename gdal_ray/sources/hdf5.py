@@ -84,6 +84,36 @@ def _symbol_entry(name_off: int, hdr_addr: int, cache: bytes = b"",
         + cache.ljust(16, b"\x00")
 
 
+def _attr_msg(name: str, value) -> bytes:
+    """Attribute message (0x000C) version 1: numeric scalars / 1-D
+    arrays, or a fixed-length ASCII string (datatype class 3,
+    NUL-padded) — the CF-convention metadata shape."""
+    if isinstance(value, str):
+        raw = value.encode("utf-8")
+        dt_body = bytes([0x13, 0, 0, 0]) + struct.pack(
+            "<I", max(len(raw), 1))
+        sp_body = struct.pack("<BBB5x", 1, 0, 0)     # scalar
+        data = raw if raw else b"\x00"
+    else:
+        # np.ascontiguousarray would promote 0-d to 1-d; keep scalars
+        # scalar (tobytes copies contiguously either way)
+        arr = np.asarray(value)
+        if arr.ndim > 1:
+            raise ValueError(f"attribute {name!r}: rank > 1 unsupported")
+        dt_body = _dt_body(arr.dtype)
+        if arr.ndim == 0:
+            sp_body = struct.pack("<BBB5x", 1, 0, 0)
+        else:
+            sp_body = struct.pack("<BBB5x", 1, 1, 0) \
+                + struct.pack("<Q", arr.shape[0])
+        data = arr.tobytes()
+    nm = name.encode("ascii") + b"\x00"
+    body = (struct.pack("<BBHHH", 1, 0, len(nm), len(dt_body),
+                        len(sp_body))
+            + _pad8(nm) + _pad8(dt_body) + _pad8(sp_body) + data)
+    return _msg(0x000C, body)
+
+
 def _chunk_grid(shape, chunk):
     """Chunk-origin offsets per dimension (edge chunks stored FULL
     size per the spec, padded with zeros)."""
@@ -95,16 +125,24 @@ def _chunk_grid(shape, chunk):
 
 def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
                chunks: dict[str, tuple] | None = None,
-               compress: dict[str, int] | None = None) -> None:
+               compress: dict[str, int] | None = None,
+               attrs: dict[str, dict] | None = None) -> None:
     """Write ``{name: array}`` as root-level HDF5 datasets.
 
     Default layout is CONTIGUOUS.  ``chunks={name: chunk_shape}``
     switches a dataset to CHUNKED (version-1 node-type-1 B-tree over
     whole chunks, zero-padded at the edges); ``compress={name: level}``
     adds the deflate filter (id 1) to a chunked dataset — the layout
-    netCDF-4 / h5py files actually use."""
+    netCDF-4 / h5py files actually use.  ``attrs={name: {attr:
+    value}}`` attaches attribute messages (numeric scalars/1-D arrays
+    or ASCII strings — the CF-convention metadata shape); the key
+    ``"/"`` targets the root group."""
     chunks = dict(chunks or {})
     compress = dict(compress or {})
+    attrs = {k: dict(v) for k, v in (attrs or {}).items()}
+    for k in attrs:
+        if k != "/" and k not in datasets:
+            raise ValueError(f"attrs[{k!r}]: no such dataset")
     for n in compress:
         if n not in chunks:
             raise ValueError(f"compress[{n!r}] requires chunks[{n!r}] "
@@ -130,7 +168,10 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
     pos = 96                      # superblock v0 with 8/8 offsets
     root_hdr_addr = pos
     root_hdr = None               # built once btree/heap addrs known
-    root_hdr_size = 16 + len(_msg(0x0011, struct.pack("<QQ", 0, 0)))
+    root_attr_msgs = [_attr_msg(k, v)
+                      for k, v in sorted(attrs.get("/", {}).items())]
+    root_hdr_size = 16 + len(_msg(0x0011, struct.pack("<QQ", 0, 0))) \
+        + sum(len(m) for m in root_attr_msgs)
     pos += root_hdr_size
     heap_hdr_addr = pos
     pos += 32                     # HEAP header
@@ -157,6 +198,8 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
                  + b"".join(struct.pack("<Q", d) for d in a.shape)),
             _msg(0x0003, _dt_body(a.dtype)),
         ]
+        msgs += [_attr_msg(k, v)
+                 for k, v in sorted(attrs.get(n, {}).items())]
         if n in chunks:
             ck = tuple(int(c) for c in chunks[n])
             if len(ck) != a.ndim:
@@ -251,9 +294,10 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
         node += struct.pack("<Q", 0)
         cbt_nodes[n] = bytes(node)
 
-    # ---- root object header (Symbol Table message)
+    # ---- root object header (Symbol Table message + root attributes)
     root_hdr = _object_header(
-        [_msg(0x0011, struct.pack("<QQ", btree_addr, heap_hdr_addr))])
+        [_msg(0x0011, struct.pack("<QQ", btree_addr, heap_hdr_addr))]
+        + root_attr_msgs)
     assert len(root_hdr) == root_hdr_size
 
     # ---- superblock
@@ -403,6 +447,29 @@ def _parse_object_header(buf: bytes, addr: int) -> dict:
         elif mtype == 0x0011:
             info["btree_addr"], info["heap_addr"] = struct.unpack(
                 "<QQ", body[0:16])
+        elif mtype == 0x000C:
+            ver = body[0]
+            if ver != 1:
+                raise ValueError(f"HDF5: attribute message v{ver} "
+                                 "unsupported")
+            nsz, dtsz, spsz = struct.unpack("<HHH", body[2:8])
+            p2 = 8
+            aname = body[p2:p2 + nsz].split(b"\x00")[0].decode()
+            p2 += nsz + (-nsz % 8)
+            dt_raw = body[p2:p2 + dtsz]
+            p2 += dtsz + (-dtsz % 8)
+            sp_raw = body[p2:p2 + spsz]
+            p2 += spsz + (-spsz % 8)
+            dims = _parse_dataspace(sp_raw)
+            if dt_raw[0] & 0x0F == 3:           # string class
+                size = struct.unpack("<I", dt_raw[4:8])[0]
+                val = body[p2:p2 + size].split(b"\x00")[0].decode()
+            else:
+                dt = _parse_datatype(dt_raw)
+                count = int(np.prod(dims, dtype=np.int64)) if dims else 1
+                arr = np.frombuffer(body, dt, count, p2)
+                val = arr.copy() if dims else arr[0]
+            info.setdefault("attrs", {})[aname] = val
         elif mtype == 0x0010:
             raise ValueError("HDF5: object header continuation blocks "
                              "unsupported")
@@ -469,7 +536,7 @@ def hdf5_info(path: str) -> dict:
                 raise ValueError(f"HDF5: {name!r} lacks dataspace/"
                                  "datatype (group links unsupported)")
             datasets[name] = info
-    return {"datasets": datasets}
+    return {"datasets": datasets, "attrs": root.get("attrs", {})}
 
 
 def _walk_chunk_btree(buf: bytes, addr: int, rank: int):

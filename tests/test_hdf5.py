@@ -205,3 +205,29 @@ def test_chunked_mdim_reader(tmp_path, ray_session):
             tuple(c["shape"]))
         out[i * 8:i * 8 + blk.shape[0], j * 8:j * 8 + blk.shape[1]] = blk
     np.testing.assert_array_equal(out, v)
+
+
+def test_attributes(tmp_path):
+    """Attribute messages (0x000C v1): numeric scalars, 1-D arrays and
+    ASCII strings on datasets and on the root group (the CF-convention
+    metadata shape)."""
+    p = str(tmp_path / "attr.h5")
+    v = np.arange(12.0).reshape(3, 4)
+    write_hdf5(
+        p, {"temp": v},
+        attrs={"temp": {"units": "kelvin",
+                        "valid_range": np.array([180.0, 330.0]),
+                        "scale_factor": np.float64(0.5),
+                        "count": np.int32(7)},
+               "/": {"Conventions": "CF-1.8", "version": np.int64(3)}})
+    info = hdf5_info(p)
+    a = info["datasets"]["temp"]["attrs"]
+    assert a["units"] == "kelvin"
+    np.testing.assert_array_equal(a["valid_range"], [180.0, 330.0])
+    assert a["scale_factor"] == 0.5 and a["scale_factor"].dtype == np.float64
+    assert np.ndim(a["scale_factor"]) == 0       # scalar stays scalar
+    assert a["count"] == 7 and a["count"].dtype == np.int32
+    assert info["attrs"] == {"Conventions": "CF-1.8", "version": 3}
+    np.testing.assert_array_equal(read_hdf5(p, "temp"), v)
+    with pytest.raises(ValueError, match="no such dataset"):
+        write_hdf5(p, {"x": np.zeros(2)}, attrs={"y": {"a": 1.0}})
