@@ -13,15 +13,21 @@ Supported surface (written AND read):
   addresses AND a Symbol Table message in the root object header;
 - version-1 object headers with Dataspace (v1 simple, v2 read too),
   Datatype (class 0 fixed-point and class 1 IEEE float,
-  little-endian), and version-3 CONTIGUOUS Data Layout messages;
+  little-endian), version-3 CONTIGUOUS and CHUNKED Data Layout
+  messages (node-type-1 chunk B-trees, deflate filter pipeline — the
+  netCDF-4/h5py layout), and Attribute messages (0x000C: numeric
+  scalars/1-D arrays + ASCII strings);
+- NESTED GROUPS: ``a/b/dset`` paths create per-group B-tree/heap/SNOD
+  machinery identical to the root's (read side recurses, cycle-
+  bounded);
 - int8..int64 / uint8..uint64 / float32 / float64 datasets of any
   rank.
 
-NOT supported (declared, rejected explicitly): chunked/compressed
-layouts, attributes, nested groups, datatype classes beyond
-fixed/float, object header continuation blocks.  The writer produces
-files the reader round-trips bit-exactly; byte anchors in the tests
-restate the spec layout directly.
+NOT supported (declared, rejected explicitly): filters beyond
+deflate, datatype classes beyond fixed/float/string, object header
+continuation blocks, non-symbol-table (\"new style\") group links.
+The writer produces files the reader round-trips bit-exactly; byte
+anchors in the tests restate the spec layout directly.
 """
 
 from __future__ import annotations
@@ -127,68 +133,63 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
                chunks: dict[str, tuple] | None = None,
                compress: dict[str, int] | None = None,
                attrs: dict[str, dict] | None = None) -> None:
-    """Write ``{name: array}`` as root-level HDF5 datasets.
+    """Write ``{name: array}`` HDF5 datasets; ``"/"``-separated names
+    create NESTED GROUPS (each group is its own v1 B-tree + local heap
+    + SNOD symbol table, exactly like the root).
 
     Default layout is CONTIGUOUS.  ``chunks={name: chunk_shape}``
     switches a dataset to CHUNKED (version-1 node-type-1 B-tree over
     whole chunks, zero-padded at the edges); ``compress={name: level}``
     adds the deflate filter (id 1) to a chunked dataset — the layout
-    netCDF-4 / h5py files actually use.  ``attrs={name: {attr:
-    value}}`` attaches attribute messages (numeric scalars/1-D arrays
-    or ASCII strings — the CF-convention metadata shape); the key
-    ``"/"`` targets the root group."""
+    netCDF-4 / h5py files actually use.  ``attrs={key: {attr: value}}``
+    attaches attribute messages (numeric scalars/1-D arrays or ASCII
+    strings — the CF-convention metadata shape) where ``key`` is a
+    dataset path, a group path, or ``"/"`` for the root group."""
+    import zlib
+
     chunks = dict(chunks or {})
     compress = dict(compress or {})
-    attrs = {k: dict(v) for k, v in (attrs or {}).items()}
-    for k in attrs:
-        if k != "/" and k not in datasets:
-            raise ValueError(f"attrs[{k!r}]: no such dataset")
+    attrs = {("" if k == "/" else k): dict(v)
+             for k, v in (attrs or {}).items()}
     for n in compress:
         if n not in chunks:
             raise ValueError(f"compress[{n!r}] requires chunks[{n!r}] "
                              "(deflate applies to chunked layout)")
     if not datasets:
         raise ValueError("write_hdf5 needs >= 1 dataset")
-    if len(datasets) > 2 * _LEAF_K:
-        raise ValueError(f"write_hdf5: > {2 * _LEAF_K} datasets needs "
-                         "a multi-node B-tree (unsupported)")
+
+    # ---- group tree: path "" = root; children sorted by link name
+    groups: dict[str, dict] = {"": {"groups": {}, "dsets": {}}}
+    for full in sorted(datasets):
+        parts = full.split("/")
+        if any(not p for p in parts):
+            raise ValueError(f"bad dataset path {full!r}")
+        gpath = ""
+        for comp in parts[:-1]:
+            sub = f"{gpath}/{comp}" if gpath else comp
+            if sub in groups and sub in datasets:
+                raise ValueError(f"{sub!r} is both group and dataset")
+            groups[gpath]["groups"][comp] = sub
+            groups.setdefault(sub, {"groups": {}, "dsets": {}})
+            gpath = sub
+        groups[gpath]["dsets"][parts[-1]] = full
+    for k in attrs:
+        if k not in datasets and k not in groups:
+            raise ValueError(f"attrs[{k!r}]: no such dataset or group")
+    gorder = sorted(groups)                     # root "" first
+    for g in gorder:
+        n_children = len(groups[g]["groups"]) + len(groups[g]["dsets"])
+        if n_children > 2 * _LEAF_K:
+            raise ValueError(
+                f"group {g or '/'!r}: > {2 * _LEAF_K} links needs a "
+                "multi-node B-tree (unsupported)")
+
     names = sorted(datasets)
     arrays = {n: np.ascontiguousarray(datasets[n]) for n in names}
-    # ---- local heap data: offset 0 reserved (empty string), names
-    # NUL-terminated and 8-aligned
-    heap_data = bytearray(b"\x00" * 8)
-    name_off = {}
-    for n in names:
-        name_off[n] = len(heap_data)
-        heap_data += _pad8(n.encode("ascii") + b"\x00")
-    heap_data = bytes(heap_data)
 
-    # ---- address plan (sequential): superblock, root header, heap
-    # header, heap data, btree, snod, dataset headers, raw data
-    pos = 96                      # superblock v0 with 8/8 offsets
-    root_hdr_addr = pos
-    root_hdr = None               # built once btree/heap addrs known
-    root_attr_msgs = [_attr_msg(k, v)
-                      for k, v in sorted(attrs.get("/", {}).items())]
-    root_hdr_size = 16 + len(_msg(0x0011, struct.pack("<QQ", 0, 0))) \
-        + sum(len(m) for m in root_attr_msgs)
-    pos += root_hdr_size
-    heap_hdr_addr = pos
-    pos += 32                     # HEAP header
-    heap_data_addr = pos
-    pos += len(heap_data)
-    btree_addr = pos
-    # TREE: sig4 + type1 + level1 + entries2 + sib8 + sib8 + keys/child
-    btree_size = 24 + 8 * (2 * _LEAF_K + 1) + 8 * 2 * _LEAF_K
-    pos += btree_size
-    snod_addr = pos
-    snod_size = 8 + 40 * 2 * _LEAF_K
-    pos += snod_size
-    import zlib
-
-    hdr_addr = {}
-    layout_fixup = {}
-    hdrs = {}
+    # ---- per-dataset object headers (addresses patched later)
+    hdrs: dict[str, bytearray] = {}
+    layout_fixup: dict[str, int] = {}
     chunk_blobs: dict[str, list[bytes]] = {}
     chunk_offs: dict[str, list[tuple]] = {}
     for n in names:
@@ -205,9 +206,8 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
             if len(ck) != a.ndim:
                 raise ValueError(f"chunks[{n!r}] rank != dataset rank")
             if n in compress:
-                # filter pipeline v1: deflate (id 1), 1 client value
                 # filter description: id 1 (deflate), one client value
-                # (level) + the spec's 4-byte pad for odd value counts
+                # (level) + the spec 4-byte pad for odd value counts
                 msgs.append(_msg(
                     0x000B,
                     struct.pack("<BB6x", 1, 1)
@@ -219,6 +219,11 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
                     + struct.pack("<I", a.dtype.itemsize))
             msgs.append(_msg(0x0008, body))
             offs = _chunk_grid(a.shape, ck)
+            if len(offs) > 64:
+                raise ValueError(
+                    f"write_hdf5: {n!r} has {len(offs)} chunks; > 64 "
+                    "needs a multi-node chunk B-tree (unsupported — "
+                    "use larger chunks)")
             blobs = []
             for o in offs:
                 sl = tuple(slice(i, i + c) for i, c in zip(o, ck))
@@ -236,26 +241,60 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
             msgs.append(_msg(0x0008, body))
             layout_body_pad = len(_pad8(b"\x00" * 18))
         hdr = _object_header(msgs)
-        hdr_addr[n] = pos
         # the layout message is last: its (padded) body ends the
         # header; the address field (data for contiguous, btree for
         # chunked) is patched once addresses are planned
         layout_fixup[n] = len(hdr) - layout_body_pad
         hdrs[n] = bytearray(hdr)
-        pos += len(hdr)
-    # chunk B-trees (one level-0 node-type-1 per chunked dataset)
+
+    # ---- per-group machinery sizes: heap data (offset 0 reserved),
+    # header (symbol-table msg + attrs), btree, snod
+    gmeta: dict[str, dict] = {}
+    for g in gorder:
+        children = sorted(list(groups[g]["groups"])
+                          + list(groups[g]["dsets"]))
+        heap_data = bytearray(b"\x00" * 8)
+        name_off = {}
+        for c in children:
+            name_off[c] = len(heap_data)
+            heap_data += _pad8(c.encode("ascii") + b"\x00")
+        amsgs = [_attr_msg(k, v)
+                 for k, v in sorted(attrs.get(g, {}).items())]
+        hdr_size = 16 + len(_msg(0x0011, struct.pack("<QQ", 0, 0))) \
+            + sum(len(m) for m in amsgs)
+        n_ch = len(children)
+        gmeta[g] = dict(
+            children=children, heap_data=bytes(heap_data),
+            name_off=name_off, amsgs=amsgs, hdr_size=hdr_size,
+            btree_size=24 + (n_ch + 1) * 8 + n_ch * 8,
+            snod_size=8 + 40 * n_ch)
+
+    # ---- address plan: superblock, [group hdr/heap hdr/heap data/
+    # btree/snod]*, dataset headers, chunk btrees, raw data
+    pos = 96
+    for g in gorder:
+        m = gmeta[g]
+        m["hdr_addr"] = pos
+        pos += m["hdr_size"]
+        m["heap_hdr_addr"] = pos
+        pos += 32
+        m["heap_data_addr"] = pos
+        pos += len(m["heap_data"])
+        m["btree_addr"] = pos
+        pos += m["btree_size"]
+        m["snod_addr"] = pos
+        pos += m["snod_size"]
+    hdr_addr = {}
+    for n in names:
+        hdr_addr[n] = pos
+        pos += len(hdrs[n])
     cbt_addr = {}
     for n in names:
-        if n not in chunk_blobs:
-            continue
-        nck = len(chunk_blobs[n])
-        if nck > 64:
-            raise ValueError(f"write_hdf5: {n!r} has {nck} chunks; > 64 "
-                             "needs a multi-node chunk B-tree "
-                             "(unsupported — use larger chunks)")
-        cbt_addr[n] = pos
-        keysize = 8 + 8 * (arrays[n].ndim + 1)
-        pos += 24 + (nck + 1) * keysize + nck * 8
+        if n in chunk_blobs:
+            cbt_addr[n] = pos
+            keysize = 8 + 8 * (arrays[n].ndim + 1)
+            pos += 24 + (len(chunk_blobs[n]) + 1) * keysize \
+                + len(chunk_blobs[n]) * 8
     data_addr = {}
     chunk_addr: dict[str, list[int]] = {}
     for n in names:
@@ -268,85 +307,78 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
             data_addr[n] = pos
             pos += arrays[n].nbytes
     eof = pos
+
+    # ---- patch dataset layout addresses
     for n in names:
         off = layout_fixup[n]
         if n in chunk_blobs:
             hdrs[n][off + 3:off + 11] = struct.pack("<Q", cbt_addr[n])
         else:
             hdrs[n][off + 2:off + 10] = struct.pack("<Q", data_addr[n])
-    # build the chunk btree nodes
-    cbt_nodes = {}
-    for n, blobs in chunk_blobs.items():
-        a = arrays[n]
-        ck = tuple(int(c) for c in chunks[n])
-        node = bytearray()
-        node += b"TREE" + bytes([1, 0]) + struct.pack("<H", len(blobs))
-        node += struct.pack("<QQ", _UNDEF, _UNDEF)
-        for b, o, addr in zip(blobs, chunk_offs[n], chunk_addr[n]):
-            node += struct.pack("<II", len(b), 0)       # size, mask
-            node += b"".join(struct.pack("<Q", i) for i in o)
-            node += struct.pack("<Q", 0)                # elem-dim off
-            node += struct.pack("<Q", addr)
-        # final (max) key: the logical next chunk origin
-        nxt = tuple(-(-s // c) * c for s, c in zip(a.shape, ck))
-        node += struct.pack("<II", 0, 0)
-        node += b"".join(struct.pack("<Q", i) for i in nxt)
-        node += struct.pack("<Q", 0)
-        cbt_nodes[n] = bytes(node)
 
-    # ---- root object header (Symbol Table message + root attributes)
-    root_hdr = _object_header(
-        [_msg(0x0011, struct.pack("<QQ", btree_addr, heap_hdr_addr))]
-        + root_attr_msgs)
-    assert len(root_hdr) == root_hdr_size
+    # ---- serialize groups
+    def child_hdr_addr(g: str, c: str) -> int:
+        sub = groups[g]["groups"].get(c)
+        if sub is not None:
+            return gmeta[sub]["hdr_addr"]
+        return hdr_addr[groups[g]["dsets"][c]]
 
-    # ---- superblock
+    gblobs: dict[str, bytes] = {}
+    for g in gorder:
+        m = gmeta[g]
+        hdr = _object_header(
+            [_msg(0x0011, struct.pack("<QQ", m["btree_addr"],
+                                      m["heap_hdr_addr"]))]
+            + m["amsgs"])
+        assert len(hdr) == m["hdr_size"]
+        heap_hdr = (b"HEAP" + struct.pack("<B3x", 0)
+                    + struct.pack("<QQQ", len(m["heap_data"]), _UNDEF,
+                                  m["heap_data_addr"]))
+        children = m["children"]
+        bt = bytearray(b"\x00" * m["btree_size"])
+        bt[0:4] = b"TREE"
+        bt[4:6] = bytes([0, 0])
+        bt[6:8] = struct.pack("<H", 1 if children else 0)
+        bt[8:24] = struct.pack("<QQ", _UNDEF, _UNDEF)
+        if children:
+            bt[24:32] = struct.pack("<Q", 0)      # key 0: "" offset
+            bt[32:40] = struct.pack("<Q", m["snod_addr"])
+            bt[40:48] = struct.pack("<Q", m["name_off"][children[-1]])
+        sn = bytearray(b"\x00" * m["snod_size"])
+        sn[0:4] = b"SNOD"
+        sn[4:6] = bytes([1, 0])
+        sn[6:8] = struct.pack("<H", len(children))
+        for k, c in enumerate(children):
+            e = _symbol_entry(m["name_off"][c], child_hdr_addr(g, c))
+            sn[8 + 40 * k:8 + 40 * (k + 1)] = e
+        gblobs[g] = (hdr + heap_hdr + m["heap_data"] + bytes(bt)
+                     + bytes(sn))
+
+    # ---- superblock (root group machinery cached in the root entry)
+    root = gmeta[""]
     sb = (_SIG
           + struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0)
           + struct.pack("<HHI", _LEAF_K, 16, 0)
           + struct.pack("<QQQQ", 0, _UNDEF, eof, _UNDEF)
-          + _symbol_entry(0, root_hdr_addr,
-                          struct.pack("<QQ", btree_addr, heap_hdr_addr),
+          + _symbol_entry(0, root["hdr_addr"],
+                          struct.pack("<QQ", root["btree_addr"],
+                                      root["heap_hdr_addr"]),
                           cache_type=1))
     assert len(sb) == 96
-
-    # ---- heap header
-    heap_hdr = (b"HEAP" + struct.pack("<B3x", 0)
-                + struct.pack("<QQQ", len(heap_data), _UNDEF,
-                              heap_data_addr))
-
-    # ---- B-tree v1 (group node, level 0, one SNOD child)
-    bt = bytearray(b"\x00" * btree_size)
-    bt[0:4] = b"TREE"
-    bt[4:6] = bytes([0, 0])                       # type 0, level 0
-    bt[6:8] = struct.pack("<H", 1)                # one child
-    bt[8:24] = struct.pack("<QQ", _UNDEF, _UNDEF)
-    bt[24:32] = struct.pack("<Q", 0)              # key 0: "" offset
-    bt[32:40] = struct.pack("<Q", snod_addr)
-    bt[40:48] = struct.pack("<Q", name_off[names[-1]])  # key 1: max
-
-    # ---- SNOD
-    sn = bytearray(b"\x00" * snod_size)
-    sn[0:4] = b"SNOD"
-    sn[4:6] = bytes([1, 0])
-    sn[6:8] = struct.pack("<H", len(names))
-    for k, n in enumerate(names):
-        e = _symbol_entry(name_off[n], hdr_addr[n])
-        sn[8 + 40 * k:8 + 40 * (k + 1)] = e
 
     tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "wb") as fh:
         fh.write(sb)
-        fh.write(root_hdr)
-        fh.write(heap_hdr)
-        fh.write(heap_data)
-        fh.write(bytes(bt))
-        fh.write(bytes(sn))
+        for g in gorder:
+            fh.write(gblobs[g])
         for n in names:
             fh.write(bytes(hdrs[n]))
         for n in names:
-            if n in cbt_nodes:
-                fh.write(cbt_nodes[n])
+            if n in chunk_blobs:
+                fh.write(_chunk_btree_node(arrays[n], chunks[n],
+                                           chunk_blobs[n],
+                                           chunk_offs[n],
+                                           chunk_addr[n]))
         for n in names:
             if n in chunk_blobs:
                 for b in chunk_blobs[n]:
@@ -355,6 +387,24 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
                 fh.write(arrays[n].tobytes())
     os.replace(tmp, path)
 
+
+def _chunk_btree_node(a: np.ndarray, ck, blobs, offs, addrs) -> bytes:
+    """One level-0 node-type-1 chunk B-tree (keys carry chunk byte
+    size, filter mask and per-dimension offsets; trailing max key)."""
+    ck = tuple(int(c) for c in ck)
+    node = bytearray()
+    node += b"TREE" + bytes([1, 0]) + struct.pack("<H", len(blobs))
+    node += struct.pack("<QQ", _UNDEF, _UNDEF)
+    for b, o, addr in zip(blobs, offs, addrs):
+        node += struct.pack("<II", len(b), 0)       # size, mask
+        node += b"".join(struct.pack("<Q", i) for i in o)
+        node += struct.pack("<Q", 0)                # elem-dim off
+        node += struct.pack("<Q", addr)
+    nxt = tuple(-(-s // c) * c for s, c in zip(a.shape, ck))
+    node += struct.pack("<II", 0, 0)
+    node += b"".join(struct.pack("<Q", i) for i in nxt)
+    node += struct.pack("<Q", 0)
+    return bytes(node)
 
 def _parse_datatype(body: bytes) -> np.dtype:
     cls = body[0] & 0x0F
@@ -521,22 +571,36 @@ def hdf5_info(path: str) -> dict:
     root = _parse_object_header(buf, root_hdr_addr)
     if "btree_addr" not in root:
         raise ValueError("HDF5: root group has no symbol table message")
-    btree, heap = root["btree_addr"], root["heap_addr"]
-    datasets = {}
-    for snod in _walk_btree(buf, btree):
-        if buf[snod:snod + 4] != b"SNOD":
-            raise ValueError(f"HDF5: SNOD signature missing at {snod}")
-        nsym = struct.unpack("<H", buf[snod + 6:snod + 8])[0]
-        for k in range(nsym):
-            e = snod + 8 + 40 * k
-            noff, haddr = struct.unpack("<QQ", buf[e:e + 16])
-            name = _heap_name(buf, heap, noff)
-            info = _parse_object_header(buf, haddr)
-            if "shape" not in info or "dtype" not in info:
-                raise ValueError(f"HDF5: {name!r} lacks dataspace/"
-                                 "datatype (group links unsupported)")
-            datasets[name] = info
-    return {"datasets": datasets, "attrs": root.get("attrs", {})}
+    datasets: dict = {}
+    group_attrs: dict = {}
+
+    def walk_group(ginfo: dict, prefix: str, depth: int):
+        if depth > 32:
+            raise ValueError("HDF5: group nesting > 32 (cycle?)")
+        for snod in _walk_btree(buf, ginfo["btree_addr"]):
+            if buf[snod:snod + 4] != b"SNOD":
+                raise ValueError(
+                    f"HDF5: SNOD signature missing at {snod}")
+            nsym = struct.unpack("<H", buf[snod + 6:snod + 8])[0]
+            for k in range(nsym):
+                e = snod + 8 + 40 * k
+                noff, haddr = struct.unpack("<QQ", buf[e:e + 16])
+                name = prefix + _heap_name(buf, ginfo["heap_addr"],
+                                           noff)
+                info = _parse_object_header(buf, haddr)
+                if "btree_addr" in info:        # a child GROUP
+                    if info.get("attrs"):
+                        group_attrs[name] = info["attrs"]
+                    walk_group(info, name + "/", depth + 1)
+                elif "shape" in info and "dtype" in info:
+                    datasets[name] = info
+                else:
+                    raise ValueError(
+                        f"HDF5: {name!r} is neither a dataset nor a "
+                        "symbol-table group (unsupported link)")
+    walk_group(root, "", 0)
+    return {"datasets": datasets, "attrs": root.get("attrs", {}),
+            "group_attrs": group_attrs}
 
 
 def _walk_chunk_btree(buf: bytes, addr: int, rank: int):

@@ -231,3 +231,35 @@ def test_attributes(tmp_path):
     np.testing.assert_array_equal(read_hdf5(p, "temp"), v)
     with pytest.raises(ValueError, match="no such dataset"):
         write_hdf5(p, {"x": np.zeros(2)}, attrs={"y": {"a": 1.0}})
+
+
+def test_nested_groups(tmp_path, ray_session):
+    """"a/b/dset" paths create real group machinery (per-group B-tree
+    + heap + SNOD); the reader recurses, group attributes surface, and
+    the mdim reader addresses datasets by full path."""
+    p = str(tmp_path / "g.h5")
+    rng = np.random.default_rng(3)
+    ds = {"top": rng.normal(size=(4, 4)),
+          "g1/a": rng.integers(0, 100, (5,)).astype(np.int32),
+          "g1/b": rng.normal(size=(6, 6)),
+          "g1/sub/deep": rng.normal(size=(2, 6)),
+          "g2/x": rng.normal(size=(7,))}
+    write_hdf5(p, ds, chunks={"g1/b": (4, 4)}, compress={"g1/b": 4},
+               attrs={"g1": {"role": "measurements"},
+                      "/": {"v": np.int64(1)},
+                      "g1/a": {"u": "m"}})
+    info = hdf5_info(p)
+    assert sorted(info["datasets"]) == sorted(ds)
+    assert info["group_attrs"] == {"g1": {"role": "measurements"}}
+    assert info["attrs"]["v"] == 1
+    assert info["datasets"]["g1/a"]["attrs"]["u"] == "m"
+    for k, v in ds.items():
+        np.testing.assert_array_equal(read_hdf5(p, k), v)
+    rds, spec = read_hdf5_mdim(p, "g1/sub/deep", parallelism=2)
+    chunks_out = sorted(rds.take_all(), key=lambda c: c["chunk"][0])
+    rebuilt = np.concatenate(
+        [np.frombuffer(c["data"], np.float64).reshape(tuple(c["shape"]))
+         for c in chunks_out])
+    np.testing.assert_array_equal(rebuilt, ds["g1/sub/deep"])
+    with pytest.raises(ValueError, match="bad dataset path"):
+        write_hdf5(str(tmp_path / "x.h5"), {"a//b": np.zeros(2)})
