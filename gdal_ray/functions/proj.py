@@ -904,3 +904,120 @@ def fixture_ntv2_transform() -> NTv2GridShift:
         s["lon_shift"] = s["lon_shift"].astype(np.float32)
         subs.append(s)
     return NTv2GridShift(subs)
+
+
+# -------------------------------------------------- azimuthal families
+
+
+AEQD_PARAMS = (40.0, -100.0, 0.0, 0.0)    # lat0, lon0, fe, fn
+ORTHO_PARAMS = (40.0, -100.0, 0.0, 0.0)
+GNOM_PARAMS = (40.0, -100.0, 0.0, 0.0)
+
+
+class SphericalAzimuthal:
+    """The azimuthal family's closed spherical forms on the WGS84
+    semi-major (the PROJ ``+R=a`` sphere convention these projections
+    classically use; the reference reaches them through PROJ's
+    aeqd/ortho/gnom, ogr/ogrct.cpp:1018):
+
+    - ``mode='aeqd'`` — Azimuthal Equidistant (Snyder eq. 25-1..25-15):
+      radial distance from the center equals the great-circle arc,
+      k' = c / sin(c);
+    - ``mode='ortho'`` — Orthographic (Snyder eq. 20-3..20-19):
+      the view-from-infinity globe, k' = 1, valid on the near
+      hemisphere (cos c > 0);
+    - ``mode='gnom'`` — Gnomonic (Snyder eq. 22-3..22-17):
+      projection from the sphere center, k' = 1 / cos c; great
+      circles map to STRAIGHT LINES (the navigation property).
+
+    All share the oblique-aspect kernel
+    ``cos c = sin(lat0) sin(lat) + cos(lat0) cos(lat) cos(lon-lon0)``
+    with x = R k' cos(lat) sin(dlon) and
+    y = R k' (cos(lat0) sin(lat) - sin(lat0) cos(lat) cos(dlon)); the
+    rasterref golden mirrors the exact elementwise sequence.
+    Vectorized over coordinate arrays; composable via
+    ComposedTransform.
+    """
+
+    _R = 6378137.0
+
+    def __init__(self, mode: str, lat0: float, lon0: float,
+                 fe: float = 0.0, fn: float = 0.0):
+        if mode not in ("aeqd", "ortho", "gnom"):
+            raise ValueError(f"unknown azimuthal mode {mode!r}")
+        self.mode = mode
+        self.lon0 = float(lon0)
+        self.fe = float(fe)
+        self.fn = float(fn)
+        p0 = np.radians(float(lat0))
+        self.sin0 = np.sin(p0)
+        self.cos0 = np.cos(p0)
+
+    def fwd(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        dlam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        sphi = np.sin(phi)
+        cphi = np.cos(phi)
+        cdl = np.cos(dlam)
+        cosc = self.sin0 * sphi + self.cos0 * cphi * cdl
+        if self.mode == "ortho":
+            kp = np.ones_like(cosc)
+        elif self.mode == "gnom":
+            kp = 1.0 / cosc
+        else:
+            c = np.arccos(np.clip(cosc, -1.0, 1.0))
+            sinc = np.sin(c)
+            kp = np.where(sinc > 1e-12,
+                          c / np.where(sinc > 1e-12, sinc, 1.0), 1.0)
+        x = self._R * kp * cphi * np.sin(dlam)
+        y = self._R * kp * (self.cos0 * sphi
+                            - self.sin0 * cphi * cdl)
+        return self.fe + x, self.fn + y
+
+    def inv(self, E, N):
+        x = (np.asarray(E, np.float64) - self.fe) / self._R
+        y = (np.asarray(N, np.float64) - self.fn) / self._R
+        rho = np.hypot(x, y)
+        if self.mode == "ortho":
+            c = np.arcsin(np.clip(rho, -1.0, 1.0))
+        elif self.mode == "gnom":
+            c = np.arctan(rho)
+        else:
+            c = rho
+        sinc = np.sin(c)
+        cosc = np.cos(c)
+        safe = rho > 1e-12
+        rho1 = np.where(safe, rho, 1.0)
+        phi = np.arcsin(np.clip(
+            cosc * self.sin0
+            + np.where(safe, y * sinc * self.cos0 / rho1, 0.0),
+            -1.0, 1.0))
+        lam = np.arctan2(x * sinc,
+                         rho1 * self.cos0 * cosc - y * self.sin0 * sinc)
+        lam = np.where(safe, lam, 0.0)
+        return self.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def synth_aeqd(i: int):
+    """Deterministic per-chip azimuthal-equidistant georeferencing
+    (window within ~300 km of the projection center, dyadic offsets,
+    16 m GSD; FIXTURE — mirrored by the rasterref golden)."""
+    x0 = -262144.0 + ((i * 7) % 64) * 4096.0
+    y0 = -131072.0 + ((i * 11) % 64) * 4096.0
+    return x0, y0, 16.0
+
+
+def synth_ortho(i: int):
+    """Deterministic per-chip orthographic georeferencing (near-center
+    window, dyadic offsets, 16 m GSD)."""
+    x0 = -131072.0 + ((i * 13) % 64) * 4096.0
+    y0 = -262144.0 + ((i * 5) % 64) * 4096.0
+    return x0, y0, 16.0
+
+
+def synth_gnom(i: int):
+    """Deterministic per-chip gnomonic georeferencing (near-center
+    window, dyadic offsets, 16 m GSD)."""
+    x0 = -196608.0 + ((i * 9) % 64) * 4096.0
+    y0 = -196608.0 + ((i * 3) % 64) * 4096.0
+    return x0, y0, 16.0

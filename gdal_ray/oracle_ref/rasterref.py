@@ -2404,6 +2404,27 @@ class _ConicRef:
                 1.0 - self.e2 * s1 * s1)
             self.x0 = -131072.0 + ((i * 13) % 64) * 4096.0
             self.y0 = 4700000.0 + ((i * 5) % 64) * 4096.0
+        elif mode == "aeqd":  # spherical oblique, center (40, -100)
+            self.fe, self.fn = 0.0, 0.0
+            self.lon0 = -100.0
+            p0 = np.radians(40.0)
+            self.sin0a, self.cos0a = np.sin(p0), np.cos(p0)
+            self.x0 = -262144.0 + ((i * 7) % 64) * 4096.0
+            self.y0 = -131072.0 + ((i * 11) % 64) * 4096.0
+        elif mode == "ortho":
+            self.fe, self.fn = 0.0, 0.0
+            self.lon0 = -100.0
+            p0 = np.radians(40.0)
+            self.sin0a, self.cos0a = np.sin(p0), np.cos(p0)
+            self.x0 = -131072.0 + ((i * 13) % 64) * 4096.0
+            self.y0 = -262144.0 + ((i * 5) % 64) * 4096.0
+        elif mode == "gnom":
+            self.fe, self.fn = 0.0, 0.0
+            self.lon0 = -100.0
+            p0 = np.radians(40.0)
+            self.sin0a, self.cos0a = np.sin(p0), np.cos(p0)
+            self.x0 = -196608.0 + ((i * 9) % 64) * 4096.0
+            self.y0 = -196608.0 + ((i * 3) % 64) * 4096.0
         else:  # moll (spherical on a)
             self.fe, self.fn = 0.0, 0.0
             self.lon0 = 0.0
@@ -2507,6 +2528,29 @@ class _ConicRef:
         E = self.x0 + self.gsd * np.asarray(pixel, np.float64)
         N = self.y0 + self.gsd * self.h - self.gsd * np.asarray(
             line, np.float64)
+        if self.mode in ("aeqd", "ortho", "gnom"):
+            x = (E - self.fe) / self._A
+            y = (N - self.fn) / self._A
+            rho = np.hypot(x, y)
+            if self.mode == "ortho":
+                c = np.arcsin(np.clip(rho, -1.0, 1.0))
+            elif self.mode == "gnom":
+                c = np.arctan(rho)
+            else:
+                c = rho
+            sinc = np.sin(c)
+            cosc = np.cos(c)
+            ok = rho > 1e-12
+            r1 = np.where(ok, rho, 1.0)
+            phi = np.arcsin(np.clip(
+                cosc * self.sin0a
+                + np.where(ok, y * sinc * self.cos0a / r1, 0.0),
+                -1.0, 1.0))
+            lam = np.arctan2(x * sinc,
+                             r1 * self.cos0a * cosc
+                             - y * self.sin0a * sinc)
+            lam = np.where(ok, lam, 0.0)
+            return self.lon0 + np.degrees(lam), np.degrees(phi)
         if self.mode == "sinu":
             x = E - self.fe
             y = N - self.fn
@@ -2563,6 +2607,29 @@ class _ConicRef:
     def inv_grid(self, lon, lat):
         """(lon, lat) grid -> source pixel coords via the projection
         FORWARD."""
+        if self.mode in ("aeqd", "ortho", "gnom"):
+            phi = np.radians(np.asarray(lat, np.float64))
+            dlam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+            sphi = np.sin(phi)
+            cphi = np.cos(phi)
+            cdl = np.cos(dlam)
+            cosc = self.sin0a * sphi + self.cos0a * cphi * cdl
+            if self.mode == "ortho":
+                kp = np.ones_like(cosc)
+            elif self.mode == "gnom":
+                kp = 1.0 / cosc
+            else:
+                c = np.arccos(np.clip(cosc, -1.0, 1.0))
+                sinc = np.sin(c)
+                kp = np.where(sinc > 1e-12,
+                              c / np.where(sinc > 1e-12, sinc, 1.0),
+                              1.0)
+            E = self.fe + self._A * kp * cphi * np.sin(dlam)
+            N = self.fn + self._A * kp * (self.cos0a * sphi
+                                          - self.sin0a * cphi * cdl)
+            sp = (E - self.x0) / self.gsd
+            sl = (self.y0 + self.gsd * self.h - N) / self.gsd
+            return sp, sl
         if self.mode == "sinu":
             phi = np.radians(np.asarray(lat, np.float64))
             dlam = np.radians(np.asarray(lon, np.float64) - self.lon0)
@@ -2744,7 +2811,8 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
 
         for tag in ("poly1", "poly0", "polyref", "tps", "rpc", "rpc_dem",
                     "geoloc", "utm", "utmchain", "lcc", "albers", "stere",
-                    "sinu", "eqc", "moll", "ntv2", "sumpres"):
+                    "sinu", "eqc", "moll", "aeqd", "ortho", "gnom",
+                    "ntv2", "sumpres"):
             if tag == "sumpres":
                 # sum-preserving 3857->4326 warp: banded fractional-
                 # overlap scatter of source pixels (GWKSumPreserving
@@ -2803,8 +2871,9 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
                 ref = _UtmRef(i, w, h)
                 fwd = ref.chain_fwd_corners
                 inv = ref.chain_inv_grid
-            elif tag in ("lcc", "albers", "stere",
-                         "sinu", "eqc", "moll"):  # projected families:
+            elif tag in ("lcc", "albers", "stere", "sinu", "eqc",
+                         "moll", "aeqd", "ortho",
+                         "gnom"):                 # projected families:
                 # projection-inverse corners, forward grid
                 ref = _ConicRef(i, w, h, tag)
                 fwd = ref.fwd_corners

@@ -3696,7 +3696,10 @@ def q58_gcp_warp(sf_dir: str):
     pseudocylindrical families (sinusoidal aka the MODIS grid,
     equidistant cylindrical EPSG method 1028, spherical Mollweide —
     Snyder eq. 30-8/30-9, 3-21/3-26 + Newton, and the 2theta Newton
-    form, over dyadic fixtures); 'ntv2' = NTv2 grid-shift datum
+    form, over dyadic fixtures); 'aeqd'/'ortho'/'gnom' = the azimuthal
+    families (azimuthal equidistant, orthographic, gnomonic — Snyder
+    ch. 25/20/22 spherical oblique forms on the WGS84 semi-major, the
+    PROJ +R=a convention); 'ntv2' = NTv2 grid-shift datum
     transform (the PROJ +nadgrids= horizontal correction the reference
     reaches through ogr/ogrct.cpp:1018; the deterministic fixture grid
     round-trips through a REAL .gsb file via sources.ntv2, base +
@@ -3746,13 +3749,16 @@ class _WarpSuiteChips:
 
     def __init__(self):
         from ..stages.warp import (
+            WarpChipsAeqd,
             WarpChipsAlbers,
             WarpChipsEqc,
             WarpChipsGCP,
+            WarpChipsGnom,
             WarpChipsGeoloc,
             WarpChipsLCC,
             WarpChipsMoll,
             WarpChipsNTv2,
+            WarpChipsOrtho,
             WarpChipsRPC,
             WarpChipsRPCDEM,
             WarpChipsSinu,
@@ -3784,6 +3790,10 @@ class _WarpSuiteChips:
         self.sin = WarpChipsSinu(resampling="bilinear")
         self.eqc = WarpChipsEqc(resampling="bilinear")
         self.mol = WarpChipsMoll(resampling="bilinear")
+        # azimuthal families (Snyder spherical aeqd/ortho/gnom)
+        self.azq = WarpChipsAeqd(resampling="bilinear")
+        self.azo = WarpChipsOrtho(resampling="bilinear")
+        self.azg = WarpChipsGnom(resampling="bilinear")
         # NTv2 grid-shift datum transform (the +nadgrids= horizontal
         # correction path; grid round-tripped through a real .gsb)
         self.ntv = WarpChipsNTv2(resampling="bilinear")
@@ -3843,6 +3853,9 @@ class _WarpSuiteChips:
                 ("sinu", self.sin._warp_one(img, iid)[0]),
                 ("eqc", self.eqc._warp_one(img, iid)[0]),
                 ("moll", self.mol._warp_one(img, iid)[0]),
+                ("aeqd", self.azq._warp_one(img, iid)[0]),
+                ("ortho", self.azo._warp_one(img, iid)[0]),
+                ("gnom", self.azg._warp_one(img, iid)[0]),
                 ("ntv2", self.ntv._warp_one(img, iid)[0]),
                 ("sumpres", self.smp._warp_one(img, *env)[0]),
             ):

@@ -833,6 +833,9 @@ def reproject_family_batch(family: str):
         "sinu": lambda: P.Sinusoidal(*P.SINU_PARAMS),
         "eqc": lambda: P.EquidistantCylindrical(*P.EQC_PARAMS),
         "moll": lambda: P.Mollweide(*P.MOLL_PARAMS),
+        "aeqd": lambda: P.SphericalAzimuthal("aeqd", *P.AEQD_PARAMS),
+        "ortho": lambda: P.SphericalAzimuthal("ortho", *P.ORTHO_PARAMS),
+        "gnom": lambda: P.SphericalAzimuthal("gnom", *P.GNOM_PARAMS),
     }[family]()
 
     def fn(t: pa.Table) -> pa.Table:

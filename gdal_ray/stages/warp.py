@@ -780,6 +780,15 @@ class WarpChipsProjFam(WarpChipsRPC):
         elif self.FAMILY == "moll":
             self.prj = P.Mollweide(*P.MOLL_PARAMS)
             self.synth = P.synth_moll
+        elif self.FAMILY == "aeqd":
+            self.prj = P.SphericalAzimuthal("aeqd", *P.AEQD_PARAMS)
+            self.synth = P.synth_aeqd
+        elif self.FAMILY == "ortho":
+            self.prj = P.SphericalAzimuthal("ortho", *P.ORTHO_PARAMS)
+            self.synth = P.synth_ortho
+        elif self.FAMILY == "gnom":
+            self.prj = P.SphericalAzimuthal("gnom", *P.GNOM_PARAMS)
+            self.synth = P.synth_gnom
         else:
             raise ValueError(f"unknown projection family {self.FAMILY!r}")
 
@@ -828,6 +837,18 @@ class WarpChipsMoll(WarpChipsProjFam):
     FAMILY = "moll"
 
 
+class WarpChipsAeqd(WarpChipsProjFam):
+    FAMILY = "aeqd"
+
+
+class WarpChipsOrtho(WarpChipsProjFam):
+    FAMILY = "ortho"
+
+
+class WarpChipsGnom(WarpChipsProjFam):
+    FAMILY = "gnom"
+
+
 def warp_images_projfam(images, family: str, resampling: str = "bilinear",
                         concurrency=4, batch_size: int = 64):
     """Projected-CRS-family warp over an images Dataset (actor pool).
@@ -836,7 +857,8 @@ def warp_images_projfam(images, family: str, resampling: str = "bilinear",
     cls = {"lcc": WarpChipsLCC, "albers": WarpChipsAlbers,
            "stere": WarpChipsStere, "sinu": WarpChipsSinu,
            "eqc": WarpChipsEqc, "moll": WarpChipsMoll,
-           "ntv2": WarpChipsNTv2}[family]
+           "aeqd": WarpChipsAeqd, "ortho": WarpChipsOrtho,
+           "gnom": WarpChipsGnom, "ntv2": WarpChipsNTv2}[family]
     return images.map_batches(
         cls,
         fn_constructor_kwargs=dict(resampling=resampling),

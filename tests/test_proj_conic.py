@@ -450,3 +450,107 @@ def test_warp_stage_meridian_families():
         assert out.any()
         assert env[0] < env[2] and env[1] < env[3]
         assert -180 < env[0] and env[2] < 180
+
+
+# ---------------------------------------------- azimuthal families
+
+
+def test_azimuthal_roundtrips():
+    """aeqd/ortho/gnom fwd(inv) round-trip at machine precision over
+    the fixture neighborhood."""
+    from gdal_ray.functions.proj import AEQD_PARAMS, SphericalAzimuthal
+
+    for mode in ("aeqd", "ortho", "gnom"):
+        p = SphericalAzimuthal(mode, *AEQD_PARAMS)
+        LO, LA = np.meshgrid(np.linspace(-108, -92, 9),
+                             np.linspace(32, 48, 9))
+        E, N = p.fwd(LO, LA)
+        lo2, la2 = p.inv(E, N)
+        assert np.abs(lo2 - LO).max() < 1e-11, mode
+        assert np.abs(la2 - LA).max() < 1e-11, mode
+        # center maps to the false origin exactly
+        E0, N0 = p.fwd(np.array([-100.0]), np.array([40.0]))
+        assert abs(E0[0]) < 1e-6 and abs(N0[0]) < 1e-6
+
+
+def test_azimuthal_defining_properties():
+    """aeqd: radial distance == great-circle arc; ortho: bounded by R,
+    k'=1 scale; gnom: great circles map to straight lines."""
+    from gdal_ray.functions.proj import SphericalAzimuthal
+
+    R = 6378137.0
+    aeqd = SphericalAzimuthal("aeqd", 40.0, -100.0)
+    # points due north of the center: arc = R * dphi
+    for dphi in (0.5, 2.0, 10.0):
+        E, N = aeqd.fwd(np.array([-100.0]), np.array([40.0 + dphi]))
+        arc = R * np.radians(dphi)
+        assert abs(np.hypot(E, N)[0] - arc) < 1e-6, dphi
+
+    ortho = SphericalAzimuthal("ortho", 40.0, -100.0)
+    LO, LA = np.meshgrid(np.linspace(-160, -40, 13),
+                         np.linspace(-20, 85, 13))
+    E, N = ortho.fwd(LO, LA)
+    assert np.hypot(E, N).max() <= R + 1e-6
+
+    gnom = SphericalAzimuthal("gnom", 40.0, -100.0)
+    # three points on one great circle (the equator-crossing circle
+    # through the center's meridian plane is complex; use a generic
+    # great circle: points C = normalize(A x (A x B)) parametrized)
+    def sph(lon, lat):
+        lo, la = np.radians(lon), np.radians(lat)
+        return np.array([np.cos(la) * np.cos(lo),
+                         np.cos(la) * np.sin(lo), np.sin(la)])
+    a = sph(-110.0, 35.0)
+    b = sph(-90.0, 47.0)
+    pts = []
+    for t in (0.0, 0.35, 0.7, 1.0):
+        v = (1 - t) * a + t * b        # chord point -> normalize
+        v = v / np.linalg.norm(v)      # lies on the same great circle
+        lon = np.degrees(np.arctan2(v[1], v[0]))
+        lat = np.degrees(np.arcsin(v[2]))
+        E, N = gnom.fwd(np.array([lon]), np.array([lat]))
+        pts.append((E[0], N[0]))
+    (x0, y0), (x3, y3) = pts[0], pts[-1]
+    for x, y in pts[1:-1]:             # collinearity: cross product ~0
+        cross = (x3 - x0) * (y - y0) - (y3 - y0) * (x - x0)
+        norm = np.hypot(x3 - x0, y3 - y0) * np.hypot(x - x0, y - y0)
+        assert abs(cross) / norm < 1e-9
+
+
+def test_azimuthal_warp_stage_and_vector_route(ray_session):
+    """WarpChips{Aeqd,Ortho,Gnom} run end-to-end through the projfam
+    route; vector reproject routes ring coords through the family."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.functions import codecs
+    from gdal_ray.stages.geomops import reproject_family_batch
+    from gdal_ray.stages.warp import warp_images_projfam
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in (0, 4):
+        img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        rows.append({"image_id": f"img{i:06d}",
+                     "bytes": codecs.encode(img, "raw"),
+                     "w": 16, "h": 16, "fmt": "raw",
+                     "minx": 0.0, "miny": 0.0,
+                     "maxx": 16.0, "maxy": 16.0})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    for fam in ("aeqd", "ortho", "gnom"):
+        out = warp_images_projfam(ds, fam, concurrency=1,
+                                  batch_size=4).take_all()
+        assert len(out) == 2, fam
+
+    ring = np.array([[0.0, 0.0], [40960.0, 0.0], [40960.0, 40960.0],
+                     [0.0, 40960.0], [0.0, 0.0]])
+    t = pa.table({"fid": pa.array([1], pa.int64()),
+                  "xs": pa.array([ring[:, 0].tolist()],
+                                 pa.list_(pa.float64())),
+                  "ys": pa.array([ring[:, 1].tolist()],
+                                 pa.list_(pa.float64()))})
+    out = reproject_family_batch("aeqd")(t)
+    assert out.num_rows == 1 and out.column("n_pts")[0].as_py() == 5
+    # ring coordinates near the aeqd origin land near (lat0, lon0)
+    assert abs(out.column("lon_fsum")[0].as_py() / 5 - (-100.0)) < 0.5
+    assert abs(out.column("lat_fsum")[0].as_py() / 5 - 40.0) < 0.5

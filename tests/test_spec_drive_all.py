@@ -67,6 +67,8 @@ RASTER_UNARY = [
     ({"step": "raster_reproject", "src_srs": "family:sinu"}, None),
     ({"step": "raster_reproject", "src_srs": "family:moll"}, None),
     ({"step": "raster_reproject", "src_srs": "family:ntv2"}, None),
+    ({"step": "raster_reproject", "src_srs": "family:aeqd"}, None),
+    ({"step": "raster_reproject", "src_srs": "family:gnom"}, None),
     ({"step": "raster_viewshed"}, None),
     ({"step": "raster_pansharpen"}, None),
     ({"step": "raster_footprint"}, None),
