@@ -16,8 +16,10 @@ frmts/gtiff/cogdriver.cpp, read side gtiffdataset_read.cpp:3880-3905):
   full resolution, each tile preceded by a uint32 size leader and
   followed by its last 4 bytes repeated (the trailer lets streaming
   readers validate a ranged read without a second request);
-- DEFLATE (zlib, compression id 8), WEBP lossless (50001 via the
-  in-engine VP8L codec, uint8 RGB tiles only) or uncompressed (1);
+- DEFLATE (zlib, compression id 8), LZW (id 5 via the in-engine
+  TIFF-flavor early-change codec, functions/lzw.py), WEBP lossless
+  (50001 via the in-engine VP8L codec, uint8 RGB tiles only) or
+  uncompressed (1);
 - GeoTIFF georeferencing: ModelPixelScale (33550) + ModelTiepoint
   (33922) + a minimal GeoKeyDirectory (34735) declaring EPSG:3857
   (the engine's tile CRS — functions/mercator.py).
@@ -158,8 +160,8 @@ def write_cog(
         bps, sfmt = 32, 3
     else:
         raise ValueError("dtype must be uint8 or float32")
-    if compress not in ("deflate", "none", "webp"):
-        raise ValueError("compress must be deflate|none|webp")
+    if compress not in ("deflate", "none", "webp", "lzw"):
+        raise ValueError("compress must be deflate|none|webp|lzw")
     if compress == "webp" and (nb != 3 or img.dtype != np.uint8):
         raise ValueError(
             "compress='webp' requires uint8 3-band imagery (the GDAL "
@@ -216,6 +218,10 @@ def write_cog(
                 from ..functions.webp import encode_webp
 
                 enc = encode_webp(tile, use_lz77=False)
+            elif compress == "lzw":
+                from ..functions.lzw import lzw_encode
+
+                enc = lzw_encode(tile.tobytes())
             else:
                 raw = tile.tobytes()
                 enc = (zlib.compress(raw, 6)
@@ -229,7 +235,8 @@ def write_cog(
             pos += len(blob)
 
     # ---- render IFD tables
-    comp_id = {"deflate": 8, "none": 1, "webp": 50001}[compress]
+    comp_id = {"deflate": 8, "none": 1, "webp": 50001,
+               "lzw": 5}[compress]
 
     def pack_entry(tag, typ, count, value_or_offset) -> bytes:
         if typ == _TYPE_SHORT and count == 1:
@@ -449,7 +456,7 @@ def read_cog(path: str, level: int = 0) -> dict:
     planar = gv(_T_PLANARCONFIG, 1)
     sfmt = gv(_T_SAMPLEFORMAT, 1)
     bps = gv(_T_BITSPERSAMPLE, 8)
-    if comp not in (1, 8, 50001):
+    if comp not in (1, 5, 8, 50001):
         raise ValueError(f"unsupported compression {comp}")
     if comp == 50001 and pred == 2:
         raise ValueError("WEBP compression cannot combine with predictor=2")
@@ -497,7 +504,14 @@ def read_cog(path: str, level: int = 0) -> dict:
                         "WEBP tiles require chunky 3-band layout")
                 tile = np.ascontiguousarray(decode_webp(enc)[:, :, :3])
             else:
-                raw = zlib.decompress(enc) if comp == 8 else enc
+                if comp == 8:
+                    raw = zlib.decompress(enc)
+                elif comp == 5:
+                    from ..functions.lzw import lzw_decode
+
+                    raw = lzw_decode(enc)
+                else:
+                    raw = enc
                 shape = (ts, ts) if (sep or nb == 1) else (ts, ts, nb)
                 tile = np.frombuffer(raw, dtype).reshape(shape)
             if pred == 2:
@@ -516,7 +530,14 @@ def read_cog(path: str, level: int = 0) -> dict:
             y0 = (si % per_band if sep else si) * rps
             rows = min(rps, h - y0)
             enc = buf[o : o + c]
-            raw = zlib.decompress(enc) if comp == 8 else enc
+            if comp == 8:
+                raw = zlib.decompress(enc)
+            elif comp == 5:
+                from ..functions.lzw import lzw_decode
+
+                raw = lzw_decode(enc)
+            else:
+                raw = enc
             shape = (rows, w) if (sep or nb == 1) else (rows, w, nb)
             a = np.frombuffer(raw, dtype).reshape(shape)
             if pred == 2:
@@ -610,12 +631,9 @@ def write_tiff(
         bps, sfmt = 32, 3
     else:
         raise ValueError("dtype must be uint8, uint16 or float32")
-    if compress not in ("deflate", "none", "webp"):
-        raise ValueError("compress must be deflate|none|webp")
-    if compress == "webp" and (nb != 3 or img.dtype != np.uint8):
-        raise ValueError(
-            "compress='webp' requires uint8 3-band imagery (the GDAL "
-            "GTiff WEBP restriction: PHOTOMETRIC RGB, Byte)")
+    if compress not in ("deflate", "none", "lzw"):
+        raise ValueError("compress must be deflate|none|lzw "
+                         "(WEBP is tile-only — use write_cog)")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1|2")
     if predictor == 2 and img.dtype == np.float32:
@@ -638,9 +656,14 @@ def write_tiff(
                 d[:, 1:] = sub[:, 1:] - sub[:, :-1]  # wraps mod 2^bits
                 sub = d
             raw = np.ascontiguousarray(sub).tobytes()
-            strips.append(
-                zlib.compress(raw, 6) if compress == "deflate" else raw
-            )
+            if compress == "deflate":
+                strips.append(zlib.compress(raw, 6))
+            elif compress == "lzw":
+                from ..functions.lzw import lzw_encode
+
+                strips.append(lzw_encode(raw))
+            else:
+                strips.append(raw)
 
     n_strips = len(strips)
     off_typ = _TYPE_LONG8 if bigtiff else _TYPE_LONG
@@ -648,7 +671,8 @@ def write_tiff(
         (_T_WIDTH, _TYPE_LONG, [w]),
         (_T_LENGTH, _TYPE_LONG, [h]),
         (_T_BITSPERSAMPLE, _TYPE_SHORT, [bps] * nb),
-        (_T_COMPRESSION, _TYPE_SHORT, [8 if compress == "deflate" else 1]),
+        (_T_COMPRESSION, _TYPE_SHORT,
+         [{"deflate": 8, "lzw": 5, "none": 1}[compress]]),
         (_T_PHOTOMETRIC, _TYPE_SHORT, [2 if nb == 3 else 1]),
         (_T_SAMPLESPERPIXEL, _TYPE_SHORT, [nb]),
         (_T_ROWSPERSTRIP, _TYPE_LONG, [rows_per_strip]),
