@@ -749,7 +749,8 @@ def _vector_buffer(ds, radius: float, quadseg: int = 8,
 
 _VECTOR_DRIVERS = {
     ".geojson": "geojson", ".json": "geojson", ".shp": "shapefile",
-    ".gpkg": "gpkg", ".fgb": "flatgeobuf",
+    ".gpkg": "gpkg", ".fgb": "flatgeobuf", ".csv": "csv",
+    ".kml": "kml",
 }
 
 
@@ -785,6 +786,18 @@ def _vector_read(ds, path: str, driver: str | None = None,
         from ..sources.gpkg import read_gpkg
 
         return read_gpkg(path, layer=layer, bbox=bbox)
+    if drv == "csv":
+        import ray.data as rd
+
+        from ..sources.textvec import read_csv_features
+
+        return rd.from_arrow(read_csv_features(path))
+    if drv == "kml":
+        import ray.data as rd
+
+        from ..sources.textvec import read_kml
+
+        return rd.from_arrow(read_kml(path))
     from ..sources.flatgeobuf import read_flatgeobuf
 
     return read_flatgeobuf(path, bbox=bbox)
@@ -816,6 +829,25 @@ def _vector_write(ds, path: str, driver: str | None = None,
 
         return rd.from_arrow(pa.table({"path": pa.array([path]),
                                        "n": pa.array([n], pa.int64())}))
+    if drv in ("csv", "kml"):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ..sources.textvec import write_csv_features, write_kml
+
+        # text sinks are single-writer (like the gpkg sink): stream
+        # batches driver-side into one file
+        t = pa.concat_tables(
+            ds.iter_batches(batch_format="pyarrow", batch_size=4096))
+        if drv == "csv":
+            write_csv_features(path, t)
+        else:
+            write_kml(path, t,
+                      name_col="name" if "name" in t.column_names
+                      else None)
+        return rd.from_arrow(pa.table(
+            {"path": pa.array([path]),
+             "n": pa.array([t.num_rows], pa.int64())}))
     import pyarrow as pa
 
     from ..sources.flatgeobuf import write_flatgeobuf
