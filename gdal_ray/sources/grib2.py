@@ -272,28 +272,57 @@ def write_grib2(path: str, messages: list[dict]) -> None:
                 + struct.pack(">HBBBBB", yy, mo, dd, hh, mi, ss)
                 + struct.pack(">BB", 0, 1))
         # --- section 3: grid definition template 3.0 (lat/lon)
-        lat1 = float(msg["lat1"])
-        lon1 = float(msg["lon1"])
-        di = float(msg["di"])
-        dj = float(msg["dj"])
-        sgn_j = 1.0 if scan == 0x40 else -1.0
-        lat2 = lat1 + sgn_j * dj * (nj - 1)
-        lon2 = lon1 + di * (ni - 1)
-        tmpl3 = (struct.pack(">B", 6)          # shape of earth: sphere
+        earth = (struct.pack(">B", 6)          # shape of earth: sphere
                  + b"\xff" + b"\xff\xff\xff\xff"  # radius n/a
                  + b"\xff" + b"\xff\xff\xff\xff"  # major n/a
-                 + b"\xff" + b"\xff\xff\xff\xff"  # minor n/a
-                 + struct.pack(">II", ni, nj)
-                 + struct.pack(">II", 0, 0)    # basic angle
-                 + _sm_bytes(_microdeg(lat1), 4)
-                 + _sm_bytes(_microdeg(lon1 % 360.0), 4)
-                 + struct.pack(">B", 0x30)     # i/j increments given
-                 + _sm_bytes(_microdeg(lat2), 4)
-                 + _sm_bytes(_microdeg(lon2 % 360.0), 4)
-                 + struct.pack(">II", _microdeg(di), _microdeg(dj))
-                 + struct.pack(">B", scan))
-        sec3 = (struct.pack(">IBBIBBH", 72, 3, 0, n, 0, 0, 0) + tmpl3)
-        assert len(sec3) == 72
+                 + b"\xff" + b"\xff\xff\xff\xff")  # minor n/a
+        lam = msg.get("lambert")
+        if lam is not None:
+            # grid template 3.30: Lambert conformal (the NAM/HRRR-class
+            # operational grid) — first point geographic, regular
+            # Dx/Dy (millimetres) spacing in the LCC plane
+            tmpl3 = (earth
+                     + struct.pack(">II", ni, nj)
+                     + _sm_bytes(_microdeg(float(lam["la1"])), 4)
+                     + _sm_bytes(_microdeg(float(lam["lo1"]) % 360.0),
+                                 4)
+                     + struct.pack(">B", 0x30)
+                     + _sm_bytes(_microdeg(float(lam["lad"])), 4)
+                     + _sm_bytes(_microdeg(float(lam["lov"]) % 360.0),
+                                 4)
+                     + struct.pack(">II",
+                                   int(round(lam["dx_m"] * 1000.0)),
+                                   int(round(lam["dy_m"] * 1000.0)))
+                     + struct.pack(">B", 0)      # projection centre: N
+                     + struct.pack(">B", scan)
+                     + _sm_bytes(_microdeg(float(lam["latin1"])), 4)
+                     + _sm_bytes(_microdeg(float(lam["latin2"])), 4)
+                     + _sm_bytes(_microdeg(-90.0), 4)
+                     + struct.pack(">I", 0))     # southern pole
+            sec3 = (struct.pack(">IBBIBBH", 14 + len(tmpl3), 3, 0, n,
+                                0, 0, 30) + tmpl3)
+            assert len(sec3) == 81
+        else:
+            lat1 = float(msg["lat1"])
+            lon1 = float(msg["lon1"])
+            di = float(msg["di"])
+            dj = float(msg["dj"])
+            sgn_j = 1.0 if scan == 0x40 else -1.0
+            lat2 = lat1 + sgn_j * dj * (nj - 1)
+            lon2 = lon1 + di * (ni - 1)
+            tmpl3 = (earth
+                     + struct.pack(">II", ni, nj)
+                     + struct.pack(">II", 0, 0)    # basic angle
+                     + _sm_bytes(_microdeg(lat1), 4)
+                     + _sm_bytes(_microdeg(lon1 % 360.0), 4)
+                     + struct.pack(">B", 0x30)     # increments given
+                     + _sm_bytes(_microdeg(lat2), 4)
+                     + _sm_bytes(_microdeg(lon2 % 360.0), 4)
+                     + struct.pack(">II", _microdeg(di), _microdeg(dj))
+                     + struct.pack(">B", scan))
+            sec3 = (struct.pack(">IBBIBBH", 72, 3, 0, n, 0, 0, 0)
+                    + tmpl3)
+            assert len(sec3) == 72
         # --- section 4: product definition template 4.0
         tmpl4 = struct.pack(
             ">BBBBBHBBiBbIBbI",
@@ -379,19 +408,32 @@ def _decode_message(buf: bytes) -> dict:
     # section 3: lat/lon template
     s3 = sections[3]
     tnum = struct.unpack(">H", s3[12:14])[0]
-    if tnum != 0:
+    if tnum not in (0, 30):
         raise ValueError(f"GRIB2: grid template 3.{tnum} unsupported "
-                         "(only 3.0 lat/lon)")
+                         "(3.0 lat/lon / 3.30 Lambert)")
     t = s3[14:]
     ni, nj = struct.unpack(">II", t[16:24])
     msg["ni"], msg["nj"] = ni, nj
-    msg["lat1"] = _sm_read(t[32:36]) / 1e6
-    msg["lon1"] = _sm_read(t[36:40]) / 1e6
-    msg["lat2"] = _sm_read(t[41:45]) / 1e6
-    msg["lon2"] = _sm_read(t[45:49]) / 1e6
-    msg["di"] = struct.unpack(">I", t[49:53])[0] / 1e6
-    msg["dj"] = struct.unpack(">I", t[53:57])[0] / 1e6
-    scan = t[57]
+    if tnum == 30:
+        msg["lambert"] = {
+            "la1": _sm_read(t[24:28]) / 1e6,
+            "lo1": _sm_read(t[28:32]) / 1e6,
+            "lad": _sm_read(t[33:37]) / 1e6,
+            "lov": _sm_read(t[37:41]) / 1e6,
+            "dx_m": struct.unpack(">I", t[41:45])[0] / 1000.0,
+            "dy_m": struct.unpack(">I", t[45:49])[0] / 1000.0,
+            "latin1": _sm_read(t[51:55]) / 1e6,
+            "latin2": _sm_read(t[55:59]) / 1e6,
+        }
+        scan = t[50]
+    else:
+        msg["lat1"] = _sm_read(t[32:36]) / 1e6
+        msg["lon1"] = _sm_read(t[36:40]) / 1e6
+        msg["lat2"] = _sm_read(t[41:45]) / 1e6
+        msg["lon2"] = _sm_read(t[45:49]) / 1e6
+        msg["di"] = struct.unpack(">I", t[49:53])[0] / 1e6
+        msg["dj"] = struct.unpack(">I", t[53:57])[0] / 1e6
+        scan = t[57]
     if scan not in (0x00, 0x40):
         raise ValueError(f"GRIB2: scanning mode 0x{scan:02x} unsupported")
     msg["scan"] = scan
@@ -450,9 +492,39 @@ def read_grib2(path: str) -> list[dict]:
             for off, ln in scan_grib2(path)]
 
 
+def grid_xy_lambert(msg: dict):
+    """Projected x/y axes (meters, SCAN ORDER) + the engine LCC
+    transform of a template-3.30 message: the first grid point's
+    geographic (la1, lo1) forward-projects to the grid origin, rows/
+    columns step by Dy/Dx in the LCC plane.  Grids declare
+    (latin1, latin2, lad, lov) which parameterize
+    functions.proj.LambertConformalConic directly."""
+    from ..functions.proj import LambertConformalConic
+
+    lam = msg.get("lambert")
+    if lam is None:
+        raise ValueError("not a Lambert (template 3.30) message")
+    lov = lam["lov"]
+    if lov > 180.0:
+        lov -= 360.0          # grids carry 0..360 longitudes
+    prj = LambertConformalConic(lam["latin1"], lam["latin2"],
+                                lam["lad"], lov, 0.0, 0.0)
+    lo1 = lam["lo1"]
+    if lo1 > 180.0:
+        lo1 -= 360.0
+    x0, y0 = prj.fwd(np.array([lo1]), np.array([lam["la1"]]))
+    sgn = 1.0 if msg["scan"] == 0x40 else -1.0
+    xs = x0[0] + lam["dx_m"] * np.arange(msg["ni"])
+    ys = y0[0] + sgn * lam["dy_m"] * np.arange(msg["nj"])
+    return xs, ys, prj
+
+
 def grid_lats_lons(msg: dict) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row latitudes / per-column longitudes of a decoded message
-    in SCAN ORDER (row j of values is at lats[j])."""
+    """Per-row latitudes / per-column longitudes of a decoded
+    LAT/LON-grid message in SCAN ORDER (row j of values is at
+    lats[j]); Lambert messages use :func:`grid_xy_lambert`."""
+    if "lambert" in msg:
+        raise ValueError("Lambert grid: use grid_xy_lambert")
     sgn = 1.0 if msg["scan"] == 0x40 else -1.0
     lats = msg["lat1"] + sgn * msg["dj"] * np.arange(msg["nj"])
     lons = msg["lon1"] + msg["di"] * np.arange(msg["ni"])
@@ -464,9 +536,11 @@ def read_grib2_rows(path: str, parallelism: int = 16):
     only the 16-byte indicators for message spans; each task ranged-
     reads and decodes its own messages (messages are the natural block
     grain of operational GRIB files).  Rows: msg_id, discipline,
-    param_category, param_number, forecast_hours, ni, nj, lat1, lon1,
-    di, dj, scan, values (row-major float64 bytes, NaN = bitmap
-    absent)."""
+    param_category, param_number, forecast_hours, grid_template, ni,
+    nj, lat1, lon1, di, dj, scan, values (row-major float64 bytes,
+    NaN = bitmap absent).  Lambert (template 3.30) messages carry NaN
+    lat/lon-grid fields — recover their axes via
+    :func:`grid_xy_lambert` on the decoded message."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -475,8 +549,8 @@ def read_grib2_rows(path: str, parallelism: int = 16):
     def fetch(t: pa.Table) -> pa.Table:
         cols = {k: [] for k in
                 ("msg_id", "discipline", "param_category", "param_number",
-                 "forecast_hours", "ni", "nj", "lat1", "lon1", "di",
-                 "dj", "scan", "values")}
+                 "forecast_hours", "grid_template", "ni", "nj", "lat1",
+                 "lon1", "di", "dj", "scan", "values")}
         with open(path, "rb") as fh:
             for i in t.column("id").to_pylist():
                 off, ln = spans[int(i)]
@@ -486,8 +560,10 @@ def read_grib2_rows(path: str, parallelism: int = 16):
                 for k in ("discipline", "param_category", "param_number",
                           "forecast_hours", "ni", "nj", "scan"):
                     cols[k].append(int(m[k]))
+                cols["grid_template"].append(
+                    30 if "lambert" in m else 0)
                 for k in ("lat1", "lon1", "di", "dj"):
-                    cols[k].append(float(m[k]))
+                    cols[k].append(float(m.get(k, float("nan"))))
                 cols["values"].append(
                     np.ascontiguousarray(m["values"]).tobytes())
         return pa.table(

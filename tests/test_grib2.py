@@ -285,3 +285,38 @@ def test_complex_beats_simple_on_smooth(tmp_path):
                          "packing": pk, "diff_order": 2}])
         sizes[pk] = os.path.getsize(p)
     assert sizes[3] < sizes[0]
+
+
+def test_lambert_grid_template(tmp_path):
+    """Grid template 3.30 (Lambert conformal — the NAM/HRRR-class
+    grid): template fields at spec offsets, value round trip, and
+    grid_xy_lambert wiring into the engine's LCC transform."""
+    from gdal_ray.sources.grib2 import grid_xy_lambert
+
+    p = str(tmp_path / "lcc.grib2")
+    rng = np.random.default_rng(3)
+    v = np.round(rng.normal(280, 10, (30, 40)) * 100) / 100
+    lam = dict(la1=21.138, lo1=-122.72, lad=38.5, lov=-97.5,
+               dx_m=3000.0, dy_m=3000.0, latin1=38.5, latin2=38.5)
+    write_grib2(p, [{"values": v, "lambert": lam, "scan": 0x40,
+                     "decimal_scale": 2, "packing": 3}])
+    buf = open(p, "rb").read()
+    pos = 16
+    while buf[pos + 4] != 3:
+        pos += struct.unpack(">I", buf[pos:pos + 4])[0]
+    s3 = buf[pos:pos + struct.unpack(">I", buf[pos:pos + 4])[0]]
+    assert len(s3) == 81
+    assert struct.unpack(">H", s3[12:14])[0] == 30      # template 3.30
+    t = s3[14:]
+    assert struct.unpack(">II", t[16:24]) == (40, 30)   # nx, ny
+    assert struct.unpack(">I", t[41:45])[0] == 3_000_000  # Dx in mm
+    m = read_grib2(p)[0]
+    np.testing.assert_array_equal(m["values"], v)
+    assert m["lambert"]["latin1"] == 38.5
+    xs, ys, prj = grid_xy_lambert(m)
+    lo, la = prj.inv(xs[:1], ys[:1])
+    assert abs(lo[0] - (-122.72)) < 1e-9
+    assert abs(la[0] - 21.138) < 1e-9
+    assert xs[1] - xs[0] == 3000.0 and ys[1] - ys[0] == 3000.0
+    with pytest.raises(ValueError, match="grid_xy_lambert"):
+        grid_lats_lons(m)
