@@ -276,8 +276,30 @@ def write_grib2(path: str, messages: list[dict]) -> None:
                  + b"\xff" + b"\xff\xff\xff\xff"  # radius n/a
                  + b"\xff" + b"\xff\xff\xff\xff"  # major n/a
                  + b"\xff" + b"\xff\xff\xff\xff")  # minor n/a
-        lam = msg.get("lambert")
-        if lam is not None:
+        ps = msg.get("polar_stereo")
+        if ps is not None:
+            # grid template 3.20: polar stereographic — first point
+            # geographic, Dx/Dy in millimetres at latitude LaD
+            tmpl3 = (earth
+                     + struct.pack(">II", ni, nj)
+                     + _sm_bytes(_microdeg(float(ps["la1"])), 4)
+                     + _sm_bytes(_microdeg(float(ps["lo1"]) % 360.0),
+                                 4)
+                     + struct.pack(">B", 0x30)
+                     + _sm_bytes(_microdeg(float(ps["lad"])), 4)
+                     + _sm_bytes(_microdeg(float(ps["lov"]) % 360.0),
+                                 4)
+                     + struct.pack(">II",
+                                   int(round(ps["dx_m"] * 1000.0)),
+                                   int(round(ps["dy_m"] * 1000.0)))
+                     + struct.pack(">B", 0x80 if ps.get("south")
+                                   else 0)
+                     + struct.pack(">B", scan))
+            sec3 = (struct.pack(">IBBIBBH", 14 + len(tmpl3), 3, 0, n,
+                                0, 0, 20) + tmpl3)
+            assert len(sec3) == 65
+            lam = None
+        elif (lam := msg.get("lambert")) is not None:
             # grid template 3.30: Lambert conformal (the NAM/HRRR-class
             # operational grid) — first point geographic, regular
             # Dx/Dy (millimetres) spacing in the LCC plane
@@ -408,13 +430,25 @@ def _decode_message(buf: bytes) -> dict:
     # section 3: lat/lon template
     s3 = sections[3]
     tnum = struct.unpack(">H", s3[12:14])[0]
-    if tnum not in (0, 30):
+    if tnum not in (0, 20, 30):
         raise ValueError(f"GRIB2: grid template 3.{tnum} unsupported "
-                         "(3.0 lat/lon / 3.30 Lambert)")
+                         "(3.0 lat/lon / 3.20 polar stereo / "
+                         "3.30 Lambert)")
     t = s3[14:]
     ni, nj = struct.unpack(">II", t[16:24])
     msg["ni"], msg["nj"] = ni, nj
-    if tnum == 30:
+    if tnum == 20:
+        msg["polar_stereo"] = {
+            "la1": _sm_read(t[24:28]) / 1e6,
+            "lo1": _sm_read(t[28:32]) / 1e6,
+            "lad": _sm_read(t[33:37]) / 1e6,
+            "lov": _sm_read(t[37:41]) / 1e6,
+            "dx_m": struct.unpack(">I", t[41:45])[0] / 1000.0,
+            "dy_m": struct.unpack(">I", t[45:49])[0] / 1000.0,
+            "south": bool(t[49] & 0x80),
+        }
+        scan = t[50]
+    elif tnum == 30:
         msg["lambert"] = {
             "la1": _sm_read(t[24:28]) / 1e6,
             "lo1": _sm_read(t[28:32]) / 1e6,
@@ -492,6 +526,31 @@ def read_grib2(path: str) -> list[dict]:
             for off, ln in scan_grib2(path)]
 
 
+def grid_xy_stereo(msg: dict):
+    """Projected x/y axes (meters, SCAN ORDER) + the engine polar-
+    stereographic transform of a template-3.20 message (LaD is the
+    standard parallel, LoV the orientation longitude; the projection-
+    centre flag selects the south variant)."""
+    from ..functions.proj import PolarStereographic
+
+    ps = msg.get("polar_stereo")
+    if ps is None:
+        raise ValueError("not a polar-stereo (template 3.20) message")
+    lov = ps["lov"]
+    if lov > 180.0:
+        lov -= 360.0
+    prj = PolarStereographic(ps["lad"], lov, 0.0, 0.0,
+                             south=ps["south"])
+    lo1 = ps["lo1"]
+    if lo1 > 180.0:
+        lo1 -= 360.0
+    x0, y0 = prj.fwd(np.array([lo1]), np.array([ps["la1"]]))
+    sgn = 1.0 if msg["scan"] == 0x40 else -1.0
+    xs = x0[0] + ps["dx_m"] * np.arange(msg["ni"])
+    ys = y0[0] + sgn * ps["dy_m"] * np.arange(msg["nj"])
+    return xs, ys, prj
+
+
 def grid_xy_lambert(msg: dict):
     """Projected x/y axes (meters, SCAN ORDER) + the engine LCC
     transform of a template-3.30 message: the first grid point's
@@ -522,9 +581,12 @@ def grid_xy_lambert(msg: dict):
 def grid_lats_lons(msg: dict) -> tuple[np.ndarray, np.ndarray]:
     """Per-row latitudes / per-column longitudes of a decoded
     LAT/LON-grid message in SCAN ORDER (row j of values is at
-    lats[j]); Lambert messages use :func:`grid_xy_lambert`."""
+    lats[j]); Lambert / polar-stereo messages use
+    :func:`grid_xy_lambert` / :func:`grid_xy_stereo`."""
     if "lambert" in msg:
         raise ValueError("Lambert grid: use grid_xy_lambert")
+    if "polar_stereo" in msg:
+        raise ValueError("polar-stereo grid: use grid_xy_stereo")
     sgn = 1.0 if msg["scan"] == 0x40 else -1.0
     lats = msg["lat1"] + sgn * msg["dj"] * np.arange(msg["nj"])
     lons = msg["lon1"] + msg["di"] * np.arange(msg["ni"])
@@ -561,7 +623,8 @@ def read_grib2_rows(path: str, parallelism: int = 16):
                           "forecast_hours", "ni", "nj", "scan"):
                     cols[k].append(int(m[k]))
                 cols["grid_template"].append(
-                    30 if "lambert" in m else 0)
+                    30 if "lambert" in m
+                    else (20 if "polar_stereo" in m else 0))
                 for k in ("lat1", "lon1", "di", "dj"):
                     cols[k].append(float(m.get(k, float("nan"))))
                 cols["values"].append(

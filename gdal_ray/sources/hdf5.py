@@ -129,9 +129,26 @@ def _chunk_grid(shape, chunk):
     return list(itertools.product(*ranges))
 
 
+def _shuffle(raw: bytes, itemsize: int) -> bytes:
+    """HDF5 shuffle filter (id 2): byte-transpose so each element's
+    k-th bytes are contiguous (improves deflate on floats)."""
+    if itemsize <= 1:
+        return raw
+    a = np.frombuffer(raw, np.uint8).reshape(-1, itemsize)
+    return np.ascontiguousarray(a.T).tobytes()
+
+
+def _unshuffle(raw: bytes, itemsize: int) -> bytes:
+    if itemsize <= 1:
+        return raw
+    a = np.frombuffer(raw, np.uint8).reshape(itemsize, -1)
+    return np.ascontiguousarray(a.T).tobytes()
+
+
 def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
                chunks: dict[str, tuple] | None = None,
                compress: dict[str, int] | None = None,
+               shuffle: set | frozenset | list | None = None,
                attrs: dict[str, dict] | None = None) -> None:
     """Write ``{name: array}`` HDF5 datasets; ``"/"``-separated names
     create NESTED GROUPS (each group is its own v1 B-tree + local heap
@@ -141,7 +158,9 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
     switches a dataset to CHUNKED (version-1 node-type-1 B-tree over
     whole chunks, zero-padded at the edges); ``compress={name: level}``
     adds the deflate filter (id 1) to a chunked dataset — the layout
-    netCDF-4 / h5py files actually use.  ``attrs={key: {attr: value}}``
+    netCDF-4 / h5py files actually use — and ``shuffle={names}`` puts
+    the byte-transpose shuffle filter (id 2) in front of it (the h5py
+    shuffle=True float path).  ``attrs={key: {attr: value}}``
     attaches attribute messages (numeric scalars/1-D arrays or ASCII
     strings — the CF-convention metadata shape) where ``key`` is a
     dataset path, a group path, or ``"/"`` for the root group."""
@@ -149,6 +168,11 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
 
     chunks = dict(chunks or {})
     compress = dict(compress or {})
+    shuffle = set(shuffle or ())
+    for n in shuffle:
+        if n not in compress:
+            raise ValueError(f"shuffle[{n!r}] requires compress[{n!r}] "
+                             "(the shuffle filter precedes deflate)")
     attrs = {("" if k == "/" else k): dict(v)
              for k, v in (attrs or {}).items()}
     for n in compress:
@@ -206,13 +230,21 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
             if len(ck) != a.ndim:
                 raise ValueError(f"chunks[{n!r}] rank != dataset rank")
             if n in compress:
-                # filter description: id 1 (deflate), one client value
-                # (level) + the spec 4-byte pad for odd value counts
+                # filter pipeline v1 in WRITE order: optional shuffle
+                # (id 2, client value = element size) then deflate
+                # (id 1, client value = level); odd client-value
+                # counts carry the spec 4-byte pad
+                descs = b""
+                nf = 0
+                if n in shuffle:
+                    descs += (struct.pack("<HHHH", 2, 0, 0, 1)
+                              + struct.pack("<I4x", a.dtype.itemsize))
+                    nf += 1
+                descs += (struct.pack("<HHHH", 1, 0, 0, 1)
+                          + struct.pack("<I4x", int(compress[n])))
+                nf += 1
                 msgs.append(_msg(
-                    0x000B,
-                    struct.pack("<BB6x", 1, 1)
-                    + struct.pack("<HHHH", 1, 0, 0, 1)
-                    + struct.pack("<I4x", int(compress[n]))))
+                    0x000B, struct.pack("<BB6x", 1, nf) + descs))
             body = (struct.pack("<BBB", 3, 2, a.ndim + 1)
                     + struct.pack("<Q", 0)            # btree (fixup)
                     + b"".join(struct.pack("<I", c) for c in ck)
@@ -231,6 +263,8 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
                 part = a[sl]
                 blk[tuple(slice(0, s) for s in part.shape)] = part
                 raw = blk.tobytes()
+                if n in shuffle:
+                    raw = _shuffle(raw, a.dtype.itemsize)
                 blobs.append(zlib.compress(raw, int(compress[n]))
                              if n in compress else raw)
             chunk_blobs[n] = blobs
@@ -490,9 +524,9 @@ def _parse_object_header(buf: bytes, addr: int) -> dict:
                 if ncv % 2:
                     p2 += 4     # v1 pads odd client-value counts
                 fids.append(fid)
-            if fids not in ([], [1]):
+            if fids not in ([], [1], [2], [2, 1]):
                 raise ValueError(f"HDF5: filters {fids} unsupported "
-                                 "(deflate only)")
+                                 "(shuffle/deflate only)")
             info["filters"] = fids
         elif mtype == 0x0011:
             info["btree_addr"], info["heap_addr"] = struct.unpack(
@@ -644,13 +678,15 @@ def read_hdf5(path: str, name: str) -> np.ndarray:
         raw = buf[v["data_addr"]:v["data_addr"] + v["data_size"]]
         return np.frombuffer(raw, v["dtype"]).reshape(v["shape"]).copy()
     shape, ck, dt = v["shape"], v["chunk"], v["dtype"]
-    deflate = 1 in v.get("filters", [])
+    filters = v.get("filters", [])
     out = np.zeros(shape, dt)
     for offs, size, addr in _walk_chunk_btree(buf, v["chunk_btree"],
                                               len(shape)):
         raw = buf[addr:addr + size]
-        if deflate:
+        if 1 in filters:
             raw = zlib.decompress(raw)
+        if 2 in filters:
+            raw = _unshuffle(raw, dt.itemsize)
         blk = np.frombuffer(raw, dt).reshape(ck)
         sl = tuple(slice(o, min(o + c, s))
                    for o, c, s in zip(offs, ck, shape))
@@ -684,7 +720,7 @@ def read_hdf5_mdim(path: str, name: str, *, slab: int = 0,
             buf = fh.read()
         entries = _walk_chunk_btree(buf, v["chunk_btree"], len(shape))
         ck = v["chunk"]
-        deflate = 1 in v.get("filters", [])
+        filters = v.get("filters", [])
         spec = MDSpec(shape, ck, dt.name)
 
         def fetch_chunks(t):
@@ -694,8 +730,10 @@ def read_hdf5_mdim(path: str, name: str, *, slab: int = 0,
                     offs, size, addr = entries[int(i)]
                     fh.seek(addr)
                     raw = fh.read(size)
-                    if deflate:
+                    if 1 in filters:
                         raw = zlib.decompress(raw)
+                    if 2 in filters:
+                        raw = _unshuffle(raw, dt.itemsize)
                     blk = np.frombuffer(raw, dt).reshape(ck)
                     idx = tuple(o // c for o, c in zip(offs, ck))
                     want = spec.chunk_shape(idx)

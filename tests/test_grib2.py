@@ -320,3 +320,36 @@ def test_lambert_grid_template(tmp_path):
     assert xs[1] - xs[0] == 3000.0 and ys[1] - ys[0] == 3000.0
     with pytest.raises(ValueError, match="grid_xy_lambert"):
         grid_lats_lons(m)
+
+
+def test_polar_stereo_grid_template(tmp_path):
+    """Grid template 3.20 (polar stereographic — the sea-ice /
+    high-latitude operational grid): spec offsets, value round trip,
+    grid_xy_stereo wiring into the engine's projection."""
+    from gdal_ray.sources.grib2 import grid_xy_stereo
+
+    p = str(tmp_path / "ps.grib2")
+    rng = np.random.default_rng(6)
+    v = np.round(rng.normal(250, 5, (20, 25)) * 100) / 100
+    ps = dict(la1=60.0, lo1=-100.0, lad=70.0, lov=-45.0,
+              dx_m=25000.0, dy_m=25000.0, south=False)
+    write_grib2(p, [{"values": v, "polar_stereo": ps, "scan": 0x40,
+                     "decimal_scale": 2, "packing": 2}])
+    buf = open(p, "rb").read()
+    pos = 16
+    while buf[pos + 4] != 3:
+        pos += struct.unpack(">I", buf[pos:pos + 4])[0]
+    s3 = buf[pos:pos + struct.unpack(">I", buf[pos:pos + 4])[0]]
+    assert len(s3) == 65
+    assert struct.unpack(">H", s3[12:14])[0] == 20
+    t = s3[14:]
+    assert struct.unpack(">I", t[41:45])[0] == 25_000_000   # Dx mm
+    assert t[49] == 0                                       # north
+    m = read_grib2(p)[0]
+    np.testing.assert_array_equal(m["values"], v)
+    xs, ys, prj = grid_xy_stereo(m)
+    lo, la = prj.inv(xs[:1], ys[:1])
+    assert abs(lo[0] - (-100.0)) < 1e-9
+    assert abs(la[0] - 60.0) < 1e-9
+    with pytest.raises(ValueError, match="grid_xy_stereo"):
+        grid_lats_lons(m)

@@ -263,3 +263,28 @@ def test_nested_groups(tmp_path, ray_session):
     np.testing.assert_array_equal(rebuilt, ds["g1/sub/deep"])
     with pytest.raises(ValueError, match="bad dataset path"):
         write_hdf5(str(tmp_path / "x.h5"), {"a//b": np.zeros(2)})
+
+
+def test_shuffle_filter(tmp_path):
+    """Shuffle (id 2) + deflate: smaller than deflate alone on float
+    data, pipeline order [2, 1] on disk, exact round trip; shuffle
+    without compress rejected."""
+    import os
+
+    rng = np.random.default_rng(12)
+    v = (rng.normal(size=(64, 64)) * 4).round() / 4
+    p1 = str(tmp_path / "d.h5")
+    p2 = str(tmp_path / "sd.h5")
+    write_hdf5(p1, {"v": v}, chunks={"v": (32, 32)}, compress={"v": 6})
+    write_hdf5(p2, {"v": v}, chunks={"v": (32, 32)}, compress={"v": 6},
+               shuffle={"v"})
+    assert os.path.getsize(p2) < os.path.getsize(p1)
+    assert hdf5_info(p2)["datasets"]["v"]["filters"] == [2, 1]
+    np.testing.assert_array_equal(read_hdf5(p2, "v"), v)
+    rds, _spec = read_hdf5_mdim(p2, "v", parallelism=2)
+    total = sum(np.frombuffer(c["data"], np.float64).sum()
+                for c in rds.take_all())
+    assert total == v.sum()
+    with pytest.raises(ValueError, match="requires compress"):
+        write_hdf5(str(tmp_path / "x.h5"), {"v": v},
+                   chunks={"v": (32, 32)}, shuffle={"v"})
