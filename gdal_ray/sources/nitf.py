@@ -199,8 +199,15 @@ def write_nitf(path: str, images: list[dict], *,
                 + _n(k + 1, 3)                # IDLVL
                 + _n(0, 3)                    # IALVL
                 + _a("0000000000", 10)        # ILOC
-                + _a("1.0 ", 4)               # IMAG
-                + _n(0, 5) + _n(0, 5))        # UDIDL, IXSHDL
+                + _a("1.0 ", 4))              # IMAG
+        tres = im.get("tres", [])
+        if tres:
+            blob = b"".join(_a(tag, 6) + _n(len(data), 5) + data
+                            for tag, data in tres)
+            # IXSHDL includes the 3-byte IXSOFL overflow field
+            sub += _n(0, 5) + _n(len(blob) + 3, 5) + _n(0, 3) + blob
+        else:
+            sub += _n(0, 5) + _n(0, 5)        # UDIDL, IXSHDL
         seg_headers.append(sub)
         seg_datas.append(data)
 
@@ -292,7 +299,23 @@ def _parse_image_subheader(buf: bytes, pos: int):
     p += 18 + 3 + 3 + 10 + 4                   # IDLVL..IMAG
     udidl = int(buf[p:p + 5])
     ixshdl = int(buf[p + 5:p + 10])
-    p += 10 + udidl + ixshdl
+    p += 10
+    m["tres"] = []
+
+    def _parse_tres(blob: bytes):
+        q = 0
+        while q + 11 <= len(blob):
+            tag = blob[q:q + 6].decode().strip()
+            ln = int(blob[q + 6:q + 11])
+            m["tres"].append((tag, blob[q + 11:q + 11 + ln]))
+            q += 11 + ln
+
+    if udidl > 0:
+        _parse_tres(buf[p + 3:p + udidl])      # skip UDOFL
+    p += udidl
+    if ixshdl > 0:
+        _parse_tres(buf[p + 3:p + ixshdl])     # skip IXSOFL
+    p += ixshdl
     m["nbands"] = nbands
     return m, p
 
@@ -426,3 +449,84 @@ def _decode_segment(seg: bytes, m: dict, dpos: int) -> np.ndarray:
     vals = full[:, :rows, :cols]
     return (vals[0] if nbands == 1
             else np.ascontiguousarray(np.moveaxis(vals, 0, -1)))
+
+
+# ------------------------------------------------------- RPC00B TRE
+
+
+def _f_rpc(v: float) -> bytes:
+    """RPC00B coefficient field: sign, 1 digit, '.', 6 digits, 'E',
+    sign, 1 digit (12 chars, single-digit exponent)."""
+    s = f"{v:+1.6E}"                   # +1.234567E+01
+    mant, exp = s.split("E")
+    e = int(exp)
+    if not -9 <= e <= 9:
+        raise ValueError(f"RPC00B: exponent {e} out of the 1-digit "
+                         "field range")
+    return f"{mant}E{'+' if e >= 0 else '-'}{abs(e)}".encode()
+
+
+def _p_rpc(b: bytes) -> float:
+    return float(b.decode())
+
+
+def rpc_to_rpc00b(m: dict) -> bytes:
+    """RPC model dict (the functions.rpc.RPCModel keyword layout) ->
+    the 1041-byte RPC00B TRE data field (MIL-STD-2500C appendix E /
+    STDI-0002).  Offsets/scales quantize to the fixed-width decimal
+    fields; coefficients to 7 significant digits."""
+    out = (b"1"                                   # SUCCESS
+           + b"0000.00" + b"0000.00"              # ERR_BIAS/RAND
+           + b"%06d" % round(m["line_off"])
+           + b"%05d" % round(m["samp_off"])
+           + f"{m['lat_off']:+08.4f}".encode()
+           + f"{m['long_off']:+09.4f}".encode()
+           + f"{m['height_off']:+05.0f}".encode()
+           + b"%06d" % round(m["line_scale"])
+           + b"%05d" % round(m["samp_scale"])
+           + f"{m['lat_scale']:+08.4f}".encode()
+           + f"{m['long_scale']:+09.4f}".encode()
+           + f"{m['height_scale']:+05.0f}".encode())
+    for key in ("line_num", "line_den", "samp_num", "samp_den"):
+        coefs = list(m[key])
+        if len(coefs) != 20:
+            raise ValueError(f"RPC00B: {key} needs 20 coefficients")
+        out += b"".join(_f_rpc(float(c)) for c in coefs)
+    if len(out) != 1041:
+        raise AssertionError(len(out))
+    return out
+
+
+def rpc00b_to_rpc(data: bytes) -> dict:
+    """RPC00B TRE data field -> the RPCModel keyword dict."""
+    if len(data) != 1041:
+        raise ValueError(f"RPC00B: expected 1041 bytes, got {len(data)}")
+    m = {
+        "line_off": float(data[15:21]),
+        "samp_off": float(data[21:26]),
+        "lat_off": float(data[26:34]),
+        "long_off": float(data[34:43]),
+        "height_off": float(data[43:48]),
+        "line_scale": float(data[48:54]),
+        "samp_scale": float(data[54:59]),
+        "lat_scale": float(data[59:67]),
+        "long_scale": float(data[67:76]),
+        "height_scale": float(data[76:81]),
+    }
+    pos = 81
+    for key in ("line_num", "line_den", "samp_num", "samp_den"):
+        m[key] = [_p_rpc(data[pos + 12 * i:pos + 12 * (i + 1)])
+                  for i in range(20)]
+        pos += 240
+    return m
+
+
+def rpc_model_of_segment(seg_meta: dict):
+    """Build the engine's RPC transformer from a segment's RPC00B TRE
+    (the gdal NITF RPC metadata path -> alg/gdal_rpc.cpp)."""
+    from ..functions.rpc import RPCModel
+
+    for tag, data in seg_meta.get("tres", []):
+        if tag == "RPC00B":
+            return RPCModel(**rpc00b_to_rpc(data))
+    raise ValueError("segment carries no RPC00B TRE")

@@ -128,3 +128,52 @@ def test_guards(tmp_path):
     open(p, "wb").write(b"NITF02.00" + b" " * 400)
     with pytest.raises(ValueError, match="NITF 2.1"):
         read_nitf(p)
+
+
+def test_rpc00b_tre(tmp_path):
+    """RPC00B TREs: 1041-byte field layout, IXSHD round trip, and the
+    wiring into the engine's RPC transformer (the gdal NITF RPC
+    metadata path)."""
+    from gdal_ray.functions.rpc import RPCModel, synth_rpc
+    from gdal_ray.sources.nitf import (
+        rpc00b_to_rpc,
+        rpc_model_of_segment,
+        rpc_to_rpc00b,
+    )
+
+    # field-exact parameters (representable in the decimal widths)
+    base = synth_rpc(5, 64, 64)
+    exact = dict(base)
+    exact.update(line_off=32.0, samp_off=32.0, line_scale=32.0,
+                 samp_scale=32.0, lat_off=44.1250, long_off=-115.2500,
+                 height_off=500.0, lat_scale=0.1250, long_scale=0.2500,
+                 height_scale=500.0)
+    tre = rpc_to_rpc00b(exact)
+    assert len(tre) == 1041
+    assert tre[0:1] == b"1"                      # SUCCESS
+    assert tre[26:34] == b"+44.1250"             # LAT_OFF field
+    assert tre[34:43] == b"-115.2500"            # LONG_OFF field
+    back = rpc00b_to_rpc(tre)
+    for k in ("lat_off", "long_off", "line_off", "samp_scale",
+              "height_scale"):
+        assert back[k] == exact[k], k
+
+    img = np.random.default_rng(1).integers(0, 256, (64, 64)).astype(
+        np.uint8)
+    p = str(tmp_path / "rpc.ntf")
+    write_nitf(p, [{"values": img, "tres": [("RPC00B", tre)]}])
+    seg = read_nitf(p)[0]
+    assert [t for t, _d in seg["tres"]] == ["RPC00B"]
+    np.testing.assert_array_equal(seg["values"], img)
+    # transformer built from the TRE agrees with the direct model
+    m1 = RPCModel(**exact)
+    m2 = rpc_model_of_segment(seg)
+    lon = np.array([exact["long_off"] + 0.01])
+    lat = np.array([exact["lat_off"] - 0.005])
+    a, b = m1.forward(lon, lat), m2.forward(lon, lat)
+    # only the 7-significant-digit coefficient quantization remains
+    assert abs(a[0][0] - b[0][0]) < 1e-3
+    assert abs(a[1][0] - b[1][0]) < 1e-3
+    import pytest as _pt
+    with _pt.raises(ValueError, match="no RPC00B"):
+        rpc_model_of_segment({"tres": []})
