@@ -272,3 +272,73 @@ def read_bmp(path: str) -> np.ndarray:
             return np.ascontiguousarray(pal[idx, 0])
         return np.ascontiguousarray(pal[idx])
     raise ValueError(f"BMP: {bpp}-bit unsupported (8/24)")
+
+
+# ---------------------------------------------------------------- PNM
+
+
+def write_pnm(path: str, img: np.ndarray, *, ascii_: bool = False,
+              maxval: int | None = None) -> None:
+    """Netpbm PGM/PPM (the reference's ``frmts/pnm``): (h, w) ->
+    PGM (P5 binary / P2 ASCII), (h, w, 3) -> PPM (P6 / P3); uint8 or
+    uint16 (16-bit binary samples big-endian per the spec)."""
+    a = np.asarray(img)
+    if a.dtype not in (np.uint8, np.uint16):
+        raise ValueError("PNM: uint8 or uint16 only")
+    if a.ndim == 2:
+        magic = "P2" if ascii_ else "P5"
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic = "P3" if ascii_ else "P6"
+    else:
+        raise ValueError("PNM: (h, w) or (h, w, 3)")
+    h, w = a.shape[:2]
+    mv = int(maxval if maxval is not None
+             else (255 if a.dtype == np.uint8 else 65535))
+    if not (0 < mv < 65536) or int(a.max(initial=0)) > mv:
+        raise ValueError(f"PNM: maxval {mv} out of range or exceeded")
+    head = f"{magic}\n{w} {h}\n{mv}\n".encode()
+    if ascii_:
+        body = "\n".join(" ".join(str(int(v)) for v in row.ravel())
+                         for row in a).encode() + b"\n"
+    elif mv < 256:
+        body = a.astype(np.uint8).tobytes()
+    else:
+        body = a.astype(">u2").tobytes()
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(head + body)
+    os.replace(tmp, path)
+
+
+def read_pnm(path: str) -> np.ndarray:
+    """Read P2/P3/P5/P6 (comments allowed in the header) -> (h, w) or
+    (h, w, 3) uint8/uint16."""
+    buf = open(path, "rb").read()
+    if buf[:1] != b"P" or buf[1:2] not in b"2356":
+        raise ValueError("not a supported PNM file (P2/P3/P5/P6)")
+    magic = buf[:2].decode()
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":                # comment line
+            pos = buf.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    w, h, mv = fields
+    nb = 3 if magic in ("P3", "P6") else 1
+    n = w * h * nb
+    if magic in ("P2", "P3"):
+        vals = np.array(buf[pos:].split()[:n], np.int64)
+        if vals.size != n:
+            raise ValueError("PNM: truncated ASCII samples")
+    else:
+        pos += 1                                    # single whitespace
+        dt = np.dtype(">u2") if mv > 255 else np.uint8
+        vals = np.frombuffer(buf, dt, n, pos).astype(np.int64)
+    out = vals.astype(np.uint16 if mv > 255 else np.uint8)
+    return out.reshape((h, w, 3) if nb == 3 else (h, w))

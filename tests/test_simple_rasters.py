@@ -111,3 +111,32 @@ def test_bmp_gray8(tmp_path):
     np.testing.assert_array_equal(read_bmp(p), img)
     with pytest.raises(ValueError, match="uint8"):
         write_bmp(str(tmp_path / "x.bmp"), img.astype(np.uint16))
+
+
+def test_pnm_matrix(tmp_path):
+    """PGM/PPM x binary/ASCII x 8/16-bit: magic + header anchors,
+    comments in headers, big-endian 16-bit samples."""
+    from gdal_ray.sources.simple_rasters import read_pnm, write_pnm
+
+    rng = np.random.default_rng(7)
+    g8 = rng.integers(0, 256, (5, 7)).astype(np.uint8)
+    c8 = rng.integers(0, 256, (4, 6, 3)).astype(np.uint8)
+    g16 = rng.integers(0, 65536, (3, 5)).astype(np.uint16)
+    for img, ascii_, magic in ((g8, False, b"P5"), (g8, True, b"P2"),
+                               (c8, False, b"P6"), (c8, True, b"P3"),
+                               (g16, False, b"P5")):
+        p = str(tmp_path / f"x_{magic.decode()}_{ascii_}.pnm")
+        write_pnm(p, img, ascii_=ascii_)
+        buf = open(p, "rb").read()
+        assert buf[:2] == magic
+        np.testing.assert_array_equal(read_pnm(p), img)
+    # 16-bit binary samples are BIG-endian per the spec
+    p16 = str(tmp_path / "be.pgm")
+    write_pnm(p16, np.array([[0x1234]], np.uint16))
+    assert open(p16, "rb").read()[-2:] == b"\x12\x34"
+    # header comments parse
+    p = str(tmp_path / "c.pgm")
+    open(p, "wb").write(b"P5\n# a comment\n2 1\n255\n\x07\x09")
+    np.testing.assert_array_equal(read_pnm(p), [[7, 9]])
+    with pytest.raises(ValueError, match="maxval"):
+        write_pnm(str(tmp_path / "bad.pgm"), g8, maxval=100)
