@@ -491,8 +491,67 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     )
 
 
+def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w) uint8 -> 1-component (grayscale) baseline JFIF bytes —
+    the T.81 single-component sequential process (NITF IC=C3 MONO
+    segments, MIL-STD-188-198A; the reference streams these through
+    libjpeg in frmts/nitf)."""
+    h, w = img.shape[:2]
+    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    pad = np.pad(img, ((0, H - h), (0, W - w)), mode="edge")
+    ql, _ = quant_tables(quality)
+    coefs = _fwd_quant(pad.astype(np.float64), ql)
+    dc_l = _huff_codes(*_DC_L)
+    ac_l = _huff_codes(*_AC_L)
+    zz = coefs.reshape(-1, 64)[:, _ZIG]
+    scan = _encode_scan([zz], [(dc_l, ac_l)])
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB,
+              bytes([0]) + bytes(int(v) for v in ql.reshape(-1)[_ZIG]))
+    dht_d = seg(0xFFC4, bytes([0x00]) + bytes(_DC_L[0]) + bytes(_DC_L[1]))
+    dht_a = seg(0xFFC4, bytes([0x10]) + bytes(_AC_L[0]) + bytes(_AC_L[1]))
+    sof = seg(0xFFC0,
+              struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (b"\xff\xd8" + app0 + dqt + dht_d + dht_a + sof + sos
+            + scan + b"\xff\xd9")
+
+
+def jpeg_model_gray(img: np.ndarray, quality: int = 90) -> np.ndarray:
+    """Grayscale analog of :func:`jpeg_model` (oracle contract)."""
+    h, w = img.shape[:2]
+    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    pad = np.pad(img, ((0, H - h), (0, W - w)), mode="edge")
+    ql, _ = quant_tables(quality)
+    out = _dequant_inv(_fwd_quant(pad.astype(np.float64), ql), ql, H, W)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def split_jpeg_streams(data: bytes) -> list[bytes]:
+    """Split concatenated baseline JPEG streams on their EOI markers.
+    Valid for baseline streams: inside entropy-coded data every 0xFF
+    is stuffed as FF00 (or is a restart FFD0-D7), so FFD9 occurs only
+    as a true EOI."""
+    out = []
+    start = 0
+    while start < len(data):
+        if data[start:start + 2] != b"\xff\xd8":
+            raise ValueError("concatenated JPEG: missing SOI")
+        end = data.find(b"\xff\xd9", start + 2)
+        if end < 0:
+            raise ValueError("concatenated JPEG: missing EOI")
+        out.append(data[start:end + 2])
+        start = end + 2
+    return out
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline 4:4:4 JFIF bytes (as produced here) -> (h, w, 3) uint8."""
+    """Baseline 4:4:4 JFIF bytes (as produced here) -> (h, w, 3)
+    uint8; 1-component streams decode to (h, w)."""
     pos = 2  # skip SOI
     qts = {}
     hts = {}
@@ -519,7 +578,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
                 p += 17 + n
         elif marker == 0xFFC0:
-            _, h, w, _ = struct.unpack_from(">BHHB", payload, 0)
+            _, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
         elif marker == 0xFFDA:
             scan = data[pos : len(data) - 2]  # up to EOI
             break
@@ -529,10 +588,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     # window fetch per magnitude read (no per-bit Python)
     w24 = _bit_windows(scan).tolist()
     pos = 0
-    coefs = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in range(3)]
-    preds = [0, 0, 0]
-    comp_tabs = [(hts[(0, 0)], hts[(1, 0)]), (hts[(0, 1)], hts[(1, 1)]),
-                 (hts[(0, 1)], hts[(1, 1)])]
+    coefs = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in range(ncomp)]
+    preds = [0] * ncomp
+    comp_tabs = ([(hts[(0, 0)], hts[(1, 0)])] if ncomp == 1 else
+                 [(hts[(0, 0)], hts[(1, 0)]), (hts[(0, 1)], hts[(1, 1)]),
+                  (hts[(0, 1)], hts[(1, 1)])])
     for m in range(n_mcu):
         for ci, ((dsym, dlen), (asym, alen)) in enumerate(comp_tabs):
             blk = coefs[ci][m]
@@ -563,6 +623,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 blk[k] = bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
                 pos += cat
                 k += 1
+    if ncomp == 1:
+        dez = np.zeros((n_mcu, 64), dtype=np.int32)
+        dez[:, _ZIG] = coefs[0]
+        g = _dequant_inv(dez.reshape(-1, 8, 8), qts[0], H, W)
+        return np.clip(np.round(g), 0, 255).astype(np.uint8)[:h, :w]
     out = np.empty((H, W, 3))
     qmap = [qts[0], qts[1], qts[1]]
     for ci in range(3):

@@ -35,51 +35,74 @@ E1 = np.sqrt(E2)
 N3 = F / (2.0 - F)  # third flattening n
 
 # Rectifying radius A1 = a/(1+n) (1 + n^2/4 + n^4/64 + n^6/256)
-A1 = A / (1.0 + N3) * (1.0 + N3 ** 2 / 4.0 + N3 ** 4 / 64.0
-                       + N3 ** 6 / 256.0)
+# (module-level WGS84 value comes out of _krueger(A, N3) below)
 
 # Krueger series, third-flattening coefficients (Karney 2011 eq. 35/36)
-_n = N3
-ALPHA = (
-    _n / 2 - 2 * _n ** 2 / 3 + 5 * _n ** 3 / 16 + 41 * _n ** 4 / 180
-    - 127 * _n ** 5 / 288 + 7891 * _n ** 6 / 37800,
-    13 * _n ** 2 / 48 - 3 * _n ** 3 / 5 + 557 * _n ** 4 / 1440
-    + 281 * _n ** 5 / 630 - 1983433 * _n ** 6 / 1935360,
-    61 * _n ** 3 / 240 - 103 * _n ** 4 / 140 + 15061 * _n ** 5 / 26880
-    + 167603 * _n ** 6 / 181440,
-    49561 * _n ** 4 / 161280 - 179 * _n ** 5 / 168
-    + 6601661 * _n ** 6 / 7257600,
-    34729 * _n ** 5 / 80640 - 3418889 * _n ** 6 / 1995840,
-    212378941 * _n ** 6 / 319334400,
-)
-BETA = (
-    _n / 2 - 2 * _n ** 2 / 3 + 37 * _n ** 3 / 96 - _n ** 4 / 360
-    - 81 * _n ** 5 / 512 + 96199 * _n ** 6 / 604800,
-    _n ** 2 / 48 + _n ** 3 / 15 - 437 * _n ** 4 / 1440
-    + 46 * _n ** 5 / 105 - 1118711 * _n ** 6 / 3870720,
-    17 * _n ** 3 / 480 - 37 * _n ** 4 / 840 - 209 * _n ** 5 / 4480
-    + 5569 * _n ** 6 / 90720,
-    4397 * _n ** 4 / 161280 - 11 * _n ** 5 / 504
-    - 830251 * _n ** 6 / 7257600,
-    4583 * _n ** 5 / 161280 - 108847 * _n ** 6 / 3991680,
-    20648693 * _n ** 6 / 638668800,
-)
 
 
-def _tau_prime(tau):
+def _krueger(a: float, _n: float):
+    """(A1, ALPHA, BETA) for semi-major a and third flattening n —
+    the Karney eq. 14/35/36 polynomial coefficients, evaluated at
+    runtime so any ellipsoid can drive the same series (the module-
+    level WGS84 constants below come from this exact call, so the
+    default path is arithmetically unchanged)."""
+    a1 = a / (1.0 + _n) * (1.0 + _n ** 2 / 4.0 + _n ** 4 / 64.0
+                           + _n ** 6 / 256.0)
+    alpha = (
+        _n / 2 - 2 * _n ** 2 / 3 + 5 * _n ** 3 / 16 + 41 * _n ** 4 / 180
+        - 127 * _n ** 5 / 288 + 7891 * _n ** 6 / 37800,
+        13 * _n ** 2 / 48 - 3 * _n ** 3 / 5 + 557 * _n ** 4 / 1440
+        + 281 * _n ** 5 / 630 - 1983433 * _n ** 6 / 1935360,
+        61 * _n ** 3 / 240 - 103 * _n ** 4 / 140 + 15061 * _n ** 5 / 26880
+        + 167603 * _n ** 6 / 181440,
+        49561 * _n ** 4 / 161280 - 179 * _n ** 5 / 168
+        + 6601661 * _n ** 6 / 7257600,
+        34729 * _n ** 5 / 80640 - 3418889 * _n ** 6 / 1995840,
+        212378941 * _n ** 6 / 319334400,
+    )
+    beta = (
+        _n / 2 - 2 * _n ** 2 / 3 + 37 * _n ** 3 / 96 - _n ** 4 / 360
+        - 81 * _n ** 5 / 512 + 96199 * _n ** 6 / 604800,
+        _n ** 2 / 48 + _n ** 3 / 15 - 437 * _n ** 4 / 1440
+        + 46 * _n ** 5 / 105 - 1118711 * _n ** 6 / 3870720,
+        17 * _n ** 3 / 480 - 37 * _n ** 4 / 840 - 209 * _n ** 5 / 4480
+        + 5569 * _n ** 6 / 90720,
+        4397 * _n ** 4 / 161280 - 11 * _n ** 5 / 504
+        - 830251 * _n ** 6 / 7257600,
+        4583 * _n ** 5 / 161280 - 108847 * _n ** 6 / 3991680,
+        20648693 * _n ** 6 / 638668800,
+    )
+    return a1, alpha, beta
+
+
+A1, ALPHA, BETA = _krueger(A, N3)
+
+
+def _resolve_ellipsoid(ellipsoid):
+    """ELLIPSOIDS name or (a, 1/f) tuple -> (a, e1, e2).  The WGS84
+    path reproduces the module constants bit-exactly (same e2 = f(2-f)
+    expression), so default-ellipsoid callers are unchanged."""
+    a, inv_f = (ELLIPSOIDS[ellipsoid]
+                if isinstance(ellipsoid, str) else ellipsoid)
+    f = 1.0 / inv_f
+    e2 = f * (2.0 - f)
+    return float(a), float(np.sqrt(e2)), float(e2)
+
+
+def _tau_prime(tau, e1=E1):
     """Conformal tangent tau' = tan(chi) from geodetic tangent
     tau = tan(phi) (Karney eq. 7-9)."""
-    sig = np.sinh(E1 * np.arctanh(E1 * tau / np.hypot(1.0, tau)))
+    sig = np.sinh(e1 * np.arctanh(e1 * tau / np.hypot(1.0, tau)))
     return tau * np.hypot(1.0, sig) - sig * np.hypot(1.0, tau)
 
 
-def _tau_from_tau_prime(taup):
+def _tau_from_tau_prime(taup, e1=E1, e2=E2):
     """Invert tau'(tau) by Newton (Karney eq. 19-21); converges to
     machine precision in <= 2 steps from the tau' / e'^2 seed."""
-    e2m = 1.0 - E2
+    e2m = 1.0 - e2
     tau = taup / e2m  # first guess
     for _ in range(5):
-        taupa = _tau_prime(tau)
+        taupa = _tau_prime(tau, e1)
         dtau = ((taup - taupa) * (1.0 + e2m * tau * tau)
                 / (e2m * np.hypot(1.0, tau) * np.hypot(1.0, taupa)))
         tau = tau + dtau
@@ -89,7 +112,8 @@ def _tau_from_tau_prime(taup):
 
 
 def tm_forward(lon_deg, lat_deg, lon0_deg: float, k0: float = 0.9996,
-               fe: float = 500000.0, fn: float = 0.0):
+               fe: float = 500000.0, fn: float = 0.0,
+               kr=(A1, ALPHA, BETA)):
     """Geographic (degrees) -> Transverse Mercator easting/northing.
 
     Karney 2011 eq. 10-11: conformal coords (xi', eta') then the
@@ -98,7 +122,8 @@ def tm_forward(lon_deg, lat_deg, lon0_deg: float, k0: float = 0.9996,
     lat = np.radians(np.asarray(lat_deg, np.float64))
     lon = np.radians(np.asarray(lon_deg, np.float64)
                      - float(lon0_deg))
-    taup = _tau_prime(np.tan(lat))
+    a1k, alpha = kr[0], kr[1]
+    taup = _tau_prime(np.tan(lat), kr[3] if len(kr) > 3 else E1)
     coslon = np.cos(lon)
     xi_p = np.arctan2(taup, coslon)
     eta_p = np.arcsinh(np.sin(lon) / np.hypot(taup, coslon))
@@ -106,29 +131,32 @@ def tm_forward(lon_deg, lat_deg, lon0_deg: float, k0: float = 0.9996,
     eta = eta_p
     for j in range(6):
         a2j = 2.0 * (j + 1)
-        xi = xi + ALPHA[j] * np.sin(a2j * xi_p) * np.cosh(a2j * eta_p)
-        eta = eta + ALPHA[j] * np.cos(a2j * xi_p) * np.sinh(a2j * eta_p)
-    return fe + k0 * A1 * eta, fn + k0 * A1 * xi
+        xi = xi + alpha[j] * np.sin(a2j * xi_p) * np.cosh(a2j * eta_p)
+        eta = eta + alpha[j] * np.cos(a2j * xi_p) * np.sinh(a2j * eta_p)
+    return fe + k0 * a1k * eta, fn + k0 * a1k * xi
 
 
 def tm_inverse(easting, northing, lon0_deg: float, k0: float = 0.9996,
-               fe: float = 500000.0, fn: float = 0.0):
+               fe: float = 500000.0, fn: float = 0.0,
+               kr=(A1, ALPHA, BETA)):
     """Transverse Mercator easting/northing -> geographic (degrees).
 
     Karney 2011 eq. 15-18: beta series back to (xi', eta'), then
     tau' -> tau Newton solve."""
-    xi = (np.asarray(northing, np.float64) - fn) / (k0 * A1)
-    eta = (np.asarray(easting, np.float64) - fe) / (k0 * A1)
+    a1k, beta = kr[0], kr[2]
+    xi = (np.asarray(northing, np.float64) - fn) / (k0 * a1k)
+    eta = (np.asarray(easting, np.float64) - fe) / (k0 * a1k)
     xi_p = xi
     eta_p = eta
     for j in range(6):
         a2j = 2.0 * (j + 1)
-        xi_p = xi_p - BETA[j] * np.sin(a2j * xi) * np.cosh(a2j * eta)
-        eta_p = eta_p - BETA[j] * np.cos(a2j * xi) * np.sinh(a2j * eta)
+        xi_p = xi_p - beta[j] * np.sin(a2j * xi) * np.cosh(a2j * eta)
+        eta_p = eta_p - beta[j] * np.cos(a2j * xi) * np.sinh(a2j * eta)
     sinh_eta = np.sinh(eta_p)
     cos_xi = np.cos(xi_p)
     taup = np.sin(xi_p) / np.hypot(sinh_eta, cos_xi)
-    tau = _tau_from_tau_prime(taup)
+    tau = _tau_from_tau_prime(taup, kr[3] if len(kr) > 3 else E1,
+                              kr[4] if len(kr) > 4 else E2)
     lat = np.degrees(np.arctan(tau))
     lon = float(lon0_deg) + np.degrees(np.arctan2(sinh_eta, cos_xi))
     return lon, lat
@@ -239,28 +267,28 @@ class ComposedTransform:
 # sequence, so engine and golden produce identical doubles.
 
 
-def _t_snyder(phi):
+def _t_snyder(phi, e1=E1):
     """Snyder eq. 15-9: isometric-colatitude function t(phi)."""
-    esin = E1 * np.sin(phi)
+    esin = e1 * np.sin(phi)
     return (np.tan(np.pi / 4.0 - phi / 2.0)
-            / ((1.0 - esin) / (1.0 + esin)) ** (E1 / 2.0))
+            / ((1.0 - esin) / (1.0 + esin)) ** (e1 / 2.0))
 
 
-def _m_snyder(phi):
+def _m_snyder(phi, e2=E2):
     """Snyder eq. 14-15: m(phi) = cos(phi)/sqrt(1 - e^2 sin^2 phi)."""
     s = np.sin(phi)
-    return np.cos(phi) / np.sqrt(1.0 - E2 * s * s)
+    return np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
 
 
-def _phi_from_t(t):
+def _phi_from_t(t, e1=E1):
     """Invert Snyder eq. 15-9 (eq. 7-9 fixed-point): phi =
     pi/2 - 2 atan(t ((1 - e sin phi)/(1 + e sin phi))^(e/2)),
     seeded with the spherical phi; converges quadratically."""
     phi = np.pi / 2.0 - 2.0 * np.arctan(t)
     for _ in range(15):
-        esin = E1 * np.sin(phi)
+        esin = e1 * np.sin(phi)
         phi_new = np.pi / 2.0 - 2.0 * np.arctan(
-            t * ((1.0 - esin) / (1.0 + esin)) ** (E1 / 2.0))
+            t * ((1.0 - esin) / (1.0 + esin)) ** (e1 / 2.0))
         if np.all(np.abs(phi_new - phi) < 1e-14):
             phi = phi_new
             break
@@ -268,28 +296,28 @@ def _phi_from_t(t):
     return phi
 
 
-def _q_snyder(phi):
+def _q_snyder(phi, e1=E1, e2=E2):
     """Snyder eq. 3-12: equal-area q(phi)."""
     s = np.sin(phi)
-    esin = E1 * s
-    return (1.0 - E2) * (
-        s / (1.0 - E2 * s * s)
-        - (1.0 / (2.0 * E1)) * np.log((1.0 - esin) / (1.0 + esin))
+    esin = e1 * s
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (1.0 / (2.0 * e1)) * np.log((1.0 - esin) / (1.0 + esin))
     )
 
 
-def _phi_from_q(q):
+def _phi_from_q(q, e1=E1, e2=E2):
     """Invert q(phi) by Newton (Snyder eq. 3-16), seeded with the
     authalic-sphere arcsine."""
     phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
     for _ in range(15):
         s = np.sin(phi)
-        esin = E1 * s
-        one = 1.0 - E2 * s * s
+        esin = e1 * s
+        one = 1.0 - e2 * s * s
         dphi = (one * one / (2.0 * np.cos(phi))) * (
-            q / (1.0 - E2)
+            q / (1.0 - e2)
             - s / one
-            + (1.0 / (2.0 * E1)) * np.log((1.0 - esin) / (1.0 + esin))
+            + (1.0 / (2.0 * e1)) * np.log((1.0 - esin) / (1.0 + esin))
         )
         phi = phi + dphi
         if np.all(np.abs(dphi) < 1e-14):
@@ -303,25 +331,28 @@ class LambertConformalConic:
     -> (E, N) meters; inv: (E, N) -> (lon, lat)."""
 
     def __init__(self, lat1: float, lat2: float, lat0: float,
-                 lon0: float, fe: float = 0.0, fn: float = 0.0):
+                 lon0: float, fe: float = 0.0, fn: float = 0.0,
+                 k0: float = 1.0, ellipsoid="WGS84"):
+        self.a, self.e1, self.e2 = _resolve_ellipsoid(ellipsoid)
         p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
         self.lon0 = float(lon0)
         self.fe, self.fn = float(fe), float(fn)
-        t1, t2, t0 = _t_snyder(p1), _t_snyder(p2), _t_snyder(p0)
-        m1 = _m_snyder(p1)
+        t1, t2, t0 = (_t_snyder(p1, self.e1), _t_snyder(p2, self.e1),
+                      _t_snyder(p0, self.e1))
+        m1 = _m_snyder(p1, self.e2)
         if lat1 == lat2:
             self.n = np.sin(p1)
         else:
-            m2 = _m_snyder(p2)
+            m2 = _m_snyder(p2, self.e2)
             self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
-        self.F = m1 / (self.n * t1 ** self.n)
-        self.rho0 = A * self.F * t0 ** self.n
+        self.F = k0 * (m1 / (self.n * t1 ** self.n))
+        self.rho0 = self.a * self.F * t0 ** self.n
 
     def fwd(self, lon, lat):
         phi = np.radians(np.asarray(lat, np.float64))
         theta = self.n * np.radians(
             np.asarray(lon, np.float64) - self.lon0)
-        rho = A * self.F * _t_snyder(phi) ** self.n
+        rho = self.a * self.F * _t_snyder(phi, self.e1) ** self.n
         E = self.fe + rho * np.sin(theta)
         N = self.fn + self.rho0 - rho * np.cos(theta)
         return E, N
@@ -331,9 +362,9 @@ class LambertConformalConic:
         y = self.rho0 - (np.asarray(n, np.float64) - self.fn)
         sgn = 1.0 if self.n >= 0 else -1.0
         rho = sgn * np.hypot(x, y)
-        t = (rho / (A * self.F)) ** (1.0 / self.n)
+        t = (rho / (self.a * self.F)) ** (1.0 / self.n)
         theta = np.arctan2(sgn * x, sgn * y)
-        lat = np.degrees(_phi_from_t(t))
+        lat = np.degrees(_phi_from_t(t, self.e1))
         lon = self.lon0 + np.degrees(theta / self.n)
         return lon, lat
 
@@ -343,21 +374,26 @@ class AlbersEqualArea:
     14-1..14-12 with the Newton inverse of eq. 3-16."""
 
     def __init__(self, lat1: float, lat2: float, lat0: float,
-                 lon0: float, fe: float = 0.0, fn: float = 0.0):
+                 lon0: float, fe: float = 0.0, fn: float = 0.0,
+                 ellipsoid="WGS84"):
+        self.a, self.e1, self.e2 = _resolve_ellipsoid(ellipsoid)
         p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
         self.lon0 = float(lon0)
         self.fe, self.fn = float(fe), float(fn)
-        m1, m2 = _m_snyder(p1), _m_snyder(p2)
-        q1, q2, q0 = _q_snyder(p1), _q_snyder(p2), _q_snyder(p0)
+        m1, m2 = _m_snyder(p1, self.e2), _m_snyder(p2, self.e2)
+        q1, q2, q0 = (_q_snyder(p1, self.e1, self.e2),
+                      _q_snyder(p2, self.e1, self.e2),
+                      _q_snyder(p0, self.e1, self.e2))
         self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
         self.C = m1 * m1 + self.n * q1
-        self.rho0 = A * np.sqrt(self.C - self.n * q0) / self.n
+        self.rho0 = self.a * np.sqrt(self.C - self.n * q0) / self.n
 
     def fwd(self, lon, lat):
         phi = np.radians(np.asarray(lat, np.float64))
         theta = self.n * np.radians(
             np.asarray(lon, np.float64) - self.lon0)
-        rho = A * np.sqrt(self.C - self.n * _q_snyder(phi)) / self.n
+        rho = self.a * np.sqrt(
+            self.C - self.n * _q_snyder(phi, self.e1, self.e2)) / self.n
         E = self.fe + rho * np.sin(theta)
         N = self.fn + self.rho0 - rho * np.cos(theta)
         return E, N
@@ -367,9 +403,9 @@ class AlbersEqualArea:
         y = self.rho0 - (np.asarray(n, np.float64) - self.fn)
         sgn = 1.0 if self.n >= 0 else -1.0
         rho = np.hypot(x, y)
-        q = (self.C - (rho * self.n / A) ** 2) / self.n
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
         theta = np.arctan2(sgn * x, sgn * y)
-        lat = np.degrees(_phi_from_q(q))
+        lat = np.degrees(_phi_from_q(q, self.e1, self.e2))
         lon = self.lon0 + np.degrees(theta / self.n)
         return lon, lat
 
@@ -381,21 +417,39 @@ class PolarStereographic:
     (EPSG:3031-style)."""
 
     def __init__(self, lat_ts: float, lon0: float, fe: float = 0.0,
-                 fn: float = 0.0, south: bool = False):
+                 fn: float = 0.0, south: bool = False,
+                 ellipsoid="WGS84"):
+        self.a, self.e1, self.e2 = _resolve_ellipsoid(ellipsoid)
         self.lon0 = float(lon0)
         self.fe, self.fn = float(fe), float(fn)
         self.south = bool(south)
         pts = np.radians(lat_ts)
         # scale anchor at the standard parallel (Snyder eq. 21-34:
         # rho = a m_c t / t_c); m is even in phi, t mirrors for south
-        self.mc = _m_snyder(pts)
-        self.tc = _t_snyder(-pts if south else pts)
+        self.mc = _m_snyder(pts, self.e2)
+        self.tc = _t_snyder(-pts if south else pts, self.e1)
+
+    @classmethod
+    def from_k0(cls, k0: float, lon0: float, fe: float = 0.0,
+                fn: float = 0.0, south: bool = False,
+                ellipsoid="WGS84"):
+        """Variant A (EPSG method 9810, UPS): scale factor k0 given at
+        the pole instead of a standard parallel — Snyder eq. 21-33:
+        rho = 2 a k0 t / sqrt((1+e)^(1+e) (1-e)^(1-e)), expressed in
+        the variant-B anchor form by mc = 2 k0 / sqrt(...), tc = 1."""
+        p = cls(60.0 if not south else -60.0, lon0, fe, fn, south,
+                ellipsoid)
+        e = p.e1
+        p.mc = 2.0 * k0 / np.sqrt(
+            (1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+        p.tc = 1.0
+        return p
 
     def fwd(self, lon, lat):
         phi = np.radians(np.asarray(lat, np.float64))
         lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
-        t = _t_snyder(-phi if self.south else phi)
-        rho = A * self.mc * t / self.tc
+        t = _t_snyder(-phi if self.south else phi, self.e1)
+        rho = self.a * self.mc * t / self.tc
         E = self.fe + rho * np.sin(lam)
         N = self.fn + (rho * np.cos(lam) if self.south
                        else -rho * np.cos(lam))
@@ -405,8 +459,8 @@ class PolarStereographic:
         x = np.asarray(e, np.float64) - self.fe
         y = np.asarray(n, np.float64) - self.fn
         rho = np.hypot(x, y)
-        t = rho * self.tc / (A * self.mc)
-        phi = _phi_from_t(t)
+        t = rho * self.tc / (self.a * self.mc)
+        phi = _phi_from_t(t, self.e1)
         lat = np.degrees(-phi if self.south else phi)
         lam = np.arctan2(x, y if self.south else -y)
         lon = self.lon0 + np.degrees(lam)
@@ -421,26 +475,37 @@ class PolarStereographic:
 # cylindrical (EPSG method 1028) families; Mollweide is the spherical
 # Newton form PROJ's +proj=moll applies on the semi-major axis.
 
-_M0 = 1.0 - E2 / 4.0 - 3.0 * E2 ** 2 / 64.0 - 5.0 * E2 ** 3 / 256.0
-_M2 = 3.0 * E2 / 8.0 + 3.0 * E2 ** 2 / 32.0 + 45.0 * E2 ** 3 / 1024.0
-_M4 = 15.0 * E2 ** 2 / 256.0 + 45.0 * E2 ** 3 / 1024.0
-_M6 = 35.0 * E2 ** 3 / 3072.0
-_E1R = (1.0 - np.sqrt(1.0 - E2)) / (1.0 + np.sqrt(1.0 - E2))
+def _arc_coeffs(e2: float):
+    """Snyder eq. 3-21 meridian-arc series coefficients + the eq.
+    3-26 rectifying e1; the module WGS84 constants below come from
+    this exact call (default path arithmetically unchanged)."""
+    m0 = 1.0 - e2 / 4.0 - 3.0 * e2 ** 2 / 64.0 - 5.0 * e2 ** 3 / 256.0
+    m2 = 3.0 * e2 / 8.0 + 3.0 * e2 ** 2 / 32.0 + 45.0 * e2 ** 3 / 1024.0
+    m4 = 15.0 * e2 ** 2 / 256.0 + 45.0 * e2 ** 3 / 1024.0
+    m6 = 35.0 * e2 ** 3 / 3072.0
+    e1r = (1.0 - np.sqrt(1.0 - e2)) / (1.0 + np.sqrt(1.0 - e2))
+    return m0, m2, m4, m6, e1r
 
 
-def _m_arc(phi):
+_M0, _M2, _M4, _M6, _E1R = _arc_coeffs(E2)
+_ARC_WGS84 = (A, E2, _M0, _M2, _M4, _M6, _E1R)
+
+
+def _m_arc(phi, arc=_ARC_WGS84):
     """Snyder eq. 3-21: meridian arc length from the equator (m)."""
-    return A * (_M0 * phi - _M2 * np.sin(2.0 * phi)
-                + _M4 * np.sin(4.0 * phi) - _M6 * np.sin(6.0 * phi))
+    a, _, m0, m2, m4, m6, _ = arc
+    return a * (m0 * phi - m2 * np.sin(2.0 * phi)
+                + m4 * np.sin(4.0 * phi) - m6 * np.sin(6.0 * phi))
 
 
-def _phi_from_m(M):
+def _phi_from_m(M, arc=_ARC_WGS84):
     """Footpoint latitude from meridian arc: Snyder eq. 3-26 series
     seed + two Newton steps against _m_arc (dM/dphi = the meridian
     radius), so the inverse is machine-exact against the forward's
     own e^6 truncation (the raw series pair disagrees at ~1e-4 m)."""
-    mu = M / (A * _M0)
-    e1 = _E1R
+    a, e2, m0, _, _, _, e1r = arc
+    mu = M / (a * m0)
+    e1 = e1r
     phi = (mu
            + (3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0) * np.sin(2.0 * mu)
            + (21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0)
@@ -449,8 +514,8 @@ def _phi_from_m(M):
            + (1097.0 * e1 ** 4 / 512.0) * np.sin(8.0 * mu))
     for _ in range(2):
         s = np.sin(phi)
-        rho = A * (1.0 - E2) / (1.0 - E2 * s * s) ** 1.5
-        phi = phi + (M - _m_arc(phi)) / rho
+        rho = a * (1.0 - e2) / (1.0 - e2 * s * s) ** 1.5
+        phi = phi + (M - _m_arc(phi, arc)) / rho
     return phi
 
 
@@ -459,24 +524,30 @@ class Sinusoidal:
     — the MODIS grid projection).  fwd: (lon, lat) deg -> (E, N) m."""
 
     def __init__(self, lon0: float = 0.0, fe: float = 0.0,
-                 fn: float = 0.0):
+                 fn: float = 0.0, ellipsoid="WGS84"):
         self.lon0 = float(lon0)
         self.fe, self.fn = float(fe), float(fn)
+        a, _, e2 = _resolve_ellipsoid(ellipsoid)
+        self.arc = ((A, E2) + (_M0, _M2, _M4, _M6, _E1R)
+                    if (a, e2) == (A, E2)
+                    else (a, e2) + _arc_coeffs(e2))
 
     def fwd(self, lon, lat):
+        a, e2 = self.arc[0], self.arc[1]
         phi = np.radians(np.asarray(lat, np.float64))
         dlam = np.radians(np.asarray(lon, np.float64) - self.lon0)
         s = np.sin(phi)
-        E = self.fe + A * dlam * np.cos(phi) / np.sqrt(1.0 - E2 * s * s)
-        N = self.fn + _m_arc(phi)
+        E = self.fe + a * dlam * np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
+        N = self.fn + _m_arc(phi, self.arc)
         return E, N
 
     def inv(self, e, n):
+        a, e2 = self.arc[0], self.arc[1]
         x = np.asarray(e, np.float64) - self.fe
         y = np.asarray(n, np.float64) - self.fn
-        phi = _phi_from_m(y)
+        phi = _phi_from_m(y, self.arc)
         s = np.sin(phi)
-        lam = x * np.sqrt(1.0 - E2 * s * s) / (A * np.cos(phi))
+        lam = x * np.sqrt(1.0 - e2 * s * s) / (a * np.cos(phi))
         return self.lon0 + np.degrees(lam), np.degrees(phi)
 
 
@@ -485,22 +556,27 @@ class EquidistantCylindrical:
     E = FE + nu(lat1) cos(lat1) dlam, N = FN + M(phi)."""
 
     def __init__(self, lat1: float = 0.0, lon0: float = 0.0,
-                 fe: float = 0.0, fn: float = 0.0):
+                 fe: float = 0.0, fn: float = 0.0, ellipsoid="WGS84"):
         self.lon0 = float(lon0)
         self.fe, self.fn = float(fe), float(fn)
+        a, _, e2 = _resolve_ellipsoid(ellipsoid)
+        self.arc = ((A, E2) + (_M0, _M2, _M4, _M6, _E1R)
+                    if (a, e2) == (A, E2)
+                    else (a, e2) + _arc_coeffs(e2))
         p1 = np.radians(lat1)
         s1 = np.sin(p1)
-        self.nu1cos = A * np.cos(p1) / np.sqrt(1.0 - E2 * s1 * s1)
+        self.nu1cos = a * np.cos(p1) / np.sqrt(1.0 - e2 * s1 * s1)
 
     def fwd(self, lon, lat):
         phi = np.radians(np.asarray(lat, np.float64))
         dlam = np.radians(np.asarray(lon, np.float64) - self.lon0)
-        return self.fe + self.nu1cos * dlam, self.fn + _m_arc(phi)
+        return (self.fe + self.nu1cos * dlam,
+                self.fn + _m_arc(phi, self.arc))
 
     def inv(self, e, n):
         x = np.asarray(e, np.float64) - self.fe
         y = np.asarray(n, np.float64) - self.fn
-        phi = _phi_from_m(y)
+        phi = _phi_from_m(y, self.arc)
         return (self.lon0 + np.degrees(x / self.nu1cos),
                 np.degrees(phi))
 
@@ -510,9 +586,10 @@ class Mollweide:
     Newton solve of 2*theta + sin(2*theta) = pi sin(phi)."""
 
     def __init__(self, lon0: float = 0.0, fe: float = 0.0,
-                 fn: float = 0.0):
+                 fn: float = 0.0, ellipsoid="WGS84"):
         self.lon0 = float(lon0)
         self.fe, self.fn = float(fe), float(fn)
+        self.a, _, _ = _resolve_ellipsoid(ellipsoid)
 
     @staticmethod
     def _theta(phi):
@@ -531,18 +608,159 @@ class Mollweide:
         phi = np.radians(np.asarray(lat, np.float64))
         dlam = np.radians(np.asarray(lon, np.float64) - self.lon0)
         th = self._theta(phi)
-        E = self.fe + (2.0 * np.sqrt(2.0) / np.pi) * A * dlam * np.cos(th)
-        N = self.fn + np.sqrt(2.0) * A * np.sin(th)
+        E = (self.fe
+             + (2.0 * np.sqrt(2.0) / np.pi) * self.a * dlam * np.cos(th))
+        N = self.fn + np.sqrt(2.0) * self.a * np.sin(th)
         return E, N
 
     def inv(self, e, n):
         x = np.asarray(e, np.float64) - self.fe
         y = np.asarray(n, np.float64) - self.fn
-        th = np.arcsin(np.clip(y / (np.sqrt(2.0) * A), -1.0, 1.0))
+        th = np.arcsin(np.clip(y / (np.sqrt(2.0) * self.a), -1.0, 1.0))
         phi = np.arcsin(np.clip(
             (2.0 * th + np.sin(2.0 * th)) / np.pi, -1.0, 1.0))
-        lam = np.pi * x / (2.0 * np.sqrt(2.0) * A * np.cos(th))
+        lam = np.pi * x / (2.0 * np.sqrt(2.0) * self.a * np.cos(th))
         return self.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+class TransverseMercator:
+    """General ellipsoidal Transverse Mercator (EPSG method 9807)
+    via the same Karney/Krueger order-n^6 series as the UTM fast
+    path, with runtime-evaluated coefficients for any ellipsoid and
+    a latitude-of-origin term (FN is offset by the rectifying
+    northing of lat0 on the central meridian, so N(lat0, lon0) = fn
+    exactly) — covers British National Grid (EPSG:27700, Airy 1830),
+    NZTM (EPSG:2193) and the NAD83/ETRS89 UTM zone families the
+    reference resolves through PROJ (ogr/ogrct.cpp:1018)."""
+
+    def __init__(self, lat0: float, lon0: float, k0: float,
+                 fe: float = 0.0, fn: float = 0.0, ellipsoid="WGS84"):
+        a, inv_f = (ELLIPSOIDS[ellipsoid]
+                    if isinstance(ellipsoid, str) else ellipsoid)
+        f = 1.0 / inv_f
+        n3 = f / (2.0 - f)
+        e2 = f * (2.0 - f)
+        e1 = float(np.sqrt(e2))
+        a1k, alpha, beta = _krueger(float(a), n3)
+        self.kr = (a1k, alpha, beta, e1, e2)
+        self.lon0, self.k0 = float(lon0), float(k0)
+        self.fe = float(fe)
+        if lat0 == 0.0:
+            self.fn = float(fn)
+        else:
+            _, n0 = tm_forward(np.float64(lon0), np.float64(lat0),
+                               lon0, k0, 0.0, 0.0, self.kr)
+            self.fn = float(fn) - float(n0)
+
+    def fwd(self, lon, lat):
+        return tm_forward(lon, lat, self.lon0, self.k0, self.fe,
+                          self.fn, self.kr)
+
+    def inv(self, e, n):
+        return tm_inverse(e, n, self.lon0, self.k0, self.fe,
+                          self.fn, self.kr)
+
+
+class LambertAzimuthalEqualArea:
+    """Ellipsoidal Lambert azimuthal equal-area, oblique aspect
+    (EPSG method 9820; Snyder eq. 24-2..24-8 over the authalic
+    sphere, eq. 3-11/3-12/3-16) — the ETRS89-LAEA Europe grid
+    (EPSG:3035) family."""
+
+    def __init__(self, lat0: float, lon0: float, fe: float = 0.0,
+                 fn: float = 0.0, ellipsoid="WGS84"):
+        self.a, self.e1, self.e2 = _resolve_ellipsoid(ellipsoid)
+        self.lon0 = float(lon0)
+        self.fe, self.fn = float(fe), float(fn)
+        self.qp = float(_q_snyder(np.pi / 2.0, self.e1, self.e2))
+        # authalic radius Rq = a sqrt(qp/2) (Snyder eq. 3-13)
+        self.rq = self.a * np.sqrt(self.qp / 2.0)
+        q0 = _q_snyder(np.radians(lat0), self.e1, self.e2)
+        self.beta0 = np.arcsin(np.clip(q0 / self.qp, -1.0, 1.0))
+        self.sb0, self.cb0 = np.sin(self.beta0), np.cos(self.beta0)
+        # D = a m0 / (Rq cos(beta0)) (eq. 24-20)
+        m0 = _m_snyder(np.radians(lat0), self.e2)
+        self.D = self.a * m0 / (self.rq * self.cb0)
+
+    def _beta(self, phi):
+        return np.arcsin(np.clip(
+            _q_snyder(phi, self.e1, self.e2) / self.qp, -1.0, 1.0))
+
+    def fwd(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        b = self._beta(phi)
+        sb, cb = np.sin(b), np.cos(b)
+        denom = 1.0 + self.sb0 * sb + self.cb0 * cb * np.cos(lam)
+        B = self.rq * np.sqrt(2.0 / denom)
+        E = self.fe + B * self.D * cb * np.sin(lam)
+        N = self.fn + (B / self.D) * (self.cb0 * sb
+                                      - self.sb0 * cb * np.cos(lam))
+        return E, N
+
+    def inv(self, e, n):
+        x = (np.asarray(e, np.float64) - self.fe) / self.D
+        y = (np.asarray(n, np.float64) - self.fn) * self.D
+        rho = np.hypot(x, y)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.rq), -1.0, 1.0))
+        sce, cce = np.sin(ce), np.cos(ce)
+        with np.errstate(invalid="ignore"):
+            sb = np.where(rho > 0.0,
+                          cce * self.sb0 + (y * sce * self.cb0
+                                            / np.where(rho > 0.0, rho,
+                                                       1.0)),
+                          self.sb0)
+        q = self.qp * np.clip(sb, -1.0, 1.0)
+        lat = np.degrees(_phi_from_q(q, self.e1, self.e2))
+        lam = np.arctan2(x * sce,
+                         rho * self.cb0 * cce - y * self.sb0 * sce)
+        lon = self.lon0 + np.degrees(
+            np.where(rho > 0.0, lam, 0.0))
+        return lon, lat
+
+
+class CylindricalEqualArea:
+    """Ellipsoidal cylindrical equal-area, normal aspect (EPSG
+    method 9835; Snyder eq. 10-1/10-2 with q of eq. 3-12) — the
+    EASE-Grid 2.0 family (EPSG:6933)."""
+
+    def __init__(self, lat_ts: float, lon0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0, ellipsoid="WGS84"):
+        self.a, self.e1, self.e2 = _resolve_ellipsoid(ellipsoid)
+        self.lon0 = float(lon0)
+        self.fe, self.fn = float(fe), float(fn)
+        pts = np.radians(lat_ts)
+        sts = np.sin(pts)
+        self.k0 = float(np.cos(pts)
+                        / np.sqrt(1.0 - self.e2 * sts * sts))
+
+    def fwd(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        E = self.fe + self.a * self.k0 * lam
+        N = self.fn + self.a * _q_snyder(phi, self.e1, self.e2) / (
+            2.0 * self.k0)
+        return E, N
+
+    def inv(self, e, n):
+        x = np.asarray(e, np.float64) - self.fe
+        y = np.asarray(n, np.float64) - self.fn
+        q = 2.0 * self.k0 * y / self.a
+        lat = np.degrees(_phi_from_q(q, self.e1, self.e2))
+        lon = self.lon0 + np.degrees(x / (self.a * self.k0))
+        return lon, lat
+
+
+class IdentityCRS:
+    """Geographic passthrough (EPSG:4326 and the null-shift datum
+    aliases NAD83/ETRS89): fwd/inv are the identity over (lon, lat)
+    degree arrays."""
+
+    def fwd(self, lon, lat):
+        return (np.asarray(lon, np.float64),
+                np.asarray(lat, np.float64))
+
+    inv = fwd
 
 
 # ------------------------------------------------------- fixture synthesis
@@ -565,6 +783,10 @@ ELLIPSOIDS = {
     "intl1924": (6378388.0, 297.0),       # Hayford / International
     "bessel1841": (6377397.155, 299.1528128),
     "clarke1866": (6378206.4, 294.978698214),
+    # Clarke 1880 (IGN), the NTF / French Lambert ellipsoid (EPSG 7011)
+    "clarke1880ign": (6378249.2, 293.4660212936269),
+    # Airy 1830, the OSGB36 / British National Grid ellipsoid (EPSG 7001)
+    "airy1830": (6377563.396, 299.3249646),
 }
 
 

@@ -2351,6 +2351,7 @@ class _ConicRef:
 
     _A = 6378137.0
     _F = 1.0 / 298.257223563
+    _F_GRS80 = 1.0 / 298.257222101  # NAD83/ETRS89/RGF93 codes
 
     def __init__(self, i: int, w: int, h: int, mode: str):
         f = self._F
@@ -2358,6 +2359,74 @@ class _ConicRef:
         self.e1 = np.sqrt(self.e2)
         self.mode = mode
         self.w, self.h = w, h
+        if mode == "epsg":
+            # EPSG-registry tag: chip i cycles Lambert-93 (2154,
+            # GRS80) / Conus Albers (5070, GRS80) / NSIDC north
+            # (3413, WGS84); georef = synth_epsg restated (dyadic
+            # offsets around the floor-snapped forward of the
+            # registry sample point).
+            code = (2154, 5070, 3413)[i % 3]
+            if code in (2154, 5070):
+                f = self._F_GRS80
+                self.e2 = f * (2.0 - f)
+                self.e1 = np.sqrt(self.e2)
+            dx = (((i * 7) % 64) - 32) * 4096.0
+            dy = (((i * 11) % 64) - 32) * 4096.0
+            if code == 2154:
+                lat1, lat2, lat0, lon0 = 49.0, 44.0, 46.5, 3.0
+                self.fe, self.fn = 700000.0, 6600000.0
+                self.lon0 = lon0
+                p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+                t1, t2, t0 = self._t(p1), self._t(p2), self._t(p0)
+                m1, m2 = self._m(p1), self._m(p2)
+                self.n = (np.log(m1) - np.log(m2)) / (
+                    np.log(t1) - np.log(t2))
+                self.Fc = 1.0 * (m1 / (self.n * t1 ** self.n))
+                self.rho0 = self._A * self.Fc * t0 ** self.n
+                slon, slat = 2.35, 48.85
+                phi = np.radians(np.float64(slat))
+                theta = self.n * np.radians(np.float64(slon) - lon0)
+                rho = self._A * self.Fc * self._t(phi) ** self.n
+                ax = self.fe + rho * np.sin(theta)
+                ay = self.fn + self.rho0 - rho * np.cos(theta)
+                self.mode = "lcc"
+            elif code == 5070:
+                lat1, lat2, lat0, lon0 = 29.5, 45.5, 23.0, -96.0
+                self.fe, self.fn = 0.0, 0.0
+                self.lon0 = lon0
+                p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+                m1, m2 = self._m(p1), self._m(p2)
+                q1, q2, q0 = self._q(p1), self._q(p2), self._q(p0)
+                self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+                self.C = m1 * m1 + self.n * q1
+                self.rho0 = self._A * np.sqrt(
+                    self.C - self.n * q0) / self.n
+                slon, slat = -96.0, 38.0
+                phi = np.radians(np.float64(slat))
+                theta = self.n * np.radians(np.float64(slon) - lon0)
+                rho = self._A * np.sqrt(
+                    self.C - self.n * self._q(phi)) / self.n
+                ax = self.fe + rho * np.sin(theta)
+                ay = self.fn + self.rho0 - rho * np.cos(theta)
+                self.mode = "albers"
+            else:  # 3413 stere north (WGS84)
+                self.fe, self.fn = 0.0, 0.0
+                self.lon0 = -45.0
+                pts = np.radians(70.0)
+                self.mc = self._m(pts)
+                self.tc = self._t(pts)
+                slon, slat = -45.0, 75.0
+                phi = np.radians(np.float64(slat))
+                lam = np.radians(np.float64(slon) - self.lon0)
+                t = self._t(phi)
+                rho = self._A * self.mc * t / self.tc
+                ax = self.fe + rho * np.sin(lam)
+                ay = self.fn + (-rho * np.cos(lam))
+                self.mode = "stere"
+            self.x0 = float(np.floor(float(ax) / 4096.0) * 4096.0) + dx
+            self.y0 = float(np.floor(float(ay) / 4096.0) * 4096.0) + dy
+            self.gsd = 16.0
+            return
         if mode == "lcc":
             lat1, lat2, lat0, lon0 = 49.0, 44.0, 46.5, 3.0
             self.fe, self.fn = 700000.0, 6600000.0
@@ -2812,7 +2881,7 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
         for tag in ("poly1", "poly0", "polyref", "tps", "rpc", "rpc_dem",
                     "geoloc", "utm", "utmchain", "lcc", "albers", "stere",
                     "sinu", "eqc", "moll", "aeqd", "ortho", "gnom",
-                    "ntv2", "sumpres"):
+                    "ntv2", "epsg", "sumpres"):
             if tag == "sumpres":
                 # sum-preserving 3857->4326 warp: banded fractional-
                 # overlap scatter of source pixels (GWKSumPreserving
@@ -2872,8 +2941,8 @@ def q58_gcp_warp(sf_dir: str) -> pd.DataFrame:
                 fwd = ref.chain_fwd_corners
                 inv = ref.chain_inv_grid
             elif tag in ("lcc", "albers", "stere", "sinu", "eqc",
-                         "moll", "aeqd", "ortho",
-                         "gnom"):                 # projected families:
+                         "moll", "aeqd", "ortho", "gnom",
+                         "epsg"):                 # projected families:
                 # projection-inverse corners, forward grid
                 ref = _ConicRef(i, w, h, tag)
                 fwd = ref.fwd_corners

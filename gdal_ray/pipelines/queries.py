@@ -3703,7 +3703,11 @@ def q58_gcp_warp(sf_dir: str):
     transform (the PROJ +nadgrids= horizontal correction the reference
     reaches through ogr/ogrct.cpp:1018; the deterministic fixture grid
     round-trips through a REAL .gsb file via sources.ntv2, base +
-    child subgrid selection, fixed-4 iterative inverse); 'sumpres' =
+    child subgrid selection, fixed-4 iterative inverse); 'epsg' =
+    the static EPSG registry front door (functions.epsg — the
+    importFromEPSG / ogrct.cpp:1018 analog; chip i cycles EPSG:2154
+    Lambert-93 on GRS80 / EPSG:5070 Conus Albers on GRS80 / EPSG:3413
+    polar stereo, resolved from the code string alone); 'sumpres' =
     sum-preserving warp
     (GWKSumPreserving, alg/gdalwarpkernel.cpp:7969 — fractional
     footprint-overlap scatter, global sum conserved in the float
@@ -3798,6 +3802,12 @@ class _WarpSuiteChips:
         # correction path; grid round-tripped through a real .gsb)
         self.ntv = WarpChipsNTv2(resampling="bilinear")
         self.smp = WarpChipsSum()
+        # EPSG-code-resolved CRS (functions.epsg registry — the
+        # importFromEPSG front door); chip i cycles 2154/5070/3413
+        from ..stages.warp import WarpChipsEPSG
+
+        self.epsg = {c: WarpChipsEPSG(epsg=c, resampling="bilinear")
+                     for c in ("EPSG:2154", "EPSG:5070", "EPSG:3413")}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions import checksum, codecs
@@ -3857,6 +3867,9 @@ class _WarpSuiteChips:
                 ("ortho", self.azo._warp_one(img, iid)[0]),
                 ("gnom", self.azg._warp_one(img, iid)[0]),
                 ("ntv2", self.ntv._warp_one(img, iid)[0]),
+                ("epsg", self.epsg[
+                    ("EPSG:2154", "EPSG:5070", "EPSG:3413")[i_img % 3]
+                ]._warp_one(img, iid)[0]),
                 ("sumpres", self.smp._warp_one(img, *env)[0]),
             ):
                 dec = codecs.decode(codecs.encode(out, fmt), w, h, fmt)

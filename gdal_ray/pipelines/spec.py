@@ -341,14 +341,23 @@ def _raster_select(ds, bands, concurrency: int = 4):
 @register_step("raster_reproject")
 def _raster_reproject(ds, dst_srs="EPSG:4326", src_srs="EPSG:3857",
                       resampling="bilinear", concurrency: int = 4):
-    """3857<->4326 closed-form warp, or any projected family via
-    ``src_srs='family:<lcc|albers|stere|sinu|eqc|moll>'`` (dst 4326;
-    per-chip fixture georeferencing, the q58 transformer contract)."""
+    """3857<->4326 closed-form warp, any projected family via
+    ``src_srs='family:<lcc|albers|stere|sinu|eqc|moll|...>'``, or ANY
+    code in the static EPSG registry (``src_srs='EPSG:2154'`` etc. —
+    functions.epsg, the importFromEPSG analog; dst 4326; per-chip
+    fixture georeferencing, the q58 transformer contract)."""
     if src_srs.startswith("family:"):
         from ..stages.warp import warp_images_projfam
 
         return warp_images_projfam(ds, src_srs.split(":", 1)[1],
                                    resampling, concurrency=concurrency)
+    if src_srs not in ("EPSG:3857", "EPSG:4326"):
+        from ..functions.epsg import resolve_epsg
+        from ..stages.warp import warp_images_epsg
+
+        resolve_epsg(src_srs)  # loud unknown-code error up front
+        return warp_images_epsg(ds, src_srs, resampling,
+                                concurrency=concurrency)
     from ..stages.warp import warp_images
 
     return warp_images(ds, src_srs, dst_srs, resampling, concurrency=concurrency)
@@ -906,13 +915,21 @@ def _vector_explode_collections(ds, offset_x: float = 0.0):
 def _vector_reproject(ds, src_srs: str = "EPSG:3857"):
     """3857->4326 by default; ``src_srs='family:<name>'`` routes
     through the projected-family closed forms (geomops
-    reproject_family_batch)."""
+    reproject_family_batch); any other ``EPSG:NNNN`` resolves through
+    the static registry (functions.epsg importFromEPSG analog)."""
     if src_srs.startswith("family:"):
         from ..stages.geomops import reproject_family_batch
 
         return ds.map_batches(
             reproject_family_batch(src_srs.split(":", 1)[1]),
             batch_format="pyarrow")
+    if src_srs not in ("EPSG:3857",):
+        from ..functions.epsg import resolve_epsg
+        from ..stages.geomops import reproject_epsg_batch
+
+        resolve_epsg(src_srs)  # loud unknown-code error up front
+        return ds.map_batches(reproject_epsg_batch(src_srs),
+                              batch_format="pyarrow")
     from ..stages.geomops import reproject_batch
 
     return ds.map_batches(reproject_batch, batch_format="pyarrow")
@@ -1215,3 +1232,22 @@ def _raster_zonal_stats(ds, zones_path: str, zoom: int = 10):
     from ..stages.zonal import zonal_statistics
 
     return zonal_statistics(ds, _read_ds(zones_path), zoom=zoom)
+
+@register_step("mvt_tiles")
+def _mvt_tiles(ds, zoom: int = 5, layer: str = "layer",
+               buffer_px: int = 64):
+    """Polygon layer -> MVT protobuf tiles (the OGR MVT writer,
+    ogrmvtdataset.cpp:3323): groupby tile cell, per-tile encode."""
+    from ..stages.mvt import write_mvt_tiles
+
+    return write_mvt_tiles(ds, zoom=zoom, layer_name=layer,
+                           buffer_px=buffer_px)
+
+
+@register_step("mvt_read")
+def _mvt_read(ds, layer: str | None = None):
+    """MVT tiles (z, x, y, mvt_bytes) -> world-coordinate WKB feature
+    rows (the OGR MVT reader half, ogrmvtdataset.cpp open/read)."""
+    from ..stages.mvt import read_mvt_features
+
+    return read_mvt_features(ds, layer=layer)

@@ -142,6 +142,7 @@ def write_cog(
     compress: str = "deflate",
     overview_min: int = 128,
     max_overviews: int = 8,
+    quality: int = 90,
 ) -> dict:
     """Write one COG.  img: (h, w) or (h, w, bands) uint8/float32;
     envelope: (minx, miny, maxx, maxy) in EPSG:3857.  Returns layout
@@ -160,12 +161,16 @@ def write_cog(
         bps, sfmt = 32, 3
     else:
         raise ValueError("dtype must be uint8 or float32")
-    if compress not in ("deflate", "none", "webp", "lzw"):
-        raise ValueError("compress must be deflate|none|webp|lzw")
+    if compress not in ("deflate", "none", "webp", "lzw", "jpeg"):
+        raise ValueError("compress must be deflate|none|webp|lzw|jpeg")
     if compress == "webp" and (nb != 3 or img.dtype != np.uint8):
         raise ValueError(
             "compress='webp' requires uint8 3-band imagery (the GDAL "
             "GTiff WEBP restriction: PHOTOMETRIC RGB, Byte)")
+    if compress == "jpeg" and img.dtype != np.uint8:
+        raise ValueError(
+            "compress='jpeg' requires uint8 samples (the GDAL GTiff "
+            "JPEG restriction: Byte, 1 or 3 bands)")
 
     # overview pyramid: halve until max dim < overview_min
     levels = [img]
@@ -218,6 +223,15 @@ def write_cog(
                 from ..functions.webp import encode_webp
 
                 enc = encode_webp(tile, use_lz77=False)
+            elif compress == "jpeg":
+                # TIFF 6.0 TechNote 2 new-style JPEG (COMPRESSION=7):
+                # each tile is one complete baseline JFIF stream
+                # (frmts/gtiff JPEG codec path via libjpeg)
+                from ..functions.jpegc import (encode_jpeg,
+                                               encode_jpeg_gray)
+
+                enc = (encode_jpeg(tile, quality) if nb == 3
+                       else encode_jpeg_gray(tile, quality))
             elif compress == "lzw":
                 from ..functions.lzw import lzw_encode
 
@@ -236,7 +250,7 @@ def write_cog(
 
     # ---- render IFD tables
     comp_id = {"deflate": 8, "none": 1, "webp": 50001,
-               "lzw": 5}[compress]
+               "lzw": 5, "jpeg": 7}[compress]
 
     def pack_entry(tag, typ, count, value_or_offset) -> bytes:
         if typ == _TYPE_SHORT and count == 1:
@@ -273,8 +287,10 @@ def write_cog(
         else:
             entries.append(pack_entry(_T_BITSPERSAMPLE, _TYPE_SHORT, 1, bps))
         entries.append(pack_entry(_T_COMPRESSION, _TYPE_SHORT, 1, comp_id))
+        photometric = (6 if (compress == "jpeg" and nb == 3)
+                       else (2 if nb == 3 else 1))
         entries.append(
-            pack_entry(_T_PHOTOMETRIC, _TYPE_SHORT, 1, 2 if nb == 3 else 1)
+            pack_entry(_T_PHOTOMETRIC, _TYPE_SHORT, 1, photometric)
         )
         entries.append(pack_entry(_T_SAMPLESPERPIXEL, _TYPE_SHORT, 1, nb))
         entries.append(pack_entry(_T_PLANARCONFIG, _TYPE_SHORT, 1, 1))
@@ -456,10 +472,11 @@ def read_cog(path: str, level: int = 0) -> dict:
     planar = gv(_T_PLANARCONFIG, 1)
     sfmt = gv(_T_SAMPLEFORMAT, 1)
     bps = gv(_T_BITSPERSAMPLE, 8)
-    if comp not in (1, 5, 8, 50001):
+    if comp not in (1, 5, 7, 8, 50001):
         raise ValueError(f"unsupported compression {comp}")
-    if comp == 50001 and pred == 2:
-        raise ValueError("WEBP compression cannot combine with predictor=2")
+    if comp in (7, 50001) and pred == 2:
+        raise ValueError(
+            "JPEG/WEBP compression cannot combine with predictor=2")
     if pred not in (1, 2):
         raise ValueError(f"unsupported predictor {pred}")
     if planar not in (1, 2):
@@ -503,6 +520,13 @@ def read_cog(path: str, level: int = 0) -> dict:
                     raise ValueError(
                         "WEBP tiles require chunky 3-band layout")
                 tile = np.ascontiguousarray(decode_webp(enc)[:, :, :3])
+            elif comp == 7:
+                from ..functions.jpegc import decode_jpeg
+
+                if sep:
+                    raise ValueError(
+                        "JPEG tiles require chunky layout")
+                tile = decode_jpeg(enc)
             else:
                 if comp == 8:
                     raw = zlib.decompress(enc)
@@ -530,6 +554,13 @@ def read_cog(path: str, level: int = 0) -> dict:
             y0 = (si % per_band if sep else si) * rps
             rows = min(rps, h - y0)
             enc = buf[o : o + c]
+            if comp == 7:
+                from ..functions.jpegc import decode_jpeg
+
+                if sep:
+                    raise ValueError("JPEG strips require chunky layout")
+                _paste(decode_jpeg(enc), y0, 0, None)
+                continue
             if comp == 8:
                 raw = zlib.decompress(enc)
             elif comp == 5:
@@ -606,6 +637,7 @@ def write_tiff(
     predictor: int = 1,
     bigtiff: bool = False,
     planar: int = 1,
+    quality: int = 90,
 ) -> dict:
     """Plain strip-layout TIFF writer: classic or BigTIFF offsets,
     optional predictor=2 horizontal differencing (integer samples,
@@ -631,9 +663,16 @@ def write_tiff(
         bps, sfmt = 32, 3
     else:
         raise ValueError("dtype must be uint8, uint16 or float32")
-    if compress not in ("deflate", "none", "lzw"):
-        raise ValueError("compress must be deflate|none|lzw "
+    if compress not in ("deflate", "none", "lzw", "jpeg"):
+        raise ValueError("compress must be deflate|none|lzw|jpeg "
                          "(WEBP is tile-only — use write_cog)")
+    if compress == "jpeg":
+        if img.dtype != np.uint8:
+            raise ValueError("compress='jpeg' requires uint8 samples")
+        if predictor == 2:
+            raise ValueError("JPEG cannot combine with predictor=2")
+        if planar == 2:
+            raise ValueError("JPEG strips require chunky layout")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1|2")
     if predictor == 2 and img.dtype == np.float32:
@@ -655,6 +694,13 @@ def write_tiff(
                 d = sub.copy()
                 d[:, 1:] = sub[:, 1:] - sub[:, :-1]  # wraps mod 2^bits
                 sub = d
+            if compress == "jpeg":
+                from ..functions.jpegc import (encode_jpeg,
+                                               encode_jpeg_gray)
+
+                strips.append(encode_jpeg(sub, quality) if nb == 3
+                              else encode_jpeg_gray(sub, quality))
+                continue
             raw = np.ascontiguousarray(sub).tobytes()
             if compress == "deflate":
                 strips.append(zlib.compress(raw, 6))
@@ -672,8 +718,10 @@ def write_tiff(
         (_T_LENGTH, _TYPE_LONG, [h]),
         (_T_BITSPERSAMPLE, _TYPE_SHORT, [bps] * nb),
         (_T_COMPRESSION, _TYPE_SHORT,
-         [{"deflate": 8, "lzw": 5, "none": 1}[compress]]),
-        (_T_PHOTOMETRIC, _TYPE_SHORT, [2 if nb == 3 else 1]),
+         [{"deflate": 8, "lzw": 5, "none": 1, "jpeg": 7}[compress]]),
+        (_T_PHOTOMETRIC, _TYPE_SHORT,
+         [6 if (compress == "jpeg" and nb == 3)
+          else (2 if nb == 3 else 1)]),
         (_T_SAMPLESPERPIXEL, _TYPE_SHORT, [nb]),
         (_T_ROWSPERSTRIP, _TYPE_LONG, [rows_per_strip]),
         (_T_STRIPBYTECOUNTS, _TYPE_LONG, [len(s) for s in strips]),

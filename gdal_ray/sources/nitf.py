@@ -15,7 +15,10 @@ the uncompressed interchange core:
   maxrow,0 order), or ``ICORDS=' '`` for none;
 - multiple image segments per file; image comments.
 
-Compressed IC codes (C3/C8 = JPEG/J2K) are out of scope and rejected
+IC=C3 (baseline JPEG, MIL-STD-188-198A) reads and writes through the
+in-engine T.81 codec (functions.jpegc): one complete JPEG stream per
+block, MONO 1-component or RGB 3-component (IMODE=P).  Remaining
+compressed IC codes (C8 = J2K, M* masked) are rejected
 explicitly.
 """
 
@@ -148,6 +151,13 @@ def write_nitf(path: str, images: list[dict], *,
             raise ValueError(f"IMODE {imode!r} unsupported (B / P)")
         nppbh = int(im.get("nppbh", 256))
         nppbv = int(im.get("nppbv", 256))
+        ic = im.get("ic", "NC")
+        if ic not in ("NC", "C3"):
+            raise ValueError(f"IC {ic!r} unsupported (NC / C3)")
+        if ic == "C3" and irep == "RGB" and imode != "P":
+            # MIL-STD-188-198A: a 3-band JPEG block is one interleaved
+            # 3-component stream — band-sequential C3 RGB undefined
+            raise ValueError("IC=C3 RGB requires IMODE=P")
         planes = [_blocks(b, nppbh, nppbv) for b in bands]
         nbpr, nbpc, _ = planes[0]
         chunks = []
@@ -156,7 +166,20 @@ def write_nitf(path: str, images: list[dict], *,
                 r0, c0 = bj * nppbv, bi * nppbh
                 blocks = [p[2][r0:r0 + nppbv, c0:c0 + nppbh]
                           for p in planes]
-                if imode == "B":
+                if ic == "C3":
+                    # one complete baseline-JPEG stream per block
+                    # (frmts/nitf JPEG path; streams concatenate with
+                    # no offset table for mask-less C3)
+                    from ..functions.jpegc import (encode_jpeg,
+                                                   encode_jpeg_gray)
+
+                    q = int(im.get("quality", 90))
+                    if irep == "MONO":
+                        chunks.append(encode_jpeg_gray(blocks[0], q))
+                    else:
+                        chunks.append(encode_jpeg(
+                            np.stack(blocks, axis=-1), q))
+                elif imode == "B":
                     for blk in blocks:  # band-sequential inside block
                         chunks.append(blk.tobytes())
                 else:  # P: pixel interleaved inside block
@@ -185,7 +208,11 @@ def write_nitf(path: str, images: list[dict], *,
         sub += _n(len(icom), 1)
         for c in icom:
             sub += _a(c, 80)
-        sub += _a("NC", 2)                    # IC: uncompressed
+        sub += _a(ic, 2)                      # IC (NC / C3)
+        if ic == "C3":
+            # COMRAT: achieved bits per pixel per band, NN.N
+            bpp = 8.0 * len(data) / (rows * cols * len(bands))
+            sub += _a(f"{min(bpp, 99.9):04.1f}", 4)
         sub += _n(len(bands), 1)              # NBANDS
         for bi, _b in enumerate(bands):
             rep = "M " if irep == "MONO" else ("R", "G", "B")[bi] + " "
@@ -279,10 +306,14 @@ def _parse_image_subheader(buf: bytes, pos: int):
                  for i in range(nicom)]
     p += nicom * 80
     ic = buf[p:p + 2].decode()
-    if ic != "NC":
+    if ic not in ("NC", "C3"):
         raise ValueError(f"NITF: compression {ic!r} unsupported "
-                         "(only NC)")
+                         "(NC / C3)")
     p += 2
+    m["ic"] = ic
+    if ic == "C3":
+        m["comrat"] = buf[p:p + 4].decode().strip()
+        p += 4
     nbands = int(buf[p:p + 1])
     p += 1 + nbands * 13                       # band descriptors
     p += 1                                     # ISYNC
@@ -349,10 +380,12 @@ def read_nitf(path: str) -> list[dict]:
                 f"NITF: subheader length {dpos} != LISH {lish[k]}")
         if m["nbpp"] != 8 or m["pvtype"] != "INT":
             raise ValueError("NITF: only 8-bit INT samples supported")
-        expect = (m["nbpr"] * m["nbpc"] * m["nppbh"] * m["nppbv"]
-                  * m["nbands"])
-        if expect != li[k]:
-            raise ValueError(f"NITF: block data {expect} != LI {li[k]}")
+        if m.get("ic") != "C3":
+            expect = (m["nbpr"] * m["nbpc"] * m["nppbh"] * m["nppbv"]
+                      * m["nbands"])
+            if expect != li[k]:
+                raise ValueError(
+                    f"NITF: block data {expect} != LI {li[k]}")
         m["values"] = _decode_segment(seg, m, dpos)
         out.append(m)
         pos += lish[k] + li[k]
@@ -430,6 +463,32 @@ def _decode_segment(seg: bytes, m: dict, dpos: int) -> np.ndarray:
     nppbh, nppbv = m["nppbh"], m["nppbv"]
     nbpr, nbpc = m["nbpr"], m["nbpc"]
     full = np.zeros((nbands, nbpc * nppbv, nbpr * nppbh), np.uint8)
+    if m.get("ic") == "C3":
+        # each block is one complete baseline-JPEG stream (MONO 1-comp
+        # or RGB 3-comp interleaved), concatenated in block-raster
+        # order with no offset table (mask-less C3)
+        from ..functions.jpegc import decode_jpeg, split_jpeg_streams
+
+        streams = split_jpeg_streams(seg[dpos:])
+        if len(streams) != nbpr * nbpc:
+            raise ValueError(
+                f"NITF C3: {len(streams)} JPEG streams for "
+                f"{nbpr * nbpc} blocks")
+        k = 0
+        for bj in range(nbpc):
+            for bi in range(nbpr):
+                blk = decode_jpeg(streams[k])
+                k += 1
+                r0, c0 = bj * nppbv, bi * nppbh
+                if nbands == 1:
+                    full[0, r0:r0 + nppbv, c0:c0 + nppbh] = blk
+                else:
+                    for b in range(nbands):
+                        full[b, r0:r0 + nppbv,
+                             c0:c0 + nppbh] = blk[:, :, b]
+        vals = full[:, :rows, :cols]
+        return (vals[0] if nbands == 1
+                else np.ascontiguousarray(np.moveaxis(vals, 0, -1)))
     q = dpos
     bsz = nppbh * nppbv
     for bj in range(nbpc):

@@ -817,6 +817,37 @@ def reproject_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def reproject_epsg_batch(code):
+    """gdal vector reproject from ANY registered EPSG CRS (the
+    ogrct.cpp importFromEPSG front door, functions.epsg): ring
+    coordinates treated as CRS coordinates -> EPSG:4326 degrees via
+    the resolver's inverse.  Same output contract as
+    reproject_batch."""
+    from ..functions.epsg import resolve_epsg
+
+    prj = resolve_epsg(code)
+
+    def fn(t: pa.Table) -> pa.Table:
+        fid, rings = _rings_from_table(t)
+        out_f, out_n, out_lon, out_lat = [], [], [], []
+        for i, r in enumerate(rings):
+            lon, lat = prj.inv(r[:, 0], r[:, 1])
+            out_f.append(int(fid[i]))
+            out_n.append(len(r))
+            out_lon.append(math.fsum(np.atleast_1d(lon)))
+            out_lat.append(math.fsum(np.atleast_1d(lat)))
+        return pa.table(
+            {
+                "fid": pa.array(out_f, pa.int64()),
+                "n_pts": pa.array(out_n, pa.int64()),
+                "lon_fsum": pa.array(out_lon, pa.float64()),
+                "lat_fsum": pa.array(out_lat, pa.float64()),
+            }
+        )
+
+    return fn
+
+
 def reproject_family_batch(family: str):
     """gdal vector reproject through an arbitrary projected family
     (the ogrct.cpp path for non-WebMercator source CRS): ring

@@ -267,3 +267,108 @@ def write_mvt_layers(
         )
 
     return both.groupby("cell").map_groups(encode_group, batch_format="pyarrow")
+
+
+def read_mvt_features(tiles, layer: str | None = None):
+    """MVT READER (the open/read half of the reference's MVT driver,
+    ogr/ogrsf_frmts/mvt/ogrmvtdataset.cpp): rows of (z, x, y,
+    mvt_bytes) -> one row per feature with world-coordinate (3857)
+    WKB geometry.
+
+    Tile-local integer coordinates invert the writer's quantization:
+    X = minx + ix/extent*size, Y = maxy - iy/extent*size (y axis
+    flipped back).  Points emit POINT/the first part; linestrings
+    emit LINESTRING per part (one row per part, part index in
+    ``part``); polygons reassemble rings into POLYGON (exterior =
+    CW-in-tile-space ring per the MVT winding rule, interiors
+    attached) — matching OGRMVTLayer's geometry reconstruction.
+    Output: z, x, y, layer, fid, gtype, part, wkb, tags (JSON).
+
+    Distributed: plain map_batches over tile rows — each tile decodes
+    independently (the driver's per-tile open), no shuffle.
+    """
+    import json
+
+    from ..functions import geom, mvt as mvtc
+
+    def _ring_area2(pts: np.ndarray) -> float:
+        x, y = pts[:, 0], pts[:, 1]
+        return float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("z", "x", "y", "layer", "fid", "gtype",
+                               "part", "wkb", "tags")}
+        zs = t.column("z").to_pylist()
+        xs = t.column("x").to_pylist()
+        ys = t.column("y").to_pylist()
+        bl = t.column("mvt_bytes").to_pylist()
+        for r in range(t.num_rows):
+            z, tx, ty = int(zs[r]), int(xs[r]), int(ys[r])
+            minx, miny, maxx, maxy = mercator.tile_bounds(tx, ty, z)
+            size = maxx - minx
+            layers = mvtc.decode_tile(bl[r])
+            for lname, lay in layers.items():
+                if layer is not None and lname != layer:
+                    continue
+                ext = float(lay["extent"])
+
+                def to_world(pts_i: np.ndarray) -> np.ndarray:
+                    w = np.empty((len(pts_i), 2), np.float64)
+                    w[:, 0] = minx + pts_i[:, 0] / ext * size
+                    w[:, 1] = maxy - pts_i[:, 1] / ext * size
+                    return w
+
+                for f in lay["features"]:
+                    gt = f["type"]
+                    tags = json.dumps(f.get("tags", {}), sort_keys=True)
+
+                    def emit(part_idx, wkb):
+                        out["z"].append(z)
+                        out["x"].append(tx)
+                        out["y"].append(ty)
+                        out["layer"].append(lname)
+                        out["fid"].append(-1 if f["id"] is None
+                                          else int(f["id"]))
+                        out["gtype"].append(int(gt))
+                        out["part"].append(part_idx)
+                        out["wkb"].append(wkb)
+                        out["tags"].append(tags)
+
+                    if gt == mvtc.GEOM_POINT:
+                        for pi, part in enumerate(f["parts"]):
+                            w = to_world(part)
+                            for j in range(len(w)):
+                                emit(pi, geom.wkb_point(w[j, 0], w[j, 1]))
+                    elif gt == mvtc.GEOM_LINESTRING:
+                        for pi, part in enumerate(f["parts"]):
+                            if len(part) >= 2:
+                                emit(pi, geom.wkb_linestring(to_world(part)))
+                    else:  # POLYGON: exterior starts a new polygon at
+                        # each positive-area (tile-space CW) ring
+                        polys: list[list[np.ndarray]] = []
+                        for part in f["parts"]:
+                            ring = part
+                            if len(ring) < 4:
+                                continue
+                            w = to_world(ring)
+                            # tile-space y is flipped, so the MVT
+                            # CW-exterior rule is area2 > 0 on ints
+                            if _ring_area2(ring[:-1].astype(np.float64)) > 0                                     or not polys:
+                                polys.append([w])
+                            else:
+                                polys[-1].append(w)
+                        for pi, rings in enumerate(polys):
+                            emit(pi, geom.wkb_polygon(rings))
+        return pa.table({
+            "z": pa.array(out["z"], pa.int32()),
+            "x": pa.array(out["x"], pa.int32()),
+            "y": pa.array(out["y"], pa.int32()),
+            "layer": pa.array(out["layer"], pa.string()),
+            "fid": pa.array(out["fid"], pa.int64()),
+            "gtype": pa.array(out["gtype"], pa.int32()),
+            "part": pa.array(out["part"], pa.int32()),
+            "wkb": pa.array(out["wkb"], pa.binary()),
+            "tags": pa.array(out["tags"], pa.string()),
+        })
+
+    return tiles.map_batches(fn, batch_format="pyarrow")

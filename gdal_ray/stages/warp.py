@@ -849,6 +849,38 @@ class WarpChipsGnom(WarpChipsProjFam):
     FAMILY = "gnom"
 
 
+class WarpChipsEPSG(WarpChipsProjFam):
+    """Actor-pool stage: warp each chip from ANY CRS in the engine's
+    static EPSG registry (functions.epsg — the PROJ-database front
+    door the reference reaches through ogr/ogrct.cpp:1018
+    OGRCreateCoordinateTransformation / importFromEPSG) to EPSG:4326.
+    Same full-2-D inverse-mapped grid spec as WarpChipsProjFam; chip
+    georeferencing comes from the deterministic synth_epsg fixture
+    (dyadic offsets around the code's registry sample point).  The
+    resolver and projection object are built once per actor."""
+
+    def __init__(self, epsg="EPSG:2154", resampling: str = "bilinear"):
+        WarpChipsRPC.__init__(self, resampling)
+        from ..functions.epsg import resolve_epsg, synth_epsg
+
+        self.epsg = epsg
+        self.prj = resolve_epsg(epsg)
+        self.synth = lambda i: synth_epsg(epsg, i)
+
+
+def warp_images_epsg(images, epsg, resampling: str = "bilinear",
+                     concurrency=4, batch_size: int = 64):
+    """EPSG-code-resolved warp over an images Dataset (actor pool):
+    ``epsg`` is any code in functions.epsg's registry."""
+    return images.map_batches(
+        WarpChipsEPSG,
+        fn_constructor_kwargs=dict(epsg=epsg, resampling=resampling),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def warp_images_projfam(images, family: str, resampling: str = "bilinear",
                         concurrency=4, batch_size: int = 64):
     """Projected-CRS-family warp over an images Dataset (actor pool).

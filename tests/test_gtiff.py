@@ -5,9 +5,12 @@ import pytest
 
 from gdal_ray.sources.gtiff import (
     _downsample2x,
+    _parse_ifds,
+    _tag_values,
     read_cog,
     validate_cog_layout,
     write_cog,
+    write_tiff,
 )
 
 
@@ -268,3 +271,80 @@ def test_cog_webp_compression_round_trip(tmp_path):
     with pytest.raises(ValueError, match="uint8 3-band"):
         write_cog(str(tmp_path / "f.tif"),
                   img.astype(np.float32), compress="webp")
+
+
+# ------------------------------------------- JPEG-in-TIFF (COMPRESSION=7)
+
+
+def _smoothj(h, w):
+    x = np.linspace(0.0, 6.0, w)
+    y = np.linspace(0.0, 4.0, h)
+    return (np.sin(x)[None, :] * np.cos(y)[:, None] * 100.0 + 128.0)
+
+
+def _psnrj(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+def test_jpeg_cog_tiles_roundtrip(tmp_path):
+    """COMPRESSION=7 (TIFF 6.0 TechNote 2 new-style JPEG): one
+    complete baseline JFIF stream per tile through the in-engine T.81
+    codec; PHOTOMETRIC=YCbCr (6) per the GDAL/libtiff RGB-JPEG
+    convention; PSNR >= 40 round trip incl. overview levels."""
+    base = _smoothj(420, 700)
+    rgb = np.stack([base, base * 0.8 + 20.0, 255.0 - base],
+                   axis=-1).clip(0, 255).astype(np.uint8)
+    p = str(tmp_path / "j.tif")
+    st = write_cog(p, rgb, envelope=(0.0, 0.0, 700.0, 420.0),
+                   compress="jpeg", quality=90)
+    r = read_cog(p)
+    assert r["img"].shape == rgb.shape
+    assert _psnrj(r["img"], rgb) >= 40.0
+    assert st["levels"] >= 2
+    ov = read_cog(p, level=1)["img"]
+    assert ov.shape[:2] == (210, 350)
+    # tag anchors: COMPRESSION=7, PHOTOMETRIC=6, tile data starts SOI
+    buf = open(p, "rb").read()
+    ifds, big, _ = _parse_ifds(buf)
+    comp = _tag_values(buf, ifds[0], 259, big)[0]
+    photo = _tag_values(buf, ifds[0], 262, big)[0]
+    assert comp == 7 and photo == 6
+    off = _tag_values(buf, ifds[0], 324, big)[0]
+    assert buf[off:off + 2] == b"\xff\xd8"
+
+
+def test_jpeg_tiff_strips_and_mono(tmp_path):
+    base = _smoothj(200, 260)
+    mono = base.clip(0, 255).astype(np.uint8)
+    p = str(tmp_path / "jm.tif")
+    write_tiff(p, mono, compress="jpeg", rows_per_strip=64)
+    r = read_cog(p)
+    assert r["img"].shape == mono.shape
+    assert _psnrj(r["img"], mono) >= 40.0
+    buf = open(p, "rb").read()
+    ifds, big, _ = _parse_ifds(buf)
+    assert _tag_values(buf, ifds[0], 262, big)[0] == 1  # mono stays 1
+
+
+def test_jpeg_model_exact_interior_tile(tmp_path):
+    """Decoded interior tile equals the codec's jpeg_model (Huffman is
+    lossless) — the oracle contract carried into the container."""
+    from gdal_ray.functions.jpegc import jpeg_model
+
+    base = _smoothj(256, 256)
+    rgb = np.stack([base, base, base], axis=-1).clip(0, 255).astype(np.uint8)
+    p = str(tmp_path / "je.tif")
+    write_cog(p, rgb, compress="jpeg", quality=90, overview_min=1024)
+    dec = read_cog(p)["img"]
+    assert np.array_equal(dec, np.asarray(jpeg_model(rgb, 90)))
+
+
+def test_jpeg_guards(tmp_path):
+    f32 = np.zeros((32, 32), np.float32)
+    with pytest.raises(ValueError, match="uint8"):
+        write_cog(str(tmp_path / "x.tif"), f32, compress="jpeg")
+    u8 = np.zeros((32, 32), np.uint8)
+    with pytest.raises(ValueError, match="predictor"):
+        write_tiff(str(tmp_path / "x.tif"), u8, compress="jpeg",
+                   predictor=2)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import ray.data as rd
 
 from gdal_ray.functions import mvt
 from gdal_ray.stages.pansharpen import brovey_pansharpen, nearblack_mask
@@ -217,3 +218,146 @@ def test_los_fan_engine_matches_golden():
     for _ in range(6):
         elev = rng.integers(0, 40, (33, 47)).astype(np.float64)
         assert los_ray_suite(elev) == _los_fan_ref(elev)
+
+
+# ----------------------------------------------------- MVT reader
+# (the open/read half of ogr/ogrsf_frmts/mvt/ogrmvtdataset.cpp)
+
+
+def _poly_layer_ds(n=12, seed=42):
+    from gdal_ray.functions import geom
+
+    rng = np.random.default_rng(seed)
+    rows = {"fid": [], "wkb": [], "minx": [], "miny": [],
+            "maxx": [], "maxy": []}
+    for i in range(n):
+        cx, cy = rng.uniform(-2e6, 2e6, 2)
+        r = rng.uniform(2e4, 3e5)
+        ang = np.linspace(0.0, 2.0 * np.pi, 9)[:-1]
+        ring = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)],
+                        axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        rows["fid"].append(i)
+        rows["wkb"].append(geom.wkb_polygon([ring]))
+        rows["minx"].append(ring[:, 0].min())
+        rows["maxx"].append(ring[:, 0].max())
+        rows["miny"].append(ring[:, 1].min())
+        rows["maxy"].append(ring[:, 1].max())
+    return rd.from_arrow(pa.table(rows))
+
+
+def test_mvt_reader_int_exact_inversion(ray_session):
+    """write -> read -> re-quantize returns the EXACT tile integers
+    for every ring (the reader inverts the writer's quantization
+    bijectively on the lattice)."""
+    from gdal_ray.functions import geom, mercator
+    from gdal_ray.functions import mvt as mvtc
+    from gdal_ray.stages.mvt import read_mvt_features, write_mvt_tiles
+
+    tiles = write_mvt_tiles(_poly_layer_ds(), zoom=5).take_all()
+    feat = read_mvt_features(rd.from_items(tiles)).take_all()
+    assert len(feat) > 0
+    n_ok = n_tot = 0
+    for trow in tiles:
+        z, tx, ty = trow["z"], trow["x"], trow["y"]
+        minx, miny, maxx, maxy = mercator.tile_bounds(tx, ty, z)
+        size = maxx - minx
+        lay = mvtc.decode_tile(trow["mvt_bytes"])["layer"]
+        ext = lay["extent"]
+        raw = [p for f in lay["features"] for p in f["parts"]]
+        rings = []
+        for r in feat:
+            if (r["z"], r["x"], r["y"]) != (z, tx, ty):
+                continue
+            for rr in geom.polygon_rings(geom.parse_wkb(r["wkb"])):
+                rings.extend(rr)
+        for ring in rings:
+            ix = np.round((ring[:, 0] - minx) / size * ext).astype(np.int64)
+            iy = np.round((maxy - ring[:, 1]) / size * ext).astype(np.int64)
+            cand = np.stack([ix, iy], axis=1)
+            n_tot += 1
+            n_ok += any(len(p) == len(cand) and (p == cand).all()
+                        for p in raw)
+    assert n_tot > 0 and n_ok == n_tot
+
+
+def test_mvt_reader_feature_count_and_tags(ray_session):
+    from gdal_ray.stages.mvt import read_mvt_features, write_mvt_tiles
+    import json
+
+    tiles = write_mvt_tiles(_poly_layer_ds(), zoom=5)
+    n_written = sum(r["n_features"] for r in tiles.take_all())
+    feat = read_mvt_features(tiles).take_all()
+    # one row per polygon part; >= one per written feature
+    assert len(feat) >= n_written
+    for r in feat:
+        tags = json.loads(r["tags"])
+        assert tags["fid"] == r["fid"]
+        assert r["layer"] == "layer"
+        assert r["gtype"] == 3
+
+
+def test_mvt_reader_point_and_line_types(ray_session):
+    """Hand-encoded tile with POINT and LINESTRING features decodes to
+    world-coordinate WKB of the right types."""
+    from gdal_ray.functions import geom, mercator
+    from gdal_ray.functions import mvt as mvtc
+    from gdal_ray.stages.mvt import read_mvt_features
+
+    z, tx, ty = 3, 2, 5
+    feats = [
+        {"id": 1, "type": mvtc.GEOM_POINT,
+         "parts": [np.array([[100, 200]], np.int64)], "tags": {"k": "pt"}},
+        {"id": 2, "type": mvtc.GEOM_LINESTRING,
+         "parts": [np.array([[0, 0], [512, 256], [1024, 256]], np.int64)],
+         "tags": {"k": "ln"}},
+    ]
+    data = mvtc.encode_tile("roads", feats, extent=4096)
+    ds = rd.from_items([{"z": z, "x": tx, "y": ty, "mvt_bytes": data}])
+    rows = read_mvt_features(ds).take_all()
+    by_id = {r["fid"]: r for r in rows}
+    assert by_id[1]["gtype"] == 1 and by_id[2]["gtype"] == 2
+    minx, miny, maxx, maxy = mercator.tile_bounds(tx, ty, z)
+    size = maxx - minx
+    g = geom.parse_wkb(by_id[1]["wkb"])
+    px, py = g["coords"][0] if isinstance(g, dict) and "coords" in g else (None, None)
+    # point at (100, 200)/4096 of the tile
+    exp_x = minx + 100 / 4096 * size
+    exp_y = maxy - 200 / 4096 * size
+    wkb = by_id[1]["wkb"]
+    import struct
+    x, y = struct.unpack_from("<2d", wkb, 5)
+    assert abs(x - exp_x) < 1e-6 and abs(y - exp_y) < 1e-6
+    # layer filter
+    assert read_mvt_features(ds, layer="other").take_all() == []
+
+
+def test_mvt_reader_polygon_hole_grouping(ray_session):
+    """Exterior (positive-shoelace in tile ints) followed by a
+    negative-area interior ring reassembles into ONE polygon with an
+    interior ring (the MVT 2.1 winding rule)."""
+    from gdal_ray.functions import geom
+    from gdal_ray.functions import mvt as mvtc
+    from gdal_ray.stages.mvt import read_mvt_features
+
+    # y-down tile coords: CW on screen = positive shoelace
+    ext_ring = np.array([[0, 0], [0, 1000], [1000, 1000], [1000, 0],
+                         [0, 0]], np.int64)
+    if (np.dot(ext_ring[:-1, 0], np.roll(ext_ring[:-1, 1], -1))
+            - np.dot(ext_ring[:-1, 1], np.roll(ext_ring[:-1, 0], -1))) < 0:
+        ext_ring = ext_ring[::-1]
+    hole = np.array([[200, 200], [600, 200], [600, 600], [200, 600],
+                     [200, 200]], np.int64)
+    if (np.dot(hole[:-1, 0], np.roll(hole[:-1, 1], -1))
+            - np.dot(hole[:-1, 1], np.roll(hole[:-1, 0], -1))) > 0:
+        hole = hole[::-1]
+    feats = [{"id": 7, "type": mvtc.GEOM_POLYGON,
+              "parts": [ext_ring, hole], "tags": {}}]
+    data = mvtc.encode_tile("layer", feats, extent=4096)
+    ds = rd.from_items([{"z": 2, "x": 1, "y": 1, "mvt_bytes": data}])
+    rows = read_mvt_features(ds).take_all()
+    assert len(rows) == 1
+    rings = geom.polygon_rings(geom.parse_wkb(rows[0]["wkb"]))
+    # one polygon, two rings (exterior + hole)
+    flat = [r for rs in rings for r in rs]
+    assert len(flat) == 2

@@ -177,3 +177,97 @@ def test_rpc00b_tre(tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="no RPC00B"):
         rpc_model_of_segment({"tres": []})
+
+
+# ------------------------------------------------------- IC=C3 (JPEG)
+
+
+def _smooth(h, w):
+    x = np.linspace(0.0, 6.0, w)
+    y = np.linspace(0.0, 4.0, h)
+    return (np.sin(x)[None, :] * np.cos(y)[:, None] * 100.0 + 128.0)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+def test_c3_mono_multiblock_model_exact(tmp_path):
+    """IC=C3 MONO: per-block grayscale JPEG streams; decoded pixels
+    equal jpeg_model_gray of each (edge-padded) block — the codec's
+    lossless-entropy oracle contract — and PSNR >= 40."""
+    from gdal_ray.functions.jpegc import jpeg_model_gray
+
+    p = str(tmp_path / "c3m.ntf")
+    mono = _smooth(310, 520).clip(0, 255).astype(np.uint8)
+    write_nitf(p, [{"values": mono, "ic": "C3", "quality": 90,
+                    "nppbh": 128, "nppbv": 128}])
+    segs = read_nitf(p)
+    assert segs[0]["ic"] == "C3"
+    assert len(segs[0]["comrat"]) == 4
+    dec = segs[0]["values"]
+    assert dec.shape == mono.shape
+    assert _psnr(dec, mono) >= 40.0
+    # block (0,0) is interior: model-exact equality
+    blk = mono[:128, :128]
+    assert np.array_equal(dec[:128, :128], jpeg_model_gray(blk, 90))
+
+
+def test_c3_rgb_imode_p_roundtrip(tmp_path):
+    p = str(tmp_path / "c3r.ntf")
+    base = _smooth(200, 260)
+    rgb = np.stack([base, base * 0.8 + 20.0, 255.0 - base],
+                   axis=-1).clip(0, 255).astype(np.uint8)
+    write_nitf(p, [{"values": rgb, "ic": "C3", "imode": "P",
+                    "quality": 90, "corners": CORNERS}])
+    segs = read_nitf(p)
+    dec = segs[0]["values"]
+    assert dec.shape == rgb.shape
+    assert _psnr(dec, rgb) >= 40.0
+    assert segs[0]["corners"] == [(round(a * 4) / 4, round(b * 4) / 4)
+                                  for a, b in CORNERS]
+
+
+def test_c3_subheader_byte_anchors(tmp_path):
+    """IC at its spec offset reads 'C3' followed by the 4-char COMRAT
+    (present only for compressed IC) — the NC layout is unchanged."""
+    p = str(tmp_path / "c3a.ntf")
+    mono = _smooth(64, 64).clip(0, 255).astype(np.uint8)
+    write_nitf(p, [{"values": mono, "ic": "C3", "nppbh": 64,
+                    "nppbv": 64}])
+    buf = open(p, "rb").read()
+    hl = int(buf[354:360])
+    sub = buf[hl:]
+    assert sub[:2] == b"IM"
+    i = sub.index(b"C3")
+    comrat = sub[i + 2:i + 6]
+    assert comrat.replace(b".", b"").isdigit()
+
+
+def test_c3_guards(tmp_path):
+    mono = np.zeros((16, 16), np.uint8)
+    rgb = np.zeros((16, 16, 3), np.uint8)
+    with pytest.raises(ValueError, match="IMODE=P"):
+        write_nitf(str(tmp_path / "x.ntf"),
+                   [{"values": rgb, "ic": "C3", "imode": "B"}])
+    with pytest.raises(ValueError, match="unsupported"):
+        write_nitf(str(tmp_path / "x.ntf"),
+                   [{"values": mono, "ic": "C8"}])
+
+
+def test_c3_distributed_rows_reader(tmp_path, ray_session):
+    """read_nitf_rows decodes C3 segments in ranged-read tasks."""
+    p = str(tmp_path / "c3d.ntf")
+    mono = _smooth(150, 150).clip(0, 255).astype(np.uint8)
+    write_nitf(p, [
+        {"values": mono, "ic": "C3", "quality": 90},
+        {"values": mono, "ic": "NC"},
+    ])
+    rows = read_nitf_rows(p, parallelism=2).take_all()
+    assert len(rows) == 2
+    by_id = {r["seg_id"]: r for r in rows}
+    dec = np.frombuffer(by_id[0]["values"], np.uint8).reshape(150, 150)
+    exact = np.frombuffer(by_id[1]["values"], np.uint8).reshape(150, 150)
+    assert np.array_equal(exact, mono)
+    assert _psnr(dec, mono) >= 40.0

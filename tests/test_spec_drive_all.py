@@ -437,3 +437,29 @@ def test_every_registered_step_is_driven_in_tests():
     missing = [n for n in list_steps()
                if f'"{n}"' not in src and f"'{n}'" not in src]
     assert not missing, f"steps never driven from JSON in tests: {missing}"
+
+
+def test_mvt_write_read_spec_roundtrip():
+    from gdal_ray.functions import geom
+
+    rng = np.random.default_rng(42)
+    rows = {"fid": [], "wkb": [], "minx": [], "miny": [],
+            "maxx": [], "maxy": []}
+    for i in range(6):
+        cx, cy = rng.uniform(-2e6, 2e6, 2)
+        r = rng.uniform(5e4, 3e5)
+        ang = np.linspace(0.0, 2.0 * np.pi, 9)[:-1]
+        ring = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)],
+                        axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        rows["fid"].append(i)
+        rows["wkb"].append(geom.wkb_polygon([ring]))
+        rows["minx"].append(ring[:, 0].min())
+        rows["maxx"].append(ring[:, 0].max())
+        rows["miny"].append(ring[:, 1].min())
+        rows["maxy"].append(ring[:, 1].max())
+    ds = rd.from_arrow(pa.table(rows))
+    df = _drive([{"step": "mvt_tiles", "zoom": 5},
+                 {"step": "mvt_read"}], ds)
+    assert len(df) >= 6
+    assert set(df.columns) >= {"z", "x", "y", "layer", "fid", "wkb"}
