@@ -1243,3 +1243,81 @@ def synth_gnom(i: int):
     x0 = -196608.0 + ((i * 9) % 64) * 4096.0
     y0 = -196608.0 + ((i * 3) % 64) * 4096.0
     return x0, y0, 16.0
+
+# ---------------------------------------------- vertical / geoid shift
+#
+# The reference's 3-D transform path applies PROJ's +vgridshift
+# (geoid grids) behind OGRCreateCoordinateTransformation
+# (ogr/ogrct.cpp); the engine's coordinate columns are 2-D, so the
+# vertical correction surfaces as a HEIGHT transform: ellipsoidal
+# h <-> orthometric H = h - N(lon, lat), with the undulation N
+# bilinearly interpolated from a .gtx grid (sources.ntv2.read_gtx)
+# using the same elementwise sequence as the NTv2 horizontal grids.
+
+
+class GeoidGridShift:
+    """Geoid-undulation grid: ``undulation(lon, lat)`` metres via
+    bilinear interpolation (row 0 = south edge), zeros outside
+    coverage (the PROJ outside-grid soft path);
+    ``to_orthometric(h, lon, lat)`` = h - N and ``to_ellipsoidal`` =
+    H + N are exact inverses by construction.  ``fwd``/``inv`` take
+    and return (lon, lat, h) triples so the step composes with 2-D
+    chains that carry heights alongside."""
+
+    def __init__(self, lat0: float, lon0: float, dlat: float,
+                 dlon: float, values):
+        self.lat0, self.lon0 = float(lat0), float(lon0)
+        self.dlat, self.dlon = float(dlat), float(dlon)
+        self.grid = np.asarray(values, np.float64)
+        if self.grid.ndim != 2:
+            raise ValueError("geoid grid must be 2-D")
+
+    def undulation(self, lon, lat):
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        nrows, ncols = self.grid.shape
+        tx = (lon - self.lon0) / self.dlon
+        ty = (lat - self.lat0) / self.dlat
+        inside = ((tx >= 0.0) & (tx <= ncols - 1)
+                  & (ty >= 0.0) & (ty <= nrows - 1))
+        c0 = np.clip(np.floor(tx), 0, ncols - 2).astype(np.int64)
+        r0 = np.clip(np.floor(ty), 0, nrows - 2).astype(np.int64)
+        fx = tx - c0
+        fy = ty - r0
+        g = self.grid
+        v = (g[r0, c0] * (1.0 - fy) * (1.0 - fx)
+             + g[r0, c0 + 1] * (1.0 - fy) * fx
+             + g[r0 + 1, c0] * fy * (1.0 - fx)
+             + g[r0 + 1, c0 + 1] * fy * fx)
+        return np.where(inside, v, 0.0)
+
+    def to_orthometric(self, h, lon, lat):
+        return np.asarray(h, np.float64) - self.undulation(lon, lat)
+
+    def to_ellipsoidal(self, H, lon, lat):
+        return np.asarray(H, np.float64) + self.undulation(lon, lat)
+
+    def fwd(self, lon, lat, h):
+        return (np.asarray(lon, np.float64),
+                np.asarray(lat, np.float64),
+                self.to_orthometric(h, lon, lat))
+
+    def inv(self, lon, lat, H):
+        return (np.asarray(lon, np.float64),
+                np.asarray(lat, np.float64),
+                self.to_ellipsoidal(H, lon, lat))
+
+
+def synth_geoid() -> dict:
+    """Deterministic geoid-undulation fixture (FIXTURE — mirrored by
+    tests): a smooth dyadic surface over a 1-degree cell, amplitudes
+    in the real geoid's +-50 m range."""
+    nrows, ncols = 33, 41
+    j = np.arange(nrows)[:, None]
+    i = np.arange(ncols)[None, :]
+    v = (20.0 + 12.0 * np.sin(2.0 * np.pi * i / 40.0)
+         * np.cos(2.0 * np.pi * j / 32.0)
+         - 8.0 * (j / 32.0) + 4.0 * (i / 40.0))
+    return {"lat0": 44.0, "lon0": 3.0, "dlat": 1.0 / 32.0,
+            "dlon": 1.0 / 40.0, "values": v}
+

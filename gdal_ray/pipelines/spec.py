@@ -1251,3 +1251,12 @@ def _mvt_read(ds, layer: str | None = None):
     from ..stages.mvt import read_mvt_features
 
     return read_mvt_features(ds, layer=layer)
+
+@register_step("raster_geoid_shift")
+def _raster_geoid_shift(ds, concurrency: int = 4):
+    """Vertical (geoid) shift of band values through a real .gtx grid
+    (PROJ +vgridshift analog behind ogr/ogrct.cpp 3-D transforms)."""
+    from ..stages.warp import geoid_shift_images
+
+    return geoid_shift_images(ds, concurrency=concurrency)
+

@@ -73,6 +73,103 @@ def _unpack_bits(buf: bytes, n: int, nbits: int) -> np.ndarray:
     return bits.astype(np.int64) @ powers
 
 
+def _png_pack(x: np.ndarray, ni: int, nj: int, depth: int,
+              full_grid: bool) -> bytes:
+    """Template 5.41 PNG stream: scaled non-negative ints -> a PNG
+    image per the g2clib pngpack.c channel mapping (depth 8 = 8-bit
+    gray, 16 = 16-bit gray big-endian, 24 = RGB, 32 = RGBA; width x
+    height = ni x nj for bitmap-less grids, ndpts x 1 otherwise),
+    filter 0 rows, one zlib IDAT — through the engine's own PNG
+    plumbing (functions.codecs chunk writer)."""
+    import zlib as _zlib
+
+    from ..functions.codecs import _PNG_SIG, _chunk
+
+    w, h = (ni, nj) if full_grid else (int(x.size), 1)
+    if depth == 8:
+        ctype, bd, spp = 0, 8, 1
+        px = x.astype(">u1").reshape(h, w)
+        row_bytes = px.reshape(h, w)
+    elif depth == 16:
+        ctype, bd, spp = 0, 16, 1
+        row_bytes = x.astype(">u2").reshape(h, w).view(np.uint8)             .reshape(h, 2 * w)
+    elif depth == 24:
+        ctype, bd, spp = 2, 8, 3
+        b = np.empty((h, w, 3), np.uint8)
+        xv = x.reshape(h, w)
+        b[:, :, 0] = (xv >> 16) & 0xFF
+        b[:, :, 1] = (xv >> 8) & 0xFF
+        b[:, :, 2] = xv & 0xFF
+        row_bytes = b.reshape(h, 3 * w)
+    else:  # 32
+        ctype, bd, spp = 6, 8, 4
+        b = np.empty((h, w, 4), np.uint8)
+        xv = x.reshape(h, w)
+        b[:, :, 0] = (xv >> 24) & 0xFF
+        b[:, :, 1] = (xv >> 16) & 0xFF
+        b[:, :, 2] = (xv >> 8) & 0xFF
+        b[:, :, 3] = xv & 0xFF
+        row_bytes = b.reshape(h, 4 * w)
+    raw = np.empty((h, 1 + row_bytes.shape[1]), np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = row_bytes
+    ihdr = struct.pack(">IIBBBBB", w, h, bd, ctype, 0, 0, 0)
+    idat = _zlib.compress(raw.tobytes(), 6)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b""))
+
+
+def _png_unpack(data: bytes, n: int) -> np.ndarray:
+    """Template 5.41 inverse: PNG stream -> int64 scaled values (the
+    g2clib pngunpack.c channel mapping; filter-0 rows as written by
+    _png_pack)."""
+    import zlib as _zlib
+
+    from ..functions.codecs import _PNG_SIG
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("GRIB2 5.41: section 7 is not a PNG stream")
+    pos = 8
+    idat = []
+    w = h = bd = ctype = None
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, bd, ctype = struct.unpack_from(">IIBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(_zlib.decompress(b"".join(idat)), np.uint8)
+    spp = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = 1 + w * spp * (bd // 8)
+    raw = raw.reshape(h, stride)
+    if raw[:, 0].any():
+        raise ValueError("GRIB2 5.41: only filter-0 PNG rows supported")
+    body = raw[:, 1:]
+    if ctype == 0 and bd == 8:
+        x = body.reshape(-1).astype(np.int64)
+    elif ctype == 0 and bd == 16:
+        x = body.reshape(h, w, 2).astype(np.int64)
+        x = (x[:, :, 0] << 8) | x[:, :, 1]
+        x = x.reshape(-1)
+    elif ctype == 2:
+        x = body.reshape(h, w, 3).astype(np.int64)
+        x = (x[:, :, 0] << 16) | (x[:, :, 1] << 8) | x[:, :, 2]
+        x = x.reshape(-1)
+    else:
+        x = body.reshape(h, w, 4).astype(np.int64)
+        x = ((x[:, :, 0] << 24) | (x[:, :, 1] << 16)
+             | (x[:, :, 2] << 8) | x[:, :, 3])
+        x = x.reshape(-1)
+    if x.size != n:
+        raise ValueError(f"GRIB2 5.41: {x.size} pixels != {n} points")
+    return x
+
+
 def _microdeg(v: float) -> int:
     return int(round(v * 1_000_000))
 
@@ -256,9 +353,10 @@ def write_grib2(path: str, messages: list[dict]) -> None:
             raise ValueError("values overflow the packing range at "
                              f"decimal scale {d_scale}")
         packing = int(msg.get("packing", 0))
-        if packing not in (0, 2, 3):
+        if packing not in (0, 2, 3, 41):
             raise ValueError(f"data template 5.{packing} unsupported "
-                             "(0 simple / 2 complex / 3 complex+diff)")
+                             "(0 simple / 2 complex / 3 complex+diff / "
+                             "41 PNG)")
         ref = float(scaled.min())
         x = (scaled - ref).astype(np.int64)
         xmax = int(x.max())
@@ -364,6 +462,14 @@ def write_grib2(path: str, messages: list[dict]) -> None:
                     + _sm_bytes(d_scale, 2)
                     + struct.pack(">BB", nbits, 0))
             packed = _pack_bits(x.astype(np.uint64), nbits)
+        elif packing == 41:                     # template 5.41: PNG
+            depth = next(d for d in (8, 16, 24, 32) if nbits <= d)
+            sec5 = (struct.pack(">IBIH", 21, 5, int(data.size), 41)
+                    + struct.pack(">f", ref)
+                    + _sm_bytes(0, 2)           # binary scale E = 0
+                    + _sm_bytes(d_scale, 2)
+                    + struct.pack(">BB", depth, 0))
+            packed = _png_pack(x, ni, nj, depth, not has_bitmap)
         else:                                   # templates 5.2 / 5.3
             order = int(msg.get("diff_order", 2)) if packing == 3 else 0
             sec5, packed = _complex_pack(
@@ -483,9 +589,10 @@ def _decode_message(buf: bytes) -> dict:
     s5 = sections[5]
     n_packed = struct.unpack(">I", s5[5:9])[0]
     dtnum = struct.unpack(">H", s5[9:11])[0]
-    if dtnum not in (0, 2, 3):
+    if dtnum not in (0, 2, 3, 41):
         raise ValueError(f"GRIB2: data template 5.{dtnum} unsupported "
-                         "(5.0 simple / 5.2 complex / 5.3 +diff)")
+                         "(5.0 simple / 5.2 complex / 5.3 +diff / "
+                         "5.41 PNG)")
     msg["packing"] = dtnum
     # section 6: bitmap
     s6 = sections[6]
@@ -501,12 +608,15 @@ def _decode_message(buf: bytes) -> dict:
     if int(present.sum()) != n_packed:
         raise ValueError("GRIB2: bitmap count != packed data count")
     # section 7: packed data
-    if dtnum == 0:
+    if dtnum in (0, 41):
         ref = struct.unpack(">f", s5[11:15])[0]
         e_scale = _sm_read(s5[15:17])
         d_scale = _sm_read(s5[17:19])
         nbits = s5[19]
-        x = _unpack_bits(sections[7][5:], n_packed, nbits)
+        if dtnum == 41:
+            x = _png_unpack(sections[7][5:], n_packed)
+        else:
+            x = _unpack_bits(sections[7][5:], n_packed, nbits)
         y = (ref + x.astype(np.float64) * 2.0 ** e_scale) \
             / 10.0 ** d_scale
     else:

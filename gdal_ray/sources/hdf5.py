@@ -440,6 +440,395 @@ def _chunk_btree_node(a: np.ndarray, ck, blobs, offs, addrs) -> bytes:
     node += struct.pack("<Q", 0)
     return bytes(node)
 
+# ------------------------------------------------ new-style (1.8+) groups
+#
+# h5py files written with libver='latest' store group links with
+# version-2 object headers ("OHDR", Jenkins-lookup3 checksummed):
+# compact Link messages in the header for small groups, and DENSE
+# storage (fractal heap "FRHP"/"FHDB" + version-2 B-tree
+# "BTHD"/"BTLF" name index) beyond max_compact links.  The reference
+# reads these through libhdf5 (frmts/hdf5); everything below is the
+# published HDF5 file-format spec sections III.A.2 (v2 B-trees),
+# III.D (fractal heap), IV.A.2 (v2 object headers), II (superblock
+# v3).  Dataset object headers stay version 1 (v3 data layout + v1
+# chunk B-tree — the on-disk dataset format through HDF5 1.8).
+
+_M32 = 0xFFFFFFFF
+
+
+def _rot32(x: int, k: int) -> int:
+    return ((x << k) | (x >> (32 - k))) & _M32
+
+
+def _lookup3(data: bytes, init: int = 0) -> int:
+    """Jenkins lookup3 hashlittle — THE HDF5 metadata checksum
+    (H5_checksum_lookup3; also the dense-link name hash)."""
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + init) & _M32
+    i = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[i:i + 4], "little")) & _M32
+        b = (b + int.from_bytes(data[i + 4:i + 8], "little")) & _M32
+        c = (c + int.from_bytes(data[i + 8:i + 12], "little")) & _M32
+        a = (a - c) & _M32; a ^= _rot32(c, 4); c = (c + b) & _M32
+        b = (b - a) & _M32; b ^= _rot32(a, 6); a = (a + c) & _M32
+        c = (c - b) & _M32; c ^= _rot32(b, 8); b = (b + a) & _M32
+        a = (a - c) & _M32; a ^= _rot32(c, 16); c = (c + b) & _M32
+        b = (b - a) & _M32; b ^= _rot32(a, 19); a = (a + c) & _M32
+        c = (c - b) & _M32; c ^= _rot32(b, 4); b = (b + a) & _M32
+        i += 12
+        length -= 12
+    if len(data) == 0:
+        return c
+    tail = data[i:] + b"\x00" * (12 - length)
+    a = (a + int.from_bytes(tail[0:4], "little")) & _M32
+    b = (b + int.from_bytes(tail[4:8], "little")) & _M32
+    c = (c + int.from_bytes(tail[8:12], "little")) & _M32
+    c ^= b; c = (c - _rot32(b, 14)) & _M32
+    a ^= c; a = (a - _rot32(c, 11)) & _M32
+    b ^= a; b = (b - _rot32(a, 25)) & _M32
+    c ^= b; c = (c - _rot32(b, 16)) & _M32
+    a ^= c; a = (a - _rot32(c, 4)) & _M32
+    b ^= a; b = (b - _rot32(a, 14)) & _M32
+    c ^= b; c = (c - _rot32(b, 24)) & _M32
+    return c
+
+
+def _msg_v2(mtype: int, body: bytes) -> bytes:
+    """v2 object-header message: type(1) size(2) flags(1) body —
+    no 8-byte alignment, no creation-order field (header flags
+    bit 2 unset)."""
+    return struct.pack("<BHB", mtype, len(body), 0) + body
+
+
+def _ohdr_v2(messages: list[bytes]) -> bytes:
+    """Version-2 object header: OHDR signature, flags 0x02 (4-byte
+    size-of-chunk-0, no times, no attr phase change), messages,
+    lookup3 checksum over signature..messages."""
+    body = b"".join(messages)
+    hdr = b"OHDR" + bytes([2, 0x02]) + struct.pack("<I", len(body))         + body
+    return hdr + struct.pack("<I", _lookup3(hdr))
+
+
+def _link_msg_body(name: str, addr: int) -> bytes:
+    """Link message (type 0x06) body, hard link, flags 0: 1-byte
+    name length, no link-type/creation-order/charset fields."""
+    nb = name.encode("utf-8")
+    if len(nb) > 255:
+        raise ValueError(f"link name too long: {name!r}")
+    return bytes([1, 0]) + bytes([len(nb)]) + nb + struct.pack("<Q", addr)
+
+
+_FH_START_BLOCK = 512
+_FH_MAX_DIRECT = 65536
+_FH_MAX_HEAP_BITS = 32
+_FH_TABLE_WIDTH = 4
+_FH_ID_LEN = 7          # 1 flag + 4 offset + 2 length
+
+
+def _fractal_heap_blobs(link_bodies: list[bytes], frhp_addr: int):
+    """Serialize one FRHP header + one root FHDB direct block holding
+    every link-message body (fixture-scale heaps: everything fits the
+    root block — loud error otherwise).  Returns (frhp, fhdb,
+    heap_ids) with ids encoding heap-space offsets (which include the
+    block header, per spec)."""
+    off_size = _FH_MAX_HEAP_BITS // 8
+    blk_hdr = 4 + 1 + 8 + off_size + 4          # FHDB..checksum
+    need = blk_hdr + sum(len(b) for b in link_bodies)
+    bsize = _FH_START_BLOCK
+    while bsize < need:
+        bsize *= 2
+    if bsize > _FH_MAX_DIRECT:
+        raise ValueError("dense group too large for a single fractal-"
+                         "heap direct block (unsupported)")
+    fhdb_addr = frhp_addr + 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12 + 2 + 8         + 8 + 2 + 2 + 8 + 2 + 4
+    ids = []
+    pos = blk_hdr
+    payload = bytearray()
+    for b in link_bodies:
+        ids.append(bytes([0x00]) + pos.to_bytes(off_size, "little")
+                   + len(b).to_bytes(2, "little"))
+        payload += b
+        pos += len(b)
+    frhp = (b"FRHP" + bytes([0])
+            + struct.pack("<HH", _FH_ID_LEN, 0)
+            + bytes([0x02])                     # flags: cksum blocks
+            + struct.pack("<I", _FH_MAX_DIRECT)
+            + struct.pack("<QQ", 0, _UNDEF)     # huge next id / bt2
+            + struct.pack("<Q", bsize - pos)    # free space
+            + struct.pack("<Q", _UNDEF)         # free-space manager
+            + struct.pack("<QQ", bsize, bsize)  # managed / allocated
+            + struct.pack("<Q", pos)            # iterator offset
+            + struct.pack("<Q", len(link_bodies))
+            + struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes+counts
+            + struct.pack("<H", _FH_TABLE_WIDTH)
+            + struct.pack("<QQ", _FH_START_BLOCK, _FH_MAX_DIRECT)
+            + struct.pack("<H", _FH_MAX_HEAP_BITS)
+            + struct.pack("<H", 0)              # starting rows
+            + struct.pack("<Q", fhdb_addr)
+            + struct.pack("<H", 0))             # root is direct block
+    frhp += struct.pack("<I", _lookup3(frhp))
+    assert len(frhp) == fhdb_addr - frhp_addr
+    blk = bytearray(bsize)
+    blk[0:4] = b"FHDB"
+    blk[4] = 0
+    blk[5:13] = struct.pack("<Q", frhp_addr)
+    blk[13:13 + off_size] = (0).to_bytes(off_size, "little")
+    blk[blk_hdr:blk_hdr + len(payload)] = payload
+    # direct-block checksum (flags bit 1): computed with the checksum
+    # field zeroed, stored right after the block offset
+    ck = _lookup3(bytes(blk))
+    blk[13 + off_size:13 + off_size + 4] = struct.pack("<I", ck)
+    return frhp, bytes(blk), ids
+
+
+def _bt2_blobs(records: list[tuple[int, bytes]], bthd_addr: int):
+    """Version-2 B-tree, type 5 (link-name-hash index), single root
+    leaf: BTHD header + BTLF leaf with records (hash u32 + 7-byte
+    heap id) sorted by hash."""
+    records = sorted(records, key=lambda r: r[0])
+    rec_size = 4 + _FH_ID_LEN
+    leaf = b"BTLF" + bytes([0, 5]) + b"".join(
+        struct.pack("<I", h) + hid for h, hid in records)
+    leaf += struct.pack("<I", _lookup3(leaf))
+    btlf_addr = bthd_addr + 4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + 8 + 2         + 8 + 4
+    bthd = (b"BTHD" + bytes([0, 5])
+            + struct.pack("<I", 512)            # node size
+            + struct.pack("<H", rec_size)
+            + struct.pack("<H", 0)              # depth
+            + bytes([100, 40])                  # split / merge %
+            + struct.pack("<Q", btlf_addr)
+            + struct.pack("<H", len(records))
+            + struct.pack("<Q", len(records)))
+    bthd += struct.pack("<I", _lookup3(bthd))
+    assert len(bthd) == btlf_addr - bthd_addr
+    return bthd, leaf
+
+
+def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
+                      chunks: dict[str, tuple] | None = None,
+                      compress: dict[str, int] | None = None,
+                      max_compact: int = 8) -> None:
+    """Write an HDF5 file in the 1.8+ "latest" layout (h5py
+    ``libver='latest'``): superblock version 3, groups as version-2
+    object headers with COMPACT Link messages (<= ``max_compact``
+    children) or DENSE storage (fractal heap + v2 B-tree name index)
+    beyond that.  Dataset object headers remain version 1
+    (contiguous, or chunked via the v1 chunk B-tree, optional
+    deflate) — the on-disk dataset format through HDF5 1.8.
+    """
+    import zlib
+
+    chunks = dict(chunks or {})
+    compress = dict(compress or {})
+    for n in compress:
+        if n not in chunks:
+            raise ValueError(f"compress[{n!r}] requires chunks[{n!r}]")
+    if not datasets:
+        raise ValueError("write_hdf5_latest needs >= 1 dataset")
+
+    groups: dict[str, dict] = {"": {"groups": {}, "dsets": {}}}
+    for full in sorted(datasets):
+        parts = full.split("/")
+        if any(not p for p in parts):
+            raise ValueError(f"bad dataset path {full!r}")
+        gpath = ""
+        for comp in parts[:-1]:
+            sub = f"{gpath}/{comp}" if gpath else comp
+            groups[gpath]["groups"][comp] = sub
+            groups.setdefault(sub, {"groups": {}, "dsets": {}})
+            gpath = sub
+        groups[gpath]["dsets"][parts[-1]] = full
+    gorder = sorted(groups)
+
+    names = sorted(datasets)
+    arrays = {n: np.ascontiguousarray(datasets[n]) for n in names}
+
+    # ---- v1 dataset headers (same message set as write_hdf5)
+    hdrs: dict[str, bytearray] = {}
+    layout_fixup: dict[str, int] = {}
+    chunk_blobs: dict[str, list[bytes]] = {}
+    chunk_offs: dict[str, list[tuple]] = {}
+    for n in names:
+        a = arrays[n]
+        msgs = [
+            _msg(0x0001, struct.pack("<BBB5x", 1, a.ndim, 0)
+                 + b"".join(struct.pack("<Q", d) for d in a.shape)),
+            _msg(0x0003, _dt_body(a.dtype)),
+        ]
+        if n in chunks:
+            ck = tuple(int(c) for c in chunks[n])
+            if len(ck) != a.ndim:
+                raise ValueError(f"chunks[{n!r}] rank != dataset rank")
+            if n in compress:
+                descs = (struct.pack("<HHHH", 1, 0, 0, 1)
+                         + struct.pack("<I4x", int(compress[n])))
+                msgs.append(_msg(0x000B,
+                                 struct.pack("<BB6x", 1, 1) + descs))
+            body = (struct.pack("<BBB", 3, 2, a.ndim + 1)
+                    + struct.pack("<Q", 0)
+                    + b"".join(struct.pack("<I", c) for c in ck)
+                    + struct.pack("<I", a.dtype.itemsize))
+            msgs.append(_msg(0x0008, body))
+            offs = _chunk_grid(a.shape, ck)
+            if len(offs) > 64:
+                raise ValueError(f"{n!r}: > 64 chunks unsupported")
+            blobs = []
+            for o in offs:
+                sl = tuple(slice(i, i + c) for i, c in zip(o, ck))
+                blk = np.zeros(ck, a.dtype)
+                part = a[sl]
+                blk[tuple(slice(0, sh) for sh in part.shape)] = part
+                raw = blk.tobytes()
+                blobs.append(zlib.compress(raw, int(compress[n]))
+                             if n in compress else raw)
+            chunk_blobs[n] = blobs
+            chunk_offs[n] = offs
+            layout_body_pad = len(_pad8(b"\x00" * len(body)))
+        else:
+            body = struct.pack("<BBQQ", 3, 1, 0, a.nbytes)
+            msgs.append(_msg(0x0008, body))
+            layout_body_pad = len(_pad8(b"\x00" * 18))
+        hdr = _object_header(msgs)
+        layout_fixup[n] = len(hdr) - layout_body_pad
+        hdrs[n] = bytearray(hdr)
+
+    # ---- group header sizes depend only on child names + density
+    def group_children(g):
+        return sorted(list(groups[g]["groups"])
+                      + list(groups[g]["dsets"]))
+
+    def ohdr_size(g) -> int:
+        children = group_children(g)
+        dense = len(children) > max_compact
+        size = 4 + 2 + 4 + 4                    # OHDR+ver/flags+len+ck
+        size += 4 + 18                          # Link Info msg
+        size += 4 + 2                           # Group Info msg
+        if not dense:
+            for c in children:
+                size += 4 + len(_link_msg_body(c, 0))
+        return size
+
+    def dense_extra_size(g) -> tuple[int, int, int, int]:
+        """(frhp, fhdb, bthd, btlf) byte sizes for a dense group."""
+        children = group_children(g)
+        bodies = [_link_msg_body(c, 0) for c in children]
+        off_size = _FH_MAX_HEAP_BITS // 8
+        blk_hdr = 4 + 1 + 8 + off_size + 4
+        need = blk_hdr + sum(len(b) for b in bodies)
+        bsize = _FH_START_BLOCK
+        while bsize < need:
+            bsize *= 2
+        frhp_len = 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12 + 2 + 8 + 8 + 2             + 2 + 8 + 2 + 4
+        bthd_len = 4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + 8 + 2 + 8 + 4
+        btlf_len = 4 + 1 + 1 + len(children) * (4 + _FH_ID_LEN) + 4
+        return frhp_len, bsize, bthd_len, btlf_len
+
+    # ---- address plan: superblock(48), group headers, dense blobs,
+    # dataset headers, chunk btrees, raw data
+    pos = 48
+    gaddr: dict[str, int] = {}
+    dense_addr: dict[str, tuple[int, int]] = {}
+    for g in gorder:
+        gaddr[g] = pos
+        pos += ohdr_size(g)
+        if len(group_children(g)) > max_compact:
+            frhp_len, bsize, bthd_len, btlf_len = dense_extra_size(g)
+            dense_addr[g] = (pos, pos + frhp_len + bsize)
+            pos += frhp_len + bsize + bthd_len + btlf_len
+    hdr_addr = {}
+    for n in names:
+        hdr_addr[n] = pos
+        pos += len(hdrs[n])
+    cbt_addr = {}
+    for n in names:
+        if n in chunk_blobs:
+            cbt_addr[n] = pos
+            keysize = 8 + 8 * (arrays[n].ndim + 1)
+            pos += 24 + (len(chunk_blobs[n]) + 1) * keysize                 + len(chunk_blobs[n]) * 8
+    data_addr = {}
+    chunk_addr: dict[str, list[int]] = {}
+    for n in names:
+        if n in chunk_blobs:
+            chunk_addr[n] = []
+            for b in chunk_blobs[n]:
+                chunk_addr[n].append(pos)
+                pos += len(b)
+        else:
+            data_addr[n] = pos
+            pos += arrays[n].nbytes
+    eof = pos
+
+    for n in names:
+        off = layout_fixup[n]
+        if n in chunk_blobs:
+            hdrs[n][off + 3:off + 11] = struct.pack("<Q", cbt_addr[n])
+        else:
+            hdrs[n][off + 2:off + 10] = struct.pack("<Q", data_addr[n])
+
+    def child_addr(g, c):
+        sub = groups[g]["groups"].get(c)
+        if sub is not None:
+            return gaddr[sub]
+        return hdr_addr[groups[g]["dsets"][c]]
+
+    # ---- serialize groups
+    gblobs: dict[str, bytes] = {}
+    for g in gorder:
+        children = group_children(g)
+        dense = len(children) > max_compact
+        if dense:
+            frhp_addr, bthd_addr = dense_addr[g]
+            li = _msg_v2(0x02, bytes([0, 0])
+                         + struct.pack("<QQ", frhp_addr, bthd_addr))
+        else:
+            li = _msg_v2(0x02, bytes([0, 0])
+                         + struct.pack("<QQ", _UNDEF, _UNDEF))
+        msgs = [li, _msg_v2(0x0A, bytes([0, 0]))]
+        if not dense:
+            for c in children:
+                msgs.append(_msg_v2(
+                    0x06, _link_msg_body(c, child_addr(g, c))))
+        blob = _ohdr_v2(msgs)
+        assert len(blob) == ohdr_size(g), (g, len(blob), ohdr_size(g))
+        if dense:
+            bodies = [_link_msg_body(c, child_addr(g, c))
+                      for c in children]
+            frhp, fhdb, ids = _fractal_heap_blobs(bodies, frhp_addr)
+            recs = [(_lookup3(c.encode("utf-8")), ids[k])
+                    for k, c in enumerate(children)]
+            bthd, btlf = _bt2_blobs(recs, bthd_addr)
+            blob += frhp + fhdb + bthd + btlf
+        gblobs[g] = blob
+
+    # ---- superblock v3
+    sb = (_SIG + bytes([3, 8, 8, 0])
+          + struct.pack("<QQQQ", 0, _UNDEF, eof, gaddr[""]))
+    sb += struct.pack("<I", _lookup3(sb))
+    assert len(sb) == 48
+
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(sb)
+        for g in gorder:
+            fh.write(gblobs[g])
+        for n in names:
+            fh.write(bytes(hdrs[n]))
+        for n in names:
+            if n in chunk_blobs:
+                fh.write(_chunk_btree_node(arrays[n], chunks[n],
+                                           chunk_blobs[n],
+                                           chunk_offs[n],
+                                           chunk_addr[n]))
+        for n in names:
+            if n in chunk_blobs:
+                for b in chunk_blobs[n]:
+                    fh.write(b)
+            else:
+                fh.write(arrays[n].tobytes())
+    os.replace(tmp, path)
+
+
 def _parse_datatype(body: bytes) -> np.dtype:
     cls = body[0] & 0x0F
     ver = body[0] >> 4
@@ -475,6 +864,8 @@ def _parse_dataspace(body: bytes) -> tuple[int, ...]:
 
 
 def _parse_object_header(buf: bytes, addr: int) -> dict:
+    if buf[addr:addr + 4] == b"OHDR":
+        return _parse_object_header_v2(buf, addr)
     ver, _r, nmsg, _rc, hsize = struct.unpack(
         "<BBHII", buf[addr:addr + 12])
     if ver != 1:
@@ -490,74 +881,203 @@ def _parse_object_header(buf: bytes, addr: int) -> dict:
         pos += 8 + msize
         if mtype == 0x0000:      # NIL
             continue
-        if mtype == 0x0001:
-            info["shape"] = _parse_dataspace(body)
-        elif mtype == 0x0003:
-            info["dtype"] = _parse_datatype(body)
-        elif mtype == 0x0008:
-            lver, lclass = body[0], body[1]
-            if lver != 3 or lclass not in (1, 2):
-                raise ValueError(
-                    "HDF5: only version-3 contiguous/chunked data "
-                    f"layout supported (got v{lver} class {lclass})")
-            if lclass == 1:
-                info["layout"] = "contiguous"
-                info["data_addr"], info["data_size"] = struct.unpack(
-                    "<QQ", body[2:18])
-            else:
-                ndim = body[2]          # rank + 1 (element-size dim)
-                info["layout"] = "chunked"
-                info["chunk_btree"] = struct.unpack("<Q", body[3:11])[0]
-                dims = struct.unpack(f"<{ndim}I",
-                                     body[11:11 + 4 * ndim])
-                info["chunk"] = tuple(int(d) for d in dims[:-1])
-        elif mtype == 0x000B:
-            fver, nf = body[0], body[1]
-            if fver != 1:
-                raise ValueError(f"HDF5: filter pipeline v{fver} "
-                                 "unsupported")
-            p2, fids = 8, []
-            for _k in range(nf):
-                fid, nlen, _fl, ncv = struct.unpack(
-                    "<HHHH", body[p2:p2 + 8])
-                p2 += 8 + nlen + (-nlen % 8) + 4 * ncv
-                if ncv % 2:
-                    p2 += 4     # v1 pads odd client-value counts
-                fids.append(fid)
-            if fids not in ([], [1], [2], [2, 1]):
-                raise ValueError(f"HDF5: filters {fids} unsupported "
-                                 "(shuffle/deflate only)")
-            info["filters"] = fids
-        elif mtype == 0x0011:
-            info["btree_addr"], info["heap_addr"] = struct.unpack(
-                "<QQ", body[0:16])
-        elif mtype == 0x000C:
-            ver = body[0]
-            if ver != 1:
-                raise ValueError(f"HDF5: attribute message v{ver} "
-                                 "unsupported")
-            nsz, dtsz, spsz = struct.unpack("<HHH", body[2:8])
-            p2 = 8
-            aname = body[p2:p2 + nsz].split(b"\x00")[0].decode()
-            p2 += nsz + (-nsz % 8)
-            dt_raw = body[p2:p2 + dtsz]
-            p2 += dtsz + (-dtsz % 8)
-            sp_raw = body[p2:p2 + spsz]
-            p2 += spsz + (-spsz % 8)
-            dims = _parse_dataspace(sp_raw)
-            if dt_raw[0] & 0x0F == 3:           # string class
-                size = struct.unpack("<I", dt_raw[4:8])[0]
-                val = body[p2:p2 + size].split(b"\x00")[0].decode()
-            else:
-                dt = _parse_datatype(dt_raw)
-                count = int(np.prod(dims, dtype=np.int64)) if dims else 1
-                arr = np.frombuffer(body, dt, count, p2)
-                val = arr.copy() if dims else arr[0]
-            info.setdefault("attrs", {})[aname] = val
-        elif mtype == 0x0010:
-            raise ValueError("HDF5: object header continuation blocks "
-                             "unsupported")
+        _apply_message(info, mtype, body)
     return info
+
+
+def _parse_object_header_v2(buf: bytes, addr: int) -> dict:
+    """Version-2 ("OHDR") object header: flag-sized chunk-0 length,
+    5-byte message headers, lookup3 checksum (verified)."""
+    if buf[addr:addr + 4] != b"OHDR":
+        raise ValueError(f"HDF5: OHDR signature missing at {addr}")
+    ver, flags = buf[addr + 4], buf[addr + 5]
+    if ver != 2:
+        raise ValueError(f"HDF5: OHDR version {ver} unsupported")
+    pos = addr + 6
+    if flags & 0x20:            # times stored
+        pos += 16
+    if flags & 0x10:            # attribute phase-change stored
+        pos += 4
+    c0sz = 1 << (flags & 0x03)
+    hsize = int.from_bytes(buf[pos:pos + c0sz], "little")
+    pos += c0sz
+    end = pos + hsize
+    stored_ck = struct.unpack("<I", buf[end:end + 4])[0]
+    calc = _lookup3(buf[addr:end])
+    if stored_ck != calc:
+        raise ValueError(f"HDF5: OHDR checksum mismatch at {addr}")
+    track_order = bool(flags & 0x04)
+    info: dict = {}
+    while pos + 4 <= end:
+        mtype, msize, _fl = struct.unpack("<BHB", buf[pos:pos + 4])
+        pos += 4
+        if track_order:
+            pos += 2
+        body = buf[pos:pos + msize]
+        pos += msize
+        if mtype == 0x00:
+            continue
+        if mtype == 0x02:       # Link Info
+            lflags = body[1]
+            p2 = 2 + (8 if lflags & 0x01 else 0)
+            fheap, bt2 = struct.unpack("<QQ", body[p2:p2 + 16])
+            if fheap != _UNDEF:
+                info["dense_fheap"] = fheap
+                info["dense_bt2"] = bt2
+            info.setdefault("links", {})
+        elif mtype == 0x06:     # Link message (compact)
+            nm, a2 = _parse_link_body(body)
+            info.setdefault("links", {})[nm] = a2
+        elif mtype == 0x0A:     # Group Info
+            info.setdefault("links", {})
+        else:
+            _apply_message(info, mtype, body)
+    return info
+
+
+def _parse_link_body(body: bytes) -> tuple[str, int]:
+    """Link message body -> (name, object header address); hard links
+    only (the layout the engine and h5py group trees use)."""
+    ver, flags = body[0], body[1]
+    if ver != 1:
+        raise ValueError(f"HDF5: link message version {ver} unsupported")
+    p = 2
+    ltype = 0
+    if flags & 0x08:
+        ltype = body[p]
+        p += 1
+    if flags & 0x04:            # creation order
+        p += 8
+    if flags & 0x10:            # charset
+        p += 1
+    lsz = 1 << (flags & 0x03)
+    nlen = int.from_bytes(body[p:p + lsz], "little")
+    p += lsz
+    name = body[p:p + nlen].decode("utf-8")
+    p += nlen
+    if ltype != 0:
+        raise ValueError(f"HDF5: link type {ltype} unsupported "
+                         "(hard links only)")
+    (a2,) = struct.unpack("<Q", body[p:p + 8])
+    return name, a2
+
+
+def _dense_links(buf: bytes, fheap_addr: int, bt2_addr: int) -> dict:
+    """Dense link storage -> {name: addr}: v2 B-tree (BTHD/BTLF)
+    records give (hash, heap id); heap ids index the fractal heap's
+    direct block (heap-space offsets include the block header)."""
+    if buf[fheap_addr:fheap_addr + 4] != b"FRHP":
+        raise ValueError(f"HDF5: FRHP signature missing at {fheap_addr}")
+    hid_len = struct.unpack("<H", buf[fheap_addr + 5:fheap_addr + 7])[0]
+    p = fheap_addr + 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12
+    table_width = struct.unpack("<H", buf[p:p + 2])[0]
+    start_block, max_direct = struct.unpack("<QQ", buf[p + 2:p + 18])
+    max_heap_bits = struct.unpack("<H", buf[p + 18:p + 20])[0]
+    root_addr = struct.unpack("<Q", buf[p + 22:p + 30])[0]
+    cur_rows = struct.unpack("<H", buf[p + 30:p + 32])[0]
+    del table_width, start_block, max_direct
+    if cur_rows != 0:
+        raise ValueError("HDF5: fractal-heap indirect root blocks "
+                         "unsupported (single direct block only)")
+    if buf[root_addr:root_addr + 4] != b"FHDB":
+        raise ValueError(f"HDF5: FHDB signature missing at {root_addr}")
+    off_size = (max_heap_bits + 7) // 8
+    # B-tree records
+    if buf[bt2_addr:bt2_addr + 4] != b"BTHD":
+        raise ValueError(f"HDF5: BTHD signature missing at {bt2_addr}")
+    rec_size = struct.unpack("<H", buf[bt2_addr + 10:bt2_addr + 12])[0]
+    depth = struct.unpack("<H", buf[bt2_addr + 12:bt2_addr + 14])[0]
+    if depth != 0:
+        raise ValueError("HDF5: multi-level v2 B-trees unsupported")
+    leaf_addr = struct.unpack("<Q", buf[bt2_addr + 16:bt2_addr + 24])[0]
+    nrec = struct.unpack("<H", buf[bt2_addr + 24:bt2_addr + 26])[0]
+    if buf[leaf_addr:leaf_addr + 4] != b"BTLF":
+        raise ValueError(f"HDF5: BTLF signature missing at {leaf_addr}")
+    out = {}
+    rp = leaf_addr + 6
+    for _ in range(nrec):
+        rec = buf[rp:rp + rec_size]
+        rp += rec_size
+        hid = rec[4:4 + hid_len]
+        if hid[0] & 0x30:
+            raise ValueError("HDF5: huge/tiny fractal-heap objects "
+                             "unsupported")
+        hoff = int.from_bytes(hid[1:1 + off_size], "little")
+        hlen = int.from_bytes(hid[1 + off_size:], "little")
+        body = buf[root_addr + hoff:root_addr + hoff + hlen]
+        nm, a2 = _parse_link_body(body)
+        out[nm] = a2
+    return out
+
+
+def _apply_message(info: dict, mtype: int, body: bytes) -> None:
+    if mtype == 0x0001:
+        info["shape"] = _parse_dataspace(body)
+    elif mtype == 0x0003:
+        info["dtype"] = _parse_datatype(body)
+    elif mtype == 0x0008:
+        lver, lclass = body[0], body[1]
+        if lver != 3 or lclass not in (1, 2):
+            raise ValueError(
+                "HDF5: only version-3 contiguous/chunked data "
+                f"layout supported (got v{lver} class {lclass})")
+        if lclass == 1:
+            info["layout"] = "contiguous"
+            info["data_addr"], info["data_size"] = struct.unpack(
+                "<QQ", body[2:18])
+        else:
+            ndim = body[2]          # rank + 1 (element-size dim)
+            info["layout"] = "chunked"
+            info["chunk_btree"] = struct.unpack("<Q", body[3:11])[0]
+            dims = struct.unpack(f"<{ndim}I",
+                                 body[11:11 + 4 * ndim])
+            info["chunk"] = tuple(int(d) for d in dims[:-1])
+    elif mtype == 0x000B:
+        fver, nf = body[0], body[1]
+        if fver != 1:
+            raise ValueError(f"HDF5: filter pipeline v{fver} "
+                             "unsupported")
+        p2, fids = 8, []
+        for _k in range(nf):
+            fid, nlen, _fl, ncv = struct.unpack(
+                "<HHHH", body[p2:p2 + 8])
+            p2 += 8 + nlen + (-nlen % 8) + 4 * ncv
+            if ncv % 2:
+                p2 += 4     # v1 pads odd client-value counts
+            fids.append(fid)
+        if fids not in ([], [1], [2], [2, 1]):
+            raise ValueError(f"HDF5: filters {fids} unsupported "
+                             "(shuffle/deflate only)")
+        info["filters"] = fids
+    elif mtype == 0x0011:
+        info["btree_addr"], info["heap_addr"] = struct.unpack(
+            "<QQ", body[0:16])
+    elif mtype == 0x000C:
+        ver = body[0]
+        if ver != 1:
+            raise ValueError(f"HDF5: attribute message v{ver} "
+                             "unsupported")
+        nsz, dtsz, spsz = struct.unpack("<HHH", body[2:8])
+        p2 = 8
+        aname = body[p2:p2 + nsz].split(b"\x00")[0].decode()
+        p2 += nsz + (-nsz % 8)
+        dt_raw = body[p2:p2 + dtsz]
+        p2 += dtsz + (-dtsz % 8)
+        sp_raw = body[p2:p2 + spsz]
+        p2 += spsz + (-spsz % 8)
+        dims = _parse_dataspace(sp_raw)
+        if dt_raw[0] & 0x0F == 3:           # string class
+            size = struct.unpack("<I", dt_raw[4:8])[0]
+            val = body[p2:p2 + size].split(b"\x00")[0].decode()
+        else:
+            dt = _parse_datatype(dt_raw)
+            count = int(np.prod(dims, dtype=np.int64)) if dims else 1
+            arr = np.frombuffer(body, dt, count, p2)
+            val = arr.copy() if dims else arr[0]
+        info.setdefault("attrs", {})[aname] = val
+    elif mtype == 0x0010:
+        raise ValueError("HDF5: object header continuation blocks "
+                         "unsupported")
 
 
 def _walk_btree(buf: bytes, addr: int) -> list[int]:
@@ -597,41 +1117,68 @@ def hdf5_info(path: str) -> dict:
         buf = fh.read()
     if buf[:8] != _SIG:
         raise ValueError("not an HDF5 file (signature missing)")
-    if buf[8] != 0:
-        raise ValueError(f"HDF5: superblock version {buf[8]} unsupported")
-    if buf[13] != 8 or buf[14] != 8:
-        raise ValueError("HDF5: only 8-byte offsets/lengths supported")
-    root_hdr_addr = struct.unpack("<Q", buf[64:72])[0]
+    sbver = buf[8]
+    if sbver == 0:
+        if buf[13] != 8 or buf[14] != 8:
+            raise ValueError(
+                "HDF5: only 8-byte offsets/lengths supported")
+        root_hdr_addr = struct.unpack("<Q", buf[64:72])[0]
+    elif sbver in (2, 3):
+        # superblock v2/v3 (1.8+/libver latest): sig, ver, sizeoff,
+        # sizelen, flags, base, ext, eof, root OHDR addr, checksum
+        if buf[9] != 8 or buf[10] != 8:
+            raise ValueError(
+                "HDF5: only 8-byte offsets/lengths supported")
+        stored = struct.unpack("<I", buf[44:48])[0]
+        if stored != _lookup3(buf[0:44]):
+            raise ValueError("HDF5: superblock checksum mismatch")
+        root_hdr_addr = struct.unpack("<Q", buf[36:44])[0]
+    else:
+        raise ValueError(f"HDF5: superblock version {sbver} unsupported")
     root = _parse_object_header(buf, root_hdr_addr)
-    if "btree_addr" not in root:
-        raise ValueError("HDF5: root group has no symbol table message")
+    if "btree_addr" not in root and "links" not in root:
+        raise ValueError("HDF5: root group has neither a symbol-table "
+                         "nor a link-info message")
     datasets: dict = {}
     group_attrs: dict = {}
+
+    def group_links(ginfo: dict) -> dict:
+        """{name: header addr} for either group flavor."""
+        if "btree_addr" in ginfo:               # old-style SNOD walk
+            out = {}
+            for snod in _walk_btree(buf, ginfo["btree_addr"]):
+                if buf[snod:snod + 4] != b"SNOD":
+                    raise ValueError(
+                        f"HDF5: SNOD signature missing at {snod}")
+                nsym = struct.unpack("<H", buf[snod + 6:snod + 8])[0]
+                for k in range(nsym):
+                    e = snod + 8 + 40 * k
+                    noff, haddr = struct.unpack("<QQ", buf[e:e + 16])
+                    out[_heap_name(buf, ginfo["heap_addr"],
+                                   noff)] = haddr
+            return out
+        links = dict(ginfo.get("links", {}))
+        if "dense_fheap" in ginfo:              # 1.8+ dense storage
+            links.update(_dense_links(buf, ginfo["dense_fheap"],
+                                      ginfo["dense_bt2"]))
+        return links
 
     def walk_group(ginfo: dict, prefix: str, depth: int):
         if depth > 32:
             raise ValueError("HDF5: group nesting > 32 (cycle?)")
-        for snod in _walk_btree(buf, ginfo["btree_addr"]):
-            if buf[snod:snod + 4] != b"SNOD":
+        for lname, haddr in sorted(group_links(ginfo).items()):
+            name = prefix + lname
+            info = _parse_object_header(buf, haddr)
+            if "btree_addr" in info or "links" in info:  # child GROUP
+                if info.get("attrs"):
+                    group_attrs[name] = info["attrs"]
+                walk_group(info, name + "/", depth + 1)
+            elif "shape" in info and "dtype" in info:
+                datasets[name] = info
+            else:
                 raise ValueError(
-                    f"HDF5: SNOD signature missing at {snod}")
-            nsym = struct.unpack("<H", buf[snod + 6:snod + 8])[0]
-            for k in range(nsym):
-                e = snod + 8 + 40 * k
-                noff, haddr = struct.unpack("<QQ", buf[e:e + 16])
-                name = prefix + _heap_name(buf, ginfo["heap_addr"],
-                                           noff)
-                info = _parse_object_header(buf, haddr)
-                if "btree_addr" in info:        # a child GROUP
-                    if info.get("attrs"):
-                        group_attrs[name] = info["attrs"]
-                    walk_group(info, name + "/", depth + 1)
-                elif "shape" in info and "dtype" in info:
-                    datasets[name] = info
-                else:
-                    raise ValueError(
-                        f"HDF5: {name!r} is neither a dataset nor a "
-                        "symbol-table group (unsupported link)")
+                    f"HDF5: {name!r} is neither a dataset nor a "
+                    "group (unsupported link)")
     walk_group(root, "", 0)
     return {"datasets": datasets, "attrs": root.get("attrs", {}),
             "group_attrs": group_attrs}

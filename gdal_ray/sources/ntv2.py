@@ -231,3 +231,57 @@ def read_ntv2(path: str) -> dict:
     if name != "END":
         raise ValueError(f"NTv2: expected END record, got {name!r}")
     return meta
+
+# ------------------------------------------------------------- GTX
+#
+# NOAA/VDatum .gtx vertical (geoid) grids — the format PROJ's
+# +geoidgrids= / vgridshift step consumes (the reference reaches it
+# through ogr/ogrct.cpp 3-D transforms; frmts has no dedicated driver
+# because PROJ owns it).  Header: 4 float64 big-endian (lat of the SW
+# corner, lon of the SW corner in 0..360 east-positive, delta lat,
+# delta lon) + 2 int32 big-endian (nrows, ncols); then nrows*ncols
+# float32 big-endian undulation values, row-major, row 0 = the SOUTH
+# edge, col 0 = the WEST edge.
+
+
+def write_gtx(path: str, lat0: float, lon0: float, dlat: float,
+              dlon: float, values: "np.ndarray") -> None:
+    """Write a .gtx geoid grid: ``values`` (nrows, ncols) metres of
+    geoid undulation N, row 0 = south edge."""
+    import numpy as np
+
+    v = np.ascontiguousarray(values, dtype=">f4")
+    if v.ndim != 2:
+        raise ValueError("GTX values must be 2-D (nrows, ncols)")
+    nrows, ncols = v.shape
+    hdr = struct.pack(">4d2i", float(lat0), float(lon0) % 360.0,
+                      float(dlat), float(dlon), nrows, ncols)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(hdr)
+        fh.write(v.tobytes())
+    os.replace(tmp, path)
+
+
+def read_gtx(path: str) -> dict:
+    """Read a .gtx geoid grid -> dict(lat0, lon0, dlat, dlon,
+    values) with lon0 normalized to [-180, 180)."""
+    import numpy as np
+
+    with open(path, "rb") as fh:
+        hdr = fh.read(40)
+        if len(hdr) != 40:
+            raise ValueError("GTX: truncated header")
+        lat0, lon0, dlat, dlon, nrows, ncols = struct.unpack(
+            ">4d2i", hdr)
+        if not (0 < nrows < 100000 and 0 < ncols < 100000):
+            raise ValueError(f"GTX: implausible grid {nrows}x{ncols}")
+        data = fh.read(4 * nrows * ncols)
+    if len(data) != 4 * nrows * ncols:
+        raise ValueError("GTX: truncated data")
+    v = np.frombuffer(data, ">f4").reshape(nrows, ncols).astype(
+        np.float64)
+    if lon0 >= 180.0:
+        lon0 -= 360.0
+    return {"lat0": lat0, "lon0": lon0, "dlat": dlat, "dlon": dlon,
+            "values": v}

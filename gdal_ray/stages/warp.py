@@ -1073,3 +1073,66 @@ def warp_images_sum(images, concurrency=4, batch_size: int = 64):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+class GeoidShiftChips:
+    """Actor-pool stage: vertical (geoid) shift of chip band values —
+    the engine's analog of PROJ's +vgridshift behind the reference's
+    3-D transforms (ogr/ogrct.cpp).  The actor ``__init__`` writes the
+    deterministic synth_geoid fixture to a REAL .gtx file under /tmp
+    once, reads it back through sources.ntv2.read_gtx and builds the
+    GeoidGridShift from the PARSED grid — every row exercises the
+    binary format round trip.  Each chip's pixel grid is mapped onto
+    the fixture window by normalized position (always in coverage);
+    band values are treated as ellipsoidal heights and shifted to
+    orthometric: out = clip(round(v - N), 0, 255)."""
+
+    FIXTURE_GTX = "/tmp/gdal_ray_fixtures/geoid_fixture.gtx"
+
+    def __init__(self):
+        import os
+
+        from ..functions.proj import GeoidGridShift, synth_geoid
+        from ..sources.ntv2 import read_gtx, write_gtx
+
+        if not os.path.exists(self.FIXTURE_GTX):
+            os.makedirs(os.path.dirname(self.FIXTURE_GTX),
+                        exist_ok=True)
+            fx = synth_geoid()
+            write_gtx(self.FIXTURE_GTX, fx["lat0"], fx["lon0"],
+                      fx["dlat"], fx["dlon"], fx["values"])
+        self.gs = GeoidGridShift(**read_gtx(self.FIXTURE_GTX))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions import codecs
+
+        cols = {c: batch.column(c).to_pylist()
+                for c in ("image_id", "bytes", "w", "h", "fmt")}
+        out_bytes = []
+        nrows, ncols = self.gs.grid.shape
+        lon_span = self.gs.dlon * (ncols - 1)
+        lat_span = self.gs.dlat * (nrows - 1)
+        for i in range(batch.num_rows):
+            w, h, fmt = cols["w"][i], cols["h"][i], cols["fmt"][i]
+            img = codecs.decode(cols["bytes"][i], w, h, fmt)
+            lon = self.gs.lon0 + (np.arange(w) + 0.5) / w * lon_span
+            lat = self.gs.lat0 + lat_span                 - (np.arange(h) + 0.5) / h * lat_span
+            LO, LA = np.meshgrid(lon, lat)
+            n = self.gs.undulation(LO, LA)
+            shifted = np.clip(
+                np.round(img.astype(np.float64) - n[:, :, None]),
+                0, 255).astype(np.uint8)
+            out_bytes.append(codecs.encode(shifted, fmt))
+        return batch.set_column(
+            batch.column_names.index("bytes"), "bytes",
+            pa.array(out_bytes, pa.binary()))
+
+
+def geoid_shift_images(images, concurrency=4, batch_size: int = 64):
+    """Vertical geoid shift over an images Dataset (actor pool)."""
+    return images.map_batches(
+        GeoidShiftChips,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+

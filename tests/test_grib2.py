@@ -353,3 +353,71 @@ def test_polar_stereo_grid_template(tmp_path):
     assert abs(la[0] - 60.0) < 1e-9
     with pytest.raises(ValueError, match="grid_xy_stereo"):
         grid_lats_lons(m)
+
+
+# ----------------------------------------- template 5.41 (PNG packing)
+
+
+def test_png_packing_roundtrip_and_anchor(tmp_path):
+    """Template 5.41: section 5 carries the simple-packing layout with
+    template number 41 and the g2clib depth byte; section 7 is a PNG
+    stream (signature anchor) whose decode matches 5.0 bit-for-bit."""
+    rng = np.random.default_rng(42)
+    x = np.linspace(0.0, 4.0, 144)
+    y = np.linspace(0.0, 3.0, 73)
+    f = np.round(273.15 + 30.0 * np.sin(x)[None, :] * np.cos(y)[:, None]
+                 + rng.normal(0.0, 0.5, (73, 144)), 2)
+    p = str(tmp_path / "png.grib2")
+    write_grib2(p, [
+        {"values": f, "lat1": 90.0, "lon1": 0.0, "di": 2.5, "dj": 2.5,
+         "packing": 41, "decimal_scale": 2},
+        {"values": f, "lat1": 90.0, "lon1": 0.0, "di": 2.5, "dj": 2.5,
+         "packing": 0, "decimal_scale": 2},
+    ])
+    msgs = read_grib2(p)
+    assert msgs[0]["packing"] == 41
+    assert np.array_equal(msgs[0]["values"], msgs[1]["values"])
+    assert np.allclose(msgs[0]["values"], f, atol=1e-9)
+    # byte anchors: template number at s5 octets 10-11, PNG signature
+    # at the head of section 7's payload
+    buf = open(p, "rb").read()
+    pos = 16
+    s5_off = None
+    while pos < len(buf) - 4:
+        ln, num = struct.unpack_from(">IB", buf, pos)
+        if num == 5:
+            s5_off = pos
+        if num == 7:
+            assert buf[pos + 5:pos + 13] == b"\x89PNG\r\n\x1a\n"
+            break
+        pos += ln
+    assert s5_off is not None
+    assert struct.unpack_from(">H", buf, s5_off + 9)[0] == 41
+    depth = buf[s5_off + 19]
+    assert depth in (8, 16, 24, 32)
+
+
+def test_png_packing_bitmap_and_depths(tmp_path):
+    """Bitmap-present 5.41 messages use the ndpts x 1 image shape;
+    depth selection follows the value range (8 -> 16 -> 24 bits)."""
+    rng = np.random.default_rng(7)
+    base = np.linspace(0.0, 1.0, 32 * 20).reshape(20, 32)
+    for scale, want_min_depth in ((100.0, 8), (60000.0, 16),
+                                  (8.0e6, 24)):
+        f = np.round(base * scale)
+        f[3:5, 4:9] = np.nan
+        p = str(tmp_path / f"d{want_min_depth}.grib2")
+        write_grib2(p, [{"values": f, "lat1": 60.0, "lon1": 0.0,
+                         "di": 1.0, "dj": 1.0, "packing": 41}])
+        m = read_grib2(p)[0]
+        good = np.isfinite(f)
+        assert np.allclose(m["values"][good], f[good])
+        assert np.isnan(m["values"][~good]).all()
+        buf = open(p, "rb").read()
+        pos = 16
+        while pos < len(buf) - 4:
+            ln, num = struct.unpack_from(">IB", buf, pos)
+            if num == 5:
+                assert buf[pos + 19] >= want_min_depth
+                break
+            pos += ln

@@ -288,3 +288,111 @@ def test_shuffle_filter(tmp_path):
     with pytest.raises(ValueError, match="requires compress"):
         write_hdf5(str(tmp_path / "x.h5"), {"v": v},
                    chunks={"v": (32, 32)}, shuffle={"v"})
+
+
+# ------------------------- new-style (1.8+/libver='latest') groups
+
+
+def test_lookup3_published_vector():
+    """Jenkins lookup3 hashlittle self-test vector (lookup3.c):
+    'Four score and seven years ago' with init 0 -> 0x17770551."""
+    from gdal_ray.sources.hdf5 import _lookup3
+
+    assert _lookup3(b"Four score and seven years ago") == 0x17770551
+    assert _lookup3(b"") == 0xDEADBEEF
+
+
+def test_latest_superblock_and_ohdr_anchors(tmp_path):
+    """Superblock v3 byte anchors (version at offset 8, root OHDR
+    address at 36, lookup3 checksum at 44) and the OHDR signature at
+    the root address."""
+    from gdal_ray.sources.hdf5 import _lookup3, write_hdf5_latest
+
+    p = str(tmp_path / "a.h5")
+    write_hdf5_latest(p, {"x": np.arange(12.0).reshape(3, 4)})
+    buf = open(p, "rb").read()
+    assert buf[:8] == b"\x89HDF\r\n\x1a\n"
+    assert buf[8] == 3                       # superblock version
+    assert buf[9] == 8 and buf[10] == 8      # offset/length sizes
+    (root,) = struct.unpack("<Q", buf[36:44])
+    (ck,) = struct.unpack("<I", buf[44:48])
+    assert ck == _lookup3(buf[:44])
+    assert buf[root:root + 4] == b"OHDR"
+    assert buf[root + 4] == 2                # header version
+
+
+def test_latest_compact_and_nested_roundtrip(tmp_path):
+    from gdal_ray.sources.hdf5 import (hdf5_info, read_hdf5,
+                                       write_hdf5_latest)
+
+    rng = np.random.default_rng(42)
+    ds = {
+        "top": rng.normal(size=(6, 7)),
+        "g/mid": rng.integers(0, 99, (4, 4)).astype("<i8"),
+        "g/sub/deep": rng.normal(size=(5,)).astype("<f4"),
+    }
+    p = str(tmp_path / "c.h5")
+    write_hdf5_latest(p, ds)
+    info = hdf5_info(p)
+    assert set(info["datasets"]) == set(ds)
+    for k, v in ds.items():
+        assert np.array_equal(read_hdf5(p, k), v)
+
+
+def test_latest_dense_group_fractal_heap_btree(tmp_path):
+    """> max_compact children switch to DENSE storage: FRHP + FHDB
+    fractal heap and BTHD/BTLF v2 B-tree appear on disk (signature
+    anchors), B-tree records are hash-sorted, and every dataset reads
+    back bit-exact through the heap-id path."""
+    from gdal_ray.sources.hdf5 import (_lookup3, hdf5_info, read_hdf5,
+                                       write_hdf5_latest)
+
+    rng = np.random.default_rng(7)
+    ds = {f"d{i:02d}": rng.normal(size=(3, 5)) + i for i in range(12)}
+    p = str(tmp_path / "dense.h5")
+    write_hdf5_latest(p, ds)
+    buf = open(p, "rb").read()
+    for sig in (b"FRHP", b"FHDB", b"BTHD", b"BTLF"):
+        assert sig in buf, sig
+    # BTHD anchors: type 5 (link-name-hash), record size 11, depth 0
+    b = buf.index(b"BTHD")
+    assert buf[b + 4] == 0 and buf[b + 5] == 5
+    assert struct.unpack("<H", buf[b + 10:b + 12])[0] == 11
+    assert struct.unpack("<H", buf[b + 12:b + 14])[0] == 0
+    nrec = struct.unpack("<H", buf[b + 24:b + 26])[0]
+    assert nrec == 12
+    # leaf records sorted by the lookup3 name hash
+    lf = buf.index(b"BTLF")
+    hashes = [struct.unpack("<I", buf[lf + 6 + 11 * k:lf + 10 + 11 * k])[0]
+              for k in range(nrec)]
+    assert hashes == sorted(hashes)
+    assert set(hashes) == {_lookup3(n.encode()) for n in ds}
+    info = hdf5_info(p)
+    assert set(info["datasets"]) == set(ds)
+    for k, v in ds.items():
+        assert np.array_equal(read_hdf5(p, k), v)
+
+
+def test_latest_chunked_deflate_under_new_groups(tmp_path):
+    from gdal_ray.sources.hdf5 import read_hdf5, write_hdf5_latest
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(40, 50)).astype("<f4")
+    p = str(tmp_path / "ck.h5")
+    write_hdf5_latest(p, {"grp/chunky": a},
+                      chunks={"grp/chunky": (16, 16)},
+                      compress={"grp/chunky": 6})
+    assert np.array_equal(read_hdf5(p, "grp/chunky"), a)
+
+
+def test_latest_ohdr_checksum_corruption_detected(tmp_path):
+    from gdal_ray.sources.hdf5 import hdf5_info, write_hdf5_latest
+
+    p = str(tmp_path / "bad.h5")
+    write_hdf5_latest(p, {"x": np.arange(6.0)})
+    buf = bytearray(open(p, "rb").read())
+    root = struct.unpack("<Q", bytes(buf[36:44]))[0]
+    buf[root + 11] ^= 0xFF                   # flip a message byte
+    open(p, "wb").write(bytes(buf))
+    with pytest.raises(ValueError, match="checksum"):
+        hdf5_info(p)

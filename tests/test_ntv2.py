@@ -209,3 +209,91 @@ def test_warp_stage_and_family_route(ray_session):
     # max-shift (32 sec) of the source footprint
     assert abs(bbox[0] - lon0) * 3600.0 <= 32.0
     assert abs(bbox[3] - (lat0 + gsd * 20)) * 3600.0 <= 32.0
+
+
+# -------------------------------------------- GTX geoid grids (vertical)
+
+
+def test_gtx_byte_anchors_and_roundtrip(tmp_path):
+    """GTX header: 4 big-endian float64 (SW lat, SW lon 0..360, dlat,
+    dlon) + 2 big-endian int32 (nrows, ncols); float32 BE values,
+    row 0 = south edge."""
+    import struct as st
+
+    from gdal_ray.sources.ntv2 import read_gtx, write_gtx
+
+    v = np.arange(12.0, dtype=np.float64).reshape(3, 4)
+    p = str(tmp_path / "g.gtx")
+    write_gtx(p, -10.0, -75.5, 0.5, 0.25, v)
+    buf = open(p, "rb").read()
+    lat0, lon0, dlat, dlon, nr, nc = st.unpack(">4d2i", buf[:40])
+    assert (lat0, dlat, dlon, nr, nc) == (-10.0, 0.5, 0.25, 3, 4)
+    assert lon0 == 284.5                       # -75.5 stored 0..360
+    assert st.unpack(">f", buf[40:44])[0] == 0.0
+    g = read_gtx(p)
+    assert g["lon0"] == -75.5                  # normalized back
+    assert np.array_equal(g["values"], v)
+
+
+def test_geoid_shift_bilinear_and_exact_inverse(tmp_path):
+    from gdal_ray.functions.proj import GeoidGridShift, synth_geoid
+    from gdal_ray.sources.ntv2 import read_gtx, write_gtx
+
+    fx = synth_geoid()
+    p = str(tmp_path / "geoid.gtx")
+    write_gtx(p, fx["lat0"], fx["lon0"], fx["dlat"], fx["dlon"],
+              fx["values"])
+    gs = GeoidGridShift(**read_gtx(p))
+    # node-exact (float32 storage)
+    v32 = fx["values"].astype(">f4").astype(np.float64)
+    assert gs.undulation(fx["lon0"], fx["lat0"]) == v32[0, 0]
+    # midpoint = 4-node average on a bilinear surface
+    mid = gs.undulation(fx["lon0"] + fx["dlon"] / 2.0,
+                        fx["lat0"] + fx["dlat"] / 2.0)
+    assert abs(mid - v32[:2, :2].mean()) < 1e-12
+    # orthometric <-> ellipsoidal is an exact inverse
+    lon = fx["lon0"] + np.linspace(0.001, 0.9, 17) * fx["dlon"] * 40
+    lat = fx["lat0"] + np.linspace(0.001, 0.9, 17) * fx["dlat"] * 32
+    h = np.linspace(-100.0, 900.0, 17)
+    H = gs.to_orthometric(h, lon, lat)
+    assert np.array_equal(gs.to_ellipsoidal(H, lon, lat), h)
+    assert not np.array_equal(H, h)            # it actually shifted
+    # outside coverage: zero shift (PROJ soft path)
+    assert gs.undulation(fx["lon0"] + 30.0, fx["lat0"]) == 0.0
+    # triple protocol round trip
+    lo, la, hh = gs.inv(*gs.fwd(lon, lat, h))
+    assert np.array_equal(hh, h)
+
+
+def test_geoid_shift_stage_spec_drive(ray_session):
+    """raster_geoid_shift drives from JSON; the actor round-trips the
+    fixture grid through a real .gtx file."""
+    import ray.data as rd
+
+    from gdal_ray.functions.codecs import decode, encode
+    from gdal_ray.functions.proj import GeoidGridShift, synth_geoid
+    from gdal_ray.pipelines.spec import run_pipeline
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(60, 200, (16, 20, 3), dtype=np.uint8)
+    ds = rd.from_items([{
+        "image_id": "img0", "bytes": encode(img, "raw"),
+        "w": 20, "h": 16, "fmt": "raw",
+    }])
+    out = run_pipeline([{"step": "raster_geoid_shift",
+                         "concurrency": 1}], ds).take_all()
+    got = decode(out[0]["bytes"], 20, 16, "raw")
+    fx = synth_geoid()
+    gs = GeoidGridShift(
+        lat0=fx["lat0"], lon0=fx["lon0"], dlat=fx["dlat"],
+        dlon=fx["dlon"],
+        values=fx["values"].astype(">f4").astype(np.float64))
+    nrows, ncols = gs.grid.shape
+    lon = fx["lon0"] + (np.arange(20) + 0.5) / 20 * fx["dlon"] * (ncols - 1)
+    lat = fx["lat0"] + fx["dlat"] * (nrows - 1) \
+        - (np.arange(16) + 0.5) / 16 * fx["dlat"] * (nrows - 1)
+    LO, LA = np.meshgrid(lon, lat)
+    n = gs.undulation(LO, LA)
+    want = np.clip(np.round(img.astype(np.float64) - n[:, :, None]),
+                   0, 255).astype(np.uint8)
+    assert np.array_equal(got, want)

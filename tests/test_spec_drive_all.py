@@ -463,3 +463,19 @@ def test_mvt_write_read_spec_roundtrip():
                  {"step": "mvt_read"}], ds)
     assert len(df) >= 6
     assert set(df.columns) >= {"z", "x", "y", "layer", "fid", "wkb"}
+
+
+def test_raster_geoid_shift_spec_drive():
+    """Vertical geoid shift from JSON (deep check in test_ntv2.py)."""
+    from gdal_ray.functions.codecs import decode, encode
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(60, 200, (8, 8, 3), dtype=np.uint8)
+    ds = rd.from_items([{
+        "image_id": "img0", "bytes": encode(img, "raw"),
+        "w": 8, "h": 8, "fmt": "raw",
+    }])
+    df = _drive([{"step": "raster_geoid_shift"}], ds)
+    assert len(df) == 1
+    got = decode(df.iloc[0]["bytes"], 8, 8, "raw")
+    assert got.shape == img.shape and not np.array_equal(got, img)
