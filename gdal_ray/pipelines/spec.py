@@ -353,9 +353,14 @@ def _raster_reproject(ds, dst_srs="EPSG:4326", src_srs="EPSG:3857",
                                    resampling, concurrency=concurrency)
     if src_srs not in ("EPSG:3857", "EPSG:4326"):
         from ..functions.epsg import resolve_epsg
-        from ..stages.warp import warp_images_epsg
+        from ..stages.warp import warp_images_epsg, warp_images_epsg_pair
 
         resolve_epsg(src_srs)  # loud unknown-code error up front
+        if dst_srs not in ("EPSG:4326",):
+            resolve_epsg(dst_srs)
+            return warp_images_epsg_pair(ds, src_srs, dst_srs,
+                                         resampling,
+                                         concurrency=concurrency)
         return warp_images_epsg(ds, src_srs, resampling,
                                 concurrency=concurrency)
     from ..stages.warp import warp_images

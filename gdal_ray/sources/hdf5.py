@@ -608,7 +608,9 @@ def _bt2_blobs(records: list[tuple[int, bytes]], bthd_addr: int):
 def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
                       chunks: dict[str, tuple] | None = None,
                       compress: dict[str, int] | None = None,
-                      max_compact: int = 8) -> None:
+                      max_compact: int = 8,
+                      fixed_array: set | frozenset | list | None = None,
+                      ) -> None:
     """Write an HDF5 file in the 1.8+ "latest" layout (h5py
     ``libver='latest'``): superblock version 3, groups as version-2
     object headers with COMPACT Link messages (<= ``max_compact``
@@ -621,9 +623,14 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
 
     chunks = dict(chunks or {})
     compress = dict(compress or {})
+    fixed_array = set(fixed_array or ())
     for n in compress:
         if n not in chunks:
             raise ValueError(f"compress[{n!r}] requires chunks[{n!r}]")
+    for n in fixed_array:
+        if n not in chunks:
+            raise ValueError(f"fixed_array[{n!r}] requires "
+                             f"chunks[{n!r}] (chunked layout)")
     if not datasets:
         raise ValueError("write_hdf5_latest needs >= 1 dataset")
 
@@ -665,10 +672,20 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
                          + struct.pack("<I4x", int(compress[n])))
                 msgs.append(_msg(0x000B,
                                  struct.pack("<BB6x", 1, 1) + descs))
-            body = (struct.pack("<BBB", 3, 2, a.ndim + 1)
-                    + struct.pack("<Q", 0)
-                    + b"".join(struct.pack("<I", c) for c in ck)
-                    + struct.pack("<I", a.dtype.itemsize))
+            if n in fixed_array:
+                # v4 chunked layout + fixed-array index (HDF5 1.10
+                # libver-latest): rank 8-byte dims, index type 3,
+                # page bits, FAHD address (patched later — LAST 8
+                # bytes of the body)
+                body = (struct.pack("<BBBBB", 4, 2, 0, a.ndim, 8)
+                        + b"".join(struct.pack("<Q", c) for c in ck)
+                        + struct.pack("<BB", 3, 10)
+                        + struct.pack("<Q", 0))
+            else:
+                body = (struct.pack("<BBB", 3, 2, a.ndim + 1)
+                        + struct.pack("<Q", 0)
+                        + b"".join(struct.pack("<I", c) for c in ck)
+                        + struct.pack("<I", a.dtype.itemsize))
             msgs.append(_msg(0x0008, body))
             offs = _chunk_grid(a.shape, ck)
             if len(offs) > 64:
@@ -742,10 +759,16 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
         pos += len(hdrs[n])
     cbt_addr = {}
     for n in names:
-        if n in chunk_blobs:
+        if n in chunk_blobs and n in fixed_array:
+            cbt_addr[n] = pos
+            entry = 16 if n in compress else 8
+            pos += 28 + (4 + 1 + 1 + 8
+                         + len(chunk_blobs[n]) * entry + 4)
+        elif n in chunk_blobs:
             cbt_addr[n] = pos
             keysize = 8 + 8 * (arrays[n].ndim + 1)
-            pos += 24 + (len(chunk_blobs[n]) + 1) * keysize                 + len(chunk_blobs[n]) * 8
+            pos += 24 + (len(chunk_blobs[n]) + 1) * keysize \
+                + len(chunk_blobs[n]) * 8
     data_addr = {}
     chunk_addr: dict[str, list[int]] = {}
     for n in names:
@@ -761,7 +784,11 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
 
     for n in names:
         off = layout_fixup[n]
-        if n in chunk_blobs:
+        if n in chunk_blobs and n in fixed_array:
+            blen = 5 + 8 * arrays[n].ndim + 2 + 8  # v4 body length
+            hdrs[n][off + blen - 8:off + blen] = struct.pack(
+                "<Q", cbt_addr[n])
+        elif n in chunk_blobs:
             hdrs[n][off + 3:off + 11] = struct.pack("<Q", cbt_addr[n])
         else:
             hdrs[n][off + 2:off + 10] = struct.pack("<Q", data_addr[n])
@@ -815,7 +842,11 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
         for n in names:
             fh.write(bytes(hdrs[n]))
         for n in names:
-            if n in chunk_blobs:
+            if n in chunk_blobs and n in fixed_array:
+                fh.write(_fixed_array_blobs(
+                    cbt_addr[n], chunk_blobs[n], chunk_addr[n],
+                    filtered=n in compress))
+            elif n in chunk_blobs:
                 fh.write(_chunk_btree_node(arrays[n], chunks[n],
                                            chunk_blobs[n],
                                            chunk_offs[n],
@@ -827,6 +858,29 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
             else:
                 fh.write(arrays[n].tobytes())
     os.replace(tmp, path)
+
+
+def _fixed_array_blobs(fahd_addr: int, blobs: list[bytes],
+                       addrs: list[int], filtered: bool) -> bytes:
+    """FAHD header + FADB data block for one chunked dataset: client
+    0 entries are chunk addresses, client 1 adds 4-byte stored size +
+    filter mask (the 1.10 filtered-chunk element)."""
+    client = 1 if filtered else 0
+    entry = 16 if filtered else 8
+    n = len(blobs)
+    fadb_addr = fahd_addr + 28
+    fahd = (b"FAHD" + bytes([0, client, entry, 10])
+            + struct.pack("<QQ", n, fadb_addr))
+    fahd += struct.pack("<I", _lookup3(fahd))
+    assert len(fahd) == 28
+    fadb = bytearray(b"FADB" + bytes([0, client])
+                     + struct.pack("<Q", fahd_addr))
+    for k in range(n):
+        fadb += struct.pack("<Q", addrs[k])
+        if filtered:
+            fadb += struct.pack("<II", len(blobs[k]), 0)
+    fadb += struct.pack("<I", _lookup3(bytes(fadb)))
+    return fahd + bytes(fadb)
 
 
 def _parse_datatype(body: bytes) -> np.dtype:
@@ -1017,9 +1071,34 @@ def _apply_message(info: dict, mtype: int, body: bytes) -> None:
         info["dtype"] = _parse_datatype(body)
     elif mtype == 0x0008:
         lver, lclass = body[0], body[1]
+        if (lver, lclass) == (4, 2):
+            # v4 chunked layout (HDF5 1.10+/libver latest): rank dims
+            # of encoded width, then a chunk-index type
+            rank = body[3]
+            enc = body[4]
+            p2 = 5
+            dims = []
+            for _ in range(rank):
+                dims.append(int.from_bytes(body[p2:p2 + enc],
+                                           "little"))
+                p2 += enc
+            itype = body[p2]
+            p2 += 1
+            info["layout"] = "chunked"
+            info["chunk"] = tuple(dims)
+            if itype == 3:          # fixed array
+                info["fa_page_bits"] = body[p2]
+                p2 += 1
+                info["fa_addr"] = struct.unpack(
+                    "<Q", body[p2:p2 + 8])[0]
+            else:
+                raise ValueError(
+                    f"HDF5: v4 chunk index type {itype} unsupported "
+                    "(fixed array only)")
+            return
         if lver != 3 or lclass not in (1, 2):
             raise ValueError(
-                "HDF5: only version-3 contiguous/chunked data "
+                "HDF5: only version-3/4 contiguous/chunked data "
                 f"layout supported (got v{lver} class {lclass})")
         if lclass == 1:
             info["layout"] = "contiguous"
@@ -1210,6 +1289,58 @@ def _walk_chunk_btree(buf: bytes, addr: int, rank: int):
     return out
 
 
+def _walk_fixed_array(buf: bytes, v: dict, shape) -> list:
+    """Fixed-array chunk index (HDF5 1.10 "FAHD"/"FADB") ->
+    (offsets, nbytes, address) per chunk in canonical row-major chunk
+    order.  Client 0 = unfiltered (size = full chunk bytes), client
+    1 = filtered (per-element stored size + filter mask)."""
+    addr = v["fa_addr"]
+    if buf[addr:addr + 4] != b"FAHD":
+        raise ValueError(f"HDF5: FAHD signature missing at {addr}")
+    client = buf[addr + 5]
+    entry_size = buf[addr + 6]
+    page_bits = buf[addr + 7]
+    nelem = struct.unpack("<Q", buf[addr + 8:addr + 16])[0]
+    db_addr = struct.unpack("<Q", buf[addr + 16:addr + 24])[0]
+    stored = struct.unpack("<I", buf[addr + 24:addr + 28])[0]
+    if stored != _lookup3(buf[addr:addr + 24]):
+        raise ValueError("HDF5: FAHD checksum mismatch")
+    if nelem > (1 << page_bits):
+        raise ValueError("HDF5: paged fixed-array data blocks "
+                         "unsupported")
+    if buf[db_addr:db_addr + 4] != b"FADB":
+        raise ValueError(f"HDF5: FADB signature missing at {db_addr}")
+    if buf[db_addr + 5] != client:
+        raise ValueError("HDF5: FADB client id mismatch")
+    p = db_addr + 4 + 1 + 1 + 8
+    ck = v["chunk"]
+    grid = _chunk_grid(shape, ck)
+    if len(grid) != nelem:
+        raise ValueError(f"HDF5: fixed array has {nelem} elements "
+                         f"for {len(grid)} chunks")
+    dt_size = v["dtype"].itemsize
+    full = int(np.prod(ck, dtype=np.int64)) * dt_size
+    out = []
+    for k in range(nelem):
+        e = buf[p:p + entry_size]
+        p += entry_size
+        caddr = struct.unpack("<Q", e[:8])[0]
+        if client == 0:
+            out.append((grid[k], full, caddr))
+        else:
+            csize = int.from_bytes(e[8:entry_size - 4], "little")
+            out.append((grid[k], csize, caddr))
+    return out
+
+
+def _chunk_entries(buf: bytes, v: dict, shape) -> list:
+    """(offsets, nbytes, address) per chunk for either chunk index
+    flavor (v1 B-tree or 1.10 fixed array)."""
+    if "fa_addr" in v:
+        return _walk_fixed_array(buf, v, shape)
+    return _walk_chunk_btree(buf, v["chunk_btree"], len(shape))
+
+
 def read_hdf5(path: str, name: str) -> np.ndarray:
     """Read one dataset fully (driver-side; contiguous or chunked,
     deflate-compressed chunks inflated)."""
@@ -1227,8 +1358,7 @@ def read_hdf5(path: str, name: str) -> np.ndarray:
     shape, ck, dt = v["shape"], v["chunk"], v["dtype"]
     filters = v.get("filters", [])
     out = np.zeros(shape, dt)
-    for offs, size, addr in _walk_chunk_btree(buf, v["chunk_btree"],
-                                              len(shape)):
+    for offs, size, addr in _chunk_entries(buf, v, shape):
         raw = buf[addr:addr + size]
         if 1 in filters:
             raw = zlib.decompress(raw)
@@ -1265,7 +1395,7 @@ def read_hdf5_mdim(path: str, name: str, *, slab: int = 0,
 
         with open(path, "rb") as fh:
             buf = fh.read()
-        entries = _walk_chunk_btree(buf, v["chunk_btree"], len(shape))
+        entries = _chunk_entries(buf, v, shape)
         ck = v["chunk"]
         filters = v.get("filters", [])
         spec = MDSpec(shape, ck, dt.name)

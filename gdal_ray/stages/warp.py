@@ -868,6 +868,46 @@ class WarpChipsEPSG(WarpChipsProjFam):
         self.synth = lambda i: synth_epsg(epsg, i)
 
 
+class WarpChipsEPSGPair(WarpChipsProjFam):
+    """Actor-pool stage: warp each chip between TWO registry CRS
+    (the gdalwarp -s_srs/-t_srs pair, both resolved from EPSG codes)
+    through the composed chain src-inverse -> WGS84 -> dst-forward
+    (the GenImgProjTransformer composition,
+    alg/gdaltransformer.cpp:2187).  Chip georeferencing comes from
+    synth_epsg on the SOURCE code; dst bbox = envelope of the
+    chain-mapped corners, w x h kept."""
+
+    def __init__(self, src="EPSG:2154", dst="EPSG:3035",
+                 resampling: str = "bilinear"):
+        WarpChipsRPC.__init__(self, resampling)
+        from ..functions.epsg import resolve_epsg, synth_epsg
+        from ..functions.proj import ComposedTransform, InverseOf
+
+        self.chain = ComposedTransform(InverseOf(resolve_epsg(src)),
+                                       resolve_epsg(dst))
+        self.synth = lambda i: synth_epsg(src, i)
+
+    def _warp_one(self, img, iid: str):
+        h, w = img.shape[:2]
+        i = int(iid[3:])
+        x0, y0, gsd = self.synth(i)
+        cX = np.array([x0, x0 + gsd * w, x0 + gsd * w, x0])
+        cY = np.array([y0 + gsd * h, y0 + gsd * h, y0, y0])
+        dx, dy = self.chain.fwd(cX, cY)
+        minx, maxx = float(np.min(dx)), float(np.max(dx))
+        miny, maxy = float(np.min(dy)), float(np.max(dy))
+        X = minx + (np.arange(w) + 0.5) * ((maxx - minx) / w)
+        Y = maxy - (np.arange(h) + 0.5) * ((maxy - miny) / h)
+        XX, YY = np.meshgrid(X, Y)
+        E, N = self.chain.inv(XX, YY)
+        sp = (E - x0) / gsd
+        sl = (y0 + gsd * h - N) / gsd
+        out = kernels.resample_grid(
+            img, sp - 0.5, sl - 0.5, self.resampling, nodata=0
+        )
+        return out, (minx, miny, maxx, maxy)
+
+
 def warp_images_epsg(images, epsg, resampling: str = "bilinear",
                      concurrency=4, batch_size: int = 64):
     """EPSG-code-resolved warp over an images Dataset (actor pool):
@@ -875,6 +915,21 @@ def warp_images_epsg(images, epsg, resampling: str = "bilinear",
     return images.map_batches(
         WarpChipsEPSG,
         fn_constructor_kwargs=dict(epsg=epsg, resampling=resampling),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def warp_images_epsg_pair(images, src, dst,
+                          resampling: str = "bilinear",
+                          concurrency=4, batch_size: int = 64):
+    """src-CRS -> dst-CRS warp over an images Dataset, both resolved
+    from the static EPSG registry (actor pool)."""
+    return images.map_batches(
+        WarpChipsEPSGPair,
+        fn_constructor_kwargs=dict(src=src, dst=dst,
+                                   resampling=resampling),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -185,3 +185,58 @@ def test_spec_step_epsg_codes(ray_session):
     with pytest.raises(ValueError, match="registry"):
         run_pipeline([{"step": "raster_reproject",
                        "src_srs": "EPSG:31370"}], ds).take_all()
+
+
+def test_epsg_pair_warp_chain(ray_session):
+    """raster_reproject src EPSG -> dst EPSG composes
+    src-inverse -> WGS84 -> dst-forward (the -s_srs/-t_srs pair);
+    identity pair (2154 -> 2154) reproduces the source chip for the
+    interior (nearest resampling, same grid)."""
+    import ray.data as rd
+
+    from gdal_ray.functions.codecs import decode, encode
+    from gdal_ray.pipelines.spec import run_pipeline
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    ds = rd.from_items([{
+        "image_id": "img5", "bytes": encode(img, "raw"),
+        "w": 16, "h": 16, "fmt": "raw",
+    }])
+    out = run_pipeline([{"step": "raster_reproject",
+                         "src_srs": "EPSG:2154",
+                         "dst_srs": "EPSG:3035",
+                         "resampling": "bilinear",
+                         "concurrency": 1}], ds).take_all()
+    assert len(out) == 1
+    got = decode(out[0]["bytes"], 16, 16, "raw")
+    assert got.shape == img.shape
+    # identity pair: chain fwd == chain inv == same grid -> same chip
+    out2 = run_pipeline([{"step": "raster_reproject",
+                          "src_srs": "EPSG:2154",
+                          "dst_srs": "EPSG:2154",
+                          "resampling": "near",
+                          "concurrency": 1}], ds).take_all()
+    got2 = decode(out2[0]["bytes"], 16, 16, "raw")
+    assert np.array_equal(got2, img)
+
+
+def test_epsg_pair_chain_coordinates():
+    """Chain math: 2154 -> 3035 equals manual via-WGS84 composition
+    to machine precision over the shared validity window."""
+    from gdal_ray.functions.epsg import resolve_epsg
+    from gdal_ray.functions.proj import ComposedTransform, InverseOf
+
+    a = resolve_epsg(2154)
+    b = resolve_epsg(3035)
+    chain = ComposedTransform(InverseOf(a), b)
+    E = 700000.0 + np.linspace(-5e4, 5e4, 9)
+    N = 6600000.0 + np.linspace(-5e4, 5e4, 9)
+    lon, lat = a.inv(E, N)
+    wx, wy = b.fwd(lon, lat)
+    cx, cy = chain.fwd(E, N)
+    assert np.array_equal(cx, wx) and np.array_equal(cy, wy)
+    # round trip through the chain
+    e2, n2 = chain.inv(cx, cy)
+    assert np.abs(e2 - E).max() < 1e-6
+    assert np.abs(n2 - N).max() < 1e-6

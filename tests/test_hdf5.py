@@ -396,3 +396,55 @@ def test_latest_ohdr_checksum_corruption_detected(tmp_path):
     open(p, "wb").write(bytes(buf))
     with pytest.raises(ValueError, match="checksum"):
         hdf5_info(p)
+
+
+def test_fixed_array_chunk_index(tmp_path):
+    """HDF5 1.10 fixed-array chunk index (v4 data layout, index type
+    3): FAHD/FADB byte anchors, checksums verified, filtered (client
+    1: address + stored size + mask) and unfiltered (client 0)
+    elements, bit-exact reads through both read_hdf5 and the
+    distributed mdim reader."""
+    from gdal_ray.sources.hdf5 import (_lookup3, hdf5_info, read_hdf5,
+                                       write_hdf5_latest)
+
+    rng = np.random.default_rng(42)
+    a = rng.normal(size=(40, 50)).astype("<f4")
+    b = rng.integers(0, 9999, (30, 20)).astype("<i8")
+    p = str(tmp_path / "fa.h5")
+    write_hdf5_latest(p, {"g/x": a, "g/y": b},
+                      chunks={"g/x": (16, 16), "g/y": (8, 8)},
+                      compress={"g/x": 6},
+                      fixed_array={"g/x", "g/y"})
+    info = hdf5_info(p)["datasets"]
+    assert "fa_addr" in info["g/x"] and "fa_addr" in info["g/y"]
+    buf = open(p, "rb").read()
+    fa = info["g/x"]["fa_addr"]
+    assert buf[fa:fa + 4] == b"FAHD"
+    assert buf[fa + 4] == 0                   # version
+    assert buf[fa + 5] == 1                   # client: filtered
+    assert buf[fa + 6] == 16                  # entry size
+    nelem = struct.unpack("<Q", buf[fa + 8:fa + 16])[0]
+    assert nelem == 12                        # ceil(40/16)*ceil(50/16)
+    assert struct.unpack("<I", buf[fa + 24:fa + 28])[0] == \
+        _lookup3(buf[fa:fa + 24])
+    db = struct.unpack("<Q", buf[fa + 16:fa + 24])[0]
+    assert buf[db:db + 4] == b"FADB"
+    fb = info["g/y"]["fa_addr"]
+    assert buf[fb + 5] == 0 and buf[fb + 6] == 8  # unfiltered client
+    assert np.array_equal(read_hdf5(p, "g/x"), a)
+    assert np.array_equal(read_hdf5(p, "g/y"), b)
+
+
+def test_fixed_array_mdim_distributed(tmp_path, ray_session):
+    from gdal_ray.sources.hdf5 import read_hdf5_mdim, write_hdf5_latest
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(24, 32)).astype("<f8")
+    p = str(tmp_path / "famd.h5")
+    write_hdf5_latest(p, {"x": a}, chunks={"x": (8, 16)},
+                      compress={"x": 6}, fixed_array={"x"})
+    ds, spec = read_hdf5_mdim(p, "x", parallelism=3)
+    rows = ds.take_all()
+    tot = sum(np.frombuffer(bytes(r["data"]), "<f8").sum()
+              for r in rows)
+    assert abs(tot - a.sum()) < 1e-9
