@@ -111,6 +111,32 @@ def _dump_stats(phase: str, datasets) -> None:
         pass
 
 
+def _mem_stats() -> dict:
+    """Object-store usage + spill counters from Ray's memory summary
+    (captured at phase end — the peak-pressure evidence the sf1
+    scale-up run records).  Advisory: never fails the bench."""
+    try:
+        import re
+
+        from ray._private.internal_api import memory_summary
+
+        txt = memory_summary(stats_only=True)
+        out = {}
+        m = re.search(r"Spilled (\d+) MiB, (\d+) objects", txt)
+        if m:
+            out["spilled_mib"] = int(m.group(1))
+            out["spilled_objects"] = int(m.group(2))
+        m = re.search(r"Restored (\d+) MiB, (\d+) objects", txt)
+        if m:
+            out["restored_mib"] = int(m.group(1))
+        m = re.search(r"Plasma memory usage (\d+) MiB", txt)
+        if m:
+            out["plasma_mib_at_end"] = int(m.group(1))
+        return out
+    except Exception:
+        return {}
+
+
 def _session(num_cpus: int):
     import ray
 
@@ -193,6 +219,7 @@ def phase_join() -> dict:
         "join_rows_per_s": round(n_images / dt, 2),
         "n_join_pairs": n_pairs,
         "env": sentinel.report,
+        "mem": _mem_stats(),
     }
 
 
@@ -215,6 +242,7 @@ def phase_tiles() -> dict:
         "tile_tiles_per_s": round(n_tiles / dt, 2),
         "n_tiles": n_tiles,
         "env": sentinel.report,
+        "mem": _mem_stats(),
     }
 
 
@@ -240,6 +268,7 @@ def phase_warp() -> dict:
         "sec": round(dt, 3),
         "warp_rows_per_s": round(n_images / dt, 2),
         "env": sentinel.report,
+        "mem": _mem_stats(),
     }
 
 
@@ -275,6 +304,10 @@ def run_bench() -> dict:
     timings = {name: r["sec"] for name, r in results.items()}
     throughput: dict = {}
     env = {name: r.pop("env", {}) for name, r in results.items()}
+    mem = {name: r.pop("mem", {}) for name, r in results.items()}
+    for name, m in mem.items():
+        if m:
+            env[name]["mem"] = m
     for r in results.values():
         for k, v in r.items():
             if k != "sec":
