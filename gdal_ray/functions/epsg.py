@@ -110,6 +110,10 @@ def _entries():
         3035: (lambda: P.LambertAzimuthalEqualArea(
             52.0, 10.0, 4321000.0, 3210000.0, ellipsoid="GRS80"),
             (10.0, 52.0), "ETRS89-extended / LAEA Europe"),
+        3034: (lambda: P.LambertConformalConic(
+            35.0, 65.0, 52.0, 10.0, 4000000.0, 2800000.0,
+            ellipsoid="GRS80"), (10.0, 52.0),
+            "ETRS89-extended / LCC Europe"),
         # ---- North America
         5070: (lambda: P.AlbersEqualArea(
             29.5, 45.5, 23.0, -96.0, 0.0, 0.0, ellipsoid="GRS80"),
@@ -117,6 +121,9 @@ def _entries():
         102003: (lambda: P.AlbersEqualArea(
             29.5, 45.5, 37.5, -96.0, 0.0, 0.0, ellipsoid="GRS80"),
             (-96.0, 38.0), "ESRI USA Contiguous Albers (GRS80)"),
+        102008: (lambda: P.AlbersEqualArea(
+            20.0, 60.0, 40.0, -96.0, 0.0, 0.0, ellipsoid="GRS80"),
+            (-96.0, 45.0), "ESRI North America Albers (GRS80)"),
         # ---- polar
         3413: (lambda: P.PolarStereographic(
             70.0, -45.0, 0.0, 0.0), (-45.0, 75.0),
@@ -133,6 +140,19 @@ def _entries():
         5042: (lambda: P.PolarStereographic.from_k0(
             0.994, 0.0, 2000000.0, 2000000.0, south=True),
             (30.0, -80.0), "WGS84 / UPS South (variant A)"),
+        3995: (lambda: P.PolarStereographic(
+            71.0, 0.0, 0.0, 0.0), (20.0, 78.0),
+            "WGS84 / Arctic Polar Stereographic"),
+        # polar-aspect LAEA (Snyder eq. 24-23/24-25)
+        6931: (lambda: P.LambertAzimuthalEqualArea(
+            90.0, 0.0, 0.0, 0.0), (15.0, 75.0),
+            "WGS84 / NSIDC EASE-Grid 2.0 North (polar LAEA)"),
+        6932: (lambda: P.LambertAzimuthalEqualArea(
+            -90.0, 0.0, 0.0, 0.0), (15.0, -75.0),
+            "WGS84 / NSIDC EASE-Grid 2.0 South (polar LAEA)"),
+        3575: (lambda: P.LambertAzimuthalEqualArea(
+            90.0, 10.0, 0.0, 0.0), (25.0, 72.0),
+            "WGS84 / North Pole LAEA Europe"),
         # ---- world / equal-area grids
         54008: (lambda: P.Sinusoidal(0.0, 0.0, 0.0), (15.0, 40.0),
                 "ESRI World Sinusoidal (WGS84)"),

@@ -675,6 +675,13 @@ class LambertAzimuthalEqualArea:
         self.qp = float(_q_snyder(np.pi / 2.0, self.e1, self.e2))
         # authalic radius Rq = a sqrt(qp/2) (Snyder eq. 3-13)
         self.rq = self.a * np.sqrt(self.qp / 2.0)
+        self.polar = 0
+        if lat0 >= 90.0:
+            self.polar = 1                    # north aspect (eq. 24-23)
+            return
+        if lat0 <= -90.0:
+            self.polar = -1                   # south aspect (eq. 24-25)
+            return
         q0 = _q_snyder(np.radians(lat0), self.e1, self.e2)
         self.beta0 = np.arcsin(np.clip(q0 / self.qp, -1.0, 1.0))
         self.sb0, self.cb0 = np.sin(self.beta0), np.cos(self.beta0)
@@ -689,6 +696,17 @@ class LambertAzimuthalEqualArea:
     def fwd(self, lon, lat):
         phi = np.radians(np.asarray(lat, np.float64))
         lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        if self.polar:
+            # polar aspects (Snyder eq. 24-23/24-25): rho =
+            # a sqrt(qp -+ q); y sign flips between the aspects
+            q = _q_snyder(phi, self.e1, self.e2)
+            if self.polar > 0:
+                rho = self.a * np.sqrt(np.maximum(self.qp - q, 0.0))
+                return (self.fe + rho * np.sin(lam),
+                        self.fn - rho * np.cos(lam))
+            rho = self.a * np.sqrt(np.maximum(self.qp + q, 0.0))
+            return (self.fe + rho * np.sin(lam),
+                    self.fn + rho * np.cos(lam))
         b = self._beta(phi)
         sb, cb = np.sin(b), np.cos(b)
         denom = 1.0 + self.sb0 * sb + self.cb0 * cb * np.cos(lam)
@@ -699,6 +717,18 @@ class LambertAzimuthalEqualArea:
         return E, N
 
     def inv(self, e, n):
+        if self.polar:
+            x = np.asarray(e, np.float64) - self.fe
+            y = np.asarray(n, np.float64) - self.fn
+            rho = np.hypot(x, y)
+            q = self.qp - (rho / self.a) ** 2 if self.polar > 0 \
+                else (rho / self.a) ** 2 - self.qp
+            lat = np.degrees(_phi_from_q(np.clip(q, -self.qp, self.qp),
+                                         self.e1, self.e2))
+            lam = (np.arctan2(x, -y) if self.polar > 0
+                   else np.arctan2(x, y))
+            lon = self.lon0 + np.degrees(np.where(rho > 0.0, lam, 0.0))
+            return lon, lat
         x = (np.asarray(e, np.float64) - self.fe) / self.D
         y = (np.asarray(n, np.float64) - self.fn) * self.D
         rho = np.hypot(x, y)

@@ -25,6 +25,7 @@ explicitly.
 from __future__ import annotations
 
 import os
+import struct
 
 import numpy as np
 
@@ -152,12 +153,19 @@ def write_nitf(path: str, images: list[dict], *,
         nppbh = int(im.get("nppbh", 256))
         nppbv = int(im.get("nppbv", 256))
         ic = im.get("ic", "NC")
-        if ic not in ("NC", "C3"):
-            raise ValueError(f"IC {ic!r} unsupported (NC / C3)")
-        if ic == "C3" and irep == "RGB" and imode != "P":
+        if ic not in ("NC", "C3", "NM", "M3"):
+            raise ValueError(f"IC {ic!r} unsupported (NC / C3 / NM / "
+                             "M3)")
+        masked = ic in ("NM", "M3")
+        if ic in ("C3", "M3") and irep == "RGB" and imode != "P":
             # MIL-STD-188-198A: a 3-band JPEG block is one interleaved
             # 3-component stream — band-sequential C3 RGB undefined
-            raise ValueError("IC=C3 RGB requires IMODE=P")
+            raise ValueError(f"IC={ic} RGB requires IMODE=P")
+        if masked and irep == "RGB" and imode != "P":
+            # one mask record per BLOCK: multiband needs the pixel-
+            # interleaved layout (per-band mask grids out of scope)
+            raise ValueError(f"IC={ic} RGB requires IMODE=P")
+        blank = int(im.get("blank_value", 0)) if masked else None
         planes = [_blocks(b, nppbh, nppbv) for b in bands]
         nbpr, nbpc, _ = planes[0]
         chunks = []
@@ -166,10 +174,15 @@ def write_nitf(path: str, images: list[dict], *,
                 r0, c0 = bj * nppbv, bi * nppbh
                 blocks = [p[2][r0:r0 + nppbv, c0:c0 + nppbh]
                           for p in planes]
-                if ic == "C3":
+                if masked and all((blk == blank).all()
+                                  for blk in blocks):
+                    chunks.append(None)       # blocked out of the file
+                    continue
+                if ic in ("C3", "M3"):
                     # one complete baseline-JPEG stream per block
                     # (frmts/nitf JPEG path; streams concatenate with
-                    # no offset table for mask-less C3)
+                    # no offset table for mask-less C3; M3 records
+                    # per-block offsets in the mask table)
                     from ..functions.jpegc import (encode_jpeg,
                                                    encode_jpeg_gray)
 
@@ -184,7 +197,28 @@ def write_nitf(path: str, images: list[dict], *,
                         chunks.append(blk.tobytes())
                 else:  # P: pixel interleaved inside block
                     chunks.append(np.stack(blocks, axis=-1).tobytes())
-        data = b"".join(chunks)
+        if masked:
+            # Image Data Mask table (MIL-STD-2500C 5.4.3.2): IMDATOFF
+            # (4-byte binary length of the mask table itself), BMRLNTH
+            # =4 (block mask records present), TMRLNTH=0, TPXCDLNTH=0,
+            # then one 4-byte big-endian offset per block — measured
+            # from the first byte FOLLOWING the mask table;
+            # 0xFFFFFFFF marks a blocked-out block.
+            n_blocks = nbpr * nbpc
+            imdatoff = 4 + 2 + 2 + 2 + 4 * n_blocks
+            offs_tbl = []
+            pos_d = 0
+            for c in chunks:
+                if c is None:
+                    offs_tbl.append(0xFFFFFFFF)
+                else:
+                    offs_tbl.append(pos_d)
+                    pos_d += len(c)
+            data = (struct.pack(">IHHH", imdatoff, 4, 0, 0)
+                    + b"".join(struct.pack(">I", o) for o in offs_tbl)
+                    + b"".join(c for c in chunks if c is not None))
+        else:
+            data = b"".join(chunks)
         corners = im.get("corners")
         sub = (
             _a("IM", 2)
@@ -208,8 +242,8 @@ def write_nitf(path: str, images: list[dict], *,
         sub += _n(len(icom), 1)
         for c in icom:
             sub += _a(c, 80)
-        sub += _a(ic, 2)                      # IC (NC / C3)
-        if ic == "C3":
+        sub += _a(ic, 2)                      # IC
+        if ic in ("C3", "M3"):
             # COMRAT: achieved bits per pixel per band, NN.N
             bpp = 8.0 * len(data) / (rows * cols * len(bands))
             sub += _a(f"{min(bpp, 99.9):04.1f}", 4)
@@ -306,12 +340,12 @@ def _parse_image_subheader(buf: bytes, pos: int):
                  for i in range(nicom)]
     p += nicom * 80
     ic = buf[p:p + 2].decode()
-    if ic not in ("NC", "C3"):
+    if ic not in ("NC", "C3", "NM", "M3"):
         raise ValueError(f"NITF: compression {ic!r} unsupported "
-                         "(NC / C3)")
+                         "(NC / C3 / NM / M3)")
     p += 2
     m["ic"] = ic
-    if ic == "C3":
+    if ic in ("C3", "M3"):
         m["comrat"] = buf[p:p + 4].decode().strip()
         p += 4
     nbands = int(buf[p:p + 1])
@@ -380,7 +414,7 @@ def read_nitf(path: str) -> list[dict]:
                 f"NITF: subheader length {dpos} != LISH {lish[k]}")
         if m["nbpp"] != 8 or m["pvtype"] != "INT":
             raise ValueError("NITF: only 8-bit INT samples supported")
-        if m.get("ic") != "C3":
+        if m.get("ic") == "NC":
             expect = (m["nbpr"] * m["nbpc"] * m["nppbh"] * m["nppbv"]
                       * m["nbands"])
             if expect != li[k]:
@@ -463,6 +497,62 @@ def _decode_segment(seg: bytes, m: dict, dpos: int) -> np.ndarray:
     nppbh, nppbv = m["nppbh"], m["nppbv"]
     nbpr, nbpc = m["nbpr"], m["nbpc"]
     full = np.zeros((nbands, nbpc * nppbv, nbpr * nppbh), np.uint8)
+    if m.get("ic") in ("NM", "M3"):
+        # masked ICs: Image Data Mask table first (IMDATOFF, BMRLNTH,
+        # TMRLNTH, TPXCDLNTH, then 4-byte block offsets; 0xFFFFFFFF =
+        # blocked out — filled with zeros on read)
+        imdatoff, bmrlnth, tmrlnth, _tp = struct.unpack(
+            ">IHHH", seg[dpos:dpos + 10])
+        if bmrlnth != 4:
+            raise ValueError(
+                f"NITF: masked IC needs 4-byte block mask records "
+                f"(BMRLNTH={bmrlnth})")
+        if tmrlnth not in (0,):
+            raise ValueError("NITF: pad-pixel mask records "
+                             "unsupported (TMRLNTH must be 0)")
+        n_blocks = nbpr * nbpc
+        offs = struct.unpack(f">{n_blocks}I",
+                             seg[dpos + 10:dpos + 10 + 4 * n_blocks])
+        base = dpos + imdatoff
+        bsz = nppbh * nppbv
+        if m["ic"] == "M3":
+            from ..functions.jpegc import decode_jpeg
+
+            # stream lengths from the sorted present offsets
+            present = sorted((o, i) for i, o in enumerate(offs)
+                             if o != 0xFFFFFFFF)
+            ends = {}
+            for j, (o, i) in enumerate(present):
+                nxt = (present[j + 1][0] if j + 1 < len(present)
+                       else len(seg) - base)
+                ends[i] = nxt
+        k2 = 0
+        for bj in range(nbpc):
+            for bi in range(nbpr):
+                o = offs[k2]
+                r0, c0 = bj * nppbv, bi * nppbh
+                if o != 0xFFFFFFFF:
+                    if m["ic"] == "M3":
+                        blk = decode_jpeg(seg[base + o:base + ends[k2]])
+                    else:
+                        nb_blk = bsz * (nbands if m["imode"] == "P"
+                                        else 1)
+                        raw = np.frombuffer(seg, np.uint8, nb_blk,
+                                            base + o)
+                        if m["imode"] == "P" and nbands > 1:
+                            blk = raw.reshape(nppbv, nppbh, nbands)
+                        else:
+                            blk = raw.reshape(nppbv, nppbh)
+                    if nbands == 1:
+                        full[0, r0:r0 + nppbv, c0:c0 + nppbh] = blk
+                    else:
+                        for b in range(nbands):
+                            full[b, r0:r0 + nppbv,
+                                 c0:c0 + nppbh] = blk[:, :, b]
+                k2 += 1
+        vals = full[:, :rows, :cols]
+        return (vals[0] if nbands == 1
+                else np.ascontiguousarray(np.moveaxis(vals, 0, -1)))
     if m.get("ic") == "C3":
         # each block is one complete baseline-JPEG stream (MONO 1-comp
         # or RGB 3-comp interleaved), concatenated in block-raster

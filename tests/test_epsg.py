@@ -240,3 +240,32 @@ def test_epsg_pair_chain_coordinates():
     e2, n2 = chain.inv(cx, cy)
     assert np.abs(e2 - E).max() < 1e-6
     assert np.abs(n2 - N).max() < 1e-6
+
+
+def test_polar_laea_codes():
+    """Polar-aspect LAEA (EASE-Grid 2.0 N/S, North Pole LAEA Europe):
+    origin at the pole, round trips, and the equal-area defining
+    property (ring at 80N maps to a circle whose area equals the
+    authalic cap area)."""
+    n = resolve_epsg(6931)
+    x, y = n.fwd(0.0, 90.0)
+    assert abs(float(x)) < 1e-6 and abs(float(y)) < 1e-6
+    s = resolve_epsg(6932)
+    xs, ys = s.fwd(0.0, -90.0)
+    assert abs(float(xs)) < 1.0 and abs(float(ys)) < 1.0  # fp at pole
+    for code, lat in ((6931, 75.0), (6932, -75.0), (3575, 72.0)):
+        prj = resolve_epsg(code)
+        lons = np.linspace(-170.0, 170.0, 13)
+        lats = np.full(13, lat)
+        lo, la = prj.inv(*prj.fwd(lons, lats))
+        assert np.abs(lo - lons).max() < 1e-9
+        assert np.abs(la - lats).max() < 1e-9
+    # equal-area property: pi*rho(80N)^2 == authalic area north of 80N
+    from gdal_ray.functions.proj import (A as _A, E1 as _E1, E2 as _E2,
+                                         _q_snyder)
+    x80, y80 = n.fwd(0.0, 80.0)
+    rho = np.hypot(float(x80), float(y80))
+    qp = _q_snyder(np.pi / 2.0, _E1, _E2)
+    q80 = _q_snyder(np.radians(80.0), _E1, _E2)
+    cap = np.pi * _A ** 2 * (qp - q80)
+    assert abs(np.pi * rho ** 2 - cap) / cap < 1e-12

@@ -271,3 +271,72 @@ def test_c3_distributed_rows_reader(tmp_path, ray_session):
     exact = np.frombuffer(by_id[1]["values"], np.uint8).reshape(150, 150)
     assert np.array_equal(exact, mono)
     assert _psnr(dec, mono) >= 40.0
+
+
+# ---------------------------------------------- masked IC (NM / M3)
+
+
+def test_masked_nm_sparse_exact(tmp_path):
+    """IC=NM: blank blocks are blocked out of the file via the Image
+    Data Mask table (IMDATOFF/BMRLNTH + 0xFFFFFFFF records); present
+    blocks read back exactly and the file shrinks accordingly."""
+    import os as _os
+
+    sparse = np.zeros((512, 512), np.uint8)
+    sparse[:128, :128] = (np.arange(128 * 128) % 251).reshape(
+        128, 128).astype(np.uint8)
+    p = str(tmp_path / "nm.ntf")
+    write_nitf(p, [{"values": sparse, "ic": "NM"}])
+    segs = read_nitf(p)
+    assert segs[0]["ic"] == "NM"
+    assert np.array_equal(segs[0]["values"], sparse)
+    # 3 of 4 blocks masked out: data well under the dense size
+    assert _os.path.getsize(p) < 512 * 512 // 2
+
+
+def test_masked_mask_table_byte_anchors(tmp_path):
+    """Mask table anchors: IMDATOFF = table length, BMRLNTH=4,
+    TMRLNTH=0, big-endian offsets with 0xFFFFFFFF for absent."""
+    sparse = np.zeros((512, 512), np.uint8)
+    sparse[:256, :256] = 7
+    p = str(tmp_path / "anchor.ntf")
+    write_nitf(p, [{"values": sparse, "ic": "NM"}])
+    buf = open(p, "rb").read()
+    hl = int(buf[354:360])
+    lish = int(buf[363:369])
+    dpos = hl + lish
+    import struct as st
+    imdatoff, bmrlnth, tmrlnth, tp = st.unpack(">IHHH",
+                                               buf[dpos:dpos + 10])
+    assert bmrlnth == 4 and tmrlnth == 0
+    n_blocks = 4                     # 512/256 x 512/256
+    assert imdatoff == 10 + 4 * n_blocks
+    offs = st.unpack(">4I", buf[dpos + 10:dpos + 26])
+    assert offs[0] == 0              # first block present
+    assert offs.count(0xFFFFFFFF) == 3
+
+
+def test_masked_m3_jpeg_blocks(tmp_path):
+    base = _smooth(300, 250).clip(0, 255).astype(np.uint8)
+    sparse = np.zeros((512, 512), np.uint8)
+    sparse[212:512, 0:250] = base
+    p = str(tmp_path / "m3.ntf")
+    write_nitf(p, [{"values": sparse, "ic": "M3", "quality": 90}])
+    segs = read_nitf(p)
+    assert segs[0]["ic"] == "M3"
+    assert len(segs[0]["comrat"]) == 4
+    dec = segs[0]["values"]
+    assert _psnr(dec, sparse) >= 40.0
+    # fully-blank top-right block decodes to exact zeros
+    assert (dec[:256, 256:] == 0).all()
+
+
+def test_masked_rgb_p_and_guard(tmp_path):
+    rgbs = np.zeros((512, 512, 3), np.uint8)
+    rgbs[256:, 256:, :] = 99
+    p = str(tmp_path / "nmp.ntf")
+    write_nitf(p, [{"values": rgbs, "ic": "NM", "imode": "P"}])
+    assert np.array_equal(read_nitf(p)[0]["values"], rgbs)
+    with pytest.raises(ValueError, match="IMODE=P"):
+        write_nitf(str(tmp_path / "x.ntf"),
+                   [{"values": rgbs, "ic": "NM", "imode": "B"}])
