@@ -1265,3 +1265,27 @@ def _raster_geoid_shift(ds, concurrency: int = 4):
 
     return geoid_shift_images(ds, concurrency=concurrency)
 
+@register_step("write_geoparquet")
+def _write_geoparquet(ds, path: str, geometry_column: str = "wkb"):
+    """GeoParquet 1.0 sink (ogr/ogrsf_frmts/parquet write half): one
+    partial pass computes geometry types + global bbox, every file
+    carries the 'geo' schema metadata."""
+    import ray.data as rd
+
+    from ..sources.geoparquet import write_geoparquet
+
+    meta = write_geoparquet(ds, path, geometry_column)
+    import json
+
+    return rd.from_items([{"path": path,
+                           "geo": json.dumps(meta)}])
+
+
+@register_step("read_geoparquet")
+def _read_geoparquet(ds, path: str):
+    """GeoParquet source (validates the 'geo' metadata)."""
+    from ..sources.geoparquet import read_geoparquet
+
+    out, _meta = read_geoparquet(path)
+    return out
+

@@ -479,3 +479,16 @@ def test_raster_geoid_shift_spec_drive():
     assert len(df) == 1
     got = decode(df.iloc[0]["bytes"], 8, 8, "raw")
     assert got.shape == img.shape and not np.array_equal(got, img)
+
+
+def test_geoparquet_spec_steps(tmp_path):
+    from gdal_ray.functions import geom
+
+    rows = {"fid": [0, 1], "wkb": [geom.wkb_point(1.0, 2.0),
+                                   geom.wkb_point(3.0, 4.0)]}
+    ds = rd.from_arrow(pa.table(rows))
+    out = str(tmp_path / "gp")
+    st = _drive([{"step": "write_geoparquet", "path": out}], ds)
+    assert len(st) == 1 and "Point" in st.iloc[0]["geo"]
+    df = _drive([{"step": "read_geoparquet", "path": out}])
+    assert len(df) == 2

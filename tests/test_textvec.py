@@ -116,3 +116,75 @@ def test_convert_steps_csv_kml_hops(tmp_path, features, ray_session):
         {"step": "vector_read", "path": kmlp}])).take_all()
     got = sorted(r["geometry"] for r in back)
     assert got == sorted(features.column("geometry").to_pylist())
+
+
+# -------------------------------------------------- GeoParquet 1.0
+
+
+def _gp_layer(n=15, seed=42):
+    rng = np.random.default_rng(seed)
+    rows = {"fid": [], "wkb": []}
+    for i in range(n):
+        cx, cy = rng.uniform(-100.0, 100.0, 2)
+        if i % 3 == 0:
+            rows["wkb"].append(G.wkb_point(cx, cy))
+        else:
+            ang = np.linspace(0.0, 2.0 * np.pi, 7)[:-1]
+            ring = np.stack([cx + 5.0 * np.cos(ang),
+                             cy + 5.0 * np.sin(ang)], axis=1)
+            ring = np.vstack([ring, ring[:1]])
+            rows["wkb"].append(G.wkb_polygon([ring]))
+        rows["fid"].append(i)
+    return rows
+
+
+def test_geoparquet_metadata_and_roundtrip(ray_session, tmp_path):
+    """GeoParquet 1.0 (the reference's ogr/ogrsf_frmts/parquet driver
+    contract): every written file carries the 'geo' footer metadata
+    with encoding=WKB, aggregated geometry_types and the exact global
+    bbox; reading validates and round-trips the rows."""
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gdal_ray.sources.geoparquet import (read_geoparquet,
+                                             write_geoparquet)
+
+    rows = _gp_layer()
+    ds = rd.from_arrow(pa.table(rows))
+    out = str(tmp_path / "gp")
+    meta = write_geoparquet(ds, out)
+    col = meta["columns"]["wkb"]
+    assert col["encoding"] == "WKB"
+    assert set(col["geometry_types"]) == {"Point", "Polygon"}
+    # bbox equals the exact envelope union of the source WKB
+    envs = np.array([G.envelope_wkb(w) for w in rows["wkb"]])
+    want = [envs[:, 0].min(), envs[:, 1].min(),
+            envs[:, 2].max(), envs[:, 3].max()]
+    assert np.allclose(col["bbox"], want, atol=0.0)
+    # footer anchor on the actual parquet file
+    import glob
+    import os
+
+    f = sorted(glob.glob(os.path.join(out, "*.parquet")))[0]
+    md = pq.read_schema(f).metadata
+    assert b"geo" in md
+    assert json.loads(md[b"geo"]) == meta
+    ds2, meta2 = read_geoparquet(out)
+    assert meta2 == meta
+    got = sorted(ds2.take_all(), key=lambda r: r["fid"])
+    for i, r in enumerate(got):
+        assert bytes(r["wkb"]) == rows["wkb"][i]
+
+
+def test_geoparquet_plain_parquet_loud(ray_session, tmp_path):
+    import ray.data as rd
+
+    from gdal_ray.sources.geoparquet import read_geoparquet
+
+    ds = rd.from_items([{"a": 1}])
+    out = str(tmp_path / "plain")
+    ds.write_parquet(out)
+    with pytest.raises(ValueError, match="geo"):
+        read_geoparquet(out)
