@@ -1289,3 +1289,22 @@ def _read_geoparquet(ds, path: str):
     out, _meta = read_geoparquet(path)
     return out
 
+@register_step("mdim_read_zarr3")
+def _mdim_read_zarr3(ds, path: str, parallelism: int = 16):
+    """Zarr v3 mdim source (zarr.json document, c/i/j chunk keys,
+    bytes[+gzip] codec chain)."""
+    from ..sources.zarr import read_zarr3
+
+    zds, spec = read_zarr3(path, parallelism=parallelism)
+    return MDimHandle(zds, spec)
+
+
+@register_step("mdim_write_zarr3")
+def _mdim_write_zarr3(ds, path: str, codec: str | None = "gzip",
+                      level: int = 1):
+    """Zarr v3 mdim sink (resumable per-chunk files)."""
+    from ..sources.zarr import write_zarr3
+
+    h = _mdim_handle(ds)
+    return write_zarr3(h.ds, h.spec, path, codec=codec, level=level)
+

@@ -492,3 +492,23 @@ def test_geoparquet_spec_steps(tmp_path):
     assert len(st) == 1 and "Point" in st.iloc[0]["geo"]
     df = _drive([{"step": "read_geoparquet", "path": out}])
     assert len(df) == 2
+
+
+def test_zarr3_mdim_spec_steps(tmp_path):
+    from gdal_ray.stages.mdim import MDSpec, mdim_create
+
+    a = np.arange(48.0).reshape(6, 8)
+    spec = MDSpec(a.shape, (4, 4), "float64")
+    src = mdim_create(spec, lambda I, J: a[I.astype(int),
+                                           J.astype(int)])
+    out = str(tmp_path / "v3.zarr")
+    from gdal_ray.pipelines.spec import run_pipeline
+
+    st = run_pipeline([{"step": "mdim_write_zarr3", "path": out}],
+                      __import__("gdal_ray.pipelines.spec",
+                                 fromlist=["MDimHandle"]).MDimHandle(
+                          src, spec))
+    assert st.count() == 4
+    df = _drive([{"step": "mdim_read_zarr3", "path": out},
+                 {"step": "mdim_checksums", "tag": "z3"}])
+    assert len(df) > 0
