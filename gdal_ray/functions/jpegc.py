@@ -310,7 +310,7 @@ def _bitlen(a: np.ndarray) -> np.ndarray:
     return np.frexp(np.abs(a).astype(np.float64))[1].astype(np.int64)
 
 
-def _encode_scan(zzs: list, tabs: list) -> bytes:
+def _encode_scan(zzs: list, tabs: list, keys: list | None = None) -> bytes:
     """Vectorized entropy coder for the whole interleaved scan — the
     emission-stream form of the per-block T.81 F.1.2 loop
     (:func:`_encode_block`, kept as the tested reference): every
@@ -333,6 +333,11 @@ def _encode_scan(zzs: list, tabs: list) -> bytes:
 
     for ci, (zz, (dc_tab, ac_tab)) in enumerate(zip(zzs, tabs)):
         n_mcu = zz.shape[0]
+        # slot key per zz row: the interleave position in the scan
+        # (identity for one-block-per-MCU 4:4:4; explicit for the
+        # 4-Y-blocks-per-MCU 4:2:0 schedule)
+        K = (np.asarray(keys[ci], np.int64) if keys is not None
+             else np.arange(n_mcu, dtype=np.int64))
         dc_code, dc_len = _tab_arrays(dc_tab)
         ac_code, ac_len = _tab_arrays(ac_tab)
         # ---- DC: diff vs previous block of the SAME component
@@ -342,9 +347,9 @@ def _encode_scan(zzs: list, tabs: list) -> bytes:
         diff[1:] = dc[1:] - dc[:-1]
         cat = _bitlen(diff)
         ms = np.arange(n_mcu, dtype=np.int64)
-        add(ms, ci, 0, dc_code[cat], dc_len[cat])
+        add(K[ms], ci, 0, dc_code[cat], dc_len[cat])
         mag = np.where(diff >= 0, diff, diff + (1 << cat) - 1)
-        add(ms, ci, 1, mag.astype(np.uint32), cat)  # nbits==0 dropped later
+        add(K[ms], ci, 1, mag.astype(np.uint32), cat)  # nbits==0 dropped later
         # ---- AC: zero runs between nonzeros, in zigzag order
         m_idx, k0 = np.nonzero(zz[:, 1:])
         k = (k0 + 1).astype(np.int64)
@@ -363,18 +368,18 @@ def _encode_scan(zzs: list, tabs: list) -> bytes:
         f0c, f0l = ac_tab[0xF0]
         for j in range(int(zrl.max()) if len(zrl) else 0):
             sel = zrl > j
-            add(m_idx[sel], ci, k[sel] * 8 + j,
+            add(K[m_idx[sel]], ci, k[sel] * 8 + j,
                 np.full(int(sel.sum()), f0c, np.uint32), f0l)
-        add(m_idx, ci, k * 8 + 5, ac_code[sym], ac_len[sym])
+        add(K[m_idx], ci, k * 8 + 5, ac_code[sym], ac_len[sym])
         amag = np.where(v >= 0, v, v + (1 << acat) - 1)
-        add(m_idx, ci, k * 8 + 6, amag.astype(np.uint32), acat)
+        add(K[m_idx], ci, k * 8 + 6, amag.astype(np.uint32), acat)
         # ---- EOB for blocks whose last nonzero is before coef 63
         last = np.zeros(n_mcu, np.int64)
         if len(k):
             np.maximum.at(last, m_idx, k)
         eob = np.flatnonzero(last < 63)
         ec, el = ac_tab[0x00]
-        add(eob, ci, 64 * 8, np.full(len(eob), ec, np.uint32),
+        add(K[eob], ci, 64 * 8, np.full(len(eob), ec, np.uint32),
             np.full(len(eob), el, np.int64))
 
     m = np.concatenate(recs_m)
@@ -491,6 +496,103 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     )
 
 
+def _box2(c: np.ndarray) -> np.ndarray:
+    """2x2 box average (the 4:2:0 chroma downsample model)."""
+    return (c[0::2, 0::2] + c[0::2, 1::2]
+            + c[1::2, 0::2] + c[1::2, 1::2]) / 4.0
+
+
+def _y_mcu_perm(H: int, W: int) -> np.ndarray:
+    """Permutation mapping MCU-interleave position -> raster 8x8
+    block index for the luma plane of an (H, W) 16-multiple image."""
+    mcux, mcuy = W // 16, H // 16
+    bpr = W // 8
+    out = np.empty(mcux * mcuy * 4, np.int64)
+    i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for j in range(4):
+                br = 2 * my + (j >> 1)
+                bc = 2 * mx + (j & 1)
+                out[i] = br * bpr + bc
+                i += 1
+    return out
+
+
+def encode_jpeg_420(img: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 -> baseline JFIF with 4:2:0 chroma subsampling
+    — the layout real-world encoders (libjpeg default, cameras)
+    produce: 16x16 MCUs of four Y blocks + one Cb + one Cr, chroma
+    box-downsampled 2x2.  Decoded pixels equal
+    :func:`jpeg_model_420` (Huffman losslessness contract)."""
+    h, w = img.shape[:2]
+    H, W = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+    pad = np.pad(img, ((0, H - h), (0, W - w), (0, 0)), mode="edge")
+    ycc = _to_ycbcr(pad)
+    ql, qc = quant_tables(quality)
+    ycoef = _fwd_quant(ycc[:, :, 0], ql)
+    cbco = _fwd_quant(_box2(ycc[:, :, 1]), qc)
+    crco = _fwd_quant(_box2(ycc[:, :, 2]), qc)
+    dc_l, dc_c = _huff_codes(*_DC_L), _huff_codes(*_DC_C)
+    ac_l, ac_c = _huff_codes(*_AC_L), _huff_codes(*_AC_C)
+    perm = _y_mcu_perm(H, W)
+    yzz = ycoef.reshape(-1, 64)[:, _ZIG][perm]   # MCU scan order
+    cbzz = cbco.reshape(-1, 64)[:, _ZIG]
+    crzz = crco.reshape(-1, 64)[:, _ZIG]
+    n_mcu = len(cbzz)
+    jj = np.arange(4 * n_mcu, dtype=np.int64)
+    keys = [
+        (jj // 4) * 6 + (jj % 4),                # Y0..Y3 per MCU
+        np.arange(n_mcu, dtype=np.int64) * 6 + 4,  # Cb
+        np.arange(n_mcu, dtype=np.int64) * 6 + 5,  # Cr
+    ]
+    scan = _encode_scan([yzz, cbzz, crzz],
+                        [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)],
+                        keys)
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(idx, q):
+        return seg(0xFFDB, bytes([idx])
+                   + bytes(int(v) for v in q.reshape(-1)[_ZIG]))
+
+    def dht(cls, idx, bits, values):
+        return seg(0xFFC4,
+                   bytes([(cls << 4) | idx]) + bytes(bits)
+                   + bytes(values))
+
+    sof = seg(0xFFC0,
+              struct.pack(">BHHB", 8, h, w, 3)
+              + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (b"\xff\xd8" + app0 + dqt(0, ql) + dqt(1, qc)
+            + dht(0, 0, *_DC_L) + dht(1, 0, *_AC_L)
+            + dht(0, 1, *_DC_C) + dht(1, 1, *_AC_C)
+            + sof + sos + scan + b"\xff\xd9")
+
+
+def jpeg_model_420(img: np.ndarray, quality: int = 90) -> np.ndarray:
+    """Expected 4:2:0 decoded pixels WITHOUT entropy coding: Y at
+    full resolution, chroma box-downsampled, quantized, and
+    nearest-upsampled (the engine's documented 2x2-replication
+    upsample — deterministic, unlike libjpeg's 'fancy' triangular
+    filter)."""
+    h, w = img.shape[:2]
+    H, W = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+    pad = np.pad(img, ((0, H - h), (0, W - w), (0, 0)), mode="edge")
+    ycc = _to_ycbcr(pad)
+    ql, qc = quant_tables(quality)
+    out = np.empty((H, W, 3))
+    out[:, :, 0] = _dequant_inv(_fwd_quant(ycc[:, :, 0], ql), ql, H, W)
+    for c in (1, 2):
+        dq = _dequant_inv(
+            _fwd_quant(_box2(ycc[:, :, c]), qc), qc, H // 2, W // 2)
+        out[:, :, c] = np.repeat(np.repeat(dq, 2, 0), 2, 1)
+    return _from_ycbcr(out)[:h, :w]
+
+
 def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
     """(h, w) uint8 -> 1-component (grayscale) baseline JFIF bytes —
     the T.81 single-component sequential process (NITF IC=C3 MONO
@@ -579,23 +681,60 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker == 0xFFC0:
             _, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            comps = []                      # (id, hsamp, vsamp, tq)
+            for ci in range(ncomp):
+                cid, hv, tq = struct.unpack_from(
+                    ">BBB", payload, 6 + 3 * ci)
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise ValueError("only baseline sequential JPEG (SOF0) "
+                             "is supported")
+        elif marker == 0xFFDD:
+            raise ValueError("JPEG restart intervals (DRI) "
+                             "unsupported")
         elif marker == 0xFFDA:
+            # per-component entropy table selectors
+            ns = payload[0]
+            sos_tabs = {}
+            for ci in range(ns):
+                cid, td_ta = payload[1 + 2 * ci], payload[2 + 2 * ci]
+                sos_tabs[cid] = (td_ta >> 4, td_ta & 0xF)
             scan = data[pos : len(data) - 2]  # up to EOI
             break
-    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    n_mcu = (H // 8) * (W // 8)
+    maxh = max(c[1] for c in comps)
+    maxv = max(c[2] for c in comps)
+    for cid, ch, cv, _tq in comps:
+        if (ch, cv) not in ((1, 1), (2, 2)):
+            raise ValueError(
+                f"sampling factors {ch}x{cv} unsupported "
+                "(4:4:4 and 4:2:0 only)")
+    if maxh != maxv:
+        raise ValueError("anisotropic subsampling (4:2:2) unsupported")
+    mcu_w, mcu_h = 8 * maxh, 8 * maxv
+    mcux = (w + mcu_w - 1) // mcu_w
+    mcuy = (h + mcu_h - 1) // mcu_h
+    n_mcu = mcux * mcuy
+    # per-component blocks-per-MCU and table pairs
+    bper = [c[1] * c[2] for c in comps]
+    comp_tabs = []
+    for (cid, _ch, _cv, _tq) in comps:
+        td, ta = sos_tabs[cid]
+        comp_tabs.append((hts[(0, td)], hts[(1, ta)]))
     # 16-bit-lookahead Huffman decode: one LUT index per symbol, one
     # window fetch per magnitude read (no per-bit Python)
     w24 = _bit_windows(scan).tolist()
     pos = 0
-    coefs = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in range(ncomp)]
+    coefs = [np.zeros((n_mcu * bper[ci], 64), dtype=np.int32)
+             for ci in range(ncomp)]
     preds = [0] * ncomp
-    comp_tabs = ([(hts[(0, 0)], hts[(1, 0)])] if ncomp == 1 else
-                 [(hts[(0, 0)], hts[(1, 0)]), (hts[(0, 1)], hts[(1, 1)]),
-                  (hts[(0, 1)], hts[(1, 1)])])
+    sched = [(ci,) * bper[ci] for ci in range(ncomp)]
+    sched = [ci for grp in sched for ci in grp]  # MCU interleave
+    counters = [0] * ncomp
     for m in range(n_mcu):
-        for ci, ((dsym, dlen), (asym, alen)) in enumerate(comp_tabs):
-            blk = coefs[ci][m]
+        for ci in sched:
+            (dsym, dlen), (asym, alen) = comp_tabs[ci]
+            blk = coefs[ci][counters[ci]]
+            counters[ci] += 1
             win = (w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
             cat = int(dsym[win])
             pos += int(dlen[win])
@@ -623,15 +762,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 blk[k] = bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
                 pos += cat
                 k += 1
-    if ncomp == 1:
-        dez = np.zeros((n_mcu, 64), dtype=np.int32)
-        dez[:, _ZIG] = coefs[0]
-        g = _dequant_inv(dez.reshape(-1, 8, 8), qts[0], H, W)
-        return np.clip(np.round(g), 0, 255).astype(np.uint8)[:h, :w]
-    out = np.empty((H, W, 3))
-    qmap = [qts[0], qts[1], qts[1]]
-    for ci in range(3):
-        dez = np.zeros((n_mcu, 64), dtype=np.int32)
+    # ---- reconstruct per-component planes at their native sampling
+    planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        pw, ph = mcux * 8 * ch, mcuy * 8 * cv
+        dez = np.zeros((n_mcu * bper[ci], 64), dtype=np.int32)
         dez[:, _ZIG] = coefs[ci]
-        out[:, :, ci] = _dequant_inv(dez.reshape(-1, 8, 8), qmap[ci], H, W)
+        if bper[ci] > 1:
+            # blocks arrived in MCU-interleave order; permute back to
+            # plane raster order (inverse of _y_mcu_perm)
+            perm = _y_mcu_perm(ph, pw)
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            dez = dez[inv]
+        plane = _dequant_inv(dez.reshape(-1, 8, 8), qts[tq], ph, pw)
+        if ch < maxh or cv < maxv:
+            plane = np.repeat(np.repeat(plane, maxv // cv, 0),
+                              maxh // ch, 1)
+        planes.append(plane)
+    H, W = mcuy * mcu_h, mcux * mcu_w
+    if ncomp == 1:
+        g = planes[0]
+        return np.clip(np.round(g), 0, 255).astype(np.uint8)[:h, :w]
+    out = np.stack(planes, axis=2)
     return _from_ycbcr(out)[:h, :w]

@@ -143,6 +143,7 @@ def write_cog(
     overview_min: int = 128,
     max_overviews: int = 8,
     quality: int = 90,
+    subsampling: str = "444",
 ) -> dict:
     """Write one COG.  img: (h, w) or (h, w, bands) uint8/float32;
     envelope: (minx, miny, maxx, maxy) in EPSG:3857.  Returns layout
@@ -171,6 +172,8 @@ def write_cog(
         raise ValueError(
             "compress='jpeg' requires uint8 samples (the GDAL GTiff "
             "JPEG restriction: Byte, 1 or 3 bands)")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be 444|420")
 
     # overview pyramid: halve until max dim < overview_min
     levels = [img]
@@ -226,12 +229,18 @@ def write_cog(
             elif compress == "jpeg":
                 # TIFF 6.0 TechNote 2 new-style JPEG (COMPRESSION=7):
                 # each tile is one complete baseline JFIF stream
-                # (frmts/gtiff JPEG codec path via libjpeg)
+                # (frmts/gtiff JPEG codec path via libjpeg); 4:2:0
+                # matches the real-world libjpeg default layout
                 from ..functions.jpegc import (encode_jpeg,
+                                               encode_jpeg_420,
                                                encode_jpeg_gray)
 
-                enc = (encode_jpeg(tile, quality) if nb == 3
-                       else encode_jpeg_gray(tile, quality))
+                if nb != 3:
+                    enc = encode_jpeg_gray(tile, quality)
+                elif subsampling == "420":
+                    enc = encode_jpeg_420(tile, quality)
+                else:
+                    enc = encode_jpeg(tile, quality)
             elif compress == "lzw":
                 from ..functions.lzw import lzw_encode
 

@@ -155,3 +155,70 @@ def test_jpeg_vectorized_scan_matches_block_loop():
                     z[m, 63] = int(rng.integers(-255, 256)) or 1  # no EOB
             zzs.append(z)
         assert scan_ref(zzs, tabs) == J._encode_scan(zzs, tabs), trial
+
+
+def test_jpeg_420_model_exact_and_fuzz():
+    """4:2:0 baseline JPEG (the libjpeg-default real-world layout):
+    decoded pixels equal jpeg_model_420 (Huffman losslessness over
+    the 4-Y+Cb+Cr MCU interleave), across sizes that exercise every
+    MCU edge case."""
+    from gdal_ray.functions import jpegc
+
+    rng = np.random.default_rng(42)
+    for h, w in ((16, 16), (8, 8), (17, 33), (48, 31), (120, 200)):
+        x = np.linspace(0.0, 5.0, w)
+        y = np.linspace(0.0, 3.0, h)
+        base = np.sin(x)[None, :] * np.cos(y)[:, None] * 90.0 + 128.0
+        img = np.stack([base, base * 0.7 + 30.0, 255.0 - base],
+                       axis=-1)
+        img = (img + rng.normal(0.0, 6.0, img.shape)).clip(
+            0, 255).astype(np.uint8)
+        dec = jpegc.decode_jpeg(jpegc.encode_jpeg_420(img, 90))
+        assert dec.shape == img.shape
+        assert np.array_equal(dec, jpegc.jpeg_model_420(img, 90)), \
+            (h, w)
+
+
+def test_jpeg_420_psnr_and_size():
+    from gdal_ray.functions import jpegc
+
+    x = np.linspace(0.0, 6.0, 400)
+    y = np.linspace(0.0, 4.0, 300)
+    base = np.sin(x)[None, :] * np.cos(y)[:, None] * 100.0 + 128.0
+    rgb = np.stack([base, base * 0.8 + 20.0, 255.0 - base],
+                   axis=-1).clip(0, 255).astype(np.uint8)
+    enc420 = jpegc.encode_jpeg_420(rgb, 90)
+    enc444 = jpegc.encode_jpeg(rgb, 90)
+    assert len(enc420) < 0.8 * len(enc444)     # chroma halved
+    dec = jpegc.decode_jpeg(enc420)
+    mse = np.mean((dec.astype(float) - rgb.astype(float)) ** 2)
+    assert 10.0 * np.log10(255.0 ** 2 / mse) >= 40.0
+
+
+def test_jpeg_decoder_sof_guards():
+    from gdal_ray.functions import jpegc
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    data = bytearray(jpegc.encode_jpeg(img, 90))
+    # flip SOF0 marker to SOF2 (progressive) -> loud error
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="baseline"):
+        jpegc.decode_jpeg(bytes(data))
+
+
+def test_jpeg_420_in_cog(tmp_path):
+    from gdal_ray.sources.gtiff import read_cog, write_cog
+
+    x = np.linspace(0.0, 6.0, 520)
+    y = np.linspace(0.0, 4.0, 300)
+    base = np.sin(x)[None, :] * np.cos(y)[:, None] * 100.0 + 128.0
+    rgb = np.stack([base, base, base], axis=-1).clip(
+        0, 255).astype(np.uint8)
+    p = str(tmp_path / "j420.tif")
+    write_cog(p, rgb, compress="jpeg", quality=90, subsampling="420")
+    dec = read_cog(p)["img"]
+    mse = np.mean((dec.astype(float) - rgb.astype(float)) ** 2)
+    assert 10.0 * np.log10(255.0 ** 2 / mse) >= 40.0
