@@ -263,6 +263,116 @@ def write_gpkg(ds, path: str, layer: str = "layer", srs_id: int = 4326,
     return n
 
 
+def _registered_geom_col(con, layer: str) -> str:
+    row = con.execute(
+        "SELECT column_name FROM gpkg_geometry_columns "
+        "WHERE table_name = ?", (layer,)).fetchone()
+    if row is None:
+        raise ValueError(f"no geometry column registered for {layer!r}")
+    return row[0]
+
+
+def create_spatial_index(path: str, layer: str = "layer",
+                         geometry_col: str | None = None) -> int:
+    """Create the GPKG R-tree spatial index for a layer (the
+    ``gpkg_rtree_index`` extension the reference's GPKG driver
+    creates, ogr/ogrsf_frmts/gpkg): an SQLite ``rtree_<t>_<g>``
+    virtual table populated from the feature envelopes, registered in
+    ``gpkg_extensions``, with the six spec triggers keeping it in
+    sync.  Returns the number of indexed features."""
+    con = sqlite3.connect(path)
+    try:
+        if geometry_col is None:
+            geometry_col = _registered_geom_col(con, layer)
+        rt = f"rtree_{layer}_{geometry_col}"
+        con.execute(f'CREATE VIRTUAL TABLE "{rt}" USING rtree('
+                    "id, minx, maxx, miny, maxy)")
+        rows = con.execute(
+            f'SELECT fid, "{geometry_col}" FROM "{layer}"').fetchall()
+        recs = []
+        for fid, blob in rows:
+            wkb, _srs = gp_unwrap(blob)
+            minx, miny, maxx, maxy = G.envelope_wkb(wkb)
+            recs.append((fid, minx, maxx, miny, maxy))
+        con.executemany(
+            f'INSERT INTO "{rt}" VALUES (?, ?, ?, ?, ?)', recs)
+        con.execute(
+            """CREATE TABLE IF NOT EXISTS gpkg_extensions (
+                 table_name TEXT, column_name TEXT,
+                 extension_name TEXT NOT NULL,
+                 definition TEXT NOT NULL, scope TEXT NOT NULL,
+                 CONSTRAINT ge_tce UNIQUE (table_name, column_name,
+                                           extension_name))""")
+        con.execute(
+            "INSERT OR REPLACE INTO gpkg_extensions VALUES "
+            "(?, ?, 'gpkg_rtree_index', "
+            "'http://www.geopackage.org/spec120/#extension_rtree', "
+            "'write-only')", (layer, geometry_col))
+        # the six sync triggers required by the extension spec
+        t, g = layer, geometry_col
+        con.executescript(f"""
+CREATE TRIGGER "{rt}_insert" AFTER INSERT ON "{t}"
+  WHEN (new."{g}" NOT NULL AND NOT ST_IsEmpty(NEW."{g}"))
+BEGIN
+  INSERT OR REPLACE INTO "{rt}" VALUES (NEW.fid,
+    ST_MinX(NEW."{g}"), ST_MaxX(NEW."{g}"),
+    ST_MinY(NEW."{g}"), ST_MaxY(NEW."{g}"));
+END;
+CREATE TRIGGER "{rt}_update1" AFTER UPDATE OF "{g}" ON "{t}"
+  WHEN OLD.fid = NEW.fid AND
+       (NEW."{g}" NOTNULL AND NOT ST_IsEmpty(NEW."{g}"))
+BEGIN
+  INSERT OR REPLACE INTO "{rt}" VALUES (NEW.fid,
+    ST_MinX(NEW."{g}"), ST_MaxX(NEW."{g}"),
+    ST_MinY(NEW."{g}"), ST_MaxY(NEW."{g}"));
+END;
+CREATE TRIGGER "{rt}_update2" AFTER UPDATE OF "{g}" ON "{t}"
+  WHEN OLD.fid = NEW.fid AND
+       (NEW."{g}" ISNULL OR ST_IsEmpty(NEW."{g}"))
+BEGIN
+  DELETE FROM "{rt}" WHERE id = OLD.fid;
+END;
+CREATE TRIGGER "{rt}_update3" AFTER UPDATE ON "{t}"
+  WHEN OLD.fid != NEW.fid AND
+       (NEW."{g}" NOTNULL AND NOT ST_IsEmpty(NEW."{g}"))
+BEGIN
+  DELETE FROM "{rt}" WHERE id = OLD.fid;
+  INSERT OR REPLACE INTO "{rt}" VALUES (NEW.fid,
+    ST_MinX(NEW."{g}"), ST_MaxX(NEW."{g}"),
+    ST_MinY(NEW."{g}"), ST_MaxY(NEW."{g}"));
+END;
+CREATE TRIGGER "{rt}_update4" AFTER UPDATE ON "{t}"
+  WHEN OLD.fid != NEW.fid AND
+       (NEW."{g}" ISNULL OR ST_IsEmpty(NEW."{g}"))
+BEGIN
+  DELETE FROM "{rt}" WHERE id IN (OLD.fid, NEW.fid);
+END;
+CREATE TRIGGER "{rt}_delete" AFTER DELETE ON "{t}"
+  WHEN old."{g}" NOT NULL
+BEGIN
+  DELETE FROM "{rt}" WHERE id = OLD.fid;
+END;
+""")
+        con.commit()
+        return len(recs)
+    finally:
+        con.close()
+
+
+def has_spatial_index(path: str, layer: str,
+                      geometry_col: str | None = None) -> bool:
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        if geometry_col is None:
+            geometry_col = _registered_geom_col(con, layer)
+        row = con.execute(
+            "SELECT 1 FROM sqlite_master WHERE type = 'table' AND "
+            "name = ?", (f"rtree_{layer}_{geometry_col}",)).fetchone()
+        return row is not None
+    finally:
+        con.close()
+
+
 # ----------------------------------------------------------- reader
 
 
@@ -462,11 +572,25 @@ def _read_range(path: str, layer: str, geom_col: str, attrs: list[str],
         sel = ", ".join(["fid", *(f'"{c}"' for c in attrs),
                          f'"{geom_col}"'])
         cond = "fid >= ? AND fid <= ?"
+        params: list = [lo, hi]
         if where:
             cond += f" AND ({where})"
+        if bbox is not None:
+            rt = f"rtree_{layer}_{geom_col}"
+            has_rt = con.execute(
+                "SELECT 1 FROM sqlite_master WHERE type = 'table' "
+                "AND name = ?", (rt,)).fetchone()
+            if has_rt:
+                # INDEX PUSHDOWN: candidate fids come from the R-tree
+                # virtual table (the reference's m_bUseSpatialIndex
+                # path); the exact envelope re-check below still runs
+                cond += (f' AND fid IN (SELECT id FROM "{rt}" WHERE '
+                         "maxx >= ? AND minx <= ? AND "
+                         "maxy >= ? AND miny <= ?)")
+                params += [bbox[0], bbox[2], bbox[1], bbox[3]]
         rows = con.execute(
             f'SELECT {sel} FROM "{layer}" WHERE {cond} ORDER BY fid',
-            (lo, hi),
+            params,
         ).fetchall()
     finally:
         con.close()

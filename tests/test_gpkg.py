@@ -340,3 +340,70 @@ def test_gpkg_webp_tiles_register_extension(ray_session, tmp_path):
     with pytest.raises(ValueError, match="tile_format"):
         GP.write_gpkg_tiles(_tile_rows(zs=(9,)), p2, table="t2",
                             tile_format="gif")
+
+
+# ------------------------------------- R-tree spatial index extension
+
+
+def _hex_layer(n=120, seed=42):
+    rng = np.random.default_rng(seed)
+    rows = {"fid": [], "geometry": [], "name": []}
+    for i in range(n):
+        cx, cy = rng.uniform(0.0, 1000.0, 2)
+        ang = np.linspace(0.0, 2.0 * np.pi, 6)[:-1]
+        ring = np.stack([cx + 5.0 * np.cos(ang),
+                         cy + 5.0 * np.sin(ang)], axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        rows["fid"].append(i)
+        rows["geometry"].append(wkb_polygon([ring]))
+        rows["name"].append(f"f{i}")
+    return rows
+
+
+def test_rtree_spatial_index_and_pushdown(ray_session, tmp_path):
+    """The gpkg_rtree_index extension (the reference GPKG driver's
+    spatial index): rtree_<t>_<g> virtual table populated from the
+    envelopes, gpkg_extensions row, six sync triggers, and bbox reads
+    route through the index (EXPLAIN QUERY PLAN shows the rtree scan)
+    while matching the brute-force envelope filter exactly."""
+    import sqlite3
+
+    from gdal_ray.sources.gpkg import (create_spatial_index,
+                                       has_spatial_index, read_gpkg,
+                                       write_gpkg)
+
+    rows = _hex_layer()
+    p = str(tmp_path / "sx.gpkg")
+    write_gpkg(pa.table(rows), p, fid_col="fid")
+    assert not has_spatial_index(p, "layer")
+    n = create_spatial_index(p)
+    assert n == 120 and has_spatial_index(p, "layer")
+    con = sqlite3.connect(p)
+    assert con.execute(
+        "SELECT COUNT(*) FROM rtree_layer_geom").fetchone()[0] == 120
+    assert con.execute(
+        "SELECT extension_name FROM gpkg_extensions WHERE "
+        "table_name='layer'").fetchone()[0] == "gpkg_rtree_index"
+    trig = [r[0] for r in con.execute(
+        "SELECT name FROM sqlite_master WHERE type='trigger'")]
+    assert len([t for t in trig if t.startswith("rtree_layer_geom")]) == 6
+    plan = " ".join(str(r) for r in con.execute(
+        "EXPLAIN QUERY PLAN SELECT id FROM rtree_layer_geom "
+        "WHERE maxx >= 1 AND minx <= 2").fetchall())
+    assert "rtree" in plan.lower() or "VIRTUAL" in plan.upper()
+    con.close()
+    bbox = (100.0, 100.0, 300.0, 300.0)
+    got = sorted(r["fid"] for r in
+                 read_gpkg(p, bbox=bbox, parallelism=3).take_all())
+    env = [envelope_wkb(w) for w in rows["geometry"]]
+    want = sorted(i for i in range(120)
+                  if not (env[i][2] < bbox[0] or env[i][0] > bbox[2]
+                          or env[i][3] < bbox[1]
+                          or env[i][1] > bbox[3]))
+    assert got == want and len(got) > 0
+    # un-indexed file still answers identically (fallback path)
+    p2 = str(tmp_path / "plain.gpkg")
+    write_gpkg(pa.table(rows), p2, fid_col="fid")
+    got2 = sorted(r["fid"] for r in
+                  read_gpkg(p2, bbox=bbox, parallelism=3).take_all())
+    assert got2 == want
