@@ -53,64 +53,135 @@ def encode_png(img: np.ndarray, level: int = 6) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+#: PNG color type -> samples per pixel
+_PNG_SPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit RGB PNG (filters 0-4 supported) -> (h, w, 3) uint8."""
+    """Decode a PNG (filters 0-4): 8-bit RGB -> (h, w, 3) uint8 (the
+    engine's chip form), grayscale 8 -> (h, w) uint8, grayscale 16 ->
+    (h, w) uint16 (big-endian samples per spec), RGBA 8 -> (h, w, 4),
+    gray+alpha -> (h, w, 2), and 8-bit palette (PLTE) expanded to
+    (h, w, 3) — the color surfaces of the reference's PNG driver
+    (frmts/png)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
-    w = h = None
+    w = h = depth = ctype = None
     idat = []
+    plte = None
     while pos < len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack_from(">IIBB", payload)
-            if depth != 8 or ctype != 2:
-                raise ValueError(f"unsupported PNG depth={depth} ctype={ctype}")
+            w, h, depth, ctype, _comp, _filt, interlace = \
+                struct.unpack_from(">IIBBBBB", payload)
+            if interlace:
+                raise ValueError("interlaced (Adam7) PNG unsupported")
+            if ctype not in _PNG_SPP:
+                raise ValueError(f"unsupported PNG ctype={ctype}")
+            if depth == 16 and ctype != 0:
+                raise ValueError("16-bit PNG supported for grayscale "
+                                 "only")
+            if depth not in (8, 16):
+                raise ValueError(f"unsupported PNG depth={depth}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
             break
+    spp = _PNG_SPP[ctype]
+    bpp = spp * (depth // 8)
+    nb = w * bpp
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = 1 + w * 3
+    stride = 1 + nb
     raw = raw.reshape(h, stride)
     filters = raw[:, 0]
-    out = np.empty((h, w * 3), dtype=np.uint8)
+    out = np.empty((h, nb), dtype=np.uint8)
     if not filters.any():  # common fast path: all filter 0
         out[:] = raw[:, 1:]
-        return out.reshape(h, w, 3)
-    bpp = 3
-    prev = np.zeros(w * 3, dtype=np.uint8)
-    for y in range(h):
-        line = raw[y, 1:].astype(np.int32)
-        f = filters[y]
-        if f == 0:
-            rec = line
-        elif f == 2:  # Up
-            rec = (line + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth need a left-scan
-            rec = np.empty(w * 3, dtype=np.int32)
-            pv = prev.astype(np.int32)
-            for i in range(w * 3):
-                a = rec[i - bpp] if i >= bpp else 0
-                b = pv[i]
-                if f == 1:
-                    rec[i] = (line[i] + a) & 0xFF
-                elif f == 3:
-                    rec[i] = (line[i] + ((a + b) >> 1)) & 0xFF
-                else:
-                    c = pv[i - bpp] if i >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    rec[i] = (line[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter {f}")
-        out[y] = rec.astype(np.uint8)
-        prev = out[y]
-    return out.reshape(h, w, 3)
+    else:
+        prev = np.zeros(nb, dtype=np.uint8)
+        for y in range(h):
+            line = raw[y, 1:].astype(np.int32)
+            f = filters[y]
+            if f == 0:
+                rec = line
+            elif f == 2:  # Up
+                rec = (line + prev) & 0xFF
+            elif f in (1, 3, 4):  # Sub / Average / Paeth: left-scan
+                rec = np.empty(nb, dtype=np.int32)
+                pv = prev.astype(np.int32)
+                for i in range(nb):
+                    a = rec[i - bpp] if i >= bpp else 0
+                    b = pv[i]
+                    if f == 1:
+                        rec[i] = (line[i] + a) & 0xFF
+                    elif f == 3:
+                        rec[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                    else:
+                        c = pv[i - bpp] if i >= bpp else 0
+                        p = a + b - c
+                        pa, pb, pc = (abs(p - a), abs(p - b),
+                                      abs(p - c))
+                        pred = (a if (pa <= pb and pa <= pc)
+                                else (b if pb <= pc else c))
+                        rec[i] = (line[i] + pred) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter {f}")
+            out[y] = rec.astype(np.uint8)
+            prev = out[y]
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[out.reshape(h, w)]
+    if depth == 16:
+        return out.reshape(h, w, 2).astype(np.uint16) @ \
+            np.array([256, 1], np.uint16)
+    if spp == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, spp)
+
+
+def encode_png_gray(img: np.ndarray, level: int = 6) -> bytes:
+    """(h, w) uint8 or uint16 -> grayscale PNG (ctype 0; 16-bit
+    samples big-endian per spec), filter 0."""
+    h, w = img.shape
+    if img.dtype == np.uint8:
+        depth, body = 8, np.ascontiguousarray(img)
+        nb = w
+    elif img.dtype == np.uint16:
+        depth = 16
+        body = np.ascontiguousarray(img.astype(">u2")).view(
+            np.uint8).reshape(h, 2 * w)
+        nb = 2 * w
+    else:
+        raise ValueError("grayscale PNG needs uint8 or uint16")
+    raw = np.empty((h, 1 + nb), np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = body.reshape(h, nb)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    idat = zlib.compress(raw.tobytes(), level)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b""))
+
+
+def encode_png_palette(idx: np.ndarray, palette: np.ndarray,
+                       level: int = 6) -> bytes:
+    """(h, w) uint8 indices + (n, 3) uint8 palette -> ctype-3 PNG."""
+    h, w = idx.shape
+    raw = np.empty((h, 1 + w), np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = idx
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", np.ascontiguousarray(
+                palette, np.uint8).tobytes())
+            + _chunk(b"IDAT", zlib.compress(raw.tobytes(), level))
+            + _chunk(b"IEND", b""))
 
 
 def encode_qraw(img: np.ndarray) -> bytes:

@@ -222,3 +222,38 @@ def test_jpeg_420_in_cog(tmp_path):
     dec = read_cog(p)["img"]
     mse = np.mean((dec.astype(float) - rgb.astype(float)) ** 2)
     assert 10.0 * np.log10(255.0 ** 2 / mse) >= 40.0
+
+
+def test_png_gray_16bit_palette_variants():
+    """PNG color-surface parity with the reference PNG driver
+    (frmts/png): grayscale 8, grayscale 16 (big-endian samples —
+    byte anchor), RGBA, and palette (PLTE) expansion."""
+    import struct as st
+
+    from gdal_ray.functions import codecs
+
+    rng = np.random.default_rng(42)
+    g8 = rng.integers(0, 255, (15, 25), dtype=np.uint8)
+    assert np.array_equal(
+        codecs.decode_png(codecs.encode_png_gray(g8)), g8)
+    g16 = rng.integers(0, 65535, (12, 17), dtype=np.uint16)
+    data = codecs.encode_png_gray(g16)
+    # IHDR anchor: depth 16, ctype 0
+    assert data[8:16] == st.pack(">I", 13) + b"IHDR"
+    w, h, depth, ctype = st.unpack_from(">IIBB", data, 16)
+    assert (w, h, depth, ctype) == (17, 12, 16, 0)
+    d16 = codecs.decode_png(data)
+    assert d16.dtype == np.uint16 and np.array_equal(d16, g16)
+    # first sample stored big-endian
+    import zlib as _z
+
+    idat_off = data.find(b"IDAT") + 4
+    ln = st.unpack(">I", data[data.find(b"IDAT") - 4:
+                              data.find(b"IDAT")])[0]
+    raw = _z.decompress(data[idat_off:idat_off + ln])
+    assert raw[1] == (int(g16[0, 0]) >> 8)
+    assert raw[2] == (int(g16[0, 0]) & 0xFF)
+    pal = rng.integers(0, 255, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (10, 14), dtype=np.uint8)
+    dp = codecs.decode_png(codecs.encode_png_palette(idx, pal))
+    assert np.array_equal(dp, pal[idx])
