@@ -917,7 +917,8 @@ def _vector_explode_collections(ds, offset_x: float = 0.0):
 
 
 @register_step("vector_reproject")
-def _vector_reproject(ds, src_srs: str = "EPSG:3857"):
+def _vector_reproject(ds, src_srs: str = "EPSG:3857",
+                      dst_srs: str = "EPSG:4326"):
     """3857->4326 by default; ``src_srs='family:<name>'`` routes
     through the projected-family closed forms (geomops
     reproject_family_batch); any other ``EPSG:NNNN`` resolves through
@@ -927,6 +928,15 @@ def _vector_reproject(ds, src_srs: str = "EPSG:3857"):
 
         return ds.map_batches(
             reproject_family_batch(src_srs.split(":", 1)[1]),
+            batch_format="pyarrow")
+    if dst_srs not in ("EPSG:4326",):
+        from ..functions.epsg import resolve_epsg
+        from ..stages.geomops import reproject_epsg_pair_batch
+
+        resolve_epsg(src_srs)
+        resolve_epsg(dst_srs)
+        return ds.map_batches(
+            reproject_epsg_pair_batch(src_srs, dst_srs),
             batch_format="pyarrow")
     if src_srs not in ("EPSG:3857",):
         from ..functions.epsg import resolve_epsg

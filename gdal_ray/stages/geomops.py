@@ -848,6 +848,38 @@ def reproject_epsg_batch(code):
     return fn
 
 
+def reproject_epsg_pair_batch(src, dst):
+    """gdal vector reproject between TWO registry CRS (the ogr2ogr
+    -s_srs/-t_srs pair): ring coordinates in the SOURCE CRS map
+    through src-inverse -> WGS84 -> dst-forward.  Same output
+    contract as reproject_batch but sums are in dst units."""
+    from ..functions.epsg import resolve_epsg
+    from ..functions.proj import ComposedTransform, InverseOf
+
+    chain = ComposedTransform(InverseOf(resolve_epsg(src)),
+                              resolve_epsg(dst))
+
+    def fn(t: pa.Table) -> pa.Table:
+        fid, rings = _rings_from_table(t)
+        out_f, out_n, out_x, out_y = [], [], [], []
+        for i, r in enumerate(rings):
+            x, y = chain.fwd(r[:, 0], r[:, 1])
+            out_f.append(int(fid[i]))
+            out_n.append(len(r))
+            out_x.append(math.fsum(np.atleast_1d(x)))
+            out_y.append(math.fsum(np.atleast_1d(y)))
+        return pa.table(
+            {
+                "fid": pa.array(out_f, pa.int64()),
+                "n_pts": pa.array(out_n, pa.int64()),
+                "lon_fsum": pa.array(out_x, pa.float64()),
+                "lat_fsum": pa.array(out_y, pa.float64()),
+            }
+        )
+
+    return fn
+
+
 def reproject_family_batch(family: str):
     """gdal vector reproject through an arbitrary projected family
     (the ogrct.cpp path for non-WebMercator source CRS): ring

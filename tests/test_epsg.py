@@ -269,3 +269,30 @@ def test_polar_laea_codes():
     q80 = _q_snyder(np.radians(80.0), _E1, _E2)
     cap = np.pi * _A ** 2 * (qp - q80)
     assert abs(np.pi * rho ** 2 - cap) / cap < 1e-12
+
+
+def test_vector_reproject_pair(ray_session):
+    """vector_reproject src EPSG -> dst EPSG: ring sums equal the
+    manual chain over the same coordinates."""
+    import math
+
+    import ray.data as rd
+
+    from gdal_ray.functions.epsg import resolve_epsg
+    from gdal_ray.pipelines.spec import run_pipeline
+
+    a = resolve_epsg(2154)
+    b = resolve_epsg(3035)
+    ring = np.array([[700000.0, 6600000.0], [710000.0, 6600000.0],
+                     [710000.0, 6610000.0], [700000.0, 6610000.0],
+                     [700000.0, 6600000.0]])
+    ds = rd.from_items([{"fid": 1,
+                         "xs": ring[:, 0].tolist(),
+                         "ys": ring[:, 1].tolist()}])
+    out = run_pipeline([{"step": "vector_reproject",
+                         "src_srs": "EPSG:2154",
+                         "dst_srs": "EPSG:3035"}], ds).take_all()
+    lon, lat = a.inv(ring[:, 0], ring[:, 1])
+    wx, wy = b.fwd(lon, lat)
+    assert abs(out[0]["lon_fsum"] - math.fsum(wx)) < 1e-9
+    assert abs(out[0]["lat_fsum"] - math.fsum(wy)) < 1e-9
