@@ -143,6 +143,18 @@ def shapefile_to_table(shp_path: str) -> pa.Table:
     return pa.table(cols)
 
 
+def read_prj(shp_path: str) -> int | None:
+    """EPSG code recovered from the .prj sidecar's AUTHORITY node
+    (None when absent)."""
+    prj = shp_path[:-4] + ".prj"
+    if not os.path.exists(prj):
+        return None
+    from ..functions.crswkt import authority_code
+
+    with open(prj) as fh:
+        return authority_code(fh.read())
+
+
 def read_shapefile(path: str):
     """Dataset over one .shp or a directory of part shapefiles."""
     import ray.data as rd
@@ -210,8 +222,17 @@ def _shape_record(wkb: bytes) -> bytes:
 
 
 def write_shapefile(table: pa.Table, shp_path: str,
-                    geometry_col: str = "geometry") -> None:
-    """Write one .shp/.shx/.dbf triple from a WKB-convention table."""
+                    geometry_col: str = "geometry",
+                    srs=None) -> None:
+    """Write one .shp/.shx/.dbf triple from a WKB-convention table;
+    ``srs`` (an EPSG code) also writes the ``.prj`` sidecar with the
+    registry-emitted WKT1 (functions.crswkt — the
+    OGRSpatialReference::exportToWkt analog)."""
+    if srs is not None:
+        from ..functions.crswkt import to_wkt
+
+        with open(shp_path[:-4] + ".prj", "w") as fh:
+            fh.write(to_wkt(srs))
     wkbs = table.column(geometry_col).to_pylist()
     recs = [_shape_record(w) for w in wkbs]
     # shp + shx

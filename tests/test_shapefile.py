@@ -60,3 +60,59 @@ def test_shapefile_points_and_sink(ray_session, tmp_path):
     assert sorted(r["pid"] for r in back) == [0, 1, 2, 3, 4]
     got = {r["pid"]: G.parse_wkb(r["geometry"])[1] for r in back}
     assert got[3] == (3.0, -3.0)
+
+
+# ------------------------------------------------ .prj / CRS WKT1
+
+
+def test_prj_sidecar_roundtrip(tmp_path):
+    """write_shapefile(srs=...) emits the registry WKT1 .prj; read_prj
+    recovers the code via the AUTHORITY node (exportToWkt /
+    importFromWkt analog)."""
+    from gdal_ray.functions.geom import wkb_point
+    from gdal_ray.sources.shapefile import (read_prj, write_shapefile)
+
+    t = pa.table({"geometry": [wkb_point(1.0, 2.0)], "name": ["a"]})
+    p = str(tmp_path / "pts.shp")
+    write_shapefile(t, p, srs=4326)
+    wkt = open(str(tmp_path / "pts.prj")).read()
+    assert wkt.startswith('GEOGCS["WGS 84"')
+    assert read_prj(p) == 4326
+    p2 = str(tmp_path / "utm.shp")
+    write_shapefile(t, p2, srs="EPSG:32633")
+    wkt2 = open(str(tmp_path / "utm.prj")).read()
+    assert 'PROJECTION["Transverse_Mercator"]' in wkt2
+    assert 'PARAMETER["central_meridian",15]' in wkt2
+    assert read_prj(p2) == 32633
+
+
+def test_crswkt_all_registry_entries():
+    """Every null-shift registry code either emits WKT whose
+    AUTHORITY round-trips to the same code, or raises the documented
+    datum-composed error."""
+    import pytest as _pytest
+
+    from gdal_ray.functions.crswkt import authority_code, from_wkt, to_wkt
+    from gdal_ray.functions.epsg import (DATUM_SHIFTED, resolve_epsg,
+                                         supported_codes)
+
+    n_ok = 0
+    for code in supported_codes():
+        if code in DATUM_SHIFTED:
+            with _pytest.raises(ValueError):
+                to_wkt(code)
+            continue
+        wkt = to_wkt(code)
+        assert authority_code(wkt) == code
+        # from_wkt resolves to a transform equal to the direct one
+        a = from_wkt(wkt)
+        b = resolve_epsg(code)
+        import numpy as np
+
+        lon = np.array([10.0, 11.0])
+        lat = np.array([45.0, 46.0])
+        xa, ya = a.fwd(lon, lat)
+        xb, yb = b.fwd(lon, lat)
+        assert np.array_equal(xa, xb) and np.array_equal(ya, yb)
+        n_ok += 1
+    assert n_ok > 150
