@@ -659,6 +659,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     hts = {}
     h = w = None
     scan = None
+    dri = 0
     while pos < len(data):
         marker, ln = struct.unpack_from(">HH", data, pos)
         payload = data[pos + 4 : pos + 2 + ln]
@@ -690,8 +691,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("only baseline sequential JPEG (SOF0) "
                              "is supported")
         elif marker == 0xFFDD:
-            raise ValueError("JPEG restart intervals (DRI) "
-                             "unsupported")
+            (dri,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xFFDA:
             # per-component entropy table selectors
             ns = payload[0]
@@ -721,16 +721,33 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         td, ta = sos_tabs[cid]
         comp_tabs.append((hts[(0, td)], hts[(1, ta)]))
     # 16-bit-lookahead Huffman decode: one LUT index per symbol, one
-    # window fetch per magnitude read (no per-bit Python)
-    w24 = _bit_windows(scan).tolist()
-    pos = 0
+    # window fetch per magnitude read (no per-bit Python).  Restart
+    # intervals (DRI) split the scan at RST0-7 markers; each segment
+    # is byte-aligned and resets every DC predictor (T.81 F.2.1.3.1).
+    if dri:
+        import re as _re
+
+        segments = _re.split(b"\xff[\xd0-\xd7]", scan)
+    else:
+        segments = [scan]
     coefs = [np.zeros((n_mcu * bper[ci], 64), dtype=np.int32)
              for ci in range(ncomp)]
     preds = [0] * ncomp
     sched = [(ci,) * bper[ci] for ci in range(ncomp)]
     sched = [ci for grp in sched for ci in grp]  # MCU interleave
     counters = [0] * ncomp
+    seg_i = 0
+    w24 = _bit_windows(segments[0]).tolist()
+    pos = 0
     for m in range(n_mcu):
+        if dri and m and m % dri == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("JPEG: fewer restart segments than "
+                                 "the DRI interval requires")
+            w24 = _bit_windows(segments[seg_i]).tolist()
+            pos = 0
+            preds = [0] * ncomp
         for ci in sched:
             (dsym, dlen), (asym, alen) = comp_tabs[ci]
             blk = coefs[ci][counters[ci]]

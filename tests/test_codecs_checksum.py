@@ -257,3 +257,41 @@ def test_png_gray_16bit_palette_variants():
     idx = rng.integers(0, 16, (10, 14), dtype=np.uint8)
     dp = codecs.decode_png(codecs.encode_png_palette(idx, pal))
     assert np.array_equal(dp, pal[idx])
+
+
+def test_jpeg_restart_interval_decode():
+    """DRI/RSTn support (T.81 F.2.1.3.1): a hand-assembled stream
+    with an 8-MCU restart interval — segments byte-aligned, DC
+    predictors reset at each RST marker — decodes model-exactly."""
+    import struct as st
+
+    from gdal_ray.functions import jpegc
+
+    g = (np.linspace(0.0, 255.0, 48 * 64).reshape(48, 64)).astype(
+        np.uint8)
+    strips = [g[r:r + 8] for r in range(0, 48, 8)]
+    parts = []
+    for strip in strips:
+        data = jpegc.encode_jpeg_gray(strip, 90)
+        i = data.find(b"\xff\xda")
+        ln = st.unpack(">H", data[i + 2:i + 4])[0]
+        parts.append(data[i + 2 + ln:-2])
+    full = jpegc.encode_jpeg_gray(g, 90)
+    i = full.find(b"\xff\xda")
+    ln = st.unpack(">H", full[i + 2:i + 4])[0]
+    dri = st.pack(">HHH", 0xFFDD, 4, 8)      # 8 MCUs per segment
+    body = b""
+    for k, sc in enumerate(parts):
+        body += sc
+        if k < len(parts) - 1:
+            body += bytes([0xFF, 0xD0 + (k % 8)])
+    stream = full[:i] + dri + full[i:i + 2 + ln] + body + b"\xff\xd9"
+    dec = jpegc.decode_jpeg(stream)
+    want = np.vstack([jpegc.jpeg_model_gray(s_, 90) for s_ in strips])
+    assert np.array_equal(dec, want)
+    # truncated segment list fails loudly
+    bad = full[:i] + dri + full[i:i + 2 + ln] + parts[0] + b"\xff\xd9"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="restart"):
+        jpegc.decode_jpeg(bad)
