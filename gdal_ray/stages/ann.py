@@ -723,3 +723,126 @@ def embedding_kmeans(emb, k: int = 8, iters: int = 5, quant_bits: int = 24,
         (c, int(((np.arange(d) + 1) * qc[c]).sum())) for c in range(k)
     ]
     return assign_ds, summary
+
+# ------------------------------------------------- product quantization
+#
+# PQ (Jegou, Douze & Schmid 2011, "Product Quantization for Nearest
+# Neighbor Search", IEEE TPAMI): split d-dim vectors into M subspaces,
+# k-means each subspace to ksub centroids, store each vector as M
+# uint8 codes — the memory-compression scale path (a 16-dim float64
+# embedding becomes 4 bytes at M=4).  Queries score encoded vectors
+# by ADC (asymmetric distance computation): one inner-product lookup
+# table per (query, subspace), scores = LUT gathers — no
+# decompression.  Engine shape: codebooks broadcast once (ray.put),
+# encode and probe are vectorized map_batches, merges ride the same
+# ONE groupby(qid) as the other ANN paths.
+
+
+def pq_train(sample: np.ndarray, m_sub: int = 4, ksub: int = 16,
+             iters: int = 10, normalize: bool = True) -> np.ndarray:
+    """Train PQ codebooks on a driver-side sample: deterministic L2
+    Lloyd per subspace (stride init over the id-sorted sample,
+    argmin L2 assignment with numpy's lowest-index ties, mean
+    update, emptied clusters keep their centroid).  ``normalize``
+    (default) trains on unit vectors so ADC inner products
+    approximate COSINE — the contract the other ANN paths use.
+    Returns (m_sub, ksub, dsub) float64."""
+    x = np.asarray(sample, np.float64)
+    if normalize:
+        x = _normalize(x)
+    n, d = x.shape
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by {m_sub} subspaces")
+    if n < ksub:
+        raise ValueError(f"PQ training needs >= {ksub} samples")
+    dsub = d // m_sub
+    books = np.empty((m_sub, ksub, dsub), np.float64)
+    stride = max(1, n // ksub)
+    for j in range(m_sub):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        # deterministic stride init: evenly spaced sample rows, so a
+        # cluster-ordered sample still seeds every region
+        C = sub[::stride][:ksub].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                rows = np.flatnonzero(assign == c)
+                if len(rows):
+                    C[c] = sub[rows].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(embeddings, codebooks: np.ndarray, concurrency: int = 4,
+              normalize: bool = True):
+    """Encode an (vec_id, embedding) Dataset to (vec_id, codes) —
+    codes = fixed-size-list<uint8>[m_sub], one argmin-L2 per
+    subspace, vectorized per batch; codebooks broadcast once.
+    ``normalize`` must match the pq_train setting (cosine
+    contract)."""
+    import ray
+
+    ref = ray.put(np.asarray(codebooks, np.float64))
+
+    def enc(t: pa.Table) -> pa.Table:
+        books = ray.get(ref)
+        m_sub, ksub, dsub = books.shape
+        x = _emb_matrix(t)
+        if normalize:
+            x = _normalize(x)
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        codes = np.empty((len(x), m_sub), np.uint8)
+        for j in range(m_sub):
+            sub = x[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2
+                  ).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pa.table({
+            "vec_id": pa.array(vid, pa.int64()),
+            "codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), m_sub),
+        })
+
+    return embeddings.map_batches(enc, batch_format="pyarrow")
+
+
+def ann_pq_topk(encoded, queries: np.ndarray, query_ids: np.ndarray,
+                codebooks: np.ndarray, k: int = 5):
+    """ADC top-k over PQ-encoded vectors: per query q and subspace j,
+    LUT[j, c] = q_j . books[j, c]; a vector's approximate
+    inner-product score is the sum of its code gathers.  Returns
+    (qid, vec_id, rank, score) through the shared top-k merge."""
+    import ray
+
+    books = np.asarray(codebooks, np.float64)
+    m_sub, ksub, dsub = books.shape
+    q = np.asarray(queries, np.float64)
+    qn = _normalize(q)
+    # LUTs: (nq, m_sub, ksub)
+    luts = np.einsum("qjd,jkd->qjk",
+                     qn.reshape(len(qn), m_sub, dsub), books)
+    ref = ray.put((luts, np.asarray(query_ids, np.int64)))
+
+    def probe(t: pa.Table) -> pa.Table:
+        luts, qids = ray.get(ref)
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        flat = t.column("codes").combine_chunks().flatten()
+        codes = flat.to_numpy(zero_copy_only=False).reshape(
+            len(vid), -1)
+        jj = np.arange(codes.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(luts)):
+            s = luts[qi][jj[None, :], codes].sum(axis=1)
+            out_q.append(np.full(len(vid), qids[qi], np.int64))
+            out_v.append(vid)
+            out_s.append(s)
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    return _topk_merge_by_qid(
+        encoded.map_batches(probe, batch_format="pyarrow"), k)
+
