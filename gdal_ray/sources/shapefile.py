@@ -123,6 +123,18 @@ def _parse_dbf(buf: bytes):
                     vals.append(float(raw))
                 else:
                     vals.append(int(raw))
+            elif ftype == "L":
+                # dBase logical: T/t/Y/y true, F/f/N/n false, else null
+                c0 = raw.strip()[:1]
+                vals.append(True if c0 in "TtYy"
+                            else False if c0 in "FfNn" else None)
+            elif ftype == "D":
+                # dBase date: YYYYMMDD (blank = null), kept as the
+                # OGR-convention ISO string
+                raw = raw.strip()
+                vals.append(f"{raw[0:4]}-{raw[4:6]}-{raw[6:8]}"
+                            if len(raw) == 8 and raw.isdigit()
+                            else None)
             else:
                 vals.append(raw.rstrip() or None)
         rows.append(vals)
@@ -264,10 +276,14 @@ def write_shapefile(table: pa.Table, shp_path: str,
     fields = []
     for c in attrs:
         ty = table.schema.field(c).type
-        if pa.types.is_integer(ty):
+        if pa.types.is_boolean(ty):
+            fields.append((c, "L", 1, 0))
+        elif pa.types.is_integer(ty):
             fields.append((c, "N", 18, 0))
         elif pa.types.is_floating(ty):
             fields.append((c, "N", 18, 6))
+        elif (pa.types.is_date(ty) or pa.types.is_timestamp(ty)):
+            fields.append((c, "D", 8, 0))
         else:
             fields.append((c, "C", 32, 0))
     rsize = 1 + sum(f[2] for f in fields)
@@ -292,6 +308,15 @@ def write_shapefile(table: pa.Table, shp_path: str,
                 s = ("" if v is None else
                      (f"{v:.{fdec}f}" if fdec else str(int(v))))
                 rec += s.rjust(flen)[:flen].encode("ascii")
+            elif ftype == "L":
+                rec += (b"?" if v is None
+                        else (b"T" if v else b"F"))
+            elif ftype == "D":
+                if v is None:
+                    rec += b" " * 8
+                else:
+                    rec += (f"{v.year:04d}{v.month:02d}"
+                            f"{v.day:02d}").encode("ascii")
             else:
                 rec += ("" if v is None else str(v)).ljust(
                     flen)[:flen].encode("ascii")

@@ -116,3 +116,35 @@ def test_crswkt_all_registry_entries():
         assert np.array_equal(xa, xb) and np.array_equal(ya, yb)
         n_ok += 1
     assert n_ok > 150
+
+
+def test_dbf_logical_and_date_fields(tmp_path):
+    """dBase 'L' (logical) and 'D' (YYYYMMDD date) field types: bool
+    columns write as single-byte T/F (?=null), date32 columns as
+    8-digit dates, both reading back through the OGR conventions
+    (bool, ISO date string)."""
+    import datetime
+
+    from gdal_ray.functions.geom import wkb_point
+    from gdal_ray.sources.shapefile import (shapefile_to_table,
+                                            write_shapefile)
+
+    t = pa.table({
+        "geometry": [wkb_point(float(i), 0.0) for i in range(3)],
+        "ok": pa.array([True, False, None], pa.bool_()),
+        "day": pa.array([datetime.date(2026, 8, 20),
+                         datetime.date(1999, 1, 2), None],
+                        pa.date32()),
+        "name": ["a", "b", "c"],
+    })
+    p = str(tmp_path / "ld.shp")
+    write_shapefile(t, p)
+    buf = open(str(tmp_path / "ld.dbf"), "rb").read()
+    # field descriptors: type bytes at offset 32*k+11
+    ftypes = [chr(buf[32 * k + 11]) for k in range(1, 4)]
+    assert ftypes == ["L", "D", "C"]
+    back = shapefile_to_table(p)
+    assert back.column("ok").to_pylist() == [True, False, None]
+    assert back.column("day").to_pylist() == ["2026-08-20",
+                                              "1999-01-02", None]
+    assert back.column("name").to_pylist() == ["a", "b", "c"]
