@@ -202,10 +202,59 @@ def read_envi(path: str) -> dict:
 # ---------------------------------------------------------------- BMP
 
 
-def write_bmp(path: str, img: np.ndarray) -> None:
+def _rle8_encode_row(row: np.ndarray) -> bytes:
+    """One scanline to BI_RLE8 encoded-mode runs (+EOL)."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        v = row[i]
+        run = 1
+        while i + run < n and run < 255 and row[i + run] == v:
+            run += 1
+        out += bytes((run, int(v)))
+        i += run
+    out += b"\x00\x00"                         # end of line
+    return bytes(out)
+
+
+def _rle8_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 -> (h, w) bottom-up index rows (encoded + absolute
+    modes, EOL/EOB/delta escapes per the BITMAPINFOHEADER spec)."""
+    img = np.zeros((h, w), np.uint8)
+    x = y = 0
+    i = 0
+    while i + 1 < len(data):
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c:                                   # encoded run
+            img[y, x:x + c] = v
+            x += c
+        elif v == 0:                            # EOL
+            x, y = 0, y + 1
+            if y >= h:
+                break
+        elif v == 1:                            # end of bitmap
+            break
+        elif v == 2:                            # delta
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:                                   # absolute mode
+            img[y, x:x + v] = np.frombuffer(data, np.uint8, v, i)
+            x += v
+            i += v + (v & 1)                    # word-aligned
+    return img
+
+
+def write_bmp(path: str, img: np.ndarray, *, rle: bool = False) -> None:
     """Write a BMP: (h, w, 3) uint8 -> 24-bit BGR; (h, w) uint8 ->
-    8-bit with a grayscale palette.  Rows bottom-up, padded to 4."""
+    8-bit with a grayscale palette (``rle=True`` compresses it with
+    BI_RLE8 — the run-length mode the reference's frmts/bmp driver
+    reads).  Rows bottom-up, padded to 4."""
     a = np.asarray(img)
+    if rle and a.ndim != 2:
+        raise ValueError("BMP RLE8 applies to 8-bit (h, w) images")
     if a.dtype != np.uint8:
         raise ValueError("BMP: uint8 only")
     if a.ndim == 3 and a.shape[2] == 3:
@@ -226,15 +275,25 @@ def write_bmp(path: str, img: np.ndarray) -> None:
                            for i in range(256))
     else:
         raise ValueError("BMP: (h, w) or (h, w, 3) uint8")
+    comp = 0
+    if rle:
+        comp = 1                                # BI_RLE8
+        enc = bytearray()
+        for r in range(h):                      # body is bottom-up
+            enc += _rle8_encode_row(body[r, :w])
+        enc = enc[:-2] + b"\x00\x01"            # last EOL -> EOB
+        payload = bytes(enc)
+    else:
+        payload = body.tobytes()
     data_off = 14 + 40 + len(palette)
-    size = data_off + body.size
+    size = data_off + len(payload)
     head = (struct.pack("<2sIHHI", b"BM", size, 0, 0, data_off)
-            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0,
-                          body.size, 2835, 2835,
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                          len(payload), 2835, 2835,
                           256 if bpp == 8 else 0, 0))
     tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "wb") as fh:
-        fh.write(head + palette + body.tobytes())
+        fh.write(head + palette + payload)
     os.replace(tmp, path)
 
 
@@ -249,11 +308,14 @@ def read_bmp(path: str) -> np.ndarray:
     if hsz < 40:
         raise ValueError(f"BMP: header size {hsz} unsupported")
     comp = struct.unpack("<I", buf[30:34])[0]
-    if comp != 0:
-        raise ValueError(f"BMP: compression {comp} unsupported")
+    if comp not in (0, 1):
+        raise ValueError(f"BMP: compression {comp} unsupported "
+                         "(uncompressed / BI_RLE8)")
     flip = h > 0
     h = abs(h)
     if bpp == 24:
+        if comp == 1:
+            raise ValueError("BMP: RLE8 requires 8-bit images")
         stride = (w * 3 + 3) & ~3
         rows = np.frombuffer(buf, np.uint8, h * stride,
                              data_off).reshape(h, stride)
@@ -263,9 +325,12 @@ def read_bmp(path: str) -> np.ndarray:
         ncolors = struct.unpack("<I", buf[46:50])[0] or 256
         pal = np.frombuffer(buf, np.uint8, ncolors * 4,
                             14 + hsz).reshape(ncolors, 4)[:, :3][:, ::-1]
-        stride = (w + 3) & ~3
-        rows = np.frombuffer(buf, np.uint8, h * stride,
-                             data_off).reshape(h, stride)[:, :w]
+        if comp == 1:
+            rows = _rle8_decode(buf[data_off:], w, h)
+        else:
+            stride = (w + 3) & ~3
+            rows = np.frombuffer(buf, np.uint8, h * stride,
+                                 data_off).reshape(h, stride)[:, :w]
         idx = rows[::-1] if flip else rows
         if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1]
                                                == pal[:, 2]).all():

@@ -140,3 +140,42 @@ def test_pnm_matrix(tmp_path):
     np.testing.assert_array_equal(read_pnm(p), [[7, 9]])
     with pytest.raises(ValueError, match="maxval"):
         write_pnm(str(tmp_path / "bad.pgm"), g8, maxval=100)
+
+
+def test_bmp_rle8_roundtrip_and_anchors(tmp_path):
+    """BI_RLE8 (BITMAPINFOHEADER compression 1): encoded-mode runs
+    with EOL/EOB escapes; biCompression anchor, bit-exact round trip,
+    smaller than raw on runs-heavy data; absolute-mode and delta
+    escapes decode (hand-assembled stream)."""
+    import os as _os
+    import struct as st
+
+    from gdal_ray.sources.simple_rasters import (_rle8_decode,
+                                                 read_bmp, write_bmp)
+
+    rng = np.random.default_rng(42)
+    img = np.repeat(rng.integers(0, 8, (40, 20), dtype=np.uint8) * 30,
+                    4, axis=1)[:, :75]
+    p = str(tmp_path / "r.bmp")
+    p2 = str(tmp_path / "u.bmp")
+    write_bmp(p, img, rle=True)
+    write_bmp(p2, img)
+    buf = open(p, "rb").read()
+    assert st.unpack("<I", buf[30:34])[0] == 1        # BI_RLE8
+    assert np.array_equal(read_bmp(p), img)
+    assert _os.path.getsize(p) < _os.path.getsize(p2)
+    # hand-assembled stream: run, absolute mode (word-padded), delta,
+    # EOL, run, EOB
+    data = (bytes((3, 7))                  # 3x value 7
+            + bytes((0, 3, 1, 2, 3, 0))   # absolute: 1,2,3 (+pad)
+            + bytes((0, 2, 2, 1))         # delta +2x +1y
+            + bytes((0, 0))               # EOL -> (x=0, y=2)
+            + bytes((2, 9))               # 2x value 9
+            + bytes((0, 1)))              # EOB
+    out = _rle8_decode(data, 10, 4)
+    assert list(out[0, :6]) == [7, 7, 7, 1, 2, 3]
+    assert list(out[2, :2]) == [9, 9]
+    # RLE on RGB is rejected
+    with pytest.raises(ValueError, match="8-bit"):
+        write_bmp(str(tmp_path / "x.bmp"),
+                  np.zeros((4, 4, 3), np.uint8), rle=True)
