@@ -846,3 +846,71 @@ def ann_pq_topk(encoded, queries: np.ndarray, query_ids: np.ndarray,
     return _topk_merge_by_qid(
         encoded.map_batches(probe, batch_format="pyarrow"), k)
 
+def ann_ivfpq_topk(embeddings, queries: np.ndarray,
+                   query_ids: np.ndarray, centroids: np.ndarray,
+                   codebooks: np.ndarray, k: int = 5,
+                   nprobe: int = 2):
+    """IVF-PQ (the IVFADC composition of Jegou et al. 2011 — coarse
+    inverted lists + PQ codes): vectors are assigned to their nearest
+    coarse centroid and PQ-encoded IN ONE PASS; each query builds its
+    ADC lookup tables once and scores only its ``nprobe`` nearest
+    lists.  At scale this is the memory-AND-compute path: codes are
+    M bytes per vector and each query touches nprobe/k_coarse of the
+    corpus.  Direct (non-residual) encoding — the same codebooks
+    serve every list; the residual refinement is a documented
+    non-goal.  Returns (qid, vec_id, rank, score)."""
+    import ray
+
+    C = _normalize(np.asarray(centroids, np.float64))
+    books = np.asarray(codebooks, np.float64)
+    m_sub, ksub, dsub = books.shape
+    qn = _normalize(np.asarray(queries, np.float64))
+    qlists = np.argsort(-(qn @ C.T), axis=1, kind="stable")[:, :nprobe]
+    luts = np.einsum("qjd,jkd->qjk",
+                     qn.reshape(len(qn), m_sub, dsub), books)
+    by_list: dict[int, list[int]] = {}
+    for qi in range(len(qn)):
+        for li in qlists[qi]:
+            by_list.setdefault(int(li), []).append(qi)
+    ref = ray.put((C, books, luts,
+                   np.asarray(query_ids, np.int64), by_list))
+
+    def probe(t: pa.Table) -> pa.Table:
+        C, books, luts, qids, by_list = ray.get(ref)
+        m_sub, ksub, dsub = books.shape
+        x = _normalize(_emb_matrix(t))
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        assign = np.argmax(x @ C.T, axis=1)
+        codes = np.empty((len(x), m_sub), np.int64)
+        for j in range(m_sub):
+            sub = x[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2
+                  ).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        jj = np.arange(m_sub)
+        out_q, out_v, out_s = [], [], []
+        for li, qis in by_list.items():
+            rows = np.flatnonzero(assign == li)
+            if len(rows) == 0:
+                continue
+            sub_codes = codes[rows]
+            for qi in qis:
+                s = luts[qi][jj[None, :], sub_codes].sum(axis=1)
+                out_q.append(np.full(len(rows), qids[qi], np.int64))
+                out_v.append(vid[rows])
+                out_s.append(s)
+        if not out_q:
+            return pa.table({
+                "qid": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    return _topk_merge_by_qid(
+        embeddings.map_batches(probe, batch_format="pyarrow"), k)
+

@@ -99,3 +99,32 @@ def test_pq_guards():
         pq_train(X, m_sub=5)
     with pytest.raises(ValueError, match="samples"):
         pq_train(X[:4], m_sub=4, ksub=16)
+
+
+def test_ivfpq_cluster_precision_and_pruning():
+    """IVF-PQ (IVFADC composition): nprobe coarse lists prune the
+    corpus, ADC scores the survivors; every query's top-5 stays in
+    its true cluster, and results are a subset of the probed lists'
+    members (pruning is real)."""
+    from gdal_ray.stages.ann import ann_ivfpq_topk, kmeans_centroids
+
+    X, centers, label = _clustered()
+    books = pq_train(X, m_sub=4, ksub=16)
+    C = kmeans_centroids(_normalize(X), 8, iters=10)
+    Q = centers + 0.1
+    qids = np.arange(len(Q))
+    out = ann_ivfpq_topk(_emb_ds(X), Q, qids, C, books, k=5,
+                         nprobe=2).to_pandas()
+    assert len(out) == 5 * len(Q)
+    prec = 0.0
+    for qi in range(len(Q)):
+        rows = out[out.qid == qi]
+        prec += (label[rows.vec_id.to_numpy()] == qi).mean()
+    assert prec / len(Q) >= 0.95
+    # pruning: with nprobe == all lists, results can only grow richer
+    out_all = ann_ivfpq_topk(_emb_ds(X), Q, qids, C, books, k=5,
+                             nprobe=8).to_pandas()
+    for qi in range(len(Q)):
+        s2 = out_all[out_all.qid == qi].score.to_numpy()
+        s1 = out[out.qid == qi].score.to_numpy()
+        assert s2.max() >= s1.max() - 1e-12
