@@ -2759,7 +2759,42 @@ def q14_text_stats(sf_dir: str):
     score_rows = q14_corpus_scores(sf_dir).map_batches(
         melt_scores, batch_format="pyarrow"
     )
-    return lang_rows.union(score_rows).sort(["kind", "k1", "k2"])
+    # chunking rows (stages.text.chunk_documents — the LLM-prep
+    # token-window splitter): 'chunks' = chunk count per doc,
+    # 'chunk_tokens' = token count per (doc, chunk); oracle = the
+    # closed-form window rule n_chunks = max(1, ceil((ntok -
+    # overlap)/step)) over the same tokenization
+    from ..stages.text import chunk_documents
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ch = chunk_documents(docs, target_tokens=64, overlap_tokens=16)
+
+    def melt_chunks(t: pa.Table) -> pa.Table:
+        did = [str(d) for d in t.column("doc_id").to_pylist()]
+        ci = t.column("chunk_idx").to_pylist()
+        nck = t.column("n_chunks").to_numpy(zero_copy_only=False)
+        ntk = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        kinds, k1s, k2s, vs = [], [], [], []
+        for i in range(len(did)):
+            kinds.append("chunk_tokens")
+            k1s.append(did[i])
+            k2s.append(f"{int(ci[i]):04d}")
+            vs.append(float(ntk[i]))
+            if int(ci[i]) == 0:
+                kinds.append("chunks")
+                k1s.append(did[i])
+                k2s.append("")
+                vs.append(float(nck[i]))
+        return pa.table({
+            "kind": pa.array(kinds, pa.string()),
+            "k1": pa.array(k1s, pa.string()),
+            "k2": pa.array(k2s, pa.string()),
+            "v": pa.array(vs, pa.float64()),
+        })
+
+    chunk_rows = ch.map_batches(melt_chunks, batch_format="pyarrow")
+    return (lang_rows.union(score_rows).union(chunk_rows)
+            .sort(["kind", "k1", "k2"]))
 
 
 _Q14TS_SQL = f"""
@@ -2805,6 +2840,19 @@ UNION ALL SELECT 'sum_alpha', lang, '', CAST(sum_alpha AS DOUBLE)
 FROM langstats
 UNION ALL SELECT 'sum_space', lang, '', CAST(sum_space AS DOUBLE)
 FROM langstats
+UNION ALL SELECT 'chunks', CAST(doc_id AS VARCHAR), '',
+       CAST(n_chunks AS DOUBLE)
+FROM (SELECT doc_id,
+             GREATEST(1, CAST(CEIL((dl - 16) / 48.0) AS BIGINT))
+               AS n_chunks
+      FROM dlx)
+UNION ALL SELECT 'chunk_tokens', CAST(c.doc_id AS VARCHAR),
+       printf('%04d', u.ci), CAST(LEAST(64, c.dl - 48 * u.ci) AS DOUBLE)
+FROM (SELECT doc_id, dl,
+             GREATEST(1, CAST(CEIL((dl - 16) / 48.0) AS BIGINT))
+               AS n_chunks
+      FROM dlx) c,
+     UNNEST(generate_series(0, c.n_chunks - 1)) AS u(ci)
 ORDER BY kind, k1, k2
 """
 

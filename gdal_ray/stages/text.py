@@ -199,3 +199,67 @@ def explode_terms_batch(t: pa.Table) -> pa.Table:
             "dl": pa.array(dlr[idx], pa.int64()),
         }
     )
+
+def chunk_documents(ds, *, target_tokens: int = 512,
+                    overlap_tokens: int = 64, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Split documents into overlapping token-window chunks — the
+    standard LLM training/RAG preparation step (engine addition; the
+    reference has no text model).  Tokens are whitespace runs
+    (``\S+``); windows hold ``target_tokens`` tokens and step by
+    ``target_tokens - overlap_tokens``, so consecutive chunks share
+    exactly ``overlap_tokens`` tokens (the final window may hold
+    fewer).  Chunks are EXACT SUBSTRINGS of the source (char spans
+    carried alongside), so any downstream span can be mapped back.
+
+    Pure map_batches — no shuffle; chunk identity is (doc_id,
+    chunk_idx) and deterministic.  Output: doc_id, chunk_idx,
+    n_chunks, chunk, n_tokens, char_start, char_end.
+    """
+    if overlap_tokens >= target_tokens:
+        raise ValueError("overlap_tokens must be < target_tokens")
+    step = target_tokens - overlap_tokens
+    tok = re.compile(r"\S+")
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        o_id, o_ci, o_n, o_txt, o_nt, o_a, o_b = ([] for _ in range(7))
+        for did, txt in zip(ids, texts):
+            if txt is None:
+                txt = ""
+            spans = [m.span() for m in tok.finditer(txt)]
+            if not spans:
+                starts = []
+                n_chunks = 0
+            else:
+                starts = list(range(0, len(spans), step))
+                # drop trailing windows fully covered by the previous
+                while (len(starts) > 1
+                       and starts[-1] + target_tokens
+                       > len(spans) + step - 1
+                       and starts[-2] + target_tokens >= len(spans)):
+                    starts.pop()
+                n_chunks = len(starts)
+            for ci, s0 in enumerate(starts):
+                win = spans[s0:s0 + target_tokens]
+                a, b = win[0][0], win[-1][1]
+                o_id.append(did)
+                o_ci.append(ci)
+                o_n.append(n_chunks)
+                o_txt.append(txt[a:b])
+                o_nt.append(len(win))
+                o_a.append(a)
+                o_b.append(b)
+        return pa.table({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "chunk_idx": pa.array(o_ci, pa.int32()),
+            "n_chunks": pa.array(o_n, pa.int32()),
+            "chunk": pa.array(o_txt, pa.string()),
+            "n_tokens": pa.array(o_nt, pa.int32()),
+            "char_start": pa.array(o_a, pa.int64()),
+            "char_end": pa.array(o_b, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+

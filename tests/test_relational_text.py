@@ -606,3 +606,51 @@ ORDER BY t.doc_id, t.term
     # bit-identical float64 scores (shared expression tree)
     assert (eng.tfidf.to_numpy() == ora.tfidf.to_numpy()).all()
     assert (eng.bm25.to_numpy() == ora.bm25.to_numpy()).all()
+
+
+def test_chunk_documents_invariants(ray_session):
+    """LLM-prep chunker: exact-substring chunks, full token coverage,
+    the documented overlap, and the closed-form chunk-count rule
+    n_chunks = max(1, ceil((ntok - overlap)/step))."""
+    import math
+    import re
+
+    import ray.data as rd
+
+    from gdal_ray.stages.text import chunk_documents
+
+    docs = [
+        {"doc_id": 1, "text": " ".join(f"w{i}" for i in range(100))},
+        {"doc_id": 2, "text": "only three tokens"},
+        {"doc_id": 3, "text": " ".join(f"t{i}" for i in range(130))},
+        {"doc_id": 4, "text": "   "},
+        {"doc_id": 5, "text": " ".join(f"x{i}" for i in range(64))},
+    ]
+    out = chunk_documents(rd.from_items(docs), target_tokens=64,
+                          overlap_tokens=16).take_all()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 4 not in by_doc                      # whitespace-only: none
+    for d in docs:
+        toks = [m.span() for m in re.finditer(r"\S+", d["text"])]
+        if not toks:
+            continue
+        rows = sorted(by_doc[d["doc_id"]], key=lambda r: r["chunk_idx"])
+        want = max(1, math.ceil((len(toks) - 16) / 48))
+        assert rows[0]["n_chunks"] == want == len(rows)
+        # exact substrings + token coverage + overlap
+        for r in rows:
+            assert d["text"][r["char_start"]:r["char_end"]] == r["chunk"]
+        assert all(any(r["char_start"] <= a and b <= r["char_end"]
+                       for r in rows) for a, b in toks)
+        for k in range(1, len(rows)):
+            prev_toks = [t for t in toks
+                         if rows[k - 1]["char_start"] <= t[0]
+                         and t[1] <= rows[k - 1]["char_end"]]
+            cur_start = rows[k]["char_start"]
+            shared = [t for t in prev_toks if t[0] >= cur_start]
+            assert len(shared) == 16            # the overlap contract
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(rd.from_items(docs), target_tokens=8,
+                        overlap_tokens=8)
