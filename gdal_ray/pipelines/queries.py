@@ -2643,7 +2643,29 @@ SELECT * FROM (
   SELECT 'session' AS kind, CAST(user_id AS VARCHAR) AS k1,
          n_sessions AS k2, n_events AS v1, span_s AS v2
   FROM ({_Q47_SQL.strip()})
-) ORDER BY kind, k1, k2
+) UNION ALL SELECT 'dup_bigram_frac', CAST(b.doc_id AS VARCHAR), '',
+       1.0e0 - CAST(b.dist AS DOUBLE) / CAST(b.total AS DOUBLE)
+FROM (SELECT d2.doc_id, len(d2.arr) - 1 AS total,
+             COUNT(DISTINCT d2.arr[u.i] || ' ' || d2.arr[u.i + 1])
+               AS dist
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)),
+                                         '\s+') AS arr
+            FROM documents WHERE trim(text) <> '') d2,
+           UNNEST(generate_series(1, len(d2.arr) - 1)) AS u(i)
+      WHERE len(d2.arr) >= 2
+      GROUP BY d2.doc_id, len(d2.arr)) b
+UNION ALL SELECT 'top_token_frac', CAST(t2.doc_id AS VARCHAR), '',
+       CAST(t2.topc AS DOUBLE) / CAST(t2.ntok AS DOUBLE)
+FROM (SELECT d3.doc_id, len(d3.arr) AS ntok,
+             (SELECT MAX(c) FROM (SELECT COUNT(*) AS c
+                FROM UNNEST(d3.arr) AS uu(term)
+                GROUP BY term)) AS topc
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)),
+                                         '\s+') AS arr
+            FROM documents WHERE trim(text) <> '') d3) t2
+ORDER BY kind, k1, k2
 """
 
 
@@ -2793,8 +2815,37 @@ def q14_text_stats(sf_dir: str):
         })
 
     chunk_rows = ch.map_batches(melt_chunks, batch_format="pyarrow")
+    # repetition quality signals (Gopher/C4-style filter inputs):
+    # dup_bigram_frac + top_token_frac per doc, same tokenization as
+    # the corpus scores so one SQL toks CTE oracles everything
+    from ..stages.text import repetition_stats_batch
+
+    rep = docs.map_batches(repetition_stats_batch,
+                           batch_format="pyarrow")
+
+    def melt_rep(t: pa.Table) -> pa.Table:
+        did = [str(d) for d in t.column("doc_id").to_pylist()]
+        dup = t.column("dup_bigram_frac").to_pylist()
+        top = t.column("top_token_frac").to_pylist()
+        kinds, k1s, vs = [], [], []
+        for i in range(len(did)):
+            if dup[i] is not None:
+                kinds.append("dup_bigram_frac")
+                k1s.append(did[i])
+                vs.append(float(dup[i]))
+            kinds.append("top_token_frac")
+            k1s.append(did[i])
+            vs.append(float(top[i]))
+        return pa.table({
+            "kind": pa.array(kinds, pa.string()),
+            "k1": pa.array(k1s, pa.string()),
+            "k2": pa.array([""] * len(kinds), pa.string()),
+            "v": pa.array(vs, pa.float64()),
+        })
+
+    rep_rows = rep.map_batches(melt_rep, batch_format="pyarrow")
     return (lang_rows.union(score_rows).union(chunk_rows)
-            .sort(["kind", "k1", "k2"]))
+            .union(rep_rows).sort(["kind", "k1", "k2"]))
 
 
 _Q14TS_SQL = f"""
@@ -2853,6 +2904,28 @@ FROM (SELECT doc_id, dl,
                AS n_chunks
       FROM dlx) c,
      UNNEST(generate_series(0, c.n_chunks - 1)) AS u(ci)
+UNION ALL SELECT 'dup_bigram_frac', CAST(b.doc_id AS VARCHAR), '',
+       1.0e0 - CAST(b.dist AS DOUBLE) / CAST(b.total AS DOUBLE)
+FROM (SELECT d2.doc_id, len(d2.arr) - 1 AS total,
+             COUNT(DISTINCT d2.arr[u.i] || ' ' || d2.arr[u.i + 1])
+               AS dist
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)),
+                                         '\s+') AS arr
+            FROM documents WHERE trim(text) <> '') d2,
+           UNNEST(generate_series(1, len(d2.arr) - 1)) AS u(i)
+      WHERE len(d2.arr) >= 2
+      GROUP BY d2.doc_id, len(d2.arr)) b
+UNION ALL SELECT 'top_token_frac', CAST(t2.doc_id AS VARCHAR), '',
+       CAST(t2.topc AS DOUBLE) / CAST(t2.ntok AS DOUBLE)
+FROM (SELECT d3.doc_id, len(d3.arr) AS ntok,
+             (SELECT MAX(c) FROM (SELECT COUNT(*) AS c
+                FROM UNNEST(d3.arr) AS uu(term)
+                GROUP BY term)) AS topc
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)),
+                                         '\s+') AS arr
+            FROM documents WHERE trim(text) <> '') d3) t2
 ORDER BY kind, k1, k2
 """
 

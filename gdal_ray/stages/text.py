@@ -263,3 +263,38 @@ def chunk_documents(ds, *, target_tokens: int = 512,
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
+def repetition_stats_batch(t: pa.Table) -> pa.Table:
+    """Per-document repetition quality signals (the Gopher/C4-style
+    filter inputs; engine addition): ``dup_bigram_frac`` = 1 -
+    distinct/total bigrams (docs with >= 2 tokens) and
+    ``top_token_frac`` = most-frequent-token count / token count
+    (docs with >= 1 token).  Whitespace tokens, lowercased — the
+    same tokenization as the corpus-scoring suite, so one SQL ``toks``
+    CTE oracles both."""
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    o_id, o_dup, o_top = [], [], []
+    for did, txt in zip(ids, texts):
+        toks = (txt or "").lower().split()
+        if not toks:
+            continue
+        counts: dict = {}
+        for w in toks:
+            counts[w] = counts.get(w, 0) + 1
+        top = max(counts.values())
+        if len(toks) >= 2:
+            bigrams = set()
+            for i in range(len(toks) - 1):
+                bigrams.add((toks[i], toks[i + 1]))
+            dup = 1.0 - float(len(bigrams)) / float(len(toks) - 1)
+        else:
+            dup = None
+        o_id.append(did)
+        o_dup.append(dup)
+        o_top.append(float(top) / float(len(toks)))
+    return pa.table({
+        "doc_id": pa.array(o_id, pa.int64()),
+        "dup_bigram_frac": pa.array(o_dup, pa.float64()),
+        "top_token_frac": pa.array(o_top, pa.float64()),
+    })
+

@@ -654,3 +654,27 @@ def test_chunk_documents_invariants(ray_session):
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(rd.from_items(docs), target_tokens=8,
                         overlap_tokens=8)
+
+
+def test_repetition_stats_hand_values(ray_session):
+    """dup_bigram_frac / top_token_frac against hand-computed
+    values, incl. the <2-token and repeated-text edges."""
+    import ray.data as rd
+
+    from gdal_ray.stages.text import repetition_stats_batch
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "a b a b a"},     # bigrams: ab,ba,ab,ba
+        {"doc_id": 2, "text": "unique words only here"},
+        {"doc_id": 3, "text": "single"},
+        {"doc_id": 4, "text": ""},
+    ])
+    out = {r["doc_id"]: r for r in docs.map_batches(
+        repetition_stats_batch, batch_format="pyarrow").take_all()}
+    assert 4 not in out
+    assert out[1]["dup_bigram_frac"] == 1.0 - 2.0 / 4.0
+    assert out[1]["top_token_frac"] == 3.0 / 5.0
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[2]["top_token_frac"] == 1.0 / 4.0
+    assert out[3]["dup_bigram_frac"] is None
+    assert out[3]["top_token_frac"] == 1.0
