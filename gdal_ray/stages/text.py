@@ -298,3 +298,40 @@ def repetition_stats_batch(t: pa.Table) -> pa.Table:
         "top_token_frac": pa.array(o_top, pa.float64()),
     })
 
+class PatternCounter:
+    """Actor-pool stage: PII / markup pattern counts per document —
+    the C4-style filtering inputs (emails, URLs, phone-like numbers;
+    engine addition).  Patterns compile ONCE per actor (__init__),
+    counting is findall per doc; all three patterns are
+    alternation-free so RE2-style and backtracking engines agree on
+    the match set (the cross-oracle safety property).
+
+    Use: ``ds.map_batches(PatternCounter, batch_format="pyarrow",
+    concurrency=N)``.  Output: doc_id, n_emails, n_urls, n_phones.
+    """
+
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+    URL = r"https?://[^\s]+"
+    PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+    def __init__(self):
+        self.email = re.compile(self.EMAIL)
+        self.url = re.compile(self.URL)
+        self.phone = re.compile(self.PHONE)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        ne, nu, np_ = [], [], []
+        for txt in texts:
+            txt = txt or ""
+            ne.append(len(self.email.findall(txt)))
+            nu.append(len(self.url.findall(txt)))
+            np_.append(len(self.phone.findall(txt)))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_emails": pa.array(ne, pa.int64()),
+            "n_urls": pa.array(nu, pa.int64()),
+            "n_phones": pa.array(np_, pa.int64()),
+        })
+

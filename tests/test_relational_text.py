@@ -678,3 +678,40 @@ def test_repetition_stats_hand_values(ray_session):
     assert out[2]["top_token_frac"] == 1.0 / 4.0
     assert out[3]["dup_bigram_frac"] is None
     assert out[3]["top_token_frac"] == 1.0
+
+
+def test_pattern_counter_pii(ray_session):
+    """PII pattern counts (C4 filter inputs): emails, URLs,
+    phone-like numbers; hand-crafted docs with known counts; a
+    DuckDB regexp_extract_all cross-oracle on the same patterns."""
+    import duckdb
+    import ray.data as rd
+
+    from gdal_ray.stages.text import PatternCounter
+
+    docs = [
+        {"doc_id": 1,
+         "text": "mail a@b.com and c.d+x@e.org, see https://x.io/p "
+                 "or http://y.z/q?a=1 call +1 (555) 123-4567"},
+        {"doc_id": 2, "text": "no pii here at all"},
+        {"doc_id": 3, "text": "bad@@mail @nope 555 tel: 020 7946 0958"},
+    ]
+    out = {r["doc_id"]: r for r in rd.from_items(docs).map_batches(
+        PatternCounter, batch_format="pyarrow",
+        concurrency=1).take_all()}
+    assert (out[1]["n_emails"], out[1]["n_urls"],
+            out[1]["n_phones"]) == (2, 2, 1)
+    assert (out[2]["n_emails"], out[2]["n_urls"],
+            out[2]["n_phones"]) == (0, 0, 0)
+    assert out[3]["n_emails"] == 0 and out[3]["n_phones"] == 1
+    # cross-oracle: DuckDB RE2 agrees on every count (patterns are
+    # alternation-free -> leftmost-longest == leftmost-greedy)
+    con = duckdb.connect()
+    for d in docs:
+        for pat, key in ((PatternCounter.EMAIL, "n_emails"),
+                         (PatternCounter.URL, "n_urls"),
+                         (PatternCounter.PHONE, "n_phones")):
+            n = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))",
+                [d["text"], pat]).fetchone()[0]
+            assert n == out[d["doc_id"]][key], (d["doc_id"], key)
