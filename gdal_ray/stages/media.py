@@ -359,3 +359,60 @@ class ImageQuality:
                 "entropy_m": pa.array(out[:, 2]),
             }
         )
+
+class SceneCuts:
+    """Actor-pool stage: scene-cut detection over video frame
+    sequences (the video-curation step an LLM-data pipeline runs
+    before frame sampling; engine addition).  Per clip: mean absolute
+    inter-frame pixel difference (exact integer sums -> float64 once),
+    a cut wherever the difference exceeds ``threshold``.  Output one
+    row per clip: media_id, n_frames, n_cuts, cut_frames
+    (list<int32> of the first frame index of each new scene),
+    mean_delta.  Unsupported codecs pass through as
+    n_frames = 0 rows (the media-suite unsupported-counter
+    discipline)."""
+
+    def __init__(self, threshold: float = 12.0):
+        self.threshold = float(threshold)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_pylist()
+        codecs_ = t.column("codec").to_pylist()
+        payloads = t.column("payload").to_pylist()
+        out = {"media_id": [], "n_frames": [], "n_cuts": [],
+               "cut_frames": [], "mean_delta": []}
+        for mid, codec, payload in zip(ids, codecs_, payloads):
+            if codec != "rawv":
+                out["media_id"].append(mid)
+                out["n_frames"].append(0)
+                out["n_cuts"].append(0)
+                out["cut_frames"].append([])
+                out["mean_delta"].append(0.0)
+                continue
+            frames = decode_video(payload).astype(np.int64)
+            n = len(frames)
+            if n < 2:
+                out["media_id"].append(mid)
+                out["n_frames"].append(n)
+                out["n_cuts"].append(0)
+                out["cut_frames"].append([])
+                out["mean_delta"].append(0.0)
+                continue
+            diffs = np.abs(frames[1:] - frames[:-1]).reshape(
+                n - 1, -1).sum(axis=1)
+            per_px = diffs.astype(np.float64) / frames[0].size
+            cuts = (np.flatnonzero(per_px > self.threshold) + 1)
+            out["media_id"].append(mid)
+            out["n_frames"].append(n)
+            out["n_cuts"].append(int(len(cuts)))
+            out["cut_frames"].append(cuts.astype(np.int32).tolist())
+            out["mean_delta"].append(float(per_px.mean()))
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.string()),
+            "n_frames": pa.array(out["n_frames"], pa.int32()),
+            "n_cuts": pa.array(out["n_cuts"], pa.int32()),
+            "cut_frames": pa.array(out["cut_frames"],
+                                   pa.list_(pa.int32())),
+            "mean_delta": pa.array(out["mean_delta"], pa.float64()),
+        })
+

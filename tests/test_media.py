@@ -127,3 +127,32 @@ def test_image_quality_metrics_exact():
     b, lv, e = image_quality_metrics(img)
     assert e == 1000  # two equal-mass luma bins -> exactly 1 bit
     assert lv > 100000  # extreme high-frequency content
+
+
+def test_scene_cut_detection(ray_session):
+    """Scene cuts: two synthetic scenes joined at a known frame —
+    the cut lands exactly there; a static clip has none; non-rawv
+    codecs pass through as unsupported-counter rows."""
+    import ray.data as rd
+
+    from gdal_ray.stages.media import SceneCuts, encode_video_rawv
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 60, (4, 8, 8, 3)).astype(np.uint8)
+    b = rng.integers(180, 255, (3, 8, 8, 3)).astype(np.uint8)
+    clip = np.concatenate([a, b])
+    static = np.tile(a[:1], (5, 1, 1, 1))
+    ds = rd.from_items([
+        {"media_id": "cutat4", "codec": "rawv",
+         "payload": encode_video_rawv(clip)},
+        {"media_id": "static", "codec": "rawv",
+         "payload": encode_video_rawv(static)},
+        {"media_id": "weird", "codec": "h264", "payload": b"x"},
+    ])
+    rows = {r["media_id"]: r for r in ds.map_batches(
+        SceneCuts, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs=dict(threshold=60.0)).take_all()}
+    assert rows["cutat4"]["n_cuts"] == 1
+    assert list(rows["cutat4"]["cut_frames"]) == [4]
+    assert rows["static"]["n_cuts"] == 0
+    assert rows["weird"]["n_frames"] == 0
