@@ -1,0 +1,277 @@
+"""Driver registry: format sniffing + dispatch — the `GDALOpenEx` /
+`GDALIdentifyDriver` front door (`gcore/gdaldataset.cpp`,
+`gcore/gdaldrivermanager.cpp`).  The engine's per-format modules stay
+the real drivers; this module answers "what is this file?" from magic
+bytes (extension only where the format has none) and routes to the
+right reader, so a user can open anything the engine writes without
+knowing the module map.
+
+``identify(path)`` -> driver name; ``open_raster(path)`` -> a dict
+with ``driver`` plus the driver's natural payload (``img`` for
+single-raster formats, ``datasets``/``segments``/``messages`` for
+containers); ``open_vector(path)`` -> a Ray Dataset of WKB-convention
+feature rows.  Unknown content raises a loud error listing the
+registered drivers.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+RASTER_DRIVERS = (
+    "gtiff png jpeg webp gif bmp pnm hdf5 netcdf grib2 nitf dted "
+    "aaigrid envi xyz zarr zarr3 ntv2 gtx mbtiles"
+).split()
+VECTOR_DRIVERS = (
+    "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet"
+).split()
+
+
+def _sniff_sqlite(path: str) -> str | None:
+    import sqlite3
+
+    try:
+        con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        names = {r[0] for r in con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'")}
+        con.close()
+    except Exception:
+        return None
+    if "gpkg_contents" in names:
+        return "gpkg"
+    if {"tiles", "metadata"} & names:
+        return "mbtiles"
+    return None
+
+
+def identify(path: str) -> str:
+    """Driver name for a file or directory (magic bytes first, the
+    extension only where the format has none)."""
+    if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, "zarr.json")):
+            return "zarr3"
+        if os.path.exists(os.path.join(path, ".zarray")):
+            return "zarr"
+        import glob
+
+        pq = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if pq:
+            import pyarrow.parquet as _pq
+
+            md = _pq.read_schema(pq[0]).metadata or {}
+            if b"geo" in md:
+                return "geoparquet"
+        raise ValueError(f"{path}: unrecognized directory layout")
+    with open(path, "rb") as fh:
+        head = fh.read(512)
+    if head[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00"):
+        return "gtiff"
+    if head[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if head[:2] == b"\xff\xd8":
+        return "jpeg"
+    if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+        return "webp"
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if head[:2] == b"BM":
+        return "bmp"
+    if head[:2] in (b"P2", b"P3", b"P5", b"P6") and head[2:3] in (
+            b"\n", b" ", b"\t", b"\r"):
+        return "pnm"
+    if head[:8] == b"\x89HDF\r\n\x1a\n":
+        return "hdf5"
+    if head[:3] == b"CDF":
+        return "netcdf"
+    if head[:4] == b"GRIB":
+        return "grib2"
+    if head[:9] == b"NITF02.10":
+        return "nitf"
+    if head[:8] == b"NUM_OREC":
+        return "ntv2"
+    if head[:4] == b"UHL1":
+        return "dted"
+    if head[:16] == b"SQLite format 3\x00":
+        kind = _sniff_sqlite(path)
+        if kind:
+            return kind
+        raise ValueError(f"{path}: SQLite file is neither GPKG nor "
+                         "MBTiles")
+    if len(head) >= 4 and head[:4] == struct.pack(">i", 9994):
+        return "shapefile"
+    if head[:3] == b"fgb" or head[:8].startswith(b"fgb"):
+        return "flatgeobuf"
+    low = head.lstrip()[:64].lower()
+    if low.startswith(b"{"):
+        return "geojson"
+    if low.startswith(b"<?xml") or low.startswith(b"<kml") \
+            or low.startswith(b"<gpx"):
+        body = head.lower()
+        if b"<gpx" in body:
+            return "gpx"
+        if b"<kml" in body:
+            return "kml"
+        raise ValueError(f"{path}: XML is neither KML nor GPX")
+    if low.startswith(b"ncols"):
+        return "aaigrid"
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".gtx":
+        return "gtx"
+    if ext == ".csv":
+        return "csvwkt"
+    if ext == ".xyz":
+        return "xyz"
+    if ext in (".bil", ".bsq", ".bip", ".envi", ".img") \
+            or os.path.exists(path + ".hdr") \
+            or os.path.exists(os.path.splitext(path)[0] + ".hdr"):
+        return "envi"
+    raise ValueError(
+        f"{path}: no driver recognizes this content (registered: "
+        f"{RASTER_DRIVERS + VECTOR_DRIVERS})")
+
+
+def open_raster(path: str) -> dict:
+    """Open a raster file through its sniffed driver.  Returns a dict
+    with ``driver`` plus the driver's natural payload: ``img``
+    (numpy array) for single-raster formats, ``datasets`` metadata
+    for HDF5/netCDF/Zarr containers, ``segments`` for NITF,
+    ``messages`` for GRIB2, ``subgrids`` for NTv2, ``grid`` for
+    GTX."""
+    drv = identify(path)
+    if drv == "gtiff":
+        from .gtiff import read_cog
+
+        out = read_cog(path)
+        out["driver"] = drv
+        return out
+    if drv in ("png", "jpeg", "webp"):
+        data = open(path, "rb").read()
+        if drv == "png":
+            from ..functions.codecs import decode_png
+
+            img = decode_png(data)
+        elif drv == "jpeg":
+            from ..functions.jpegc import decode_jpeg
+
+            img = decode_jpeg(data)
+        else:
+            from ..functions.webp import decode_webp
+
+            img = decode_webp(data)[:, :, :3]
+        return {"driver": drv, "img": img}
+    if drv == "gif":
+        from .gif import read_gif
+
+        return {"driver": drv, "img": read_gif(path)}
+    if drv == "bmp":
+        from .simple_rasters import read_bmp
+
+        return {"driver": drv, "img": read_bmp(path)}
+    if drv == "pnm":
+        from .simple_rasters import read_pnm
+
+        return {"driver": drv, "img": read_pnm(path)}
+    if drv == "aaigrid":
+        from .simple_rasters import read_aaigrid
+
+        return {"driver": drv, **read_aaigrid(path)}
+    if drv == "envi":
+        from .simple_rasters import read_envi
+
+        return {"driver": drv, **read_envi(path)}
+    if drv == "xyz":
+        from .dted import read_xyz
+
+        return {"driver": drv, **read_xyz(path)}
+    if drv == "dted":
+        from .dted import read_dted
+
+        return {"driver": drv, **read_dted(path)}
+    if drv == "hdf5":
+        from .hdf5 import hdf5_info
+
+        return {"driver": drv, **hdf5_info(path)}
+    if drv == "netcdf":
+        from .netcdf import netcdf_info
+
+        return {"driver": drv, **netcdf_info(path)}
+    if drv == "zarr":
+        from .zarr import zarr_info
+
+        return {"driver": drv, **zarr_info(path)}
+    if drv == "zarr3":
+        from .zarr import zarr3_info
+
+        return {"driver": drv, "meta": zarr3_info(path)}
+    if drv == "grib2":
+        from .grib2 import read_grib2
+
+        return {"driver": drv, "messages": read_grib2(path)}
+    if drv == "nitf":
+        from .nitf import read_nitf
+
+        return {"driver": drv, "segments": read_nitf(path)}
+    if drv == "ntv2":
+        from .ntv2 import read_ntv2
+
+        return {"driver": drv, **read_ntv2(path)}
+    if drv == "gtx":
+        from .ntv2 import read_gtx
+
+        return {"driver": drv, "grid": read_gtx(path)}
+    if drv == "mbtiles":
+        import sqlite3
+
+        con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        try:
+            meta = dict(con.execute(
+                "SELECT name, value FROM metadata"))
+            zr = con.execute(
+                "SELECT MIN(zoom_level), MAX(zoom_level), COUNT(*) "
+                "FROM tiles").fetchone()
+        finally:
+            con.close()
+        return {"driver": drv, "metadata": meta,
+                "min_zoom": zr[0], "max_zoom": zr[1],
+                "n_tiles": zr[2]}
+    raise ValueError(f"{path}: {drv} is a vector driver — use "
+                     "open_vector")
+
+
+def open_vector(path: str):
+    """Open a vector file through its sniffed driver -> a Ray Dataset
+    of WKB-convention feature rows (fid, geometry/wkb, attrs)."""
+    drv = identify(path)
+    if drv == "shapefile":
+        from .shapefile import read_shapefile
+
+        return read_shapefile(path)
+    if drv == "geojson":
+        from .geojson import read_geojson
+
+        return read_geojson(path)
+    if drv == "gpkg":
+        from .gpkg import read_gpkg
+
+        return read_gpkg(path)
+    if drv == "flatgeobuf":
+        from .flatgeobuf import read_flatgeobuf
+
+        return read_flatgeobuf(path)
+    if drv in ("kml", "gpx", "csvwkt"):
+        import ray.data as rd
+
+        from . import textvec
+
+        if drv == "gpx":
+            return rd.from_arrow(textvec.read_gpx(path)["waypoints"])
+        fn = (textvec.read_kml if drv == "kml"
+              else textvec.read_csv_features)
+        return rd.from_arrow(fn(path))
+    if drv == "geoparquet":
+        from .geoparquet import read_geoparquet
+
+        return read_geoparquet(path)[0]
+    raise ValueError(f"{path}: {drv} is a raster driver — use "
+                     "open_raster")
