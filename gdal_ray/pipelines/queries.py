@@ -2643,28 +2643,7 @@ SELECT * FROM (
   SELECT 'session' AS kind, CAST(user_id AS VARCHAR) AS k1,
          n_sessions AS k2, n_events AS v1, span_s AS v2
   FROM ({_Q47_SQL.strip()})
-) UNION ALL SELECT 'dup_bigram_frac', CAST(b.doc_id AS VARCHAR), '',
-       1.0e0 - CAST(b.dist AS DOUBLE) / CAST(b.total AS DOUBLE)
-FROM (SELECT d2.doc_id, len(d2.arr) - 1 AS total,
-             COUNT(DISTINCT d2.arr[u.i] || ' ' || d2.arr[u.i + 1])
-               AS dist
-      FROM (SELECT doc_id,
-                   regexp_split_to_array(lower(trim(text)),
-                                         '\s+') AS arr
-            FROM documents WHERE trim(text) <> '') d2,
-           UNNEST(generate_series(1, len(d2.arr) - 1)) AS u(i)
-      WHERE len(d2.arr) >= 2
-      GROUP BY d2.doc_id, len(d2.arr)) b
-UNION ALL SELECT 'top_token_frac', CAST(t2.doc_id AS VARCHAR), '',
-       CAST(t2.topc AS DOUBLE) / CAST(t2.ntok AS DOUBLE)
-FROM (SELECT d3.doc_id, len(d3.arr) AS ntok,
-             (SELECT MAX(c) FROM (SELECT COUNT(*) AS c
-                FROM UNNEST(d3.arr) AS uu(term)
-                GROUP BY term)) AS topc
-      FROM (SELECT doc_id,
-                   regexp_split_to_array(lower(trim(text)),
-                                         '\s+') AS arr
-            FROM documents WHERE trim(text) <> '') d3) t2
+)
 ORDER BY kind, k1, k2
 """
 
