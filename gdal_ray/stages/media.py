@@ -416,3 +416,83 @@ class SceneCuts:
             "mean_delta": pa.array(out["mean_delta"], pa.float64()),
         })
 
+class SpectralFeatures:
+    """Actor-pool stage: per-clip spectral summary over hop windows —
+    the audio-curation signals (speech/music/noise separation inputs;
+    engine addition).  Per window: rFFT magnitude spectrum -> spectral
+    CENTROID (magnitude-weighted mean frequency, Hz) and ROLLOFF
+    (the 85th-percentile-energy frequency); clip rows carry the
+    across-window means plus the dominant-bin frequency of the whole
+    clip.  The Hann window and rfft plan are built once per actor;
+    everything is float64 numpy (deterministic).  Unsupported codecs
+    -> status='unsupported' counter rows."""
+
+    def __init__(self, win: int = 512, hop: int = 256,
+                 rolloff: float = 0.85):
+        self.win = win
+        self.hop = hop
+        self.rolloff = float(rolloff)
+        self.hann = 0.5 - 0.5 * np.cos(
+            2.0 * np.pi * np.arange(win) / win)
+
+    def _features(self, samples: np.ndarray, sr: int):
+        n = len(samples)
+        if n < self.win:
+            return 0, 0.0, 0.0, 0.0
+        n_frames = 1 + (n - self.win) // self.hop
+        idx = (np.arange(self.win)[None, :]
+               + np.arange(n_frames)[:, None] * self.hop)
+        frames = samples.astype(np.float64)[idx] * self.hann[None, :]
+        mag = np.abs(np.fft.rfft(frames, axis=1))
+        freqs = np.fft.rfftfreq(self.win, d=1.0 / sr)
+        tot = mag.sum(axis=1)
+        ok = tot > 0
+        cent = np.zeros(n_frames)
+        cent[ok] = (mag[ok] * freqs[None, :]).sum(axis=1) / tot[ok]
+        # rolloff: first frequency where cumulative energy crosses
+        # the threshold fraction
+        en = mag * mag
+        cum = np.cumsum(en, axis=1)
+        tot_e = cum[:, -1]
+        roll = np.zeros(n_frames)
+        ok_e = tot_e > 0
+        if ok_e.any():
+            thresh = self.rolloff * tot_e[ok_e, None]
+            first = (cum[ok_e] >= thresh).argmax(axis=1)
+            roll[ok_e] = freqs[first]
+        dom = float(freqs[en.sum(axis=0).argmax()])
+        return (n_frames, float(cent.mean()), float(roll.mean()), dom)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_pylist()
+        blobs = t.column("bytes").to_pylist()
+        codecs_ = t.column("codec").to_pylist()
+        out = {"media_id": [], "n_frames": [], "centroid_hz": [],
+               "rolloff_hz": [], "dominant_hz": [], "status": []}
+        for mid, blob, codec in zip(ids, blobs, codecs_):
+            try:
+                samples, sr = decode_audio(blob, codec)
+            except NotImplementedError:
+                out["media_id"].append(mid)
+                out["n_frames"].append(0)
+                out["centroid_hz"].append(0.0)
+                out["rolloff_hz"].append(0.0)
+                out["dominant_hz"].append(0.0)
+                out["status"].append("unsupported")
+                continue
+            nf, cent, roll, dom = self._features(samples, sr)
+            out["media_id"].append(mid)
+            out["n_frames"].append(nf)
+            out["centroid_hz"].append(cent)
+            out["rolloff_hz"].append(roll)
+            out["dominant_hz"].append(dom)
+            out["status"].append("ok")
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.string()),
+            "n_frames": pa.array(out["n_frames"], pa.int64()),
+            "centroid_hz": pa.array(out["centroid_hz"], pa.float64()),
+            "rolloff_hz": pa.array(out["rolloff_hz"], pa.float64()),
+            "dominant_hz": pa.array(out["dominant_hz"], pa.float64()),
+            "status": pa.array(out["status"], pa.string()),
+        })
+

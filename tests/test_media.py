@@ -156,3 +156,35 @@ def test_scene_cut_detection(ray_session):
     assert list(rows["cutat4"]["cut_frames"]) == [4]
     assert rows["static"]["n_cuts"] == 0
     assert rows["weird"]["n_frames"] == 0
+
+
+def test_spectral_features_pure_tones(ray_session):
+    """Spectral centroid / rolloff / dominant frequency on pure
+    tones: a 1 kHz sine's dominant bin and centroid land at ~1 kHz, a
+    4 kHz sine's at ~4 kHz, rolloff >= centroid, and unsupported
+    codecs pass through as counter rows."""
+    import ray.data as rd
+
+    from gdal_ray.stages.media import SpectralFeatures, encode_audio_pcm16
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone1 = (np.sin(2 * np.pi * 1000 * t) * 12000).astype(np.int16)
+    tone4 = (np.sin(2 * np.pi * 4000 * t) * 12000).astype(np.int16)
+    ds = rd.from_items([
+        {"media_id": "t1k", "codec": "pcm16",
+         "bytes": encode_audio_pcm16(tone1, sr)},
+        {"media_id": "t4k", "codec": "pcm16",
+         "bytes": encode_audio_pcm16(tone4, sr)},
+        {"media_id": "bad", "codec": "opus", "bytes": b"x"},
+    ])
+    rows = {r["media_id"]: r for r in ds.map_batches(
+        SpectralFeatures, batch_format="pyarrow",
+        concurrency=1).take_all()}
+    assert abs(rows["t1k"]["dominant_hz"] - 1000.0) < 32.0
+    assert abs(rows["t4k"]["dominant_hz"] - 4000.0) < 32.0
+    assert abs(rows["t1k"]["centroid_hz"] - 1000.0) < 150.0
+    assert rows["t4k"]["centroid_hz"] > rows["t1k"]["centroid_hz"]
+    for k in ("t1k", "t4k"):
+        assert rows[k]["rolloff_hz"] >= rows[k]["centroid_hz"] - 64.0
+    assert rows["bad"]["status"] == "unsupported"
