@@ -21,7 +21,8 @@ import struct
 
 RASTER_DRIVERS = (
     "gtiff png jpeg webp gif bmp pnm hdf5 netcdf grib2 nitf dted "
-    "aaigrid envi xyz zarr zarr3 ntv2 gtx mbtiles"
+    "aaigrid envi xyz zarr zarr3 ntv2 gtx mbtiles "
+    "srtmhgt gsag gsbg ehdr saga"
 ).split()
 VECTOR_DRIVERS = (
     "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet"
@@ -115,7 +116,19 @@ def identify(path: str) -> str:
         raise ValueError(f"{path}: XML is neither KML nor GPX")
     if low.startswith(b"ncols"):
         return "aaigrid"
+    if head[:4] == b"DSAA":
+        return "gsag"
+    if head[:4] == b"DSBB":
+        return "gsbg"
     ext = os.path.splitext(path)[1].lower()
+    if ext == ".hgt":
+        from .terrain_rasters import hgt_corner
+
+        hgt_corner(path)          # loud if the name carries no corner
+        return "srtmhgt"
+    if ext == ".sdat" and os.path.exists(
+            os.path.splitext(path)[0] + ".sgrd"):
+        return "saga"
     if ext == ".gtx":
         return "gtx"
     if ext == ".csv":
@@ -125,6 +138,16 @@ def identify(path: str) -> str:
     if ext in (".bil", ".bsq", ".bip", ".envi", ".img") \
             or os.path.exists(path + ".hdr") \
             or os.path.exists(os.path.splitext(path)[0] + ".hdr"):
+        # ENVI headers start with the literal "ENVI"; EHdr sidecars
+        # carry NROWS/NCOLS key-value lines (ehdrdataset.cpp:1073).
+        for hp in (path + ".hdr", os.path.splitext(path)[0] + ".hdr"):
+            if os.path.exists(hp):
+                with open(hp) as fh:
+                    txt = fh.read(512)
+                if txt.lstrip().upper().startswith("ENVI"):
+                    return "envi"
+                if "NROWS" in txt.upper():
+                    return "ehdr"
         return "envi"
     raise ValueError(
         f"{path}: no driver recognizes this content (registered: "
@@ -180,6 +203,26 @@ def open_raster(path: str) -> dict:
         from .simple_rasters import read_envi
 
         return {"driver": drv, **read_envi(path)}
+    if drv == "ehdr":
+        from .terrain_rasters import read_ehdr
+
+        return {"driver": drv, **read_ehdr(path)}
+    if drv == "srtmhgt":
+        from .terrain_rasters import read_srtmhgt
+
+        return {"driver": drv, **read_srtmhgt(path)}
+    if drv == "gsag":
+        from .terrain_rasters import read_gsag
+
+        return {"driver": drv, **read_gsag(path)}
+    if drv == "gsbg":
+        from .terrain_rasters import read_gsbg
+
+        return {"driver": drv, **read_gsbg(path)}
+    if drv == "saga":
+        from .terrain_rasters import read_saga
+
+        return {"driver": drv, **read_saga(path)}
     if drv == "xyz":
         from .dted import read_xyz
 

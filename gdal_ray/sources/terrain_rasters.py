@@ -1,0 +1,429 @@
+"""Terrain / grid interchange formats, from their published layouts:
+SRTM ``.hgt`` height tiles (the reference's ``frmts/srtmhgt/
+srtmhgtdataset.cpp``), Golden Software Surfer grids — ASCII ``DSAA``
+and binary-6 ``DSBB`` (``frmts/gsg/gsbgdataset.cpp``), ESRI EHdr
+``.bil``+``.hdr`` flat binary (``frmts/raw/ehdrdataset.cpp``), and
+SAGA GIS ``.sdat``+``.sgrd`` binary grids (``frmts/saga/
+sagadataset.cpp``).
+
+Conventions a reference user relies on:
+
+- SRTMHGT: the filename carries the SOUTH-WEST corner
+  (``N51E000.hgt``); the payload is N*N big-endian int16 samples,
+  FIRST ROW = NORTH edge, void value -32768
+  (``srtmhgtdataset.cpp:25,334-449``); legal sizes 1201 (3") and
+  3601 (1") square;
+- Surfer DSAA/DSBB: 4-byte magic, nx/ny, x/y/z min-max header
+  (cell-CENTER registration), rows stored SOUTH FIRST (bottom-up);
+  blank value 1.701410009187828e+38 (``gsbgdataset.cpp:70,704``);
+  DSBB payload is little-endian float32;
+- EHdr: ``NROWS/NCOLS/NBANDS/NBITS/BYTEORDER/LAYOUT/ULXMAP/ULYMAP/
+  XDIM/YDIM/NODATA/PIXELTYPE`` keys in ``.hdr``
+  (``ehdrdataset.cpp:1073-1083,1724-1740``), data in ``.bil`` with
+  BIL/BIP/BSQ interleave, ULXMAP/ULYMAP at the CENTER of the
+  upper-left pixel;
+- SAGA: tab-separated ``.sgrd`` keys ``DATAFORMAT/BYTEORDER_BIG/
+  POSITION_XMIN/POSITION_YMIN/CELLCOUNT_X/CELLCOUNT_Y/CELLSIZE/
+  NODATA_VALUE/TOPTOBOTTOM`` (``sagadataset.cpp:503-519,799-829``),
+  POSITION_* at the LOWER-LEFT cell center; TOPTOBOTTOM=FALSE means
+  the ``.sdat`` rows run south to north.
+
+All writers are atomic (tmp + rename) like the sibling modules, so a
+partially-written file never shadows a finished one under resume.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import struct
+
+import numpy as np
+
+SRTM_NODATA = -32768
+SURFER_NODATA = 1.701410009187828e+38
+
+# ------------------------------------------------------------ SRTMHGT
+
+_HGT_NAME = re.compile(r"([NS])(\d{1,2})([EW])(\d{1,3})\.hgt$",
+                       re.IGNORECASE)
+
+
+def hgt_corner(path: str) -> tuple[int, int]:
+    """(lat, lon) of the SOUTH-WEST corner from the filename, per
+    ``srtmhgtdataset.cpp`` Open()."""
+    m = _HGT_NAME.search(os.path.basename(path))
+    if not m:
+        raise ValueError(
+            f"{path}: not an SRTM tile name (want e.g. N51E000.hgt)")
+    lat = int(m.group(2)) * (1 if m.group(1).upper() == "N" else -1)
+    lon = int(m.group(4)) * (1 if m.group(3).upper() == "E" else -1)
+    return lat, lon
+
+
+def write_srtmhgt(path: str, grid: np.ndarray) -> None:
+    """Write an SRTM height tile. ``grid`` is (N, N) int16-compatible
+    with FIRST ROW = NORTH; NaN becomes the -32768 void. The filename
+    must carry the SW corner (validated)."""
+    hgt_corner(path)
+    a = np.asarray(grid)
+    if a.ndim != 2 or a.shape[0] != a.shape[1] or a.shape[0] not in (
+            1201, 3601):
+        raise ValueError(
+            f"SRTMHGT tiles are 1201x1201 or 3601x3601, got {a.shape}")
+    if np.issubdtype(a.dtype, np.floating):
+        f = a.astype(np.float64)
+        out = np.where(np.isnan(f), SRTM_NODATA,
+                       np.rint(f)).astype(np.int16)
+    else:
+        out = a.astype(np.int16)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(out.astype(">i2").tobytes())
+    os.replace(tmp, path)
+
+
+def read_srtmhgt(path: str) -> dict:
+    """-> dict(grid float64 with voids as NaN, raw int16 grid,
+    lat/lon of SW corner, n, cellsize deg).  Size is inferred from the
+    byte length exactly as the reference does
+    (``srtmhgtdataset.cpp:334-449``)."""
+    lat, lon = hgt_corner(path)
+    size = os.path.getsize(path)
+    n2 = size // 2
+    n = int(round(n2 ** 0.5))
+    if size != n * n * 2 or n not in (1201, 3601):
+        raise ValueError(
+            f"{path}: size {size} is not a 1201^2 or 3601^2 int16 tile")
+    raw = np.fromfile(path, dtype=">i2").reshape(n, n).astype(np.int16)
+    grid = raw.astype(np.float64)
+    grid[raw == SRTM_NODATA] = np.nan
+    return {"grid": grid, "raw": raw, "lat": lat, "lon": lon, "n": n,
+            "cellsize": 1.0 / (n - 1)}
+
+
+# ------------------------------------------- Surfer DSAA / DSBB grids
+
+
+def _surfer_extents(a: np.ndarray, xmin: float, ymin: float,
+                    cellsize: float) -> tuple:
+    ny, nx = a.shape
+    xmax = xmin + cellsize * (nx - 1)
+    ymax = ymin + cellsize * (ny - 1)
+    finite = a[np.isfinite(a)]
+    zmin = float(finite.min()) if finite.size else 0.0
+    zmax = float(finite.max()) if finite.size else 0.0
+    return xmax, ymax, zmin, zmax
+
+
+def write_gsag(path: str, grid: np.ndarray, *, xmin: float = 0.0,
+               ymin: float = 0.0, cellsize: float = 1.0) -> None:
+    """Surfer ASCII grid (DSAA). ``grid`` rows are NORTH FIRST (numpy
+    image convention); the file stores south first, so rows are
+    flipped on write. NaN becomes the 1.70141e38 blank value."""
+    a = np.asarray(grid, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError("Surfer grids are single-band 2-D")
+    ny, nx = a.shape
+    xmax, ymax, zmin, zmax = _surfer_extents(a, xmin, ymin, cellsize)
+    body_rows = []
+    for row in a[::-1]:                      # south first on disk
+        vals = np.where(np.isnan(row), SURFER_NODATA, row)
+        body_rows.append(" ".join(repr(float(v)) for v in vals))
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write("DSAA\n")
+        fh.write(f"{nx} {ny}\n")
+        fh.write(f"{xmin!r} {xmax!r}\n")
+        fh.write(f"{ymin!r} {ymax!r}\n")
+        fh.write(f"{zmin!r} {zmax!r}\n")
+        fh.write("\n".join(body_rows) + "\n")
+    os.replace(tmp, path)
+
+
+def read_gsag(path: str) -> dict:
+    with open(path) as fh:
+        toks = fh.read().split()
+    if not toks or toks[0] != "DSAA":
+        raise ValueError(f"{path}: missing DSAA magic")
+    nx, ny = int(toks[1]), int(toks[2])
+    xmin, xmax, ymin, ymax, zmin, zmax = (float(t) for t in toks[3:9])
+    vals = np.array([float(t) for t in toks[9:9 + nx * ny]])
+    if vals.size != nx * ny:
+        raise ValueError(f"{path}: expected {nx * ny} values, "
+                         f"got {vals.size}")
+    grid = vals.reshape(ny, nx)[::-1].copy()   # back to north-first
+    grid[grid >= SURFER_NODATA * (1 - 1e-7)] = np.nan
+    cell = (xmax - xmin) / (nx - 1) if nx > 1 else 1.0
+    return {"grid": grid, "xmin": xmin, "ymin": ymin, "xmax": xmax,
+            "ymax": ymax, "zmin": zmin, "zmax": zmax, "cellsize": cell}
+
+
+def write_gsbg(path: str, grid: np.ndarray, *, xmin: float = 0.0,
+               ymin: float = 0.0, cellsize: float = 1.0) -> None:
+    """Surfer binary-6 grid (DSBB): 56-byte header (magic + int16
+    nx/ny + 6 doubles) then little-endian float32 rows SOUTH FIRST
+    (``gsbgdataset.cpp:692-760``)."""
+    a = np.asarray(grid, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError("Surfer grids are single-band 2-D")
+    ny, nx = a.shape
+    if nx > 32767 or ny > 32767:
+        raise ValueError("DSBB dimensions are int16 (max 32767)")
+    xmax, ymax, zmin, zmax = _surfer_extents(a, xmin, ymin, cellsize)
+    body = np.where(np.isnan(a[::-1]), SURFER_NODATA,
+                    a[::-1]).astype("<f4")
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(b"DSBB")
+        fh.write(struct.pack("<hh", nx, ny))
+        fh.write(struct.pack("<6d", xmin, xmax, ymin, ymax, zmin, zmax))
+        fh.write(body.tobytes())
+    os.replace(tmp, path)
+
+
+def read_gsbg(path: str) -> dict:
+    with open(path, "rb") as fh:
+        head = fh.read(56)
+        if head[:4] != b"DSBB":
+            raise ValueError(f"{path}: missing DSBB magic")
+        nx, ny = struct.unpack("<hh", head[4:8])
+        xmin, xmax, ymin, ymax, zmin, zmax = struct.unpack(
+            "<6d", head[8:56])
+        vals = np.frombuffer(fh.read(nx * ny * 4), dtype="<f4")
+    if vals.size != nx * ny:
+        raise ValueError(f"{path}: truncated DSBB payload")
+    grid = vals.reshape(ny, nx)[::-1].astype(np.float64)
+    grid[grid >= SURFER_NODATA * (1 - 1e-7)] = np.nan
+    cell = (xmax - xmin) / (nx - 1) if nx > 1 else 1.0
+    return {"grid": grid, "xmin": xmin, "ymin": ymin, "xmax": xmax,
+            "ymax": ymax, "zmin": zmin, "zmax": zmax, "cellsize": cell}
+
+
+# ------------------------------------------------------- ESRI EHdr
+
+_EHDR_PIXELTYPE = {
+    (8, "UNSIGNEDINT"): np.uint8, (8, "SIGNEDINT"): np.int8,
+    (16, "UNSIGNEDINT"): np.uint16, (16, "SIGNEDINT"): np.int16,
+    (32, "UNSIGNEDINT"): np.uint32, (32, "SIGNEDINT"): np.int32,
+    (32, "FLOAT"): np.float32, (64, "FLOAT"): np.float64,
+}
+_EHDR_INV = {np.dtype(v): k for k, v in _EHDR_PIXELTYPE.items()}
+
+
+def write_ehdr(path: str, img: np.ndarray, *, layout: str = "bil",
+               ul_map: tuple[float, float] | None = None,
+               dims: tuple[float, float] = (1.0, 1.0),
+               nodata: float | None = None,
+               byteorder: str = "I") -> None:
+    """ESRI EHdr flat binary. ``path`` is the data file (commonly
+    ``.bil``); the ``.hdr`` sidecar is written next to it. ``img`` is
+    (bands, rows, cols) or (rows, cols); ``ul_map`` is the CENTER of
+    the upper-left pixel (``ehdrdataset.cpp:640-649``)."""
+    a = np.asarray(img)
+    if a.ndim == 2:
+        a = a[None]
+    if a.ndim != 3:
+        raise ValueError("EHdr wants (bands, rows, cols)")
+    key = _EHDR_INV.get(a.dtype)
+    if key is None:
+        raise ValueError(f"EHdr: unsupported dtype {a.dtype} "
+                         f"(supported: {sorted(str(k) for k in _EHDR_INV)})")
+    nbits, pixeltype = key
+    layout = layout.lower()
+    if layout not in ("bil", "bip", "bsq"):
+        raise ValueError("layout must be bil/bip/bsq")
+    if byteorder not in ("I", "M"):
+        raise ValueError("BYTEORDER is I (little) or M (big)")
+    nb, ny, nx = a.shape
+    order = {"bsq": a,                           # band, row, col
+             "bil": a.transpose(1, 0, 2),        # row, band, col
+             "bip": a.transpose(1, 2, 0)}[layout]
+    buf = np.ascontiguousarray(order)
+    if byteorder == "M":
+        buf = buf.astype(buf.dtype.newbyteorder(">"))
+    else:
+        buf = buf.astype(buf.dtype.newbyteorder("<"))
+    hdr_lines = [
+        f"BYTEORDER      {byteorder}",
+        f"LAYOUT         {layout.upper()}",
+        f"NROWS          {ny}",
+        f"NCOLS          {nx}",
+        f"NBANDS         {nb}",
+        f"NBITS          {nbits}",
+        f"BANDROWBYTES   {nx * nbits // 8}",
+        f"TOTALROWBYTES  {nb * nx * nbits // 8}",
+        f"PIXELTYPE      {pixeltype}",
+    ]
+    if ul_map is not None:
+        hdr_lines += [
+            f"ULXMAP         {ul_map[0]!r}",
+            f"ULYMAP         {ul_map[1]!r}",
+            f"XDIM           {dims[0]!r}",
+            f"YDIM           {dims[1]!r}",
+        ]
+    if nodata is not None:
+        hdr_lines.append(f"NODATA         {nodata!r}")
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(buf.tobytes())
+    os.replace(tmp, path)
+    hdr = os.path.splitext(path)[0] + ".hdr"
+    tmp = hdr + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(hdr_lines) + "\n")
+    os.replace(tmp, hdr)
+
+
+def read_ehdr(path: str) -> dict:
+    """Read an EHdr data file via its ``.hdr`` sidecar -> dict(img
+    (bands, rows, cols), layout, ul_map, dims, nodata)."""
+    hdr = os.path.splitext(path)[0] + ".hdr"
+    if not os.path.exists(hdr):
+        raise ValueError(f"{path}: missing {hdr} sidecar")
+    kv: dict[str, str] = {}
+    with open(hdr) as fh:
+        for ln in fh:
+            parts = ln.split()
+            if len(parts) >= 2:
+                kv[parts[0].upper()] = parts[1]
+    ny = int(kv["NROWS"])
+    nx = int(kv["NCOLS"])
+    nb = int(kv.get("NBANDS", "1"))
+    nbits = int(kv.get("NBITS", "8"))
+    pixeltype = kv.get("PIXELTYPE", "UNSIGNEDINT").upper()
+    dt = _EHDR_PIXELTYPE.get((nbits, pixeltype))
+    if dt is None:
+        raise ValueError(f"{hdr}: NBITS={nbits} PIXELTYPE={pixeltype} "
+                         "unsupported")
+    bo = kv.get("BYTEORDER", "I").upper()
+    dtype = np.dtype(dt).newbyteorder(">" if bo == "M" else "<")
+    layout = kv.get("LAYOUT", "BIL").upper()
+    raw = np.fromfile(path, dtype=dtype)
+    if raw.size != nb * ny * nx:
+        raise ValueError(f"{path}: expected {nb * ny * nx} samples, "
+                         f"got {raw.size}")
+    if layout == "BSQ":
+        img = raw.reshape(nb, ny, nx)
+    elif layout == "BIL":
+        img = raw.reshape(ny, nb, nx).transpose(1, 0, 2)
+    elif layout == "BIP":
+        img = raw.reshape(ny, nx, nb).transpose(2, 0, 1)
+    else:
+        raise ValueError(f"{hdr}: LAYOUT {layout} unsupported")
+    out = {"img": np.ascontiguousarray(
+        img.astype(img.dtype.newbyteorder("="))), "layout": layout,
+        "nodata": float(kv["NODATA"]) if "NODATA" in kv else None,
+        "ul_map": None, "dims": None}
+    if "ULXMAP" in kv:
+        out["ul_map"] = (float(kv["ULXMAP"]), float(kv["ULYMAP"]))
+        out["dims"] = (float(kv.get("XDIM", "1")),
+                       float(kv.get("YDIM", "1")))
+    return out
+
+
+# ------------------------------------------------------------- SAGA
+
+_SAGA_FMT = {
+    np.dtype(np.uint8): "BYTE_UNSIGNED",
+    np.dtype(np.int16): "SHORTINT",
+    np.dtype(np.uint16): "SHORTINT_UNSIGNED",
+    np.dtype(np.int32): "INTEGER",
+    np.dtype(np.uint32): "INTEGER_UNSIGNED",
+    np.dtype(np.float32): "FLOAT",
+    np.dtype(np.float64): "DOUBLE",
+}
+_SAGA_FMT_INV = {v: k for k, v in _SAGA_FMT.items()}
+
+
+def write_saga(path: str, grid: np.ndarray, *, xmin: float = 0.0,
+               ymin: float = 0.0, cellsize: float = 1.0,
+               nodata: float = -99999.0, name: str = "grid") -> None:
+    """SAGA binary grid. ``path`` is the ``.sdat`` data file; the
+    ``.sgrd`` header is written beside it. ``grid`` rows are NORTH
+    FIRST in memory; TOPTOBOTTOM=FALSE is written, so rows are flipped
+    to south-first on disk (``sagadataset.cpp:519,549``).
+    ``xmin``/``ymin`` are the LOWER-LEFT cell center."""
+    a = np.asarray(grid)
+    if a.ndim != 2:
+        raise ValueError("SAGA grids are single-band 2-D")
+    fmt = _SAGA_FMT.get(a.dtype)
+    if fmt is None:
+        raise ValueError(f"SAGA: unsupported dtype {a.dtype}")
+    if np.issubdtype(a.dtype, np.floating):
+        body = np.where(np.isnan(a), nodata, a).astype(a.dtype)
+    else:
+        body = a
+    ny, nx = a.shape
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(np.ascontiguousarray(
+            body[::-1].astype(body.dtype.newbyteorder("<"))).tobytes())
+    os.replace(tmp, path)
+    sgrd = os.path.splitext(path)[0] + ".sgrd"
+    lines = [
+        f"NAME\t= {name}",
+        "DESCRIPTION\t= ",
+        "UNIT\t= ",
+        f"DATAFILE_OFFSET\t= 0",
+        f"DATAFORMAT\t= {fmt}",
+        "BYTEORDER_BIG\t= FALSE",
+        f"POSITION_XMIN\t= {xmin!r}",
+        f"POSITION_YMIN\t= {ymin!r}",
+        f"CELLCOUNT_X\t= {nx}",
+        f"CELLCOUNT_Y\t= {ny}",
+        f"CELLSIZE\t= {cellsize!r}",
+        "Z_FACTOR\t= 1.000000",
+        f"NODATA_VALUE\t= {nodata!r}",
+        "TOPTOBOTTOM\t= FALSE",
+    ]
+    tmp = sgrd + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, sgrd)
+
+
+def read_saga(path: str) -> dict:
+    """Read a SAGA ``.sdat`` via its ``.sgrd`` -> dict(grid
+    north-first with float nodata as NaN, raw, xmin, ymin, cellsize,
+    nodata)."""
+    sgrd = os.path.splitext(path)[0] + ".sgrd"
+    if not os.path.exists(sgrd):
+        raise ValueError(f"{path}: missing {sgrd} sidecar")
+    kv: dict[str, str] = {}
+    with open(sgrd) as fh:
+        for ln in fh:
+            if "=" in ln:
+                k, v = ln.split("=", 1)
+                kv[k.strip().upper()] = v.strip()
+    fmt = kv.get("DATAFORMAT", "FLOAT").upper()
+    dt = _SAGA_FMT_INV.get(fmt)
+    if dt is None:
+        raise ValueError(f"{sgrd}: DATAFORMAT {fmt} unsupported "
+                         f"(supported: {sorted(_SAGA_FMT_INV)})")
+    big = kv.get("BYTEORDER_BIG", "FALSE").upper() == "TRUE"
+    top = kv.get("TOPTOBOTTOM", "FALSE").upper() == "TRUE"
+    nx = int(kv["CELLCOUNT_X"])
+    ny = int(kv["CELLCOUNT_Y"])
+    off = int(kv.get("DATAFILE_OFFSET", "0"))
+    dtype = np.dtype(dt).newbyteorder(">" if big else "<")
+    with open(path, "rb") as fh:
+        fh.seek(off)
+        raw = np.frombuffer(fh.read(nx * ny * dtype.itemsize),
+                            dtype=dtype)
+    if raw.size != nx * ny:
+        raise ValueError(f"{path}: truncated payload")
+    raw = raw.reshape(ny, nx)
+    if not top:
+        raw = raw[::-1]                      # back to north-first
+    raw = np.ascontiguousarray(raw.astype(raw.dtype.newbyteorder("=")))
+    nodata = float(kv.get("NODATA_VALUE", "-99999"))
+    if np.issubdtype(raw.dtype, np.floating):
+        grid = raw.astype(np.float64)
+        grid[raw == nodata] = np.nan
+    else:
+        grid = raw.astype(np.float64)
+    return {"grid": grid, "raw": raw, "nodata": nodata,
+            "xmin": float(kv.get("POSITION_XMIN", "0")),
+            "ymin": float(kv.get("POSITION_YMIN", "0")),
+            "cellsize": float(kv.get("CELLSIZE", "1"))}

@@ -1,0 +1,229 @@
+"""SRTMHGT / Surfer DSAA+DSBB / EHdr / SAGA (sources.terrain_rasters):
+byte/text anchors against the published layouts, round trips, nodata
+and row-order conventions, plus a distributed map_batches drive.
+
+Reference behavior: frmts/srtmhgt/srtmhgtdataset.cpp, frmts/gsg/
+gsbgdataset.cpp, frmts/raw/ehdrdataset.cpp, frmts/saga/sagadataset.cpp.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from gdal_ray.sources.terrain_rasters import (
+    SRTM_NODATA,
+    SURFER_NODATA,
+    hgt_corner,
+    read_ehdr,
+    read_gsag,
+    read_gsbg,
+    read_saga,
+    read_srtmhgt,
+    write_ehdr,
+    write_gsag,
+    write_gsbg,
+    write_saga,
+    write_srtmhgt,
+)
+
+
+def test_srtmhgt_name_size_and_voids(tmp_path):
+    assert hgt_corner("N51E000.hgt") == (51, 0)
+    assert hgt_corner("/a/b/S14W077.hgt") == (-14, -77)
+    with pytest.raises(ValueError, match="SRTM tile name"):
+        hgt_corner("tile.hgt")
+    n = 1201
+    rng = np.random.default_rng(7)
+    g = rng.integers(-200, 8000, (n, n)).astype(np.int16)
+    g[3, 5] = SRTM_NODATA
+    p = str(tmp_path / "N40W105.hgt")
+    write_srtmhgt(p, g)
+    # byte anchor: big-endian int16, first sample = NW corner
+    raw = open(p, "rb").read(4)
+    assert struct.unpack(">h", raw[:2])[0] == g[0, 0]
+    assert struct.unpack(">h", raw[2:4])[0] == g[0, 1]
+    m = read_srtmhgt(p)
+    assert (m["lat"], m["lon"], m["n"]) == (40, -105, n)
+    assert m["cellsize"] == pytest.approx(1.0 / 1200)
+    np.testing.assert_array_equal(m["raw"], g)
+    assert np.isnan(m["grid"][3, 5])
+    # float input with NaN voids
+    p2 = str(tmp_path / "S01E010.hgt")
+    gf = g.astype(np.float64)
+    gf[0, 0] = np.nan
+    write_srtmhgt(p2, gf)
+    m2 = read_srtmhgt(p2)
+    assert m2["raw"][0, 0] == SRTM_NODATA
+    with pytest.raises(ValueError, match="1201x1201 or 3601x3601"):
+        write_srtmhgt(str(tmp_path / "N00E000.hgt"), np.zeros((10, 10)))
+
+
+def test_gsag_text_anchor_and_roundtrip(tmp_path):
+    g = np.array([[1.0, 2.0, 3.0], [4.0, np.nan, 6.0]])
+    p = str(tmp_path / "g.grd")
+    write_gsag(p, g, xmin=100.0, ymin=200.0, cellsize=10.0)
+    lines = open(p).read().splitlines()
+    assert lines[0] == "DSAA"
+    assert lines[1] == "3 2"
+    assert lines[2] == "100.0 120.0"
+    assert lines[3] == "200.0 210.0"
+    # south row first on disk: row with the NaN (north row index 1)
+    assert lines[5].split()[0] == "4.0"
+    assert float(lines[5].split()[1]) == pytest.approx(SURFER_NODATA,
+                                                       rel=1e-6)
+    assert lines[6] == "1.0 2.0 3.0"
+    m = read_gsag(p)
+    np.testing.assert_array_equal(np.isnan(m["grid"]), np.isnan(g))
+    np.testing.assert_allclose(m["grid"][~np.isnan(g)], g[~np.isnan(g)])
+    assert (m["xmin"], m["ymin"], m["cellsize"]) == (100.0, 200.0, 10.0)
+    assert m["zmin"] == 1.0 and m["zmax"] == 6.0
+
+
+def test_gsbg_byte_anchors_and_roundtrip(tmp_path):
+    g = np.arange(12.0).reshape(3, 4)
+    g[0, 1] = np.nan
+    p = str(tmp_path / "g6.grd")
+    write_gsbg(p, g, xmin=-10.0, ymin=40.0, cellsize=0.5)
+    raw = open(p, "rb").read()
+    assert raw[:4] == b"DSBB"
+    assert struct.unpack("<hh", raw[4:8]) == (4, 3)
+    xmin, xmax, ymin, ymax, zmin, zmax = struct.unpack("<6d", raw[8:56])
+    assert (xmin, xmax) == (-10.0, -8.5)
+    assert (ymin, ymax) == (40.0, 41.0)
+    assert zmin == 0.0 and zmax == 11.0
+    # first payload float = SW corner (south row first)
+    assert struct.unpack("<f", raw[56:60])[0] == 8.0
+    m = read_gsbg(p)
+    np.testing.assert_array_equal(np.isnan(m["grid"]), np.isnan(g))
+    np.testing.assert_allclose(m["grid"][~np.isnan(g)], g[~np.isnan(g)])
+    bad = str(tmp_path / "bad.grd")
+    open(bad, "wb").write(b"NOPE" + b"\x00" * 60)
+    with pytest.raises(ValueError, match="DSBB magic"):
+        read_gsbg(bad)
+
+
+@pytest.mark.parametrize("layout", ["bil", "bip", "bsq"])
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.float32])
+def test_ehdr_layout_dtype_matrix(tmp_path, layout, dtype):
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 100, (2, 5, 7)).astype(dtype)
+    p = str(tmp_path / f"e_{layout}_{np.dtype(dtype).name}.bil")
+    write_ehdr(p, img, layout=layout, ul_map=(500015.0, 4199985.0),
+               dims=(30.0, 30.0), nodata=-9999.0)
+    m = read_ehdr(p)
+    np.testing.assert_array_equal(m["img"], img)
+    assert m["layout"] == layout.upper()
+    assert m["ul_map"] == (500015.0, 4199985.0)
+    assert m["dims"] == (30.0, 30.0)
+    assert m["nodata"] == -9999.0
+
+
+def test_ehdr_header_anchor_and_bigendian(tmp_path):
+    img = np.array([[1, 2], [3, 4]], dtype=np.int16)
+    p = str(tmp_path / "m.bil")
+    write_ehdr(p, img, byteorder="M")
+    hdr = open(str(tmp_path / "m.hdr")).read()
+    assert "BYTEORDER      M" in hdr
+    assert "NBITS          16" in hdr
+    assert "PIXELTYPE      SIGNEDINT" in hdr
+    # big-endian on disk
+    assert struct.unpack(">h", open(p, "rb").read(2))[0] == 1
+    m = read_ehdr(p)
+    np.testing.assert_array_equal(m["img"][0], img)
+    with pytest.raises(ValueError, match="unsupported dtype"):
+        write_ehdr(str(tmp_path / "x.bil"),
+                   np.zeros((2, 2), dtype=np.complex64))
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.float32,
+                                   np.float64])
+def test_saga_dtypes_and_row_order(tmp_path, dtype):
+    rng = np.random.default_rng(5)
+    g = rng.integers(1, 90, (3, 4)).astype(dtype)
+    p = str(tmp_path / f"s_{np.dtype(dtype).name}.sdat")
+    write_saga(p, g, xmin=10.0, ymin=20.0, cellsize=2.0)
+    # TOPTOBOTTOM=FALSE: first sample on disk is the SW corner
+    first = np.frombuffer(open(p, "rb").read(np.dtype(dtype).itemsize),
+                          dtype=np.dtype(dtype).newbyteorder("<"))[0]
+    assert first == g[-1, 0]
+    sgrd = open(str(tmp_path / f"s_{np.dtype(dtype).name}.sgrd")).read()
+    assert "TOPTOBOTTOM\t= FALSE" in sgrd
+    assert "BYTEORDER_BIG\t= FALSE" in sgrd
+    m = read_saga(p)
+    np.testing.assert_array_equal(m["raw"], g)
+    assert (m["xmin"], m["ymin"], m["cellsize"]) == (10.0, 20.0, 2.0)
+
+
+def test_saga_float_nodata(tmp_path):
+    g = np.array([[1.0, np.nan], [3.0, 4.0]], dtype=np.float32)
+    p = str(tmp_path / "n.sdat")
+    write_saga(p, g, nodata=-99999.0)
+    m = read_saga(p)
+    assert np.isnan(m["grid"][0, 1])
+    assert m["raw"][0, 1] == -99999.0
+    np.testing.assert_array_equal(m["grid"][~np.isnan(g)],
+                                  g[~np.isnan(g)].astype(np.float64))
+
+
+def test_terrain_formats_distributed(ray_session, tmp_path):
+    """Every format written and re-read inside map_batches over a
+    small chip table — the Ray-side plumbing, not just local IO."""
+    import ray
+
+    rng = np.random.default_rng(11)
+    chips = [rng.integers(0, 1000, (16, 16)).astype(np.int16)
+             for _ in range(6)]
+    ds = ray.data.from_items(
+        [{"i": i, "chip": c.tobytes()} for i, c in enumerate(chips)])
+    root = str(tmp_path)
+
+    def roundtrip(batch):
+        outs = []
+        for i, raw in zip(batch["i"].to_pylist(),
+                          batch["chip"].to_pylist()):
+            chip = np.frombuffer(raw, dtype=np.int16).reshape(16, 16)
+            gp = f"{root}/c{i}.grd"
+            write_gsbg(gp, chip.astype(np.float64))
+            bp = f"{root}/c{i}.bil"
+            write_ehdr(bp, chip)
+            sp = f"{root}/c{i}.sdat"
+            write_saga(sp, chip)
+            ok = (np.array_equal(read_gsbg(gp)["grid"], chip)
+                  and np.array_equal(read_ehdr(bp)["img"][0], chip)
+                  and np.array_equal(read_saga(sp)["raw"], chip))
+            outs.append({"i": i, "ok": ok})
+        import pyarrow as pa
+
+        return pa.Table.from_pylist(outs)
+
+    res = ds.map_batches(roundtrip, batch_format="pyarrow").take_all()
+    assert len(res) == 6 and all(r["ok"] for r in res)
+
+
+def test_registry_identifies_terrain_formats(tmp_path):
+    from gdal_ray.sources.registry import identify, open_raster
+
+    g = np.arange(9.0).reshape(3, 3)
+    paths = {}
+    write_gsag(str(tmp_path / "a.grd"), g)
+    paths["gsag"] = str(tmp_path / "a.grd")
+    write_gsbg(str(tmp_path / "b.grd"), g)
+    paths["gsbg"] = str(tmp_path / "b.grd")
+    write_saga(str(tmp_path / "c.sdat"), g.astype(np.float32))
+    paths["saga"] = str(tmp_path / "c.sdat")
+    write_ehdr(str(tmp_path / "d.bil"), g.astype(np.int16))
+    paths["ehdr"] = str(tmp_path / "d.bil")
+    hgt = np.zeros((1201, 1201), dtype=np.int16)
+    write_srtmhgt(str(tmp_path / "N10E020.hgt"), hgt)
+    paths["srtmhgt"] = str(tmp_path / "N10E020.hgt")
+    for drv, p in paths.items():
+        assert identify(p) == drv, p
+        out = open_raster(p)
+        assert out["driver"] == drv
+    # ENVI .hdr still wins over EHdr for ENVI-written files
+    from gdal_ray.sources.simple_rasters import write_envi
+
+    ep = str(tmp_path / "e.img")
+    write_envi(ep, g.astype(np.float32))
+    assert identify(ep) == "envi"
