@@ -25,7 +25,8 @@ RASTER_DRIVERS = (
     "srtmhgt gsag gsbg ehdr saga"
 ).split()
 VECTOR_DRIVERS = (
-    "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet"
+    "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet "
+    "mif gml dxf"
 ).split()
 
 
@@ -113,9 +114,18 @@ def identify(path: str) -> str:
             return "gpx"
         if b"<kml" in body:
             return "kml"
-        raise ValueError(f"{path}: XML is neither KML nor GPX")
+        if b"featurecollection" in body or b"featuremember" in body \
+                or b"opengis.net/gml" in body:
+            return "gml"
+        raise ValueError(f"{path}: XML is neither KML, GPX nor GML")
     if low.startswith(b"ncols"):
         return "aaigrid"
+    if low.startswith(b"version") and os.path.exists(
+            os.path.splitext(path)[0] + ".mid"):
+        return "mif"
+    # ASCII DXF: the first group-code pair is "0"/"SECTION"
+    if low[:1] == b"0" and b"section" in low.replace(b"\r", b""):
+        return "dxf"
     if head[:4] == b"DSAA":
         return "gsag"
     if head[:4] == b"DSBB":
@@ -131,6 +141,12 @@ def identify(path: str) -> str:
         return "saga"
     if ext == ".gtx":
         return "gtx"
+    if ext == ".mif":
+        return "mif"
+    if ext == ".dxf":
+        return "dxf"
+    if ext == ".gml":
+        return "gml"
     if ext == ".csv":
         return "csvwkt"
     if ext == ".xyz":
@@ -316,5 +332,15 @@ def open_vector(path: str):
         from .geoparquet import read_geoparquet
 
         return read_geoparquet(path)[0]
+    if drv in ("mif", "gml", "dxf"):
+        import ray.data as rd
+
+        if drv == "mif":
+            from .mif import read_mif as fn
+        elif drv == "gml":
+            from .gml import read_gml as fn
+        else:
+            from .dxf import read_dxf as fn
+        return rd.from_arrow(fn(path))
     raise ValueError(f"{path}: {drv} is a raster driver — use "
                      "open_raster")
