@@ -764,7 +764,8 @@ def _vector_buffer(ds, radius: float, quadseg: int = 8,
 _VECTOR_DRIVERS = {
     ".geojson": "geojson", ".json": "geojson", ".shp": "shapefile",
     ".gpkg": "gpkg", ".fgb": "flatgeobuf", ".csv": "csv",
-    ".kml": "kml",
+    ".kml": "kml", ".mif": "mif", ".gml": "gml", ".dxf": "dxf",
+    ".sql": "pgdump",
 }
 
 
@@ -812,6 +813,18 @@ def _vector_read(ds, path: str, driver: str | None = None,
         from ..sources.textvec import read_kml
 
         return rd.from_arrow(read_kml(path))
+    if drv in ("mif", "gml", "dxf"):
+        import ray.data as rd
+
+        if drv == "mif":
+            from ..sources.mif import read_mif as _rd
+        elif drv == "gml":
+            from ..sources.gml import read_gml as _rd
+        else:
+            from ..sources.dxf import read_dxf as _rd
+        return rd.from_arrow(_rd(path))
+    if drv == "pgdump":
+        raise ValueError("pgdump is a write-only driver")
     from ..sources.flatgeobuf import read_flatgeobuf
 
     return read_flatgeobuf(path, bbox=bbox)
@@ -843,22 +856,40 @@ def _vector_write(ds, path: str, driver: str | None = None,
 
         return rd.from_arrow(pa.table({"path": pa.array([path]),
                                        "n": pa.array([n], pa.int64())}))
-    if drv in ("csv", "kml"):
+    if drv in ("csv", "kml", "mif", "gml", "dxf", "pgdump"):
         import pyarrow as pa
         import ray.data as rd
-
-        from ..sources.textvec import write_csv_features, write_kml
 
         # text sinks are single-writer (like the gpkg sink): stream
         # batches driver-side into one file
         t = pa.concat_tables(
             ds.iter_batches(batch_format="pyarrow", batch_size=4096))
         if drv == "csv":
+            from ..sources.textvec import write_csv_features
+
             write_csv_features(path, t)
-        else:
+        elif drv == "kml":
+            from ..sources.textvec import write_kml
+
             write_kml(path, t,
                       name_col="name" if "name" in t.column_names
                       else None)
+        elif drv == "mif":
+            from ..sources.mif import write_mif
+
+            write_mif(path, t)
+        elif drv == "gml":
+            from ..sources.gml import write_gml
+
+            write_gml(path, t, layer=layer)
+        elif drv == "dxf":
+            from ..sources.dxf import write_dxf
+
+            write_dxf(path, t)
+        else:
+            from ..sources.pgdump import write_pgdump
+
+            write_pgdump(path, t, table_name=layer, srid=srs_id)
         return rd.from_arrow(pa.table(
             {"path": pa.array([path]),
              "n": pa.array([t.num_rows], pa.int64())}))

@@ -268,3 +268,32 @@ def test_registry_identifies_vector_interchange(ray_session, tmp_path,
         ds = open_vector(p)
         assert ds.count() == n
         assert "geometry" in ds.schema().names
+
+
+def test_spec_vector_convert_chain(ray_session, tmp_path, feat_table):
+    """JSON-driven vector_read/vector_write through the new drivers
+    (the ogr2ogr convert surface)."""
+    import ray.data as rd
+
+    from gdal_ray.pipelines.spec import run_pipeline
+
+    src = rd.from_arrow(feat_table)
+    mp = str(tmp_path / "s.mif")
+    out = run_pipeline([{"step": "vector_write", "path": mp}], src)
+    assert out.take_all()[0]["n"] == 6
+    gp = str(tmp_path / "s.gml")
+    out = run_pipeline([{"step": "vector_read", "path": mp},
+                        {"step": "vector_write", "path": gp}])
+    assert out.take_all()[0]["n"] == 6
+    back = run_pipeline([{"step": "vector_read", "path": gp}])
+    assert back.count() == 6
+    sql = str(tmp_path / "s.sql")
+    out = run_pipeline([{"step": "vector_read", "path": gp},
+                        {"step": "vector_write", "path": sql,
+                         "layer": "feats", "srs_id": 4326}])
+    assert out.take_all()[0]["n"] == 6
+    assert "AddGeometryColumn('public','feats'" in open(sql).read()
+    dp = str(tmp_path / "s.dxf")
+    out = run_pipeline([{"step": "vector_read", "path": gp},
+                        {"step": "vector_write", "path": dp}])
+    assert out.take_all()[0]["n"] == 6
