@@ -215,9 +215,18 @@ def supported_codes() -> dict[int, str]:
 
 
 def resolve_epsg(code):
-    """EPSG/ESRI code (int or 'EPSG:NNNN' string) -> transform with
-    ``fwd(lon, lat) -> (x, y)`` (WGS84 degrees -> CRS coordinates)
-    and ``inv`` back.  Raises a loud ValueError for unknown codes."""
+    """EPSG/ESRI code (int or 'EPSG:NNNN' string) OR WKT1 text ->
+    transform with ``fwd(lon, lat) -> (x, y)`` (WGS84 degrees -> CRS
+    coordinates) and ``inv`` back.  WKT text (PROJCS/GEOGCS) routes
+    through :func:`.crswkt.from_wkt` — registry by AUTHORITY code,
+    parameter-level construction otherwise — so every ``src_srs``
+    surface accepts a ``.prj``-style string.  Raises a loud
+    ValueError for unknown codes."""
+    if isinstance(code, str) and code.lstrip().upper().startswith(
+            ("PROJCS", "GEOGCS")):
+        from .crswkt import from_wkt
+
+        return from_wkt(code)
     num = parse_code(code)
     ent = _REGISTRY.get(num)
     if ent is None:
