@@ -502,21 +502,26 @@ def _box2(c: np.ndarray) -> np.ndarray:
             + c[1::2, 0::2] + c[1::2, 1::2]) / 4.0
 
 
-def _y_mcu_perm(H: int, W: int) -> np.ndarray:
+def _mcu_perm(H: int, W: int, ch: int, cv: int) -> np.ndarray:
     """Permutation mapping MCU-interleave position -> raster 8x8
-    block index for the luma plane of an (H, W) 16-multiple image."""
-    mcux, mcuy = W // 16, H // 16
+    block index for a component plane of (H, W) samples carrying
+    ch x cv blocks per MCU (T.81 A.2.3 interleave order)."""
+    mcux, mcuy = W // (8 * ch), H // (8 * cv)
     bpr = W // 8
-    out = np.empty(mcux * mcuy * 4, np.int64)
+    out = np.empty(mcux * mcuy * ch * cv, np.int64)
     i = 0
     for my in range(mcuy):
         for mx in range(mcux):
-            for j in range(4):
-                br = 2 * my + (j >> 1)
-                bc = 2 * mx + (j & 1)
-                out[i] = br * bpr + bc
-                i += 1
+            for by in range(cv):
+                for bx in range(ch):
+                    out[i] = (cv * my + by) * bpr + (ch * mx + bx)
+                    i += 1
     return out
+
+
+def _y_mcu_perm(H: int, W: int) -> np.ndarray:
+    """Luma permutation of the 4:2:0 layout (2x2 blocks per MCU)."""
+    return _mcu_perm(H, W, 2, 2)
 
 
 def encode_jpeg_420(img: np.ndarray, quality: int = 90) -> bytes:
@@ -590,6 +595,82 @@ def jpeg_model_420(img: np.ndarray, quality: int = 90) -> np.ndarray:
         dq = _dequant_inv(
             _fwd_quant(_box2(ycc[:, :, c]), qc), qc, H // 2, W // 2)
         out[:, :, c] = np.repeat(np.repeat(dq, 2, 0), 2, 1)
+    return _from_ycbcr(out)[:h, :w]
+
+
+def _box2h(c: np.ndarray) -> np.ndarray:
+    """2x1 horizontal box average (the 4:2:2 chroma downsample)."""
+    return (c[:, 0::2] + c[:, 1::2]) / 2.0
+
+
+def encode_jpeg_422(img: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 -> baseline JFIF with 4:2:2 chroma subsampling
+    (broadcast/DV-style layout): 16x8 MCUs of two Y blocks + one Cb +
+    one Cr, chroma box-downsampled horizontally only.  Decoded pixels
+    equal :func:`jpeg_model_422`."""
+    h, w = img.shape[:2]
+    H, W = (h + 7) // 8 * 8, (w + 15) // 16 * 16
+    pad = np.pad(img, ((0, H - h), (0, W - w), (0, 0)), mode="edge")
+    ycc = _to_ycbcr(pad)
+    ql, qc = quant_tables(quality)
+    ycoef = _fwd_quant(ycc[:, :, 0], ql)
+    cbco = _fwd_quant(_box2h(ycc[:, :, 1]), qc)
+    crco = _fwd_quant(_box2h(ycc[:, :, 2]), qc)
+    dc_l, dc_c = _huff_codes(*_DC_L), _huff_codes(*_DC_C)
+    ac_l, ac_c = _huff_codes(*_AC_L), _huff_codes(*_AC_C)
+    perm = _mcu_perm(H, W, 2, 1)
+    yzz = ycoef.reshape(-1, 64)[:, _ZIG][perm]   # MCU scan order
+    cbzz = cbco.reshape(-1, 64)[:, _ZIG]
+    crzz = crco.reshape(-1, 64)[:, _ZIG]
+    n_mcu = len(cbzz)
+    jj = np.arange(2 * n_mcu, dtype=np.int64)
+    keys = [
+        (jj // 2) * 4 + (jj % 2),                  # Y0, Y1 per MCU
+        np.arange(n_mcu, dtype=np.int64) * 4 + 2,  # Cb
+        np.arange(n_mcu, dtype=np.int64) * 4 + 3,  # Cr
+    ]
+    scan = _encode_scan([yzz, cbzz, crzz],
+                        [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)],
+                        keys)
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(idx, q):
+        return seg(0xFFDB, bytes([idx])
+                   + bytes(int(v) for v in q.reshape(-1)[_ZIG]))
+
+    def dht(cls, idx, bits, values):
+        return seg(0xFFC4,
+                   bytes([(cls << 4) | idx]) + bytes(bits)
+                   + bytes(values))
+
+    sof = seg(0xFFC0,
+              struct.pack(">BHHB", 8, h, w, 3)
+              + bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (b"\xff\xd8" + app0 + dqt(0, ql) + dqt(1, qc)
+            + dht(0, 0, *_DC_L) + dht(1, 0, *_AC_L)
+            + dht(0, 1, *_DC_C) + dht(1, 1, *_AC_C)
+            + sof + sos + scan + b"\xff\xd9")
+
+
+def jpeg_model_422(img: np.ndarray, quality: int = 90) -> np.ndarray:
+    """Expected 4:2:2 decoded pixels WITHOUT entropy coding: Y at
+    full resolution, chroma horizontally box-downsampled, quantized,
+    and 2x-replicated back (the engine's deterministic upsample)."""
+    h, w = img.shape[:2]
+    H, W = (h + 7) // 8 * 8, (w + 15) // 16 * 16
+    pad = np.pad(img, ((0, H - h), (0, W - w), (0, 0)), mode="edge")
+    ycc = _to_ycbcr(pad)
+    ql, qc = quant_tables(quality)
+    out = np.empty((H, W, 3))
+    out[:, :, 0] = _dequant_inv(_fwd_quant(ycc[:, :, 0], ql), ql, H, W)
+    for c in (1, 2):
+        dq = _dequant_inv(
+            _fwd_quant(_box2h(ycc[:, :, c]), qc), qc, H, W // 2)
+        out[:, :, c] = np.repeat(dq, 2, 1)
     return _from_ycbcr(out)[:h, :w]
 
 
@@ -704,12 +785,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     maxh = max(c[1] for c in comps)
     maxv = max(c[2] for c in comps)
     for cid, ch, cv, _tq in comps:
-        if (ch, cv) not in ((1, 1), (2, 2)):
+        if (ch, cv) not in ((1, 1), (2, 2), (2, 1), (1, 2)):
             raise ValueError(
                 f"sampling factors {ch}x{cv} unsupported "
-                "(4:4:4 and 4:2:0 only)")
-    if maxh != maxv:
-        raise ValueError("anisotropic subsampling (4:2:2) unsupported")
+                "(4:4:4, 4:2:0, 4:2:2 and 4:4:0 only)")
     mcu_w, mcu_h = 8 * maxh, 8 * maxv
     mcux = (w + mcu_w - 1) // mcu_w
     mcuy = (h + mcu_h - 1) // mcu_h
@@ -787,8 +866,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         dez[:, _ZIG] = coefs[ci]
         if bper[ci] > 1:
             # blocks arrived in MCU-interleave order; permute back to
-            # plane raster order (inverse of _y_mcu_perm)
-            perm = _y_mcu_perm(ph, pw)
+            # plane raster order (inverse of _mcu_perm)
+            perm = _mcu_perm(ph, pw, ch, cv)
             inv = np.empty_like(perm)
             inv[perm] = np.arange(len(perm))
             dez = dez[inv]

@@ -295,3 +295,45 @@ def test_jpeg_restart_interval_decode():
 
     with _pytest.raises(ValueError, match="restart"):
         jpegc.decode_jpeg(bad)
+
+
+def test_jpeg_422_model_exact_and_fuzz():
+    """4:2:2 baseline JPEG (broadcast/DV layout, 16x8 MCUs of
+    2 Y + Cb + Cr, chroma halved horizontally only): decoded pixels
+    equal jpeg_model_422, across MCU edge cases; SOF carries the
+    0x21 luma sampling byte."""
+    from gdal_ray.functions import jpegc
+
+    rng = np.random.default_rng(7)
+    for h, w in ((8, 16), (8, 8), (17, 33), (40, 31), (120, 200)):
+        x = np.linspace(0.0, 5.0, w)
+        y = np.linspace(0.0, 3.0, h)
+        base = np.sin(x)[None, :] * np.cos(y)[:, None] * 90.0 + 128.0
+        img = np.stack([base, base * 0.7 + 30.0, 255.0 - base],
+                       axis=-1)
+        img = (img + rng.normal(0.0, 6.0, img.shape)).clip(
+            0, 255).astype(np.uint8)
+        enc = jpegc.encode_jpeg_422(img, 90)
+        i = enc.find(b"\xff\xc0")
+        assert enc[i + 11] == 0x21          # Y h=2, v=1
+        dec = jpegc.decode_jpeg(enc)
+        assert dec.shape == img.shape
+        assert np.array_equal(dec, jpegc.jpeg_model_422(img, 90)), \
+            (h, w)
+
+
+def test_jpeg_422_size_between_444_and_420():
+    from gdal_ray.functions import jpegc
+
+    x = np.linspace(0.0, 6.0, 400)
+    y = np.linspace(0.0, 4.0, 300)
+    base = np.sin(x)[None, :] * np.cos(y)[:, None] * 100.0 + 128.0
+    rgb = np.stack([base, base * 0.8 + 20.0, 255.0 - base],
+                   axis=-1).clip(0, 255).astype(np.uint8)
+    e444 = jpegc.encode_jpeg(rgb, 90)
+    e422 = jpegc.encode_jpeg_422(rgb, 90)
+    e420 = jpegc.encode_jpeg_420(rgb, 90)
+    assert len(e420) < len(e422) < len(e444)
+    dec = jpegc.decode_jpeg(e422)
+    mse = np.mean((dec.astype(float) - rgb.astype(float)) ** 2)
+    assert 10.0 * np.log10(255.0 ** 2 / mse) >= 40.0
