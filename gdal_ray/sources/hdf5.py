@@ -610,6 +610,9 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
                       compress: dict[str, int] | None = None,
                       max_compact: int = 8,
                       fixed_array: set | frozenset | list | None = None,
+                      ext_array: set | frozenset | list | None = None,
+                      btree2: set | frozenset | list | None = None,
+                      maxshape: dict[str, tuple] | None = None,
                       ) -> None:
     """Write an HDF5 file in the 1.8+ "latest" layout (h5py
     ``libver='latest'``): superblock version 3, groups as version-2
@@ -618,19 +621,42 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
     beyond that.  Dataset object headers remain version 1
     (contiguous, or chunked via the v1 chunk B-tree, optional
     deflate) — the on-disk dataset format through HDF5 1.8.
+
+    1.10 chunk indexes (v4 data layout message): ``fixed_array``
+    names use index type 3 (FAHD/FADB), ``ext_array`` type 4
+    (EAHD/EAIB/EADB — the library's choice for ONE unlimited
+    dimension), ``btree2`` type 5 (BTHD/BTLF record type 10, the
+    choice for >= 2 unlimited dimensions; non-filtered only).
+    ``maxshape={name: (None, ...)}`` records unlimited maximum
+    dimensions in the dataspace message.
     """
     import zlib
 
     chunks = dict(chunks or {})
     compress = dict(compress or {})
     fixed_array = set(fixed_array or ())
+    ext_array = set(ext_array or ())
+    btree2 = set(btree2 or ())
+    maxshape = dict(maxshape or {})
     for n in compress:
         if n not in chunks:
             raise ValueError(f"compress[{n!r}] requires chunks[{n!r}]")
-    for n in fixed_array:
-        if n not in chunks:
-            raise ValueError(f"fixed_array[{n!r}] requires "
-                             f"chunks[{n!r}] (chunked layout)")
+    for kind, group in (("fixed_array", fixed_array),
+                        ("ext_array", ext_array), ("btree2", btree2)):
+        for n in group:
+            if n not in chunks:
+                raise ValueError(f"{kind}[{n!r}] requires "
+                                 f"chunks[{n!r}] (chunked layout)")
+    overlap = (fixed_array & ext_array) | (fixed_array & btree2) \
+        | (ext_array & btree2)
+    if overlap:
+        raise ValueError(f"conflicting chunk-index choices for "
+                         f"{sorted(overlap)}")
+    for n in btree2 & set(compress):
+        raise ValueError(
+            f"btree2[{n!r}]: filtered v2-B-tree chunk records "
+            "(type 11) unsupported — use ext_array or fixed_array "
+            "for compressed chunks")
     if not datasets:
         raise ValueError("write_hdf5_latest needs >= 1 dataset")
 
@@ -658,9 +684,23 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
     chunk_offs: dict[str, list[tuple]] = {}
     for n in names:
         a = arrays[n]
+        if n in maxshape:
+            mx = tuple(maxshape[n])
+            if len(mx) != a.ndim:
+                raise ValueError(f"maxshape[{n!r}] rank != dataset "
+                                 "rank")
+            sp_body = (struct.pack("<BBB5x", 1, a.ndim, 1)
+                       + b"".join(struct.pack("<Q", d)
+                                  for d in a.shape)
+                       + b"".join(struct.pack(
+                           "<Q", _UNDEF_ADDR if m is None else int(m))
+                           for m in mx))
+        else:
+            sp_body = (struct.pack("<BBB5x", 1, a.ndim, 0)
+                       + b"".join(struct.pack("<Q", d)
+                                  for d in a.shape))
         msgs = [
-            _msg(0x0001, struct.pack("<BBB5x", 1, a.ndim, 0)
-                 + b"".join(struct.pack("<Q", d) for d in a.shape)),
+            _msg(0x0001, sp_body),
             _msg(0x0003, _dt_body(a.dtype)),
         ]
         if n in chunks:
@@ -680,6 +720,21 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
                 body = (struct.pack("<BBBBB", 4, 2, 0, a.ndim, 8)
                         + b"".join(struct.pack("<Q", c) for c in ck)
                         + struct.pack("<BB", 3, 10)
+                        + struct.pack("<Q", 0))
+            elif n in ext_array:
+                # index type 4 + the five 1-byte EA creation params
+                body = (struct.pack("<BBBBB", 4, 2, 0, a.ndim, 8)
+                        + b"".join(struct.pack("<Q", c) for c in ck)
+                        + struct.pack("<BBBBBB", 4, _EA_MAX_BITS,
+                                      _EA_IDX_ELEMS, _EA_DBLK_MIN,
+                                      _EA_SBLK_MIN_PTRS,
+                                      _EA_PAGE_BITS)
+                        + struct.pack("<Q", 0))
+            elif n in btree2:
+                # index type 5 + node size u32 + split/merge percents
+                body = (struct.pack("<BBBBB", 4, 2, 0, a.ndim, 8)
+                        + b"".join(struct.pack("<Q", c) for c in ck)
+                        + struct.pack("<BIBB", 5, 2048, 100, 40)
                         + struct.pack("<Q", 0))
             else:
                 body = (struct.pack("<BBB", 3, 2, a.ndim + 1)
@@ -764,6 +819,16 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
             entry = 16 if n in compress else 8
             pos += 28 + (4 + 1 + 1 + 8
                          + len(chunk_blobs[n]) * entry + 4)
+        elif n in chunk_blobs and n in ext_array:
+            cbt_addr[n] = pos
+            esize = 16 if n in compress else 8
+            hdr_ib, dblk_bytes, _ = _ea_sizes(len(chunk_blobs[n]),
+                                              esize)
+            pos += hdr_ib + dblk_bytes
+        elif n in chunk_blobs and n in btree2:
+            cbt_addr[n] = pos
+            pos += _bt2_chunk_size(len(chunk_blobs[n]),
+                                   arrays[n].ndim)
         elif n in chunk_blobs:
             cbt_addr[n] = pos
             keysize = 8 + 8 * (arrays[n].ndim + 1)
@@ -786,6 +851,14 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
         off = layout_fixup[n]
         if n in chunk_blobs and n in fixed_array:
             blen = 5 + 8 * arrays[n].ndim + 2 + 8  # v4 body length
+            hdrs[n][off + blen - 8:off + blen] = struct.pack(
+                "<Q", cbt_addr[n])
+        elif n in chunk_blobs and n in ext_array:
+            blen = 5 + 8 * arrays[n].ndim + 6 + 8
+            hdrs[n][off + blen - 8:off + blen] = struct.pack(
+                "<Q", cbt_addr[n])
+        elif n in chunk_blobs and n in btree2:
+            blen = 5 + 8 * arrays[n].ndim + 7 + 8
             hdrs[n][off + blen - 8:off + blen] = struct.pack(
                 "<Q", cbt_addr[n])
         elif n in chunk_blobs:
@@ -846,6 +919,14 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
                 fh.write(_fixed_array_blobs(
                     cbt_addr[n], chunk_blobs[n], chunk_addr[n],
                     filtered=n in compress))
+            elif n in chunk_blobs and n in ext_array:
+                fh.write(_ext_array_blobs(
+                    cbt_addr[n], chunk_blobs[n], chunk_addr[n],
+                    filtered=n in compress))
+            elif n in chunk_blobs and n in btree2:
+                fh.write(_bt2_chunk_blobs(
+                    cbt_addr[n], chunk_addr[n], chunk_offs[n],
+                    tuple(int(c) for c in chunks[n])))
             elif n in chunk_blobs:
                 fh.write(_chunk_btree_node(arrays[n], chunks[n],
                                            chunk_blobs[n],
@@ -858,6 +939,175 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
             else:
                 fh.write(arrays[n].tobytes())
     os.replace(tmp, path)
+
+
+# ------------------------------------------------------------------
+# Extensible-array chunk index (HDF5 1.10 "EAHD"/"EAIB"/"EADB") —
+# the index HDF5 selects for chunked datasets with ONE unlimited
+# dimension.  Creation parameters follow the library defaults the
+# data layout message records (max_nelmts_bits=32, idx_blk_elems=4,
+# data_blk_min_elems=16, sblk_min_data_ptrs=4, page_nelmts_bits=10).
+# Element schedule (file-format spec, Extensible Array section):
+#   - the index block stores the first ``idx_blk_elems`` elements
+#     directly;
+#   - super block s (0-based) holds 2^(s//2) data blocks of
+#     ``data_blk_min_elems * 2^((s+1)//2)`` elements each;
+#   - super blocks whose data-block count is below
+#     ``sblk_min_data_ptrs`` keep their data-block ADDRESSES in the
+#     index block (defaults: s=0..3 -> 6 address slots); later super
+#     blocks go through secondary blocks (unsupported here — loud);
+#   - total super blocks = 2 * (max_nelmts_bits - log2(idx_blk_elems)).
+
+_EA_MAX_BITS = 32
+_EA_IDX_ELEMS = 4
+_EA_DBLK_MIN = 16
+_EA_SBLK_MIN_PTRS = 4
+_EA_PAGE_BITS = 10
+_UNDEF_ADDR = 0xFFFFFFFFFFFFFFFF
+
+
+def _ea_schedule():
+    """-> (n_iblock_dblks, [dblk_nelmts...]) for the data blocks
+    addressed directly from the index block."""
+    sizes = []
+    s = 0
+    while True:
+        ndb = 1 << (s // 2)
+        if ndb >= _EA_SBLK_MIN_PTRS:
+            break
+        nel = _EA_DBLK_MIN * (1 << ((s + 1) // 2))
+        sizes += [nel] * ndb
+        s += 1
+    return len(sizes), sizes
+
+
+def _ea_sizes(n: int, esize: int) -> tuple[int, int, list[int]]:
+    """(eahd+eaib bytes, total data-block bytes, per-dblk nelmts
+    actually allocated) for n elements."""
+    n_slots, sizes = _ea_schedule()
+    nsblks_total = 2 * (_EA_MAX_BITS - (_EA_IDX_ELEMS.bit_length() - 1))
+    n_sblk_slots = nsblks_total - 4        # s=0..3 live in the iblock
+    eaib = 4 + 1 + 1 + 8 + _EA_IDX_ELEMS * esize + n_slots * 8 \
+        + n_sblk_slots * 8 + 4
+    rem = max(0, n - _EA_IDX_ELEMS)
+    used = []
+    for nel in sizes:
+        if rem <= 0:
+            break
+        used.append(nel)
+        rem -= nel
+    if rem > 0:
+        raise ValueError(
+            f"extensible array: {n} chunks exceed the index-block + "
+            f"direct-data-block capacity "
+            f"({_EA_IDX_ELEMS + sum(sizes)}); secondary blocks "
+            "unsupported")
+    off_bytes = (_EA_MAX_BITS + 7) // 8
+    dblk_bytes = sum(4 + 1 + 1 + 8 + off_bytes + nel * esize + 4
+                     for nel in used)
+    return 72 + eaib, dblk_bytes, used
+
+
+def _ext_array_blobs(eahd_addr: int, blobs: list[bytes],
+                     addrs: list[int], filtered: bool) -> bytes:
+    """EAHD + EAIB + EADB blobs for one chunked dataset (client 0 =
+    address-only elements, client 1 = address + 4-byte stored size +
+    filter mask, the fixed-array element convention)."""
+    client = 1 if filtered else 0
+    esize = 16 if filtered else 8
+    n = len(blobs)
+    hdr_ib, dblk_bytes, used = _ea_sizes(n, esize)
+    n_slots, sizes = _ea_schedule()
+    nsblks_total = 2 * (_EA_MAX_BITS - (_EA_IDX_ELEMS.bit_length() - 1))
+    n_sblk_slots = nsblks_total - 4
+    eaib_addr = eahd_addr + 72
+    eaib_len = hdr_ib - 72
+
+    def elem(k: int) -> bytes:
+        if k >= n:
+            e = struct.pack("<Q", _UNDEF_ADDR)
+            return e + b"\x00" * 8 if filtered else e
+        e = struct.pack("<Q", addrs[k])
+        if filtered:
+            e += struct.pack("<II", len(blobs[k]), 0)
+        return e
+
+    # ---- data blocks (after the index block)
+    dblk_addrs: list[int] = []
+    dpos = eahd_addr + hdr_ib
+    dblks = []
+    k = _EA_IDX_ELEMS
+    off_bytes = (_EA_MAX_BITS + 7) // 8
+    for nel in used:
+        dblk_addrs.append(dpos)
+        body = bytearray(b"EADB" + bytes([0, client])
+                         + struct.pack("<Q", eahd_addr)
+                         + k.to_bytes(off_bytes, "little"))
+        for j in range(nel):
+            body += elem(k + j)
+        body += struct.pack("<I", _lookup3(bytes(body)))
+        dblks.append(bytes(body))
+        dpos += len(body)
+        k += nel
+    ndblks = len(used)
+    dblk_size_total = sum(len(b) for b in dblks)
+
+    # ---- header
+    eahd = (b"EAHD" + bytes([0, client, esize, _EA_MAX_BITS,
+                             _EA_IDX_ELEMS, _EA_DBLK_MIN,
+                             _EA_SBLK_MIN_PTRS, _EA_PAGE_BITS])
+            + struct.pack("<QQQQQQ", 0, 0, ndblks, dblk_size_total,
+                          n, n)
+            + struct.pack("<Q", eaib_addr))
+    eahd += struct.pack("<I", _lookup3(eahd))
+    assert len(eahd) == 72
+
+    # ---- index block
+    eaib = bytearray(b"EAIB" + bytes([0, client])
+                     + struct.pack("<Q", eahd_addr))
+    for kk in range(_EA_IDX_ELEMS):
+        eaib += elem(kk)
+    for j in range(n_slots):
+        eaib += struct.pack(
+            "<Q", dblk_addrs[j] if j < ndblks else _UNDEF_ADDR)
+    eaib += struct.pack("<Q", _UNDEF_ADDR) * n_sblk_slots
+    eaib += struct.pack("<I", _lookup3(bytes(eaib)))
+    assert len(eaib) == eaib_len, (len(eaib), eaib_len)
+    assert dblk_bytes == dblk_size_total
+    return bytes(eahd) + bytes(eaib) + b"".join(dblks)
+
+
+def _bt2_chunk_blobs(bthd_addr: int, addrs: list[int],
+                     offs: list[tuple], chunk: tuple) -> bytes:
+    """Version-2 B-tree chunk index (record type 10, non-filtered):
+    single root leaf of (chunk address + per-dim SCALED offsets)
+    records in row-major chunk order — the index HDF5 selects for
+    chunked datasets with >= 2 unlimited dimensions."""
+    rank = len(chunk)
+    rec_size = 8 + 8 * rank
+    recs = []
+    for a, o in zip(addrs, offs):
+        scaled = tuple(oo // cc for oo, cc in zip(o, chunk))
+        recs.append(struct.pack("<Q", a)
+                    + b"".join(struct.pack("<Q", s) for s in scaled))
+    leaf = b"BTLF" + bytes([0, 10]) + b"".join(recs)
+    leaf += struct.pack("<I", _lookup3(leaf))
+    btlf_addr = bthd_addr + 38
+    bthd = (b"BTHD" + bytes([0, 10])
+            + struct.pack("<I", 2048)
+            + struct.pack("<H", rec_size)
+            + struct.pack("<H", 0)
+            + bytes([100, 40])
+            + struct.pack("<Q", btlf_addr)
+            + struct.pack("<H", len(recs))
+            + struct.pack("<Q", len(recs)))
+    bthd += struct.pack("<I", _lookup3(bthd))
+    assert len(bthd) == 38
+    return bthd + leaf
+
+
+def _bt2_chunk_size(n: int, rank: int) -> int:
+    return 38 + 6 + n * (8 + 8 * rank) + 4
 
 
 def _fixed_array_blobs(fahd_addr: int, blobs: list[bytes],
@@ -1091,10 +1341,19 @@ def _apply_message(info: dict, mtype: int, body: bytes) -> None:
                 p2 += 1
                 info["fa_addr"] = struct.unpack(
                     "<Q", body[p2:p2 + 8])[0]
+            elif itype == 4:        # extensible array
+                info["ea_params"] = tuple(body[p2:p2 + 5])
+                p2 += 5
+                info["ea_addr"] = struct.unpack(
+                    "<Q", body[p2:p2 + 8])[0]
+            elif itype == 5:        # v2 B-tree
+                p2 += 6             # node size u32 + split + merge
+                info["bt2_addr"] = struct.unpack(
+                    "<Q", body[p2:p2 + 8])[0]
             else:
                 raise ValueError(
                     f"HDF5: v4 chunk index type {itype} unsupported "
-                    "(fixed array only)")
+                    "(fixed array / extensible array / v2 B-tree)")
             return
         if lver != 3 or lclass not in (1, 2):
             raise ValueError(
@@ -1333,11 +1592,141 @@ def _walk_fixed_array(buf: bytes, v: dict, shape) -> list:
     return out
 
 
+def _walk_ext_array(buf: bytes, v: dict, shape) -> list:
+    """Extensible-array chunk index ("EAHD"/"EAIB"/"EADB") ->
+    (offsets, nbytes, address) per chunk in row-major order.
+    Handles index-block elements + directly-addressed data blocks
+    (the layout for every array the writer emits and for modest
+    resizable datasets); secondary blocks error loudly."""
+    addr = v["ea_addr"]
+    if buf[addr:addr + 4] != b"EAHD":
+        raise ValueError(f"HDF5: EAHD signature missing at {addr}")
+    client = buf[addr + 5]
+    esize = buf[addr + 6]
+    max_bits = buf[addr + 7]
+    idx_elems = buf[addr + 8]
+    dblk_min = buf[addr + 9]
+    sblk_min_ptrs = buf[addr + 10]
+    stored = struct.unpack("<I", buf[addr + 68:addr + 72])[0]
+    if stored != _lookup3(buf[addr:addr + 68]):
+        raise ValueError("HDF5: EAHD checksum mismatch")
+    ib_addr = struct.unpack("<Q", buf[addr + 60:addr + 68])[0]
+    if buf[ib_addr:ib_addr + 4] != b"EAIB":
+        raise ValueError(f"HDF5: EAIB signature missing at {ib_addr}")
+    if buf[ib_addr + 5] != client:
+        raise ValueError("HDF5: EAIB client id mismatch")
+    ck = v["chunk"]
+    grid = _chunk_grid(shape, ck)
+    n = len(grid)
+    dt_size = v["dtype"].itemsize
+    full = int(np.prod(ck, dtype=np.int64)) * dt_size
+
+    def parse_elem(p: int):
+        caddr = struct.unpack("<Q", buf[p:p + 8])[0]
+        if client == 0:
+            return caddr, full
+        csize = struct.unpack("<I", buf[p + 8:p + 12])[0]
+        return caddr, csize
+
+    # index-block direct elements
+    elems = []
+    p = ib_addr + 4 + 1 + 1 + 8
+    for _ in range(min(idx_elems, n)):
+        elems.append(parse_elem(p))
+        p += esize
+    p = ib_addr + 4 + 1 + 1 + 8 + idx_elems * esize
+    # data-block schedule (spec: sblk s holds 2^(s//2) blocks of
+    # dblk_min * 2^((s+1)//2) elements; blocks stay in the index
+    # block while 2^(s//2) < sblk_min_data_ptrs)
+    sizes = []
+    s = 0
+    while (1 << (s // 2)) < sblk_min_ptrs:
+        sizes += [dblk_min * (1 << ((s + 1) // 2))] * (1 << (s // 2))
+        s += 1
+    off_bytes = (max_bits + 7) // 8
+    k = idx_elems
+    for nel in sizes:
+        if len(elems) >= n:
+            break
+        db_addr = struct.unpack("<Q", buf[p:p + 8])[0]
+        p += 8
+        if db_addr == _UNDEF_ADDR:
+            raise ValueError("HDF5: extensible array needs an "
+                             "unallocated data block")
+        if buf[db_addr:db_addr + 4] != b"EADB":
+            raise ValueError(
+                f"HDF5: EADB signature missing at {db_addr}")
+        boff = int.from_bytes(
+            buf[db_addr + 14:db_addr + 14 + off_bytes], "little")
+        if boff != k:
+            raise ValueError(f"HDF5: EADB block offset {boff} != "
+                             f"expected element index {k}")
+        q = db_addr + 14 + off_bytes
+        for _ in range(min(nel, n - len(elems))):
+            elems.append(parse_elem(q))
+            q += esize
+        k += nel
+    if len(elems) < n:
+        raise ValueError(
+            f"HDF5: extensible array covers {len(elems)} of {n} "
+            "chunks — secondary blocks unsupported")
+    out = []
+    for kk in range(n):
+        caddr, csize = elems[kk]
+        if caddr == _UNDEF_ADDR:
+            continue                      # unallocated chunk -> zeros
+        out.append((grid[kk], csize, caddr))
+    return out
+
+
+def _walk_bt2_chunks(buf: bytes, v: dict, shape) -> list:
+    """v2 B-tree chunk index (record type 10, non-filtered) ->
+    (offsets, nbytes, address) per chunk.  Single-leaf trees (depth
+    0); filtered records (type 11) and deeper trees error loudly."""
+    addr = v["bt2_addr"]
+    if buf[addr:addr + 4] != b"BTHD":
+        raise ValueError(f"HDF5: BTHD signature missing at {addr}")
+    rtype = buf[addr + 5]
+    if rtype != 10:
+        raise ValueError(f"HDF5: v2 B-tree record type {rtype} "
+                         "unsupported for chunks (type 10 only)")
+    rec_size = struct.unpack("<H", buf[addr + 10:addr + 12])[0]
+    depth = struct.unpack("<H", buf[addr + 12:addr + 14])[0]
+    if depth != 0:
+        raise ValueError("HDF5: multi-level v2 B-tree chunk indexes "
+                         "unsupported")
+    leaf_addr = struct.unpack("<Q", buf[addr + 16:addr + 24])[0]
+    nrec = struct.unpack("<H", buf[addr + 24:addr + 26])[0]
+    if buf[leaf_addr:leaf_addr + 4] != b"BTLF":
+        raise ValueError(f"HDF5: BTLF signature missing at {leaf_addr}")
+    ck = v["chunk"]
+    rank = len(ck)
+    if rec_size != 8 + 8 * rank:
+        raise ValueError(f"HDF5: v2 B-tree chunk record size "
+                         f"{rec_size} != {8 + 8 * rank}")
+    dt_size = v["dtype"].itemsize
+    full = int(np.prod(ck, dtype=np.int64)) * dt_size
+    out = []
+    p = leaf_addr + 6
+    for _ in range(nrec):
+        caddr = struct.unpack("<Q", buf[p:p + 8])[0]
+        scaled = struct.unpack(f"<{rank}Q", buf[p + 8:p + rec_size])
+        p += rec_size
+        offs = tuple(int(s * c) for s, c in zip(scaled, ck))
+        out.append((offs, full, caddr))
+    return out
+
+
 def _chunk_entries(buf: bytes, v: dict, shape) -> list:
-    """(offsets, nbytes, address) per chunk for either chunk index
-    flavor (v1 B-tree or 1.10 fixed array)."""
+    """(offsets, nbytes, address) per chunk for any chunk-index
+    flavor (v1 B-tree, 1.10 fixed array, extensible array, or v2
+    B-tree)."""
     if "fa_addr" in v:
         return _walk_fixed_array(buf, v, shape)
+    if "ea_addr" in v:
+        return _walk_ext_array(buf, v, shape)
+    if "bt2_addr" in v:
+        return _walk_bt2_chunks(buf, v, shape)
     return _walk_chunk_btree(buf, v["chunk_btree"], len(shape))
 
 

@@ -448,3 +448,107 @@ def test_fixed_array_mdim_distributed(tmp_path, ray_session):
     tot = sum(np.frombuffer(bytes(r["data"]), "<f8").sum()
               for r in rows)
     assert abs(tot - a.sum()) < 1e-9
+
+
+def test_extensible_array_chunk_index(tmp_path):
+    """HDF5 1.10 extensible-array chunk index (v4 data layout, index
+    type 4 — the index the library selects for ONE unlimited
+    dimension): EAHD/EAIB/EADB byte anchors per the published spec
+    schedule (4 direct index-block elements, then data blocks of
+    16/32/32/... elements while 2^(s//2) < sblk_min_data_ptrs),
+    checksums verified, filtered and unfiltered clients, unlimited
+    maxshape recorded in the dataspace."""
+    from gdal_ray.sources.hdf5 import (_lookup3, hdf5_info, read_hdf5,
+                                       write_hdf5_latest)
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(-500, 500, 85).astype("<i4")   # 11 chunks of 8
+    b = rng.normal(size=420).astype("<f8")          # 60 chunks of 7
+    p = str(tmp_path / "ea.h5")
+    write_hdf5_latest(p, {"a": a, "b": b},
+                      chunks={"a": (8,), "b": (7,)},
+                      compress={"a": 6},
+                      ext_array={"a", "b"},
+                      maxshape={"a": (None,), "b": (None,)})
+    info = hdf5_info(p)["datasets"]
+    assert "ea_addr" in info["a"] and "ea_addr" in info["b"]
+    buf = open(p, "rb").read()
+    ea = info["a"]["ea_addr"]
+    assert buf[ea:ea + 4] == b"EAHD"
+    assert buf[ea + 4] == 0                    # version
+    assert buf[ea + 5] == 1                    # client: filtered
+    assert buf[ea + 6] == 16                   # element size
+    assert tuple(buf[ea + 7:ea + 12]) == (32, 4, 16, 4, 10)  # params
+    assert struct.unpack("<I", buf[ea + 68:ea + 72])[0] == \
+        _lookup3(buf[ea:ea + 68])
+    ib = struct.unpack("<Q", buf[ea + 60:ea + 68])[0]
+    assert buf[ib:ib + 4] == b"EAIB"
+    # first data block: 11 chunks -> 4 direct + one 16-elem EADB
+    db = struct.unpack("<Q", buf[ib + 14 + 4 * 16:ib + 14 + 4 * 16 + 8])[0]
+    assert buf[db:db + 4] == b"EADB"
+    assert int.from_bytes(buf[db + 14:db + 18], "little") == 4  # offset
+    eb = info["b"]["ea_addr"]
+    assert buf[eb + 5] == 0 and buf[eb + 6] == 8   # unfiltered client
+    assert np.array_equal(read_hdf5(p, "a"), a)
+    assert np.array_equal(read_hdf5(p, "b"), b)
+
+
+def test_btree2_chunk_index(tmp_path):
+    """v2 B-tree chunk index (v4 data layout, index type 5 — the
+    index for >= 2 unlimited dimensions): BTHD record-type-10 anchor,
+    scaled-offset records, bit-exact read; filtered btree2 requests
+    are rejected loudly (type-11 records unsupported)."""
+    import pytest as _pytest
+
+    from gdal_ray.sources.hdf5 import (hdf5_info, read_hdf5,
+                                       write_hdf5_latest)
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(20, 30)).astype("<f8")
+    p = str(tmp_path / "bt2.h5")
+    write_hdf5_latest(p, {"m": m}, chunks={"m": (8, 8)},
+                      btree2={"m"}, maxshape={"m": (None, None)})
+    info = hdf5_info(p)["datasets"]["m"]
+    assert "bt2_addr" in info
+    buf = open(p, "rb").read()
+    bt = info["bt2_addr"]
+    assert buf[bt:bt + 4] == b"BTHD"
+    assert buf[bt + 5] == 10                   # chunk record type
+    rec_size = struct.unpack("<H", buf[bt + 10:bt + 12])[0]
+    assert rec_size == 8 + 8 * 2
+    leaf = struct.unpack("<Q", buf[bt + 16:bt + 24])[0]
+    assert buf[leaf:leaf + 4] == b"BTLF"
+    nrec = struct.unpack("<H", buf[bt + 24:bt + 26])[0]
+    assert nrec == 12                          # ceil(20/8)*ceil(30/8)
+    # second record's scaled offsets = (0, 1) -> chunk (0, 8)
+    r1 = leaf + 6 + rec_size
+    sx, sy = struct.unpack("<QQ", buf[r1 + 8:r1 + 24])
+    assert (sx, sy) == (0, 1)
+    assert np.array_equal(read_hdf5(p, "m"), m)
+    with _pytest.raises(ValueError, match="type 11"):
+        write_hdf5_latest(str(tmp_path / "x.h5"), {"m": m},
+                          chunks={"m": (8, 8)}, btree2={"m"},
+                          compress={"m": 6})
+
+
+def test_ea_bt2_mdim_distributed(tmp_path, ray_session):
+    """Both new chunk indexes drive the distributed mdim reader at
+    the file's own chunk grain."""
+    from gdal_ray.sources.hdf5 import read_hdf5_mdim, write_hdf5_latest
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=200).astype("<f8")
+    m = rng.normal(size=(24, 32)).astype("<f4")
+    p = str(tmp_path / "mix.h5")
+    write_hdf5_latest(p, {"a": a, "m": m},
+                      chunks={"a": (16,), "m": (8, 16)},
+                      ext_array={"a"}, btree2={"m"},
+                      maxshape={"a": (None,), "m": (None, None)})
+    ds, _ = read_hdf5_mdim(p, "a", parallelism=3)
+    tot = sum(np.frombuffer(bytes(r["data"]), "<f8").sum()
+              for r in ds.take_all())
+    assert abs(tot - a.sum()) < 1e-9
+    ds2, _ = read_hdf5_mdim(p, "m", parallelism=3)
+    tot2 = sum(np.frombuffer(bytes(r["data"]), "<f4").astype(np.float64).sum()
+               for r in ds2.take_all())
+    assert abs(tot2 - m.astype(np.float64).sum()) < 1e-4
