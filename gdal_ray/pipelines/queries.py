@@ -662,6 +662,105 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+def q13_windowdup(sf_dir: str):
+    """Exact-substring (8-token-window) duplicate detection — the
+    Lee-et-al.-2021 training-data dedup step re-expressed as two
+    bounded hash-keyed shuffles (stages.dedup.duplicate_window_stats:
+    window rolling hashes -> whash-part duplicate marking -> doc-part
+    island merge), aggregated per source."""
+    from ..stages.dedup import duplicate_window_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    stats = duplicate_window_stats(docs, window=8)
+    joined = R.copartition_equi_join(
+        stats, docs.select_columns(["doc_id", "source"]),
+        lkey="doc_id", rkey="doc_id", num_partitions=8,
+        left_schema=[("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                     ("dup_windows", pa.int64()),
+                     ("covered_tokens", pa.int64())],
+        right_schema=[("doc_id", pa.int64()), ("source", pa.string())])
+    return R.grouped_aggregate(
+        joined, ["source"],
+        [("dup_windows", "count", "n_docs_dup"),
+         ("dup_windows", "sum", "sum_dup_windows"),
+         ("covered_tokens", "sum", "sum_covered")]).sort("source")
+
+
+_Q13W_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+),
+wins AS (
+  SELECT t.doc_id, t.source, u.i AS pos, len(t.arr) AS nt,
+         array_to_string(t.arr[u.i : u.i + 7], ' ') AS w
+  FROM tk t, UNNEST(generate_series(1, len(t.arr) - 7)) AS u(i)
+),
+dupw AS (SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2),
+occ AS (SELECT doc_id, source, pos, nt FROM wins
+        WHERE w IN (SELECT w FROM dupw)),
+perdoc AS (
+  SELECT doc_id, source,
+         CAST(COUNT(*) AS BIGINT) AS dup_windows,
+         CAST(SUM(LEAST(8, COALESCE(next_pos - pos, 8))) AS BIGINT)
+           AS covered
+  FROM (SELECT doc_id, source, pos, nt,
+               LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS next_pos
+        FROM occ)
+  GROUP BY doc_id, source
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_dup,
+       CAST(SUM(dup_windows) AS BIGINT) AS sum_dup_windows,
+       CAST(SUM(covered) AS BIGINT) AS sum_covered
+FROM perdoc GROUP BY source ORDER BY source
+"""
+
+
+def q13_dedup(sf_dir: str):
+    """Dedup suite: exact content dedup (kind='exact') + exact-
+    substring window dedup (kind='windowdup') as tagged rows."""
+    ex = q13_exact_dedup(sf_dir)
+    wd = q13_windowdup(sf_dir)
+
+    def tag_ex(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "kind": pa.array(["exact"] * n, pa.string()),
+            "k1": t.column("source"),
+            "v1": pc.cast(t.column("n_unique"), pa.int64()),
+            "v2": pa.array([0] * n, pa.int64()),
+            "v3": pa.array([0] * n, pa.int64()),
+        })
+
+    def tag_wd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array(["windowdup"] * t.num_rows, pa.string()),
+            "k1": t.column("source"),
+            "v1": pc.cast(t.column("n_docs_dup"), pa.int64()),
+            "v2": pc.cast(t.column("sum_dup_windows"), pa.int64()),
+            "v3": pc.cast(t.column("sum_covered"), pa.int64()),
+        })
+
+    return (ex.map_batches(tag_ex, batch_format="pyarrow")
+            .union(wd.map_batches(tag_wd, batch_format="pyarrow"))
+            .sort(["kind", "k1"]))
+
+
+_Q13D_SQL = f"""
+SELECT * FROM (
+  SELECT 'exact' AS kind, source AS k1, n_unique AS v1,
+         CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3
+  FROM ({_Q13_SQL.strip()})
+  UNION ALL
+  SELECT 'windowdup', source, n_docs_dup, sum_dup_windows, sum_covered
+  FROM ({_Q13W_SQL.strip()})
+)
+ORDER BY kind, k1
+"""
+
+
 def q14_token_count(sf_dir: str):
     """Whitespace token counting per doc, aggregated per lang."""
     from ..stages.text import token_count_batch
@@ -4111,7 +4210,7 @@ QUERIES = {
     "q10_spatial_join": q10_spatial_join,
     "q11_knn": q11_knn,
     "q12_windows": q12_windows,
-    "q13_exact_dedup": q13_exact_dedup,
+    "q13_dedup": q13_dedup,
     "q14_text_stats": q14_text_stats,
     "q16_ann_topk": q16_ann_topk,
     "q17_neardup_pairs": q17_neardup_pairs,
@@ -4164,7 +4263,7 @@ ORACLE_SQL = {
     "q10_spatial_join": _Q10_SQL,
     "q11_knn": _Q11_SQL,
     "q12_windows": _Q12W_SQL,
-    "q13_exact_dedup": _Q13_SQL,
+    "q13_dedup": _Q13D_SQL,
     "q14_text_stats": _Q14TS_SQL,
     # q27 computes the same result as q11 through the cell-ring scale
     # path -- the exact-kNN SQL is its oracle too

@@ -703,3 +703,178 @@ def neardup_clusters(pairs, doc_ids, num_partitions: int = 16):
     return R.copartition_equi_join(
         base, sizes, "rep", "rep", num_partitions=num_partitions
     )
+
+
+# ------------------------------------- exact-substring (window) dedup
+
+
+def _fnv1a_tokens(tokens: list[str]) -> np.ndarray:
+    """Stable per-token 64-bit hashes, VECTORIZED: FNV-1a over the
+    tokens' Unicode code points (Python's builtin hash is salted per
+    process and cannot cross workers).  One UTF-32 decode of the
+    space-joined token stream gives a flat uint32 array; the
+    byte-position loop runs ``max(len(token))`` vectorized passes,
+    never a Python loop per character."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    cp = np.frombuffer(" ".join(tokens).encode("utf-32-le"), "<u4")
+    lens = np.fromiter(map(len, tokens), np.int64, len(tokens))
+    starts = np.zeros(len(tokens), np.int64)
+    np.cumsum(lens[:-1] + 1, out=starts[1:])
+    h = np.full(len(tokens), 0xCBF29CE484222325, np.uint64)
+    prime = np.uint64(0x100000001B3)
+    mlen = int(lens.max()) if len(lens) else 0
+    for j in range(mlen):
+        m = lens > j
+        h[m] = (h[m] ^ cp[starts[m] + j].astype(np.uint64)) * prime
+    return h
+
+
+def duplicate_window_stats(docs, *, window: int = 8,
+                           content_col: str = "text",
+                           id_col: str = "doc_id",
+                           num_partitions: int = 32):
+    """Exact-substring duplicate detection by token windows — the
+    training-data dedup step of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better") re-expressed
+    Ray-Data-first: instead of a corpus-wide suffix array (which
+    needs the whole corpus in one address space), every ``window``-
+    token span is rolling-hashed and duplicate spans are found by a
+    hash-keyed shuffle.
+
+    Scale shape (two bounded shuffles, no corpus materialization):
+
+    1. ``map_batches``: per doc, token hashes (FNV-1a) -> polynomial
+       window hashes, emitted as (whash, doc_id, pos) rows; the
+       per-doc token count RIDES the row (the q14 ``dl``-rides-along
+       precedent) so no third doc-keyed join is needed;
+    2. hash-part groupby on ``whash`` (the q13 ``__dpart`` pattern —
+       vectorized run-length duplicate marking inside each
+       partition, one group call per partition, never per key);
+       only duplicate OCCURRENCES survive, so the second exchange
+       carries just the duplicated spans;
+    3. hash-part groupby on ``doc_id``: per-doc duplicate-window
+       count and covered-token total from the sorted positions
+       (fixed window length L: covered = sum(min(L, next-pos)) + L
+       per run — vectorized island merge).
+
+    Returns a Dataset of (doc_id, n_tokens, dup_windows,
+    covered_tokens) for documents carrying >= 1 duplicated window.
+    A window counts as duplicated when its token span occurs >= 2
+    times anywhere in the corpus (including inside the same doc).
+    """
+    L = int(window)
+    if L < 2:
+        raise ValueError("window must be >= 2 tokens")
+
+    def emit_windows(t: pa.Table) -> pa.Table:
+        """One vectorized pass over the whole batch: all documents'
+        tokens concatenate into a single token-hash stream; window
+        hashes roll over the stream in L vector ops, and windows
+        crossing a document boundary are masked out (the per-doc
+        Python work is only ``str.split`` + list extend)."""
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(content_col).to_pylist()
+        all_toks: list[str] = []
+        tok_doc: list[np.ndarray] = []
+        tok_start: list[int] = []
+        doc_nt: list[int] = []
+        doc_ids: list[int] = []
+        start = 0
+        for did, x in zip(ids, texts):
+            toks = (x or "").split()
+            nt = len(toks)
+            if nt == 0:
+                continue
+            all_toks.extend(toks)
+            doc_ids.append(did)
+            doc_nt.append(nt)
+            tok_start.append(start)
+            start += nt
+        empty = pa.table({
+            "whash": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+        })
+        ntot = len(all_toks)
+        n = ntot - L + 1
+        if n <= 0:
+            return empty
+        th = _fnv1a_tokens(all_toks)
+        P = np.uint64(1099511628211)
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(L):
+            h = h * P + th[j:j + n]
+        # per-token doc index / position, then boundary masking
+        nt_arr = np.asarray(doc_nt, np.int64)
+        didx = np.repeat(np.arange(len(doc_nt), dtype=np.int64),
+                         nt_arr)
+        tpos = np.arange(ntot, dtype=np.int64) - np.repeat(
+            np.asarray(tok_start, np.int64), nt_arr)
+        valid = didx[:n] == didx[L - 1:]
+        if not valid.any():
+            return empty
+        vi = np.flatnonzero(valid)
+        vd = didx[vi]
+        return pa.table({
+            "whash": pa.array(h[vi].view(np.int64), pa.int64()),
+            "doc_id": pa.array(
+                np.asarray(doc_ids, np.int64)[vd], pa.int64()),
+            "pos": pa.array(tpos[vi], pa.int64()),
+            "n_tokens": pa.array(nt_arr[vd], pa.int64()),
+        })
+
+    def add_wpart(t: pa.Table) -> pa.Table:
+        h = t.column("whash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(33))
+        return t.append_column(
+            "__wpart", pa.array((h % np.uint64(num_partitions)).astype(np.int64), pa.int64()))
+
+    def mark_dups(g: pa.Table) -> pa.Table:
+        h = g.column("whash").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        same_prev = np.concatenate([[False], hs[1:] == hs[:-1]])
+        same_next = np.concatenate([hs[:-1] == hs[1:], [False]])
+        dup = same_prev | same_next
+        keep = order[dup]
+        return g.select(["doc_id", "pos", "n_tokens"]).take(
+            pa.array(keep, pa.int64()))
+
+    def add_dpart(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = (d ^ (d >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        d = d ^ (d >> np.uint64(33))
+        return t.append_column(
+            "__dpart", pa.array((d % np.uint64(num_partitions)).astype(np.int64), pa.int64()))
+
+    def per_doc(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
+        ntk = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, ids))
+        ids, pos, ntk = ids[order], pos[order], ntk[order]
+        boundary = np.concatenate([[True], ids[1:] != ids[:-1]])
+        starts = np.flatnonzero(boundary)
+        ends = np.concatenate([starts[1:], [len(ids)]])
+        gap = np.empty(len(ids), dtype=np.int64)
+        gap[:-1] = np.minimum(L, pos[1:] - pos[:-1])
+        gap[ends - 1] = L                    # each run's last window
+        csum = np.concatenate([[0], np.cumsum(gap)])
+        covered = csum[ends] - csum[starts]
+        return pa.table({
+            "doc_id": pa.array(ids[starts], pa.int64()),
+            "n_tokens": pa.array(ntk[starts], pa.int64()),
+            "dup_windows": pa.array(ends - starts, pa.int64()),
+            "covered_tokens": pa.array(covered, pa.int64()),
+        })
+
+    wins = docs.map_batches(emit_windows, batch_format="pyarrow")
+    occ = (wins.map_batches(add_wpart, batch_format="pyarrow")
+           .groupby("__wpart")
+           .map_groups(mark_dups, batch_format="pyarrow"))
+    return (occ.map_batches(add_dpart, batch_format="pyarrow")
+            .groupby("__dpart")
+            .map_groups(per_doc, batch_format="pyarrow"))

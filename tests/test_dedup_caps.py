@@ -191,3 +191,61 @@ def test_minhash_return_stats_zero_candidates(ray_session):
     )
     assert pairs.count() == 0
     assert stats.count() == 0
+
+
+def test_duplicate_window_stats_matches_bruteforce(ray_session):
+    """Exact-substring window dedup (duplicate_window_stats) equals a
+    brute-force window-text reference: duplicate = token window
+    occurring >= 2 times corpus-wide (incl. same-doc repeats);
+    coverage = union of fixed-length intervals."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import duplicate_window_stats
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = []
+    for i in range(60):
+        n = int(rng.integers(0, 40))
+        docs.append({"doc_id": i,
+                     "text": " ".join(rng.choice(vocab, n))})
+    span = "a b c d e f g h i j"
+    docs[3]["text"] = span + " tail one"
+    docs[9]["text"] = "head " + span
+    docs[20]["text"] = span + " mid " + span      # same-doc repeat
+    L = 8
+
+    wins = Counter()
+    for d in docs:
+        toks = d["text"].split()
+        for p in range(len(toks) - L + 1):
+            wins[tuple(toks[p:p + L])] += 1
+    ref = {}
+    for d in docs:
+        toks = d["text"].split()
+        occ = [p for p in range(len(toks) - L + 1)
+               if wins[tuple(toks[p:p + L])] >= 2]
+        if occ:
+            cov, last_end = 0, -1
+            for p in occ:
+                cov += max(0, p + L - max(p, last_end))
+                last_end = max(last_end, p + L)
+            ref[d["doc_id"]] = (len(toks), len(occ), cov)
+    assert {3, 9, 20} <= set(ref)
+
+    out = duplicate_window_stats(rd.from_items(docs), window=L,
+                                 num_partitions=4).take_all()
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_windows"],
+                         r["covered_tokens"]) for r in out}
+    assert got == ref
+
+
+def test_duplicate_window_guards():
+    import pytest as _pytest
+
+    from gdal_ray.stages.dedup import duplicate_window_stats
+
+    with _pytest.raises(ValueError, match="window"):
+        duplicate_window_stats(None, window=1)
