@@ -22,7 +22,7 @@ import struct
 RASTER_DRIVERS = (
     "gtiff png jpeg webp gif bmp pnm hdf5 netcdf grib2 nitf dted "
     "aaigrid envi xyz zarr zarr3 ntv2 gtx mbtiles "
-    "srtmhgt gsag gsbg ehdr saga"
+    "srtmhgt gsag gsbg ehdr saga ers"
 ).split()
 VECTOR_DRIVERS = (
     "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet "
@@ -123,6 +123,8 @@ def identify(path: str) -> str:
     if low.startswith(b"version") and os.path.exists(
             os.path.splitext(path)[0] + ".mid"):
         return "mif"
+    if low.startswith(b"datasetheader begin"):
+        return "ers"
     # ASCII DXF: the first group-code pair is "0"/"SECTION"
     if low[:1] == b"0" and b"section" in low.replace(b"\r", b""):
         return "dxf"
@@ -239,6 +241,10 @@ def open_raster(path: str) -> dict:
         from .terrain_rasters import read_saga
 
         return {"driver": drv, **read_saga(path)}
+    if drv == "ers":
+        from .terrain_rasters import read_ers
+
+        return {"driver": drv, **read_ers(path)}
     if drv == "xyz":
         from .dted import read_xyz
 

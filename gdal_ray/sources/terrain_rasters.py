@@ -427,3 +427,140 @@ def read_saga(path: str) -> dict:
             "xmin": float(kv.get("POSITION_XMIN", "0")),
             "ymin": float(kv.get("POSITION_YMIN", "0")),
             "cellsize": float(kv.get("CELLSIZE", "1"))}
+
+
+# ------------------------------------------------------------- ERS
+
+_ERS_CELLTYPES = {
+    np.dtype(np.uint8): "Unsigned8BitInteger",
+    np.dtype(np.int8): "Signed8BitInteger",
+    np.dtype(np.uint16): "Unsigned16BitInteger",
+    np.dtype(np.int16): "Signed16BitInteger",
+    np.dtype(np.uint32): "Unsigned32BitInteger",
+    np.dtype(np.int32): "Signed32BitInteger",
+    np.dtype(np.float32): "IEEE4ByteReal",
+    np.dtype(np.float64): "IEEE8ByteReal",
+}
+_ERS_CELLTYPES_INV = {v: k for k, v in _ERS_CELLTYPES.items()}
+
+
+def write_ers(path: str, img: np.ndarray, *,
+              registration: tuple[float, float] | None = None,
+              dims: tuple[float, float] = (1.0, 1.0),
+              byteorder: str = "LSBFirst") -> None:
+    """ERMapper ERS: ``path`` is the ``.ers`` header; the flat binary
+    companion (BIL interleave, the format's fixed layout) is the same
+    name without the extension (``ersdataset.cpp:1348-1453``).
+    ``img`` is (bands, rows, cols) or (rows, cols); ``registration``
+    = (eastings, northings) of the top-left corner."""
+    if not path.endswith(".ers"):
+        raise ValueError("ERS header path must end in .ers")
+    a = np.asarray(img)
+    if a.ndim == 2:
+        a = a[None]
+    if a.ndim != 3:
+        raise ValueError("ERS wants (bands, rows, cols)")
+    ct = _ERS_CELLTYPES.get(a.dtype)
+    if ct is None:
+        raise ValueError(f"ERS: unsupported dtype {a.dtype} "
+                         f"(supported: {sorted(map(str, _ERS_CELLTYPES))})")
+    if byteorder not in ("LSBFirst", "MSBFirst"):
+        raise ValueError("ByteOrder is LSBFirst or MSBFirst")
+    nb, ny, nx = a.shape
+    bil = np.ascontiguousarray(a.transpose(1, 0, 2)).astype(
+        a.dtype.newbyteorder("<" if byteorder == "LSBFirst" else ">"))
+    bin_path = path[:-4]
+    tmp = bin_path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(bil.tobytes())
+    os.replace(tmp, bin_path)
+    lines = [
+        "DatasetHeader Begin",
+        '\tVersion\t\t = "6.0"',
+        f'\tName\t\t= "{os.path.basename(path)}"',
+        "\tDataSetType\t= ERStorage",
+        "\tDataType\t= Raster",
+        f"\tByteOrder\t= {byteorder}",
+        "\tRasterInfo Begin",
+        f"\t\tCellType\t= {ct}",
+        f"\t\tNrOfLines\t= {ny}",
+        f"\t\tNrOfCellsPerLine\t= {nx}",
+        f"\t\tNrOfBands\t= {nb}",
+    ]
+    if registration is not None:
+        lines += [
+            "\t\tCellInfo Begin",
+            f"\t\t\tXdimension\t= {dims[0]!r}",
+            f"\t\t\tYdimension\t= {dims[1]!r}",
+            "\t\tCellInfo End",
+            "\t\tRegistrationCoord Begin",
+            f"\t\t\tEastings\t= {registration[0]!r}",
+            f"\t\t\tNorthings\t= {registration[1]!r}",
+            "\t\tRegistrationCoord End",
+        ]
+    lines += ["\tRasterInfo End", "DatasetHeader End"]
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+
+
+def _ers_header(path: str) -> dict[str, str]:
+    """Flatten the nested Begin/End blocks to the dotted keys the
+    reference uses ('RasterInfo.NrOfLines', ...)."""
+    kv: dict[str, str] = {}
+    stack: list[str] = []
+    with open(path) as fh:
+        for ln in fh:
+            s = ln.strip()
+            if not s:
+                continue
+            if s.endswith("Begin"):
+                name = s[:-5].strip()
+                if name != "DatasetHeader":
+                    stack.append(name)
+                continue
+            if s.endswith("End"):
+                if stack:
+                    stack.pop()
+                continue
+            if "=" in s:
+                k, v = s.split("=", 1)
+                key = ".".join(stack + [k.strip()])
+                kv[key] = v.strip().strip('"')
+    return kv
+
+
+def read_ers(path: str) -> dict:
+    """Read the ``.ers`` header + BIL companion -> dict(img (bands,
+    rows, cols), registration, dims, celltype)."""
+    kv = _ers_header(path)
+    for need in ("RasterInfo.NrOfLines", "RasterInfo.NrOfCellsPerLine",
+                 "RasterInfo.NrOfBands"):
+        if need not in kv:
+            raise ValueError(f"{path}: missing {need}")
+    ny = int(kv["RasterInfo.NrOfLines"])
+    nx = int(kv["RasterInfo.NrOfCellsPerLine"])
+    nb = int(kv["RasterInfo.NrOfBands"])
+    ct = kv.get("RasterInfo.CellType", "Unsigned8BitInteger")
+    dt = _ERS_CELLTYPES_INV.get(ct)
+    if dt is None:
+        raise ValueError(f"{path}: CellType {ct!r} unsupported")
+    lsb = kv.get("ByteOrder", "LSBFirst") == "LSBFirst"
+    dtype = np.dtype(dt).newbyteorder("<" if lsb else ">")
+    raw = np.fromfile(path[:-4], dtype=dtype)
+    if raw.size != nb * ny * nx:
+        raise ValueError(f"{path[:-4]}: expected {nb * ny * nx} "
+                         f"samples, got {raw.size}")
+    img = raw.reshape(ny, nb, nx).transpose(1, 0, 2)
+    out = {"img": np.ascontiguousarray(
+        img.astype(img.dtype.newbyteorder("="))), "celltype": ct,
+        "registration": None, "dims": None}
+    if "RasterInfo.RegistrationCoord.Eastings" in kv:
+        out["registration"] = (
+            float(kv["RasterInfo.RegistrationCoord.Eastings"]),
+            float(kv["RasterInfo.RegistrationCoord.Northings"]))
+        out["dims"] = (
+            float(kv.get("RasterInfo.CellInfo.Xdimension", "1")),
+            float(kv.get("RasterInfo.CellInfo.Ydimension", "1")))
+    return out

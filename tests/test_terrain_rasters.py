@@ -227,3 +227,50 @@ def test_registry_identifies_terrain_formats(tmp_path):
     ep = str(tmp_path / "e.img")
     write_envi(ep, g.astype(np.float32))
     assert identify(ep) == "envi"
+
+
+@pytest.mark.parametrize("dtype,bo", [(np.uint8, "LSBFirst"),
+                                      (np.int16, "LSBFirst"),
+                                      (np.float32, "MSBFirst"),
+                                      (np.float64, "LSBFirst")])
+def test_ers_header_anchor_and_roundtrip(tmp_path, dtype, bo):
+    from gdal_ray.sources.terrain_rasters import read_ers, write_ers
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(1, 100, (2, 4, 5)).astype(dtype)
+    p = str(tmp_path / f"e_{np.dtype(dtype).name}.ers")
+    write_ers(p, img, registration=(500000.0, 4200000.0),
+              dims=(30.0, 30.0), byteorder=bo)
+    txt = open(p).read()
+    assert txt.startswith("DatasetHeader Begin\n")
+    assert f"ByteOrder\t= {bo}" in txt
+    assert "NrOfLines\t= 4" in txt
+    assert "NrOfCellsPerLine\t= 5" in txt
+    assert "NrOfBands\t= 2" in txt
+    assert txt.rstrip().endswith("DatasetHeader End")
+    m = read_ers(p)
+    np.testing.assert_array_equal(m["img"], img)
+    assert m["registration"] == (500000.0, 4200000.0)
+    assert m["dims"] == (30.0, 30.0)
+    # BIL on disk: first row of band 0 then first row of band 1
+    raw = np.fromfile(p[:-4], dtype=np.dtype(dtype).newbyteorder(
+        "<" if bo == "LSBFirst" else ">"))
+    np.testing.assert_array_equal(raw[:5].astype(dtype), img[0, 0])
+    np.testing.assert_array_equal(raw[5:10].astype(dtype), img[1, 0])
+
+
+def test_ers_registry_and_guards(tmp_path):
+    from gdal_ray.sources.registry import identify, open_raster
+    from gdal_ray.sources.terrain_rasters import write_ers
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    p = str(tmp_path / "r.ers")
+    write_ers(p, img)
+    assert identify(p) == "ers"
+    out = open_raster(p)
+    np.testing.assert_array_equal(out["img"][0], img)
+    with pytest.raises(ValueError, match="end in .ers"):
+        write_ers(str(tmp_path / "bad.hdr"), img)
+    with pytest.raises(ValueError, match="unsupported dtype"):
+        write_ers(str(tmp_path / "c.ers"),
+                  np.zeros((2, 2), np.complex64))
