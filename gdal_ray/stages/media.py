@@ -496,3 +496,177 @@ class SpectralFeatures:
             "status": pa.array(out["status"], pa.string()),
         })
 
+
+
+class SilenceStats:
+    """Actor-pool stage: silence detection per clip — the audio
+    curation gate (trim/drop decisions before training).  Hop-window
+    int64 energies compare EXACTLY against ``threshold`` (mean-square
+    per sample, int64 domain: a window is silent when
+    sum(s^2) < threshold * win), so engine<->golden rows are integer-
+    exact.  Output per clip: total / silent / leading / trailing
+    silent frame counts and the number of contiguous silent runs.
+    Unsupported codecs -> status='unsupported' counter rows."""
+
+    def __init__(self, win: int = 512, hop: int = 256,
+                 threshold: int = 1000):
+        self.win = win
+        self.hop = hop
+        self.threshold = int(threshold)
+
+    def _stats(self, samples: np.ndarray):
+        n = len(samples)
+        if n < self.win:
+            return 0, 0, 0, 0, 0
+        n_frames = 1 + (n - self.win) // self.hop
+        idx = (np.arange(self.win)[None, :]
+               + np.arange(n_frames)[:, None] * self.hop)
+        frames = samples.astype(np.int64)[idx]
+        energy = (frames * frames).sum(axis=1)
+        silent = energy < self.threshold * self.win
+        n_sil = int(silent.sum())
+        lead = int(np.argmax(~silent)) if not silent.all() else n_frames
+        trail = (int(np.argmax(~silent[::-1]))
+                 if not silent.all() else n_frames)
+        runs = int(np.count_nonzero(np.diff(
+            np.concatenate([[False], silent]).astype(np.int8)) == 1))
+        return n_frames, n_sil, lead, trail, runs
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_pylist()
+        blobs = t.column("bytes").to_pylist()
+        codecs_ = t.column("codec").to_pylist()
+        cols = {k: [] for k in ("media_id", "n_frames", "silent_frames",
+                                "leading_silent", "trailing_silent",
+                                "silent_runs", "status")}
+        for mid, blob, codec in zip(ids, blobs, codecs_):
+            try:
+                samples, _sr = decode_audio(blob, codec)
+            except NotImplementedError:
+                vals = (0, 0, 0, 0, 0)
+                status = "unsupported"
+            else:
+                vals = self._stats(samples)
+                status = "ok"
+            cols["media_id"].append(mid)
+            for k, v in zip(("n_frames", "silent_frames",
+                             "leading_silent", "trailing_silent",
+                             "silent_runs"), vals):
+                cols[k].append(v)
+            cols["status"].append(status)
+        return pa.table({
+            "media_id": pa.array(cols["media_id"], pa.string()),
+            "n_frames": pa.array(cols["n_frames"], pa.int64()),
+            "silent_frames": pa.array(cols["silent_frames"], pa.int64()),
+            "leading_silent": pa.array(cols["leading_silent"], pa.int64()),
+            "trailing_silent": pa.array(cols["trailing_silent"], pa.int64()),
+            "silent_runs": pa.array(cols["silent_runs"], pa.int64()),
+            "status": pa.array(cols["status"], pa.string()),
+        })
+
+
+class LoudnessStats:
+    """Actor-pool stage: clip loudness — RMS and peak in dBFS
+    (full-scale = 32768 for pcm16), from the exact int64 sum of
+    squares with a single float64 finalize.  The curation inputs for
+    too-quiet / clipped-clip filters.  Output: sum_sq (exact int64),
+    n_samples, rms_dbfs, peak_dbfs, clipped sample count
+    (|s| == 32767)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_pylist()
+        blobs = t.column("bytes").to_pylist()
+        codecs_ = t.column("codec").to_pylist()
+        cols = {k: [] for k in ("media_id", "n_samples", "sum_sq",
+                                "rms_dbfs", "peak_dbfs", "clipped",
+                                "status")}
+        for mid, blob, codec in zip(ids, blobs, codecs_):
+            try:
+                samples, _sr = decode_audio(blob, codec)
+            except NotImplementedError:
+                row = (0, 0, float("-inf"), float("-inf"), 0,
+                       "unsupported")
+            else:
+                s = samples.astype(np.int64)
+                n = len(s)
+                ssq = int((s * s).sum())
+                peak = int(np.abs(s).max()) if n else 0
+                rms_db = (20.0 * np.log10(
+                    np.sqrt(ssq / n) / 32768.0)
+                    if ssq > 0 else float("-inf"))
+                pk_db = (20.0 * np.log10(peak / 32768.0)
+                         if peak > 0 else float("-inf"))
+                row = (n, ssq, float(rms_db), float(pk_db),
+                       int((np.abs(s) == 32767).sum()), "ok")
+            cols["media_id"].append(mid)
+            for k, v in zip(("n_samples", "sum_sq", "rms_dbfs",
+                             "peak_dbfs", "clipped", "status"), row):
+                cols[k].append(v)
+        return pa.table({
+            "media_id": pa.array(cols["media_id"], pa.string()),
+            "n_samples": pa.array(cols["n_samples"], pa.int64()),
+            "sum_sq": pa.array(cols["sum_sq"], pa.int64()),
+            "rms_dbfs": pa.array(cols["rms_dbfs"], pa.float64()),
+            "peak_dbfs": pa.array(cols["peak_dbfs"], pa.float64()),
+            "clipped": pa.array(cols["clipped"], pa.int64()),
+            "status": pa.array(cols["status"], pa.string()),
+        })
+
+
+def resample_linear(samples: np.ndarray, src_sr: int,
+                    dst_sr: int) -> np.ndarray:
+    """Deterministic linear-interpolation sample-rate conversion:
+    output length = floor(n * dst/src), sample k taken at source
+    position k * src/dst (float64 interp, rounded to int16 with
+    floor(x+0.5) like the raster kernels)."""
+    if src_sr == dst_sr:
+        return samples.astype(np.int16)
+    n = len(samples)
+    m = int(n * dst_sr // src_sr)
+    pos = np.arange(m, dtype=np.float64) * (src_sr / dst_sr)
+    i0 = np.minimum(pos.astype(np.int64), n - 1)
+    i1 = np.minimum(i0 + 1, n - 1)
+    frac = pos - i0
+    s = samples.astype(np.float64)
+    out = s[i0] * (1.0 - frac) + s[i1] * frac
+    return np.clip(np.floor(out + 0.5), -32768, 32767).astype(np.int16)
+
+
+class AudioResample:
+    """Actor-pool stage: rewrite every clip's payload at ``dst_sr``
+    via :func:`resample_linear` (the batch sample-rate normalization
+    step before feature extraction / training).  Unsupported codecs
+    pass through untouched with status='unsupported'."""
+
+    def __init__(self, dst_sr: int = 16000):
+        self.dst_sr = int(dst_sr)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_pylist()
+        blobs = t.column("bytes").to_pylist()
+        codecs_ = t.column("codec").to_pylist()
+        o_bytes, o_sr, o_n, o_status = [], [], [], []
+        for blob, codec in zip(blobs, codecs_):
+            try:
+                samples, sr = decode_audio(blob, codec)
+            except NotImplementedError:
+                o_bytes.append(blob)
+                o_sr.append(0)
+                o_n.append(0)
+                o_status.append("unsupported")
+                continue
+            out = resample_linear(samples, sr, self.dst_sr)
+            o_bytes.append(encode_audio_pcm16(out, self.dst_sr))
+            o_sr.append(self.dst_sr)
+            o_n.append(len(out))
+            o_status.append("ok")
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(o_bytes, pa.binary()),
+            "codec": pa.array(
+                ["pcm16" if s == "ok" else c
+                 for s, c in zip(o_status, codecs_)], pa.string()),
+            "sr": pa.array(o_sr, pa.int64()),
+            "n_samples": pa.array(o_n, pa.int64()),
+            "status": pa.array(o_status, pa.string()),
+        })

@@ -188,3 +188,93 @@ def test_spectral_features_pure_tones(ray_session):
     for k in ("t1k", "t4k"):
         assert rows[k]["rolloff_hz"] >= rows[k]["centroid_hz"] - 64.0
     assert rows["bad"]["status"] == "unsupported"
+
+
+def test_silence_stats_exact(ray_session):
+    """Silence detection: hand-built clip with silence-tone-silence
+    layout gives exact frame counts (int64-exact energy compares),
+    leading/trailing runs, and unsupported counter rows."""
+    import ray.data as rd
+
+    from gdal_ray.stages.media import SilenceStats, encode_audio_pcm16
+
+    sr = 16000
+    win, hop = 512, 256
+    sil = np.zeros(sr // 2, np.int16)                 # 0.5 s silence
+    t = np.arange(sr) / sr
+    tone = (np.sin(2 * np.pi * 440 * t) * 9000).astype(np.int16)
+    clip = np.concatenate([sil, tone, sil])
+    ds = rd.from_items([
+        {"media_id": "c", "codec": "pcm16",
+         "bytes": encode_audio_pcm16(clip, sr)},
+        {"media_id": "allq", "codec": "pcm16",
+         "bytes": encode_audio_pcm16(np.zeros(4096, np.int16), sr)},
+        {"media_id": "bad", "codec": "mp3", "bytes": b"x"},
+    ])
+    rows = {r["media_id"]: r for r in ds.map_batches(
+        SilenceStats, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"win": win, "hop": hop}).take_all()}
+    c = rows["c"]
+    # exact reference computed the same integer way
+    n = len(clip)
+    n_frames = 1 + (n - win) // hop
+    idx = np.arange(win)[None, :] + np.arange(n_frames)[:, None] * hop
+    fr = clip.astype(np.int64)[idx]
+    silent = (fr * fr).sum(axis=1) < 1000 * win
+    assert c["n_frames"] == n_frames
+    assert c["silent_frames"] == int(silent.sum())
+    assert c["leading_silent"] == int(np.argmax(~silent))
+    assert c["trailing_silent"] == int(np.argmax(~silent[::-1]))
+    assert c["silent_runs"] == 2
+    assert c["status"] == "ok"
+    aq = rows["allq"]
+    assert aq["silent_frames"] == aq["n_frames"] > 0
+    assert aq["leading_silent"] == aq["n_frames"]
+    assert rows["bad"]["status"] == "unsupported"
+
+
+def test_loudness_and_resample(ray_session):
+    """Loudness: full-scale square wave = 0 dBFS RMS and peak with
+    every sample counted clipped; half-scale sine ~= -9.03 dBFS peak.
+    Resample: 8 kHz -> 16 kHz doubles the length and keeps a pure
+    tone's dominant bin; identity resample is bit-exact."""
+    import ray.data as rd
+
+    from gdal_ray.stages.media import (AudioResample, LoudnessStats,
+                                       decode_audio,
+                                       encode_audio_pcm16,
+                                       resample_linear)
+
+    sr = 8000
+    square = np.full(sr, 32767, np.int16)
+    square[::2] = -32767
+    t = np.arange(sr) / sr
+    half = (np.sin(2 * np.pi * 440 * t) * 16384).astype(np.int16)
+    ds = rd.from_items([
+        {"media_id": "sq", "codec": "pcm16",
+         "bytes": encode_audio_pcm16(square, sr)},
+        {"media_id": "half", "codec": "pcm16",
+         "bytes": encode_audio_pcm16(half, sr)},
+    ])
+    rows = {r["media_id"]: r for r in ds.map_batches(
+        LoudnessStats, batch_format="pyarrow",
+        concurrency=1).take_all()}
+    sq = rows["sq"]
+    assert sq["clipped"] == sr
+    assert abs(sq["rms_dbfs"] - 20 * np.log10(32767 / 32768)) < 1e-12
+    assert sq["peak_dbfs"] == sq["rms_dbfs"]
+    assert abs(rows["half"]["peak_dbfs"]
+               - 20 * np.log10(16384 / 32768)) < 1e-6
+
+    # resample stage
+    out = {r["media_id"]: r for r in ds.map_batches(
+        AudioResample, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"dst_sr": 16000}).take_all()}
+    s2, sr2 = decode_audio(bytes(out["half"]["bytes"]), "pcm16")
+    assert sr2 == 16000 and len(s2) == 2 * sr
+    # dominant bin stays at 440 Hz after resampling
+    mag = np.abs(np.fft.rfft(s2.astype(np.float64)))
+    dom = np.fft.rfftfreq(len(s2), 1 / 16000)[mag.argmax()]
+    assert abs(dom - 440.0) < 2.0
+    # identity is bit-exact
+    np.testing.assert_array_equal(resample_linear(half, sr, sr), half)
