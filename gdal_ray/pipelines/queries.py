@@ -718,11 +718,75 @@ FROM perdoc GROUP BY source ORDER BY source
 """
 
 
+def q13_contamination(sf_dir: str):
+    """Benchmark decontamination (pre-training hygiene): documents
+    sharing any 8-token window with the benchmark set (deterministic
+    fixture rule: doc_id % 97 == 0).  Scale shape: benchmark window
+    hashes broadcast once via ray.put; the corpus streams through a
+    single no-shuffle map_batches probe
+    (stages.dedup.contamination_stats)."""
+    import ray
+
+    from ..stages.dedup import (benchmark_window_hashes,
+                                contamination_stats)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def _is_bench(t: pa.Table, keep: bool) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = (ids % 97) == 0
+        return t.filter(pa.array(m if keep else ~m))
+
+    bench = docs.map_batches(
+        lambda t: _is_bench(t, True).select(["text"]),
+        batch_format="pyarrow").take_all()
+    bh = ray.put(benchmark_window_hashes(
+        [r["text"] for r in bench], window=8))
+    corpus = docs.map_batches(lambda t: _is_bench(t, False),
+                              batch_format="pyarrow")
+    stats = contamination_stats(corpus, bh, window=8)
+    joined = R.copartition_equi_join(
+        stats, docs.select_columns(["doc_id", "source"]),
+        lkey="doc_id", rkey="doc_id", num_partitions=8,
+        left_schema=[("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                     ("matched_windows", pa.int64()),
+                     ("first_match_pos", pa.int64())],
+        right_schema=[("doc_id", pa.int64()), ("source", pa.string())])
+    return R.grouped_aggregate(
+        joined, ["source"],
+        [("matched_windows", "count", "n_docs_contam"),
+         ("matched_windows", "sum", "sum_matched")]).sort("source")
+
+
+_Q13C_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+),
+wins AS (
+  SELECT t.doc_id, t.source, u.i AS pos,
+         array_to_string(t.arr[u.i : u.i + 7], ' ') AS w
+  FROM tk t, UNNEST(generate_series(1, len(t.arr) - 7)) AS u(i)
+),
+bwins AS (SELECT DISTINCT w FROM wins WHERE doc_id % 97 = 0),
+occ AS (SELECT doc_id, source FROM wins
+        WHERE doc_id % 97 <> 0 AND w IN (SELECT w FROM bwins)),
+perdoc AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS matched
+           FROM occ GROUP BY doc_id, source)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_contam,
+       CAST(SUM(matched) AS BIGINT) AS sum_matched
+FROM perdoc GROUP BY source ORDER BY source
+"""
+
+
 def q13_dedup(sf_dir: str):
     """Dedup suite: exact content dedup (kind='exact') + exact-
-    substring window dedup (kind='windowdup') as tagged rows."""
+    substring window dedup (kind='windowdup') + benchmark
+    decontamination (kind='contam') as tagged rows."""
     ex = q13_exact_dedup(sf_dir)
     wd = q13_windowdup(sf_dir)
+    cm = q13_contamination(sf_dir)
 
     def tag_ex(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -743,8 +807,18 @@ def q13_dedup(sf_dir: str):
             "v3": pc.cast(t.column("sum_covered"), pa.int64()),
         })
 
+    def tag_cm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array(["contam"] * t.num_rows, pa.string()),
+            "k1": t.column("source"),
+            "v1": pc.cast(t.column("n_docs_contam"), pa.int64()),
+            "v2": pc.cast(t.column("sum_matched"), pa.int64()),
+            "v3": pa.array([0] * t.num_rows, pa.int64()),
+        })
+
     return (ex.map_batches(tag_ex, batch_format="pyarrow")
             .union(wd.map_batches(tag_wd, batch_format="pyarrow"))
+            .union(cm.map_batches(tag_cm, batch_format="pyarrow"))
             .sort(["kind", "k1"]))
 
 
@@ -756,6 +830,10 @@ SELECT * FROM (
   UNION ALL
   SELECT 'windowdup', source, n_docs_dup, sum_dup_windows, sum_covered
   FROM ({_Q13W_SQL.strip()})
+  UNION ALL
+  SELECT 'contam', source, n_docs_contam, sum_matched,
+         CAST(0 AS BIGINT)
+  FROM ({_Q13C_SQL.strip()})
 )
 ORDER BY kind, k1
 """

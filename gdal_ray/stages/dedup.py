@@ -878,3 +878,115 @@ def duplicate_window_stats(docs, *, window: int = 8,
     return (occ.map_batches(add_dpart, batch_format="pyarrow")
             .groupby("__dpart")
             .map_groups(per_doc, batch_format="pyarrow"))
+
+
+def benchmark_window_hashes(texts: list[str], *, window: int = 8
+                            ) -> np.ndarray:
+    """Sorted unique window hashes of a (small) benchmark text set —
+    the broadcast side of :func:`contamination_stats`.  Same
+    vectorized hashing as :func:`duplicate_window_stats`, so engine
+    membership equals window-text membership (collision-free at
+    64 bits)."""
+    L = int(window)
+    toks_all: list[str] = []
+    bounds: list[int] = [0]
+    for x in texts:
+        toks_all.extend((x or "").split())
+        bounds.append(len(toks_all))
+    n = len(toks_all) - L + 1
+    if n <= 0:
+        return np.empty(0, np.uint64)
+    th = _fnv1a_tokens(toks_all)
+    P = np.uint64(1099511628211)
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(L):
+        h = h * P + th[j:j + n]
+    # mask windows crossing text boundaries
+    b = np.asarray(bounds[1:-1], np.int64)
+    start_doc = np.searchsorted(b, np.arange(n), side="right")
+    end_doc = np.searchsorted(b, np.arange(n) + L - 1, side="right")
+    return np.unique(h[start_doc == end_doc])
+
+
+def contamination_stats(docs, bench_hashes, *, window: int = 8,
+                        content_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Benchmark decontamination — the pre-training hygiene step
+    (WMDP/GSM8K-style n-gram overlap checks): flag documents sharing
+    any ``window``-token span with a benchmark set.
+
+    Scale shape: the benchmark's window hashes are broadcast ONCE
+    (``ray.put`` of the sorted array from
+    :func:`benchmark_window_hashes`; pass the ObjectRef — every task
+    reads it zero-copy from the object store), and the corpus streams
+    through a single ``map_batches`` with NO shuffle: each batch
+    hashes its windows vectorized and membership is a single
+    ``searchsorted`` probe.  Returns (doc_id, n_tokens,
+    matched_windows, first_match_pos) for documents with >= 1 match.
+    """
+    import ray
+
+    L = int(window)
+    if L < 2:
+        raise ValueError("window must be >= 2 tokens")
+    if not isinstance(bench_hashes, ray.ObjectRef):
+        bench_hashes = ray.put(np.asarray(bench_hashes, np.uint64))
+
+    def probe(t: pa.Table) -> pa.Table:
+        bh = ray.get(bench_hashes)
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(content_col).to_pylist()
+        all_toks: list[str] = []
+        tok_start: list[int] = []
+        doc_nt: list[int] = []
+        doc_ids: list[int] = []
+        start = 0
+        for did, x in zip(ids, texts):
+            toks = (x or "").split()
+            if not toks:
+                continue
+            all_toks.extend(toks)
+            doc_ids.append(did)
+            doc_nt.append(len(toks))
+            tok_start.append(start)
+            start += len(toks)
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "matched_windows": pa.array([], pa.int64()),
+            "first_match_pos": pa.array([], pa.int64()),
+        })
+        ntot = len(all_toks)
+        n = ntot - L + 1
+        if n <= 0 or len(bh) == 0:
+            return empty
+        th = _fnv1a_tokens(all_toks)
+        P = np.uint64(1099511628211)
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(L):
+            h = h * P + th[j:j + n]
+        nt_arr = np.asarray(doc_nt, np.int64)
+        didx = np.repeat(np.arange(len(doc_nt), dtype=np.int64), nt_arr)
+        tpos = np.arange(ntot, dtype=np.int64) - np.repeat(
+            np.asarray(tok_start, np.int64), nt_arr)
+        valid = didx[:n] == didx[L - 1:]
+        loc = np.searchsorted(bh, h[:n])
+        loc[loc >= len(bh)] = len(bh) - 1
+        hit = valid & (bh[loc] == h[:n])
+        if not hit.any():
+            return empty
+        hi = np.flatnonzero(hit)
+        hd = didx[hi]
+        # per-doc count + first position (hits are in doc order)
+        first_mask = np.concatenate([[True], hd[1:] != hd[:-1]])
+        starts = np.flatnonzero(first_mask)
+        counts = np.diff(np.concatenate([starts, [len(hd)]]))
+        return pa.table({
+            "doc_id": pa.array(
+                np.asarray(doc_ids, np.int64)[hd[starts]], pa.int64()),
+            "n_tokens": pa.array(nt_arr[hd[starts]], pa.int64()),
+            "matched_windows": pa.array(counts, pa.int64()),
+            "first_match_pos": pa.array(tpos[hi[starts]], pa.int64()),
+        })
+
+    return docs.map_batches(probe, batch_format="pyarrow")

@@ -249,3 +249,45 @@ def test_duplicate_window_guards():
 
     with _pytest.raises(ValueError, match="window"):
         duplicate_window_stats(None, window=1)
+
+
+def test_contamination_stats_crafted(ray_session):
+    """Benchmark decontamination: docs sharing an 8-token span with
+    the broadcast benchmark set are flagged with exact match counts
+    and first positions; clean docs are absent."""
+    import ray
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import (benchmark_window_hashes,
+                                       contamination_stats)
+
+    bench = ["the quick brown fox jumps over the lazy dog tonight",
+             "one two three four five six seven eight nine ten"]
+    bh = benchmark_window_hashes(bench, window=8)
+    assert len(bh) > 0
+    docs = [
+        {"doc_id": 1, "text": "prefix the quick brown fox jumps over "
+                              "the lazy dog suffix"},
+        {"doc_id": 2, "text": "totally unrelated words with no "
+                              "overlap at all here now"},
+        {"doc_id": 3, "text": "one two three four five six seven "
+                              "eight nine ten and more"},
+        {"doc_id": 4, "text": "short"},
+    ]
+    out = {r["doc_id"]: r for r in contamination_stats(
+        rd.from_items(docs), ray.put(bh), window=8).take_all()}
+    assert set(out) == {1, 3}
+    # doc 1: bench windows inside "the quick ... dog" (9 tokens -> 2
+    # windows), both present starting at token 1
+    assert out[1]["first_match_pos"] == 1
+    assert out[1]["matched_windows"] == 2
+    # doc 3: "one..ten" = 10 tokens -> 3 bench windows present at 0
+    assert out[3]["first_match_pos"] == 0
+    assert out[3]["matched_windows"] == 3
+    # boundary windows spanning two benchmark texts are NOT benchmark
+    # windows: a doc gluing the two texts' edge tokens stays clean
+    glue = "lazy dog tonight one two three four five"
+    out2 = contamination_stats(
+        rd.from_items([{"doc_id": 9, "text": glue}]), ray.put(bh),
+        window=8).take_all()
+    assert out2 == []
