@@ -22,7 +22,7 @@ import struct
 RASTER_DRIVERS = (
     "gtiff png jpeg webp gif bmp pnm hdf5 netcdf grib2 nitf dted "
     "aaigrid envi xyz zarr zarr3 ntv2 gtx mbtiles "
-    "srtmhgt gsag gsbg ehdr saga ers"
+    "srtmhgt gsag gsbg ehdr saga ers zmap rst"
 ).split()
 VECTOR_DRIVERS = (
     "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet "
@@ -125,6 +125,16 @@ def identify(path: str) -> str:
         return "mif"
     if low.startswith(b"datasetheader begin"):
         return "ers"
+    if low.startswith(b"!") or low.startswith(b"@"):
+        # ZMap: '!' comments then '@<name>, GRID, n'
+        body = head.replace(b"\r", b"").split(b"\n")
+        for bl in body:
+            bs = bl.strip()
+            if not bs or bs.startswith(b"!"):
+                continue
+            if bs.startswith(b"@") and b"grid" in bs.lower():
+                return "zmap"
+            break
     # ASCII DXF: the first group-code pair is "0"/"SECTION"
     if low[:1] == b"0" and b"section" in low.replace(b"\r", b""):
         return "dxf"
@@ -141,6 +151,9 @@ def identify(path: str) -> str:
     if ext == ".sdat" and os.path.exists(
             os.path.splitext(path)[0] + ".sgrd"):
         return "saga"
+    if ext == ".rst" and os.path.exists(
+            os.path.splitext(path)[0] + ".rdc"):
+        return "rst"
     if ext == ".gtx":
         return "gtx"
     if ext == ".mif":
@@ -245,6 +258,14 @@ def open_raster(path: str) -> dict:
         from .terrain_rasters import read_ers
 
         return {"driver": drv, **read_ers(path)}
+    if drv == "zmap":
+        from .terrain_rasters import read_zmap
+
+        return {"driver": drv, **read_zmap(path)}
+    if drv == "rst":
+        from .terrain_rasters import read_rst
+
+        return {"driver": drv, **read_rst(path)}
     if drv == "xyz":
         from .dted import read_xyz
 

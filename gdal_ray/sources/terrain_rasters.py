@@ -564,3 +564,196 @@ def read_ers(path: str) -> dict:
             float(kv.get("RasterInfo.CellInfo.Xdimension", "1")),
             float(kv.get("RasterInfo.CellInfo.Ydimension", "1")))
     return out
+
+
+# ------------------------------------------------------------- ZMap
+
+def write_zmap(path: str, grid: np.ndarray, *, xmin: float = 0.0,
+               ymax: float = 0.0, cellsize: float = 1.0,
+               nodata: float = 1.0e30,
+               values_per_line: int = 4) -> None:
+    """ZMap Plus ASCII grid (``frmts/zmap/zmapdataset.cpp:596-700``):
+    '!' comments, '@<name>, GRID, n' header, field-size/nodata/
+    decimals line, rows/cols/extent line, '0.0, 0.0, 0.0', '@', then
+    COLUMN-ORIENTED data — for each column west->east the values run
+    NORTH to SOUTH, ``values_per_line`` per line with an EOL at the
+    end of every column (the reference's default)."""
+    a = np.asarray(grid, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError("ZMap grids are single-band 2-D")
+    ny, nx = a.shape
+    fs, nd = 20, 7
+    xmax = xmin + cellsize * nx
+    ymin = ymax - cellsize * ny
+
+    def rj(v, width, dec=None):
+        s = (f"{v:.{dec}f}" if dec is not None else str(v))
+        return s.rjust(width)
+
+    lines = [
+        "!", "! Created by gdal_ray.", "!",
+        f"@GRID FILE, GRID, {values_per_line}",
+        f"{rj(fs, 10)},{rj(nodata, fs, nd)},{rj('', 10)},"
+        f"{rj(nd, 10)},{rj(1, 10)}",
+        f"{rj(ny, 10)},{rj(nx, 10)},{rj(xmin, 14, 7)},"
+        f"{rj(xmax, 14, 7)},{rj(ymin, 14, 7)},{rj(ymax, 14, 7)}",
+        "0.0, 0.0, 0.0",
+        "@",
+    ]
+    body = np.where(np.isnan(a), nodata, a)
+    for x in range(nx):
+        col = body[:, x]                 # north to south
+        for s in range(0, ny, values_per_line):
+            chunk = col[s:s + values_per_line]
+            lines.append("".join(rj(v, fs, nd) for v in chunk))
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+
+
+def read_zmap(path: str) -> dict:
+    """-> dict(grid north-first float64 with nodata as NaN, xmin,
+    ymax, cellsize, nodata)."""
+    with open(path) as fh:
+        raw = [ln for ln in fh.read().splitlines()
+               if not ln.lstrip().startswith("!")]
+    if not raw or not raw[0].lstrip().startswith("@"):
+        raise ValueError(f"{path}: missing @GRID header")
+    hdr1 = raw[0].split(",")
+    if len(hdr1) < 3 or hdr1[1].strip().upper() != "GRID":
+        raise ValueError(f"{path}: not a ZMap GRID header")
+    hdr2 = raw[1].split(",")
+    nodata = float(hdr2[1])
+    hdr3 = raw[2].split(",")
+    ny, nx = int(hdr3[0]), int(hdr3[1])
+    xmin, xmax, ymin, ymax = (float(v) for v in hdr3[2:6])
+    at = 3
+    while at < len(raw) and raw[at].strip() != "@":
+        at += 1
+    vals: list[float] = []
+    for ln in raw[at + 1:]:
+        vals += [float(v) for v in ln.split()]
+    if len(vals) != nx * ny:
+        raise ValueError(f"{path}: expected {nx * ny} values, "
+                         f"got {len(vals)}")
+    grid = np.array(vals).reshape(nx, ny).T.copy()   # columns -> rows
+    grid[grid == nodata] = np.nan
+    cell = (xmax - xmin) / nx if nx else 1.0
+    return {"grid": grid, "xmin": xmin, "ymax": ymax,
+            "cellsize": cell, "nodata": nodata}
+
+
+# -------------------------------------------------------- Idrisi RST
+
+_RST_TYPES = {
+    np.dtype(np.uint8): "byte",
+    np.dtype(np.int16): "integer",
+    np.dtype(np.float32): "real",
+}
+_RST_TYPES_INV = {v: k for k, v in _RST_TYPES.items()}
+
+
+def write_rst(path: str, img: np.ndarray, *,
+              extent: tuple[float, float, float, float] | None = None,
+              ref_system: str = "plane") -> None:
+    """Idrisi raster (``frmts/idrisi/IdrisiDataset.cpp``): ``.rst``
+    little-endian row-major binary (north row first) + the fixed
+    12-char-key ``.rdc`` document sidecar.  ``img`` (rows, cols) of
+    uint8/int16/float32, or (rows, cols, 3) uint8 -> ``rgb24``
+    (stored BGR per the reference's band order).  ``extent`` =
+    (min_x, max_x, min_y, max_y)."""
+    if not path.endswith(".rst"):
+        raise ValueError("Idrisi raster path must end in .rst")
+    a = np.asarray(img)
+    if a.ndim == 3:
+        if a.shape[2] != 3 or a.dtype != np.uint8:
+            raise ValueError("RST rgb24 wants (rows, cols, 3) uint8")
+        dtype_name = "rgb24"
+        payload = a[:, :, ::-1]          # BGR on disk
+        ny, nx = a.shape[:2]
+        mn, mx = float(a.min()), float(a.max())
+    else:
+        if a.ndim != 2:
+            raise ValueError("RST wants (rows, cols)")
+        dtype_name = _RST_TYPES.get(a.dtype)
+        if dtype_name is None:
+            raise ValueError(f"RST: unsupported dtype {a.dtype} "
+                             "(byte/integer/real/rgb24)")
+        payload = a
+        ny, nx = a.shape
+        mn, mx = float(a.min()), float(a.max())
+    if extent is None:
+        extent = (0.0, float(nx), 0.0, float(ny))
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(np.ascontiguousarray(
+            payload.astype(payload.dtype.newbyteorder("<"))).tobytes())
+    os.replace(tmp, path)
+    rdc = path[:-4] + ".rdc"
+    lines = [
+        "file format : Idrisi Raster A.1",
+        f"file title  : {os.path.basename(path)}",
+        f"data type   : {dtype_name}",
+        "file type   : binary",
+        f"columns     : {nx}",
+        f"rows        : {ny}",
+        f"ref. system : {ref_system}",
+        "ref. units  : m",
+        "unit dist.  : 1.0000000",
+        f"min. X      : {extent[0]!r}",
+        f"max. X      : {extent[1]!r}",
+        f"min. Y      : {extent[2]!r}",
+        f"max. Y      : {extent[3]!r}",
+        "pos'n error : unknown",
+        "resolution  : unknown",
+        f"min. value  : {mn!r}",
+        f"max. value  : {mx!r}",
+        f"display min : {mn!r}",
+        f"display max : {mx!r}",
+        "value units : unspecified",
+        "value error : unknown",
+        "flag value  : none",
+        "flag def'n  : none",
+        "legend cats : 0",
+    ]
+    tmp = rdc + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, rdc)
+
+
+def read_rst(path: str) -> dict:
+    """Read ``.rst`` via its ``.rdc`` -> dict(img (rows, cols) or
+    (rows, cols, 3) for rgb24, dtype_name, extent)."""
+    rdc = path[:-4] + ".rdc" if path.endswith(".rst") else None
+    if rdc is None or not os.path.exists(rdc):
+        raise ValueError(f"{path}: missing .rdc sidecar")
+    kv: dict[str, str] = {}
+    with open(rdc) as fh:
+        for ln in fh:
+            if ":" in ln:
+                k, v = ln.split(":", 1)
+                kv[k.strip()] = v.strip()
+    nx = int(kv["columns"])
+    ny = int(kv["rows"])
+    dtype_name = kv.get("data type", "byte")
+    extent = tuple(float(kv[k]) for k in
+                   ("min. X", "max. X", "min. Y", "max. Y")) \
+        if "min. X" in kv else None
+    if dtype_name == "rgb24":
+        raw = np.fromfile(path, dtype=np.uint8)
+        if raw.size != ny * nx * 3:
+            raise ValueError(f"{path}: truncated rgb24 payload")
+        img = raw.reshape(ny, nx, 3)[:, :, ::-1].copy()   # BGR -> RGB
+    else:
+        dt = _RST_TYPES_INV.get(dtype_name)
+        if dt is None:
+            raise ValueError(f"{rdc}: data type {dtype_name!r} "
+                             "unsupported")
+        raw = np.fromfile(path, dtype=np.dtype(dt).newbyteorder("<"))
+        if raw.size != ny * nx:
+            raise ValueError(f"{path}: truncated payload")
+        img = np.ascontiguousarray(
+            raw.reshape(ny, nx).astype(np.dtype(dt)))
+    return {"img": img, "dtype_name": dtype_name, "extent": extent}

@@ -274,3 +274,67 @@ def test_ers_registry_and_guards(tmp_path):
     with pytest.raises(ValueError, match="unsupported dtype"):
         write_ers(str(tmp_path / "c.ers"),
                   np.zeros((2, 2), np.complex64))
+
+
+def test_zmap_anchors_and_column_order(tmp_path):
+    from gdal_ray.sources.terrain_rasters import read_zmap, write_zmap
+
+    g = np.arange(12.0).reshape(3, 4)
+    g[1, 2] = np.nan
+    p = str(tmp_path / "z.dat")
+    write_zmap(p, g, xmin=100.0, ymax=500.0, cellsize=10.0,
+               nodata=-99.0)
+    lines = open(p).read().splitlines()
+    assert lines[0] == "!"
+    assert lines[3] == "@GRID FILE, GRID, 4"
+    assert lines[7] == "@"
+    # column-oriented: first data line = column 0 north->south
+    first = [float(v) for v in lines[8].split()]
+    assert first == [0.0, 4.0, 8.0]
+    # nodata appears in column 2's line
+    col2 = [float(v) for v in lines[10].split()]
+    assert col2 == [2.0, -99.0, 10.0]
+    m = read_zmap(p)
+    assert (m["xmin"], m["ymax"], m["cellsize"]) == (100.0, 500.0, 10.0)
+    np.testing.assert_array_equal(np.isnan(m["grid"]), np.isnan(g))
+    np.testing.assert_allclose(m["grid"][~np.isnan(g)], g[~np.isnan(g)])
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.float32])
+def test_rst_dtypes_and_rdc_anchor(tmp_path, dtype):
+    from gdal_ray.sources.terrain_rasters import read_rst, write_rst
+
+    img = np.arange(20, dtype=dtype).reshape(4, 5)
+    p = str(tmp_path / f"r_{np.dtype(dtype).name}.rst")
+    write_rst(p, img, extent=(10.0, 60.0, 20.0, 60.0))
+    rdc = open(p[:-4] + ".rdc").read()
+    assert rdc.startswith("file format : Idrisi Raster A.1\n")
+    assert "columns     : 5" in rdc
+    assert "rows        : 4" in rdc
+    want_t = {"uint8": "byte", "int16": "integer",
+              "float32": "real"}[np.dtype(dtype).name]
+    assert f"data type   : {want_t}" in rdc
+    m = read_rst(p)
+    np.testing.assert_array_equal(m["img"], img)
+    assert m["extent"] == (10.0, 60.0, 20.0, 60.0)
+
+
+def test_rst_rgb24_bgr_and_registry(tmp_path):
+    from gdal_ray.sources.registry import identify, open_raster
+    from gdal_ray.sources.terrain_rasters import (read_rst, write_rst,
+                                                  write_zmap)
+
+    rng = np.random.default_rng(6)
+    rgb = rng.integers(0, 255, (4, 5, 3)).astype(np.uint8)
+    p = str(tmp_path / "c.rst")
+    write_rst(p, rgb)
+    raw = open(p, "rb").read(3)
+    assert raw[0] == rgb[0, 0, 2] and raw[2] == rgb[0, 0, 0]  # BGR
+    m = read_rst(p)
+    np.testing.assert_array_equal(m["img"], rgb)
+    assert identify(p) == "rst"
+    assert open_raster(p)["dtype_name"] == "rgb24"
+    zp = str(tmp_path / "z.dat")
+    write_zmap(zp, np.ones((2, 2)))
+    assert identify(zp) == "zmap"
+    assert open_raster(zp)["driver"] == "zmap"
