@@ -2431,6 +2431,18 @@ SELECT 'CROSSNE' AS region_name,
        MAX(r.r_regionkey + 0.0) AS hi_bal,
        CAST(1 AS BIGINT) AS key_rank
 FROM nation n JOIN region r ON n.n_regionkey < r.r_regionkey
+UNION ALL
+SELECT CONCAT('RU_', COALESCE(CAST(c_nationkey AS VARCHAR), 'ALL'))
+           AS region_name,
+       COUNT(*) AS n_cust,
+       COUNT(DISTINCT c_nationkey) AS n_nat,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       MIN(c_acctbal) AS lo_bal,
+       MAX(c_acctbal) AS hi_bal,
+       CAST(1 AS BIGINT) AS key_rank
+FROM customer
+WHERE c_acctbal > 0
+GROUP BY ROLLUP (c_nationkey)
 ORDER BY region_name ASC
 """
 

@@ -590,7 +590,16 @@ def _eval(node, t: pa.Table):
             _eval(node[1], t), _eval(node[2], t).as_py(), ignore_case=True
         )
     if op == "coalesce":
-        return pc.coalesce(*(_eval(a, t) for a in node[1:]))
+        vals = [_eval(a, t) for a in node[1:]]
+        # a null-TYPED argument (e.g. a rolled-up group key replaced
+        # by a NULL literal) is always NULL — drop it, pyarrow's
+        # kernel has no (null, T) signature
+        typed = [v for v in vals if v.type != pa.null()]
+        if not typed:
+            return vals[0]
+        if len(typed) == 1:
+            return typed[0]
+        return pc.coalesce(*typed)
     if op == "nullif":
         a = _eval(node[1], t)
         eq = pc.fill_null(pc.equal(a, _eval(node[2], t)), False)
@@ -759,15 +768,34 @@ def _parse_one(p: "_Parser", sub: bool = False) -> dict:
     if p.accept("kw", "where"):
         where = p.expr()
     group = []
+    group_mode = None
     if p.accept("kw", "group"):
         p.expect("kw", "by")
-        while True:
-            g = p.expr()
-            if _has_agg(g):
-                raise ValueError("aggregates are not allowed in GROUP BY")
-            group.append(g)
-            if not p.accept("op", ","):
-                break
+        nk, nv = p.peek()
+        if nk == "ident" and nv.lower() in ("rollup", "cube"):
+            # GROUP BY ROLLUP (a, b) / CUBE (a, b): executed as the
+            # standard grouping-set expansion (_run_grouping_sets)
+            group_mode = nv.lower()
+            p.next()
+            p.expect("op", "(")
+            while True:
+                g = p.expr()
+                if _has_agg(g):
+                    raise ValueError(
+                        "aggregates are not allowed in GROUP BY")
+                group.append(g)
+                if not p.accept("op", ","):
+                    break
+            p.expect("op", ")")
+        else:
+            while True:
+                g = p.expr()
+                if _has_agg(g):
+                    raise ValueError(
+                        "aggregates are not allowed in GROUP BY")
+                group.append(g)
+                if not p.accept("op", ","):
+                    break
     having = None
     if p.accept("kw", "having"):
         having = p.expr()
@@ -801,8 +829,8 @@ def _parse_one(p: "_Parser", sub: bool = False) -> dict:
         raise ValueError(f"trailing tokens at {p.peek()}")
     return {"items": items, "table": table, "table_alias": table_alias,
             "derived": derived, "joins": joins, "where": where,
-            "group": group, "having": having, "order": order,
-            "limit": limit, "offset": offset,
+            "group": group, "group_mode": group_mode, "having": having,
+            "order": order, "limit": limit, "offset": offset,
             "distinct": select_distinct, "union_next": union_next}
 
 
@@ -2837,9 +2865,126 @@ def _lower_group_exprs(plan: dict, tables: dict, num_partitions: int):
     return plan, tables
 
 
+def _run_grouping_sets(plan: dict, tables: dict, num_partitions: int):
+    """GROUP BY ROLLUP/CUBE — the standard grouping-set expansion:
+    one branch per grouping set (full set first), rolled-away group
+    columns projected as NULL, branch schemas cast to the full-set
+    branch's types, UNION ALL, then the original ORDER BY/LIMIT.
+    HAVING applies per grouping set (standard semantics) because each
+    branch keeps the original HAVING."""
+    import copy
+
+    from . import relational as R
+
+    mode = plan["group_mode"]
+    base = plan["group"]
+    if not base:
+        raise ValueError(f"{mode} needs at least one group expression")
+    if mode == "rollup":
+        sets = [base[:k] for k in range(len(base), -1, -1)]
+    else:                                    # cube
+        from itertools import combinations
+
+        sets = []
+        for r in range(len(base), -1, -1):
+            for combo in combinations(range(len(base)), r):
+                sets.append([base[i] for i in combo])
+    base_keys = {repr(g) for g in base}
+    branches = []
+    for S in sets:
+        cp = copy.deepcopy(plan)
+        cp["group_mode"] = None
+        cp["group"] = copy.deepcopy(S)
+        cp["order"], cp["limit"], cp["offset"] = [], None, None
+        cp["union_next"] = False
+        skeys = {repr(g) for g in S}
+        rolled = base_keys - skeys
+
+        def null_rolled(n):
+            # rolled-away group keys become NULL OUTSIDE aggregates
+            # only — COUNT(DISTINCT key) etc. still see the column
+            if repr(n) in rolled:
+                return ("lit", None)
+            if isinstance(n, tuple) and n and n[0] in ("agg", "win"):
+                return n
+            if isinstance(n, tuple):
+                return tuple(
+                    null_rolled(x) if isinstance(x, (tuple, list))
+                    else x for x in n)
+            if isinstance(n, list):
+                return [null_rolled(x) if isinstance(x, (tuple, list))
+                        else x for x in n]
+            return n
+
+        items = []
+        for i, (e, alias) in enumerate(cp["items"]):
+            nm = _out_name(e, alias, i)
+            items.append((null_rolled(e), nm))
+        cp["items"] = items
+        if cp.get("having") is not None:
+            cp["having"] = null_rolled(cp["having"])
+        branches.append(_exec_plan(cp, tables, num_partitions))
+    sch = branches[0].schema()
+    fields = list(zip(sch.names, sch.types))
+
+    def cast_to(t: pa.Table) -> pa.Table:
+        cols = {}
+        for n, ty in fields:
+            c = t.column(n)
+            cols[n] = c if c.type == ty else pc.cast(c, ty)
+        return pa.table(cols)
+
+    out = branches[0].union(*[
+        b.map_batches(cast_to, batch_format="pyarrow")
+        for b in branches[1:]])
+    order, limit = plan["order"], plan["limit"]
+    offset = plan.get("offset") or 0
+    if order:
+        # rolled-up rows carry NULL group keys; Ray's sort cannot
+        # compare None against values, so sort on (is_null, filled)
+        # key pairs (NULLS LAST, DuckDB's default null order)
+        keys = [c for c, _ in order]
+        desc = {c: d for c, d in order}
+        out_names = [n for n, _ in fields]
+
+        def add_keys(t: pa.Table) -> pa.Table:
+            cols = {n: t.column(n) for n in t.column_names}
+            for c in keys:
+                col = t.column(c)
+                cols[f"__nul_{c}"] = pc.cast(pc.is_null(col), pa.int8())
+                if pa.types.is_string(col.type) or \
+                        pa.types.is_large_string(col.type):
+                    fill = pa.scalar("", col.type)
+                else:
+                    fill = pa.scalar(0, col.type)
+                cols[f"__key_{c}"] = pc.fill_null(col, fill)
+            return pa.table(cols)
+
+        sort_keys = []
+        sort_desc = []
+        for c in keys:
+            sort_keys += [f"__nul_{c}", f"__key_{c}"]
+            sort_desc += [False, desc[c]]
+        out = (out.map_batches(add_keys, batch_format="pyarrow")
+               .sort(sort_keys, descending=sort_desc)
+               .map_batches(lambda t: t.select(out_names),
+                            batch_format="pyarrow"))
+        if offset:
+            _require_offset_shape(order, limit)
+        if limit is not None:
+            out = out.limit(limit + offset)
+            return _skip_prefix(out, offset) if offset else out
+        return out
+    if limit is not None:
+        return out.limit(limit)
+    return out
+
+
 def _exec_plan(plan: dict, tables: dict, num_partitions: int = 16):
     from . import relational as R
 
+    if plan.get("group_mode"):
+        return _run_grouping_sets(plan, tables, num_partitions)
     plan, tables = _lower_derived(plan, tables, num_partitions)
     plan, tables = _lower_group_exprs(plan, tables, num_partitions)
     plan, tables = _lower_subqueries(plan, tables, num_partitions)

@@ -462,3 +462,45 @@ def test_ilike(ray_session):
     _assert_null_table_matches_duck(
         "SELECT g, s FROM t WHERE s NOT ILIKE '%a' ORDER BY s"
     )
+
+
+def test_rollup_cube_grouping_sets(ray_session):
+    """GROUP BY ROLLUP/CUBE: grouping-set expansion matches DuckDB
+    verbatim (NULL group keys on rolled-up rows, HAVING per set,
+    COALESCE over rolled keys, COUNT(DISTINCT key) unaffected by the
+    NULL substitution, trailing ORDER BY null-safe)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.pipelines.sql import sql_query
+
+    rows = []
+    for i in range(60):
+        rows.append({"k": i, "seg": f"s{i % 3}", "nat": i % 4,
+                     "bal": float(i % 7) - 2.0})
+    ds = rd.from_items(rows)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows))
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    queries = [
+        "SELECT seg, nat, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS s "
+        "FROM t WHERE bal > 0 GROUP BY ROLLUP (seg, nat) "
+        "ORDER BY seg, nat",
+        "SELECT seg, nat, COUNT(*) AS n FROM t "
+        "GROUP BY CUBE (seg, nat)",
+        "SELECT seg, COUNT(*) AS n FROM t GROUP BY ROLLUP (seg) "
+        "HAVING COUNT(*) > 10",
+        "SELECT COALESCE(seg, 'ALL') AS seg2, "
+        "COUNT(DISTINCT nat) AS n_nat, COUNT(*) AS n FROM t "
+        "GROUP BY ROLLUP (seg) ORDER BY seg2",
+    ]
+    for q in queries:
+        a = canon(sql_query(q, {"t": ds}).to_pandas())
+        b = canon(con.execute(q).fetchdf())
+        assert len(a) == len(b), q
+        assert a.astype(str).equals(b.astype(str)), q
