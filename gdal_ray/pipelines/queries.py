@@ -3012,8 +3012,43 @@ def q14_text_stats(sf_dir: str):
         })
 
     rep_rows = rep.map_batches(melt_rep, batch_format="pyarrow")
+    # Naive Bayes model rows (stages.text.nb_train — distributed
+    # exact-integer training): per-(lang, term) counts + label priors
+    from ..stages.text import nb_train
+
+    docs_l = _read(sf_dir, "documents",
+                   columns=["doc_id", "text", "lang"])
+    nb_counts, nb_priors = nb_train(docs_l, label_col="lang")
+
+    def melt_nbc(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "kind": pa.array(["nb_count"] * n, pa.string()),
+            "k1": t.column("label"),
+            "k2": t.column("term"),
+            "v": pc.cast(t.column("count"), pa.float64()),
+        })
+
+    def melt_nbp(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_pylist()
+        nd = t.column("n_docs").to_numpy(zero_copy_only=False)
+        ntk = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "kind": pa.array(["nb_prior"] * len(lab)
+                             + ["nb_tokens"] * len(lab), pa.string()),
+            "k1": pa.array(lab + lab, pa.string()),
+            "k2": pa.array([""] * (2 * len(lab)), pa.string()),
+            "v": pa.array(np.concatenate(
+                [nd.astype(np.float64), ntk.astype(np.float64)]),
+                pa.float64()),
+        })
+
+    nb_rows = (nb_counts.map_batches(melt_nbc, batch_format="pyarrow")
+               .union(nb_priors.map_batches(melt_nbp,
+                                            batch_format="pyarrow")))
     return (lang_rows.union(score_rows).union(chunk_rows)
-            .union(rep_rows).sort(["kind", "k1", "k2"]))
+            .union(rep_rows).union(nb_rows)
+            .sort(["kind", "k1", "k2"]))
 
 
 _Q14TS_SQL = f"""
@@ -3094,6 +3129,13 @@ FROM (SELECT d3.doc_id, len(d3.arr) AS ntok,
                    regexp_split_to_array(lower(trim(text)),
                                          '\s+') AS arr
             FROM documents WHERE trim(text) <> '') d3) t2
+UNION ALL SELECT 'nb_count', d.lang, t.term, CAST(COUNT(*) AS DOUBLE)
+FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+GROUP BY d.lang, t.term
+UNION ALL SELECT 'nb_prior', lang, '', CAST(COUNT(*) AS DOUBLE)
+FROM documents WHERE trim(text) <> '' GROUP BY lang
+UNION ALL SELECT 'nb_tokens', d.lang, '', CAST(COUNT(*) AS DOUBLE)
+FROM toks t JOIN documents d ON t.doc_id = d.doc_id GROUP BY d.lang
 ORDER BY kind, k1, k2
 """
 

@@ -335,3 +335,152 @@ class PatternCounter:
             "n_phones": pa.array(np_, pa.int64()),
         })
 
+
+
+def _label_term_partials(t: pa.Table, label_col: str,
+                         text_col: str) -> pa.Table:
+    """Per-batch partial (label, term, c) counts — the combiner half
+    of the NB shuffle (pre-aggregate before the keyed groupby)."""
+    import itertools
+
+    labels = t.column(label_col).to_pylist()
+    s = pd.Series(t.column(text_col).to_pylist(), dtype=object).fillna("")
+    toks = s.str.strip().str.lower().str.split()
+    nt = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+    keep = nt > 0
+    if not keep.any():
+        return pa.table({
+            "label": pa.array([], pa.string()),
+            "term": pa.array([], pa.string()),
+            "c": pa.array([], pa.int64()),
+        })
+    lab = np.repeat(np.asarray(labels, dtype=object)[keep], nt[keep])
+    terms = np.asarray(
+        list(itertools.chain.from_iterable(toks[keep])), dtype=object)
+    order = np.lexsort((terms, lab))
+    lo, to = lab[order], terms[order]
+    new = np.ones(len(lo), dtype=bool)
+    new[1:] = (lo[1:] != lo[:-1]) | (to[1:] != to[:-1])
+    idx = np.flatnonzero(new)
+    c = np.diff(np.append(idx, len(lo)))
+    return pa.table({
+        "label": pa.array(lo[idx].tolist(), pa.string()),
+        "term": pa.array(to[idx].tolist(), pa.string()),
+        "c": pa.array(c.astype(np.int64), pa.int64()),
+    })
+
+
+def nb_train(docs, label_col: str = "lang", text_col: str = "text"):
+    """Multinomial Naive Bayes TRAINING, distributed and exact-
+    integer — the lightweight doc classifier of classic data curation
+    (quality/language/domain tagging before the expensive models).
+
+    Scale shape: per-batch PARTIAL (label, term) counts (vectorized
+    lexsort run-length, the combiner) -> ONE (label, term)-keyed
+    grouped_aggregate; label priors (doc counts, token totals) the
+    same way on tiny keys.  Everything is integer counts, so the
+    model rows hash-match a SQL oracle exactly.
+
+    Returns (counts, priors): ``counts`` = Dataset(label, term,
+    count); ``priors`` = Dataset(label, n_docs, n_tokens).  Same
+    tokenization contract as :func:`explode_terms_batch`
+    (``lower().strip().split()``).
+    """
+    from ..pipelines import relational as R
+
+    parts = docs.map_batches(
+        lambda t: _label_term_partials(t, label_col, text_col),
+        batch_format="pyarrow")
+    counts = R.grouped_aggregate(
+        parts, ["label", "term"], [("c", "sum", "count")])
+
+    def doc_partials(t: pa.Table) -> pa.Table:
+        labels = t.column(label_col).to_pylist()
+        s = pd.Series(t.column(text_col).to_pylist(),
+                      dtype=object).fillna("")
+        nt = (s.str.strip().str.lower().str.split().str.len()
+              .fillna(0).astype(np.int64).to_numpy())
+        keep = nt > 0
+        return pa.table({
+            "label": pa.array(
+                np.asarray(labels, dtype=object)[keep].tolist(),
+                pa.string()),
+            "one": pa.array(np.ones(int(keep.sum()), np.int64),
+                            pa.int64()),
+            "ntok": pa.array(nt[keep], pa.int64()),
+        })
+
+    priors = R.grouped_aggregate(
+        docs.map_batches(doc_partials, batch_format="pyarrow"),
+        ["label"], [("one", "sum", "n_docs"), ("ntok", "sum", "n_tokens")])
+    return counts, priors
+
+
+class NBScorer:
+    """Actor-pool stage: score/classify documents against a BROADCAST
+    Naive Bayes model (``ray.put`` the (counts_table, priors_table)
+    pair once; every actor builds its lookup dict in ``__init__``,
+    never per batch).  Laplace-smoothed multinomial log scores;
+    prediction = argmax, ties broken by lexicographically smallest
+    label (deterministic).  Out-of-vocabulary terms contribute the
+    smoothing floor."""
+
+    def __init__(self, model_ref, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        import ray
+
+        counts, priors = ray.get(model_ref)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.labels = sorted(priors.column("label").to_pylist())
+        nd = dict(zip(priors.column("label").to_pylist(),
+                      priors.column("n_docs").to_pylist()))
+        ntok = dict(zip(priors.column("label").to_pylist(),
+                        priors.column("n_tokens").to_pylist()))
+        vocab = set(counts.column("term").to_pylist())
+        self.v = len(vocab)
+        self.total_docs = sum(nd.values())
+        self.log_prior = {
+            lb: float(np.log(nd[lb] / self.total_docs))
+            for lb in self.labels}
+        self.denom = {lb: float(ntok[lb] + self.v)
+                      for lb in self.labels}
+        # vectorized lookup structures: term -> row index into a
+        # precomputed (n_terms + 1, n_labels) LOG-probability matrix
+        # (last row = out-of-vocabulary smoothing floor); per batch
+        # the only Python work is one dict lookup per token
+        terms = sorted({tm for tm in counts.column("term").to_pylist()})
+        self.term_idx = {tm: i for i, tm in enumerate(terms)}
+        lab_idx = {lb: j for j, lb in enumerate(self.labels)}
+        cnt = np.zeros((len(terms) + 1, len(self.labels)), np.float64)
+        for lb, tm, c in zip(counts.column("label").to_pylist(),
+                             counts.column("term").to_pylist(),
+                             counts.column("count").to_pylist()):
+            cnt[self.term_idx[tm], lab_idx[lb]] = float(c)
+        denom_vec = np.array([self.denom[lb] for lb in self.labels])
+        self.logp = np.log((cnt + 1.0) / denom_vec[None, :])
+        self.prior_vec = np.array(
+            [self.log_prior[lb] for lb in self.labels])
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_pylist()
+        texts = t.column(self.text_col).to_pylist()
+        oov = len(self.term_idx)
+        out_id, out_pred, out_score = [], [], []
+        get = self.term_idx.get
+        for did, x in zip(ids, texts):
+            toks = (x or "").strip().lower().split()
+            if not toks:
+                continue
+            idx = np.fromiter((get(tm, oov) for tm in toks),
+                              np.int64, len(toks))
+            scores = self.prior_vec + self.logp[idx].sum(axis=0)
+            j = int(scores.argmax())      # ties -> smallest label
+            out_id.append(did)
+            out_pred.append(self.labels[j])
+            out_score.append(float(scores[j]))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "pred": pa.array(out_pred, pa.string()),
+            "log_score": pa.array(out_score, pa.float64()),
+        })

@@ -715,3 +715,79 @@ def test_pattern_counter_pii(ray_session):
                 "SELECT len(regexp_extract_all(?, ?))",
                 [d["text"], pat]).fetchone()[0]
             assert n == out[d["doc_id"]][key], (d["doc_id"], key)
+
+
+def test_naive_bayes_train_and_score(ray_session):
+    """Distributed NB training (exact-integer model) + broadcast
+    scorer: model counts match a local Counter reference; prediction
+    matches an independent per-doc log-score reference; the trained
+    classifier separates two clearly-distinct vocabularies."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from gdal_ray.stages.text import NBScorer, nb_train
+
+    rng = np.random.default_rng(21)
+    voc_a = ["alpha", "apple", "anchor", "arrow", "amber"]
+    voc_b = ["beta", "berry", "bridge", "bolt", "basil"]
+    docs = []
+    for i in range(80):
+        lang = "aa" if i % 2 == 0 else "bb"
+        voc = voc_a if lang == "aa" else voc_b
+        n = int(rng.integers(5, 20))
+        docs.append({"doc_id": i, "lang": lang,
+                     "text": " ".join(rng.choice(voc, n))})
+    ds = rd.from_items(docs)
+    counts, priors = nb_train(ds, label_col="lang")
+    ct = counts.to_pandas()
+    pr = priors.to_pandas().set_index("label")
+
+    # exact model check vs a local Counter
+    ref = Counter()
+    ref_tok = Counter()
+    for d in docs:
+        for tm in d["text"].strip().lower().split():
+            ref[(d["lang"], tm)] += 1
+            ref_tok[d["lang"]] += 1
+    got = {(r.label, r.term): r.count
+           for r in ct.itertuples(index=False)}
+    assert got == dict(ref)
+    assert pr.loc["aa", "n_docs"] == 40
+    assert pr.loc["aa", "n_tokens"] == ref_tok["aa"]
+
+    # scorer: held-out docs classify to the right vocabulary
+    import pyarrow as pa
+
+    model = ray.put((
+        pa.Table.from_pandas(ct, preserve_index=False),
+        pa.Table.from_pandas(pr.reset_index(), preserve_index=False)))
+    test_docs = [
+        {"doc_id": 100, "text": "apple arrow amber anchor"},
+        {"doc_id": 101, "text": "berry bolt basil bridge"},
+        {"doc_id": 102, "text": "unknownword apple alpha"},
+    ]
+    out = {r["doc_id"]: r for r in rd.from_items(test_docs).map_batches(
+        NBScorer, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"model_ref": model}).take_all()}
+    assert out[100]["pred"] == "aa"
+    assert out[101]["pred"] == "bb"
+    assert out[102]["pred"] == "aa"
+    # independent log-score reference for doc 100
+    vocab = {tm for (_l, tm) in ref}
+    v = len(vocab)
+    total = 80
+
+    def score(lang, toks):
+        s = math.log((40) / total)
+        d = ref_tok[lang] + v
+        for tm in toks:
+            s += math.log((ref.get((lang, tm), 0) + 1) / d)
+        return s
+
+    toks = test_docs[0]["text"].split()
+    want = max(score("aa", toks), score("bb", toks))
+    assert abs(out[100]["log_score"] - want) < 1e-9
