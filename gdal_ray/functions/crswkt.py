@@ -79,6 +79,25 @@ _PROJCS = {
             ("standard_parallel_2", 45.5),
             ("latitude_of_center", 23), ("longitude_of_center", -96),
             ("false_easting", 0), ("false_northing", 0)]),
+    3310: ("NAD83 / California Albers", "NAD83",
+           "Albers_Conic_Equal_Area",
+           [("standard_parallel_1", 34),
+            ("standard_parallel_2", 40.5),
+            ("latitude_of_center", 0), ("longitude_of_center", -120),
+            ("false_easting", 0), ("false_northing", -4000000)]),
+    26985: ("NAD83 / Maryland", "NAD83",
+            "Lambert_Conformal_Conic_2SP",
+            [("standard_parallel_1", 38.3),
+             ("standard_parallel_2", 39.45),
+             ("latitude_of_origin", 37.666666666666664),
+             ("central_meridian", -77),
+             ("false_easting", 400000), ("false_northing", 0)]),
+    3112: ("GDA94 / Geoscience Australia Lambert", "GDA94",
+           "Lambert_Conformal_Conic_2SP",
+           [("standard_parallel_1", -18),
+            ("standard_parallel_2", -36),
+            ("latitude_of_origin", 0), ("central_meridian", 134),
+            ("false_easting", 0), ("false_northing", 0)]),
     102003: ("USA Contiguous Albers Equal Area Conic", "NAD83",
              "Albers_Conic_Equal_Area",
              [("standard_parallel_1", 29.5),

@@ -118,6 +118,18 @@ def _entries():
         5070: (lambda: P.AlbersEqualArea(
             29.5, 45.5, 23.0, -96.0, 0.0, 0.0, ellipsoid="GRS80"),
             (-96.0, 38.0), "NAD83 / Conus Albers (GRS80)"),
+        3310: (lambda: P.AlbersEqualArea(
+            34.0, 40.5, 0.0, -120.0, 0.0, -4000000.0,
+            ellipsoid="GRS80"), (-120.0, 37.0),
+            "NAD83 / California Albers (GRS80)"),
+        26985: (lambda: P.LambertConformalConic(
+            38.3, 39.45, 37.666666666666664, -77.0, 400000.0, 0.0,
+            ellipsoid="GRS80"), (-77.0, 39.0),
+            "NAD83 / Maryland (SPCS83 LCC 2SP, GRS80)"),
+        3112: (lambda: P.LambertConformalConic(
+            -18.0, -36.0, 0.0, 134.0, 0.0, 0.0, ellipsoid="GRS80"),
+            (134.0, -25.0),
+            "GDA94 / Geoscience Australia Lambert (GRS80)"),
         102003: (lambda: P.AlbersEqualArea(
             29.5, 45.5, 37.5, -96.0, 0.0, 0.0, ellipsoid="GRS80"),
             (-96.0, 38.0), "ESRI USA Contiguous Albers (GRS80)"),
@@ -196,7 +208,10 @@ _REGISTRY = _entries()
 #: that of the published Helmert set, ~1-2 m, not mm)
 DATUM_SHIFTED = frozenset({4277, 4275, 27572, 27700})
 
-_ALIASES = {900913: 3857, 102100: 3857, 102113: 3857}
+#: 6350 = NAD83(2011) Conus Albers — identical defining parameters to
+#: 5070 (the 2011 realization shift is null at this registry's 2-D
+#: accuracy), same ESRI web aliases for Web Mercator.
+_ALIASES = {900913: 3857, 102100: 3857, 102113: 3857, 6350: 5070}
 
 
 def parse_code(code) -> int:

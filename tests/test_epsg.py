@@ -296,3 +296,30 @@ def test_vector_reproject_pair(ray_session):
     wx, wy = b.fwd(lon, lat)
     assert abs(out[0]["lon_fsum"] - math.fsum(wx)) < 1e-9
     assert abs(out[0]["lat_fsum"] - math.fsum(wy)) < 1e-9
+
+
+def test_round5b_codes_and_6350_alias():
+    """3310 / 26985 / 3112 resolve with their defining invariants;
+    6350 aliases Conus Albers (identical parameters)."""
+    import numpy as np
+
+    from gdal_ray.functions.epsg import parse_code, resolve_epsg
+
+    assert parse_code("EPSG:6350") == 5070
+    ca = resolve_epsg(3310)
+    # lat0=0, lon0=-120, fn=-4 000 000: the projection origin
+    x, y = ca.fwd(np.array([-120.0]), np.array([0.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0] + 4000000.0) < 1e-6
+    md = resolve_epsg(26985)
+    x, y = md.fwd(np.array([-77.0]), np.array([37.666666666666664]))
+    assert abs(x[0] - 400000.0) < 1e-6 and abs(y[0]) < 1e-6
+    au = resolve_epsg(3112)
+    x, y = au.fwd(np.array([134.0]), np.array([0.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    # round trips at the sample points
+    for code, lon, lat in ((3310, -120.0, 37.0), (26985, -77.0, 39.0),
+                           (3112, 134.0, -25.0)):
+        p = resolve_epsg(code)
+        xx, yy = p.fwd(np.array([lon]), np.array([lat]))
+        lo, la = p.inv(xx, yy)
+        assert abs(lo[0] - lon) < 1e-9 and abs(la[0] - lat) < 1e-9

@@ -29,7 +29,8 @@ def _strip_authority(wkt: str) -> str:
 # every named PROJCS entry the emitter covers, plus UTM samples
 _CODES = [3857, 2154, 3034, 3035, 5070, 102003, 102008, 3413, 3031,
           3976, 3995, 5041, 5042, 6931, 6932, 3575, 6933, 4087,
-          54008, 54009, 2193, 3577, 32633, 32733, 25832, 26915]
+          54008, 54009, 2193, 3577, 32633, 32733, 25832, 26915,
+          3310, 26985, 3112]
 
 
 @pytest.mark.parametrize("code", _CODES)
