@@ -613,6 +613,7 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
                       ext_array: set | frozenset | list | None = None,
                       btree2: set | frozenset | list | None = None,
                       maxshape: dict[str, tuple] | None = None,
+                      fa_page_bits: int = 10,
                       ) -> None:
     """Write an HDF5 file in the 1.8+ "latest" layout (h5py
     ``libver='latest'``): superblock version 3, groups as version-2
@@ -719,7 +720,7 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
                 # bytes of the body)
                 body = (struct.pack("<BBBBB", 4, 2, 0, a.ndim, 8)
                         + b"".join(struct.pack("<Q", c) for c in ck)
-                        + struct.pack("<BB", 3, 10)
+                        + struct.pack("<BB", 3, fa_page_bits)
                         + struct.pack("<Q", 0))
             elif n in ext_array:
                 # index type 4 + the five 1-byte EA creation params
@@ -817,8 +818,7 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
         if n in chunk_blobs and n in fixed_array:
             cbt_addr[n] = pos
             entry = 16 if n in compress else 8
-            pos += 28 + (4 + 1 + 1 + 8
-                         + len(chunk_blobs[n]) * entry + 4)
+            pos += _fa_size(len(chunk_blobs[n]), entry, fa_page_bits)
         elif n in chunk_blobs and n in ext_array:
             cbt_addr[n] = pos
             esize = 16 if n in compress else 8
@@ -918,7 +918,7 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
             if n in chunk_blobs and n in fixed_array:
                 fh.write(_fixed_array_blobs(
                     cbt_addr[n], chunk_blobs[n], chunk_addr[n],
-                    filtered=n in compress))
+                    filtered=n in compress, page_bits=fa_page_bits))
             elif n in chunk_blobs and n in ext_array:
                 fh.write(_ext_array_blobs(
                     cbt_addr[n], chunk_blobs[n], chunk_addr[n],
@@ -1110,27 +1110,66 @@ def _bt2_chunk_size(n: int, rank: int) -> int:
     return 38 + 6 + n * (8 + 8 * rank) + 4
 
 
+def _fa_size(n: int, entry: int, page_bits: int) -> int:
+    """Total FAHD+FADB bytes (paged when n exceeds one page)."""
+    page = 1 << page_bits
+    if n <= page:
+        return 28 + 14 + n * entry + 4
+    npages = -(-n // page)
+    return 28 + 14 + (npages + 7) // 8 + 4 + n * entry + npages * 4
+
+
 def _fixed_array_blobs(fahd_addr: int, blobs: list[bytes],
-                       addrs: list[int], filtered: bool) -> bytes:
+                       addrs: list[int], filtered: bool,
+                       page_bits: int = 10) -> bytes:
     """FAHD header + FADB data block for one chunked dataset: client
     0 entries are chunk addresses, client 1 adds 4-byte stored size +
-    filter mask (the 1.10 filtered-chunk element)."""
+    filter mask (the 1.10 filtered-chunk element).  When the element
+    count exceeds one page (2^page_bits) the data block is PAGED:
+    page bitmap + header checksum, then per-page element runs each
+    closed by its own checksum."""
     client = 1 if filtered else 0
     entry = 16 if filtered else 8
     n = len(blobs)
     fadb_addr = fahd_addr + 28
-    fahd = (b"FAHD" + bytes([0, client, entry, 10])
+    fahd = (b"FAHD" + bytes([0, client, entry, page_bits])
             + struct.pack("<QQ", n, fadb_addr))
     fahd += struct.pack("<I", _lookup3(fahd))
     assert len(fahd) == 28
-    fadb = bytearray(b"FADB" + bytes([0, client])
-                     + struct.pack("<Q", fahd_addr))
-    for k in range(n):
-        fadb += struct.pack("<Q", addrs[k])
+
+    def elem(k: int) -> bytes:
+        e = struct.pack("<Q", addrs[k])
         if filtered:
-            fadb += struct.pack("<II", len(blobs[k]), 0)
-    fadb += struct.pack("<I", _lookup3(bytes(fadb)))
-    return fahd + bytes(fadb)
+            e += struct.pack("<II", len(blobs[k]), 0)
+        return e
+
+    page = 1 << page_bits
+    head = bytearray(b"FADB" + bytes([0, client])
+                     + struct.pack("<Q", fahd_addr))
+    if n <= page:
+        for k in range(n):
+            head += elem(k)
+        head += struct.pack("<I", _lookup3(bytes(head)))
+        out = bytes(head)
+    else:
+        npages = -(-n // page)
+        bitmap = bytearray((npages + 7) // 8)
+        for pg in range(npages):
+            bitmap[pg // 8] |= 1 << (pg % 8)
+        head += bitmap
+        head += struct.pack("<I", _lookup3(bytes(head)))
+        body = bytearray()
+        k = 0
+        for pg in range(npages):
+            pgbuf = bytearray()
+            for _ in range(min(page, n - pg * page)):
+                pgbuf += elem(k)
+                k += 1
+            pgbuf += struct.pack("<I", _lookup3(bytes(pgbuf)))
+            body += pgbuf
+        out = bytes(head) + bytes(body)
+    assert len(out) + 28 == _fa_size(n, entry, page_bits)
+    return fahd + out
 
 
 def _parse_datatype(body: bytes) -> np.dtype:
@@ -1564,9 +1603,6 @@ def _walk_fixed_array(buf: bytes, v: dict, shape) -> list:
     stored = struct.unpack("<I", buf[addr + 24:addr + 28])[0]
     if stored != _lookup3(buf[addr:addr + 24]):
         raise ValueError("HDF5: FAHD checksum mismatch")
-    if nelem > (1 << page_bits):
-        raise ValueError("HDF5: paged fixed-array data blocks "
-                         "unsupported")
     if buf[db_addr:db_addr + 4] != b"FADB":
         raise ValueError(f"HDF5: FADB signature missing at {db_addr}")
     if buf[db_addr + 5] != client:
@@ -1579,16 +1615,41 @@ def _walk_fixed_array(buf: bytes, v: dict, shape) -> list:
                          f"for {len(grid)} chunks")
     dt_size = v["dtype"].itemsize
     full = int(np.prod(ck, dtype=np.int64)) * dt_size
-    out = []
-    for k in range(nelem):
-        e = buf[p:p + entry_size]
-        p += entry_size
+
+    def parse(e: bytes):
         caddr = struct.unpack("<Q", e[:8])[0]
         if client == 0:
-            out.append((grid[k], full, caddr))
-        else:
-            csize = int.from_bytes(e[8:entry_size - 4], "little")
-            out.append((grid[k], csize, caddr))
+            return caddr, full
+        return caddr, int.from_bytes(e[8:entry_size - 4], "little")
+
+    elems: list[tuple] = []
+    page = 1 << page_bits
+    if nelem > page:
+        # PAGED data block (elements exceed one page): page bitmap
+        # after the header, then per-page element runs each closed by
+        # its own checksum (the 1.10 paged fixed-array layout)
+        npages = -(-nelem // page)
+        bitmap = buf[p:p + (npages + 7) // 8]
+        p += len(bitmap)
+        p += 4                                  # header checksum
+        for pg in range(npages):
+            if not (bitmap[pg // 8] >> (pg % 8)) & 1:
+                raise ValueError(
+                    "HDF5: paged fixed array has an uninitialized "
+                    "page")
+            n_here = min(page, nelem - pg * page)
+            for _ in range(n_here):
+                elems.append(parse(buf[p:p + entry_size]))
+                p += entry_size
+            p += 4                              # page checksum
+    else:
+        for _ in range(nelem):
+            elems.append(parse(buf[p:p + entry_size]))
+            p += entry_size
+    out = []
+    for k in range(nelem):
+        caddr, csize = elems[k]
+        out.append((grid[k], csize, caddr))
     return out
 
 

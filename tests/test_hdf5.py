@@ -552,3 +552,41 @@ def test_ea_bt2_mdim_distributed(tmp_path, ray_session):
     tot2 = sum(np.frombuffer(bytes(r["data"]), "<f4").astype(np.float64).sum()
                for r in ds2.take_all())
     assert abs(tot2 - m.astype(np.float64).sum()) < 1e-4
+
+
+def test_paged_fixed_array(tmp_path):
+    """1.10 PAGED fixed-array data blocks (elements exceed one
+    2^page_bits page): page bitmap + header checksum then per-page
+    element runs each closed by its own checksum; filtered and
+    unfiltered clients; byte anchors on the bitmap and page layout."""
+    from gdal_ray.sources.hdf5 import (_lookup3, hdf5_info, read_hdf5,
+                                       write_hdf5_latest)
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(-9999, 9999, 60 * 7).astype("<i4")  # 60 chunks
+    p = str(tmp_path / "pf.h5")
+    write_hdf5_latest(p, {"d": a}, chunks={"d": (7,)},
+                      fixed_array={"d"}, fa_page_bits=4)
+    info = hdf5_info(p)["datasets"]["d"]
+    assert info["fa_page_bits"] == 4
+    buf = open(p, "rb").read()
+    fa = info["fa_addr"]
+    assert buf[fa:fa + 4] == b"FAHD" and buf[fa + 7] == 4
+    db = struct.unpack("<Q", buf[fa + 16:fa + 24])[0]
+    assert buf[db:db + 4] == b"FADB"
+    # 60 elements / 16 per page = 4 pages -> 1 bitmap byte 0b1111
+    assert buf[db + 14] == 0x0F
+    # header checksum right after the bitmap
+    assert struct.unpack("<I", buf[db + 15:db + 19])[0] == \
+        _lookup3(buf[db:db + 15])
+    # first page: 16 addresses then the page checksum
+    pg0 = buf[db + 19:db + 19 + 16 * 8]
+    assert struct.unpack("<I",
+                         buf[db + 19 + 128:db + 19 + 132])[0] == \
+        _lookup3(pg0)
+    assert np.array_equal(read_hdf5(p, "d"), a)
+    # filtered paged
+    write_hdf5_latest(p, {"d": a}, chunks={"d": (7,)},
+                      fixed_array={"d"}, compress={"d": 6},
+                      fa_page_bits=4)
+    assert np.array_equal(read_hdf5(p, "d"), a)
