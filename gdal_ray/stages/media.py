@@ -670,3 +670,117 @@ class AudioResample:
             "n_samples": pa.array(o_n, pa.int64()),
             "status": pa.array(o_status, pa.string()),
         })
+
+
+class FrameQuality:
+    """Actor-pool stage: per-clip frame-level curation counters, all
+    integer-exact — the video analogs of the audio silence gate:
+
+    - ``dup_frames``: consecutive frames that are BYTE-IDENTICAL to
+      their predecessor (frozen video / padding detection);
+    - ``black_frames``: frames whose every sample is <= ``black_max``
+      (fade/black-segment detection);
+    - ``flat_frames``: frames with a single distinct value (any solid
+      color, black included).
+
+    Unsupported codecs -> status='unsupported' counter rows."""
+
+    def __init__(self, black_max: int = 8):
+        self.black_max = int(black_max)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_pylist()
+        blobs = t.column("bytes").to_pylist()
+        codecs_ = t.column("codec").to_pylist()
+        cols = {k: [] for k in ("media_id", "n_frames", "dup_frames",
+                                "black_frames", "flat_frames",
+                                "status")}
+        for mid, blob, codec in zip(ids, blobs, codecs_):
+            try:
+                fr = decode_video(blob, codec)
+            except NotImplementedError:
+                row = (0, 0, 0, 0, "unsupported")
+            else:
+                n = len(fr)
+                flat = fr.reshape(n, -1).astype(np.int64)
+                dup = int((flat[1:] == flat[:-1]).all(axis=1).sum()) \
+                    if n > 1 else 0
+                black = int((flat <= self.black_max).all(axis=1).sum())
+                solid = int((flat == flat[:, :1]).all(axis=1).sum())
+                row = (n, dup, black, solid, "ok")
+            cols["media_id"].append(mid)
+            for k, v in zip(("n_frames", "dup_frames", "black_frames",
+                             "flat_frames"), row[:4]):
+                cols[k].append(v)
+            cols["status"].append(row[4])
+        return pa.table({
+            "media_id": pa.array(cols["media_id"], pa.string()),
+            "n_frames": pa.array(cols["n_frames"], pa.int64()),
+            "dup_frames": pa.array(cols["dup_frames"], pa.int64()),
+            "black_frames": pa.array(cols["black_frames"], pa.int64()),
+            "flat_frames": pa.array(cols["flat_frames"], pa.int64()),
+            "status": pa.array(cols["status"], pa.string()),
+        })
+
+
+def uniform_border(img: np.ndarray, tol: int = 4) -> tuple:
+    """Letterbox / pillarbox detection for one (h, w[, 3]) frame:
+    count of top/bottom/left/right rows/cols whose samples all sit
+    within ``tol`` of the frame's corner value — integer-exact.
+    Returns (top, bottom, left, right)."""
+    a = np.asarray(img, dtype=np.int64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    ref = a[0, 0]
+
+    def run(axis_slices):
+        cnt = 0
+        for sl in axis_slices:
+            if np.abs(a[sl] - ref).max() <= tol:
+                cnt += 1
+            else:
+                break
+        return cnt
+
+    h, w = a.shape[:2]
+    top = run([np.s_[i, :, :] for i in range(h)])
+    bottom = run([np.s_[h - 1 - i, :, :] for i in range(h - top)])
+    left = run([np.s_[:, j, :] for j in range(w)])
+    right = run([np.s_[:, w - 1 - j, :] for j in range(w - left)])
+    return top, bottom, left, right
+
+
+class BorderStats:
+    """Actor-pool stage: letterbox borders of every clip's FIRST
+    frame (the crop-decision input before training) via
+    :func:`uniform_border`."""
+
+    def __init__(self, tol: int = 4):
+        self.tol = int(tol)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_pylist()
+        blobs = t.column("bytes").to_pylist()
+        codecs_ = t.column("codec").to_pylist()
+        cols = {k: [] for k in ("media_id", "top", "bottom", "left",
+                                "right", "status")}
+        for mid, blob, codec in zip(ids, blobs, codecs_):
+            try:
+                fr = decode_video(blob, codec)
+            except NotImplementedError:
+                row = (0, 0, 0, 0, "unsupported")
+            else:
+                row = (*uniform_border(fr[0], self.tol), "ok")
+            cols["media_id"].append(mid)
+            for k, v in zip(("top", "bottom", "left", "right"),
+                            row[:4]):
+                cols[k].append(v)
+            cols["status"].append(row[4])
+        return pa.table({
+            "media_id": pa.array(cols["media_id"], pa.string()),
+            "top": pa.array(cols["top"], pa.int64()),
+            "bottom": pa.array(cols["bottom"], pa.int64()),
+            "left": pa.array(cols["left"], pa.int64()),
+            "right": pa.array(cols["right"], pa.int64()),
+            "status": pa.array(cols["status"], pa.string()),
+        })

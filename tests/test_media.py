@@ -278,3 +278,50 @@ def test_loudness_and_resample(ray_session):
     assert abs(dom - 440.0) < 2.0
     # identity is bit-exact
     np.testing.assert_array_equal(resample_linear(half, sr, sr), half)
+
+
+def test_frame_quality_and_borders(ray_session):
+    """Duplicate/black/flat frame counters and letterbox border
+    detection: hand-built clips with known structure give exact
+    counts; unsupported codecs stay counter rows."""
+    import ray.data as rd
+
+    from gdal_ray.stages.media import (BorderStats, FrameQuality,
+                                       encode_video_rawv,
+                                       uniform_border)
+
+    rng = np.random.default_rng(3)
+    live = rng.integers(16, 255, (2, 12, 16, 3)).astype(np.uint8)
+    frames = np.concatenate([
+        live[:1], live[:1],                 # one duplicate pair
+        np.zeros((2, 12, 16, 3), np.uint8),  # two black (also flat)
+        np.full((1, 12, 16, 3), 200, np.uint8),  # one flat non-black
+        live[1:],
+    ])
+    # letterbox the whole clip: 2 rows top/bottom, 3 cols left/right
+    boxed = np.zeros_like(frames)
+    boxed[:, 2:-2, 3:-3] = frames[:, 2:-2, 3:-3]
+    ds = rd.from_items([
+        {"media_id": "c", "codec": "rawv",
+         "bytes": encode_video_rawv(frames)},
+        {"media_id": "b", "codec": "rawv",
+         "bytes": encode_video_rawv(boxed)},
+        {"media_id": "bad", "codec": "h264", "bytes": b"x"},
+    ])
+    rows = {r["media_id"]: r for r in ds.map_batches(
+        FrameQuality, batch_format="pyarrow", concurrency=1).take_all()}
+    c = rows["c"]
+    assert c["n_frames"] == 6
+    assert c["dup_frames"] == 2      # dup pair + black pair
+    assert c["black_frames"] == 2
+    assert c["flat_frames"] == 3     # two black + one solid 200
+    assert rows["bad"]["status"] == "unsupported"
+
+    bords = {r["media_id"]: r for r in ds.map_batches(
+        BorderStats, batch_format="pyarrow", concurrency=1).take_all()}
+    b = bords["b"]
+    assert (b["top"], b["bottom"], b["left"], b["right"]) == (2, 2, 3, 3)
+    # an unboxed random frame has tiny/no uniform border
+    assert bords["c"]["top"] <= 1
+    # direct function anchors incl. full-flat frame
+    assert uniform_border(np.zeros((5, 7), np.uint8)) == (5, 0, 7, 0)
