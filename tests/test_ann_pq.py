@@ -128,3 +128,48 @@ def test_ivfpq_cluster_precision_and_pruning():
         s2 = out_all[out_all.qid == qi].score.to_numpy()
         s1 = out[out.qid == qi].score.to_numpy()
         assert s2.max() >= s1.max() - 1e-12
+
+
+def test_sq8_encode_and_recall(ray_session):
+    """Int8 scalar quantization: codes round-trip within one
+    quantization step, zero vectors stay zero with scale 0, and SQ8
+    top-k recall@5 vs the exact float path stays high on clustered
+    embeddings."""
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.stages.ann import (ann_cosine_topk, ann_sq8_topk,
+                                     sq8_encode)
+
+    rng = np.random.default_rng(31)
+    d, n = 16, 400
+    centers = rng.normal(size=(8, d)) * 5.0
+    emb = np.vstack([centers[i % 8] + rng.normal(size=d) * 0.4
+                     for i in range(n)])
+    emb[7] = 0.0                       # exactly-zero vector
+    rows = [{"vec_id": i, "embedding": emb[i].tolist()}
+            for i in range(n)]
+    ds = rd.from_items(rows)
+    enc = sq8_encode(ds)
+    et = enc.to_pandas().set_index("vec_id").sort_index()
+    # reconstruction within one step of the per-vector scale
+    for i in (0, 7, 123):
+        codes = np.asarray(et.loc[i, "codes"], np.float64)
+        scale = float(et.loc[i, "scale"])
+        if i == 7:
+            assert scale == 0.0 and not codes.any()
+        else:
+            err = np.abs(codes * scale - emb[i]).max()
+            assert err <= 0.5 * scale + 1e-12
+            assert np.abs(codes).max() == 127   # symmetric full range
+    # recall vs exact float top-k
+    q = centers + rng.normal(size=(8, d)) * 0.1
+    qid = np.arange(8)
+    exact = ann_cosine_topk(ds, q, qid, k=5).to_pandas()
+    sq = ann_sq8_topk(sq8_encode(ds), q, qid, k=5).to_pandas()
+    rec = []
+    for qi in range(8):
+        a = set(exact[exact.qid == qi].vec_id)
+        b = set(sq[sq.qid == qi].vec_id)
+        rec.append(len(a & b) / 5.0)
+    assert np.mean(rec) >= 0.9
