@@ -57,6 +57,52 @@ def encode_png(img: np.ndarray, level: int = 6) -> bytes:
 _PNG_SPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+#: Adam7 pass lattice (x0, y0, dx, dy), PNG spec 8.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_defilter(raw: np.ndarray, h: int, nb: int,
+                  bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters 0-4 over a (h, 1+nb) byte array
+    -> (h, nb) reconstructed samples."""
+    filters = raw[:, 0]
+    out = np.empty((h, nb), dtype=np.uint8)
+    if not filters.any():  # common fast path: all filter 0
+        out[:] = raw[:, 1:]
+        return out
+    prev = np.zeros(nb, dtype=np.uint8)
+    for y in range(h):
+        line = raw[y, 1:].astype(np.int32)
+        f = filters[y]
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-scan
+            rec = np.empty(nb, dtype=np.int32)
+            pv = prev.astype(np.int32)
+            for i in range(nb):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = pv[i]
+                if f == 1:
+                    rec[i] = (line[i] + a) & 0xFF
+                elif f == 3:
+                    rec[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = pv[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = (abs(p - a), abs(p - b), abs(p - c))
+                    pred = (a if (pa <= pb and pa <= pc)
+                            else (b if pb <= pc else c))
+                    rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG (filters 0-4): 8-bit RGB -> (h, w, 3) uint8 (the
     engine's chip form), grayscale 8 -> (h, w) uint8, grayscale 16 ->
@@ -78,8 +124,8 @@ def decode_png(data: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, depth, ctype, _comp, _filt, interlace = \
                 struct.unpack_from(">IIBBBBB", payload)
-            if interlace:
-                raise ValueError("interlaced (Adam7) PNG unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace {interlace}")
             if ctype not in _PNG_SPP:
                 raise ValueError(f"unsupported PNG ctype={ctype}")
             if depth == 16 and ctype != 0:
@@ -96,44 +142,29 @@ def decode_png(data: bytes) -> np.ndarray:
     spp = _PNG_SPP[ctype]
     bpp = spp * (depth // 8)
     nb = w * bpp
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = 1 + nb
-    raw = raw.reshape(h, stride)
-    filters = raw[:, 0]
-    out = np.empty((h, nb), dtype=np.uint8)
-    if not filters.any():  # common fast path: all filter 0
-        out[:] = raw[:, 1:]
+    stream = np.frombuffer(zlib.decompress(b"".join(idat)),
+                           dtype=np.uint8)
+    if interlace:
+        # Adam7 (PNG spec 8.2): seven consecutive sub-images, each
+        # filtered independently, scattered onto the (y0 + dy*j,
+        # x0 + dx*i) lattice
+        out = np.zeros((h, nb), dtype=np.uint8)
+        full = out.reshape(h, w, bpp)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            nbp = wp * bpp
+            sub = stream[pos2:pos2 + hp * (1 + nbp)].reshape(
+                hp, 1 + nbp)
+            pos2 += hp * (1 + nbp)
+            rec = _png_defilter(sub, hp, nbp, bpp)
+            full[y0::dy, x0::dx] = rec.reshape(hp, wp, bpp)
     else:
-        prev = np.zeros(nb, dtype=np.uint8)
-        for y in range(h):
-            line = raw[y, 1:].astype(np.int32)
-            f = filters[y]
-            if f == 0:
-                rec = line
-            elif f == 2:  # Up
-                rec = (line + prev) & 0xFF
-            elif f in (1, 3, 4):  # Sub / Average / Paeth: left-scan
-                rec = np.empty(nb, dtype=np.int32)
-                pv = prev.astype(np.int32)
-                for i in range(nb):
-                    a = rec[i - bpp] if i >= bpp else 0
-                    b = pv[i]
-                    if f == 1:
-                        rec[i] = (line[i] + a) & 0xFF
-                    elif f == 3:
-                        rec[i] = (line[i] + ((a + b) >> 1)) & 0xFF
-                    else:
-                        c = pv[i - bpp] if i >= bpp else 0
-                        p = a + b - c
-                        pa, pb, pc = (abs(p - a), abs(p - b),
-                                      abs(p - c))
-                        pred = (a if (pa <= pb and pa <= pc)
-                                else (b if pb <= pc else c))
-                        rec[i] = (line[i] + pred) & 0xFF
-            else:
-                raise ValueError(f"bad PNG filter {f}")
-            out[y] = rec.astype(np.uint8)
-            prev = out[y]
+        raw = stream.reshape(h, 1 + nb)
+        out = _png_defilter(raw, h, nb, bpp)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
