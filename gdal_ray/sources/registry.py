@@ -22,7 +22,7 @@ import struct
 RASTER_DRIVERS = (
     "gtiff png jpeg webp gif bmp pnm hdf5 netcdf grib2 nitf dted "
     "aaigrid envi xyz zarr zarr3 ntv2 gtx mbtiles "
-    "srtmhgt gsag gsbg ehdr saga ers zmap rst"
+    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem"
 ).split()
 VECTOR_DRIVERS = (
     "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet "
@@ -143,6 +143,8 @@ def identify(path: str) -> str:
     if head[:4] == b"DSBB":
         return "gsbg"
     ext = os.path.splitext(path)[1].lower()
+    if ext == ".dem":
+        return "usgsdem"
     if ext == ".hgt":
         from .terrain_rasters import hgt_corner
 
@@ -266,6 +268,10 @@ def open_raster(path: str) -> dict:
         from .terrain_rasters import read_rst
 
         return {"driver": drv, **read_rst(path)}
+    if drv == "usgsdem":
+        from .terrain_rasters import read_usgsdem
+
+        return {"driver": drv, **read_usgsdem(path)}
     if drv == "xyz":
         from .dted import read_xyz
 

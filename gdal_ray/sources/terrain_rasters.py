@@ -757,3 +757,171 @@ def read_rst(path: str) -> dict:
         img = np.ascontiguousarray(
             raw.reshape(ny, nx).astype(np.dtype(dt)))
     return {"img": img, "dtype_name": dtype_name, "extent": extent}
+
+
+# -------------------------------------------------------- USGS DEM
+
+def _dfmt(v: float, width: int) -> str:
+    """Fortran D-notation float right-justified to ``width`` chars
+    (the USGS DEM A/B-record real format the reference converts via
+    D->E, ``usgsdemdataset.cpp:252-282``)."""
+    dec = 15 if width >= 24 else 5
+    s = f"{v:.{dec}E}".replace("E", "D")
+    if len(s) > width:
+        raise ValueError(f"D-float {s!r} wider than {width}")
+    return s.rjust(width)
+
+
+def write_usgsdem(path: str, grid: np.ndarray, *,
+                  sw_lon: float, sw_lat: float,
+                  cell_arcsec: float = 3.0,
+                  name: str = "GDAL_RAY DEM") -> None:
+    """Classic (old-format) USGS DEM, geographic arc-second grid with
+    integer-meter elevations — the layout the reference detects via
+    the 1/1 profile anchor at byte 864 (``usgsdemdataset.cpp:639``):
+    864-byte A record (coord system at 156, ground/elev unit codes at
+    528, SW/NW/NE/SE corners in arc-seconds at 546 as D24.15 pairs,
+    dx/dy/vres at 816 as D12.6, profile count at 858), then one
+    column-major B record per profile (row 1, col i+1, point count,
+    x/y start + offset + min/max as D24.15, I6 elevations).  ``grid``
+    rows are NORTH FIRST; NaN -> the -32767 void."""
+    a = np.asarray(grid)
+    if a.ndim != 2:
+        raise ValueError("USGS DEM is single-band 2-D")
+    if np.issubdtype(a.dtype, np.floating):
+        f = a.astype(np.float64)
+        elev = np.where(np.isnan(f), -32767,
+                        np.rint(f)).astype(np.int32)
+    else:
+        elev = a.astype(np.int32)
+    ny, nx = a.shape
+    x0 = sw_lon * 3600.0
+    y0 = sw_lat * 3600.0
+    dx = dy = float(cell_arcsec)
+    xmax = x0 + dx * (nx - 1)
+    ymax = y0 + dy * (ny - 1)
+    finite = elev[elev != -32767]
+    emin = float(finite.min()) if finite.size else 0.0
+    emax = float(finite.max()) if finite.size else 0.0
+
+    hdr = bytearray(b" " * 864)
+
+    def put(off: int, text: str) -> None:
+        hdr[off:off + len(text)] = text.encode("ascii")
+
+    put(0, name[:135])
+    put(150, f"{1:6d}")                       # DEM level
+    put(156, f"{0:6d}")                       # coord system: geographic
+    put(162, f"{0:6d}")                       # zone
+    put(528, f"{3:6d}")                       # ground units: arc-sec
+    put(534, f"{2:6d}")                       # elevation units: meters
+    put(540, f"{4:6d}")                       # 4 corners
+    corners = [(x0, y0), (x0, ymax), (xmax, ymax), (xmax, y0)]
+    pos = 546
+    for cx, cy in corners:                    # SW, NW, NE, SE
+        put(pos, _dfmt(cx, 24))
+        put(pos + 24, _dfmt(cy, 24))
+        pos += 48
+    put(738, _dfmt(emin, 24))
+    put(762, _dfmt(emax, 24))
+    put(786, _dfmt(0.0, 24))                  # rotation angle
+    put(810, f"{0:6d}")                       # accuracy code
+    put(816, _dfmt(dx, 12))
+    put(828, _dfmt(dy, 12))
+    put(840, _dfmt(1.0, 12))                  # vertical resolution
+    put(852, f"{1:6d}")                       # rows (always 1)
+    put(858, f"{nx:6d}")                      # profile count
+
+    body = []
+    for i in range(nx):
+        col = elev[::-1, i]                   # south-to-north points
+        head = (f"{1:6d}{i + 1:6d}{ny:6d}{1:6d}"
+                + _dfmt(x0 + i * dx, 24) + _dfmt(y0, 24)
+                + _dfmt(0.0, 24)              # elevation offset
+                + _dfmt(float(col[col != -32767].min())
+                        if (col != -32767).any() else 0.0, 24)
+                + _dfmt(float(col[col != -32767].max())
+                        if (col != -32767).any() else 0.0, 24))
+        vals = "".join(f"{int(v):6d}" for v in col)
+        body.append(head + vals)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(bytes(hdr))
+        fh.write("".join(body).encode("ascii"))
+    os.replace(tmp, path)
+
+
+def read_usgsdem(path: str) -> dict:
+    """Read a classic USGS DEM (the reference's tokenizing reader
+    restated: A-record fields at their fixed offsets, then
+    whitespace-tokenized column profiles) -> dict(grid float64
+    north-first with voids as NaN, sw_lon, sw_lat, cell_arcsec)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    txt = data.decode("ascii", "replace")
+
+    def rint(off: int) -> int:
+        return int(txt[off:off + 6])
+
+    def rd(off: int, width: int) -> float:
+        return float(txt[off:off + width].replace("D", "E"))
+
+    coord = rint(156)
+    if coord != 0:
+        raise ValueError(f"{path}: coordinate system {coord} "
+                         "unsupported (geographic only)")
+    gunit = rint(528)
+    if gunit != 3:
+        raise ValueError(f"{path}: ground unit {gunit} unsupported "
+                         "(arc-seconds only)")
+    x0 = rd(546, 24)
+    y0 = rd(570, 24)
+    dx = rd(816, 12)
+    dy = rd(828, 12)
+    nprof = rint(858)
+    # profiles read with the reference's CHARACTER-LEVEL int scanner
+    # (USGSDEMReadIntFromBuffer): fields may abut with no separator
+    # when a negative value fills its I6 width, so whitespace
+    # splitting mis-tokenizes; doubles are FIXED 24-char reads
+    body = txt[864:]
+    cur = 0
+
+    def scan_int() -> int:
+        nonlocal cur
+        while cur < len(body) and body[cur] in " \t\r\n":
+            cur += 1
+        start = cur
+        if cur < len(body) and body[cur] in "+-":
+            cur += 1
+        while cur < len(body) and body[cur].isdigit():
+            cur += 1
+        return int(body[start:cur])
+
+    def scan_d24() -> float:
+        nonlocal cur
+        s = body[cur:cur + 24]
+        cur += 24
+        return float(s.replace("D", "E"))
+
+    cols = []
+    ny = None
+    for i in range(nprof):
+        rowno = scan_int(); colno = scan_int()
+        npts = scan_int(); ncols = scan_int()
+        if rowno != 1 or colno != i + 1 or ncols != 1:
+            raise ValueError(f"{path}: unexpected profile header "
+                             f"({rowno},{colno},{ncols}) at {i}")
+        if ny is None:
+            ny = npts
+        elif npts != ny:
+            raise ValueError(f"{path}: ragged profiles unsupported")
+        scan_d24()                            # x start
+        scan_d24()                            # y start
+        off = scan_d24()                      # elevation offset
+        scan_d24(); scan_d24()                # min / max
+        vals = np.array([scan_int() for _ in range(npts)], np.float64)
+        vals = np.where(vals == -32767, np.nan, vals + off)
+        cols.append(vals)
+    grid = np.column_stack(cols)[::-1]        # to north-first rows
+    return {"grid": grid, "sw_lon": x0 / 3600.0, "sw_lat": y0 / 3600.0,
+            "cell_arcsec": dx, "dy_arcsec": dy}

@@ -338,3 +338,48 @@ def test_rst_rgb24_bgr_and_registry(tmp_path):
     write_zmap(zp, np.ones((2, 2)))
     assert identify(zp) == "zmap"
     assert open_raster(zp)["driver"] == "zmap"
+
+
+def test_usgsdem_anchors_and_roundtrip(tmp_path):
+    from gdal_ray.sources.terrain_rasters import (read_usgsdem,
+                                                  write_usgsdem)
+
+    rng = np.random.default_rng(19)
+    g = rng.integers(-100, 4000, (9, 6)).astype(float)
+    g[3, 2] = np.nan
+    p = str(tmp_path / "t.dem")
+    write_usgsdem(p, g, sw_lon=-105.0, sw_lat=39.5, cell_arcsec=3.0)
+    txt = open(p).read()
+    # A-record anchors at the reference's fixed offsets
+    assert int(txt[156:162]) == 0        # geographic
+    assert int(txt[528:534]) == 3        # arc-second ground units
+    assert int(txt[534:540]) == 2        # meter elevations
+    assert int(txt[852:858]) == 1 and int(txt[858:864]) == 6
+    assert "D+" in txt[546:570]          # Fortran D-floats
+    # data begins at 864 with the 1/1 profile anchor the reference
+    # detection relies on (usgsdemdataset.cpp:639)
+    first = txt[864:].split()[:2]
+    assert first == ["1", "1"]
+    m = read_usgsdem(p)
+    np.testing.assert_array_equal(np.isnan(m["grid"]), np.isnan(g))
+    np.testing.assert_array_equal(m["grid"][~np.isnan(g)],
+                                  g[~np.isnan(g)])
+    assert (m["sw_lon"], m["sw_lat"], m["cell_arcsec"]) == \
+        (-105.0, 39.5, 3.0)
+    # negative elevations fill their I6 width: char-scanner required
+    g2 = np.full((4, 3), -12345.0)
+    p2 = str(tmp_path / "n.dem")
+    write_usgsdem(p2, g2, sw_lon=0.0, sw_lat=0.0)
+    np.testing.assert_array_equal(read_usgsdem(p2)["grid"], g2)
+
+
+def test_usgsdem_registry(tmp_path):
+    from gdal_ray.sources.registry import identify, open_raster
+    from gdal_ray.sources.terrain_rasters import write_usgsdem
+
+    g = np.arange(12.0).reshape(4, 3)
+    p = str(tmp_path / "r.dem")
+    write_usgsdem(p, g, sw_lon=10.0, sw_lat=20.0)
+    assert identify(p) == "usgsdem"
+    out = open_raster(p)
+    np.testing.assert_array_equal(out["grid"], g)
