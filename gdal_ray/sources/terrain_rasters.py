@@ -925,3 +925,90 @@ def read_usgsdem(path: str) -> dict:
     grid = np.column_stack(cols)[::-1]        # to north-first rows
     return {"grid": grid, "sw_lon": x0 / 3600.0, "sw_lat": y0 / 3600.0,
             "cell_arcsec": dx, "dy_arcsec": dy}
+
+
+# ------------------------------------------------------------- GXF
+
+def write_gxf(path: str, grid: np.ndarray, *, xorigin: float = 0.0,
+              yorigin: float = 0.0, cellsize: float = 1.0,
+              dummy: float = -1e12, title: str = "grid") -> None:
+    """Geosoft Grid eXchange File (the reference's ``frmts/gxf``):
+    '#KEYWORD' header lines each followed by a value line —
+    #POINTS/#ROWS/#PTSEPARATION/#RWSEPARATION/#XORIGIN/#YORIGIN/
+    #DUMMY/#SENSE (``gxfopen.c:225-339``) — then '#GRID' and the
+    values.  SENSE 1 (GXFS_LL_RIGHT, the format default,
+    ``gxfopen.c:212``): first data row is the SOUTH row, values
+    left-to-right.  ``grid`` rows are NORTH FIRST in memory; NaN
+    becomes the #DUMMY value; ``(xorigin, yorigin)`` is the
+    lower-left corner."""
+    a = np.asarray(grid, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError("GXF grids are single-band 2-D")
+    ny, nx = a.shape
+    body = np.where(np.isnan(a), dummy, a)
+    lines = [
+        "#TITLE", title,
+        "#POINTS", str(nx),
+        "#ROWS", str(ny),
+        "#PTSEPARATION", repr(float(cellsize)),
+        "#RWSEPARATION", repr(float(cellsize)),
+        "#XORIGIN", repr(float(xorigin)),
+        "#YORIGIN", repr(float(yorigin)),
+        "#DUMMY", repr(float(dummy)),
+        "#SENSE", "1",
+        "#GRID",
+    ]
+    for row in body[::-1]:                   # south row first
+        lines.append(" ".join(repr(float(v)) for v in row))
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+
+
+def read_gxf(path: str) -> dict:
+    """-> dict(grid north-first with #DUMMY as NaN, xorigin, yorigin,
+    cellsize).  SENSE 1 only (the default; others error loudly
+    naming the code)."""
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    kv: dict[str, list[str]] = {}
+    grid_at = None
+    i = 0
+    while i < len(lines):
+        ln = lines[i].strip()
+        if ln.upper().startswith("#GRID"):
+            grid_at = i + 1
+            break
+        if ln.startswith("#"):
+            key = ln[1:].split()[0].upper()[:4]
+            vals = []
+            i += 1
+            while i < len(lines) and not lines[i].strip().startswith("#"):
+                vals.append(lines[i].strip())
+                i += 1
+            kv[key] = vals
+            continue
+        i += 1
+    if grid_at is None:
+        raise ValueError(f"{path}: no #GRID section")
+    nx = int(kv["POIN"][0])
+    ny = int(kv["ROWS"][0])
+    sense = int(kv.get("SENS", ["1"])[0])
+    if sense != 1:
+        raise ValueError(f"{path}: #SENSE {sense} unsupported "
+                         "(GXFS_LL_RIGHT only)")
+    dummy = float(kv.get("DUMM", ["-1e12"])[0])
+    vals: list[float] = []
+    for ln in lines[grid_at:]:
+        vals += [float(v) for v in ln.split()]
+    if len(vals) != nx * ny:
+        raise ValueError(f"{path}: expected {nx * ny} values, "
+                         f"got {len(vals)}")
+    grid = np.array(vals).reshape(ny, nx)[::-1].copy()
+    grid[grid == dummy] = np.nan
+    return {"grid": grid,
+            "xorigin": float(kv.get("XORI", ["0"])[0]),
+            "yorigin": float(kv.get("YORI", ["0"])[0]),
+            "cellsize": float(kv.get("PTSE", ["1"])[0]),
+            "dummy": dummy}

@@ -383,3 +383,34 @@ def test_usgsdem_registry(tmp_path):
     assert identify(p) == "usgsdem"
     out = open_raster(p)
     np.testing.assert_array_equal(out["grid"], g)
+
+
+def test_gxf_anchors_roundtrip_and_registry(tmp_path):
+    from gdal_ray.sources.registry import identify, open_raster
+    from gdal_ray.sources.terrain_rasters import read_gxf, write_gxf
+
+    g = np.arange(12.0).reshape(3, 4)
+    g[0, 1] = np.nan
+    p = str(tmp_path / "g.gxf")
+    write_gxf(p, g, xorigin=100.0, yorigin=200.0, cellsize=25.0,
+              dummy=-1e12)
+    lines = open(p).read().splitlines()
+    gi = lines.index("#GRID")
+    assert "#SENSE" in lines and lines[lines.index("#SENSE") + 1] == "1"
+    # SENSE 1: first data row is the SOUTH row
+    assert [float(v) for v in lines[gi + 1].split()] == \
+        [8.0, 9.0, 10.0, 11.0]
+    m = read_gxf(p)
+    np.testing.assert_array_equal(np.isnan(m["grid"]), np.isnan(g))
+    np.testing.assert_allclose(m["grid"][~np.isnan(g)], g[~np.isnan(g)])
+    assert (m["xorigin"], m["yorigin"], m["cellsize"]) == \
+        (100.0, 200.0, 25.0)
+    assert identify(p) == "gxf"
+    out = open_raster(p)
+    assert out["driver"] == "gxf"
+    # unsupported sense errors loudly
+    bad = open(p).read().replace("#SENSE\n1", "#SENSE\n2")
+    p2 = str(tmp_path / "b.gxf")
+    open(p2, "w").write(bad)
+    with pytest.raises(ValueError, match="SENSE 2"):
+        read_gxf(p2)
