@@ -484,3 +484,56 @@ class NBScorer:
             "pred": pa.array(out_pred, pa.string()),
             "log_score": pa.array(out_score, pa.float64()),
         })
+
+
+class DomainExtractor:
+    """Actor-pool stage: URL DOMAIN extraction per document — the C4
+    provenance primitive (per-domain corpus statistics drive the
+    blocklist / quality-weighting decisions).  Pattern compiled once
+    per actor; alternation-free like the PatternCounter family so
+    RE2-style and backtracking engines agree.  Emits one row per
+    (doc_id, domain) with its in-doc occurrence count — the partial
+    the per-domain aggregation consumes."""
+
+    DOMAIN = r"https?://([A-Za-z0-9.-]+)"
+
+    def __init__(self):
+        self.pat = re.compile(self.DOMAIN)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        o_id, o_dom, o_c = [], [], []
+        for did, txt in zip(ids, texts):
+            doms = sorted(set(m.lower() for m in
+                              self.pat.findall(txt or "")))
+            counts = {}
+            for m in self.pat.findall(txt or ""):
+                counts[m.lower()] = counts.get(m.lower(), 0) + 1
+            for dm in doms:
+                o_id.append(did)
+                o_dom.append(dm)
+                o_c.append(counts[dm])
+        return pa.table({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "domain": pa.array(o_dom, pa.string()),
+            "n": pa.array(o_c, pa.int64()),
+        })
+
+
+def domain_stats(docs, concurrency: int = 4):
+    """Per-domain corpus statistics: (domain, n_docs, n_urls) via the
+    DomainExtractor partials and ONE domain-keyed grouped_aggregate —
+    the C4 provenance table."""
+    from ..pipelines import relational as R
+
+    parts = docs.map_batches(DomainExtractor, batch_format="pyarrow",
+                             concurrency=concurrency)
+
+    def one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, np.int64), pa.int64()))
+
+    return R.grouped_aggregate(
+        parts.map_batches(one, batch_format="pyarrow"),
+        ["domain"], [("one", "sum", "n_docs"), ("n", "sum", "n_urls")])

@@ -791,3 +791,49 @@ def test_naive_bayes_train_and_score(ray_session):
     toks = test_docs[0]["text"].split()
     want = max(score("aa", toks), score("bb", toks))
     assert abs(out[100]["log_score"] - want) < 1e-9
+
+
+def test_domain_extraction_vs_duckdb(ray_session):
+    """URL-domain extraction + per-domain aggregation cross-checked
+    against DuckDB regexp_extract_all over crafted docs (the
+    PatternCounter cross-oracle discipline)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.stages.text import domain_stats
+
+    docs = [
+        {"doc_id": 1, "text": "see https://a.example.com/x and "
+                              "http://B.example.com/y plus "
+                              "https://a.example.com/z"},
+        {"doc_id": 2, "text": "nothing here"},
+        {"doc_id": 3, "text": "ref https://c.org http://c.org/page"},
+        {"doc_id": 4, "text": "dup https://a.example.com"},
+    ]
+    out = domain_stats(rd.from_items(docs),
+                       concurrency=1).to_pandas()
+    out = out.sort_values("domain").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(docs))
+    want = con.execute(r"""
+        WITH urls AS (
+          SELECT doc_id,
+                 lower(regexp_extract(u, 'https?://([A-Za-z0-9.-]+)',
+                                      1)) AS domain
+          FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(
+                           text, 'https?://[A-Za-z0-9.-]+')) AS u
+                FROM docs)
+        )
+        SELECT domain,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_urls
+        FROM urls GROUP BY domain ORDER BY domain
+    """).fetchdf()
+    assert out["domain"].tolist() == want["domain"].tolist()
+    assert out["n_docs"].tolist() == want["n_docs"].tolist()
+    assert out["n_urls"].tolist() == want["n_urls"].tolist()
+    assert "a.example.com" in set(out["domain"])
+    assert out.set_index("domain").loc["a.example.com", "n_docs"] == 2
