@@ -744,8 +744,9 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
                         + struct.pack("<I", a.dtype.itemsize))
             msgs.append(_msg(0x0008, body))
             offs = _chunk_grid(a.shape, ck)
-            if len(offs) > 64:
-                raise ValueError(f"{n!r}: > 64 chunks unsupported")
+            cap = 1024 if n in ext_array else 64
+            if len(offs) > cap:
+                raise ValueError(f"{n!r}: > {cap} chunks unsupported")
             blobs = []
             for o in offs:
                 sl = tuple(slice(i, i + c) for i, c in zip(o, ck))
@@ -822,9 +823,9 @@ def write_hdf5_latest(path: str, datasets: dict[str, np.ndarray], *,
         elif n in chunk_blobs and n in ext_array:
             cbt_addr[n] = pos
             esize = 16 if n in compress else 8
-            hdr_ib, dblk_bytes, _ = _ea_sizes(len(chunk_blobs[n]),
-                                              esize)
-            pos += hdr_ib + dblk_bytes
+            hdr_ib, body_bytes, _d, _s = _ea_sizes(
+                len(chunk_blobs[n]), esize)
+            pos += hdr_ib + body_bytes
         elif n in chunk_blobs and n in btree2:
             cbt_addr[n] = pos
             pos += _bt2_chunk_size(len(chunk_blobs[n]),
@@ -981,31 +982,67 @@ def _ea_schedule():
     return len(sizes), sizes
 
 
-def _ea_sizes(n: int, esize: int) -> tuple[int, int, list[int]]:
-    """(eahd+eaib bytes, total data-block bytes, per-dblk nelmts
-    actually allocated) for n elements."""
-    n_slots, sizes = _ea_schedule()
+def _ea_secondary_schedule():
+    """Secondary super blocks (those whose data-block count reaches
+    ``sblk_min_data_ptrs``): list of (ndblks, dblk_nelmts) in super-
+    block order, bounded by the registry's total super-block count."""
+    nsblks_total = 2 * (_EA_MAX_BITS - (_EA_IDX_ELEMS.bit_length() - 1))
+    out = []
+    s = 0
+    while (1 << (s // 2)) < _EA_SBLK_MIN_PTRS:
+        s += 1
+    for ss in range(s, nsblks_total):
+        out.append((1 << (ss // 2),
+                    _EA_DBLK_MIN * (1 << ((ss + 1) // 2))))
+    return out
+
+
+def _ea_plan(n: int, esize: int):
+    """-> (direct_used [dblk nelmts], secondary_used [(ndblks_alloc,
+    dblk_nelmts, ndblks_needed)], per-structure byte sizes) for n
+    elements.  Secondary super blocks allocate their FULL data-block
+    address slot count; only ``ndblks_needed`` data blocks exist."""
+    _n_slots, sizes = _ea_schedule()
+    rem = max(0, n - _EA_IDX_ELEMS)
+    direct = []
+    for nel in sizes:
+        if rem <= 0:
+            break
+        direct.append(nel)
+        rem -= nel
+    secondary = []
+    for ndb, nel in _ea_secondary_schedule():
+        if rem <= 0:
+            break
+        need = min(ndb, -(-rem // nel))
+        secondary.append((ndb, nel, need))
+        rem -= need * nel
+    if rem > 0:
+        raise ValueError(
+            f"extensible array: {n} chunks exceed the representable "
+            "capacity")
+    return direct, secondary
+
+
+def _ea_sizes(n: int, esize: int):
+    """(eahd+eaib bytes, data+secondary-block bytes, direct dblk
+    nelmts, secondary plan) for n elements."""
+    n_slots, _sizes = _ea_schedule()
     nsblks_total = 2 * (_EA_MAX_BITS - (_EA_IDX_ELEMS.bit_length() - 1))
     n_sblk_slots = nsblks_total - 4        # s=0..3 live in the iblock
     eaib = 4 + 1 + 1 + 8 + _EA_IDX_ELEMS * esize + n_slots * 8 \
         + n_sblk_slots * 8 + 4
-    rem = max(0, n - _EA_IDX_ELEMS)
-    used = []
-    for nel in sizes:
-        if rem <= 0:
-            break
-        used.append(nel)
-        rem -= nel
-    if rem > 0:
-        raise ValueError(
-            f"extensible array: {n} chunks exceed the index-block + "
-            f"direct-data-block capacity "
-            f"({_EA_IDX_ELEMS + sum(sizes)}); secondary blocks "
-            "unsupported")
+    direct, secondary = _ea_plan(n, esize)
     off_bytes = (_EA_MAX_BITS + 7) // 8
-    dblk_bytes = sum(4 + 1 + 1 + 8 + off_bytes + nel * esize + 4
-                     for nel in used)
-    return 72 + eaib, dblk_bytes, used
+
+    def dblk_size(nel: int) -> int:
+        return 4 + 1 + 1 + 8 + off_bytes + nel * esize + 4
+
+    body = sum(dblk_size(nel) for nel in direct)
+    for ndb, nel, need in secondary:
+        body += 4 + 1 + 1 + 8 + off_bytes + ndb * 8 + 4   # EASB
+        body += need * dblk_size(nel)
+    return 72 + eaib, body, direct, secondary
 
 
 def _ext_array_blobs(eahd_addr: int, blobs: list[bytes],
@@ -1016,8 +1053,8 @@ def _ext_array_blobs(eahd_addr: int, blobs: list[bytes],
     client = 1 if filtered else 0
     esize = 16 if filtered else 8
     n = len(blobs)
-    hdr_ib, dblk_bytes, used = _ea_sizes(n, esize)
-    n_slots, sizes = _ea_schedule()
+    hdr_ib, body_bytes, direct, secondary = _ea_sizes(n, esize)
+    n_slots, _sizes = _ea_schedule()
     nsblks_total = 2 * (_EA_MAX_BITS - (_EA_IDX_ELEMS.bit_length() - 1))
     n_sblk_slots = nsblks_total - 4
     eaib_addr = eahd_addr + 72
@@ -1032,32 +1069,59 @@ def _ext_array_blobs(eahd_addr: int, blobs: list[bytes],
             e += struct.pack("<II", len(blobs[k]), 0)
         return e
 
-    # ---- data blocks (after the index block)
-    dblk_addrs: list[int] = []
-    dpos = eahd_addr + hdr_ib
-    dblks = []
-    k = _EA_IDX_ELEMS
     off_bytes = (_EA_MAX_BITS + 7) // 8
-    for nel in used:
-        dblk_addrs.append(dpos)
+    dpos = eahd_addr + hdr_ib
+    parts: list[bytes] = []
+    k = _EA_IDX_ELEMS
+
+    def emit_dblk(nel: int) -> int:
+        nonlocal dpos, k
         body = bytearray(b"EADB" + bytes([0, client])
                          + struct.pack("<Q", eahd_addr)
                          + k.to_bytes(off_bytes, "little"))
         for j in range(nel):
             body += elem(k + j)
         body += struct.pack("<I", _lookup3(bytes(body)))
-        dblks.append(bytes(body))
+        parts.append(bytes(body))
+        at = dpos
         dpos += len(body)
         k += nel
-    ndblks = len(used)
-    dblk_size_total = sum(len(b) for b in dblks)
+        return at
+
+    # ---- direct data blocks (addressed from the index block)
+    dblk_addrs = [emit_dblk(nel) for nel in direct]
+    # ---- secondary blocks: EASB carries its super block's FULL
+    # data-block address slot list; only the needed blocks exist
+    sblk_addrs: list[int] = []
+    ndblks_total = len(direct)
+    sblk_bytes = 0
+    sblk_elem0 = _EA_IDX_ELEMS + sum(direct)
+    for ndb, nel, need in secondary:
+        easb_at = dpos
+        easb_len = 4 + 1 + 1 + 8 + off_bytes + ndb * 8 + 4
+        dpos += easb_len
+        sblk_bytes += easb_len
+        here = [emit_dblk(nel) for _ in range(need)]
+        ndblks_total += need
+        easb = bytearray(b"EASB" + bytes([0, client])
+                         + struct.pack("<Q", eahd_addr)
+                         + sblk_elem0.to_bytes(off_bytes, "little"))
+        for j in range(ndb):
+            easb += struct.pack(
+                "<Q", here[j] if j < need else _UNDEF_ADDR)
+        easb += struct.pack("<I", _lookup3(bytes(easb)))
+        assert len(easb) == easb_len
+        parts.insert(len(parts) - need, bytes(easb))
+        sblk_addrs.append(easb_at)
+        sblk_elem0 += ndb * nel            # full capacity advances
+    dblk_size_total = sum(len(b) for b in parts) - sblk_bytes
 
     # ---- header
     eahd = (b"EAHD" + bytes([0, client, esize, _EA_MAX_BITS,
                              _EA_IDX_ELEMS, _EA_DBLK_MIN,
                              _EA_SBLK_MIN_PTRS, _EA_PAGE_BITS])
-            + struct.pack("<QQQQQQ", 0, 0, ndblks, dblk_size_total,
-                          n, n)
+            + struct.pack("<QQQQQQ", len(sblk_addrs), sblk_bytes,
+                          ndblks_total, dblk_size_total, n, n)
             + struct.pack("<Q", eaib_addr))
     eahd += struct.pack("<I", _lookup3(eahd))
     assert len(eahd) == 72
@@ -1069,12 +1133,18 @@ def _ext_array_blobs(eahd_addr: int, blobs: list[bytes],
         eaib += elem(kk)
     for j in range(n_slots):
         eaib += struct.pack(
-            "<Q", dblk_addrs[j] if j < ndblks else _UNDEF_ADDR)
-    eaib += struct.pack("<Q", _UNDEF_ADDR) * n_sblk_slots
+            "<Q", dblk_addrs[j] if j < len(dblk_addrs)
+            else _UNDEF_ADDR)
+    for j in range(n_sblk_slots):
+        eaib += struct.pack(
+            "<Q", sblk_addrs[j] if j < len(sblk_addrs)
+            else _UNDEF_ADDR)
     eaib += struct.pack("<I", _lookup3(bytes(eaib)))
     assert len(eaib) == eaib_len, (len(eaib), eaib_len)
-    assert dblk_bytes == dblk_size_total
-    return bytes(eahd) + bytes(eaib) + b"".join(dblks)
+    out = bytes(eahd) + bytes(eaib) + b"".join(parts)
+    assert len(out) == hdr_ib + body_bytes, (len(out),
+                                             hdr_ib + body_bytes)
+    return out
 
 
 def _bt2_chunk_blobs(bthd_addr: int, addrs: list[int],
@@ -1705,15 +1775,8 @@ def _walk_ext_array(buf: bytes, v: dict, shape) -> list:
         sizes += [dblk_min * (1 << ((s + 1) // 2))] * (1 << (s // 2))
         s += 1
     off_bytes = (max_bits + 7) // 8
-    k = idx_elems
-    for nel in sizes:
-        if len(elems) >= n:
-            break
-        db_addr = struct.unpack("<Q", buf[p:p + 8])[0]
-        p += 8
-        if db_addr == _UNDEF_ADDR:
-            raise ValueError("HDF5: extensible array needs an "
-                             "unallocated data block")
+
+    def read_dblk(db_addr: int, nel: int, k: int) -> None:
         if buf[db_addr:db_addr + 4] != b"EADB":
             raise ValueError(
                 f"HDF5: EADB signature missing at {db_addr}")
@@ -1726,11 +1789,53 @@ def _walk_ext_array(buf: bytes, v: dict, shape) -> list:
         for _ in range(min(nel, n - len(elems))):
             elems.append(parse_elem(q))
             q += esize
+
+    k = idx_elems
+    for nel in sizes:
+        if len(elems) >= n:
+            break
+        db_addr = struct.unpack("<Q", buf[p:p + 8])[0]
+        p += 8
+        if db_addr == _UNDEF_ADDR:
+            raise ValueError("HDF5: extensible array needs an "
+                             "unallocated data block")
+        read_dblk(db_addr, nel, k)
         k += nel
-    if len(elems) < n:
-        raise ValueError(
-            f"HDF5: extensible array covers {len(elems)} of {n} "
-            "chunks — secondary blocks unsupported")
+    # SECONDARY blocks: index-block sblk addresses -> EASB (its full
+    # data-block address slot list) -> data blocks
+    p = ib_addr + 4 + 1 + 1 + 8 + idx_elems * esize + len(sizes) * 8
+    ss = s
+    while len(elems) < n:
+        sb_addr = struct.unpack("<Q", buf[p:p + 8])[0]
+        p += 8
+        if sb_addr == _UNDEF_ADDR:
+            raise ValueError(
+                f"HDF5: extensible array covers {len(elems)} of {n} "
+                "chunks — secondary block unallocated")
+        if buf[sb_addr:sb_addr + 4] != b"EASB":
+            raise ValueError(
+                f"HDF5: EASB signature missing at {sb_addr}")
+        if buf[sb_addr + 5] != client:
+            raise ValueError("HDF5: EASB client id mismatch")
+        boff = int.from_bytes(
+            buf[sb_addr + 14:sb_addr + 14 + off_bytes], "little")
+        if boff != k:
+            raise ValueError(f"HDF5: EASB block offset {boff} != "
+                             f"expected element index {k}")
+        ndb = 1 << (ss // 2)
+        nel = dblk_min * (1 << ((ss + 1) // 2))
+        q = sb_addr + 14 + off_bytes
+        for j in range(ndb):
+            if len(elems) >= n:
+                break
+            db_addr = struct.unpack("<Q", buf[q:q + 8])[0]
+            q += 8
+            if db_addr == _UNDEF_ADDR:
+                raise ValueError("HDF5: extensible array needs an "
+                                 "unallocated data block")
+            read_dblk(db_addr, nel, boff + j * nel)
+        k = boff + ndb * nel               # full capacity advances
+        ss += 1
     out = []
     for kk in range(n):
         caddr, csize = elems[kk]

@@ -590,3 +590,45 @@ def test_paged_fixed_array(tmp_path):
                       fixed_array={"d"}, compress={"d": 6},
                       fa_page_bits=4)
     assert np.array_equal(read_hdf5(p, "d"), a)
+
+
+def test_extensible_array_secondary_blocks(tmp_path):
+    """EA beyond the index block's direct capacity (244 elements with
+    the default creation params): secondary blocks (EASB — full
+    data-block address slot list, block offsets on FULL-capacity
+    lattice) carry the overflow; boundary (244/245), deep (1000,
+    spanning multiple super blocks) and filtered cases, plus EASB
+    byte anchors."""
+    from gdal_ray.sources.hdf5 import (hdf5_info, read_hdf5,
+                                       write_hdf5_latest)
+
+    rng = np.random.default_rng(23)
+    for nchunks in (244, 245, 400, 1000):
+        a = rng.integers(-999, 999, nchunks * 5).astype("<i2")
+        p = str(tmp_path / f"e{nchunks}.h5")
+        write_hdf5_latest(p, {"d": a}, chunks={"d": (5,)},
+                          ext_array={"d"}, maxshape={"d": (None,)})
+        assert np.array_equal(read_hdf5(p, "d"), a), nchunks
+    # anchors on the 400-chunk file: one EASB with sblk-4 geometry
+    p = str(tmp_path / "e400.h5")
+    info = hdf5_info(p)["datasets"]["d"]
+    buf = open(p, "rb").read()
+    ea = info["ea_addr"]
+    nsblks = struct.unpack("<Q", buf[ea + 12:ea + 20])[0]
+    assert nsblks == 1
+    sb = buf.find(b"EASB")
+    assert sb > 0
+    # block offset = 4 direct + 240 direct-dblk elements = 244
+    assert int.from_bytes(buf[sb + 14:sb + 18], "little") == 244
+    # sblk 4 holds 4 data blocks of 64 elements; 400-244=156 -> 3 used
+    addrs = [struct.unpack("<Q", buf[sb + 18 + 8 * j:
+                                     sb + 26 + 8 * j])[0]
+             for j in range(4)]
+    assert sum(a != 0xFFFFFFFFFFFFFFFF for a in addrs) == 3
+    # filtered overflow path
+    af = rng.normal(size=300 * 5).astype("<f8")
+    p2 = str(tmp_path / "ef.h5")
+    write_hdf5_latest(p2, {"d": af}, chunks={"d": (5,)},
+                      ext_array={"d"}, compress={"d": 6},
+                      maxshape={"d": (None,)})
+    assert np.array_equal(read_hdf5(p2, "d"), af)
