@@ -22,7 +22,7 @@ import struct
 RASTER_DRIVERS = (
     "gtiff png jpeg webp gif bmp pnm hdf5 netcdf grib2 nitf dted "
     "aaigrid envi xyz zarr zarr3 ntv2 gtx mbtiles "
-    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf"
+    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds"
 ).split()
 VECTOR_DRIVERS = (
     "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet "
@@ -125,6 +125,8 @@ def identify(path: str) -> str:
         return "mif"
     if low.startswith(b"datasetheader begin"):
         return "ers"
+    if low.startswith(b"pds_version_id"):
+        return "pds"
     if low.startswith(b"#title") or low.startswith(b"#points") \
             or low.startswith(b"#grid"):
         return "gxf"
@@ -279,6 +281,10 @@ def open_raster(path: str) -> dict:
         from .terrain_rasters import read_gxf
 
         return {"driver": drv, **read_gxf(path)}
+    if drv == "pds":
+        from .pds import read_pds
+
+        return {"driver": drv, **read_pds(path)}
     if drv == "xyz":
         from .dted import read_xyz
 
