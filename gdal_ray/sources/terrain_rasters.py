@@ -1012,3 +1012,83 @@ def read_gxf(path: str) -> dict:
             "yorigin": float(kv.get("YORI", ["0"])[0]),
             "cellsize": float(kv.get("PTSE", ["1"])[0]),
             "dummy": dummy}
+
+
+# -------------------------------------------------------- Erdas LAN
+
+def write_lan(path: str, img: np.ndarray, *,
+              ul: tuple[float, float] | None = None,
+              pixel: tuple[float, float] = (1.0, 1.0),
+              coord_sys: int = 0) -> None:
+    """Erdas 7.x LAN/GIS raster (``frmts/raw/landataset.cpp:25-46``,
+    the HEAD74 layout): 128-byte header — magic, pixel type (0=8-bit,
+    2=16-bit), band count, int32 width/height at 16/20, coord system
+    at 88, UL-corner X/Y float32 at 112/116, pixel width/height at
+    120/124 — then BIL-interleaved samples.  ``img`` is (bands, rows,
+    cols) or (rows, cols) of uint8/int16, little-endian."""
+    a = np.asarray(img)
+    if a.ndim == 2:
+        a = a[None]
+    if a.ndim != 3:
+        raise ValueError("LAN wants (bands, rows, cols)")
+    if a.dtype == np.uint8:
+        ptype = 0
+    elif a.dtype == np.int16:
+        ptype = 2
+    else:
+        raise ValueError(f"LAN: unsupported dtype {a.dtype} "
+                         "(uint8/int16)")
+    nb, ny, nx = a.shape
+    hdr = bytearray(128)
+    hdr[0:6] = b"HEAD74"
+    struct.pack_into("<hh", hdr, 6, ptype, nb)
+    struct.pack_into("<ii", hdr, 16, nx, ny)
+    struct.pack_into("<ii", hdr, 24, 0, 0)
+    struct.pack_into("<h", hdr, 88, coord_sys)
+    if ul is not None:
+        struct.pack_into("<f", hdr, 112, ul[0])
+        struct.pack_into("<f", hdr, 116, ul[1])
+    struct.pack_into("<f", hdr, 120, pixel[0])
+    struct.pack_into("<f", hdr, 124, pixel[1])
+    bil = np.ascontiguousarray(
+        a.transpose(1, 0, 2).astype(a.dtype.newbyteorder("<")))
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(bytes(hdr))
+        fh.write(bil.tobytes())
+    os.replace(tmp, path)
+
+
+def read_lan(path: str) -> dict:
+    """-> dict(img (bands, rows, cols), ul, pixel, coord_sys).
+    HEAD74 and HEADER magics; 4-bit packing errors loudly like the
+    reference's -1 pixel-offset path is its own branch there."""
+    with open(path, "rb") as fh:
+        hdr = fh.read(128)
+        if hdr[:6] not in (b"HEAD74", b"HEADER"):
+            raise ValueError(f"{path}: not an Erdas LAN header")
+        ptype, nb = struct.unpack_from("<hh", hdr, 6)
+        if hdr[:6] == b"HEADER":
+            nx = int(struct.unpack_from("<f", hdr, 16)[0])
+            ny = int(struct.unpack_from("<f", hdr, 20)[0])
+        else:
+            nx, ny = struct.unpack_from("<ii", hdr, 16)
+        if ptype == 0:
+            dt = np.dtype("u1")
+        elif ptype == 2:
+            dt = np.dtype("<i2")
+        elif ptype == 1:
+            raise ValueError(f"{path}: 4-bit LAN packing unsupported")
+        else:
+            raise ValueError(f"{path}: pixel type {ptype} unsupported")
+        coord_sys = struct.unpack_from("<h", hdr, 88)[0]
+        ulx, uly = struct.unpack_from("<ff", hdr, 112)
+        pw, ph = struct.unpack_from("<ff", hdr, 120)
+        raw = np.frombuffer(fh.read(nb * ny * nx * dt.itemsize), dt)
+    if raw.size != nb * ny * nx:
+        raise ValueError(f"{path}: truncated LAN payload")
+    img = raw.reshape(ny, nb, nx).transpose(1, 0, 2)
+    return {"img": np.ascontiguousarray(
+        img.astype(img.dtype.newbyteorder("="))),
+        "ul": (float(ulx), float(uly)), "pixel": (float(pw), float(ph)),
+        "coord_sys": int(coord_sys)}

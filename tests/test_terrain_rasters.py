@@ -414,3 +414,36 @@ def test_gxf_anchors_roundtrip_and_registry(tmp_path):
     open(p2, "w").write(bad)
     with pytest.raises(ValueError, match="SENSE 2"):
         read_gxf(p2)
+
+
+def test_lan_anchors_roundtrip_and_registry(tmp_path):
+    from gdal_ray.sources.registry import identify, open_raster
+    from gdal_ray.sources.terrain_rasters import read_lan, write_lan
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(-900, 900, (2, 4, 6)).astype(np.int16)
+    p = str(tmp_path / "t.lan")
+    write_lan(p, img, ul=(500000.0, 4200000.0), pixel=(30.0, 30.0),
+              coord_sys=1)
+    raw = open(p, "rb").read()
+    assert raw[:6] == b"HEAD74"
+    assert struct.unpack_from("<hh", raw, 6) == (2, 2)   # 16-bit, 2 bands
+    assert struct.unpack_from("<ii", raw, 16) == (6, 4)
+    assert struct.unpack_from("<h", raw, 88)[0] == 1     # UTM
+    assert struct.unpack_from("<ff", raw, 120) == (30.0, 30.0)
+    # BIL: row 0 = band0 row0 then band1 row0
+    got = np.frombuffer(raw[128:128 + 24], "<i2")
+    np.testing.assert_array_equal(got[:6], img[0, 0])
+    np.testing.assert_array_equal(got[6:], img[1, 0])
+    m = read_lan(p)
+    np.testing.assert_array_equal(m["img"], img)
+    assert m["ul"] == (500000.0, 4200000.0)
+    assert identify(p) == "lan"
+    np.testing.assert_array_equal(open_raster(p)["img"], img)
+    # 4-bit guard
+    bad = bytearray(raw)
+    struct.pack_into("<h", bad, 6, 1)
+    p2 = str(tmp_path / "b.lan")
+    open(p2, "wb").write(bytes(bad))
+    with pytest.raises(ValueError, match="4-bit"):
+        read_lan(p2)
