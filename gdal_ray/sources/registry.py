@@ -22,7 +22,7 @@ import struct
 RASTER_DRIVERS = (
     "gtiff png jpeg webp gif bmp pnm hdf5 netcdf grib2 nitf dted "
     "aaigrid envi xyz zarr zarr3 ntv2 gtx mbtiles "
-    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan"
+    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen"
 ).split()
 VECTOR_DRIVERS = (
     "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet "
@@ -96,6 +96,8 @@ def identify(path: str) -> str:
         return "dted"
     if head[:6] in (b"HEAD74", b"HEADER"):
         return "lan"
+    if head[:16] == b"TERRAGENTERRAIN ":
+        return "terragen"
     if head[:16] == b"SQLite format 3\x00":
         kind = _sniff_sqlite(path)
         if kind:
@@ -291,6 +293,10 @@ def open_raster(path: str) -> dict:
         from .terrain_rasters import read_lan
 
         return {"driver": drv, **read_lan(path)}
+    if drv == "terragen":
+        from .terrain_rasters import read_terragen
+
+        return {"driver": drv, **read_terragen(path)}
     if drv == "xyz":
         from .dted import read_xyz
 

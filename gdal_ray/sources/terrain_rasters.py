@@ -1092,3 +1092,87 @@ def read_lan(path: str) -> dict:
         img.astype(img.dtype.newbyteorder("="))),
         "ul": (float(ulx), float(uly)), "pixel": (float(pw), float(ph)),
         "coord_sys": int(coord_sys)}
+
+
+# ------------------------------------------------------- Terragen
+
+def write_terragen(path: str, grid_m: np.ndarray, *,
+                   scal: float = 30.0,
+                   height_scale: int = 256) -> None:
+    """Terragen .ter heightfield (``frmts/terragen/
+    terragendataset.cpp:440-530``): 16-byte 'TERRAGENTERRAIN ' magic,
+    then 4-char tags — SIZE (int16 min(n)-1 + pad), XPTS/YPTS for
+    non-square fields, SCAL (3 float32 gridpost distances), ALTW
+    (int16 heightScale, int16 baseHeight, int16 elevations with
+    ``h_meters = SCAL * (base + hv * hscale / 65536)``) — and
+    'EOF '.  First stored row is the SOUTH row (Terragen's y-up
+    convention); ``grid_m`` rows are NORTH FIRST in memory."""
+    a = np.asarray(grid_m, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError("Terragen heightfields are 2-D")
+    ny, nx = a.shape
+    hpx = a / float(scal)
+    hv = np.clip(np.floor(hpx * 65536.0 / height_scale + 0.5),
+                 -32768, 32767).astype("<i2")
+    parts = [b"TERRAGENTERRAIN "]
+    parts.append(b"SIZE" + struct.pack("<hxx", min(nx, ny) - 1))
+    if nx != ny:
+        parts.append(b"XPTS" + struct.pack("<hxx", nx))
+        parts.append(b"YPTS" + struct.pack("<hxx", ny))
+    parts.append(b"SCAL" + struct.pack("<fff", scal, scal, scal))
+    parts.append(b"ALTW" + struct.pack("<hh", height_scale, 0))
+    parts.append(hv[::-1].tobytes())          # south row first
+    parts.append(b"EOF ")
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(b"".join(parts))
+    os.replace(tmp, path)
+
+
+def read_terragen(path: str) -> dict:
+    """-> dict(grid_m north-first float64, scal, height_scale,
+    base_height) via the tag walk the reference performs
+    (``terragendataset.cpp:691-763``)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:16] != b"TERRAGENTERRAIN ":
+        raise ValueError(f"{path}: not a Terragen heightfield")
+    pos = 16
+    nx = ny = None
+    scal = 30.0
+    hscale = base = None
+    hv = None
+    while pos + 4 <= len(data):
+        tag = data[pos:pos + 4]
+        pos += 4
+        if tag == b"SIZE":
+            n = struct.unpack_from("<h", data, pos)[0] + 1
+            nx = ny = n
+            pos += 4
+        elif tag == b"XPTS":
+            nx = struct.unpack_from("<h", data, pos)[0]
+            pos += 4
+        elif tag == b"YPTS":
+            ny = struct.unpack_from("<h", data, pos)[0]
+            pos += 4
+        elif tag == b"SCAL":
+            scal = struct.unpack_from("<fff", data, pos)[0]
+            pos += 12
+        elif tag == b"ALTW":
+            hscale, base = struct.unpack_from("<hh", data, pos)
+            pos += 4
+            if nx is None or ny is None:
+                raise ValueError(f"{path}: ALTW before SIZE")
+            hv = np.frombuffer(data, "<i2", count=nx * ny,
+                               offset=pos).reshape(ny, nx)
+            pos += 2 * nx * ny
+        elif tag == b"EOF ":
+            break
+        else:
+            raise ValueError(f"{path}: unknown Terragen tag {tag!r}")
+    if hv is None:
+        raise ValueError(f"{path}: no ALTW elevation chunk")
+    grid = float(scal) * (base + hv[::-1].astype(np.float64)
+                          * hscale / 65536.0)
+    return {"grid_m": grid, "scal": float(scal),
+            "height_scale": int(hscale), "base_height": int(base)}

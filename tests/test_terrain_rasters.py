@@ -447,3 +447,37 @@ def test_lan_anchors_roundtrip_and_registry(tmp_path):
     open(p2, "wb").write(bytes(bad))
     with pytest.raises(ValueError, match="4-bit"):
         read_lan(p2)
+
+
+def test_terragen_tags_roundtrip_and_registry(tmp_path):
+    from gdal_ray.sources.registry import identify, open_raster
+    from gdal_ray.sources.terrain_rasters import (read_terragen,
+                                                  write_terragen)
+
+    rng = np.random.default_rng(31)
+    step = 30.0 * 256 / 65536          # one int16 quantum in meters
+    g = rng.integers(-200, 800, (6, 9)).astype(float) * step
+    p = str(tmp_path / "t.ter")
+    write_terragen(p, g)
+    raw = open(p, "rb").read()
+    assert raw[:16] == b"TERRAGENTERRAIN "
+    assert raw[16:20] == b"SIZE"
+    assert struct.unpack_from("<h", raw, 20)[0] == 5   # min-1
+    assert b"XPTS" in raw and b"YPTS" in raw            # non-square
+    assert b"SCAL" in raw and b"ALTW" in raw
+    assert raw.rstrip().endswith(b"EOF")
+    # ALTW first stored elevation = SW corner
+    ai = raw.index(b"ALTW")
+    hv0 = struct.unpack_from("<h", raw, ai + 8)[0]
+    assert abs(30.0 * hv0 * 256 / 65536 - g[-1, 0]) < 1e-9
+    m = read_terragen(p)
+    np.testing.assert_allclose(m["grid_m"], g, atol=1e-9)
+    assert m["scal"] == 30.0
+    assert identify(p) == "terragen"
+    np.testing.assert_allclose(open_raster(p)["grid_m"], g, atol=1e-9)
+    # arbitrary heights round-trip within one quantum
+    g2 = rng.normal(scale=500.0, size=(5, 5))
+    p2 = str(tmp_path / "q.ter")
+    write_terragen(p2, g2)
+    np.testing.assert_allclose(read_terragen(p2)["grid_m"], g2,
+                               atol=step / 2 + 1e-9)
