@@ -402,3 +402,83 @@ def open_vector(path: str):
         return rd.from_arrow(fn(path))
     raise ValueError(f"{path}: {drv} is a raster driver — use "
                      "open_raster")
+
+
+def describe(path: str) -> str:
+    """Human-readable dataset report — the ``gdalinfo`` / ``ogrinfo``
+    front-door analog (``apps/gdalinfo_lib.cpp`` /
+    ``apps/ogrinfo_lib.cpp``): driver, dimensions, bands, dtype,
+    georeferencing and per-driver extras, from the same sniff +
+    dispatch as open_raster/open_vector."""
+    drv = identify(path)
+    lines = [f"Driver: {drv}", f"File: {path}"]
+    if drv in VECTOR_DRIVERS:
+        ds = open_vector(path)
+        n = ds.count()
+        names = ds.schema().names
+        lines.append(f"Feature Count: {n}")
+        lines.append(f"Fields: {', '.join(c for c in names)}")
+        if "geometry" in names or "wkb" in names:
+            gcol = "geometry" if "geometry" in names else "wkb"
+            from ..functions.geom import envelope_wkb, parse_wkb
+
+            kinds: dict[str, int] = {}
+            minx = miny = float("inf")
+            maxx = maxy = float("-inf")
+            for row in ds.take(1000):
+                b = row.get(gcol)
+                if not b:
+                    continue
+                k = parse_wkb(b)[0]
+                kinds[k] = kinds.get(k, 0) + 1
+                x0, y0, x1, y1 = envelope_wkb(b)
+                minx, miny = min(minx, x0), min(miny, y0)
+                maxx, maxy = max(maxx, x1), max(maxy, y1)
+            if kinds:
+                lines.append("Geometry: " + ", ".join(
+                    f"{k} ({v})" for k, v in sorted(kinds.items())))
+                lines.append(f"Extent: ({minx:.6g}, {miny:.6g}) - "
+                             f"({maxx:.6g}, {maxy:.6g})"
+                             + (" [first 1000 features]"
+                                if n > 1000 else ""))
+        return "\n".join(lines)
+
+    out = open_raster(path)
+    import numpy as np
+
+    arr = out.get("img")
+    if arr is None:
+        for k in ("grid", "grid_m", "raw"):
+            if k in out and isinstance(out[k], np.ndarray):
+                arr = out[k]
+                break
+    if arr is not None:
+        a = np.asarray(arr)
+        if a.ndim == 2:
+            lines.append(f"Size: {a.shape[1]} x {a.shape[0]} x 1")
+        elif a.ndim == 3 and a.shape[0] <= 16:
+            lines.append(
+                f"Size: {a.shape[2]} x {a.shape[1]} x {a.shape[0]}")
+        else:
+            lines.append(f"Size: {a.shape[1]} x {a.shape[0]} x "
+                         f"{a.shape[2]}")
+        lines.append(f"Type: {a.dtype}")
+        finite = a[np.isfinite(a)] if np.issubdtype(
+            a.dtype, np.floating) else a
+        if finite.size:
+            lines.append(f"Min/Max: {finite.min():.6g} / "
+                         f"{finite.max():.6g}")
+    for key in ("datasets", "segments", "messages", "subgrids",
+                "meta"):
+        if key in out:
+            v = out[key]
+            lines.append(f"{key.capitalize()}: "
+                         f"{len(v) if hasattr(v, '__len__') else v}")
+    for key in ("ul_map", "registration", "cellsize", "dims",
+                "xmin", "ymax", "lat", "lon", "sw_lon", "sw_lat",
+                "xorigin", "yorigin", "nodata", "label"):
+        if key in out and out[key] is not None and key != "label":
+            lines.append(f"{key}: {out[key]}")
+    if "label" in out:
+        lines.append(f"Label keys: {len(out['label'])}")
+    return "\n".join(lines)

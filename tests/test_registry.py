@@ -114,3 +114,41 @@ def test_identify_vector_and_dispatch(tmp_path, rngimg, ray_session):
     json.dump({"zarr_format": 3, "node_type": "array"},
               open(os.path.join(zd, "zarr.json"), "w"))
     assert ident(zd) == "zarr3"
+
+
+def test_describe_raster_and_vector(tmp_path, ray_session):
+    """describe() — the gdalinfo/ogrinfo front-door analog: driver,
+    size, dtype, min/max and georef lines for rasters; feature count,
+    fields, geometry kinds and extent for vectors."""
+    import numpy as np
+
+    from gdal_ray.functions import geom as G
+    from gdal_ray.sources.mif import write_mif
+    from gdal_ray.sources.registry import describe
+    from gdal_ray.sources.terrain_rasters import write_ehdr
+
+    img = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+    p = str(tmp_path / "d.bil")
+    write_ehdr(p, img, ul_map=(500015.0, 4199985.0), dims=(30.0, 30.0))
+    rep = describe(p)
+    assert "Driver: ehdr" in rep
+    assert "Size: 4 x 3 x 2" in rep
+    assert "Type: int16" in rep
+    assert "Min/Max: 0 / 23" in rep
+    assert "ul_map: (500015.0, 4199985.0)" in rep
+
+    import pyarrow as pa
+
+    sq = np.array([[0, 0], [5, 0], [5, 5], [0, 5], [0, 0]], float)
+    t = pa.table({
+        "geometry": pa.array([G.wkb_polygon([sq]),
+                              G.wkb_point(9.0, 9.0)], pa.binary()),
+        "name": pa.array(["a", "b"], pa.string()),
+    })
+    vp = str(tmp_path / "v.mif")
+    write_mif(vp, t)
+    rep2 = describe(vp)
+    assert "Driver: mif" in rep2
+    assert "Feature Count: 2" in rep2
+    assert "polygon (1)" in rep2 and "point (1)" in rep2
+    assert "Extent: (0, 0) - (9, 9)" in rep2
