@@ -990,3 +990,32 @@ def contamination_stats(docs, bench_hashes, *, window: int = 8,
         })
 
     return docs.map_batches(probe, batch_format="pyarrow")
+
+
+def dedup_against(ds, snapshot, *, content_col: str = "text",
+                  id_col: str = "doc_id", num_partitions: int = 32):
+    """Incremental corpus dedup: drop documents whose CONTENT already
+    exists in a prior snapshot — the standard between-crawl dedup
+    step (new dump vs. the corpus already trained on).
+
+    Scale shape: both sides reduce to 64-bit content hashes
+    (vectorized buffer-level hashing), the snapshot side keeps ONLY
+    its distinct hash column, and survivors come from one
+    co-partitioned ANTI join on the hash — neither corpus is
+    broadcast or materialized.  Exact content equality (not near-dup;
+    compose with the minhash family for that).  Returns the surviving
+    rows of ``ds`` with original columns."""
+    from ..pipelines import relational as R
+
+    hashed = ds.map_batches(add_content_hash(content_col),
+                            batch_format="pyarrow")
+    snap = snapshot.map_batches(
+        add_content_hash(content_col), batch_format="pyarrow")
+
+    def only_hash(t: pa.Table) -> pa.Table:
+        return t.select(["chash"])
+
+    out = R.copartition_equi_join(
+        hashed, snap.map_batches(only_hash, batch_format="pyarrow"),
+        "chash", "chash", how="anti", num_partitions=num_partitions)
+    return out.drop_columns(["chash"])

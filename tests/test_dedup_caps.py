@@ -291,3 +291,32 @@ def test_contamination_stats_crafted(ray_session):
         rd.from_items([{"doc_id": 9, "text": glue}]), ray.put(bh),
         window=8).take_all()
     assert out2 == []
+
+
+def test_dedup_against_snapshot(ray_session):
+    """Cross-corpus anti-join dedup: new docs whose content appears
+    in the snapshot are dropped (regardless of ids), fresh content
+    survives with original columns, and the result matches a local
+    set-difference reference."""
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import dedup_against
+
+    snap_texts = [f"old document number {i}" for i in range(30)]
+    snapshot = rd.from_items(
+        [{"doc_id": 1000 + i, "text": t}
+         for i, t in enumerate(snap_texts)])
+    new_docs = []
+    for i in range(40):
+        if i % 3 == 0:
+            txt = snap_texts[i % 30]          # exact rehash of old
+        else:
+            txt = f"fresh content {i}"
+        new_docs.append({"doc_id": i, "text": txt, "src": f"s{i%2}"})
+    out = dedup_against(rd.from_items(new_docs), snapshot,
+                        num_partitions=4).take_all()
+    got = sorted(r["doc_id"] for r in out)
+    want = sorted(d["doc_id"] for d in new_docs
+                  if d["text"] not in set(snap_texts))
+    assert got == want
+    assert all(set(r) == {"doc_id", "text", "src"} for r in out)
