@@ -537,3 +537,106 @@ def domain_stats(docs, concurrency: int = 4):
     return R.grouped_aggregate(
         parts.map_batches(one, batch_format="pyarrow"),
         ["domain"], [("one", "sum", "n_docs"), ("n", "sum", "n_urls")])
+
+
+def top_terms(docs, *, k: int = 20, per_batch_cap: int = 200,
+              text_col: str = "text"):
+    """Corpus-wide top-k terms with a BOUNDED shuffle — the heavy-
+    hitters primitive for vocabularies too large to groupby in full
+    (tokenizer prep / stopword discovery at corpus scale).
+
+    Three-stage shape with an HONEST exactness certificate:
+
+    1. map_batches: exact per-batch term counts (vectorized lexsort),
+       but only each batch's top ``per_batch_cap`` terms are EMITTED,
+       plus one row carrying the batch's cap-th count — any term
+       never emitted has total count < sum(cap-th counts)
+       (the classic two-pass threshold argument);
+    2. one term-keyed groupby over the emitted rows -> candidate
+       partial sums + the global threshold (tiny);
+    3. recount pass: the top ~2k candidates broadcast via ray.put,
+       one more map_batches computes their EXACT counts, a tiny
+       groupby finalizes.  The result is PROVABLY the exact top-k
+       when the k-th exact count >= threshold; the ``proven`` column
+       says so row by row (no silent approximation).
+
+    Returns a Dataset (term, count, rank, proven) of k rows ordered
+    by (count desc, term asc)."""
+    import itertools
+
+    import ray
+
+    from ..pipelines import relational as R
+
+    cap = int(per_batch_cap)
+
+    def batch_top(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column(text_col).to_pylist(),
+                      dtype=object).fillna("")
+        toks = s.str.strip().str.lower().str.split()
+        allt = np.asarray(list(itertools.chain.from_iterable(
+            toks.dropna())), dtype=object)
+        if len(allt) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "thresh": pa.array([], pa.int64())})
+        order = np.argsort(allt, kind="stable")
+        st = allt[order]
+        new = np.ones(len(st), dtype=bool)
+        new[1:] = st[1:] != st[:-1]
+        idx = np.flatnonzero(new)
+        counts = np.diff(np.append(idx, len(st)))
+        terms = st[idx]
+        if len(terms) > cap:
+            top = np.argsort(-counts, kind="stable")[:cap]
+            thresh = int(counts[np.argsort(-counts,
+                                           kind="stable")[cap]])
+            terms, counts = terms[top], counts[top]
+        else:
+            thresh = 0
+        out_t = list(terms) + [""]
+        out_c = list(counts.astype(np.int64)) + [0]
+        out_th = [0] * len(terms) + [thresh]
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "c": pa.array(out_c, pa.int64()),
+                         "thresh": pa.array(out_th, pa.int64())})
+
+    emitted = docs.map_batches(batch_top, batch_format="pyarrow")
+    agg = R.grouped_aggregate(
+        emitted, ["term"],
+        [("c", "sum", "csum"), ("thresh", "sum", "tsum")]).to_pandas()
+    threshold = int(agg.loc[agg.term == "", "tsum"].sum())
+    cand = agg[agg.term != ""].sort_values(
+        ["csum", "term"], ascending=[False, True]).head(2 * k)
+    cand_set = ray.put(frozenset(cand.term))
+
+    def recount(t: pa.Table) -> pa.Table:
+        want = ray.get(cand_set)
+        s = pd.Series(t.column(text_col).to_pylist(),
+                      dtype=object).fillna("")
+        toks = s.str.strip().str.lower().str.split()
+        counts: dict[str, int] = {}
+        for tk in itertools.chain.from_iterable(toks.dropna()):
+            if tk in want:
+                counts[tk] = counts.get(tk, 0) + 1
+        return pa.table({
+            "term": pa.array(list(counts), pa.string()),
+            "c": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    exact = R.grouped_aggregate(
+        docs.map_batches(recount, batch_format="pyarrow"),
+        ["term"], [("c", "sum", "count")]).to_pandas()
+    exact = exact.sort_values(["count", "term"],
+                              ascending=[False, True]).head(k)
+    exact = exact.reset_index(drop=True)
+    kth = int(exact["count"].iloc[-1]) if len(exact) else 0
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "term": pa.array(exact["term"], pa.string()),
+        "count": pa.array(exact["count"].astype(np.int64), pa.int64()),
+        "rank": pa.array(np.arange(1, len(exact) + 1), pa.int64()),
+        "proven": pa.array([kth >= threshold] * len(exact),
+                           pa.bool_()),
+    }))

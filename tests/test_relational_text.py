@@ -837,3 +837,44 @@ def test_domain_extraction_vs_duckdb(ray_session):
     assert out["n_urls"].tolist() == want["n_urls"].tolist()
     assert "a.example.com" in set(out["domain"])
     assert out.set_index("domain").loc["a.example.com", "n_docs"] == 2
+
+
+def test_top_terms_heavy_hitters(ray_session):
+    """Bounded-shuffle top-k terms: exact match with the full-groupby
+    answer (DuckDB) at fixture scale with the exactness certificate
+    proven; a deliberately tiny per-batch cap on adversarial batches
+    flips proven=False instead of silently approximating."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.stages.text import top_terms
+
+    rng = np.random.default_rng(41)
+    zipf_vocab = [f"w{i}" for i in range(200)]
+    weights = 1.0 / np.arange(1, 201)
+    weights /= weights.sum()
+    docs = []
+    for i in range(120):
+        n = int(rng.integers(20, 60))
+        docs.append({"doc_id": i, "text": " ".join(
+            rng.choice(zipf_vocab, n, p=weights))})
+    ds = rd.from_items(docs)
+    out = top_terms(ds, k=10, per_batch_cap=150).to_pandas()
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(docs))
+    want = con.execute(r"""
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS count
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                  '\s+')) AS term
+              FROM docs WHERE trim(text) <> '')
+        GROUP BY term ORDER BY count DESC, term ASC LIMIT 10
+    """).fetchdf()
+    assert out["term"].tolist() == want["term"].tolist()
+    assert out["count"].tolist() == want["count"].tolist()
+    assert bool(out["proven"].all())
+    assert out["rank"].tolist() == list(range(1, 11))
+
+    # adversarial: cap of 2 on a 200-term vocabulary cannot certify
+    tiny = top_terms(ds, k=10, per_batch_cap=2).to_pandas()
+    assert not bool(tiny["proven"].any())
