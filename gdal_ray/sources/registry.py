@@ -22,7 +22,7 @@ import struct
 RASTER_DRIVERS = (
     "gtiff png jpeg webp gif bmp pnm hdf5 netcdf grib2 nitf dted "
     "aaigrid envi xyz zarr zarr3 ntv2 gtx mbtiles "
-    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen"
+    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen isis2"
 ).split()
 VECTOR_DRIVERS = (
     "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet "
@@ -131,6 +131,8 @@ def identify(path: str) -> str:
         return "ers"
     if low.startswith(b"pds_version_id"):
         return "pds"
+    if low.startswith(b"ccsd3zf") or b"sfdu_label" in low:
+        return "isis2"
     if low.startswith(b"#title") or low.startswith(b"#points") \
             or low.startswith(b"#grid"):
         return "gxf"
@@ -297,6 +299,10 @@ def open_raster(path: str) -> dict:
         from .terrain_rasters import read_terragen
 
         return {"driver": drv, **read_terragen(path)}
+    if drv == "isis2":
+        from .pds import read_isis2
+
+        return {"driver": drv, **read_isis2(path)}
     if drv == "xyz":
         from .dted import read_xyz
 

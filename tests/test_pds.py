@@ -68,3 +68,43 @@ def test_pds_guards_and_registry(tmp_path):
     open(p2, "wb").write(detached)
     with pytest.raises(ValueError, match="detached"):
         read_pds(p2)
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.uint16,
+                                   np.float32, np.float64])
+def test_isis2_dtypes_roundtrip(tmp_path, dtype):
+    from gdal_ray.sources.pds import read_isis2, write_isis2
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(1, 120, (2, 4, 5)).astype(dtype)
+    p = str(tmp_path / f"c_{np.dtype(dtype).name}.cub")
+    write_isis2(p, img)
+    np.testing.assert_array_equal(read_isis2(p)["img"], img)
+
+
+def test_isis2_label_scaling_and_registry(tmp_path):
+    from gdal_ray.sources.pds import read_isis2, write_isis2
+    from gdal_ray.sources.registry import identify, open_raster
+
+    rng = np.random.default_rng(9)
+    raw = rng.integers(0, 1000, (1, 3, 4)).astype(np.int16)
+    p = str(tmp_path / "s.cub")
+    write_isis2(p, raw, core_base=10.0, core_multiplier=0.5)
+    txt = open(p, "rb").read(512).decode()
+    assert txt.startswith("CCSD3ZF")
+    assert "OBJECT = QUBE" in txt
+    assert "AXIS_NAME = (SAMPLE,LINE,BAND)" in txt
+    assert "CORE_ITEMS = (4,3,1)" in txt
+    assert "SUFFIX_ITEMS = (0,0,0)" in txt
+    m = read_isis2(p)
+    np.testing.assert_allclose(m["img"], 10.0 + 0.5 * raw)
+    np.testing.assert_array_equal(m["raw"], raw)
+    assert identify(p) == "isis2"
+    assert open_raster(p)["driver"] == "isis2"
+    # suffix side planes rejected loudly
+    bad = open(p, "rb").read().replace(b"SUFFIX_ITEMS = (0,0,0)",
+                                       b"SUFFIX_ITEMS = (1,0,0)")
+    p2 = str(tmp_path / "b.cub")
+    open(p2, "wb").write(bad)
+    with pytest.raises(ValueError, match="SUFFIX_ITEMS"):
+        read_isis2(p2)
