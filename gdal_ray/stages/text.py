@@ -640,3 +640,155 @@ def top_terms(docs, *, k: int = 20, per_batch_cap: int = 200,
         "proven": pa.array([kth >= threshold] * len(exact),
                            pa.bool_()),
     }))
+
+
+def word_counts(docs, *, text_col: str = "text",
+                min_count: int = 1):
+    """Distinct-word frequency table via per-batch partial counts and
+    ONE word-keyed grouped_aggregate (the combiner discipline) —
+    the input every word-level tokenizer trainer consumes.  Words
+    below ``min_count`` are dropped AFTER the exact global count (a
+    visible prune, not a sampling bias)."""
+    import itertools
+
+    from ..pipelines import relational as R
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column(text_col).to_pylist(),
+                      dtype=object).fillna("")
+        toks = s.str.strip().str.lower().str.split()
+        allt = np.asarray(list(itertools.chain.from_iterable(
+            toks.dropna())), dtype=object)
+        if len(allt) == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        order = np.argsort(allt, kind="stable")
+        st = allt[order]
+        new = np.ones(len(st), dtype=bool)
+        new[1:] = st[1:] != st[:-1]
+        idx = np.flatnonzero(new)
+        return pa.table({
+            "word": pa.array(st[idx].tolist(), pa.string()),
+            "c": pa.array(np.diff(np.append(idx, len(st)))
+                          .astype(np.int64), pa.int64()),
+        })
+
+    agg = R.grouped_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["word"], [("c", "sum", "count")])
+    if min_count > 1:
+        import pyarrow.compute as pc
+
+        thr = int(min_count)
+
+        def prune(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(
+                t.column("count"), pa.scalar(thr, pa.int64())))
+
+        agg = agg.map_batches(prune, batch_format="pyarrow")
+    return agg
+
+
+def bpe_train(docs, *, num_merges: int = 50, min_count: int = 1,
+              text_col: str = "text"):
+    """Byte-pair-encoding tokenizer training — the standard LLM
+    tokenizer prep, shaped the way practice shapes it: the EXPENSIVE
+    part (word frequencies over the corpus) is distributed
+    (:func:`word_counts`), and the greedy merge loop runs over the
+    bounded word-frequency table (the k-means-centroid precedent for
+    driver-side small-state reductions).  Deterministic: the most
+    frequent adjacent symbol pair merges each round, ties broken by
+    the lexicographically smallest (left, right) pair.
+
+    Returns (merges, vocab): ``merges`` = ordered [(left, right)]
+    list; ``vocab`` = final symbol set.  Words carry the
+    end-of-word marker '</w>' on their last symbol (the classic
+    Sennrich formulation)."""
+    wc = word_counts(docs, text_col=text_col,
+                     min_count=min_count).to_pandas()
+    words: dict[tuple, int] = {}
+    for w, c in zip(wc["word"], wc["count"]):
+        syms = tuple(list(w[:-1]) + [w[-1] + "</w>"]) if w else ()
+        if syms:
+            words[syms] = words.get(syms, 0) + int(c)
+    merges: list[tuple] = []
+    for _ in range(int(num_merges)):
+        pairs: dict[tuple, int] = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_words: dict[tuple, int] = {}
+        for syms, c in words.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_words[t] = new_words.get(t, 0) + c
+        words = new_words
+    vocab = sorted({s for syms in words for s in syms})
+    return merges, vocab
+
+
+class BpeApply:
+    """Actor-pool stage: encode documents with a trained BPE merge
+    list (broadcast once via ray.put; merge-rank dict built per actor
+    in __init__).  Emits (doc_id, n_tokens, n_unk) — the tokenized-
+    length accounting step before packing."""
+
+    def __init__(self, merges_ref, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        import ray
+
+        merges = ray.get(merges_ref)
+        self.rank = {tuple(m): i for i, m in enumerate(merges)}
+        self.vocab = {a + b for a, b in merges}
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _encode_word(self, w: str) -> list[str]:
+        syms = list(w[:-1]) + [w[-1] + "</w>"]
+        while len(syms) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(syms) - 1):
+                r = self.rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None
+                                      or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i]
+                                       + syms[best_i + 1]]
+        return syms
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_pylist()
+        texts = t.column(self.text_col).to_pylist()
+        cache: dict[str, int] = {}
+        o_n, o_u = [], []
+        for x in texts:
+            n = u = 0
+            for w in (x or "").strip().lower().split():
+                if w not in cache:
+                    cache[w] = len(self._encode_word(w))
+                n += cache[w]
+            o_n.append(n)
+            o_u.append(u)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(o_n, pa.int64()),
+            "n_unk": pa.array(o_u, pa.int64()),
+        })

@@ -878,3 +878,71 @@ def test_top_terms_heavy_hitters(ray_session):
     # adversarial: cap of 2 on a 200-term vocabulary cannot certify
     tiny = top_terms(ds, k=10, per_batch_cap=2).to_pandas()
     assert not bool(tiny["proven"].any())
+
+
+def test_bpe_train_matches_local_reference(ray_session):
+    """Distributed BPE training: the merge list equals an independent
+    local implementation (deterministic most-frequent / smallest-pair
+    rule) on a corpus with known structure; BpeApply token counts
+    match encoding by hand."""
+    from collections import Counter
+
+    import ray
+    import ray.data as rd
+
+    from gdal_ray.stages.text import BpeApply, bpe_train, word_counts
+
+    docs = [
+        {"doc_id": 0, "text": "low low low low low"},
+        {"doc_id": 1, "text": "lower lower newest newest"},
+        {"doc_id": 2, "text": "newest newest newest newest"},
+        {"doc_id": 3, "text": "widest widest widest"},
+    ]
+    ds = rd.from_items(docs)
+    wc = {r["word"]: r["count"]
+          for r in word_counts(ds).take_all()}
+    assert wc == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+    merges, vocab = bpe_train(ds, num_merges=10)
+
+    # independent local reference (Sennrich-style)
+    words = {}
+    for w, c in wc.items():
+        words[tuple(list(w[:-1]) + [w[-1] + "</w>"])] = c
+    ref_merges = []
+    for _ in range(10):
+        pairs = Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        ref_merges.append(best)
+        nw = {}
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and (syms[i], syms[i + 1])
+                        == best):
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nw[tuple(out)] = nw.get(tuple(out), 0) + c
+        words = nw
+    assert merges == ref_merges
+    assert "est</w>" in "".join(v for v in vocab) or any(
+        "est" in v for v in vocab)
+
+    out = {r["doc_id"]: r for r in ds.map_batches(
+        BpeApply, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"merges_ref": ray.put(merges)}
+    ).take_all()}
+    # after enough merges the frequent words collapse to few symbols
+    assert out[0]["n_tokens"] <= 2 * 5
+    assert all(r["n_unk"] == 0 for r in out.values())
+    # determinism across runs
+    merges2, _ = bpe_train(ds, num_merges=10)
+    assert merges2 == merges
