@@ -22,7 +22,7 @@ import struct
 RASTER_DRIVERS = (
     "gtiff png jpeg webp gif bmp pnm hdf5 netcdf grib2 nitf dted "
     "aaigrid envi xyz zarr zarr3 ntv2 gtx mbtiles "
-    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen isis2"
+    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen isis2 hf2"
 ).split()
 VECTOR_DRIVERS = (
     "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet "
@@ -98,6 +98,8 @@ def identify(path: str) -> str:
         return "lan"
     if head[:16] == b"TERRAGENTERRAIN ":
         return "terragen"
+    if head[:4] == b"HF2\x00":
+        return "hf2"
     if head[:16] == b"SQLite format 3\x00":
         kind = _sniff_sqlite(path)
         if kind:
@@ -303,6 +305,10 @@ def open_raster(path: str) -> dict:
         from .pds import read_isis2
 
         return {"driver": drv, **read_isis2(path)}
+    if drv == "hf2":
+        from .terrain_rasters import read_hf2
+
+        return {"driver": drv, **read_hf2(path)}
     if drv == "xyz":
         from .dted import read_xyz
 

@@ -1176,3 +1176,95 @@ def read_terragen(path: str) -> dict:
                           * hscale / 65536.0)
     return {"grid_m": grid, "scal": float(scal),
             "height_scale": int(hscale), "base_height": int(base)}
+
+
+# -------------------------------------------------------------- HF2
+
+def write_hf2(path: str, grid: np.ndarray, *,
+              tile_size: int = 256, vert_pres: float = 0.01,
+              horiz_scale: float = 1.0) -> None:
+    """HF2 height field (``frmts/hf2/hf2dataset.cpp:110-230,400-460``):
+    28-byte header ('HF2\\0' + u16 version, u32 width/height, u16
+    tile size, f32 vertical precision, f32 horizontal scale, u32
+    extended-header length) then tiles BOTTOM-LEFT FIRST, each tile =
+    f32 scale + f32 offset and per tile line (bottom-up): u8 word
+    size, i32 first quantized value, (width-1) signed deltas of that
+    word size.  Values quantize to multiples of ``vert_pres``
+    (scale = vert_pres, offset = 0 — the writer convention)."""
+    a = np.asarray(grid, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError("HF2 height fields are 2-D")
+    ny, nx = a.shape
+    ts = int(tile_size)
+    q = np.floor(a / vert_pres + 0.5).astype(np.int64)
+    if np.abs(q).max(initial=0) > 2**31 - 1:
+        raise ValueError("HF2: values exceed int32 at this "
+                         "vertical precision")
+    bottom_up = q[::-1]                       # row 0 = south
+    parts = [b"HF2\x00" + struct.pack("<HIIH", 0, nx, ny, ts)
+             + struct.pack("<ffI", vert_pres, horiz_scale, 0)]
+    nxt = -(-nx // ts)
+    nyt = -(-ny // ts)
+    for j in range(nyt):                      # tile rows, bottom-up
+        for i in range(nxt):
+            tile = bottom_up[j * ts:(j + 1) * ts,
+                             i * ts:(i + 1) * ts]
+            body = bytearray(struct.pack("<ff", vert_pres, 0.0))
+            for line in tile:                 # bottom-up lines
+                first = int(line[0])
+                deltas = np.diff(line)
+                amax = int(np.abs(deltas).max(initial=0))
+                if amax <= 127:
+                    ws, dt = 1, "<i1"
+                elif amax <= 32767:
+                    ws, dt = 2, "<i2"
+                else:
+                    ws, dt = 4, "<i4"
+                body += struct.pack("<bi", ws, first)
+                body += deltas.astype(dt).tobytes()
+            parts.append(bytes(body))
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(b"".join(parts))
+    os.replace(tmp, path)
+
+
+def read_hf2(path: str) -> dict:
+    """-> dict(grid north-first float64, vert_pres, horiz_scale,
+    tile_size).  Walks the tiles in file order exactly as the
+    reference's block map does (tile 0 bottom-left)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != b"HF2\x00":
+        raise ValueError(f"{path}: not an HF2 height field")
+    _ver, nx, ny, ts = struct.unpack_from("<HIIH", data, 4)
+    vert_pres, horiz_scale, ext = struct.unpack_from("<ffI", data, 16)
+    pos = 28 + ext
+    grid_bu = np.empty((ny, nx), np.float64)
+    nxt = -(-nx // ts)
+    nyt = -(-ny // ts)
+    for j in range(nyt):
+        th = min(ts, ny - j * ts)
+        for i in range(nxt):
+            tw = min(ts, nx - i * ts)
+            scale, off = struct.unpack_from("<ff", data, pos)
+            pos += 8
+            for y in range(th):
+                ws = struct.unpack_from("<b", data, pos)[0]
+                if ws not in (1, 2, 4):
+                    raise ValueError(f"{path}: unexpected word size "
+                                     f"{ws}")
+                first = struct.unpack_from("<i", data, pos + 1)[0]
+                pos += 5
+                deltas = np.frombuffer(
+                    data, dtype=f"<i{ws}", count=tw - 1, offset=pos
+                ).astype(np.int64)
+                pos += ws * (tw - 1)
+                vals = np.empty(tw, np.int64)
+                vals[0] = first
+                if tw > 1:
+                    vals[1:] = first + np.cumsum(deltas)
+                grid_bu[j * ts + y, i * ts:i * ts + tw] = \
+                    vals * float(scale) + float(off)
+    return {"grid": grid_bu[::-1].copy(), "vert_pres": float(vert_pres),
+            "horiz_scale": float(horiz_scale), "tile_size": int(ts)}

@@ -481,3 +481,37 @@ def test_terragen_tags_roundtrip_and_registry(tmp_path):
     write_terragen(p2, g2)
     np.testing.assert_allclose(read_terragen(p2)["grid_m"], g2,
                                atol=step / 2 + 1e-9)
+
+
+def test_hf2_anchors_tiles_and_registry(tmp_path):
+    from gdal_ray.sources.registry import identify, open_raster
+    from gdal_ray.sources.terrain_rasters import read_hf2, write_hf2
+
+    rng = np.random.default_rng(37)
+    g = (rng.integers(-20000, 80000, (70, 90)) * 0.01).round(2)
+    p = str(tmp_path / "h.hf2")
+    write_hf2(p, g, tile_size=32, vert_pres=0.01)
+    raw = open(p, "rb").read()
+    assert raw[:4] == b"HF2\x00"
+    ver, nx, ny, ts = struct.unpack_from("<HIIH", raw, 4)
+    assert (ver, nx, ny, ts) == (0, 90, 70, 32)
+    # first tile starts at 28: f32 scale=vert_pres, f32 off=0,
+    # then word size byte and the SW-corner first value
+    scale, off = struct.unpack_from("<ff", raw, 28)
+    assert abs(scale - 0.01) < 1e-9 and off == 0.0
+    ws = struct.unpack_from("<b", raw, 36)[0]
+    assert ws in (1, 2, 4)
+    first = struct.unpack_from("<i", raw, 37)[0]
+    assert abs(first * 0.01 - g[-1, 0]) < 1e-6
+    m = read_hf2(p)
+    np.testing.assert_allclose(m["grid"], g, atol=1e-6)
+    assert m["tile_size"] == 32
+    assert identify(p) == "hf2"
+    out = open_raster(p)
+    np.testing.assert_allclose(out["grid"], g, atol=1e-6)
+    # wide deltas force 4-byte words and still round-trip
+    g2 = np.zeros((5, 6))
+    g2[:, 3] = 1e6
+    p2 = str(tmp_path / "w.hf2")
+    write_hf2(p2, g2, tile_size=8)
+    np.testing.assert_allclose(read_hf2(p2)["grid"], g2, atol=1e-4)
