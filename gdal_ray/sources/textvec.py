@@ -185,9 +185,12 @@ _GPX_NS = "http://www.topografix.com/GPX/1/1"
 
 
 def write_gpx(path: str, *, waypoints: pa.Table | None = None,
-              tracks: pa.Table | None = None) -> None:
+              tracks: pa.Table | None = None,
+              routes: pa.Table | None = None) -> None:
     """GPX 1.1: ``waypoints`` = Table(geometry point WKB, name?,
-    ele?); ``tracks`` = Table(geometry linestring WKB, name?)."""
+    ele?); ``tracks`` = Table(geometry linestring WKB, name?);
+    ``routes`` = Table(geometry linestring WKB, name?) — ``<rte>``
+    with ``<rtept>`` members (the ogr/gpx 'routes' layer)."""
     gpx = ET.Element("gpx", xmlns=_GPX_NS, version="1.1",
                      creator="gdal_ray")
     if waypoints is not None:
@@ -222,6 +225,19 @@ def write_gpx(path: str, *, waypoints: pa.Table | None = None,
             seg = ET.SubElement(trk, "trkseg")
             for x, y in g[1]:
                 ET.SubElement(seg, "trkpt", lat=repr(y), lon=repr(x))
+    if routes is not None:
+        names = (routes.column("name").to_pylist()
+                 if "name" in routes.column_names
+                 else [None] * routes.num_rows)
+        for b, nm in zip(routes.column("geometry").to_pylist(), names):
+            g = G.parse_wkb(b)
+            if g[0] != "linestring":
+                raise ValueError("GPX routes must be linestrings")
+            rte = ET.SubElement(gpx, "rte")
+            if nm is not None:
+                ET.SubElement(rte, "name").text = str(nm)
+            for x, y in g[1]:
+                ET.SubElement(rte, "rtept", lat=repr(y), lon=repr(x))
     tmp = path + f".tmp.{os.getpid()}"
     ET.ElementTree(gpx).write(tmp, encoding="utf-8",
                               xml_declaration=True)
@@ -230,7 +246,8 @@ def write_gpx(path: str, *, waypoints: pa.Table | None = None,
 
 def read_gpx(path: str) -> dict:
     """-> {'waypoints': Table(geometry, name, ele), 'tracks':
-    Table(geometry, name)} (absent elements -> empty tables)."""
+    Table(geometry, name), 'routes': Table(geometry, name)} (absent
+    elements -> empty tables)."""
     root = ET.parse(path).getroot()
     ns = {"g": _GPX_NS}
     w_wkb, w_name, w_ele = [], [], []
@@ -249,6 +266,13 @@ def read_gpx(path: str) -> dict:
                for p in seg.findall("g:trkpt", ns)]
         t_wkb.append(G.wkb_linestring(np.asarray(pts, np.float64)))
         t_name.append(nm.text if nm is not None else "")
+    r_wkb, r_name = [], []
+    for rte in root.findall("g:rte", ns):
+        nm = rte.find("g:name", ns)
+        pts = [(float(p.get("lon")), float(p.get("lat")))
+               for p in rte.findall("g:rtept", ns)]
+        r_wkb.append(G.wkb_linestring(np.asarray(pts, np.float64)))
+        r_name.append(nm.text if nm is not None else "")
     return {
         "waypoints": pa.table({
             "geometry": pa.array(w_wkb, pa.binary()),
@@ -257,4 +281,34 @@ def read_gpx(path: str) -> dict:
         "tracks": pa.table({
             "geometry": pa.array(t_wkb, pa.binary()),
             "name": pa.array(t_name, pa.string())}),
+        "routes": pa.table({
+            "geometry": pa.array(r_wkb, pa.binary()),
+            "name": pa.array(r_name, pa.string())}),
     }
+
+
+def read_csv_points(path: str, x_col: str = "x",
+                    y_col: str = "y") -> pa.Table:
+    """CSV with SEPARATE coordinate columns -> point features — the
+    reference CSV driver's X_POSSIBLE_NAMES/Y_POSSIBLE_NAMES open
+    option (``ogr/ogrsf_frmts/csv``).  The coordinate columns become
+    the ``geometry`` WKB point; all other columns stay attributes
+    with OGR-style sniffing."""
+    with open(path, newline="") as fh:
+        rows = list(csv.reader(fh))
+    if not rows:
+        raise ValueError(f"{path}: empty CSV")
+    header = rows[0]
+    if x_col not in header or y_col not in header:
+        raise ValueError(f"{path}: missing {x_col!r}/{y_col!r} "
+                         f"columns (have {header})")
+    xi, yi = header.index(x_col), header.index(y_col)
+    geoms = [G.wkb_point(float(r[xi]), float(r[yi]))
+             for r in rows[1:]]
+    arrays: dict[str, pa.Array] = {
+        "geometry": pa.array(geoms, pa.binary())}
+    for k, name in enumerate(header):
+        if k in (xi, yi):
+            continue
+        arrays[name] = _sniff([r[k] for r in rows[1:]])
+    return pa.Table.from_pydict(arrays)

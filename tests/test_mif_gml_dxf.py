@@ -297,3 +297,38 @@ def test_spec_vector_convert_chain(ray_session, tmp_path, feat_table):
     out = run_pipeline([{"step": "vector_read", "path": gp},
                         {"step": "vector_write", "path": dp}])
     assert out.take_all()[0]["n"] == 6
+
+
+def test_gpx_routes_and_csv_points(tmp_path):
+    """GPX <rte>/<rtept> routes (the ogr/gpx routes layer) and CSV
+    point features from separate X/Y columns (the X_POSSIBLE_NAMES
+    open option)."""
+    from gdal_ray.sources.textvec import (read_csv_points, read_gpx,
+                                          write_gpx)
+
+    route = G.wkb_linestring(np.array([[2.0, 48.0], [2.5, 48.4],
+                                       [3.0, 49.0]]))
+    rt = pa.table({"geometry": pa.array([route], pa.binary()),
+                   "name": pa.array(["commute"], pa.string())})
+    p = str(tmp_path / "r.gpx")
+    write_gpx(p, routes=rt)
+    txt = open(p).read()
+    assert "<rte>" in txt and txt.count("<rtept") == 3
+    back = read_gpx(p)
+    assert back["routes"].num_rows == 1
+    assert back["routes"].column("name").to_pylist() == ["commute"]
+    assert back["routes"].column("geometry")[0].as_py() == route
+    assert back["waypoints"].num_rows == 0
+
+    cp = str(tmp_path / "pts.csv")
+    open(cp, "w").write(
+        "name,lon,lat,score\na,2.5,48.9,7\nb,-1.25,43.5,9\n")
+    t = read_csv_points(cp, x_col="lon", y_col="lat")
+    assert t.column_names == ["geometry", "name", "score"]
+    k, v = G.parse_wkb(t.column("geometry")[0].as_py())
+    assert k == "point" and v == (2.5, 48.9)
+    assert t.column("score").to_pylist() == [7, 9]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing"):
+        read_csv_points(cp, x_col="X", y_col="Y")
