@@ -261,3 +261,75 @@ def test_coverage_vw_properties():
         if prev_verts is not None:
             assert verts <= prev_verts, tol
         prev_verts = verts
+
+
+# ---------------------------------------- terrain-driver round trips
+
+_shapes = st.tuples(st.integers(1, 12), st.integers(1, 12))
+
+
+@settings(max_examples=40, deadline=None)
+@given(shape=_shapes, seed=st.integers(0, 2**31 - 1))
+def test_prop_gsbg_roundtrip(tmp_path_factory, shape, seed):
+    from gdal_ray.sources.terrain_rasters import read_gsbg, write_gsbg
+
+    rng = np.random.default_rng(seed)
+    g = rng.normal(scale=1e4, size=shape).astype(np.float32).astype(
+        np.float64)
+    p = str(tmp_path_factory.mktemp("g") / "p.grd")
+    write_gsbg(p, g)
+    np.testing.assert_array_equal(
+        read_gsbg(p)["grid"], g.astype(np.float32).astype(np.float64))
+
+
+@settings(max_examples=40, deadline=None)
+@given(shape=_shapes, seed=st.integers(0, 2**31 - 1),
+       nb=st.integers(1, 4),
+       layout=st.sampled_from(["bil", "bip", "bsq"]))
+def test_prop_ehdr_roundtrip(tmp_path_factory, shape, seed, nb, layout):
+    from gdal_ray.sources.terrain_rasters import read_ehdr, write_ehdr
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(-30000, 30000,
+                       (nb,) + shape).astype(np.int16)
+    p = str(tmp_path_factory.mktemp("e") / "p.bil")
+    write_ehdr(p, img, layout=layout)
+    np.testing.assert_array_equal(read_ehdr(p)["img"], img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(shape=_shapes, seed=st.integers(0, 2**31 - 1),
+       ts=st.integers(2, 16))
+def test_prop_hf2_roundtrip(tmp_path_factory, shape, seed, ts):
+    from gdal_ray.sources.terrain_rasters import read_hf2, write_hf2
+
+    rng = np.random.default_rng(seed)
+    g = (rng.integers(-10**6, 10**6, shape) * 0.01)
+    p = str(tmp_path_factory.mktemp("h") / "p.hf2")
+    write_hf2(p, g, tile_size=ts, vert_pres=0.01)
+    np.testing.assert_allclose(read_hf2(p)["grid"], g, atol=1e-5)
+
+
+@settings(max_examples=40, deadline=None)
+@given(shape=_shapes, seed=st.integers(0, 2**31 - 1),
+       nb=st.integers(1, 3))
+def test_prop_pds_roundtrip(tmp_path_factory, shape, seed, nb):
+    from gdal_ray.sources.pds import read_pds, write_pds
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 2**15, (nb,) + shape).astype(np.int16)
+    p = str(tmp_path_factory.mktemp("p") / "p.img")
+    write_pds(p, img)
+    np.testing.assert_array_equal(read_pds(p)["img"], img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(shape=_shapes, seed=st.integers(0, 2**31 - 1))
+def test_prop_zmap_roundtrip(tmp_path_factory, shape, seed):
+    from gdal_ray.sources.terrain_rasters import read_zmap, write_zmap
+
+    rng = np.random.default_rng(seed)
+    g = rng.normal(scale=100.0, size=shape)
+    p = str(tmp_path_factory.mktemp("z") / "p.dat")
+    write_zmap(p, g)
+    np.testing.assert_allclose(read_zmap(p)["grid"], g, atol=5e-7)
