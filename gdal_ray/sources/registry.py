@@ -22,7 +22,7 @@ import struct
 RASTER_DRIVERS = (
     "gtiff png jpeg webp gif bmp pnm hdf5 netcdf grib2 nitf dted "
     "aaigrid envi xyz zarr zarr3 ntv2 gtx mbtiles "
-    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen isis2 hf2"
+    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen isis2 hf2 kro"
 ).split()
 VECTOR_DRIVERS = (
     "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet "
@@ -100,6 +100,8 @@ def identify(path: str) -> str:
         return "terragen"
     if head[:4] == b"HF2\x00":
         return "hf2"
+    if head[:4] == b"KRO\x01":
+        return "kro"
     if head[:16] == b"SQLite format 3\x00":
         kind = _sniff_sqlite(path)
         if kind:
@@ -309,6 +311,10 @@ def open_raster(path: str) -> dict:
         from .terrain_rasters import read_hf2
 
         return {"driver": drv, **read_hf2(path)}
+    if drv == "kro":
+        from .terrain_rasters import read_kro
+
+        return {"driver": drv, **read_kro(path)}
     if drv == "xyz":
         from .dted import read_xyz
 

@@ -1268,3 +1268,51 @@ def read_hf2(path: str) -> dict:
                     vals * float(scale) + float(off)
     return {"grid": grid_bu[::-1].copy(), "vert_pres": float(vert_pres),
             "horiz_scale": float(horiz_scale), "tile_size": int(ts)}
+
+
+# -------------------------------------------------------------- KRO
+
+_KRO_DEPTHS = {np.dtype(np.uint8): 8, np.dtype(np.uint16): 16,
+               np.dtype(np.float32): 32}
+
+
+def write_kro(path: str, img: np.ndarray) -> None:
+    """KOLOR KRO raw raster (``frmts/raw/krodataset.cpp``): 'KRO\\x01'
+    magic then BIG-ENDIAN u32 width / height / depth(bits) /
+    component count, pixel-interleaved big-endian samples.  ``img``
+    is (rows, cols) or (rows, cols, comps) of uint8/uint16/float32."""
+    a = np.asarray(img)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3:
+        raise ValueError("KRO wants (rows, cols[, comps])")
+    depth = _KRO_DEPTHS.get(a.dtype)
+    if depth is None:
+        raise ValueError(f"KRO: unsupported dtype {a.dtype} "
+                         "(uint8/uint16/float32)")
+    ny, nx, nc = a.shape
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(b"KRO\x01")
+        fh.write(struct.pack(">IIII", nx, ny, depth, nc))
+        fh.write(np.ascontiguousarray(
+            a.astype(a.dtype.newbyteorder(">"))).tobytes())
+    os.replace(tmp, path)
+
+
+def read_kro(path: str) -> dict:
+    with open(path, "rb") as fh:
+        hdr = fh.read(20)
+        if hdr[:4] != b"KRO\x01":
+            raise ValueError(f"{path}: not a KRO raster")
+        nx, ny, depth, nc = struct.unpack(">IIII", hdr[4:20])
+        dt = {8: ">u1", 16: ">u2", 32: ">f4"}.get(depth)
+        if dt is None:
+            raise ValueError(f"{path}: depth {depth} unsupported")
+        raw = np.frombuffer(fh.read(ny * nx * nc
+                                    * np.dtype(dt).itemsize), dt)
+    if raw.size != ny * nx * nc:
+        raise ValueError(f"{path}: truncated KRO payload")
+    img = np.ascontiguousarray(
+        raw.reshape(ny, nx, nc).astype(np.dtype(dt).newbyteorder("=")))
+    return {"img": img if nc > 1 else img[:, :, 0]}

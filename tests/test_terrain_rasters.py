@@ -515,3 +515,24 @@ def test_hf2_anchors_tiles_and_registry(tmp_path):
     p2 = str(tmp_path / "w.hf2")
     write_hf2(p2, g2, tile_size=8)
     np.testing.assert_allclose(read_hf2(p2)["grid"], g2, atol=1e-4)
+
+
+@pytest.mark.parametrize("dtype,nc", [(np.uint8, 3), (np.uint8, 4),
+                                      (np.uint16, 1), (np.float32, 3)])
+def test_kro_roundtrip_and_registry(tmp_path, dtype, nc):
+    from gdal_ray.sources.registry import identify, open_raster
+    from gdal_ray.sources.terrain_rasters import read_kro, write_kro
+
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 250, (5, 7, nc)).astype(dtype)
+    p = str(tmp_path / f"k_{np.dtype(dtype).name}_{nc}.kro")
+    write_kro(p, img)
+    raw = open(p, "rb").read()
+    assert raw[:4] == b"KRO\x01"
+    assert struct.unpack(">IIII", raw[4:20]) == \
+        (7, 5, np.dtype(dtype).itemsize * 8, nc)
+    want = img[:, :, 0] if nc == 1 else img   # 1-comp reads 2-D
+    m = read_kro(p)
+    np.testing.assert_array_equal(m["img"], want)
+    assert identify(p) == "kro"
+    np.testing.assert_array_equal(open_raster(p)["img"], want)
