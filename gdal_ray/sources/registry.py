@@ -22,7 +22,7 @@ import struct
 RASTER_DRIVERS = (
     "gtiff png jpeg webp gif bmp pnm hdf5 netcdf grib2 nitf dted "
     "aaigrid envi xyz zarr zarr3 ntv2 gtx mbtiles "
-    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen isis2 hf2 kro"
+    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen isis2 hf2 kro leveller"
 ).split()
 VECTOR_DRIVERS = (
     "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet "
@@ -102,6 +102,8 @@ def identify(path: str) -> str:
         return "hf2"
     if head[:4] == b"KRO\x01":
         return "kro"
+    if head[:4] == b"trrn":
+        return "leveller"
     if head[:16] == b"SQLite format 3\x00":
         kind = _sniff_sqlite(path)
         if kind:
@@ -315,6 +317,10 @@ def open_raster(path: str) -> dict:
         from .terrain_rasters import read_kro
 
         return {"driver": drv, **read_kro(path)}
+    if drv == "leveller":
+        from .terrain_rasters import read_leveller
+
+        return {"driver": drv, **read_leveller(path)}
     if drv == "xyz":
         from .dted import read_xyz
 

@@ -1316,3 +1316,78 @@ def read_kro(path: str) -> dict:
     img = np.ascontiguousarray(
         raw.reshape(ny, nx, nc).astype(np.dtype(dt).newbyteorder("=")))
     return {"img": img if nc > 1 else img[:, :, 0]}
+
+
+# --------------------------------------------------------- Leveller
+
+def _lev_tag(name: str, payload: bytes) -> bytes:
+    return (bytes([len(name)]) + name.encode("ascii")
+            + struct.pack("<I", len(payload)) + payload)
+
+
+def write_leveller(path: str, grid: np.ndarray, *,
+                   elev_scale: float = 1.0,
+                   elev_base: float = 0.0) -> None:
+    """Leveller .ter heightfield (``frmts/leveller/
+    levellerdataset.cpp:709-800,915-1020``): 'trrn' + version byte 7,
+    then length-prefixed tags (u8 name length, name, u32 LE data
+    length, data) — ``hf_w``/``hf_b`` i32 dimensions, ``csclass`` 0
+    (raster coordinates), optional ``coordsys_em_scale``/``_base``
+    f64, and ``hf_data`` float32 LE samples, first row NORTH (the
+    band reader addresses line y directly)."""
+    a = np.asarray(grid, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError("Leveller heightfields are 2-D")
+    ny, nx = a.shape
+    hf = ((a - elev_base) / elev_scale).astype("<f4")
+    parts = [b"trrn\x07",
+             _lev_tag("hf_w", struct.pack("<i", nx)),
+             _lev_tag("hf_b", struct.pack("<i", ny)),
+             _lev_tag("csclass", struct.pack("<i", 0))]
+    if elev_scale != 1.0 or elev_base != 0.0:
+        parts.append(_lev_tag("coordsys_em_scale",
+                              struct.pack("<d", elev_scale)))
+        parts.append(_lev_tag("coordsys_em_base",
+                              struct.pack("<d", elev_base)))
+    parts.append(_lev_tag("hf_data", np.ascontiguousarray(hf)
+                          .tobytes()))
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(b"".join(parts))
+    os.replace(tmp, path)
+
+
+def read_leveller(path: str) -> dict:
+    """-> dict(grid north-first float64 world units, elev_scale,
+    elev_base) via the tag walk the reference's locate_data
+    performs."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != b"trrn":
+        raise ValueError(f"{path}: not a Leveller heightfield")
+    tags: dict[str, bytes] = {}
+    pos = 5
+    while pos < len(data):
+        nl = data[pos]
+        if nl == 0 or nl > 64:
+            raise ValueError(f"{path}: bad tag descriptor at {pos}")
+        name = data[pos + 1:pos + 1 + nl].decode("ascii")
+        (dlen,) = struct.unpack_from("<I", data, pos + 1 + nl)
+        start = pos + 1 + nl + 4
+        tags[name] = data[start:start + dlen]
+        pos = start + dlen
+    for need in ("hf_w", "hf_b", "hf_data"):
+        if need not in tags:
+            raise ValueError(f"{path}: missing {need} tag")
+    nx = struct.unpack("<i", tags["hf_w"])[0]
+    ny = struct.unpack("<i", tags["hf_b"])[0]
+    hf = np.frombuffer(tags["hf_data"], "<f4")
+    if hf.size != nx * ny:
+        raise ValueError(f"{path}: hf_data carries {hf.size} samples "
+                         f"for {nx}x{ny}")
+    scale = (struct.unpack("<d", tags["coordsys_em_scale"])[0]
+             if "coordsys_em_scale" in tags else 1.0)
+    base = (struct.unpack("<d", tags["coordsys_em_base"])[0]
+            if "coordsys_em_base" in tags else 0.0)
+    grid = base + scale * hf.reshape(ny, nx).astype(np.float64)
+    return {"grid": grid, "elev_scale": scale, "elev_base": base}

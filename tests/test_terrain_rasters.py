@@ -536,3 +536,36 @@ def test_kro_roundtrip_and_registry(tmp_path, dtype, nc):
     np.testing.assert_array_equal(m["img"], want)
     assert identify(p) == "kro"
     np.testing.assert_array_equal(open_raster(p)["img"], want)
+
+
+def test_leveller_tags_roundtrip_and_registry(tmp_path):
+    from gdal_ray.sources.registry import identify, open_raster
+    from gdal_ray.sources.terrain_rasters import (read_leveller,
+                                                  write_leveller)
+
+    rng = np.random.default_rng(47)
+    g = rng.normal(scale=200.0, size=(6, 9)).astype(np.float32) \
+        .astype(np.float64)
+    p = str(tmp_path / "l.ter")
+    write_leveller(p, g)
+    raw = open(p, "rb").read()
+    assert raw[:5] == b"trrn\x07"
+    # first tag: u8 len=4, 'hf_w', u32 len=4, i32 width
+    assert raw[5] == 4 and raw[6:10] == b"hf_w"
+    assert struct.unpack_from("<I", raw, 10)[0] == 4
+    assert struct.unpack_from("<i", raw, 14)[0] == 9
+    m = read_leveller(p)
+    np.testing.assert_allclose(m["grid"], g, atol=1e-5)
+    assert identify(p) == "leveller"     # magic beats the shared .ter
+    np.testing.assert_allclose(open_raster(p)["grid"], g, atol=1e-5)
+    # scaled variant round-trips through em_scale/base
+    write_leveller(p, g, elev_scale=0.5, elev_base=100.0)
+    m2 = read_leveller(p)
+    assert (m2["elev_scale"], m2["elev_base"]) == (0.5, 100.0)
+    np.testing.assert_allclose(m2["grid"], g, atol=1e-4)
+    # Terragen on the same extension still identifies by ITS magic
+    from gdal_ray.sources.terrain_rasters import write_terragen
+
+    tp = str(tmp_path / "t.ter")
+    write_terragen(tp, np.zeros((5, 5)))
+    assert identify(tp) == "terragen"
