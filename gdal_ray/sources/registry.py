@@ -22,7 +22,7 @@ import struct
 RASTER_DRIVERS = (
     "gtiff png jpeg webp gif bmp pnm hdf5 netcdf grib2 nitf dted "
     "aaigrid envi xyz zarr zarr3 ntv2 gtx mbtiles "
-    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen isis2 hf2 kro leveller"
+    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen isis2 hf2 kro leveller bsb"
 ).split()
 VECTOR_DRIVERS = (
     "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet "
@@ -139,6 +139,9 @@ def identify(path: str) -> str:
         return "pds"
     if low.startswith(b"ccsd3zf") or b"sfdu_label" in low:
         return "isis2"
+    if low.startswith(b"ver/") or low.startswith(b"bsb/") or (
+            low.startswith(b"!") and b"bsb/" in head.lower()):
+        return "bsb"
     if low.startswith(b"#title") or low.startswith(b"#points") \
             or low.startswith(b"#grid"):
         return "gxf"
@@ -321,6 +324,11 @@ def open_raster(path: str) -> dict:
         from .terrain_rasters import read_leveller
 
         return {"driver": drv, **read_leveller(path)}
+    if drv == "bsb":
+        from .bsb import read_bsb
+
+        out = read_bsb(path)
+        return {"driver": drv, "img": out.pop("rgb"), **out}
     if drv == "xyz":
         from .dted import read_xyz
 
