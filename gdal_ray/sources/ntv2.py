@@ -285,3 +285,84 @@ def read_gtx(path: str) -> dict:
         lon0 -= 360.0
     return {"lat0": lat0, "lon0": lon0, "dlat": dlat, "dlon": dlon,
             "values": v}
+
+
+# ----------------------------------------------------------- BYN
+
+def write_byn(path: str, grid: np.ndarray, *,
+              south: float, west: float,
+              dlat: float, dlon: float,
+              factor: float = 1000.0,
+              vdatum: int = 2) -> None:
+    """NRCan geoid BYN grid (``frmts/raw/byndataset.h:126-176`` field
+    table, ``byndataset.cpp:462-490`` offsets): 80-byte little-endian
+    header — i32 south/north/west/east boundaries (arcseconds), i16
+    DLat/DLon spacings, data factor f64 at 24, SizeOf at 32, byte
+    order flag at 48 (1 = LSB) — then int16 rows NORTH FIRST with
+    ``height = stored / factor``.  ``grid`` is (rows, cols) float
+    geoid heights, north-first; ``south``/``west`` in degrees,
+    spacings in arcseconds.  XSize = (east-west+1)/dlon + 1 per the
+    reference's size formula, so east/north are derived."""
+    a = np.asarray(grid, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError("BYN grids are single-band 2-D")
+    ny, nx = a.shape
+    s = int(round(south * 3600.0))
+    w = int(round(west * 3600.0))
+    idlat = int(round(dlat))
+    idlon = int(round(dlon))
+    # reference size formula xsize = (east - west + 1)/dlon + 1
+    # inverted: east = west + (xsize - 1)*dlon - 1
+    e = w + (nx - 1) * idlon - 1
+    n = s + (ny - 1) * idlat - 1
+    q = np.clip(np.floor(a * factor + 0.5), -32768, 32767).astype(
+        "<i2")
+    hdr = bytearray(80)
+    struct.pack_into("<iiii", hdr, 0, s, n, w, e)
+    struct.pack_into("<hhhh", hdr, 16, idlat, idlon, 0, 1)
+    struct.pack_into("<d", hdr, 24, float(factor))
+    struct.pack_into("<hh", hdr, 32, 2, int(vdatum))
+    struct.pack_into("<hhhh", hdr, 40, 0, 0, 0, 0)
+    struct.pack_into("<hh", hdr, 48, 1, 0)      # LSB, unscaled
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(bytes(hdr))
+        fh.write(np.ascontiguousarray(q).tobytes())
+    os.replace(tmp, path)
+
+
+def read_byn(path: str) -> dict:
+    """-> dict(grid north-first float64 geoid heights, south, west,
+    dlat, dlon arcsec, factor, vdatum).  int16 and int32 payloads,
+    LSB/MSB flag, x1000 scaled boundaries."""
+    with open(path, "rb") as fh:
+        hdr = fh.read(80)
+        s, n, w, e = struct.unpack_from("<iiii", hdr, 0)
+        dlat, dlon, _glob, _typ = struct.unpack_from("<hhhh", hdr, 16)
+        factor = struct.unpack_from("<d", hdr, 24)[0]
+        sizeof, vdatum = struct.unpack_from("<hh", hdr, 32)
+        byteorder, scale = struct.unpack_from("<hh", hdr, 48)
+        if scale == 1:
+            s /= 1000.0
+            n /= 1000.0
+            w /= 1000.0
+            e /= 1000.0
+            dlat /= 1000.0
+            dlon /= 1000.0
+        if sizeof not in (2, 4):
+            raise ValueError(f"{path}: BYN SizeOf {sizeof} "
+                             "unsupported")
+        if dlat == 0 or dlon == 0:
+            raise ValueError(f"{path}: zero spacing")
+        nx = int((e - w + 1.0) / dlon + 1.0)
+        ny = int((n - s + 1.0) / dlat + 1.0)
+        dt = np.dtype(f"{'<' if byteorder == 1 else '>'}i{sizeof}")
+        raw = np.frombuffer(fh.read(nx * ny * sizeof), dt)
+    if raw.size != nx * ny:
+        raise ValueError(f"{path}: truncated BYN payload")
+    grid = raw.reshape(ny, nx).astype(np.float64)
+    if factor not in (0.0, 1.0):
+        grid = grid / factor
+    return {"grid": grid, "south": s / 3600.0, "west": w / 3600.0,
+            "dlat": float(dlat), "dlon": float(dlon),
+            "factor": float(factor), "vdatum": int(vdatum)}

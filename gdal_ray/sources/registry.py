@@ -22,7 +22,7 @@ import struct
 RASTER_DRIVERS = (
     "gtiff png jpeg webp gif bmp pnm hdf5 netcdf grib2 nitf dted "
     "aaigrid envi xyz zarr zarr3 ntv2 gtx mbtiles "
-    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen isis2 hf2 kro leveller bsb"
+    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen isis2 hf2 kro leveller bsb byn"
 ).split()
 VECTOR_DRIVERS = (
     "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet "
@@ -178,6 +178,8 @@ def identify(path: str) -> str:
         return "rst"
     if ext == ".gtx":
         return "gtx"
+    if ext == ".byn":
+        return "byn"
     if ext == ".mif":
         return "mif"
     if ext == ".dxf":
@@ -329,6 +331,10 @@ def open_raster(path: str) -> dict:
 
         out = read_bsb(path)
         return {"driver": drv, "img": out.pop("rgb"), **out}
+    if drv == "byn":
+        from .ntv2 import read_byn
+
+        return {"driver": drv, **read_byn(path)}
     if drv == "xyz":
         from .dted import read_xyz
 

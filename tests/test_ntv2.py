@@ -297,3 +297,31 @@ def test_geoid_shift_stage_spec_drive(ray_session):
     want = np.clip(np.round(img.astype(np.float64) - n[:, :, None]),
                    0, 255).astype(np.uint8)
     assert np.array_equal(got, want)
+
+
+def test_byn_geoid_grid(tmp_path):
+    """NRCan BYN geoid grids (byndataset.h field table): header
+    offsets, factor scaling, the (east-west+1)/dlon+1 size formula,
+    registry dispatch."""
+    import struct as _struct
+
+    from gdal_ray.sources.ntv2 import read_byn, write_byn
+    from gdal_ray.sources.registry import identify, open_raster
+
+    rng = np.random.default_rng(13)
+    g = rng.integers(-30000, 30000, (7, 9)) / 1000.0
+    p = str(tmp_path / "g.byn")
+    write_byn(p, g, south=44.0, west=-80.0, dlat=60.0, dlon=60.0)
+    hdr = open(p, "rb").read(80)
+    s, n, w, e = _struct.unpack_from("<iiii", hdr, 0)
+    assert (s, w) == (44 * 3600, -80 * 3600)
+    assert e == w + 8 * 60 - 1 and n == s + 6 * 60 - 1
+    assert _struct.unpack_from("<hh", hdr, 16) == (60, 60)
+    assert _struct.unpack_from("<d", hdr, 24)[0] == 1000.0
+    assert _struct.unpack_from("<hh", hdr, 32) == (2, 2)
+    assert _struct.unpack_from("<hh", hdr, 48) == (1, 0)
+    m = read_byn(p)
+    np.testing.assert_allclose(m["grid"], g, atol=5e-4)
+    assert (m["south"], m["west"]) == (44.0, -80.0)
+    assert identify(p) == "byn"
+    assert open_raster(p)["driver"] == "byn"
