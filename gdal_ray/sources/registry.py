@@ -22,7 +22,7 @@ import struct
 RASTER_DRIVERS = (
     "gtiff png jpeg webp gif bmp pnm hdf5 netcdf grib2 nitf dted "
     "aaigrid envi xyz zarr zarr3 ntv2 gtx mbtiles "
-    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen isis2 hf2 kro leveller bsb byn"
+    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen isis2 hf2 kro leveller bsb byn gs7bg"
 ).split()
 VECTOR_DRIVERS = (
     "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet "
@@ -162,6 +162,8 @@ def identify(path: str) -> str:
         return "gsag"
     if head[:4] == b"DSBB":
         return "gsbg"
+    if head[:4] == b"DSRB":
+        return "gs7bg"
     ext = os.path.splitext(path)[1].lower()
     if ext == ".dem":
         return "usgsdem"
@@ -335,6 +337,10 @@ def open_raster(path: str) -> dict:
         from .ntv2 import read_byn
 
         return {"driver": drv, **read_byn(path)}
+    if drv == "gs7bg":
+        from .terrain_rasters import read_gs7bg
+
+        return {"driver": drv, **read_gs7bg(path)}
     if drv == "xyz":
         from .dted import read_xyz
 

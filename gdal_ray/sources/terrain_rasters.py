@@ -1391,3 +1391,65 @@ def read_leveller(path: str) -> dict:
             if "coordsys_em_base" in tags else 0.0)
     grid = base + scale * hf.reshape(ny, nx).astype(np.float64)
     return {"grid": grid, "elev_scale": scale, "elev_base": base}
+
+
+# ------------------------------------------------------ Surfer 7 (DSRB)
+
+def write_gs7bg(path: str, grid: np.ndarray, *, xmin: float = 0.0,
+                ymin: float = 0.0, cellsize: float = 1.0) -> None:
+    """Surfer 7 binary grid (``frmts/gsg/gs7bgdataset.cpp:880-1030``):
+    'DSRB' header section (u32 size 4, u32 version 1), 'GRID' section
+    (u32 size 72: i32 ny/nx, f64 xLL/yLL/dx/dy/zmin/zmax/rotation/
+    blank-value), 'DATA' section (u32 byte size, float64 rows SOUTH
+    FIRST).  NaN becomes the 1.70141e38 blank value."""
+    a = np.asarray(grid, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError("Surfer grids are single-band 2-D")
+    ny, nx = a.shape
+    _xmax, _ymax, zmin, zmax = _surfer_extents(a, xmin, ymin, cellsize)
+    body = np.where(np.isnan(a[::-1]), SURFER_NODATA, a[::-1])
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(b"DSRB" + struct.pack("<II", 4, 1))
+        fh.write(b"GRID" + struct.pack("<I", 72))
+        fh.write(struct.pack("<ii", ny, nx))
+        fh.write(struct.pack("<8d", xmin, ymin, cellsize, cellsize,
+                             zmin, zmax, 0.0, SURFER_NODATA))
+        fh.write(b"DATA" + struct.pack("<I", nx * ny * 8))
+        fh.write(np.ascontiguousarray(body.astype("<f8")).tobytes())
+    os.replace(tmp, path)
+
+
+def read_gs7bg(path: str) -> dict:
+    """Section walk exactly like the reference's open path (skip
+    unknown sections until GRID, then DATA)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != b"DSRB":
+        raise ValueError(f"{path}: missing DSRB magic")
+    (hsize,) = struct.unpack_from("<I", data, 4)
+    pos = 8 + hsize
+    grid_info = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        pos += 8
+        if tag == b"GRID":
+            ny, nx = struct.unpack_from("<ii", data, pos)
+            (xmin, ymin, dx, dy, zmin, zmax, rot, blank) = \
+                struct.unpack_from("<8d", data, pos + 8)
+            grid_info = (ny, nx, xmin, ymin, dx, dy, blank)
+            pos += size
+        elif tag == b"DATA":
+            if grid_info is None:
+                raise ValueError(f"{path}: DATA before GRID section")
+            ny, nx, xmin, ymin, dx, dy, blank = grid_info
+            vals = np.frombuffer(data, "<f8", count=nx * ny,
+                                 offset=pos)
+            g = vals.reshape(ny, nx)[::-1].copy()
+            g[g >= blank * (1 - 1e-7)] = np.nan
+            return {"grid": g, "xmin": xmin, "ymin": ymin,
+                    "cellsize": dx, "dy": dy, "blank": blank}
+        else:
+            pos += size
+    raise ValueError(f"{path}: no DATA section")

@@ -569,3 +569,39 @@ def test_leveller_tags_roundtrip_and_registry(tmp_path):
     tp = str(tmp_path / "t.ter")
     write_terragen(tp, np.zeros((5, 5)))
     assert identify(tp) == "terragen"
+
+
+def test_gs7bg_sections_roundtrip_and_registry(tmp_path):
+    from gdal_ray.sources.registry import identify, open_raster
+    from gdal_ray.sources.terrain_rasters import (read_gs7bg,
+                                                  write_gs7bg)
+
+    g = np.arange(12.0).reshape(3, 4)
+    g[0, 2] = np.nan
+    p = str(tmp_path / "s7.grd")
+    write_gs7bg(p, g, xmin=-10.0, ymin=40.0, cellsize=0.5)
+    raw = open(p, "rb").read()
+    assert raw[:4] == b"DSRB"
+    assert struct.unpack_from("<II", raw, 4) == (4, 1)
+    assert raw[12:16] == b"GRID"
+    assert struct.unpack_from("<I", raw, 16)[0] == 72
+    assert struct.unpack_from("<ii", raw, 20) == (3, 4)
+    xmin, ymin, dx, dy = struct.unpack_from("<4d", raw, 28)
+    assert (xmin, ymin, dx, dy) == (-10.0, 40.0, 0.5, 0.5)
+    di = raw.index(b"DATA")
+    assert struct.unpack_from("<I", raw, di + 4)[0] == 96
+    # first payload double = SW corner (south row first)
+    assert struct.unpack_from("<d", raw, di + 8)[0] == 8.0
+    m = read_gs7bg(p)
+    np.testing.assert_array_equal(np.isnan(m["grid"]), np.isnan(g))
+    np.testing.assert_allclose(m["grid"][~np.isnan(g)], g[~np.isnan(g)])
+    assert identify(p) == "gs7bg"
+    out = open_raster(p)
+    assert out["driver"] == "gs7bg" and out["cellsize"] == 0.5
+    # unknown sections are skipped like the reference's walk
+    spliced = (raw[:12] + b"FOO " + struct.pack("<I", 5) + b"abcde"
+               + raw[12:])
+    p2 = str(tmp_path / "x.grd")
+    open(p2, "wb").write(spliced)
+    np.testing.assert_allclose(
+        read_gs7bg(p2)["grid"][~np.isnan(g)], g[~np.isnan(g)])
