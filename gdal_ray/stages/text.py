@@ -792,3 +792,85 @@ class BpeApply:
             "n_tokens": pa.array(o_n, pa.int64()),
             "n_unk": pa.array(o_u, pa.int64()),
         })
+
+
+def pack_sequences(doc_tokens, *, seq_len: int = 2048,
+                   num_partitions: int = 16):
+    """Sequence packing for training-batch prep: assign documents to
+    fixed-``seq_len`` bins (first-fit-decreasing) ahead of
+    concatenate-and-mask dataloading.
+
+    Scale shape: docs hash-partition by id (ONE shuffle); each
+    partition packs its own docs with an O(n log n) best-fit-
+    decreasing loop (sorted lengths, binary search over bin
+    remainders) and emits globally-unique bin ids as
+    ``partition * 2^40 + local``.  Per-partition packing is the
+    standard practical compromise (exact global FFD is inherently
+    sequential); the waste it costs is REPORTED, not hidden: the
+    output carries (doc_id, n_tokens, bin_id, offset, truncated) with
+    over-length docs FLAGGED and truncated to ``seq_len`` rather than
+    silently dropped — downstream counters see exactly what happened.
+    """
+    import bisect
+
+    from ..pipelines import relational as R  # noqa: F401 (parity)
+
+    L = int(seq_len)
+    if L < 1:
+        raise ValueError("seq_len must be >= 1")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        h = (ids ^ (ids >> np.uint64(33))) * np.uint64(
+            0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(33))
+        return t.append_column("__part", pa.array(
+            (h % np.uint64(num_partitions)).astype(np.int64),
+            pa.int64()))
+
+    def pack(g: pa.Table) -> pa.Table:
+        part = int(g.column("__part")[0].as_py()) if g.num_rows else 0
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        nt = g.column("n_tokens").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -nt))        # longest first, stable
+        # best-fit decreasing: sorted list of (remaining, bin index)
+        rems: list = []                       # sorted remainders
+        rbins: list = []
+        fills = []
+        out_bin = np.empty(len(ids), np.int64)
+        out_off = np.empty(len(ids), np.int64)
+        out_trunc = np.zeros(len(ids), bool)
+        for k in order:
+            n = int(nt[k])
+            if n > L:
+                out_trunc[k] = True
+                n = L
+            j = bisect.bisect_left(rems, n)
+            if j < len(rems):
+                rem = rems.pop(j)
+                b = rbins.pop(j)
+            else:
+                b = len(fills)
+                fills.append(0)
+                rem = L
+            out_bin[k] = b
+            out_off[k] = fills[b]
+            fills[b] += n
+            nr = rem - n
+            j2 = bisect.bisect_left(rems, nr)
+            rems.insert(j2, nr)
+            rbins.insert(j2, b)
+        base = part << 40
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "bin_id": pa.array(out_bin + base, pa.int64()),
+            "offset": pa.array(out_off, pa.int64()),
+            "truncated": pa.array(out_trunc, pa.bool_()),
+        })
+
+    return (doc_tokens.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(pack, batch_format="pyarrow"))

@@ -946,3 +946,42 @@ def test_bpe_train_matches_local_reference(ray_session):
     # determinism across runs
     merges2, _ = bpe_train(ds, num_merges=10)
     assert merges2 == merges
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Sequence packing: every doc assigned exactly once, bin fills
+    never exceed seq_len, offsets tile each bin contiguously,
+    over-length docs flagged truncated, and waste stays sane for a
+    best-fit-decreasing packer (bins >= ceil(total/L) lower bound,
+    <= the naive one-doc-per-bin count)."""
+    import ray.data as rd
+
+    from gdal_ray.stages.text import pack_sequences
+
+    rng = np.random.default_rng(53)
+    docs = [{"doc_id": i, "n_tokens": int(rng.integers(10, 900))}
+            for i in range(400)]
+    docs.append({"doc_id": 400, "n_tokens": 5000})   # over-length
+    L = 1024
+    out = pack_sequences(rd.from_items(docs), seq_len=L,
+                         num_partitions=4).to_pandas()
+    assert len(out) == 401
+    assert sorted(out.doc_id) == list(range(401))
+    assert bool(out[out.doc_id == 400].truncated.iloc[0])
+    assert not out[out.doc_id != 400].truncated.any()
+    eff = out.n_tokens.clip(upper=L)
+    fills = out.assign(eff=eff).groupby("bin_id").agg(
+        fill=("eff", "sum")).fill
+    assert (fills <= L).all()
+    # offsets tile contiguously within each bin
+    for b, grp in out.assign(eff=eff).groupby("bin_id"):
+        g = grp.sort_values("offset")
+        expect = 0
+        for _, r in g.iterrows():
+            assert r.offset == expect
+            expect += min(int(r.n_tokens), L)
+    total = int(eff.sum())
+    lower = -(-total // L)
+    assert lower <= len(fills) <= len(docs) + 1
+    # with 4 partitions the packer should do far better than naive
+    assert len(fills) <= 1.25 * lower + 4
