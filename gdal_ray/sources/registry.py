@@ -22,7 +22,7 @@ import struct
 RASTER_DRIVERS = (
     "gtiff png jpeg webp gif bmp pnm hdf5 netcdf grib2 nitf dted "
     "aaigrid envi xyz zarr zarr3 ntv2 gtx mbtiles "
-    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen isis2 hf2 kro leveller bsb byn gs7bg"
+    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen isis2 hf2 kro leveller bsb byn gs7bg doq2"
 ).split()
 VECTOR_DRIVERS = (
     "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet "
@@ -137,6 +137,8 @@ def identify(path: str) -> str:
         return "ers"
     if low.startswith(b"pds_version_id"):
         return "pds"
+    if low.startswith(b"begin_usgs_doq_header"):
+        return "doq2"
     if low.startswith(b"ccsd3zf") or b"sfdu_label" in low:
         return "isis2"
     if low.startswith(b"ver/") or low.startswith(b"bsb/") or (
@@ -341,6 +343,10 @@ def open_raster(path: str) -> dict:
         from .terrain_rasters import read_gs7bg
 
         return {"driver": drv, **read_gs7bg(path)}
+    if drv == "doq2":
+        from .doq2 import read_doq2
+
+        return {"driver": drv, **read_doq2(path)}
     if drv == "xyz":
         from .dted import read_xyz
 

@@ -605,3 +605,33 @@ def test_gs7bg_sections_roundtrip_and_registry(tmp_path):
     open(p2, "wb").write(spliced)
     np.testing.assert_allclose(
         read_gs7bg(p2)["grid"][~np.isnan(g)], g[~np.isnan(g)])
+
+
+def test_doq2_roundtrip_and_registry(tmp_path):
+    from gdal_ray.sources.doq2 import read_doq2, write_doq2
+    from gdal_ray.sources.registry import identify, open_raster
+
+    rng = np.random.default_rng(59)
+    rgb = rng.integers(0, 255, (6, 9, 3)).astype(np.uint8)
+    p = str(tmp_path / "q.doq")
+    write_doq2(p, rgb, xy_origin=(443000.0, 4451000.0),
+               resolution=1.0)
+    head = open(p, "rb").read(600).decode("ascii", "replace")
+    assert head.startswith("BEGIN_USGS_DOQ_HEADER\n")
+    assert "SAMPLES_AND_LINES 9 6" in head
+    assert "BAND_ORGANIZATION BIP" in head
+    assert head.count("BAND_CONTENT") == 3
+    bc = int([ln for ln in head.splitlines()
+              if ln.startswith("BYTE_COUNT")][0].split()[1])
+    raw = open(p, "rb").read()
+    assert raw[bc:bc + 3] == rgb[0, 0].tobytes()   # BIP at BYTE_COUNT
+    m = read_doq2(p)
+    np.testing.assert_array_equal(m["img"], rgb)
+    assert m["xy_origin"] == (443000.0, 4451000.0)
+    assert identify(p) == "doq2"
+    np.testing.assert_array_equal(open_raster(p)["img"], rgb)
+    # grayscale single band reads 2-D
+    g = rng.integers(0, 255, (4, 5)).astype(np.uint8)
+    p2 = str(tmp_path / "g.doq")
+    write_doq2(p2, g)
+    np.testing.assert_array_equal(read_doq2(p2)["img"], g)
