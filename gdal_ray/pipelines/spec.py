@@ -904,6 +904,27 @@ def _vector_write(ds, path: str, driver: str | None = None,
                                    "n": pa.array([n], pa.int64())}))
 
 
+@register_step("grid_export")
+def _grid_export(ds, path: str, driver: str = "gsbg",
+                 resume: bool = True):
+    """Bulk grid export: one single-grid file per row through any of
+    the format zoo's grid writers (sources.sinks.write_grid_dir) —
+    the gdal_translate-of-many analog, resumable."""
+    from ..sources.sinks import write_grid_dir
+
+    return write_grid_dir(ds, path, driver=driver, resume=resume)
+
+
+@register_step("grid_import")
+def _grid_import(ds, path: str, parallelism: int = 8):
+    """Bulk grid import: a directory of grid files (any registered
+    driver, sniffed per file) -> (image_id, grid, w, h, driver)
+    rows (sources.sinks.read_grid_dir)."""
+    from ..sources.sinks import read_grid_dir
+
+    return read_grid_dir(path, parallelism=parallelism)
+
+
 @register_step("vector_simplify")
 def _vector_simplify(ds, tolerance: float):
     from ..stages.geomops import simplify_batch

@@ -452,3 +452,47 @@ def test_registry_signature_contract():
             assert p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY,
                               p.VAR_KEYWORD), (
                 f"{name}: param {p.name} not keyword-addressable")
+
+
+def test_grid_export_import_steps(ray_session, tmp_path):
+    """JSON-driven bulk grid export/import: chips out to one grid
+    file per row through a zoo driver, sniffed back in bit-equal;
+    resume skips existing files."""
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.pipelines.spec import run_pipeline
+
+    rng = np.random.default_rng(67)
+    rows = []
+    for i in range(6):
+        g = rng.integers(-500, 500, (9, 7)).astype(np.float64)
+        rows.append({"image_id": f"c{i:03d}", "grid": g.tobytes(),
+                     "w": 7, "h": 9})
+    src = rd.from_items(rows)
+    out_dir = str(tmp_path / "grids")
+    counters = run_pipeline(
+        [{"step": "grid_export", "path": out_dir,
+          "driver": "gsbg"}], src).to_pandas()
+    assert counters.written.sum() == 6 and counters.skipped.sum() == 0
+    back = run_pipeline(
+        [{"step": "grid_import", "path": out_dir}]).to_pandas()
+    assert sorted(back.image_id) == [f"c{i:03d}" for i in range(6)]
+    assert set(back.driver) == {"gsbg"}
+    for r in rows:
+        got = back[back.image_id == r["image_id"]].iloc[0]
+        a = np.frombuffer(got.grid, np.float64).reshape(got.h, got.w)
+        b = np.frombuffer(r["grid"], np.float64).reshape(9, 7)
+        np.testing.assert_array_equal(a, b)
+    # resume: second export skips everything
+    counters2 = run_pipeline(
+        [{"step": "grid_export", "path": out_dir,
+          "driver": "gsbg"}], src).to_pandas()
+    assert counters2.written.sum() == 0 and counters2.skipped.sum() == 6
+    # a second driver (hf2) through the same steps
+    out2 = str(tmp_path / "g2")
+    run_pipeline([{"step": "grid_export", "path": out2,
+                   "driver": "hf2"}], src).to_pandas()
+    back2 = run_pipeline(
+        [{"step": "grid_import", "path": out2}]).to_pandas()
+    assert set(back2.driver) == {"hf2"} and len(back2) == 6
