@@ -1019,3 +1019,38 @@ def dedup_against(ds, snapshot, *, content_col: str = "text",
         hashed, snap.map_batches(only_hash, batch_format="pyarrow"),
         "chash", "chash", how="anti", num_partitions=num_partitions)
     return out.drop_columns(["chash"])
+
+
+def split_by_content(ds, *, content_col: str = "text",
+                     fractions: dict[str, float] | None = None,
+                     salt: int = 0):
+    """Deterministic train/val/test assignment by CONTENT hash — the
+    leakage-safe split rule: byte-identical documents always land in
+    the SAME split (id- or position-based splits leak duplicates
+    across train and eval).  Reuses the vectorized content hash of
+    the dedup family; ``salt`` reshuffles the assignment without
+    touching the data.  Adds a ``split`` column; fractions must sum
+    to 1 (default 98/1/1)."""
+    fr = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fr.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions sum to {total}, need 1.0")
+    names = list(fr)
+    bounds = np.cumsum([fr[n] for n in names])
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("split", pa.array([], pa.string()))
+        parts = [_content_hash_array(c)
+                 for c in t.column(content_col).chunks]
+        h = np.concatenate(parts)
+        h = _splitmix64(h ^ np.uint64(salt * 0x9E3779B97F4A7C15
+                                      & 0xFFFFFFFFFFFFFFFF))
+        u = h.astype(np.float64) / float(2**64)
+        idx = np.searchsorted(bounds, u, side="right")
+        idx = np.minimum(idx, len(names) - 1)
+        lab = np.asarray(names, dtype=object)[idx]
+        return t.append_column("split",
+                               pa.array(lab.tolist(), pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

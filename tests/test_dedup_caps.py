@@ -320,3 +320,47 @@ def test_dedup_against_snapshot(ray_session):
                   if d["text"] not in set(snap_texts))
     assert got == want
     assert all(set(r) == {"doc_id", "text", "src"} for r in out)
+
+
+def test_split_by_content_leakage_safe(ray_session):
+    """Content-hash splits: byte-identical docs ALWAYS share a split
+    (the leakage property id-based splits lack), proportions track
+    fractions, assignment is deterministic per salt and changes
+    across salts."""
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import split_by_content
+
+    rng = np.random.default_rng(71)
+    docs = []
+    for i in range(600):
+        docs.append({"doc_id": i,
+                     "text": f"unique document {i} "
+                             + " ".join(map(str, rng.integers(0, 9, 5)))})
+    # 200 duplicate pairs with DIFFERENT ids
+    for i in range(200):
+        docs.append({"doc_id": 1000 + i, "text": docs[i]["text"]})
+    ds = rd.from_items(docs)
+    out = split_by_content(
+        ds, fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    ).to_pandas()
+    assert len(out) == 800
+    by_text = out.groupby("text")["split"].nunique()
+    assert (by_text == 1).all()          # no duplicate crosses splits
+    frac = out.split.value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9
+    assert 0.04 < frac["val"] < 0.18 and 0.04 < frac["test"] < 0.18
+    out2 = split_by_content(
+        ds, fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    ).to_pandas()
+    assert out.sort_values("doc_id").split.tolist() == \
+        out2.sort_values("doc_id").split.tolist()
+    out3 = split_by_content(
+        ds, fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt=7).to_pandas()
+    assert out.sort_values("doc_id").split.tolist() != \
+        out3.sort_values("doc_id").split.tolist()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum"):
+        split_by_content(ds, fractions={"a": 0.5})
