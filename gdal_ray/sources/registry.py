@@ -22,7 +22,7 @@ import struct
 RASTER_DRIVERS = (
     "gtiff png jpeg webp gif bmp pnm hdf5 netcdf grib2 nitf dted "
     "aaigrid envi xyz zarr zarr3 ntv2 gtx mbtiles "
-    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen isis2 hf2 kro leveller bsb byn gs7bg doq2"
+    "srtmhgt gsag gsbg ehdr saga ers zmap rst usgsdem gxf pds lan terragen isis2 hf2 kro leveller bsb byn gs7bg doq2 ace2"
 ).split()
 VECTOR_DRIVERS = (
     "shapefile geojson gpkg flatgeobuf kml gpx csvwkt geoparquet "
@@ -169,6 +169,11 @@ def identify(path: str) -> str:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".dem":
         return "usgsdem"
+    if ext == ".ace2":
+        from .terrain_rasters import ace2_params
+
+        ace2_params(path)         # loud if the name carries no tile
+        return "ace2"
     if ext == ".hgt":
         from .terrain_rasters import hgt_corner
 
@@ -347,6 +352,10 @@ def open_raster(path: str) -> dict:
         from .doq2 import read_doq2
 
         return {"driver": drv, **read_doq2(path)}
+    if drv == "ace2":
+        from .terrain_rasters import read_ace2
+
+        return {"driver": drv, **read_ace2(path)}
     if drv == "xyz":
         from .dted import read_xyz
 

@@ -1453,3 +1453,56 @@ def read_gs7bg(path: str) -> dict:
         else:
             pos += size
     raise ValueError(f"{path}: no DATA section")
+
+
+# -------------------------------------------------------------- ACE2
+
+_ACE2_RES = {"_5M": (180, 5.0 / 60), "_30S": (1800, 30.0 / 3600),
+             "_9S": (6000, 9.0 / 3600), "_3S": (18000, 3.0 / 3600)}
+_ACE2_NAME = re.compile(
+    r"(\d{1,2})([NS])(\d{1,3})([EW])(_CONF|_QUALITY|_SOURCE)?"
+    r"(_5M|_30S|_9S|_3S)\.ACE2$", re.IGNORECASE)
+
+
+def ace2_params(path: str) -> dict:
+    """Tile parameters from the filename (``frmts/raw/
+    ace2dataset.cpp:219-300``): SW corner ``<lat><NS><lon><EW>``,
+    resolution suffix -> size/pixel table, ``_CONF/_QUALITY/_SOURCE``
+    aux layers int16, elevation float32; tiles span 15 deg."""
+    m = _ACE2_NAME.search(os.path.basename(path))
+    if not m:
+        raise ValueError(f"{path}: not an ACE2 tile name "
+                         "(want e.g. 30S120W_5M.ACE2)")
+    lat = int(m.group(1)) * (1 if m.group(2).upper() == "N" else -1)
+    lon = int(m.group(3)) * (1 if m.group(4).upper() == "E" else -1)
+    n, pix = _ACE2_RES[m.group(6).upper()]
+    aux = m.group(5) is not None
+    return {"sw_lat": lat, "sw_lon": lon, "n": n, "pixel": pix,
+            "dtype": np.dtype("<i2") if aux else np.dtype("<f4")}
+
+
+def write_ace2(path: str, grid: np.ndarray) -> None:
+    """``grid`` = (N, N) rows NORTH FIRST matching the filename's
+    resolution suffix; float32 elevation or int16 aux layers."""
+    p = ace2_params(path)
+    a = np.asarray(grid)
+    if a.shape != (p["n"], p["n"]):
+        raise ValueError(f"{path}: grid {a.shape} != tile size "
+                         f"{p['n']}")
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(np.ascontiguousarray(a.astype(p["dtype"])).tobytes())
+    os.replace(tmp, path)
+
+
+def read_ace2(path: str) -> dict:
+    p = ace2_params(path)
+    raw = np.fromfile(path, dtype=p["dtype"])
+    if raw.size != p["n"] * p["n"]:
+        raise ValueError(f"{path}: expected {p['n']}^2 samples, "
+                         f"got {raw.size}")
+    grid = np.ascontiguousarray(
+        raw.reshape(p["n"], p["n"]).astype(
+            p["dtype"].newbyteorder("=")))
+    return {"grid": grid.astype(np.float64), "raw": grid, **{
+        k: p[k] for k in ("sw_lat", "sw_lon", "n", "pixel")}}

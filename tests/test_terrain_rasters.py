@@ -635,3 +635,33 @@ def test_doq2_roundtrip_and_registry(tmp_path):
     p2 = str(tmp_path / "g.doq")
     write_doq2(p2, g)
     np.testing.assert_array_equal(read_doq2(p2)["img"], g)
+
+
+def test_ace2_name_table_roundtrip_and_registry(tmp_path):
+    from gdal_ray.sources.registry import identify, open_raster
+    from gdal_ray.sources.terrain_rasters import (ace2_params,
+                                                  read_ace2,
+                                                  write_ace2)
+
+    p = ace2_params("30S120W_5M.ACE2")
+    assert (p["sw_lat"], p["sw_lon"], p["n"]) == (-30, -120, 180)
+    assert p["pixel"] == 5.0 / 60 and p["dtype"] == np.dtype("<f4")
+    pq = ace2_params("45N000E_CONF_30S.ACE2")
+    assert (pq["sw_lat"], pq["n"]) == (45, 1800)
+    assert pq["dtype"] == np.dtype("<i2")
+    with pytest.raises(ValueError, match="ACE2 tile name"):
+        ace2_params("whatever.ACE2")
+
+    rng = np.random.default_rng(73)
+    g = rng.normal(scale=100, size=(180, 180)).astype(np.float32)
+    fp = str(tmp_path / "30S120W_5M.ACE2")
+    write_ace2(fp, g)
+    assert np.frombuffer(open(fp, "rb").read(4), "<f4")[0] == g[0, 0]
+    m = read_ace2(fp)
+    np.testing.assert_array_equal(m["raw"], g)
+    assert (m["sw_lat"], m["sw_lon"]) == (-30, -120)
+    assert identify(fp) == "ace2"
+    np.testing.assert_array_equal(open_raster(fp)["raw"], g)
+    with pytest.raises(ValueError, match="tile size"):
+        write_ace2(str(tmp_path / "10N010E_5M.ACE2"),
+                   np.zeros((10, 10), np.float32))
