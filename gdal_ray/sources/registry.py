@@ -169,7 +169,7 @@ def identify(path: str) -> str:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".dem":
         return "usgsdem"
-    if ext == ".ace2":
+    if ext == ".ace2" or path.lower().endswith(".ace2.gz"):
         from .terrain_rasters import ace2_params
 
         ace2_params(path)         # loud if the name carries no tile

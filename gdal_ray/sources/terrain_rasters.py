@@ -1461,7 +1461,7 @@ _ACE2_RES = {"_5M": (180, 5.0 / 60), "_30S": (1800, 30.0 / 3600),
              "_9S": (6000, 9.0 / 3600), "_3S": (18000, 3.0 / 3600)}
 _ACE2_NAME = re.compile(
     r"(\d{1,2})([NS])(\d{1,3})([EW])(_CONF|_QUALITY|_SOURCE)?"
-    r"(_5M|_30S|_9S|_3S)\.ACE2$", re.IGNORECASE)
+    r"(_5M|_30S|_9S|_3S)\.ACE2(\.gz)?$", re.IGNORECASE)
 
 
 def ace2_params(path: str) -> dict:
@@ -1496,8 +1496,16 @@ def write_ace2(path: str, grid: np.ndarray) -> None:
 
 
 def read_ace2(path: str) -> dict:
+    """Plain and ``.ACE2.gz`` tiles (the distribution form the
+    reference also opens, ``ace2dataset.cpp:193-194``)."""
     p = ace2_params(path)
-    raw = np.fromfile(path, dtype=p["dtype"])
+    if path.lower().endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rb") as fh:
+            raw = np.frombuffer(fh.read(), dtype=p["dtype"])
+    else:
+        raw = np.fromfile(path, dtype=p["dtype"])
     if raw.size != p["n"] * p["n"]:
         raise ValueError(f"{path}: expected {p['n']}^2 samples, "
                          f"got {raw.size}")

@@ -333,3 +333,44 @@ def test_prop_zmap_roundtrip(tmp_path_factory, shape, seed):
     p = str(tmp_path_factory.mktemp("z") / "p.dat")
     write_zmap(p, g)
     np.testing.assert_allclose(read_zmap(p)["grid"], g, atol=5e-7)
+
+
+@settings(max_examples=30, deadline=None)
+@given(shape=_shapes, seed=st.integers(0, 2**31 - 1))
+def test_prop_leveller_roundtrip(tmp_path_factory, shape, seed):
+    from gdal_ray.sources.terrain_rasters import (read_leveller,
+                                                  write_leveller)
+
+    rng = np.random.default_rng(seed)
+    g = rng.normal(scale=300.0, size=shape).astype(np.float32) \
+        .astype(np.float64)
+    p = str(tmp_path_factory.mktemp("lv") / "p.ter")
+    write_leveller(p, g)
+    np.testing.assert_allclose(read_leveller(p)["grid"], g, atol=1e-4)
+
+
+@settings(max_examples=30, deadline=None)
+@given(shape=_shapes, seed=st.integers(0, 2**31 - 1))
+def test_prop_gs7bg_roundtrip(tmp_path_factory, shape, seed):
+    from gdal_ray.sources.terrain_rasters import (read_gs7bg,
+                                                  write_gs7bg)
+
+    rng = np.random.default_rng(seed)
+    g = rng.normal(scale=50.0, size=shape)
+    p = str(tmp_path_factory.mktemp("s7") / "p.grd")
+    write_gs7bg(p, g)
+    np.testing.assert_array_equal(read_gs7bg(p)["grid"], g)
+
+
+@settings(max_examples=30, deadline=None)
+@given(shape=_shapes, seed=st.integers(0, 2**31 - 1),
+       nc=st.integers(1, 4))
+def test_prop_kro_roundtrip(tmp_path_factory, shape, seed, nc):
+    from gdal_ray.sources.terrain_rasters import read_kro, write_kro
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, shape + (nc,)).astype(np.uint8)
+    p = str(tmp_path_factory.mktemp("kr") / "p.kro")
+    write_kro(p, img)
+    want = img[:, :, 0] if nc == 1 else img
+    np.testing.assert_array_equal(read_kro(p)["img"], want)

@@ -665,3 +665,20 @@ def test_ace2_name_table_roundtrip_and_registry(tmp_path):
     with pytest.raises(ValueError, match="tile size"):
         write_ace2(str(tmp_path / "10N010E_5M.ACE2"),
                    np.zeros((10, 10), np.float32))
+
+
+def test_ace2_gz(tmp_path):
+    import gzip
+
+    from gdal_ray.sources.registry import identify, open_raster
+    from gdal_ray.sources.terrain_rasters import read_ace2
+
+    rng = np.random.default_rng(83)
+    g = rng.normal(size=(180, 180)).astype(np.float32)
+    p = str(tmp_path / "10N010E_5M.ACE2.gz")
+    with gzip.open(p, "wb") as fh:
+        fh.write(g.astype("<f4").tobytes())
+    m = read_ace2(p)
+    np.testing.assert_array_equal(m["raw"], g)
+    assert identify(p) == "ace2"
+    np.testing.assert_array_equal(open_raster(p)["raw"], g)
